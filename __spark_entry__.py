@@ -3,8 +3,13 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in ``geniepool_etl_spark.contract`` — one
+(Spark query, DuckDB oracle) pair per SURVEY.md §2 operator plus the
+LLM-data-pipeline families (dedup, similarity, text analysis,
+events/windows, multimodal, streaming). ``a7_approx_distinct`` is the
+only entry without an oracle (HLL estimates are engine-specific).
 """
 
 from __future__ import annotations
@@ -13,26 +18,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from geniepool_etl_spark.contract import (
+    ORACLE_SQL,
+    SPARK_QUERIES,
+    q_flagship_lake_nest,
+)
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the reference's lake-build dataflow
+    shape (scan → left join → two-level collect_set nest → bucket) on
+    the star schema (contract.q_flagship_lake_nest)."""
+    return q_flagship_lake_nest(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    north-star LLM-pipeline operators)."""
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (omitted only where the
+    semantics are engine-specific, e.g. approximate aggregates)."""
+    return dict(ORACLE_SQL)

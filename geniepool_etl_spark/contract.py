@@ -1,0 +1,1327 @@
+"""Driver-contract query catalog: one (Spark query, DuckDB oracle)
+pair per operator of SURVEY.md §2 plus the LLM-data-pipeline operator
+families (dedup, similarity, text analysis, events/windows, multimodal,
+streaming), all over the synthetic star schema in ``$sf_dir``.
+
+Conventions that make the cross-engine value-hash comparison exact:
+
+- **Integer event time.** ``events.ts`` is parquet TIMESTAMP(NANOS);
+  Spark reads it as a long via ``spark.sql.legacy.parquet.nanosAsLong``
+  and all window arithmetic is integer epoch-micros (floor ns→µs
+  matches DuckDB's conversion) — timezone-proof by construction.
+- **Order-robust floats.** Sums of doubles are rounded to 2 decimals
+  (engine summation order differs in the last ulp); ratios to 4.
+  Rank/top-k cuts always order on the *rounded* value with an id
+  tiebreak, so the selected row set is deterministic.
+- **Portable hashing.** Content hashes use md5-derived 32-bit values
+  (``functions.portable_hash32``) that DuckDB recomputes verbatim;
+  the production default stays ``xxhash64`` (see operators/dedup.py).
+- **Aliases match.** Every computed column is aliased identically in
+  the Spark plan and the oracle SQL (the driver hashes columns by
+  sorted name).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geniepool_etl_spark.functions import (
+    enable_nanos_as_long,
+    micros,
+    portable_hash32,
+    portable_hash32_sql,
+)
+from geniepool_etl_spark.operators import dedup as D
+from geniepool_etl_spark.operators import events as E
+from geniepool_etl_spark.operators import multimodal as M
+from geniepool_etl_spark.operators import similarity as S
+from geniepool_etl_spark.operators import text as TX
+
+_uniq = itertools.count()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enable_nanos_as_long(spark)
+    return _t(spark, sf_dir, "events")
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"gp_spark_{tag}_")
+
+
+# =====================================================================
+# S: sources / sinks (SURVEY §2.1)
+# =====================================================================
+
+def q_s1_s3_text_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+S3: text source with '#' comment lines, parsed as TSV in
+    one fused scan (explicit schema, comment filter in-scan — the
+    engine's VCF-reader design, sources/vcf.py)."""
+    rows = sorted(
+        _t(spark, sf_dir, "region").collect(), key=lambda r: r.r_regionkey
+    )  # 5-row dim: fixture generation only, not a data path
+    path = os.path.join(_tmpdir("s1"), "region.tsv")
+    with open(path, "w") as f:
+        f.write("##fileformat=TSVv1\n#comment line\n")
+        for r in rows:
+            f.write(f"{r.r_regionkey}\t{r.r_name}\n")
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.option("sep", "\t")
+        .option("comment", "#")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def q_s4_csv_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: CSV sink+source with header and custom separator."""
+    out = _tmpdir("s4")
+    nation = _t(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("sep", "\t").option(
+        "header", True
+    ).csv(out)
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .schema(nation.schema)
+        .csv(out)
+    )
+
+
+def q_s5_csv_noheader_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: headerless CSV with positional names renamed to semantic."""
+    out = _tmpdir("s5")
+    supplier = _t(spark, sf_dir, "supplier")
+    supplier.write.mode("overwrite").csv(out)
+    raw = spark.read.schema(
+        "c0 LONG, c1 STRING, c2 INT, c3 DOUBLE"
+    ).csv(out)
+    return (
+        raw.withColumnRenamed("c0", "s_suppkey")
+        .withColumnRenamed("c1", "s_name")
+        .withColumnRenamed("c2", "s_nationkey")
+        .withColumnRenamed("c3", "s_acctbal")
+    )
+
+
+def q_s6_parquet_explicit_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: explicit-schema parquet scan — listed columns are pruned to
+    the schema, and a schema column missing from the file reads as
+    null (the dbSNP-T2T / gnomAD subtleties, sources/annotations.py)."""
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_phone", T.StringType()),  # not in file → null
+        ]
+    )
+    return spark.read.schema(schema).parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    )
+
+
+def q_s7_parquet_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: inferred-schema parquet scan with projection."""
+    return _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+
+
+def q_s8_input_file_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: file-name lineage via input_file_name + substring_index
+    (the sample-id/chrom-from-filename pattern, sources/filename.py)."""
+    return _t(spark, sf_dir, "region").select(
+        "r_regionkey",
+        F.substring_index(F.input_file_name(), "/", -1).alias("src_file"),
+    )
+
+
+def q_s9_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: Hive-partitioned parquet sink with maxRecordsPerFile +
+    repartition-by-partition-cols discipline, then read-back."""
+    out = _tmpdir("s9")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    (
+        li.repartition("l_returnflag")
+        .write.option("maxRecordsPerFile", 25000)
+        .mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+def q_s10_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: JSON append sink (coalesce(1)) + read-back with schema."""
+    out = _tmpdir("s10")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    orders.coalesce(1).write.mode("append").json(out)
+    back = spark.read.schema("o_orderkey LONG, o_orderstatus STRING").json(out)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_s11_lake_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 + the lake centerpiece: orders mapped onto the genomic lake
+    shape (chrom, pos, pos_bucket), written Hive-partitioned, then a
+    partition-pruned range query via lake.read_range (bucket ids
+    derived arithmetically — only matching directories are listed)."""
+    from geniepool_etl_spark import lake
+
+    out = _tmpdir("s11")
+    orders = _t(spark, sf_dir, "orders")
+    shaped = orders.select(
+        F.concat(F.lit("chr"), (F.col("o_orderkey") % 5).cast("string")).alias(
+            "chrom"
+        ),
+        (F.col("o_orderkey") * 37).cast("int").alias("pos"),
+        F.col("o_totalprice"),
+    ).withColumn("pos_bucket", F.floor(F.col("pos") / 100000))
+    lake.write_datalake(shaped, out)
+    got = lake.read_range(spark, out, "chr2", 50_000, 1_200_000)
+    return got.select(
+        "chrom",
+        F.col("pos").cast("long").alias("pos"),
+        "o_totalprice",
+        F.col("pos_bucket").cast("long").alias("pos_bucket"),
+    )
+
+
+# =====================================================================
+# P: projections / filters / row ops (SURVEY §2.2)
+# =====================================================================
+
+def q_p1_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumnRenamed("c_custkey", "cust_id")
+        .withColumnRenamed("c_nationkey", "nation_id")
+        .select("cust_id", "nation_id", "c_mktsegment")
+    )
+
+
+def q_p2_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 + the §2.5 scalar family: concat/lit/upper/trim/split/
+    substring_index/when/floor/casts."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.lit("B#"), F.upper(F.col("p_brand"))).alias("brand_tag"),
+        F.substring_index(F.col("p_type"), " ", 1).alias("type_head"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first"),
+        F.floor(F.col("p_retailprice") / 100).cast("long").alias("price_bucket"),
+        F.when(F.col("p_size") >= 25, F.lit("large"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+    )
+
+
+def q_p3_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").drop(
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        "l_quantity", "l_returnflag", "l_linestatus",
+    )
+
+
+def q_p4_select_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: reorder-with-prepend (reference's alpha-first select)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select("n_name", *[c for c in n.columns if c != "n_name"])
+
+
+def q_p5_sql_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .where("o_totalprice > 150000 AND o_orderstatus = 'O'")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_p6_dropdup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: dropDuplicates(subset) — projected to the subset so the
+    kept-row nondeterminism can't leak into the result."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .dropDuplicates(["l_orderkey"])
+        .select("l_orderkey")
+    )
+
+
+# =====================================================================
+# J: joins (SURVEY §2.3)
+# =====================================================================
+
+def q_j1_multikey_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3 shape: 4-column equi left join (the variants⟕annotation
+    pattern) — lineitem against a 4-key aggregate of itself."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+    dim = li.groupBy(*keys).agg(F.max("l_discount").alias("max_disc"))
+    return li.join(dim, keys, "left").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "max_disc"
+    )
+
+
+def q_j2_left_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join against a filtered dim → unmatched rows keep nulls
+    (coalesced to a sentinel, the annotation-enrichment semantics)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left"
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("seg")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_j3_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint on the small dim (part) — the scale-up
+    default for dimension enrichment."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_j4_case_pick_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alpha-join pattern (operators/annotate.py): join then a
+    multi-branch CASE picks the score column based on key columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+    rf, ls = F.col("l_returnflag"), F.col("l_linestatus")
+    score = (
+        F.when((rf == "R") & (ls == "F"), F.col("p_size").cast("double"))
+        .when((rf == "A") & (ls == "F"), F.col("p_retailprice"))
+        .when((rf == "N") & (ls == "O"), F.col("l_quantity"))
+        .when((rf == "N") & (ls == "F"), F.col("l_discount"))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(score, 4).alias("score"),
+    )
+
+
+def q_j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+def q_j6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+SIZE_BUCKETS = [(0, 10, "small"), (11, 25, "medium"), (26, 50, "large")]
+
+
+def q_j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny literal dim — broadcast
+    nested-loop on a 3-row side, never an all-pairs shuffle."""
+    part = _t(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(SIZE_BUCKETS, "lo INT, hi INT, label STRING")
+    joined = part.join(
+        F.broadcast(buckets),
+        (part.p_size >= buckets.lo) & (part.p_size <= buckets.hi),
+        "left",
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )
+
+
+# =====================================================================
+# A: aggregations (SURVEY §2.4)
+# =====================================================================
+
+def q_a1_collect_set_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: grouped collect_set, canonicalized with sort_array for
+    order-insensitive comparison (operators/nest.py pattern)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_set("l_linenumber")).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_a2_two_level_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: second-level nesting — per-order aggregates re-nested per
+    customer (the entries-array build, operators/nest.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lvl1 = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    joined = orders.join(
+        lvl1, orders.o_orderkey == lvl1.l_orderkey, "left"
+    )
+    return joined.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.sum(F.coalesce(F.col("n_items"), F.lit(0))).cast("long").alias(
+            "total_items"
+        ),
+    )
+
+
+def q_a3_multi_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: global multi-column countDistinct (the status record)."""
+    return _t(spark, sf_dir, "lineitem").groupBy().agg(
+        F.count_distinct("l_orderkey").alias("orders_num"),
+        F.count_distinct("l_orderkey", "l_linenumber").alias("lines_num"),
+        F.count_distinct("l_suppkey").alias("suppliers_num"),
+    )
+
+
+def q_a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped flagship aggregate: filter → 2-key groupBy →
+    sums/avgs/count, all map-side-partial-aggregated."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate <= TIMESTAMP_NTZ '1999-12-31 00:00:00'"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via rollup (region → nation)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+def q_a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").cube(
+        "o_orderstatus", "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_a7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — engine-specific estimate, so no
+    cross-engine oracle; driver records a rows-only check."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders")
+    )
+
+
+def q_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's status record (pipeline.get_status shape) on the
+    star schema: multi-distinct counts + timestamp presence flag."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy()
+        .agg(
+            F.count_distinct("l_orderkey").alias("coordinates_num"),
+            F.count_distinct("l_orderkey", "l_linenumber").alias("mutations_num"),
+            F.count_distinct("l_suppkey").alias("samples_num"),
+        )
+        .withColumn(
+            "has_update_date",
+            F.current_timestamp().cast("string").isNotNull(),
+        )
+    )
+
+
+# =====================================================================
+# Sort / limit / set ops / window functions (SURVEY §2.6)
+# =====================================================================
+
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy + limit with an id tiebreak (deterministic top-k)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except (all distinct variants)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.where("c_mktsegment = 'BUILDING'").select("c_custkey")
+    auto = cust.where("c_mktsegment = 'AUTOMOBILE'").select("c_custkey")
+    big = (
+        orders.where("o_totalprice > 200000")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.union(auto).distinct().intersect(big.distinct()).exceptAll(
+        cust.where("c_acctbal < 0").select("c_custkey")
+    )
+
+
+def q_w1_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number top-3 orders per market segment."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_w2_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count / max per user ordered by event time (order-
+    independent accumulators → deterministic under any engine)."""
+    ev = E.with_event_time(_events(spark, sf_dir))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("run_n"),
+        F.round(F.max("value").over(w), 4).alias("run_max"),
+    )
+
+
+def q_w3_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag-based sequence features (operators/events.with_prev_event)."""
+    return E.with_prev_event(_events(spark, sf_dir)).select(
+        "event_id", "user_id", "prev_type", "gap_us"
+    )
+
+
+# =====================================================================
+# Events: windowed / sessionized processing
+# =====================================================================
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.tumbling_agg(_events(spark, sf_dir))
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sliding_agg(_events(spark, sf_dir))
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.session_agg(_events(spark, sf_dir))
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it."""
+    ev = E.with_event_time(_events(spark, sf_dir))
+    purchases = ev.where("event_type = 'purchase'")
+    clicks = ev.where("event_type = 'click'")
+    return E.asof_join_latest_prior(purchases, clicks)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.pivot_type_counts(_events(spark, sf_dir), EVENT_TYPES)
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.json_props(_events(spark, sf_dir)).select("event_id", "prop_k")
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: the tumbling aggregation executed as a
+    file-source stream (explicit schema, complete mode, memory sink),
+    checked against the same batch oracle."""
+    from geniepool_etl_spark.streaming import run_tumbling_stream
+
+    return run_tumbling_stream(spark, sf_dir, name=f"ct_{next(_uniq)}")
+
+
+# =====================================================================
+# Dedup family (documents)
+# =====================================================================
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-keyed copies of every 10th doc — injects exact
+    duplicates so the dedup path is actually exercised."""
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    return docs.unionByName(clones)
+
+
+_DOCS_WITH_DUPS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_stats(_docs_with_dups(spark, sf_dir))
+
+
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs_with_dups(spark, sf_dir)).select("doc_id")
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.jaccard_pairs(_t(spark, sf_dir, "documents"), n=3)
+    return pairs.where(F.col("jaccard") >= 0.1).select(
+        "id_a", "id_b", "inter", "size_a", "size_b", "jaccard"
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_perm=16,
+        bands=4,
+        hash_fn=portable_hash32,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(
+        _t(spark, sf_dir, "documents"), bits=32, hash_fn=portable_hash32
+    )
+
+
+# =====================================================================
+# Text analysis (documents)
+# =====================================================================
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.with_text_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_m", "n_words", "avg_word_len", "stopword_ratio"
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.with_token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_ws_tokens"
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.with_lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang"
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.with_fingerprint(
+        _t(spark, sf_dir, "documents"), portable=True
+    ).select("doc_id", "fingerprint")
+
+
+# =====================================================================
+# Similarity search (embeddings)
+# =====================================================================
+
+def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.where("vec_id < 8"), k=5)
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_sim_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_pandas(emb, emb.where("vec_id < 8"), k=5)
+
+
+# =====================================================================
+# Multimodal plumbing (documents as binary assets)
+# =====================================================================
+
+def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = M.documents_as_assets(_t(spark, sf_dir, "documents"))
+    return M.extract_features(assets)
+
+
+# =====================================================================
+# Flagship: the lake-build-shaped two-level nest
+# =====================================================================
+
+def q_flagship_lake_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core dataflow shape on the star schema:
+    scan → left join (annotation) → first-level collect_set nest →
+    bucket derivation → second-level nest (pipeline.py ≙ M:43-79)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    lvl1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .groupBy("l_orderkey", "o_orderstatus")
+        .agg(F.sort_array(F.collect_set("l_linenumber")).alias("items"))
+    )
+    bucketed = lvl1.withColumn(
+        "bucket", F.expr("l_orderkey div 1000").cast("long")
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.sort_array(F.collect_list("l_orderkey")).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.size("items")).cast("long").alias("total_items"),
+    )
+
+
+# =====================================================================
+# Oracle SQL (DuckDB) — paired by key
+# =====================================================================
+
+def _h(expr: str, seed: int = 0) -> str:
+    return portable_hash32_sql(expr, seed)
+
+
+_WORDS_CTE = r"""
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+)
+"""
+
+_SHINGLES_CTE = r"""
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT doc_id AS id,
+           unnest(CASE WHEN len(w) >= 3
+             THEN list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS shingle
+    FROM words
+  )
+)
+"""
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _minhash_oracle() -> str:
+    num_perm, bands, rows = 16, 4, 4
+    sig_cols = ",\n    ".join(
+        f"min({_h('shingle', k)}) AS h{k}" for k in range(num_perm)
+    )
+    band_selects = []
+    for bi in range(bands):
+        slice_cols = ", ".join(
+            f"CAST(h{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        key = _h(f"concat_ws(',', {slice_cols})", 10_000 + bi)
+        band_selects.append(f"SELECT id, {bi} AS band, {key} AS key FROM sigs")
+    banded = "\n  UNION ALL\n  ".join(band_selects)
+    agree = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(num_perm)
+    )
+    return f"""
+WITH {_WORDS_CTE.strip()},
+{_SHINGLES_CTE.strip()},
+sigs AS (
+  SELECT id,
+    {sig_cols}
+  FROM sh GROUP BY id
+),
+banded AS (
+  {banded}
+),
+hot AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) > 200
+),
+capped AS (
+  SELECT b.* FROM banded b ANTI JOIN hot h USING (band, key)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM capped a JOIN capped c USING (band, key)
+  WHERE a.id < c.id
+)
+SELECT p.id_a, p.id_b,
+       round(({agree}) / 16.0, 4) AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.id = p.id_a
+JOIN sigs sb ON sb.id = p.id_b
+"""
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, v -> (v >> {b}) & 1 = 1)) - n > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(32)
+    )
+    return f"""
+WITH {_WORDS_CTE.strip()},
+h AS (
+  SELECT doc_id AS id, list_transform(w, x -> {_h('x', 0)}) AS hs,
+         len(w) AS n
+  FROM words
+)
+SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
+"""
+
+
+def _jaccard_oracle() -> str:
+    return f"""
+WITH {_WORDS_CTE.strip()},
+{_SHINGLES_CTE.strip()},
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 100),
+capped AS (SELECT s.* FROM sh s ANTI JOIN hot h USING (shingle)),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM capped a JOIN capped b USING (shingle)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+       round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 4) >= 0.1
+"""
+
+
+def _cosine_sql(qe: str, ne: str) -> str:
+    return (
+        f"round({_dot_sql(qe, ne)} / "
+        f"(sqrt({_dot_sql(qe, qe)}) * sqrt({_dot_sql(ne, ne)})), 4)"
+    )
+
+
+def _sim_brute_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 8),
+s AS (
+  SELECT q.q_id, v.vec_id AS n_id, {_cosine_sql('q.qe', 'v.e')} AS cos_sim
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id
+)
+SELECT q_id, n_id, cos_sim FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
+"""
+
+
+def _sim_lsh_oracle() -> str:
+    from geniepool_etl_spark.operators.similarity import hyperplane
+
+    terms = []
+    for p in range(8):
+        plane = "[" + ", ".join(repr(c) for c in hyperplane(p, 64)) + "]"
+        terms.append(
+            f"CASE WHEN {_dot_sql('e', f'CAST({plane} AS DOUBLE[])')} > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v),
+s AS (
+  SELECT a.vec_id AS q_id, c.vec_id AS n_id,
+         {_cosine_sql('a.e', 'c.e')} AS cos_sim
+  FROM b a JOIN b c USING (bucket)
+  WHERE a.vec_id <> c.vec_id
+)
+SELECT q_id, n_id, cos_sim FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
+"""
+
+
+def _lang_id_oracle() -> str:
+    # Derived from the same marker vocabularies the Spark operator uses
+    # (operators/text.LANG_MARKERS) — single source of truth.
+    hits = {
+        lang: (
+            "len(list_filter(w, x -> list_contains(["
+            + ", ".join(f"'{m}'" for m in markers)
+            + "], lower(x))))"
+        )
+        for lang, markers in TX.LANG_MARKERS.items()
+    }
+    langs = sorted(TX.LANG_MARKERS)
+    best = "greatest(" + ", ".join(hits[lang] for lang in langs) + ")"
+    cases = " ".join(
+        f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+WITH {_WORDS_CTE.strip()}
+SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang FROM words
+"""
+
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
+
+_EVENT_US = "epoch_us(ts)"
+
+
+def _oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+    o["s1_s3_text_csv_scan"] = "SELECT r_regionkey, r_name FROM region"
+    o["s4_csv_header_roundtrip"] = "SELECT * FROM nation"
+    o["s5_csv_noheader_roundtrip"] = "SELECT * FROM supplier"
+    o["s6_parquet_explicit_schema"] = (
+        "SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_phone FROM customer"
+    )
+    o["s7_parquet_inferred"] = "SELECT p_partkey, p_name FROM part"
+    o["s8_input_file_name"] = (
+        "SELECT r_regionkey, 'region.parquet' AS src_file FROM region"
+    )
+    o["s9_partitioned_write_roundtrip"] = """
+        SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+    """
+    o["s10_json_sink_roundtrip"] = """
+        SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
+    """
+    o["s11_lake_range_read"] = """
+        SELECT concat('chr', CAST(o_orderkey % 5 AS VARCHAR)) AS chrom,
+               CAST(o_orderkey * 37 AS BIGINT) AS pos,
+               o_totalprice,
+               CAST((o_orderkey * 37) // 100000 AS BIGINT) AS pos_bucket
+        FROM orders
+        WHERE o_orderkey % 5 = 2 AND o_orderkey * 37 BETWEEN 50000 AND 1200000
+    """
+    o["p1_rename"] = (
+        "SELECT c_custkey AS cust_id, c_nationkey AS nation_id, c_mktsegment "
+        "FROM customer"
+    )
+    o["p2_derive"] = """
+        SELECT p_partkey,
+               concat('B#', upper(p_brand)) AS brand_tag,
+               split_part(p_type, ' ', 1) AS type_head,
+               split_part(p_type, ' ', 1) AS type_first,
+               CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+               CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+               'pad' AS trimmed
+        FROM part
+    """
+    o["p3_drop"] = (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem"
+    )
+    o["p4_select_reorder"] = (
+        "SELECT n_name, n_nationkey, n_regionkey FROM nation"
+    )
+    o["p5_sql_predicate"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+    """
+    o["p6_dropdup_subset"] = "SELECT DISTINCT l_orderkey FROM lineitem"
+    o["j1_multikey_left_join"] = """
+        WITH dim AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                 max(l_discount) AS max_disc
+          FROM lineitem GROUP BY 1, 2, 3, 4
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus,
+               d.max_disc
+        FROM lineitem l
+        LEFT JOIN dim d USING (l_orderkey, l_linenumber, l_returnflag, l_linestatus)
+    """
+    o["j2_left_join_nulls"] = """
+        SELECT coalesce(c.c_mktsegment, 'NONE') AS seg, count(*) AS n
+        FROM orders o
+        LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """
+    o["j3_broadcast_join_agg"] = """
+        SELECT p_brand, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """
+    o["j4_case_pick_join"] = """
+        SELECT l_orderkey, l_linenumber,
+               round(CASE
+                 WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+                   THEN CAST(p_size AS DOUBLE)
+                 WHEN l_returnflag = 'A' AND l_linestatus = 'F' THEN p_retailprice
+                 WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN l_quantity
+                 WHEN l_returnflag = 'N' AND l_linestatus = 'F' THEN l_discount
+                 ELSE NULL END, 4) AS score
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    """
+    o["j5_semi_join"] = """
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+    """
+    o["j6_anti_join"] = """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 250000)
+    """
+    o["j7_range_join"] = """
+        SELECT b.label, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+        FROM part p
+        LEFT JOIN (VALUES (0, 10, 'small'), (11, 25, 'medium'),
+                          (26, 50, 'large')) b(lo, hi, label)
+          ON p.p_size >= b.lo AND p.p_size <= b.hi
+        GROUP BY b.label
+    """
+    o["a1_collect_set_nest"] = """
+        SELECT l_orderkey, list_sort(list(DISTINCT l_linenumber)) AS line_numbers,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    """
+    o["a2_two_level_nest"] = """
+        WITH lvl1 AS (
+          SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+        )
+        SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+               CAST(sum(coalesce(n_items, 0)) AS BIGINT) AS total_items
+        FROM orders LEFT JOIN lvl1 ON o_orderkey = l_orderkey
+        GROUP BY o_custkey
+    """
+    o["a3_multi_count_distinct"] = """
+        SELECT count(DISTINCT l_orderkey) AS orders_num,
+               count(DISTINCT (l_orderkey, l_linenumber)) AS lines_num,
+               count(DISTINCT l_suppkey) AS suppliers_num
+        FROM lineitem
+    """
+    o["a4_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    o["a5_rollup"] = """
+        SELECT r_name, n_name, count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """
+    o["a6_cube"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+    o["status_summary"] = """
+        SELECT count(DISTINCT l_orderkey) AS coordinates_num,
+               count(DISTINCT (l_orderkey, l_linenumber)) AS mutations_num,
+               count(DISTINCT l_suppkey) AS samples_num,
+               true AS has_update_date
+        FROM lineitem
+    """
+    o["sort_topk"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """
+    o["set_ops"] = """
+        SELECT c_custkey FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        )
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+        EXCEPT ALL
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """
+    o["w1_window_topk"] = """
+        SELECT c_mktsegment,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+               o_orderkey, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        QUALIFY rnk <= 3
+    """
+    o["w2_running_extrema"] = f"""
+        SELECT user_id, event_id,
+               count(*) OVER w AS run_n,
+               round(max(value) OVER w, 4) AS run_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY {_EVENT_US}, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """
+    o["w3_lag_gap"] = f"""
+        SELECT event_id, user_id,
+               lag(event_type) OVER w AS prev_type,
+               {_EVENT_US} - lag({_EVENT_US}) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY {_EVENT_US}, event_id)
+    """
+    o["events_tumbling"] = f"""
+        SELECT {_EVENT_US} - {_EVENT_US} % 3600000000 AS w_start_us,
+               event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+    o["events_sliding"] = f"""
+        SELECT ({_EVENT_US} - {_EVENT_US} % 1800000000) - off AS w_start_us,
+               count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        FROM events, unnest([CAST(0 AS BIGINT), CAST(1800000000 AS BIGINT)]) t(off)
+        GROUP BY 1
+    """
+    o["events_session"] = f"""
+        WITH e AS (
+          SELECT user_id, event_id, {_EVENT_US} AS t, value FROM events
+        ),
+        g AS (
+          SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w >= 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        ),
+        s AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g
+        )
+        SELECT user_id, min(t) AS session_start_us, count(*) AS n_events,
+               round(max(value), 4) AS max_value
+        FROM s GROUP BY user_id, sid
+    """
+    o["events_asof_join"] = f"""
+        WITH u AS (
+          SELECT user_id, {_EVENT_US} AS t, 1 AS side, event_id
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, {_EVENT_US} AS t, 0 AS side, event_id
+          FROM events WHERE event_type = 'click'
+        ),
+        c AS (
+          SELECT *,
+                 max(CASE WHEN side = 0 THEN t END) OVER w AS asof_ts_us,
+                 last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                   OVER w AS asof_event_id
+          FROM u
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, side, event_id
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT user_id, t AS ts_us, event_id, asof_ts_us, asof_event_id
+        FROM c WHERE side = 1
+    """
+    o["events_pivot"] = """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'error') AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS signup,
+               count(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY user_id
+    """
+    o["events_json_props"] = """
+        SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+    """
+    o["stream_tumbling"] = f"""
+        SELECT {_EVENT_US} - {_EVENT_US} % 3600000000 AS w_start_us,
+               event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+    o["dedup_exact_stats"] = f"""
+        WITH d AS ({_DOCS_WITH_DUPS_SQL})
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+               count(*) AS n_dups
+        FROM d GROUP BY md5(text)
+    """
+    o["dedup_exact_keep"] = f"""
+        WITH d AS ({_DOCS_WITH_DUPS_SQL})
+        SELECT min(doc_id) AS doc_id FROM d GROUP BY text
+    """
+    o["dedup_jaccard_pairs"] = _jaccard_oracle()
+    o["dedup_minhash_lsh"] = _minhash_oracle()
+    o["dedup_simhash"] = _simhash_oracle()
+    o["text_stats"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        st AS (
+          SELECT w.doc_id, d.text, w.w,
+                 len(w.w) AS n_words,
+                 len(list_filter(w.w, x ->
+                     list_contains({_STOPWORDS_SQL}, lower(x)))) AS stop_hits
+          FROM words w JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               n_words,
+               round(CASE WHEN n_words > 0 THEN
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(w, x -> CAST(length(x) AS BIGINT))),
+                      (a, b) -> a + b) AS DOUBLE) / n_words
+                 ELSE 0.0 END, 4) AS avg_word_len,
+               round(CASE WHEN n_words > 0
+                 THEN CAST(stop_hits AS DOUBLE) / n_words
+                 ELSE 0.0 END, 4) AS stopword_ratio
+        FROM st
+    """
+    o["text_tokens"] = rf"""
+        WITH {_WORDS_CTE.strip()}
+        SELECT w.doc_id,
+               len(regexp_extract_all(d.text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+               len(w.w) AS n_ws_tokens
+        FROM words w JOIN documents d USING (doc_id)
+    """
+    o["text_lang_id"] = _lang_id_oracle()
+    o["text_fingerprint"] = f"""
+        WITH {_WORDS_CTE.strip()}
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(w, x -> {_h('x', 0)})),
+                 (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+        FROM words
+    """
+    o["sim_brute_topk"] = _sim_brute_oracle()
+    o["sim_pandas_topk"] = _sim_brute_oracle()
+    o["sim_lsh_topk"] = _sim_lsh_oracle()
+    o["multimodal_extract"] = """
+        SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """
+    o["flagship_lake_nest"] = """
+        WITH lvl1 AS (
+          SELECT l_orderkey, o_orderstatus,
+                 count(DISTINCT l_linenumber) AS n_items
+          FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY l_orderkey, o_orderstatus
+        )
+        SELECT CAST(l_orderkey // 1000 AS BIGINT) AS bucket,
+               list_sort(list(l_orderkey)) AS order_keys,
+               count(*) AS n_orders,
+               CAST(sum(n_items) AS BIGINT) AS total_items
+        FROM lvl1 GROUP BY 1
+    """
+    return o
+
+
+SPARK_QUERIES = {
+    "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
+    "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
+    "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
+    "s6_parquet_explicit_schema": q_s6_parquet_explicit_schema,
+    "s7_parquet_inferred": q_s7_parquet_inferred,
+    "s8_input_file_name": q_s8_input_file_name,
+    "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
+    "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
+    "s11_lake_range_read": q_s11_lake_range_read,
+    "p1_rename": q_p1_rename,
+    "p2_derive": q_p2_derive,
+    "p3_drop": q_p3_drop,
+    "p4_select_reorder": q_p4_select_reorder,
+    "p5_sql_predicate": q_p5_sql_predicate,
+    "p6_dropdup_subset": q_p6_dropdup_subset,
+    "j1_multikey_left_join": q_j1_multikey_left_join,
+    "j2_left_join_nulls": q_j2_left_join_nulls,
+    "j3_broadcast_join_agg": q_j3_broadcast_join_agg,
+    "j4_case_pick_join": q_j4_case_pick_join,
+    "j5_semi_join": q_j5_semi_join,
+    "j6_anti_join": q_j6_anti_join,
+    "j7_range_join": q_j7_range_join,
+    "a1_collect_set_nest": q_a1_collect_set_nest,
+    "a2_two_level_nest": q_a2_two_level_nest,
+    "a3_multi_count_distinct": q_a3_multi_count_distinct,
+    "a4_pricing_summary": q_a4_pricing_summary,
+    "a5_rollup": q_a5_rollup,
+    "a6_cube": q_a6_cube,
+    "a7_approx_distinct": q_a7_approx_distinct,
+    "status_summary": q_status_summary,
+    "sort_topk": q_sort_topk,
+    "set_ops": q_set_ops,
+    "w1_window_topk": q_w1_window_topk,
+    "w2_running_extrema": q_w2_running_extrema,
+    "w3_lag_gap": q_w3_lag_gap,
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_session": q_events_session,
+    "events_asof_join": q_events_asof_join,
+    "events_pivot": q_events_pivot,
+    "events_json_props": q_events_json_props,
+    "stream_tumbling": q_stream_tumbling,
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "text_stats": q_text_stats,
+    "text_tokens": q_text_tokens,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "sim_brute_topk": q_sim_brute_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_pandas_topk": q_sim_pandas_topk,
+    "multimodal_extract": q_multimodal_extract,
+    "flagship_lake_nest": q_flagship_lake_nest,
+}
+
+ORACLE_SQL = _oracles()

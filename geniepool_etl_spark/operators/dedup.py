@@ -1,0 +1,336 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the 100 TB contract):
+
+- **Never all-pairs.** Candidate generation is always a *bucketed
+  equi-join* — shingle match, LSH band bucket, or SimHash band — so the
+  shuffle key space is fine-grained and Catalyst plans a plain
+  shuffled-hash/sort-merge join per bucket. All-pairs O(n²) appears
+  nowhere.
+- **Bounded bucket width.** Hot shingles/buckets (stopword-only
+  shingles, degenerate bands) are frequency-capped before the
+  self-join, which bounds the worst-case join fan-out (the classic
+  LSH skew mitigation) — on a cluster AQE skew-join splitting handles
+  the remainder.
+- **Everything JVM-side.** Shingling, hashing (xxhash64/crc32/md5),
+  min-aggregation, and band assembly are built-in expressions and
+  higher-order functions; no Python in the hot path.
+
+The exact-dup operator mirrors the reference's only dedup primitive
+(``dropDuplicates(subset)``, reference M:50) generalized to
+content-hash keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geniepool_etl_spark.functions import fast_hash64, portable_hash32
+
+HashFn = Callable[[Column, int], Column]
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group by content hash; keep the minimum id as the canonical
+    representative. Returns (text_hash, keep_id, n_dups).
+
+    One hash-aggregate shuffle on a high-cardinality key — the optimal
+    distributed plan for exact dedup (map-side partial min/count first).
+    md5 is used (rather than Spark's murmur ``hash``) so the same key
+    is reproducible in any engine.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return one row per distinct ``text_col`` — the row whose id is
+    minimal (deterministic, unlike ``dropDuplicates``)."""
+    w_keys = df.select(F.col(text_col).alias("_t"), F.col(id_col).alias("_keep"))
+    keep = w_keys.groupBy("_t").agg(F.min("_keep").alias("_keep"))
+    return df.join(
+        keep,
+        (df[text_col] == keep["_t"]) & (df[id_col] == keep["_keep"]),
+        "inner",
+    ).drop("_t", "_keep")
+
+
+# --------------------------------------------------------------------------
+# word shingles + exact n-gram Jaccard on bucketed candidates
+# --------------------------------------------------------------------------
+
+def word_shingles(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built entirely from array higher-order functions: split →
+    transform over start offsets → distinct → explode. Narrow until
+    the explode; no shuffle. Documents shorter than ``n`` words yield
+    zero shingles (guarded: ``sequence(1, 0)`` would count *down*).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    shingles = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every document pair sharing ≥1 shingle.
+
+    Plan: shingle-explode → frequency-cap hot shingles (bounds join
+    fan-out; a shingle appearing in f docs contributes f² candidate
+    rows) → self-equi-join on shingle (bucketed, never all-pairs) →
+    count intersections → join per-doc shingle counts → Jaccard.
+
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard) with
+    id_a < id_b.
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    capped = sh.join(
+        F.broadcast(freq.where(F.col("_f") > max_shingle_freq).select("shingle")),
+        "shingle",
+        "left_anti",
+    )
+
+    a = capped.select(F.col("id").alias("id_a"), "shingle")
+    b = capped.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "size_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: HashFn = fast_hash64,
+) -> DataFrame:
+    """(id, sig: array<long>[num_perm]) MinHash signature per document.
+
+    Each "permutation" is ``hash_fn(shingle, seed=k)`` (default
+    ``xxhash64`` — fast JVM path; pass ``portable_hash32`` when an
+    external engine must recompute the signature, e.g. the DuckDB
+    correctness oracle); the signature element is the minimum over the
+    document's shingles — computed as one grouped ``min`` per seed
+    after a single explode (one shuffle, map-side partial mins).
+    Equivalent to ``ml.feature.MinHashLSH`` but keeps the long-typed
+    signature portable and inspectable.
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(hash_fn(F.col("shingle"), k)).alias(f"_h{k}")
+            for k in range(num_perm)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"_h{k}") for k in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 200,
+    hash_fn: HashFn = fast_hash64,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH with the
+    estimated Jaccard from signature agreement.
+
+    Plan: signatures → band keys (hash of each r-row slice) → explode
+    bands → frequency-cap degenerate buckets → self-join on
+    (band, key) → distinct pairs → signature-agreement estimate.
+    Join keys are (band_idx, band_hash): fine-grained, never all-pairs.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, n, text_col, id_col, hash_fn)
+
+    def band_key(bi: int) -> Column:
+        # Band identity = the concatenated signature slice; hashing the
+        # rendered slice keeps the key engine-portable for oracles.
+        slice_str = F.concat_ws(
+            ",",
+            *[
+                F.col("sig")[bi * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return hash_fn(slice_str, 10_000 + bi)
+
+    band_cols = F.array(
+        *[
+            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("key"))
+            for bi in range(bands)
+        ]
+    )
+    banded = sigs.select("id", "sig", F.explode(band_cols).alias("bk")).select(
+        "id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+    freq = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_f"))
+    banded = banded.join(
+        F.broadcast(freq.where(F.col("_f") > max_bucket).select("band", "key")),
+        ["band", "key"],
+        "left_anti",
+    )
+
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "key"
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(agree.cast("double") / F.lit(num_perm), 4).alias("est_jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: HashFn = fast_hash64,
+) -> DataFrame:
+    """``bits``-bit SimHash per document over whitespace tokens.
+
+    For each bit b: sign of Σ_tokens (±1 depending on bit b of
+    hash(token)). Implemented with array higher-order functions
+    (transform over bit positions, aggregate over tokens) — JVM-side,
+    narrow, no shuffle. Use ``bits=32`` with ``portable_hash32`` for
+    an external-engine-reproducible variant.
+
+    Returns (id, simhash: long).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashes = F.transform(words, lambda w: hash_fn(w, 0))
+
+    def bit_sum(b: int):
+        # Σ over tokens of (+1 if bit b set else -1)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        weight = 2**b if b < 63 else -(2**63)
+        sim = sim + F.when(bit_sum(b) > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def simhash_bands(
+    df: DataFrame,
+    bands: int = 4,
+    bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: HashFn = fast_hash64,
+) -> DataFrame:
+    """(id, band, band_key) — equal-width bands of the SimHash, the
+    candidate-bucket key for hamming-distance near-dup search (two docs
+    within hamming distance < bands share ≥1 exact band)."""
+    sh = simhash(df, bits, text_col, id_col, hash_fn)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), bi * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sh.select("id", F.explode(band_arr).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )

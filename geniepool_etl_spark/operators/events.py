@@ -1,0 +1,204 @@
+"""Event-stream operators: tumbling / sliding / session windows,
+as-of (most-recent-prior) joins, per-user sequence analytics, pivot.
+
+Batch-first with streaming-compatible shapes: every aggregation here
+is keyed by (window, entity) exactly as the Structured Streaming
+equivalents in ``geniepool_etl_spark.streaming`` — the same logical
+plan works under ``readStream`` with a watermark.
+
+Scale design: all aggregations shuffle once on fine-grained composite
+keys (window × user), window functions partition by ``user_id`` (high
+cardinality — no single-partition sorts), and event-time arithmetic is
+integer epoch-micros (`TIMESTAMP(NANOS)` parquet reads as long via
+``spark.sql.legacy.parquet.nanosAsLong``; integer math is also
+timezone-proof and engine-portable for oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geniepool_etl_spark.functions import micros
+
+US_PER_SEC = 1_000_000
+US_PER_MIN = 60 * US_PER_SEC
+US_PER_HOUR = 60 * US_PER_MIN
+
+
+def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the raw nanos-long ``ts`` into ``ts_us`` (epoch
+    micros, exact integer) and ``event_time`` (TimestampType, for the
+    native window()/session_window() operators)."""
+    return df.withColumn("ts_us", micros(ts_col)).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    width_us: int = US_PER_HOUR,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts/sums per (window, event_type) using the
+    native ``F.window`` operator; the window start is emitted as epoch
+    micros (``unix_micros`` ∘ ``window().start`` — absolute arithmetic,
+    identical to integer bucketing in any engine).
+    """
+    e = with_event_time(df)
+    win = F.window(F.col("event_time"), f"{width_us} microseconds")
+    return (
+        e.groupBy(win.alias("w"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            type_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    width_us: int = US_PER_HOUR,
+    slide_us: int = 30 * US_PER_MIN,
+) -> DataFrame:
+    """Sliding-window event counts: each event lands in
+    ``width/slide`` overlapping windows (native ``F.window`` with a
+    slide duration)."""
+    e = with_event_time(df)
+    win = F.window(
+        F.col("event_time"),
+        f"{width_us} microseconds",
+        f"{slide_us} microseconds",
+    )
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    gap_us: int = 30 * US_PER_MIN,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows per user via the native
+    ``F.session_window`` (a new session starts when the gap since the
+    previous event is ≥ ``gap_us``). Emits session start (epoch
+    micros), event count, and max value per session — all
+    order-independent aggregates, deterministic under any merge order.
+    """
+    e = with_event_time(df)
+    sess = F.session_window(F.col("event_time"), f"{gap_us} microseconds")
+    return (
+        e.groupBy(sess.alias("s"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            key_col,
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            "n_events",
+            "max_value",
+        )
+    )
+
+
+def with_prev_event(df: DataFrame) -> DataFrame:
+    """Per-user sequence features: previous event type and gap (µs)
+    since the previous event, via ``lag`` over a (user_id) partition
+    ordered by (ts_us, event_id) — the tiebreak makes it fully
+    deterministic. High-cardinality partition key: scales linearly.
+    """
+    e = with_event_time(df)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return e.withColumn("prev_type", F.lag("event_type").over(w)).withColumn(
+        "gap_us", F.col("ts_us") - F.lag("ts_us").over(w)
+    )
+
+
+def asof_join_latest_prior(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts_us",
+    right_ts: str = "ts_us",
+    key: str = "user_id",
+) -> DataFrame:
+    """As-of join: for every left event, the most recent right event at
+    or before it (per key). Implemented as union + window (the
+    streaming-safe formulation): tag sides, sort-merge within the key
+    partition once, carry the last-seen right row forward. One shuffle
+    on the (high-cardinality) key — never a range cross-join.
+
+    Right columns are exposed as ``asof_ts_us`` / ``asof_event_id``.
+    """
+    l_tag = left.select(
+        F.col(key), F.col(left_ts).alias("_t"), F.lit(1).alias("_side"),
+        F.col("event_id"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(right_ts).alias("_t"), F.lit(0).alias("_side"),
+        F.col("event_id"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows (side=0) sort before left rows at the same timestamp,
+    # so "at or before" includes ties.
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "asof_ts_us",
+        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w),
+    ).withColumn(
+        "asof_event_id",
+        F.last(
+            F.when(F.col("_side") == 0, F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.where(F.col("_side") == 1)
+        .select(
+            key,
+            F.col("_t").alias(left_ts),
+            "event_id",
+            "asof_ts_us",
+            "asof_event_id",
+        )
+    )
+
+
+def pivot_type_counts(df: DataFrame, types: list[str]) -> DataFrame:
+    """Per-user event-type count matrix via ``pivot`` with an explicit
+    value list (skips the extra distinct-values job — at scale the
+    domain must be declared, not discovered)."""
+    return (
+        df.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def json_props(df: DataFrame, field: str = "k") -> DataFrame:
+    """Extract a typed field from the JSON ``props`` payload
+    (``get_json_object`` — JVM-side JSON path)."""
+    return df.withColumn(
+        f"prop_{field}",
+        F.get_json_object(F.col("props"), f"$.{field}").cast("long"),
+    )

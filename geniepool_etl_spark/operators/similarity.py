@@ -1,0 +1,219 @@
+"""Embedding similarity search: brute-force cosine top-k (correctness
+baseline) and random-hyperplane LSH bucketing (the 100 TB scale path).
+
+Scale design:
+
+- **Brute force is the baseline, not the plan.** ``cosine_topk``
+  broadcasts the (small) query set against the corpus — linear in
+  corpus size, pruned to the query rows only. Right answer, O(Q·N).
+- **LSH is the scale path.** ``lsh_bucket_topk`` assigns every vector
+  a sign-pattern bucket from ``n_planes`` pseudo-random hyperplanes;
+  candidate generation is an equi-join on the bucket key (plus
+  optional multi-probe neighbors), so the shuffle is keyed and
+  fine-grained — never an all-pairs cross join.
+- **Hyperplanes are hash-derived, not sampled**: component ``(p, d)``
+  of plane ``p`` is ``hash32(p:d)`` mapped to [-1, 1). No RNG state to
+  ship to executors, deterministic across runs/engines.
+- **All math is JVM-side** higher-order functions (``zip_with`` +
+  ``aggregate``); an Arrow-vectorized ``pandas_udf`` variant
+  (:func:`cosine_topk_pandas`) exists to document the Python fast
+  path for when a real model (not a dot product) must score pairs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+from pyspark.sql.types import DoubleType
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (left-to-right fold — the same
+    summation order as a scalar loop, reproducible across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of each query vector.
+
+    ``queries`` (small — broadcast) is crossed with the corpus; ranking
+    is a window over each query partition. Self-matches are excluded.
+    Returns (q_id, n_id, cos_sim) — ties broken by neighbor id so the
+    result set is fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: coefficient d is
+    ``md5("0:<plane>:<d>")[:8] / 2^31 - 1`` ∈ [-1, 1) — pure constants
+    (no RNG state, reproducible in any engine/oracle)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"0:{plane}:{d}".encode()).hexdigest()[:8], 16)
+        / float(2**31)
+        - 1.0
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, bucket) — bucket = sign pattern of ``n_planes``
+    hyperplane dot products packed into a long. Narrow (no shuffle);
+    the bucket key then drives a fine-grained equi-join. Hyperplane
+    coefficients are constant-folded literal arrays."""
+    vec = _as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in hyperplane(p, dim)])
+        plane_dot = dot(vec, plane)
+        bucket = bucket + F.when(plane_dot > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select(
+        F.col(id_col).alias("id"), vec.alias("vec"), bucket.alias("bucket")
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k: exact cosine ranking *within* each
+    LSH bucket. The self-join key is ``bucket`` (2^n_planes distinct
+    values scaling with corpus size via ``n_planes``), so candidate
+    generation is a keyed shuffle join — the 100 TB-safe shape.
+
+    Recall < 1 by construction (neighbors straddling a hyperplane land
+    in different buckets); raise recall with multi-probe or by unioning
+    several independent plane sets.
+    """
+    b = lsh_bucket(corpus, n_planes, dim, id_col, vec_col)
+    a = b.select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
+    )
+    c = b.select(
+        F.col("id").alias("n_id"), F.col("vec").alias("n_vec"), "bucket"
+    )
+    scored = (
+        a.join(c, "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized variant of :func:`cosine_topk`: the dot-product
+    scoring runs in a scalar ``pandas_udf`` over numpy batches (the
+    pattern to swap in a real scoring model). Same output contract.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i in range(len(a)):
+            x = np.asarray(a.iloc[i], dtype=np.float64)
+            y = np.asarray(b.iloc[i], dtype=np.float64)
+            out[i] = float(x @ y) / (float(np.sqrt(x @ x)) * float(np.sqrt(y @ y)))
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cos_batch(F.col("q_vec"), F.col("n_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )

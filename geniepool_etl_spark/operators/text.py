@@ -1,0 +1,155 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is JVM-side built-in expressions (``split``,
+``regexp_*``, higher-order array functions) — zero Python UDFs — so the
+plans stay inside whole-stage codegen and scale linearly with input
+splits on a 1000-executor cluster. Every function is a narrow
+``DataFrame -> DataFrame`` map (no shuffle), so Catalyst pipelines them
+into the scan stage.
+
+These extend the reference's scalar-function surface (SURVEY.md §2.5 —
+the reference engine at reference M:49-252 uses split/regexp_replace/
+upper/concat etc. for its column surgery; we apply the same built-in
+family to document analytics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geniepool_etl_spark.functions import PORTABLE_HASH_MOD, portable_hash32
+
+# Tokens that match "word-ish" runs: letters, digits, or a single other
+# non-space symbol — a BPE-ish pre-tokenization. Kept RE2-compatible so
+# the same pattern runs in Spark (Java regex) and DuckDB (RE2) oracles.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Tiny per-language marker vocabularies for the n-gram/stopword
+# heuristic language id. Deterministic and engine-portable (pure SQL).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "des"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "que", "de"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+
+
+def words_col(text: Column) -> Column:
+    """Split on whitespace runs, dropping empties (JVM-side)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality/stat columns: char count, word count,
+    average word length, stopword ratio, uppercase ratio, digit ratio.
+
+    Narrow map over the scan — no shuffle; at 100 TB this runs at
+    scan speed with full column pruning (only ``text`` is read).
+    """
+    text = F.col(text_col)
+    words = words_col(text)
+    n_words = F.size(words)
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS))
+    )
+    return (
+        df.withColumn("n_chars_m", F.length(text))
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "avg_word_len",
+            F.round(
+                F.when(
+                    n_words > 0,
+                    F.aggregate(
+                        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+                    ).cast("double")
+                    / n_words,
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(
+                    F.lit(0.0)
+                ),
+                4,
+            ),
+        )
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count: number of TOKEN_PATTERN matches, plus the
+    plain whitespace-token count. Pure regexp built-ins (JVM-side)."""
+    text = F.col(text_col)
+    return df.withColumn(
+        "n_tokens", F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+    ).withColumn("n_ws_tokens", F.size(words_col(text)))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language id: count marker-word hits per language over
+    the whitespace tokens; argmax with a deterministic tie-break on
+    language code; 'und' (undetermined) when no marker hits at all.
+
+    A real system would use fastText/CLD3 behind a pandas_udf; the
+    heuristic keeps the hot path JVM-side and the semantics portable.
+    """
+    words = words_col(F.col(text_col))
+
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        # single-arg lambda factory: F.filter treats a 2-arg lambda as
+        # (element, index), so the markers must be a closure, not a
+        # default argument.
+        return F.size(F.filter(words, lambda w: F.lower(w).isin(*markers)))
+
+    hit_cols = {lang: marker_hits(m) for lang, m in LANG_MARKERS.items()}
+    # argmax with deterministic tie-break: first language in sorted
+    # order achieving the max wins; 'und' when zero hits everywhere.
+    out = df
+    for lang, c in hit_cols.items():
+        out = out.withColumn(f"_hits_{lang}", c)
+    langs = sorted(LANG_MARKERS)
+    score = lambda lang: F.col(f"_hits_{lang}")  # noqa: E731
+    best_score = F.greatest(*[score(lang) for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (best_score > 0) & (score(lang) == best_score), F.lit(lang)
+        ).otherwise(pred)
+    out = out.withColumn("pred_lang", pred)
+    return out.drop(*[f"_hits_{lang}" for lang in langs])
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", portable: bool = False
+) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    whitespace tokens (word-level, not char-level, so the array stays
+    small), computed with the ``aggregate`` higher-order function —
+    JVM-side, no UDF.
+
+    fp = fold(words, acc -> (acc * 1000003 + H(word)) mod 2^31-1)
+
+    H is ``crc32`` on the fast path or :func:`portable_hash32` when
+    ``portable`` (an external engine must recompute it — crc32 isn't
+    universal, md5 is). The modulus keeps ``acc * 1000003 + H`` < 2^53,
+    safely inside exact long arithmetic in any engine.
+    """
+    words = words_col(F.col(text_col))
+    mod = F.lit(PORTABLE_HASH_MOD)
+    if portable:
+        word_hash = portable_hash32
+    else:
+        word_hash = lambda w, _seed: F.crc32(w).cast("long")  # noqa: E731
+    fp = F.aggregate(
+        words,
+        F.lit(7).cast("long"),
+        lambda acc, w: (acc * F.lit(1000003) + word_hash(w, 0)) % mod,
+    )
+    return df.withColumn("fingerprint", fp)

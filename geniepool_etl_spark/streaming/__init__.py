@@ -1,0 +1,95 @@
+"""Structured Streaming operators over the events stream.
+
+The batch operators in ``operators/events.py`` are written
+streaming-compatible (keyed by window × entity, event-time only), so
+the same aggregation expressions run under ``readStream`` unchanged —
+this module supplies the stream wiring: file source with explicit
+schema, watermarking, and sinks.
+
+Scale notes: file-source streaming lists new files per micro-batch
+(maxFilesPerTrigger bounds batch size); stateful window aggs keep
+per-window state in the state store, bounded by the watermark — at
+100 TB/day the watermark delay is the knob that caps state size.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from geniepool_etl_spark.functions import enable_nanos_as_long
+from geniepool_etl_spark.operators import events as E
+
+# Explicit DDL schema: streaming sources cannot infer, and `ts` must be
+# read as raw nanos (TIMESTAMP(NANOS) parquet).
+EVENTS_DDL = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    enable_nanos_as_long(spark)
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts_stream(
+    stream: DataFrame, width_us: int = E.US_PER_HOUR, watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling aggregation — append-mode capable (state
+    for a window is dropped once the watermark passes its end)."""
+    e = E.with_event_time(stream).withWatermark("event_time", watermark)
+    return _tumbling(e, width_us)
+
+
+def _tumbling(e: DataFrame, width_us: int) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    win = F.window(F.col("event_time"), f"{width_us} microseconds")
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_tumbling_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Execute the tumbling aggregation as a real micro-batch stream
+    over the events parquet (staged into its own source directory) and
+    return the final result table (memory sink, complete mode — the
+    batch-equivalent answer)."""
+    src = tempfile.mkdtemp(prefix="gp_stream_src_")
+    for f in glob.glob(os.path.join(sf_dir, "events.parquet")):
+        shutil.copy(f, src)
+    stream = read_event_stream(spark, src)
+    out = E.tumbling_agg(stream)
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
