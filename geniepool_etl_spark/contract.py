@@ -1135,7 +1135,7 @@ def _oracles() -> dict[str, str]:
         ),
         g AS (
           SELECT *, CASE WHEN lag(t) OVER w IS NULL
-                           OR t - lag(t) OVER w >= 1800000000
+                           OR t - lag(t) OVER w > 1800000000
                          THEN 1 ELSE 0 END AS new_s
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
         ),

@@ -60,6 +60,7 @@ def read_range(
     pos_lo: int,
     pos_hi: int,
     partition_size: int = PARTITION_SIZE,
+    order_by_pos: bool = False,
 ) -> DataFrame:
     """Partition-pruned range query: all lake records for
     ``chrom ∈ [pos_lo, pos_hi]`` (the serving pattern of reference
@@ -68,14 +69,18 @@ def read_range(
 
     The emitted plan lists only ``chrom=<c>/pos_bucket=<b>``
     directories — verified by PartitionFilters in ``.explain``.
+    ``order_by_pos`` adds the serving-side ``orderBy("pos")`` the
+    reference's read-back queries apply (T:93-95); it stays opt-in
+    because a global sort is an extra exchange the caller may not need.
     """
     buckets = buckets_for_range(pos_lo, pos_hi, partition_size)
     df = read_datalake(spark, lake_path)
-    return df.where(
+    out = df.where(
         (F.col("chrom") == chrom)
         & F.col("pos_bucket").isin(buckets)
         & F.col("pos").between(pos_lo, pos_hi)
     )
+    return out.orderBy("pos") if order_by_pos else out
 
 
 def write_status(df: DataFrame, status_path: str) -> None:

@@ -74,29 +74,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # word shingles + exact n-gram Jaccard on bucketed candidates
 # --------------------------------------------------------------------------
 
+def shingle_array(n: int = 3, text_col: str = "text") -> Column:
+    """Distinct word n-gram shingles of a document as an array column.
+
+    Built entirely from array higher-order functions: split →
+    transform over start offsets → distinct. Narrow (no shuffle).
+    Documents shorter than ``n`` words yield zero shingles (guarded:
+    ``sequence(1, 0)`` would count *down*).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(
     df: DataFrame,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    Built entirely from array higher-order functions: split →
-    transform over start offsets → distinct → explode. Narrow until
-    the explode; no shuffle. Documents shorter than ``n`` words yield
-    zero shingles (guarded: ``sequence(1, 0)`` would count *down*).
-    """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    starts = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    shingles = F.when(
-        F.size(words) >= n,
-        F.array_distinct(
-            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Exploded (id, shingle) rows — the join-key shape for exact
+    Jaccard candidate generation."""
     return df.select(
-        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(n, text_col)).alias("shingle"),
     )
 
 
@@ -167,18 +173,53 @@ def minhash_signatures(
     ``xxhash64`` — fast JVM path; pass ``portable_hash32`` when an
     external engine must recompute the signature, e.g. the DuckDB
     correctness oracle); the signature element is the minimum over the
-    document's shingles — computed as one grouped ``min`` per seed
-    after a single explode (one shuffle, map-side partial mins).
+    document's shingles — computed as ``num_perm`` grouped ``min``
+    aggregates over the exploded (id, shingle) rows. The explode looks
+    expensive but is the fast AND scale-right shape: the min aggregates
+    run inside whole-stage codegen (an ``array_min∘transform``
+    higher-order formulation evaluates its lambda interpreted, measured
+    ~20× slower), and map-side partial aggregation collapses each
+    document to one 8·num_perm-byte row per partition before the
+    shuffle — so the exchange carries signatures, not shingles.
     Equivalent to ``ml.feature.MinHashLSH`` but keeps the long-typed
     signature portable and inspectable.
+
+    Fast path (default ``hash_fn``): each shingle is hashed ONCE and
+    the permutations are universal-hashing affine transforms
+    ``(a_k·h + b_k) mod p`` (p prime > 2^32; a_k < 2^21, h < 2^32
+    keep every product < 2^53 — exact long arithmetic, no overflow
+    even under ANSI mode). Measured ~2× faster than ``num_perm``
+    independent xxhash64 calls. A custom ``hash_fn`` (e.g. the
+    md5-portable one the correctness oracles use) is applied per-seed
+    instead, so external engines can recompute signatures verbatim.
     """
+    import hashlib
+
     sh = word_shingles(df, n, text_col, id_col)
-    mins = sh.groupBy("id").agg(
-        *[
-            F.min(hash_fn(F.col("shingle"), k)).alias(f"_h{k}")
-            for k in range(num_perm)
-        ]
-    )
+    if hash_fn is fast_hash64:
+        h32 = (
+            (F.xxhash64(F.col("shingle")) % F.lit(2**32) + F.lit(2**32))
+            % F.lit(2**32)
+        )
+        base = sh.select("id", h32.alias("_h"))
+        prime = 4294967311  # smallest prime > 2^32
+
+        def perm_min(k: int) -> Column:
+            hx = hashlib.md5(f"perm:{k}".encode()).hexdigest()
+            a = (int(hx[:8], 16) % 2**20) * 2 + 1
+            b = int(hx[8:16], 16)
+            return F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(prime))
+
+        mins = base.groupBy("id").agg(
+            *[perm_min(k).alias(f"_h{k}") for k in range(num_perm)]
+        )
+    else:
+        mins = sh.groupBy("id").agg(
+            *[
+                F.min(hash_fn(F.col("shingle"), k)).alias(f"_h{k}")
+                for k in range(num_perm)
+            ]
+        )
     return mins.select(
         "id", F.array(*[F.col(f"_h{k}") for k in range(num_perm)]).alias("sig")
     )

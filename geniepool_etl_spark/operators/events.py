@@ -96,8 +96,10 @@ def session_agg(
     key_col: str = "user_id",
 ) -> DataFrame:
     """Gap-based session windows per user via the native
-    ``F.session_window`` (a new session starts when the gap since the
-    previous event is ≥ ``gap_us``). Emits session start (epoch
+    ``F.session_window`` (an event extends the current session when its
+    gap since the previous event is ≤ ``gap_us`` — the boundary is
+    INCLUSIVE, verified empirically; a strictly larger gap starts a new
+    session). Emits session start (epoch
     micros), event count, and max value per session — all
     order-independent aggregates, deterministic under any merge order.
     """

@@ -34,11 +34,14 @@ def get_spark(
     cluster (where ``master`` comes from spark-submit instead).
     """
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_MASTER" not in os.environ:
+    if master is None:
+        # honor an externally-provided master (e.g. a cluster URL);
+        # fall back to local[$SPARK_GRAFT_CPUS] for the test harness.
+        master = os.environ.get("SPARK_MASTER")
+    if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
-    if master:
-        builder = builder.master(master)
+    builder = builder.master(master)
 
     if shuffle_partitions is None:
         # local[N] → N-ish shuffle partitions; clusters should override.

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -50,6 +51,18 @@ GNOMAD_SCHEMA = StructType(
         StructField("gnomad_ac", LongType()),
         StructField("gnomad_nhomalt", LongType()),
         StructField("hg38_coordinates", StringType()),
+    ]
+)
+
+
+# AlphaMissense parquet schema (layout per reference M:212-228).
+ALPHA_SCHEMA = StructType(
+    [
+        StructField("POS", LongType()),
+        StructField("A", DoubleType()),
+        StructField("C", DoubleType()),
+        StructField("G", DoubleType()),
+        StructField("T", DoubleType()),
     ]
 )
 
@@ -153,14 +166,17 @@ def read_gnomad(spark: SparkSession, gnomad_path: str) -> DataFrame:
 def read_alpha(spark: SparkSession, alpha_path: str) -> DataFrame:
     """AlphaMissense per-position substitution scores (reference M:201-208).
 
-    Schema (inferred; original blobs absent from the reference snapshot,
-    FIXTURES.md §6): ``POS long, A double, C double, G double, T
-    double`` — the reference base's own column is 0 and each other
-    column holds the pathogenicity score for that substitution.
-    Chromosome from the ``<CHROM>.parquet`` file name (M:205-207).
+    Explicit schema ``POS long, A/C/G/T double`` (original blobs absent
+    from the reference snapshot, FIXTURES.md §6; layout derived from the
+    CASE at reference M:212-228) — the reference base's own column is 0
+    and each other column holds the pathogenicity score for that
+    substitution. Chromosome from the ``<CHROM>.parquet`` file name
+    (M:205-207). The explicit schema keeps the scan inference-free,
+    like every other reader in this package.
     """
     return (
-        spark.read.parquet(alpha_path)
+        spark.read.schema(ALPHA_SCHEMA)
+        .parquet(alpha_path)
         .withColumn("chrom", chrom_from_plain_filename())
         .withColumnRenamed("POS", "pos")
         .withColumn("pos", F.col("pos").cast("int"))

@@ -74,7 +74,11 @@ def read_mutations(spark: SparkSession, input_path: str) -> DataFrame:
     """
     raw = read_vcf_raw(spark, input_path)
 
-    homo = F.col("last").startswith("1/1")
+    # Coalesce to false so a malformed/short row (null genotype column)
+    # classifies as het, matching the reference's
+    # when(startsWith("1/1"), true).otherwise(false) (M:86) — a bare
+    # null predicate would drop the sample from BOTH arrays.
+    homo = F.coalesce(F.col("last").startswith("1/1"), F.lit(False))
     sample_struct = F.struct(
         F.col("srr").alias("id"),
         F.col("qual").alias("qual"),

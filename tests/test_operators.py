@@ -1,0 +1,242 @@
+"""Unit tests for the LLM-pipeline operator families (dedup, text,
+similarity, events, multimodal) on small constructed inputs where the
+expected answer is computable by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geniepool_etl_spark.functions import portable_hash32
+from geniepool_etl_spark.operators import dedup as D
+from geniepool_etl_spark.operators import events as E
+from geniepool_etl_spark.operators import multimodal as M
+from geniepool_etl_spark.operators import similarity as S
+from geniepool_etl_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different words entirely here now"),
+        (5, "ab"),  # shorter than one 3-shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in D.exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_exact_dedup_stats_counts(docs):
+    stats = {r.keep_id: r.n_dups for r in D.exact_dedup_stats(docs).collect()}
+    assert stats[1] == 2 and stats[3] == 1
+
+
+def test_jaccard_identical_docs_is_one(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(docs).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # 9-word docs differing in last word: 7 shingles each, 6 shared
+    assert pairs[(1, 3)] == pytest.approx(6 / 8, abs=1e-4)
+
+
+def test_short_doc_has_no_shingles(docs):
+    sh = D.word_shingles(docs).where(F.col("id") == 5)
+    assert sh.count() == 0
+
+
+def test_minhash_identical_docs_estimate_one(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_lsh_pairs(docs, num_perm=16, bands=4).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_minhash_portable_matches_fast_semantics(docs):
+    # Same candidate pairs regardless of hash family (values differ).
+    fast = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, num_perm=16, bands=4).collect()
+    }
+    portable = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs, num_perm=16, bands=4, hash_fn=portable_hash32
+        ).collect()
+    }
+    assert (1, 2) in fast and (1, 2) in portable
+
+
+def test_simhash_identical_docs_equal(docs):
+    h = {r.id: r.simhash for r in D.simhash(docs).collect()}
+    assert h[1] == h[2]
+    assert h[1] != h[4]
+
+
+# ------------------------------------------------------------------ text
+
+def test_text_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat in the hat")], "doc_id LONG, text STRING"
+    )
+    row = TX.with_text_stats(df).collect()[0]
+    assert row.n_words == 5
+    assert row.n_chars_m == 18
+    # stopwords: the, in, the → 3/5
+    assert row.stopword_ratio == pytest.approx(0.6)
+    assert row.avg_word_len == pytest.approx((3 + 3 + 2 + 3 + 3) / 5, abs=1e-4)
+
+
+def test_token_count_bpe_ish(spark):
+    df = spark.createDataFrame([(1, "ab3 c-d!")], "doc_id LONG, text STRING")
+    row = TX.with_token_count(df).collect()[0]
+    # tokens: ab, 3, c, -, d, !
+    assert row.n_tokens == 6
+    assert row.n_ws_tokens == 2
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the house of the rising sun and more"),
+            (2, "le chat et la maison des gens"),
+            (3, "der hund und die katze das haus"),
+            (4, "xyzzy plugh foobar"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    langs = {r.doc_id: r.pred_lang for r in TX.with_lang_id(df).collect()}
+    assert langs == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_fingerprint_deterministic_and_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d")],
+        "doc_id LONG, text STRING",
+    )
+    for portable in (False, True):
+        fp = {
+            r.doc_id: r.fingerprint
+            for r in TX.with_fingerprint(df, portable=portable).collect()
+        }
+        assert fp[1] == fp[2] != fp[3]
+
+
+# ------------------------------------------------------------ similarity
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # antipode of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_cosine_topk_ranks_correctly(vectors):
+    out = S.cosine_topk(vectors, vectors.where("vec_id = 1"), k=3)
+    ranked = [r.n_id for r in sorted(out.collect(), key=lambda r: -r.cos_sim)]
+    assert ranked[0] == 2 and ranked[-1] == 4
+
+
+def test_cosine_pandas_matches_jvm(vectors):
+    jvm = {
+        (r.q_id, r.n_id): r.cos_sim
+        for r in S.cosine_topk(vectors, vectors, k=3).collect()
+    }
+    pd_ = {
+        (r.q_id, r.n_id): r.cos_sim
+        for r in S.cosine_topk_pandas(vectors, vectors, k=3).collect()
+    }
+    assert jvm == pd_
+
+
+def test_lsh_same_vector_same_bucket(spark):
+    rows = [(1, [0.5] * 8), (2, [0.5] * 8), (3, [-0.5] * 8)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    b = {r.id: r.bucket for r in S.lsh_bucket(df, n_planes=4, dim=8).collect()}
+    assert b[1] == b[2]
+    assert b[1] != b[3]  # antipodal vectors flip every plane sign
+
+
+# ---------------------------------------------------------------- events
+
+@pytest.fixture(scope="module")
+def mini_events(spark):
+    # ts in raw NANOS (as the parquet reads); gaps chosen around the
+    # 30-minute session boundary.
+    base = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00 in ns
+    mins = 60 * 1_000_000_000
+    rows = [
+        (1, base + 0 * mins, 7, "click", 1.0, "{}"),
+        (2, base + 29 * mins, 7, "purchase", 2.0, "{}"),   # gap 29m → same
+        (3, base + 59 * mins, 7, "click", 3.0, "{}"),      # gap ==30m → same
+        (4, base + 200 * mins, 7, "purchase", 4.0, "{}"),  # gap >30m → NEW
+        (5, base + 10 * mins, 8, "view", 5.0, "{}"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+
+
+def test_session_boundary_semantics(mini_events):
+    sessions = (
+        E.session_agg(mini_events)
+        .where("user_id = 7")
+        .orderBy("session_start_us")
+        .collect()
+    )
+    # events 1+2+3 merge (the exactly-30m gap is INCLUSIVE — verified
+    # Spark session_window semantics); 4 (>30m gap) is its own.
+    assert [s.n_events for s in sessions] == [3, 1]
+
+
+def test_tumbling_window_starts(mini_events):
+    out = E.tumbling_agg(mini_events)
+    starts = {r.w_start_us for r in out.collect()}
+    hour = 3_600_000_000
+    assert all(s % hour == 0 for s in starts)
+
+
+def test_asof_join_picks_latest_prior(mini_events):
+    ev = E.with_event_time(mini_events)
+    purchases = ev.where("event_type = 'purchase'")
+    clicks = ev.where("event_type = 'click'")
+    got = {
+        r.event_id: r.asof_event_id
+        for r in E.asof_join_latest_prior(purchases, clicks).collect()
+    }
+    # purchase 2 (t=29m): latest click ≤ 29m is click 1.
+    # purchase 4 (t=200m): latest click ≤ 200m is click 3.
+    assert got == {2: 1, 4: 3}
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_multimodal_features(spark):
+    df = spark.createDataFrame([(1, "héllo")], "doc_id LONG, text STRING")
+    feats = M.extract_features(M.documents_as_assets(df)).collect()[0]
+    assert feats.n_chars == 5
+    assert feats.n_bytes == 6  # é is 2 bytes in utf-8
+    assert feats.media_type == "text/plain"
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"")
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"")
