@@ -689,6 +689,15 @@ def q_sim_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_pandas(emb, emb.where("vec_id < 8"), k=5)
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed candidates). The
+    synthetic embeddings are near-orthogonal (max cos ≈ 0.51), so the
+    threshold is set low enough to exercise the path."""
+    return S.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4
+    )
+
+
 # =====================================================================
 # Multimodal plumbing (documents as binary assets)
 # =====================================================================
@@ -867,17 +876,38 @@ QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
 """
 
 
-def _sim_lsh_oracle() -> str:
+def _bucket_sql(n_planes: int) -> str:
     from geniepool_etl_spark.operators.similarity import hyperplane
 
     terms = []
-    for p in range(8):
+    for p in range(n_planes):
         plane = "[" + ", ".join(repr(c) for c in hyperplane(p, 64)) + "]"
         terms.append(
             f"CASE WHEN {_dot_sql('e', f'CAST({plane} AS DOUBLE[])')} > 0 "
             f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _dedup_embedding_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+b AS (SELECT vec_id, e, ({_bucket_sql(4)}) AS bucket FROM v),
+s AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         {_cosine_sql('a.e', 'c.e')} AS cos_sim
+  FROM b a JOIN b c USING (bucket)
+  WHERE a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.3
+"""
+
+
+def _sim_lsh_oracle() -> str:
+    bucket = _bucket_sql(8)
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1243,6 +1273,7 @@ def _oracles() -> dict[str, str]:
     o["sim_brute_topk"] = _sim_brute_oracle()
     o["sim_pandas_topk"] = _sim_brute_oracle()
     o["sim_lsh_topk"] = _sim_lsh_oracle()
+    o["dedup_embedding"] = _dedup_embedding_oracle()
     o["multimodal_extract"] = """
         SELECT doc_id AS asset_id, 'text/plain' AS media_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1313,6 +1344,7 @@ SPARK_QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
     "text_lang_id": q_text_lang_id,

@@ -171,6 +171,39 @@ def lsh_bucket_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
+    with id_a < id_b and cos_sim ≥ threshold.
+
+    Candidate generation is the LSH bucket equi-join (same scale shape
+    as :func:`lsh_bucket_topk` — never all-pairs); the threshold filter
+    runs on the exact cosine within each bucket. High-similarity pairs
+    are overwhelmingly co-bucketed (a near-duplicate pair straddles any
+    one hyperplane with low probability), which is exactly the regime
+    near-dup detection cares about.
+    """
+    b = lsh_bucket(corpus, n_planes, dim, id_col, vec_col)
+    a = b.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
+    c = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,96 @@
+"""Physical-plan quality gates: the properties that keep these
+operators fast at 100 TB must be visible in the executed plan, not
+assumed — broadcast joins where a side is dim-sized, filter/column
+pushdown into the parquet scan, bounded exchange counts on the
+flagship dataflow, and codegen coverage of the hot path.
+"""
+
+from __future__ import annotations
+
+from geniepool_etl_spark import contract as C
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = _plan(C.q_j3_broadcast_join_agg(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dim_chain_joins_broadcast(spark):
+    # nation/region are tiny: Catalyst (or our hint) must broadcast
+    # them, never shuffle the fact side for a 25-row dim.
+    plan = _plan(C.q_a5_rollup(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_scan_is_pruned(spark):
+    # Column pruning: the q1-shaped aggregate must not read join keys
+    # it never touches; filter must be pushed to the parquet scan.
+    plan = _plan(C.q_a4_pricing_summary(spark, SF_SMALL))
+    scan = plan[plan.index("FileScan"):]
+    read_schema = scan[: scan.index("\n")]
+    assert "l_partkey" not in read_schema
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_projection_scan_prunes_columns(spark):
+    plan = _plan(C.q_s7_parquet_inferred(spark, SF_SMALL))
+    scan = plan[plan.index("FileScan"):]
+    read_schema = scan[: scan.index("\n")]
+    assert "p_partkey" in read_schema and "p_name" in read_schema
+    assert "p_retailprice" not in read_schema
+
+
+def test_flagship_exchange_budget(spark):
+    # scan → left join → agg1 → agg2: with AQE the plan should need at
+    # most 4 exchanges (join sides + two aggregation boundaries). A
+    # regression that adds a shuffle (e.g. a lost partial-agg) fails.
+    df = C.q_flagship_lake_nest(spark, SF_SMALL)
+    df.collect()  # materialize so AQE finalizes the adaptive plan
+    plan = _plan(df)
+    # AdaptiveSparkPlan.toString prints final AND initial plans — count
+    # only the final one.
+    final = plan.split("Initial Plan")[0]
+    n_exchanges = final.count("Exchange")
+    # dim broadcast + two aggregation boundaries = 3; the join must NOT
+    # shuffle the fact side.
+    assert n_exchanges <= 4, final
+    assert "BroadcastHashJoin" in final
+
+
+def test_whole_stage_codegen_covers_hot_path(spark):
+    df = C.q_a4_pricing_summary(spark, SF_SMALL)
+    df.collect()  # codegen markers appear once AQE finalizes the plan
+    plan = _plan(df)
+    # "*(n)" prefixes mark operators fused into WholeStageCodegen
+    # stages; both the scan→filter→partial-agg stage and the final agg
+    # must be codegen'd.
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_semi_and_anti_join_physical(spark):
+    semi = _plan(C.q_j5_semi_join(spark, SF_SMALL))
+    anti = _plan(C.q_j6_anti_join(spark, SF_SMALL))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_minhash_no_cross_join(spark):
+    # the LSH self-join must be a keyed equi-join, never a cartesian
+    # product — the core 100 TB safety property of the dedup family.
+    from geniepool_etl_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(D.minhash_lsh_pairs(docs, num_perm=16, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

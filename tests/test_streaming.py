@@ -56,3 +56,43 @@ def test_watermarked_append_mode(spark, tmp_path):
         E.tumbling_agg(spark.read.parquet(f"{SF_SMALL}/events.parquet"))
     )
     assert set(got) <= set(full)
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState: after one micro-batch the per-user state
+    equals the batch groupBy answer."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.streaming.stateful import running_user_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in glob.glob(f"{SF_SMALL}/events.parquet"):
+        shutil.copy(f, src)
+    stream = read_event_stream(spark, str(src))
+    out = running_user_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.table("t_stateful").collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.s)
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert got == batch
