@@ -708,6 +708,63 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Generators + scalar-function breadth (SURVEY §2.5/§2.6 extensions)
+# =====================================================================
+
+def q_x1_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate operator: nest → posexplode round-trip. The position
+    index over the sorted array is deterministic (= rank within the
+    group), so it oracles as a window rank."""
+    nested = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_linenumber")).alias("lns"))
+    )
+    return nested.select(
+        "l_orderkey", F.posexplode("lns").alias("idx", "l_linenumber")
+    )
+
+
+def q_f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function breadth beyond p2: regexp_replace, lpad,
+    reverse, lower, substring, replace, length, concat_ws, instr."""
+    n = _t(spark, sf_dir, "nation")
+    name = F.col("n_name")
+    return n.select(
+        "n_nationkey",
+        F.regexp_replace(name, "[AEIOU]", "_").alias("devoweled"),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded"),
+        F.reverse(name).alias("reversed"),
+        F.lower(name).alias("lowered"),
+        F.substring(name, 2, 3).alias("mid3"),
+        F.replace(name, F.lit("AN"), F.lit("**")).alias("replaced"),
+        F.length(name).alias("name_len"),
+        F.concat_ws("-", name, F.col("n_nationkey").cast("string")).alias(
+            "tagged"
+        ),
+        F.instr(name, "A").alias("first_a"),
+    )
+
+
+def q_f2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar functions on TIMESTAMP_NTZ (timezone-free in
+    both engines): year/quarter/month/day, normalized day-of-week,
+    month truncation."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        (F.dayofweek(d) - 1).alias("dow"),  # normalize to 0=Sunday
+        # cast to date: DuckDB's date_trunc('month') yields DATE
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+    )
+
+
+# =====================================================================
 # Flagship: the lake-build-shaped two-level nest
 # =====================================================================
 
@@ -1280,6 +1337,37 @@ def _oracles() -> dict[str, str]:
                CAST(length(text) AS BIGINT) AS n_chars
         FROM documents
     """
+    o["x1_explode_unnest"] = """
+        SELECT l_orderkey,
+               CAST(row_number() OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber) - 1 AS INT)
+                 AS idx,
+               l_linenumber
+        FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+    """
+    o["f1_string_funcs"] = """
+        SELECT n_nationkey,
+               regexp_replace(n_name, '[AEIOU]', '_', 'g') AS devoweled,
+               lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+               reverse(n_name) AS reversed,
+               lower(n_name) AS lowered,
+               substring(n_name, 2, 3) AS mid3,
+               replace(n_name, 'AN', '**') AS replaced,
+               length(n_name) AS name_len,
+               concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS tagged,
+               CAST(strpos(n_name, 'A') AS INT) AS first_a
+        FROM nation
+    """
+    o["f2_datetime_funcs"] = """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS y,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(month(o_orderdate) AS INT) AS m,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               CAST(dayofweek(o_orderdate) AS INT) AS dow,
+               date_trunc('month', o_orderdate) AS month_start
+        FROM orders
+    """
     o["flagship_lake_nest"] = """
         WITH lvl1 AS (
           SELECT l_orderkey, o_orderstatus,
@@ -1353,6 +1441,9 @@ SPARK_QUERIES = {
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_pandas_topk": q_sim_pandas_topk,
     "multimodal_extract": q_multimodal_extract,
+    "x1_explode_unnest": q_x1_explode_unnest,
+    "f1_string_funcs": q_f1_string_funcs,
+    "f2_datetime_funcs": q_f2_datetime_funcs,
     "flagship_lake_nest": q_flagship_lake_nest,
 }
 
