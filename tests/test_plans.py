@@ -85,6 +85,33 @@ def test_semi_and_anti_join_physical(spark):
     assert "LeftAnti" in anti
 
 
+def test_asof_join_is_window_not_range_join(spark):
+    # the as-of join must compile to union + window (one keyed
+    # shuffle), never a theta/range join or nested loop.
+    from geniepool_etl_spark.operators import events as E
+
+    from geniepool_etl_spark.functions import enable_nanos_as_long
+
+    enable_nanos_as_long(spark)
+    ev = E.with_event_time(spark.read.parquet(f"{SF_SMALL}/events.parquet"))
+    df = E.asof_join_latest_prior(
+        ev.where("event_type = 'purchase'"), ev.where("event_type = 'click'")
+    )
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_lsh_similarity_join_is_keyed(spark):
+    from geniepool_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    plan = _plan(S.lsh_bucket_topk(emb, k=3))
+    assert "CartesianProduct" not in plan
+    # bucket equi-join: hash-partitioned or broadcast-hash, either way keyed
+    assert "Join" in plan and "bucket" in plan
+
+
 def test_minhash_no_cross_join(spark):
     # the LSH self-join must be a keyed equi-join, never a cartesian
     # product — the core 100 TB safety property of the dedup family.

@@ -1,0 +1,103 @@
+"""Property-based checks (hypothesis): operator invariants that must
+hold for ANY input, verified against a driver-side Python model on
+small generated corpora. Example counts are kept low — each example
+runs a Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from geniepool_etl_spark.operators import dedup as D
+from geniepool_etl_spark.operators import text as TX
+
+# include stopwords so the stopword-ratio property is non-trivial
+WORDS = ["alpha", "beta", "gamma", "delta", "the", "of", "in"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _spark():
+    from geniepool_etl_spark.session import get_spark
+
+    return get_spark(shuffle_partitions=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=docs_strategy)
+def test_jaccard_pairs_invariants(texts):
+    """0 < jaccard ≤ 1; id_a < id_b; intersection never exceeds either
+    set size; values equal the exact Python-model Jaccard."""
+    spark = _spark()
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    rows = D.jaccard_pairs(df, n=2, max_shingle_freq=10**6).collect()
+
+    def shingles(t: str) -> set[str]:
+        w = t.split()
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0 < r.jaccard <= 1
+        sa, sb = shingles(texts[r.id_a]), shingles(texts[r.id_b])
+        assert r.inter == len(sa & sb)
+        assert r.size_a == len(sa) and r.size_b == len(sb)
+        expected = len(sa & sb) / len(sa | sb)
+        assert abs(r.jaccard - round(expected, 4)) < 1e-9
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=docs_strategy)
+def test_text_stats_match_python_model(texts):
+    spark = _spark()
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    rows = {r.doc_id: r for r in TX.with_text_stats(df).collect()}
+    for i, t in enumerate(texts):
+        words = t.split()
+        r = rows[i]
+        assert r.n_chars_m == len(t)
+        # split on \s+ of a trimmed empty string yields [''] — one
+        # (empty) token; mirror that engine behavior in the model.
+        expected_words = len(words) if words else 1
+        assert r.n_words == expected_words
+        if words:
+            assert r.stopword_ratio == round(
+                sum(w in TX.STOPWORDS for w in words) / len(words), 4
+            )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=docs_strategy)
+def test_exact_dedup_partitions_corpus(texts):
+    """exact_dedup keeps exactly one representative per distinct text,
+    and it is always the minimum id."""
+    spark = _spark()
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    kept = sorted(r.doc_id for r in D.exact_dedup(df).collect())
+    model = sorted(
+        min(i for i, u in enumerate(texts) if u == t) for t in set(texts)
+    )
+    assert kept == model

@@ -121,6 +121,33 @@ def test_read_range_prunes_partitions(spark, hg19_lake, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_canonicalized_lake_is_partitioning_invariant(spark, hg19_lake, alpha_dir):
+    """The lake's arrays are sets (collect_set order is engine-
+    internal); after canonicalize_entries the result must be VALUE-
+    identical even when computed under a different shuffle
+    partitioning — the property that makes local results transfer to
+    any cluster layout."""
+    from geniepool_etl_spark.operators.nest import canonicalize_entries
+
+    def rowset(df):
+        rows = canonicalize_entries(df).select(
+            "chrom", "pos", F.col("entries").cast("string").alias("e")
+        )
+        return sorted((r.chrom, r.pos, r.e) for r in rows.collect())
+
+    base = rowset(hg19_lake)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        other = convert_vcfs_to_datalake(
+            spark, HG19_VCFS, HG19_IMPACT, HG19_DBSNP, False, GNOMAD, alpha_dir
+        )
+        assert rowset(other) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_status_invariants(spark):
     # Reference T:134-136.
     status = get_status(spark, HG19_VCFS)
