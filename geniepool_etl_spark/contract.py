@@ -450,6 +450,33 @@ def q_a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_a8_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: min/max (exact), median (deterministic
+    on integer-valued quantities), stddev rounded (merge-order error is
+    ~1e-12 relative)."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.median("l_quantity").alias("med_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_w4_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank with real ties (price bucketed to 10k)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.floor(F.col("o_totalprice") / 10000).desc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).where(F.col("rnk") <= 20)
+
+
 def q_a7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — engine-specific estimate, so no
     cross-engine oracle; driver records a rows-only check."""
@@ -1166,6 +1193,24 @@ def _oracles() -> dict[str, str]:
                true AS has_update_date
         FROM lineitem
     """
+    o["a8_stats_aggs"] = """
+        SELECT l_returnflag,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               median(l_quantity) AS med_qty,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """
+    o["w4_rank_dense"] = """
+        SELECT o_orderkey, o_orderpriority,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY CAST(floor(o_totalprice / 10000) AS BIGINT) DESC)
+        QUALIFY rnk <= 20
+    """
     o["sort_topk"] = """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
@@ -1414,6 +1459,8 @@ SPARK_QUERIES = {
     "a5_rollup": q_a5_rollup,
     "a6_cube": q_a6_cube,
     "a7_approx_distinct": q_a7_approx_distinct,
+    "a8_stats_aggs": q_a8_stats_aggs,
+    "w4_rank_dense": q_w4_rank_dense,
     "status_summary": q_status_summary,
     "sort_topk": q_sort_topk,
     "set_ops": q_set_ops,
