@@ -472,8 +472,8 @@ def q_w4_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
     ).where(F.col("rnk") <= 20)
 
 
@@ -543,7 +543,7 @@ def q_w1_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        joined.withColumn("rnk", F.row_number().over(w))
+        joined.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
     )
@@ -747,9 +747,11 @@ def q_x1_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_linenumber")).alias("lns"))
     )
-    return nested.select(
+    exploded = nested.select(
         "l_orderkey", F.posexplode("lns").alias("idx", "l_linenumber")
     )
+    # long idx: matches the BIGINT the oracle's row_number-1 produces
+    return exploded.withColumn("idx", F.col("idx").cast("long"))
 
 
 def q_f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1342,8 +1344,8 @@ def _oracles() -> dict[str, str]:
           FROM words w JOIN documents d USING (doc_id)
         )
         SELECT doc_id,
-               length(text) AS n_chars_m,
-               n_words,
+               CAST(length(text) AS INT) AS n_chars_m,
+               CAST(n_words AS INT) AS n_words,
                round(CASE WHEN n_words > 0 THEN
                  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                         list_transform(w, x -> CAST(length(x) AS BIGINT))),
@@ -1357,9 +1359,9 @@ def _oracles() -> dict[str, str]:
     o["text_tokens"] = rf"""
         WITH {_WORDS_CTE.strip()}
         SELECT w.doc_id,
-               len(regexp_extract_all(d.text,
-                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
-               len(w.w) AS n_ws_tokens
+               CAST(len(regexp_extract_all(d.text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_tokens,
+               CAST(len(w.w) AS INT) AS n_ws_tokens
         FROM words w JOIN documents d USING (doc_id)
     """
     o["text_lang_id"] = _lang_id_oracle()
@@ -1384,9 +1386,8 @@ def _oracles() -> dict[str, str]:
     """
     o["x1_explode_unnest"] = """
         SELECT l_orderkey,
-               CAST(row_number() OVER (PARTITION BY l_orderkey
-                                       ORDER BY l_linenumber) - 1 AS INT)
-                 AS idx,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber) - 1 AS idx,
                l_linenumber
         FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
     """
@@ -1398,7 +1399,7 @@ def _oracles() -> dict[str, str]:
                lower(n_name) AS lowered,
                substring(n_name, 2, 3) AS mid3,
                replace(n_name, 'AN', '**') AS replaced,
-               length(n_name) AS name_len,
+               CAST(length(n_name) AS INT) AS name_len,
                concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS tagged,
                CAST(strpos(n_name, 'A') AS INT) AS first_a
         FROM nation

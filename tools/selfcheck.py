@@ -37,6 +37,29 @@ def canon(v):
     return v
 
 
+SPARK_TO_CANON = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+    "binary": "bytes",
+}
+DUCK_TO_CANON = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "BLOB": "bytes",
+    "HUGEINT": "i128",
+}
+
+
+def canon_type(t: str, table: dict) -> str:
+    t = t.strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return canon_type(t[6:-1], table) + "[]"
+    if t.endswith("[]"):
+        return canon_type(t[:-2], table) + "[]"
+    return table.get(t, table.get(t.upper(), t))
+
+
 def rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
@@ -82,15 +105,30 @@ def main() -> int:
             n_noracle += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes_raw = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: ORACLE ERROR {str(e).splitlines()[0]}")
             n_fail += 1
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
+            n_fail += 1
+            continue
+        stypes = {c: canon_type(t, SPARK_TO_CANON) for c, t in sdf.dtypes}
+        otypes = {
+            c: canon_type(t, DUCK_TO_CANON)
+            for c, t in zip(ocols, otypes_raw)
+        }
+        mismatched = {
+            c: (stypes[c], otypes[c])
+            for c in stypes
+            if c in otypes and stypes[c] != otypes[c]
+        }
+        if mismatched:
+            print(f"FAIL  {name}: dtypes differ: {mismatched}")
             n_fail += 1
             continue
         if len(srows) != len(orows):
