@@ -477,6 +477,20 @@ def q_w4_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("rnk") <= 20)
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py). The oracle is
+    the PLAIN aggregation — salting must be answer-invisible."""
+    from geniepool_etl_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        16,
+        F.col("l_orderkey"),
+        "l_quantity",
+    )
+
+
 def q_a7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — engine-specific estimate, so no
     cross-engine oracle; driver records a rows-only check."""
@@ -1195,6 +1209,11 @@ def _oracles() -> dict[str, str]:
                true AS has_update_date
         FROM lineitem
     """
+    o["skew_salted_agg"] = """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_l_quantity
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
     o["a8_stats_aggs"] = """
         SELECT l_returnflag,
                min(l_quantity) AS min_qty,
@@ -1462,6 +1481,7 @@ SPARK_QUERIES = {
     "a7_approx_distinct": q_a7_approx_distinct,
     "a8_stats_aggs": q_a8_stats_aggs,
     "w4_rank_dense": q_w4_rank_dense,
+    "skew_salted_agg": q_skew_salted_agg,
     "status_summary": q_status_summary,
     "sort_topk": q_sort_topk,
     "set_ops": q_set_ops,

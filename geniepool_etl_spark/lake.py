@@ -17,6 +17,8 @@ listing time (SURVEY.md §4 "partition pruning").
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,6 +83,43 @@ def read_range(
         & F.col("pos").between(pos_lo, pos_hi)
     )
     return out.orderBy("pos") if order_by_pos else out
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sort-ordered) managed
+    parquet table. Two tables bucketed identically on their join key
+    sort-merge-join with ZERO exchanges — the pre-shuffled layout that
+    amortizes one shuffle across every future join/aggregation on that
+    key (the 100 TB co-location strategy; verified by a no-Exchange
+    plan assertion in tests/test_plans.py).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a dropped managed table can leave its location behind (e.g. an
+    # earlier run aborted between write and commit) — clear it, local
+    # filesystems only.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith(("file:", "/")):
+        import shutil
+
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
 
 
 def write_status(df: DataFrame, status_path: str) -> None:

@@ -17,6 +17,7 @@ local testing and a large cluster:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -60,6 +61,12 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
+        # managed (bucketed) tables land under tmp, not the repo;
+        # static conf — must be set before the first session exists.
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE",
+            os.path.join(tempfile.gettempdir(), "gp_spark_warehouse"),
+        ),
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -1,0 +1,89 @@
+"""Skew salting and bucketed co-located joins: the two explicit
+scale techniques. Salting must be answer-preserving; bucketing must
+eliminate the join shuffle (visible in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geniepool_etl_spark.lake import write_bucketed_table
+from geniepool_etl_spark.operators.skew import salted_agg, salted_skew_join
+from tests.conftest import SF_SMALL
+
+
+def test_salted_agg_equals_plain(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    plain = {
+        r.l_returnflag: (r.n, r.s)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("s"),
+        )
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.n, r.sum_l_quantity)
+        for r in salted_agg(
+            li, ["l_returnflag"], 16, F.col("l_orderkey"), "l_quantity"
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = sorted(
+        (r.l_orderkey, r.l_linenumber, r.o_orderstatus)
+        for r in li.join(orders, "l_orderkey", "left")
+        .select("l_orderkey", "l_linenumber", "o_orderstatus")
+        .collect()
+    )
+    salted = sorted(
+        (r.l_orderkey, r.l_linenumber, r.o_orderstatus)
+        for r in salted_skew_join(
+            li, orders, "l_orderkey", 8, F.col("l_linenumber")
+        )
+        .select("l_orderkey", "l_linenumber", "o_orderstatus")
+        .collect()
+    )
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed_table(li, "t_li_bkt", ["l_orderkey"], 8, ["l_orderkey"])
+    write_bucketed_table(orders, "t_o_bkt", ["o_orderkey"], 8, ["o_orderkey"])
+
+    # Bucketing matters exactly when neither side broadcasts (at these
+    # test sizes the planner would broadcast the dim and skip the
+    # bucketed scan entirely) — force the big-join regime.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_li_bkt").join(
+            spark.table("t_o_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        # co-located: the bucketed layout replaces both join exchanges
+        assert "Exchange" not in final, final
+        assert "SortMergeJoin" in final
+
+        # and the answer is the plain join's answer
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
