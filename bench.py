@@ -59,9 +59,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, build in qs.items():
-        t0 = time.perf_counter()
-        build().write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: single runs on a shared machine show 2-3× noise
+        # spikes; the minimum reflects engine cost
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
