@@ -278,17 +278,25 @@ def minhash_lsh_pairs(
         "left_anti",
     )
 
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "key"
-    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "key")
+    # Candidates are deduplicated as bare (id_a, id_b) pairs — a pair
+    # can match in up to ``bands`` buckets, and at scale the distinct
+    # must shuffle 16-byte rows, not rows dragging two signature
+    # arrays (~8·num_perm B each). Signatures re-attach afterwards via
+    # two equi-joins (AQE broadcasts the signature side when small).
     pairs = (
         a.join(b, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pairs.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+        "id_b",
     )
     agree = F.size(
         F.filter(
