@@ -623,6 +623,22 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.json_props(_events(spark, sf_dir)).select("event_id", "prop_k")
 
 
+def q_events_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-projected JSON parse (``from_json`` → struct access) —
+    the typed counterpart to get_json_object's path extraction."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "k BIGINT")
+    )
+    # note: PERMISSIVE from_json returns a non-null struct even for
+    # malformed input (fields null) — "parsed" is judged by the field.
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("prop_k"),
+        F.col("p.k").isNotNull().alias("parsed_ok"),
+    )
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: the tumbling aggregation executed as a
     file-source stream (explicit schema, complete mode, memory sink),
@@ -1334,6 +1350,13 @@ def _oracles() -> dict[str, str]:
         SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
         FROM events
     """
+    o["events_from_json"] = """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+               CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+                 AS parsed_ok
+        FROM events
+    """
     o["stream_tumbling"] = f"""
         SELECT {_EVENT_US} - {_EVENT_US} % 3600000000 AS w_start_us,
                event_type, count(*) AS n_events,
@@ -1494,6 +1517,7 @@ SPARK_QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_pivot": q_events_pivot,
     "events_json_props": q_events_json_props,
+    "events_from_json": q_events_from_json,
     "stream_tumbling": q_stream_tumbling,
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,

@@ -54,6 +54,30 @@ def test_salted_join_equals_plain(spark):
     assert salted == plain
 
 
+def test_salted_agg_on_hot_key(spark):
+    """Adversarial skew: one key holds 60% of all rows; the salted
+    aggregation must still return exactly the plain answer."""
+    base = spark.range(100_000).select(
+        F.when(F.col("id") % 10 < 6, F.lit("HOT"))
+        .otherwise((F.col("id") % 10).cast("string"))
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.col("id"),
+    )
+    plain = {
+        r.k: (r.n, r.s)
+        for r in base.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, r.sum_v)
+        for r in salted_agg(base, ["k"], 32, F.col("id"), "v").collect()
+    }
+    assert salted == plain
+    assert plain["HOT"][0] == 60_000
+
+
 def test_bucketed_join_has_no_exchange(spark):
     li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_quantity"
