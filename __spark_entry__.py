@@ -14,11 +14,19 @@ only entry without an oracle (HLL estimates are engine-specific).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from geniepool_etl_spark.contract import (
+# the package lives next to this file — resolvable regardless of the
+# harness's working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from geniepool_etl_spark.contract import (  # noqa: E402
     ORACLE_SQL,
     SPARK_QUERIES,
     q_flagship_lake_nest,
