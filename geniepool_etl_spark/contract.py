@@ -694,6 +694,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the Jaccard near-dup pairs: the
+    iterative fixpoint label propagation, oracled by a DuckDB
+    recursive-CTE transitive closure."""
+    pairs = D.jaccard_pairs(_t(spark, sf_dir, "documents"), n=3).where(
+        F.col("jaccard") >= 0.1
+    )
+    return D.dedup_clusters(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(
         _t(spark, sf_dir, "documents"), bits=32, hash_fn=portable_hash32
@@ -1374,6 +1384,20 @@ def _oracles() -> dict[str, str]:
         SELECT min(doc_id) AS doc_id FROM d GROUP BY text
     """
     o["dedup_jaccard_pairs"] = _jaccard_oracle()
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE p AS ({_jaccard_oracle()}),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM p
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT u.a, r.b FROM und u JOIN reach r ON u.b = r.a
+)
+SELECT a AS id, min(b) AS label FROM reach GROUP BY a
+"""
     o["dedup_minhash_lsh"] = _minhash_oracle()
     o["dedup_simhash"] = _simhash_oracle()
     o["text_stats"] = f"""
@@ -1522,6 +1546,7 @@ SPARK_QUERIES = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,

@@ -312,6 +312,75 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# duplicate clusters (connected components over candidate pairs)
+# --------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    in a transitively-connected duplicate group gets the group's
+    minimum id as its cluster label — the step that turns pairwise
+    matches into "keep one per group".
+
+    Iterative min-label propagation to a fixpoint: each round every
+    node takes the min of its own and its neighbors' labels.
+    Terminates in O(component diameter) rounds (near-dup clusters are
+    shallow; the cap is a safety net). Each round is one keyed
+    join + aggregate — fully distributed, no driver-side graph.
+
+    Scale notes: ``localCheckpoint`` truncates the growing lineage
+    each round (without it, round k replans rounds 1..k-1); the
+    convergence check is one count per round — at 100 TB amortize it
+    by checking every few rounds.
+
+    Returns (id, label) for every id appearing in ``pairs``.
+    """
+    edges = pairs.select("id_a", "id_b")
+    adj = edges.unionByName(
+        edges.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    labels = (
+        adj.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            adj.join(
+                labels.select(
+                    F.col("id").alias("id_b"), F.col("label").alias("nbr_label")
+                ),
+                "id_b",
+            )
+            .groupBy("id_a")
+            .agg(F.min("nbr_label").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("id_a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("min_nbr"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

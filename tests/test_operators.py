@@ -83,6 +83,17 @@ def test_simhash_identical_docs_equal(docs):
     assert h[1] != h[4]
 
 
+def test_dedup_clusters_transitive(spark):
+    """Chain 1-2-3-4 (multi-round propagation), triangle 10-11-12,
+    isolated pair 20-21 → three components labeled by their minima."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a LONG, id_b LONG",
+    )
+    labels = {r.id: r.label for r in D.dedup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 # ------------------------------------------------------------------ text
 
 def test_text_stats_counts(spark):
