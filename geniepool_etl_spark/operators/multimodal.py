@@ -76,6 +76,79 @@ def decode_audio(payload: bytes) -> object:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over Arrow batches (1 row in → 1 row out). The
+    pixel work is a deterministic stand-in (payload truncated to
+    width·height bytes — PIL/OpenCV are unavailable here; a real
+    decoder replaces the inner lambda only), but the contract a real
+    resize needs — schema, batch shape, binary handling — is exercised
+    for real.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(
+                        lambda b: b[:n] if b is not None else None
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 1024, every_n: int = 2
+) -> DataFrame:
+    """Video frame sampling over Arrow batches — the one-to-MANY
+    mapInPandas shape (each asset row expands to its sampled frames).
+    Frames are deterministic fixed-width byte windows standing in for
+    a real ffmpeg decode; the explode-style output contract is real.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    frames.append(
+                        bytes(payload[i * frame_bytes : (i + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return assets.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Byte-level feature extraction over Arrow batches via
     ``mapInPandas`` (the slot where a real decoder plugs in — see the

@@ -246,6 +246,33 @@ def test_multimodal_features(spark):
     assert feats.media_type == "text/plain"
 
 
+def test_multimodal_resize_contract(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 5)], "doc_id LONG, text STRING"
+    )
+    out = {
+        r.asset_id: r
+        for r in M.resize_images(
+            M.documents_as_assets(df), width=4, height=4
+        ).collect()
+    }
+    assert len(out[1].payload) == 16  # truncated to width*height
+    assert len(out[2].payload) == 5  # shorter payloads pass through
+    assert out[1].width == 4 and out[1].height == 4
+
+
+def test_multimodal_frame_sampling_one_to_many(spark):
+    df = spark.createDataFrame(
+        [(1, "z" * 5000)], "doc_id LONG, text STRING"
+    )
+    frames = M.sample_frames(
+        M.documents_as_assets(df), frame_bytes=1024, every_n=2
+    ).collect()
+    # 4 full frames → sampled at stride 2 → frames 0 and 2
+    assert [(f.asset_id, f.frame_idx) for f in frames] == [(1, 0), (1, 2)]
+    assert all(len(f.frame) == 1024 for f in frames)
+
+
 def test_decode_stubs_raise():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"")
