@@ -70,6 +70,49 @@ def _tumbling(e: DataFrame, width_us: int) -> DataFrame:
     )
 
 
+def stream_events_to_lake(
+    spark: SparkSession,
+    src_dir: str,
+    lake_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental ingest: stream event files into a Hive-partitioned
+    parquet lake via ``foreachBatch`` — the streaming counterpart of
+    the reference's batch-append lake build (each micro-batch appends
+    its rows under ``day_bucket=*`` directories; the checkpoint makes
+    re-runs resume instead of re-ingest).
+
+    Scale notes: partitioning each micro-batch by the event-time day
+    keeps files per partition proportional to batches-per-day — at
+    100 TB/day add ``maxFilesPerTrigger`` and a periodic compaction
+    pass over closed partitions.
+    """
+    from pyspark.sql import functions as F
+
+    stream = read_event_stream(spark, src_dir)
+    enriched = E.with_event_time(stream).withColumn(
+        "day_bucket", F.expr("ts_us div 86400000000")
+    )
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.drop("event_time")
+            .write.mode("append")
+            .partitionBy("day_bucket")
+            .parquet(lake_path)
+        )
+
+    query = (
+        enriched.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+
 def run_tumbling_stream(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:

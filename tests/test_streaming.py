@@ -58,6 +58,29 @@ def test_watermarked_append_mode(spark, tmp_path):
     assert set(got) <= set(full)
 
 
+def test_stream_to_lake_ingest(spark, tmp_path):
+    """foreachBatch incremental ingest: all rows land partitioned by
+    day; a re-run against the same checkpoint ingests nothing new."""
+    from geniepool_etl_spark.streaming import stream_events_to_lake
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in glob.glob(f"{SF_SMALL}/events.parquet"):
+        shutil.copy(f, src)
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_events_to_lake(spark, str(src), lake, ckpt)
+    n_src = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    out = spark.read.parquet(lake)
+    assert out.count() == n_src
+    assert "day_bucket" in out.columns
+
+    # idempotent resume: same checkpoint, no new files → no new rows
+    stream_events_to_lake(spark, str(src), lake, ckpt)
+    assert spark.read.parquet(lake).count() == n_src
+
+
 def test_stateful_running_counts(spark, tmp_path):
     """applyInPandasWithState: after one micro-batch the per-user state
     equals the batch groupBy answer."""
