@@ -732,6 +732,60 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency: top-20 word bigrams across all
+    documents (counted WITH multiplicity per doc — contamination /
+    boilerplate detection shape). Deterministic rank tiebreak on the
+    ngram string."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("ngram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 20)
+    )
+
+
+def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-grouped quality profile: per (source, lang) document
+    count and average length/word stats. The stopword ratio is
+    averaged UNROUNDED — averaging 4-decimal-rounded values lands
+    exactly on .00005 rounding boundaries (e.g. mean of 10 docs) where
+    engines' last-ulp sums disagree; round only the final statistic.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = TX.words_col(F.col("text"))
+    n_words = F.size(words)
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*TX.STOPWORDS))
+    )
+    stats = docs.select(
+        "source",
+        "lang",
+        n_words.alias("n_words"),
+        F.length("text").alias("n_chars_m"),
+        (stop_hits.cast("double") / n_words).alias("raw_ratio"),
+    )
+    return stats.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.round(F.avg("n_chars_m"), 4).alias("avg_chars"),
+        F.round(F.avg("raw_ratio"), 4).alias("avg_stopword_ratio"),
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.with_fingerprint(
         _t(spark, sf_dir, "documents"), portable=True
@@ -1431,6 +1485,37 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
         FROM words w JOIN documents d USING (doc_id)
     """
     o["text_lang_id"] = _lang_id_oracle()
+    o["text_ngram_topk"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        grams AS (
+          SELECT unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)),
+                                i -> array_to_string(w[i:i+1], ' '))
+            ELSE CAST([] AS VARCHAR[]) END) AS ngram
+          FROM words
+        )
+        SELECT ngram, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, ngram) AS rnk
+        FROM grams GROUP BY ngram
+        QUALIFY rnk <= 20
+    """
+    o["text_quality_by_source"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        st AS (
+          SELECT d.source, d.lang,
+                 len(w.w) AS n_words,
+                 length(d.text) AS n_chars_m,
+                 CAST(len(list_filter(w.w, x ->
+                     list_contains({_STOPWORDS_SQL}, lower(x)))) AS DOUBLE)
+                   / len(w.w) AS raw_ratio
+          FROM words w JOIN documents d USING (doc_id)
+        )
+        SELECT source, lang, count(*) AS n_docs,
+               round(avg(n_words), 4) AS avg_words,
+               round(avg(n_chars_m), 4) AS avg_chars,
+               round(avg(raw_ratio), 4) AS avg_stopword_ratio
+        FROM st GROUP BY source, lang
+    """
     o["text_fingerprint"] = f"""
         WITH {_WORDS_CTE.strip()}
         SELECT doc_id,
@@ -1553,6 +1638,8 @@ SPARK_QUERIES = {
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
     "text_lang_id": q_text_lang_id,
+    "text_ngram_topk": q_text_ngram_topk,
+    "text_quality_by_source": q_text_quality_by_source,
     "text_fingerprint": q_text_fingerprint,
     "sim_brute_topk": q_sim_brute_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
