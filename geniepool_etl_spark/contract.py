@@ -208,6 +208,19 @@ def q_s11_lake_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (columnar alternative to parquet, built into
+    Spark) — write, read back, aggregate."""
+    out = _tmpdir("s12")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    part.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p_size").cast("long")).alias("sum_size"),
+    )
+
+
 # =====================================================================
 # P: projections / filters / row ops (SURVEY §2.2)
 # =====================================================================
@@ -1160,6 +1173,11 @@ def _oracles() -> dict[str, str]:
         FROM orders
         WHERE o_orderkey % 5 = 2 AND o_orderkey * 37 BETWEEN 50000 AND 1200000
     """
+    o["s12_orc_roundtrip"] = """
+        SELECT p_brand, count(*) AS n,
+               CAST(sum(p_size) AS BIGINT) AS sum_size
+        FROM part GROUP BY p_brand
+    """
     o["p1_rename"] = (
         "SELECT c_custkey AS cust_id, c_nationkey AS nation_id, c_mktsegment "
         "FROM customer"
@@ -1591,6 +1609,7 @@ SPARK_QUERIES = {
     "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
     "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
     "s11_lake_range_read": q_s11_lake_range_read,
+    "s12_orc_roundtrip": q_s12_orc_roundtrip,
     "p1_rename": q_p1_rename,
     "p2_derive": q_p2_derive,
     "p3_drop": q_p3_drop,
