@@ -221,6 +221,27 @@ def q_s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s13_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality source handling: DROPMALFORMED discards rows that
+    don't fit the schema (the production posture for dirty text
+    feeds; PERMISSIVE + corrupt-record column is the forensic one)."""
+    rows = sorted(
+        _t(spark, sf_dir, "nation").collect(), key=lambda r: r.n_nationkey
+    )  # 25-row dim: fixture generation only
+    path = os.path.join(_tmpdir("s13"), "nation_dirty.tsv")
+    with open(path, "w") as f:
+        f.write("garbage line without any tabs\n")
+        for r in rows:
+            f.write(f"{r.n_nationkey}\t{r.n_name}\t{r.n_regionkey}\n")
+        f.write("not_an_int\tBADROW\talso_not_int\n")
+    return (
+        spark.read.option("sep", "\t")
+        .option("mode", "DROPMALFORMED")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(path)
+    )
+
+
 # =====================================================================
 # P: projections / filters / row ops (SURVEY §2.2)
 # =====================================================================
@@ -573,6 +594,24 @@ def q_w1_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame (RANGE BETWEEN): per order, how many
+    same-priority orders price within the trailing 1000-dollar band.
+    Range frames include all value-ties, so the count is deterministic
+    under any sort order."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count(F.lit(1)).over(w).alias("n_near"),
     )
 
 
@@ -1173,6 +1212,15 @@ def _oracles() -> dict[str, str]:
         FROM orders
         WHERE o_orderkey % 5 = 2 AND o_orderkey * 37 BETWEEN 50000 AND 1200000
     """
+    o["s13_csv_dropmalformed"] = "SELECT * FROM nation"
+    o["w5_range_frame"] = """
+        SELECT o_orderkey, o_orderpriority,
+               count(*) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice
+                              RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+                 AS n_near
+        FROM orders
+    """
     o["s12_orc_roundtrip"] = """
         SELECT p_brand, count(*) AS n,
                CAST(sum(p_size) AS BIGINT) AS sum_size
@@ -1610,6 +1658,7 @@ SPARK_QUERIES = {
     "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
     "s11_lake_range_read": q_s11_lake_range_read,
     "s12_orc_roundtrip": q_s12_orc_roundtrip,
+    "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
     "p1_rename": q_p1_rename,
     "p2_derive": q_p2_derive,
     "p3_drop": q_p3_drop,
@@ -1632,6 +1681,7 @@ SPARK_QUERIES = {
     "a7_approx_distinct": q_a7_approx_distinct,
     "a8_stats_aggs": q_a8_stats_aggs,
     "w4_rank_dense": q_w4_rank_dense,
+    "w5_range_frame": q_w5_range_frame,
     "skew_salted_agg": q_skew_salted_agg,
     "status_summary": q_status_summary,
     "sort_topk": q_sort_topk,
