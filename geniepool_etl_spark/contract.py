@@ -408,12 +408,19 @@ def q_j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_a1_collect_set_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: grouped collect_set, canonicalized with sort_array for
-    order-insensitive comparison (operators/nest.py pattern)."""
+    order-insensitive comparison (operators/nest.py pattern). The nest
+    is emitted as a comma-joined string — the driver's pandas
+    canonicalizer cannot hash raw array<...> columns."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_set("l_linenumber")).alias("line_numbers"),
+            F.array_join(
+                F.sort_array(F.collect_set("l_linenumber")).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("line_numbers"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -429,7 +436,10 @@ def q_a2_two_level_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl1, orders.o_orderkey == lvl1.l_orderkey, "left"
     )
     return joined.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"),
+            ",",
+        ).alias("order_keys"),
         F.sum(F.coalesce(F.col("n_items"), F.lit(0))).cast("long").alias(
             "total_items"
         ),
@@ -526,10 +536,23 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — engine-specific estimate, so no
-    cross-engine oracle; driver records a rows-only check."""
-    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders")
+    """approx_count_distinct (HLL++). The estimate itself is
+    engine-specific, so the checkable output is the exact count plus a
+    boolean asserting the HLL estimate landed within 5% relative error
+    (rsd=0.01, so 5% is a ~5-sigma bound) — the oracle computes the
+    exact count and expects within_tol = true."""
+    agg = _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            < 0.05
+        ).alias("within_tol"),
     )
 
 
@@ -958,7 +981,10 @@ def q_flagship_lake_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.expr("l_orderkey div 1000").cast("long")
     )
     return bucketed.groupBy("bucket").agg(
-        F.sort_array(F.collect_list("l_orderkey")).alias("order_keys"),
+        F.array_join(
+            F.sort_array(F.collect_list("l_orderkey")).cast("array<string>"),
+            ",",
+        ).alias("order_keys"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.size("items")).cast("long").alias("total_items"),
     )
@@ -1305,7 +1331,9 @@ def _oracles() -> dict[str, str]:
         GROUP BY b.label
     """
     o["a1_collect_set_nest"] = """
-        SELECT l_orderkey, list_sort(list(DISTINCT l_linenumber)) AS line_numbers,
+        SELECT l_orderkey,
+               array_to_string(list_sort(list(DISTINCT l_linenumber)), ',')
+                 AS line_numbers,
                count(*) AS n_lines
         FROM lineitem GROUP BY l_orderkey
     """
@@ -1313,7 +1341,8 @@ def _oracles() -> dict[str, str]:
         WITH lvl1 AS (
           SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
         )
-        SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+        SELECT o_custkey,
+               array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
                CAST(sum(coalesce(n_items, 0)) AS BIGINT) AS total_items
         FROM orders LEFT JOIN lvl1 ON o_orderkey = l_orderkey
         GROUP BY o_custkey
@@ -1347,6 +1376,12 @@ def _oracles() -> dict[str, str]:
     o["a6_cube"] = """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+    o["a7_approx_distinct"] = """
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS exact_orders,
+               true AS within_tol
+        FROM lineitem GROUP BY l_returnflag
     """
     o["status_summary"] = """
         SELECT count(DISTINCT l_orderkey) AS coordinates_num,
@@ -1639,7 +1674,7 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
           GROUP BY l_orderkey, o_orderstatus
         )
         SELECT CAST(l_orderkey // 1000 AS BIGINT) AS bucket,
-               list_sort(list(l_orderkey)) AS order_keys,
+               array_to_string(list_sort(list(l_orderkey)), ',') AS order_keys,
                count(*) AS n_orders,
                CAST(sum(n_items) AS BIGINT) AS total_items
         FROM lvl1 GROUP BY 1
@@ -1647,7 +1682,39 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
     return o
 
 
+# Ordering note (driver harness): CORRECTNESS_r02 recorded only the
+# FIRST ~50 entries of this dict, so entries that have never received a
+# driver verdict (the dedup/text/similarity/multimodal families, x1/f1/
+# f2, flagship_lake_nest) plus the three previously-non-green rows
+# (a1, a2, a7) are listed FIRST; the 45 rows already proven green in
+# CORRECTNESS_r02 follow.
 SPARK_QUERIES = {
+    # --- never driver-recorded in r02 (all selfcheck-green locally) ---
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "text_stats": q_text_stats,
+    "text_tokens": q_text_tokens,
+    "text_lang_id": q_text_lang_id,
+    "text_ngram_topk": q_text_ngram_topk,
+    "text_quality_by_source": q_text_quality_by_source,
+    "text_fingerprint": q_text_fingerprint,
+    "sim_brute_topk": q_sim_brute_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_pandas_topk": q_sim_pandas_topk,
+    "multimodal_extract": q_multimodal_extract,
+    "x1_explode_unnest": q_x1_explode_unnest,
+    "f1_string_funcs": q_f1_string_funcs,
+    "f2_datetime_funcs": q_f2_datetime_funcs,
+    "flagship_lake_nest": q_flagship_lake_nest,
+    # --- previously failed (array canon) / err (no oracle), now fixed ---
+    "a1_collect_set_nest": q_a1_collect_set_nest,
+    "a2_two_level_nest": q_a2_two_level_nest,
+    "a7_approx_distinct": q_a7_approx_distinct,
+    # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
     "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
@@ -1672,13 +1739,10 @@ SPARK_QUERIES = {
     "j5_semi_join": q_j5_semi_join,
     "j6_anti_join": q_j6_anti_join,
     "j7_range_join": q_j7_range_join,
-    "a1_collect_set_nest": q_a1_collect_set_nest,
-    "a2_two_level_nest": q_a2_two_level_nest,
     "a3_multi_count_distinct": q_a3_multi_count_distinct,
     "a4_pricing_summary": q_a4_pricing_summary,
     "a5_rollup": q_a5_rollup,
     "a6_cube": q_a6_cube,
-    "a7_approx_distinct": q_a7_approx_distinct,
     "a8_stats_aggs": q_a8_stats_aggs,
     "w4_rank_dense": q_w4_rank_dense,
     "w5_range_frame": q_w5_range_frame,
@@ -1698,26 +1762,6 @@ SPARK_QUERIES = {
     "events_from_json": q_events_from_json,
     "stream_tumbling": q_stream_tumbling,
     "dedup_exact_stats": q_dedup_exact_stats,
-    "dedup_exact_keep": q_dedup_exact_keep,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding": q_dedup_embedding,
-    "text_stats": q_text_stats,
-    "text_tokens": q_text_tokens,
-    "text_lang_id": q_text_lang_id,
-    "text_ngram_topk": q_text_ngram_topk,
-    "text_quality_by_source": q_text_quality_by_source,
-    "text_fingerprint": q_text_fingerprint,
-    "sim_brute_topk": q_sim_brute_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_pandas_topk": q_sim_pandas_topk,
-    "multimodal_extract": q_multimodal_extract,
-    "x1_explode_unnest": q_x1_explode_unnest,
-    "f1_string_funcs": q_f1_string_funcs,
-    "f2_datetime_funcs": q_f2_datetime_funcs,
-    "flagship_lake_nest": q_flagship_lake_nest,
 }
 
 ORACLE_SQL = _oracles()
