@@ -394,34 +394,44 @@ def simhash(
     """``bits``-bit SimHash per document over whitespace tokens.
 
     For each bit b: sign of Σ_tokens (±1 depending on bit b of
-    hash(token)). Implemented with array higher-order functions
-    (transform over bit positions, aggregate over tokens) — JVM-side,
-    narrow, no shuffle. Use ``bits=32`` with ``portable_hash32`` for
-    an external-engine-reproducible variant.
+    hash(token)). Implemented as explode → one hash per token → ``bits``
+    conditional-sum aggregates grouped by document. The aggregates are
+    plain codegen'd expressions — a previous formulation as ``bits``
+    array ``F.aggregate`` folds evaluated its lambdas *interpreted*
+    (measured ~2× slower end-to-end at sf0.1, and CPU-bound at scale;
+    the same rewrite bought ~20× for MinHash signatures). Map-side
+    partial aggregation collapses each document's tokens to a single
+    8·bits-byte row before the exchange, so the shuffle carries
+    per-document bit-sums, not tokens. Use ``bits=32`` with
+    ``portable_hash32`` for an external-engine-reproducible variant.
 
     Returns (id, simhash: long).
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashes = F.transform(words, lambda w: hash_fn(w, 0))
+    tokens = df.select(
+        F.col(id_col).alias("id"), F.explode(words).alias("_w")
+    ).select("id", hash_fn(F.col("_w"), 0).alias("_h"))
 
-    def bit_sum(b: int):
-        # Σ over tokens of (+1 if bit b set else -1)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-
+    # Σ over tokens of (+1 if bit b set else -1) — one codegen'd
+    # conditional sum per bit, partial-aggregated map-side
+    bit_sums = tokens.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"_b{b}")
+            for b in range(bits)
+        ]
+    )
     sim = F.lit(0).cast("long")
     for b in range(bits):
         weight = 2**b if b < 63 else -(2**63)
-        sim = sim + F.when(bit_sum(b) > 0, F.lit(weight).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+        sim = sim + F.when(
+            F.col(f"_b{b}") > 0, F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("id", sim.alias("simhash"))
 
 
 def simhash_bands(
