@@ -42,6 +42,7 @@ def bench_queries(spark, sf_dir):
         "events_tumbling": lambda: C.q_events_tumbling(spark, sf_dir),
         "dedup_exact": lambda: D.exact_dedup_stats(docs),
         "dedup_minhash_lsh": lambda: D.minhash_lsh_pairs(docs, num_perm=64, bands=16),
+        "dedup_simhash": lambda: D.simhash_bands(docs, bands=4, bits=64),
         "text_stats": lambda: TX.with_token_count(TX.with_text_stats(docs)),
         "sim_lsh_topk": lambda: S.lsh_bucket_topk(emb, k=5),
         "two_level_nest": lambda: C.q_a2_two_level_nest(spark, sf_dir),

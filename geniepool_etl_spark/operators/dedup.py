@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from geniepool_etl_spark.functions import fast_hash64, portable_hash32
@@ -77,18 +77,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingle_array(n: int = 3, text_col: str = "text") -> Column:
     """Distinct word n-gram shingles of a document as an array column.
 
-    Built entirely from array higher-order functions: split →
-    transform over start offsets → distinct. Narrow (no shuffle).
-    Documents shorter than ``n`` words yield zero shingles (guarded:
-    ``sequence(1, 0)`` would count *down*).
+    Built by zipping the word array with its k-shifted copies
+    (``shingle_i = w[i] ⊕ w[i+1] ⊕ … ⊕ w[i+n-1]``) — O(len·n) work per
+    document. The obvious ``transform(starts, i -> concat_ws(slice(w,
+    i, n)))`` formulation re-slices the array per shingle (O(len²)
+    copying) and measured 4× slower at sf0.1. Narrow (no shuffle).
+    Documents shorter than ``n`` words yield zero shingles. ``zip_with``
+    pads the shorter side with null, which ``concat_ws`` skips — padded
+    tails are cut by the final ``slice`` to len-(n-1) entries.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    starts = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    z = words
+    for k in range(1, n):
+        shifted = F.slice(
+            words, k + 1, F.greatest(F.size(words) - k, F.lit(0))
+        )
+        z = F.zip_with(z, shifted, lambda a, b: F.concat_ws(" ", a, b))
     return F.when(
         F.size(words) >= n,
-        F.array_distinct(
-            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-        ),
+        F.array_distinct(F.slice(z, 1, F.size(words) - (n - 1))),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -126,11 +133,17 @@ def jaccard_pairs(
     sh = word_shingles(df, n, text_col, id_col)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-    capped = sh.join(
-        F.broadcast(freq.where(F.col("_f") > max_shingle_freq).select("shingle")),
-        "shingle",
-        "left_anti",
+    # Frequency cap as a window count over the shingle key: one pass
+    # over the exploded shingles (a groupBy + anti-join branch would
+    # re-run the shingling a second time), and the hash(shingle)
+    # exchange it introduces is the partitioning the self-equi-join
+    # needs anyway.
+    capped = (
+        sh.withColumn(
+            "_f", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .where(F.col("_f") <= max_shingle_freq)
+        .drop("_f")
     )
 
     a = capped.select(F.col("id").alias("id_a"), "shingle")
@@ -247,7 +260,16 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, n, text_col, id_col, hash_fn)
+    # The signature frame feeds three consumers (banding + the two
+    # re-attach joins); without materialization each consumer re-runs
+    # the full shingle→hash→min pipeline. localCheckpoint (lazy)
+    # truncates the lineage so signatures — 8·num_perm B per doc, far
+    # smaller than the shingle explode that produced them — are
+    # computed once. On a multi-executor cluster swap for
+    # persist(MEMORY_AND_DISK) if executor loss matters.
+    sigs = minhash_signatures(
+        df, num_perm, n, text_col, id_col, hash_fn
+    ).localCheckpoint(eager=False)
 
     def band_key(bi: int) -> Column:
         # Band identity = the concatenated signature slice; hashing the
@@ -267,15 +289,20 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    banded = sigs.select("id", "sig", F.explode(band_cols).alias("bk")).select(
-        "id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    banded = sigs.select("id", F.explode(band_cols).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
-    freq = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_f"))
-    banded = banded.join(
-        F.broadcast(freq.where(F.col("_f") > max_bucket).select("band", "key")),
-        ["band", "key"],
-        "left_anti",
+    # Degenerate-bucket cap as a window count over (band, key): one
+    # pass over the banded rows (a groupBy + anti-join branch would
+    # re-run the full signature pipeline a second time), reusing the
+    # hash(band, key) exchange the self-join needs next.
+    banded = (
+        banded.withColumn(
+            "_f", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        )
+        .where(F.col("_f") <= max_bucket)
+        .drop("_f")
     )
 
     a = banded.select(F.col("id").alias("id_a"), "band", "key")

@@ -147,13 +147,20 @@ def _cap_hot_buckets(b: DataFrame, max_bucket: int) -> DataFrame:
     O(Σ|bucket|²), so one degenerate bucket (a low-entropy embedding
     region — boilerplate docs, zero vectors) dominates the whole job at
     scale; the cap bounds the worst-case fan-out exactly like the hot-
-    shingle cap in dedup.jaccard_pairs. The hot list is tiny (≤ 2^n
-    rows) — broadcast anti-join, no extra shuffle on the big side."""
-    freq = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_f"))
-    return b.join(
-        F.broadcast(freq.where(F.col("_f") > max_bucket).select("bucket")),
-        "bucket",
-        "left_anti",
+    shingle cap in dedup.jaccard_pairs.
+
+    Implemented as a window count over ``bucket`` rather than a
+    groupBy + anti-join: the count-then-filter is ONE pass over ``b``
+    (an aggregate branch would evaluate ``b``'s lineage — 2^n_planes
+    interpreted hyperplane dots per vector — a second time), and the
+    hash(bucket) exchange it introduces is exactly the partitioning the
+    candidate equi-join needs next, so no extra shuffle materializes.
+    """
+    w = Window.partitionBy("bucket")
+    return (
+        b.withColumn("_f", F.count(F.lit(1)).over(w))
+        .where(F.col("_f") <= max_bucket)
+        .drop("_f")
     )
 
 
@@ -202,16 +209,24 @@ def lsh_bucket_topk(
     """
     if n_planes is None:
         n_planes = auto_n_planes(corpus.count())
+    # L2 norms are attached BEFORE the join: scoring a candidate pair
+    # is then a single dot-product fold instead of three (dot + two
+    # norms), and each vector's norm is computed once, not once per
+    # candidate pair.
     b = _cap_hot_buckets(
         lsh_bucket(corpus, n_planes, dim, id_col, vec_col), max_bucket
-    )
+    ).withColumn("norm", l2_norm(F.col("vec")))
     a = b.select(
         F.col("id").alias("q_id"),
         F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
         F.explode(_probe_buckets(n_planes, multi_probe)).alias("bucket"),
     )
     c = b.select(
-        F.col("id").alias("n_id"), F.col("vec").alias("n_vec"), "bucket"
+        F.col("id").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+        "bucket",
     )
     scored = (
         a.join(c, "bucket")
@@ -219,7 +234,11 @@ def lsh_bucket_topk(
         .select(
             "q_id",
             "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -254,16 +273,28 @@ def embedding_near_dup_pairs(
     """
     b = _cap_hot_buckets(
         lsh_bucket(corpus, n_planes, dim, id_col, vec_col), max_bucket
+    ).withColumn("norm", l2_norm(F.col("vec")))
+    a = b.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+        "bucket",
     )
-    a = b.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
-    c = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    c = b.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+        "bucket",
+    )
     return (
         a.join(c, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
