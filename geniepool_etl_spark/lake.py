@@ -100,17 +100,33 @@ def write_bucketed_table(
     plan assertion in tests/test_plans.py).
     """
     spark = df.sparkSession
+    # Resolve the managed location from the catalog BEFORE dropping
+    # (correct for database-qualified names, whose location is
+    # <warehouse>/<db>.db/<tbl>, not <warehouse>/<db>.<tbl>); for a
+    # table absent from the catalog (an earlier run aborted between
+    # write and commit) derive the default layout instead.
+    loc: str | None = None
+    if spark.catalog.tableExists(table):
+        rows = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .where("col_name = 'Location'")
+            .collect()
+        )
+        if rows:
+            loc = rows[0]["data_type"]
+    else:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        parts = table.lower().split(".")
+        if warehouse and len(parts) <= 2:
+            rel = parts[-1] if len(parts) == 1 else f"{parts[0]}.db/{parts[1]}"
+            loc = os.path.join(warehouse, rel)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a dropped managed table can leave its location behind (e.g. an
-    # earlier run aborted between write and commit) — clear it, local
-    # filesystems only.
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith(("file:", "/")):
+    if loc and loc.removeprefix("file:").startswith("/"):
         import shutil
 
-        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+        path = loc.removeprefix("file:")
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
 
     writer = (
         df.write.mode("overwrite")

@@ -342,7 +342,9 @@ def minhash_lsh_pairs(
 # duplicate clusters (connected components over candidate pairs)
 # --------------------------------------------------------------------------
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 50, check_every: int = 3
+) -> DataFrame:
     """Connected components over near-duplicate pairs: every document
     in a transitively-connected duplicate group gets the group's
     minimum id as its cluster label — the step that turns pairwise
@@ -356,8 +358,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
 
     Scale notes: ``localCheckpoint`` truncates the growing lineage
     each round (without it, round k replans rounds 1..k-1); the
-    convergence check is one count per round — at 100 TB amortize it
-    by checking every few rounds.
+    convergence check (one distributed count) runs every
+    ``check_every`` rounds rather than every round — extra rounds past
+    the fixpoint are no-ops on the labels, so amortizing the check
+    trades ≤ check_every-1 cheap converged iterations for
+    (check_every-1)/check_every fewer driver actions.
 
     Returns (id, label) for every id appearing in ``pairs``.
     """
@@ -373,7 +378,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             adj.join(
                 labels.select(
@@ -395,15 +400,16 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                return new_labels
         labels = new_labels
-        if changed == 0:
-            break
     return labels
 
 

@@ -70,40 +70,60 @@ def _tumbling(e: DataFrame, width_us: int) -> DataFrame:
     )
 
 
+def _write_ingest_batch(
+    batch_df: DataFrame, batch_id: int, lake_path: str
+) -> None:
+    """Idempotent micro-batch write: every batch lands under its own
+    ``ingest_batch=<id>`` sub-partition via dynamic partition
+    overwrite. ``foreachBatch`` is at-least-once — after a failure the
+    same batch_id is re-delivered, and a plain append would duplicate
+    any rows the interrupted attempt already committed; overwriting
+    exactly this batch's (day_bucket, ingest_batch) directories makes
+    the retry replace, not duplicate."""
+    from pyspark.sql import functions as F
+
+    (
+        batch_df.drop("event_time")
+        .withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day_bucket", "ingest_batch")
+        .parquet(lake_path)
+    )
+
+
 def stream_events_to_lake(
     spark: SparkSession,
     src_dir: str,
     lake_path: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int | None = 16,
 ) -> None:
     """Incremental ingest: stream event files into a Hive-partitioned
     parquet lake via ``foreachBatch`` — the streaming counterpart of
-    the reference's batch-append lake build (each micro-batch appends
-    its rows under ``day_bucket=*`` directories; the checkpoint makes
-    re-runs resume instead of re-ingest).
+    the reference's batch-append lake build. The checkpoint makes
+    re-runs resume instead of re-ingest, and each micro-batch writes
+    idempotently (see :func:`_write_ingest_batch`), so the lake holds
+    exactly-once contents despite foreachBatch's at-least-once calls.
 
-    Scale notes: partitioning each micro-batch by the event-time day
-    keeps files per partition proportional to batches-per-day — at
-    100 TB/day add ``maxFilesPerTrigger`` and a periodic compaction
-    pass over closed partitions.
+    Scale notes: ``max_files_per_trigger`` bounds micro-batch size (an
+    unbounded first batch on a backlogged source is the classic
+    streaming OOM); partitioning by event-time day keeps files per
+    partition proportional to batches-per-day — run
+    :func:`compact_day_partition` over closed days to collapse the
+    per-batch files.
     """
     from pyspark.sql import functions as F
 
-    stream = read_event_stream(spark, src_dir)
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger)
     enriched = E.with_event_time(stream).withColumn(
         "day_bucket", F.expr("ts_us div 86400000000")
     )
 
-    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.drop("event_time")
-            .write.mode("append")
-            .partitionBy("day_bucket")
-            .parquet(lake_path)
-        )
-
     query = (
-        enriched.writeStream.foreachBatch(append_batch)
+        enriched.writeStream.foreachBatch(
+            lambda df, bid: _write_ingest_batch(df, bid, lake_path)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
@@ -111,6 +131,32 @@ def stream_events_to_lake(
         query.processAllAvailable()
     finally:
         query.stop()
+
+
+def compact_day_partition(
+    spark: SparkSession, lake_path: str, day_bucket: int, target_files: int = 1
+) -> None:
+    """Collapse a closed day's per-batch files into ``target_files``
+    parquet files under a single ``ingest_batch=-1`` sub-partition
+    (keeping the partition-directory depth uniform so discovery over
+    the whole lake still works). Compacted data is staged to a sibling
+    temp directory and atomically swapped in — never read-and-overwrite
+    in place."""
+    import shutil as _sh
+
+    part_dir = os.path.join(lake_path, f"day_bucket={day_bucket}")
+    if not os.path.isdir(part_dir):
+        return
+    tmp = part_dir + "._compact_tmp"
+    (
+        spark.read.parquet(part_dir)
+        .drop("ingest_batch")
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "ingest_batch=-1"))
+    )
+    _sh.rmtree(part_dir)
+    os.rename(tmp, part_dir)
 
 
 def run_tumbling_stream(

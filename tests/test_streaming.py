@@ -81,6 +81,65 @@ def test_stream_to_lake_ingest(spark, tmp_path):
     assert spark.read.parquet(lake).count() == n_src
 
 
+def test_ingest_batch_write_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the same batch_id
+    must replace, not duplicate (dynamic partition overwrite on
+    (day_bucket, ingest_batch))."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.functions import enable_nanos_as_long
+    from geniepool_etl_spark.streaming import _write_ingest_batch
+
+    enable_nanos_as_long(spark)
+    lake = str(tmp_path / "lake")
+    ev = E.with_event_time(
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ).withColumn("day_bucket", F.expr("ts_us div 86400000000"))
+    n = ev.count()
+
+    _write_ingest_batch(ev, 0, lake)
+    _write_ingest_batch(ev, 0, lake)  # retry of the same batch
+    assert spark.read.parquet(lake).count() == n
+
+    _write_ingest_batch(ev, 1, lake)  # a genuinely new batch appends
+    assert spark.read.parquet(lake).count() == 2 * n
+
+
+def test_bounded_batches_and_compaction(spark, tmp_path):
+    """maxFilesPerTrigger bounds the files per micro-batch (two source
+    files at 1 per trigger → ≥2 ingest batches), and compacting a day
+    collapses its per-batch files without changing its contents."""
+    import glob as _g
+    import os
+
+    from geniepool_etl_spark.streaming import (
+        compact_day_partition,
+        stream_events_to_lake,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in glob.glob(f"{SF_SMALL}/events.parquet"):
+        shutil.copy(f, src / "a.parquet")
+        shutil.copy(f, src / "b.parquet")
+    lake = str(tmp_path / "lake")
+    stream_events_to_lake(
+        spark, str(src), lake, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    out = spark.read.parquet(lake)
+    n = out.count()
+    assert out.select("ingest_batch").distinct().count() >= 2
+
+    day_dirs = _g.glob(os.path.join(lake, "day_bucket=*"))
+    assert day_dirs
+    before = len(_g.glob(os.path.join(day_dirs[0], "*", "*.parquet")))
+    day = int(os.path.basename(day_dirs[0]).split("=")[1])
+    compact_day_partition(spark, lake, day)
+    after = len(_g.glob(os.path.join(day_dirs[0], "*", "*.parquet")))
+    assert after <= before
+    assert spark.read.parquet(lake).count() == n
+
+
 def test_stateful_running_counts(spark, tmp_path):
     """applyInPandasWithState: after one micro-batch the per-user state
     equals the batch groupBy answer."""
