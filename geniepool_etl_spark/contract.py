@@ -904,6 +904,150 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-3 extensions: upsert, sampling, percentiles, IVF, binary
+# source, grouping sets, unpivot, collection functions
+# =====================================================================
+
+def q_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed merge (operators/upsert.merge_upsert): updated rows win,
+    unmatched base rows survive — the MERGE result as one anti-join +
+    union, no full outer join."""
+    from geniepool_etl_spark.operators.upsert import merge_upsert
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    return merge_upsert(base, updates, ["o_orderkey"])
+
+
+def q_p7_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — the distributed, reproducible
+    alternative to RNG-based ``df.sample`` (same rows on every engine,
+    every run, any partitioning): keep a row iff a content hash of its
+    key lands in the sample window."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return li.where(portable_hash32(key, 7) % 20 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def q_a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75) per group, plus a
+    tolerance boolean proving the t-digest approximation
+    (percentile_approx) lands within 1 unit of the exact median."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias(
+            "_approx"
+        ),
+    )
+    return agg.select(
+        "l_linestatus",
+        "p25",
+        "p50",
+        "p75",
+        (F.abs(F.col("_approx") - F.col("p50")) <= 1).alias("approx_ok"),
+    )
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: inverted lists under
+    deterministic seed centroids, queries probe nprobe lists
+    (operators/similarity.ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.where("vec_id < 8"), k=5, n_centroids=16, nprobe=4
+    )
+
+
+def q_s14_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the multimodal ingestion path: opaque asset
+    bytes as a binary column with typed metadata (path, length),
+    reduced to scalar lineage columns (id from the file name, byte
+    length, content md5)."""
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .where("doc_id < 50")
+        .select("doc_id", "text")
+        .collect()
+    )  # 50-row fixture generation only, not a data path
+    out = _tmpdir("s14")
+    for r in rows:
+        with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(out)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+def q_a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() null-vs-group markers —
+    the generalization of rollup/cube (a5/a6)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_f4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide measure columns to (key, measure, value)
+    rows — the inverse of events_pivot."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+def q_f3_collection_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-function breadth: split, size, array_distinct,
+    array_sort, array_join, array_contains, element_at (positive and
+    negative indices)."""
+    n = _t(spark, sf_dir, "nation")
+    parts = F.split(F.col("n_name"), "A")
+    return n.select(
+        "n_nationkey",
+        F.size(parts).alias("n_parts"),
+        F.array_join(F.array_sort(F.array_distinct(parts)), "|").alias(
+            "distinct_parts"
+        ),
+        F.array_contains(parts, "").alias("has_empty"),
+        F.element_at(parts, 1).alias("first_part"),
+        F.element_at(parts, -1).alias("last_part"),
+    )
+
+
+# =====================================================================
 # Generators + scalar-function breadth (SURVEY §2.5/§2.6 extensions)
 # =====================================================================
 
@@ -1193,6 +1337,47 @@ s AS (
          {_cosine_sql('a.e', 'c.e')} AS cos_sim
   FROM probes a JOIN capped c ON c.bucket = a.pb
   WHERE a.vec_id <> c.vec_id
+)
+SELECT q_id, n_id, cos_sim FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
+"""
+
+
+def _sim_ivf_oracle() -> str:
+    # Mirrors ivf_topk(n_centroids=16, nprobe=4, queries = vec_id < 8):
+    # centroids are the 16 lowest-id vectors; corpus vectors join their
+    # single nearest centroid's list; queries probe their 4 nearest.
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm FROM v),
+c AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+asgn AS (
+  SELECT n.vec_id AS id, n.e, n.nrm, c.cid,
+         round({_dot_sql('n.e', 'c.ce')} / (n.nrm * c.cnrm), 9) AS cs
+  FROM n CROSS JOIN c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rk
+  FROM asgn
+),
+lists AS (
+  SELECT id AS n_id, e AS ne, nrm AS nn, cid FROM ranked WHERE rk = 1
+),
+probes AS (
+  SELECT id AS q_id, e AS qe, nrm AS qn, cid FROM ranked
+  WHERE rk <= 4 AND id < 8
+),
+s AS (
+  SELECT DISTINCT q_id, n_id,
+         round({_dot_sql('qe', 'ne')} / (qn * nn), 4) AS cos_sim
+  FROM probes JOIN lists USING (cid)
+  WHERE q_id <> n_id
 )
 SELECT q_id, n_id, cos_sim FROM s
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
@@ -1682,6 +1867,66 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
                date_trunc('month', o_orderdate) AS month_start
         FROM orders
     """
+    o["lake_upsert"] = """
+        WITH u AS (
+          SELECT o_orderkey, round(o_totalprice * 2, 2) AS o_totalprice,
+                 'U' AS o_orderstatus
+          FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM u
+    """
+    o["p7_hash_sample"] = f"""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE {_h(
+            "concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+            "CAST(l_linenumber AS VARCHAR))", 7
+        )} % 20 = 0
+    """
+    o["a9_percentiles"] = """
+        SELECT l_linestatus,
+               round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+               round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+               true AS approx_ok
+        FROM lineitem GROUP BY l_linestatus
+    """
+    o["sim_ivf_topk"] = _sim_ivf_oracle()
+    o["s14_binaryfile_source"] = """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS length,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id < 50
+    """
+    o["a10_grouping_sets"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """
+    o["f4_unpivot"] = """
+        SELECT p_partkey, 'p_size' AS measure,
+               CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS measure,
+               CAST(p_retailprice AS DOUBLE) AS val FROM part
+    """
+    o["f3_collection_funcs"] = """
+        WITH s AS (
+          SELECT n_nationkey, string_split(n_name, 'A') AS parts FROM nation
+        )
+        SELECT n_nationkey,
+               CAST(len(parts) AS INT) AS n_parts,
+               array_to_string(list_sort(list_distinct(parts)), '|')
+                 AS distinct_parts,
+               list_contains(parts, '') AS has_empty,
+               parts[1] AS first_part,
+               parts[-1] AS last_part
+        FROM s
+    """
     o["flagship_lake_nest"] = """
         WITH lvl1 AS (
           SELECT l_orderkey, o_orderstatus,
@@ -1730,6 +1975,15 @@ SPARK_QUERIES = {
     "a1_collect_set_nest": q_a1_collect_set_nest,
     "a2_two_level_nest": q_a2_two_level_nest,
     "a7_approx_distinct": q_a7_approx_distinct,
+    # --- new in round 3 ---
+    "lake_upsert": q_lake_upsert,
+    "p7_hash_sample": q_p7_hash_sample,
+    "a9_percentiles": q_a9_percentiles,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "s14_binaryfile_source": q_s14_binaryfile_source,
+    "a10_grouping_sets": q_a10_grouping_sets,
+    "f4_unpivot": q_f4_unpivot,
+    "f3_collection_funcs": q_f3_collection_funcs,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,

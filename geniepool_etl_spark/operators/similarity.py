@@ -300,6 +300,130 @@ def embedding_near_dup_pairs(
     )
 
 
+def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("norm", l2_norm(F.col("vec")))
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, cvec, cnorm) — the ``n_centroids`` lowest-id corpus
+    vectors as seed centroids. Deterministic and engine-reproducible
+    (the correctness-oracle requirement); production would
+    k-means-refine these, which changes the *quality* of the
+    partition, not the shape of any downstream plan."""
+    return (
+        _with_norm(corpus, id_col, vec_col)
+        .orderBy("id")
+        .limit(n_centroids)
+        .select(
+            F.col("id").alias("cid"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, norm, cid, crank) — each vector assigned to its
+    ``nprobe`` nearest of the given ``centroids`` by cosine (crank 1 =
+    nearest). The centroid set is tiny and broadcast; assignment is a
+    narrow broadcast join + per-vector top-``nprobe`` window — the
+    corpus never shuffles."""
+    vecs = _with_norm(df, id_col, vec_col)
+    # assignment ranks on the 9-decimal-rounded cosine: enough
+    # precision that distinct centroids never collide, while making
+    # the rank reproducible when an external engine (the correctness
+    # oracle) recomputes the same fold
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "vec",
+        "norm",
+        "cid",
+        F.round(
+            dot(F.col("vec"), F.col("cvec"))
+            / (F.col("norm") * F.col("cnorm")),
+            9,
+        ).alias("_cs"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("_cs").desc(), F.col("cid"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= nprobe)
+        .drop("_cs")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single
+    nearest centroid's inverted list; each query probes its ``nprobe``
+    nearest centroids and ranks those lists exactly.
+
+    This is the other classic ANN scale shape next to LSH: candidate
+    generation is an equi-join on ``cid`` (list membership), so the
+    shuffle is keyed by centroid — fine-grained, never all-pairs — and
+    recall is tuned by ``nprobe`` instead of hyperplane count. Queries
+    are assigned against the CORPUS centroid set. Returns
+    (q_id, n_id, cos_sim), ties broken by n_id.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    lists = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
+        F.col("id").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+        "cid",
+    )
+    probes = ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        "cid",
+    )
+    scored = (
+        probes.join(lists, "cid")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                4,
+            ).alias("cos_sim"),
+        )
+        # a (q, n) pair appears once per shared probed centroid —
+        # distinct on the pair before ranking
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

@@ -278,3 +278,80 @@ def test_decode_stubs_raise():
         M.decode_image(b"")
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"")
+
+
+# ----------------------------------------------------------------- upsert
+
+def test_merge_upsert_update_wins(spark):
+    from geniepool_etl_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k LONG, v STRING"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k LONG, v STRING"
+    )
+    got = {r.k: r.v for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_upsert_partitioned_lake_touches_only_updated_partitions(
+    spark, tmp_path
+):
+    from geniepool_etl_spark.operators.upsert import upsert_partitioned_lake
+
+    lake = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "p0", "a"), (2, "p0", "b"), (3, "p1", "c"), (4, "p2", "d")],
+        "k LONG, part STRING, v STRING",
+    )
+    base.write.partitionBy("part").parquet(lake)
+    import os
+
+    p2_files = {
+        f: os.path.getmtime(os.path.join(lake, "part=p2", f))
+        for f in os.listdir(os.path.join(lake, "part=p2"))
+        if f.endswith(".parquet")
+    }
+    updates = spark.createDataFrame(
+        [(2, "p0", "B"), (5, "p1", "E")], "k LONG, part STRING, v STRING"
+    )
+    upsert_partitioned_lake(spark, lake, updates, ["k"], ["part"])
+    got = {r.k: r.v for r in spark.read.parquet(lake).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d", 5: "E"}
+    # untouched partition p2 was not rewritten
+    p2_after = {
+        f: os.path.getmtime(os.path.join(lake, "part=p2", f))
+        for f in os.listdir(os.path.join(lake, "part=p2"))
+        if f.endswith(".parquet")
+    }
+    assert p2_after == p2_files
+
+
+# ----------------------------------------------------------------- IVF
+
+def test_ivf_lists_partition_corpus(spark):
+    emb = spark.read.parquet(f"{_SF_SMALL()}/embeddings.parquet")
+    cents = S.ivf_centroids(emb, n_centroids=8)
+    assert cents.count() == 8
+    lists = S.ivf_assign(emb, cents, nprobe=1)
+    # every vector lands in exactly one list
+    assert lists.count() == emb.count()
+    assert lists.select("id").distinct().count() == emb.count()
+
+
+def test_ivf_topk_subset_of_bruteforce_candidates(spark):
+    emb = spark.read.parquet(f"{_SF_SMALL()}/embeddings.parquet")
+    q = emb.where("vec_id < 4")
+    ivf = S.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=8)
+    brute = S.cosine_topk(emb, q, k=3)
+    # probing ALL centroids = exhaustive search → must equal brute force
+    assert sorted(map(tuple, ivf.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+
+
+def _SF_SMALL():
+    from tests.conftest import SF_SMALL
+
+    return SF_SMALL
