@@ -1029,6 +1029,71 @@ def q_f4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tf-idf: top-3 terms per document (operators/text.
+    tfidf_top_terms) — one explode, df derived from the tf aggregate,
+    N broadcast."""
+    return TX.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: digit runs masked, run count + scrubbed
+    content hash (operators/text.with_scrubbed_numbers)."""
+    return TX.with_scrubbed_numbers(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_digit_runs", "scrubbed_md5"
+    )
+
+
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance precision pass over the Jaccard candidate pairs
+    (operators/dedup.levenshtein_pairs) — exact O(n·m) scoring confined
+    to bucketed candidates, never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=3).where(F.col("jaccard") >= 0.1)
+    return D.levenshtein_pairs(docs, pairs)
+
+
+def q_a11_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and sample/
+    population covariance (quantity vs price)."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qp_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qp_covar"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
+            "qp_covar_pop"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: per user, one row for EVERY day between
+    their first and last event (0-filled) — the gap-fill shape feature
+    pipelines need before windowed training aggregates. Distributed as
+    explode(sequence(lo, hi)) per user — no driver-side calendar."""
+    ev = _events(spark, sf_dir)
+    # integer div chain (never / — double division rounds at 1e18)
+    day = F.expr("(ts div 1000) div 86400000000")
+    e = ev.select("user_id", day.alias("day"))
+    counts = e.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    spans = e.groupBy("user_id").agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    cal = spans.select(
+        "user_id",
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day"),
+    )
+    return cal.join(counts, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
 def q_f3_collection_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection-function breadth: split, size, array_distinct,
     array_sort, array_join, array_contains, element_at (positive and
@@ -1927,6 +1992,59 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
                parts[-1] AS last_part
         FROM s
     """
+    o["text_tfidf"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        tok AS (SELECT doc_id AS id, unnest(w) AS term FROM words),
+        tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.id, tf.term, tf.tf,
+                 round(tf.tf * ln((n.n_docs + 1) / CAST(dfreq.df + 1 AS DOUBLE)),
+                       4) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT id, term, tf, score,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY score DESC, term) AS rnk
+        FROM scored QUALIFY rnk <= 3
+    """
+    o["text_scrub"] = """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT)
+                 AS n_digit_runs,
+               md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS scrubbed_md5
+        FROM documents
+    """
+    o["dedup_levenshtein"] = f"""
+        WITH p AS ({_jaccard_oracle()})
+        SELECT p.id_a, p.id_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
+        FROM p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+    """
+    o["a11_corr_stats"] = """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar,
+               round(covar_pop(l_quantity, l_extendedprice), 2)
+                 AS qp_covar_pop,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """
+    o["events_gap_fill"] = f"""
+        WITH e AS (
+          SELECT user_id, ({_EVENT_US}) // 86400000000 AS day FROM events
+        ),
+        d AS (SELECT user_id, day, count(*) AS n FROM e GROUP BY 1, 2),
+        s AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM e GROUP BY 1),
+        cal AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM s)
+        SELECT c.user_id, c.day,
+               CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+        FROM cal c LEFT JOIN d USING (user_id, day)
+    """
     o["flagship_lake_nest"] = """
         WITH lvl1 AS (
           SELECT l_orderkey, o_orderstatus,
@@ -1984,6 +2102,11 @@ SPARK_QUERIES = {
     "a10_grouping_sets": q_a10_grouping_sets,
     "f4_unpivot": q_f4_unpivot,
     "f3_collection_funcs": q_f3_collection_funcs,
+    "text_tfidf": q_text_tfidf,
+    "text_scrub": q_text_scrub,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "a11_corr_stats": q_a11_corr_stats,
+    "events_gap_fill": q_events_gap_fill,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,

@@ -338,6 +338,42 @@ def minhash_lsh_pairs(
     )
 
 
+def levenshtein_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Exact edit distance over CANDIDATE pairs — the precision pass
+    that follows any of the approximate candidate generators (shingle
+    Jaccard, MinHash-LSH, SimHash bands).
+
+    Levenshtein is O(|a|·|b|) per pair, so it must never see all-pairs
+    input; here it runs only on the (id_a, id_b) rows of ``pairs``,
+    re-attaching the two texts via keyed joins (broadcast when the
+    pair set is small, which it is by construction after bucketing +
+    caps). Returns (id_a, id_b, lev), optionally filtered to
+    ``lev <= max_dist``.
+    """
+    t = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    out = (
+        pairs.select("id_a", "id_b")
+        .join(
+            t.withColumnsRenamed({"_id": "id_a", "_t": "_ta"}), "id_a"
+        )
+        .join(
+            t.withColumnsRenamed({"_id": "id_b", "_t": "_tb"}), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("lev"),
+        )
+    )
+    return out.where(F.col("lev") <= max_dist) if max_dist else out
+
+
 # --------------------------------------------------------------------------
 # duplicate clusters (connected components over candidate pairs)
 # --------------------------------------------------------------------------

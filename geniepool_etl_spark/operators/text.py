@@ -126,6 +126,77 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop(*[f"_hits_{lang}" for lang in langs])
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per document by tf-idf — the classic relevance /
+    boilerplate-vs-content signal over a training corpus.
+
+    ``score(d, t) = tf(d, t) · ln((N + 1) / (df(t) + 1))`` with tf =
+    term count in the document, df = number of documents containing the
+    term, N = corpus size.
+
+    Plan shape: one explode → (doc, term) count aggregate (map-side
+    partial), document frequency derived from THAT aggregate (rows are
+    already distinct (doc, term) pairs — no second pass over the
+    corpus), N as a broadcast 1-row aggregate. Ranking is a window per
+    document on the 4-decimal-rounded score with a term tie-break
+    (deterministic across engines). Returns (id, term, tf, score, rnk).
+    """
+    from pyspark.sql import Window
+
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words_col(F.col(text_col))).alias("term"),
+    )
+    tf = tokens.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def with_scrubbed_numbers(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII-style scrubbing pass: digit runs masked to '#', with the
+    run count and a content hash of the scrubbed text for verification.
+    The pattern is RE2-compatible so external engines reproduce it
+    verbatim; swap in email/phone patterns for a real PII pass — the
+    plan shape (narrow regexp map at scan speed) is the point."""
+    text = F.col(text_col)
+    return (
+        df.withColumn(
+            "n_digit_runs",
+            F.size(F.regexp_extract_all(text, F.lit("[0-9]+"), 0)),
+        )
+        .withColumn(
+            "scrubbed_md5",
+            F.md5(F.regexp_replace(text, "[0-9]+", "#")),
+        )
+    )
+
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", portable: bool = False
 ) -> DataFrame:
