@@ -159,6 +159,91 @@ def compact_day_partition(
     os.rename(tmp, part_dir)
 
 
+def sessionized_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization: native ``session_window`` keyed by
+    user — the streaming twin of the batch ``operators/events.py``
+    session aggregation. State per (user, open session) is bounded by
+    the watermark: a session closes (and its state drops) once the
+    watermark passes its end + gap."""
+    from pyspark.sql import functions as F
+
+    e = E.with_event_time(stream).withWatermark("event_time", watermark)
+    return (
+        e.groupBy(
+            F.session_window(F.col("event_time"), gap).alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "user_id",
+            "n_events",
+            "max_value",
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once dedup on an id key:
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state bounded by
+    the watermark (a plain streaming dropDuplicates grows state
+    forever — the classic 100 TB/day OOM), so a replayed/duplicated
+    event inside the watermark window is dropped and state for old
+    keys is reclaimed."""
+    e = E.with_event_time(stream).withWatermark("event_time", watermark)
+    return e.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
+def clicks_to_purchases_stream(
+    stream: DataFrame, within_us: int = 2 * E.US_PER_HOUR
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the SAME
+    user's click events at most ``within_us`` earlier — the streaming
+    attribution join. Both sides carry watermarks and the join
+    condition bounds event-time distance, so the state store retains
+    each side only for the join window (the unbounded-state trap is a
+    time-unbounded stream-stream join)."""
+    from pyspark.sql import functions as F
+
+    e = E.with_event_time(stream)
+    clicks = (
+        e.where("event_type = 'click'")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts_us").alias("click_us"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", "2 hours")
+    )
+    purchases = (
+        e.where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_us").alias("purchase_us"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_us") <= F.col("purchase_us"))
+        & (F.col("click_us") >= F.col("purchase_us") - F.lit(within_us)),
+        "inner",
+    ).select("p_user", "purchase_id", "click_id", "purchase_us", "click_us")
+
+
 def run_tumbling_stream(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:

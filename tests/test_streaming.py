@@ -140,6 +140,148 @@ def test_bounded_batches_and_compaction(spark, tmp_path):
     assert spark.read.parquet(lake).count() == n
 
 
+def test_streaming_sessionization_equals_batch(spark, tmp_path):
+    """session_window under readStream (update mode) must produce the
+    batch session answer when everything fits one micro-batch."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.streaming import sessionized_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in glob.glob(f"{SF_SMALL}/events.parquet"):
+        shutil.copy(f, src)
+    out = sessionized_stream(read_event_stream(spark, str(src)))
+    # session windows stream in APPEND mode only: a session is emitted
+    # once the watermark passes its end + gap, so after the real data a
+    # far-future flush event advances the watermark and closes them all
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stream_session")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        max_ns = (
+            spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .selectExpr("max(cast(ts as long)) AS m")
+            .collect()[0]["m"]
+        )
+        flush_ns = max_ns + 24 * 3600 * 1_000_000_000
+        spark.createDataFrame(
+            [(10**9, flush_ns, -1, "flush", 0.0, "{}")],
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _rowset(
+        spark.table("t_stream_session").where("user_id >= 0")
+    )
+
+    from geniepool_etl_spark.functions import enable_nanos_as_long
+
+    enable_nanos_as_long(spark)
+    ev = E.with_event_time(spark.read.parquet(f"{SF_SMALL}/events.parquet"))
+    batch = (
+        ev.groupBy(
+            F.session_window(F.col("event_time"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "user_id",
+            "n_events",
+            "max_value",
+        )
+    )
+    assert got == _rowset(batch)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """A duplicated source file must not duplicate rows downstream:
+    dropDuplicatesWithinWatermark keeps one row per event_id."""
+    from geniepool_etl_spark.streaming import dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in glob.glob(f"{SF_SMALL}/events.parquet"):
+        shutil.copy(f, src / "a.parquet")
+        shutil.copy(f, src / "b.parquet")  # full replay of the same data
+    out = dedup_stream(read_event_stream(spark, str(src)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_distinct = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert spark.table("t_stream_dedup").count() == n_distinct
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked stream-stream join equals the batch join when all
+    data arrives in one micro-batch."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.streaming import clicks_to_purchases_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in glob.glob(f"{SF_SMALL}/events.parquet"):
+        shutil.copy(f, src)
+    out = clicks_to_purchases_stream(read_event_stream(spark, str(src)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stream_join")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _rowset(spark.table("t_stream_join"))
+
+    from geniepool_etl_spark.functions import enable_nanos_as_long
+
+    enable_nanos_as_long(spark)
+    ev = E.with_event_time(spark.read.parquet(f"{SF_SMALL}/events.parquet"))
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_us"),
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_us"),
+    )
+    within = 2 * E.US_PER_HOUR
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_us") <= F.col("purchase_us"))
+        & (F.col("click_us") >= F.col("purchase_us") - F.lit(within)),
+    ).select("p_user", "purchase_id", "click_id", "purchase_us", "click_us")
+    assert got == _rowset(batch)
+
+
 def test_stateful_running_counts(spark, tmp_path):
     """applyInPandasWithState: after one micro-batch the per-user state
     equals the batch groupBy answer."""
