@@ -1029,6 +1029,78 @@ def q_f4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j8_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: customers with/without orders, order rows
+    with/without a (filtered) customer — both null sides exercised."""
+    cust = _t(spark, sf_dir, "customer").where("c_acctbal > 9000").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .where("o_totalprice > 300000")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    joined = cust.join(ords, cust.c_custkey == ords.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("seg"),
+        F.coalesce(F.col("n_big_orders"), F.lit(0)).cast("long").alias(
+            "n_big_orders"
+        ),
+    )
+
+
+def q_w6_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile, percent_rank, cume_dist
+    over a deterministic ordering (price bucket + key tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.floor(F.col("o_totalprice") / 1000).asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+def q_w7_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first/last/nth over a running frame with
+    deterministic ordering."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+def q_a12_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate breadth: count_if, bool_and/or,
+    distinct sum, filtered average."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_large"),
+        F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty"),
+        F.round(
+            F.avg(F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))), 4
+        ).alias("avg_discounted_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tf-idf: top-3 terms per document (operators/text.
     tfidf_top_terms) — one explode, df derived from the tf aggregate,
@@ -1992,6 +2064,48 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
                parts[-1] AS last_part
         FROM s
     """
+    o["j8_full_outer"] = """
+        WITH c AS (
+          SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+        ),
+        o AS (
+          SELECT o_custkey, count(*) AS n_big_orders FROM orders
+          WHERE o_totalprice > 300000 GROUP BY o_custkey
+        )
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+               coalesce(c.c_mktsegment, 'NONE') AS seg,
+               CAST(coalesce(o.n_big_orders, 0) AS BIGINT) AS n_big_orders
+        FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """
+    o["w6_ntile_pct"] = """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 4) AS pct_rank,
+               round(cume_dist() OVER w, 4) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY floor(o_totalprice / 1000) ASC, o_orderkey ASC)
+    """
+    o["w7_value_functions"] = """
+        SELECT o_orderkey, o_custkey,
+               first_value(o_orderkey) OVER w AS first_key,
+               last_value(o_orderkey) OVER w AS last_key,
+               nth_value(o_orderkey, 2) OVER w AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    o["a12_conditional_aggs"] = """
+        SELECT l_linestatus,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               bool_and(l_quantity > 0) AS all_positive,
+               bool_or(l_quantity > 49) AS any_large,
+               sum(DISTINCT l_quantity) AS sum_distinct_qty,
+               round(avg(l_quantity) FILTER (WHERE l_discount > 0.05), 4)
+                 AS avg_discounted_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_linestatus
+    """
     o["text_tfidf"] = f"""
         WITH {_WORDS_CTE.strip()},
         tok AS (SELECT doc_id AS id, unnest(w) AS term FROM words),
@@ -2102,6 +2216,10 @@ SPARK_QUERIES = {
     "a10_grouping_sets": q_a10_grouping_sets,
     "f4_unpivot": q_f4_unpivot,
     "f3_collection_funcs": q_f3_collection_funcs,
+    "j8_full_outer": q_j8_full_outer,
+    "w6_ntile_pct": q_w6_ntile_pct,
+    "w7_value_functions": q_w7_value_functions,
+    "a12_conditional_aggs": q_a12_conditional_aggs,
     "text_tfidf": q_text_tfidf,
     "text_scrub": q_text_scrub,
     "dedup_levenshtein": q_dedup_levenshtein,

@@ -84,6 +84,60 @@ def test_text_stats_match_python_model(texts):
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    base=st.dictionaries(
+        st.integers(0, 20), st.sampled_from(WORDS), min_size=1, max_size=10
+    ),
+    updates=st.dictionaries(
+        st.integers(0, 20), st.sampled_from(WORDS), max_size=10
+    ),
+)
+def test_merge_upsert_model(base, updates):
+    """merge_upsert == dict-update semantics for any key overlap, and
+    applying the same update batch twice equals applying it once."""
+    from geniepool_etl_spark.operators.upsert import merge_upsert
+
+    spark = _spark()
+    b = spark.createDataFrame(list(base.items()), "k LONG, v STRING")
+    u_rows = list(updates.items())
+    u = spark.createDataFrame(u_rows, "k LONG, v STRING") if u_rows else (
+        spark.createDataFrame([], "k LONG, v STRING")
+    )
+    once = merge_upsert(b, u, ["k"])
+    got = {r.k: r.v for r in once.collect()}
+    assert got == {**base, **updates}
+    twice = merge_upsert(once, u, ["k"])
+    assert {r.k: r.v for r in twice.collect()} == got
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(n_parts=st.sampled_from([1, 3, 7]))
+def test_hash_sample_partitioning_invariant(n_parts):
+    """Deterministic hash sampling selects the SAME rows under any
+    repartitioning — the property RNG-based df.sample lacks."""
+    from geniepool_etl_spark.functions import portable_hash32
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    df = spark.range(0, 500).select(F.col("id"))
+    key = F.col("id").cast("string")
+    pick = portable_hash32(key, 7) % 10 == 0
+    a = sorted(r.id for r in df.where(pick).collect())
+    b = sorted(
+        r.id for r in df.repartition(n_parts).where(pick).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+@settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
