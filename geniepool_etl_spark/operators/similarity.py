@@ -329,6 +329,55 @@ def ivf_centroids(
     )
 
 
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of the deterministic seed
+    centroids: assign → element-wise member mean → repeat. Cosine
+    assignment is scale-invariant, so the unnormalized mean is
+    equivalent to the spherical-k-means normalized mean — the summed
+    cosine objective is non-decreasing per round (asserted in tests).
+
+    Fully distributed: assignment is the broadcast argmax of
+    :func:`ivf_assign`; the new centroid is a posexplode → (cid, pos)
+    average → rebuild-by-sorted-pos aggregation (never a driver-side
+    matrix). ``localCheckpoint`` truncates the per-round lineage like
+    dedup_clusters. Returns (cid, cvec, cnorm) — drop-in for
+    :func:`ivf_topk`'s centroid set. cid values are the seed ids
+    (stable labels); empty clusters keep their previous centroid.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
+        means = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        new_vec = F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        )
+        refined = means.groupBy("cid").agg(new_vec.alias("cvec"))
+        refined = refined.withColumn("cnorm", l2_norm(F.col("cvec")))
+        # empty clusters vanish from `refined`; keep their old centroid
+        cents = (
+            cents.select("cid", F.col("cvec").alias("_old_v"), F.col("cnorm").alias("_old_n"))
+            .join(refined, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("cvec"), F.col("_old_v")).alias("cvec"),
+                F.coalesce(F.col("cnorm"), F.col("_old_n")).alias("cnorm"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -373,6 +422,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single
     nearest centroid's inverted list; each query probes its ``nprobe``
@@ -382,10 +432,17 @@ def ivf_topk(
     generation is an equi-join on ``cid`` (list membership), so the
     shuffle is keyed by centroid — fine-grained, never all-pairs — and
     recall is tuned by ``nprobe`` instead of hyperplane count. Queries
-    are assigned against the CORPUS centroid set. Returns
+    are assigned against the CORPUS centroid set (optionally
+    k-means-refined with ``refine_iters`` Lloyd rounds — better list
+    balance, same plan shape; the contract oracle pins 0). Returns
     (q_id, n_id, cos_sim), ties broken by n_id.
     """
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if refine_iters:
+        cents = ivf_kmeans_centroids(
+            corpus, n_centroids, refine_iters, id_col, vec_col
+        )
+    else:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     lists = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
         F.col("id").alias("n_id"),
         F.col("vec").alias("n_vec"),

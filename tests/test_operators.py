@@ -351,6 +351,35 @@ def test_ivf_topk_subset_of_bruteforce_candidates(spark):
     )
 
 
+def test_ivf_kmeans_objective_non_decreasing(spark):
+    """Spherical k-means invariant: the summed cosine of every vector
+    to its assigned centroid must not decrease across Lloyd rounds."""
+    emb = spark.read.parquet(f"{_SF_SMALL()}/embeddings.parquet")
+
+    def objective(cents):
+        assigned = S.ivf_assign(emb, cents, 1)
+        scored = assigned.join(F.broadcast(cents), "cid").select(
+            (
+                S.dot(F.col("vec"), F.col("cvec"))
+                / (F.col("norm") * F.col("cnorm"))
+            ).alias("cs")
+        )
+        return scored.agg(F.sum("cs")).collect()[0][0]
+
+    objs = [
+        objective(S.ivf_centroids(emb, n_centroids=8)),
+        objective(S.ivf_kmeans_centroids(emb, n_centroids=8, n_iter=1)),
+        objective(S.ivf_kmeans_centroids(emb, n_centroids=8, n_iter=3)),
+    ]
+    assert objs[1] >= objs[0] - 1e-6
+    assert objs[2] >= objs[1] - 1e-6
+    # refined centroids still drive ivf_topk end to end
+    out = S.ivf_topk(
+        emb, emb.where("vec_id < 4"), k=3, n_centroids=8, refine_iters=2
+    )
+    assert out.count() == 12
+
+
 def _SF_SMALL():
     from tests.conftest import SF_SMALL
 
