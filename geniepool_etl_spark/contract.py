@@ -1166,6 +1166,20 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase, 24 h conversion
+    windows): users counted at the deepest stage they reached, each
+    stage gated on the previous stage's earliest completion time
+    (operators/events.funnel_stages)."""
+    ev = E.with_event_time(_events(spark, sf_dir))
+    staged = E.funnel_stages(
+        ev,
+        ["signup", "click", "purchase"],
+        within_us=24 * 3600 * 1_000_000,
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 def q_f3_collection_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection-function breadth: split, size, array_distinct,
     array_sort, array_join, array_contains, element_at (positive and
@@ -2147,6 +2161,35 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """
+    o["events_funnel"] = f"""
+        WITH e AS (
+          SELECT user_id AS u, event_type AS t, {_EVENT_US} AS ts FROM events
+        ),
+        s1 AS (SELECT u, min(ts) AS t1 FROM e WHERE t = 'signup' GROUP BY u),
+        s2 AS (
+          SELECT e.u, min(e.ts) AS t2 FROM e JOIN s1 ON e.u = s1.u
+          WHERE e.t = 'click' AND e.ts >= s1.t1
+            AND e.ts <= s1.t1 + 86400000000 GROUP BY e.u
+        ),
+        s3 AS (
+          SELECT e.u, min(e.ts) AS t3 FROM e JOIN s2 ON e.u = s2.u
+          WHERE e.t = 'purchase' AND e.ts >= s2.t2
+            AND e.ts <= s2.t2 + 86400000000 GROUP BY e.u
+        ),
+        staged AS (
+          SELECT d.u,
+                 CASE WHEN s3.u IS NOT NULL THEN 3
+                      WHEN s2.u IS NOT NULL THEN 2
+                      WHEN s1.u IS NOT NULL THEN 1
+                      ELSE 0 END AS stage
+          FROM (SELECT DISTINCT u FROM e) d
+          LEFT JOIN s1 ON d.u = s1.u
+          LEFT JOIN s2 ON d.u = s2.u
+          LEFT JOIN s3 ON d.u = s3.u
+        )
+        SELECT CAST(stage AS INT) AS stage, count(*) AS n_users
+        FROM staged GROUP BY stage
+    """
     o["events_gap_fill"] = f"""
         WITH e AS (
           SELECT user_id, ({_EVENT_US}) // 86400000000 AS day FROM events
@@ -2225,6 +2268,7 @@ SPARK_QUERIES = {
     "dedup_levenshtein": q_dedup_levenshtein,
     "a11_corr_stats": q_a11_corr_stats,
     "events_gap_fill": q_events_gap_fill,
+    "events_funnel": q_events_funnel,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,

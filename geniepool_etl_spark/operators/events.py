@@ -204,3 +204,53 @@ def json_props(df: DataFrame, field: str = "k") -> DataFrame:
         f"prop_{field}",
         F.get_json_object(F.col("props"), f"$.{field}").cast("long"),
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered funnel progression per user: a user reaches stage k iff
+    they performed ``stages[k]`` AT OR AFTER their earliest completion
+    of stage k-1 (and within ``within_us`` of it, when set — the
+    conversion-window variant). Returns (user, stage) with stage ∈
+    [0, len(stages)] (0 = none of the funnel events).
+
+    Plan: one filtered min-aggregate + keyed join per stage — each
+    stage's frame shrinks monotonically (only users who reached k-1
+    join stage k's events), so the work narrows down the funnel. All
+    joins are on the user key; at 100 TB the per-stage aggregates are
+    map-side partial and AQE broadcasts the shrinking stage frames.
+    Expects a ``ts_us`` column (see :func:`with_event_time`).
+    """
+    users = df.select(F.col(user_col).alias("user")).distinct()
+    reached = None  # (user, _t_prev) for the last completed stage
+    stage_frames = []
+    for i, ev_type in enumerate(stages):
+        ev = df.where(F.col("event_type") == ev_type).select(
+            F.col(user_col).alias("user"), F.col("ts_us").alias("_ts")
+        )
+        if reached is not None:
+            cond = F.col("_ts") >= F.col("_t_prev")
+            if within_us is not None:
+                cond = cond & (
+                    F.col("_ts") <= F.col("_t_prev") + F.lit(within_us)
+                )
+            ev = ev.join(reached, "user").where(cond)
+        reached = ev.groupBy("user").agg(F.min("_ts").alias("_t_prev"))
+        stage_frames.append(
+            reached.select("user", F.lit(i + 1).alias("_stage"))
+        )
+    out = users
+    for i, fr in enumerate(stage_frames):
+        out = out.join(
+            fr.withColumnRenamed("_stage", f"_s{i}"), "user", "left"
+        )
+    stage = F.lit(0)
+    for i in range(len(stages)):
+        stage = F.when(F.col(f"_s{i}").isNotNull(), i + 1).otherwise(stage)
+    return out.select(
+        F.col("user").alias(user_col), stage.cast("int").alias("stage")
+    )
