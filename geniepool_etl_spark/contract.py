@@ -1166,6 +1166,17 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profile.profile_columns): null
+    rates, exact cardinalities, min/max per column in ONE scan."""
+    from geniepool_etl_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (signup → click → purchase, 24 h conversion
     windows): users counted at the deepest stage they reached, each
@@ -2161,6 +2172,26 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """
+    o["profile_table"] = """
+        SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               CAST(min(o_orderstatus) AS VARCHAR),
+               CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               CAST(min(o_orderpriority) AS VARCHAR),
+               CAST(max(o_orderpriority) AS VARCHAR)
+        FROM orders
+    """
     o["events_funnel"] = f"""
         WITH e AS (
           SELECT user_id AS u, event_type AS t, {_EVENT_US} AS ts FROM events
@@ -2269,6 +2300,7 @@ SPARK_QUERIES = {
     "a11_corr_stats": q_a11_corr_stats,
     "events_gap_fill": q_events_gap_fill,
     "events_funnel": q_events_funnel,
+    "profile_table": q_profile_table,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,

@@ -8,15 +8,10 @@ flagship dataflow, and codegen coverage of the hot path.
 from __future__ import annotations
 
 from geniepool_etl_spark import contract as C
+from geniepool_etl_spark import plans as P
 from tests.conftest import SF_SMALL
 
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _optimized(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
+_plan = P.executed_plan
 
 
 def test_broadcast_join_is_broadcast(spark):
@@ -35,12 +30,9 @@ def test_dim_chain_joins_broadcast(spark):
 def test_pricing_summary_scan_is_pruned(spark):
     # Column pruning: the q1-shaped aggregate must not read join keys
     # it never touches; filter must be pushed to the parquet scan.
-    plan = _plan(C.q_a4_pricing_summary(spark, SF_SMALL))
-    scan = plan[plan.index("FileScan"):]
-    read_schema = scan[: scan.index("\n")]
-    assert "l_partkey" not in read_schema
-    assert "PushedFilters" in plan
-    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    df = C.q_a4_pricing_summary(spark, SF_SMALL)
+    P.assert_column_pruned(df, "l_partkey")
+    assert "l_shipdate" in P.pushed_filters(df)
 
 
 def test_projection_scan_prunes_columns(spark):
@@ -57,15 +49,10 @@ def test_flagship_exchange_budget(spark):
     # regression that adds a shuffle (e.g. a lost partial-agg) fails.
     df = C.q_flagship_lake_nest(spark, SF_SMALL)
     df.collect()  # materialize so AQE finalizes the adaptive plan
-    plan = _plan(df)
-    # AdaptiveSparkPlan.toString prints final AND initial plans — count
-    # only the final one.
-    final = plan.split("Initial Plan")[0]
-    n_exchanges = final.count("Exchange")
     # dim broadcast + two aggregation boundaries = 3; the join must NOT
     # shuffle the fact side.
-    assert n_exchanges <= 4, final
-    assert "BroadcastHashJoin" in final
+    P.assert_max_exchanges(df, 4)
+    P.assert_broadcast_join(df)
 
 
 def test_whole_stage_codegen_covers_hot_path(spark):
@@ -153,6 +140,33 @@ def test_multi_probe_recovers_straddling_neighbors(spark):
     exact = S.lsh_bucket_topk(emb, k=5, multi_probe=False)
     probed = S.lsh_bucket_topk(emb, k=5, multi_probe=True)
     assert probed.count() >= exact.count()
+
+
+def test_sorted_lake_write_yields_skippable_files(spark, tmp_path):
+    # sort_within must leave every parquet file internally pos-sorted
+    # (disjoint row-group min/max ranges → data skipping on pos).
+    import glob as _g
+
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.lake import write_datalake
+
+    df = (
+        spark.range(0, 20000)
+        .select(
+            F.lit("chr1").alias("chrom"),
+            (F.col("id") % 7).alias("pos_bucket"),
+            F.shiftright(F.xxhash64("id"), 40).alias("pos"),
+            F.col("id").alias("payload"),
+        )
+    )
+    out = str(tmp_path / "lake")
+    write_datalake(df, out, sort_within=True)
+    files = _g.glob(f"{out}/chrom=*/pos_bucket=*/*.parquet")
+    assert files
+    for f in files[:3]:
+        pos = [r.pos for r in spark.read.parquet(f).select("pos").collect()]
+        assert pos == sorted(pos)
 
 
 def test_minhash_no_cross_join(spark):
