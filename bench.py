@@ -60,10 +60,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, build in qs.items():
-        # best-of-2: single runs on a shared machine show 2-3× noise
+        # best-of-3: single runs on a shared machine show 2-3× noise
         # spikes; the minimum reflects engine cost
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -142,6 +142,19 @@ def test_multi_probe_recovers_straddling_neighbors(spark):
     assert probed.count() >= exact.count()
 
 
+def test_join_strategy_hints_are_honored(spark):
+    # when broadcast is wrong (both sides big), the engine surface
+    # must be able to force shuffle-hash or sort-merge explicitly
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    sh = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in _plan(sh)
+    smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in _plan(smj)
+
+
 def test_sorted_lake_write_yields_skippable_files(spark, tmp_path):
     # sort_within must leave every parquet file internally pos-sorted
     # (disjoint row-group min/max ranges → data skipping on pos).
