@@ -1,18 +1,31 @@
-"""Runnable ETL job entrypoint, mirroring the reference's spark-submit
-``main`` (reference M:22-41: 8 positional args).
+"""Runnable entrypoints.
 
-Usage (spark-submit or plain python with a local master):
+The primary job mirrors the reference's spark-submit ``main``
+(reference M:22-41: 8 positional args):
 
-    python -m geniepool_etl_spark.cli \\
+    python -m geniepool_etl_spark.cli etl \\
         <input_path> <output_path> <status_path> \\
         <impact_path> <dbsnp_path> <t2t> <gnomad_path> <alpha_path>
 
-``t2t`` is ``true``/``false`` — selects the parquet (T2T) vs TSV dbSNP
-reader, exactly like the reference's flag (M:28, M:159-199).
+(The bare 8-positional-args form without ``etl`` is accepted too, for
+drop-in parity with the reference invocation.) ``t2t`` is
+``true``/``false`` — selects the parquet (T2T) vs TSV dbSNP reader,
+exactly like the reference's flag (M:28, M:159-199).
+
+The LLM-pipeline operator families are runnable as subcommands, each
+reading parquet in and writing parquet out:
+
+    python -m geniepool_etl_spark.cli dedup <docs.parquet> <out_dir> \\
+        [--method exact|jaccard|minhash|simhash] [--threshold 0.5]
+    python -m geniepool_etl_spark.cli profile <table.parquet> <out_dir>
+    python -m geniepool_etl_spark.cli text-stats <docs.parquet> <out_dir>
+    python -m geniepool_etl_spark.cli sim-topk <embeddings.parquet> <out_dir> \\
+        [--k 5] [--exact]
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 
 from geniepool_etl_spark.lake import write_datalake, write_status
@@ -20,8 +33,7 @@ from geniepool_etl_spark.pipeline import convert_vcfs_to_datalake, get_status
 from geniepool_etl_spark.session import get_spark
 
 
-def main(argv: list[str] | None = None) -> int:
-    args = list(sys.argv[1:] if argv is None else argv)
+def _run_etl(args: list[str]) -> int:
     if len(args) != 8:
         print(__doc__, file=sys.stderr)
         return 2
@@ -44,6 +56,97 @@ def main(argv: list[str] | None = None) -> int:
     write_datalake(lake_df, output_path)
     write_status(get_status(spark, input_path), status_path)
     return 0
+
+
+def _run_dedup(ns: argparse.Namespace) -> int:
+    from geniepool_etl_spark.operators import dedup as D
+
+    spark = get_spark("geniepool-dedup")
+    docs = spark.read.parquet(ns.input)
+    if ns.method == "exact":
+        out = D.exact_dedup_stats(docs)
+    elif ns.method == "jaccard":
+        out = D.jaccard_pairs(docs).where(f"jaccard >= {ns.threshold}")
+    elif ns.method == "minhash":
+        out = D.minhash_lsh_pairs(docs).where(
+            f"est_jaccard >= {ns.threshold}"
+        )
+    else:
+        out = D.simhash(docs)
+    out.write.mode("overwrite").parquet(ns.output)
+    return 0
+
+
+def _run_profile(ns: argparse.Namespace) -> int:
+    from geniepool_etl_spark.operators.profile import profile_columns
+
+    spark = get_spark("geniepool-profile")
+    profile_columns(spark.read.parquet(ns.input)).write.mode(
+        "overwrite"
+    ).parquet(ns.output)
+    return 0
+
+
+def _run_text_stats(ns: argparse.Namespace) -> int:
+    from geniepool_etl_spark.operators import text as TX
+
+    spark = get_spark("geniepool-text")
+    docs = spark.read.parquet(ns.input)
+    out = TX.with_lang_id(TX.with_token_count(TX.with_text_stats(docs)))
+    out.write.mode("overwrite").parquet(ns.output)
+    return 0
+
+
+def _run_sim_topk(ns: argparse.Namespace) -> int:
+    from geniepool_etl_spark.operators import similarity as S
+
+    spark = get_spark("geniepool-sim")
+    emb = spark.read.parquet(ns.input)
+    if ns.exact:
+        out = S.cosine_topk(emb, emb, k=ns.k)
+    else:
+        out = S.lsh_bucket_topk(emb, k=ns.k, n_planes=None)
+    out.write.mode("overwrite").parquet(ns.output)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+    # reference-compatible bare form: 8 positional args = the ETL job
+    if len(args) == 8 and args[0] not in (
+        "etl", "dedup", "profile", "text-stats", "sim-topk",
+    ):
+        return _run_etl(args)
+    if args and args[0] == "etl":
+        return _run_etl(args[1:])
+
+    p = argparse.ArgumentParser(prog="geniepool_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("dedup")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.add_argument(
+        "--method",
+        choices=["exact", "jaccard", "minhash", "simhash"],
+        default="exact",
+    )
+    d.add_argument("--threshold", type=float, default=0.5)
+    for name in ("profile", "text-stats"):
+        s = sub.add_parser(name)
+        s.add_argument("input")
+        s.add_argument("output")
+    s = sub.add_parser("sim-topk")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--exact", action="store_true")
+    ns = p.parse_args(args)
+    return {
+        "dedup": _run_dedup,
+        "profile": _run_profile,
+        "text-stats": _run_text_stats,
+        "sim-topk": _run_sim_topk,
+    }[ns.cmd](ns)
 
 
 if __name__ == "__main__":

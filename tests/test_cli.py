@@ -1,0 +1,45 @@
+"""CLI subcommand smoke tests: each family is runnable end to end
+(parquet in → parquet out) through the public entrypoint."""
+
+from __future__ import annotations
+
+from geniepool_etl_spark.cli import main
+from tests.conftest import SF_SMALL
+
+
+def test_cli_dedup_exact(spark, tmp_path):
+    out = str(tmp_path / "dedup")
+    assert main(["dedup", f"{SF_SMALL}/documents.parquet", out]) == 0
+    got = spark.read.parquet(out)
+    assert {"text_hash", "keep_id", "n_dups"} <= set(got.columns)
+    assert got.count() > 0
+
+
+def test_cli_profile(spark, tmp_path):
+    out = str(tmp_path / "profile")
+    assert main(["profile", f"{SF_SMALL}/nation.parquet", out]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == len(
+        spark.read.parquet(f"{SF_SMALL}/nation.parquet").columns
+    )
+
+
+def test_cli_text_stats(spark, tmp_path):
+    out = str(tmp_path / "text")
+    assert main(["text-stats", f"{SF_SMALL}/documents.parquet", out]) == 0
+    got = spark.read.parquet(out)
+    assert {"n_words", "n_tokens", "pred_lang"} <= set(got.columns)
+
+
+def test_cli_sim_topk(spark, tmp_path):
+    out = str(tmp_path / "sim")
+    assert (
+        main(["sim-topk", f"{SF_SMALL}/embeddings.parquet", out, "--k", "3"])
+        == 0
+    )
+    got = spark.read.parquet(out)
+    assert {"q_id", "n_id", "cos_sim"} <= set(got.columns)
+
+
+def test_cli_etl_wrong_arity_returns_usage():
+    assert main(["etl", "a", "b"]) == 2
