@@ -1166,6 +1166,13 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (per-source z-score of doc length)
+    checked against the exact SQL formula — pins the Arrow grouped-map
+    lane (operators/text.zscore_by_group)."""
+    return TX.zscore_by_group(_t(spark, sf_dir, "documents"))
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators/profile.profile_columns): null
     rates, exact cardinalities, min/max per column in ONE scan."""
@@ -2172,6 +2179,13 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """
+    o["text_zscore_pandas"] = """
+        SELECT doc_id AS id, source AS grp,
+               round((n_chars - avg(n_chars) OVER w)
+                     / stddev_samp(n_chars) OVER w, 4) AS z
+        FROM documents
+        WINDOW w AS (PARTITION BY source)
+    """
     o["profile_table"] = """
         SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
                count(*) - count(o_orderkey) AS n_nulls,
@@ -2301,6 +2315,7 @@ SPARK_QUERIES = {
     "events_gap_fill": q_events_gap_fill,
     "events_funnel": q_events_funnel,
     "profile_table": q_profile_table,
+    "text_zscore_pandas": q_text_zscore_pandas,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,

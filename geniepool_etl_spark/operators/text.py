@@ -197,6 +197,44 @@ def with_scrubbed_numbers(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def zscore_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group z-score normalization via grouped-map
+    ``applyInPandas`` — the Arrow-batched Python lane for group-local
+    logic a SQL window could not express (here it could: the point of
+    this operator is pinning the applyInPandas plumbing — grouping
+    shuffle, Arrow transfer, pandas compute, schema contract — against
+    an exact SQL oracle).
+
+    Each group's rows arrive as ONE pandas DataFrame (so a single
+    group must fit an executor — use sub-grouping keys when a group
+    can be huge); compute is vectorized numpy, never per-row Python.
+    Returns (id, group, z) with z = (x - mean) / std (sample std,
+    ddof=1), rounded to 4; null when the group has no variance.
+    """
+    import pandas as pd
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col].astype("float64")
+        sd = x.std(ddof=1)
+        z = (x - x.mean()) / sd if sd and sd > 0 else x * float("nan")
+        return pd.DataFrame(
+            {
+                "id": pdf[id_col],
+                "grp": pdf[group_col],
+                "z": z.round(4),
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(
+        norm, schema="id long, grp string, z double"
+    )
+
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", portable: bool = False
 ) -> DataFrame:
