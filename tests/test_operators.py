@@ -280,6 +280,46 @@ def test_decode_stubs_raise():
         M.decode_audio(b"")
 
 
+def test_funnel_stage_semantics(spark):
+    """Ordering gate: events only count at or after the previous
+    stage's earliest completion, and within the conversion window."""
+    base = 1_704_067_200_000_000_000
+    hour = 3_600 * 1_000_000_000
+    rows = [
+        # u1: full ordered funnel
+        (1, base + 0 * hour, 1, "signup", 0.0, "{}"),
+        (2, base + 1 * hour, 1, "click", 0.0, "{}"),
+        (3, base + 2 * hour, 1, "purchase", 0.0, "{}"),
+        # u2: click BEFORE signup only → stage stops at 1
+        (4, base + 0 * hour, 2, "click", 0.0, "{}"),
+        (5, base + 1 * hour, 2, "signup", 0.0, "{}"),
+        # u3: non-funnel events only → stage 0
+        (6, base + 0 * hour, 3, "view", 0.0, "{}"),
+        # u4: signup then purchase, no click → stage 1
+        (7, base + 0 * hour, 4, "signup", 0.0, "{}"),
+        (8, base + 1 * hour, 4, "purchase", 0.0, "{}"),
+        # u5: click outside the 1h conversion window → stage 1
+        (9, base + 0 * hour, 5, "signup", 0.0, "{}"),
+        (10, base + 3 * hour, 5, "click", 0.0, "{}"),
+    ]
+    ev = E.with_event_time(
+        spark.createDataFrame(
+            rows,
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING",
+        )
+    )
+    got = {
+        r.user_id: r.stage
+        for r in E.funnel_stages(
+            ev,
+            ["signup", "click", "purchase"],
+            within_us=3_600 * 1_000_000,
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 0, 4: 1, 5: 1}
+
+
 # ----------------------------------------------------------------- upsert
 
 def test_merge_upsert_update_wins(spark):
