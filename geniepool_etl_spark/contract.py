@@ -1166,6 +1166,38 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: training docs whose n-gram Jaccard against a
+    benchmark set (doc_id < 25) exceeds threshold
+    (operators/dedup.cross_jaccard). Self-pairs excluded."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where("doc_id < 25")
+    pairs = D.cross_jaccard(bench, docs, n=3)
+    return pairs.where(
+        (F.col("jaccard") >= 0.02) & (F.col("id_l") != F.col("id_r"))
+    ).select("id_l", "id_r", "inter", "size_l", "size_r", "jaccard")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampler (operators/sampling): per-source target
+    rates applied via a deterministic hash gate."""
+    from geniepool_etl_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    return stratified_hash_sample(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+    ).select("doc_id", "source")
+
+
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop quality gate with reasons
+    (operators/text.quality_filter)."""
+    return TX.quality_filter(_t(spark, sf_dir, "documents"))
+
+
 def q_text_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (per-source z-score of doc length)
     checked against the exact SQL formula — pins the Arrow grouped-map
@@ -2179,6 +2211,60 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """
+    o["dedup_contamination"] = f"""
+WITH {_WORDS_CTE.strip()},
+{_SHINGLES_CTE.strip()},
+shl AS (SELECT id AS id_l, shingle FROM sh WHERE id < 25),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 100),
+capped AS (SELECT s.* FROM sh s ANTI JOIN hot h USING (shingle)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT l.id_l, r.id AS id_r, count(*) AS inter
+  FROM shl l JOIN capped r USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT i.id_l, i.id_r, i.inter, sl.sz AS size_l, sr.sz AS size_r,
+       round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes sl ON sl.id = i.id_l
+JOIN sizes sr ON sr.id = i.id_r
+WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
+  AND i.id_l <> i.id_r
+"""
+    o["sample_stratified"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_h("CAST(doc_id AS VARCHAR)", 11)} % 10000 <
+          CASE WHEN source = 'src2' THEN 2500
+               WHEN source = 'src1' THEN 5000
+               WHEN source = 'src0' THEN 10000
+               ELSE 1000 END
+    """
+    o["text_quality_filter"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        st AS (
+          SELECT doc_id, len(w) AS n_words,
+                 round(CASE WHEN len(w) > 0 THEN
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(w, x -> CAST(length(x) AS BIGINT))),
+                        (a, b) -> a + b) AS DOUBLE) / len(w)
+                   ELSE 0.0 END, 4) AS awl,
+                 round(CASE WHEN len(w) > 0 THEN
+                   CAST(len(list_filter(w, x ->
+                       list_contains({_STOPWORDS_SQL}, lower(x)))) AS DOUBLE)
+                     / len(w)
+                   ELSE 0.0 END, 4) AS ratio
+          FROM words
+        ),
+        r AS (
+          SELECT doc_id,
+                 concat_ws(',',
+                   CASE WHEN n_words < 20 THEN 'too_short' END,
+                   CASE WHEN ratio > 0.25 THEN 'stopwordy' END,
+                   CASE WHEN awl < 3.5 THEN 'short_words' END) AS reasons
+          FROM st
+        )
+        SELECT doc_id, reasons = '' AS keep, reasons FROM r
+    """
     o["text_zscore_pandas"] = """
         SELECT doc_id AS id, source AS grp,
                round((n_chars - avg(n_chars) OVER w)
@@ -2316,6 +2402,9 @@ SPARK_QUERIES = {
     "events_funnel": q_events_funnel,
     "profile_table": q_profile_table,
     "text_zscore_pandas": q_text_zscore_pandas,
+    "dedup_contamination": q_dedup_contamination,
+    "sample_stratified": q_sample_stratified,
+    "text_quality_filter": q_text_quality_filter,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,

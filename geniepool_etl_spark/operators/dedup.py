@@ -338,6 +338,62 @@ def minhash_lsh_pairs(
     )
 
 
+def cross_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Cross-corpus n-gram Jaccard — the DECONTAMINATION shape: every
+    (left, right) document pair sharing ≥1 shingle, scored exactly.
+    ``left`` is the benchmark/eval set (small), ``right`` the training
+    corpus (huge); a training doc overlapping an eval doc above
+    threshold is contamination and gets dropped upstream of training.
+
+    Same scale guards as :func:`jaccard_pairs`: candidate generation
+    is the shingle equi-join (never all-pairs) and hot shingles are
+    frequency-capped on the CORPUS side (a boilerplate shingle in f_r
+    corpus docs fans out f_l·f_r candidate rows). Returns
+    (id_l, id_r, inter, size_l, size_r, jaccard).
+    """
+    sh_l = word_shingles(left, n, text_col, id_col).withColumnRenamed(
+        "id", "id_l"
+    )
+    sh_r = word_shingles(right, n, text_col, id_col).withColumnRenamed(
+        "id", "id_r"
+    )
+    sizes_l = sh_l.groupBy("id_l").agg(F.count(F.lit(1)).alias("size_l"))
+    sizes_r = sh_r.groupBy("id_r").agg(F.count(F.lit(1)).alias("size_r"))
+    capped_r = (
+        sh_r.withColumn(
+            "_f", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .where(F.col("_f") <= max_shingle_freq)
+        .drop("_f")
+    )
+    inter = (
+        sh_l.join(capped_r, "shingle")
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes_l, "id_l")
+        .join(sizes_r, "id_r")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (
+                    F.col("size_l") + F.col("size_r") - F.col("inter")
+                ).cast("double"),
+                4,
+            ),
+        )
+    )
+
+
 def levenshtein_pairs(
     df: DataFrame,
     pairs: DataFrame,

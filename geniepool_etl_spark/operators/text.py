@@ -197,6 +197,39 @@ def with_scrubbed_numbers(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    min_words: int = 20,
+    max_stopword_ratio: float = 0.25,
+    min_avg_word_len: float = 3.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep/drop decision with machine-readable reasons — the
+    filtering stage of a training-data pipeline, built on
+    :func:`with_text_stats` thresholds. Returns (id, keep, reasons)
+    where reasons is a comma-joined list ('' when kept). Narrow map at
+    scan speed; thresholds compare the ROUNDED stats so any external
+    engine reproduces the exact same keep set.
+    """
+    stats = with_text_stats(df, text_col)
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_words") < min_words, F.lit("too_short")),
+        F.when(
+            F.col("stopword_ratio") > max_stopword_ratio, F.lit("stopwordy")
+        ),
+        F.when(
+            F.col("avg_word_len") < min_avg_word_len, F.lit("short_words")
+        ),
+    )
+    return stats.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def zscore_by_group(
     df: DataFrame,
     group_col: str = "source",
