@@ -2350,61 +2350,64 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
 
 
 # Ordering note (driver harness): CORRECTNESS_r02 recorded only the
-# FIRST ~50 entries of this dict, so entries that have never received a
-# driver verdict (the dedup/text/similarity/multimodal families, x1/f1/
-# f2, flagship_lake_nest) plus the three previously-non-green rows
-# (a1, a2, a7) are listed FIRST; the 45 rows already proven green in
-# CORRECTNESS_r02 follow.
+# FIRST ~50 entries of this dict, so every entry without a green
+# driver verdict yet — the r02-unrecorded tail, the three previously
+# non-green rows (a1/a2/a7), and everything new in round 3 — is listed
+# FIRST, ordered roughly cheapest-first so a time-budgeted recorder
+# captures the maximum number of rows; the 45 rows already proven
+# green in CORRECTNESS_r02 follow.
 SPARK_QUERIES = {
-    # --- never driver-recorded in r02 (all selfcheck-green locally) ---
-    "dedup_exact_keep": q_dedup_exact_keep,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding": q_dedup_embedding,
+    # --- previously failed (array canon) / err (no oracle), now fixed ---
+    "a1_collect_set_nest": q_a1_collect_set_nest,
+    "a2_two_level_nest": q_a2_two_level_nest,
+    "a7_approx_distinct": q_a7_approx_distinct,
+    # --- cheap scalar / window / agg / source entries, never recorded ---
+    "f1_string_funcs": q_f1_string_funcs,
+    "f2_datetime_funcs": q_f2_datetime_funcs,
+    "x1_explode_unnest": q_x1_explode_unnest,
+    "f3_collection_funcs": q_f3_collection_funcs,
+    "f4_unpivot": q_f4_unpivot,
+    "j8_full_outer": q_j8_full_outer,
+    "w6_ntile_pct": q_w6_ntile_pct,
+    "w7_value_functions": q_w7_value_functions,
+    "a9_percentiles": q_a9_percentiles,
+    "a10_grouping_sets": q_a10_grouping_sets,
+    "a11_corr_stats": q_a11_corr_stats,
+    "a12_conditional_aggs": q_a12_conditional_aggs,
+    "p7_hash_sample": q_p7_hash_sample,
+    "lake_upsert": q_lake_upsert,
+    "profile_table": q_profile_table,
+    "sample_stratified": q_sample_stratified,
+    "s14_binaryfile_source": q_s14_binaryfile_source,
+    "multimodal_extract": q_multimodal_extract,
+    # --- text / events families ---
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
     "text_lang_id": q_text_lang_id,
     "text_ngram_topk": q_text_ngram_topk,
     "text_quality_by_source": q_text_quality_by_source,
     "text_fingerprint": q_text_fingerprint,
-    "sim_brute_topk": q_sim_brute_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_pandas_topk": q_sim_pandas_topk,
-    "multimodal_extract": q_multimodal_extract,
-    "x1_explode_unnest": q_x1_explode_unnest,
-    "f1_string_funcs": q_f1_string_funcs,
-    "f2_datetime_funcs": q_f2_datetime_funcs,
-    "flagship_lake_nest": q_flagship_lake_nest,
-    # --- previously failed (array canon) / err (no oracle), now fixed ---
-    "a1_collect_set_nest": q_a1_collect_set_nest,
-    "a2_two_level_nest": q_a2_two_level_nest,
-    "a7_approx_distinct": q_a7_approx_distinct,
-    # --- new in round 3 ---
-    "lake_upsert": q_lake_upsert,
-    "p7_hash_sample": q_p7_hash_sample,
-    "a9_percentiles": q_a9_percentiles,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "s14_binaryfile_source": q_s14_binaryfile_source,
-    "a10_grouping_sets": q_a10_grouping_sets,
-    "f4_unpivot": q_f4_unpivot,
-    "f3_collection_funcs": q_f3_collection_funcs,
-    "j8_full_outer": q_j8_full_outer,
-    "w6_ntile_pct": q_w6_ntile_pct,
-    "w7_value_functions": q_w7_value_functions,
-    "a12_conditional_aggs": q_a12_conditional_aggs,
     "text_tfidf": q_text_tfidf,
     "text_scrub": q_text_scrub,
-    "dedup_levenshtein": q_dedup_levenshtein,
-    "a11_corr_stats": q_a11_corr_stats,
+    "text_quality_filter": q_text_quality_filter,
+    "text_zscore_pandas": q_text_zscore_pandas,
     "events_gap_fill": q_events_gap_fill,
     "events_funnel": q_events_funnel,
-    "profile_table": q_profile_table,
-    "text_zscore_pandas": q_text_zscore_pandas,
+    # --- similarity family ---
+    "sim_brute_topk": q_sim_brute_topk,
+    "sim_pandas_topk": q_sim_pandas_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "dedup_embedding": q_dedup_embedding,
+    # --- dedup family (heaviest last) ---
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_contamination": q_dedup_contamination,
-    "sample_stratified": q_sample_stratified,
-    "text_quality_filter": q_text_quality_filter,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "flagship_lake_nest": q_flagship_lake_nest,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
