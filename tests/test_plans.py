@@ -142,6 +142,50 @@ def test_multi_probe_recovers_straddling_neighbors(spark):
     assert probed.count() >= exact.count()
 
 
+# Entries whose plans INTENTIONALLY contain a broadcast nested-loop /
+# cross join: a tiny broadcast side (query set, centroid set, 1-row
+# corpus count, literal range bounds) crossed against the corpus — the
+# correct shape, not a scale hazard.
+_INTENDED_CROSS = {
+    "sim_brute_topk",
+    "sim_pandas_topk",
+    "sim_ivf_topk",
+    "j7_range_join",
+    "text_tfidf",
+}
+
+
+def test_no_unintended_cartesian_in_any_contract_entry(spark):
+    """Planning-only sweep over the whole contract: no entry may plan
+    a CartesianProduct/BroadcastNestedLoopJoin unless its design calls
+    for a tiny broadcast side (whitelist above). Catches the classic
+    scale-killer at plan time for every registered operator."""
+    skip = {
+        # side-effecting / streaming / iterative entries are exercised
+        # by their own tests; planning them here re-runs jobs
+        "s9_partitioned_write_roundtrip",
+        "s10_json_sink_roundtrip",
+        "s11_lake_range_read",
+        "s12_orc_roundtrip",
+        "s13_csv_dropmalformed",
+        "s4_csv_header_roundtrip",
+        "s5_csv_noheader_roundtrip",
+        "s1_s3_text_csv_scan",
+        "s14_binaryfile_source",
+        "stream_tumbling",
+        "dedup_clusters",
+        "lake_upsert",
+    }
+    bad = {}
+    for name, fn in C.SPARK_QUERIES.items():
+        if name in skip or name in _INTENDED_CROSS:
+            continue
+        df = fn(spark, SF_SMALL)
+        if P.has_cartesian(df):
+            bad[name] = True
+    assert not bad, f"unintended cartesian plans: {sorted(bad)}"
+
+
 def test_join_strategy_hints_are_honored(spark):
     # when broadcast is wrong (both sides big), the engine surface
     # must be able to force shuffle-hash or sort-merge explicitly
