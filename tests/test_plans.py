@@ -122,12 +122,12 @@ def test_lsh_hot_buckets_are_capped(spark):
 def test_auto_n_planes_scales_with_corpus():
     from geniepool_etl_spark.operators.similarity import auto_n_planes
 
-    assert auto_n_planes(100) == 4  # floor
-    assert auto_n_planes(128 * 2**10) == 10
-    assert auto_n_planes(128 * 2**20) == 20
+    assert auto_n_planes(30) == 4  # floor
+    assert auto_n_planes(32 * 2**10) == 10
+    assert auto_n_planes(32 * 2**20) == 20
     assert auto_n_planes(10**12) == 30  # ceiling
     # doubling the corpus adds one plane: bucket *width* stays constant
-    assert auto_n_planes(2 * 128 * 2**10) == 11
+    assert auto_n_planes(2 * 32 * 2**10) == 11
 
 
 def test_multi_probe_recovers_straddling_neighbors(spark):
