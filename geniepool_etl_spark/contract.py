@@ -1205,6 +1205,28 @@ def q_text_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.zscore_by_group(_t(spark, sf_dir, "documents"))
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, with
+    day-1 and day-7 return counts — the engagement matrix every events
+    pipeline ships. One distinct-(user, day) frame feeds both the
+    cohort assignment and the return lookups; joins stay on the user
+    key."""
+    ev = _events(spark, sf_dir)
+    day = F.expr("(ts div 1000) div 86400000000")
+    days = ev.select("user_id", day.alias("day")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = days.join(cohort, "user_id")
+    return j.groupBy("cohort_day").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(
+            F.when(F.col("day") == F.col("cohort_day") + 1, F.col("user_id"))
+        ).alias("n_day1"),
+        F.count_distinct(
+            F.when(F.col("day") == F.col("cohort_day") + 7, F.col("user_id"))
+        ).alias("n_day7"),
+    )
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators/profile.profile_columns): null
     rates, exact cardinalities, min/max per column in ONE scan."""
@@ -2272,6 +2294,21 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
         FROM documents
         WINDOW w AS (PARTITION BY source)
     """
+    o["events_retention"] = f"""
+        WITH d AS (
+          SELECT DISTINCT user_id, ({_EVENT_US}) // 86400000000 AS day
+          FROM events
+        ),
+        c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        SELECT c.cohort_day,
+               count(DISTINCT d.user_id) AS n_users,
+               count(DISTINCT CASE WHEN d.day = c.cohort_day + 1
+                                   THEN d.user_id END) AS n_day1,
+               count(DISTINCT CASE WHEN d.day = c.cohort_day + 7
+                                   THEN d.user_id END) AS n_day7
+        FROM d JOIN c USING (user_id)
+        GROUP BY c.cohort_day
+    """
     o["profile_table"] = """
         SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
                count(*) - count(o_orderkey) AS n_nulls,
@@ -2393,6 +2430,7 @@ SPARK_QUERIES = {
     "text_zscore_pandas": q_text_zscore_pandas,
     "events_gap_fill": q_events_gap_fill,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     # --- similarity family ---
     "sim_brute_topk": q_sim_brute_topk,
     "sim_pandas_topk": q_sim_pandas_topk,
