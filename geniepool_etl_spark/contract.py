@@ -42,6 +42,7 @@ from geniepool_etl_spark.functions import (
 from geniepool_etl_spark.operators import dedup as D
 from geniepool_etl_spark.operators import events as E
 from geniepool_etl_spark.operators import multimodal as M
+from geniepool_etl_spark.operators import packing as PK
 from geniepool_etl_spark.operators import similarity as S
 from geniepool_etl_spark.operators import text as TX
 
@@ -865,6 +866,23 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.with_fingerprint(
         _t(spark, sf_dir, "documents"), portable=True
     ).select("doc_id", "fingerprint")
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram fraction per document (Gopher-style repetition
+    quality signal) — narrow per-row expressions, no shuffle."""
+    return TX.with_repetition_ratio(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "repetition_ratio"
+    )
+
+
+def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: deterministic shard + concat-and-chop window
+    assignment over the documents corpus (512-token windows, 8 packing
+    shards) — one hash-partition shuffle, then per-shard window sums."""
+    return PK.pack_windows(
+        _t(spark, sf_dir, "documents"), context_len=512, n_shards=8
+    )
 
 
 # =====================================================================
@@ -2050,6 +2068,45 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
                  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
         FROM words
     """
+    o["text_repetition"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)),
+                                       i -> array_to_string(w[i:i+1], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM words
+        )
+        SELECT doc_id,
+               CASE WHEN len(grams) > 0
+                 THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                            / len(grams), 4)
+                 ELSE 0.0 END AS repetition_ratio
+        FROM g
+    """
+    o["pack_windows"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        t AS (
+          SELECT doc_id AS id, CAST(len(w) AS BIGINT) AS n_tok,
+                 {_h('doc_id', 7)} % 8 AS shard,
+                 {_h('doc_id', 8)} AS _ord
+          FROM words
+        ),
+        c AS (
+          SELECT id, shard, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY shard ORDER BY _ord, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cum
+          FROM t
+        )
+        SELECT id, shard, n_tok,
+               CAST(cum // 512 AS BIGINT) AS first_window,
+               CAST(cum % 512 AS BIGINT) AS win_offset,
+               CAST((cum + n_tok - 1) // 512 AS BIGINT) AS last_window
+        FROM c
+    """
     o["sim_brute_topk"] = _sim_brute_oracle()
     o["sim_pandas_topk"] = _sim_brute_oracle()
     o["sim_lsh_topk"] = _sim_lsh_oracle()
@@ -2446,6 +2503,9 @@ SPARK_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "flagship_lake_nest": q_flagship_lake_nest,
+    # --- round-3 additions (never recorded) ---
+    "text_repetition": q_text_repetition,
+    "pack_windows": q_pack_windows,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,

@@ -1,0 +1,83 @@
+"""Sequence packing: assign documents to fixed-token-budget context
+windows (the concat-and-chop step of LLM pretraining data prep).
+
+Documents are deterministically sharded, ordered within each shard,
+concatenated, and chopped into ``context_len``-token windows; each
+document learns which window(s) it lands in and at what offset. This
+is the metadata a downstream tokenizer/loader needs to materialize
+packed training sequences without a global sort:
+
+- ``shard``: hash-assigned pack group — packing is embarrassingly
+  parallel across shards, so at 100 TB the single shuffle is a
+  hash-partition + per-partition sort (one exchange; the running sum
+  is a window over data already partitioned by its own key — no
+  second exchange);
+- ``first_window`` / ``last_window``: windows the document spans
+  (documents straddle boundaries — chop semantics, not bin packing);
+- ``win_offset``: token offset of the document inside its first
+  window.
+
+Everything is integer arithmetic over a deterministic hash order, so
+any engine (and any rerun, at any partitioning) reproduces the exact
+same layout — task retries and speculative execution cannot scramble
+the pack assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geniepool_etl_spark.functions import portable_hash32
+from geniepool_etl_spark.operators.text import words_col
+
+
+def pack_windows(
+    df: DataFrame,
+    context_len: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, shard, n_tok, first_window, win_offset, last_window).
+
+    ``token_col`` names a precomputed token-count column; by default
+    tokens are whitespace-split word counts (swap in a real tokenizer
+    count upstream — the packing math only needs the integer).
+    """
+    n_tok = (
+        F.col(token_col).cast("long")
+        if token_col
+        else F.size(words_col(F.col(text_col))).cast("long")
+    )
+    key = F.col(id_col).cast("string")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tok"),
+        (portable_hash32(key, seed) % n_shards).alias("shard"),
+        portable_hash32(key, seed + 1).alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_ord", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    # integer `div`, not `/`: double division loses integer exactness
+    # past 2^53 cumulative tokens and a float floor is one ULP from a
+    # wrong window id
+    return (
+        base.withColumn("_cum", cum_before)
+        .select(
+            "id",
+            "shard",
+            "n_tok",
+            F.expr(f"_cum div {context_len}").alias("first_window"),
+            (F.col("_cum") % context_len).alias("win_offset"),
+            F.expr(f"(_cum + n_tok - 1) div {context_len}").alias(
+                "last_window"
+            ),
+        )
+    )

@@ -295,3 +295,35 @@ def with_fingerprint(
         lambda acc, w: (acc * F.lit(1000003) + word_hash(w, 0)) % mod,
     )
     return df.withColumn("fingerprint", fp)
+
+
+def with_repetition_ratio(
+    df: DataFrame, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Duplicate word-n-gram fraction per document — the Gopher-style
+    repetition quality signal (templated / boilerplate / looping text
+    scores high). ratio = 1 − distinct_ngrams / total_ngrams, 0 for
+    documents with fewer than ``n`` words.
+
+    Narrow (no shuffle): the n-gram array, its dedup, and the ratio
+    are all per-row expressions, so this runs at scan speed alongside
+    the other quality columns. The ``transform`` lambda is interpreted,
+    but over one small array per document — if profiling ever shows it
+    hot, the explode → count/count-distinct aggregate is the codegen
+    alternative at the price of one shuffle.
+    """
+    words = words_col(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ratio = F.when(
+        F.size(grams) > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 4
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("repetition_ratio", ratio)

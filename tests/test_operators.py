@@ -424,3 +424,65 @@ def _SF_SMALL():
     from tests.conftest import SF_SMALL
 
     return SF_SMALL
+
+
+# ------------------------------------------------------------- packing
+
+def test_repetition_ratio_hand_examples(spark):
+    from geniepool_etl_spark.operators.text import with_repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c"), (3, "word"), (4, "x y x y x y")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r.repetition_ratio
+        for r in with_repetition_ratio(df).collect()
+    }
+    # "a a a a": bigrams [a a, a a, a a] -> 1 - 1/3
+    assert got[1] == round(1 - 1 / 3, 4)
+    # all bigrams distinct
+    assert got[2] == 0.0
+    # fewer than n words
+    assert got[3] == 0.0
+    # "x y x y x y": bigrams [x y, y x, x y, y x, x y] -> 1 - 2/5
+    assert got[4] == round(1 - 2 / 5, 4)
+
+
+def test_pack_windows_invariants(spark):
+    from geniepool_etl_spark.operators.packing import pack_windows
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.col("id") % 40 + 1).cast("int"))
+        ).alias("text"),
+    )
+    out = pack_windows(df, context_len=64, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r.shard < 4
+        assert 0 <= r.win_offset < 64
+        assert r.first_window <= r.last_window
+        by_shard.setdefault(r.shard, []).append(r)
+    # within each shard the documents tile the concatenated token
+    # stream exactly: offsets are the running sum of token counts
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: (r.first_window, r.win_offset))
+        cum = 0
+        for r in rows:
+            assert r.first_window * 64 + r.win_offset == cum
+            assert r.last_window == (cum + r.n_tok - 1) // 64
+            cum += r.n_tok
+
+
+def test_pack_windows_partitioning_invariant(spark):
+    from geniepool_etl_spark.operators.packing import pack_windows
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e").alias("text")
+    )
+    a = sorted(map(tuple, pack_windows(df, 32, 4).collect()))
+    b = sorted(map(tuple, pack_windows(df.repartition(13), 32, 4).collect()))
+    assert a == b
