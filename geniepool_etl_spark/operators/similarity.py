@@ -47,27 +47,6 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def _elem_cols(vec: Column, prefix: str, dim: int) -> list[Column]:
-    """Unpack a fixed-``dim`` vector into scalar element columns."""
-    return [vec[i].alias(f"_{prefix}{i}") for i in range(dim)]
-
-
-def _elem_dot(prefix_a: str, prefix_b: str, dim: int) -> Column:
-    """Σ aᵢ·bᵢ over element columns produced by :func:`_elem_cols`.
-
-    Unlike :func:`dot` (a higher-order ``aggregate`` fold, which Spark
-    evaluates *interpreted*), this is a plain multiply-add expression
-    chain that stays inside whole-stage codegen — the difference is
-    ~dim× interpreted lambda calls per candidate pair on the hot
-    scoring path. Left-to-right association matches the fold, so the
-    floating-point result is bit-identical to :func:`dot`.
-    """
-    out = F.col(f"_{prefix_a}0") * F.col(f"_{prefix_b}0")
-    for i in range(1, dim):
-        out = out + F.col(f"_{prefix_a}{i}") * F.col(f"_{prefix_b}{i}")
-    return out
-
-
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
@@ -241,24 +220,20 @@ def lsh_bucket_topk(
     # is then a single dot-product fold instead of three (dot + two
     # norms), and each vector's norm is computed once, not once per
     # candidate pair.
-    # Vectors cross the bucket join unpacked into scalar element
-    # columns so the per-pair dot product is a codegen'd multiply-add
-    # chain (see _elem_dot) — same bytes shuffled, no interpreted HOF
-    # on the O(candidate-pairs) scoring path.
     b = _cap_hot_buckets(
         lsh_bucket(corpus, n_planes, dim, id_col, vec_col), max_bucket
     ).withColumn("norm", l2_norm(F.col("vec")))
     a = b.select(
         F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
         F.col("norm").alias("q_norm"),
         F.explode(_probe_buckets(n_planes, multi_probe)).alias("bucket"),
-        *_elem_cols(F.col("vec"), "q", dim),
     )
     c = b.select(
         F.col("id").alias("n_id"),
+        F.col("vec").alias("n_vec"),
         F.col("norm").alias("n_norm"),
         "bucket",
-        *_elem_cols(F.col("vec"), "n", dim),
     )
     scored = (
         a.join(c, "bucket")
@@ -267,7 +242,7 @@ def lsh_bucket_topk(
             "q_id",
             "n_id",
             F.round(
-                _elem_dot("q", "n", dim)
+                dot(F.col("q_vec"), F.col("n_vec"))
                 / (F.col("q_norm") * F.col("n_norm")),
                 4,
             ).alias("cos_sim"),
@@ -303,21 +278,20 @@ def embedding_near_dup_pairs(
     with low probability), which is exactly the regime near-dup
     detection cares about.
     """
-    # Same codegen'd unpacked-element dot as lsh_bucket_topk.
     b = _cap_hot_buckets(
         lsh_bucket(corpus, n_planes, dim, id_col, vec_col), max_bucket
     ).withColumn("norm", l2_norm(F.col("vec")))
     a = b.select(
         F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
         F.col("norm").alias("na"),
         "bucket",
-        *_elem_cols(F.col("vec"), "a", dim),
     )
     c = b.select(
         F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
         F.col("norm").alias("nb"),
         "bucket",
-        *_elem_cols(F.col("vec"), "b", dim),
     )
     return (
         a.join(c, "bucket")
@@ -326,7 +300,7 @@ def embedding_near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                _elem_dot("a", "b", dim) / (F.col("na") * F.col("nb")), 4
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
