@@ -885,6 +885,19 @@ def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two bucketed dimensions —
+    the sort key write_zordered lays files out by for multi-column
+    data skipping. Pure shift/mask codegen expressions, no shuffle."""
+    from geniepool_etl_spark import lake as LK
+
+    li = _t(spark, sf_dir, "lineitem")
+    zk = LK.zorder_key(
+        [F.col("l_orderkey") % 1024, F.col("l_partkey") % 1024], bits=10
+    )
+    return li.select("l_orderkey", "l_linenumber", zk.alias("zkey"))
+
+
 # =====================================================================
 # Similarity search (embeddings)
 # =====================================================================
@@ -2107,6 +2120,15 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
                CAST((cum + n_tok - 1) // 512 AS BIGINT) AS last_window
         FROM c
     """
+    zterms = []
+    for _b in range(10):
+        for _i, _e in enumerate(["(l_orderkey % 1024)", "(l_partkey % 1024)"]):
+            zterms.append(f"((({_e} >> {_b}) & 1) << {_b * 2 + _i})")
+    o["lake_zorder_key"] = (
+        "SELECT l_orderkey, l_linenumber, CAST("
+        + " | ".join(zterms)
+        + " AS BIGINT) AS zkey FROM lineitem"
+    )
     o["sim_brute_topk"] = _sim_brute_oracle()
     o["sim_pandas_topk"] = _sim_brute_oracle()
     o["sim_lsh_topk"] = _sim_lsh_oracle()
@@ -2506,6 +2528,7 @@ SPARK_QUERIES = {
     # --- round-3 additions (never recorded) ---
     "text_repetition": q_text_repetition,
     "pack_windows": q_pack_windows,
+    "lake_zorder_key": q_lake_zorder_key,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,

@@ -173,3 +173,59 @@ def write_status(df: DataFrame, status_path: str) -> None:
 
 def read_status(spark: SparkSession, status_path: str) -> DataFrame:
     return spark.read.json(status_path)
+
+
+def zorder_key(cols: list, bits: int = 16) -> "F.Column":
+    """Morton-interleaved (Z-order) key over non-negative integer
+    columns: bit b of column i lands at key bit ``b·len(cols)+i``.
+
+    Sorting a write by this ONE key clusters the file layout in EVERY
+    participating dimension at once, so parquet min/max stats skip
+    files/row groups for predicates on any of the columns — the
+    multi-column generalization of ``write_datalake(sort_within=True)``
+    (which buys skipping on ``pos`` only). Pure shift/mask expressions:
+    codegen'd, deterministic, reproducible in any engine.
+
+    Callers must map each dimension to a non-negative int < 2^bits
+    (e.g. ``col % 2**bits``, a day number, a bucketed float); with
+    ``bits·len(cols) ≤ 63`` the key fits a long.
+    """
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"zorder key needs {bits * n} bits; max 63")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    output_path: str,
+    zcols: list,
+    bits: int = 16,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by the
+    Z-order key of ``zcols``: range-partition on the key (contiguous,
+    non-overlapping key ranges per file — one shuffle), sort within
+    each task, drop the key from the stored schema. plannedWrite is
+    disabled around the write for the same reason as
+    :func:`write_datalake`: V1 planned-write would silently replace
+    the user sort.
+    """
+    out = (
+        df.withColumn("_zkey", zorder_key(zcols, bits))
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+    )
+    conf = df.sparkSession.conf
+    planned = conf.get("spark.sql.optimizer.plannedWrite.enabled", "true")
+    try:
+        conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
+        out.drop("_zkey").write.mode(mode).parquet(output_path)
+    finally:
+        conf.set("spark.sql.optimizer.plannedWrite.enabled", planned)

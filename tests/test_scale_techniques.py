@@ -111,3 +111,70 @@ def test_bucketed_join_has_no_exchange(spark):
         ).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---------------------------------------------------------- z-order
+
+def test_zorder_key_matches_reference_bit_interleave(spark):
+    from geniepool_etl_spark.lake import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (1023, 1023)], "x LONG, y LONG"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=10).alias("z")
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for b in range(10):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y)
+
+
+def test_zordered_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered layout bounds per-file min/max spans in BOTH
+    dimensions; a 1-D sort leaves the second dimension's span at
+    ~full range in every file (no skipping possible on it)."""
+    import glob
+
+    from geniepool_etl_spark.lake import write_zordered, zorder_key  # noqa: F401
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") * 2654435761) % 128).alias("y"),
+    )
+
+    def per_file_spans(path):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            one = spark.read.parquet(f).agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            ).collect()[0]
+            spans.append((one.sx, one.sy))
+        return spans
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, [F.col("x"), F.col("y")], bits=7, n_files=16)
+    zspans = per_file_spans(zpath)
+    assert len(zspans) >= 8
+
+    lpath = str(tmp_path / "linear")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+    lspans = per_file_spans(lpath)
+
+    avg = lambda v: sum(v) / len(v)  # noqa: E731
+    z_x, z_y = avg([s[0] for s in zspans]), avg([s[1] for s in zspans])
+    l_y = avg([s[1] for s in lspans])
+    # both dims clustered well below the 127 global span…
+    assert z_x < 64 and z_y < 64
+    # …whereas the 1-D layout can't skip on y at all
+    assert l_y > 100
