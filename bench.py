@@ -23,6 +23,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from geniepool_etl_spark import contract as C  # noqa: E402
 from geniepool_etl_spark.operators import dedup as D  # noqa: E402
+from geniepool_etl_spark.operators import packing as PK  # noqa: E402
 from geniepool_etl_spark.operators import similarity as S  # noqa: E402
 from geniepool_etl_spark.operators import text as TX  # noqa: E402
 from geniepool_etl_spark.session import get_spark  # noqa: E402
@@ -44,6 +45,7 @@ def bench_queries(spark, sf_dir):
         "dedup_minhash_lsh": lambda: D.minhash_lsh_pairs(docs, num_perm=64, bands=16),
         "dedup_simhash": lambda: D.simhash_bands(docs, bands=4, bits=64),
         "text_stats": lambda: TX.with_token_count(TX.with_text_stats(docs)),
+        "pack_windows": lambda: PK.pack_windows(docs),
         "sim_lsh_topk": lambda: S.lsh_bucket_topk(emb, k=5),
         "two_level_nest": lambda: C.q_a2_two_level_nest(spark, sf_dir),
     }

@@ -885,6 +885,22 @@ def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planner: per-source keep-fractions hitting
+    a 50/30/10 target mix over three sources, capped at 1.0 with the
+    shortfall reported. One |sources|-row aggregate."""
+    from geniepool_etl_spark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return SP.mixture_plan(
+        docs,
+        token_budget=3000,
+        shares={"src0": 0.5, "src1": 0.3, "src2": 0.1},
+    )
+
+
 def q_lake_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over two bucketed dimensions —
     the sort key write_zordered lays files out by for multi-column
@@ -2120,6 +2136,24 @@ SELECT a AS id, min(b) AS label FROM reach GROUP BY a
                CAST((cum + n_tok - 1) // 512 AS BIGINT) AS last_window
         FROM c
     """
+    o["sample_mixture_plan"] = r"""
+        WITH s AS (
+          SELECT source,
+                 CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                      AS BIGINT) AS available_tokens,
+                 CASE source WHEN 'src0' THEN 1500
+                             WHEN 'src1' THEN 900
+                             WHEN 'src2' THEN 300 END AS target_tokens
+          FROM documents GROUP BY source
+        )
+        SELECT source, available_tokens,
+               CAST(target_tokens AS BIGINT) AS target_tokens,
+               round(LEAST(1.0, CAST(target_tokens AS DOUBLE)
+                                / available_tokens), 4) AS fraction,
+               CAST(GREATEST(0, target_tokens - available_tokens)
+                    AS BIGINT) AS shortfall_tokens
+        FROM s WHERE target_tokens IS NOT NULL
+    """
     zterms = []
     for _b in range(10):
         for _i, _e in enumerate(["(l_orderkey % 1024)", "(l_partkey % 1024)"]):
@@ -2529,6 +2563,7 @@ SPARK_QUERIES = {
     "text_repetition": q_text_repetition,
     "pack_windows": q_pack_windows,
     "lake_zorder_key": q_lake_zorder_key,
+    "sample_mixture_plan": q_sample_mixture_plan,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,

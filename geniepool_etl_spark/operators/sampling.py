@@ -41,3 +41,59 @@ def stratified_hash_sample(
         portable_hash32(F.col(key_col).cast("string"), seed) % MOD < cutoff
     )
     return df.where(gate)
+
+
+def mixture_plan(
+    df: DataFrame,
+    token_budget: int,
+    shares: dict[str, float],
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-source sampling fractions that hit a target token mixture.
+
+    Given a total ``token_budget`` and target ``shares`` (fractions
+    summing to ≤1: web 0.6, books 0.2, …), compute for each source the
+    fraction of its rows to keep so its contribution approaches
+    ``share·budget`` tokens, capped at 1.0 when the source is too
+    small (a source cannot be upsampled by subsampling — the plan
+    reports the shortfall instead of silently renormalizing).
+
+    One tiny aggregate (|sources| rows): group-sum the token counts,
+    then arithmetic. The output feeds
+    :func:`stratified_hash_sample` as its ``fractions`` dict — the
+    planner is a driver-side decision over KB-scale stats, the
+    sampler stays a narrow scan-speed gate over the full corpus.
+
+    Returns (source, available_tokens, target_tokens, fraction,
+    shortfall_tokens), fraction rounded to 4 dp for cross-engine
+    reproducibility.
+    """
+    target: Column = F.lit(None).cast("long")
+    for grp, share in sorted(shares.items()):
+        target = F.when(
+            F.col(group_col) == grp, F.lit(int(share * token_budget))
+        ).otherwise(target)
+    per_source = (
+        df.groupBy(group_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("available_tokens"))
+        .withColumn("target_tokens", target)
+        .where(F.col("target_tokens").isNotNull())
+    )
+    frac = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("target_tokens") / F.col("available_tokens"),
+        ),
+        4,
+    )
+    return per_source.select(
+        F.col(group_col).alias("source"),
+        "available_tokens",
+        "target_tokens",
+        frac.alias("fraction"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("target_tokens") - F.col("available_tokens"),
+        ).alias("shortfall_tokens"),
+    )

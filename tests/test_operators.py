@@ -486,3 +486,26 @@ def test_pack_windows_partitioning_invariant(spark):
     a = sorted(map(tuple, pack_windows(df, 32, 4).collect()))
     b = sorted(map(tuple, pack_windows(df.repartition(13), 32, 4).collect()))
     assert a == b
+
+
+def test_mixture_plan_caps_and_shortfall(spark):
+    from geniepool_etl_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("web", 1000), ("web", 1000), ("books", 100), ("tiny", 50)],
+        "source STRING, n_tokens LONG",
+    )
+    got = {
+        r.source: r
+        for r in mixture_plan(
+            df, token_budget=1000, shares={"web": 0.5, "books": 0.5}
+        ).collect()
+    }
+    # un-targeted sources are excluded from the plan
+    assert set(got) == {"web", "books"}
+    # web: 2000 available, 500 target -> keep 25%
+    assert got["web"].fraction == 0.25
+    assert got["web"].shortfall_tokens == 0
+    # books: 100 available, 500 target -> capped, shortfall reported
+    assert got["books"].fraction == 1.0
+    assert got["books"].shortfall_tokens == 400
