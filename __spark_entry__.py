@@ -8,8 +8,9 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Implementations live in ``geniepool_etl_spark.contract`` — one
 (Spark query, DuckDB oracle) pair per SURVEY.md §2 operator plus the
 LLM-data-pipeline families (dedup, similarity, text analysis,
-events/windows, multimodal, streaming). ``a7_approx_distinct`` is the
-only entry without an oracle (HLL estimates are engine-specific).
+events/windows, multimodal, streaming, packing/sampling). Every entry
+has an exact oracle (approx ops are checked as within-tolerance
+booleans whose oracle side computes the exact value).
 """
 
 from __future__ import annotations
