@@ -235,3 +235,14 @@ def test_minhash_no_cross_join(spark):
     plan = _plan(D.minhash_lsh_pairs(docs, num_perm=16, bands=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_windows_single_exchange(spark):
+    # shard hash-partition is the ONE shuffle; the running-sum window
+    # runs on data already partitioned by its own key
+    from geniepool_etl_spark.operators.packing import pack_windows
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = pack_windows(docs)
+    df.collect()
+    P.assert_max_exchanges(df, 1)
