@@ -21,6 +21,8 @@ reading parquet in and writing parquet out:
     python -m geniepool_etl_spark.cli text-stats <docs.parquet> <out_dir>
     python -m geniepool_etl_spark.cli sim-topk <embeddings.parquet> <out_dir> \\
         [--k 5] [--exact]
+    python -m geniepool_etl_spark.cli pack <docs.parquet> <out_dir> \\
+        [--context-len 512] [--shards 8]
 """
 
 from __future__ import annotations
@@ -110,11 +112,23 @@ def _run_sim_topk(ns: argparse.Namespace) -> int:
     return 0
 
 
+def _run_pack(ns: argparse.Namespace) -> int:
+    from geniepool_etl_spark.operators import packing as PK
+
+    spark = get_spark("geniepool-pack")
+    docs = spark.read.parquet(ns.input)
+    out = PK.pack_windows(
+        docs, context_len=ns.context_len, n_shards=ns.shards
+    )
+    out.write.mode("overwrite").parquet(ns.output)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     # reference-compatible bare form: 8 positional args = the ETL job
     if len(args) == 8 and args[0] not in (
-        "etl", "dedup", "profile", "text-stats", "sim-topk",
+        "etl", "dedup", "profile", "text-stats", "sim-topk", "pack",
     ):
         return _run_etl(args)
     if args and args[0] == "etl":
@@ -140,12 +154,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("output")
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--exact", action="store_true")
+    s = sub.add_parser("pack")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--context-len", type=int, default=512)
+    s.add_argument("--shards", type=int, default=8)
     ns = p.parse_args(args)
     return {
         "dedup": _run_dedup,
         "profile": _run_profile,
         "text-stats": _run_text_stats,
         "sim-topk": _run_sim_topk,
+        "pack": _run_pack,
     }[ns.cmd](ns)
 
 

@@ -43,3 +43,19 @@ def test_cli_sim_topk(spark, tmp_path):
 
 def test_cli_etl_wrong_arity_returns_usage():
     assert main(["etl", "a", "b"]) == 2
+
+
+def test_cli_pack(spark, tmp_path):
+    out = str(tmp_path / "pack")
+    assert (
+        main(
+            ["pack", f"{SF_SMALL}/documents.parquet", out,
+             "--context-len", "128", "--shards", "4"]
+        )
+        == 0
+    )
+    got = spark.read.parquet(out)
+    assert {"id", "shard", "n_tok", "first_window", "win_offset"} <= set(
+        got.columns
+    )
+    assert got.where("win_offset >= 128 OR shard >= 4").count() == 0
