@@ -509,3 +509,37 @@ def test_mixture_plan_caps_and_shortfall(spark):
     # books: 100 available, 500 target -> capped, shortfall reported
     assert got["books"].fraction == 1.0
     assert got["books"].shortfall_tokens == 400
+
+
+def test_mixture_plan_feeds_stratified_sample(spark):
+    """End-to-end: planner fractions drive the hash-gated sampler and
+    the kept token mass lands near each source's target."""
+    from geniepool_etl_spark.operators.sampling import (
+        mixture_plan,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("books").alias(
+            "source"
+        ),
+        (F.col("id") % 50 + 10).alias("n_tokens"),
+    )
+    plan = {
+        r.source: r.fraction
+        for r in mixture_plan(
+            df, token_budget=20_000, shares={"web": 0.7, "books": 0.3}
+        ).collect()
+    }
+    kept = stratified_hash_sample(df, plan, key_col="doc_id")
+    got = {
+        r.source: r.toks
+        for r in kept.groupBy("source")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    # hash gating is Bernoulli per key: expect each source within 25%
+    # of its target token mass
+    assert abs(got["web"] - 14_000) / 14_000 < 0.25
+    assert abs(got["books"] - 6_000) / 6_000 < 0.25

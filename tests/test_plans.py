@@ -246,3 +246,51 @@ def test_pack_windows_single_exchange(spark):
     df = pack_windows(docs)
     df.collect()
     P.assert_max_exchanges(df, 1)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """With broadcast off (big-dim regime), AQE injects a bloom filter
+    built from the selective dim side into the fact scan — rows that
+    cannot join are dropped before the shuffle. This is the 100 TB
+    fallback when the dim outgrows broadcast; the test pins the knob
+    working so a config regression is caught."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10MB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF_SMALL}/part.parquet").where(
+            "p_size = 1"
+        )
+        j = li.join(part, li.l_partkey == part.p_partkey).select(
+            "l_orderkey", "p_name"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
