@@ -780,6 +780,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup corpus filter: Jaccard pairs → connected
+    components → keep min-id representative per cluster + all unpaired
+    documents. Returns the surviving doc_ids."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=3).where(F.col("jaccard") >= 0.1)
+    return D.near_dedup_keep(docs, pairs).select("doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(
         _t(spark, sf_dir, "documents"), bits=32, hash_fn=portable_hash32
@@ -2024,6 +2033,24 @@ reach(a, b) AS (
 )
 SELECT a AS id, min(b) AS label FROM reach GROUP BY a
 """
+    o["dedup_near_keep"] = f"""
+WITH RECURSIVE p AS ({_jaccard_oracle()}),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM p
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT u.a, r.b FROM und u JOIN reach r ON u.b = r.a
+),
+labels AS (SELECT a AS id, min(b) AS label FROM reach GROUP BY a)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM labels)
+UNION ALL
+SELECT min(id) AS doc_id FROM labels GROUP BY label
+"""
     o["dedup_minhash_lsh"] = _minhash_oracle()
     o["dedup_simhash"] = _simhash_oracle()
     o["text_stats"] = f"""
@@ -2564,6 +2591,7 @@ SPARK_QUERIES = {
     "pack_windows": q_pack_windows,
     "lake_zorder_key": q_lake_zorder_key,
     "sample_mixture_plan": q_sample_mixture_plan,
+    "dedup_near_keep": q_dedup_near_keep,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,

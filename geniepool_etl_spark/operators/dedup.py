@@ -587,3 +587,34 @@ def simhash_bands(
     return sh.select("id", F.explode(band_arr).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
+
+
+def near_dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-to-end near-dedup corpus filter: given candidate
+    ``pairs`` (id_a, id_b, …) from any of the pair generators
+    (Jaccard, MinHash-LSH, SimHash bands, embedding cosine), keep one
+    representative per duplicate cluster (min id — deterministic) plus
+    every document that appears in no pair.
+
+    Composition of already-scale-shaped pieces: connected components
+    (:func:`dedup_clusters` — distributed label propagation), a
+    min-per-label aggregate over the (small) paired-ids set, and two
+    keyed joins against the corpus — ``left_anti`` for the unpaired
+    mass, ``left_semi`` for the representatives. The corpus is never
+    shuffled on anything but its id, and the label table is a
+    fraction of the corpus (only docs that matched a pair).
+    """
+    labels = dedup_clusters(pairs)
+    reps = (
+        labels.groupBy("label")
+        .agg(F.min("id").alias(id_col))
+        .select(id_col)
+    )
+    paired = labels.select(F.col("id").alias(id_col))
+    return df.join(paired, id_col, "left_anti").unionByName(
+        df.join(reps, id_col, "left_semi")
+    )

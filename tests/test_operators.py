@@ -543,3 +543,19 @@ def test_mixture_plan_feeds_stratified_sample(spark):
     # of its target token mass
     assert abs(got["web"] - 14_000) / 14_000 < 0.25
     assert abs(got["books"] - 6_000) / 6_000 < 0.25
+
+
+def test_near_dedup_keep_hand_case(spark):
+    from geniepool_etl_spark.operators.dedup import near_dedup_keep
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id LONG, text STRING"
+    )
+    # clusters {1,2,3} (transitive via 2) and {5,6}; 4 and 7 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a LONG, id_b LONG"
+    )
+    kept = sorted(
+        r.doc_id for r in near_dedup_keep(docs, pairs).collect()
+    )
+    assert kept == [1, 4, 5, 7]
