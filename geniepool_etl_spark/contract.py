@@ -153,6 +153,26 @@ def q_s8_input_file_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 (ext): schema evolution across lake batches — an old batch
+    without a column and a new batch with it, read back as ONE dataset
+    via mergeSchema (the missing column nulls out). The annotation-
+    table release-to-release reality S6's missing-col-null handles at
+    the reader level, here at the lake level."""
+    out = _tmpdir("s15")
+    nation = _t(spark, sf_dir, "nation")
+    nation.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        f"{out}/batch=1"
+    )
+    nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/batch=1", f"{out}/batch=2"
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
 def q_s9_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9: Hive-partitioned parquet sink with maxRecordsPerFile +
     repartition-by-partition-cols discipline, then read-back."""
@@ -1719,6 +1739,12 @@ def _oracles() -> dict[str, str]:
         WHERE o_orderkey % 5 = 2 AND o_orderkey * 37 BETWEEN 50000 AND 1200000
     """
     o["s13_csv_dropmalformed"] = "SELECT * FROM nation"
+    o["s15_schema_evolution"] = """
+        SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """
     o["w5_range_frame"] = """
         SELECT o_orderkey, o_orderpriority,
                count(*) OVER (PARTITION BY o_orderpriority
@@ -2591,6 +2617,7 @@ SPARK_QUERIES = {
     "pack_windows": q_pack_windows,
     "lake_zorder_key": q_lake_zorder_key,
     "sample_mixture_plan": q_sample_mixture_plan,
+    "s15_schema_evolution": q_s15_schema_evolution,
     "dedup_near_keep": q_dedup_near_keep,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
