@@ -2597,6 +2597,13 @@ SPARK_QUERIES = {
     "events_gap_fill": q_events_gap_fill,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    # --- round-3 additions (cheap, never recorded) ---
+    "text_repetition": q_text_repetition,
+    "pack_windows": q_pack_windows,
+    "lake_zorder_key": q_lake_zorder_key,
+    "sample_mixture_plan": q_sample_mixture_plan,
+    "s15_schema_evolution": q_s15_schema_evolution,
+    "flagship_lake_nest": q_flagship_lake_nest,
     # --- similarity family ---
     "sim_brute_topk": q_sim_brute_topk,
     "sim_pandas_topk": q_sim_pandas_topk,
@@ -2611,13 +2618,6 @@ SPARK_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
-    "flagship_lake_nest": q_flagship_lake_nest,
-    # --- round-3 additions (never recorded) ---
-    "text_repetition": q_text_repetition,
-    "pack_windows": q_pack_windows,
-    "lake_zorder_key": q_lake_zorder_key,
-    "sample_mixture_plan": q_sample_mixture_plan,
-    "s15_schema_evolution": q_s15_schema_evolution,
     "dedup_near_keep": q_dedup_near_keep,
     # --- green in CORRECTNESS_r02 ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
