@@ -494,6 +494,32 @@ def q_a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_Q3 = """
+    SELECT l.l_orderkey,
+           o.o_orderpriority,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point as a first-class surface: TPC-H Q3-shaped
+    text executed via spark.sql over registered temp views — same
+    Catalyst plan as the DataFrame API (dim joins broadcast, one
+    partial-agg'd shuffle). The identical text runs on DuckDB as the
+    oracle; deterministic top-10 via the rounded-revenue + orderkey
+    sort rule."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q3)
+
+
 def q_a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via rollup (region → nation)."""
     cust = _t(spark, sf_dir, "customer")
@@ -1739,6 +1765,7 @@ def _oracles() -> dict[str, str]:
         WHERE o_orderkey % 5 = 2 AND o_orderkey * 37 BETWEEN 50000 AND 1200000
     """
     o["s13_csv_dropmalformed"] = "SELECT * FROM nation"
+    o["sql_tpch_q3"] = _SQL_Q3
     o["s15_schema_evolution"] = """
         SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
         FROM nation
@@ -2603,6 +2630,7 @@ SPARK_QUERIES = {
     "lake_zorder_key": q_lake_zorder_key,
     "sample_mixture_plan": q_sample_mixture_plan,
     "s15_schema_evolution": q_s15_schema_evolution,
+    "sql_tpch_q3": q_sql_tpch_q3,
     "flagship_lake_nest": q_flagship_lake_nest,
     # --- similarity family ---
     "sim_brute_topk": q_sim_brute_topk,
