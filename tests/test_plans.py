@@ -294,3 +294,12 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sql_surface_broadcasts_dims(spark):
+    # SQL text goes through the same Catalyst planning as the
+    # DataFrame API: the small dim sides broadcast, the fact side
+    # never shuffles for the joins
+    df = C.q_sql_tpch_q3(spark, SF_SMALL)
+    df.collect()
+    P.assert_broadcast_join(df)
