@@ -956,6 +956,23 @@ def q_sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p8_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style dedup: keep each user's latest event (max timestamp,
+    event_id tiebreak) — the deterministic 'latest record wins'
+    pattern, one window over the natural partition key."""
+    from geniepool_etl_spark.operators.events import with_event_time
+
+    ev = with_event_time(_events(spark, sf_dir))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id", "ts_us", "event_type")
+    )
+
+
 def q_lake_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over two bucketed dimensions —
     the sort key write_zordered lays files out by for multi-column
@@ -1765,6 +1782,13 @@ def _oracles() -> dict[str, str]:
         WHERE o_orderkey % 5 = 2 AND o_orderkey * 37 BETWEEN 50000 AND 1200000
     """
     o["s13_csv_dropmalformed"] = "SELECT * FROM nation"
+    o["p8_keep_latest"] = f"""
+        SELECT user_id, event_id, {_EVENT_US} AS ts_us, event_type
+        FROM events
+        QUALIFY row_number() OVER (
+          PARTITION BY user_id
+          ORDER BY {_EVENT_US} DESC, event_id DESC) = 1
+    """
     o["sql_tpch_q3"] = _SQL_Q3
     o["s15_schema_evolution"] = """
         SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
@@ -2631,6 +2655,7 @@ SPARK_QUERIES = {
     "sample_mixture_plan": q_sample_mixture_plan,
     "s15_schema_evolution": q_s15_schema_evolution,
     "sql_tpch_q3": q_sql_tpch_q3,
+    "p8_keep_latest": q_p8_keep_latest,
     "flagship_lake_nest": q_flagship_lake_nest,
     # --- similarity family ---
     "sim_brute_topk": q_sim_brute_topk,
