@@ -427,7 +427,9 @@ def levenshtein_pairs(
             F.levenshtein("_ta", "_tb").cast("long").alias("lev"),
         )
     )
-    return out.where(F.col("lev") <= max_dist) if max_dist else out
+    # `is not None`, not truthiness: max_dist=0 is a legitimate
+    # exact-match filter and must not silently disable filtering
+    return out.where(F.col("lev") <= max_dist) if max_dist is not None else out
 
 
 # --------------------------------------------------------------------------
@@ -532,7 +534,10 @@ def simhash(
 
     Returns (id, simhash: long).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # coalesce(text, '') so a null-text document still yields one
+    # (empty) token — split(null) is a null array and explode would
+    # silently drop the document from the output entirely
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     tokens = df.select(
         F.col(id_col).alias("id"), F.explode(words).alias("_w")
     ).select("id", hash_fn(F.col("_w"), 0).alias("_h"))

@@ -254,7 +254,14 @@ def zscore_by_group(
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value_col].astype("float64")
         sd = x.std(ddof=1)
-        z = (x - x.mean()) / sd if sd and sd > 0 else x * float("nan")
+        # zero-variance / singleton groups must yield SQL NULL (like
+        # stddev_samp), not NaN — NaN != NULL under canonical compare
+        if sd and sd > 0:
+            z = ((x - x.mean()) / sd).round(4)
+        else:
+            # nullable Float64 (not numpy float64, which coerces
+            # None→NaN) so Arrow carries real nulls
+            z = pd.Series([pd.NA] * len(x), dtype="Float64", index=x.index)
         return pd.DataFrame(
             {
                 "id": pdf[id_col],

@@ -211,7 +211,15 @@ def clicks_to_purchases_stream(
     attribution join. Both sides carry watermarks and the join
     condition bounds event-time distance, so the state store retains
     each side only for the join window (the unbounded-state trap is a
-    time-unbounded stream-stream join)."""
+    time-unbounded stream-stream join).
+
+    The range bound MUST be expressed on the watermarked event-time
+    columns themselves (``click_time``/``purchase_time``): Spark
+    derives the state-cleanup watermark for each join side only from
+    conditions on watermarked event-time attributes, so a bound on the
+    derived ``*_us`` long columns — while semantically identical —
+    would never evict state (unbounded growth). The ``*_us`` columns
+    are output-only."""
     from pyspark.sql import functions as F
 
     e = E.with_event_time(stream)
@@ -238,8 +246,12 @@ def clicks_to_purchases_stream(
     return purchases.join(
         clicks,
         (F.col("p_user") == F.col("c_user"))
-        & (F.col("click_us") <= F.col("purchase_us"))
-        & (F.col("click_us") >= F.col("purchase_us") - F.lit(within_us)),
+        & (F.col("click_time") <= F.col("purchase_time"))
+        & (
+            F.col("click_time")
+            >= F.col("purchase_time")
+            - F.expr(f"INTERVAL {int(within_us)} MICROSECOND")
+        ),
         "inner",
     ).select("p_user", "purchase_id", "click_id", "purchase_us", "click_us")
 
