@@ -770,6 +770,38 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_stream(spark, sf_dir, name=f"ct_{next(_uniq)}")
 
 
+def q_stream_ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once safety of the streaming lake ingest
+    (streaming._write_ingest_batch): the same micro-batch is written
+    TWICE under one batch_id — simulating a foreachBatch retry after a
+    failure — plus one genuinely new batch; dynamic partition overwrite
+    keyed by ``ingest_batch=batch_id`` must make the retry replace, not
+    duplicate. The read-back lake is reduced to per-day totals + a
+    duplicate probe (count vs countDistinct), so the oracle is the
+    plain events table: any double-write breaks both columns."""
+    from geniepool_etl_spark.streaming import _write_ingest_batch
+
+    lake = _tmpdir("ingest")
+    ev = E.with_event_time(_events(spark, sf_dir)).withColumn(
+        "day_bucket", F.expr("ts_us div 86400000000")
+    )
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 == 1)
+    _write_ingest_batch(b0, 0, lake)
+    _write_ingest_batch(b0, 0, lake)  # retry of batch 0: must replace
+    _write_ingest_batch(b1, 1, lake)
+    return (
+        spark.read.parquet(lake)
+        # partition-dir read-back infers day_bucket as int — pin long
+        .select(F.col("day_bucket").cast("long"), "event_id")
+        .groupBy("day_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+    )
+
+
 # =====================================================================
 # Dedup family (documents)
 # =====================================================================
@@ -1020,6 +1052,28 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = M.documents_as_assets(_t(spark, sf_dir, "documents"))
     return M.extract_features(assets)
+
+
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV round-trip through the stdlib decoder: per-document
+    audio parameters are derived JVM-side (so the oracle recomputes
+    them), encoded into genuine RIFF/WAVE payloads by ``wave`` inside
+    Arrow ``mapInPandas``, then decoded back by ``decode_audio`` — the
+    de-stubbed media-decode lane (multimodal.py). Both maps are narrow;
+    the payload never crosses a shuffle."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(8000) * (F.lit(1) + F.col("doc_id") % 3))
+            .cast("long")
+            .alias("sample_rate"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("long").alias("n_channels"),
+            ((F.length("text") % 997 + 1) * 8).cast("long").alias("n_frames"),
+        )
+    )
+    return M.decode_audio_features(M.synth_wav_assets(params))
 
 
 # =====================================================================
@@ -2085,6 +2139,12 @@ def _oracles() -> dict[str, str]:
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
     """
+    o["stream_ingest_idempotent"] = f"""
+        SELECT CAST({_EVENT_US} // 86400000000 AS BIGINT) AS day_bucket,
+               count(*) AS n_events,
+               count(DISTINCT event_id) AS n_ids
+        FROM events GROUP BY 1
+    """
     o["dedup_exact_stats"] = f"""
         WITH d AS ({_DOCS_WITH_DUPS_SQL})
         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
@@ -2276,6 +2336,16 @@ SELECT min(id) AS doc_id FROM labels GROUP BY label
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                CAST(length(text) AS BIGINT) AS n_chars
         FROM documents
+    """
+    o["multimodal_decode_wav"] = """
+        SELECT doc_id AS asset_id,
+               'wav' AS format,
+               CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+               CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+               CAST((length(text) % 997 + 1) * 8 AS BIGINT) AS n_frames,
+               CAST(((length(text) % 997 + 1) * 8 * 1000)
+                    // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+        FROM documents WHERE doc_id % 5 = 0
     """
     o["x1_explode_unnest"] = """
         SELECT l_orderkey,
@@ -2603,76 +2673,27 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
     return o
 
 
-# Ordering note (driver harness): CORRECTNESS_r02 recorded only the
-# FIRST ~50 entries of this dict, so every entry without a green
-# driver verdict yet — the r02-unrecorded tail, the three previously
-# non-green rows (a1/a2/a7), and everything new in round 3 — is listed
-# FIRST, ordered roughly cheapest-first so a time-budgeted recorder
-# captures the maximum number of rows; the 45 rows already proven
-# green in CORRECTNESS_r02 follow.
+# Ordering note (driver harness): the driver records only the FIRST
+# ~50 entries of this dict per round (CORRECTNESS_r02/r03 each hold
+# exactly 50 rows). Round-4 ordering therefore puts (a) the entries
+# with NO driver verdict yet — the five heavy near-dedup operators
+# that sat at positions 51-55 last round, plus this round's two new
+# entries — at the very front, then (b) the 47 entries whose latest
+# green row is round 2 (so they refresh against the current code),
+# minus four trivial single-op projections (p1/p3/p4/p5 — lowest
+# churn risk) demoted to the tail so the window closes at ~50. The 48
+# entries already green in round 3 fill the tail.
 SPARK_QUERIES = {
-    # --- previously failed (array canon) / err (no oracle), now fixed ---
-    "a1_collect_set_nest": q_a1_collect_set_nest,
-    "a2_two_level_nest": q_a2_two_level_nest,
-    "a7_approx_distinct": q_a7_approx_distinct,
-    # --- cheap scalar / window / agg / source entries, never recorded ---
-    "f1_string_funcs": q_f1_string_funcs,
-    "f2_datetime_funcs": q_f2_datetime_funcs,
-    "x1_explode_unnest": q_x1_explode_unnest,
-    "f3_collection_funcs": q_f3_collection_funcs,
-    "f4_unpivot": q_f4_unpivot,
-    "j8_full_outer": q_j8_full_outer,
-    "w6_ntile_pct": q_w6_ntile_pct,
-    "w7_value_functions": q_w7_value_functions,
-    "a9_percentiles": q_a9_percentiles,
-    "a10_grouping_sets": q_a10_grouping_sets,
-    "a11_corr_stats": q_a11_corr_stats,
-    "a12_conditional_aggs": q_a12_conditional_aggs,
-    "p7_hash_sample": q_p7_hash_sample,
-    "lake_upsert": q_lake_upsert,
-    "profile_table": q_profile_table,
-    "sample_stratified": q_sample_stratified,
-    "s14_binaryfile_source": q_s14_binaryfile_source,
-    "multimodal_extract": q_multimodal_extract,
-    # --- text / events families ---
-    "text_stats": q_text_stats,
-    "text_tokens": q_text_tokens,
-    "text_lang_id": q_text_lang_id,
-    "text_ngram_topk": q_text_ngram_topk,
-    "text_quality_by_source": q_text_quality_by_source,
-    "text_fingerprint": q_text_fingerprint,
-    "text_tfidf": q_text_tfidf,
-    "text_scrub": q_text_scrub,
-    "text_quality_filter": q_text_quality_filter,
-    "text_zscore_pandas": q_text_zscore_pandas,
-    "events_gap_fill": q_events_gap_fill,
-    "events_funnel": q_events_funnel,
-    "events_retention": q_events_retention,
-    # --- round-3 additions (cheap, never recorded) ---
-    "text_repetition": q_text_repetition,
-    "pack_windows": q_pack_windows,
-    "lake_zorder_key": q_lake_zorder_key,
-    "sample_mixture_plan": q_sample_mixture_plan,
-    "s15_schema_evolution": q_s15_schema_evolution,
-    "sql_tpch_q3": q_sql_tpch_q3,
-    "p8_keep_latest": q_p8_keep_latest,
-    "flagship_lake_nest": q_flagship_lake_nest,
-    # --- similarity family ---
-    "sim_brute_topk": q_sim_brute_topk,
-    "sim_pandas_topk": q_sim_pandas_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "dedup_embedding": q_dedup_embedding,
-    # --- dedup family (heaviest last) ---
-    "dedup_exact_keep": q_dedup_exact_keep,
-    "dedup_levenshtein": q_dedup_levenshtein,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    # --- never driver-recorded: the core near-dedup family (selfcheck
+    # green at sf0.01, but no CORRECTNESS row yet) + round-4 additions
     "dedup_contamination": q_dedup_contamination,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_near_keep": q_dedup_near_keep,
-    # --- green in CORRECTNESS_r02 ---
+    "multimodal_decode_wav": q_multimodal_decode_wav,
+    "stream_ingest_idempotent": q_stream_ingest_idempotent,
+    # --- latest green row is round 2: refresh against current code ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
     "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
@@ -2684,11 +2705,7 @@ SPARK_QUERIES = {
     "s11_lake_range_read": q_s11_lake_range_read,
     "s12_orc_roundtrip": q_s12_orc_roundtrip,
     "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
-    "p1_rename": q_p1_rename,
     "p2_derive": q_p2_derive,
-    "p3_drop": q_p3_drop,
-    "p4_select_reorder": q_p4_select_reorder,
-    "p5_sql_predicate": q_p5_sql_predicate,
     "p6_dropdup_subset": q_p6_dropdup_subset,
     "j1_multikey_left_join": q_j1_multikey_left_join,
     "j2_left_join_nulls": q_j2_left_join_nulls,
@@ -2720,6 +2737,63 @@ SPARK_QUERIES = {
     "events_from_json": q_events_from_json,
     "stream_tumbling": q_stream_tumbling,
     "dedup_exact_stats": q_dedup_exact_stats,
+    # ---------------- ~position 50: recording window edge -----------
+    # --- r2-green trivial projections (lowest churn risk, demoted) ---
+    "p1_rename": q_p1_rename,
+    "p3_drop": q_p3_drop,
+    "p4_select_reorder": q_p4_select_reorder,
+    "p5_sql_predicate": q_p5_sql_predicate,
+    # --- green in CORRECTNESS_r03 ---
+    "a1_collect_set_nest": q_a1_collect_set_nest,
+    "a2_two_level_nest": q_a2_two_level_nest,
+    "a7_approx_distinct": q_a7_approx_distinct,
+    "f1_string_funcs": q_f1_string_funcs,
+    "f2_datetime_funcs": q_f2_datetime_funcs,
+    "x1_explode_unnest": q_x1_explode_unnest,
+    "f3_collection_funcs": q_f3_collection_funcs,
+    "f4_unpivot": q_f4_unpivot,
+    "j8_full_outer": q_j8_full_outer,
+    "w6_ntile_pct": q_w6_ntile_pct,
+    "w7_value_functions": q_w7_value_functions,
+    "a9_percentiles": q_a9_percentiles,
+    "a10_grouping_sets": q_a10_grouping_sets,
+    "a11_corr_stats": q_a11_corr_stats,
+    "a12_conditional_aggs": q_a12_conditional_aggs,
+    "p7_hash_sample": q_p7_hash_sample,
+    "lake_upsert": q_lake_upsert,
+    "profile_table": q_profile_table,
+    "sample_stratified": q_sample_stratified,
+    "s14_binaryfile_source": q_s14_binaryfile_source,
+    "multimodal_extract": q_multimodal_extract,
+    "text_stats": q_text_stats,
+    "text_tokens": q_text_tokens,
+    "text_lang_id": q_text_lang_id,
+    "text_ngram_topk": q_text_ngram_topk,
+    "text_quality_by_source": q_text_quality_by_source,
+    "text_fingerprint": q_text_fingerprint,
+    "text_tfidf": q_text_tfidf,
+    "text_scrub": q_text_scrub,
+    "text_quality_filter": q_text_quality_filter,
+    "text_zscore_pandas": q_text_zscore_pandas,
+    "events_gap_fill": q_events_gap_fill,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "text_repetition": q_text_repetition,
+    "pack_windows": q_pack_windows,
+    "lake_zorder_key": q_lake_zorder_key,
+    "sample_mixture_plan": q_sample_mixture_plan,
+    "s15_schema_evolution": q_s15_schema_evolution,
+    "sql_tpch_q3": q_sql_tpch_q3,
+    "p8_keep_latest": q_p8_keep_latest,
+    "flagship_lake_nest": q_flagship_lake_nest,
+    "sim_brute_topk": q_sim_brute_topk,
+    "sim_pandas_topk": q_sim_pandas_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
 }
 
 ORACLE_SQL = _oracles()

@@ -32,26 +32,50 @@ from geniepool_etl_spark.functions import portable_hash32
 from geniepool_etl_spark.operators.text import words_col
 
 
+#: auto-sizing target: tokens per packing shard. Each shard is sorted
+#: within a single task, but the sort rows are ~32-byte metadata
+#: (id, n_tok, hash), not text — 256M tokens ≈ 0.5M docs ≈ tens of MB
+#: of sort data per task, far under executor memory, while keeping the
+#: shard count (= parallelism) proportional to corpus size.
+TOKENS_PER_SHARD = 256_000_000
+
+
 def pack_windows(
     df: DataFrame,
     context_len: int = 512,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     token_col: str | None = None,
     seed: int = 7,
+    tokens_per_shard: int = TOKENS_PER_SHARD,
 ) -> DataFrame:
     """(id, shard, n_tok, first_window, win_offset, last_window).
 
     ``token_col`` names a precomputed token-count column; by default
     tokens are whitespace-split word counts (swap in a real tokenizer
     count upstream — the packing math only needs the integer).
+
+    ``n_shards=None`` (default) auto-sizes the shard count from the
+    corpus: one cheap aggregation job sums the token counts and sets
+    ``ceil(total_tokens / tokens_per_shard)``. A fixed default (the
+    old ``n_shards=8``) is a parallelism ceiling — at 100 TB it means
+    8 tasks each window-summing 1/8th of the corpus; auto-sizing keeps
+    tokens-per-shard bounded so the per-task sort stays small and the
+    shard count grows linearly with the data. Determinism is
+    preserved: shard assignment stays a pure hash mod, and the same
+    input always yields the same shard count.
     """
     n_tok = (
         F.col(token_col).cast("long")
         if token_col
         else F.size(words_col(F.col(text_col))).cast("long")
     )
+    if n_shards is None:
+        total = df.select(
+            F.coalesce(F.sum(n_tok), F.lit(0)).alias("t")
+        ).first()["t"]
+        n_shards = max(1, -(-int(total) // int(tokens_per_shard)))
     key = F.col(id_col).cast("string")
     base = df.select(
         F.col(id_col).alias("id"),

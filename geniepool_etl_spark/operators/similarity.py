@@ -110,6 +110,27 @@ def auto_n_planes(n_rows: int, target_bucket_size: int = 32) -> int:
     return max(4, min(30, math.ceil(math.log2(n_rows / target_bucket_size))))
 
 
+def auto_n_centroids(n_rows: int) -> int:
+    """Centroid count sized to the corpus: ``~sqrt(n_rows)``, clamped
+    to [4, 65536] — the standard IVF balance point (FAISS guidance is
+    sqrt(N)..4·sqrt(N)).
+
+    Why sqrt: per query the work is ``n_centroids`` assignment dots +
+    ``nprobe · (n_rows / n_centroids)`` list-scan dots; the sum is
+    minimized when the two terms match, i.e. n_centroids ≈
+    sqrt(nprobe·n_rows). A FIXED centroid count is the scale trap —
+    lists grow linearly with the corpus and every query rescans them
+    (measured: 10× corpus at fixed 16 centroids → ~10× list-scan work;
+    with auto sizing the per-query work grows ~sqrt(10)≈3.2×, see
+    SCALE.md).
+    """
+    import math
+
+    if n_rows <= 16:
+        return 4
+    return max(4, min(65536, math.ceil(math.sqrt(n_rows))))
+
+
 def hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: coefficient d is
     ``md5("0:<plane>:<d>")[:8] / 2^31 - 1`` ∈ [-1, 1) — pure constants
@@ -425,7 +446,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -443,7 +464,14 @@ def ivf_topk(
     k-means-refined with ``refine_iters`` Lloyd rounds — better list
     balance, same plan shape; the contract oracle pins 0). Returns
     (q_id, n_id, cos_sim), ties broken by n_id.
+
+    ``n_centroids=None`` auto-sizes to ``~sqrt(|corpus|)``
+    (:func:`auto_n_centroids`) so inverted-list width grows with the
+    square root of the corpus instead of linearly; the contract oracle
+    pins the fixed-16 variant for reproducibility.
     """
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
     if refine_iters:
         cents = ivf_kmeans_centroids(
             corpus, n_centroids, refine_iters, id_col, vec_col

@@ -488,6 +488,84 @@ def test_pack_windows_partitioning_invariant(spark):
     assert a == b
 
 
+def test_stdlib_media_decoders():
+    # header-parseable formats decode for real, stdlib-only; codec
+    # formats still raise NotImplementedError honestly
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from geniepool_etl_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00" * (2 * 2 * 4000))
+    m = decode_audio(buf.getvalue())
+    assert m == {
+        "format": "wav", "n_channels": 2, "sample_rate": 16000,
+        "sample_width": 2, "n_frames": 4000, "duration_ms": 250,
+    }
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+    )
+    assert decode_image(png) == {
+        "format": "png", "width": 640, "height": 480, "bit_depth": 8,
+    }
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 320, -200, 1, 24) + b"\x00" * 40
+    )
+    assert decode_image(bmp) == {
+        "format": "bmp", "width": 320, "height": 200, "bit_depth": 24,
+    }
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 8
+    assert decode_image(gif) == {
+        "format": "gif", "width": 12, "height": 34, "bit_depth": 8,
+    }
+    ppm = b"P6\n100 50\n255\n" + b"\x00" * 16
+    assert decode_image(ppm) == {
+        "format": "ppm", "width": 100, "height": 50, "bit_depth": 8,
+    }
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04" + b"\x00" * 32)  # mp3 tag
+
+
+def test_pack_windows_auto_shards_scale_with_input(spark):
+    # n_shards=None derives the shard count from total tokens, so
+    # parallelism grows with the corpus instead of capping at a fixed
+    # default; same input -> same count (deterministic)
+    from geniepool_etl_spark.operators.packing import pack_windows
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit("a b c d e").alias("text")
+        )
+
+    small = pack_windows(corpus(100), tokens_per_shard=100)
+    big = pack_windows(corpus(1000), tokens_per_shard=100)
+    n_small = small.select(F.countDistinct("shard")).first()[0]
+    n_big = big.select(F.countDistinct("shard")).first()[0]
+    # 100 docs x 5 tok / 100 -> 5 shards; 1000 docs -> 50 shards
+    assert n_small == 5
+    assert n_big == 50
+    again = pack_windows(corpus(100), tokens_per_shard=100)
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
 def test_mixture_plan_caps_and_shortfall(spark):
     from geniepool_etl_spark.operators.sampling import mixture_plan
 
