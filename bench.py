@@ -61,32 +61,38 @@ def main() -> None:
     C._t(spark, SF_DIR, "lineitem").limit(1).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, build in qs.items():
-        # Build the DataFrame (logical plan) once — client-side plan
-        # construction is py4j chatter, not engine work, and at cluster
-        # scale it amortizes to zero. Time the executions only.
-        df = build()
-        # best-of-3: single runs on a shared machine show 2-3× noise
-        # spikes; the minimum reflects engine cost
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        # Per-query isolation: one broken plan must degrade to a
+        # reported failure, not zero the whole round's signal.
+        try:
+            # Build the DataFrame (logical plan) once — client-side plan
+            # construction is py4j chatter, not engine work, and at
+            # cluster scale it amortizes to zero. Time executions only.
+            df = build()
+            # best-of-3: single runs on a shared machine show 2-3×
+            # noise spikes; the minimum reflects engine cost
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            first = str(exc).strip().splitlines()[0] if str(exc) else ""
+            errors[name] = f"{type(exc).__name__}: {first[:200]}"
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -5,10 +5,12 @@ streaming), all over the synthetic star schema in ``$sf_dir``.
 
 Conventions that make the cross-engine value-hash comparison exact:
 
-- **Integer event time.** ``events.ts`` is parquet TIMESTAMP(NANOS);
-  Spark reads it as a long via ``spark.sql.legacy.parquet.nanosAsLong``
-  and all window arithmetic is integer epoch-micros (floor ns→µs
-  matches DuckDB's conversion) — timezone-proof by construction.
+- **Integer event time.** ``events.ts`` normalizes to exact-integer
+  epoch micros via the dtype-adaptive ``functions.event_micros``
+  (nanos-long, TIMESTAMP, and TIMESTAMP_NTZ parquet encodings all
+  supported); all window arithmetic is integer micros, matching
+  DuckDB's ``epoch_us(ts)`` bit-for-bit — timezone-proof by
+  construction (session tz pinned UTC for the NTZ branch).
 - **Order-robust floats.** Sums of doubles are rounded to 2 decimals
   (engine summation order differs in the last ulp); ratios to 4.
   Rank/top-k cuts always order on the *rounded* value with an id
@@ -35,7 +37,7 @@ from pyspark.sql import types as T
 
 from geniepool_etl_spark.functions import (
     enable_nanos_as_long,
-    micros,
+    event_micros,
     portable_hash32,
     portable_hash32_sql,
 )
@@ -1318,10 +1320,10 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     their first and last event (0-filled) — the gap-fill shape feature
     pipelines need before windowed training aggregates. Distributed as
     explode(sequence(lo, hi)) per user — no driver-side calendar."""
-    ev = _events(spark, sf_dir)
+    ev0 = _events(spark, sf_dir)
     # integer div chain (never / — double division rounds at 1e18)
-    day = F.expr("(ts div 1000) div 86400000000")
-    e = ev.select("user_id", day.alias("day"))
+    ev = ev0.withColumn("_us", event_micros(ev0, "ts"))
+    e = ev.select("user_id", F.expr("_us div 86400000000").alias("day"))
     counts = e.groupBy("user_id", "day").agg(
         F.count(F.lit(1)).alias("_n")
     )
@@ -1384,9 +1386,11 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline ships. One distinct-(user, day) frame feeds both the
     cohort assignment and the return lookups; joins stay on the user
     key."""
-    ev = _events(spark, sf_dir)
-    day = F.expr("(ts div 1000) div 86400000000")
-    days = ev.select("user_id", day.alias("day")).distinct()
+    ev0 = _events(spark, sf_dir)
+    ev = ev0.withColumn("_us", event_micros(ev0, "ts"))
+    days = ev.select(
+        "user_id", F.expr("_us div 86400000000").alias("day")
+    ).distinct()
     cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     j = days.join(cohort, "user_id")
     return j.groupBy("cohort_day").agg(

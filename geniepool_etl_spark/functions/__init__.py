@@ -10,16 +10,20 @@ Two hash families:
   so correctness oracles can recompute it. ~3× slower than xxhash64;
   use only where cross-engine reproducibility is required.
 
-Time helpers normalize the parquet ``TIMESTAMP(NANOS)`` columns
-(unreadable by Spark's vectorized reader without
-``spark.sql.legacy.parquet.nanosAsLong=true``) into integer epoch
-micros, keeping all event-time arithmetic timezone-proof.
+Time helpers normalize the event timestamp column into integer epoch
+micros regardless of how the parquet writer encoded it — nanos-as-long
+(TIMESTAMP(NANOS) read under ``spark.sql.legacy.parquet.nanosAsLong``),
+TIMESTAMP_NTZ (TIMESTAMP(MICROS, isAdjustedToUTC=false)), or a plain
+UTC-adjusted TIMESTAMP — keeping all downstream event-time arithmetic
+timezone-proof integer math. The dtype branch lives in ONE place
+(:func:`event_micros`); everything else consumes ``ts_us``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 PORTABLE_HASH_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
 
@@ -47,17 +51,55 @@ def portable_hash32_sql(expr: str, seed: int = 0) -> str:
 
 
 def enable_nanos_as_long(spark: SparkSession) -> None:
-    """Allow reading parquet TIMESTAMP(NANOS) columns as raw long
-    nanos (Spark's vectorized reader otherwise rejects the type with
-    PARQUET_TYPE_ILLEGAL). Safe to call repeatedly; runtime conf."""
+    """Pin the event-time read path: allow parquet TIMESTAMP(NANOS)
+    columns as raw long nanos (Spark's vectorized reader otherwise
+    rejects the type with PARQUET_TYPE_ILLEGAL) AND pin the session
+    timezone to UTC so the TIMESTAMP_NTZ branch of
+    :func:`event_micros` (NTZ→TIMESTAMP cast) is an identity on the
+    UTC instant. Safe to call repeatedly; runtime confs."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def micros(col_name: str) -> Column:
     """Epoch-micros long from a nanos-long column (integer ``div``,
     not ``/`` — double division rounds at 1e18 magnitudes and can land
-    one µs high of the floor DuckDB's ns→µs conversion uses)."""
+    one µs high of the floor DuckDB's ns→µs conversion uses).
+
+    Only valid on LONG columns; for a column whose physical type may
+    vary with the parquet writer, use :func:`event_micros`."""
     return F.expr(f"CAST({col_name} AS LONG) div 1000")
+
+
+def event_micros(df: DataFrame, ts_col: str = "ts") -> Column:
+    """Epoch-micros long from ``ts_col``, adaptive to the column's
+    actual dtype — the single normalization point for event time:
+
+    - ``LONG``: raw nanos (parquet TIMESTAMP(NANOS) read under
+      ``nanosAsLong``) → integer ``div 1000``.
+    - ``TIMESTAMP_NTZ`` (parquet TIMESTAMP(MICROS,
+      isAdjustedToUTC=false)): cast NTZ→TIMESTAMP under the session
+      timezone — pinned UTC in session.py, so the wall-clock reading IS
+      the UTC instant — then ``unix_micros``. (``unix_micros`` rejects
+      NTZ directly; the cast is required.)
+    - ``TIMESTAMP``: ``unix_micros`` directly.
+
+    Everything downstream (windows, sessions, as-of joins, streaming)
+    consumes the resulting exact-integer ``ts_us``, which matches
+    DuckDB's ``epoch_us(ts)`` bit-for-bit on every branch.
+    """
+    dt = df.schema[ts_col].dataType
+    c = F.col(ts_col)
+    if isinstance(dt, T.LongType):
+        return F.expr(f"CAST({ts_col} AS LONG) div 1000")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.unix_micros(c.cast("timestamp"))
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(c)
+    raise TypeError(
+        f"event_micros: unsupported dtype {dt} for column {ts_col!r}; "
+        "expected LONG (nanos), TIMESTAMP, or TIMESTAMP_NTZ"
+    )
 
 
 def tumble_us(us: Column, width_us: int) -> Column:

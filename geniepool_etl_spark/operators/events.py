@@ -9,9 +9,10 @@ plan works under ``readStream`` with a watermark.
 Scale design: all aggregations shuffle once on fine-grained composite
 keys (window × user), window functions partition by ``user_id`` (high
 cardinality — no single-partition sorts), and event-time arithmetic is
-integer epoch-micros (`TIMESTAMP(NANOS)` parquet reads as long via
-``spark.sql.legacy.parquet.nanosAsLong``; integer math is also
-timezone-proof and engine-portable for oracles).
+integer epoch-micros. Normalization from whatever the parquet writer
+produced (nanos-long, TIMESTAMP, or TIMESTAMP_NTZ) is dtype-adaptive
+in ONE place — ``functions.event_micros`` — so integer math stays
+timezone-proof and engine-portable for oracles on every branch.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from geniepool_etl_spark.functions import micros
+from geniepool_etl_spark.functions import event_micros
 
 US_PER_SEC = 1_000_000
 US_PER_MIN = 60 * US_PER_SEC
@@ -27,10 +28,12 @@ US_PER_HOUR = 60 * US_PER_MIN
 
 
 def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Normalize the raw nanos-long ``ts`` into ``ts_us`` (epoch
-    micros, exact integer) and ``event_time`` (TimestampType, for the
-    native window()/session_window() operators)."""
-    return df.withColumn("ts_us", micros(ts_col)).withColumn(
+    """Normalize the raw ``ts`` — nanos-long, TIMESTAMP, or
+    TIMESTAMP_NTZ, branching on the column's actual dtype — into
+    ``ts_us`` (epoch micros, exact integer) and ``event_time``
+    (TimestampType, for the native window()/session_window()
+    operators)."""
+    return df.withColumn("ts_us", event_micros(df, ts_col)).withColumn(
         "event_time", F.timestamp_micros(F.col("ts_us"))
     )
 

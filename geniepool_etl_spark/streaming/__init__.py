@@ -24,10 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from geniepool_etl_spark.functions import enable_nanos_as_long
 from geniepool_etl_spark.operators import events as E
 
-# Explicit DDL schema: streaming sources cannot infer, and `ts` must be
-# read as raw nanos (TIMESTAMP(NANOS) parquet).
+# Fallback DDL schema for an empty source directory (streaming sources
+# cannot infer with no files). The current driver testdata writes `ts`
+# as parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ.
 EVENTS_DDL = (
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -35,8 +36,21 @@ EVENTS_DDL = (
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
+    """File-source event stream with the schema taken from the files
+    actually present (one batch-reader footer peek — a driver-side
+    metadata read, no data scan). Declaring a schema that disagrees
+    with the physical type is the classic silent-corruption trap: a
+    micros TIMESTAMP column declared LONG loads as plain micros longs,
+    and a downstream nanos→micros divide compresses the timeline
+    1000×. Reading the real footer type and routing through the
+    dtype-adaptive ``event_micros`` makes the pipeline correct for
+    nanos-long, TIMESTAMP, and TIMESTAMP_NTZ alike."""
     enable_nanos_as_long(spark)
-    reader = spark.readStream.schema(EVENTS_DDL)
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # empty/missing dir: fall back to the current DDL
+        schema = EVENTS_DDL
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)

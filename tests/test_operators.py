@@ -184,10 +184,15 @@ def test_lsh_same_vector_same_bucket(spark):
 
 # ---------------------------------------------------------------- events
 
-@pytest.fixture(scope="module")
-def mini_events(spark):
-    # ts in raw NANOS (as the parquet reads); gaps chosen around the
-    # 30-minute session boundary.
+@pytest.fixture(scope="module", params=["nanos_long", "micros_ntz"])
+def mini_events(spark, request):
+    """Events in BOTH physical time encodings the driver has shipped —
+    raw nanos-long (TIMESTAMP(NANOS) under nanosAsLong) and
+    TIMESTAMP_NTZ micros — so the dtype-adaptive ``event_micros``
+    reader can never regress against either. Gaps chosen around the
+    30-minute session boundary."""
+    import datetime
+
     base = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00 in ns
     mins = 60 * 1_000_000_000
     rows = [
@@ -197,10 +202,28 @@ def mini_events(spark):
         (4, base + 200 * mins, 7, "purchase", 4.0, "{}"),  # gap >30m → NEW
         (5, base + 10 * mins, 8, "view", 5.0, "{}"),
     ]
+    if request.param == "nanos_long":
+        return spark.createDataFrame(
+            rows,
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING",
+        )
+    ntz_rows = [
+        (
+            eid,
+            datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(microseconds=ts // 1000),
+            uid,
+            et,
+            v,
+            p,
+        )
+        for eid, ts, uid, et, v, p in rows
+    ]
     return spark.createDataFrame(
-        rows,
-        "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
-        "value DOUBLE, props STRING",
+        ntz_rows,
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
     )
 
 
@@ -273,11 +296,23 @@ def test_multimodal_frame_sampling_one_to_many(spark):
     assert all(len(f.frame) == 1024 for f in frames)
 
 
-def test_decode_stubs_raise():
-    with pytest.raises(NotImplementedError):
+def test_decode_rejects_short_payloads():
+    # too-short/empty payloads are malformed input, not a codec gap
+    with pytest.raises(ValueError):
         M.decode_image(b"")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_audio(b"")
+
+
+def test_decode_unsupported_codecs_raise():
+    # well-formed containers whose codec needs PIL/ffmpeg (absent
+    # here) are the documented NotImplementedError boundary
+    jpeg_soi = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    with pytest.raises(NotImplementedError):
+        M.decode_image(jpeg_soi)
+    mp3_frame = b"\xff\xfb\x90\x64" + b"\x00" * 16
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(mp3_frame)
 
 
 def test_funnel_stage_semantics(spark):

@@ -163,16 +163,28 @@ def test_streaming_sessionization_equals_batch(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        max_ns = (
-            spark.read.parquet(f"{SF_SMALL}/events.parquet")
-            .selectExpr("max(cast(ts as long)) AS m")
-            .collect()[0]["m"]
-        )
-        flush_ns = max_ns + 24 * 3600 * 1_000_000_000
+        import datetime
+
+        from pyspark.sql import types as T
+
+        from geniepool_etl_spark.functions import event_micros
+
+        src_df = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        max_us = src_df.select(
+            F.max(event_micros(src_df, "ts")).alias("m")
+        ).collect()[0]["m"]
+        flush_us = max_us + 24 * 3600 * 1_000_000
+        # flush event in the SOURCE's own ts encoding (nanos-long or
+        # timestamp): the appended file must match the stream schema
+        if isinstance(src_df.schema["ts"].dataType, T.LongType):
+            flush_ts = flush_us * 1000
+        else:
+            flush_ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=flush_us
+            )
         spark.createDataFrame(
-            [(10**9, flush_ns, -1, "flush", 0.0, "{}")],
-            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
-            "value DOUBLE, props STRING",
+            [(10**9, flush_ts, -1, "flush", 0.0, "{}")],
+            schema=src_df.schema,
         ).write.mode("append").parquet(str(src))
         q.processAllAvailable()
     finally:
