@@ -64,6 +64,22 @@ def _tmpdir(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"gp_spark_{tag}_")
 
 
+_fixture_cache: dict[tuple[str, str], str] = {}
+
+
+def _memo_fixture(tag: str, sf_dir: str, write) -> str:
+    """Write an on-disk fixture once per (tag, sf_dir) per process and
+    reuse the directory on later invocations — repeated driver runs of
+    a fixture-backed entry skip the rewrite (results identical: the
+    fixtures are deterministic functions of the input tables)."""
+    key = (tag, sf_dir)
+    if key not in _fixture_cache:
+        path = _tmpdir(tag)
+        write(path)
+        _fixture_cache[key] = path
+    return _fixture_cache[key]
+
+
 # =====================================================================
 # S: sources / sinks (SURVEY §2.1)
 # =====================================================================
@@ -161,14 +177,16 @@ def q_s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     via mergeSchema (the missing column nulls out). The annotation-
     table release-to-release reality S6's missing-col-null handles at
     the reader level, here at the lake level."""
-    out = _tmpdir("s15")
-    nation = _t(spark, sf_dir, "nation")
-    nation.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
-        f"{out}/batch=1"
-    )
-    nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
-        "overwrite"
-    ).parquet(f"{out}/batch=2")
+    def _write(out: str) -> None:
+        nation = _t(spark, sf_dir, "nation")
+        nation.select("n_nationkey", "n_name").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch=1")
+        nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch=2")
+
+    out = _memo_fixture("s15", sf_dir, _write)
     back = spark.read.option("mergeSchema", "true").parquet(
         f"{out}/batch=1", f"{out}/batch=2"
     )
@@ -1153,16 +1171,18 @@ def q_s14_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes as a binary column with typed metadata (path, length),
     reduced to scalar lineage columns (id from the file name, byte
     length, content md5)."""
-    rows = (
-        _t(spark, sf_dir, "documents")
-        .where("doc_id < 50")
-        .select("doc_id", "text")
-        .collect()
-    )  # 50-row fixture generation only, not a data path
-    out = _tmpdir("s14")
-    for r in rows:
-        with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as f:
-            f.write(r.text.encode("utf-8"))
+    def _write(out: str) -> None:
+        rows = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id < 50")
+            .select("doc_id", "text")
+            .collect()
+        )  # 50-row fixture generation only, not a data path
+        for r in rows:
+            with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    out = _memo_fixture("s14", sf_dir, _write)
     bf = spark.read.format("binaryFile").load(out)
     return bf.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
@@ -2688,16 +2708,82 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
 # churn risk) demoted to the tail so the window closes at ~50. The 48
 # entries already green in round 3 fill the tail.
 SPARK_QUERIES = {
-    # --- never driver-recorded: the core near-dedup family (selfcheck
-    # green at sf0.01, but no CORRECTNESS row yet) + round-4 additions
+    # --- round-5 priority: the 8 entries that errored / were wrong in
+    # r4 (TIMESTAMP_NTZ regression) + the 2 whose day arithmetic was
+    # fixed the same way — must re-green in CORRECTNESS_r05
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_session": q_events_session,
+    "events_asof_join": q_events_asof_join,
+    "w2_running_extrema": q_w2_running_extrema,
+    "w3_lag_gap": q_w3_lag_gap,
+    "stream_tumbling": q_stream_tumbling,
+    "stream_ingest_idempotent": q_stream_ingest_idempotent,
+    "events_gap_fill": q_events_gap_fill,
+    "events_retention": q_events_retention,
+    # --- latest green row is round 2: final four to refresh ---
+    "p1_rename": q_p1_rename,
+    "p3_drop": q_p3_drop,
+    "p4_select_reorder": q_p4_select_reorder,
+    "p5_sql_predicate": q_p5_sql_predicate,
+    # --- implementation changed this round: re-verify ---
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "s14_binaryfile_source": q_s14_binaryfile_source,
+    "s15_schema_evolution": q_s15_schema_evolution,
+    # --- latest green row is round 3: rotate through the window ---
+    "a1_collect_set_nest": q_a1_collect_set_nest,
+    "a2_two_level_nest": q_a2_two_level_nest,
+    "a7_approx_distinct": q_a7_approx_distinct,
+    "f1_string_funcs": q_f1_string_funcs,
+    "f2_datetime_funcs": q_f2_datetime_funcs,
+    "x1_explode_unnest": q_x1_explode_unnest,
+    "f3_collection_funcs": q_f3_collection_funcs,
+    "f4_unpivot": q_f4_unpivot,
+    "j8_full_outer": q_j8_full_outer,
+    "w6_ntile_pct": q_w6_ntile_pct,
+    "w7_value_functions": q_w7_value_functions,
+    "a9_percentiles": q_a9_percentiles,
+    "a10_grouping_sets": q_a10_grouping_sets,
+    "a11_corr_stats": q_a11_corr_stats,
+    "a12_conditional_aggs": q_a12_conditional_aggs,
+    "p7_hash_sample": q_p7_hash_sample,
+    "lake_upsert": q_lake_upsert,
+    "profile_table": q_profile_table,
+    "sample_stratified": q_sample_stratified,
+    "multimodal_extract": q_multimodal_extract,
+    "text_stats": q_text_stats,
+    "text_tokens": q_text_tokens,
+    "text_lang_id": q_text_lang_id,
+    "text_ngram_topk": q_text_ngram_topk,
+    "text_quality_by_source": q_text_quality_by_source,
+    "text_fingerprint": q_text_fingerprint,
+    "text_tfidf": q_text_tfidf,
+    "text_scrub": q_text_scrub,
+    "text_quality_filter": q_text_quality_filter,
+    "text_zscore_pandas": q_text_zscore_pandas,
+    "events_funnel": q_events_funnel,
+    "text_repetition": q_text_repetition,
+    "pack_windows": q_pack_windows,
+    "lake_zorder_key": q_lake_zorder_key,
+    "sample_mixture_plan": q_sample_mixture_plan,
+    "sql_tpch_q3": q_sql_tpch_q3,
+    "p8_keep_latest": q_p8_keep_latest,
+    "flagship_lake_nest": q_flagship_lake_nest,
+    "sim_brute_topk": q_sim_brute_topk,
+    "sim_pandas_topk": q_sim_pandas_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    # ---------------- ~position 50: recording window edge -----------
+    # --- green in CORRECTNESS_r04 (freshest rows — demoted) ---
     "dedup_contamination": q_dedup_contamination,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_near_keep": q_dedup_near_keep,
     "multimodal_decode_wav": q_multimodal_decode_wav,
-    "stream_ingest_idempotent": q_stream_ingest_idempotent,
-    # --- latest green row is round 2: refresh against current code ---
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
     "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
@@ -2730,74 +2816,10 @@ SPARK_QUERIES = {
     "sort_topk": q_sort_topk,
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,
-    "w2_running_extrema": q_w2_running_extrema,
-    "w3_lag_gap": q_w3_lag_gap,
-    "events_tumbling": q_events_tumbling,
-    "events_sliding": q_events_sliding,
-    "events_session": q_events_session,
-    "events_asof_join": q_events_asof_join,
     "events_pivot": q_events_pivot,
     "events_json_props": q_events_json_props,
     "events_from_json": q_events_from_json,
-    "stream_tumbling": q_stream_tumbling,
     "dedup_exact_stats": q_dedup_exact_stats,
-    # ---------------- ~position 50: recording window edge -----------
-    # --- r2-green trivial projections (lowest churn risk, demoted) ---
-    "p1_rename": q_p1_rename,
-    "p3_drop": q_p3_drop,
-    "p4_select_reorder": q_p4_select_reorder,
-    "p5_sql_predicate": q_p5_sql_predicate,
-    # --- green in CORRECTNESS_r03 ---
-    "a1_collect_set_nest": q_a1_collect_set_nest,
-    "a2_two_level_nest": q_a2_two_level_nest,
-    "a7_approx_distinct": q_a7_approx_distinct,
-    "f1_string_funcs": q_f1_string_funcs,
-    "f2_datetime_funcs": q_f2_datetime_funcs,
-    "x1_explode_unnest": q_x1_explode_unnest,
-    "f3_collection_funcs": q_f3_collection_funcs,
-    "f4_unpivot": q_f4_unpivot,
-    "j8_full_outer": q_j8_full_outer,
-    "w6_ntile_pct": q_w6_ntile_pct,
-    "w7_value_functions": q_w7_value_functions,
-    "a9_percentiles": q_a9_percentiles,
-    "a10_grouping_sets": q_a10_grouping_sets,
-    "a11_corr_stats": q_a11_corr_stats,
-    "a12_conditional_aggs": q_a12_conditional_aggs,
-    "p7_hash_sample": q_p7_hash_sample,
-    "lake_upsert": q_lake_upsert,
-    "profile_table": q_profile_table,
-    "sample_stratified": q_sample_stratified,
-    "s14_binaryfile_source": q_s14_binaryfile_source,
-    "multimodal_extract": q_multimodal_extract,
-    "text_stats": q_text_stats,
-    "text_tokens": q_text_tokens,
-    "text_lang_id": q_text_lang_id,
-    "text_ngram_topk": q_text_ngram_topk,
-    "text_quality_by_source": q_text_quality_by_source,
-    "text_fingerprint": q_text_fingerprint,
-    "text_tfidf": q_text_tfidf,
-    "text_scrub": q_text_scrub,
-    "text_quality_filter": q_text_quality_filter,
-    "text_zscore_pandas": q_text_zscore_pandas,
-    "events_gap_fill": q_events_gap_fill,
-    "events_funnel": q_events_funnel,
-    "events_retention": q_events_retention,
-    "text_repetition": q_text_repetition,
-    "pack_windows": q_pack_windows,
-    "lake_zorder_key": q_lake_zorder_key,
-    "sample_mixture_plan": q_sample_mixture_plan,
-    "s15_schema_evolution": q_s15_schema_evolution,
-    "sql_tpch_q3": q_sql_tpch_q3,
-    "p8_keep_latest": q_p8_keep_latest,
-    "flagship_lake_nest": q_flagship_lake_nest,
-    "sim_brute_topk": q_sim_brute_topk,
-    "sim_pandas_topk": q_sim_pandas_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_exact_keep": q_dedup_exact_keep,
-    "dedup_levenshtein": q_dedup_levenshtein,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
 }
 
 ORACLE_SQL = _oracles()

@@ -60,14 +60,22 @@ def exact_dedup_stats(
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Return one row per distinct ``text_col`` — the row whose id is
-    minimal (deterministic, unlike ``dropDuplicates``)."""
-    w_keys = df.select(F.col(text_col).alias("_t"), F.col(id_col).alias("_keep"))
-    keep = w_keys.groupBy("_t").agg(F.min("_keep").alias("_keep"))
-    return df.join(
-        keep,
-        (df[text_col] == keep["_t"]) & (df[id_col] == keep["_keep"]),
-        "inner",
-    ).drop("_t", "_keep")
+    minimal (deterministic, unlike ``dropDuplicates``).
+
+    ONE shuffle, keyed on ``md5(text)`` — never the text itself: at
+    100 TB the raw document would otherwise travel as shuffle-key
+    material (and once more through a keep-set join). A row_number
+    window over the hash partition picks the min-id row in the same
+    exchange that co-locates the duplicates. NULL text hashes to NULL,
+    which partitions as one group — matching SQL ``GROUP BY text``
+    semantics (one representative row for all NULL-text docs).
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 # --------------------------------------------------------------------------
