@@ -790,6 +790,26 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_stream(spark, sf_dir, name=f"ct_{next(_uniq)}")
 
 
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization: the native session_window
+    aggregation under readStream (append mode; a far-future flush event
+    closes all real sessions — streaming.run_session_stream), checked
+    against the batch islands-and-gaps oracle."""
+    from geniepool_etl_spark.streaming import run_session_stream
+
+    return run_session_stream(spark, sf_dir, name=f"cs_{next(_uniq)}")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the source replays the whole
+    events file twice (at-least-once upstream), and
+    dropDuplicatesWithinWatermark must reduce it back to exactly the
+    original table (streaming.run_dedup_stream)."""
+    from geniepool_etl_spark.streaming import run_dedup_stream
+
+    return run_dedup_stream(spark, sf_dir, name=f"cd_{next(_uniq)}")
+
+
 def q_stream_ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once safety of the streaming lake ingest
     (streaming._write_ingest_batch): the same micro-batch is written
@@ -2163,6 +2183,12 @@ def _oracles() -> dict[str, str]:
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
     """
+    # streaming sessionization equals the batch islands-and-gaps
+    # answer once every session is watermark-closed
+    o["stream_session"] = o["events_session"]
+    o["stream_dedup"] = """
+        SELECT event_id, user_id, event_type, value FROM events
+    """
     o["stream_ingest_idempotent"] = f"""
         SELECT CAST({_EVENT_US} // 86400000000 AS BIGINT) AS day_bucket,
                count(*) AS n_events,
@@ -2719,6 +2745,9 @@ SPARK_QUERIES = {
     "w3_lag_gap": q_w3_lag_gap,
     "stream_tumbling": q_stream_tumbling,
     "stream_ingest_idempotent": q_stream_ingest_idempotent,
+    # --- new this round: never recorded ---
+    "stream_session": q_stream_session,
+    "stream_dedup": q_stream_dedup,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
     # --- latest green row is round 2: final four to refresh ---

@@ -270,6 +270,91 @@ def clicks_to_purchases_stream(
     ).select("p_user", "purchase_id", "click_id", "purchase_us", "click_us")
 
 
+def _stage_events_src(sf_dir: str, copies: int = 1) -> str:
+    """Copy the events parquet into a fresh streaming source dir
+    (``copies`` > 1 simulates an upstream replay of the same data)."""
+    src = tempfile.mkdtemp(prefix="gp_stream_src_")
+    for f in glob.glob(os.path.join(sf_dir, "events.parquet")):
+        for i in range(copies):
+            shutil.copy(f, os.path.join(src, f"copy{i}.parquet"))
+    return src
+
+
+def run_session_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Execute the session aggregation as a real micro-batch stream
+    over the events parquet and return the closed sessions.
+
+    ``session_window`` streams in APPEND mode only — a session is
+    emitted once the watermark passes its end + gap — so after the
+    real data a far-future flush event (user_id = -1, written in the
+    source's own ts encoding) advances the watermark and closes every
+    real session; flush rows are filtered from the result. This is the
+    production pattern for draining a bounded replay through a
+    streaming topology."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from geniepool_etl_spark.functions import event_micros
+
+    src = _stage_events_src(sf_dir)
+    out = sessionized_stream(read_event_stream(spark, src))
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        src_df = spark.read.parquet(src)
+        max_us = src_df.select(
+            F.max(event_micros(src_df, "ts")).alias("m")
+        ).collect()[0]["m"]
+        flush_us = max_us + 24 * 3600 * 1_000_000
+        if isinstance(src_df.schema["ts"].dataType, T.LongType):
+            flush_ts: object = flush_us * 1000
+        else:
+            flush_ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=flush_us
+            )
+        spark.createDataFrame(
+            [(10**9, flush_ts, -1, "flush", 0.0, "{}")],
+            schema=src_df.schema,
+        ).write.mode("append").parquet(src)
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name).where("user_id >= 0")
+
+
+def run_dedup_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Execute the watermarked streaming dedup over a source that
+    replays the events file TWICE (the at-least-once upstream shape):
+    the output must be exactly one row per event_id — the original
+    table."""
+    src = _stage_events_src(sf_dir, copies=2)
+    out = dedup_stream(read_event_stream(spark, src)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
 def run_tumbling_stream(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:
@@ -277,9 +362,7 @@ def run_tumbling_stream(
     over the events parquet (staged into its own source directory) and
     return the final result table (memory sink, complete mode — the
     batch-equivalent answer)."""
-    src = tempfile.mkdtemp(prefix="gp_stream_src_")
-    for f in glob.glob(os.path.join(sf_dir, "events.parquet")):
-        shutil.copy(f, src)
+    src = _stage_events_src(sf_dir)
     stream = read_event_stream(spark, src)
     out = E.tumbling_agg(stream)
     query = (
