@@ -1407,6 +1407,28 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle (operators/sampling.
+    deterministic_shuffle): every doc addressed by (shard, pos) from a
+    content hash — pseudorandom order, zero RNG state, shard-local
+    ranks (never a global sort)."""
+    from geniepool_etl_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    return deterministic_shuffle(
+        _t(spark, sf_dir, "documents"), n_shards=8
+    ).select("doc_id", "shard", "pos")
+
+
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/text.chunk_documents):
+    overlapping 64-word windows at stride 48, one row per chunk."""
+    return TX.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_words=64, stride_words=48
+    )
+
+
 def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep/drop quality gate with reasons
     (operators/text.quality_filter)."""
@@ -2270,6 +2292,38 @@ SELECT min(id) AS doc_id FROM labels GROUP BY label
                CAST(len(w.w) AS INT) AS n_ws_tokens
         FROM words w JOIN documents d USING (doc_id)
     """
+    o["shuffle_deterministic"] = f"""
+        WITH h AS (
+          SELECT doc_id, {portable_hash32_sql('doc_id', 17)} AS hv
+          FROM documents
+        )
+        SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+               CAST(row_number() OVER (PARTITION BY hv % 8
+                                       ORDER BY hv, doc_id) AS INT) AS pos
+        FROM h
+    """
+    o["text_chunk"] = r"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents
+          WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ),
+        n AS (
+          SELECT doc_id, w,
+                 1 + CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS BIGINT)
+                   AS nc
+          FROM d
+        ),
+        c AS (
+          SELECT doc_id, w, unnest(range(0, nc)) AS chunk_idx FROM n
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               array_to_string(w[chunk_idx*48+1 : chunk_idx*48+64], ' ')
+                 AS chunk_text,
+               CAST(len(w[chunk_idx*48+1 : chunk_idx*48+64]) AS INT)
+                 AS n_chunk_words
+        FROM c
+    """
     o["text_lang_id"] = _lang_id_oracle()
     o["text_ngram_topk"] = f"""
         WITH {_WORDS_CTE.strip()},
@@ -2748,6 +2802,8 @@ SPARK_QUERIES = {
     # --- new this round: never recorded ---
     "stream_session": q_stream_session,
     "stream_dedup": q_stream_dedup,
+    "shuffle_deterministic": q_shuffle_deterministic,
+    "text_chunk": q_text_chunk,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
     # --- latest green row is round 2: final four to refresh ---

@@ -11,12 +11,41 @@ is selected in every downstream job that repeats the predicate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from geniepool_etl_spark.functions import portable_hash32
 
 MOD = 10_000  # fraction resolution: 0.01%
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Reproducible global reshuffle for training-data ordering:
+    every row gets a (shard, pos) address — shard = content-hash %
+    ``n_shards``, pos = rank of the hash within the shard — so the
+    epoch order is pseudorandom w.r.t. the input layout yet identical
+    across runs, task retries, and engines (no RNG state anywhere).
+
+    The scale-correct formulation: a single GLOBAL row_number over the
+    hash would funnel 100 TB through one sorting partition, so order
+    is defined shard-locally instead — one hash exchange on the shard
+    key, each shard sorts independently, and a training reader
+    round-robins the shards. Changing ``seed`` is a fresh epoch
+    permutation.
+    """
+    h = portable_hash32(F.col(key_col).cast("string"), seed)
+    out = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return out.withColumn(
+        "pos", F.row_number().over(w).cast("int")
+    ).drop("_h")
 
 
 def stratified_hash_sample(

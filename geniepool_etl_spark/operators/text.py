@@ -92,6 +92,59 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("n_ws_tokens", F.size(words_col(text)))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_words: int = 64,
+    stride_words: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping word windows — the
+    context-window preprocessing step between raw documents and
+    sequence packing (chunk k covers words [k·stride, k·stride+chunk);
+    overlap = chunk − stride words carries context across boundaries).
+
+    Returns (id, chunk_idx, chunk_text, n_chunk_words), one row per
+    chunk; empty/NULL-text docs yield no chunks. The chunk count is
+    ``1 + ceil(max(n_words − chunk, 0) / stride)``, so the final chunk
+    always reaches the document end and is never empty.
+
+    Narrow map + explode over the scan — no shuffle, no UDF: the
+    fan-out happens next to the data, and downstream packing/shuffling
+    operates on chunks whose size is bounded by ``chunk_words`` (the
+    property that keeps shuffle partitions uniform no matter how
+    skewed raw document lengths are).
+    """
+    words = words_col(F.col(text_col))
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(F.size(words) - F.lit(chunk_words), F.lit(0))
+         + F.lit(stride_words - 1))
+        / F.lit(stride_words)
+    ).cast("int")
+    chunk = F.slice(
+        F.col("_w"), F.col("chunk_idx") * stride_words + 1, chunk_words
+    )
+    return (
+        df.where(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(
+            F.col(id_col),
+            words.alias("_w"),
+            F.explode(
+                F.sequence(F.lit(0), n_chunks - F.lit(1))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_words"),
+        )
+    )
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language id: count marker-word hits per language over
     the whitespace tokens; argmax with a deterministic tie-break on

@@ -130,6 +130,69 @@ def test_lang_id_markers(spark):
     assert langs == {1: "en", 2: "fr", 3: "de", 4: "und"}
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, None), (4, "   ")],
+        "doc_id LONG, text STRING",
+    )
+    rows = sorted(
+        TX.chunk_documents(df, chunk_words=64, stride_words=48).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # null / whitespace-only docs yield no chunks
+    assert set(by_doc) == {1, 2}
+    # 150 words: 1 + ceil((150-64)/48) = 3 chunks
+    c1 = by_doc[1]
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
+    assert [r.n_chunk_words for r in c1] == [64, 64, 150 - 96]
+    # chunk k starts at word k*stride; overlap region matches
+    assert c1[1].chunk_text.split()[0] == "w48"
+    assert c1[0].chunk_text.split()[48:] == c1[1].chunk_text.split()[:16]
+    # final chunk reaches the document end
+    assert c1[2].chunk_text.split()[-1] == "w149"
+    # sub-chunk doc: one chunk, the whole doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc"
+
+
+def test_deterministic_shuffle_reproducible(spark):
+    from geniepool_etl_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(200)], "doc_id LONG, text STRING"
+    )
+    a = {
+        r.doc_id: (r.shard, r.pos)
+        for r in deterministic_shuffle(df, n_shards=4).collect()
+    }
+    # identical under a different physical layout (shuffle-invariant)
+    b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in deterministic_shuffle(
+            df.repartition(7, "text"), n_shards=4
+        ).collect()
+    }
+    assert a == b
+    # every shard's positions are a contiguous 1..n ranking
+    shards: dict = {}
+    for s, p in a.values():
+        shards.setdefault(s, []).append(p)
+    assert set(shards) <= set(range(4))
+    for ps in shards.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # a different seed is a different permutation
+    c = {
+        r.doc_id: (r.shard, r.pos)
+        for r in deterministic_shuffle(df, n_shards=4, seed=99).collect()
+    }
+    assert c != a
+
+
 def test_fingerprint_deterministic_and_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "a b c"), (2, "a b c"), (3, "a b d")],
