@@ -810,6 +810,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_dedup_stream(spark, sf_dir, name=f"cd_{next(_uniq)}")
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream attribution join: each purchase
+    matched to the same user's clicks at most 2 h earlier
+    (streaming.clicks_to_purchases_stream / run_attribution_stream);
+    oracle is the equivalent batch range self-join."""
+    from geniepool_etl_spark.streaming import run_attribution_stream
+
+    return run_attribution_stream(spark, sf_dir, name=f"cj_{next(_uniq)}")
+
+
 def q_stream_ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once safety of the streaming lake ingest
     (streaming._write_ingest_batch): the same micro-batch is written
@@ -2211,6 +2221,19 @@ def _oracles() -> dict[str, str]:
     o["stream_dedup"] = """
         SELECT event_id, user_id, event_type, value FROM events
     """
+    o["stream_join"] = f"""
+        WITH e AS (
+          SELECT user_id, event_id, {_EVENT_US} AS us, event_type
+          FROM events
+        )
+        SELECT p.user_id AS p_user, p.event_id AS purchase_id,
+               c.event_id AS click_id, p.us AS purchase_us,
+               c.us AS click_us
+        FROM e p JOIN e c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.us <= p.us AND c.us >= p.us - 7200000000
+    """
     o["stream_ingest_idempotent"] = f"""
         SELECT CAST({_EVENT_US} // 86400000000 AS BIGINT) AS day_bucket,
                count(*) AS n_events,
@@ -2804,6 +2827,7 @@ SPARK_QUERIES = {
     "stream_dedup": q_stream_dedup,
     "shuffle_deterministic": q_shuffle_deterministic,
     "text_chunk": q_text_chunk,
+    "stream_join": q_stream_join,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
     # --- latest green row is round 2: final four to refresh ---

@@ -355,6 +355,30 @@ def run_dedup_stream(
     return spark.table(name)
 
 
+def run_attribution_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Execute the watermarked stream-stream attribution join
+    (:func:`clicks_to_purchases_stream`) as a real micro-batch stream
+    and return the joined result. Inner stream-stream joins emit a
+    match as soon as both sides have arrived — no watermark flush
+    needed for a bounded replay; the watermarks exist to bound state,
+    not to gate output."""
+    src = _stage_events_src(sf_dir)
+    out = clicks_to_purchases_stream(read_event_stream(spark, src))
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
 def run_tumbling_stream(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:

@@ -173,6 +173,9 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "s1_s3_text_csv_scan",
         "s14_binaryfile_source",
         "stream_tumbling",
+        "stream_session",
+        "stream_dedup",
+        "stream_join",
         "dedup_clusters",
         "lake_upsert",
     }
