@@ -89,6 +89,39 @@ def test_asof_join_is_window_not_range_join(spark):
     assert "Window" in plan
 
 
+def test_exact_dedup_is_single_hash_exchange(spark):
+    # keep-one dedup must be one window over a hash(md5) exchange:
+    # no join, and never the raw document text as a shuffle key.
+    from geniepool_etl_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(D.exact_dedup(docs))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "md5" in plan
+
+
+def test_deterministic_shuffle_is_single_exchange(spark):
+    from geniepool_etl_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(deterministic_shuffle(docs))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_chunking_is_narrow(spark):
+    # chunk fan-out happens next to the data: no exchange at all
+    from geniepool_etl_spark.operators import text as TX
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(TX.chunk_documents(docs))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
 def test_lsh_similarity_join_is_keyed(spark):
     from geniepool_etl_spark.operators import similarity as S
 
