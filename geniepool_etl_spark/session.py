@@ -59,6 +59,11 @@ def get_spark(
         # parquet scan sizing for the 100 TB target: default 128m splits;
         # local runs are tiny either way.
         "spark.sql.files.maxPartitionBytes": "134217728",
+        # answer bare MIN/MAX/COUNT aggregates from parquet footer
+        # statistics (no row-group decode) — at 100 TB a table-wide
+        # min/max profile becomes a metadata-only scan; the planner
+        # applies it only where semantics allow (no filters/distinct).
+        "spark.sql.parquet.aggregatePushdown": "true",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
         # managed (bucketed) tables land under tmp, not the repo;
