@@ -61,16 +61,6 @@ def enable_nanos_as_long(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def micros(col_name: str) -> Column:
-    """Epoch-micros long from a nanos-long column (integer ``div``,
-    not ``/`` — double division rounds at 1e18 magnitudes and can land
-    one µs high of the floor DuckDB's ns→µs conversion uses).
-
-    Only valid on LONG columns; for a column whose physical type may
-    vary with the parquet writer, use :func:`event_micros`."""
-    return F.expr(f"CAST({col_name} AS LONG) div 1000")
-
-
 def event_micros(df: DataFrame, ts_col: str = "ts") -> Column:
     """Epoch-micros long from ``ts_col``, adaptive to the column's
     actual dtype — the single normalization point for event time:
@@ -91,6 +81,9 @@ def event_micros(df: DataFrame, ts_col: str = "ts") -> Column:
     dt = df.schema[ts_col].dataType
     c = F.col(ts_col)
     if isinstance(dt, T.LongType):
+        # nanos→micros via integer div, never `/` — double division
+        # rounds at 1e18 magnitudes and can land one µs high of the
+        # floor DuckDB's ns→µs conversion uses
         return F.expr(f"CAST({ts_col} AS LONG) div 1000")
     if isinstance(dt, T.TimestampNTZType):
         return F.unix_micros(c.cast("timestamp"))
@@ -100,9 +93,3 @@ def event_micros(df: DataFrame, ts_col: str = "ts") -> Column:
         f"event_micros: unsupported dtype {dt} for column {ts_col!r}; "
         "expected LONG (nanos), TIMESTAMP, or TIMESTAMP_NTZ"
     )
-
-
-def tumble_us(us: Column, width_us: int) -> Column:
-    """Tumbling-window start (epoch micros) via pure integer math —
-    identical in every engine, timezone-free."""
-    return us - (us % F.lit(width_us))
