@@ -820,6 +820,15 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_attribution_stream(spark, sf_dir, name=f"cj_{next(_uniq)}")
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed state via applyInPandasWithState: running per-user
+    (count, sum) accumulators whose single-batch final state must
+    equal the batch groupBy (streaming.run_stateful_counts_stream)."""
+    from geniepool_etl_spark.streaming import run_stateful_counts_stream
+
+    return run_stateful_counts_stream(spark, sf_dir, name=f"cf_{next(_uniq)}")
+
+
 def q_stream_ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once safety of the streaming lake ingest
     (streaming._write_ingest_batch): the same micro-batch is written
@@ -2234,6 +2243,11 @@ def _oracles() -> dict[str, str]:
          AND p.event_type = 'purchase' AND c.event_type = 'click'
          AND c.us <= p.us AND c.us >= p.us - 7200000000
     """
+    o["stream_stateful"] = """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY user_id
+    """
     o["stream_ingest_idempotent"] = f"""
         SELECT CAST({_EVENT_US} // 86400000000 AS BIGINT) AS day_bucket,
                count(*) AS n_events,
@@ -2828,6 +2842,7 @@ SPARK_QUERIES = {
     "shuffle_deterministic": q_shuffle_deterministic,
     "text_chunk": q_text_chunk,
     "stream_join": q_stream_join,
+    "stream_stateful": q_stream_stateful,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
     # --- latest green row is round 2: final four to refresh ---

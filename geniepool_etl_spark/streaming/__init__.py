@@ -355,6 +355,32 @@ def run_dedup_stream(
     return spark.table(name)
 
 
+def run_stateful_counts_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Execute the applyInPandasWithState running per-user accumulator
+    (streaming.stateful.running_user_counts) over a bounded replay and
+    return the final state rows. With the whole replay in one
+    micro-batch, each user emits exactly one update row — the batch
+    groupBy answer — which makes the custom-stateful lane
+    oracle-checkable."""
+    from geniepool_etl_spark.streaming.stateful import running_user_counts
+
+    src = _stage_events_src(sf_dir)
+    out = running_user_counts(read_event_stream(spark, src))
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
 def run_attribution_stream(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:

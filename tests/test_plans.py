@@ -209,6 +209,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "stream_session",
         "stream_dedup",
         "stream_join",
+        "stream_stateful",
         "dedup_clusters",
         "lake_upsert",
     }
