@@ -155,3 +155,57 @@ def test_exact_dedup_partitions_corpus(texts):
         min(i for i, u in enumerate(texts) if u == t) for t in set(texts)
     )
     assert kept == model
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    ts_ns=st.lists(
+        # epoch nanos in [2000-01-01, ~2100), micro-aligned so every
+        # encoding can represent the same instant exactly
+        st.integers(min_value=946_684_800, max_value=4_102_444_800).map(
+            lambda s: s * 1_000_000_000
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_event_micros_encoding_equivalence(ts_ns):
+    """The invariant the round-4 regression violated: the SAME instants
+    written as nanos-long, TIMESTAMP, and TIMESTAMP_NTZ must normalize
+    to the SAME ts_us — the timeline cannot stretch or compress with
+    the writer's parquet encoding."""
+    import datetime
+
+    from geniepool_etl_spark.functions import event_micros
+
+    spark = _spark()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = list(enumerate(ts_ns))
+    long_df = spark.createDataFrame(rows, "event_id LONG, ts LONG")
+    dts = [
+        (
+            i,
+            datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(microseconds=ns // 1000),
+        )
+        for i, ns in rows
+    ]
+    ntz_df = spark.createDataFrame(dts, "event_id LONG, ts TIMESTAMP_NTZ")
+    tz_df = spark.createDataFrame(dts, "event_id LONG, ts TIMESTAMP")
+
+    def us(df):
+        return {
+            r.event_id: r.us
+            for r in df.select(
+                "event_id", event_micros(df, "ts").alias("us")
+            ).collect()
+        }
+
+    expected = {i: ns // 1000 for i, ns in rows}
+    assert us(long_df) == expected
+    assert us(ntz_df) == expected
+    assert us(tz_df) == expected
