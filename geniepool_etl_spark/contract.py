@@ -891,6 +891,18 @@ def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_docs_with_dups(spark, sf_dir)).select("doc_id")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (operators/dedup.
+    incremental_exact_dedup): the new batch (doc_id >= 400) keeps one
+    doc per content hash and drops hashes already in the standing
+    corpus's (doc_id < 400) index — corpus data never re-scanned."""
+    d = _docs_with_dups(spark, sf_dir)
+    corpus_idx = D.exact_dedup_stats(d.where("doc_id < 400"))
+    return D.incremental_exact_dedup(
+        d.where("doc_id >= 400"), corpus_idx
+    ).select("doc_id")
+
+
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.jaccard_pairs(_t(spark, sf_dir, "documents"), n=3)
     return pairs.where(F.col("jaccard") >= 0.1).select(
@@ -2264,6 +2276,13 @@ def _oracles() -> dict[str, str]:
         WITH d AS ({_DOCS_WITH_DUPS_SQL})
         SELECT min(doc_id) AS doc_id FROM d GROUP BY text
     """
+    o["dedup_incremental"] = f"""
+        WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+        c AS (SELECT DISTINCT md5(text) AS h FROM d WHERE doc_id < 400),
+        n AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+              FROM d WHERE doc_id >= 400 GROUP BY md5(text))
+        SELECT n.doc_id FROM n ANTI JOIN c USING (h)
+    """
     o["dedup_jaccard_pairs"] = _jaccard_oracle()
     o["dedup_clusters"] = f"""
 WITH RECURSIVE p AS ({_jaccard_oracle()}),
@@ -2843,6 +2862,7 @@ SPARK_QUERIES = {
     "text_chunk": q_text_chunk,
     "stream_join": q_stream_join,
     "stream_stateful": q_stream_stateful,
+    "dedup_incremental": q_dedup_incremental,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
     # --- latest green row is round 2: final four to refresh ---

@@ -78,6 +78,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "text_hash",
+) -> DataFrame:
+    """Incremental ingestion dedup: from a NEW batch, keep one
+    representative per content hash (min id within the batch) and drop
+    every hash already present in the existing corpus's index (the
+    ``text_hash`` table :func:`exact_dedup_stats` maintains).
+
+    This is the daily-batch shape at 100 TB: the standing corpus is
+    never re-scanned — only its compact hash index joins, as the
+    probe side of a left-anti join on the hash key. In-batch keep-one
+    is the same single md5-keyed window as :func:`exact_dedup`, and
+    the anti-join reuses that hash partitioning.
+    """
+    w = Window.partitionBy("_h").orderBy(id_col)
+    batch_keep = (
+        new_docs.withColumn("_h", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    idx = corpus_index.select(F.col(hash_col).alias("_h")).distinct()
+    return batch_keep.join(idx, "_h", "left_anti").drop("_h")
+
+
 # --------------------------------------------------------------------------
 # word shingles + exact n-gram Jaccard on bucketed candidates
 # --------------------------------------------------------------------------
