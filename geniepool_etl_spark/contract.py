@@ -283,6 +283,40 @@ def q_s13_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s16_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality forensics: PERMISSIVE + columnNameOfCorruptRecord
+    keeps malformed rows (unparseable fields null, the raw line
+    captured) instead of dropping them — the audit-trail counterpart
+    of s13's DROPMALFORMED posture."""
+    def _write(out: str) -> None:
+        rows = sorted(
+            _t(spark, sf_dir, "nation").collect(),
+            key=lambda r: r.n_nationkey,
+        )  # 25-row dim: fixture generation only
+        with open(os.path.join(out, "nation_dirty.tsv"), "w") as f:
+            f.write("garbage line without any tabs\n")
+            for r in rows:
+                f.write(f"{r.n_nationkey}\t{r.n_name}\t{r.n_regionkey}\n")
+            f.write("not_an_int\tBADROW\talso_not_int\n")
+
+    out = _memo_fixture("s16", sf_dir, _write)
+    df = (
+        spark.read.option("sep", "\t")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT, _bad STRING"
+        )
+        .csv(os.path.join(out, "nation_dirty.tsv"))
+    )
+    return df.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.col("_bad").isNotNull().alias("is_corrupt"),
+    )
+
+
 # =====================================================================
 # P: projections / filters / row ops (SURVEY §2.2)
 # =====================================================================
@@ -2348,6 +2382,14 @@ SELECT min(id) AS doc_id FROM labels GROUP BY label
                CAST(len(w.w) AS INT) AS n_ws_tokens
         FROM words w JOIN documents d USING (doc_id)
     """
+    o["s16_csv_permissive_corrupt"] = """
+        SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS INT) AS n_regionkey,
+               FALSE AS is_corrupt
+        FROM nation
+        UNION ALL SELECT NULL, NULL, NULL, TRUE
+        UNION ALL SELECT NULL, 'BADROW', NULL, TRUE
+    """
     o["shuffle_deterministic"] = f"""
         WITH h AS (
           SELECT doc_id, {portable_hash32_sql('doc_id', 17)} AS hv
@@ -2863,6 +2905,7 @@ SPARK_QUERIES = {
     "stream_join": q_stream_join,
     "stream_stateful": q_stream_stateful,
     "dedup_incremental": q_dedup_incremental,
+    "s16_csv_permissive_corrupt": q_s16_csv_permissive_corrupt,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
     # --- latest green row is round 2: final four to refresh ---

@@ -205,6 +205,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "s5_csv_noheader_roundtrip",
         "s1_s3_text_csv_scan",
         "s14_binaryfile_source",
+        "s16_csv_permissive_corrupt",
         "stream_tumbling",
         "stream_session",
         "stream_dedup",
