@@ -788,6 +788,18 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.asof_join_latest_prior(purchases, clicks)
 
 
+def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof
+    ``tolerance`` semantics): clicks older than 30 minutes null out
+    instead of matching."""
+    ev = E.with_event_time(_events(spark, sf_dir))
+    return E.asof_join_latest_prior(
+        ev.where("event_type = 'purchase'"),
+        ev.where("event_type = 'click'"),
+        tolerance_us=30 * 60 * 1_000_000,
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2244,6 +2256,30 @@ def _oracles() -> dict[str, str]:
         SELECT user_id, t AS ts_us, event_id, asof_ts_us, asof_event_id
         FROM c WHERE side = 1
     """
+    o["events_asof_tolerance"] = f"""
+        WITH u AS (
+          SELECT user_id, {_EVENT_US} AS t, 1 AS side, event_id
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, {_EVENT_US} AS t, 0 AS side, event_id
+          FROM events WHERE event_type = 'click'
+        ),
+        c AS (
+          SELECT *,
+                 max(CASE WHEN side = 0 THEN t END) OVER w AS asof_ts_us,
+                 last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                   OVER w AS asof_event_id
+          FROM u
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, side, event_id
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT user_id, t AS ts_us, event_id,
+               CASE WHEN t - asof_ts_us <= 1800000000
+                    THEN asof_ts_us END AS asof_ts_us,
+               CASE WHEN t - asof_ts_us <= 1800000000
+                    THEN asof_event_id END AS asof_event_id
+        FROM c WHERE side = 1
+    """
     o["events_pivot"] = """
         SELECT user_id,
                count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -2906,6 +2942,7 @@ SPARK_QUERIES = {
     "stream_stateful": q_stream_stateful,
     "dedup_incremental": q_dedup_incremental,
     "s16_csv_permissive_corrupt": q_s16_csv_permissive_corrupt,
+    "events_asof_tolerance": q_events_asof_tolerance,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
     # --- latest green row is round 2: final four to refresh ---

@@ -142,12 +142,17 @@ def asof_join_latest_prior(
     left_ts: str = "ts_us",
     right_ts: str = "ts_us",
     key: str = "user_id",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """As-of join: for every left event, the most recent right event at
     or before it (per key). Implemented as union + window (the
     streaming-safe formulation): tag sides, sort-merge within the key
     partition once, carry the last-seen right row forward. One shuffle
     on the (high-cardinality) key — never a range cross-join.
+
+    ``tolerance_us`` bounds staleness (pandas ``merge_asof``
+    semantics): a carried match older than the tolerance nulls out
+    instead of matching — a narrow post-filter, same plan shape.
 
     Right columns are exposed as ``asof_ts_us`` / ``asof_event_id``.
     """
@@ -176,7 +181,7 @@ def asof_join_latest_prior(
             F.when(F.col("_side") == 0, F.col("event_id")), ignorenulls=True
         ).over(w),
     )
-    return (
+    out = (
         carried.where(F.col("_side") == 1)
         .select(
             key,
@@ -186,6 +191,18 @@ def asof_join_latest_prior(
             "asof_event_id",
         )
     )
+    if tolerance_us is not None:
+        within = (
+            F.col(left_ts) - F.col("asof_ts_us") <= F.lit(tolerance_us)
+        )
+        out = out.select(
+            key,
+            left_ts,
+            "event_id",
+            F.when(within, F.col("asof_ts_us")).alias("asof_ts_us"),
+            F.when(within, F.col("asof_event_id")).alias("asof_event_id"),
+        )
+    return out
 
 
 def pivot_type_counts(df: DataFrame, types: list[str]) -> DataFrame:

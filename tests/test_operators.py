@@ -320,6 +320,32 @@ def test_asof_join_picks_latest_prior(mini_events):
     # purchase 2 (t=29m): latest click ≤ 29m is click 1.
     # purchase 4 (t=200m): latest click ≤ 200m is click 3.
     assert got == {2: 1, 4: 3}
+    # with a 60m staleness bound, purchase 4's click (141m stale)
+    # nulls out while purchase 2's (29m) survives
+    bounded = {
+        r.event_id: r.asof_event_id
+        for r in E.asof_join_latest_prior(
+            purchases, clicks, tolerance_us=60 * 60 * 1_000_000
+        ).collect()
+    }
+    assert bounded == {2: 1, 4: None}
+
+
+def test_incremental_exact_dedup(spark):
+    corpus = spark.createDataFrame(
+        [(1, "aa"), (2, "bb")], "doc_id LONG, text STRING"
+    )
+    new = spark.createDataFrame(
+        # 10: already in corpus; 11/12: in-batch dup (keep min id);
+        # 13: genuinely new
+        [(10, "aa"), (11, "cc"), (12, "cc"), (13, "dd")],
+        "doc_id LONG, text STRING",
+    )
+    idx = D.exact_dedup_stats(corpus)
+    kept = sorted(
+        r.doc_id for r in D.incremental_exact_dedup(new, idx).collect()
+    )
+    assert kept == [11, 13]
 
 
 # ------------------------------------------------------------ multimodal
