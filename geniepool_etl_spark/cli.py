@@ -23,6 +23,10 @@ reading parquet in and writing parquet out:
         [--k 5] [--exact]
     python -m geniepool_etl_spark.cli pack <docs.parquet> <out_dir> \\
         [--context-len 512] [--shards 8]
+    python -m geniepool_etl_spark.cli chunk <docs.parquet> <out_dir> \\
+        [--chunk-words 64] [--stride-words 48]
+    python -m geniepool_etl_spark.cli shuffle <docs.parquet> <out_dir> \\
+        [--shards 8] [--seed 17]
 """
 
 from __future__ import annotations
@@ -124,11 +128,36 @@ def _run_pack(ns: argparse.Namespace) -> int:
     return 0
 
 
+def _run_chunk(ns: argparse.Namespace) -> int:
+    from geniepool_etl_spark.operators import text as TX
+
+    spark = get_spark("geniepool-chunk")
+    out = TX.chunk_documents(
+        spark.read.parquet(ns.input),
+        chunk_words=ns.chunk_words,
+        stride_words=ns.stride_words,
+    )
+    out.write.mode("overwrite").parquet(ns.output)
+    return 0
+
+
+def _run_shuffle(ns: argparse.Namespace) -> int:
+    from geniepool_etl_spark.operators.sampling import deterministic_shuffle
+
+    spark = get_spark("geniepool-shuffle")
+    out = deterministic_shuffle(
+        spark.read.parquet(ns.input), n_shards=ns.shards, seed=ns.seed
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(ns.output)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     # reference-compatible bare form: 8 positional args = the ETL job
     if len(args) == 8 and args[0] not in (
         "etl", "dedup", "profile", "text-stats", "sim-topk", "pack",
+        "chunk", "shuffle",
     ):
         return _run_etl(args)
     if args and args[0] == "etl":
@@ -159,6 +188,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("output")
     s.add_argument("--context-len", type=int, default=512)
     s.add_argument("--shards", type=int, default=8)
+    s = sub.add_parser("chunk")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--chunk-words", type=int, default=64)
+    s.add_argument("--stride-words", type=int, default=48)
+    s = sub.add_parser("shuffle")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--shards", type=int, default=8)
+    s.add_argument("--seed", type=int, default=17)
     ns = p.parse_args(args)
     return {
         "dedup": _run_dedup,
@@ -166,6 +205,8 @@ def main(argv: list[str] | None = None) -> int:
         "text-stats": _run_text_stats,
         "sim-topk": _run_sim_topk,
         "pack": _run_pack,
+        "chunk": _run_chunk,
+        "shuffle": _run_shuffle,
     }[ns.cmd](ns)
 
 

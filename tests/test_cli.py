@@ -59,3 +59,34 @@ def test_cli_pack(spark, tmp_path):
         got.columns
     )
     assert got.where("win_offset >= 128 OR shard >= 4").count() == 0
+
+
+def test_cli_chunk(spark, tmp_path):
+    out = str(tmp_path / "chunk")
+    assert (
+        main(
+            ["chunk", f"{SF_SMALL}/documents.parquet", out,
+             "--chunk-words", "32", "--stride-words", "24"]
+        )
+        == 0
+    )
+    got = spark.read.parquet(out)
+    assert {"doc_id", "chunk_idx", "chunk_text", "n_chunk_words"} <= set(
+        got.columns
+    )
+    assert got.where("n_chunk_words > 32").count() == 0
+
+
+def test_cli_shuffle(spark, tmp_path):
+    out = str(tmp_path / "shuffle")
+    assert (
+        main(
+            ["shuffle", f"{SF_SMALL}/documents.parquet", out,
+             "--shards", "4"]
+        )
+        == 0
+    )
+    got = spark.read.parquet(out)
+    n_src = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert got.count() == n_src
+    assert got.select("shard").distinct().count() <= 4
