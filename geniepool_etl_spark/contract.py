@@ -1153,6 +1153,45 @@ def q_sim_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_pandas(emb, emb.where("vec_id < 8"), k=5)
 
 
+def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@5 of the LSH candidate path against
+    the exact brute-force ranking, per query — the instrument
+    n_planes / multi_probe / max_bucket are tuned against before
+    trusting the approximate path at scale. Exact per-query
+    intersection count via a semi-join on (q_id, n_id).
+
+    Expected values on THIS synthetic table are low: the embeddings
+    are near-random directions with no planted neighbors, and
+    sign-LSH recall degrades toward chance as the true top-k cosine
+    approaches 0 (a near-duplicate pair straddles any one hyperplane
+    with probability ~acos(cos)/π — small only when cos is high).
+    The entry pins the measurement machinery, not a recall target;
+    production corpora with real near-duplicates sit in the
+    high-cosine regime the bucketing is designed for."""
+    emb = _t(spark, sf_dir, "embeddings")
+    brute = S.cosine_topk(emb, emb.where("vec_id < 8"), k=5)
+    lsh = S.lsh_bucket_topk(emb, k=5).where("q_id < 8")
+    hits = brute.select("q_id", "n_id").join(
+        lsh.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi"
+    )
+    per_q = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return (
+        brute.select("q_id").distinct()
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.round(
+                F.coalesce(F.col("n_matched"), F.lit(0)) / F.lit(5.0), 4
+            ).alias("recall_at_5"),
+        )
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-bucketed candidates). The
     synthetic embeddings are near-orthogonal (max cos ≈ 0.51), so the
@@ -2565,6 +2604,15 @@ SELECT min(id) AS doc_id FROM labels GROUP BY label
         + " | ".join(zterms)
         + " AS BIGINT) AS zkey FROM lineitem"
     )
+    o["sim_lsh_recall"] = f"""
+        WITH bt AS ({_sim_brute_oracle()}),
+        ls AS ({_sim_lsh_oracle()})
+        SELECT bt.q_id, CAST(count(ls.n_id) AS BIGINT) AS n_matched,
+               round(count(ls.n_id) / 5.0, 4) AS recall_at_5
+        FROM bt LEFT JOIN ls
+          ON bt.q_id = ls.q_id AND bt.n_id = ls.n_id
+        GROUP BY bt.q_id
+    """
     o["sim_brute_topk"] = _sim_brute_oracle()
     o["sim_pandas_topk"] = _sim_brute_oracle()
     o["sim_lsh_topk"] = _sim_lsh_oracle()
@@ -2943,6 +2991,7 @@ SPARK_QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "s16_csv_permissive_corrupt": q_s16_csv_permissive_corrupt,
     "events_asof_tolerance": q_events_asof_tolerance,
+    "sim_lsh_recall": q_sim_lsh_recall,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
     # --- latest green row is round 2: final four to refresh ---
