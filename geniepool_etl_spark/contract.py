@@ -1089,6 +1089,26 @@ def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing utilization report: per shard, total tokens, windows
+    consumed, and fill ratio (tokens / window capacity) — the metric
+    that tells a training pipeline how much compute the pack layout
+    wastes. Chop semantics fill every window except each shard's
+    final partial one, so fill_ratio ~1 with the shortfall bounded by
+    context_len/shard_tokens."""
+    packed = PK.pack_windows(
+        _t(spark, sf_dir, "documents"), context_len=512, n_shards=8
+    )
+    n_windows = F.max("last_window") + F.lit(1)
+    return packed.groupBy("shard").agg(
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        n_windows.cast("long").alias("n_windows"),
+        F.round(
+            F.sum("n_tok") / (n_windows * F.lit(512.0)), 4
+        ).alias("fill_ratio"),
+    )
+
+
 def q_sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture planner: per-source keep-fractions hitting
     a 50/30/10 target mix over three sources, capped at 1.0 with the
@@ -2577,6 +2597,14 @@ SELECT min(id) AS doc_id FROM labels GROUP BY label
                CAST((cum + n_tok - 1) // 512 AS BIGINT) AS last_window
         FROM c
     """
+    o["pack_efficiency"] = f"""
+        WITH p AS ({o["pack_windows"]})
+        SELECT shard, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(max(last_window) + 1 AS BIGINT) AS n_windows,
+               round(sum(n_tok) / ((max(last_window) + 1) * 512.0), 4)
+                 AS fill_ratio
+        FROM p GROUP BY shard
+    """
     o["sample_mixture_plan"] = r"""
         WITH s AS (
           SELECT source,
@@ -2992,6 +3020,7 @@ SPARK_QUERIES = {
     "s16_csv_permissive_corrupt": q_s16_csv_permissive_corrupt,
     "events_asof_tolerance": q_events_asof_tolerance,
     "sim_lsh_recall": q_sim_lsh_recall,
+    "pack_efficiency": q_pack_efficiency,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
     # --- latest green row is round 2: final four to refresh ---
