@@ -183,6 +183,7 @@ _INTENDED_CROSS = {
     "sim_brute_topk",
     "sim_pandas_topk",
     "sim_ivf_topk",
+    "sim_lsh_recall",  # brute-force baseline side: 8 queries broadcast
     "j7_range_join",
     "text_tfidf",
 }
