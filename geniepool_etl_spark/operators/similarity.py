@@ -18,6 +18,13 @@ Scale design:
   ``aggregate``); an Arrow-vectorized ``pandas_udf`` variant
   (:func:`cosine_topk_pandas`) exists to document the Python fast
   path for when a real model (not a dot product) must score pairs.
+  Negative result (measured, don't retry): unrolling the dim-64 dot
+  into a flat 127-op arithmetic expression looked codegen-friendly
+  but ran 2× SLOWER end-to-end in lsh_bucket_topk (2.8 s vs 1.36 s
+  at sf0.1) — the giant expression trees bloat the task binary
+  (1.2 MB broadcasts) and overflow codegen method limits, falling
+  back to per-node interpretation that loses to the fold's single
+  optimized loop.
 """
 
 from __future__ import annotations
