@@ -162,7 +162,13 @@ def lsh_bucket(
     """(id, vec, bucket) — bucket = sign pattern of ``n_planes``
     hyperplane dot products packed into a long. Narrow (no shuffle);
     the bucket key then drives a fine-grained equi-join. Hyperplane
-    coefficients are constant-folded literal arrays."""
+    coefficients are constant-folded literal arrays.
+
+    A vector whose length differs from ``dim`` raises instead of
+    hashing: ``zip_with`` would null-pad the mismatch, every plane
+    dot would go null, and ALL vectors would silently collapse into
+    bucket 0 — a wrong-answer failure mode (same lesson as the
+    event-time dtype drift: fail loud on physical-shape change)."""
     vec = _as_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
@@ -171,8 +177,16 @@ def lsh_bucket(
         bucket = bucket + F.when(plane_dot > 0, F.lit(2**p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
+    guarded = F.when(F.size(vec) == dim, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_bucket: expected embedding dim {dim}, got "),
+                F.size(vec).cast("string"),
+            )
+        ).cast("long")
+    )
     return df.select(
-        F.col(id_col).alias("id"), vec.alias("vec"), bucket.alias("bucket")
+        F.col(id_col).alias("id"), vec.alias("vec"), guarded.alias("bucket")
     )
 
 

@@ -245,6 +245,17 @@ def test_lsh_same_vector_same_bucket(spark):
     assert b[1] != b[3]  # antipodal vectors flip every plane sign
 
 
+def test_lsh_rejects_dim_drift(spark):
+    # a vector of the wrong length must raise, not silently collapse
+    # every bucket to 0 via null-padded plane dots
+    bad = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [0.5] * 5)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    with pytest.raises(Exception, match="expected embedding dim"):
+        S.lsh_bucket(bad, n_planes=4, dim=8).select("bucket").collect()
+
+
 # ---------------------------------------------------------------- events
 
 @pytest.fixture(scope="module", params=["nanos_long", "micros_ntz"])
