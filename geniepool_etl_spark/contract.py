@@ -574,6 +574,32 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q3)
 
 
+_SQL_Q5 = """
+    SELECT n.n_name,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+"""
+
+
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier-volume SQL: a five-table join
+    chain with a two-column join on supplier (the classic
+    co-located-nation condition), grouped revenue per nation. Same
+    Catalyst treatment as the DataFrame API — tiny dims broadcast,
+    fact joins shuffle on their keys; the identical text runs on
+    DuckDB as the oracle."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q5)
+
+
 def q_a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via rollup (region → nation)."""
     cust = _t(spark, sf_dir, "customer")
@@ -2046,6 +2072,7 @@ def _oracles() -> dict[str, str]:
           ORDER BY {_EVENT_US} DESC, event_id DESC) = 1
     """
     o["sql_tpch_q3"] = _SQL_Q3
+    o["sql_tpch_q5"] = _SQL_Q5
     o["s15_schema_evolution"] = """
         SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
         FROM nation
@@ -3021,6 +3048,7 @@ SPARK_QUERIES = {
     "events_asof_tolerance": q_events_asof_tolerance,
     "sim_lsh_recall": q_sim_lsh_recall,
     "pack_efficiency": q_pack_efficiency,
+    "sql_tpch_q5": q_sql_tpch_q5,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
     # --- latest green row is round 2: final four to refresh ---
