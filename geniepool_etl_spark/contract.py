@@ -317,6 +317,38 @@ def q_s16_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s17_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/copybook) text source: byte-offset
+    fields decoded with JVM substring projections over a plain text
+    scan — no delimiter, no UDF (sources/fixedwidth.py)."""
+    from geniepool_etl_spark.sources.fixedwidth import (
+        read_fixed_width,
+        write_fixed_width_fixture,
+    )
+
+    def _write(out: str) -> None:
+        rows = sorted(
+            _t(spark, sf_dir, "nation").collect(),
+            key=lambda r: r.n_nationkey,
+        )  # 25-row dim: fixture generation only
+        write_fixed_width_fixture(
+            [(r.n_nationkey, r.n_name, r.n_regionkey) for r in rows],
+            [4, 28, 4],
+            os.path.join(out, "nation.fw"),
+        )
+
+    out = _memo_fixture("s17", sf_dir, _write)
+    return read_fixed_width(
+        spark,
+        os.path.join(out, "nation.fw"),
+        [
+            ("n_nationkey", 1, 4, "int"),
+            ("n_name", 5, 28, "string"),
+            ("n_regionkey", 33, 4, "int"),
+        ],
+    )
+
+
 # =====================================================================
 # P: projections / filters / row ops (SURVEY §2.2)
 # =====================================================================
@@ -2504,6 +2536,11 @@ SELECT min(id) AS doc_id FROM labels GROUP BY label
                CAST(len(w.w) AS INT) AS n_ws_tokens
         FROM words w JOIN documents d USING (doc_id)
     """
+    o["s17_fixed_width"] = """
+        SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS INT) AS n_regionkey
+        FROM nation
+    """
     o["s16_csv_permissive_corrupt"] = """
         SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
                CAST(n_regionkey AS INT) AS n_regionkey,
@@ -3049,6 +3086,7 @@ SPARK_QUERIES = {
     "sim_lsh_recall": q_sim_lsh_recall,
     "pack_efficiency": q_pack_efficiency,
     "sql_tpch_q5": q_sql_tpch_q5,
+    "s17_fixed_width": q_s17_fixed_width,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
     # --- latest green row is round 2: final four to refresh ---

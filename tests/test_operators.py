@@ -772,3 +772,30 @@ def test_near_dedup_keep_hand_case(spark):
         r.doc_id for r in near_dedup_keep(docs, pairs).collect()
     )
     assert kept == [1, 4, 5, 7]
+
+
+def test_fixed_width_reader(spark, tmp_path):
+    from geniepool_etl_spark.sources.fixedwidth import read_fixed_width
+
+    p = tmp_path / "feed.fw"
+    p.write_text(
+        "# header comment line\n"
+        "1   ALPHA BRAVO    42\n"
+        "23  C              7\n"
+        "456 PAD            \n"  # blank numeric field -> null
+    )
+    rows = {
+        r.id: (r.name, r.n)
+        for r in read_fixed_width(
+            spark,
+            str(p),
+            [("id", 1, 4, "int"), ("name", 5, 15, "string"),
+             ("n", 20, 3, "int")],
+            comment="#",
+        ).collect()
+    }
+    assert rows == {
+        1: ("ALPHA BRAVO", 42),   # internal space preserved, pad trimmed
+        23: ("C", 7),
+        456: ("PAD", None),       # blank-padded numeric -> null
+    }

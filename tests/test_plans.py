@@ -207,6 +207,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "s1_s3_text_csv_scan",
         "s14_binaryfile_source",
         "s16_csv_permissive_corrupt",
+        "s17_fixed_width",
         "stream_tumbling",
         "stream_session",
         "stream_dedup",
