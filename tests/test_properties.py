@@ -209,3 +209,42 @@ def test_event_micros_encoding_equivalence(ts_ns):
     assert us(long_df) == expected
     assert us(ntz_df) == expected
     assert us(tz_df) == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    n_words=st.integers(min_value=0, max_value=300),
+    chunk=st.integers(min_value=2, max_value=64),
+    stride_frac=st.floats(min_value=0.3, max_value=1.0),
+)
+def test_chunk_documents_covers_every_word(n_words, chunk, stride_frac):
+    """For ANY (doc length, chunk size, stride ≤ chunk): every word
+    index is covered by some chunk, no chunk exceeds chunk_words, the
+    final chunk ends exactly at the document end, and consecutive
+    chunks start exactly stride words apart."""
+    stride = max(1, int(chunk * stride_frac))
+    spark = _spark()
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    rows = sorted(
+        TX.chunk_documents(
+            df, chunk_words=chunk, stride_words=stride
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    if n_words == 0:
+        assert rows == []
+        return
+    covered = set()
+    for r in rows:
+        ws = r.chunk_text.split()
+        assert len(ws) == r.n_chunk_words <= chunk
+        start = r.chunk_idx * stride
+        assert ws[0] == f"w{start}"
+        covered.update(range(start, start + len(ws)))
+    assert covered == set(range(n_words))
+    assert rows[-1].chunk_text.split()[-1] == f"w{n_words - 1}"
