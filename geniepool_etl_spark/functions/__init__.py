@@ -86,6 +86,18 @@ def event_micros(df: DataFrame, ts_col: str = "ts") -> Column:
         # floor DuckDB's ns→µs conversion uses
         return F.expr(f"CAST({ts_col} AS LONG) div 1000")
     if isinstance(dt, T.TimestampNTZType):
+        # The NTZ→TIMESTAMP cast reads the wall clock under the SESSION
+        # timezone; only UTC makes that an identity on the instant. A
+        # session that never went through get_spark/enable_nanos_as_long
+        # would silently produce tz-shifted micros — fail loud instead.
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"event_micros: TIMESTAMP_NTZ column {ts_col!r} requires "
+                f"spark.sql.session.timeZone=UTC (got {tz!r}); call "
+                "functions.enable_nanos_as_long(spark) or use "
+                "session.get_spark()"
+            )
         return F.unix_micros(c.cast("timestamp"))
     if isinstance(dt, T.TimestampType):
         return F.unix_micros(c)

@@ -115,6 +115,15 @@ def chunk_documents(
     property that keeps shuffle partitions uniform no matter how
     skewed raw document lengths are).
     """
+    # Fail loud on invalid geometry (repo convention, cf. lsh_bucket's
+    # dim guard): stride_words=0 would make the non-ANSI division yield
+    # NULL n_chunks → sequence(NULL) → explode emits ZERO rows with no
+    # error; stride > chunk silently leaves word gaps between chunks.
+    if not 0 < stride_words <= chunk_words:
+        raise ValueError(
+            f"chunk_documents: require 0 < stride_words <= chunk_words, "
+            f"got stride_words={stride_words}, chunk_words={chunk_words}"
+        )
     words = words_col(F.col(text_col))
     n_chunks = F.lit(1) + F.floor(
         (F.greatest(F.size(words) - F.lit(chunk_words), F.lit(0))

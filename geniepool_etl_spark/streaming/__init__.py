@@ -45,10 +45,18 @@ def read_event_stream(
     1000×. Reading the real footer type and routing through the
     dtype-adaptive ``event_micros`` makes the pipeline correct for
     nanos-long, TIMESTAMP, and TIMESTAMP_NTZ alike."""
+    from pyspark.errors import AnalysisException
+
     enable_nanos_as_long(spark)
     try:
         schema = spark.read.parquet(path).schema
-    except Exception:  # empty/missing dir: fall back to the current DDL
+    except AnalysisException:
+        # Empty or not-yet-created source dir (UNABLE_TO_INFER_SCHEMA /
+        # PATH_NOT_FOUND): fall back to the current DDL. ONLY this
+        # narrow case — a transient IO/permission error must propagate,
+        # because silently substituting a declared schema that later
+        # disagrees with the physical type is exactly the
+        # 1000×-compression trap this function exists to prevent.
         schema = EVENTS_DDL
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -317,7 +325,14 @@ def run_session_stream(
         flush_us = max_us + 24 * 3600 * 1_000_000
         if isinstance(src_df.schema["ts"].dataType, T.LongType):
             flush_ts: object = flush_us * 1000
-        else:
+        elif isinstance(src_df.schema["ts"].dataType, T.TimestampType):
+            # tz-aware column: a NAIVE datetime would be read through
+            # the Python process's local timezone (time.mktime); pin
+            # the instant with an explicit UTC tzinfo.
+            flush_ts = datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            ) + datetime.timedelta(microseconds=flush_us)
+        else:  # TIMESTAMP_NTZ: wall-clock value, naive by definition
             flush_ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
                 microseconds=flush_us
             )

@@ -158,6 +158,39 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc"
 
 
+def test_chunk_documents_rejects_invalid_geometry(spark):
+    """stride=0 would silently explode() into ZERO rows (NULL division
+    → NULL sequence); stride > chunk silently skips words. Both must
+    fail loud at plan construction."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="stride_words"):
+        TX.chunk_documents(df, chunk_words=64, stride_words=0)
+    with pytest.raises(ValueError, match="stride_words"):
+        TX.chunk_documents(df, chunk_words=8, stride_words=9)
+
+
+def test_event_micros_ntz_requires_utc_session(spark):
+    """The NTZ branch reads wall clocks under the session timezone;
+    under anything but UTC it must refuse rather than silently shift."""
+    import datetime
+
+    from geniepool_etl_spark.functions import event_micros
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "event_id LONG, ts TIMESTAMP_NTZ"
+    )
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="timeZone"):
+            event_micros(df, "ts")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    assert df.select(event_micros(df, "ts").alias("us")).first().us == (
+        1_704_067_200 * 1_000_000
+    )
+
+
 def test_deterministic_shuffle_reproducible(spark):
     from geniepool_etl_spark.operators.sampling import (
         deterministic_shuffle,

@@ -195,7 +195,14 @@ def test_event_micros_encoding_equivalence(ts_ns):
         for i, ns in rows
     ]
     ntz_df = spark.createDataFrame(dts, "event_id LONG, ts TIMESTAMP_NTZ")
-    tz_df = spark.createDataFrame(dts, "event_id LONG, ts TIMESTAMP")
+    # TIMESTAMP (tz-aware type) rows must be built from tz-aware
+    # datetimes: naive ones are interpreted via the Python process's
+    # LOCAL timezone (TimestampType.toInternal uses time.mktime), so
+    # the assertion would only hold on a UTC-configured OS.
+    dts_utc = [
+        (i, dt.replace(tzinfo=datetime.timezone.utc)) for i, dt in dts
+    ]
+    tz_df = spark.createDataFrame(dts_utc, "event_id LONG, ts TIMESTAMP")
 
     def us(df):
         return {
