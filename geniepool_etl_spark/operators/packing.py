@@ -49,6 +49,7 @@ def pack_windows(
     token_col: str | None = None,
     seed: int = 7,
     tokens_per_shard: int = TOKENS_PER_SHARD,
+    total_tokens: int | None = None,
 ) -> DataFrame:
     """(id, shard, n_tok, first_window, win_offset, last_window).
 
@@ -65,6 +66,11 @@ def pack_windows(
     shard count grows linearly with the data. Determinism is
     preserved: shard assignment stays a pure hash mod, and the same
     input always yields the same shard count.
+
+    ``total_tokens`` is the auto-sizing hint: pass a known corpus
+    token total (a catalog stat, a prior stage's sum) and the sizing
+    aggregation job is skipped entirely; without it, auto mode runs —
+    and loudly warns about — one eager aggregate at plan time.
     """
     n_tok = (
         F.col(token_col).cast("long")
@@ -72,10 +78,19 @@ def pack_windows(
         else F.size(words_col(F.col(text_col))).cast("long")
     )
     if n_shards is None:
-        total = df.select(
-            F.coalesce(F.sum(n_tok), F.lit(0)).alias("t")
-        ).first()["t"]
-        n_shards = max(1, -(-int(total) // int(tokens_per_shard)))
+        if total_tokens is None:
+            import warnings
+
+            warnings.warn(
+                "pack_windows: auto-sizing is running an eager token-sum "
+                "aggregate at plan-construction time; pass total_tokens= "
+                "to avoid the extra job",
+                stacklevel=2,
+            )
+            total_tokens = df.select(
+                F.coalesce(F.sum(n_tok), F.lit(0)).alias("t")
+            ).first()["t"]
+        n_shards = max(1, -(-int(total_tokens) // int(tokens_per_shard)))
     key = F.col(id_col).cast("string")
     base = df.select(
         F.col(id_col).alias("id"),

@@ -97,6 +97,24 @@ def cosine_topk(
     )
 
 
+def _sizing_rows(corpus: DataFrame, n_rows: int | None, who: str) -> int:
+    """Resolve an auto-sizing cardinality: the caller's hint if given,
+    else an eager ``count()`` — logged loudly, because an implicit
+    pre-job over a cold 100 TB corpus should be a choice, not a
+    surprise."""
+    if n_rows is not None:
+        return int(n_rows)
+    import warnings
+
+    warnings.warn(
+        f"{who}: auto-sizing is running an eager count() over the "
+        "corpus at plan-construction time; pass n_rows= (e.g. from a "
+        "catalog rowcount) to avoid the extra job",
+        stacklevel=3,
+    )
+    return corpus.count()
+
+
 def auto_n_planes(n_rows: int, target_bucket_size: int = 32) -> int:
     """Plane count sized to the corpus: 2^n_planes buckets such that
     the *average* bucket holds ~``target_bucket_size`` vectors (within-
@@ -243,6 +261,7 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     max_bucket: int = 200,
     multi_probe: bool = True,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: exact cosine ranking over LSH
     bucket candidates. Candidate generation is a keyed equi-join on the
@@ -260,9 +279,15 @@ def lsh_bucket_topk(
 
     A (q, n) pair matches via exactly one probe key (the xor of their
     buckets), so no post-join distinct is needed.
+
+    ``n_rows`` is the auto-sizing hint: with ``n_planes=None`` and no
+    hint, sizing runs an eager ``count()`` over the corpus at
+    plan-construction time — a surprise pre-job on a cold 100 TB
+    corpus. Callers that already know the cardinality (a catalog
+    rowcount, a prior stage's count) pass it and no job fires.
     """
     if n_planes is None:
-        n_planes = auto_n_planes(corpus.count())
+        n_planes = auto_n_planes(_sizing_rows(corpus, n_rows, "lsh_bucket_topk"))
     # L2 norms are attached BEFORE the join: scoring a candidate pair
     # is then a single dot-product fold instead of three (dot + two
     # norms), and each vector's norm is computed once, not once per
@@ -477,6 +502,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single
     nearest centroid's inverted list; each query probes its ``nprobe``
@@ -494,10 +520,12 @@ def ivf_topk(
     ``n_centroids=None`` auto-sizes to ``~sqrt(|corpus|)``
     (:func:`auto_n_centroids`) so inverted-list width grows with the
     square root of the corpus instead of linearly; the contract oracle
-    pins the fixed-16 variant for reproducibility.
+    pins the fixed-16 variant for reproducibility. ``n_rows`` is the
+    auto-sizing hint — pass a known cardinality and no eager count()
+    job fires at plan-construction time.
     """
     if n_centroids is None:
-        n_centroids = auto_n_centroids(corpus.count())
+        n_centroids = auto_n_centroids(_sizing_rows(corpus, n_rows, "ivf_topk"))
     if refine_iters:
         cents = ivf_kmeans_centroids(
             corpus, n_centroids, refine_iters, id_col, vec_col

@@ -178,3 +178,56 @@ def test_zordered_write_clusters_both_dimensions(spark, tmp_path):
     assert z_x < 64 and z_y < 64
     # …whereas the 1-D layout can't skip on y at all
     assert l_y > 100
+
+
+def test_auto_sizing_hints_suppress_eager_jobs(spark, monkeypatch):
+    """lsh_bucket_topk / ivf_topk / pack_windows auto-modes must not
+    fire an implicit corpus scan when the caller supplies the sizing
+    hint: at 100 TB an unannounced count()/aggregate pre-job on a cold
+    corpus is a surprise cluster-wide scan. count()/first() are
+    poisoned for the duration — plan construction must succeed without
+    touching them."""
+    from pyspark.sql import DataFrame
+
+    from geniepool_etl_spark.operators.packing import pack_windows
+    from geniepool_etl_spark.operators.similarity import (
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7)] * 64) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    docs = spark.createDataFrame(
+        [(i, "some words here") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+
+    def boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("eager job fired despite sizing hint")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "first", boom)
+    monkeypatch.setattr(DataFrame, "head", boom)
+
+    lsh_bucket_topk(emb, k=3, n_planes=None, n_rows=20)
+    ivf_topk(emb, emb, k=3, n_centroids=None, n_rows=20)
+    pack_windows(docs, n_shards=None, total_tokens=60)
+
+
+def test_auto_sizing_without_hint_warns(spark):
+    """The implicit pre-job is allowed but loud: auto mode with no
+    hint must emit a warning naming the operator."""
+    import warnings
+
+    from geniepool_etl_spark.operators.similarity import lsh_bucket_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7)] * 64) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh_bucket_topk(emb, k=3, n_planes=None)
+    assert any("lsh_bucket_topk" in str(w.message) for w in caught)
