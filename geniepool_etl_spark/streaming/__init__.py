@@ -155,30 +155,144 @@ def stream_events_to_lake(
         query.stop()
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-factory) for ``path`` via the JVM Hadoop FS
+    API — the filesystem abstraction a 100 TB lake actually lives
+    behind (HDFS, S3A, GCS, ABFS), instead of ``os``/``shutil`` calls
+    that only work on a local POSIX mount."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+_COMPACT_STAGING = "_compact/staging"
+_COMPACT_TRASH = "_compact/trash"
+_COMMIT_MARKER = "_COMMIT_READY"
+
+
 def compact_day_partition(
-    spark: SparkSession, lake_path: str, day_bucket: int, target_files: int = 1
+    spark: SparkSession,
+    lake_path: str,
+    day_bucket: int,
+    target_files: int = 1,
+    _crash_point: str | None = None,
 ) -> None:
     """Collapse a closed day's per-batch files into ``target_files``
     parquet files under a single ``ingest_batch=-1`` sub-partition
     (keeping the partition-directory depth uniform so discovery over
-    the whole lake still works). Compacted data is staged to a sibling
-    temp directory and atomically swapped in — never read-and-overwrite
-    in place."""
-    import shutil as _sh
+    the whole lake still works).
 
-    part_dir = os.path.join(lake_path, f"day_bucket={day_bucket}")
-    if not os.path.isdir(part_dir):
+    Crash-consistent over the Hadoop FileSystem API — no POSIX
+    ``rmtree``/``rename`` assumptions, and **nothing is deleted before
+    the replacement is complete**:
+
+    1. *stage*: compacted data is written OUTSIDE the live tree, under
+       ``_compact/staging/day_bucket=<d>`` (``_``-prefixed → invisible
+       to Spark's file listing), then read back and count-verified
+       against the live partition; a ``_COMMIT_READY`` marker records
+       the verified intent.
+    2. *swap*: live partition → ``_compact/trash`` (a rename, not a
+       delete), staged → live.
+    3. *clean*: marker and trash removed.
+
+    A crash at ANY point is recoverable by :func:`recover_compaction`:
+    before the marker, the live partition was never touched; between
+    the two swap renames (the window where the partition is briefly
+    absent), the marker + staged data let recovery complete the swap;
+    after the swap, only cleanup remains. The old data lives in trash
+    until the new data is fully in place.
+
+    ``_crash_point`` is a test-only fault-injection hook
+    (``"after_stage"`` / ``"mid_swap"``) simulating a driver death.
+    """
+    part_name = f"day_bucket={day_bucket}"
+    fs, P = _hadoop_fs(spark, lake_path)
+    live = P(os.path.join(lake_path, part_name))
+    if not fs.exists(live):
         return
-    tmp = part_dir + "._compact_tmp"
+    staging = P(os.path.join(lake_path, _COMPACT_STAGING, part_name))
+    trash = P(os.path.join(lake_path, _COMPACT_TRASH, part_name))
+    marker = P(os.path.join(lake_path, _COMPACT_STAGING, part_name, _COMMIT_MARKER))
+    # a previous crashed attempt may have left state — settle it first
+    recover_compaction(spark, lake_path)
+
+    n_live = spark.read.parquet(str(live)).count()
     (
-        spark.read.parquet(part_dir)
+        spark.read.parquet(str(live))
         .drop("ingest_batch")
         .coalesce(target_files)
         .write.mode("overwrite")
-        .parquet(os.path.join(tmp, "ingest_batch=-1"))
+        .parquet(os.path.join(str(staging), "ingest_batch=-1"))
     )
-    _sh.rmtree(part_dir)
-    os.rename(tmp, part_dir)
+    # verify the staged replacement BEFORE touching the live tree
+    n_staged = spark.read.parquet(str(staging)).count()
+    if n_staged != n_live:
+        fs.delete(staging, True)
+        raise RuntimeError(
+            f"compact_day_partition: staged row count {n_staged} != live "
+            f"{n_live} for {part_name}; aborting without touching live data"
+        )
+    fs.create(marker, True).close()
+    if _crash_point == "after_stage":
+        raise RuntimeError("injected crash: staged+marked, live untouched")
+    # swap: trash the live dir (rename — old data stays recoverable),
+    # then move the verified staging into place
+    fs.mkdirs(trash.getParent())
+    fs.delete(trash, True)
+    if not fs.rename(live, trash):
+        fs.delete(marker, False)
+        fs.delete(staging, True)
+        raise RuntimeError(f"compact_day_partition: rename to trash failed for {part_name}")
+    if _crash_point == "mid_swap":
+        raise RuntimeError("injected crash: live in trash, staged not yet moved")
+    if not fs.rename(staging, live):
+        # restore the live dir rather than leave the partition absent
+        fs.rename(trash, live)
+        raise RuntimeError(f"compact_day_partition: swap rename failed for {part_name}")
+    fs.delete(P(os.path.join(str(live), _COMMIT_MARKER)), False)
+    fs.delete(trash, True)
+
+
+def recover_compaction(spark: SparkSession, lake_path: str) -> None:
+    """Settle any interrupted :func:`compact_day_partition`, restoring
+    every partition to a fully-readable state. Idempotent; run it on
+    ingest startup (the moral equivalent of a commit-log replay):
+
+    - staged dir + marker + live partition ABSENT → the crash hit
+      between the swap renames: complete the swap from staging.
+    - staged dir with live PRESENT (marker or not) → the swap never
+      started (or already finished): the live tree is authoritative;
+      drop the staging.
+    - trash dir with live PRESENT → cleanup after a completed swap:
+      drop the trash. Trash with live ABSENT → restore from trash
+      (a swap whose second rename failed mid-flight).
+    """
+    fs, P = _hadoop_fs(spark, lake_path)
+    staging_root = P(os.path.join(lake_path, _COMPACT_STAGING))
+    trash_root = P(os.path.join(lake_path, _COMPACT_TRASH))
+    # staging first: a marker + absent live partition means the crash
+    # hit between the swap renames — roll FORWARD to the verified
+    # compacted data (the trash pass below then just drops the old
+    # copy, instead of racing the roll-forward by restoring it)
+    if fs.exists(staging_root):
+        for st in fs.listStatus(staging_root):
+            name = st.getPath().getName()
+            live = P(os.path.join(lake_path, name))
+            marker = P(os.path.join(str(st.getPath()), _COMMIT_MARKER))
+            if not fs.exists(live) and fs.exists(marker):
+                fs.rename(st.getPath(), live)
+                fs.delete(P(os.path.join(str(live), _COMMIT_MARKER)), False)
+            else:
+                fs.delete(st.getPath(), True)
+    if fs.exists(trash_root):
+        for st in fs.listStatus(trash_root):
+            name = st.getPath().getName()
+            live = P(os.path.join(lake_path, name))
+            if fs.exists(live):
+                fs.delete(st.getPath(), True)
+            else:
+                fs.rename(st.getPath(), live)
 
 
 def sessionized_stream(

@@ -332,3 +332,103 @@ def test_stateful_running_counts(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def _build_lake(spark, tmp_path, name):
+    """Small two-batch lake for compaction crash tests."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.streaming import _write_ingest_batch
+
+    ev = E.with_event_time(
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ).withColumn("day_bucket", F.expr("ts_us div 86400000000"))
+    lake = str(tmp_path / name)
+    _write_ingest_batch(ev, 0, lake)
+    _write_ingest_batch(ev, 1, lake)
+    return lake
+
+
+def test_compaction_crash_after_stage_leaves_live_untouched(spark, tmp_path):
+    """Driver death after staging+marker but before any swap rename:
+    the live partition was never touched and stays readable; recovery
+    clears the orphaned staging."""
+    import glob as _g
+    import os
+
+    import pytest
+
+    from geniepool_etl_spark.streaming import (
+        compact_day_partition,
+        recover_compaction,
+    )
+
+    lake = _build_lake(spark, tmp_path, "lake_stage_crash")
+    n = spark.read.parquet(lake).count()
+    day_dirs = _g.glob(os.path.join(lake, "day_bucket=*"))
+    day = int(os.path.basename(day_dirs[0]).split("=")[1])
+
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_day_partition(spark, lake, day, _crash_point="after_stage")
+    # live tree fully readable, nothing lost (staging is _-hidden)
+    assert spark.read.parquet(lake).count() == n
+    recover_compaction(spark, lake)
+    assert spark.read.parquet(lake).count() == n
+    assert not _g.glob(os.path.join(lake, "_compact", "staging", "*"))
+
+
+def test_compaction_crash_mid_swap_recovers_readable(spark, tmp_path):
+    """Driver death in the WORST window — live renamed to trash, staged
+    data not yet moved in (the partition is momentarily absent):
+    recover_compaction rolls forward to the verified compacted data and
+    the lake reads back with the original row count."""
+    import glob as _g
+    import os
+
+    import pytest
+
+    from geniepool_etl_spark.streaming import (
+        compact_day_partition,
+        recover_compaction,
+    )
+
+    lake = _build_lake(spark, tmp_path, "lake_swap_crash")
+    n = spark.read.parquet(lake).count()
+    day_dirs = sorted(_g.glob(os.path.join(lake, "day_bucket=*")))
+    day = int(os.path.basename(day_dirs[0]).split("=")[1])
+    part_n = spark.read.parquet(day_dirs[0]).count()
+
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_day_partition(spark, lake, day, _crash_point="mid_swap")
+    # the partition is absent right now — recovery must bring it back
+    assert not os.path.isdir(day_dirs[0])
+    recover_compaction(spark, lake)
+    assert spark.read.parquet(lake).count() == n
+    # rolled FORWARD: the recovered partition is the compacted layout
+    assert spark.read.parquet(day_dirs[0]).count() == part_n
+    files = _g.glob(os.path.join(day_dirs[0], "ingest_batch=-1", "*.parquet"))
+    assert len(files) == 1
+    # and a subsequent compaction over the settled lake still works
+    compact_day_partition(spark, lake, day)
+    assert spark.read.parquet(lake).count() == n
+
+
+def test_compaction_is_idempotent_and_clean(spark, tmp_path):
+    """Happy path over the Hadoop FS implementation: contents
+    unchanged, per-batch files collapsed, no staging/trash residue,
+    and re-running is a no-op."""
+    import glob as _g
+    import os
+
+    from geniepool_etl_spark.streaming import compact_day_partition
+
+    lake = _build_lake(spark, tmp_path, "lake_happy")
+    n = spark.read.parquet(lake).count()
+    for d in sorted(_g.glob(os.path.join(lake, "day_bucket=*"))):
+        day = int(os.path.basename(d).split("=")[1])
+        compact_day_partition(spark, lake, day)
+        compact_day_partition(spark, lake, day)
+    assert spark.read.parquet(lake).count() == n
+    for d in sorted(_g.glob(os.path.join(lake, "day_bucket=*"))):
+        assert len(_g.glob(os.path.join(d, "*", "*.parquet"))) == 1
+    assert not _g.glob(os.path.join(lake, "_compact", "*", "*"))
