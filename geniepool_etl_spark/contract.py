@@ -1048,6 +1048,48 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH quality gate (the text-dedup twin of
+    ``sim_lsh_recall``): recall of the banded-LSH candidate pairs
+    against the EXACT Jaccard pairs at threshold 0.1, bucketed by the
+    true Jaccard decile — the instrument ``num_perm``/``bands``/
+    ``max_bucket`` are tuned against instead of folklore. Banding
+    theory says recall rises steeply with similarity (a pair agrees on
+    a band with probability s^rows_per_band); the per-decile rows make
+    that curve a measured artifact. Both sides run the portable hash
+    so the oracle recomputes candidates bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = D.jaccard_pairs(docs, n=3).where(F.col("jaccard") >= 0.1)
+    cand = D.minhash_lsh_pairs(
+        docs, num_perm=16, bands=4, hash_fn=portable_hash32
+    ).select("id_a", "id_b")
+    t = truth.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard") * 10).cast("long").alias("j_bucket"),
+    )
+    hit = (
+        t.join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("j_bucket")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        t.groupBy("j_bucket")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .join(hit, "j_bucket", "left")
+        .select(
+            "j_bucket",
+            "n_true",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.col("n_true").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
 # =====================================================================
 # Text analysis (documents)
 # =====================================================================
@@ -2506,6 +2548,19 @@ SELECT min(id) AS doc_id FROM labels GROUP BY label
 """
     o["dedup_minhash_lsh"] = _minhash_oracle()
     o["dedup_simhash"] = _simhash_oracle()
+    o["dedup_lsh_recall"] = f"""
+WITH t AS ({_jaccard_oracle()}),
+c AS ({_minhash_oracle()}),
+tb AS (
+  SELECT id_a, id_b, CAST(floor(jaccard * 10) AS BIGINT) AS j_bucket
+  FROM t
+)
+SELECT tb.j_bucket, count(*) AS n_true,
+       CAST(count(c.id_a) AS BIGINT) AS n_hit,
+       round(count(c.id_a) / CAST(count(*) AS DOUBLE), 4) AS recall
+FROM tb LEFT JOIN c ON tb.id_a = c.id_a AND tb.id_b = c.id_b
+GROUP BY tb.j_bucket
+"""
     o["text_stats"] = f"""
         WITH {_WORDS_CTE.strip()},
         st AS (
@@ -3084,6 +3139,7 @@ SPARK_QUERIES = {
     "s16_csv_permissive_corrupt": q_s16_csv_permissive_corrupt,
     "events_asof_tolerance": q_events_asof_tolerance,
     "sim_lsh_recall": q_sim_lsh_recall,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
     "pack_efficiency": q_pack_efficiency,
     "sql_tpch_q5": q_sql_tpch_q5,
     "s17_fixed_width": q_s17_fixed_width,
