@@ -1352,6 +1352,29 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_features(M.synth_wav_assets(params))
 
 
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG round-trip through the stdlib SOF marker walk: per-
+    document image dimensions derived JVM-side (so the oracle
+    recomputes them), encoded into genuine marker-correct JPEG
+    containers (SOI/APP0/DQT/SOF0/EOI) inside Arrow ``mapInPandas``,
+    then decoded back by ``decode_image`` — the image twin of
+    ``multimodal_decode_wav``. The codec boundary is now narrowed to
+    full *pixel* decode; all header metadata parses for real. Both
+    maps are narrow; the payload never crosses a shuffle."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(64) + F.col("doc_id") % 512).cast("long").alias("width"),
+            (F.lit(36) + (F.col("doc_id") * 3) % 512)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_features(M.synth_jpeg_assets(params))
+
+
 # =====================================================================
 # Round-3 extensions: upsert, sampling, percentiles, IVF, binary
 # source, grouping sets, unpivot, collection functions
@@ -2780,6 +2803,14 @@ GROUP BY tb.j_bucket
                     // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
         FROM documents WHERE doc_id % 5 = 0
     """
+    o["multimodal_decode_jpeg"] = """
+        SELECT doc_id AS asset_id,
+               'jpeg' AS format,
+               CAST(64 + doc_id % 512 AS BIGINT) AS width,
+               CAST(36 + (doc_id * 3) % 512 AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth
+        FROM documents WHERE doc_id % 7 = 0
+    """
     o["x1_explode_unnest"] = """
         SELECT l_orderkey,
                row_number() OVER (PARTITION BY l_orderkey
@@ -3140,6 +3171,7 @@ SPARK_QUERIES = {
     "events_asof_tolerance": q_events_asof_tolerance,
     "sim_lsh_recall": q_sim_lsh_recall,
     "dedup_lsh_recall": q_dedup_lsh_recall,
+    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "pack_efficiency": q_pack_efficiency,
     "sql_tpch_q5": q_sql_tpch_q5,
     "s17_fixed_width": q_s17_fixed_width,

@@ -5,11 +5,12 @@ typed metadata, decoded / feature-extracted via Arrow-batched
 Decoders come in two tiers. Header-parseable formats are decoded FOR
 REAL with the stdlib alone: WAV (``wave`` module — channels, sample
 rate, sample width, frame count, duration) and BMP / PNG / GIF / PPM /
-PGM image headers (``struct`` — width, height, bit depth). Formats
-that need pixel/sample codecs (JPEG decode, ffmpeg video) remain
-stubbed behind ``NotImplementedError`` — those libraries are not
-available in this environment — with a deterministic byte-level
-feature extractor standing in. The Spark-side plumbing is real and
+PGM / JPEG image headers (``struct`` — width, height, bit depth; JPEG
+via an SOF0/SOF2 marker walk covering baseline and progressive).
+Work that needs real pixel/sample codecs (JPEG *pixel* decode, mp3,
+ffmpeg video) remains behind ``NotImplementedError`` — those
+libraries are not available in this environment — with a
+deterministic byte-level feature extractor standing in. The Spark-side plumbing is real and
 tested either way: schema contract, binary column handling, Arrow
 batch shapes, partition-preserving narrow execution.
 
@@ -66,19 +67,61 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _jpeg_dimensions(payload: bytes) -> dict:
+    """Width/height/precision from a JPEG's SOF marker — pure stdlib.
+
+    JPEG is a sequence of ``0xFF``-prefixed marker segments, each with
+    a 2-byte big-endian length (inclusive of itself). The frame header
+    (SOFn, ``0xC0``–``0xCF`` except DHT ``0xC4``, JPG ``0xC8``, DAC
+    ``0xCC``) carries sample precision, height, width — always before
+    the scan data (SOS ``0xDA``), so the walk never touches entropy-
+    coded bytes. This is the metadata a multimodal pipeline filters
+    on; full PIXEL decode (huffman + IDCT) stays behind a real codec.
+    """
+    import struct
+
+    pos = 2  # past SOI
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"jpeg: lost marker sync at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone marker, no length
+            continue
+        if marker == 0xDA:  # start of scan: SOF must have appeared
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            precision = payload[pos + 4]
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return {
+                "format": "jpeg", "width": w, "height": h,
+                "bit_depth": precision,
+            }
+        pos += 2 + seg_len
+    raise ValueError("jpeg: no SOF marker before scan data")
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode image metadata from the container header — stdlib only.
 
-    Real parses for BMP, PNG, GIF, and PPM/PGM (magic sniff → header
-    fields via ``struct``); returns ``{"format", "width", "height",
-    "bit_depth"}``. JPEG (and anything else) needs a real codec
-    (PIL/OpenCV — not installed here) and raises
-    ``NotImplementedError``.
+    Real parses for BMP, PNG, GIF, PPM/PGM, and JPEG (SOF0/SOF2 marker
+    walk — baseline and progressive); returns ``{"format", "width",
+    "height", "bit_depth"}``. Anything else (webp/tiff/heic) needs a
+    real codec (PIL/OpenCV — not installed here) and raises
+    ``NotImplementedError``; so does full JPEG *pixel* decode, which
+    is the narrowed codec boundary.
     """
     import struct
 
     if payload is None or len(payload) < 10:
         raise ValueError("payload too short to be an image")
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_dimensions(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         # IHDR is always the first chunk: width/height big-endian at
         # byte 16, bit depth at 24
@@ -108,8 +151,9 @@ def decode_image(payload: bytes) -> dict:
             "bit_depth": 16 if maxval > 255 else 8,
         }
     raise NotImplementedError(
-        "only BMP/PNG/GIF/PPM headers are stdlib-parseable — JPEG and "
-        "other codecs require PIL/OpenCV, not installed in this environment"
+        "only BMP/PNG/GIF/PPM/JPEG headers are stdlib-parseable — other "
+        "formats (and full pixel decode) require PIL/OpenCV, not "
+        "installed in this environment"
     )
 
 
@@ -220,6 +264,88 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("bit_depth", LongType(), True),
+    ]
+)
+
+
+def synth_jpeg_assets(
+    df: DataFrame, id_col: str = "asset_id",
+    width_col: str = "width", height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL minimal JPEG payloads (SOI + JFIF APP0 + DQT +
+    baseline SOF0 + EOI — every segment marker-correct) from per-row
+    dimensions via Arrow ``mapInPandas`` — the encode half of the JPEG
+    header round-trip, the image twin of :func:`synth_wav_assets`.
+    Dimensions arrive as ordinary columns so an external oracle can
+    re-derive them without parsing bytes."""
+    import struct
+
+    def one(w: int, h: int) -> bytes:
+        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        dqt = b"\x00" + bytes(64)  # table id + 64 coefficients
+        sof0 = (
+            b"\x08"  # precision
+            + struct.pack(">HH", h, w)
+            + b"\x03"  # components
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        return b"".join(
+            [
+                b"\xff\xd8",
+                b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0,
+                b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt,
+                b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0,
+                b"\xff\xd9",
+            ]
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(w), int(h))
+                        for w, h in zip(pdf[width_col], pdf[height_col])
+                    ],
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def decode_image_features(assets: DataFrame) -> DataFrame:
+    """The image metadata lane: container-header fields per asset via
+    Arrow ``mapInPandas`` (narrow, payload never shuffles). Poison or
+    unsupported payloads yield null metadata rather than failing the
+    batch — at 100 TB one bad file must not kill the stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("format", "width", "height", "bit_depth")}
+            for b in pdf["payload"]:
+                try:
+                    m = decode_image(b)
+                except Exception:
+                    m = {}
+                for k in rows:
+                    rows[k].append(m.get(k))
+            out = pd.DataFrame({"asset_id": pdf["asset_id"], **rows})
+            for c in ("width", "height", "bit_depth"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return assets.mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

@@ -440,12 +440,15 @@ def test_decode_rejects_short_payloads():
 def test_decode_unsupported_codecs_raise():
     # well-formed containers whose codec needs PIL/ffmpeg (absent
     # here) are the documented NotImplementedError boundary
-    jpeg_soi = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    webp = b"RIFF\x2c\x00\x00\x00WEBPVP8 " + b"\x00" * 16
     with pytest.raises(NotImplementedError):
-        M.decode_image(jpeg_soi)
+        M.decode_image(webp)
     mp3_frame = b"\xff\xfb\x90\x64" + b"\x00" * 16
     with pytest.raises(NotImplementedError):
         M.decode_audio(mp3_frame)
+    # a JPEG that loses marker sync is malformed input, not a codec gap
+    with pytest.raises(ValueError):
+        M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def test_funnel_stage_semantics(spark):
@@ -705,9 +708,84 @@ def test_stdlib_media_decoders():
         "format": "ppm", "width": 100, "height": 50, "bit_depth": 8,
     }
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
+        decode_image(b"RIFF\x2c\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04" + b"\x00" * 32)  # mp3 tag
+
+
+def test_decode_jpeg_sof_dimensions():
+    """JPEG width/height/precision via the SOF marker walk — baseline
+    (SOF0) and progressive (SOF2), with DHT (0xC4, NOT a frame header)
+    and restart markers on the path to prove the walk skips them."""
+    import struct
+
+    from geniepool_etl_spark.operators.multimodal import decode_image
+
+    def seg(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    app0 = seg(b"\xff\xe0", b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(b"\xff\xdb", b"\x00" + bytes(64))
+    dht = seg(b"\xff\xc4", b"\x00" + bytes(16))  # must be skipped
+    sof0 = seg(
+        b"\xff\xc0",
+        b"\x08" + struct.pack(">HH", 480, 640) + b"\x03"
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01",
+    )
+    baseline = b"\xff\xd8" + app0 + dqt + dht + sof0 + b"\xff\xd9"
+    assert decode_image(baseline) == {
+        "format": "jpeg", "width": 640, "height": 480, "bit_depth": 8,
+    }
+
+    sof2 = seg(
+        b"\xff\xc2",
+        b"\x0c" + struct.pack(">HH", 33, 97) + b"\x01\x01\x11\x00",
+    )
+    progressive = b"\xff\xd8" + app0 + sof2 + b"\xff\xd9"
+    assert decode_image(progressive) == {
+        "format": "jpeg", "width": 97, "height": 33, "bit_depth": 12,
+    }
+
+    # scan data reached with no SOF -> malformed
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_image(b"\xff\xd8" + app0 + seg(b"\xff\xda", b"\x01") + b"\x00" * 8)
+
+
+def test_jpeg_roundtrip_mapinpandas(spark):
+    """Encode half (synth_jpeg_assets) -> decode half
+    (decode_image_features) over Arrow batches: per-row dimensions
+    survive the byte round trip; a poison payload yields nulls, not a
+    failed stage."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators.multimodal import (
+        decode_image_features,
+        synth_jpeg_assets,
+    )
+
+    params = spark.range(8).select(
+        F.col("id").alias("asset_id"),
+        (F.lit(16) + F.col("id") * 3).cast("long").alias("width"),
+        (F.lit(9) + F.col("id") * 2).cast("long").alias("height"),
+    )
+    assets = synth_jpeg_assets(params)
+    out = {
+        r.asset_id: r for r in decode_image_features(assets).collect()
+    }
+    for i in range(8):
+        r = out[i]
+        assert (r.format, r.width, r.height, r.bit_depth) == (
+            "jpeg", 16 + i * 3, 9 + i * 2, 8,
+        )
+
+    poison = spark.createDataFrame(
+        [(99, bytearray(b"\xff\xd8garbage___"), "image/jpeg")],
+        "asset_id LONG, payload BINARY, media_type STRING",
+    )
+    row = decode_image_features(poison).collect()[0]
+    assert row.asset_id == 99 and row.width is None and row.format is None
 
 
 def test_pack_windows_auto_shards_scale_with_input(spark):
