@@ -231,3 +231,77 @@ def test_auto_sizing_without_hint_warns(spark):
         warnings.simplefilter("always")
         lsh_bucket_topk(emb, k=3, n_planes=None)
     assert any("lsh_bucket_topk" in str(w.message) for w in caught)
+
+
+def test_salted_join_plan_expands_salt(spark):
+    """The skew mechanics must be IN THE PLAN, not assumed: the dim
+    side replicates via explode(sequence(0, n_salts-1)) and the join
+    keys include _salt, so the hot key's rows hash to n_salts distinct
+    reducers instead of one."""
+    from geniepool_etl_spark.plans import executed_plan
+
+    # adversarial skew: 90% of fact rows share one key
+    facts = spark.range(50_000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    dim = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+    )
+    joined = salted_skew_join(facts, dim, "k", 8, F.col("row_id"))
+    plan = executed_plan(joined)
+    assert "explode" in plan, f"no dim replication in plan:\n{plan}"
+    assert "_salt" in plan, f"join does not include the salt key:\n{plan}"
+    # and the rewrite is still exact on the skewed fixture
+    n_hot = joined.where("k = 7").count()
+    assert n_hot == facts.where("k = 7").count()
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's runtime skew handling — the first line of defense before
+    explicit salting: with a hot key dominating one shuffle partition
+    and thresholds at test scale, the post-execution adaptive plan
+    must mark the sort-merge join skew=true (the hot partition was
+    split across tasks)."""
+    conf_keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in conf_keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        from geniepool_etl_spark.plans import executed_plan
+
+        facts = spark.range(400_000).select(
+            F.when(F.col("id") % 20 < 19, 7).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_" * 8), F.col("id")).alias("pad"),
+        )
+        dim = spark.range(20_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = facts.join(dim, "k", "inner")
+        # execute the frame's OWN QueryExecution (a write action plans
+        # a separate execution and would leave this plan non-final)
+        joined.collect()
+        plan = executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "skew=true" in plan, (
+            f"AQE did not split the skewed partition:\n{plan}"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
