@@ -3138,55 +3138,94 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
 
 
 # Ordering note (driver harness): the driver records only the FIRST
-# ~50 entries of this dict per round (CORRECTNESS_r02/r03 each hold
-# exactly 50 rows). Round-4 ordering therefore puts (a) the entries
-# with NO driver verdict yet — the five heavy near-dedup operators
-# that sat at positions 51-55 last round, plus this round's two new
-# entries — at the very front, then (b) the 47 entries whose latest
-# green row is round 2 (so they refresh against the current code),
-# minus four trivial single-op projections (p1/p3/p4/p5 — lowest
-# churn risk) demoted to the tail so the window closes at ~50. The 48
-# entries already green in round 3 fill the tail.
+# ~50 entries of this dict per round. Round-6 window, per VERDICT r5
+# ask #2: (a) the two entries new this round (never recorded), then
+# (b) the 25 entries whose latest green recording is round 3 — two
+# windows stale, including the flagship and the whole text/similarity
+# families — then (c) the 7 entries whose implementation changed this
+# round (chunk validation, stream schema-fallback narrowing, session-
+# stream flush branch), then (d) 16 round-4-green entries continuing
+# the rotation. The 69 freshest entries (r4/r5 green) fill the tail.
 SPARK_QUERIES = {
-    # --- round-5 priority: the 8 entries that errored / were wrong in
-    # r4 (TIMESTAMP_NTZ regression) + the 2 whose day arithmetic was
-    # fixed the same way — must re-green in CORRECTNESS_r05
+    # --- new this round: never recorded ---
+    "dedup_lsh_recall": q_dedup_lsh_recall,
+    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+    # --- latest green recording is round 3: re-record first ---
+    "flagship_lake_nest": q_flagship_lake_nest,
+    "text_stats": q_text_stats,
+    "text_tokens": q_text_tokens,
+    "text_lang_id": q_text_lang_id,
+    "text_ngram_topk": q_text_ngram_topk,
+    "text_quality_by_source": q_text_quality_by_source,
+    "text_fingerprint": q_text_fingerprint,
+    "text_tfidf": q_text_tfidf,
+    "text_scrub": q_text_scrub,
+    "text_quality_filter": q_text_quality_filter,
+    "text_zscore_pandas": q_text_zscore_pandas,
+    "text_repetition": q_text_repetition,
+    "sim_brute_topk": q_sim_brute_topk,
+    "sim_pandas_topk": q_sim_pandas_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "events_funnel": q_events_funnel,
+    "pack_windows": q_pack_windows,
+    "lake_zorder_key": q_lake_zorder_key,
+    "sample_mixture_plan": q_sample_mixture_plan,
+    "sql_tpch_q3": q_sql_tpch_q3,
+    "p8_keep_latest": q_p8_keep_latest,
+    # --- implementation touched this round: re-verify ---
+    "text_chunk": q_text_chunk,
+    "stream_session": q_stream_session,
+    "stream_tumbling": q_stream_tumbling,
+    "stream_dedup": q_stream_dedup,
+    "stream_join": q_stream_join,
+    "stream_stateful": q_stream_stateful,
+    "stream_ingest_idempotent": q_stream_ingest_idempotent,
+    # --- round-4-green rotation ---
+    "dedup_contamination": q_dedup_contamination,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_near_keep": q_dedup_near_keep,
+    "multimodal_decode_wav": q_multimodal_decode_wav,
+    "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
+    "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
+    "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
+    "s6_parquet_explicit_schema": q_s6_parquet_explicit_schema,
+    "s7_parquet_inferred": q_s7_parquet_inferred,
+    "s8_input_file_name": q_s8_input_file_name,
+    "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
+    "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
+    "s11_lake_range_read": q_s11_lake_range_read,
+    "s12_orc_roundtrip": q_s12_orc_roundtrip,
+    # ---------------- ~position 50: recording window edge -----------
+    # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
     "events_asof_join": q_events_asof_join,
     "w2_running_extrema": q_w2_running_extrema,
     "w3_lag_gap": q_w3_lag_gap,
-    "stream_tumbling": q_stream_tumbling,
-    "stream_ingest_idempotent": q_stream_ingest_idempotent,
-    # --- new this round: never recorded ---
-    "stream_session": q_stream_session,
-    "stream_dedup": q_stream_dedup,
     "shuffle_deterministic": q_shuffle_deterministic,
-    "text_chunk": q_text_chunk,
-    "stream_join": q_stream_join,
-    "stream_stateful": q_stream_stateful,
     "dedup_incremental": q_dedup_incremental,
     "s16_csv_permissive_corrupt": q_s16_csv_permissive_corrupt,
     "events_asof_tolerance": q_events_asof_tolerance,
     "sim_lsh_recall": q_sim_lsh_recall,
-    "dedup_lsh_recall": q_dedup_lsh_recall,
-    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "pack_efficiency": q_pack_efficiency,
     "sql_tpch_q5": q_sql_tpch_q5,
     "s17_fixed_width": q_s17_fixed_width,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
-    # --- latest green row is round 2: final four to refresh ---
     "p1_rename": q_p1_rename,
     "p3_drop": q_p3_drop,
     "p4_select_reorder": q_p4_select_reorder,
     "p5_sql_predicate": q_p5_sql_predicate,
-    # --- implementation changed this round: re-verify ---
     "dedup_exact_keep": q_dedup_exact_keep,
     "s14_binaryfile_source": q_s14_binaryfile_source,
     "s15_schema_evolution": q_s15_schema_evolution,
-    # --- latest green row is round 3: rotate through the window ---
     "a1_collect_set_nest": q_a1_collect_set_nest,
     "a2_two_level_nest": q_a2_two_level_nest,
     "a7_approx_distinct": q_a7_approx_distinct,
@@ -3207,49 +3246,6 @@ SPARK_QUERIES = {
     "profile_table": q_profile_table,
     "sample_stratified": q_sample_stratified,
     "multimodal_extract": q_multimodal_extract,
-    "text_stats": q_text_stats,
-    "text_tokens": q_text_tokens,
-    "text_lang_id": q_text_lang_id,
-    "text_ngram_topk": q_text_ngram_topk,
-    "text_quality_by_source": q_text_quality_by_source,
-    "text_fingerprint": q_text_fingerprint,
-    "text_tfidf": q_text_tfidf,
-    "text_scrub": q_text_scrub,
-    "text_quality_filter": q_text_quality_filter,
-    "text_zscore_pandas": q_text_zscore_pandas,
-    "events_funnel": q_events_funnel,
-    "text_repetition": q_text_repetition,
-    "pack_windows": q_pack_windows,
-    "lake_zorder_key": q_lake_zorder_key,
-    "sample_mixture_plan": q_sample_mixture_plan,
-    "sql_tpch_q3": q_sql_tpch_q3,
-    "p8_keep_latest": q_p8_keep_latest,
-    "flagship_lake_nest": q_flagship_lake_nest,
-    "sim_brute_topk": q_sim_brute_topk,
-    "sim_pandas_topk": q_sim_pandas_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_levenshtein": q_dedup_levenshtein,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    # ---------------- ~position 50: recording window edge -----------
-    # --- green in CORRECTNESS_r04 (freshest rows — demoted) ---
-    "dedup_contamination": q_dedup_contamination,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_near_keep": q_dedup_near_keep,
-    "multimodal_decode_wav": q_multimodal_decode_wav,
-    "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
-    "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
-    "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
-    "s6_parquet_explicit_schema": q_s6_parquet_explicit_schema,
-    "s7_parquet_inferred": q_s7_parquet_inferred,
-    "s8_input_file_name": q_s8_input_file_name,
-    "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
-    "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
-    "s11_lake_range_read": q_s11_lake_range_read,
-    "s12_orc_roundtrip": q_s12_orc_roundtrip,
     "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
     "p2_derive": q_p2_derive,
     "p6_dropdup_subset": q_p6_dropdup_subset,
