@@ -1209,6 +1209,36 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-prep composition: documents → overlapping
+    context-window chunks (``chunk_documents``, narrow explode) →
+    sequence packing over the CHUNKS (``pack_windows``, one hash
+    exchange + shard-local window sums) — the two operators proven
+    individually now proven composed, with the chunk's own
+    ``n_chunk_words`` flowing in as the precomputed ``token_col`` (no
+    re-tokenization of chunk text). Chunk identity is the composite
+    ``doc_id·1000 + chunk_idx`` so packing's deterministic hash order
+    is reproducible by the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(
+        docs, chunk_words=64, stride_words=48
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx"))
+        .cast("long")
+        .alias("chunk_id"),
+        "chunk_text",
+        F.col("n_chunk_words").cast("long").alias("n_chunk_words"),
+    )
+    return PK.pack_windows(
+        chunks,
+        context_len=128,
+        n_shards=4,
+        id_col="chunk_id",
+        text_col="chunk_text",
+        token_col="n_chunk_words",
+    )
+
+
 def q_sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture planner: per-source keep-fractions hitting
     a 50/30/10 target mix over three sources, capped at 1.0 with the
@@ -1587,6 +1617,37 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     content hash (operators/text.with_scrubbed_numbers)."""
     return TX.with_scrubbed_numbers(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_digit_runs", "scrubbed_md5"
+    )
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII triage counts (emails / URLs / phone-shaped runs) + flag —
+    the detect step ahead of ``text_scrub``'s redact step. The raw
+    documents carry no planted PII, so deterministic markers are
+    seeded JVM-side from ``doc_id`` (both engines derive the same
+    text) — every modulus class exercises a different detector
+    combination, including none."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), did, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" see https://example.org/d/"), did),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" call +1 555-0100 now")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TX.with_pii_counts(seeded).select(
+        "doc_id", "n_emails", "n_urls", "n_phones", "has_pii"
     )
 
 
@@ -2747,6 +2808,61 @@ GROUP BY tb.j_bucket
                  AS fill_ratio
         FROM p GROUP BY shard
     """
+    o["pipeline_chunk_pack"] = f"""
+        WITH ch AS ({o["text_chunk"]}),
+        t AS (
+          SELECT doc_id * 1000 + chunk_idx AS id,
+                 CAST(n_chunk_words AS BIGINT) AS n_tok,
+                 {_h('doc_id * 1000 + chunk_idx', 7)} % 4 AS shard,
+                 {_h('doc_id * 1000 + chunk_idx', 8)} AS _ord
+          FROM ch
+        ),
+        c AS (
+          SELECT id, shard, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY shard ORDER BY _ord, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cum
+          FROM t
+        )
+        SELECT id, shard, n_tok,
+               CAST(cum // 128 AS BIGINT) AS first_window,
+               CAST(cum % 128 AS BIGINT) AS win_offset,
+               CAST((cum + n_tok - 1) // 128 AS BIGINT) AS last_window
+        FROM c
+    """
+    o["text_pii"] = r"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 concat(text,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat(' contact user',
+                                    CAST(doc_id AS VARCHAR), '@example.com')
+                        ELSE '' END,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN concat(' see https://example.org/d/',
+                                    CAST(doc_id AS VARCHAR))
+                        ELSE '' END,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' call +1 555-0100 now' ELSE '' END
+                 ) AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, 'https?://[^\s]+'))
+                 AS INT) AS n_urls,
+               CAST(len(regexp_extract_all(text,
+                 '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INT) AS n_phones,
+               (len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(text, 'https?://[^\s]+'))
+                + len(regexp_extract_all(text,
+                    '\+?[0-9][0-9()\- ]{6,}[0-9]'))) > 0 AS has_pii
+        FROM seeded
+    """
     o["sample_mixture_plan"] = r"""
         WITH s AS (
           SELECT source,
@@ -3150,6 +3266,8 @@ SPARK_QUERIES = {
     # --- new this round: never recorded ---
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+    "text_pii": q_text_pii,
+    "pipeline_chunk_pack": q_pipeline_chunk_pack,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,

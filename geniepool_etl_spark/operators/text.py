@@ -92,6 +92,41 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("n_ws_tokens", F.size(words_col(text)))
 
 
+# PII detector patterns — deliberately RE2-compatible (no lookaround,
+# no backreferences) so Spark (Java regex) and DuckDB (RE2) count the
+# SAME matches: all quantifiers are greedy with no alternation whose
+# leftmost-first vs leftmost-longest semantics could diverge.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII signal counts — emails, URLs, phone-shaped
+    digit runs — plus a ``has_pii`` flag. The triage step before a
+    scrub/redact pass (``with_scrubbed_numbers``) or a drop filter in
+    a training-data pipeline.
+
+    Narrow map, JVM-side ``regexp_extract_all`` (codegen'd, no UDF) —
+    runs at scan speed with full column pruning at 100 TB. Pattern
+    counts, not extraction: the PII strings themselves never leave the
+    scan stage, which is the right privacy posture for a report."""
+    text = F.col(text_col)
+
+    def n_matches(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+    out = (
+        df.withColumn("n_emails", n_matches(EMAIL_PATTERN))
+        .withColumn("n_urls", n_matches(URL_PATTERN))
+        .withColumn("n_phones", n_matches(PHONE_PATTERN))
+    )
+    return out.withColumn(
+        "has_pii",
+        (F.col("n_emails") + F.col("n_urls") + F.col("n_phones")) > 0,
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_words: int = 64,

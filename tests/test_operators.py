@@ -910,3 +910,32 @@ def test_fixed_width_reader(spark, tmp_path):
         23: ("C", 7),
         456: ("PAD", None),       # blank-padded numeric -> null
     }
+
+
+def test_pii_counts_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at alice@example.com or bob.smith@corp.co.uk"),
+            (2, "see https://a.example.org/x and http://b.io"),
+            (3, "call +1 (555) 010-0199 today"),
+            (4, "clean text with no contact info"),
+            (5, "all three: c@d.ee https://e.fr +44 20 7946 0958"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in TX.with_pii_counts(df).collect()}
+    assert (rows[1].n_emails, rows[1].n_urls, rows[1].n_phones) == (2, 0, 0)
+    assert (rows[2].n_emails, rows[2].n_urls, rows[2].n_phones) == (0, 2, 0)
+    assert rows[3].n_phones == 1
+    assert not rows[4].has_pii
+    assert rows[5].has_pii
+    assert (rows[5].n_emails, rows[5].n_urls, rows[5].n_phones) == (1, 1, 1)
+
+
+def test_pii_counts_is_narrow(spark):
+    from geniepool_etl_spark.plans import count_exchanges
+
+    df = spark.createDataFrame(
+        [(1, "a@b.cc")], "doc_id LONG, text STRING"
+    )
+    assert count_exchanges(TX.with_pii_counts(df)) == 0
