@@ -1475,6 +1475,37 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality gate — the third leg of the ANN instrument set
+    (``sim_lsh_recall`` for embedding LSH, ``dedup_lsh_recall`` for
+    text MinHash-LSH): recall@5 of the IVF probe path against exact
+    brute force, per query. ``nprobe`` is the knob this measures —
+    nprobe = n_centroids provably reaches recall 1.0 (asserted in
+    tests); the entry pins the curve's measured point at nprobe=4."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 8")
+    brute = S.cosine_topk(emb, queries, k=5)
+    ivf = S.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    hits = brute.select("q_id", "n_id").join(
+        ivf.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi"
+    )
+    per_q = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        brute.select("q_id")
+        .distinct()
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.round(
+                F.coalesce(F.col("n_matched"), F.lit(0)) / F.lit(5.0), 4
+            ).alias("recall_at_5"),
+        )
+    )
+
+
 def q_s14_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source — the multimodal ingestion path: opaque asset
     bytes as a binary column with typed metadata (path, length),
@@ -2984,6 +3015,15 @@ GROUP BY tb.j_bucket
         FROM lineitem GROUP BY l_linestatus
     """
     o["sim_ivf_topk"] = _sim_ivf_oracle()
+    o["sim_ivf_recall"] = f"""
+        WITH bt AS ({_sim_brute_oracle()}),
+        iv AS ({_sim_ivf_oracle()})
+        SELECT bt.q_id, CAST(count(iv.n_id) AS BIGINT) AS n_matched,
+               round(count(iv.n_id) / 5.0, 4) AS recall_at_5
+        FROM bt LEFT JOIN iv
+          ON bt.q_id = iv.q_id AND bt.n_id = iv.n_id
+        GROUP BY bt.q_id
+    """
     o["s14_binaryfile_source"] = """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS length,
@@ -3268,6 +3308,7 @@ SPARK_QUERIES = {
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "text_pii": q_text_pii,
     "pipeline_chunk_pack": q_pipeline_chunk_pack,
+    "sim_ivf_recall": q_sim_ivf_recall,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,
