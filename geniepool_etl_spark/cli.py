@@ -27,6 +27,10 @@ reading parquet in and writing parquet out:
         [--chunk-words 64] [--stride-words 48]
     python -m geniepool_etl_spark.cli shuffle <docs.parquet> <out_dir> \\
         [--shards 8] [--seed 17]
+    python -m geniepool_etl_spark.cli pii <docs.parquet> <out_dir>
+    python -m geniepool_etl_spark.cli compact <lake_dir> --day <bucket> \\
+        [--target-files 1]
+    python -m geniepool_etl_spark.cli recover <lake_dir>
 """
 
 from __future__ import annotations
@@ -152,12 +156,40 @@ def _run_shuffle(ns: argparse.Namespace) -> int:
     return 0
 
 
+def _run_pii(ns: argparse.Namespace) -> int:
+    from geniepool_etl_spark.operators import text as TX
+
+    spark = get_spark("geniepool-pii")
+    out = TX.with_pii_counts(spark.read.parquet(ns.input))
+    out.write.mode("overwrite").parquet(ns.output)
+    return 0
+
+
+def _run_compact(ns: argparse.Namespace) -> int:
+    from geniepool_etl_spark.streaming import compact_day_partition
+
+    spark = get_spark("geniepool-compact")
+    compact_day_partition(
+        spark, ns.lake, ns.day, target_files=ns.target_files
+    )
+    return 0
+
+
+def _run_recover(ns: argparse.Namespace) -> int:
+    """Settle interrupted compactions — run on ingest startup."""
+    from geniepool_etl_spark.streaming import recover_compaction
+
+    spark = get_spark("geniepool-recover")
+    recover_compaction(spark, ns.lake)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     # reference-compatible bare form: 8 positional args = the ETL job
     if len(args) == 8 and args[0] not in (
         "etl", "dedup", "profile", "text-stats", "sim-topk", "pack",
-        "chunk", "shuffle",
+        "chunk", "shuffle", "pii", "compact", "recover",
     ):
         return _run_etl(args)
     if args and args[0] == "etl":
@@ -198,6 +230,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("output")
     s.add_argument("--shards", type=int, default=8)
     s.add_argument("--seed", type=int, default=17)
+    s = sub.add_parser("pii")
+    s.add_argument("input")
+    s.add_argument("output")
+    s = sub.add_parser("compact")
+    s.add_argument("lake")
+    s.add_argument("--day", type=int, required=True)
+    s.add_argument("--target-files", type=int, default=1)
+    s = sub.add_parser("recover")
+    s.add_argument("lake")
     ns = p.parse_args(args)
     return {
         "dedup": _run_dedup,
@@ -207,6 +248,9 @@ def main(argv: list[str] | None = None) -> int:
         "pack": _run_pack,
         "chunk": _run_chunk,
         "shuffle": _run_shuffle,
+        "pii": _run_pii,
+        "compact": _run_compact,
+        "recover": _run_recover,
     }[ns.cmd](ns)
 
 

@@ -90,3 +90,32 @@ def test_cli_shuffle(spark, tmp_path):
     n_src = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
     assert got.count() == n_src
     assert got.select("shard").distinct().count() <= 4
+
+
+def test_cli_pii(spark, tmp_path):
+    out = str(tmp_path / "pii")
+    assert main(["pii", f"{SF_SMALL}/documents.parquet", out]) == 0
+    got = spark.read.parquet(out)
+    assert {"n_emails", "n_urls", "n_phones", "has_pii"} <= set(got.columns)
+    n_src = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert got.count() == n_src
+
+
+def test_cli_compact_and_recover(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators import events as E
+    from geniepool_etl_spark.streaming import _write_ingest_batch
+
+    ev = E.with_event_time(
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ).withColumn("day_bucket", F.expr("ts_us div 86400000000"))
+    lake = str(tmp_path / "lake")
+    _write_ingest_batch(ev, 0, lake)
+    _write_ingest_batch(ev, 1, lake)
+    n = spark.read.parquet(lake).count()
+    day = spark.read.parquet(lake).agg(F.min("day_bucket")).first()[0]
+
+    assert main(["recover", lake]) == 0  # no-op on a clean lake
+    assert main(["compact", lake, "--day", str(int(day))]) == 0
+    assert spark.read.parquet(lake).count() == n
