@@ -1239,6 +1239,49 @@ def q_pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_obs_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality metrics via ``DataFrame.observe``: the
+    row count, rounded quantity sum, null count, and key range are
+    collected as OBSERVED METRICS on the write action itself — the
+    production pattern for quality gates on a 100 TB ingest, where a
+    separate validation aggregate would mean a second full scan. The
+    observation rides the noop write's single pass; the returned
+    one-row frame is rebuilt from the metrics (driver-side, but
+    metrics-row-sized — O(1), not O(data)). Oracle = the same
+    aggregates as plain SQL."""
+    import uuid
+
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem")
+    # unique name: observations are single-use; the entry must be
+    # re-invocable in one session (verify probes call twice)
+    obs = Observation(f"quality_{uuid.uuid4().hex}")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("n_null_qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                round(float(m["sum_qty"]), 2),
+                int(m["n_null_qty"]),
+                int(m["min_key"]),
+                int(m["max_key"]),
+            )
+        ],
+        "n_rows LONG, sum_qty DOUBLE, n_null_qty LONG, "
+        "min_key LONG, max_key LONG",
+    )
+
+
 def q_sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture planner: per-source keep-fractions hitting
     a 50/30/10 target mix over three sources, capped at 1.0 with the
@@ -2894,6 +2937,15 @@ GROUP BY tb.j_bucket
                     '\+?[0-9][0-9()\- ]{6,}[0-9]'))) > 0 AS has_pii
         FROM seeded
     """
+    o["obs_quality_metrics"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END)
+                    AS BIGINT) AS n_null_qty,
+               min(l_orderkey) AS min_key,
+               max(l_orderkey) AS max_key
+        FROM lineitem
+    """
     o["sample_mixture_plan"] = r"""
         WITH s AS (
           SELECT source,
@@ -3309,6 +3361,7 @@ SPARK_QUERIES = {
     "text_pii": q_text_pii,
     "pipeline_chunk_pack": q_pipeline_chunk_pack,
     "sim_ivf_recall": q_sim_ivf_recall,
+    "obs_quality_metrics": q_obs_quality_metrics,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,
