@@ -1048,6 +1048,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level repeated-text detection (dedup.repeated_ngram_spans):
+    maximal word spans covered by 5-grams occurring in ≥2 distinct
+    documents — cross-document boilerplate INSIDE otherwise unique
+    documents, the exact-substring dedup step document-level dedup
+    cannot see. ``hash_fn=None`` keys the frequency join on the gram
+    text so the oracle recomputes it bit-for-bit (production default
+    is a 64-bit fingerprint key)."""
+    return D.repeated_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=5, min_docs=2, hash_fn=None
+    )
+
+
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH quality gate (the text-dedup twin of
     ``sim_lsh_recall``): recall of the banded-LSH candidate pairs
@@ -2706,6 +2719,39 @@ SELECT min(id) AS doc_id FROM labels GROUP BY label
 """
     o["dedup_minhash_lsh"] = _minhash_oracle()
     o["dedup_simhash"] = _simhash_oracle()
+    o["dedup_repeated_spans"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        pg0 AS (
+          SELECT doc_id AS id, w,
+                 unnest(range(0, greatest(len(w) - 4, 0))) AS pos
+          FROM words
+        ),
+        pg AS (
+          SELECT id, pos, array_to_string(w[pos+1:pos+5], ' ') AS gram
+          FROM pg0
+        ),
+        freq AS (
+          SELECT gram FROM pg GROUP BY gram
+          HAVING count(DISTINCT id) >= 2 AND count(*) <= 1000
+        ),
+        rep AS (SELECT p.id, p.pos FROM pg p SEMI JOIN freq f USING (gram)),
+        isl AS (
+          SELECT id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos - lag(pos) OVER w > 5
+                      THEN 1 ELSE 0 END AS new_s
+          FROM rep WINDOW w AS (PARTITION BY id ORDER BY pos)
+        ),
+        grp AS (
+          SELECT id, pos, SUM(new_s) OVER (PARTITION BY id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        )
+        SELECT id AS doc_id, CAST(min(pos) AS INT) AS span_start,
+               CAST(max(pos) + 4 AS INT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_grams
+        FROM grp GROUP BY id, island
+    """
     o["dedup_lsh_recall"] = f"""
 WITH t AS ({_jaccard_oracle()}),
 c AS ({_minhash_oracle()}),
@@ -3362,6 +3408,7 @@ SPARK_QUERIES = {
     "pipeline_chunk_pack": q_pipeline_chunk_pack,
     "sim_ivf_recall": q_sim_ivf_recall,
     "obs_quality_metrics": q_obs_quality_metrics,
+    "dedup_repeated_spans": q_dedup_repeated_spans,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,

@@ -150,6 +150,98 @@ def word_shingles(
     )
 
 
+def positioned_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, gram) rows — every word n-gram WITH its 0-based start
+    position (unlike :func:`word_shingles`, which is distinct and
+    positionless). Same O(len·n) zip-shift construction, then
+    ``posexplode`` — narrow, no shuffle."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    z = words
+    for k in range(1, n):
+        shifted = F.slice(
+            words, k + 1, F.greatest(F.size(words) - k, F.lit(0))
+        )
+        z = F.zip_with(z, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(
+        F.size(words) >= n, F.slice(z, 1, F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
+    )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    max_gram_freq: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: HashFn | None = fast_hash64,
+) -> DataFrame:
+    """Span-level repeated-text detection: maximal word spans covered
+    by n-grams that occur in ≥ ``min_docs`` distinct documents — the
+    n-gram-granular formulation of exact-substring training-data dedup
+    (find cross-document boilerplate/licenses/headers INSIDE otherwise
+    unique documents, where document-level dedup sees nothing).
+
+    Plan: positioned n-grams (narrow) → per-gram document frequency
+    (one keyed exchange; ``max_gram_freq`` caps degenerate grams like
+    stopword runs) → semi-join repeated grams back to their positions
+    (same key — AQE reuses the exchange partitioning) → per-document
+    island merge (window over ``id``, high cardinality: two positions
+    merge when their spans overlap or touch, i.e. gap ≤ n) →
+    (doc_id, span_start, span_end, n_grams).
+
+    ``hash_fn`` keys the frequency join on a 64-bit gram fingerprint
+    (8 bytes shuffled instead of an n-word string — the 100 TB
+    default); ``hash_fn=None`` keys on the gram text itself, which is
+    what the bit-exact external oracle recomputes."""
+    g = positioned_ngrams(df, n, text_col, id_col)
+    key = hash_fn(F.col("gram"), 0) if hash_fn else F.col("gram")
+    g = g.select("id", "pos", key.alias("gk"))
+    freq = g.groupBy("gk").agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    rep = g.join(
+        freq.where(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("n_occ") <= max_gram_freq)
+        ).select("gk"),
+        "gk",
+        "left_semi",
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = rep.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | ((F.col("pos") - F.lag("pos").over(w)) > n),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy(F.col("id").alias("doc_id"), "_island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .drop("_island")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     n: int = 3,

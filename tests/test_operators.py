@@ -939,3 +939,54 @@ def test_pii_counts_is_narrow(spark):
         [(1, "a@b.cc")], "doc_id LONG, text STRING"
     )
     assert count_exchanges(TX.with_pii_counts(df)) == 0
+
+
+def test_repeated_ngram_spans_semantics(spark):
+    """Two docs share an 8-word run (boilerplate) inside otherwise
+    unique text; a third doc is fully unique. The span detector must
+    report exactly the shared run in both docs, merged into ONE span,
+    and nothing in the unique doc."""
+    boiler = "this content is provided under the license terms"  # 8 words
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta epsilon"),
+            (2, f"{boiler} zeta eta theta iota kappa"),
+            (3, "entirely unique words nowhere else repeated at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_grams)
+        for r in D.repeated_ngram_spans(df, n=5).collect()
+    }
+    # doc 1: boilerplate occupies words 3..10 -> grams at pos 3..6 (4
+    # grams), merged into one span [3, 10]
+    assert spans[1] == (3, 10, 4)
+    # doc 2: words 0..7 -> one span [0, 7]
+    assert spans[2] == (0, 7, 4)
+    assert 3 not in spans
+
+
+def test_repeated_ngram_spans_merges_adjacent(spark):
+    """Two repeated runs separated by a gap LARGER than n stay two
+    spans; within n they merge."""
+    a = "one two three four five"        # run A (5 words)
+    b = "six seven eight nine ten"       # run B
+    df = spark.createDataFrame(
+        [
+            (1, f"{a} x1 x2 x3 x4 x5 x6 {b}"),  # gap of 6 > n=5: two spans
+            (2, f"{a} y1 {b}"),                 # gap of 1: merges? grams differ
+            (3, f"{a} {b}"),
+            (4, f"{a} z0 z1 z2 {b}"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    by_doc: dict = {}
+    for r in D.repeated_ngram_spans(df, n=5, min_docs=3).collect():
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end)
+        )
+    # runs A and B each appear in 4 docs; only grams fully inside a
+    # run repeat >= 3 times (bridging grams differ per doc)
+    assert sorted(by_doc[1]) == [(0, 4), (11, 15)]  # far apart: 2 spans
+    assert sorted(by_doc[3]) == [(0, 9)]            # adjacent: merged

@@ -184,6 +184,7 @@ _INTENDED_CROSS = {
     "sim_pandas_topk",
     "sim_ivf_topk",
     "sim_lsh_recall",  # brute-force baseline side: 8 queries broadcast
+    "sim_ivf_recall",  # same: the exact side is the 8-query broadcast
     "j7_range_join",
     "text_tfidf",
 }
