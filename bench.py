@@ -109,6 +109,9 @@ def bench_queries(spark, sf_dir):
         "pack_windows": lambda: PK.pack_windows(docs, total_tokens=doc_tokens),
         "sim_lsh_topk": lambda: S.lsh_bucket_topk(emb, k=5, n_rows=n_emb),
         "two_level_nest": lambda: C.q_a2_two_level_nest(spark, sf_dir),
+        # round-6 additions (production xxhash64 variants)
+        "dedup_repeated_spans": lambda: D.repeated_ngram_spans(docs, n=5),
+        "text_pii": lambda: TX.with_pii_counts(docs),
         "micro_event_us_long": lambda: micro_event_us(enc_dirs["long"]),
         "micro_event_us_ntz": lambda: micro_event_us(enc_dirs["ntz"]),
     }
