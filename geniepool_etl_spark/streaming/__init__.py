@@ -137,6 +137,9 @@ def stream_events_to_lake(
     """
     from pyspark.sql import functions as F
 
+    # settle any compaction a previous run left mid-swap BEFORE new
+    # batches land — the commit-log-replay step of ingest startup
+    recover_compaction(spark, lake_path)
     stream = read_event_stream(spark, src_dir, max_files_per_trigger)
     enriched = E.with_event_time(stream).withColumn(
         "day_bucket", F.expr("ts_us div 86400000000")
