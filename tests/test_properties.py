@@ -255,3 +255,65 @@ def test_chunk_documents_covers_every_word(n_words, chunk, stride_frac):
         covered.update(range(start, start + len(ws)))
     assert covered == set(range(n_words))
     assert rows[-1].chunk_text.split()[-1] == f"w{n_words - 1}"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    # vocabulary size controls how often grams repeat across docs
+    vocab=st.integers(min_value=3, max_value=12),
+    seeds=st.lists(
+        st.integers(min_value=0, max_value=2**31), min_size=2, max_size=5
+    ),
+)
+def test_repeated_spans_match_reference_model(vocab, seeds):
+    """repeated_ngram_spans vs a brute-force Python reference on random
+    small-vocab corpora (small vocab → many genuine cross-doc repeats):
+    the distributed island-merge must produce EXACTLY the reference's
+    spans — same starts, ends, and gram counts — for any corpus."""
+    import random
+
+    from geniepool_etl_spark.operators import dedup as D
+
+    n = 3
+    docs = []
+    for doc_id, seed in enumerate(seeds):
+        rng = random.Random(seed)
+        length = rng.randint(0, 24)
+        docs.append(
+            (doc_id, " ".join(f"v{rng.randrange(vocab)}" for _ in range(length)))
+        )
+
+    # brute-force reference: positioned n-grams, cross-doc repeated,
+    # merge islands with gap <= n
+    grams: dict = {}
+    for doc_id, text in docs:
+        ws = text.split()
+        for p in range(max(0, len(ws) - n + 1)):
+            grams.setdefault(" ".join(ws[p : p + n]), []).append((doc_id, p))
+    rep_pos: dict = {}
+    for g, occ in grams.items():
+        if len({d for d, _ in occ}) >= 2:
+            for d, p in occ:
+                rep_pos.setdefault(d, set()).add(p)
+    expected = set()
+    for d, ps in rep_pos.items():
+        run: list = []
+        for p in sorted(ps):
+            if run and p - run[-1] > n:
+                expected.add((d, run[0], run[-1] + n - 1, len(run)))
+                run = []
+            run.append(p)
+        if run:
+            expected.add((d, run[0], run[-1] + n - 1, len(run)))
+
+    spark = _spark()
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in D.repeated_ngram_spans(df, n=n).collect()
+    }
+    assert got == expected
