@@ -1048,6 +1048,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection (dedup.incremental_minhash_
+    candidates): the new batch (the ≥1M-keyed clones) is signed and
+    banded fresh, then equi-joined against the standing corpus's
+    persisted :func:`minhash_index` — daily-ingest cost scales with
+    the batch, the corpus is never re-shingled. Portable hash both
+    sides so the oracle recomputes signatures bit-for-bit."""
+    d = _docs_with_dups(spark, sf_dir)
+    idx = D.minhash_index(
+        d.where("doc_id < 1000000"),
+        num_perm=16,
+        bands=4,
+        hash_fn=portable_hash32,
+    )
+    return D.incremental_minhash_candidates(
+        d.where("doc_id >= 1000000"),
+        idx,
+        num_perm=16,
+        bands=4,
+        hash_fn=portable_hash32,
+    )
+
+
 def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level repeated-text detection (dedup.repeated_ngram_spans):
     maximal word spans covered by 5-grams occurring in ≥2 distinct
@@ -2039,6 +2062,68 @@ def _dot_sql(a: str, b: str, dim: int = 64) -> str:
     )
 
 
+def _incr_minhash_oracle() -> str:
+    """Incremental near-dup oracle: signatures/banding identical to
+    ``_minhash_oracle`` but over the dup-injected corpus, with the
+    hot-bucket cap applied PER SIDE (corpus frequencies at index-build
+    time, batch frequencies at ingest time) exactly as the operator
+    does, then a cross-side (band, key) join."""
+    num_perm, bands, rows = 16, 4, 4
+    sig_cols = ",\n    ".join(
+        f"min({_h('shingle', k)}) AS h{k}" for k in range(num_perm)
+    )
+    band_selects = []
+    for bi in range(bands):
+        slice_cols = ", ".join(
+            f"CAST(h{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        key = _h(f"concat_ws(',', {slice_cols})", 10_000 + bi)
+        band_selects.append(f"SELECT id, {bi} AS band, {key} AS key FROM sigs")
+    banded = "\n  UNION ALL\n  ".join(band_selects)
+    agree = " + ".join(
+        f"CASE WHEN sb.h{k} = sc.h{k} THEN 1 ELSE 0 END"
+        for k in range(num_perm)
+    )
+    return rf"""
+WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM d),
+{_SHINGLES_CTE.strip()},
+sigs AS (
+  SELECT id,
+    {sig_cols}
+  FROM sh GROUP BY id
+),
+banded AS (
+  {banded}
+),
+hot_c AS (
+  SELECT band, key FROM banded WHERE id < 1000000
+  GROUP BY band, key HAVING count(*) > 200
+),
+cap_c AS (
+  SELECT b.* FROM (SELECT * FROM banded WHERE id < 1000000) b
+  ANTI JOIN hot_c h USING (band, key)
+),
+hot_b AS (
+  SELECT band, key FROM banded WHERE id >= 1000000
+  GROUP BY band, key HAVING count(*) > 200
+),
+cap_b AS (
+  SELECT b.* FROM (SELECT * FROM banded WHERE id >= 1000000) b
+  ANTI JOIN hot_b h USING (band, key)
+),
+pairs AS (
+  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+  FROM cap_b b JOIN cap_c c USING (band, key)
+)
+SELECT p.batch_id, p.corpus_id,
+       round(({agree}) / 16.0, 4) AS est_jaccard
+FROM pairs p
+JOIN sigs sb ON sb.id = p.batch_id
+JOIN sigs sc ON sc.id = p.corpus_id
+"""
+
+
 def _minhash_oracle() -> str:
     num_perm, bands, rows = 16, 4, 4
     sig_cols = ",\n    ".join(
@@ -2719,6 +2804,7 @@ SELECT min(id) AS doc_id FROM labels GROUP BY label
 """
     o["dedup_minhash_lsh"] = _minhash_oracle()
     o["dedup_simhash"] = _simhash_oracle()
+    o["dedup_incremental_near"] = _incr_minhash_oracle()
     o["dedup_repeated_spans"] = f"""
         WITH {_WORDS_CTE.strip()},
         pg0 AS (
@@ -3409,6 +3495,7 @@ SPARK_QUERIES = {
     "sim_ivf_recall": q_sim_ivf_recall,
     "obs_quality_metrics": q_obs_quality_metrics,
     "dedup_repeated_spans": q_dedup_repeated_spans,
+    "dedup_incremental_near": q_dedup_incremental_near,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,

@@ -373,6 +373,134 @@ def minhash_signatures(
     )
 
 
+def _banded_keys(
+    sigs: DataFrame,
+    num_perm: int,
+    bands: int,
+    max_bucket: int,
+    hash_fn: HashFn,
+) -> DataFrame:
+    """(id, band, key) rows from a signature frame: band identity =
+    hash of the rendered signature slice (engine-portable for
+    oracles), with degenerate hot buckets frequency-capped via a
+    window count over (band, key) — one pass, reusing the exchange
+    the downstream equi-join needs anyway."""
+    rows_per_band = num_perm // bands
+
+    def band_key(bi: int) -> Column:
+        slice_str = F.concat_ws(
+            ",",
+            *[
+                F.col("sig")[bi * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return hash_fn(slice_str, 10_000 + bi)
+
+    band_cols = F.array(
+        *[
+            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("key"))
+            for bi in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_cols).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    return (
+        banded.withColumn(
+            "_f", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        )
+        .where(F.col("_f") <= max_bucket)
+        .drop("_f")
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 200,
+    hash_fn: HashFn = fast_hash64,
+) -> DataFrame:
+    """The persistable LSH index of a standing corpus: (id, band, key,
+    sig) rows — write this once (parquet, partitioned by ``band``),
+    then join each day's batch against it without ever re-shingling
+    the corpus. Hot buckets are capped at BUILD time (corpus-side
+    frequencies), so a degenerate corpus bucket never meets a batch.
+    Storage is ``bands`` rows per doc each carrying the 8·num_perm-byte
+    signature (the estimate re-uses it at match time)."""
+    assert num_perm % bands == 0
+    sigs = minhash_signatures(
+        df, num_perm, n, text_col, id_col, hash_fn
+    ).localCheckpoint(eager=False)
+    return _banded_keys(sigs, num_perm, bands, max_bucket, hash_fn).join(
+        sigs, "id"
+    )
+
+
+def incremental_minhash_candidates(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 200,
+    hash_fn: HashFn = fast_hash64,
+) -> DataFrame:
+    """Near-duplicate candidates of a NEW batch against a standing
+    corpus — the near-dup twin of :func:`incremental_exact_dedup`:
+    daily-ingest cost scales with the batch, never the corpus. The
+    batch is shingled/signed/banded fresh (it is small); the corpus
+    side is the precomputed :func:`minhash_index` — one (band, key)
+    equi-join against an index read, no corpus re-scan.
+
+    Returns (batch_id, corpus_id, est_jaccard). Pair-dedup happens on
+    bare id pairs (a pair can match in up to ``bands`` buckets);
+    signatures re-attach afterwards — the distinct shuffles 16-byte
+    rows, not signature arrays."""
+    assert num_perm % bands == 0
+    b_sigs = minhash_signatures(
+        batch, num_perm, n, text_col, id_col, hash_fn
+    ).localCheckpoint(eager=False)
+    b_keys = _banded_keys(b_sigs, num_perm, bands, max_bucket, hash_fn)
+    pairs = (
+        b_keys.select(F.col("id").alias("batch_id"), "band", "key")
+        .join(
+            corpus_index.select(
+                F.col("id").alias("corpus_id"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    pairs = pairs.join(
+        b_sigs.select(F.col("id").alias("batch_id"), F.col("sig").alias("sig_b")),
+        "batch_id",
+    ).join(
+        corpus_index.select(
+            F.col("id").alias("corpus_id"), F.col("sig").alias("sig_c")
+        ).dropDuplicates(["corpus_id"]),
+        "corpus_id",
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_b"), F.col("sig_c"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return pairs.select(
+        "batch_id",
+        "corpus_id",
+        F.round(agree.cast("double") / F.lit(num_perm), 4).alias("est_jaccard"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_perm: int = 32,
@@ -394,7 +522,6 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
     # The signature frame feeds three consumers (banding + the two
     # re-attach joins); without materialization each consumer re-runs
     # the full shingle→hash→min pipeline. localCheckpoint (lazy)
@@ -405,40 +532,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, num_perm, n, text_col, id_col, hash_fn
     ).localCheckpoint(eager=False)
-
-    def band_key(bi: int) -> Column:
-        # Band identity = the concatenated signature slice; hashing the
-        # rendered slice keeps the key engine-portable for oracles.
-        slice_str = F.concat_ws(
-            ",",
-            *[
-                F.col("sig")[bi * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)
-            ],
-        )
-        return hash_fn(slice_str, 10_000 + bi)
-
-    band_cols = F.array(
-        *[
-            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("key"))
-            for bi in range(bands)
-        ]
-    )
-    banded = sigs.select("id", F.explode(band_cols).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-
-    # Degenerate-bucket cap as a window count over (band, key): one
-    # pass over the banded rows (a groupBy + anti-join branch would
-    # re-run the full signature pipeline a second time), reusing the
-    # hash(band, key) exchange the self-join needs next.
-    banded = (
-        banded.withColumn(
-            "_f", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-        )
-        .where(F.col("_f") <= max_bucket)
-        .drop("_f")
-    )
+    banded = _banded_keys(sigs, num_perm, bands, max_bucket, hash_fn)
 
     a = banded.select(F.col("id").alias("id_a"), "band", "key")
     b = banded.select(F.col("id").alias("id_b"), "band", "key")

@@ -990,3 +990,31 @@ def test_repeated_ngram_spans_merges_adjacent(spark):
     # run repeat >= 3 times (bridging grams differ per doc)
     assert sorted(by_doc[1]) == [(0, 4), (11, 15)]  # far apart: 2 spans
     assert sorted(by_doc[3]) == [(0, 9)]            # adjacent: merged
+
+
+def test_incremental_minhash_finds_cross_dups(spark):
+    """A batch doc that duplicates a corpus doc must surface as a
+    (batch, corpus) candidate with est_jaccard 1.0; an unrelated batch
+    doc must not pair with anything."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different corpus content right here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (101, "novel unseen words with no prior match at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    idx = D.minhash_index(corpus, num_perm=16, bands=4)
+    got = {
+        (r.batch_id, r.corpus_id): r.est_jaccard
+        for r in D.incremental_minhash_candidates(
+            batch, idx, num_perm=16, bands=4
+        ).collect()
+    }
+    assert got == {(100, 1): 1.0}
