@@ -1461,6 +1461,16 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_features(M.synth_wav_assets(params))
 
 
+def q_multimodal_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow lane (multimodal.extract_features_arrow): same
+    byte/char features as ``multimodal_extract`` computed on raw
+    pyarrow RecordBatches — no pandas boxing of binary cells. Same
+    oracle as the pandas lane; matching both proves the two
+    Python-integration tiers agree."""
+    assets = M.documents_as_assets(_t(spark, sf_dir, "documents"))
+    return M.extract_features_arrow(assets)
+
+
 def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real JPEG round-trip through the stdlib SOF marker walk: per-
     document image dimensions derived JVM-side (so the oracle
@@ -3134,6 +3144,7 @@ GROUP BY tb.j_bucket
                     // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
         FROM documents WHERE doc_id % 5 = 0
     """
+    o["multimodal_extract_arrow"] = o["multimodal_extract"]
     o["multimodal_decode_jpeg"] = """
         SELECT doc_id AS asset_id,
                'jpeg' AS format,
@@ -3496,6 +3507,7 @@ SPARK_QUERIES = {
     "obs_quality_metrics": q_obs_quality_metrics,
     "dedup_repeated_spans": q_dedup_repeated_spans,
     "dedup_incremental_near": q_dedup_incremental_near,
+    "multimodal_extract_arrow": q_multimodal_extract_arrow,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,
