@@ -431,11 +431,17 @@ def minhash_index(
     the corpus. Hot buckets are capped at BUILD time (corpus-side
     frequencies), so a degenerate corpus bucket never meets a batch.
     Storage is ``bands`` rows per doc each carrying the 8·num_perm-byte
-    signature (the estimate re-uses it at match time)."""
+    signature (the estimate re-uses it at match time).
+
+    The signature frame feeds two CONCURRENT consumers (the banded
+    keys and the join's probe side), so the checkpoint must be EAGER —
+    a lazy one only dedupes join-sequenced consumers, and here both
+    branches would recompute the shingle pipeline in parallel before
+    either checkpoints."""
     assert num_perm % bands == 0
     sigs = minhash_signatures(
         df, num_perm, n, text_col, id_col, hash_fn
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     return _banded_keys(sigs, num_perm, bands, max_bucket, hash_fn).join(
         sigs, "id"
     )
