@@ -78,3 +78,29 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def enable_runtime_bloom_filters(
+    spark, application_side_min_scan: str = "10GB"
+) -> None:
+    """Turn on Catalyst's runtime bloom-filter join pruning: for a
+    shuffle join whose build side carries a selective filter, the
+    optimizer injects a `bloom_filter_agg` subquery on the build keys
+    and a `might_contain` predicate on the probe side — probe rows
+    that cannot join are dropped BEFORE the shuffle, cutting shuffle
+    write/read by the join's selectivity. The 100 TB complement to
+    broadcast joins: it applies exactly where the build side is too
+    big to broadcast but still selective.
+
+    Injection requires the build side under
+    ``runtime.bloomFilter.creationSideThreshold`` (default 10MB) and
+    the probe-side scan over ``application_side_min_scan`` — the
+    defaults are tuned for cluster scale; tests lower the floor to
+    demonstrate the plan shape. Runtime confs, safe to call
+    repeatedly."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        application_side_min_scan,
+    )

@@ -305,3 +305,52 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning must be IN THE PLAN when the
+    build side is selective and too big to broadcast: a
+    bloom_filter_agg subquery on the build keys and a might_contain
+    gate on the probe side — probe rows are dropped before the
+    shuffle (the 100 TB complement to broadcast joins)."""
+    from geniepool_etl_spark.plans import executed_plan
+    from geniepool_etl_spark.session import enable_runtime_bloom_filters
+    from tests.conftest import SF_ORACLE
+
+    saved = {}
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        enable_runtime_bloom_filters(spark, application_side_min_scan="0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").where(
+            "o_totalprice > 400000"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = executed_plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the rewrite is answer-preserving
+        n_bloom = j.count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        assert n_bloom == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
