@@ -858,6 +858,39 @@ def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (range) join: click activity windows × purchase
+    activity windows per user, via the bucketed range-join rewrite
+    (operators/events.py interval_overlap_join) — explode to coarse
+    buckets, equi-join, refine; canonical-bucket rule dedupes for free.
+    Oracle is the naive inequality join (DuckDB's IEJoin handles it at
+    oracle scale; Spark's BNLJ would not at 100 TB — that asymmetry is
+    the point of the operator)."""
+    ev = E.with_event_time(_events(spark, sf_dir))
+    width_us = E.US_PER_HOUR
+
+    def intervals(tp: str) -> DataFrame:
+        return ev.where(F.col("event_type") == tp).select(
+            "user_id",
+            F.col("event_id").alias("id"),
+            F.col("ts_us").alias("start_us"),
+            (F.col("ts_us") + width_us).alias("end_us"),
+        )
+
+    joined = E.interval_overlap_join(
+        intervals("click"), intervals("purchase"), bucket_us=E.US_PER_HOUR
+    )
+    return joined.select(
+        "user_id",
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+        (
+            F.least(F.col("l_end_us"), F.col("r_end_us"))
+            - F.greatest(F.col("l_start_us"), F.col("r_start_us"))
+        ).alias("overlap_us"),
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2690,6 +2723,22 @@ def _oracles() -> dict[str, str]:
         SELECT user_id, t AS ts_us, event_id, asof_ts_us, asof_event_id
         FROM c WHERE side = 1
     """
+    o["events_interval_join"] = f"""
+        WITH c AS (
+          SELECT user_id, event_id AS id, {_EVENT_US} AS s,
+                 {_EVENT_US} + 3600000000 AS e
+          FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+          SELECT user_id, event_id AS id, {_EVENT_US} AS s,
+                 {_EVENT_US} + 3600000000 AS e
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id AS user_id, c.id AS click_id, p.id AS purchase_id,
+               least(c.e, p.e) - greatest(c.s, p.s) AS overlap_us
+        FROM c JOIN p
+          ON c.user_id = p.user_id AND c.s <= p.e AND p.s <= c.e
+    """
     o["events_asof_tolerance"] = f"""
         WITH u AS (
           SELECT user_id, {_EVENT_US} AS t, 1 AS side, event_id
@@ -3579,6 +3628,7 @@ SPARK_QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "s16_csv_permissive_corrupt": q_s16_csv_permissive_corrupt,
     "events_asof_tolerance": q_events_asof_tolerance,
+    "events_interval_join": q_events_interval_join,
     "sim_lsh_recall": q_sim_lsh_recall,
     "pack_efficiency": q_pack_efficiency,
     "sql_tpch_q5": q_sql_tpch_q5,

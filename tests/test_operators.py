@@ -1018,3 +1018,43 @@ def test_incremental_minhash_finds_cross_dups(spark):
         ).collect()
     }
     assert got == {(100, 1): 1.0}
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucketed range-join rewrite == brute-force O(n^2) overlap scan,
+    on a fixture that exercises every edge: touching endpoints
+    (closed-interval inclusive), multi-bucket stragglers, same-bucket
+    non-overlaps, and key isolation. Canonical-bucket rule must emit
+    each pair exactly once despite multi-bucket co-occurrence."""
+    bucket = 100
+    lrows = [
+        # (key, id, start, end)
+        (1, 10, 0, 50),      # overlaps 20 at edge (50 == start)
+        (1, 11, 40, 260),    # 3-bucket straggler
+        (1, 12, 300, 310),   # overlaps nothing
+        (2, 20, 0, 50),      # same interval, different key
+    ]
+    rrows = [
+        (1, 20, 50, 70),     # touches 10's end exactly
+        (1, 21, 250, 330),   # overlaps 11 and 12
+        (2, 22, 51, 60),     # key 2: misses 20 by one
+    ]
+    left = spark.createDataFrame(
+        lrows, "user_id LONG, id LONG, start_us LONG, end_us LONG"
+    )
+    right = spark.createDataFrame(
+        rrows, "user_id LONG, id LONG, start_us LONG, end_us LONG"
+    )
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in E.interval_overlap_join(
+            left, right, bucket_us=bucket
+        ).collect()
+    )
+    want = sorted(
+        (l_id, r_id)
+        for (lk, l_id, ls, le) in lrows
+        for (rk, r_id, rs, re) in rrows
+        if lk == rk and ls <= re and rs <= le
+    )
+    assert got == want
