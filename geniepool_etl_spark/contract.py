@@ -632,6 +632,62 @@ def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q5)
 
 
+_SQL_Q6 = """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) / 100.0 AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting-revenue-change SQL: the pure
+    scan-filter-aggregate probe. Every predicate is pushdown-eligible
+    (date range, discount band, quantity cut reach the parquet reader
+    as PushedFilters; row groups outside the shipdate range skip on
+    min/max stats) and the aggregate is a map-side partial — at 100 TB
+    this query's cost IS the scan, which is exactly what the plan
+    reduces it to. Identical text is the DuckDB oracle."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_Q6)
+
+
+_SQL_Q10 = """
+    SELECT c.c_custkey,
+           c.c_name,
+           n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) / 100.0 AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item reporting: selective fact
+    filters (order-date window, return flag) push to both fact scans
+    BEFORE the orderkey shuffle, nation broadcasts, and the top-20 is
+    TakeOrderedAndProject (never a global sort materialization).
+    Deterministic cut: revenue is summed in integer cents (per-row
+    round → BIGINT — order-independent under any shuffle/merge order,
+    where a double sum's last ulp is not) with a custkey tiebreak."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q10)
+
+
 def q_a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via rollup (region → nation)."""
     cust = _t(spark, sf_dir, "customer")
@@ -916,6 +972,34 @@ def q_events_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("prop_k"),
         F.col("p.k").isNotNull().alias("parsed_ok"),
     )
+
+
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType lane: ``parse_json`` → binary variant,
+    typed path extraction via ``variant_get`` plus schema
+    introspection via ``schema_of_variant`` — the shredded
+    semi-structured encoding (column-store friendly, no per-row JSON
+    re-parse downstream). Oracle extracts the same path with DuckDB's
+    JSON functions; the variant schema string is pinned literally
+    (the fixture's props are uniformly ``{"k": int}``)."""
+    ev = _events(spark, sf_dir)
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "long").alias("prop_k"),
+        F.schema_of_variant(F.col("v")).alias("vschema"),
+    )
+
+
+def q_udtf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF lane (Spark 4): per-user top-2 events by value via
+    a bounded-heap table function over ``TABLE(v) PARTITION BY
+    user_id`` (operators/tablefunc.py). The oracle is the window
+    formulation the UDTF must agree with — pinning the extensibility
+    lane against the JVM lane."""
+    from geniepool_etl_spark.operators.tablefunc import topk_by_value
+
+    return topk_by_value(spark, _t(spark, sf_dir, "events"))
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2454,6 +2538,8 @@ def _oracles() -> dict[str, str]:
     """
     o["sql_tpch_q3"] = _SQL_Q3
     o["sql_tpch_q5"] = _SQL_Q5
+    o["sql_tpch_q6"] = _SQL_Q6
+    o["sql_tpch_q10"] = _SQL_Q10
     o["s15_schema_evolution"] = """
         SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
         FROM nation
@@ -2738,6 +2824,24 @@ def _oracles() -> dict[str, str]:
                least(c.e, p.e) - greatest(c.s, p.s) AS overlap_us
         FROM c JOIN p
           ON c.user_id = p.user_id AND c.s <= p.e AND p.s <= c.e
+    """
+    o["events_variant"] = """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+               'OBJECT<k: BIGINT>' AS vschema
+        FROM events
+    """
+    o["udtf_topk"] = """
+        WITH r AS (
+          SELECT user_id, event_id,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY round(value, 4) DESC, event_id
+                 ) AS rnk
+          FROM events
+        )
+        SELECT user_id, event_id, CAST(rnk AS INTEGER) AS rnk
+        FROM r WHERE rnk <= 2
     """
     o["events_asof_tolerance"] = f"""
         WITH u AS (
@@ -3629,9 +3733,13 @@ SPARK_QUERIES = {
     "s16_csv_permissive_corrupt": q_s16_csv_permissive_corrupt,
     "events_asof_tolerance": q_events_asof_tolerance,
     "events_interval_join": q_events_interval_join,
+    "events_variant": q_events_variant,
+    "udtf_topk": q_udtf_topk,
     "sim_lsh_recall": q_sim_lsh_recall,
     "pack_efficiency": q_pack_efficiency,
     "sql_tpch_q5": q_sql_tpch_q5,
+    "sql_tpch_q6": q_sql_tpch_q6,
+    "sql_tpch_q10": q_sql_tpch_q10,
     "s17_fixed_width": q_s17_fixed_width,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,

@@ -344,3 +344,40 @@ def test_sql_surface_broadcasts_dims(spark):
     df = C.q_sql_tpch_q3(spark, SF_SMALL)
     df.collect()
     P.assert_broadcast_join(df)
+
+
+def test_q6_filters_push_to_scan(spark):
+    # Q6 is the pushdown probe: all three predicates must reach the
+    # parquet reader, and the projection must prune to the 4 touched
+    # columns — at 100 TB this query's cost is the scan, nothing else.
+    df = C.q_sql_tpch_q6(spark, SF_SMALL)
+    pushed = P.pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    P.assert_column_pruned(df, "l_orderkey")
+    P.assert_column_pruned(df, "l_partkey")
+
+
+def test_q10_broadcasts_dim_and_takes_ordered(spark):
+    # nation must broadcast; the LIMIT 20 over ORDER BY must be
+    # TakeOrderedAndProject (per-partition top-k + driver merge),
+    # never a materialized global Sort.
+    plan = _plan(C.q_sql_tpch_q10(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_join_is_keyed_equi_join(spark):
+    # The bucketed rewrite must plan as a hash/sort-merge equi-join on
+    # (key, bucket) — the naive range formulation would be BNLJ.
+    df = C.q_events_interval_join(spark, SF_SMALL)
+    P.assert_no_cartesian(df)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_udtf_partitions_once_on_key(spark):
+    # The UDTF's TABLE(...) PARTITION BY shuffles exactly once; the
+    # Python lane must not add extra exchanges.
+    df = C.q_udtf_topk(spark, SF_SMALL)
+    assert P.count_exchanges(df) <= 1
