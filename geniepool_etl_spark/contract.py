@@ -974,6 +974,30 @@ def q_events_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s18_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource API lane (Spark 4, sources/pysource.py): a
+    custom batch source with explicit split planning (one
+    InputPartition per shard, executors read in parallel). The source
+    is a pure integer function of event_id, so the oracle regenerates
+    it via generate_series arithmetic — and the aggregate is invariant
+    to the partition count, the property a real connector's split
+    planner must hold. Cents stay integer through the sum."""
+    from geniepool_etl_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("gp_synthetic_events")
+        .option("partitions", 8)
+        .option("rows_per_partition", 1250)
+        .load()
+    )
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("value_cents") / F.lit(100.0)).alias("sum_value"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
 def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType lane: ``parse_json`` → binary variant,
     typed path extraction via ``variant_get`` plus schema
@@ -2825,6 +2849,22 @@ def _oracles() -> dict[str, str]:
         FROM c JOIN p
           ON c.user_id = p.user_id AND c.s <= p.e AND p.s <= c.e
     """
+    o["s18_python_datasource"] = """
+        WITH s AS (
+          SELECT gs AS event_id FROM generate_series(0, 9999) t(gs)
+        ),
+        r AS (
+          SELECT event_id,
+                 event_id % 97 AS user_id,
+                 (event_id * 2654435761) % 1000000 AS value_cents
+          FROM s
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(value_cents) / 100.0 AS DOUBLE) AS sum_value,
+               MAX(event_id) AS max_event_id
+        FROM r GROUP BY user_id
+    """
     o["events_variant"] = """
         SELECT event_id,
                CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
@@ -3734,6 +3774,7 @@ SPARK_QUERIES = {
     "events_asof_tolerance": q_events_asof_tolerance,
     "events_interval_join": q_events_interval_join,
     "events_variant": q_events_variant,
+    "s18_python_datasource": q_s18_python_datasource,
     "udtf_topk": q_udtf_topk,
     "sim_lsh_recall": q_sim_lsh_recall,
     "pack_efficiency": q_pack_efficiency,

@@ -1058,3 +1058,33 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         if lk == rk and ls <= re and rs <= le
     )
     assert got == want
+
+
+def test_python_datasource_split_invariance(spark):
+    """The custom DataSource's answer must be identical under any
+    split plan (1 vs 8 partitions) — the property that makes a
+    connector's partition planner safe to tune — and the requested
+    split count must actually reach the scan RDD."""
+    from geniepool_etl_spark.sources import pysource
+
+    pysource.register(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("gp_synthetic_events")
+            .option("partitions", parts)
+            .option("rows_per_partition", 1000 // parts)
+            .load()
+        )
+
+    one, eight = load(1), load(8)
+    assert eight.rdd.getNumPartitions() == 8
+    agg = lambda df: sorted(
+        (r.user_id, r.n, r.s)
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("s")
+        )
+        .collect()
+    )
+    assert agg(one) == agg(eight)
