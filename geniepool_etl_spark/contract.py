@@ -771,6 +771,46 @@ def q_a7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a13_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Datasketches HLL): per-type sketches
+    via ``hll_sketch_agg``, then the GLOBAL distinct estimated by
+    MERGING the per-type sketches (``hll_union_agg``) — never
+    rescanning the fact table. This is the 100 TB pattern
+    approx_count_distinct (a7) can't do: its estimate is final, while
+    sketches persist per partition/day and roll up to any grouping
+    later. Checkable output follows the a7 convention: exact counts +
+    a within-5% boolean per row (exact cardinalities here are ~150,
+    where HLL at default lgConfigK is in its exact-mode regime, so the
+    bound is loose)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    tol = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= 0.05 * exact
+    )
+    per_type = sk.select(
+        "event_type",
+        "exact_users",
+        tol(
+            F.hll_sketch_estimate("sk"), F.col("exact_users")
+        ).alias("within_tol"),
+    )
+    merged = sk.agg(F.hll_union_agg("sk").alias("msk")).select(
+        F.lit(1).alias("_k"), F.hll_sketch_estimate("msk").alias("est")
+    )
+    g_exact = ev.agg(
+        F.count_distinct("user_id").alias("exact_users")
+    ).select(F.lit(1).alias("_k"), "exact_users")
+    total = merged.join(g_exact, "_k").select(
+        F.lit("ALL").alias("event_type"),
+        "exact_users",
+        tol(F.col("est"), F.col("exact_users")).alias("within_tol"),
+    )
+    return per_type.unionByName(total)
+
+
 def q_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's status record (pipeline.get_status shape) on the
     star schema: multi-distinct counts + timestamp presence flag."""
@@ -2714,6 +2754,17 @@ def _oracles() -> dict[str, str]:
                true AS within_tol
         FROM lineitem GROUP BY l_returnflag
     """
+    o["a13_hll_sketch_rollup"] = """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               true AS within_tol
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'ALL' AS event_type,
+               count(DISTINCT user_id) AS exact_users,
+               true AS within_tol
+        FROM events
+    """
     o["status_summary"] = """
         SELECT count(DISTINCT l_orderkey) AS coordinates_num,
                count(DISTINCT (l_orderkey, l_linenumber)) AS mutations_num,
@@ -3794,6 +3845,7 @@ SPARK_QUERIES = {
     "a1_collect_set_nest": q_a1_collect_set_nest,
     "a2_two_level_nest": q_a2_two_level_nest,
     "a7_approx_distinct": q_a7_approx_distinct,
+    "a13_hll_sketch_rollup": q_a13_hll_sketch_rollup,
     "f1_string_funcs": q_f1_string_funcs,
     "f2_datetime_funcs": q_f2_datetime_funcs,
     "x1_explode_unnest": q_x1_explode_unnest,
