@@ -3742,13 +3742,17 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round. Round-6 window, per VERDICT r5
-# ask #2: (a) the two entries new this round (never recorded), then
-# (b) the 25 entries whose latest green recording is round 3 — two
-# windows stale, including the flagship and the whole text/similarity
-# families — then (c) the 7 entries whose implementation changed this
-# round (chunk validation, stream schema-fallback narrowing, session-
-# stream flush branch), then (d) 16 round-4-green entries continuing
-# the rotation. The 69 freshest entries (r4/r5 green) fill the tail.
+# ask #2: (a) the 16 entries new this round (never recorded — the
+# nine early-round additions, then interval join / variant / Python
+# DataSource / UDTF / TPC-H Q6+Q10 / HLL rollup), then (b) the 25
+# entries whose latest green recording is round 3 — two windows
+# stale, including the flagship and the whole text/similarity
+# families — then (c) entries whose implementation changed this round
+# (chunk validation, stream schema-fallback narrowing, session-stream
+# flush branch). The freshest (r4/r5-green, untouched) entries fill
+# the tail; the handful of r4-green entries the 16 insertions pushed
+# past ~50 (minhash/clusters/near-keep, wav, s1/s4/s5) rotate back to
+# the front next round.
 SPARK_QUERIES = {
     # --- new this round: never recorded ---
     "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -3760,6 +3764,13 @@ SPARK_QUERIES = {
     "dedup_repeated_spans": q_dedup_repeated_spans,
     "dedup_incremental_near": q_dedup_incremental_near,
     "multimodal_extract_arrow": q_multimodal_extract_arrow,
+    "events_interval_join": q_events_interval_join,
+    "events_variant": q_events_variant,
+    "s18_python_datasource": q_s18_python_datasource,
+    "udtf_topk": q_udtf_topk,
+    "sql_tpch_q6": q_sql_tpch_q6,
+    "sql_tpch_q10": q_sql_tpch_q10,
+    "a13_hll_sketch_rollup": q_a13_hll_sketch_rollup,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,
@@ -3823,15 +3834,9 @@ SPARK_QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "s16_csv_permissive_corrupt": q_s16_csv_permissive_corrupt,
     "events_asof_tolerance": q_events_asof_tolerance,
-    "events_interval_join": q_events_interval_join,
-    "events_variant": q_events_variant,
-    "s18_python_datasource": q_s18_python_datasource,
-    "udtf_topk": q_udtf_topk,
     "sim_lsh_recall": q_sim_lsh_recall,
     "pack_efficiency": q_pack_efficiency,
     "sql_tpch_q5": q_sql_tpch_q5,
-    "sql_tpch_q6": q_sql_tpch_q6,
-    "sql_tpch_q10": q_sql_tpch_q10,
     "s17_fixed_width": q_s17_fixed_width,
     "events_gap_fill": q_events_gap_fill,
     "events_retention": q_events_retention,
@@ -3845,7 +3850,6 @@ SPARK_QUERIES = {
     "a1_collect_set_nest": q_a1_collect_set_nest,
     "a2_two_level_nest": q_a2_two_level_nest,
     "a7_approx_distinct": q_a7_approx_distinct,
-    "a13_hll_sketch_rollup": q_a13_hll_sketch_rollup,
     "f1_string_funcs": q_f1_string_funcs,
     "f2_datetime_funcs": q_f2_datetime_funcs,
     "x1_explode_unnest": q_x1_explode_unnest,
