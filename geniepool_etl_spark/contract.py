@@ -1705,6 +1705,50 @@ def q_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(base, updates, ["o_orderkey"])
 
 
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/upsert.merge_rollup):
+    a standing per-user rollup (history through Jan 20) combined with
+    a new batch's partials (Jan 21+) by merging MERGEABLE PARTIALS —
+    sums/counts re-summed, min/max re-extremed, avg derived from
+    (sum, n) at read time, never stored finished. The result must
+    equal the full-history recompute, which is exactly what the
+    oracle computes (it never sees the cutoff). Value sums ride as
+    integer cents so merge order can't move an ulp. Daily cost at
+    100 TB is O(day + |keys|), not O(history)."""
+    from geniepool_etl_spark.operators.upsert import merge_rollup
+
+    ev = E.with_event_time(_events(spark, sf_dir))
+    cutoff_us = 1_705_795_200 * 1_000_000  # 2024-01-21 00:00 UTC
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    merged = merge_rollup(
+        partials(ev.where(F.col("ts_us") < cutoff_us)),
+        partials(ev.where(F.col("ts_us") >= cutoff_us)),
+        ["user_id"],
+        count_cols=["n_events"],
+        sum_cols=["sum_cents"],
+        min_cols=["min_value"],
+        max_cols=["max_value"],
+    )
+    sum_value = F.col("sum_cents") / F.lit(100.0)
+    return merged.select(
+        "user_id",
+        "n_events",
+        sum_value.alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round(sum_value / F.col("n_events"), 4).alias("avg_value"),
+    )
+
+
 def q_p7_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling — the distributed, reproducible
     alternative to RNG-based ``df.sample`` (same rows on every engine,
@@ -3435,6 +3479,17 @@ GROUP BY tb.j_bucket
                date_trunc('month', o_orderdate) AS month_start
         FROM orders
     """
+    o["rollup_incremental"] = """
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS sum_value,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               round(CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0
+                          AS DOUBLE) / count(*), 4) AS avg_value
+        FROM events GROUP BY user_id
+    """
     o["lake_upsert"] = """
         WITH u AS (
           SELECT o_orderkey, round(o_totalprice * 2, 2) AS o_totalprice,
@@ -3771,6 +3826,7 @@ SPARK_QUERIES = {
     "sql_tpch_q6": q_sql_tpch_q6,
     "sql_tpch_q10": q_sql_tpch_q10,
     "a13_hll_sketch_rollup": q_a13_hll_sketch_rollup,
+    "rollup_incremental": q_rollup_incremental,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,

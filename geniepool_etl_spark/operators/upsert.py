@@ -74,3 +74,44 @@ def upsert_partitioned_lake(
         .partitionBy(*partition_cols)
         .parquet(lake_path)
     )
+
+
+def merge_rollup(
+    standing: DataFrame,
+    batch_partials: DataFrame,
+    keys: list[str],
+    count_cols: list[str] = (),
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+) -> DataFrame:
+    """Incremental aggregate maintenance: combine a STANDING rollup
+    table with a new batch's partial aggregates — union the partials,
+    one re-aggregation keyed on ``keys`` — instead of recomputing the
+    rollup over all history.
+
+    This only works for aggregates that are *mergeable partials*:
+    counts and sums merge by SUM, min/max by MIN/MAX. Anything
+    non-mergeable must be carried AS its partials — store (sum, n)
+    and derive avg at read time, store an HLL sketch and estimate at
+    read time — never the finished statistic. That storage rule is
+    the whole pattern; this function is just its one-shuffle combine.
+
+    Scale: the standing table is already aggregated (|keys| rows, ≪
+    raw history) and the batch side is one ingest window, so the
+    union-then-groupBy shuffles |keys| + |batch keys| rows — daily
+    cost is proportional to the DAY, not to 100 TB of history. The
+    result equals the full recompute exactly when the summed columns
+    are integers (order-independent); keep money/values in integer
+    cents through the partials.
+    """
+    merged = standing.unionByName(batch_partials)
+    aggs = (
+        [F.sum(c).alias(c) for c in count_cols]
+        + [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    if not aggs:
+        raise ValueError("merge_rollup: no aggregate columns given")
+    return merged.groupBy(*keys).agg(*aggs)

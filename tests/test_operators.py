@@ -1088,3 +1088,43 @@ def test_python_datasource_split_invariance(spark):
         .collect()
     )
     assert agg(one) == agg(eight)
+
+
+def test_merge_rollup_equals_full_recompute(spark):
+    """Merging a standing rollup with a batch's partials must equal
+    the full recompute — including keys present only in the standing
+    side, only in the batch, and in both."""
+    from geniepool_etl_spark.operators.upsert import merge_rollup
+
+    old = [(1, 10), (1, 30), (2, 5)]          # key 2: standing-only
+    new = [(1, 20), (3, 7)]                   # key 3: batch-only
+    schema = "k LONG, v LONG"
+
+    def partials(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+        )
+
+    merged = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in merge_rollup(
+            partials(old), partials(new), ["k"],
+            count_cols=["n"], sum_cols=["s"],
+            min_cols=["mn"], max_cols=["mx"],
+        ).collect()
+    }
+    full = {
+        r.k: (r.n, r.s, r.mn, r.mx) for r in partials(old + new).collect()
+    }
+    assert merged == full == {
+        1: (3, 60, 10, 30), 2: (1, 5, 5, 5), 3: (1, 7, 7, 7)
+    }
+    with pytest.raises(ValueError, match="no aggregate"):
+        merge_rollup(partials(old), partials(new), ["k"])
