@@ -1749,6 +1749,89 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s19_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: XML source (built-in as of Spark 4) with rowTag
+    record delineation and an explicit schema — the config-file /
+    feed-manifest ingestion path. Fixture is the 5-row region dim
+    serialized to XML; the oracle reads the same dim from parquet."""
+    rows = sorted(
+        _t(spark, sf_dir, "region").collect(), key=lambda r: r.r_regionkey
+    )  # 5-row dim: fixture generation only, not a data path
+    path = os.path.join(_tmpdir("s19"), "region.xml")
+    with open(path, "w") as f:
+        f.write("<regions>\n")
+        for r in rows:
+            f.write(
+                f"  <region><key>{r.r_regionkey}</key>"
+                f"<name>{r.r_name}</name></region>\n"
+            )
+        f.write("</regions>\n")
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "region")
+        .schema(schema)
+        .load(path)
+    )
+    return df.select(
+        F.col("key").cast("int").alias("r_regionkey"),
+        F.col("name").alias("r_name"),
+    )
+
+
+_SQL_LATERAL = """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+      FROM customer WHERE c_nationkey = n.n_nationkey
+      ORDER BY round(c_acctbal, 2) DESC, c_custkey LIMIT 2
+    ) c
+"""
+
+
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): per-nation
+    top-2 customers by balance. Catalyst decorrelates the LATERAL
+    LIMIT into a per-key window — the same plan the DataFrame top-k
+    gets — so the SQL spelling costs nothing extra at scale.
+    Deterministic cut: rounded balance + custkey tiebreak; identical
+    text is the oracle."""
+    for t in ("nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_LATERAL)
+
+
+_SQL_RECURSIVE = """
+    WITH RECURSIVE reach(node, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      UNION ALL
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN (
+        SELECT s_suppkey AS src, s_suppkey * 2 AS dst FROM supplier
+      ) e ON e.src = r.node
+      WHERE r.depth < 20
+    )
+    SELECT node, depth FROM reach
+"""
+
+
+def q_sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 SQL surface): BFS reachability over a
+    deterministic edge set (k → 2k) — each iteration is one
+    distributed join against the frontier, the driver only
+    coordinates the fixpoint. The depth guard bounds runaway
+    recursion, the habit that matters on a graph whose diameter you
+    don't know. Same traversal the label-propagation dedup_clusters
+    does without SQL; identical text is the oracle."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_SQL_RECURSIVE)
+
+
 def q_p7_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling — the distributed, reproducible
     alternative to RNG-based ``df.sample`` (same rows on every engine,
@@ -3479,6 +3562,11 @@ GROUP BY tb.j_bucket
                date_trunc('month', o_orderdate) AS month_start
         FROM orders
     """
+    o["s19_xml_source"] = """
+        SELECT r_regionkey, r_name FROM region
+    """
+    o["sql_lateral_topk"] = _SQL_LATERAL
+    o["sql_recursive_reach"] = _SQL_RECURSIVE
     o["rollup_incremental"] = """
         SELECT user_id,
                count(*) AS n_events,
@@ -3827,6 +3915,9 @@ SPARK_QUERIES = {
     "sql_tpch_q10": q_sql_tpch_q10,
     "a13_hll_sketch_rollup": q_a13_hll_sketch_rollup,
     "rollup_incremental": q_rollup_incremental,
+    "s19_xml_source": q_s19_xml_source,
+    "sql_lateral_topk": q_sql_lateral_topk,
+    "sql_recursive_reach": q_sql_recursive_reach,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,

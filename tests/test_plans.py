@@ -381,3 +381,13 @@ def test_udtf_partitions_once_on_key(spark):
     # Python lane must not add extra exchanges.
     df = C.q_udtf_topk(spark, SF_SMALL)
     assert P.count_exchanges(df) <= 1
+
+
+def test_lateral_topk_decorrelates(spark):
+    # The correlated LATERAL LIMIT must decorrelate into a per-key
+    # window/rank plan — never a per-outer-row re-execution (which
+    # would surface as a nested-loop join at scale).
+    df = C.q_sql_lateral_topk(spark, SF_SMALL)
+    P.assert_no_cartesian(df)
+    plan = _plan(df)
+    assert "Window" in plan or "WindowGroupLimit" in plan, plan[:800]
