@@ -317,3 +317,101 @@ def test_repeated_spans_match_reference_model(vocab, seeds):
         for r in D.repeated_ngram_spans(df, n=n).collect()
     }
     assert got == expected
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=500),    # start
+        st.integers(min_value=0, max_value=300),    # span
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(left=_intervals, right=_intervals, bucket=st.sampled_from([37, 100, 1000]))
+def test_interval_overlap_join_matches_model(left, right, bucket):
+    """Bucketed rewrite == brute-force model for arbitrary closed
+    intervals and ANY bucket width — each qualifying pair emitted
+    exactly once (the canonical-bucket dedup rule), none invented,
+    none lost across bucket boundaries."""
+    from geniepool_etl_spark.operators import events as E
+
+    spark = _spark()
+    schema = "user_id LONG, id LONG, start_us LONG, end_us LONG"
+    lrows = [(k, i, s, s + w) for i, (k, s, w) in enumerate(left)]
+    rrows = [(k, 1000 + i, s, s + w) for i, (k, s, w) in enumerate(right)]
+    if not lrows or not rrows:
+        return
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in E.interval_overlap_join(
+            spark.createDataFrame(lrows, schema),
+            spark.createDataFrame(rrows, schema),
+            bucket_us=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for (lk, li, ls, le) in lrows
+        for (rk, ri, rs, re) in rrows
+        if lk == rk and ls <= re and rs <= le
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    old=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-50, 50)),
+        min_size=1, max_size=15,
+    ),
+    new=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-50, 50)),
+        min_size=1, max_size=15,
+    ),
+)
+def test_merge_rollup_matches_full_recompute(old, new):
+    """merge(standing, batch) == recompute(history ∪ batch) for any
+    key/value distribution — the mergeable-partials contract."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators.upsert import merge_rollup
+
+    spark = _spark()
+    schema = "k LONG, v LONG"
+
+    def partials(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+        )
+
+    merged = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in merge_rollup(
+            partials(old), partials(new), ["k"],
+            count_cols=["n"], sum_cols=["s"],
+            min_cols=["mn"], max_cols=["mx"],
+        ).collect()
+    }
+    full = {
+        r.k: (r.n, r.s, r.mn, r.mx) for r in partials(old + new).collect()
+    }
+    assert merged == full
