@@ -797,16 +797,28 @@ def q_a13_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("sk"), F.col("exact_users")
         ).alias("within_tol"),
     )
+    # the two single-row frames (merged estimate, global exact) meet
+    # via union + max-agg, not a constant-key join — Catalyst folds a
+    # lit-key equi-join to a trivially-true condition and plans a
+    # nested loop, which the repo's cartesian sweep rightly rejects
     merged = sk.agg(F.hll_union_agg("sk").alias("msk")).select(
-        F.lit(1).alias("_k"), F.hll_sketch_estimate("msk").alias("est")
+        F.hll_sketch_estimate("msk").alias("est"),
+        F.lit(None).cast("long").alias("exact_users"),
     )
     g_exact = ev.agg(
         F.count_distinct("user_id").alias("exact_users")
-    ).select(F.lit(1).alias("_k"), "exact_users")
-    total = merged.join(g_exact, "_k").select(
-        F.lit("ALL").alias("event_type"),
-        "exact_users",
-        tol(F.col("est"), F.col("exact_users")).alias("within_tol"),
+    ).select(F.lit(None).cast("long").alias("est"), "exact_users")
+    total = (
+        merged.unionByName(g_exact)
+        .agg(
+            F.max("est").alias("est"),
+            F.max("exact_users").alias("exact_users"),
+        )
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            tol(F.col("est"), F.col("exact_users")).alias("within_tol"),
+        )
     )
     return per_type.unionByName(total)
 
