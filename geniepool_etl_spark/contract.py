@@ -1662,6 +1662,34 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_features(M.synth_wav_assets(params))
 
 
+def q_multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real AVI round-trip through the stdlib container parser:
+    per-document video parameters derived JVM-side (oracle-
+    reproducible), encoded into genuine RIFF/AVI payloads with a
+    marker-correct avih MainAVIHeader inside Arrow mapInPandas, then
+    decoded back by ``decode_video`` — the video leg of the
+    multimodal metadata lanes (audio=WAV, image=JPEG/PNG/BMP/GIF/PPM,
+    video=AVI; pixel/sample decode stays the documented ffmpeg
+    boundary). Both maps narrow; the payload never shuffles."""
+    fps = (F.lit(12) + (F.col("doc_id") % 4) * 6).cast("long")
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 6 == 0)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(160) + (F.col("doc_id") % 8) * 16)
+            .cast("long")
+            .alias("width"),
+            (F.lit(120) + (F.col("doc_id") % 7) * 16)
+            .cast("long")
+            .alias("height"),
+            (F.length("text") % 240 + 1).cast("long").alias("n_frames"),
+            fps.alias("fps"),
+        )
+    )
+    return M.decode_video_features(M.synth_avi_assets(params))
+
+
 def q_multimodal_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInArrow lane (multimodal.extract_features_arrow): same
     byte/char features as ``multimodal_extract`` computed on raw
@@ -3536,6 +3564,17 @@ GROUP BY tb.j_bucket
         FROM documents WHERE doc_id % 5 = 0
     """
     o["multimodal_extract_arrow"] = o["multimodal_extract"]
+    o["multimodal_decode_avi"] = """
+        SELECT doc_id AS asset_id,
+               'avi' AS format,
+               CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,
+               CAST(120 + (doc_id % 7) * 16 AS BIGINT) AS height,
+               CAST(length(text) % 240 + 1 AS BIGINT) AS n_frames,
+               CAST(12 + (doc_id % 4) * 6 AS BIGINT) AS fps,
+               CAST((length(text) % 240 + 1) * 1000
+                    // (12 + (doc_id % 4) * 6) AS BIGINT) AS duration_ms
+        FROM documents WHERE doc_id % 6 = 0
+    """
     o["multimodal_decode_jpeg"] = """
         SELECT doc_id AS asset_id,
                'jpeg' AS format,
@@ -3930,6 +3969,7 @@ SPARK_QUERIES = {
     "s19_xml_source": q_s19_xml_source,
     "sql_lateral_topk": q_sql_lateral_topk,
     "sql_recursive_reach": q_sql_recursive_reach,
+    "multimodal_decode_avi": q_multimodal_decode_avi,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,

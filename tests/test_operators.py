@@ -1128,3 +1128,35 @@ def test_merge_rollup_equals_full_recompute(spark):
     }
     with pytest.raises(ValueError, match="no aggregate"):
         merge_rollup(partials(old), partials(new), ["k"])
+
+
+def test_decode_video_avi_roundtrip_and_boundaries(spark):
+    """AVI header parse is real (round-trip through synth_avi_assets);
+    MP4 is the honest ffmpeg boundary; poison payloads null out in
+    the feature lane instead of failing the stage."""
+    params = spark.createDataFrame(
+        [(1, 320, 240, 48, 24), (2, 640, 480, 120, 30)],
+        "asset_id LONG, width LONG, height LONG, n_frames LONG, fps LONG",
+    )
+    got = {
+        r.asset_id: (r.format, r.width, r.height, r.n_frames, r.fps,
+                     r.duration_ms)
+        for r in M.decode_video_features(
+            M.synth_avi_assets(params)
+        ).collect()
+    }
+    assert got == {
+        1: ("avi", 320, 240, 48, 24, 2000),
+        2: ("avi", 640, 480, 120, 30, 4000),
+    }
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        M.decode_video(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        M.decode_video(b"RIFF\x00\x00\x00\x00WAVE")
+    # poison payload -> null metadata row, not a stage failure
+    assets = spark.createDataFrame(
+        [(9, bytearray(b"garbage-bytes-here"), "video/avi")],
+        "asset_id LONG, payload BINARY, media_type STRING",
+    )
+    row = M.decode_video_features(assets).collect()[0]
+    assert row.asset_id == 9 and row.format is None and row.fps is None
