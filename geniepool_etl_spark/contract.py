@@ -2325,6 +2325,36 @@ def q_x1_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.withColumn("idx", F.col("idx").cast("long"))
 
 
+def q_x2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers with BOTH finished and open orders
+    (``intersect`` — distinct semantics) and finished-only customers
+    (``subtract`` — EXCEPT DISTINCT), tagged and unioned. Catalyst
+    plans both as keyed aggregates/joins on o_custkey — one shuffle
+    each, no materialized distinct lists."""
+    ords = _t(spark, sf_dir, "orders")
+    f = ords.where("o_orderstatus = 'F'").select("o_custkey")
+    o_ = ords.where("o_orderstatus = 'O'").select("o_custkey")
+    both = f.intersect(o_).select(
+        F.lit("both").alias("tag"), "o_custkey"
+    )
+    f_only = f.subtract(o_).select(
+        F.lit("f_only").alias("tag"), "o_custkey"
+    )
+    return both.unionByName(f_only)
+
+
+def q_x3_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two snapshot versions of the part dim
+    with different column sets combined via ``unionByName(
+    allowMissingColumns=True)`` — absent columns null-fill, the
+    ingestion shape when upstream adds fields between snapshots
+    (the in-plan counterpart to the s15 mergeSchema lake read)."""
+    part = _t(spark, sf_dir, "part")
+    v1 = part.select("p_partkey", "p_name")
+    v2 = part.select("p_partkey", "p_brand", "p_retailprice")
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
 def q_f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string-function breadth beyond p2: regexp_replace, lpad,
     reverse, lower, substring, replace, length, concat_ws, instr."""
@@ -3590,6 +3620,29 @@ GROUP BY tb.j_bucket
                l_linenumber
         FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
     """
+    o["x2_set_ops"] = """
+        SELECT 'both' AS tag, o_custkey FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        UNION ALL
+        SELECT 'f_only' AS tag, o_custkey FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+    """
+    o["x3_union_evolution"] = """
+        SELECT p_partkey, p_name,
+               CAST(NULL AS VARCHAR) AS p_brand,
+               CAST(NULL AS DOUBLE) AS p_retailprice
+        FROM part
+        UNION ALL
+        SELECT p_partkey, CAST(NULL AS VARCHAR) AS p_name,
+               p_brand, p_retailprice
+        FROM part
+    """
     o["f1_string_funcs"] = """
         SELECT n_nationkey,
                regexp_replace(n_name, '[AEIOU]', '_', 'g') AS devoweled,
@@ -3970,6 +4023,8 @@ SPARK_QUERIES = {
     "sql_lateral_topk": q_sql_lateral_topk,
     "sql_recursive_reach": q_sql_recursive_reach,
     "multimodal_decode_avi": q_multimodal_decode_avi,
+    "x2_set_ops": q_x2_set_ops,
+    "x3_union_evolution": q_x3_union_evolution,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,
