@@ -114,6 +114,7 @@ def bench_queries(spark, sf_dir):
         "text_pii": lambda: TX.with_pii_counts(docs),
         "events_interval_join": lambda: C.q_events_interval_join(spark, sf_dir),
         "rollup_incremental": lambda: C.q_rollup_incremental(spark, sf_dir),
+        "pipeline_corpus_build": lambda: C.q_pipeline_corpus_build(spark, sf_dir),
         "micro_event_us_long": lambda: micro_event_us(enc_dirs["long"]),
         "micro_event_us_ntz": lambda: micro_event_us(enc_dirs["ntz"]),
     }

@@ -1476,6 +1476,43 @@ def q_pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus build as ONE composed plan — the
+    pipeline a reference user actually runs, end to end: documents →
+    quality gate (``quality_filter``, narrow scan-speed keep set) →
+    exact dedup (``exact_dedup``, one md5-keyed shuffle, min-id
+    keeper) → overlapping context-window chunking
+    (``chunk_documents``, narrow explode) → sequence packing over the
+    chunks (``pack_windows``, one hash exchange + shard-local window
+    sums). Four stages, three shuffles total (dedup window, pack
+    exchange, plus the keep-set join that AQE broadcasts); every
+    stage's semantics already proven by its own entry, here proven
+    COMPOSED — the oracle recomputes the entire funnel in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    keep_ids = (
+        TX.quality_filter(docs).where(F.col("keep")).select("doc_id")
+    )
+    kept = docs.join(keep_ids, "doc_id")
+    survivors = D.exact_dedup(kept)
+    chunks = TX.chunk_documents(
+        survivors, chunk_words=64, stride_words=48
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx"))
+        .cast("long")
+        .alias("chunk_id"),
+        "chunk_text",
+        F.col("n_chunk_words").cast("long").alias("n_chunk_words"),
+    )
+    return PK.pack_windows(
+        chunks,
+        context_len=128,
+        n_shards=4,
+        id_col="chunk_id",
+        text_col="chunk_text",
+        token_col="n_chunk_words",
+    )
+
+
 def q_obs_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data-quality metrics via ``DataFrame.observe``: the
     row count, rounded quantity sum, null count, and key range are
@@ -3496,6 +3533,77 @@ GROUP BY tb.j_bucket
                CAST((cum + n_tok - 1) // 128 AS BIGINT) AS last_window
         FROM c
     """
+    o["pipeline_corpus_build"] = rf"""
+        WITH {_WORDS_CTE.strip()},
+        st AS (
+          SELECT doc_id, len(w) AS n_words,
+                 round(CASE WHEN len(w) > 0 THEN
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(w, x -> CAST(length(x) AS BIGINT))),
+                        (a, b) -> a + b) AS DOUBLE) / len(w)
+                   ELSE 0.0 END, 4) AS awl,
+                 round(CASE WHEN len(w) > 0 THEN
+                   CAST(len(list_filter(w, x ->
+                       list_contains({_STOPWORDS_SQL}, lower(x)))) AS DOUBLE)
+                     / len(w)
+                   ELSE 0.0 END, 4) AS ratio
+          FROM words
+        ),
+        r AS (
+          SELECT doc_id,
+                 concat_ws(',',
+                   CASE WHEN n_words < 20 THEN 'too_short' END,
+                   CASE WHEN ratio > 0.25 THEN 'stopwordy' END,
+                   CASE WHEN awl < 3.5 THEN 'short_words' END) AS reasons
+          FROM st
+        ),
+        keep AS (SELECT doc_id FROM r WHERE reasons = ''),
+        kd AS (
+          SELECT d.doc_id, d.text FROM documents d
+          SEMI JOIN keep USING (doc_id)
+        ),
+        ex AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY text),
+        d2 AS (
+          SELECT k.doc_id, string_split_regex(trim(k.text), '\s+') AS w
+          FROM kd k SEMI JOIN ex USING (doc_id)
+          WHERE k.text IS NOT NULL AND length(trim(k.text)) > 0
+        ),
+        n AS (
+          SELECT doc_id, w,
+                 1 + CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS BIGINT)
+                   AS nc
+          FROM d2
+        ),
+        ch0 AS (
+          SELECT doc_id, w, unnest(range(0, nc)) AS chunk_idx FROM n
+        ),
+        ch AS (
+          SELECT doc_id, chunk_idx,
+                 CAST(len(w[chunk_idx*48+1 : chunk_idx*48+64]) AS BIGINT)
+                   AS n_chunk_words
+          FROM ch0
+        ),
+        t AS (
+          SELECT doc_id * 1000 + chunk_idx AS id,
+                 n_chunk_words AS n_tok,
+                 {_h('doc_id * 1000 + chunk_idx', 7)} % 4 AS shard,
+                 {_h('doc_id * 1000 + chunk_idx', 8)} AS _ord
+          FROM ch
+        ),
+        cw AS (
+          SELECT id, shard, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY shard ORDER BY _ord, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cum
+          FROM t
+        )
+        SELECT id, shard, n_tok,
+               CAST(cum // 128 AS BIGINT) AS first_window,
+               CAST(cum % 128 AS BIGINT) AS win_offset,
+               CAST((cum + n_tok - 1) // 128 AS BIGINT) AS last_window
+        FROM cw
+    """
     o["text_pii"] = r"""
         WITH seeded AS (
           SELECT doc_id,
@@ -4025,6 +4133,7 @@ SPARK_QUERIES = {
     "multimodal_decode_avi": q_multimodal_decode_avi,
     "x2_set_ops": q_x2_set_ops,
     "x3_union_evolution": q_x3_union_evolution,
+    "pipeline_corpus_build": q_pipeline_corpus_build,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,

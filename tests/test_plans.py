@@ -391,3 +391,12 @@ def test_lateral_topk_decorrelates(spark):
     P.assert_no_cartesian(df)
     plan = _plan(df)
     assert "Window" in plan or "WindowGroupLimit" in plan, plan[:800]
+
+
+def test_corpus_build_pipeline_is_three_exchanges(spark):
+    # Four stages (quality gate, exact dedup, chunk, pack) must cost
+    # exactly three exchanges: the keep-set join folds into the dedup
+    # window's hash partition or broadcasts; chunking is narrow.
+    df = C.q_pipeline_corpus_build(spark, SF_SMALL)
+    P.assert_no_cartesian(df)
+    P.assert_max_exchanges(df, 3)
