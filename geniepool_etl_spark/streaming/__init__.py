@@ -558,3 +558,98 @@ def run_tumbling_stream(
     finally:
         query.stop()
     return spark.table(name)
+
+
+def maintain_rollup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    standing_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 16,
+    keep_versions: int = 3,
+) -> DataFrame:
+    """Streaming aggregate-table maintenance: each micro-batch's
+    partial aggregates merge into a standing per-user rollup via
+    ``operators.upsert.merge_rollup`` — the streaming half of the
+    incremental-rollup pattern (never recompute history; each batch
+    costs O(batch + |keys|)).
+
+    Exactly-once despite foreachBatch's at-least-once delivery, with
+    no dedup ledger: the standing table is VERSIONED BY BATCH ID
+    (``v=<epoch_id>`` subdirs). Batch N merges the latest version
+    < N with its own partials and overwrites ``v=N`` — a redelivered
+    batch recomputes from the same predecessor and produces the same
+    bytes, so retries are idempotent by construction (same recipe as
+    the ingest lane's per-batch partition overwrite). Old versions
+    are pruned past ``keep_versions`` (kept > 1 so an in-flight
+    reader of version N-1 on an object store doesn't lose its files
+    mid-read). Returns the final standing rollup.
+
+    Listing/pruning go through the Hadoop FS API, not ``os`` — the
+    standing table lives wherever the lake lives (HDFS/S3A/GCS).
+    """
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators.upsert import merge_rollup
+
+    fs, mkpath = _hadoop_fs(spark, standing_path)
+
+    def _versions() -> list[int]:
+        root = mkpath(standing_path)
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                out.append(int(name[2:]))
+        return sorted(out)
+
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def _partials(df: DataFrame) -> DataFrame:
+        return E.with_event_time(df).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        p = _partials(batch_df)
+        prior = [v for v in _versions() if v < epoch_id]
+        if prior:
+            standing = spark.read.parquet(
+                f"{standing_path}/v={prior[-1]}"
+            )
+            merged = merge_rollup(
+                standing,
+                p,
+                ["user_id"],
+                count_cols=["n_events"],
+                sum_cols=["sum_cents"],
+                min_cols=["min_value"],
+                max_cols=["max_value"],
+            )
+        else:
+            merged = p
+        merged.write.mode("overwrite").parquet(
+            f"{standing_path}/v={epoch_id}"
+        )
+        for v in _versions()[:-keep_versions]:
+            fs.delete(mkpath(f"{standing_path}/v={v}"), True)
+
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger)
+    query = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    vs = _versions()
+    if not vs:
+        raise ValueError(f"no rollup versions produced in {standing_path}")
+    return spark.read.parquet(f"{standing_path}/v={vs[-1]}")

@@ -489,3 +489,54 @@ def test_transform_with_state_lane(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_streaming_rollup_maintenance_equals_batch(spark, tmp_path):
+    """foreachBatch rollup maintenance must converge to the batch
+    recompute over all data, across multiple micro-batches; replaying
+    a batch merge (at-least-once redelivery) must be idempotent
+    because versions are keyed by batch id."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.streaming import maintain_rollup_stream
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = tmp_path / "src"
+    src.mkdir()
+    # two source FILES at the top level (the file stream does not
+    # recurse into per-write directories) -> maxFilesPerTrigger=1
+    # forces >=2 micro-batches
+    for tag, pred in (("a", "event_id % 2 = 0"), ("b", "event_id % 2 = 1")):
+        d = tmp_path / f"half_{tag}"
+        ev.where(pred).coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{tag}.parquet")
+
+    standing = str(tmp_path / "standing")
+    got = {
+        r.user_id: (r.n_events, r.sum_cents, r.min_value, r.max_value)
+        for r in maintain_rollup_stream(
+            spark, str(src), standing, str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    cents = F.round(F.col("value") * 100).cast("long")
+    want = {
+        r.user_id: (r.n_events, r.sum_cents, r.min_value, r.max_value)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    # versioned standing table: multiple v= dirs, latest is the answer
+    import os
+
+    versions = sorted(
+        d for d in os.listdir(standing) if d.startswith("v=")
+    )
+    assert len(versions) >= 2
