@@ -184,12 +184,49 @@ def _run_recover(ns: argparse.Namespace) -> int:
     return 0
 
 
+def _run_corpus_build(ns: argparse.Namespace) -> int:
+    """The whole training-corpus funnel in one job: quality gate →
+    exact dedup → context-window chunking → sequence packing (the
+    pipeline_corpus_build composition — one plan, three exchanges)."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators import dedup as D
+    from geniepool_etl_spark.operators import packing as PK
+    from geniepool_etl_spark.operators import text as TX
+
+    spark = get_spark("geniepool-corpus-build")
+    docs = spark.read.parquet(ns.input)
+    keep_ids = (
+        TX.quality_filter(docs).where(F.col("keep")).select("doc_id")
+    )
+    survivors = D.exact_dedup(docs.join(keep_ids, "doc_id"))
+    chunks = TX.chunk_documents(
+        survivors, chunk_words=ns.chunk_words, stride_words=ns.stride_words
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx"))
+        .cast("long")
+        .alias("chunk_id"),
+        "chunk_text",
+        F.col("n_chunk_words").cast("long").alias("n_chunk_words"),
+    )
+    out = PK.pack_windows(
+        chunks,
+        context_len=ns.context_len,
+        n_shards=ns.shards,
+        id_col="chunk_id",
+        text_col="chunk_text",
+        token_col="n_chunk_words",
+    )
+    out.write.mode("overwrite").parquet(ns.output)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     # reference-compatible bare form: 8 positional args = the ETL job
     if len(args) == 8 and args[0] not in (
         "etl", "dedup", "profile", "text-stats", "sim-topk", "pack",
-        "chunk", "shuffle", "pii", "compact", "recover",
+        "chunk", "shuffle", "pii", "compact", "recover", "corpus-build",
     ):
         return _run_etl(args)
     if args and args[0] == "etl":
@@ -239,6 +276,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--target-files", type=int, default=1)
     s = sub.add_parser("recover")
     s.add_argument("lake")
+    s = sub.add_parser("corpus-build")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--chunk-words", type=int, default=64)
+    s.add_argument("--stride-words", type=int, default=48)
+    s.add_argument("--context-len", type=int, default=512)
+    s.add_argument("--shards", type=int, default=None)
     ns = p.parse_args(args)
     return {
         "dedup": _run_dedup,
@@ -251,6 +295,7 @@ def main(argv: list[str] | None = None) -> int:
         "pii": _run_pii,
         "compact": _run_compact,
         "recover": _run_recover,
+        "corpus-build": _run_corpus_build,
     }[ns.cmd](ns)
 
 

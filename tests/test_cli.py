@@ -119,3 +119,18 @@ def test_cli_compact_and_recover(spark, tmp_path):
     assert main(["recover", lake]) == 0  # no-op on a clean lake
     assert main(["compact", lake, "--day", str(int(day))]) == 0
     assert spark.read.parquet(lake).count() == n
+
+
+def test_cli_corpus_build(spark, tmp_path):
+    out = str(tmp_path / "packed")
+    assert main(
+        [
+            "corpus-build", f"{SF_SMALL}/documents.parquet", out,
+            "--shards", "2", "--context-len", "128",
+        ]
+    ) == 0
+    got = spark.read.parquet(out)
+    assert {"id", "shard", "n_tok", "first_window", "win_offset",
+            "last_window"} <= set(got.columns)
+    assert got.count() > 0
+    assert got.select("shard").distinct().count() <= 2
