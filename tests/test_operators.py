@@ -1160,3 +1160,23 @@ def test_decode_video_avi_roundtrip_and_boundaries(spark):
     )
     row = M.decode_video_features(assets).collect()[0]
     assert row.asset_id == 9 and row.format is None and row.fps is None
+
+
+def test_udtf_topk_breaks_ties_deterministically(spark):
+    """Equal rounded values must cut by event_id (ascending) — the
+    fixture's distinct values never exercise the tiebreak, so pin it
+    here: three rows tie at the top, k=2 must keep the two smallest
+    event_ids in rank order."""
+    from geniepool_etl_spark.operators.tablefunc import topk_by_value
+
+    ev = spark.createDataFrame(
+        [(7, 100, 5.0), (7, 50, 5.0), (7, 200, 5.0), (7, 300, 1.0)],
+        "user_id LONG, event_id LONG, value DOUBLE",
+    )
+    got = [
+        (r.event_id, r.rnk)
+        for r in topk_by_value(spark, ev, view="gp_udtf_tie_test")
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == [(50, 1), (100, 2)]
