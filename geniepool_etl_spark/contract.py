@@ -966,6 +966,15 @@ def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection (operators/events.with_anomaly_flags):
+    |z| > 3 against the preceding 20 same-user events, evaluated as an
+    exact integer-cents inequality — no float mean/stddev, so the
+    boolean cannot flip on engine summation order. Oracle runs the
+    same integer windowed sums in SQL."""
+    return E.with_anomaly_flags(_events(spark, sf_dir))
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap (range) join: click activity windows × purchase
     activity windows per user, via the bucketed range-join rewrite
@@ -2362,6 +2371,25 @@ def q_x1_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.withColumn("idx", F.col("idx").cast("long"))
 
 
+def q_f5_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-era safe-failure functions (Spark 4 runs ANSI ON by
+    default, where 1/0 and bad casts THROW): ``try_divide`` nulls the
+    division-by-zero row, ``try_cast`` nulls unparseable casts,
+    ``try_element_at`` nulls out-of-bounds access — per-row nulls
+    instead of a dead 100 TB job three hours in. Oracle spells the
+    same semantics with CASE / TRY_CAST / list bounds."""
+    n = _t(spark, sf_dir, "nation")
+    name = F.col("n_name")
+    return n.select(
+        "n_nationkey",
+        F.round(
+            F.try_divide(F.lit(10.0), F.col("n_nationkey") - 3), 4
+        ).alias("tdiv"),
+        F.substring(name, 8, 2).try_cast("int").alias("tcast"),
+        F.try_element_at(F.split(name, "_"), F.lit(2)).alias("tsecond"),
+    )
+
+
 def q_x2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: customers with BOTH finished and open orders
     (``intersect`` — distinct semantics) and finished-only customers
@@ -3118,6 +3146,29 @@ def _oracles() -> dict[str, str]:
         SELECT user_id, t AS ts_us, event_id, asof_ts_us, asof_event_id
         FROM c WHERE side = 1
     """
+    o["events_anomaly"] = f"""
+        WITH e AS (
+          SELECT user_id, event_id, {_EVENT_US} AS t,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ),
+        w AS (
+          SELECT user_id, event_id, c,
+                 COUNT(c) OVER win AS n_prior,
+                 COALESCE(SUM(c) OVER win, 0) AS s1,
+                 COALESCE(SUM(c * c) OVER win, 0) AS s2
+          FROM e
+          WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id,
+               CAST(n_prior AS BIGINT) AS n_prior,
+               CASE WHEN n_prior >= 5 THEN
+                 (c * n_prior - s1) * (c * n_prior - s1) * (n_prior - 1)
+                   > 9 * n_prior * (n_prior * s2 - s1 * s1)
+               END AS is_anomaly
+        FROM w
+    """
     o["events_interval_join"] = f"""
         WITH c AS (
           SELECT user_id, event_id AS id, {_EVENT_US} AS s,
@@ -3728,6 +3779,14 @@ GROUP BY tb.j_bucket
                l_linenumber
         FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
     """
+    o["f5_try_funcs"] = """
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey <> 3
+                    THEN round(10.0 / (n_nationkey - 3), 4) END AS tdiv,
+               TRY_CAST(substring(n_name, 8, 2) AS INTEGER) AS tcast,
+               str_split(n_name, '_')[2] AS tsecond
+        FROM nation
+    """
     o["x2_set_ops"] = """
         SELECT 'both' AS tag, o_custkey FROM (
           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -4134,6 +4193,8 @@ SPARK_QUERIES = {
     "x2_set_ops": q_x2_set_ops,
     "x3_union_evolution": q_x3_union_evolution,
     "pipeline_corpus_build": q_pipeline_corpus_build,
+    "events_anomaly": q_events_anomaly,
+    "f5_try_funcs": q_f5_try_funcs,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,

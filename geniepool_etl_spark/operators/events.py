@@ -205,6 +205,61 @@ def asof_join_latest_prior(
     return out
 
 
+def with_anomaly_flags(
+    df: DataFrame,
+    window_n: int = 20,
+    min_prior: int = 5,
+    z_thresh: int = 3,
+) -> DataFrame:
+    """Rolling anomaly gate: flag an event whose value deviates more
+    than ``z_thresh`` sample standard deviations from the mean of the
+    user's preceding ``window_n`` events (the event itself excluded —
+    an outlier must not mask itself).
+
+    The test is evaluated in EXACT INTEGER arithmetic on value cents:
+    with windowed sums ``s1 = Σc``, ``s2 = Σc²`` over ``n`` priors,
+
+        z² > t²  ⇔  (c·n − s1)²·(n−1) > t²·n·(n·s2 − s1²)
+
+    — no float mean/stddev ever materializes, so the boolean is
+    bit-identical on any engine and any merge order (a rounded
+    rolling stddev flips at representation boundaries; an integer
+    inequality cannot). Magnitudes stay well inside BIGINT
+    (cents² · window ≲ 1e12). Zero-variance windows flag any
+    deviation (RHS = 0 ⇔ all priors equal).
+
+    One window over (user_id ordered by time, id tiebreak) — same
+    shuffle as any per-user sequence feature; high-cardinality key.
+    """
+    e = with_event_time(df)
+    c = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-window_n, -1)
+    )
+    base = e.select(
+        "user_id",
+        "event_id",
+        c.alias("c"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.sum(c).over(w).alias("s1"),
+        F.sum(c * c).over(w).alias("s2"),
+    )
+    n, s1, s2, cc = (
+        F.col("n_prior"), F.col("s1"), F.col("s2"), F.col("c"),
+    )
+    dev = cc * n - s1
+    lhs = dev * dev * (n - 1)
+    rhs = F.lit(z_thresh * z_thresh) * n * (n * s2 - s1 * s1)
+    return base.select(
+        "user_id",
+        "event_id",
+        n.alias("n_prior"),
+        F.when(n >= min_prior, lhs > rhs).alias("is_anomaly"),
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

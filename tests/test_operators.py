@@ -1180,3 +1180,31 @@ def test_udtf_topk_breaks_ties_deterministically(spark):
         .collect()
     ]
     assert got == [(50, 1), (100, 2)]
+
+
+def test_anomaly_flags_exact_integer_gate(spark):
+    """A constructed spike must flag; steady values must not; fewer
+    than min_prior priors must yield NULL; a zero-variance window
+    flags any deviation."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    # user 1: 6 steady values then a spike, then steady again
+    vals = [10.0] * 6 + [99.0] + [10.0]
+    for i, v in enumerate(vals):
+        rows.append((i, base + datetime.timedelta(minutes=i), 1, v))
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+    )
+    got = {
+        r.event_id: (r.n_prior, r.is_anomaly)
+        for r in E.with_anomaly_flags(df, window_n=20, min_prior=5).collect()
+    }
+    assert got[0] == (0, None)          # no priors
+    assert got[4] == (4, None)          # below min_prior
+    assert got[5] == (5, False)         # steady: not anomalous
+    assert got[6] == (6, True)          # the spike flags
+    # event 7: priors include the spike -> variance huge, 10.0 is
+    # within 3 sigma of the contaminated window
+    assert got[7] == (7, False)
