@@ -1686,6 +1686,37 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(assets)
 
 
+def q_sim_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-ANN quality gate: recall@5 of the int8-quantized
+    ranking (similarity.int8_topk — 4× smaller vectors, exact integer
+    dot products) against the exact float brute force. The fourth leg
+    of the ANN instrument set (LSH, IVF, and now quantization each
+    measured, never assumed); the oracle replays the same symmetric
+    127/max|v| quantization in SQL, bit-exact because every quantized
+    value is an integer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 8")
+    brute = S.cosine_topk(emb, queries, k=5)
+    quant = S.int8_topk(emb, queries, k=5)
+    hits = brute.select("q_id", "n_id").join(
+        quant.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi"
+    )
+    per_q = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        brute.select("q_id").distinct()
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.round(
+                F.coalesce(F.col("n_matched"), F.lit(0)) / F.lit(5.0), 4
+            ).alias("recall_at_5"),
+        )
+    )
+
+
 def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV round-trip through the stdlib decoder: per-document
     audio parameters are derived JVM-side (so the oracle recomputes
@@ -2675,6 +2706,36 @@ def _cosine_sql(qe: str, ne: str) -> str:
         f"round({_dot_sql(qe, ne)} / "
         f"(sqrt({_dot_sql(qe, qe)}) * sqrt({_dot_sql(ne, ne)})), 4)"
     )
+
+
+def _sim_int8_oracle() -> str:
+    """Int8-quantized brute top-5: symmetric 127/max|v| per-vector
+    quantization, integer dots (exact as doubles — every addend is an
+    integer ≪ 2^53), float only in the final ratio."""
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+v AS (
+  SELECT vec_id,
+         list_transform(e, x -> round(
+           x * (127.0 / list_max(list_transform(e, y -> abs(y))))
+         )) AS e
+  FROM v0
+  WHERE list_max(list_transform(e, y -> abs(y))) > 0
+),
+q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 8),
+s AS (
+  SELECT q.q_id, v.vec_id AS n_id,
+         round({_dot_sql('q.qe', 'v.e')} /
+               (sqrt({_dot_sql('q.qe', 'q.qe')}) *
+                sqrt({_dot_sql('v.e', 'v.e')})), 4) AS q_cos
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id
+)
+SELECT q_id, n_id, q_cos FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY q_cos DESC, n_id) <= 5
+"""
 
 
 def _sim_brute_oracle() -> str:
@@ -3732,6 +3793,15 @@ GROUP BY tb.j_bucket
           ON bt.q_id = ls.q_id AND bt.n_id = ls.n_id
         GROUP BY bt.q_id
     """
+    o["sim_int8_recall"] = f"""
+        WITH bt AS ({_sim_brute_oracle()}),
+        i8 AS ({_sim_int8_oracle()})
+        SELECT bt.q_id, CAST(count(i8.n_id) AS BIGINT) AS n_matched,
+               round(count(i8.n_id) / 5.0, 4) AS recall_at_5
+        FROM bt LEFT JOIN i8
+          ON bt.q_id = i8.q_id AND bt.n_id = i8.n_id
+        GROUP BY bt.q_id
+    """
     o["sim_brute_topk"] = _sim_brute_oracle()
     o["sim_pandas_topk"] = _sim_brute_oracle()
     o["sim_lsh_topk"] = _sim_lsh_oracle()
@@ -4195,6 +4265,7 @@ SPARK_QUERIES = {
     "pipeline_corpus_build": q_pipeline_corpus_build,
     "events_anomaly": q_events_anomaly,
     "f5_try_funcs": q_f5_try_funcs,
+    "sim_int8_recall": q_sim_int8_recall,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,

@@ -1208,3 +1208,31 @@ def test_anomaly_flags_exact_integer_gate(spark):
     # event 7: priors include the spike -> variance huge, 10.0 is
     # within 3 sigma of the contaminated window
     assert got[7] == (7, False)
+
+
+def test_int8_topk_preserves_planted_neighbors(spark):
+    """Quantization error must not disturb a clear neighbor
+    structure: each query's planted near-duplicate (same direction,
+    scaled) must stay its top-1 under the int8 ranking, and zero
+    vectors must quantize to null rather than divide by zero."""
+    import math
+
+    rows = []
+    for q in range(3):
+        base = [math.sin(q * 64 + i) for i in range(64)]
+        rows.append((q, base))                                  # query
+        rows.append((100 + q, [x * 0.5 for x in base]))         # planted
+    for j in range(10):  # background noise vectors
+        rows.append((200 + j, [math.cos(j * 64 + 7 * i) for i in range(64)]))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    top1 = {
+        r.q_id: r.n_id
+        for r in S.int8_topk(emb, emb.where("vec_id < 3"), k=1).collect()
+    }
+    assert top1 == {0: 100, 1: 101, 2: 102}
+    qz = S.quantize_int8(
+        spark.createDataFrame([(9, [0.0] * 64)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    ).collect()[0]
+    assert qz.qvec is None or all(v is None for v in qz.qvec)

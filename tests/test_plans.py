@@ -185,6 +185,7 @@ _INTENDED_CROSS = {
     "sim_ivf_topk",
     "sim_lsh_recall",  # brute-force baseline side: 8 queries broadcast
     "sim_ivf_recall",  # same: the exact side is the 8-query broadcast
+    "sim_int8_recall",  # same: quantized + exact sides both broadcast 8 queries
     "j7_range_join",
     "text_tfidf",
 }
