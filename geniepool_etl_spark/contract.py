@@ -1686,6 +1686,24 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(assets)
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling
+    (operators/sampling.weighted_hash_sample): survival probability
+    proportional to a word-count prior (``min(1, n_words/500)``),
+    decided by a per-row hash gate — no RNG, identical keep set on
+    any engine/partitioning. The weight is chosen integer-granular
+    (n_words·20 per mille) so the acceptance cutoff is exact on both
+    engines."""
+    from geniepool_etl_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(TX.words_col(F.col("text")))
+    out = weighted_hash_sample(docs, n_words / F.lit(500.0))
+    return out.select("doc_id", "source")
+
+
 def q_sim_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized-ANN quality gate: recall@5 of the int8-quantized
     ranking (similarity.int8_topk — 4× smaller vectors, exact integer
@@ -3793,6 +3811,17 @@ GROUP BY tb.j_bucket
           ON bt.q_id = ls.q_id AND bt.n_id = ls.n_id
         GROUP BY bt.q_id
     """
+    o["sample_weighted"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        p AS (
+          SELECT d.doc_id, d.source,
+                 least(1.0, greatest(0.0, len(w.w) / 500.0)) AS pr
+          FROM documents d JOIN words w USING (doc_id)
+        )
+        SELECT doc_id, source FROM p
+        WHERE {_h('doc_id', 23)} % 10000
+              < CAST(floor(pr * 10000) AS BIGINT)
+    """
     o["sim_int8_recall"] = f"""
         WITH bt AS ({_sim_brute_oracle()}),
         i8 AS ({_sim_int8_oracle()})
@@ -4266,6 +4295,7 @@ SPARK_QUERIES = {
     "events_anomaly": q_events_anomaly,
     "f5_try_funcs": q_f5_try_funcs,
     "sim_int8_recall": q_sim_int8_recall,
+    "sample_weighted": q_sample_weighted,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,

@@ -126,3 +126,30 @@ def mixture_plan(
             F.col("target_tokens") - F.col("available_tokens"),
         ).alias("shortfall_tokens"),
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Per-ROW deterministic rejection sampling: keep a row iff its
+    hash gate clears a row-dependent acceptance probability — the
+    curriculum/quality-weighted generalization of
+    :func:`stratified_hash_sample`'s per-group constants. ``weight``
+    is any column expression in [0, 1] (clamped); a row with weight
+    0.9 is ~9× likelier to survive than one at 0.1.
+
+    Same scale properties as every sampling gate here: narrow (no
+    shuffle, no RNG state), one hash per row at scan speed, identical
+    keep set across runs, retries, partitionings, and engines. The
+    weight must be a deterministic function of the row — upstream
+    quality scores, length priors, domain multipliers.
+    """
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
+    gate = (
+        portable_hash32(F.col(key_col).cast("string"), seed) % MOD
+        < (p * MOD).cast("long")
+    )
+    return df.where(gate)
