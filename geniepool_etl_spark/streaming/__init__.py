@@ -588,60 +588,13 @@ def maintain_rollup_stream(
     Listing/pruning go through the Hadoop FS API, not ``os`` — the
     standing table lives wherever the lake lives (HDFS/S3A/GCS).
     """
-    from pyspark.sql import functions as F
-
-    from geniepool_etl_spark.operators.upsert import merge_rollup
-
-    fs, mkpath = _hadoop_fs(spark, standing_path)
-
-    def _versions() -> list[int]:
-        root = mkpath(standing_path)
-        if not fs.exists(root):
-            return []
-        out = []
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if name.startswith("v="):
-                out.append(int(name[2:]))
-        return sorted(out)
-
-    cents = F.round(F.col("value") * 100).cast("long")
-
-    def _partials(df: DataFrame) -> DataFrame:
-        return E.with_event_time(df).groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(cents).alias("sum_cents"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-
-    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        p = _partials(batch_df)
-        prior = [v for v in _versions() if v < epoch_id]
-        if prior:
-            standing = spark.read.parquet(
-                f"{standing_path}/v={prior[-1]}"
-            )
-            merged = merge_rollup(
-                standing,
-                p,
-                ["user_id"],
-                count_cols=["n_events"],
-                sum_cols=["sum_cents"],
-                min_cols=["min_value"],
-                max_cols=["max_value"],
-            )
-        else:
-            merged = p
-        merged.write.mode("overwrite").parquet(
-            f"{standing_path}/v={epoch_id}"
-        )
-        for v in _versions()[:-keep_versions]:
-            fs.delete(mkpath(f"{standing_path}/v={v}"), True)
-
     stream = read_event_stream(spark, src_dir, max_files_per_trigger)
     query = (
-        stream.writeStream.foreachBatch(_merge)
+        stream.writeStream.foreachBatch(
+            lambda df, bid: merge_rollup_version(
+                df, bid, standing_path, keep_versions=keep_versions
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
@@ -649,7 +602,66 @@ def maintain_rollup_stream(
         query.processAllAvailable()
     finally:
         query.stop()
-    vs = _versions()
+    vs = _rollup_versions(spark, standing_path)
     if not vs:
         raise ValueError(f"no rollup versions produced in {standing_path}")
     return spark.read.parquet(f"{standing_path}/v={vs[-1]}")
+
+
+def _rollup_versions(spark: SparkSession, standing_path: str) -> list[int]:
+    fs, mkpath = _hadoop_fs(spark, standing_path)
+    root = mkpath(standing_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def merge_rollup_version(
+    batch_df: DataFrame,
+    epoch_id: int,
+    standing_path: str,
+    keep_versions: int = 3,
+) -> None:
+    """One version step of the streaming rollup: merge ``batch_df``'s
+    partials with the latest standing version < ``epoch_id`` and
+    overwrite ``v=<epoch_id>``. Pure function of (predecessor
+    version, batch) — calling it again with the same epoch recomputes
+    identical bytes, which is exactly why foreachBatch redelivery is
+    harmless (asserted directly by the replay test)."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators.upsert import merge_rollup
+
+    spark = batch_df.sparkSession
+    fs, mkpath = _hadoop_fs(spark, standing_path)
+    cents = F.round(F.col("value") * 100).cast("long")
+    p = E.with_event_time(batch_df).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    prior = [
+        v for v in _rollup_versions(spark, standing_path) if v < epoch_id
+    ]
+    if prior:
+        standing = spark.read.parquet(f"{standing_path}/v={prior[-1]}")
+        merged = merge_rollup(
+            standing,
+            p,
+            ["user_id"],
+            count_cols=["n_events"],
+            sum_cols=["sum_cents"],
+            min_cols=["min_value"],
+            max_cols=["max_value"],
+        )
+    else:
+        merged = p
+    merged.write.mode("overwrite").parquet(f"{standing_path}/v={epoch_id}")
+    for v in _rollup_versions(spark, standing_path)[:-keep_versions]:
+        fs.delete(mkpath(f"{standing_path}/v={v}"), True)

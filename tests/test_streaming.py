@@ -540,3 +540,39 @@ def test_streaming_rollup_maintenance_equals_batch(spark, tmp_path):
         d for d in os.listdir(standing) if d.startswith("v=")
     )
     assert len(versions) >= 2
+
+
+def test_rollup_version_replay_is_idempotent(spark, tmp_path):
+    """The exactly-once claim, asserted directly: replaying a batch
+    merge with the same epoch id (foreachBatch redelivery) recomputes
+    from the same predecessor and leaves the rollup unchanged; a
+    LATER epoch then builds on it correctly."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.streaming import merge_rollup_version
+
+    standing = str(tmp_path / "standing")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    b0 = ev.where("event_id % 2 = 0")
+    b1 = ev.where("event_id % 2 = 1")
+
+    def snapshot(v):
+        return {
+            r.user_id: (r.n_events, r.sum_cents)
+            for r in spark.read.parquet(f"{standing}/v={v}").collect()
+        }
+
+    merge_rollup_version(b0, 0, standing)
+    merge_rollup_version(b1, 1, standing)
+    after_once = snapshot(1)
+    merge_rollup_version(b1, 1, standing)  # redelivery of epoch 1
+    assert snapshot(1) == after_once
+    merge_rollup_version(ev.limit(0), 2, standing)  # empty later epoch
+    cents = F.round(F.col("value") * 100).cast("long")
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s"))
+        .collect()
+    }
+    assert snapshot(2) == want
