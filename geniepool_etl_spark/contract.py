@@ -1096,6 +1096,27 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_stream(spark, sf_dir, name=f"ct_{next(_uniq)}")
 
 
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-rollup maintenance
+    (streaming.maintain_rollup_stream): the events file drained twice
+    (two source files, one per micro-batch) through foreachBatch
+    merge_rollup into a batch-id-versioned standing table —
+    exactly-once by idempotent version recompute. Final rollup must
+    equal the doubled batch aggregate (both batches merged, min/max
+    unchanged), which the oracle computes directly."""
+    from geniepool_etl_spark.streaming import run_rollup_stream
+
+    enable_nanos_as_long(spark)
+    out = run_rollup_stream(spark, sf_dir)
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming sessionization: the native session_window
     aggregation under readStream (append mode; a far-future flush event
@@ -3811,6 +3832,15 @@ GROUP BY tb.j_bucket
           ON bt.q_id = ls.q_id AND bt.n_id = ls.n_id
         GROUP BY bt.q_id
     """
+    o["stream_rollup"] = """
+        SELECT user_id,
+               2 * count(*) AS n_events,
+               CAST(2 * SUM(CAST(round(value * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS sum_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY user_id
+    """
     o["sample_weighted"] = f"""
         WITH {_WORDS_CTE.strip()},
         p AS (
@@ -4294,6 +4324,7 @@ SPARK_QUERIES = {
     "f5_try_funcs": q_f5_try_funcs,
     "sim_int8_recall": q_sim_int8_recall,
     "sample_weighted": q_sample_weighted,
+    "stream_rollup": q_stream_rollup,
     # --- latest green recording is round 3: re-record first ---
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,

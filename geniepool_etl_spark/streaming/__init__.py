@@ -665,3 +665,21 @@ def merge_rollup_version(
     merged.write.mode("overwrite").parquet(f"{standing_path}/v={epoch_id}")
     for v in _rollup_versions(spark, standing_path)[:-keep_versions]:
         fs.delete(mkpath(f"{standing_path}/v={v}"), True)
+
+
+def run_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-entry wrapper for :func:`maintain_rollup_stream`:
+    stage the events parquet as TWO source files, drain them one per
+    micro-batch (so the standing table really is built by ≥2
+    versioned merges, not a single batch), and return the final
+    rollup. Fresh source/standing/checkpoint dirs per invocation —
+    re-invocable in one session."""
+    src = tempfile.mkdtemp(prefix="gp_rollup_src_")
+    for f in glob.glob(os.path.join(sf_dir, "events.parquet")):
+        shutil.copy(f, os.path.join(src, "a.parquet"))
+        shutil.copy(f, os.path.join(src, "b.parquet"))
+    standing = tempfile.mkdtemp(prefix="gp_rollup_standing_")
+    ckpt = tempfile.mkdtemp(prefix="gp_rollup_ckpt_")
+    return maintain_rollup_stream(
+        spark, src, standing, ckpt, max_files_per_trigger=1
+    )

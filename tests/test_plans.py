@@ -215,6 +215,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "stream_dedup",
         "stream_join",
         "stream_stateful",
+        "stream_rollup",
         "dedup_clusters",
         "lake_upsert",
     }
