@@ -4285,15 +4285,15 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 28 entries new this round —
+# window, per VERDICT r5 ask #2: (a) the 29 entries new this round —
 # never recorded, so they outrank everything — then (b) as many of
-# the 25 r3-stale re-records as fit. With 28 + 25 = 53 candidates,
-# the 3 most stable stale entries (sample_mixture_plan, sql_tpch_q3,
-# p8_keep_latest — static SQL text / single-op plans, unchanged since
-# r3, double-green r2+r3) sit at positions 50-52 and consciously
-# defer to round 7, where they go FIRST along with the r4-green
-# entries the insertions displaced (minhash/clusters/near-keep, wav,
-# s1/s4/s5).
+# the 25 r3-stale re-records as fit. With 29 + 25 = 54 candidates,
+# the 4 most stable stale entries (lake_zorder_key,
+# sample_mixture_plan, sql_tpch_q3, p8_keep_latest — static SQL text
+# / single-op plans, unchanged since r3, double-green r2+r3) sit at
+# positions 50-53 and consciously defer to round 7, where they go
+# FIRST along with the r4-green entries the insertions displaced
+# (minhash/clusters/near-keep, wav, s1/s4/s5).
 SPARK_QUERIES = {
     # --- new this round: never recorded ---
     "dedup_lsh_recall": q_dedup_lsh_recall,
