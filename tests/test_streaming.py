@@ -576,3 +576,57 @@ def test_rollup_version_replay_is_idempotent(spark, tmp_path):
         .collect()
     }
     assert snapshot(2) == want
+
+
+def test_slowly_changing_dim_refresh_via_foreachbatch(spark, tmp_path):
+    """Slowly-changing-dimension refresh for a streaming enrichment:
+    the dim join must happen INSIDE foreachBatch (re-read per batch).
+    The tempting alternative — a stream-static join against a
+    DataFrame built once, with the dim overwritten in place — does
+    NOT refresh: the static side's file index is cached at plan time,
+    and the overwrite deletes files out from under later batches
+    (observed: FAILED_READ_FILE.FILE_NOT_EXIST). Per-batch re-read
+    picks up the new snapshot with no stream restart."""
+
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(i, "old") for i in range(150)], "user_id LONG, seg STRING"
+    ).write.mode("overwrite").parquet(dim)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    d0 = tmp_path / "h0"
+    ev.where("event_id % 2 = 0").coalesce(1).write.parquet(str(d0))
+    shutil.copy(glob.glob(str(d0 / "part-*.parquet"))[0], src / "a.parquet")
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    seen = []
+
+    def enrich_batch(df, bid):
+        enriched = df.join(spark.read.parquet(dim), "user_id", "left")
+        seen.append(
+            set(r.seg for r in enriched.select("seg").distinct().collect())
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(enrich_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # swap the dim snapshot, then deliver a second batch
+        spark.createDataFrame(
+            [(i, "new") for i in range(150)], "user_id LONG, seg STRING"
+        ).write.mode("overwrite").parquet(dim)
+        d1 = tmp_path / "h1"
+        ev.where("event_id % 2 = 1").coalesce(1).write.parquet(str(d1))
+        shutil.copy(
+            glob.glob(str(d1 / "part-*.parquet"))[0], src / "b.parquet"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen[0] == {"old"}
+    assert seen[-1] == {"new"}
