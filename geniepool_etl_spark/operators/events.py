@@ -324,6 +324,96 @@ def interval_overlap_join(
     )
 
 
+def transition_counts(df: DataFrame) -> DataFrame:
+    """First-order Markov transition statistics over per-user event
+    sequences: for every ordered (prev_type → next_type) pair, the
+    transition count and its row-normalized probability — the
+    sequence-mining summary behind next-action prediction and
+    anomalous-flow detection.
+
+    Plan: one window shuffle on the high-cardinality ``user_id`` (via
+    :func:`with_prev_event`), one (prev, next) aggregate — both
+    map-side partial. Row normalization deliberately does NOT use a
+    window partitioned by ``prev_type``: with a handful of event
+    types that partition is maximally skewed (each type's whole count
+    mass on one task). Instead the per-prev totals — one row per type
+    — come from a second tiny aggregate and broadcast back. At 100 TB
+    the heavy data moves once.
+    """
+    seq = with_prev_event(df).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("_total"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_total"), 4
+            ).alias("p"),
+        )
+    )
+
+
+def attribute_last_touch(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Last-touch attribution: credit each conversion event's value to
+    the user's most recent PRIOR non-conversion event type (the
+    "channel"), then report attributed conversions and value per
+    channel — the marketing-analytics rollup over a clickstream.
+
+    Carried-touch formulation (the as-of-join trick specialized to one
+    frame): a single window over (user, time) carries the last
+    non-conversion type and its timestamp forward with
+    ``last(..., ignorenulls=True)``; conversions read the carried
+    values — one shuffle on the high-cardinality user key, no
+    self-join. ``within_us`` bounds attribution staleness (a touch
+    older than the window credits 'direct', as does no prior touch at
+    all). Ties at the same timestamp resolve by ``event_id`` order.
+    """
+    e = with_event_time(df)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type") != conversion_type
+    carried = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "ts_us",
+        F.last(
+            F.when(is_touch, F.col("event_type")), ignorenulls=True
+        ).over(w).alias("_touch"),
+        F.last(
+            F.when(is_touch, F.col("ts_us")), ignorenulls=True
+        ).over(w).alias("_touch_us"),
+    )
+    conv = carried.where(F.col("event_type") == conversion_type)
+    fresh = F.col("_touch").isNotNull()
+    if within_us is not None:
+        fresh = fresh & (
+            F.col("ts_us") - F.col("_touch_us") <= F.lit(within_us)
+        )
+    channel = F.when(fresh, F.col("_touch")).otherwise(F.lit("direct"))
+    return (
+        conv.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
+
+
 def pivot_type_counts(df: DataFrame, types: list[str]) -> DataFrame:
     """Per-user event-type count matrix via ``pivot`` with an explicit
     value list (skips the extra distinct-values job — at scale the

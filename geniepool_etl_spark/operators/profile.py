@@ -44,3 +44,62 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         for c in cols
     ]
     return reduce(DataFrame.unionByName, parts)
+
+
+def histogram_equiwidth(
+    df: DataFrame,
+    col: str,
+    lo_cents: int,
+    hi_cents: int,
+    n_buckets: int,
+    cents_col: bool = False,
+) -> DataFrame:
+    """Equi-width histogram of a money/measure column in EXACT integer
+    arithmetic: the value is fixed to integer cents first, then
+    bucketed with integer division — no float boundary can put the
+    same row in different buckets on different engines (the classic
+    ``floor((x-lo)/width)`` double formulation flips at representable
+    boundaries).
+
+    Returns (bucket, lo_cents, hi_cents, n_rows, min_cents, max_cents)
+    for each non-empty bucket; values outside [lo, hi) clamp into the
+    edge buckets (a histogram that silently drops out-of-range rows
+    misreports the distribution). One map-side-partial aggregate on
+    ``n_buckets`` keys — scan speed at any scale.
+    """
+    if n_buckets <= 0 or hi_cents <= lo_cents:
+        raise ValueError(
+            "histogram_equiwidth: need n_buckets > 0 and hi > lo"
+        )
+    width = (hi_cents - lo_cents + n_buckets - 1) // n_buckets
+    cents = (
+        F.col(col).cast("long")
+        if cents_col
+        else F.round(F.col(col) * 100).cast("long")
+    )
+    bucket = F.least(
+        F.greatest(
+            ((cents - F.lit(lo_cents)) / F.lit(width)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        df.select(cents.alias("_c"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_c").alias("min_cents"),
+            F.max("_c").alias("max_cents"),
+        )
+        .select(
+            "bucket",
+            (F.lit(lo_cents) + F.col("bucket") * width).alias("lo_cents"),
+            (F.lit(lo_cents) + (F.col("bucket") + 1) * width).alias(
+                "hi_cents"
+            ),
+            "n_rows",
+            "min_cents",
+            "max_cents",
+        )
+    )

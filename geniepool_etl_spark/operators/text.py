@@ -431,3 +431,81 @@ def with_repetition_ratio(
         ),
     ).otherwise(F.lit(0.0))
     return df.withColumn("repetition_ratio", ratio)
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval scoring of the corpus against a fixed query-term
+    set — the lexical-retrieval baseline next to the embedding ANN
+    path (operators/similarity.py), and the standard quality prior
+    for retrieval-augmented training-data selection.
+
+        score(d) = Σ_t idf(t) · tf(d,t)·(k1+1)
+                          / (tf(d,t) + k1·(1 − b + b·dl(d)/avgdl))
+        idf(t)   = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+    (the Robertson/Spärck Jones formulation with the +1 floor that
+    keeps idf positive).
+
+    Plan shape — two passes over a NARROW projection, zero joins on
+    data rows: pass 1 computes per-doc ``dl`` and per-term ``tf``
+    (whole-word regexp counts, JVM codegen); a single 1-row global
+    aggregate derives N, avgdl, and every df(t); that row broadcasts
+    back (crossJoin of a 1-row frame) and scoring is a pure map.
+    Top-k is a rounded-score sort with id tiebreak — deterministic
+    across engines. Raw text never shuffles.
+    """
+    if not terms:
+        raise ValueError("bm25_topk: need at least one query term")
+    text = F.lower(F.col(text_col))
+    tf_cols = [
+        F.size(
+            F.regexp_extract_all(
+                text, F.lit(r"\b" + t + r"\b"), 0
+            )
+        ).alias(f"_tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(words_col(F.col(text_col))).alias("_dl"),
+        *tf_cols,
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf_{i}").cast("double")
+        dfreq = F.col(f"_df_{i}")
+        idf = F.log(
+            (F.col("_n") - dfreq + 0.5) / (dfreq + 0.5) + 1.0
+        )
+        denom = tf + k1 * (
+            1.0 - b + b * F.col("_dl") / F.col("_avgdl")
+        )
+        score = score + idf * tf * (k1 + 1.0) / denom
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.col("_dl").cast("long").alias("dl"),
+        F.round(score, 4).alias("score"),
+    )
+    return (
+        scored.where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

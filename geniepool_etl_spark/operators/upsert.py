@@ -18,7 +18,7 @@ without rewriting 100 TB. Two layers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -115,3 +115,56 @@ def merge_rollup(
     if not aggs:
         raise ValueError("merge_rollup: no aggregate columns given")
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr: str,
+    id_col: str,
+) -> DataFrame:
+    """Build a slowly-changing-dimension **type 2** history from an
+    append-only change log: per ``key``, a row per distinct run of
+    ``attr`` with ``[valid_from_us, valid_to_us)`` validity,
+    ``version`` (1-based per key), and ``is_current``.
+
+    The reference's lake keeps only the latest snapshot (append /
+    overwrite — M:127-138); SCD2 is what a training-data pipeline
+    needs to ask "what did this dimension say WHEN the example was
+    created" — joinable point-in-time via
+    ``valid_from_us <= t < coalesce(valid_to_us, +inf)``.
+
+    Two logical steps over ONE shuffle key (Catalyst reuses the
+    (key, ts, id) sort for both windows — no second exchange):
+
+    1. *Run compression*: keep a log row iff it is the key's first row
+       or its ``attr`` differs from the previous row (null-safe, so a
+       NULL→value or value→NULL change opens a version too). Repeated
+       writes of the same value — the overwhelmingly common case in a
+       re-ingested log — collapse for free.
+    2. *Interval stitch*: ``valid_from = ts``, ``valid_to = lead(ts)``
+       over the surviving change rows; the open interval (NULL
+       ``valid_to``) is current.
+
+    Determinism: same-timestamp writes tiebreak on ``id_col``; the
+    log's arrival order never matters.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    changed = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev", F.lag(attr).over(w))
+        .where(
+            (F.col("_rn") == 1)
+            | ~F.col(attr).eqNullSafe(F.col("_prev"))
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy(ts_col, id_col)
+    return changed.select(
+        F.col(key),
+        F.col(attr),
+        F.col(ts_col).alias("valid_from_us"),
+        F.lead(ts_col).over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -1236,3 +1236,183 @@ def test_int8_topk_preserves_planted_neighbors(spark):
         spark.createDataFrame([(9, [0.0] * 64)], "vec_id LONG, embedding ARRAY<DOUBLE>")
     ).collect()[0]
     assert qz.qvec is None or all(v is None for v in qz.qvec)
+
+
+def test_scd2_compresses_runs_and_versions(spark):
+    """Repeated writes of the same value collapse into one version;
+    the version chain's intervals tile [first_ts, ∞) per key."""
+    from geniepool_etl_spark.operators.upsert import scd2_from_changelog
+
+    rows = [
+        # key 1: A A B B A  → 3 versions (A, B, A)
+        (1, 100, "A", 1), (1, 200, "A", 2), (1, 300, "B", 3),
+        (1, 400, "B", 4), (1, 500, "A", 5),
+        # key 2: single write → 1 current version
+        (2, 50, "X", 6),
+        # key 3: NULL → value → NULL transitions each open a version
+        (3, 10, None, 7), (3, 20, "V", 8), (3, 30, None, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "k LONG, ts_us LONG, attr STRING, id LONG"
+    )
+    out = scd2_from_changelog(
+        df, key="k", ts_col="ts_us", attr="attr", id_col="id"
+    )
+    got = {
+        (r.k, r.version): (r.attr, r.valid_from_us, r.valid_to_us,
+                           r.is_current)
+        for r in out.collect()
+    }
+    assert got[(1, 1)] == ("A", 100, 300, False)
+    assert got[(1, 2)] == ("B", 300, 500, False)
+    assert got[(1, 3)] == ("A", 500, None, True)
+    assert got[(2, 1)] == ("X", 50, None, True)
+    assert got[(3, 1)] == (None, 10, 20, False)
+    assert got[(3, 2)] == ("V", 20, 30, False)
+    assert got[(3, 3)] == (None, 30, None, True)
+    assert len(got) == 7
+
+
+def test_table_diff_statuses(spark):
+    """Every planted difference lands in the right status bucket and
+    empty statuses report explicit zeros."""
+    from geniepool_etl_spark.operators.reconcile import (
+        diff_summary, table_diff,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k LONG, v STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "CHANGED"), (4, "d")], "k LONG, v STRING"
+    )
+    by_key = {
+        r.k: r.status
+        for r in table_diff(left, right, ["k"], ["v"]).collect()
+    }
+    assert by_key == {
+        1: "match", 2: "differs", 3: "only_left", 4: "only_right"
+    }
+    summary = {
+        r.status: r.n_rows
+        for r in diff_summary(left, right, ["k"], ["v"]).collect()
+    }
+    assert summary == {
+        "match": 1, "differs": 1, "only_left": 1, "only_right": 1
+    }
+    # all-equal tables: the three difference statuses still appear
+    same = {
+        r.status: r.n_rows
+        for r in diff_summary(left, left, ["k"], ["v"]).collect()
+    }
+    assert same == {
+        "match": 3, "differs": 0, "only_left": 0, "only_right": 0
+    }
+
+
+def test_table_diff_null_vs_empty_string(spark):
+    """The digest's null sentinel must distinguish NULL from ''."""
+    from geniepool_etl_spark.operators.reconcile import table_diff
+
+    left = spark.createDataFrame([(1, None)], "k LONG, v STRING")
+    right = spark.createDataFrame([(1, "")], "k LONG, v STRING")
+    (row,) = table_diff(left, right, ["k"], ["v"]).collect()
+    assert row.status == "differs"
+
+
+def test_transition_counts_brute(spark):
+    """Transition counts/probabilities vs a hand-computed chain."""
+    rows = [
+        # user 1: A B A B   user 2: A B B
+        (1, 1, 1000, "A", 0.0, None), (2, 1, 2000, "B", 0.0, None),
+        (3, 1, 3000, "A", 0.0, None), (4, 1, 4000, "B", 0.0, None),
+        (5, 2, 1000, "A", 0.0, None), (6, 2, 2000, "B", 0.0, None),
+        (7, 2, 3000, "B", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, user_id LONG, ts LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.p)
+        for r in E.transition_counts(df).collect()
+    }
+    # transitions: A→B ×3, B→A ×1, B→B ×1
+    assert got[("A", "B")] == (3, 1.0)
+    assert got[("B", "A")] == (1, 0.5)
+    assert got[("B", "B")] == (1, 0.5)
+    assert len(got) == 3
+
+
+def test_attribution_last_touch_cases(spark):
+    """Attributed, stale-window→direct, and no-prior-touch→direct."""
+    h = 3_600_000_000  # 1h in µs
+    ns = 1000  # LONG ts columns carry NANOS (event_micros contract)
+    rows = [
+        # user 1: click then purchase 1h later → attributed to click
+        (1, 1, 0, "click", 0.0, None),
+        (2, 1, h * ns, "purchase", 10.0, None),
+        # user 2: view then purchase 3h later (window 2h) → direct
+        (3, 2, 0, "view", 0.0, None),
+        (4, 2, 3 * h * ns, "purchase", 20.0, None),
+        # user 3: purchase with no prior events → direct
+        (5, 3, 0, "purchase", 40.0, None),
+        # user 4: click, then ANOTHER purchase between click and the
+        # second purchase — conversions never attribute to conversions
+        (6, 4, 0, "click", 0.0, None),
+        (7, 4, h * ns // 2, "purchase", 5.0, None),
+        (8, 4, h * ns, "purchase", 7.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, user_id LONG, ts LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    got = {
+        r.channel: (r.n_conversions, r.attributed_value)
+        for r in E.attribute_last_touch(
+            df, conversion_type="purchase", within_us=2 * h
+        ).collect()
+    }
+    assert got["click"] == (3, 22.0)  # users 1 + 4 (both purchases)
+    assert got["direct"] == (2, 60.0)  # users 2 + 3
+    assert len(got) == 2
+
+
+def test_histogram_clamps_and_validates(spark):
+    from geniepool_etl_spark.operators.profile import histogram_equiwidth
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (1.5,), (9.99,), (250.0,)], "v DOUBLE"
+    )
+    # cents range [0, 1000), 10 buckets → width 100 cents
+    out = {
+        r.bucket: (r.n_rows, r.min_cents, r.max_cents)
+        for r in histogram_equiwidth(
+            df, "v", lo_cents=0, hi_cents=1000, n_buckets=10
+        ).collect()
+    }
+    assert out[0] == (2, -500, 50)    # -5.00 clamps into bucket 0
+    assert out[1] == (1, 150, 150)    # 1.50 → bucket 1
+    assert out[9] == (2, 999, 25000)  # 9.99 edge + 250.00 clamps high
+    with pytest.raises(ValueError):
+        histogram_equiwidth(df, "v", 0, 0, 10)
+    with pytest.raises(ValueError):
+        histogram_equiwidth(df, "v", 0, 100, 0)
+
+
+def test_bm25_ranking_and_validation(spark):
+    """More on-term hits in a shorter doc ⇒ higher score; docs with
+    zero query-term hits are excluded; empty terms fail loud."""
+    rows = [
+        (1, "vector vector vector search"),
+        (2, "vector search and other words about other things"),
+        (3, "nothing relevant at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = TX.bm25_topk(df, terms=["vector"], k=10)
+    got = [r.doc_id for r in out.collect()]
+    assert got == [1, 2]  # 3 has no hits; 1 outranks 2
+    with pytest.raises(ValueError):
+        TX.bm25_topk(df, terms=[])

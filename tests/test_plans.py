@@ -188,6 +188,8 @@ _INTENDED_CROSS = {
     "sim_int8_recall",  # same: quantized + exact sides both broadcast 8 queries
     "j7_range_join",
     "text_tfidf",
+    "text_bm25",  # 1-row global stats frame broadcast (tfidf pattern)
+    "sql_scalar_anti",  # scalar subqueries = 1-row broadcast joins
 }
 
 
