@@ -3160,6 +3160,59 @@ def q_j9_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/upsert.point_in_time_join): each
+    purchase event looks up the SCD2 state version valid AT its
+    timestamp. Spark side is the union-carry as-of pattern (one
+    keyed shuffle, no range join); the oracle states the interval
+    predicate directly — the semantics equivalence IS the check."""
+    from geniepool_etl_spark.operators.upsert import (
+        point_in_time_join, scd2_from_changelog,
+    )
+
+    e = E.with_event_time(_events(spark, sf_dir))
+    history = scd2_from_changelog(
+        e, key="user_id", ts_col="ts_us", attr="event_type",
+        id_col="event_id",
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    return point_in_time_join(
+        facts, history, key="user_id", fact_ts="ts_us",
+        attr="event_type", fact_id="event_id",
+    )
+
+
+# Ratio of independently-rounded sums: both engines round each SUM to
+# cents-exact 2 decimals BEFORE dividing, so the quotient's inputs are
+# bit-identical — the unrounded sum/sum ratio could flip the 4th
+# decimal on engine summation order.
+_SQL_Q14 = """
+    SELECT round(
+             100.0 * round(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN l.l_extendedprice * (1 - l.l_discount)
+               ELSE 0.0 END), 2)
+             / round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2),
+             4) AS promo_revenue_pct,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional-aggregate ratio over
+    a lineitem⋈part join — part broadcasts, the month filter pushes
+    to the lineitem scan, and the single global aggregate is map-side
+    partial."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q14)
+
+
 _STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
 
 _EVENT_US = "epoch_us(ts)"
@@ -4684,6 +4737,41 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
     o["sql_tpch_q18"] = _SQL_Q18
     o["sql_exists_late"] = _SQL_EXISTS_LATE
     o["sql_scalar_anti"] = _SQL_SCALAR_ANTI
+    o["sql_tpch_q14"] = _SQL_Q14
+    # the oracle states the interval-containment predicate directly
+    # (a range join — fine at oracle scale); the Spark side's
+    # union-carry as-of must produce the same rows
+    o["scd2_point_in_time"] = f"""
+        WITH base AS (
+          SELECT user_id, event_id, {_EVENT_US} AS ts_us, event_type,
+                 row_number() OVER w AS rn,
+                 lag(event_type) OVER w AS prev
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY {_EVENT_US}, event_id)
+        ),
+        chg AS (
+          SELECT user_id, event_id, ts_us, event_type FROM base
+          WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        ),
+        hist AS (
+          SELECT user_id, event_type, ts_us AS valid_from_us,
+                 lead(ts_us) OVER w2 AS valid_to_us,
+                 CAST(row_number() OVER w2 AS BIGINT) AS version
+          FROM chg
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ),
+        facts AS (
+          SELECT user_id, event_id, {_EVENT_US} AS ts_us
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT f.user_id, f.event_id, f.ts_us,
+               h.event_type AS event_type_at_ts, h.version
+        FROM facts f
+        JOIN hist h ON f.user_id = h.user_id
+          AND h.valid_from_us <= f.ts_us
+          AND (h.valid_to_us IS NULL OR f.ts_us < h.valid_to_us)
+    """
     o["j9_nullsafe_join"] = """
         WITH a AS (
           SELECT CASE WHEN user_id % 11 = 0 THEN NULL
@@ -4813,6 +4901,8 @@ SPARK_QUERIES = {
     "sql_exists_late": q_sql_exists_late,
     "sql_scalar_anti": q_sql_scalar_anti,
     "j9_nullsafe_join": q_j9_nullsafe_join,
+    "scd2_point_in_time": q_scd2_point_in_time,
+    "sql_tpch_q14": q_sql_tpch_q14,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,

@@ -168,3 +168,78 @@ def scd2_from_changelog(
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    fact_ts: str = "ts_us",
+    attr: str = "event_type",
+    fact_id: str = "event_id",
+) -> DataFrame:
+    """Point-in-time (temporal) join: for each fact row, the SCD2
+    history version (:func:`scd2_from_changelog` output) valid AT the
+    fact's timestamp — ``valid_from_us <= t < valid_to_us`` with the
+    open current interval matching everything after its start.
+
+    The naive formulation is a range join (equi key + two interval
+    predicates) — quadratic per key and not natively planned by
+    Spark. Because SCD2 intervals TILE per key (gapless, disjoint),
+    point-in-time lookup reduces to "latest version start at or
+    before t": the union-carry as-of pattern (events.py's
+    asof_join_latest_prior), one shuffle on the high-cardinality key,
+    zero self-joins. Version starts sort BEFORE facts at the same
+    timestamp, which is exactly the inclusive-``valid_from`` /
+    exclusive-``valid_to`` boundary rule.
+
+    (version, attr) are carried as ONE struct so a legitimately NULL
+    history ``attr`` is still distinguishable from "no version yet"
+    (a struct is non-null even when its fields are null). Facts that
+    predate their key's first version are dropped (inner-join
+    semantics — the caller can anti-join for the orphans).
+
+    Returns (key, fact_id, fact_ts, ``{attr}_at_ts``, version).
+    """
+    v_struct = F.struct(
+        F.col("version").cast("long").alias("v"),
+        F.col(attr).alias("a"),
+    )
+    h = history.select(
+        F.col(key),
+        F.col("valid_from_us").alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col("version").cast("long").alias("_ord"),
+        v_struct.alias("_v"),
+        F.lit(None).cast("long").alias(fact_id),
+    )
+    f = facts.select(
+        F.col(key),
+        F.col(fact_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.col(fact_id).cast("long").alias("_ord"),
+        F.lit(None).cast(
+            "struct<v: bigint, a: string>"
+        ).alias("_v"),
+        F.col(fact_id),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side", "_ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = f.unionByName(h).withColumn(
+        "_cur", F.last("_v", ignorenulls=True).over(w)
+    )
+    return (
+        carried.where(
+            (F.col("_side") == 1) & F.col("_cur").isNotNull()
+        )
+        .select(
+            F.col(key),
+            F.col(fact_id),
+            F.col("_t").alias(fact_ts),
+            F.col("_cur.a").alias(f"{attr}_at_ts"),
+            F.col("_cur.v").alias("version"),
+        )
+    )

@@ -1416,3 +1416,38 @@ def test_bm25_ranking_and_validation(spark):
     assert got == [1, 2]  # 3 has no hits; 1 outranks 2
     with pytest.raises(ValueError):
         TX.bm25_topk(df, terms=[])
+
+
+def test_point_in_time_join_boundaries(spark):
+    """Inclusive valid_from / exclusive valid_to at the version flip,
+    and facts predating the first version drop (inner semantics)."""
+    from geniepool_etl_spark.operators.upsert import point_in_time_join
+
+    history = spark.createDataFrame(
+        [
+            (1, "A", 100, 300, 1, False),
+            (1, "B", 300, None, 2, True),
+        ],
+        "user_id LONG, event_type STRING, valid_from_us LONG, "
+        "valid_to_us LONG, version LONG, is_current BOOLEAN",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, 50),    # before first version → dropped
+            (11, 1, 100),   # exactly at v1 start → v1
+            (12, 1, 299),   # last µs of v1 → v1
+            (13, 1, 300),   # exactly at the flip → v2 (from inclusive)
+            (14, 1, 9999),  # open current interval → v2
+            (15, 2, 500),   # unknown key → dropped
+        ],
+        "event_id LONG, user_id LONG, ts_us LONG",
+    )
+    got = {
+        r.event_id: (r.event_type_at_ts, r.version)
+        for r in point_in_time_join(
+            facts, history, key="user_id"
+        ).collect()
+    }
+    assert got == {
+        11: ("A", 1), 12: ("A", 1), 13: ("B", 2), 14: ("B", 2)
+    }
