@@ -115,6 +115,10 @@ def bench_queries(spark, sf_dir):
         "events_interval_join": lambda: C.q_events_interval_join(spark, sf_dir),
         "rollup_incremental": lambda: C.q_rollup_incremental(spark, sf_dir),
         "pipeline_corpus_build": lambda: C.q_pipeline_corpus_build(spark, sf_dir),
+        # round-6 second wave
+        "scd2_point_in_time": lambda: C.q_scd2_point_in_time(spark, sf_dir),
+        "table_diff": lambda: C.q_table_diff(spark, sf_dir),
+        "text_bm25": lambda: C.q_text_bm25(spark, sf_dir),
         "micro_event_us_long": lambda: micro_event_us(enc_dirs["long"]),
         "micro_event_us_ntz": lambda: micro_event_us(enc_dirs["ntz"]),
     }

@@ -4795,7 +4795,7 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
 # window, per VERDICT r5 ask #2: (a) the 34 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 5 more second-wave entries sit just past the edge at ~51-55,
+# lead; 7 more second-wave entries sit just past the edge at ~51-57,
 # self-verified via tools/selfcheck.py this round and first in line
 # for r7) — then (b) as many of the 25 r3-stale re-records as fit.
 # The 9 stale entries that no longer fit (dedup_embedding/jaccard/
