@@ -3213,6 +3213,66 @@ def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q14)
 
 
+# 2024-01-20T00:00:00Z — splits the 30-day event log into a standing
+# prefix and an incremental batch for the SCD2 maintenance entry
+_SCD2_SPLIT_US = 1_705_708_800 * 1_000_000
+
+
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/upsert.
+    scd2_apply_batch): standing history built from the log before the
+    split + the later slice applied as a daily batch. The oracle is
+    the FULL-log recompute — merge must equal rebuild exactly
+    (versions, intervals, is_current), the same equivalence contract
+    as ``rollup_incremental``."""
+    from geniepool_etl_spark.operators.upsert import (
+        scd2_apply_batch, scd2_from_changelog,
+    )
+
+    e = E.with_event_time(_events(spark, sf_dir))
+    standing = scd2_from_changelog(
+        e.where(F.col("ts_us") < _SCD2_SPLIT_US),
+        key="user_id", ts_col="ts_us", attr="event_type",
+        id_col="event_id",
+    )
+    batch = e.where(F.col("ts_us") >= _SCD2_SPLIT_US).select(
+        "user_id", "ts_us", "event_type", "event_id"
+    )
+    return scd2_apply_batch(
+        standing, batch, key="user_id", ts_col="ts_us",
+        attr="event_type", id_col="event_id",
+    )
+
+
+def q_events_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state rollup (operators/events.dwell_times): per event
+    type, interval count, total and integer-mean dwell µs — one
+    lead-window per user, one small aggregate."""
+    return E.dwell_times(_events(spark, sf_dir))
+
+
+def q_f6_ordered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: ordered/positional aggregates — ``max_by``/``min_by`` (on a
+    deterministic composite rank: price-cents ⊕ orderkey, so ties
+    cannot make the winner engine-dependent) and exact ``median``."""
+    o = _t(spark, sf_dir, "orders")
+    rank = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 10_000_000
+        + F.col("o_orderkey")
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice",
+                 rank.alias("_rank"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", F.col("_rank")).alias("dearest_key"),
+            F.min_by("o_orderkey", F.col("_rank")).alias("cheapest_key"),
+            F.round(F.median("o_totalprice"), 2).alias("median_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 _STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
 
 _EVENT_US = "epoch_us(ts)"
@@ -4738,6 +4798,37 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
     o["sql_exists_late"] = _SQL_EXISTS_LATE
     o["sql_scalar_anti"] = _SQL_SCALAR_ANTI
     o["sql_tpch_q14"] = _SQL_Q14
+    # oracle = FULL-log recompute; the Spark side merges the later
+    # slice into standing history — equivalence is the check
+    o["scd2_incremental"] = o["scd2_history"]
+    o["events_dwell"] = f"""
+        WITH spans AS (
+          SELECT event_type,
+                 lead({_EVENT_US}) OVER (
+                   PARTITION BY user_id
+                   ORDER BY {_EVENT_US}, event_id) - {_EVENT_US}
+                   AS dwell_us
+          FROM events
+        )
+        SELECT event_type, count(*) AS n_intervals,
+               CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+               CAST(sum(dwell_us) // count(*) AS BIGINT)
+                 AS avg_dwell_us
+        FROM spans WHERE dwell_us IS NOT NULL
+        GROUP BY event_type
+    """
+    o["f6_ordered_aggs"] = """
+        SELECT o_orderpriority,
+               max_by(o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                        * 10000000 + o_orderkey) AS dearest_key,
+               min_by(o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                        * 10000000 + o_orderkey) AS cheapest_key,
+               round(median(o_totalprice), 2) AS median_price,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """
     # the oracle states the interval-containment predicate directly
     # (a range join — fine at oracle scale); the Spark side's
     # union-carry as-of must produce the same rows
@@ -4795,7 +4886,7 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
 # window, per VERDICT r5 ask #2: (a) the 34 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 7 more second-wave entries sit just past the edge at ~51-57,
+# lead; 10 more second-wave entries sit just past the edge at ~51-60,
 # self-verified via tools/selfcheck.py this round and first in line
 # for r7) — then (b) as many of the 25 r3-stale re-records as fit.
 # The 9 stale entries that no longer fit (dedup_embedding/jaccard/
@@ -4903,6 +4994,9 @@ SPARK_QUERIES = {
     "j9_nullsafe_join": q_j9_nullsafe_join,
     "scd2_point_in_time": q_scd2_point_in_time,
     "sql_tpch_q14": q_sql_tpch_q14,
+    "scd2_incremental": q_scd2_incremental,
+    "events_dwell": q_events_dwell,
+    "f6_ordered_aggs": q_f6_ordered_aggs,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,

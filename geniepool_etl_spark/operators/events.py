@@ -414,6 +414,34 @@ def attribute_last_touch(
     )
 
 
+def dwell_times(df: DataFrame) -> DataFrame:
+    """Time-in-state analytics: treating each user's event stream as a
+    state machine (the event's type is the state until the next
+    event), the total dwell time and interval count per state — the
+    "where do users actually spend time" rollup.
+
+    One window on the high-cardinality user key (``lead`` for the
+    next-event timestamp; each user's last, still-open state is
+    excluded — an unbounded interval has no duration), then one
+    per-type aggregate. Both map-side partial.
+    """
+    e = with_event_time(df)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    spans = e.select(
+        "event_type",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("_dwell_us"),
+    ).where(F.col("_dwell_us").isNotNull())
+    return spans.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("_dwell_us").alias("total_dwell_us"),
+    ).withColumn(
+        # integer division, not `/`: the mean stays an exact integer
+        # µs on every engine (dwells are positive, so trunc == floor)
+        "avg_dwell_us",
+        F.expr("total_dwell_us div n_intervals"),
+    )
+
+
 def pivot_type_counts(df: DataFrame, types: list[str]) -> DataFrame:
     """Per-user event-type count matrix via ``pivot`` with an explicit
     value list (skips the extra distinct-values job — at scale the

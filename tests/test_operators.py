@@ -1451,3 +1451,74 @@ def test_point_in_time_join_boundaries(spark):
     assert got == {
         11: ("A", 1), 12: ("A", 1), 13: ("B", 2), 14: ("B", 2)
     }
+
+
+def test_scd2_apply_batch_cases(spark):
+    """Incremental merge == full recompute for: value change, no-op
+    batch write (same value), brand-new key, untouched key."""
+    from geniepool_etl_spark.operators.upsert import (
+        scd2_apply_batch, scd2_from_changelog,
+    )
+
+    schema = "k LONG, ts_us LONG, attr STRING, id LONG"
+    old_log = [
+        (1, 100, "A", 1), (1, 200, "B", 2),  # k1: two versions
+        (2, 100, "X", 3),                     # k2: untouched by batch
+        (3, 100, "P", 4),                     # k3: batch repeats P
+    ]
+    new_log = [
+        (1, 500, "C", 10),   # k1: change → version 3
+        (3, 600, "P", 11),   # k3: same value → collapses, no new ver
+        (3, 700, "Q", 12),   # k3: then a real change → version 2
+        (4, 800, "N", 13),   # k4: brand-new key → version 1
+    ]
+    standing = scd2_from_changelog(
+        spark.createDataFrame(old_log, schema),
+        key="k", ts_col="ts_us", attr="attr", id_col="id",
+    )
+    batch = spark.createDataFrame(new_log, schema)
+    merged = scd2_apply_batch(
+        standing, batch, key="k", ts_col="ts_us", attr="attr",
+        id_col="id",
+    )
+    full = scd2_from_changelog(
+        spark.createDataFrame(old_log + new_log, schema),
+        key="k", ts_col="ts_us", attr="attr", id_col="id",
+    )
+
+    def snap(df):
+        return sorted(
+            (r.k, r.version, r.attr, r.valid_from_us, r.valid_to_us,
+             r.is_current)
+            for r in df.collect()
+        )
+
+    assert snap(merged) == snap(full)
+    got = {(r.k, r.version): r for r in merged.collect()}
+    assert got[(1, 3)].attr == "C" and got[(1, 3)].is_current
+    assert got[(1, 2)].valid_to_us == 500  # old current row closed
+    assert got[(2, 1)].is_current          # untouched key intact
+    assert (3, 3) not in got               # no-op write collapsed
+    assert got[(4, 1)].attr == "N"
+
+
+def test_dwell_times_excludes_open_state(spark):
+    ns = 1000
+    rows = [
+        # user 1: A(10µs) → B(5µs) → A(open)
+        (1, 1, 0, "A", 0.0, None),
+        (2, 1, 10 * ns, "B", 0.0, None),
+        (3, 1, 15 * ns, "A", 0.0, None),
+        # user 2: single event → no closed interval at all
+        (4, 2, 0, "Z", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, user_id LONG, ts LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    got = {
+        r.event_type: (r.n_intervals, r.total_dwell_us, r.avg_dwell_us)
+        for r in E.dwell_times(df).collect()
+    }
+    assert got == {"A": (1, 10, 10), "B": (1, 5, 5)}
