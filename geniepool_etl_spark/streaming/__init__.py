@@ -18,6 +18,7 @@ import glob
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -683,3 +684,110 @@ def run_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintain_rollup_stream(
         spark, src, standing, ckpt, max_files_per_trigger=1
     )
+
+
+def merge_scd2_version(
+    batch_df: DataFrame,
+    epoch_id: int,
+    standing_path: str,
+    keep_versions: int = 3,
+) -> None:
+    """One version step of streaming SCD2 maintenance: apply the
+    micro-batch's change rows to the latest standing history version
+    < ``epoch_id`` (``operators.upsert.scd2_apply_batch`` — O(batch),
+    the first batch bootstraps via the full build) and overwrite
+    ``v=<epoch_id>``. Pure function of (predecessor version, batch):
+    foreachBatch redelivery recomputes identical bytes, the same
+    exactly-once-without-a-ledger recipe as
+    :func:`merge_rollup_version`."""
+    from geniepool_etl_spark.operators.upsert import (
+        scd2_apply_batch, scd2_from_changelog,
+    )
+
+    spark = batch_df.sparkSession
+    fs, mkpath = _hadoop_fs(spark, standing_path)
+    log = E.with_event_time(batch_df).select(
+        "user_id", "ts_us", "event_type", "event_id"
+    )
+    prior = [
+        v for v in _rollup_versions(spark, standing_path) if v < epoch_id
+    ]
+    if prior:
+        standing = spark.read.parquet(f"{standing_path}/v={prior[-1]}")
+        merged = scd2_apply_batch(
+            standing, log, key="user_id", ts_col="ts_us",
+            attr="event_type", id_col="event_id",
+        )
+    else:
+        merged = scd2_from_changelog(
+            log, key="user_id", ts_col="ts_us", attr="event_type",
+            id_col="event_id",
+        )
+    merged.write.mode("overwrite").parquet(f"{standing_path}/v={epoch_id}")
+    for v in _rollup_versions(spark, standing_path)[:-keep_versions]:
+        fs.delete(mkpath(f"{standing_path}/v={v}"), True)
+
+
+def maintain_scd2_stream(
+    spark: SparkSession,
+    src_dir: str,
+    standing_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Streaming SCD2 maintenance: each micro-batch's change-log rows
+    merge into a batch-id-versioned standing history. The append-only
+    precondition of ``scd2_apply_batch`` (a batch never rewrites the
+    past) holds by construction for a time-ordered file stream —
+    Spark's file source drains oldest-modified first, so slices apply
+    in event-time order. Returns the final standing history."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger)
+    query = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: merge_scd2_version(df, bid, standing_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    vs = _rollup_versions(spark, standing_path)
+    if not vs:
+        raise ValueError(f"no scd2 versions produced in {standing_path}")
+    return spark.read.parquet(f"{standing_path}/v={vs[-1]}")
+
+
+def run_scd2_stream(
+    spark: SparkSession, sf_dir: str, split_us: int
+) -> DataFrame:
+    """Contract-entry wrapper for :func:`maintain_scd2_stream`: stage
+    the events log as TWO disjoint time-slices (before/after
+    ``split_us``), mtime-ordered so the file source drains the early
+    slice first, one file per micro-batch — the standing history is
+    genuinely built by an incremental merge, not a single batch.
+    Fresh dirs per invocation — re-invocable in one session."""
+    from geniepool_etl_spark.functions import event_micros
+
+    src = tempfile.mkdtemp(prefix="gp_scd2_src_")
+    enable_nanos_as_long(spark)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    us = event_micros(events, "ts")
+    now = time.time()
+    for i, (name, frame) in enumerate(
+        [
+            ("a_early.parquet", events.where(us < split_us)),
+            ("b_late.parquet", events.where(us >= split_us)),
+        ]
+    ):
+        stage = tempfile.mkdtemp(prefix="gp_scd2_stage_")
+        frame.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src, name)
+        shutil.move(part, dst)
+        # oldest-first drain order is keyed on mtime — pin it
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+    standing = tempfile.mkdtemp(prefix="gp_scd2_standing_")
+    ckpt = tempfile.mkdtemp(prefix="gp_scd2_ckpt_")
+    return maintain_scd2_stream(spark, src, standing, ckpt)

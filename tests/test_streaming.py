@@ -630,3 +630,47 @@ def test_slowly_changing_dim_refresh_via_foreachbatch(spark, tmp_path):
         q.stop()
     assert seen[0] == {"old"}
     assert seen[-1] == {"new"}
+
+
+def test_scd2_version_replay_is_idempotent(spark, tmp_path):
+    """Streaming SCD2 exactly-once, asserted directly: replaying an
+    epoch's merge recomputes identical history; an empty later epoch
+    changes nothing; the final version equals the full-log batch
+    rebuild."""
+    from geniepool_etl_spark.operators.events import with_event_time
+    from geniepool_etl_spark.operators.upsert import scd2_from_changelog
+    from geniepool_etl_spark.streaming import merge_scd2_version
+
+    standing = str(tmp_path / "scd2_standing")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    e = with_event_time(ev)
+    split_us = int(e.agg({"ts_us": "avg"}).first()[0])
+    b_early = ev.join(
+        e.where(e.ts_us < split_us).select("event_id"), "event_id", "semi"
+    )
+    b_late = ev.join(
+        e.where(e.ts_us >= split_us).select("event_id"), "event_id", "semi"
+    )
+
+    def snapshot(v):
+        return sorted(
+            (r.user_id, r.version, r.event_type, r.valid_from_us,
+             r.valid_to_us, r.is_current)
+            for r in spark.read.parquet(f"{standing}/v={v}").collect()
+        )
+
+    merge_scd2_version(b_early, 0, standing)
+    merge_scd2_version(b_late, 1, standing)
+    after_once = snapshot(1)
+    merge_scd2_version(b_late, 1, standing)  # redelivery of epoch 1
+    assert snapshot(1) == after_once
+    merge_scd2_version(ev.limit(0), 2, standing)  # empty later epoch
+    want = sorted(
+        (r.user_id, r.version, r.event_type, r.valid_from_us,
+         r.valid_to_us, r.is_current)
+        for r in scd2_from_changelog(
+            e, key="user_id", ts_col="ts_us", attr="event_type",
+            id_col="event_id",
+        ).collect()
+    )
+    assert snapshot(2) == want
