@@ -153,3 +153,55 @@ def weighted_hash_sample(
         < (p * MOD).cast("long")
     )
     return df.where(gate)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (90, 5, 5),
+    seed: int = 0,
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: the assignment unit is the near-dup CLUSTER, not the
+    document. A doc-level hash split puts two near-identical
+    documents on opposite sides of the train/eval fence ~2·p·(1−p) of
+    the time — the classic silent eval contamination; hashing the
+    connected-component label instead moves whole duplicate groups
+    together, so no split ever evaluates on a paraphrase of another
+    split's training doc.
+
+    ``pairs`` is any near-dup pair frame ((id_a, id_b) — Jaccard,
+    MinHash, SimHash, or embedding); unpaired documents are their own
+    singleton cluster (label = own id). The split gate is the
+    engine-portable md5-derived hash (functions.portable_hash32) on
+    the label — deterministic, seedable, no RNG, reproducible by any
+    engine for audit.
+
+    Scale: label propagation cost is confined to paired docs (≪
+    corpus); the final assignment is a broadcast-joined narrow map.
+    Returns (id, split_unit, split).
+    """
+    from geniepool_etl_spark.functions import portable_hash32
+    from geniepool_etl_spark.operators.dedup import dedup_clusters
+
+    w_train, w_val, w_test = weights
+    if w_train + w_val + w_test != 100:
+        raise ValueError("leakage_safe_split: weights must sum to 100")
+    labels = dedup_clusters(pairs).withColumnRenamed("id", id_col)
+    unit = F.coalesce(F.col("label"), F.col(id_col))
+    gate = portable_hash32(unit, seed=seed) % 100
+    split = (
+        F.when(gate < w_train, F.lit("train"))
+        .when(gate < w_train + w_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            unit.alias("split_unit"),
+            split.alias("split"),
+        )
+    )

@@ -509,3 +509,45 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def word_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document word-level Shannon entropy (bits) — the vocabulary
+    -diversity quality signal: near-zero for degenerate repetition
+    ("spam spam spam"), ~log2(n_words) for fully diverse text. The
+    cheap proxy for the perplexity-based quality filters used in
+    training-data curation.
+
+    Computed as ``log2(n) − Σ c·log2(c) / n`` over the document's own
+    word histogram (algebraically −Σ p·log2 p, but with one
+    integer-count aggregate instead of per-row probabilities). One
+    explode → (doc, word) count → per-doc aggregate, same plan family
+    as tf-idf; entropy rounds to 4 decimals for the cross-engine
+    hash. Empty/null docs yield no row (no histogram, no entropy).
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(words_col(F.col(text_col))).alias("w"),
+    )
+    hist = tokens.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c = F.col("c").cast("double")
+    return (
+        hist.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words_h"),
+            F.sum(c * F.log2(c)).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_words_h",
+            F.round(
+                F.log2(F.col("n_words_h"))
+                - F.col("_s") / F.col("n_words_h"),
+                4,
+            ).alias("entropy_bits"),
+        )
+    )

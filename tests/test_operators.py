@@ -1522,3 +1522,49 @@ def test_dwell_times_excludes_open_state(spark):
         for r in E.dwell_times(df).collect()
     }
     assert got == {"A": (1, 10, 10), "B": (1, 5, 5)}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup pair must land in the SAME split; singletons
+    split independently; invalid weights fail loud."""
+    from geniepool_etl_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 21)], "doc_id LONG"
+    )
+    # two clusters: {1,2,3} (chain) and {10,11}; the rest singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    out = leakage_safe_split(docs, pairs, weights=(50, 25, 25))
+    got = {r.doc_id: (r.split_unit, r.split) for r in out.collect()}
+    assert len(got) == 20
+    assert got[1] == got[2] == got[3]        # whole cluster together
+    assert got[10] == got[11]
+    assert got[1][0] == 1 and got[10][0] == 10
+    assert got[5][0] == 5                    # singleton = own unit
+    assert {s for _, s in got.values()} <= {"train", "val", "test"}
+    with pytest.raises(ValueError, match="sum to 100"):
+        leakage_safe_split(docs, pairs, weights=(80, 10, 5))
+
+
+def test_word_entropy_extremes(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),       # degenerate → 0 bits
+            (2, "a b c d"),                   # fully diverse → log2(4)
+            (3, "a a b b"),                   # half-half → 1 bit
+            (4, None),                        # no histogram → no row
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.n_words_h, r.entropy_bits)
+        for r in TX.word_entropy(df).collect()
+    }
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, pytest.approx(math.log2(4), abs=1e-4))
+    assert got[3] == (4, 1.0)
+    assert 4 not in got
