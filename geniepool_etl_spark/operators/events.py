@@ -414,6 +414,32 @@ def attribute_last_touch(
     )
 
 
+def debounce(df: DataFrame, window_us: int = 5 * US_PER_MIN) -> DataFrame:
+    """Burst suppression: keep ONE event per burst-chain — an event
+    survives iff it starts a gap-session, i.e. the same (user, type)
+    had no event within the preceding ``window_us``. Retry storms,
+    double-clicks, and at-least-once replays collapse to their first
+    occurrence; chained bursts (each gap ≤ window) collapse entirely
+    into the chain's head, which is exactly gap-sessionization with
+    first-of-session projection.
+
+    One lag-window per (user, type) — the session-start test needs
+    only the previous RAW event's timestamp, so this stays a single
+    windowed pass (no iterative "distance to last kept" state).
+    Deterministic: same-timestamp ties break on event_id.
+    """
+    e = with_event_time(df)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    return (
+        e.withColumn("_gap", gap)
+        .where(F.col("_gap").isNull() | (F.col("_gap") > window_us))
+        .select("user_id", "event_id", "ts_us", "event_type")
+    )
+
+
 def dwell_times(df: DataFrame) -> DataFrame:
     """Time-in-state analytics: treating each user's event stream as a
     state machine (the event's type is the state until the next

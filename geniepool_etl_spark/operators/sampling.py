@@ -205,3 +205,36 @@ def leakage_safe_split(
             split.alias("split"),
         )
     )
+
+
+def sample_per_group(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: within each
+    stratum, keep the ``k`` rows with the smallest portable hash of
+    their id — the reservoir-sample result without any RNG or
+    sequential state, reproducible by any engine and stable under
+    re-runs, repartitions, and insertion order.
+
+    One window per stratum (rank on (hash, id) — total order, no
+    ties). Strata are assumed plentiful relative to the cluster (the
+    usual balanced-downsampling case: per source × language × day);
+    a handful of giant strata would sort hot — use
+    :func:`weighted_hash_sample` with a per-stratum rate for that
+    regime instead.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash32(F.col(id_col), seed=seed)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= k)
+        .drop("_rnk")
+    )

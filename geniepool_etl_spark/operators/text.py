@@ -551,3 +551,38 @@ def word_entropy(
             ).alias("entropy_bits"),
         )
     )
+
+
+def feature_hash_counts(
+    df: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """The hashing trick: fixed-width bag-of-words features without a
+    vocabulary — each token maps to ``hash(token) % n_buckets`` and
+    the document's feature vector is the per-bucket count. No vocab
+    build pass, no dictionary broadcast, unbounded live vocabulary at
+    a fixed feature width: the featurizer that still works when the
+    corpus is 100 TB and the token universe won't fit anywhere.
+
+    Emitted SPARSE — (id, bucket, n) rows, zero buckets absent — so
+    the output stays flat-typed and shuffle-light; densify at the
+    consumer if a model needs it. The portable md5 hash makes the
+    bucketing engine-reproducible (the oracle recomputes it
+    verbatim); swap xxhash64 for production speed if cross-engine
+    audit is not needed.
+    """
+    if n_buckets <= 0:
+        raise ValueError("feature_hash_counts: n_buckets must be > 0")
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(words_col(F.col(text_col))).alias("w"),
+    )
+    bucket = portable_hash32(F.col("w"), seed=seed) % n_buckets
+    return (
+        tokens.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1568,3 +1568,66 @@ def test_word_entropy_extremes(spark):
     assert got[2] == (4, pytest.approx(math.log2(4), abs=1e-4))
     assert got[3] == (4, 1.0)
     assert 4 not in got
+
+
+def test_debounce_collapses_chained_bursts(spark):
+    """A chained burst (every gap <= window) collapses to its head;
+    a gap > window starts a new chain; types debounce independently."""
+    m = 60_000_000  # 1 min in µs
+    ns = 1000
+    rows = [
+        # user 1 'click': burst at 0, +3m, +6m (chained) then +20m
+        (1, 1, 0, "click", 0.0, None),
+        (2, 1, 3 * m * ns, "click", 0.0, None),
+        (3, 1, 6 * m * ns, "click", 0.0, None),
+        (4, 1, 26 * m * ns, "click", 0.0, None),
+        # same user, other type inside the click burst → kept
+        (5, 1, 1 * m * ns, "view", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, user_id LONG, ts LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    kept = sorted(
+        r.event_id for r in E.debounce(df, window_us=5 * m).collect()
+    )
+    assert kept == [1, 4, 5]
+
+
+def test_sample_per_group_exact_k_and_deterministic(spark):
+    from geniepool_etl_spark.operators.sampling import sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(90)], "doc_id LONG, g STRING"
+    )
+    out = sample_per_group(df, ["g"], k=4, id_col="doc_id")
+    by_g: dict = {}
+    for r in out.collect():
+        by_g.setdefault(r.g, []).append(r.doc_id)
+    assert {g: len(v) for g, v in by_g.items()} == {
+        "g0": 4, "g1": 4, "g2": 4
+    }
+    # identical selection on a different physical layout
+    again = sample_per_group(
+        df.repartition(7), ["g"], k=4, id_col="doc_id"
+    )
+    assert {
+        (r.g, r.doc_id) for r in again.collect()
+    } == {(g, d) for g, v in by_g.items() for d in v}
+
+
+def test_feature_hash_counts_width_and_totals(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a a a a")], "doc_id LONG, text STRING"
+    )
+    rows = TX.feature_hash_counts(df, n_buckets=8).collect()
+    assert all(0 <= r.bucket < 8 for r in rows)
+    totals = {}
+    for r in rows:
+        totals[r.doc_id] = totals.get(r.doc_id, 0) + r.n
+    assert totals == {1: 4, 2: 4}  # counts conserve tokens
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n == 4  # one token → one bucket
+    with pytest.raises(ValueError):
+        TX.feature_hash_counts(df, n_buckets=0)
