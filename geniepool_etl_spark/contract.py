@@ -3334,6 +3334,90 @@ def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s20_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20: CSV with embedded quotes, commas, AND newlines inside
+    quoted fields — the roundtrip that breaks naive line-split
+    readers. Spark writes RFC-4180 quoting; the read-back needs
+    ``multiLine`` (which trades per-line splittability for
+    correctness — at 100 TB, store such data as parquet and keep
+    multiLine CSV for ingest edges only, which is exactly this
+    lane). Oracle recomputes the derived field from the dim."""
+    out = _tmpdir("s20")
+    nation = _t(spark, sf_dir, "nation")
+    derived = nation.select(
+        "n_nationkey",
+        F.concat(
+            F.col("n_name"), F.lit(', "x"\nsecond line')
+        ).alias("note"),
+    )
+    derived.write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema(schema)
+        .csv(out)
+    )
+
+
+def q_s21_json_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21: nested-JSON source with an explicit struct schema,
+    flattened to columns — the semi-structured ingest lane (schema
+    DECLARED, not inferred: at 100 TB an inference pass is a full
+    extra scan, and drifting inputs must fail loud, not re-shape the
+    table). Oracle is the flat projection of the same dim."""
+    out = _tmpdir("s21")
+    orders = _t(spark, sf_dir, "orders")
+    nested = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.struct(
+            F.col("o_custkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("cust"),
+    )
+    nested.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField(
+                "cust",
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("status", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .json(out)
+        .select(
+            "k",
+            F.col("cust.id").alias("cust_id"),
+            F.col("cust.status").alias("cust_status"),
+        )
+    )
+
+
+def q_a14_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: exact grouped percentiles (linear-interpolated — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``) — the per-segment
+    latency/price-distribution rollup."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 _SQL_Q7 = """
     SELECT supp_nation, cust_nation, l_year,
            round(SUM(volume), 2) AS revenue
@@ -4984,6 +5068,23 @@ SELECT doc_id, split_unit,
             ELSE 'test' END AS split
 FROM g
 """
+    o["s20_csv_quoted_multiline"] = """
+        SELECT n_nationkey,
+               n_name || ', "x"' || chr(10) || 'second line' AS note
+        FROM nation
+    """
+    o["s21_json_nested_flatten"] = """
+        SELECT o_orderkey AS k, o_custkey AS cust_id,
+               o_orderstatus AS cust_status
+        FROM orders
+    """
+    o["a14_grouped_percentiles"] = """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """
     o["events_debounce"] = f"""
         WITH e AS (
           SELECT user_id, event_id, {_EVENT_US} AS ts_us, event_type,
@@ -5110,9 +5211,9 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 53 entries new this round —
+# window, per VERDICT r5 ask #2: (a) the 56 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 19 more second-wave entries sit just past the edge at ~51-69,
+# lead; 22 more second-wave entries sit just past the edge at ~51-72,
 # self-verified via tools/selfcheck.py this round and first in line
 # for r7) — then (b) as many of the 25 r3-stale re-records as fit.
 # The 9 stale entries that no longer fit (dedup_embedding/jaccard/
@@ -5232,6 +5333,9 @@ SPARK_QUERIES = {
     "events_debounce": q_events_debounce,
     "sample_per_group": q_sample_per_group,
     "text_feature_hash": q_text_feature_hash,
+    "s20_csv_quoted_multiline": q_s20_csv_quoted_multiline,
+    "s21_json_nested_flatten": q_s21_json_nested_flatten,
+    "a14_grouped_percentiles": q_a14_grouped_percentiles,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,

@@ -212,6 +212,8 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "s14_binaryfile_source",
         "s16_csv_permissive_corrupt",
         "s17_fixed_width",
+        "s20_csv_quoted_multiline",
+        "s21_json_nested_flatten",
         "stream_tumbling",
         "stream_session",
         "stream_dedup",

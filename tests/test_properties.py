@@ -415,3 +415,61 @@ def test_merge_rollup_matches_full_recompute(old, new):
         r.k: (r.n, r.s, r.mn, r.mx) for r in partials(old + new).collect()
     }
     assert merged == full
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    log=st.lists(
+        # (key, attr) per tick; ts = index, id = index → strictly
+        # increasing per list, so any prefix/suffix split satisfies
+        # the append-only precondition
+        st.tuples(st.integers(0, 3), st.sampled_from(["A", "B", "C"])),
+        min_size=1,
+        max_size=20,
+    ),
+    split_frac=st.sampled_from([0.0, 0.3, 0.5, 0.8, 1.0]),
+)
+def test_scd2_apply_batch_matches_full_rebuild(log, split_frac):
+    """For ANY change log and ANY time split, applying the later
+    slice as a batch onto standing history equals rebuilding from
+    the whole log — versions, intervals, and is_current included.
+    Degenerate splits (empty standing, empty batch) are part of the
+    strategy's range."""
+    from geniepool_etl_spark.operators.upsert import (
+        scd2_apply_batch, scd2_from_changelog,
+    )
+
+    spark = _spark()
+    schema = "k LONG, ts_us LONG, attr STRING, id LONG"
+    rows = [(k, i, a, i) for i, (k, a) in enumerate(log)]
+    cut = int(len(rows) * split_frac)
+    old, new = rows[:cut], rows[cut:]
+
+    def build(r):
+        return scd2_from_changelog(
+            spark.createDataFrame(r, schema),
+            key="k", ts_col="ts_us", attr="attr", id_col="id",
+        )
+
+    def snap(df):
+        return sorted(
+            (r.k, r.version, r.attr, r.valid_from_us, r.valid_to_us,
+             r.is_current)
+            for r in df.collect()
+        )
+
+    if not old:
+        # no standing history: the batch IS the bootstrap build
+        merged = build(new)
+    elif not new:
+        merged = build(old)
+    else:
+        merged = scd2_apply_batch(
+            build(old), spark.createDataFrame(new, schema),
+            key="k", ts_col="ts_us", attr="attr", id_col="id",
+        )
+    assert snap(merged) == snap(build(rows))
