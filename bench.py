@@ -119,6 +119,9 @@ def bench_queries(spark, sf_dir):
         "scd2_point_in_time": lambda: C.q_scd2_point_in_time(spark, sf_dir),
         "table_diff": lambda: C.q_table_diff(spark, sf_dir),
         "text_bm25": lambda: C.q_text_bm25(spark, sf_dir),
+        "pipeline_user_features": lambda: C.q_pipeline_user_features(
+            spark, sf_dir
+        ),
         "micro_event_us_long": lambda: micro_event_us(enc_dirs["long"]),
         "micro_event_us_ntz": lambda: micro_event_us(enc_dirs["ntz"]),
     }

@@ -3418,6 +3418,35 @@ def q_a14_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END per-user feature-store build composed from the
+    event operators in ONE plan: activity aggregates + session count
+    (session_window) + debounced-interaction count — the
+    feature-engineering counterpart of ``pipeline_corpus_build``.
+    Every stage keys on the high-cardinality ``user_id``, so the
+    joins co-partition and AQE coalesces the small aggregate sides;
+    nothing in the composition adds a shuffle a single stage would
+    not already pay."""
+    ev = _events(spark, sf_dir)
+    e = E.with_event_time(ev)
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    sessions = (
+        E.session_agg(ev)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    debounced = (
+        E.debounce(ev, window_us=E.US_PER_HOUR)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_debounced"))
+    )
+    return base.join(sessions, "user_id").join(debounced, "user_id")
+
+
 _SQL_Q7 = """
     SELECT supp_nation, cust_nation, l_year,
            round(SUM(volume), 2) AS revenue
@@ -5068,6 +5097,47 @@ SELECT doc_id, split_unit,
             ELSE 'test' END AS split
 FROM g
 """
+    o["pipeline_user_features"] = f"""
+        WITH e AS (
+          SELECT user_id, event_id, {_EVENT_US} AS t, event_type,
+                 value
+          FROM events
+        ),
+        base AS (
+          SELECT user_id, count(*) AS n_events,
+                 count(DISTINCT event_type) AS n_types,
+                 round(sum(value), 2) AS sum_value
+          FROM e GROUP BY user_id
+        ),
+        g AS (
+          SELECT user_id,
+                 CASE WHEN lag(t) OVER w IS NULL
+                        OR t - lag(t) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        ),
+        sess AS (
+          SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+          FROM g GROUP BY user_id
+        ),
+        d AS (
+          SELECT user_id,
+                 CASE WHEN lag(t) OVER w2 IS NULL
+                        OR t - lag(t) OVER w2 > 3600000000
+                      THEN 1 ELSE 0 END AS keep
+          FROM e
+          WINDOW w2 AS (PARTITION BY user_id, event_type
+                        ORDER BY t, event_id)
+        ),
+        deb AS (
+          SELECT user_id, CAST(sum(keep) AS BIGINT) AS n_debounced
+          FROM d GROUP BY user_id
+        )
+        SELECT b.user_id, b.n_events, b.n_types, b.sum_value,
+               s.n_sessions, x.n_debounced
+        FROM base b JOIN sess s USING (user_id)
+        JOIN deb x USING (user_id)
+    """
     o["s20_csv_quoted_multiline"] = """
         SELECT n_nationkey,
                n_name || ', "x"' || chr(10) || 'second line' AS note
@@ -5211,9 +5281,9 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 56 entries new this round —
+# window, per VERDICT r5 ask #2: (a) the 57 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 22 more second-wave entries sit just past the edge at ~51-72,
+# lead; 23 more second-wave entries sit just past the edge at ~51-73,
 # self-verified via tools/selfcheck.py this round and first in line
 # for r7) — then (b) as many of the 25 r3-stale re-records as fit.
 # The 9 stale entries that no longer fit (dedup_embedding/jaccard/
@@ -5336,6 +5406,7 @@ SPARK_QUERIES = {
     "s20_csv_quoted_multiline": q_s20_csv_quoted_multiline,
     "s21_json_nested_flatten": q_s21_json_nested_flatten,
     "a14_grouped_percentiles": q_a14_grouped_percentiles,
+    "pipeline_user_features": q_pipeline_user_features,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
