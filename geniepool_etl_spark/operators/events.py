@@ -205,6 +205,68 @@ def asof_join_latest_prior(
     return out
 
 
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts_us",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` — the Arrow lane
+    for per-key alignment logic too imperative for SQL, instantiated
+    on the one alignment with a canonical pandas primitive
+    (``merge_asof``) so it cross-validates
+    :func:`asof_join_latest_prior` against the SAME oracle.
+
+    Each key's (left, right) slices arrive as pandas frames in one
+    Arrow batch; the merge is backward-looking with exact matches
+    allowed and same-timestamp ties resolved to the highest id —
+    bit-identical semantics to the union-carry formulation. One
+    co-shuffle of both sides on the key; the production path stays
+    the JVM union-carry (this lane exists for logic that genuinely
+    needs pandas, and as the template for it).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key} long, {ts} long, {id_col} long, "
+        "asof_ts_us long, asof_event_id long"
+    )
+
+    def _slice(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+        # a side with no rows for this key can arrive as a frame with
+        # NO columns at all (observed under a vanilla ANSI session) —
+        # normalize to an empty, correctly-typed frame
+        if not set(cols).issubset(pdf.columns):
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in cols}
+            )
+        return pdf[cols]
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = _slice(l, [key, ts, id_col]).sort_values([ts, id_col])
+        r = (
+            _slice(r, [ts, id_col])
+            .sort_values([ts, id_col])
+            .rename(
+                columns={ts: "asof_ts_us", id_col: "asof_event_id"}
+            )
+        )
+        out = pd.merge_asof(
+            l, r, left_on=ts, right_on="asof_ts_us",
+            direction="backward", allow_exact_matches=True,
+        )
+        out["asof_ts_us"] = out["asof_ts_us"].astype("Int64")
+        out["asof_event_id"] = out["asof_event_id"].astype("Int64")
+        return out
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
 def with_anomaly_flags(
     df: DataFrame,
     window_n: int = 20,

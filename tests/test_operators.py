@@ -1631,3 +1631,40 @@ def test_feature_hash_counts_width_and_totals(spark):
     assert len(d2) == 1 and d2[0].n == 4  # one token → one bucket
     with pytest.raises(ValueError):
         TX.feature_hash_counts(df, n_buckets=0)
+
+
+def test_asof_cogroup_matches_union_carry(spark):
+    """The pandas merge_asof lane and the JVM union-carry lane must
+    produce identical rows — including a user with left rows but no
+    right rows (the empty-cogroup-side edge)."""
+    ns = 1000
+    rows = [
+        (1, 1, 0, "click", 0.0, None),
+        (2, 1, 10 * ns, "purchase", 0.0, None),
+        (3, 1, 10 * ns, "click", 0.0, None),   # tie at purchase ts
+        (4, 1, 20 * ns, "purchase", 0.0, None),
+        (5, 2, 5 * ns, "purchase", 0.0, None),  # no clicks at all
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, user_id LONG, ts LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    e = E.with_event_time(df)
+    left = e.where("event_type = 'purchase'")
+    right = e.where("event_type = 'click'")
+
+    def snap(frame):
+        return sorted(
+            (r.user_id, r.ts_us, r.event_id, r.asof_ts_us,
+             r.asof_event_id)
+            for r in frame.collect()
+        )
+
+    a = snap(E.asof_join_latest_prior(left, right))
+    b = snap(E.asof_join_cogroup(left, right))
+    assert a == b
+    got = {r[2]: (r[3], r[4]) for r in b}
+    assert got[2] == (10, 3)    # tie at same ts matches (≤ semantics)
+    assert got[4] == (10, 3)
+    assert got[5] == (None, None)  # clickless user still emitted
