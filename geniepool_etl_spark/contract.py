@@ -5296,9 +5296,11 @@ FROM g
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
 # window, per VERDICT r5 ask #2: (a) the 58 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 24 more second-wave entries sit just past the edge at ~51-74,
-# self-verified via tools/selfcheck.py this round and first in line
-# for r7) — then (b) as many of the 25 r3-stale re-records as fit.
+# lead; 24 more second-wave entries sit past the edge — after the 9
+# displaced/deferred stale entries, i.e. ~positions 60-83 — all
+# self-verified via tools/selfcheck.py at sf0.01 AND swept by
+# tools/ansi_sweep.py this round; r7 should put them and the 9 stale
+# first) — then (b) as many of the 25 r3-stale re-records as fit.
 # The 9 stale entries that no longer fit (dedup_embedding/jaccard/
 # levenshtein, events_funnel, pack_windows at ~50, plus the 4 already
 # deferred: lake_zorder_key, sample_mixture_plan, sql_tpch_q3,
