@@ -3430,6 +3430,45 @@ def q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w8_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: event-time RANGE frame — per event, how many of the same
+    user's events fall in the trailing hour (RANGE BETWEEN 3.6e9 µs
+    PRECEDING AND CURRENT ROW on integer epoch-micros). The
+    rate-limit / burst-detection window; RANGE (value-based), not
+    ROWS (count-based), so same-timestamp events share a frame."""
+    e = E.with_event_time(_events(spark, sf_dir))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-E.US_PER_HOUR, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+def q_f7_parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: key-value string parsing via ``str_to_map`` +
+    ``element_at`` — the config/telemetry-string decoder (the map is
+    intermediate only; output stays flat for the driver). The oracle
+    inverts the roundtrip algebraically (parse(render(x)) = x), so
+    DuckDB needs no str_to_map equivalent."""
+    docs = _t(spark, sf_dir, "documents")
+    kv = F.concat(
+        F.lit("lang="), F.col("lang"),
+        F.lit(";src="), F.col("source"),
+    )
+    m = F.str_to_map(kv, F.lit(";"), F.lit("="))
+    return docs.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_parsed"),
+        F.element_at(m, "src").alias("src_parsed"),
+    )
+
+
 def q_pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END per-user feature-store build composed from the
     event operators in ONE plan: activity aggregates + session count
@@ -5110,6 +5149,18 @@ SELECT doc_id, split_unit,
 FROM g
 """
     o["events_asof_cogroup"] = o["events_asof_join"]
+    o["w8_time_range_frame"] = f"""
+        SELECT user_id, event_id, {_EVENT_US} AS ts_us,
+               count(*) OVER (
+                 PARTITION BY user_id ORDER BY {_EVENT_US}
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS n_last_hour
+        FROM events
+    """
+    o["f7_parse_kv"] = """
+        SELECT doc_id, lang AS lang_parsed, source AS src_parsed
+        FROM documents
+    """
     o["pipeline_user_features"] = f"""
         WITH e AS (
           SELECT user_id, event_id, {_EVENT_US} AS t, event_type,
@@ -5294,10 +5345,10 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 58 entries new this round —
+# window, per VERDICT r5 ask #2: (a) the 60 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 24 more second-wave entries sit past the edge — after the 9
-# displaced/deferred stale entries, i.e. ~positions 60-83 — all
+# lead; 26 more second-wave entries sit past the edge — after the 9
+# displaced/deferred stale entries, i.e. ~positions 60-85 — all
 # self-verified via tools/selfcheck.py at sf0.01 AND swept by
 # tools/ansi_sweep.py this round; r7 should put them and the 9 stale
 # first) — then (b) as many of the 25 r3-stale re-records as fit.
@@ -5423,6 +5474,8 @@ SPARK_QUERIES = {
     "a14_grouped_percentiles": q_a14_grouped_percentiles,
     "pipeline_user_features": q_pipeline_user_features,
     "events_asof_cogroup": q_events_asof_cogroup,
+    "w8_time_range_frame": q_w8_time_range_frame,
+    "f7_parse_kv": q_f7_parse_kv,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
