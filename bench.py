@@ -95,6 +95,39 @@ def bench_queries(spark, sf_dir):
             F.sum("ts_us").alias("sum_us"), F.count("*").alias("n")
         )
 
+    # SCD2 maintenance evidence pair: the incremental path's claim is
+    # O(batch) vs the full rebuild's O(history) — measure both. The
+    # standing history is staged to parquet once (in production it IS
+    # a stored table); only the merge/rebuild is timed.
+    from geniepool_etl_spark.operators.upsert import (
+        scd2_apply_batch, scd2_from_changelog,
+    )
+
+    e_all = E.with_event_time(C._t(spark, sf_dir, "events"))
+    split_us = C._SCD2_SPLIT_US
+    standing_dir = tempfile.mkdtemp(prefix="gp_bench_scd2_")
+    scd2_from_changelog(
+        e_all.where(F.col("ts_us") < split_us),
+        key="user_id", ts_col="ts_us", attr="event_type",
+        id_col="event_id",
+    ).write.mode("overwrite").parquet(standing_dir)
+    scd2_standing = spark.read.parquet(standing_dir)
+    scd2_batch = e_all.where(F.col("ts_us") >= split_us).select(
+        "user_id", "ts_us", "event_type", "event_id"
+    )
+
+    def micro_scd2_full():
+        return scd2_from_changelog(
+            e_all, key="user_id", ts_col="ts_us", attr="event_type",
+            id_col="event_id",
+        )
+
+    def micro_scd2_apply():
+        return scd2_apply_batch(
+            scd2_standing, scd2_batch, key="user_id", ts_col="ts_us",
+            attr="event_type", id_col="event_id",
+        )
+
     return {
         "flagship_lake_nest": lambda: C.q_flagship_lake_nest(spark, sf_dir),
         "pricing_summary": lambda: C.q_a4_pricing_summary(spark, sf_dir),
@@ -124,6 +157,8 @@ def bench_queries(spark, sf_dir):
         ),
         "micro_event_us_long": lambda: micro_event_us(enc_dirs["long"]),
         "micro_event_us_ntz": lambda: micro_event_us(enc_dirs["ntz"]),
+        "micro_scd2_full_rebuild": micro_scd2_full,
+        "micro_scd2_apply_batch": micro_scd2_apply,
     }
 
 
