@@ -310,3 +310,32 @@ def scd2_apply_batch(
         F.broadcast(touched), key, "semi"
     )
     return untouched.unionByName(closed).unionByName(renumbered)
+
+
+def merge_upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Conditional merge for out-of-order delivery: an update wins
+    ONLY if its ``ts_col`` is strictly newer than the base row's —
+    the ``MERGE … WHEN MATCHED AND s.ts > t.ts`` semantic that makes
+    re-delivered or late-arriving snapshots safe to apply blindly.
+
+    Plan: one keyed union + per-key max-timestamp keep (row_number
+    with a deterministic side tiebreak: at EQUAL timestamps the base
+    row survives, so replaying the same snapshot is a no-op). One
+    shuffle on the keys; both sides stream into it.
+    """
+    b = base.withColumn("_side", F.lit(0))
+    u = updates.withColumn("_side", F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), F.col("_side").asc()
+    )
+    return (
+        b.unionByName(u)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_side")
+    )

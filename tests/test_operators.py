@@ -1668,3 +1668,31 @@ def test_asof_cogroup_matches_union_carry(spark):
     assert got[2] == (10, 3)    # tie at same ts matches (≤ semantics)
     assert got[4] == (10, 3)
     assert got[5] == (None, None)  # clickless user still emitted
+
+
+def test_merge_upsert_latest_newer_wins_stale_loses(spark):
+    from geniepool_etl_spark.operators.upsert import merge_upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, 100, "old"), (2, 100, "old"), (3, 100, "old")],
+        "k LONG, ts LONG, v STRING",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, 200, "newer"),   # strictly newer → wins
+            (2, 50, "stale"),    # older → loses
+            (3, 100, "replay"),  # equal ts → base wins (idempotence)
+            (4, 10, "insert"),   # new key → inserted
+        ],
+        "k LONG, ts LONG, v STRING",
+    )
+    got = {
+        r.k: (r.ts, r.v)
+        for r in merge_upsert_latest(
+            base, updates, keys=["k"], ts_col="ts"
+        ).collect()
+    }
+    assert got == {
+        1: (200, "newer"), 2: (100, "old"), 3: (100, "old"),
+        4: (10, "insert"),
+    }
