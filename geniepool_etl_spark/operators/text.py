@@ -586,3 +586,100 @@ def feature_hash_counts(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE merge learning, ``k`` rounds: the iterative
+    vocabulary-induction algorithm behind modern tokenizers, run as
+    ``k`` chained aggregates over the corpus VOCABULARY — the classic
+    BPE optimization: pair counts are computed over distinct words
+    weighted by corpus frequency, never over raw text, so each round
+    costs O(|vocab| · max_word_len) regardless of corpus size (the
+    one corpus-sized pass is the initial word count).
+
+    Round structure (statically unrolled — each round depends on the
+    previous merge, inherently sequential): adjacent-symbol pairs of
+    each word's space-joined representation → frequency-weighted
+    count → global argmax (deterministic tiebreak on (count DESC,
+    left, right)) → the 1-row winner broadcasts back and rewrites
+    every representation via left-to-right non-overlapping
+    ``replace`` (' l r ' → ' lr ' on space-padded reps — the
+    surrounding spaces anchor token boundaries, and replace-all
+    left-to-right IS greedy BPE application, identically in any
+    engine).
+
+    Returns the merge table: (step, l, r, merged, pair_count).
+    """
+    if k <= 0:
+        raise ValueError("bpe_learn_merges: k must be > 0")
+    words = (
+        df.select(
+            F.explode(words_col(F.lower(F.col(text_col)))).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("w"), ""), " "),
+            F.lit(" "),
+        ).alias("rep"),
+        "freq",
+    )
+    merge_rows = []
+    for step in range(1, k + 1):
+        t = F.split(F.trim(F.col("rep")), " ")
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.expr(
+                "transform(sequence(1, size(split(trim(rep), ' ')) - 1), "
+                "i -> struct("
+                "  element_at(split(trim(rep), ' '), i) AS l, "
+                "  element_at(split(trim(rep), ' '), i + 1) AS r))"
+            ),
+        ).otherwise(F.array())
+        pairs = (
+            vocab.select(F.explode(bigrams).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(
+                F.col("pair_count").desc(), F.col("l"), F.col("r")
+            )
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                "l",
+                "r",
+                F.concat(F.col("l"), F.col("r")).alias("merged"),
+                "pair_count",
+            )
+        )
+        merge_rows.append(best)
+        b = best.select(
+            F.col("l").alias("_bl"), F.col("r").alias("_br")
+        )
+        vocab = vocab.crossJoin(F.broadcast(b)).select(
+            F.replace(
+                F.col("rep"),
+                F.concat(
+                    F.lit(" "), F.col("_bl"), F.lit(" "),
+                    F.col("_br"), F.lit(" "),
+                ),
+                F.concat(
+                    F.lit(" "), F.col("_bl"), F.col("_br"), F.lit(" ")
+                ),
+            ).alias("rep"),
+            "freq",
+        )
+    out = merge_rows[0]
+    for b in merge_rows[1:]:
+        out = out.unionByName(b)
+    return out

@@ -1696,3 +1696,26 @@ def test_merge_upsert_latest_newer_wins_stale_loses(spark):
         1: (200, "newer"), 2: (100, "old"), 3: (100, "old"),
         4: (10, "insert"),
     }
+
+
+def test_bpe_learns_textbook_merges(spark):
+    """The classic BPE toy corpus (low/lower/newest/widest weighted)
+    must learn es → est → lo, in that order, with exact weighted
+    counts."""
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], "doc_id LONG, text STRING")
+    got = [
+        (r.step, r.l, r.r, r.merged, r.pair_count)
+        for r in sorted(
+            TX.bpe_learn_merges(df, k=3).collect(), key=lambda r: r.step
+        )
+    ]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+    ]
+    with pytest.raises(ValueError):
+        TX.bpe_learn_merges(df, k=0)
