@@ -190,6 +190,7 @@ _INTENDED_CROSS = {
     "text_tfidf",
     "text_bm25",  # 1-row global stats frame broadcast (tfidf pattern)
     "sql_scalar_anti",  # scalar subqueries = 1-row broadcast joins
+    "text_bpe_merges",  # per-round 1-row argmax winner broadcast
 }
 
 
