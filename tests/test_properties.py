@@ -473,3 +473,61 @@ def test_scd2_apply_batch_matches_full_rebuild(log, split_frac):
             key="k", ts_col="ts_us", attr="attr", id_col="id",
         )
     assert snap(merged) == snap(build(rows))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    log=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["A", "B"])),
+        min_size=1,
+        max_size=12,
+    ),
+    facts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 15)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_point_in_time_matches_interval_predicate(log, facts):
+    """The union-carry point-in-time join must equal the brute-force
+    interval-predicate join (valid_from <= t < valid_to, open
+    current interval) for ANY history and ANY fact timestamps —
+    including facts before the first version and on unknown keys
+    (both absent from the result)."""
+    from geniepool_etl_spark.operators.upsert import (
+        point_in_time_join, scd2_from_changelog,
+    )
+
+    spark = _spark()
+    hist_rows = [(k, i, a, i) for i, (k, a) in enumerate(log)]
+    fact_rows = [
+        (1000 + j, k, t) for j, (k, t) in enumerate(facts)
+    ]
+    history = scd2_from_changelog(
+        spark.createDataFrame(hist_rows, "k LONG, ts_us LONG, attr STRING, id LONG"),
+        key="k", ts_col="ts_us", attr="attr", id_col="id",
+    )
+    f = spark.createDataFrame(
+        fact_rows, "event_id LONG, k LONG, ts_us LONG"
+    )
+    got = sorted(
+        (r.k, r.event_id, r.ts_us, r.attr_at_ts, r.version)
+        for r in point_in_time_join(
+            f, history, key="k", fact_ts="ts_us", attr="attr",
+            fact_id="event_id",
+        ).collect()
+    )
+    hist = history.collect()
+    want = sorted(
+        (fk, fid, ft, h.attr, h.version)
+        for (fid, fk, ft) in fact_rows
+        for h in hist
+        if h.k == fk
+        and h.valid_from_us <= ft
+        and (h.valid_to_us is None or ft < h.valid_to_us)
+    )
+    assert got == want
