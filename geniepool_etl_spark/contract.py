@@ -3523,6 +3523,71 @@ def q_lake_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a15_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: exact DECIMAL money arithmetic — the surface users
+    migrate with when they don't adopt the integer-cents convention.
+    Sums of DECIMAL(18,2) are exact and order-independent on any
+    engine; the exact value is EMITTED as its canonical string
+    rendering because engines spell the decimal dtype itself
+    differently ('decimal(18,2)' vs 'DECIMAL(18,2)') and the
+    driver's schema compare is textual."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.select("o_orderstatus", d.alias("d"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("d").cast("decimal(18,2)").cast("string")
+            .alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_x4_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: null-preserving generator (``explode_outer``) — rows whose
+    array is empty survive with a NULL element instead of vanishing,
+    the variant every fan-out that must not drop parents needs."""
+    nation = _t(spark, sf_dir, "nation")
+    arr = F.when(
+        F.col("n_nationkey") % 5 == 0,
+        F.array().cast("array<int>"),
+    ).otherwise(
+        F.array(
+            F.col("n_nationkey") * 10, F.col("n_nationkey") * 10 + 1
+        )
+    )
+    return nation.select(
+        "n_nationkey", F.explode_outer(arr).alias("_v")
+    ).select("n_nationkey", F.col("_v").cast("long").alias("v"))
+
+
+def q_a16_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: year-over-year comparison via a value-based self-join on
+    the month key (ym − 100), not a rows-based lag(12) — correct
+    even with missing months, and the joined side is the tiny
+    monthly aggregate (broadcast)."""
+    o = _t(spark, sf_dir, "orders")
+    ym = (
+        F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    ).cast("long")
+    m = o.groupBy(ym.alias("ym")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    prev = m.select(
+        (F.col("ym") + 100).alias("ym"),
+        F.col("rev").alias("rev_prev_year"),
+    )
+    return m.join(F.broadcast(prev), "ym", "left").select(
+        "ym",
+        "rev",
+        "rev_prev_year",
+        F.round(
+            F.col("rev") - F.col("rev_prev_year"), 2
+        ).alias("yoy_delta"),
+    )
+
+
 _BPE_K = 3
 
 
@@ -5262,6 +5327,37 @@ FROM g
 """
     o["events_asof_cogroup"] = o["events_asof_join"]
     o["text_bpe_merges"] = _bpe_oracle(_BPE_K)
+    o["a15_decimal_money"] = """
+        SELECT o_orderstatus,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS VARCHAR) AS total,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """
+    o["x4_explode_outer"] = """
+        WITH a AS (
+          SELECT n_nationkey,
+                 CASE WHEN n_nationkey % 5 = 0 THEN []
+                      ELSE [n_nationkey * 10, n_nationkey * 10 + 1]
+                 END AS arr
+          FROM nation
+        )
+        SELECT n_nationkey, CAST(unnest(arr) AS BIGINT) AS v
+        FROM a WHERE len(arr) > 0
+        UNION ALL
+        SELECT n_nationkey, NULL AS v FROM a WHERE len(arr) = 0
+    """
+    o["a16_yoy"] = """
+        WITH m AS (
+          SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                   AS BIGINT) AS ym,
+                 round(sum(o_totalprice), 2) AS rev
+          FROM orders GROUP BY 1
+        )
+        SELECT cur.ym, cur.rev, prev.rev AS rev_prev_year,
+               round(cur.rev - prev.rev, 2) AS yoy_delta
+        FROM m cur LEFT JOIN m prev ON prev.ym = cur.ym - 100
+    """
     o["f8_sql_pandas_udf"] = """
         SELECT o_orderpriority,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -5489,10 +5585,10 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 63 entries new this round —
+# window, per VERDICT r5 ask #2: (a) the 66 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 29 more second-wave entries sit past the edge — after the 9
-# displaced/deferred stale entries, i.e. ~positions 60-88 — all
+# lead; 32 more second-wave entries sit past the edge — after the 9
+# displaced/deferred stale entries, i.e. ~positions 60-91 — all
 # self-verified via tools/selfcheck.py at sf0.01 AND swept by
 # tools/ansi_sweep.py this round; r7 should put them and the 9 stale
 # first) — then (b) as many of the 25 r3-stale re-records as fit.
@@ -5623,6 +5719,9 @@ SPARK_QUERIES = {
     "f8_sql_pandas_udf": q_f8_sql_pandas_udf,
     "lake_upsert_latest": q_lake_upsert_latest,
     "text_bpe_merges": q_text_bpe_merges,
+    "a15_decimal_money": q_a15_decimal_money,
+    "x4_explode_outer": q_x4_explode_outer,
+    "a16_yoy": q_a16_yoy,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,

@@ -407,3 +407,57 @@ def test_corpus_build_pipeline_is_three_exchanges(spark):
     df = C.q_pipeline_corpus_build(spark, SF_SMALL)
     P.assert_no_cartesian(df)
     P.assert_max_exchanges(df, 3)
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD2 windows (run compression + interval stitch) share
+    one (key, ts, id) sort — Catalyst must plan exactly ONE exchange."""
+    df = C.q_scd2_history(spark, SF_SMALL)
+    P.assert_max_exchanges(df, 1)
+
+
+def test_point_in_time_two_exchanges_max(spark):
+    """History derivation + union-carry: two keyed exchanges on
+    user_id, nothing more (no range-join blowup)."""
+    df = C.q_scd2_point_in_time(spark, SF_SMALL)
+    P.assert_max_exchanges(df, 2)
+    P.assert_no_cartesian(df)
+
+
+def test_table_diff_shuffles_digests_not_rows(spark):
+    """The reconcile full-outer join must consume (key, md5)
+    projections: the exchange payload is the digest, never the wide
+    compared columns."""
+    from geniepool_etl_spark.operators.reconcile import table_diff
+
+    left = C._t(spark, SF_SMALL, "orders")
+    right = C._t(spark, SF_SMALL, "orders")
+    df = table_diff(
+        left, right, ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+    plan = P.final_plan(df)
+    import re
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges, "expected keyed exchanges in the diff plan"
+    # compared columns are digested below every exchange: the md5
+    # projection must appear, and no exchange row carries the raw
+    # compared columns alongside it
+    assert "md5" in plan
+    assert not re.search(r"Exchange[^\n]*o_orderpriority", plan)
+
+
+def test_debounce_and_transition_exchange_budget(spark):
+    """debounce: one window exchange. transition_counts: the lag
+    window + (prev,next) aggregate + broadcast-back totals — the
+    totals must NOT introduce a skewed low-cardinality window."""
+    ev = C._events(spark, SF_SMALL)
+    from geniepool_etl_spark.operators import events as EV
+
+    P.assert_max_exchanges(EV.debounce(ev), 1)
+    t = EV.transition_counts(ev)
+    plan = P.final_plan(t)
+    assert "BroadcastExchange" in plan  # totals come back broadcast
+    P.assert_no_cartesian(t)
