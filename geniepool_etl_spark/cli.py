@@ -221,12 +221,56 @@ def _run_corpus_build(ns: argparse.Namespace) -> int:
     return 0
 
 
+def _run_diff(ns: argparse.Namespace) -> int:
+    """Migration-validation report: digest-diff two keyed parquet
+    tables; writes the per-status counts and prints them."""
+    from geniepool_etl_spark.operators.reconcile import diff_summary
+
+    spark = get_spark("geniepool-diff")
+    left = spark.read.parquet(ns.left)
+    right = spark.read.parquet(ns.right)
+    keys = ns.keys.split(",")
+    compare = (
+        ns.columns.split(",")
+        if ns.columns
+        else [c for c in left.columns if c not in keys]
+    )
+    out = diff_summary(left, right, keys, compare)
+    out.write.mode("overwrite").parquet(ns.output)
+    for r in spark.read.parquet(ns.output).collect():
+        print(f"{r.status}\t{r.n_rows}")
+    return 0
+
+
+def _run_scd2(ns: argparse.Namespace) -> int:
+    """Build (or incrementally extend) an SCD2 history from a change
+    log: with --standing, the input is applied as a batch onto the
+    existing history (O(batch)); without, a full build."""
+    from geniepool_etl_spark.operators.upsert import (
+        scd2_apply_batch, scd2_from_changelog,
+    )
+
+    spark = get_spark("geniepool-scd2")
+    log = spark.read.parquet(ns.input)
+    kw = dict(
+        key=ns.key, ts_col=ns.ts_col, attr=ns.attr, id_col=ns.id_col
+    )
+    if ns.standing:
+        standing = spark.read.parquet(ns.standing)
+        out = scd2_apply_batch(standing, log, **kw)
+    else:
+        out = scd2_from_changelog(log, **kw)
+    out.write.mode("overwrite").parquet(ns.output)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     # reference-compatible bare form: 8 positional args = the ETL job
     if len(args) == 8 and args[0] not in (
         "etl", "dedup", "profile", "text-stats", "sim-topk", "pack",
         "chunk", "shuffle", "pii", "compact", "recover", "corpus-build",
+        "diff", "scd2",
     ):
         return _run_etl(args)
     if args and args[0] == "etl":
@@ -283,6 +327,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--stride-words", type=int, default=48)
     s.add_argument("--context-len", type=int, default=512)
     s.add_argument("--shards", type=int, default=None)
+    s = sub.add_parser("diff")
+    s.add_argument("left")
+    s.add_argument("right")
+    s.add_argument("output")
+    s.add_argument("--keys", required=True)
+    s.add_argument("--columns", default=None)
+    s = sub.add_parser("scd2")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--key", required=True)
+    s.add_argument("--ts-col", required=True)
+    s.add_argument("--attr", required=True)
+    s.add_argument("--id-col", required=True)
+    s.add_argument("--standing", default=None)
     ns = p.parse_args(args)
     return {
         "dedup": _run_dedup,
@@ -296,6 +354,8 @@ def main(argv: list[str] | None = None) -> int:
         "compact": _run_compact,
         "recover": _run_recover,
         "corpus-build": _run_corpus_build,
+        "diff": _run_diff,
+        "scd2": _run_scd2,
     }[ns.cmd](ns)
 
 

@@ -134,3 +134,52 @@ def test_cli_corpus_build(spark, tmp_path):
             "last_window"} <= set(got.columns)
     assert got.count() > 0
     assert got.select("shard").distinct().count() <= 2
+
+
+def test_cli_diff_and_scd2(spark, tmp_path):
+    from geniepool_etl_spark.cli import main
+
+    left = str(tmp_path / "left")
+    right = str(tmp_path / "right")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k LONG, v STRING"
+    ).write.parquet(left)
+    spark.createDataFrame(
+        [(1, "a"), (2, "CHANGED"), (4, "d")], "k LONG, v STRING"
+    ).write.parquet(right)
+    out = str(tmp_path / "diff_out")
+    assert main(["diff", left, right, out, "--keys", "k"]) == 0
+    got = {
+        r.status: r.n_rows for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        "match": 1, "differs": 1, "only_left": 1, "only_right": 1
+    }
+
+    log = str(tmp_path / "log")
+    spark.createDataFrame(
+        [(1, 100, "A", 1), (1, 200, "B", 2)],
+        "k LONG, ts LONG, attr STRING, id LONG",
+    ).write.parquet(log)
+    hist = str(tmp_path / "hist")
+    assert main([
+        "scd2", log, hist, "--key", "k", "--ts-col", "ts",
+        "--attr", "attr", "--id-col", "id",
+    ]) == 0
+    rows = {r.version: r.attr for r in spark.read.parquet(hist).collect()}
+    assert rows == {1: "A", 2: "B"}
+    # incremental extension onto the standing history
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(1, 300, "C", 3)], "k LONG, ts LONG, attr STRING, id LONG"
+    ).write.parquet(batch)
+    hist2 = str(tmp_path / "hist2")
+    assert main([
+        "scd2", batch, hist2, "--key", "k", "--ts-col", "ts",
+        "--attr", "attr", "--id-col", "id", "--standing", hist,
+    ]) == 0
+    rows2 = {
+        r.version: (r.attr, r.is_current)
+        for r in spark.read.parquet(hist2).collect()
+    }
+    assert rows2 == {1: ("A", False), 2: ("B", False), 3: ("C", True)}
