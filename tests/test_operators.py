@@ -1719,3 +1719,55 @@ def test_bpe_learns_textbook_merges(spark):
     ]
     with pytest.raises(ValueError):
         TX.bpe_learn_merges(df, k=0)
+
+
+def test_key_operators_tolerate_empty_inputs(spark):
+    """Empty-input robustness: the operators a daily pipeline calls
+    unconditionally must return EMPTY (correct schema), never raise —
+    an empty ingest day is normal, not exceptional."""
+    from geniepool_etl_spark.operators.reconcile import diff_summary
+    from geniepool_etl_spark.operators.sampling import sample_per_group
+    from geniepool_etl_spark.operators.upsert import (
+        merge_upsert_latest, scd2_from_changelog,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    empty_log = spark.createDataFrame(
+        [], "k LONG, ts_us LONG, attr STRING, id LONG"
+    )
+    empty_ev = spark.createDataFrame(
+        [],
+        "event_id LONG, user_id LONG, ts LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    assert TX.bm25_topk(empty_docs, terms=["x"]).count() == 0
+    assert TX.word_entropy(empty_docs).count() == 0
+    assert TX.feature_hash_counts(empty_docs).count() == 0
+    assert TX.bpe_learn_merges(empty_docs, k=2).count() == 0
+    assert (
+        scd2_from_changelog(
+            empty_log, key="k", ts_col="ts_us", attr="attr", id_col="id"
+        ).count()
+        == 0
+    )
+    assert E.debounce(empty_ev).count() == 0
+    assert E.transition_counts(empty_ev).count() == 0
+    assert E.dwell_times(empty_ev).count() == 0
+    assert sample_per_group(empty_docs, ["text"], k=3).count() == 0
+    # empty vs empty reconciliation: all four statuses, all zero
+    got = {
+        r.status: r.n_rows
+        for r in diff_summary(
+            empty_docs, empty_docs, ["doc_id"], ["text"]
+        ).collect()
+    }
+    assert got == {
+        "match": 0, "differs": 0, "only_left": 0, "only_right": 0
+    }
+    # conditional merge with an empty update side is the identity
+    base = spark.createDataFrame([(1, 10, "a")], "k LONG, ts LONG, v STRING")
+    out = merge_upsert_latest(
+        base, spark.createDataFrame([], "k LONG, ts LONG, v STRING"),
+        keys=["k"], ts_col="ts",
+    )
+    assert [(r.k, r.ts, r.v) for r in out.collect()] == [(1, 10, "a")]
