@@ -3647,32 +3647,16 @@ v0 AS (
 
 
 def q_pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END per-user feature-store build composed from the
-    event operators in ONE plan: activity aggregates + session count
-    (session_window) + debounced-interaction count — the
-    feature-engineering counterpart of ``pipeline_corpus_build``.
-    Every stage keys on the high-cardinality ``user_id``, so the
-    joins co-partition and AQE coalesces the small aggregate sides;
-    nothing in the composition adds a shuffle a single stage would
-    not already pay."""
-    ev = _events(spark, sf_dir)
-    e = E.with_event_time(ev)
-    base = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.count_distinct("event_type").alias("n_types"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
-    sessions = (
-        E.session_agg(ev)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_sessions"))
-    )
-    debounced = (
-        E.debounce(ev, window_us=E.US_PER_HOUR)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_debounced"))
-    )
-    return base.join(sessions, "user_id").join(debounced, "user_id")
+    """END-TO-END per-user feature-store build (operators/events.
+    user_feature_table): activity aggregates + session count +
+    debounced-interaction count FUSED into one scan and two shuffles
+    — the feature-engineering counterpart of
+    ``pipeline_corpus_build``. The naive composition (session_agg +
+    debounce + three joins) computes the same answer in three scans
+    and five hash exchanges; the fusion expresses both derived
+    counts as window flags folded into the single per-user
+    aggregate (plan-pinned in tests/test_plans.py)."""
+    return E.user_feature_table(_events(spark, sf_dir))
 
 
 _SQL_Q7 = """

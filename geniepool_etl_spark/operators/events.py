@@ -530,6 +530,57 @@ def dwell_times(df: DataFrame) -> DataFrame:
     )
 
 
+def user_feature_table(
+    df: DataFrame,
+    session_gap_us: int = 30 * US_PER_MIN,
+    debounce_us: int = US_PER_HOUR,
+) -> DataFrame:
+    """FUSED per-user feature-store build: activity aggregates,
+    session count, and debounced-interaction count in ONE scan and
+    ONE shuffle — the single-pass form of composing
+    ``session_agg``/``debounce`` and joining (which costs three
+    scans and five hash exchanges for the same answer; measured on
+    the contract entry's plan before the fusion).
+
+    Two observations do the work. (1) Both derived features are
+    per-row FLAGS under a window: a session COUNT is the count of
+    session *starts* (gap > session_gap over the user window — the
+    same boundary rule as ``session_window``), and a debounced count
+    is the count of chain *heads* (gap > debounce_us over the
+    (user, type) window); flags fold into the one per-user
+    aggregate. (2) ``hashpartitioning(user_id)`` co-locates every
+    (user_id, event_type) group too, so Catalyst satisfies BOTH
+    windows and the final aggregate from a SINGLE exchange — the
+    plan is scan → exchange(user_id) → sort/window ×2 → partial-free
+    final agg, plan-pinned in tests/test_plans.py.
+    """
+    e = with_event_time(df)
+    w_u = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    gap_u = F.col("ts_us") - F.lag("ts_us").over(w_u)
+    gap_ut = F.col("ts_us") - F.lag("ts_us").over(w_ut)
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        (gap_u.isNull() | (gap_u > session_gap_us))
+        .cast("long")
+        .alias("_new_session"),
+        (gap_ut.isNull() | (gap_ut > debounce_us))
+        .cast("long")
+        .alias("_chain_head"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum("_new_session").alias("n_sessions"),
+        F.sum("_chain_head").alias("n_debounced"),
+    )
+
+
 def pivot_type_counts(df: DataFrame, types: list[str]) -> DataFrame:
     """Per-user event-type count matrix via ``pivot`` with an explicit
     value list (skips the extra distinct-values job — at scale the

@@ -461,3 +461,15 @@ def test_debounce_and_transition_exchange_budget(spark):
     plan = P.final_plan(t)
     assert "BroadcastExchange" in plan  # totals come back broadcast
     P.assert_no_cartesian(t)
+
+
+def test_user_feature_table_is_one_scan_one_exchange(spark):
+    """The fused feature build must keep its shape: a single parquet
+    scan and a single hash exchange feeding both windows and the
+    final aggregate (the composed form costs 3 scans / 5 hash
+    exchanges for the same answer)."""
+    df = C.q_pipeline_user_features(spark, SF_SMALL)
+    plan = P.final_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    P.assert_no_cartesian(df)
