@@ -3588,6 +3588,13 @@ def q_a16_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM table (operators/text.bigram_next_words): top-3 next
+    words per word with conditional probability — zip-shift pairs,
+    one pair aggregate, vocab-sized totals broadcast back."""
+    return TX.bigram_next_words(_t(spark, sf_dir, "documents"), k=3)
+
+
 _BPE_K = 3
 
 
@@ -5311,6 +5318,25 @@ FROM g
 """
     o["events_asof_cogroup"] = o["events_asof_join"]
     o["text_bpe_merges"] = _bpe_oracle(_BPE_K)
+    o["text_bigram_lm"] = r"""
+        WITH tok AS (
+          SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ),
+        pairs AS (
+          SELECT w[i] AS word, w[i + 1] AS next, count(*) AS n
+          FROM tok, UNNEST(range(1, len(w))) AS u(i)
+          GROUP BY 1, 2
+        ),
+        t AS (SELECT word, sum(n) AS total FROM pairs GROUP BY 1)
+        SELECT p.word, p.next, p.n,
+               round(CAST(p.n AS DOUBLE) / t.total, 4) AS p,
+               CAST(row_number() OVER (
+                 PARTITION BY p.word ORDER BY p.n DESC, p.next
+               ) AS BIGINT) AS rnk
+        FROM pairs p JOIN t USING (word)
+        QUALIFY rnk <= 3
+    """
     o["a15_decimal_money"] = """
         SELECT o_orderstatus,
                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5569,9 +5595,9 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 66 entries new this round —
+# window, per VERDICT r5 ask #2: (a) the 67 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 32 more second-wave entries sit past the edge — after the 9
+# lead; 33 more second-wave entries sit past the edge — after the 9
 # displaced/deferred stale entries, i.e. ~positions 60-91 — all
 # self-verified via tools/selfcheck.py at sf0.01 AND swept by
 # tools/ansi_sweep.py this round; r7 should put them and the 9 stale
@@ -5706,6 +5732,7 @@ SPARK_QUERIES = {
     "a15_decimal_money": q_a15_decimal_money,
     "x4_explode_outer": q_x4_explode_outer,
     "a16_yoy": q_a16_yoy,
+    "text_bigram_lm": q_text_bigram_lm,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,

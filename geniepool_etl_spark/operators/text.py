@@ -683,3 +683,61 @@ def bpe_learn_merges(
     for b in merge_rows[1:]:
         out = out.unionByName(b)
     return out
+
+
+def bigram_next_words(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model table: for every word, the top-``k``
+    next words with count and conditional probability P(next|word) —
+    the n-gram LM statistic behind autocomplete-style heuristics and
+    the corpus-predictability diagnostics next to
+    :func:`word_entropy`.
+
+    Adjacent word pairs come from a zip-shift over each document's
+    word array (narrow, O(len)); counts aggregate once on the
+    (word, next) pair; per-word totals — |vocab| rows — broadcast
+    back (never a window partitioned by the skewed word key, same
+    rule as events.transition_counts); top-k ranks on the
+    high-cardinality word with a (count DESC, next) tiebreak.
+    """
+    from pyspark.sql import Window
+
+    w = words_col(F.lower(F.col(text_col)))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array())
+    counts = (
+        df.select(F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.l").alias("word"), F.col("p.r").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("word").agg(F.sum("n").alias("_total"))
+    ranked = (
+        counts.join(F.broadcast(totals), "word")
+        .select(
+            "word",
+            "next",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_total"), 4)
+            .alias("p"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.partitionBy("word").orderBy(
+                    F.col("n").desc(), F.col("next")
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return ranked.where(F.col("rnk") <= k)

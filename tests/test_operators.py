@@ -1771,3 +1771,16 @@ def test_key_operators_tolerate_empty_inputs(spark):
         keys=["k"], ts_col="ts",
     )
     assert [(r.k, r.ts, r.v) for r in out.collect()] == [(1, 10, "a")]
+
+
+def test_bigram_lm_counts_and_topk(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b")], "doc_id LONG, text STRING"
+    )
+    rows = TX.bigram_next_words(df, k=2).collect()
+    got = {(r.word, r.next): (r.n, r.p, r.rnk) for r in rows}
+    # from 'a': a→b ×3, a→c ×1 (total 4); from 'b': b→a ×2 (total 2)
+    assert got[("a", "b")] == (3, 0.75, 1)
+    assert got[("a", "c")] == (1, 0.25, 2)
+    assert got[("b", "a")] == (2, 1.0, 1)
+    assert len(got) == 3
