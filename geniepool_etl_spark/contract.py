@@ -3588,6 +3588,53 @@ def q_a16_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows under readStream (streaming.run_sliding_stream):
+    overlapping 1h windows sliding by 30min, count + sum — the
+    distinct-free streamed form (streaming cannot run
+    ``count_distinct``; that delta is the documented point)."""
+    from geniepool_etl_spark.streaming import run_sliding_stream
+
+    return run_sliding_stream(spark, sf_dir, name=f"sl_{next(_uniq)}")
+
+
+def q_a17_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: equi-depth (quartile) histogram WITHOUT a global sort —
+    ntile's single-partition trap at scale. Exact interpolated
+    quartile boundaries come from one 1-row aggregate (broadcast
+    back); bucket assignment is a narrow integer-cents comparison
+    sum; counts aggregate on 4 keys. Boundaries round to integer
+    cents so the comparisons are engine-exact."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    stats = o.agg(
+        *[
+            F.round(F.percentile(cents, q)).cast("long").alias(f"q{i}")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    c = F.col("_c")
+    bucket = (
+        (c > F.col("q1")).cast("int")
+        + (c > F.col("q2")).cast("int")
+        + (c > F.col("q3")).cast("int")
+    ).cast("long")
+    return (
+        o.select(cents.alias("_c"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            bucket.alias("bucket"),
+            c,
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_c").alias("min_cents"),
+            F.max("_c").alias("max_cents"),
+        )
+    )
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM table (operators/text.bigram_next_words): top-3 next
     words per word with conditional probability — zip-shift pairs,
@@ -5318,6 +5365,37 @@ FROM g
 """
     o["events_asof_cogroup"] = o["events_asof_join"]
     o["text_bpe_merges"] = _bpe_oracle(_BPE_K)
+    o["stream_sliding"] = f"""
+        WITH e AS (SELECT {_EVENT_US} AS t, value FROM events),
+        x AS (
+          SELECT (t // 1800000000 - i) * 1800000000 AS w_start_us,
+                 value
+          FROM e, UNNEST([0, 1]) AS u(i)
+        )
+        SELECT w_start_us, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM x GROUP BY w_start_us
+    """
+    o["a17_equidepth"] = """
+        WITH c AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        q AS (
+          SELECT CAST(round(quantile_cont(cents, 0.25)) AS BIGINT) AS q1,
+                 CAST(round(quantile_cont(cents, 0.50)) AS BIGINT) AS q2,
+                 CAST(round(quantile_cont(cents, 0.75)) AS BIGINT) AS q3
+          FROM c
+        )
+        SELECT CAST((cents > q1) AS BIGINT)
+                 + CAST((cents > q2) AS BIGINT)
+                 + CAST((cents > q3) AS BIGINT) AS bucket,
+               count(*) AS n_rows,
+               min(cents) AS min_cents,
+               max(cents) AS max_cents
+        FROM c, q
+        GROUP BY 1
+    """
     o["text_bigram_lm"] = r"""
         WITH tok AS (
           SELECT string_split_regex(trim(lower(text)), '\s+') AS w
@@ -5595,9 +5673,9 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 67 entries new this round —
+# window, per VERDICT r5 ask #2: (a) the 69 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 33 more second-wave entries sit past the edge — after the 9
+# lead; 35 more second-wave entries sit past the edge — after the 9
 # displaced/deferred stale entries, i.e. ~positions 60-91 — all
 # self-verified via tools/selfcheck.py at sf0.01 AND swept by
 # tools/ansi_sweep.py this round; r7 should put them and the 9 stale
@@ -5733,6 +5811,8 @@ SPARK_QUERIES = {
     "x4_explode_outer": q_x4_explode_outer,
     "a16_yoy": q_a16_yoy,
     "text_bigram_lm": q_text_bigram_lm,
+    "stream_sliding": q_stream_sliding,
+    "a17_equidepth": q_a17_equidepth,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,

@@ -791,3 +791,46 @@ def run_scd2_stream(
     standing = tempfile.mkdtemp(prefix="gp_scd2_standing_")
     ckpt = tempfile.mkdtemp(prefix="gp_scd2_ckpt_")
     return maintain_scd2_stream(spark, src, standing, ckpt)
+
+
+def run_sliding_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Sliding-window aggregation under readStream (complete-mode
+    memory sink): overlapping windows work unchanged in Structured
+    Streaming, but DISTINCT aggregates do not — so the streamed
+    variant carries count + sum (the batch ``sliding_agg``'s
+    ``count_distinct(user_id)`` is the documented delta; streaming
+    distincts need an HLL sketch column instead)."""
+    src = _stage_events_src(sf_dir)
+    stream = read_event_stream(spark, src)
+    from pyspark.sql import functions as F
+
+    e = E.with_event_time(stream)
+    win = F.window(
+        F.col("event_time"), "3600000000 microseconds",
+        "1800000000 microseconds",
+    )
+    out = (
+        e.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)

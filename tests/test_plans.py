@@ -191,6 +191,7 @@ _INTENDED_CROSS = {
     "text_bm25",  # 1-row global stats frame broadcast (tfidf pattern)
     "sql_scalar_anti",  # scalar subqueries = 1-row broadcast joins
     "text_bpe_merges",  # per-round 1-row argmax winner broadcast
+    "a17_equidepth",  # 1-row quartile-boundary frame broadcast
 }
 
 
@@ -221,6 +222,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "stream_join",
         "stream_stateful",
         "stream_rollup",
+        "stream_sliding",
         "dedup_clusters",
         "lake_upsert",
     }
