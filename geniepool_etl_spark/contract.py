@@ -3588,6 +3588,59 @@ def q_a16_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_PIVOT = """
+    SELECT * FROM (
+      SELECT o_orderstatus, o_orderpriority FROM orders
+    )
+    PIVOT (
+      count(*) AS n
+      FOR o_orderpriority IN (
+        '1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+        '4-NOT SPECIFIED' AS unspecified, '5-LOW' AS low
+      )
+    )
+"""
+
+
+def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text PIVOT clause (not the DataFrame API): explicit value
+    list with aliases — the declared-domain rule again (no extra
+    distinct-values job at scale). The oracle states the equivalent
+    conditional aggregation, since PIVOT syntax is engine-specific."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    out = spark.sql(_SQL_PIVOT)
+    # Spark's count-pivot yields NULL for empty cells; report 0
+    return out.na.fill(
+        0, [c for c in out.columns if c != "o_orderstatus"]
+    )
+
+
+def q_x5_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: multiset set operators — INTERSECT ALL / EXCEPT ALL keep
+    MULTIPLICITY (min / difference of per-row counts), unlike the
+    distinct variants in ``set_ops``. Derived frames plant rows with
+    counts >1 on both sides so the multiset semantics are actually
+    exercised."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") % 3 == 0).select(
+        (F.col("l_orderkey") % 50).alias("k")
+    )
+    b = li.where(F.col("l_orderkey") % 2 == 0).select(
+        (F.col("l_orderkey") % 50).alias("k")
+    )
+    inter = a.intersectAll(b).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    exc = a.exceptAll(b).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_except")
+    )
+    return inter.join(exc, "k", "full_outer").select(
+        "k",
+        F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+        F.coalesce(F.col("n_except"), F.lit(0)).alias("n_except"),
+    )
+
+
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows under readStream (streaming.run_sliding_stream):
     overlapping 1h windows sliding by 30min, count + sum — the
@@ -5365,6 +5418,44 @@ FROM g
 """
     o["events_asof_cogroup"] = o["events_asof_join"]
     o["text_bpe_merges"] = _bpe_oracle(_BPE_K)
+    o["sql_pivot"] = """
+        SELECT o_orderstatus,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+               CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high,
+               CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+               CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS unspecified,
+               CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low
+        FROM orders GROUP BY o_orderstatus
+    """
+    o["x5_set_ops_all"] = """
+        WITH a AS (
+          SELECT l_orderkey % 50 AS k FROM lineitem
+          WHERE l_orderkey % 3 = 0
+        ),
+        b AS (
+          SELECT l_orderkey % 50 AS k FROM lineitem
+          WHERE l_orderkey % 2 = 0
+        ),
+        i AS (
+          SELECT k, count(*) AS n_inter
+          FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+          GROUP BY k
+        ),
+        e AS (
+          SELECT k, count(*) AS n_except
+          FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+          GROUP BY k
+        )
+        SELECT coalesce(i.k, e.k) AS k,
+               coalesce(n_inter, 0) AS n_inter,
+               coalesce(n_except, 0) AS n_except
+        FROM i FULL OUTER JOIN e ON i.k = e.k
+    """
     o["stream_sliding"] = f"""
         WITH e AS (SELECT {_EVENT_US} AS t, value FROM events),
         x AS (
@@ -5673,9 +5764,9 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 69 entries new this round —
+# window, per VERDICT r5 ask #2: (a) the 71 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 35 more second-wave entries sit past the edge — after the 9
+# lead; 37 more second-wave entries sit past the edge — after the 9
 # displaced/deferred stale entries, i.e. ~positions 60-91 — all
 # self-verified via tools/selfcheck.py at sf0.01 AND swept by
 # tools/ansi_sweep.py this round; r7 should put them and the 9 stale
@@ -5813,6 +5904,8 @@ SPARK_QUERIES = {
     "text_bigram_lm": q_text_bigram_lm,
     "stream_sliding": q_stream_sliding,
     "a17_equidepth": q_a17_equidepth,
+    "sql_pivot": q_sql_pivot,
+    "x5_set_ops_all": q_x5_set_ops_all,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
