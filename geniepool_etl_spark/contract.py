@@ -3588,6 +3588,33 @@ def q_a16_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f9_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: the pandas-on-Spark surface (``pyspark.pandas``) — the
+    lift-and-shift lane for pandas codebases: read_parquet →
+    groupby-agg → reset_index, converted back to a Spark frame. It
+    compiles to the SAME Catalyst plan as the DataFrame API (one
+    partial-agg'd shuffle), so pandas syntax costs nothing at scale
+    — the caveat a migrating user needs is ordering-sensitive ops
+    (head/iloc without sort) and the default-index generation, both
+    avoided here."""
+    import warnings
+
+    import pyspark.pandas as ps
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pdf = ps.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+        out = (
+            pdf.groupby("o_orderstatus")
+            .agg(n=("o_orderkey", "count"), total=("o_totalprice", "sum"))
+            .reset_index()
+        )
+        sdf = out.to_spark()
+    return sdf.select(
+        "o_orderstatus", "n", F.round(F.col("total"), 2).alias("total")
+    )
+
+
 _SQL_PIVOT = """
     SELECT * FROM (
       SELECT o_orderstatus, o_orderpriority FROM orders
@@ -5418,6 +5445,11 @@ FROM g
 """
     o["events_asof_cogroup"] = o["events_asof_join"]
     o["text_bpe_merges"] = _bpe_oracle(_BPE_K)
+    o["f9_pandas_api"] = """
+        SELECT o_orderstatus, count(o_orderkey) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus
+    """
     o["sql_pivot"] = """
         SELECT o_orderstatus,
                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
@@ -5764,9 +5796,9 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 71 entries new this round —
+# window, per VERDICT r5 ask #2: (a) the 72 entries new this round —
 # never recorded, so they outrank everything (5 second-wave additions
-# lead; 37 more second-wave entries sit past the edge — after the 9
+# lead; 38 more second-wave entries sit past the edge — after the 9
 # displaced/deferred stale entries, i.e. ~positions 60-91 — all
 # self-verified via tools/selfcheck.py at sf0.01 AND swept by
 # tools/ansi_sweep.py this round; r7 should put them and the 9 stale
@@ -5906,6 +5938,7 @@ SPARK_QUERIES = {
     "a17_equidepth": q_a17_equidepth,
     "sql_pivot": q_sql_pivot,
     "x5_set_ops_all": q_x5_set_ops_all,
+    "f9_pandas_api": q_f9_pandas_api,
     # --- freshest recordings (r4/r5 green) — demoted to the tail ---
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
