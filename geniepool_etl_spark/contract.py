@@ -3266,10 +3266,15 @@ def q_events_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_f6_ordered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: ordered/positional aggregates — ``max_by``/``min_by`` (on a
     deterministic composite rank: price-cents ⊕ orderkey, so ties
-    cannot make the winner engine-dependent) and exact ``median``."""
+    cannot make the winner engine-dependent) and exact ``median``.
+    The 10^10 multiplier keeps the rank price-monotone and
+    collision-free while o_orderkey < 10^10 — TPC-H orderkeys reach
+    6e9 at SF 1000, so the composite survives every supported scale
+    (10^7 would collide from SF≈2)."""
     o = _t(spark, sf_dir, "orders")
     rank = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * 10_000_000
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        * 10_000_000_000
         + F.col("o_orderkey")
     )
     return (
@@ -3728,9 +3733,12 @@ _BPE_K = 3
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (operators/text.
     bpe_learn_merges): 3 rounds of frequency-weighted pair counting
-    over the corpus vocabulary with greedy merge application — the
-    tokenizer-induction algorithm as chained Spark aggregates. The
-    oracle unrolls the same 3 rounds as DuckDB CTEs."""
+    over the corpus vocabulary, applying each winning merge via
+    single-pass non-overlapping replace — a deterministic
+    approximation of greedy BPE that differs only on
+    immediately-repeated winning pairs (see the operator docstring's
+    APPROXIMATION NOTE). The oracle unrolls the same 3 rounds as
+    DuckDB CTEs using DuckDB's identical single-pass replace()."""
     return TX.bpe_learn_merges(
         _t(spark, sf_dir, "documents"), k=_BPE_K
     )
@@ -5733,10 +5741,10 @@ FROM g
         SELECT o_orderpriority,
                max_by(o_orderkey,
                       CAST(round(o_totalprice * 100) AS BIGINT)
-                        * 10000000 + o_orderkey) AS dearest_key,
+                        * 10000000000 + o_orderkey) AS dearest_key,
                min_by(o_orderkey,
                       CAST(round(o_totalprice * 100) AS BIGINT)
-                        * 10000000 + o_orderkey) AS cheapest_key,
+                        * 10000000000 + o_orderkey) AS cheapest_key,
                round(median(o_totalprice), 2) AS median_price,
                count(*) AS n
         FROM orders GROUP BY o_orderpriority
@@ -5795,112 +5803,24 @@ FROM g
 
 
 # Ordering note (driver harness): the driver records only the FIRST
-# ~50 entries of this dict per round (observed: exactly 50). Round-6
-# window, per VERDICT r5 ask #2: (a) the 72 entries new this round —
-# never recorded, so they outrank everything (5 second-wave additions
-# lead; 38 more second-wave entries sit past the edge — after the 9
-# displaced/deferred stale entries, i.e. ~positions 60-91 — all
-# self-verified via tools/selfcheck.py at sf0.01 AND swept by
-# tools/ansi_sweep.py this round; r7 should put them and the 9 stale
-# first) — then (b) as many of the 25 r3-stale re-records as fit.
-# The 9 stale entries that no longer fit (dedup_embedding/jaccard/
-# levenshtein, events_funnel, pack_windows at ~50, plus the 4 already
-# deferred: lake_zorder_key, sample_mixture_plan, sql_tpch_q3,
-# p8_keep_latest — static SQL text / single-op plans, double-green
-# r2+r3) consciously defer to round 7, where they go FIRST along
-# with the r4-green entries the insertions displaced
-# (minhash/clusters/near-keep, wav, s1/s4/s5).
+# ~50 entries of this dict per round (observed: exactly 50). Round-7
+# window, per VERDICT r6 ask #1: (a) the 38 entries never driver-
+# recorded (the whole second wave past the r6 edge — SCD2 lanes,
+# TPC-H q7/q8/q13/q14, f6-f9, a14-a17, s20/s21, x4/x5, sql_pivot,
+# pipeline_user_features, stream_scd2/sliding, text word-entropy/
+# feature-hash/bpe/bigram-lm, split_leakage_safe, sample_per_group,
+# lake_upsert_latest, events asof_cogroup/attribution/dwell/debounce,
+# j9, w8, profile_histogram) go FIRST — all selfcheck-green at
+# sf0.001+sf0.01 and ansi-swept; (b) then the 9 entries whose latest
+# recording is r3 (dedup_embedding/jaccard_pairs/levenshtein,
+# events_funnel, pack_windows, lake_zorder_key, sample_mixture_plan,
+# sql_tpch_q3, p8_keep_latest); (c) the last 3 window slots and the
+# tail are r4-green re-records in staleness order, then r5, then r6
+# (freshest recordings last). A green r7 recording takes
+# driver-verified coverage from 151/189 to 189/189.
+
 SPARK_QUERIES = {
-    # --- new this round, second wave ---
-    "scd2_history": q_scd2_history,
-    "table_diff": q_table_diff,
-    "text_bm25": q_text_bm25,
-    "events_transition": q_events_transition,
-    "sql_tpch_q18": q_sql_tpch_q18,
-    # --- new this round: never recorded ---
-    "dedup_lsh_recall": q_dedup_lsh_recall,
-    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
-    "text_pii": q_text_pii,
-    "pipeline_chunk_pack": q_pipeline_chunk_pack,
-    "sim_ivf_recall": q_sim_ivf_recall,
-    "obs_quality_metrics": q_obs_quality_metrics,
-    "dedup_repeated_spans": q_dedup_repeated_spans,
-    "dedup_incremental_near": q_dedup_incremental_near,
-    "multimodal_extract_arrow": q_multimodal_extract_arrow,
-    "events_interval_join": q_events_interval_join,
-    "events_variant": q_events_variant,
-    "s18_python_datasource": q_s18_python_datasource,
-    "udtf_topk": q_udtf_topk,
-    "sql_tpch_q6": q_sql_tpch_q6,
-    "sql_tpch_q10": q_sql_tpch_q10,
-    "a13_hll_sketch_rollup": q_a13_hll_sketch_rollup,
-    "rollup_incremental": q_rollup_incremental,
-    "s19_xml_source": q_s19_xml_source,
-    "sql_lateral_topk": q_sql_lateral_topk,
-    "sql_recursive_reach": q_sql_recursive_reach,
-    "multimodal_decode_avi": q_multimodal_decode_avi,
-    "x2_set_ops": q_x2_set_ops,
-    "x3_union_evolution": q_x3_union_evolution,
-    "pipeline_corpus_build": q_pipeline_corpus_build,
-    "events_anomaly": q_events_anomaly,
-    "f5_try_funcs": q_f5_try_funcs,
-    "sim_int8_recall": q_sim_int8_recall,
-    "sample_weighted": q_sample_weighted,
-    "stream_rollup": q_stream_rollup,
-    # --- latest green recording is round 3: re-record first ---
-    "flagship_lake_nest": q_flagship_lake_nest,
-    "text_stats": q_text_stats,
-    "text_tokens": q_text_tokens,
-    "text_lang_id": q_text_lang_id,
-    "text_ngram_topk": q_text_ngram_topk,
-    "text_quality_by_source": q_text_quality_by_source,
-    "text_fingerprint": q_text_fingerprint,
-    "text_tfidf": q_text_tfidf,
-    "text_scrub": q_text_scrub,
-    "text_quality_filter": q_text_quality_filter,
-    "text_zscore_pandas": q_text_zscore_pandas,
-    "text_repetition": q_text_repetition,
-    "sim_brute_topk": q_sim_brute_topk,
-    "sim_pandas_topk": q_sim_pandas_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_levenshtein": q_dedup_levenshtein,
-    "events_funnel": q_events_funnel,
-    "pack_windows": q_pack_windows,
-    "lake_zorder_key": q_lake_zorder_key,
-    "sample_mixture_plan": q_sample_mixture_plan,
-    "sql_tpch_q3": q_sql_tpch_q3,
-    "p8_keep_latest": q_p8_keep_latest,
-    # --- implementation touched this round: re-verify ---
-    "text_chunk": q_text_chunk,
-    "stream_session": q_stream_session,
-    "stream_tumbling": q_stream_tumbling,
-    "stream_dedup": q_stream_dedup,
-    "stream_join": q_stream_join,
-    "stream_stateful": q_stream_stateful,
-    "stream_ingest_idempotent": q_stream_ingest_idempotent,
-    # --- round-4-green rotation ---
-    "dedup_contamination": q_dedup_contamination,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_near_keep": q_dedup_near_keep,
-    "multimodal_decode_wav": q_multimodal_decode_wav,
-    "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
-    "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
-    "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
-    "s6_parquet_explicit_schema": q_s6_parquet_explicit_schema,
-    "s7_parquet_inferred": q_s7_parquet_inferred,
-    "s8_input_file_name": q_s8_input_file_name,
-    "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
-    "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
-    "s11_lake_range_read": q_s11_lake_range_read,
-    "s12_orc_roundtrip": q_s12_orc_roundtrip,
-    # ---------------- ~position 50: recording window edge -----------
-    # --- second-wave entries past the edge: selfcheck-verified this
-    # --- round (see tools/selfcheck.py), first in line for r7 ---
+    # --- never driver-recorded: record first ---
     "events_attribution": q_events_attribution,
     "profile_histogram": q_profile_histogram,
     "sql_exists_late": q_sql_exists_late,
@@ -5939,7 +5859,67 @@ SPARK_QUERIES = {
     "sql_pivot": q_sql_pivot,
     "x5_set_ops_all": q_x5_set_ops_all,
     "f9_pandas_api": q_f9_pandas_api,
-    # --- freshest recordings (r4/r5 green) — demoted to the tail ---
+    # --- latest green recording r3 ---
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "events_funnel": q_events_funnel,
+    "pack_windows": q_pack_windows,
+    "lake_zorder_key": q_lake_zorder_key,
+    "sample_mixture_plan": q_sample_mixture_plan,
+    "sql_tpch_q3": q_sql_tpch_q3,
+    "p8_keep_latest": q_p8_keep_latest,
+    # --- latest green recording r4 ---
+    "dedup_contamination": q_dedup_contamination,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_near_keep": q_dedup_near_keep,
+    "multimodal_decode_wav": q_multimodal_decode_wav,
+    "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
+    "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
+    "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
+    "s6_parquet_explicit_schema": q_s6_parquet_explicit_schema,
+    "s7_parquet_inferred": q_s7_parquet_inferred,
+    "s8_input_file_name": q_s8_input_file_name,
+    "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
+    "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
+    "s11_lake_range_read": q_s11_lake_range_read,
+    "s12_orc_roundtrip": q_s12_orc_roundtrip,
+    "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
+    "p2_derive": q_p2_derive,
+    "p6_dropdup_subset": q_p6_dropdup_subset,
+    "j1_multikey_left_join": q_j1_multikey_left_join,
+    "j2_left_join_nulls": q_j2_left_join_nulls,
+    "j3_broadcast_join_agg": q_j3_broadcast_join_agg,
+    "j4_case_pick_join": q_j4_case_pick_join,
+    "j5_semi_join": q_j5_semi_join,
+    "j6_anti_join": q_j6_anti_join,
+    "j7_range_join": q_j7_range_join,
+    "a3_multi_count_distinct": q_a3_multi_count_distinct,
+    "a4_pricing_summary": q_a4_pricing_summary,
+    "a5_rollup": q_a5_rollup,
+    "a6_cube": q_a6_cube,
+    "a8_stats_aggs": q_a8_stats_aggs,
+    "w4_rank_dense": q_w4_rank_dense,
+    "w5_range_frame": q_w5_range_frame,
+    "skew_salted_agg": q_skew_salted_agg,
+    "status_summary": q_status_summary,
+    "sort_topk": q_sort_topk,
+    "set_ops": q_set_ops,
+    "w1_window_topk": q_w1_window_topk,
+    "events_pivot": q_events_pivot,
+    "events_json_props": q_events_json_props,
+    "events_from_json": q_events_from_json,
+    "dedup_exact_stats": q_dedup_exact_stats,
+    # --- latest green recording r5 ---
+    "text_chunk": q_text_chunk,
+    "stream_session": q_stream_session,
+    "stream_tumbling": q_stream_tumbling,
+    "stream_dedup": q_stream_dedup,
+    "stream_join": q_stream_join,
+    "stream_stateful": q_stream_stateful,
+    "stream_ingest_idempotent": q_stream_ingest_idempotent,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -5983,32 +5963,57 @@ SPARK_QUERIES = {
     "profile_table": q_profile_table,
     "sample_stratified": q_sample_stratified,
     "multimodal_extract": q_multimodal_extract,
-    "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
-    "p2_derive": q_p2_derive,
-    "p6_dropdup_subset": q_p6_dropdup_subset,
-    "j1_multikey_left_join": q_j1_multikey_left_join,
-    "j2_left_join_nulls": q_j2_left_join_nulls,
-    "j3_broadcast_join_agg": q_j3_broadcast_join_agg,
-    "j4_case_pick_join": q_j4_case_pick_join,
-    "j5_semi_join": q_j5_semi_join,
-    "j6_anti_join": q_j6_anti_join,
-    "j7_range_join": q_j7_range_join,
-    "a3_multi_count_distinct": q_a3_multi_count_distinct,
-    "a4_pricing_summary": q_a4_pricing_summary,
-    "a5_rollup": q_a5_rollup,
-    "a6_cube": q_a6_cube,
-    "a8_stats_aggs": q_a8_stats_aggs,
-    "w4_rank_dense": q_w4_rank_dense,
-    "w5_range_frame": q_w5_range_frame,
-    "skew_salted_agg": q_skew_salted_agg,
-    "status_summary": q_status_summary,
-    "sort_topk": q_sort_topk,
-    "set_ops": q_set_ops,
-    "w1_window_topk": q_w1_window_topk,
-    "events_pivot": q_events_pivot,
-    "events_json_props": q_events_json_props,
-    "events_from_json": q_events_from_json,
-    "dedup_exact_stats": q_dedup_exact_stats,
+    # --- latest green recording r6 ---
+    "scd2_history": q_scd2_history,
+    "table_diff": q_table_diff,
+    "text_bm25": q_text_bm25,
+    "events_transition": q_events_transition,
+    "sql_tpch_q18": q_sql_tpch_q18,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
+    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+    "text_pii": q_text_pii,
+    "pipeline_chunk_pack": q_pipeline_chunk_pack,
+    "sim_ivf_recall": q_sim_ivf_recall,
+    "obs_quality_metrics": q_obs_quality_metrics,
+    "dedup_repeated_spans": q_dedup_repeated_spans,
+    "dedup_incremental_near": q_dedup_incremental_near,
+    "multimodal_extract_arrow": q_multimodal_extract_arrow,
+    "events_interval_join": q_events_interval_join,
+    "events_variant": q_events_variant,
+    "s18_python_datasource": q_s18_python_datasource,
+    "udtf_topk": q_udtf_topk,
+    "sql_tpch_q6": q_sql_tpch_q6,
+    "sql_tpch_q10": q_sql_tpch_q10,
+    "a13_hll_sketch_rollup": q_a13_hll_sketch_rollup,
+    "rollup_incremental": q_rollup_incremental,
+    "s19_xml_source": q_s19_xml_source,
+    "sql_lateral_topk": q_sql_lateral_topk,
+    "sql_recursive_reach": q_sql_recursive_reach,
+    "multimodal_decode_avi": q_multimodal_decode_avi,
+    "x2_set_ops": q_x2_set_ops,
+    "x3_union_evolution": q_x3_union_evolution,
+    "pipeline_corpus_build": q_pipeline_corpus_build,
+    "events_anomaly": q_events_anomaly,
+    "f5_try_funcs": q_f5_try_funcs,
+    "sim_int8_recall": q_sim_int8_recall,
+    "sample_weighted": q_sample_weighted,
+    "stream_rollup": q_stream_rollup,
+    "flagship_lake_nest": q_flagship_lake_nest,
+    "text_stats": q_text_stats,
+    "text_tokens": q_text_tokens,
+    "text_lang_id": q_text_lang_id,
+    "text_ngram_topk": q_text_ngram_topk,
+    "text_quality_by_source": q_text_quality_by_source,
+    "text_fingerprint": q_text_fingerprint,
+    "text_tfidf": q_text_tfidf,
+    "text_scrub": q_text_scrub,
+    "text_quality_filter": q_text_quality_filter,
+    "text_zscore_pandas": q_text_zscore_pandas,
+    "text_repetition": q_text_repetition,
+    "sim_brute_topk": q_sim_brute_topk,
+    "sim_pandas_topk": q_sim_pandas_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
 }
 
 ORACLE_SQL = _oracles()

@@ -77,15 +77,19 @@ def histogram_equiwidth(
         if cents_col
         else F.round(F.col(col) * 100).cast("long")
     )
+    # `div` is true integral division on longs — no double rounding
+    # at wide ranges, exactly DuckDB's integer `//`; the edge clamps
+    # make trunc-vs-floor moot for below-range values
     bucket = F.least(
         F.greatest(
-            ((cents - F.lit(lo_cents)) / F.lit(width)).cast("long"),
+            F.expr(f"(_c - {lo_cents}) div {width}"),
             F.lit(0),
         ),
         F.lit(n_buckets - 1),
     )
     return (
-        df.select(cents.alias("_c"), bucket.alias("bucket"))
+        df.select(cents.alias("_c"))
+        .select("_c", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

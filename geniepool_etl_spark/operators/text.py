@@ -15,6 +15,8 @@ family to document analytics).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -464,11 +466,19 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk: need at least one query term")
+    # terms are interpolated into a regex (and, in the contract
+    # oracle, into SQL literals): restrict to bare lowercase word
+    # tokens so neither layer can be broken by metacharacters/quotes
+    for t in terms:
+        if not re.fullmatch(r"[a-z0-9]+", t):
+            raise ValueError(
+                f"bm25_topk: term {t!r} must match ^[a-z0-9]+$"
+            )
     text = F.lower(F.col(text_col))
     tf_cols = [
         F.size(
             F.regexp_extract_all(
-                text, F.lit(r"\b" + t + r"\b"), 0
+                text, F.lit(r"\b" + re.escape(t) + r"\b"), 0
             )
         ).alias(f"_tf_{i}")
         for i, t in enumerate(terms)
@@ -607,10 +617,22 @@ def bpe_learn_merges(
     count → global argmax (deterministic tiebreak on (count DESC,
     left, right)) → the 1-row winner broadcasts back and rewrites
     every representation via left-to-right non-overlapping
-    ``replace`` (' l r ' → ' lr ' on space-padded reps — the
-    surrounding spaces anchor token boundaries, and replace-all
-    left-to-right IS greedy BPE application, identically in any
-    engine).
+    ``replace`` (' l r ' → ' lr ' on space-padded reps; the
+    surrounding spaces anchor token boundaries).
+
+    APPROXIMATION NOTE: single-pass non-overlapping replace is NOT
+    exactly greedy BPE when the winning pair repeats back-to-back
+    inside one word — in ' a a a a ' the shared space is consumed
+    by the first match, so the pass yields ' aa a a ' where greedy
+    BPE yields ' aa aa ' (and even a replace-until-fixpoint loop
+    differs on odd runs: 'aaaaa' → 'aa a aa' vs greedy 'aa aa a').
+    The semantics here are deliberately the well-defined single-pass
+    replace, reproduced verbatim by the DuckDB oracle — identical
+    across engines, deviating from textbook greedy BPE only on
+    immediately-repeated winning pairs, which natural-language
+    corpora make rare. A true greedy apply needs a sequential
+    token-array fold per word; the deterministic approximation keeps
+    the whole round JVM-codegen (no UDF).
 
     Returns the merge table: (step, l, r, merged, pair_count).
     """

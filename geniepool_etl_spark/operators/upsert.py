@@ -279,9 +279,11 @@ def scd2_apply_batch(
         F.col(key),
         F.col("valid_from_us").alias(ts_col),
         F.col(attr),
-        # sorts before every real batch row: batch ts > standing ts
-        # per the precondition, and ids only tiebreak equal ts
-        F.lit(-1).cast("long").alias(id_col),
+        # Long.MIN_VALUE sorts before every real batch row
+        # UNCONDITIONALLY: batch ts > standing ts per the
+        # precondition, and at an exactly-equal ts no batch id can
+        # tie or undercut the seed (no nonnegative-id assumption)
+        F.lit(-(1 << 63)).cast("long").alias(id_col),
     )
     mini_log = seed.unionByName(
         batch.select(

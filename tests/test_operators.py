@@ -799,14 +799,19 @@ def test_pack_windows_auto_shards_scale_with_input(spark):
             F.col("id").alias("doc_id"), F.lit("a b c d e").alias("text")
         )
 
-    small = pack_windows(corpus(100), tokens_per_shard=100)
-    big = pack_windows(corpus(1000), tokens_per_shard=100)
+    # auto mode runs (and must loudly warn about) an eager token-sum
+    # aggregate at plan time — assert the warning instead of leaking it
+    with pytest.warns(UserWarning, match="eager token-sum"):
+        small = pack_windows(corpus(100), tokens_per_shard=100)
+    with pytest.warns(UserWarning, match="eager token-sum"):
+        big = pack_windows(corpus(1000), tokens_per_shard=100)
     n_small = small.select(F.countDistinct("shard")).first()[0]
     n_big = big.select(F.countDistinct("shard")).first()[0]
     # 100 docs x 5 tok / 100 -> 5 shards; 1000 docs -> 50 shards
     assert n_small == 5
     assert n_big == 50
-    again = pack_windows(corpus(100), tokens_per_shard=100)
+    with pytest.warns(UserWarning, match="eager token-sum"):
+        again = pack_windows(corpus(100), tokens_per_shard=100)
     assert sorted(map(tuple, small.collect())) == sorted(
         map(tuple, again.collect())
     )

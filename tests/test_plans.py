@@ -293,7 +293,9 @@ def test_pack_windows_single_exchange(spark):
     from geniepool_etl_spark.operators.packing import pack_windows
 
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
-    df = pack_windows(docs)
+    # total_tokens supplied as a catalog-stat stand-in: keeps the
+    # plan free of the auto-sizing eager aggregate (and its warning)
+    df = pack_windows(docs, total_tokens=200_000)
     df.collect()
     P.assert_max_exchanges(df, 1)
 
