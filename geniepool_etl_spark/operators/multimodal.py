@@ -508,10 +508,12 @@ def decode_video(payload: bytes) -> dict:
     carries dwMicroSecPerFrame / dwTotalFrames / dwWidth / dwHeight as
     little-endian dwords, all integer arithmetic — exactly the fields
     a multimodal pipeline filters and shards on (resolution cuts,
-    frame-budget packing) before any pixel ever decodes. MP4/MKV
-    framing and actual frame decode need ffmpeg and raise
-    ``NotImplementedError`` (the same codec boundary as compressed
-    audio). ``fps`` is recovered as ``1_000_000 // µs_per_frame``
+    frame-budget packing) before any pixel ever decodes. MP4
+    (ISO-BMFF) container metadata is parsed for real too — see
+    :func:`_parse_mp4` (mvhd/tkhd/stts box walk). MKV framing and
+    actual frame decode need ffmpeg and raise ``NotImplementedError``
+    (the same codec boundary as compressed audio). For AVI, ``fps``
+    is recovered as ``1_000_000 // µs_per_frame``
     (exact for integer-fps sources); ``duration_ms`` is
     ``frames * 1000 // fps`` — floor integer arithmetic any engine
     reproduces.
@@ -536,11 +538,108 @@ def decode_video(payload: bytes) -> dict:
             "duration_ms": frames * 1000 // fps if fps else None,
         }
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
-        raise NotImplementedError(
-            "MP4 box framing and frame decode require ffmpeg, not "
-            "installed in this environment — AVI containers parse for real"
-        )
+        return _parse_mp4(payload)
     raise ValueError("unrecognized video container")
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the ISO-BMFF boxes
+    in ``buf[start:end]`` — the [size:4][type:4] big-endian framing
+    every MP4 box shares (size==1 64-bit largesize handled; size==0
+    'to end of file' handled)."""
+    import struct
+
+    at = start
+    while at + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, at)
+        btype = buf[at + 4:at + 8]
+        head = 8
+        if size == 1:
+            if at + 16 > end:
+                break
+            (size,) = struct.unpack_from(">Q", buf, at + 8)
+            head = 16
+        elif size == 0:
+            size = end - at
+        if size < head or at + size > end:
+            break
+        yield btype, at + head, at + size
+        at += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, path: list[bytes]):
+    """Walk a container-box path (e.g. [b'moov', b'trak', b'tkhd'])
+    and return the first matching leaf's (payload_start, payload_end),
+    or None."""
+    for btype, s, e in _mp4_boxes(buf, start, end):
+        if btype != path[0]:
+            continue
+        if len(path) == 1:
+            return s, e
+        hit = _mp4_find(buf, s, e, path[1:])
+        if hit is not None:
+            return hit
+    return None
+
+
+def _parse_mp4(payload: bytes) -> dict:
+    """Real ISO-BMFF (MP4) container-metadata parse, stdlib only —
+    the same field set the AVI lane recovers, from the standard boxes:
+    ``moov/mvhd`` (movie timescale + duration → ``duration_ms``,
+    floor-integer), ``moov/trak/tkhd`` (16.16 fixed-point presentation
+    width/height → integer part), and ``moov/trak/mdia/minf/stbl/
+    stts`` (sum of sample counts → ``n_frames``; a single constant
+    delta run → ``fps = timescale // delta``, else null). Frame/pixel
+    DECODE (codec work) remains the documented ffmpeg boundary — this
+    is container framing, which is pure big-endian integer layout."""
+    import struct
+
+    n = len(payload)
+    mvhd = _mp4_find(payload, 0, n, [b"moov", b"mvhd"])
+    if mvhd is None:
+        raise ValueError("MP4 without a moov/mvhd box")
+    s, e = mvhd
+    version = payload[s]
+    if version == 1:
+        timescale, duration = struct.unpack_from(">IQ", payload, s + 20)
+    else:
+        timescale, duration = struct.unpack_from(">II", payload, s + 12)
+    width = height = None
+    tkhd = _mp4_find(payload, 0, n, [b"moov", b"trak", b"tkhd"])
+    if tkhd is not None:
+        s, e = tkhd
+        # width/height are the LAST two dwords of the box (16.16
+        # fixed point) in both tkhd versions
+        if e - 8 >= s:
+            w_fx, h_fx = struct.unpack_from(">II", payload, e - 8)
+            width, height = w_fx >> 16, h_fx >> 16
+    n_frames = fps = None
+    stts = _mp4_find(
+        payload, 0, n,
+        [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stts"],
+    )
+    if stts is not None:
+        s, e = stts
+        (entry_count,) = struct.unpack_from(">I", payload, s + 4)
+        if s + 8 + 8 * entry_count <= e:
+            counts_deltas = struct.unpack_from(
+                f">{2 * entry_count}I", payload, s + 8
+            )
+            n_frames = sum(counts_deltas[0::2])
+            deltas = set(counts_deltas[1::2])
+            if len(deltas) == 1:
+                d = deltas.pop()
+                fps = timescale // d if d else None
+    return {
+        "format": "mp4",
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "fps": fps,
+        "duration_ms": (
+            duration * 1000 // timescale if timescale else None
+        ),
+    }
 
 
 def synth_avi_assets(
@@ -589,6 +688,84 @@ def synth_avi_assets(
                     "asset_id": pdf[id_col],
                     "payload": payloads,
                     "media_type": "video/avi",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_mp4_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    frames_col: str = "n_frames",
+    fps_col: str = "fps",
+) -> DataFrame:
+    """Synthesize REAL minimal MP4 payloads (ISO-BMFF ``ftyp`` +
+    ``moov`` carrying a spec-length ``mvhd``, a ``trak/tkhd`` with
+    16.16 fixed-point dimensions, and a single-run
+    ``mdia/minf/stbl/stts`` sample table — movie timescale = fps,
+    sample delta = 1, so duration in movie units = frame count) from
+    per-row parameters via Arrow ``mapInPandas`` — the MP4 twin of
+    :func:`synth_avi_assets`. Parameters arrive as ordinary columns so
+    an external oracle can reproduce every decoded field."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def one(w: int, h: int, frames: int, fps: int) -> bytes:
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        # mvhd v0: flags + ctime + mtime + timescale + duration +
+        # rate + volume + reserved + matrix + predefined + next track
+        mvhd = box(
+            b"mvhd",
+            struct.pack(">IIIII", 0, 0, 0, fps, frames)
+            + struct.pack(">Ih", 0x00010000, 0x0100)
+            + b"\x00" * 10
+            + struct.pack(
+                ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                0x40000000,
+            )
+            + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">IIIIII", 0x0000_0007, 0, 0, 1, 0, frames)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(
+                ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                0x40000000,
+            )
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        stts = box(
+            b"stts", struct.pack(">IIII", 0, 1, frames, 1)
+        )
+        stbl = box(b"stbl", stts)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        return ftyp + moov
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(w), int(h), int(n), int(r))
+                for w, h, n, r in zip(
+                    pdf[width_col], pdf[height_col],
+                    pdf[frames_col], pdf[fps_col],
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "video/mp4",
                 }
             )
 

@@ -1137,8 +1137,9 @@ def test_merge_rollup_equals_full_recompute(spark):
 
 def test_decode_video_avi_roundtrip_and_boundaries(spark):
     """AVI header parse is real (round-trip through synth_avi_assets);
-    MP4 is the honest ffmpeg boundary; poison payloads null out in
-    the feature lane instead of failing the stage."""
+    a bare ftyp with no moov is malformed, not a boundary; poison
+    payloads null out in the feature lane instead of failing the
+    stage."""
     params = spark.createDataFrame(
         [(1, 320, 240, 48, 24), (2, 640, 480, 120, 30)],
         "asset_id LONG, width LONG, height LONG, n_frames LONG, fps LONG",
@@ -1154,7 +1155,7 @@ def test_decode_video_avi_roundtrip_and_boundaries(spark):
         1: ("avi", 320, 240, 48, 24, 2000),
         2: ("avi", 640, 480, 120, 30, 4000),
     }
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
+    with pytest.raises(ValueError, match="moov"):
         M.decode_video(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 8)
     with pytest.raises(ValueError):
         M.decode_video(b"RIFF\x00\x00\x00\x00WAVE")
@@ -1165,6 +1166,54 @@ def test_decode_video_avi_roundtrip_and_boundaries(spark):
     )
     row = M.decode_video_features(assets).collect()[0]
     assert row.asset_id == 9 and row.format is None and row.fps is None
+
+
+def test_decode_video_mp4_roundtrip_and_box_walk(spark):
+    """MP4 container parse is real: round-trip through
+    synth_mp4_assets (mvhd timescale/duration, 16.16 tkhd dims,
+    single-run stts), plus the box-walk edge cases — v1 mvhd 64-bit
+    duration, multi-run stts (fps indeterminate -> null), truncated
+    moov."""
+    import struct
+
+    params = spark.createDataFrame(
+        [(1, 320, 240, 48, 24), (2, 1920, 1080, 90, 30)],
+        "asset_id LONG, width LONG, height LONG, n_frames LONG, fps LONG",
+    )
+    got = {
+        r.asset_id: (r.format, r.width, r.height, r.n_frames, r.fps,
+                     r.duration_ms)
+        for r in M.decode_video_features(
+            M.synth_mp4_assets(params)
+        ).collect()
+    }
+    assert got == {
+        1: ("mp4", 320, 240, 48, 24, 2000),
+        2: ("mp4", 1920, 1080, 90, 30, 3000),
+    }
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 8)
+    # v1 mvhd: 8-byte times, 64-bit duration
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01" + b"\x00" * 3 + struct.pack(">QQIQ", 0, 0, 1000, 90_000),
+    )
+    m = M.decode_video(ftyp + box(b"moov", mvhd_v1))
+    assert m["format"] == "mp4" and m["duration_ms"] == 90_000
+    assert m["width"] is None and m["fps"] is None
+    # multi-run stts: frame total sums, fps is honestly null
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 30, 75))
+    stts = box(b"stts", struct.pack(">I", 0) + struct.pack(
+        ">IIIII", 2, 50, 1, 25, 2))
+    trak = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stts))))
+    m = M.decode_video(ftyp + box(b"moov", mvhd + trak))
+    assert m["n_frames"] == 75 and m["fps"] is None
+    assert m["duration_ms"] == 75 * 1000 // 30
+    with pytest.raises(ValueError, match="moov"):
+        M.decode_video(ftyp)
 
 
 def test_udtf_topk_breaks_ties_deterministically(spark):

@@ -378,6 +378,35 @@ def test_q10_broadcasts_dim_and_takes_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_tpch_tail_decorrelates_to_hash_joins(spark):
+    """The round-7 TPC-H tail's subquery shapes must all decorrelate
+    to keyed hash joins — a per-row subquery loop or nested-loop join
+    here would be the 100 TB scale-killer."""
+    # Q21: EXISTS -> semi, NOT EXISTS (with the suppkey inequality as
+    # a join residual) -> anti; never a nested loop
+    p = _plan(C.q_sql_tpch_q21(spark, SF_SMALL))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # Q16: NOT IN -> (null-aware) anti join against the broadcast set
+    p = _plan(C.q_sql_tpch_q16(spark, SF_SMALL))
+    assert "LeftAnti" in p and "CartesianProduct" not in p
+    # Q17: the correlated per-part avg decorrelates to one aggregate
+    # joined back on the part key
+    p = _plan(C.q_sql_tpch_q17(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # Q20: the nested-IN chain stacks two semi joins
+    p = _plan(C.q_sql_tpch_q20(spark, SF_SMALL))
+    assert p.count("LeftSemi") >= 2
+    # Q15/Q19: scalar-max equality and the disjunctive multi-range
+    # both stay broadcast hash equi-joins
+    for q in (C.q_sql_tpch_q15, C.q_sql_tpch_q19):
+        df = q(spark, SF_SMALL)
+        P.assert_no_cartesian(df)
+        assert "BroadcastHashJoin" in _plan(df)
+
+
 def test_interval_join_is_keyed_equi_join(spark):
     # The bucketed rewrite must plan as a hash/sort-merge equi-join on
     # (key, bucket) — the naive range formulation would be BNLJ.
