@@ -1834,6 +1834,33 @@ def q_multimodal_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_video_features(M.synth_mp4_assets(params))
 
 
+def q_multimodal_decode_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP3 round-trip through the stdlib MPEG frame walker:
+    per-document audio parameters derived JVM-side (oracle-
+    reproducible), encoded as genuine MPEG-1 Layer III frame streams
+    behind an ID3v2 tag inside Arrow mapInPandas, then decoded back
+    by ``decode_audio``'s header walk (frame COUNT and floor-integer
+    duration are exact; 1152 samples/frame is fixed by the spec) —
+    the compressed-audio leg next to the WAV lane; PCM sample decode
+    stays the documented ffmpeg boundary. Both maps narrow."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 1)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.element_at(
+                F.array(F.lit(44100), F.lit(48000), F.lit(32000)),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).cast("long").alias("sample_rate"),
+            (F.col("doc_id") % 2 + 1).cast("long").alias("n_channels"),
+            (F.length("text") % 150 + 1).cast("long").alias("n_frames"),
+            (32 * (F.col("doc_id") % 4 + 1)).cast("long")
+            .alias("bitrate_kbps"),
+        )
+    )
+    return M.decode_audio_features(M.synth_mp3_assets(params))
+
+
 def q_multimodal_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInArrow lane (multimodal.extract_features_arrow): same
     byte/char features as ``multimodal_extract`` computed on raw
@@ -5741,6 +5768,20 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     // (10 + (doc_id % 5) * 5) AS BIGINT) AS duration_ms
         FROM documents WHERE doc_id % 5 = 0
     """
+    o["multimodal_decode_mp3"] = """
+        SELECT doc_id AS asset_id,
+               'mp3' AS format,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS n_channels,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 44100
+                    WHEN 1 THEN 48000 ELSE 32000 END AS BIGINT)
+                 AS sample_rate,
+               CAST(length(text) % 150 + 1 AS BIGINT) AS n_frames,
+               CAST((length(text) % 150 + 1) * 1152 * 1000
+                    // (CASE doc_id % 3 WHEN 0 THEN 44100
+                        WHEN 1 THEN 48000 ELSE 32000 END) AS BIGINT)
+                 AS duration_ms
+        FROM documents WHERE doc_id % 4 = 1
+    """
     o["sql_exists_late"] = _SQL_EXISTS_LATE
     o["sql_scalar_anti"] = _SQL_SCALAR_ANTI
     o["sql_tpch_q14"] = _SQL_Q14
@@ -6351,6 +6392,7 @@ SPARK_QUERIES = {
     "sql_tpch_q20": q_sql_tpch_q20,
     "sql_tpch_q21": q_sql_tpch_q21,
     "multimodal_decode_mp4": q_multimodal_decode_mp4,
+    "multimodal_decode_mp3": q_multimodal_decode_mp3,
 }
 
 ORACLE_SQL = _oracles()

@@ -4,13 +4,17 @@ typed metadata, decoded / feature-extracted via Arrow-batched
 
 Decoders come in two tiers. Header-parseable formats are decoded FOR
 REAL with the stdlib alone: WAV (``wave`` module — channels, sample
-rate, sample width, frame count, duration) and BMP / PNG / GIF / PPM /
-PGM / JPEG image headers (``struct`` — width, height, bit depth; JPEG
-via an SOF0/SOF2 marker walk covering baseline and progressive).
-Work that needs real pixel/sample codecs (JPEG *pixel* decode, mp3,
-ffmpeg video) remains behind ``NotImplementedError`` — those
-libraries are not available in this environment — with a
-deterministic byte-level feature extractor standing in. The Spark-side plumbing is real and
+rate, sample width, frame count, duration), MP3 (MPEG-1 Layer III
+frame-header walk — channels, sample rate, exact frame count and
+duration, ID3v2 skip), BMP / PNG / GIF / PPM / PGM / JPEG image
+headers (``struct`` — width, height, bit depth; JPEG via an
+SOF0/SOF2 marker walk covering baseline and progressive), AVI
+(RIFF ``avih``) and MP4 (ISO-BMFF ``mvhd``/``tkhd``/``stts`` box
+walk) video containers. Work that needs real pixel/sample codecs
+(JPEG *pixel* decode, mp3 PCM synthesis, ogg/flac, frame decode for
+any video) remains behind ``NotImplementedError`` — those libraries
+are not available in this environment — with a deterministic
+byte-level feature extractor standing in. The Spark-side plumbing is real and
 tested either way: schema contract, binary column handling, Arrow
 batch shapes, partition-preserving narrow execution.
 
@@ -164,8 +168,10 @@ def decode_audio(payload: bytes) -> dict:
     ``{"format", "n_channels", "sample_rate", "sample_width",
     "n_frames", "duration_ms"}`` (duration in integer milliseconds,
     floor — exact integer arithmetic so any engine reproduces it).
-    Compressed formats (mp3/ogg/flac) need ffmpeg/soundfile and raise
-    ``NotImplementedError``.
+    MP3 *container framing* is parsed for real too — see
+    :func:`_parse_mp3` (MPEG-1 Layer III frame-header walk, optional
+    ID3v2 skip). Compressed SAMPLE decode (mp3 PCM, ogg, flac) needs
+    ffmpeg/soundfile and raises ``NotImplementedError``.
     """
     import io
     import wave
@@ -184,10 +190,81 @@ def decode_audio(payload: bytes) -> dict:
                 "n_frames": frames,
                 "duration_ms": frames * 1000 // rate if rate else None,
             }
-    raise NotImplementedError(
-        "only WAV (RIFF) is stdlib-decodable — compressed audio requires "
-        "ffmpeg/soundfile, not installed in this environment"
-    )
+    at = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # ID3v2 header: 'ID3' + version(2) + flags + syncsafe size(4)
+        size = (
+            (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
+        )
+        at = 10 + size
+    if (
+        at + 4 <= len(payload)
+        and payload[at] == 0xFF
+        and payload[at + 1] & 0xE0 == 0xE0
+    ):
+        return _parse_mp3(payload, at)
+    if payload[:4] in (b"OggS", b"fLaC"):
+        raise NotImplementedError(
+            "ogg/flac framing and all compressed-sample decode require "
+            "ffmpeg/soundfile, not installed in this environment — WAV "
+            "decodes and MP3 frame headers parse for real"
+        )
+    raise ValueError("unrecognized audio container")
+
+
+# MPEG-1 Layer III side tables (bitrate kbps by index, sample rate by
+# index) — the public header layout every decoder hardcodes
+_MP3_BITRATE_KBPS = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+    320, None,
+)
+_MP3_SAMPLE_RATE = (44100, 48000, 32000, None)
+
+
+def _parse_mp3(payload: bytes, at: int) -> dict:
+    """Real MPEG-1 Layer III frame walk, stdlib only: parse each
+    4-byte frame header (sync / version / layer / bitrate index /
+    sample-rate index / padding / channel mode), hop
+    ``144·bitrate/rate + padding`` bytes to the next, and COUNT the
+    frames — so ``n_frames`` and the floor-integer ``duration_ms =
+    n_frames·1152·1000 // rate`` are exact for CBR and VBR alike
+    (1152 samples per Layer III frame is fixed by the spec). Sample
+    rate and channel count come from the first header; PCM sample
+    decode (the codec work) stays the ffmpeg boundary."""
+    n = len(payload)
+    sample_rate = channels = None
+    n_frames = 0
+    while at + 4 <= n:
+        b0, b1, b2, b3 = payload[at:at + 4]
+        if b0 != 0xFF or b1 & 0xE0 != 0xE0:
+            break
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version != 0x3 or layer != 0x1:
+            raise ValueError(
+                "only MPEG-1 Layer III frames are recognized"
+            )
+        bitrate = _MP3_BITRATE_KBPS[(b2 >> 4) & 0xF]
+        rate = _MP3_SAMPLE_RATE[(b2 >> 2) & 0x3]
+        padding = (b2 >> 1) & 0x1
+        if bitrate is None or rate is None:
+            raise ValueError("invalid MP3 bitrate/sample-rate index")
+        if sample_rate is None:
+            sample_rate = rate
+            channels = 1 if (b3 >> 6) & 0x3 == 0x3 else 2
+        n_frames += 1
+        at += 144 * bitrate * 1000 // rate + padding
+    if n_frames == 0:
+        raise ValueError("no complete MP3 frame found")
+    return {
+        "format": "mp3",
+        "n_channels": channels,
+        "sample_rate": sample_rate,
+        "sample_width": None,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1152 * 1000 // sample_rate,
+    }
 
 
 AUDIO_META_SCHEMA = StructType(
@@ -233,6 +310,60 @@ def synth_wav_assets(
                     "asset_id": pdf[id_col],
                     "payload": payloads,
                     "media_type": "audio/wav",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_mp3_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    rate_col: str = "sample_rate",
+    channels_col: str = "n_channels",
+    frames_col: str = "n_frames",
+    bitrate_col: str = "bitrate_kbps",
+) -> DataFrame:
+    """Synthesize REAL minimal MP3 streams (consecutive MPEG-1 Layer
+    III frames with spec-correct 4-byte headers and zeroed payload,
+    preceded by an empty ID3v2 tag so the skip path is exercised)
+    from per-row parameters via Arrow ``mapInPandas`` — the
+    compressed-audio twin of :func:`synth_wav_assets`. Parameters
+    arrive as ordinary columns so an external oracle can reproduce
+    every decoded field."""
+
+    def one(rate: int, ch: int, frames: int, kbps: int) -> bytes:
+        sr_idx = _MP3_SAMPLE_RATE.index(rate)
+        br_idx = _MP3_BITRATE_KBPS.index(kbps)
+        mode = 0x3 if ch == 1 else 0x0
+        header = bytes(
+            [
+                0xFF,
+                0xE0 | (0x3 << 3) | (0x1 << 1) | 0x1,  # MPEG-1 L3
+                (br_idx << 4) | (sr_idx << 2),          # no padding
+                mode << 6,
+            ]
+        )
+        frame = header + b"\x00" * (
+            144 * kbps * 1000 // rate - 4
+        )
+        id3 = b"ID3" + bytes([4, 0, 0]) + b"\x00\x00\x00\x00"
+        return id3 + frame * int(frames)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(r), int(c), int(n), int(k))
+                for r, c, n, k in zip(
+                    pdf[rate_col], pdf[channels_col],
+                    pdf[frames_col], pdf[bitrate_col],
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/mpeg",
                 }
             )
 

@@ -443,9 +443,11 @@ def test_decode_unsupported_codecs_raise():
     webp = b"RIFF\x2c\x00\x00\x00WEBPVP8 " + b"\x00" * 16
     with pytest.raises(NotImplementedError):
         M.decode_image(webp)
+    # mp3 frame headers parse for real now; ogg stays the boundary
     mp3_frame = b"\xff\xfb\x90\x64" + b"\x00" * 16
+    assert M.decode_audio(mp3_frame)["format"] == "mp3"
     with pytest.raises(NotImplementedError):
-        M.decode_audio(mp3_frame)
+        M.decode_audio(b"OggS" + b"\x00" * 16)
     # a JPEG that loses marker sync is malformed input, not a codec gap
     with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
@@ -709,8 +711,12 @@ def test_stdlib_media_decoders():
     }
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFF\x2c\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
+    # an ID3 tag followed by no MPEG sync is malformed, not a codec
+    # gap (the mp3 frame walk itself is real — see the mp3 test)
+    with pytest.raises(ValueError):
+        decode_audio(b"ID3\x04" + b"\x00" * 32)
     with pytest.raises(NotImplementedError):
-        decode_audio(b"ID3\x04" + b"\x00" * 32)  # mp3 tag
+        decode_audio(b"fLaC" + b"\x00" * 32)
 
 
 def test_decode_jpeg_sof_dimensions():
@@ -1166,6 +1172,45 @@ def test_decode_video_avi_roundtrip_and_boundaries(spark):
     )
     row = M.decode_video_features(assets).collect()[0]
     assert row.asset_id == 9 and row.format is None and row.fps is None
+
+
+def test_decode_audio_mp3_frame_walk(spark):
+    """MP3 frame-header walk is real: round-trip through
+    synth_mp3_assets (ID3v2 skip + CBR frame count), VBR streams
+    count frames exactly (duration doesn't depend on bitrate),
+    padded frames hop one extra byte, and non-MPEG1-L3 headers are
+    rejected."""
+    params = spark.createDataFrame(
+        [(1, 44100, 2, 38, 128), (2, 32000, 1, 200, 32)],
+        "asset_id LONG, sample_rate LONG, n_channels LONG, "
+        "n_frames LONG, bitrate_kbps LONG",
+    )
+    got = {
+        r.asset_id: (r.format, r.n_channels, r.sample_rate,
+                     r.n_frames, r.duration_ms)
+        for r in M.decode_audio_features(
+            M.synth_mp3_assets(params)
+        ).collect()
+    }
+    assert got == {
+        1: ("mp3", 2, 44100, 38, 38 * 1152 * 1000 // 44100),
+        2: ("mp3", 1, 32000, 200, 200 * 1152 * 1000 // 32000),
+    }
+
+    def frame(kbps, sr_idx=0, rate=44100, padding=0):
+        br_idx = M._MP3_BITRATE_KBPS.index(kbps)
+        h = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2)
+                   | (padding << 1), 0x00])
+        return h + b"\x00" * (144 * kbps * 1000 // rate - 4 + padding)
+
+    # VBR: mixed bitrates, frame count (and thus duration) exact
+    vbr = frame(128) + frame(320) + frame(32) + frame(128, padding=1)
+    m = M.decode_audio(vbr)
+    assert m["n_frames"] == 4
+    assert m["duration_ms"] == 4 * 1152 * 1000 // 44100
+    # MPEG-2 (version bits 10) is outside the walk's claim
+    with pytest.raises(ValueError, match="MPEG-1"):
+        M.decode_audio(b"\xff\xf3\x90\x00" + b"\x00" * 16)
 
 
 def test_decode_video_mp4_roundtrip_and_box_walk(spark):
