@@ -164,6 +164,9 @@ def bench_queries(spark, sf_dir):
         "pipeline_user_features": lambda: C.q_pipeline_user_features(
             spark, sf_dir
         ),
+        # round-7 additions: the deepest new TPC-H shapes
+        "tpch_q9": lambda: C.q_sql_tpch_q9(spark, sf_dir),
+        "tpch_q21": lambda: C.q_sql_tpch_q21(spark, sf_dir),
         "micro_event_us_long": lambda: micro_event_us(enc_dirs["long"]),
         "micro_event_us_ntz": lambda: micro_event_us(enc_dirs["ntz"]),
         "micro_scd2_full_rebuild": micro_scd2_full,
