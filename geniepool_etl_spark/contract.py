@@ -4197,6 +4197,39 @@ def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q21)
 
 
+_SQL_Q12 = """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+                              ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                              ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+"""
+
+
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped (shipping-class priority split; the
+    shipmode/receipt-window legs are adapted to returnflag classes
+    over a shipdate year): the conditional-aggregation pattern —
+    one fact/dim join, the IN + date-range filters pushed to the
+    lineitem scan, and both priority counters computed in a single
+    grouped pass (never two joins). With this entry every one of the
+    22 TPC-H query SHAPES has a contract entry (Q1=a4_pricing_summary,
+    Q4=sql_exists_late, Q22=sql_scalar_anti, the rest explicit)."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q12)
+
+
 _SQL_Q2_CORR_MIN = """
     SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey,
            round(s.s_acctbal, 2) AS s_acctbal
@@ -5757,6 +5790,7 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
     o["sql_tpch_q20"] = _SQL_Q20
     o["sql_tpch_q21"] = _SQL_Q21
     o["sql_tpch_q2"] = _SQL_Q2_CORR_MIN
+    o["sql_tpch_q12"] = _SQL_Q12
     o["multimodal_decode_mp4"] = """
         SELECT doc_id AS asset_id,
                'mp4' AS format,
@@ -6385,6 +6419,7 @@ SPARK_QUERIES = {
     "sql_tpch_q2": q_sql_tpch_q2,
     "sql_tpch_q9": q_sql_tpch_q9,
     "sql_tpch_q11": q_sql_tpch_q11,
+    "sql_tpch_q12": q_sql_tpch_q12,
     "sql_tpch_q15": q_sql_tpch_q15,
     "sql_tpch_q16": q_sql_tpch_q16,
     "sql_tpch_q17": q_sql_tpch_q17,
