@@ -405,6 +405,16 @@ def test_tpch_tail_decorrelates_to_hash_joins(spark):
         df = q(spark, SF_SMALL)
         P.assert_no_cartesian(df)
         assert "BroadcastHashJoin" in _plan(df)
+    # Q19's cross-table OR-of-ANDs: Catalyst factors each side's
+    # disjunct union down to its scan — the lineitem DataFilters must
+    # carry the quantity ranges so row groups skip on min/max stats
+    p = _plan(C.q_sql_tpch_q19(spark, SF_SMALL))
+    scan_lines = [
+        ln for ln in p.splitlines()
+        if "FileScan" in ln and "l_quantity" in ln
+    ]
+    assert any("DataFilters: [" in ln and "l_quantity" in ln.split(
+        "DataFilters: [", 1)[1] for ln in scan_lines), scan_lines
 
 
 def test_interval_join_is_keyed_equi_join(spark):
