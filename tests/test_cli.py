@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from geniepool_etl_spark.cli import main
 from tests.conftest import SF_SMALL
 
@@ -33,10 +35,16 @@ def test_cli_text_stats(spark, tmp_path):
 
 def test_cli_sim_topk(spark, tmp_path):
     out = str(tmp_path / "sim")
-    assert (
-        main(["sim-topk", f"{SF_SMALL}/embeddings.parquet", out, "--k", "3"])
-        == 0
-    )
+    # the CLI has no catalog rowcount to pass as n_rows, so the
+    # auto-sizing count (and its loud warning) is intentional here
+    with pytest.warns(UserWarning, match="auto-sizing"):
+        assert (
+            main(
+                ["sim-topk", f"{SF_SMALL}/embeddings.parquet", out,
+                 "--k", "3"]
+            )
+            == 0
+        )
     got = spark.read.parquet(out)
     assert {"q_id", "n_id", "cos_sim"} <= set(got.columns)
 
