@@ -1834,6 +1834,25 @@ def q_multimodal_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_video_features(M.synth_mp4_assets(params))
 
 
+def q_obs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix drift between two corpus snapshots (operators/
+    profile.psi_by_key): per-source PSI contributions with additive
+    smoothing over the union key set — the drift gate run on every
+    ingest batch. The fixture drops one source from each side so both
+    directions of the never-seen-bin case are exercised (a vanished
+    source and a brand-new one)."""
+    from geniepool_etl_spark.operators.profile import psi_by_key
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(
+        (F.col("doc_id") % 2 == 0) & (F.col("source") != "src19")
+    )
+    new = docs.where(
+        (F.col("doc_id") % 2 == 1) & (F.col("source") != "src0")
+    )
+    return psi_by_key(old, new)
+
+
 def q_multimodal_decode_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real MP3 round-trip through the stdlib MPEG frame walker:
     per-document audio parameters derived JVM-side (oracle-
@@ -5816,6 +5835,35 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS duration_ms
         FROM documents WHERE doc_id % 4 = 1
     """
+    o["obs_drift_psi"] = """
+        WITH o AS (
+          SELECT source AS key, count(*) AS n_old FROM documents
+          WHERE doc_id % 2 = 0 AND source <> 'src19' GROUP BY 1
+        ),
+        n AS (
+          SELECT source AS key, count(*) AS n_new FROM documents
+          WHERE doc_id % 2 = 1 AND source <> 'src0' GROUP BY 1
+        ),
+        b AS (
+          SELECT COALESCE(o.key, n.key) AS key,
+                 COALESCE(n_old, 0) AS n_old,
+                 COALESCE(n_new, 0) AS n_new
+          FROM o FULL OUTER JOIN n ON o.key = n.key
+        ),
+        t AS (
+          SELECT count(*) AS k, CAST(sum(n_old) AS BIGINT) AS tot_o,
+                 CAST(sum(n_new) AS BIGINT) AS tot_n
+          FROM b
+        )
+        SELECT key, n_old, n_new,
+               round((n_old + 1.0) / (tot_o + k), 4) AS p_old,
+               round((n_new + 1.0) / (tot_n + k), 4) AS p_new,
+               round(((n_new + 1.0) / (tot_n + k)
+                      - (n_old + 1.0) / (tot_o + k))
+                     * ln(((n_new + 1.0) / (tot_n + k))
+                          / ((n_old + 1.0) / (tot_o + k))), 4) AS psi
+        FROM b, t
+    """
     o["sql_exists_late"] = _SQL_EXISTS_LATE
     o["sql_scalar_anti"] = _SQL_SCALAR_ANTI
     o["sql_tpch_q14"] = _SQL_Q14
@@ -6428,6 +6476,7 @@ SPARK_QUERIES = {
     "sql_tpch_q21": q_sql_tpch_q21,
     "multimodal_decode_mp4": q_multimodal_decode_mp4,
     "multimodal_decode_mp3": q_multimodal_decode_mp3,
+    "obs_drift_psi": q_obs_drift_psi,
 }
 
 ORACLE_SQL = _oracles()

@@ -107,3 +107,63 @@ def histogram_equiwidth(
             "max_cents",
         )
     )
+
+
+def psi_by_key(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "source",
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a corpus,
+    per categorical bin — THE production drift gate for a training-
+    data ingest (PSI > 0.2 on the source mix means the new batch is
+    materially differently composed than the standing corpus, and a
+    model trained on it will see a different distribution).
+
+    Each side reduces to per-key counts first (one map-side-partial
+    aggregate each — the only passes over data); the |keys|-sized
+    count frames full-outer join and every downstream number derives
+    from exact integer counts. Never-seen keys are handled by
+    additive (+1) smoothing over the UNION key set — the textbook
+    PSI is undefined at zero bins, and dropping them hides exactly
+    the drift that matters most (a brand-new source appearing).
+
+    Returns (key, n_old, n_new, p_old, p_new, psi) with shares and
+    the per-bin PSI contribution ``(p_new − p_old)·ln(p_new/p_old)``
+    rounded to 4 decimals (the cross-engine ratio rule — shares are
+    IEEE quotients of exact integers, identical on any engine; ln
+    may differ in the last ulp, absorbed by the rounding). The total
+    PSI is the SUM of the contributions — left to the caller so no
+    rounded-sum-vs-summed-rounding ambiguity enters the contract.
+    """
+    n_old = old.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_old"))
+    n_new = new.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_new"))
+    both = (
+        n_old.join(n_new, key_col, "full_outer")
+        .select(
+            F.col(key_col).alias("key"),
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    # 1-row totals (count of keys + grand totals) broadcast back —
+    # the |keys|-sized frame never re-shuffles
+    tot = both.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("n_old").alias("_to"),
+        F.sum("n_new").alias("_tn"),
+    )
+    p_old = (F.col("n_old") + 1) / (F.col("_to") + F.col("_k"))
+    p_new = (F.col("n_new") + 1) / (F.col("_tn") + F.col("_k"))
+    return (
+        both.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_old",
+            "n_new",
+            F.round(p_old, 4).alias("p_old"),
+            F.round(p_new, 4).alias("p_new"),
+            F.round((p_new - p_old) * F.log(p_new / p_old), 4)
+            .alias("psi"),
+        )
+    )

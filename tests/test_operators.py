@@ -1883,3 +1883,32 @@ def test_bigram_lm_counts_and_topk(spark):
     assert got[("a", "c")] == (1, 0.25, 2)
     assert got[("b", "a")] == (2, 1.0, 1)
     assert len(got) == 3
+
+
+def test_psi_by_key_smoothing_and_contributions(spark):
+    """Hand-checkable PSI: union-key (+1) smoothing gives vanished and
+    brand-new bins finite, dominant contributions; an identical mix
+    yields zero drift everywhere."""
+    import math
+
+    from geniepool_etl_spark.operators.profile import psi_by_key
+
+    old = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)], "source STRING"
+    )
+    new = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("c",)], "source STRING"
+    )
+    got = {r.key: r for r in psi_by_key(old, new).collect()}
+    # k=3 union keys, totals 4 and 4 -> smoothed denominators 7
+    def psi(no, nn):
+        po, pn = (no + 1) / 7, (nn + 1) / 7
+        return round((pn - po) * math.log(pn / po), 4)
+
+    assert (got["a"].n_old, got["a"].n_new) == (3, 1)
+    assert got["a"].psi == psi(3, 1)
+    assert got["c"].n_old == 0          # brand-new source
+    assert got["c"].psi == psi(0, 2)
+    assert got["c"].psi > got["b"].psi  # new bin dominates steady bin
+    same = psi_by_key(old, old).collect()
+    assert all(r.psi == 0.0 for r in same)
