@@ -100,6 +100,8 @@ def _jpeg_dimensions(payload: bytes) -> dict:
             break
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                raise ValueError("jpeg: truncated SOF segment")
             precision = payload[pos + 4]
             h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
             return {
@@ -129,6 +131,8 @@ def decode_image(payload: bytes) -> dict:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         # IHDR is always the first chunk: width/height big-endian at
         # byte 16, bit depth at 24
+        if len(payload) < 25:
+            raise ValueError("png: truncated IHDR")
         w, h = struct.unpack(">II", payload[16:24])
         return {
             "format": "png", "width": w, "height": h,
@@ -136,6 +140,8 @@ def decode_image(payload: bytes) -> dict:
         }
     if payload[:2] == b"BM":
         # BITMAPINFOHEADER: int32 LE width@18, height@22, uint16 bpp@28
+        if len(payload) < 30:
+            raise ValueError("bmp: truncated info header")
         w, h = struct.unpack("<ii", payload[18:26])
         bpp = struct.unpack("<H", payload[28:30])[0]
         return {
@@ -148,7 +154,10 @@ def decode_image(payload: bytes) -> dict:
     if payload[:2] in (b"P5", b"P6"):
         # netpbm: magic, then whitespace-separated width height maxval
         fields = payload[2:64].split()
-        w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
+        try:
+            w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
+        except (IndexError, ValueError) as exc:
+            raise ValueError(f"netpbm: malformed header: {exc}") from exc
         return {
             "format": "ppm" if payload[:2] == b"P6" else "pgm",
             "width": w, "height": h,
@@ -179,17 +188,25 @@ def decode_audio(payload: bytes) -> dict:
     if payload is None or len(payload) < 12:
         raise ValueError("payload too short to be audio")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        with wave.open(io.BytesIO(bytes(payload))) as w:
-            rate = w.getframerate()
-            frames = w.getnframes()
-            return {
-                "format": "wav",
-                "n_channels": w.getnchannels(),
-                "sample_rate": rate,
-                "sample_width": w.getsampwidth(),
-                "n_frames": frames,
-                "duration_ms": frames * 1000 // rate if rate else None,
-            }
+        try:
+            with wave.open(io.BytesIO(bytes(payload))) as w:
+                rate = w.getframerate()
+                frames = w.getnframes()
+                return {
+                    "format": "wav",
+                    "n_channels": w.getnchannels(),
+                    "sample_rate": rate,
+                    "sample_width": w.getsampwidth(),
+                    "n_frames": frames,
+                    "duration_ms": (
+                        frames * 1000 // rate if rate else None
+                    ),
+                }
+        except (wave.Error, EOFError, RuntimeError) as exc:
+            # the stdlib wave module leaks wave.Error and even bare
+            # RuntimeError on truncated chunks — normalize to the
+            # malformed-input contract (total: dict or ValueError)
+            raise ValueError(f"malformed WAV container: {exc}") from exc
     at = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         # ID3v2 header: 'ID3' + version(2) + flags + syncsafe size(4)

@@ -531,3 +531,59 @@ def test_point_in_time_matches_interval_predicate(log, facts):
         and (h.valid_to_us is None or ft < h.valid_to_us)
     )
     assert got == want
+
+
+@given(st.binary(min_size=0, max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_media_parsers_total_on_arbitrary_bytes(payload):
+    """The stdlib byte-walkers (audio: WAV/MP3+ID3, video: AVI/MP4
+    box walk, image headers) must be TOTAL over arbitrary input:
+    terminate (no hop loop can stall) and either return a dict or
+    raise ValueError/NotImplementedError — never an IndexError,
+    struct.error, or hang. At 100 TB every malformed payload WILL
+    occur; the feature lanes rely on this contract to null-out
+    poison rows instead of killing the stage."""
+    from geniepool_etl_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video,
+    )
+
+    for fn in (decode_audio, decode_image, decode_video):
+        try:
+            out = fn(payload)
+            assert isinstance(out, dict) and out.get("format")
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@given(st.binary(min_size=0, max_size=256))
+@settings(max_examples=300, deadline=None)
+def test_media_parsers_total_on_marker_prefixed_bytes(tail):
+    """Same totality contract, but forcing the walkers PAST the
+    container sniff: valid magic prefixes followed by arbitrary
+    bytes (the realistic corruption — truncated/garbled files that
+    still carry their signature)."""
+    from geniepool_etl_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video,
+    )
+
+    cases = [
+        (decode_audio, b"RIFF\x24\x00\x00\x00WAVE"),
+        (decode_audio, b"ID3\x04\x00\x00\x00\x00\x00\x05"),
+        (decode_audio, b"\xff\xfb"),
+        (decode_video, b"RIFF\x24\x00\x00\x00AVI "),
+        (decode_video, b"\x00\x00\x00\x10ftypisom"),
+        (decode_image, b"\x89PNG\r\n\x1a\n"),
+        (decode_image, b"\xff\xd8\xff"),
+        (decode_image, b"BM"),
+        (decode_image, b"GIF89a"),
+    ]
+    for fn, magic in cases:
+        try:
+            out = fn(magic + tail)
+            assert isinstance(out, dict)
+        except (ValueError, NotImplementedError):
+            pass
