@@ -1853,6 +1853,22 @@ def q_obs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_by_key(old, new)
 
 
+def q_obs_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (operators/profile.ks_statistic)
+    on the document length distribution, English vs non-English — the
+    numeric-drift gate next to the binned PSI. Per-value counts are
+    the only data-sized aggregates; CDFs are running integer sums
+    over the tiny merged-values frame."""
+    from geniepool_etl_spark.operators.profile import ks_statistic
+
+    docs = _t(spark, sf_dir, "documents")
+    return ks_statistic(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        value_col="n_chars",
+    )
+
+
 def q_multimodal_decode_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real MP3 round-trip through the stdlib MPEG frame walker:
     per-document audio parameters derived JVM-side (oracle-
@@ -5864,6 +5880,45 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                           / ((n_old + 1.0) / (tot_o + k))), 4) AS psi
         FROM b, t
     """
+    o["obs_drift_ks"] = """
+        WITH o AS (
+          SELECT n_chars AS v, count(*) AS d_old FROM documents
+          WHERE lang = 'en' GROUP BY 1
+        ),
+        n AS (
+          SELECT n_chars AS v, count(*) AS d_new FROM documents
+          WHERE lang <> 'en' GROUP BY 1
+        ),
+        m AS (
+          SELECT COALESCE(o.v, n.v) AS v,
+                 COALESCE(d_old, 0) AS d_old,
+                 COALESCE(d_new, 0) AS d_new
+          FROM o FULL OUTER JOIN n ON o.v = n.v
+        ),
+        c AS (
+          SELECT v,
+                 sum(d_old) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum_old,
+                 sum(d_new) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum_new
+          FROM m
+        ),
+        t AS (
+          SELECT CAST(sum(d_old) AS BIGINT) AS tot_o,
+                 CAST(sum(d_new) AS BIGINT) AS tot_n
+          FROM m
+        ),
+        g AS (
+          SELECT v,
+                 abs(CAST(cum_old AS DOUBLE) / tot_o
+                     - CAST(cum_new AS DOUBLE) / tot_n) AS gap,
+                 tot_o, tot_n
+          FROM c, t
+        )
+        SELECT round(gap, 4) AS ks, v AS at_value,
+               tot_o AS n_old, tot_n AS n_new
+        FROM g ORDER BY gap DESC, v LIMIT 1
+    """
     o["sql_exists_late"] = _SQL_EXISTS_LATE
     o["sql_scalar_anti"] = _SQL_SCALAR_ANTI
     o["sql_tpch_q14"] = _SQL_Q14
@@ -6477,6 +6532,7 @@ SPARK_QUERIES = {
     "multimodal_decode_mp4": q_multimodal_decode_mp4,
     "multimodal_decode_mp3": q_multimodal_decode_mp3,
     "obs_drift_psi": q_obs_drift_psi,
+    "obs_drift_ks": q_obs_drift_ks,
 }
 
 ORACLE_SQL = _oracles()

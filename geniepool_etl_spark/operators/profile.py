@@ -167,3 +167,76 @@ def psi_by_key(
             .alias("psi"),
         )
     )
+
+
+def ks_statistic(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two
+    snapshots of a numeric column — the numeric-drift twin of
+    :func:`psi_by_key` (PSI needs bins; KS compares the full
+    empirical CDFs and is the standard gate for "did the length /
+    score distribution move?").
+
+    Exact, not sampled: each side reduces to per-value counts (one
+    map-side-partial aggregate each — the only passes over data),
+    the count frames full-outer join on the value, and both CDFs are
+    running integer sums over the merged value order. The KS gap per
+    value is |cum_old/total_old − cum_new/total_new|; the statistic
+    is its max, reported with the smallest value attaining it (ties
+    broken deterministically).
+
+    The running sum windows over the MERGED-VALUES frame — already
+    aggregated, |distinct values| rows, so the unpartitioned window
+    is a deliberate small-frame pattern (same rule as broadcast
+    totals), not a data-sized single-partition sort.
+
+    Returns one row: (ks, at_value, n_old, n_new) with ``ks``
+    rounded to 4 decimals (ratio rule).
+    """
+    from pyspark.sql import Window
+
+    c_old = old.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("d_old")
+    )
+    c_new = new.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("d_new")
+    )
+    merged = (
+        c_old.join(c_new, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("d_old", F.lit(0)).alias("d_old"),
+            F.coalesce("d_new", F.lit(0)).alias("d_new"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "v",
+        F.sum("d_old").over(w).alias("cum_old"),
+        F.sum("d_new").over(w).alias("cum_new"),
+    )
+    tot = merged.agg(
+        F.sum("d_old").alias("_to"), F.sum("d_new").alias("_tn")
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(
+            F.col("cum_old") / F.col("_to")
+            - F.col("cum_new") / F.col("_tn")
+        ).alias("gap"),
+        "_to",
+        "_tn",
+    )
+    return (
+        gaps.orderBy(F.col("gap").desc(), "v")
+        .limit(1)
+        .select(
+            F.round("gap", 4).alias("ks"),
+            F.col("v").alias("at_value"),
+            F.col("_to").alias("n_old"),
+            F.col("_tn").alias("n_new"),
+        )
+    )

@@ -1912,3 +1912,17 @@ def test_psi_by_key_smoothing_and_contributions(spark):
     assert got["c"].psi > got["b"].psi  # new bin dominates steady bin
     same = psi_by_key(old, old).collect()
     assert all(r.psi == 0.0 for r in same)
+
+
+def test_ks_statistic_exact_cdf_gap(spark):
+    """Hand-checkable KS: old=[1,2,2,3] vs new=[2,3,3,4] has CDF gaps
+    (.25, .5, .25, 0) over merged values 1..4 -> ks=0.5 at v=2;
+    identical samples give ks=0."""
+    from geniepool_etl_spark.operators.profile import ks_statistic
+
+    old = spark.createDataFrame([(1,), (2,), (2,), (3,)], "n_chars LONG")
+    new = spark.createDataFrame([(2,), (3,), (3,), (4,)], "n_chars LONG")
+    r = ks_statistic(old, new).collect()[0]
+    assert (r.ks, r.at_value, r.n_old, r.n_new) == (0.5, 2, 4, 4)
+    z = ks_statistic(old, old).collect()[0]
+    assert z.ks == 0.0 and z.at_value == 1  # tie -> smallest value
