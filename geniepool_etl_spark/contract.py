@@ -1853,6 +1853,28 @@ def q_obs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_by_key(old, new)
 
 
+def q_pipeline_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus card — the nightly one-pass report a
+    training-data pipeline publishes: doc count, whitespace-token
+    total, mean length, English share, and content-hash uniqueness
+    ratio (1 − dup rate), all from a single grouped pass over the
+    scan (the distinct-md5 arm is the only expand; raw text never
+    shuffles — only its 16-byte digest)."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = F.count(F.lit(1))
+    return docs.groupBy("source").agg(
+        cnt.alias("n_docs"),
+        F.sum(F.size(TX.words_col(F.col("text"))).cast("long"))
+        .alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(
+            F.sum((F.col("lang") == "en").cast("long")) / cnt, 4
+        ).alias("en_share"),
+        F.round(F.count_distinct(F.md5(F.col("text"))) / cnt, 4)
+        .alias("uniq_ratio"),
+    )
+
+
 def q_obs_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic (operators/profile.ks_statistic)
     on the document length distribution, English vs non-English — the
@@ -5919,6 +5941,18 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                tot_o AS n_old, tot_n AS n_new
         FROM g ORDER BY gap DESC, v LIMIT 1
     """
+    o["pipeline_corpus_card"] = r"""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS total_tokens,
+               round(avg(n_chars), 2) AS avg_chars,
+               round(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS en_share,
+               round(count(DISTINCT md5(text))
+                     / CAST(count(*) AS DOUBLE), 4) AS uniq_ratio
+        FROM documents GROUP BY source
+    """
     o["sql_exists_late"] = _SQL_EXISTS_LATE
     o["sql_scalar_anti"] = _SQL_SCALAR_ANTI
     o["sql_tpch_q14"] = _SQL_Q14
@@ -6533,6 +6567,7 @@ SPARK_QUERIES = {
     "multimodal_decode_mp3": q_multimodal_decode_mp3,
     "obs_drift_psi": q_obs_drift_psi,
     "obs_drift_ks": q_obs_drift_ks,
+    "pipeline_corpus_card": q_pipeline_corpus_card,
 }
 
 ORACLE_SQL = _oracles()
