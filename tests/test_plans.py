@@ -516,3 +516,23 @@ def test_user_feature_table_is_one_scan_one_exchange(spark):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     P.assert_no_cartesian(df)
+
+
+def test_corpus_card_single_scan_digest_only_shuffle(spark):
+    """The per-source corpus card must stay ONE scan with map-side
+    partials; the distinct arm shuffles (source, md5 digest) — raw
+    text must never appear in an Exchange's output."""
+    df = C.q_pipeline_corpus_card(spark, SF_SMALL)
+    df.collect()
+    # AQE's string repeats the tree under "== Initial Plan ==" —
+    # assert on the final section only
+    p = _plan(df).split("== Initial Plan ==")[0]
+    assert p.count("FileScan") == 1
+    assert P.count_exchanges(df) <= 2
+    for ln in p.splitlines():
+        if "Exchange" in ln:
+            # the digest expression's printed name contains "text#"
+            # (md5(cast(text#N as binary))) — that IS the 16-byte
+            # digest key; only a BARE text attribute would mean raw
+            # text crossing the wire
+            assert "text#" not in ln.replace("md5(cast(text#", ""), ln
