@@ -192,6 +192,8 @@ _INTENDED_CROSS = {
     "sql_scalar_anti",  # scalar subqueries = 1-row broadcast joins
     "text_bpe_merges",  # per-round 1-row argmax winner broadcast
     "a17_equidepth",  # 1-row quartile-boundary frame broadcast
+    "obs_drift_psi",  # 1-row totals frame broadcast (tfidf pattern)
+    "obs_drift_ks",  # same: 1-row totals frame broadcast
 }
 
 
