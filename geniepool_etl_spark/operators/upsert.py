@@ -259,6 +259,12 @@ def scd2_apply_batch(
 
     Precondition (the append-only contract): every batch row's
     timestamp is at or after its key's current ``valid_from_us``.
+    At an EXACTLY equal timestamp the batch row always replays as
+    later than the standing row (the seed id is Long.MIN_VALUE, so
+    no batch id — negative included — can tie or undercut it); this
+    matches the full rebuild whenever the batch row's ``id_col``
+    also exceeds the standing row's, which time-ordered ingest ids
+    give by construction.
     True by construction for time-partitioned ingest (the batch is a
     later time slice); a batch that rewrites the past needs the full
     recompute path instead.

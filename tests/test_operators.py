@@ -1926,3 +1926,44 @@ def test_ks_statistic_exact_cdf_gap(spark):
     assert (r.ks, r.at_value, r.n_old, r.n_new) == (0.5, 2, 4, 4)
     z = ks_statistic(old, old).collect()[0]
     assert z.ks == 0.0 and z.at_value == 1  # tie -> smallest value
+
+
+def test_scd2_apply_batch_equal_ts_negative_id(spark):
+    """Regression for the seed-ordering fix: a batch row arriving at
+    EXACTLY the standing current row's valid_from_us with a negative
+    id must still replay AFTER the seed (Long.MIN_VALUE), matching
+    the full rebuild — the old -1 seed let ids < -1 corrupt run
+    compression."""
+    from geniepool_etl_spark.operators.upsert import (
+        scd2_apply_batch,
+        scd2_from_changelog,
+    )
+
+    schema = "k LONG, ts_us LONG, attr STRING, id LONG"
+    standing_log = [(1, 10, "A", -100)]
+    batch_rows = [(1, 10, "B", -5)]
+
+    def snap(df):
+        return sorted(
+            (r.k, r.version, r.attr, r.valid_from_us, r.valid_to_us,
+             r.is_current)
+            for r in df.collect()
+        )
+
+    standing = scd2_from_changelog(
+        spark.createDataFrame(standing_log, schema),
+        key="k", ts_col="ts_us", attr="attr", id_col="id",
+    )
+    merged = scd2_apply_batch(
+        standing, spark.createDataFrame(batch_rows, schema),
+        key="k", ts_col="ts_us", attr="attr", id_col="id",
+    )
+    full = scd2_from_changelog(
+        spark.createDataFrame(standing_log + batch_rows, schema),
+        key="k", ts_col="ts_us", attr="attr", id_col="id",
+    )
+    got = snap(merged)
+    assert got == snap(full)
+    # and the batch attr is the current one (B replayed after A)
+    cur = [r for r in got if r[5]]
+    assert len(cur) == 1 and cur[0][2] == "B" and cur[0][1] == 2

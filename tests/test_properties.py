@@ -445,7 +445,9 @@ def test_scd2_apply_batch_matches_full_rebuild(log, split_frac):
 
     spark = _spark()
     schema = "k LONG, ts_us LONG, attr STRING, id LONG"
-    rows = [(k, i, a, i) for i, (k, a) in enumerate(log)]
+    # ids shifted negative: the apply path must not assume
+    # nonnegative batch ids (its seed row is Long.MIN_VALUE)
+    rows = [(k, i, a, i - 10) for i, (k, a) in enumerate(log)]
     cut = int(len(rows) * split_frac)
     old, new = rows[:cut], rows[cut:]
 
