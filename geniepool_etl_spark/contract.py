@@ -1875,6 +1875,32 @@ def q_pipeline_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_variables_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-scripting surface in one entry: a session variable
+    (DECLARE OR REPLACE + SET VARIABLE — re-invocable by design), the
+    IDENTIFIER() clause resolving a parameterized table name, and a
+    named query parameter via ``spark.sql(..., args=...)`` — the
+    templated-SQL toolkit that replaces string interpolation (and its
+    injection risks) in production jobs. The oracle is the fully
+    resolved query; parameterization must not change semantics."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE min_qty DOUBLE DEFAULT 30.0"
+    )
+    spark.sql("SET VARIABLE min_qty = 40.0")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               round(SUM(l_quantity), 2) AS sum_qty
+        FROM IDENTIFIER(:tbl)
+        WHERE l_quantity >= min_qty AND l_linestatus = :status
+        GROUP BY l_returnflag
+        """,
+        args={"tbl": "lineitem", "status": "F"},
+    )
+
+
 def q_obs_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic (operators/profile.ks_statistic)
     on the document length distribution, English vs non-English — the
@@ -5902,6 +5928,14 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                           / ((n_old + 1.0) / (tot_o + k))), 4) AS psi
         FROM b, t
     """
+    o["sql_variables_params"] = """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               round(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        WHERE l_quantity >= 40.0 AND l_linestatus = 'F'
+        GROUP BY l_returnflag
+    """
     o["obs_drift_ks"] = """
         WITH o AS (
           SELECT n_chars AS v, count(*) AS d_old FROM documents
@@ -6568,6 +6602,7 @@ SPARK_QUERIES = {
     "obs_drift_psi": q_obs_drift_psi,
     "obs_drift_ks": q_obs_drift_ks,
     "pipeline_corpus_card": q_pipeline_corpus_card,
+    "sql_variables_params": q_sql_variables_params,
 }
 
 ORACLE_SQL = _oracles()
