@@ -112,15 +112,56 @@ def _jpeg_dimensions(payload: bytes) -> dict:
     raise ValueError("jpeg: no SOF marker before scan data")
 
 
+def _webp_dimensions(payload: bytes) -> dict:
+    """WebP dimensions from the first image-bearing RIFF chunk — all
+    three public layouts, stdlib only: ``VP8X`` (extended: 24-bit LE
+    canvas width/height, each stored minus one), ``VP8L`` (lossless:
+    0x2F signature then 14+14 bits packed little-endian, minus one),
+    ``VP8 `` (lossy: keyframe start code 9D 01 2A then 14-bit LE
+    width/height). Pixel decode stays the codec boundary."""
+    import struct
+
+    n = len(payload)
+    at = 12
+    while at + 8 <= n:
+        fourcc = payload[at:at + 4]
+        (size,) = struct.unpack_from("<I", payload, at + 4)
+        body = at + 8
+        if fourcc == b"VP8X" and body + 10 <= n:
+            w = int.from_bytes(payload[body + 4:body + 7], "little") + 1
+            h = int.from_bytes(payload[body + 7:body + 10], "little") + 1
+            return {"format": "webp", "width": w, "height": h,
+                    "bit_depth": 8}
+        if fourcc == b"VP8L" and body + 5 <= n:
+            if payload[body] != 0x2F:
+                raise ValueError("webp: bad VP8L signature")
+            bits = int.from_bytes(payload[body + 1:body + 5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return {"format": "webp", "width": w, "height": h,
+                    "bit_depth": 8}
+        if fourcc == b"VP8 " and body + 10 <= n:
+            if payload[body + 3:body + 6] != b"\x9d\x01\x2a":
+                raise ValueError("webp: VP8 chunk without keyframe")
+            w = struct.unpack_from("<H", payload, body + 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", payload, body + 8)[0] & 0x3FFF
+            return {"format": "webp", "width": w, "height": h,
+                    "bit_depth": 8}
+        at = body + size + (size & 1)  # chunks pad to even
+    raise ValueError("webp: no image-bearing chunk found")
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode image metadata from the container header — stdlib only.
 
-    Real parses for BMP, PNG, GIF, PPM/PGM, and JPEG (SOF0/SOF2 marker
-    walk — baseline and progressive); returns ``{"format", "width",
-    "height", "bit_depth"}``. Anything else (webp/tiff/heic) needs a
-    real codec (PIL/OpenCV — not installed here) and raises
-    ``NotImplementedError``; so does full JPEG *pixel* decode, which
-    is the narrowed codec boundary.
+    Real parses for BMP, PNG, GIF, PPM/PGM, JPEG (SOF0/SOF2 marker
+    walk — baseline and progressive), and WebP (all three chunk
+    layouts: VP8X canvas size, VP8L packed 14-bit dims, lossy VP8
+    frame header); returns ``{"format", "width", "height",
+    "bit_depth"}``. Anything else (tiff/heic) needs a real codec
+    (PIL/OpenCV — not installed here) and raises
+    ``NotImplementedError``; so does full *pixel* decode for every
+    format, which is the narrowed codec boundary.
     """
     import struct
 
@@ -151,6 +192,8 @@ def decode_image(payload: bytes) -> dict:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return {"format": "gif", "width": w, "height": h, "bit_depth": 8}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _webp_dimensions(payload)
     if payload[:2] in (b"P5", b"P6"):
         # netpbm: magic, then whitespace-separated width height maxval
         fields = payload[2:64].split()
@@ -164,8 +207,8 @@ def decode_image(payload: bytes) -> dict:
             "bit_depth": 16 if maxval > 255 else 8,
         }
     raise NotImplementedError(
-        "only BMP/PNG/GIF/PPM/JPEG headers are stdlib-parseable — other "
-        "formats (and full pixel decode) require PIL/OpenCV, not "
+        "only BMP/PNG/GIF/PPM/JPEG/WEBP headers are stdlib-parseable — "
+        "other formats (and full pixel decode) require PIL/OpenCV, not "
         "installed in this environment"
     )
 

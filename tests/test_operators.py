@@ -440,9 +440,13 @@ def test_decode_rejects_short_payloads():
 def test_decode_unsupported_codecs_raise():
     # well-formed containers whose codec needs PIL/ffmpeg (absent
     # here) are the documented NotImplementedError boundary
+    # webp parses for real now: a VP8 chunk without the keyframe
+    # start code is malformed input, not a codec gap
     webp = b"RIFF\x2c\x00\x00\x00WEBPVP8 " + b"\x00" * 16
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="keyframe"):
         M.decode_image(webp)
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"II*\x00" + b"\x00" * 16)  # TIFF stays out
     # mp3 frame headers parse for real now; ogg stays the boundary
     mp3_frame = b"\xff\xfb\x90\x64" + b"\x00" * 16
     assert M.decode_audio(mp3_frame)["format"] == "mp3"
@@ -709,8 +713,31 @@ def test_stdlib_media_decoders():
     assert decode_image(ppm) == {
         "format": "ppm", "width": 100, "height": 50, "bit_depth": 8,
     }
-    with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x2c\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
+    # WebP dimensions parse for real in all three chunk layouts
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8X"
+        + struct.pack("<I", 10) + b"\x00" * 4
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    )
+    assert decode_image(vp8x) == {
+        "format": "webp", "width": 640, "height": 480, "bit_depth": 8,
+    }
+    bits = (99) | (49 << 14)  # 100x50 stored minus one
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 17) + b"WEBPVP8L"
+        + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits)
+    )
+    assert decode_image(vp8l) == {
+        "format": "webp", "width": 100, "height": 50, "bit_depth": 8,
+    }
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8 "
+        + struct.pack("<I", 10) + b"\x00" * 3 + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 320, 240)
+    )
+    assert decode_image(vp8) == {
+        "format": "webp", "width": 320, "height": 240, "bit_depth": 8,
+    }
     # an ID3 tag followed by no MPEG sync is malformed, not a codec
     # gap (the mp3 frame walk itself is real — see the mp3 test)
     with pytest.raises(ValueError):

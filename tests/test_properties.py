@@ -579,6 +579,7 @@ def test_media_parsers_total_on_marker_prefixed_bytes(tail):
         (decode_video, b"RIFF\x24\x00\x00\x00AVI "),
         (decode_video, b"\x00\x00\x00\x10ftypisom"),
         (decode_image, b"\x89PNG\r\n\x1a\n"),
+        (decode_image, b"RIFF\x24\x00\x00\x00WEBP"),
         (decode_image, b"\xff\xd8\xff"),
         (decode_image, b"BM"),
         (decode_image, b"GIF89a"),
