@@ -6,15 +6,18 @@ Decoders come in two tiers. Header-parseable formats are decoded FOR
 REAL with the stdlib alone: WAV (``wave`` module — channels, sample
 rate, sample width, frame count, duration), MP3 (MPEG-1 Layer III
 frame-header walk — channels, sample rate, exact frame count and
-duration, ID3v2 skip), BMP / PNG / GIF / PPM / PGM / JPEG image
-headers (``struct`` — width, height, bit depth; JPEG via an
-SOF0/SOF2 marker walk covering baseline and progressive), AVI
+duration, ID3v2 skip), FLAC (STREAMINFO block — rate, channels,
+bits, total samples, duration), BMP / PNG / GIF / PPM / PGM / JPEG /
+WebP / TIFF image headers (``struct`` — width, height, bit depth;
+JPEG via an SOF0/SOF2 marker walk covering baseline and progressive,
+WebP via all three chunk layouts, TIFF via a first-IFD walk), AVI
 (RIFF ``avih``) and MP4 (ISO-BMFF ``mvhd``/``tkhd``/``stts`` box
 walk) video containers. Work that needs real pixel/sample codecs
-(JPEG *pixel* decode, mp3 PCM synthesis, ogg/flac, frame decode for
-any video) remains behind ``NotImplementedError`` — those libraries
-are not available in this environment — with a deterministic
-byte-level feature extractor standing in. The Spark-side plumbing is real and
+(pixel decode for any image, PCM synthesis for mp3/flac, ogg
+framing, frame decode for any video) remains behind
+``NotImplementedError`` — those libraries are not available in this
+environment — with a deterministic byte-level feature extractor
+standing in. The Spark-side plumbing is real and
 tested either way: schema contract, binary column handling, Arrow
 batch shapes, partition-preserving narrow execution.
 
@@ -151,17 +154,68 @@ def _webp_dimensions(payload: bytes) -> dict:
     raise ValueError("webp: no image-bearing chunk found")
 
 
+def _tiff_dimensions(payload: bytes) -> dict:
+    """TIFF dimensions from the first IFD — stdlib only, both byte
+    orders (II little-endian / MM big-endian): walk the 12-byte
+    directory entries for ImageWidth (tag 256) and ImageLength (tag
+    257), reading inline SHORT(3)/LONG(4) values with the file's own
+    endianness, plus BitsPerSample (258) when inline. Strip/pixel
+    decode stays the codec boundary."""
+    import struct
+
+    if payload[:4] == b"II\x2a\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00\x2a":
+        e = ">"
+    else:
+        raise ValueError("tiff: bad byte-order/magic header")
+    n = len(payload)
+    if n < 8:
+        raise ValueError("tiff: truncated header")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    if ifd_off + 2 > n:
+        raise ValueError("tiff: IFD offset past end of file")
+    (count,) = struct.unpack_from(e + "H", payload, ifd_off)
+    width = height = None
+    depth = 8
+    for i in range(count):
+        at = ifd_off + 2 + 12 * i
+        if at + 12 > n:
+            raise ValueError("tiff: truncated IFD entry")
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, at)
+        if tag not in (256, 257, 258) or cnt != 1:
+            continue
+        if typ == 3:  # SHORT, stored in the field's first 2 bytes
+            (val,) = struct.unpack_from(e + "H", payload, at + 8)
+        elif typ == 4:  # LONG
+            (val,) = struct.unpack_from(e + "I", payload, at + 8)
+        else:
+            continue
+        if tag == 256:
+            width = val
+        elif tag == 257:
+            height = val
+        else:
+            depth = val
+    if width is None or height is None:
+        raise ValueError("tiff: IFD carries no image dimensions")
+    return {
+        "format": "tiff", "width": width, "height": height,
+        "bit_depth": depth,
+    }
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode image metadata from the container header — stdlib only.
 
     Real parses for BMP, PNG, GIF, PPM/PGM, JPEG (SOF0/SOF2 marker
-    walk — baseline and progressive), and WebP (all three chunk
-    layouts: VP8X canvas size, VP8L packed 14-bit dims, lossy VP8
-    frame header); returns ``{"format", "width", "height",
-    "bit_depth"}``. Anything else (tiff/heic) needs a real codec
-    (PIL/OpenCV — not installed here) and raises
-    ``NotImplementedError``; so does full *pixel* decode for every
-    format, which is the narrowed codec boundary.
+    walk — baseline and progressive), WebP (all three chunk layouts:
+    VP8X canvas size, VP8L packed 14-bit dims, lossy VP8 frame
+    header), and TIFF (first-IFD walk, both byte orders); returns
+    ``{"format", "width", "height", "bit_depth"}``. Anything else
+    (heic/avif) needs a real codec (PIL/OpenCV — not installed here)
+    and raises ``NotImplementedError``; so does full *pixel* decode
+    for every format, which is the narrowed codec boundary.
     """
     import struct
 
@@ -194,6 +248,8 @@ def decode_image(payload: bytes) -> dict:
         return {"format": "gif", "width": w, "height": h, "bit_depth": 8}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return _webp_dimensions(payload)
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return _tiff_dimensions(payload)
     if payload[:2] in (b"P5", b"P6"):
         # netpbm: magic, then whitespace-separated width height maxval
         fields = payload[2:64].split()
@@ -222,7 +278,8 @@ def decode_audio(payload: bytes) -> dict:
     floor — exact integer arithmetic so any engine reproduces it).
     MP3 *container framing* is parsed for real too — see
     :func:`_parse_mp3` (MPEG-1 Layer III frame-header walk, optional
-    ID3v2 skip). Compressed SAMPLE decode (mp3 PCM, ogg, flac) needs
+    ID3v2 skip) — and so is FLAC STREAMINFO (:func:`_parse_flac`).
+    Compressed SAMPLE decode (mp3/flac PCM synthesis, ogg) needs
     ffmpeg/soundfile and raises ``NotImplementedError``.
     """
     import io
@@ -264,13 +321,54 @@ def decode_audio(payload: bytes) -> dict:
         and payload[at + 1] & 0xE0 == 0xE0
     ):
         return _parse_mp3(payload, at)
-    if payload[:4] in (b"OggS", b"fLaC"):
+    if payload[:4] == b"fLaC":
+        return _parse_flac(payload)
+    if payload[:4] == b"OggS":
         raise NotImplementedError(
-            "ogg/flac framing and all compressed-sample decode require "
+            "ogg framing and all compressed-sample decode require "
             "ffmpeg/soundfile, not installed in this environment — WAV "
-            "decodes and MP3 frame headers parse for real"
+            "decodes, MP3 frame headers and FLAC STREAMINFO parse for "
+            "real"
         )
     raise ValueError("unrecognized audio container")
+
+
+def _parse_flac(payload: bytes) -> dict:
+    """Real FLAC STREAMINFO parse, stdlib only: walk the metadata
+    blocks (1-byte last|type + 24-bit BE length) to block type 0,
+    whose packed tail carries sample rate (20 bits), channels−1
+    (3 bits), bits-per-sample−1 (5 bits), and total samples
+    (36 bits) — duration in floor-integer milliseconds, like the WAV
+    lane. Compressed-sample decode stays the codec boundary."""
+    n = len(payload)
+    at = 4
+    while at + 4 <= n:
+        head = payload[at]
+        btype = head & 0x7F
+        size = int.from_bytes(payload[at + 1:at + 4], "big")
+        body = at + 4
+        if btype == 0:
+            if body + 34 > n:
+                raise ValueError("flac: truncated STREAMINFO")
+            packed = int.from_bytes(payload[body + 10:body + 18], "big")
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                raise ValueError("flac: zero sample rate")
+            return {
+                "format": "flac",
+                "n_channels": channels,
+                "sample_rate": rate,
+                "sample_width": (bits + 7) // 8,
+                "n_frames": total,
+                "duration_ms": total * 1000 // rate,
+            }
+        if head & 0x80:  # last metadata block and no STREAMINFO seen
+            break
+        at = body + size
+    raise ValueError("flac: no STREAMINFO metadata block")
 
 
 # MPEG-1 Layer III side tables (bitrate kbps by index, sample rate by

@@ -446,7 +446,7 @@ def test_decode_unsupported_codecs_raise():
     with pytest.raises(ValueError, match="keyframe"):
         M.decode_image(webp)
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"II*\x00" + b"\x00" * 16)  # TIFF stays out
+        M.decode_image(b"\x00\x00\x00\x20ftypheic" + b"\x00" * 8)
     # mp3 frame headers parse for real now; ogg stays the boundary
     mp3_frame = b"\xff\xfb\x90\x64" + b"\x00" * 16
     assert M.decode_audio(mp3_frame)["format"] == "mp3"
@@ -742,8 +742,44 @@ def test_stdlib_media_decoders():
     # gap (the mp3 frame walk itself is real — see the mp3 test)
     with pytest.raises(ValueError):
         decode_audio(b"ID3\x04" + b"\x00" * 32)
+    # flac STREAMINFO parses for real; a truncated one is malformed
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        decode_audio(b"fLaC" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
-        decode_audio(b"fLaC" + b"\x00" * 32)
+        decode_audio(b"OggS" + b"\x00" * 32)
+
+    # TIFF dimensions: both byte orders, SHORT and LONG value types
+    tiff_le = (
+        b"II\x2a\x00" + struct.pack("<I", 8) + struct.pack("<H", 3)
+        + struct.pack("<HHIHH", 256, 3, 1, 640, 0)
+        + struct.pack("<HHII", 257, 4, 1, 480)
+        + struct.pack("<HHIHH", 258, 3, 1, 16, 0)
+        + struct.pack("<I", 0)
+    )
+    assert decode_image(tiff_le) == {
+        "format": "tiff", "width": 640, "height": 480, "bit_depth": 16,
+    }
+    tiff_be = (
+        b"MM\x00\x2a" + struct.pack(">I", 8) + struct.pack(">H", 2)
+        + struct.pack(">HHIHH", 256, 3, 1, 12, 0)
+        + struct.pack(">HHIHH", 257, 3, 1, 34, 0)
+        + struct.pack(">I", 0)
+    )
+    assert decode_image(tiff_be) == {
+        "format": "tiff", "width": 12, "height": 34, "bit_depth": 8,
+    }
+
+    # FLAC STREAMINFO: 44.1 kHz stereo 16-bit, 88200 samples = 2000 ms
+    packed = (44100 << 44) | (1 << 41) | (15 << 36) | 88200
+    streaminfo = (
+        b"\x80" + (34).to_bytes(3, "big") + b"\x00" * 10
+        + packed.to_bytes(8, "big") + b"\x00" * 16
+    )
+    m = decode_audio(b"fLaC" + streaminfo)
+    assert m == {
+        "format": "flac", "n_channels": 2, "sample_rate": 44100,
+        "sample_width": 2, "n_frames": 88200, "duration_ms": 2000,
+    }
 
 
 def test_decode_jpeg_sof_dimensions():

@@ -580,6 +580,9 @@ def test_media_parsers_total_on_marker_prefixed_bytes(tail):
         (decode_video, b"\x00\x00\x00\x10ftypisom"),
         (decode_image, b"\x89PNG\r\n\x1a\n"),
         (decode_image, b"RIFF\x24\x00\x00\x00WEBP"),
+        (decode_image, b"II\x2a\x00"),
+        (decode_image, b"MM\x00\x2a"),
+        (decode_audio, b"fLaC"),
         (decode_image, b"\xff\xd8\xff"),
         (decode_image, b"BM"),
         (decode_image, b"GIF89a"),
