@@ -2030,3 +2030,39 @@ def test_scd2_apply_batch_equal_ts_negative_id(spark):
     # and the batch attr is the current one (B replayed after A)
     cur = [r for r in got if r[5]]
     assert len(cur) == 1 and cur[0][2] == "B" and cur[0][1] == 2
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    """Every shard's pos column is exactly 1..|shard| (a permutation
+    address, no gaps or dupes), and the full (id -> shard, pos)
+    assignment is identical across re-runs and input repartitionings
+    — the property RNG shuffles lack."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    a = {
+        r.doc_id: (r.shard, r.pos)
+        for r in deterministic_shuffle(df, n_shards=5).collect()
+    }
+    b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in deterministic_shuffle(
+            df.repartition(7), n_shards=5
+        ).collect()
+    }
+    assert a == b and len(a) == 300
+    by_shard = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poses in by_shard.items():
+        assert sorted(poses) == list(range(1, len(poses) + 1)), shard
+    # a different seed is a genuinely different permutation
+    c = {
+        r.doc_id: (r.shard, r.pos)
+        for r in deterministic_shuffle(df, n_shards=5, seed=18).collect()
+    }
+    assert c != a
