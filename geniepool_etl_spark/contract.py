@@ -4344,7 +4344,19 @@ def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
 
-_EVENT_US = "epoch_us(ts)"
+# Event-time in µs, ENCODING-POLYMORPHIC on the oracle side: the
+# driver has shipped events.ts as parquet TIMESTAMP, TIMESTAMP_NTZ,
+# AND nanos-INT64 in different rounds (the Spark side adapts via
+# functions.event_micros), so a static epoch_us(ts) would break every
+# event oracle the round the encoding flips to LONG. The VARCHAR
+# round-trip + TRY_CAST pair binds on any input type and picks the
+# right branch per value: timestamps parse (offset included, so a
+# TIMESTAMPTZ read under any session timezone still yields the same
+# instant — verified), raw nanos fall through to integer // 1000.
+_EVENT_US = (
+    "COALESCE(epoch_us(TRY_CAST(CAST(ts AS VARCHAR) AS TIMESTAMP)), "
+    "TRY_CAST(CAST(ts AS VARCHAR) AS BIGINT) // 1000)"
+)
 
 
 def _oracles() -> dict[str, str]:

@@ -454,8 +454,22 @@ def run_session_stream(
             flush_ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
                 microseconds=flush_us
             )
+        # keyed by FIELD NAME, then laid out in the source's own
+        # column order — a positional tuple would silently put the
+        # flush timestamp in the wrong column if the upstream writer
+        # ever reorders columns (caught by an encoding-drift drill:
+        # a reordered source made the flush land at 1970 and the last
+        # watermark-window of sessions never closed)
+        flush_vals = {
+            "event_id": 10**9,
+            "ts": flush_ts,
+            "user_id": -1,
+            "event_type": "flush",
+            "value": 0.0,
+            "props": "{}",
+        }
         spark.createDataFrame(
-            [(10**9, flush_ts, -1, "flush", 0.0, "{}")],
+            [tuple(flush_vals[f.name] for f in src_df.schema.fields)],
             schema=src_df.schema,
         ).write.mode("append").parquet(src)
         query.processAllAvailable()
