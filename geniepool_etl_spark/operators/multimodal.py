@@ -7,14 +7,16 @@ REAL with the stdlib alone: WAV (``wave`` module — channels, sample
 rate, sample width, frame count, duration), MP3 (MPEG-1 Layer III
 frame-header walk — channels, sample rate, exact frame count and
 duration, ID3v2 skip), FLAC (STREAMINFO block — rate, channels,
-bits, total samples, duration), BMP / PNG / GIF / PPM / PGM / JPEG /
+bits, total samples, duration), Ogg Opus/Vorbis (page walk — id
+header + final-page granule → exact duration), BMP / PNG / GIF / PPM / PGM / JPEG /
 WebP / TIFF image headers (``struct`` — width, height, bit depth;
 JPEG via an SOF0/SOF2 marker walk covering baseline and progressive,
 WebP via all three chunk layouts, TIFF via a first-IFD walk), AVI
 (RIFF ``avih``) and MP4 (ISO-BMFF ``mvhd``/``tkhd``/``stts`` box
 walk) video containers. Work that needs real pixel/sample codecs
-(pixel decode for any image, PCM synthesis for mp3/flac, ogg
-framing, frame decode for any video) remains behind
+(pixel decode for any image, PCM synthesis for any audio codec,
+frame decode for any video, non-Opus/Vorbis ogg codecs) remains
+behind
 ``NotImplementedError`` — those libraries are not available in this
 environment — with a deterministic byte-level feature extractor
 standing in. The Spark-side plumbing is real and
@@ -278,9 +280,10 @@ def decode_audio(payload: bytes) -> dict:
     floor — exact integer arithmetic so any engine reproduces it).
     MP3 *container framing* is parsed for real too — see
     :func:`_parse_mp3` (MPEG-1 Layer III frame-header walk, optional
-    ID3v2 skip) — and so is FLAC STREAMINFO (:func:`_parse_flac`).
-    Compressed SAMPLE decode (mp3/flac PCM synthesis, ogg) needs
-    ffmpeg/soundfile and raises ``NotImplementedError``.
+    ID3v2 skip) — as are FLAC STREAMINFO (:func:`_parse_flac`) and
+    Ogg Opus/Vorbis (:func:`_parse_ogg`). Compressed SAMPLE decode
+    (PCM synthesis for any codec) needs ffmpeg/soundfile and raises
+    ``NotImplementedError``.
     """
     import io
     import wave
@@ -324,13 +327,72 @@ def decode_audio(payload: bytes) -> dict:
     if payload[:4] == b"fLaC":
         return _parse_flac(payload)
     if payload[:4] == b"OggS":
-        raise NotImplementedError(
-            "ogg framing and all compressed-sample decode require "
-            "ffmpeg/soundfile, not installed in this environment — WAV "
-            "decodes, MP3 frame headers and FLAC STREAMINFO parse for "
-            "real"
-        )
+        return _parse_ogg(payload)
     raise ValueError("unrecognized audio container")
+
+
+def _parse_ogg(payload: bytes) -> dict:
+    """Real Ogg container parse, stdlib only: walk the page headers
+    ('OggS' + version + type + 64-bit LE granule + serial + seq +
+    crc + segment table) to find (a) the identification packet on
+    the first page — OpusHead (channels, input sample rate, pre-skip)
+    or the Vorbis id header (channels, sample rate) — and (b) the
+    LAST page's granule position, which by spec is the total PCM
+    sample count (at 48 kHz for Opus regardless of input rate), so
+    ``duration_ms`` is exact floor-integer arithmetic. Codec-packet
+    decode (the actual Opus/Vorbis DSP) stays the ffmpeg boundary —
+    a recognized container with an unknown codec raises
+    ``NotImplementedError``."""
+    import struct
+
+    n = len(payload)
+    at = 0
+    codec = None
+    channels = rate = None
+    preskip = 0
+    last_granule = None
+    first = True
+    while at + 27 <= n and payload[at:at + 4] == b"OggS":
+        granule, = struct.unpack_from("<q", payload, at + 6)
+        n_segs = payload[at + 26]
+        seg_table = payload[at + 27:at + 27 + n_segs]
+        if len(seg_table) < n_segs:
+            break
+        body = at + 27 + n_segs
+        body_len = sum(seg_table)
+        if granule >= 0:
+            last_granule = granule
+        if first:
+            pkt = payload[body:body + body_len]
+            if pkt[:8] == b"OpusHead" and len(pkt) >= 19:
+                codec = "opus"
+                channels = pkt[9]
+                preskip, = struct.unpack_from("<H", pkt, 10)
+                rate, = struct.unpack_from("<I", pkt, 12)
+            elif pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                codec = "vorbis"
+                channels = pkt[11]
+                rate, = struct.unpack_from("<I", pkt, 12)
+            first = False
+        at = body + body_len
+    if codec is None:
+        raise NotImplementedError(
+            "ogg container recognized but the codec id packet is not "
+            "OpusHead/vorbis — other ogg codecs require ffmpeg"
+        )
+    if last_granule is None:
+        raise ValueError("ogg: no page carries a granule position")
+    # Opus granules tick at 48 kHz by spec, minus the encoder pre-skip
+    gr_rate = 48_000 if codec == "opus" else rate
+    samples = max(0, last_granule - (preskip if codec == "opus" else 0))
+    return {
+        "format": codec,
+        "n_channels": channels,
+        "sample_rate": rate,
+        "sample_width": None,
+        "n_frames": samples,
+        "duration_ms": samples * 1000 // gr_rate if gr_rate else None,
+    }
 
 
 def _parse_flac(payload: bytes) -> dict:

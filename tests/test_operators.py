@@ -2066,3 +2066,46 @@ def test_deterministic_shuffle_is_stable_permutation(spark):
         for r in deterministic_shuffle(df, n_shards=5, seed=18).collect()
     }
     assert c != a
+
+
+def test_decode_audio_ogg_page_walk(spark):
+    """Ogg container parse is real: OpusHead (channels, input rate,
+    pre-skip; 48 kHz granule clock) and the Vorbis id header, with
+    duration from the final page's granule position; unknown ogg
+    codecs stay the honest ffmpeg boundary."""
+    import struct
+
+    def page_ok(granule, payload_bytes, htype=0):
+        return (
+            b"OggS" + bytes([0, htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<III", 1, 0, 0)
+            + bytes([1, len(payload_bytes)]) + payload_bytes
+        )
+
+    opus_head = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + struct.pack("<I", 24000) + b"\x00\x00\x00"
+    )
+    # id page carries granule -1 (no packet ends); EOS page's granule
+    # is pre-skip + total samples at the 48 kHz Opus granule clock
+    ogg = page_ok(-1, opus_head) + page_ok(312 + 96000, b"\x00", htype=4)
+    m = M.decode_audio(ogg)
+    assert m == {
+        "format": "opus", "n_channels": 2, "sample_rate": 24000,
+        "sample_width": None, "n_frames": 96000,
+        "duration_ms": 96000 * 1000 // 48000,
+    }
+
+    vorbis_head = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+        + struct.pack("<I", 44100) + b"\x00" * 4
+    )
+    ogg_v = page_ok(-1, vorbis_head) + page_ok(88200, b"\x00", htype=4)
+    m = M.decode_audio(ogg_v)
+    assert (m["format"], m["n_channels"], m["sample_rate"],
+            m["n_frames"], m["duration_ms"]) == (
+        "vorbis", 2, 44100, 88200, 2000)
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.decode_audio(page_ok(0, b"Speex   header!!"))

@@ -583,6 +583,7 @@ def test_media_parsers_total_on_marker_prefixed_bytes(tail):
         (decode_image, b"II\x2a\x00"),
         (decode_image, b"MM\x00\x2a"),
         (decode_audio, b"fLaC"),
+        (decode_audio, b"OggS"),
         (decode_image, b"\xff\xd8\xff"),
         (decode_image, b"BM"),
         (decode_image, b"GIF89a"),
