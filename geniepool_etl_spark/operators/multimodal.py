@@ -15,8 +15,7 @@ WebP via all three chunk layouts, TIFF via a first-IFD walk), AVI
 (RIFF ``avih``) and MP4 (ISO-BMFF ``mvhd``/``tkhd``/``stts`` box
 walk) video containers. Work that needs real pixel/sample codecs
 (pixel decode for any image, PCM synthesis for any audio codec,
-frame decode for any video, non-Opus/Vorbis ogg codecs) remains
-behind
+frame decode for any video, non-Opus/Vorbis ogg codecs) remains behind
 ``NotImplementedError`` — those libraries are not available in this
 environment — with a deterministic byte-level feature extractor
 standing in. The Spark-side plumbing is real and
@@ -861,10 +860,11 @@ def decode_video(payload: bytes) -> dict:
     a multimodal pipeline filters and shards on (resolution cuts,
     frame-budget packing) before any pixel ever decodes. MP4
     (ISO-BMFF) container metadata is parsed for real too — see
-    :func:`_parse_mp4` (mvhd/tkhd/stts box walk). MKV framing and
-    actual frame decode need ffmpeg and raise ``NotImplementedError``
-    (the same codec boundary as compressed audio). For AVI, ``fps``
-    is recovered as ``1_000_000 // µs_per_frame``
+    :func:`_parse_mp4` (mvhd/tkhd/stts box walk) — and so is
+    Matroska/WebM duration (:func:`_parse_mkv`, EBML varint walk).
+    Actual frame decode for any container needs ffmpeg and stays the
+    codec boundary (the same one as compressed audio). For AVI,
+    ``fps`` is recovered as ``1_000_000 // µs_per_frame``
     (exact for integer-fps sources); ``duration_ms`` is
     ``frames * 1000 // fps`` — floor integer arithmetic any engine
     reproduces.
@@ -890,7 +890,86 @@ def decode_video(payload: bytes) -> dict:
         }
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return _parse_mp4(payload)
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        return _parse_mkv(payload)
     raise ValueError("unrecognized video container")
+
+
+def _ebml_vint(buf: bytes, at: int, strip_marker: bool) -> tuple[int, int]:
+    """Decode one EBML variable-length integer at ``at``: the leading
+    byte's highest set bit gives the width; element IDs keep the
+    marker bit (compared against full-ID constants), element SIZES
+    strip it. Returns (value, next_offset)."""
+    if at >= len(buf):
+        raise ValueError("ebml: truncated varint")
+    first = buf[at]
+    if first == 0:
+        raise ValueError("ebml: invalid varint lead byte")
+    width = 1
+    mask = 0x80
+    while not first & mask:
+        width += 1
+        mask >>= 1
+    if at + width > len(buf):
+        raise ValueError("ebml: truncated varint body")
+    val = first & (mask - 1) if strip_marker else first
+    for b in buf[at + 1:at + width]:
+        val = (val << 8) | b
+    return val, at + width
+
+
+def _parse_mkv(payload: bytes) -> dict:
+    """Real Matroska/WebM duration parse, stdlib only: EBML varint
+    walk to Segment → Info, reading TimestampScale (default 10^6 ns
+    per tick) and Duration (an IEEE float in ticks, per spec) —
+    ``duration_ms = round(ticks · scale / 10^6)``. Track-level
+    fields (dims, fps) and frame decode stay the ffmpeg boundary, so
+    they come back null like every other unparsed field."""
+    import struct
+
+    SEGMENT, INFO = 0x18538067, 0x1549A966
+    TS_SCALE, DURATION = 0x2AD7B1, 0x4489
+    UNKNOWN = {(1 << (7 * w)) - 1 for w in range(1, 9)}
+
+    def walk(lo: int, hi: int, targets: set[int]):
+        at = lo
+        while at < hi:
+            eid, at = _ebml_vint(payload, at, strip_marker=False)
+            size, at = _ebml_vint(payload, at, strip_marker=True)
+            end = hi if size in UNKNOWN else min(hi, at + size)
+            yield eid, at, end
+            at = end
+
+    scale = 1_000_000
+    dur_ticks = None
+    n = len(payload)
+    for eid, s, e in walk(0, n, {SEGMENT}):
+        if eid != SEGMENT:
+            continue
+        for eid2, s2, e2 in walk(s, e, {INFO}):
+            if eid2 != INFO:
+                continue
+            for eid3, s3, e3 in walk(s2, e2, {TS_SCALE, DURATION}):
+                if eid3 == TS_SCALE:
+                    scale = int.from_bytes(payload[s3:e3], "big")
+                elif eid3 == DURATION:
+                    raw = payload[s3:e3]
+                    if len(raw) == 4:
+                        dur_ticks = struct.unpack(">f", raw)[0]
+                    elif len(raw) == 8:
+                        dur_ticks = struct.unpack(">d", raw)[0]
+            break
+        break
+    if dur_ticks is None:
+        raise ValueError("mkv: Segment/Info carries no Duration")
+    return {
+        "format": "mkv",
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "fps": None,
+        "duration_ms": int(dur_ticks * scale // 1_000_000),
+    }
 
 
 def _mp4_boxes(buf: bytes, start: int, end: int):

@@ -2109,3 +2109,36 @@ def test_decode_audio_ogg_page_walk(spark):
 
     with pytest.raises(NotImplementedError, match="codec"):
         M.decode_audio(page_ok(0, b"Speex   header!!"))
+
+
+def test_decode_video_mkv_duration(spark):
+    """Matroska EBML walk is real: Segment>Info TimestampScale +
+    float Duration give the exact duration; a Segment without Info
+    duration is malformed, not a codec gap."""
+    import struct
+
+    def elem(eid_bytes, payload_bytes):
+        assert len(payload_bytes) < 127
+        return eid_bytes + bytes([0x80 | len(payload_bytes)]) + payload_bytes
+
+    ebml_hdr = elem(b"\x1aE\xdf\xa3", b"")
+    # scale 2_000_000 ns/tick, duration 1500.0 ticks -> 3000 ms
+    info = elem(
+        b"\x15\x49\xa9\x66",
+        elem(b"\x2a\xd7\xb1", (2_000_000).to_bytes(4, "big"))
+        + elem(b"\x44\x89", struct.pack(">d", 1500.0)),
+    )
+    mkv = ebml_hdr + elem(b"\x18\x53\x80\x67", info)
+    m = M.decode_video(mkv)
+    assert m["format"] == "mkv" and m["duration_ms"] == 3000
+    assert m["width"] is None and m["fps"] is None
+    # 4-byte float duration, default scale (1 ms/tick): 2500 ms
+    info2 = elem(b"\x15\x49\xa9\x66",
+                 elem(b"\x44\x89", struct.pack(">f", 2500.0)))
+    m2 = M.decode_video(ebml_hdr + elem(b"\x18\x53\x80\x67", info2))
+    assert m2["duration_ms"] == 2500
+    # Info with a scale but no Duration is malformed for this lane
+    info3 = elem(b"\x15\x49\xa9\x66",
+                 elem(b"\x2a\xd7\xb1", (1_000_000).to_bytes(4, "big")))
+    with pytest.raises(ValueError, match="Duration"):
+        M.decode_video(ebml_hdr + elem(b"\x18\x53\x80\x67", info3))

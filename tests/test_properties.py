@@ -578,6 +578,7 @@ def test_media_parsers_total_on_marker_prefixed_bytes(tail):
         (decode_audio, b"\xff\xfb"),
         (decode_video, b"RIFF\x24\x00\x00\x00AVI "),
         (decode_video, b"\x00\x00\x00\x10ftypisom"),
+        (decode_video, b"\x1aE\xdf\xa3"),
         (decode_image, b"\x89PNG\r\n\x1a\n"),
         (decode_image, b"RIFF\x24\x00\x00\x00WEBP"),
         (decode_image, b"II\x2a\x00"),
