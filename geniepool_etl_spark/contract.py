@@ -1834,6 +1834,56 @@ def q_multimodal_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_video_features(M.synth_mp4_assets(params))
 
 
+def q_multimodal_decode_flac(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Real FLAC round-trip through the stdlib STREAMINFO parser:
+    per-document audio parameters derived JVM-side, packed into
+    genuine fLaC containers inside Arrow mapInPandas, decoded back by
+    ``decode_audio``'s metadata-block walk — the lossless-audio leg;
+    sample decode stays the documented codec boundary."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 6 == 2)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.element_at(
+                F.array(F.lit(44100), F.lit(48000), F.lit(96000)),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).cast("long").alias("sample_rate"),
+            (F.col("doc_id") % 2 + 1).cast("long").alias("n_channels"),
+            (F.length("text") * 37 % 200000 + 1).cast("long")
+            .alias("n_frames"),
+        )
+    )
+    return M.decode_audio_features(M.synth_flac_assets(params))
+
+
+def q_multimodal_decode_ogg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Real Ogg Opus round-trip through the stdlib page walker:
+    OpusHead id packet + EOS granule encode JVM-derived parameters,
+    ``decode_audio`` recovers channels / input rate / total samples /
+    floor-ms duration on the 48 kHz Opus granule clock — the
+    lossy-audio leg; packet (DSP) decode stays the codec boundary."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 6 == 3)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.element_at(
+                F.array(F.lit(8000), F.lit(16000), F.lit(48000)),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).cast("long").alias("sample_rate"),
+            (F.col("doc_id") % 2 + 1).cast("long").alias("n_channels"),
+            (F.length("text") * 53 % 480000 + 1).cast("long")
+            .alias("n_frames"),
+        )
+    )
+    return M.decode_audio_features(M.synth_ogg_opus_assets(params))
+
+
 def q_obs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mix drift between two corpus snapshots (operators/
     profile.psi_by_key): per-source PSI contributions with additive
@@ -5911,6 +5961,34 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS duration_ms
         FROM documents WHERE doc_id % 4 = 1
     """
+    o["multimodal_decode_flac"] = """
+        SELECT doc_id AS asset_id,
+               'flac' AS format,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS n_channels,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 44100
+                    WHEN 1 THEN 48000 ELSE 96000 END AS BIGINT)
+                 AS sample_rate,
+               CAST(length(text) * 37 % 200000 + 1 AS BIGINT)
+                 AS n_frames,
+               CAST((length(text) * 37 % 200000 + 1) * 1000
+                    // (CASE doc_id % 3 WHEN 0 THEN 44100
+                        WHEN 1 THEN 48000 ELSE 96000 END) AS BIGINT)
+                 AS duration_ms
+        FROM documents WHERE doc_id % 6 = 2
+    """
+    o["multimodal_decode_ogg"] = """
+        SELECT doc_id AS asset_id,
+               'opus' AS format,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS n_channels,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 8000
+                    WHEN 1 THEN 16000 ELSE 48000 END AS BIGINT)
+                 AS sample_rate,
+               CAST(length(text) * 53 % 480000 + 1 AS BIGINT)
+                 AS n_frames,
+               CAST((length(text) * 53 % 480000 + 1) * 1000
+                    // 48000 AS BIGINT) AS duration_ms
+        FROM documents WHERE doc_id % 6 = 3
+    """
     o["obs_drift_psi"] = """
         WITH o AS (
           SELECT source AS key, count(*) AS n_old FROM documents
@@ -6615,6 +6693,8 @@ SPARK_QUERIES = {
     "obs_drift_ks": q_obs_drift_ks,
     "pipeline_corpus_card": q_pipeline_corpus_card,
     "sql_variables_params": q_sql_variables_params,
+    "multimodal_decode_flac": q_multimodal_decode_flac,
+    "multimodal_decode_ogg": q_multimodal_decode_ogg,
 }
 
 ORACLE_SQL = _oracles()

@@ -589,6 +589,100 @@ def synth_mp3_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_flac_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    rate_col: str = "sample_rate",
+    channels_col: str = "n_channels",
+    frames_col: str = "n_frames",
+) -> DataFrame:
+    """Synthesize REAL minimal FLAC containers (fLaC magic + a
+    spec-length last-flagged STREAMINFO metadata block carrying the
+    packed rate/channels/bits/total-samples word; 16-bit depth) from
+    per-row parameters via Arrow ``mapInPandas`` — the lossless twin
+    of :func:`synth_mp3_assets`."""
+
+    def one(rate: int, ch: int, frames: int) -> bytes:
+        packed = (
+            (rate << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | frames
+        )
+        streaminfo = (
+            b"\x80" + (34).to_bytes(3, "big")
+            + b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+        )
+        return b"fLaC" + streaminfo
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(r), int(c), int(n))
+                for r, c, n in zip(
+                    pdf[rate_col], pdf[channels_col], pdf[frames_col]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/flac",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_ogg_opus_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    rate_col: str = "sample_rate",
+    channels_col: str = "n_channels",
+    frames_col: str = "n_frames",
+    preskip: int = 312,
+) -> DataFrame:
+    """Synthesize REAL minimal Ogg Opus streams (an id page whose
+    single packet is a spec-length OpusHead, then an EOS page whose
+    granule position is pre-skip + total samples on the 48 kHz Opus
+    granule clock) from per-row parameters via Arrow ``mapInPandas``
+    — the lossy-codec twin of :func:`synth_flac_assets`."""
+    import struct
+
+    def page(granule: int, pkt: bytes, htype: int) -> bytes:
+        return (
+            b"OggS" + bytes([0, htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<III", 1, 0, 0)
+            + bytes([1, len(pkt)]) + pkt
+        )
+
+    def one(rate: int, ch: int, frames: int) -> bytes:
+        head = (
+            b"OpusHead" + bytes([1, ch])
+            + struct.pack("<H", preskip)
+            + struct.pack("<I", rate) + b"\x00\x00\x00"
+        )
+        return page(-1, head, 0x02) + page(
+            preskip + frames, b"\x00", 0x04
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(r), int(c), int(n))
+                for r, c, n in zip(
+                    pdf[rate_col], pdf[channels_col], pdf[frames_col]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/ogg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def decode_audio_features(assets: DataFrame) -> DataFrame:
     """The real-decoder feature lane: WAV header metadata per asset via
     Arrow ``mapInPandas`` (narrow, payload never shuffles). Null
