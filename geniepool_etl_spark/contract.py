@@ -1884,6 +1884,75 @@ def q_multimodal_decode_ogg(
     return M.decode_audio_features(M.synth_ogg_opus_assets(params))
 
 
+_PAGERANK_ITERS = 5
+_PAGERANK_SCALE = 10**12
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (operators/graph.pagerank_fixedpoint) over
+    the symmetrized customer↔supplier trade graph — the Pregel-shaped
+    workload as 5 supersteps of keyed join + aggregate, in EXACT
+    integer fixed-point so every score is engine- and shuffle-order-
+    reproducible (the oracle unrolls the same 5 supersteps as
+    DuckDB CTEs)."""
+    from geniepool_etl_spark.operators.graph import pagerank_fixedpoint
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") % 40).alias("src"),
+            (F.col("l_suppkey") % 60 + 1000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank_fixedpoint(
+        edges, iterations=_PAGERANK_ITERS, scale=_PAGERANK_SCALE
+    )
+
+
+def _pagerank_oracle(iters: int, scale: int) -> str:
+    parts = [f"""
+        WITH e0 AS (
+          SELECT DISTINCT o.o_custkey % 40 AS src,
+                 l.l_suppkey % 60 + 1000 AS dst
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+          SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        ed AS (
+          SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        t AS (SELECT count(*) AS n FROM nodes),
+        s0 AS (SELECT node, {scale} // n AS score FROM nodes, t)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+        c{k} AS (
+          SELECT ed.dst AS node,
+                 CAST(SUM((p.score * 85) // (100 * ed.deg)) AS BIGINT)
+                   AS c
+          FROM ed JOIN s{k - 1} p ON p.node = ed.src
+          GROUP BY ed.dst
+        ),
+        s{k} AS (
+          SELECT n.node,
+                 (15 * {scale}) // (100 * t.n)
+                   + COALESCE(c.c, 0) AS score
+          FROM nodes n LEFT JOIN c{k} c USING (node), t
+        )""")
+    parts.append(f"\n        SELECT node, score FROM s{iters}")
+    return "".join(parts)
+
+
 def q_obs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mix drift between two corpus snapshots (operators/
     profile.psi_by_key): per-source PSI contributions with additive
@@ -5989,6 +6058,9 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     // 48000 AS BIGINT) AS duration_ms
         FROM documents WHERE doc_id % 6 = 3
     """
+    o["graph_pagerank"] = _pagerank_oracle(
+        _PAGERANK_ITERS, _PAGERANK_SCALE
+    )
     o["obs_drift_psi"] = """
         WITH o AS (
           SELECT source AS key, count(*) AS n_old FROM documents
@@ -6695,6 +6767,7 @@ SPARK_QUERIES = {
     "sql_variables_params": q_sql_variables_params,
     "multimodal_decode_flac": q_multimodal_decode_flac,
     "multimodal_decode_ogg": q_multimodal_decode_ogg,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 ORACLE_SQL = _oracles()

@@ -2142,3 +2142,36 @@ def test_decode_video_mkv_duration(spark):
                  elem(b"\x2a\xd7\xb1", (1_000_000).to_bytes(4, "big")))
     with pytest.raises(ValueError, match="Duration"):
         M.decode_video(ebml_hdr + elem(b"\x18\x53\x80\x67", info3))
+
+
+def test_pagerank_fixedpoint_invariants(spark):
+    """Hand-checkable PageRank: a symmetric REGULAR graph stays
+    uniform (every node's exact fixed-point score equal, within the
+    documented integer-floor drift of the uniform start); a hub
+    outranks its spokes; total mass never exceeds scale and the
+    floor-loss per step is bounded by one unit per edge."""
+    from geniepool_etl_spark.operators.graph import pagerank_fixedpoint
+
+    S = 10**12
+    # triangle: 3 nodes, symmetric, 2-regular
+    tri = spark.createDataFrame(
+        [(a, b) for a in range(3) for b in range(3) if a != b],
+        "src LONG, dst LONG",
+    )
+    got = {r.node: r.score for r in
+           pagerank_fixedpoint(tri, iterations=5, scale=S).collect()}
+    assert len(set(got.values())) == 1  # regular graph stays uniform
+    assert abs(next(iter(got.values())) - S // 3) < 100
+    # star: hub 0 <-> spokes 1..4 (symmetrized)
+    star_edges = [(0, i) for i in range(1, 5)] + [
+        (i, 0) for i in range(1, 5)
+    ]
+    star = spark.createDataFrame(star_edges, "src LONG, dst LONG")
+    sg = {r.node: r.score for r in
+          pagerank_fixedpoint(star, iterations=5, scale=S).collect()}
+    assert all(sg[0] > sg[i] for i in range(1, 5))
+    assert len({sg[i] for i in range(1, 5)}) == 1  # spokes symmetric
+    total = sum(sg.values())
+    n_edges, steps = len(star_edges), 5
+    assert total <= S
+    assert total >= S - n_edges * steps - 5  # bounded floor loss
