@@ -194,6 +194,7 @@ _INTENDED_CROSS = {
     "a17_equidepth",  # 1-row quartile-boundary frame broadcast
     "obs_drift_psi",  # 1-row totals frame broadcast (tfidf pattern)
     "obs_drift_ks",  # same: 1-row totals frame broadcast
+    "graph_pagerank",  # 1-row node-count frame broadcast per superstep
 }
 
 
