@@ -1953,6 +1953,68 @@ def _pagerank_oracle(iters: int, scale: int) -> str:
     return "".join(parts)
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph triangle census: project the bipartite
+    order→part incidence into an undirected part-family co-occurrence
+    graph (operators/graph.cooccurrence_edges — self-join keyed on the
+    order, pair fan-out bounded by order size), then count triangles
+    per node with the degree-ordered orientation algorithm
+    (graph.triangle_counts) so the wedge join never blows up on hub
+    nodes. All-integer output; the oracle replays the identical
+    projection + orientation in SQL."""
+    from geniepool_etl_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    inc = li.select(
+        "l_orderkey", (F.col("l_partkey") % 2000).alias("item")
+    )
+    return triangle_counts(cooccurrence_edges(inc, "l_orderkey", "item"))
+
+
+_GRAPH_TRIANGLES_ORACLE = """
+    WITH inc AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey % 2000 AS item
+      FROM lineitem
+    ),
+    und AS (
+      SELECT DISTINCT l.item AS a, r.item AS b
+      FROM inc l JOIN inc r ON l.g = r.g AND l.item < r.item
+    ),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND a < b)
+                  THEN a ELSE b END AS lo,
+             CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND a < b)
+                  THEN b ELSE a END AS hi
+      FROM und
+      JOIN deg da ON da.node = und.a
+      JOIN deg db ON db.node = und.b
+    ),
+    tri AS (
+      SELECT w.x, w.y, w.z
+      FROM (
+        SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        FROM o e1 JOIN o e2 ON e1.hi = e2.lo
+      ) w
+      JOIN o ON o.lo = w.x AND o.hi = w.z
+    )
+    SELECT node, count(*) AS triangles FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY node
+"""
+
+
 def q_obs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mix drift between two corpus snapshots (operators/
     profile.psi_by_key): per-source PSI contributions with additive
@@ -1970,6 +2032,38 @@ def q_obs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2 == 1) & (F.col("source") != "src0")
     )
     return psi_by_key(old, new)
+
+
+def q_obs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/profile.expectations
+    + uniqueness_check + referential_check): six expectation rules —
+    four single-scan conditional-sum predicates over lineitem (one
+    aggregate, one scan), key uniqueness on orders, and the
+    lineitem→orders foreign key via LEFT ANTI join. The discount rule
+    is tuned to FAIL on the fixture so the report demonstrably
+    distinguishes ok=1 from ok=0."""
+    from geniepool_etl_spark.operators.profile import (
+        expectations,
+        referential_check,
+        uniqueness_check,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    base = expectations(
+        li,
+        [
+            ("li_qty_in_range", "l_quantity BETWEEN 1 AND 50"),
+            ("li_discount_le_8pct", "l_discount <= 0.08"),
+            ("li_price_positive", "l_extendedprice > 0"),
+            ("li_flag_known", "l_returnflag IN ('A', 'N', 'R')"),
+        ],
+    )
+    u = uniqueness_check(o, "o_orderkey", "o_orderkey_unique")
+    r = referential_check(
+        li, "l_orderkey", o, "o_orderkey", "li_orderkey_in_orders"
+    )
+    return base.unionByName(u).unionByName(r)
 
 
 def q_pipeline_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3982,6 +4076,16 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     words per word with conditional probability — zip-shift pairs,
     one pair aggregate, vocab-sized totals broadcast back."""
     return TX.bigram_next_words(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality scoring (operators/text.
+    bigram_surprisal_scores): mean bigram surprisal per document
+    under the corpus's own bigram LM — the CCNet-style filter
+    signal. Per-bigram ln-surprisal is integer-rounded to 1/10000
+    nats BEFORE summation, so every per-document score is exact
+    integer arithmetic until one final IEEE division + round(4)."""
+    return TX.bigram_surprisal_scores(_t(spark, sf_dir, "documents"))
 
 
 _BPE_K = 3
@@ -6061,6 +6165,51 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
     o["graph_pagerank"] = _pagerank_oracle(
         _PAGERANK_ITERS, _PAGERANK_SCALE
     )
+    o["graph_triangles"] = _GRAPH_TRIANGLES_ORACLE
+    o["obs_expectations"] = """
+        WITH li AS (
+          SELECT count(*) AS total,
+                 CAST(sum(CASE WHEN coalesce(
+                   l_quantity BETWEEN 1 AND 50, false)
+                   THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+                 CAST(sum(CASE WHEN coalesce(
+                   l_discount <= 0.08, false)
+                   THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+                 CAST(sum(CASE WHEN coalesce(
+                   l_extendedprice > 0, false)
+                   THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+                 CAST(sum(CASE WHEN coalesce(
+                   l_returnflag IN ('A', 'N', 'R'), false)
+                   THEN 0 ELSE 1 END) AS BIGINT) AS v3
+          FROM lineitem
+        )
+        SELECT 'li_qty_in_range' AS rule, total, v0 AS violations,
+               CAST(v0 = 0 AS BIGINT) AS ok FROM li
+        UNION ALL
+        SELECT 'li_discount_le_8pct', total, v1,
+               CAST(v1 = 0 AS BIGINT) FROM li
+        UNION ALL
+        SELECT 'li_price_positive', total, v2,
+               CAST(v2 = 0 AS BIGINT) FROM li
+        UNION ALL
+        SELECT 'li_flag_known', total, v3,
+               CAST(v3 = 0 AS BIGINT) FROM li
+        UNION ALL
+        SELECT 'o_orderkey_unique', count(*),
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+               CAST(count(*) = count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'li_orderkey_in_orders',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)),
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    = 0 AS BIGINT)
+    """
     o["obs_drift_psi"] = """
         WITH o AS (
           SELECT source AS key, count(*) AS n_old FROM documents
@@ -6277,6 +6426,34 @@ FROM g
                ) AS BIGINT) AS rnk
         FROM pairs p JOIN t USING (word)
         QUALIFY rnk <= 3
+    """
+    o["text_perplexity"] = r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ),
+        dp AS (
+          SELECT doc_id, w[i] AS l, w[i + 1] AS r, count(*) AS m
+          FROM tok, UNNEST(range(1, len(w))) AS u(i)
+          GROUP BY 1, 2, 3
+        ),
+        c AS (
+          SELECT l, r, CAST(sum(m) AS BIGINT) AS n FROM dp GROUP BY 1, 2
+        ),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS nb_total FROM c),
+        s AS (
+          SELECT c.l, c.r,
+                 CAST(round(ln(CAST(t.nb_total AS DOUBLE) / c.n) * 10000)
+                   AS BIGINT) AS s
+          FROM c, t
+        )
+        SELECT dp.doc_id,
+               CAST(sum(dp.m) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(dp.m * s.s) AS DOUBLE)
+                     / (10000 * sum(dp.m)), 4) AS avg_nll
+        FROM dp JOIN s ON dp.l = s.l AND dp.r = s.r
+        GROUP BY dp.doc_id
     """
     o["a15_decimal_money"] = """
         SELECT o_orderstatus,
@@ -6771,6 +6948,11 @@ SPARK_QUERIES = {
     "sim_pandas_topk": q_sim_pandas_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
+    # --- new in round 7 (late wave): never recorded; rotate to the
+    # --- front in r8 with the seven sibling-covered entries above ---
+    "graph_triangles": q_graph_triangles,
+    "text_perplexity": q_text_perplexity,
+    "obs_expectations": q_obs_expectations,
 }
 
 ORACLE_SQL = _oracles()

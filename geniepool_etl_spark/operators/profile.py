@@ -169,6 +169,97 @@ def psi_by_key(
     )
 
 
+def expectations(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ /
+    Great-Expectations pattern): each rule is ``(name, SQL boolean
+    predicate over the table's columns)``; ALL rules evaluate in ONE
+    aggregation over a single scan — a rule costs one conditional sum
+    in the map-side partial, never an extra pass.
+
+    A row where the predicate is NULL counts as a VIOLATION (unknown
+    is not a pass — three-valued logic silently waves nulls through
+    the naive ``sum(NOT pred)`` formulation, so the gate coalesces).
+
+    Returns one row per rule: ``(rule, total BIGINT, violations
+    BIGINT, ok BIGINT 0/1)``; melting the 1×(n_rules+1) aggregate
+    row into rules is driver-free column arithmetic on a 1-row frame.
+    Pair with :func:`uniqueness_check` and :func:`referential_check`
+    for the multi-row / multi-table rule classes that a single-scan
+    conditional sum cannot express.
+    """
+    if not rules:
+        raise ValueError("expectations: need at least one rule")
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, (_name, pred) in enumerate(rules):
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(F.expr(pred), F.lit(False)), 0)
+                .otherwise(1)
+            )
+            .cast("long")
+            .alias(f"__v{i}")
+        )
+    wide = df.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit(name).alias("rule"),
+            F.col("__total").alias("total"),
+            F.col(f"__v{i}").alias("violations"),
+            (F.col(f"__v{i}") == 0).cast("long").alias("ok"),
+        )
+        for i, (name, _pred) in enumerate(rules)
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def uniqueness_check(df: DataFrame, col: str, rule: str) -> DataFrame:
+    """Key-uniqueness expectation: violations = rows beyond the first
+    per key (``count(*) − count_distinct(key)``), one aggregate."""
+    return df.agg(
+        F.lit(rule).alias("rule"),
+        F.count(F.lit(1)).alias("total"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col(col)))
+        .cast("long")
+        .alias("violations"),
+    ).select(
+        "rule",
+        "total",
+        "violations",
+        (F.col("violations") == 0).cast("long").alias("ok"),
+    )
+
+
+def referential_check(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    rule: str,
+) -> DataFrame:
+    """Foreign-key expectation: violations = child rows whose key has
+    no parent (LEFT ANTI join — Catalyst broadcasts the parent key
+    set when small, shuffles a keyed semi-difference otherwise; the
+    orphan COUNT is all that crosses back)."""
+    orphans = child.join(
+        parent.select(F.col(parent_col).alias(child_col)).distinct(),
+        child_col,
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    total = child.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        total.crossJoin(F.broadcast(orphans))
+        .select(
+            F.lit(rule).alias("rule"),
+            "total",
+            F.col("violations").cast("long").alias("violations"),
+            (F.col("violations") == 0).cast("long").alias("ok"),
+        )
+    )
+
+
 def ks_statistic(
     old: DataFrame,
     new: DataFrame,

@@ -707,6 +707,81 @@ def bpe_learn_merges(
     return out
 
 
+def bigram_surprisal_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own
+    bigram LM — the CCNet-style perplexity quality signal: templated
+    or boilerplate documents score low (their bigrams dominate the
+    corpus), gibberish and mojibake score high (every bigram is
+    rare). Output: ``(doc_id, n_bigrams BIGINT, avg_nll DOUBLE)`` —
+    ``avg_nll`` is mean negative log-probability in nats; filter or
+    bucket on it downstream.
+
+    The score is the JOINT bigram chain ``−ln P(l)·P(r|l) =
+    ln(N/n(l,r))`` with ``N`` the corpus bigram total — NOT the bare
+    conditional ``P(r|l)``: under the conditional alone, a unique
+    word trivially "predicts" its unique successor (total(l)=n=1 ⇒
+    surprisal 0), scoring gibberish as perfectly predictable. The
+    joint charges the rarity of the prefix too, which is exactly the
+    filter semantics.
+
+    Cross-engine determinism: per-bigram surprisal ``ln(N/n)`` is
+    rounded to an INTEGER in units of ``1/scale`` nats BEFORE the
+    per-document sum, so the sum is exact integer arithmetic and
+    shuffle-order-independent; the one double division per document
+    (sum / (scale · n_bigrams)) is exact-input IEEE division, then
+    rounded to 4 decimals per the repo's float rule.
+
+    Plan shape: one tokenize pass feeds both the LM counts and the
+    per-document bigram multisets (grouped per (doc, bigram) FIRST,
+    so the LM join moves distinct-bigram rows, not every token); the
+    corpus total rides a 1-row broadcast (tfidf pattern); the scoring
+    join is a keyed equi-join on the bigram. No windows, no UDFs, no
+    collect.
+    """
+    w = words_col(F.lower(F.col(text_col)))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array())
+    dp = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("p"))
+        .groupBy(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    counts = dp.groupBy("l", "r").agg(F.sum("m").alias("n"))
+    tot = counts.agg(F.sum("n").alias("_N"))
+    surprisal = counts.crossJoin(F.broadcast(tot)).select(
+        "l",
+        "r",
+        F.round(
+            F.log(F.col("_N").cast("double") / F.col("n")) * scale
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    return (
+        dp.join(surprisal, ["l", "r"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("m") * F.col("s")).cast("double")
+                / (scale * F.sum("m")),
+                4,
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def bigram_next_words(
     df: DataFrame,
     k: int = 3,

@@ -2175,3 +2175,76 @@ def test_pagerank_fixedpoint_invariants(spark):
     n_edges, steps = len(star_edges), 5
     assert total <= S
     assert total >= S - n_edges * steps - 5  # bounded floor loss
+
+
+def test_triangle_counts_known_graphs(spark):
+    """Hand-checkable triangle census: K4 has 4 triangles (every node
+    in C(3,2)=3); a path has none; two triangles sharing a vertex
+    credit the shared vertex twice; duplicate/reversed input edges
+    collapse."""
+    from geniepool_etl_spark.operators.graph import triangle_counts
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+        return {r.node: r.triangles for r in triangle_counts(df).collect()}
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert run(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # duplicated + reversed edges must not change the census
+    assert run(k4 + [(b, a) for a, b in k4] + k4) == {
+        0: 3, 1: 3, 2: 3, 3: 3
+    }
+    assert run([(0, 1), (1, 2), (2, 3)]) == {}
+    bowtie = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]
+    assert run(bowtie) == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_bigram_surprisal_orders_templated_below_gibberish(spark):
+    """The perplexity signal must rank a document made of the corpus's
+    dominant bigram below one made of unique bigrams, and n_bigrams
+    must count tokens (words - 1) per doc; single-word docs drop."""
+    from geniepool_etl_spark.operators.text import bigram_surprisal_scores
+
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows.append((100, "zq xv wk yj pf"))  # every bigram unique
+    rows.append((101, "lonely"))  # no bigrams -> excluded
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in bigram_surprisal_scores(df).collect()}
+    assert 101 not in got
+    assert got[0].n_bigrams == 5
+    assert got[100].n_bigrams == 4
+    assert got[100].avg_nll > got[0].avg_nll
+
+
+def test_expectations_nulls_violate_and_fk_orphans(spark):
+    """A NULL predicate result is a violation (three-valued logic must
+    not wave unknowns through); uniqueness counts rows beyond the
+    first per key; the FK check counts orphan CHILD rows."""
+    from geniepool_etl_spark.operators.profile import (
+        expectations,
+        referential_check,
+        uniqueness_check,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 60), (3, 99)], "k LONG, v LONG"
+    )
+    exp = {
+        r.rule: r
+        for r in expectations(
+            child, [("v_small", "v < 50"), ("k_pos", "k > 0")]
+        ).collect()
+    }
+    # v=None is unknown -> violation; v=60 and v=99 violate outright
+    assert exp["v_small"].violations == 3
+    assert exp["v_small"].ok == 0
+    assert exp["k_pos"].violations == 0
+    assert exp["k_pos"].ok == 1
+    assert exp["v_small"].total == 4
+
+    uq = uniqueness_check(child, "k", "k_unique").collect()[0]
+    assert (uq.total, uq.violations, uq.ok) == (4, 1, 0)
+
+    parent = spark.createDataFrame([(1,), (3,)], "k LONG")
+    fk = referential_check(child, "k", parent, "k", "fk").collect()[0]
+    assert (fk.total, fk.violations, fk.ok) == (4, 1, 0)

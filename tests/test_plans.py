@@ -195,6 +195,8 @@ _INTENDED_CROSS = {
     "obs_drift_psi",  # 1-row totals frame broadcast (tfidf pattern)
     "obs_drift_ks",  # same: 1-row totals frame broadcast
     "graph_pagerank",  # 1-row node-count frame broadcast per superstep
+    "obs_expectations",  # 1-row total × 1-row orphan-count broadcast
+    "text_perplexity",  # 1-row corpus-bigram-total broadcast (tfidf pattern)
 }
 
 
