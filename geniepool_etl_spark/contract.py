@@ -1778,6 +1778,56 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_features(M.synth_wav_assets(params))
 
 
+def q_multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM sample statistics (multimodal.decode_audio_pcm_stats):
+    deterministic int16 sawtooth WAVs are synthesized from JVM-derived
+    parameters (multimodal.synth_wav_tone_assets), then every sample
+    is decoded and reduced to exact integers — count, Σamp, energy
+    Σamp², peak. The oracle recomputes the sawtooth closed-form via
+    per-asset range() unnests (full cycles × cycle sums + partial
+    cycle). This de-stubs the former "PCM boundary" for uncompressed
+    audio; compressed codecs stay the ffmpeg boundary."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit(8000).cast("long").alias("sample_rate"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("long").alias("n_channels"),
+            ((F.length("text") % 997 + 1) * 4).cast("long").alias("n_frames"),
+            (F.lit(16) + (F.col("doc_id") % 4) * 16)
+            .cast("long")
+            .alias("period"),
+            (F.lit(1) + F.col("doc_id") % 7).cast("long").alias("step"),
+        )
+    )
+    return M.decode_audio_pcm_stats(M.synth_wav_tone_assets(params))
+
+
+def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel statistics (multimodal.decode_image_pixel_stats):
+    deterministic 24-bit gradient BMPs synthesized from JVM-derived
+    (width, height) — bottom-up rows, 4-byte padding, per the spec —
+    then every pixel decoded back and reduced to exact per-channel
+    integer sums. The oracle recomputes the gradient per asset via a
+    range(w·h) unnest. De-stubs the former "pixel boundary" for
+    uncompressed images; compressed codecs stay the boundary."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 1)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(32) + (F.col("doc_id") % 5) * 16)
+            .cast("long")
+            .alias("width"),
+            (F.lit(24) + (F.col("doc_id") % 4) * 12)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(M.synth_bmp_gradient_assets(params))
+
+
 def q_multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real AVI round-trip through the stdlib container parser:
     per-document video parameters derived JVM-side (oracle-
@@ -6166,6 +6216,71 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
         _PAGERANK_ITERS, _PAGERANK_SCALE
     )
     o["graph_triangles"] = _GRAPH_TRIANGLES_ORACLE
+    o["multimodal_audio_pcm"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 16 + (doc_id % 4) * 16 AS p,
+                 1 + doc_id % 7 AS s,
+                 (length(text) % 997 + 1) * 4 AS f,
+                 1 + doc_id % 2 AS c
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        cyc AS (
+          SELECT asset_id,
+                 CAST(sum(v) AS BIGINT) AS cs,
+                 CAST(sum(v * v) AS BIGINT) AS css
+          FROM (SELECT asset_id, j * s - ((p - 1) * s) // 2 AS v
+                FROM prm, UNNEST(range(p)) AS u(j))
+          GROUP BY asset_id
+        ),
+        part AS (
+          SELECT asset_id,
+                 CAST(sum(v) AS BIGINT) AS ps,
+                 CAST(sum(v * v) AS BIGINT) AS pss
+          FROM (SELECT asset_id, j * s - ((p - 1) * s) // 2 AS v
+                FROM prm, UNNEST(range(f % p)) AS u(j))
+          GROUP BY asset_id
+        ),
+        pk AS (
+          SELECT asset_id,
+                 CAST(max(abs(j * s - ((p - 1) * s) // 2)) AS BIGINT)
+                   AS peak
+          FROM prm, UNNEST(range(least(f, p))) AS u(j)
+          GROUP BY asset_id
+        )
+        SELECT prm.asset_id,
+               CAST(f * c AS BIGINT) AS n_samples,
+               CAST(c * ((f // p) * cyc.cs + coalesce(part.ps, 0))
+                 AS BIGINT) AS sum_amp,
+               CAST(c * ((f // p) * cyc.css + coalesce(part.pss, 0))
+                 AS BIGINT) AS sum_sq,
+               pk.peak
+        FROM prm
+        JOIN cyc USING (asset_id)
+        LEFT JOIN part USING (asset_id)
+        JOIN pk USING (asset_id)
+    """
+    o["multimodal_pixel_stats"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 32 + (doc_id % 5) * 16 AS w,
+                 24 + (doc_id % 4) * 12 AS h
+          FROM documents WHERE doc_id % 7 = 1
+        ),
+        px AS (
+          SELECT asset_id,
+                 CAST(sum((i % w + i // w) % 256) AS BIGINT) AS sum_b,
+                 CAST(sum((2 * (i % w) + i // w) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((i % w + 2 * (i // w)) % 256) AS BIGINT)
+                   AS sum_r
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               px.sum_r, px.sum_g, px.sum_b
+        FROM prm JOIN px USING (asset_id)
+    """
     o["obs_expectations"] = """
         WITH li AS (
           SELECT count(*) AS total,
@@ -6953,6 +7068,8 @@ SPARK_QUERIES = {
     "graph_triangles": q_graph_triangles,
     "text_perplexity": q_text_perplexity,
     "obs_expectations": q_obs_expectations,
+    "multimodal_audio_pcm": q_multimodal_audio_pcm,
+    "multimodal_pixel_stats": q_multimodal_pixel_stats,
 }
 
 ORACLE_SQL = _oracles()

@@ -535,6 +535,115 @@ def synth_wav_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_wav_tone_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    rate_col: str = "sample_rate",
+    channels_col: str = "n_channels",
+    frames_col: str = "n_frames",
+    period_col: str = "period",
+    step_col: str = "step",
+) -> DataFrame:
+    """Synthesize REAL WAV payloads carrying a deterministic int16
+    SAWTOOTH (not silence): frame ``i`` holds ``(i % period)·step −
+    ((period−1)·step) div 2`` on every channel. The waveform is a pure
+    function of JVM-derivable parameters, so an external oracle can
+    recompute every sample — which is what makes the PCM *sample*
+    statistics lane (:func:`decode_audio_pcm_stats`) contract-checkable
+    rather than a stub. Arrow ``mapInPandas``; narrow; payload never
+    shuffles."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for rate, ch, frames, period, step in zip(
+                pdf[rate_col], pdf[channels_col], pdf[frames_col],
+                pdf[period_col], pdf[step_col],
+            ):
+                p, s, f, c = int(period), int(step), int(frames), int(ch)
+                off = ((p - 1) * s) // 2
+                vals = (np.arange(f, dtype=np.int64) % p) * s - off
+                pcm = np.repeat(vals, c).astype("<i2").tobytes()
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(c)
+                    w.setsampwidth(2)
+                    w.setframerate(int(rate))
+                    w.writeframes(pcm)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+PCM_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("sum_amp", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+        StructField("peak", LongType(), True),
+    ]
+)
+
+
+def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
+    """REAL PCM sample work — the lane that used to be the documented
+    "pixel/PCM boundary": decode every 16-bit sample of each WAV
+    payload and reduce to exact-integer statistics (sample count,
+    amplitude sum, energy = Σ sample², peak = max |sample|). RMS and
+    loudness derive from these downstream; keeping the contract in
+    integers makes the result bit-identical on any engine.
+
+    Arrow ``mapInPandas``; the per-batch loop is numpy-vectorized over
+    each payload's full sample array (int64 accumulation — a 16-bit
+    square times any realistic frame count cannot overflow). Poison
+    payloads (null / non-WAV / non-16-bit) yield null stats, never a
+    dead stage. Compressed codecs (MP3/Ogg/FLAC audio frames) remain
+    the ffmpeg boundary — this lane is exactly the uncompressed-PCM
+    half of it, now real."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("n_samples", "sum_amp", "sum_sq", "peak")}
+            for b in pdf["payload"]:
+                try:
+                    with wave.open(io.BytesIO(bytes(b))) as w:
+                        if w.getsampwidth() != 2:
+                            raise ValueError("not 16-bit PCM")
+                        raw = w.readframes(w.getnframes())
+                    a = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                    rows["n_samples"].append(len(a))
+                    rows["sum_amp"].append(int(a.sum()))
+                    rows["sum_sq"].append(int((a * a).sum()))
+                    rows["peak"].append(
+                        int(np.abs(a).max()) if len(a) else 0
+                    )
+                except Exception:
+                    for k in rows:
+                        rows[k].append(None)
+            out = pd.DataFrame({"asset_id": pdf["asset_id"], **rows})
+            for c in rows:
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return assets.mapInPandas(batches, PCM_STATS_SCHEMA)
+
+
 def synth_mp3_assets(
     df: DataFrame,
     id_col: str = "asset_id",
@@ -719,6 +828,125 @@ IMAGE_META_SCHEMA = StructType(
         StructField("bit_depth", LongType(), True),
     ]
 )
+
+
+def synth_bmp_gradient_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL uncompressed 24-bit BMPs carrying a
+    deterministic per-pixel gradient — pixel (x, y) holds
+    ``B=(x+y)%256, G=(2x+y)%256, R=(x+2y)%256`` — a pure function of
+    JVM-derivable (width, height), so an external oracle can recompute
+    every pixel. Bottom-up row order and 4-byte row padding per the
+    BMP spec (the decoder must actually honor the container, not just
+    slice bytes). Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    import numpy as np
+
+    def one(w: int, h: int) -> bytes:
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        bgr = np.stack(
+            [(x + y) % 256, (2 * x + y) % 256, (x + 2 * y) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        body = rows[::-1].tobytes()  # bottom-up
+        off = 14 + 40
+        hdr = (
+            b"BM"
+            + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                2835, 2835, 0, 0,
+            )
+        )
+        return hdr + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(w), int(h))
+                for w, h in zip(pdf[width_col], pdf[height_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/bmp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_pixels", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+    ]
+)
+
+
+def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
+    """REAL pixel work for uncompressed images: decode every pixel of
+    each 24-bit BMP payload — honoring bottom-up row order and 4-byte
+    row padding — and reduce to exact-integer per-channel sums (mean
+    brightness, channel balance, and exposure heuristics derive from
+    these downstream). Arrow ``mapInPandas``, numpy-vectorized per
+    payload; poison payloads (null / non-BMP / compressed / non-24-bit)
+    yield null stats, never a dead stage. Compressed formats
+    (JPEG/PNG/WebP pixel data) remain the codec boundary — this lane
+    is the uncompressed half of it, now real."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("n_pixels", "sum_r", "sum_g", "sum_b")}
+            for b in pdf["payload"]:
+                try:
+                    raw = bytes(b)
+                    if raw[:2] != b"BM" or len(raw) < 54:
+                        raise ValueError("not BMP")
+                    off = struct.unpack_from("<I", raw, 10)[0]
+                    w, h = struct.unpack_from("<ii", raw, 18)
+                    bpp = struct.unpack_from("<H", raw, 28)[0]
+                    comp = struct.unpack_from("<I", raw, 30)[0]
+                    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+                        raise ValueError("unsupported BMP variant")
+                    flipped = h > 0
+                    h = abs(h)
+                    stride = (w * 3 + 3) & ~3
+                    body = np.frombuffer(
+                        raw, dtype=np.uint8, count=h * stride, offset=off
+                    ).reshape(h, stride)[:, : w * 3]
+                    if flipped:
+                        body = body[::-1]
+                    px = body.reshape(-1, 3).astype(np.int64)
+                    rows["n_pixels"].append(w * h)
+                    rows["sum_b"].append(int(px[:, 0].sum()))
+                    rows["sum_g"].append(int(px[:, 1].sum()))
+                    rows["sum_r"].append(int(px[:, 2].sum()))
+                except Exception:
+                    for k in rows:
+                        rows[k].append(None)
+            out = pd.DataFrame({"asset_id": pdf["asset_id"], **rows})
+            for c in rows:
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return assets.mapInPandas(batches, PIXEL_STATS_SCHEMA)
 
 
 def synth_jpeg_assets(

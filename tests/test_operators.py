@@ -2248,3 +2248,83 @@ def test_expectations_nulls_violate_and_fk_orphans(spark):
     parent = spark.createDataFrame([(1,), (3,)], "k LONG")
     fk = referential_check(child, "k", parent, "k", "fk").collect()[0]
     assert (fk.total, fk.violations, fk.ok) == (4, 1, 0)
+
+
+def test_pcm_stats_exact_and_poison_safe(spark):
+    """The sawtooth WAV round-trip must reproduce hand-computed
+    sample sums exactly, and a poison payload must yield null stats,
+    not a dead batch."""
+    from geniepool_etl_spark.operators import multimodal as M
+
+    params = spark.createDataFrame(
+        [(1, 8000, 1, 10, 4, 3), (2, 8000, 2, 5, 8, 2)],
+        "asset_id LONG, sample_rate LONG, n_channels LONG, "
+        "n_frames LONG, period LONG, step LONG",
+    )
+    got = {
+        r.asset_id: r
+        for r in M.decode_audio_pcm_stats(
+            M.synth_wav_tone_assets(params)
+        ).collect()
+    }
+
+    def expect(f, c, p, s):
+        off = ((p - 1) * s) // 2
+        vals = [(i % p) * s - off for i in range(f)]
+        return (
+            f * c,
+            c * sum(vals),
+            c * sum(v * v for v in vals),
+            max(abs(v) for v in vals),
+        )
+
+    for aid, (f, c, p, s) in {1: (10, 1, 4, 3), 2: (5, 2, 8, 2)}.items():
+        r = got[aid]
+        assert (r.n_samples, r.sum_amp, r.sum_sq, r.peak) == expect(
+            f, c, p, s
+        )
+
+    poison = spark.createDataFrame(
+        [(9, b"not a wav at all", "audio/wav")],
+        "asset_id LONG, payload BINARY, media_type STRING",
+    )
+    row = M.decode_audio_pcm_stats(poison).collect()[0]
+    assert row.n_samples is None and row.sum_sq is None
+
+
+def test_pixel_stats_exact_padding_and_flip(spark):
+    """The BMP gradient round-trip must reproduce hand-computed
+    channel sums exactly — widths chosen so the row stride NEEDS
+    padding (w=3 -> stride 12) — and the synthesized container must
+    also satisfy the standalone dimension decoder."""
+    from geniepool_etl_spark.operators import multimodal as M
+
+    params = spark.createDataFrame(
+        [(1, 3, 2), (2, 4, 3)], "asset_id LONG, width LONG, height LONG"
+    )
+    assets = M.synth_bmp_gradient_assets(params)
+    meta = {r.asset_id: r for r in M.decode_image_features(assets).collect()}
+    assert (meta[1].width, meta[1].height) == (3, 2)
+    assert meta[2].format == "bmp"
+
+    got = {
+        r.asset_id: r
+        for r in M.decode_image_pixel_stats(assets).collect()
+    }
+
+    def expect(w, h):
+        sb = sum((x + y) % 256 for x in range(w) for y in range(h))
+        sg = sum((2 * x + y) % 256 for x in range(w) for y in range(h))
+        sr = sum((x + 2 * y) % 256 for x in range(w) for y in range(h))
+        return (w * h, sr, sg, sb)
+
+    for aid, (w, h) in {1: (3, 2), 2: (4, 3)}.items():
+        r = got[aid]
+        assert (r.n_pixels, r.sum_r, r.sum_g, r.sum_b) == expect(w, h)
+
+    poison = spark.createDataFrame(
+        [(9, b"BMnope", "image/bmp")],
+        "asset_id LONG, payload BINARY, media_type STRING",
+    )
+    row = M.decode_image_pixel_stats(poison).collect()[0]
+    assert row.n_pixels is None and row.sum_r is None
