@@ -87,6 +87,12 @@ def triangle_counts(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # The edge set feeds FIVE plan sites (degree union ×2, both
+        # wedge sides, the closing join); without a checkpoint Spark
+        # replays the whole upstream projection per site — the same
+        # lineage-replay trap dedup's signature frame hits. Lazy
+        # localCheckpoint materializes it once at first action.
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -107,10 +113,13 @@ def triangle_counts(
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # The oriented list feeds three join sites (both wedge sides and
+    # the closing probe) — checkpoint it too, or the degree join
+    # pipeline above replays per site.
     o = e.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).localCheckpoint(eager=False)
     wedges = (
         o.alias("e1")
         .join(
