@@ -1689,6 +1689,21 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-local semantic dedup (operators/
+    similarity.semantic_dedup_keep): embeddings assign to their
+    nearest deterministic seed centroid; exact cosines run only
+    WITHIN clusters (candidate volume Σ|cluster|²/2, never
+    all-pairs); a vector is dropped when a suprathreshold-cosine neighbor
+    with a smaller id shares its cluster — the keep set is
+    deterministic and auditable. The synthetic embeddings are
+    near-orthogonal (max cos ≈ 0.51), so the threshold is 0.3 to
+    exercise the drop path (same convention as dedup_embedding). Complements dedup_embedding's LSH-bucketed global
+    pairs with the clustering-first shape of the SemDeDup recipe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_keep(emb, threshold=0.3, n_centroids=16)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-bucketed candidates). The
     synthetic embeddings are near-orthogonal (max cos ≈ 0.51), so the
@@ -6216,6 +6231,44 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
         _PAGERANK_ITERS, _PAGERANK_SCALE
     )
     o["graph_triangles"] = _GRAPH_TRIANGLES_ORACLE
+    o["dedup_semantic"] = f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm FROM v
+        ),
+        c AS (
+          SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+          WHERE vec_id IN (
+            SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16
+          )
+        ),
+        asgn AS (
+          SELECT n.vec_id AS id, n.e, n.nrm, c.cid,
+                 round({_dot_sql('n.e', 'c.ce')} / (n.nrm * c.cnrm), 9)
+                   AS cs
+          FROM n CROSS JOIN c
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY cs DESC, cid
+          ) AS rk FROM asgn
+        ),
+        m AS (SELECT id, e, nrm, cid FROM r WHERE rk = 1),
+        dropped AS (
+          SELECT DISTINCT b.id AS id
+          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
+          WHERE round({_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm), 4)
+                  >= 0.3
+        )
+        SELECT m.id AS vec_id, m.cid,
+               CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS keep
+        FROM m LEFT JOIN dropped d USING (id)
+    """
     o["multimodal_audio_pcm"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -7070,6 +7123,7 @@ SPARK_QUERIES = {
     "obs_expectations": q_obs_expectations,
     "multimodal_audio_pcm": q_multimodal_audio_pcm,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 ORACLE_SQL = _oracles()

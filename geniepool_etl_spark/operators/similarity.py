@@ -570,6 +570,73 @@ def ivf_topk(
     )
 
 
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-local semantic deduplication: assign
+    every embedding to its nearest centroid, compute exact cosines
+    only WITHIN each cluster, and drop any vector that has a
+    ≥-threshold neighbor with a smaller id (the deterministic
+    keep-lowest-id rule — no RNG, auditable across reruns). Returns
+    ``(vec_id, cid, keep)`` with keep ∈ {0, 1}.
+
+    Scale shape: the pair join is keyed on the CLUSTER, never
+    all-pairs — candidate volume is Σ |cluster|²/2, controlled by
+    ``n_centroids`` (size clusters ~√N for balanced work; subdivide
+    oversized clusters with more centroids rather than capping, since
+    a cap would silently keep duplicates). Centroids are the
+    deterministic lowest-id seeds (oracle-reproducible);
+    production swaps in :func:`ivf_kmeans_centroids` — a quality
+    change, not a plan change. Cosine compares on the 4-decimal
+    rounding (the cross-engine boundary rule)."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    asg = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
+        "id", "vec", "norm", "cid"
+    )
+    a = asg.select(
+        "cid",
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = asg.select(
+        "cid",
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        asg.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.when(F.col("_drop").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

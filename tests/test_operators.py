@@ -2328,3 +2328,37 @@ def test_pixel_stats_exact_padding_and_flip(spark):
     )
     row = M.decode_image_pixel_stats(poison).collect()[0]
     assert row.n_pixels is None and row.sum_r is None
+
+
+def test_semantic_dedup_keeps_lowest_id_per_near_group(spark):
+    """Planted near-dups: vectors 0/5/9 are (near-)parallel, so only
+    the lowest id among co-clustered near-dups survives; orthogonal
+    vectors all survive. n_centroids=2 forces real multi-cluster
+    assignment."""
+    from geniepool_etl_spark.operators.similarity import (
+        semantic_dedup_keep,
+    )
+
+    def vec(*pairs):
+        v = [0.0] * 8
+        for i, x in pairs:
+            v[i] = float(x)
+        return v
+
+    rows = [
+        (0, vec((0, 1.0))),
+        (1, vec((1, 1.0))),           # orthogonal to everything else
+        (5, vec((0, 1.0), (2, 0.1))),  # near-dup of 0
+        (9, vec((0, -1.0))),           # anti-parallel: cos = -1, keeps
+        (12, vec((0, 0.98), (3, 0.2))),  # near-dup of 0 and 5
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {
+        r.vec_id: r.keep
+        for r in semantic_dedup_keep(
+            df, threshold=0.9, n_centroids=2
+        ).collect()
+    }
+    assert got[0] == 1          # lowest id of the near-dup group
+    assert got[5] == 0 and got[12] == 0
+    assert got[1] == 1 and got[9] == 1

@@ -197,6 +197,7 @@ _INTENDED_CROSS = {
     "graph_pagerank",  # 1-row node-count frame broadcast per superstep
     "obs_expectations",  # 1-row total × 1-row orphan-count broadcast
     "text_perplexity",  # 1-row corpus-bigram-total broadcast (tfidf pattern)
+    "dedup_semantic",  # 16-row centroid broadcast (ivf_assign pattern)
 }
 
 
