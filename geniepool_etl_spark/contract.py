@@ -4214,6 +4214,70 @@ v0 AS (
 """
 
 
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (operators/text.bpe_token_counts): tokenize every
+    document under the 3-merge vocabulary learned by the same
+    algorithm as ``text_bpe_merges`` — per-doc (n_words, n_tokens),
+    the token-budget number. Token counts are computed per DISTINCT
+    word on the vocab frame and joined back — documents are never
+    re-encoded word-by-word. Oracle unrolls the identical rounds and
+    join in SQL."""
+    return TX.bpe_token_counts(
+        _t(spark, sf_dir, "documents"), k=_BPE_K
+    )
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    rounds = []
+    for i in range(1, k + 1):
+        prev = f"v{i - 1}"
+        rounds.append(f"""
+p{i} AS (
+  SELECT t[i] AS l, t[i + 1] AS r,
+         CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(rep), ' ') AS t, freq FROM {prev}),
+       UNNEST(range(1, len(t))) AS u(i)
+  GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT l, r, l || r AS merged
+  FROM p{i} ORDER BY pair_count DESC, l, r LIMIT 1
+),
+v{i} AS (
+  SELECT w, replace(rep,
+           ' ' || (SELECT l FROM b{i}) || ' '
+               || (SELECT r FROM b{i}) || ' ',
+           ' ' || (SELECT merged FROM b{i}) || ' ') AS rep, freq
+  FROM {prev}
+)""")
+    return f"""
+WITH wpd AS (
+  SELECT doc_id, word AS w, count(*) AS m FROM (
+    SELECT doc_id, unnest(
+      string_split_regex(trim(lower(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE length(word) > 0 GROUP BY 1, 2
+),
+v0 AS (
+  SELECT w,
+         ' ' || array_to_string(string_split_regex(w, ''), ' ')
+           || ' ' AS rep,
+         CAST(sum(m) AS BIGINT) AS freq
+  FROM wpd GROUP BY 1
+),{",".join(rounds)},
+wt AS (
+  SELECT w, CAST(len(string_split(trim(rep), ' ')) AS BIGINT)
+           AS n_tok
+  FROM v{k}
+)
+SELECT wpd.doc_id,
+       CAST(sum(wpd.m) AS BIGINT) AS n_words,
+       CAST(sum(wpd.m * wt.n_tok) AS BIGINT) AS n_tokens
+FROM wpd JOIN wt USING (w)
+GROUP BY wpd.doc_id
+"""
+
+
 def q_pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END per-user feature-store build (operators/events.
     user_feature_table): activity aggregates + session count +
@@ -6502,6 +6566,7 @@ FROM g
 """
     o["events_asof_cogroup"] = o["events_asof_join"]
     o["text_bpe_merges"] = _bpe_oracle(_BPE_K)
+    o["text_bpe_encode"] = _bpe_encode_oracle(_BPE_K)
     o["f9_pandas_api"] = """
         SELECT o_orderstatus, count(o_orderkey) AS n,
                round(sum(o_totalprice), 2) AS total
@@ -7124,6 +7189,7 @@ SPARK_QUERIES = {
     "multimodal_audio_pcm": q_multimodal_audio_pcm,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "dedup_semantic": q_dedup_semantic,
+    "text_bpe_encode": q_text_bpe_encode,
 }
 
 ORACLE_SQL = _oracles()

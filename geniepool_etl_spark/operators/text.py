@@ -707,6 +707,103 @@ def bpe_learn_merges(
     return out
 
 
+def bpe_token_counts(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE ENCODE at corpus scale: learn ``k`` merges (identical
+    algorithm and tiebreaks to :func:`bpe_learn_merges`, including its
+    documented single-pass-replace approximation) and tokenize every
+    document under the learned vocabulary — reported as per-document
+    ``(n_words, n_tokens)``, the number a token-budgeted training
+    pipeline actually bills by.
+
+    The scalable design point: documents are NEVER re-encoded
+    word-by-word. Token counts are computed once per DISTINCT word on
+    the |vocab|-sized frame (each merge round is the same broadcast
+    1-row-winner replace as learning), then per-document totals are
+    one join of the (doc, word, occurrences) frame against the
+    per-word token count — Σ m·tokens(w). Encoding cost is
+    O(|vocab|·k) after the one corpus-sized word-count pass,
+    regardless of how often words repeat.
+    """
+    if k <= 0:
+        raise ValueError("bpe_token_counts: k must be > 0")
+    wpd = (
+        df.select(
+            F.col(id_col),
+            F.explode(words_col(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .where(F.length("w") > 0)
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    vocab = (
+        wpd.groupBy("w")
+        .agg(F.sum("m").alias("freq"))
+        .select(
+            "w",
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("w"), ""), " "),
+                F.lit(" "),
+            ).alias("rep"),
+            "freq",
+        )
+    )
+    for _step in range(1, k + 1):
+        t = F.split(F.trim(F.col("rep")), " ")
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.expr(
+                "transform(sequence(1, size(split(trim(rep), ' ')) - 1), "
+                "i -> struct("
+                "  element_at(split(trim(rep), ' '), i) AS l, "
+                "  element_at(split(trim(rep), ' '), i + 1) AS r))"
+            ),
+        ).otherwise(F.array())
+        best = (
+            vocab.select(F.explode(bigrams).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .select(F.col("l").alias("_bl"), F.col("r").alias("_br"))
+        )
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "w",
+            F.replace(
+                F.col("rep"),
+                F.concat(
+                    F.lit(" "), F.col("_bl"), F.lit(" "),
+                    F.col("_br"), F.lit(" "),
+                ),
+                F.concat(
+                    F.lit(" "), F.col("_bl"), F.col("_br"), F.lit(" ")
+                ),
+            ).alias("rep"),
+            "freq",
+        )
+    word_tok = vocab.select(
+        "w",
+        F.size(F.split(F.trim(F.col("rep")), " ")).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    return (
+        wpd.join(word_tok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_words"),
+            F.sum(F.col("m") * F.col("n_tok"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
 def bigram_surprisal_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -2362,3 +2362,23 @@ def test_semantic_dedup_keeps_lowest_id_per_near_group(spark):
     assert got[0] == 1          # lowest id of the near-dup group
     assert got[5] == 0 and got[12] == 0
     assert got[1] == 1 and got[9] == 1
+
+
+def test_bpe_token_counts_textbook(spark):
+    """On this corpus (low×4, lower×2, newest×3, widest×1) the 3
+    learned merges are (l,o)->lo [6], (lo,w)->low [6], (e,s)->es [4];
+    hand-tokenize each word under those merges and check per-doc
+    totals: low->[low]=1, lower->[low,e,r]=3, newest->[n,e,w,es,t]=5,
+    widest->[w,i,d,es,t]=5."""
+    from geniepool_etl_spark.operators.text import bpe_token_counts
+
+    rows = [
+        (1, "low low low lower lower"),
+        (2, "newest newest widest"),
+        (3, "low newest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in bpe_token_counts(df, k=3).collect()}
+    assert (got[1].n_words, got[1].n_tokens) == (5, 3 * 1 + 2 * 3)
+    assert (got[2].n_words, got[2].n_tokens) == (3, 2 * 5 + 5)
+    assert (got[3].n_words, got[3].n_tokens) == (2, 1 + 5)

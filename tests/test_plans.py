@@ -198,6 +198,7 @@ _INTENDED_CROSS = {
     "obs_expectations",  # 1-row total × 1-row orphan-count broadcast
     "text_perplexity",  # 1-row corpus-bigram-total broadcast (tfidf pattern)
     "dedup_semantic",  # 16-row centroid broadcast (ivf_assign pattern)
+    "text_bpe_encode",  # per-round 1-row argmax winner broadcast (bpe pattern)
 }
 
 
