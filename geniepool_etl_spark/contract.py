@@ -4214,6 +4214,50 @@ v0 AS (
 """
 
 
+def q_a18_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (operators/sketch.
+    countmin_heavy_hitters): depth-4 × width-256 counter sketch over
+    300 part-family keys — width < |keys| on purpose, so collisions
+    (and therefore nonzero overcounts) are guaranteed and the
+    never-undercount property is exercised, not vacuous. Counters
+    hash with the md5-portable hash and sum exactly, so the oracle
+    recomputes the WHOLE sketch bit-for-bit — no tolerance band."""
+    from geniepool_etl_spark.operators.sketch import (
+        countmin_heavy_hitters,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 300).alias("fam")
+    )
+    return countmin_heavy_hitters(li, "fam", depth=4, width=256, k=20)
+
+
+def _countmin_oracle(depth: int, width: int, k: int) -> str:
+    fan = " UNION ALL ".join(
+        f"SELECT key, exact, {d} AS d, "
+        f"{portable_hash32_sql('key', seed=d)} % {width} AS b FROM keys"
+        for d in range(depth)
+    )
+    return f"""
+        WITH keys AS (
+          SELECT l_partkey % 300 AS key, count(*) AS exact
+          FROM lineitem GROUP BY 1
+        ),
+        hashed AS ({fan}),
+        sketch AS (
+          SELECT d, b, CAST(sum(exact) AS BIGINT) AS c
+          FROM hashed GROUP BY d, b
+        ),
+        est AS (
+          SELECT key, max(exact) AS exact, min(c) AS est
+          FROM hashed JOIN sketch USING (d, b)
+          GROUP BY key
+        )
+        SELECT key, exact, est, est - exact AS overcount
+        FROM est ORDER BY est DESC, key LIMIT {k}
+    """
+
+
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE (operators/text.bpe_token_counts): tokenize every
     document under the 3-merge vocabulary learned by the same
@@ -6567,6 +6611,7 @@ FROM g
     o["events_asof_cogroup"] = o["events_asof_join"]
     o["text_bpe_merges"] = _bpe_oracle(_BPE_K)
     o["text_bpe_encode"] = _bpe_encode_oracle(_BPE_K)
+    o["a18_countmin_topk"] = _countmin_oracle(4, 256, 20)
     o["f9_pandas_api"] = """
         SELECT o_orderstatus, count(o_orderkey) AS n,
                round(sum(o_totalprice), 2) AS total
@@ -7190,6 +7235,7 @@ SPARK_QUERIES = {
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "dedup_semantic": q_dedup_semantic,
     "text_bpe_encode": q_text_bpe_encode,
+    "a18_countmin_topk": q_a18_countmin_topk,
 }
 
 ORACLE_SQL = _oracles()

@@ -1,0 +1,96 @@
+"""Mergeable frequency sketches — the approximate-counting layer a
+100 TB pipeline keeps NEXT TO its facts: a count-min sketch built per
+partition/day is a few KB of counters that merges by elementwise SUM,
+so heavy-hitter queries over any later time range never rescan the
+fact table (same serving-layer argument as the HLL sketch rollup,
+contract a13).
+
+Reference scope note: the reference engine (single Spark batch job,
+SURVEY.md) has no sketches; this extends the LLM-pipeline surface —
+heavy-hitter detection over url/domain/shingle streams is a standard
+curation diagnostic.
+
+Determinism: counters hash with the md5-derived ``portable_hash32``
+(engine-reproducible), every counter is an exact integer sum, and the
+count-min estimate (min over depth rows) is therefore bit-identical on
+any engine and any partitioning — the correctness oracle recomputes
+the WHOLE sketch, not a tolerance band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geniepool_etl_spark.functions import portable_hash32
+
+
+def countmin_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    k: int = 20,
+) -> DataFrame:
+    """Count-min sketch + heavy-hitter query in one plan: ``depth``
+    hash rows of ``width`` counters each; a key's estimate is the MIN
+    of its ``depth`` counters — never an undercount, overcounts only
+    from collisions (bounded by N/width per row in expectation).
+
+    Batch-optimal build: keys are EXACT-counted first (the one
+    data-sized shuffle), and the sketch is built from the |keys|-sized
+    frame weighted by those counts — identical counters to folding raw
+    rows, at |keys| shuffle volume. The d×width counter table is tiny
+    and BROADCASTS back for the estimate join; per-key hash fan-out is
+    a statically unrolled array (codegen, no UDF). Returns the top-
+    ``k`` keys by estimate: ``(key, exact, est, overcount)`` — exact
+    rides along here because the fixture has it anyway; production
+    queries the sketch alone, which is the point.
+
+    Merge law (the 100 TB property): sketch(A ∪ B) = elementwise
+    sketch(A) + sketch(B) — counters are plain sums, so per-day
+    sketches roll up to any range by one more groupBy(d, b) SUM.
+    Asserted in tests.
+    """
+    if depth <= 0 or width <= 0 or k <= 0:
+        raise ValueError("countmin_heavy_hitters: depth/width/k > 0")
+    keys = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    fan = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (portable_hash32(F.col("key"), seed=d) % width).alias(
+                        "b"
+                    ),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("h")
+    hashed = keys.select("key", "exact", fan).select(
+        "key", "exact", F.col("h.d").alias("d"), F.col("h.b").alias("b")
+    )
+    sketch = hashed.groupBy("d", "b").agg(F.sum("exact").alias("c"))
+    est = (
+        hashed.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("key")
+        .agg(
+            # constant within a key's depth rows; max is the
+            # order-insensitive way to carry it through
+            F.max("exact").alias("exact"),
+            F.min("c").alias("est"),
+        )
+    )
+    return (
+        est.select(
+            "key",
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.col("est").desc(), "key")
+        .limit(k)
+    )

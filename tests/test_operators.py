@@ -2382,3 +2382,53 @@ def test_bpe_token_counts_textbook(spark):
     assert (got[1].n_words, got[1].n_tokens) == (5, 3 * 1 + 2 * 3)
     assert (got[2].n_words, got[2].n_tokens) == (3, 2 * 5 + 5)
     assert (got[3].n_words, got[3].n_tokens) == (2, 1 + 5)
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    """Count-min invariants: every estimate >= exact (min over rows
+    cannot undercount); with width >= |keys| and depth hashes a small
+    key set collides rarely but estimates stay exact-or-over; and the
+    sketch built on A union B equals the elementwise SUM of the A and
+    B sketches (the rollup merge law)."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.functions import portable_hash32
+    from geniepool_etl_spark.operators.sketch import (
+        countmin_heavy_hitters,
+    )
+
+    a = spark.range(0, 400).select((F.col("id") % 7).alias("k"))
+    b = spark.range(0, 300).select((F.col("id") % 11).alias("k"))
+    for part in (a, b, a.unionAll(b)):
+        rows = countmin_heavy_hitters(part, "k", depth=3, width=64).collect()
+        assert all(r.est >= r.exact for r in rows)
+        assert all(r.overcount >= 0 for r in rows)
+
+    def sketch(df, depth=3, width=64):
+        keys = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        fan = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (portable_hash32(F.col("k"), seed=d) % width)
+                        .alias("b"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("h")
+        return {
+            (r.d, r.b): r.c
+            for r in keys.select("n", fan)
+            .select("n", "h.d", "h.b")
+            .groupBy("d", "b")
+            .agg(F.sum("n").alias("c"))
+            .collect()
+        }
+
+    sa, sb, sab = sketch(a), sketch(b), sketch(a.unionAll(b))
+    merged = dict(sa)
+    for kk, v in sb.items():
+        merged[kk] = merged.get(kk, 0) + v
+    assert merged == sab
