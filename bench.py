@@ -167,6 +167,10 @@ def bench_queries(spark, sf_dir):
         # round-7 additions: the deepest new TPC-H shapes
         "tpch_q9": lambda: C.q_sql_tpch_q9(spark, sf_dir),
         "tpch_q21": lambda: C.q_sql_tpch_q21(spark, sf_dir),
+        # round-7 second wave: LLM-pipeline additions
+        "text_perplexity": lambda: C.q_text_perplexity(spark, sf_dir),
+        "dedup_semantic": lambda: C.q_dedup_semantic(spark, sf_dir),
+        "text_bpe_encode": lambda: C.q_text_bpe_encode(spark, sf_dir),
         "micro_event_us_long": lambda: micro_event_us(enc_dirs["long"]),
         "micro_event_us_ntz": lambda: micro_event_us(enc_dirs["ntz"]),
         "micro_scd2_full_rebuild": micro_scd2_full,

@@ -2026,7 +2026,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per node with the degree-ordered orientation algorithm
     (graph.triangle_counts) so the wedge join never blows up on hub
     nodes. All-integer output; the oracle replays the identical
-    projection + orientation in SQL."""
+    projection + orientation in SQL. Fixture note: the %2000 family
+    fold is pinned so the static oracle matches at every sf; it makes
+    graph DENSITY grow with sf (saturating toward K2000 by sf0.1) —
+    a fixture artifact, not an operator property; real item spaces
+    grow with the corpus."""
     from geniepool_etl_spark.operators.graph import (
         cooccurrence_edges,
         triangle_counts,
