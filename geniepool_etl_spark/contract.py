@@ -1117,6 +1117,38 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min maintenance (streaming.
+    maintain_countmin_stream): the events file drained twice, one
+    file per micro-batch, each folded into a batch-id-versioned
+    standing sketch by elementwise SUM — the sketch merge law IS the
+    maintenance operation, so the final standing (d, b, c) table must
+    equal the one-shot sketch of the doubled log, which the oracle
+    computes directly. Standing state is depth×width counters TOTAL —
+    constant regardless of stream volume."""
+    from geniepool_etl_spark.streaming import run_countmin_stream
+
+    enable_nanos_as_long(spark)
+    return run_countmin_stream(spark, sf_dir)
+
+
+def _stream_countmin_oracle(depth: int, width: int) -> str:
+    fan = " UNION ALL ".join(
+        f"SELECT key, n, {d} AS d, "
+        f"{portable_hash32_sql('key', seed=d)} % {width} AS b FROM keys"
+        for d in range(depth)
+    )
+    return f"""
+        WITH keys AS (
+          SELECT user_id % 300 AS key, count(*) * 2 AS n
+          FROM events GROUP BY 1
+        ),
+        hashed AS ({fan})
+        SELECT d, b, CAST(sum(n) AS BIGINT) AS c
+        FROM hashed GROUP BY d, b
+    """
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming sessionization: the native session_window
     aggregation under readStream (append mode; a far-future flush event
@@ -6616,6 +6648,7 @@ FROM g
     o["text_bpe_merges"] = _bpe_oracle(_BPE_K)
     o["text_bpe_encode"] = _bpe_encode_oracle(_BPE_K)
     o["a18_countmin_topk"] = _countmin_oracle(4, 256, 20)
+    o["stream_countmin"] = _stream_countmin_oracle(4, 256)
     o["f9_pandas_api"] = """
         SELECT o_orderstatus, count(o_orderkey) AS n,
                round(sum(o_totalprice), 2) AS total
@@ -7240,6 +7273,7 @@ SPARK_QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "text_bpe_encode": q_text_bpe_encode,
     "a18_countmin_topk": q_a18_countmin_topk,
+    "stream_countmin": q_stream_countmin,
 }
 
 ORACLE_SQL = _oracles()

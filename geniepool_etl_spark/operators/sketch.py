@@ -25,6 +25,48 @@ from pyspark.sql import functions as F
 from geniepool_etl_spark.functions import portable_hash32
 
 
+def _hashed_keys(keys: DataFrame, depth: int, width: int) -> DataFrame:
+    """(key, exact, d, b): the per-key hash fan-out shared by the
+    sketch builders — a statically unrolled array explode (codegen,
+    no UDF), ``depth`` rows per distinct key."""
+    fan = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (portable_hash32(F.col("key"), seed=d) % width).alias(
+                        "b"
+                    ),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("h")
+    return keys.select("key", "exact", fan).select(
+        "key", "exact", F.col("h.d").alias("d"), F.col("h.b").alias("b")
+    )
+
+
+def countmin_partial(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """The MERGEABLE unit: a ``(d, b, c)`` partial count-min sketch of
+    one slice (a partition, a day, a micro-batch). Partials merge by
+    ``unionByName → groupBy(d, b) → SUM`` — exactly how the streaming
+    maintenance lane folds micro-batches into a standing sketch."""
+    keys = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    return (
+        _hashed_keys(keys, depth, width)
+        .groupBy("d", "b")
+        .agg(F.sum("exact").alias("c"))
+    )
+
+
 def countmin_heavy_hitters(
     df: DataFrame,
     key_col: str,
@@ -57,22 +99,7 @@ def countmin_heavy_hitters(
     keys = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("exact")
     )
-    fan = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    (portable_hash32(F.col("key"), seed=d) % width).alias(
-                        "b"
-                    ),
-                )
-                for d in range(depth)
-            ]
-        )
-    ).alias("h")
-    hashed = keys.select("key", "exact", fan).select(
-        "key", "exact", F.col("h.d").alias("d"), F.col("h.b").alias("b")
-    )
+    hashed = _hashed_keys(keys, depth, width)
     sketch = hashed.groupBy("d", "b").agg(F.sum("exact").alias("c"))
     est = (
         hashed.join(F.broadcast(sketch), ["d", "b"])

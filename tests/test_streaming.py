@@ -674,3 +674,58 @@ def test_scd2_version_replay_is_idempotent(spark, tmp_path):
         ).collect()
     )
     assert snapshot(2) == want
+
+
+def test_countmin_stream_merge_equals_global_and_replays(spark, tmp_path):
+    """The streaming sketch invariants, asserted directly: (1) two
+    micro-batch SUM-merges converge to the one-shot sketch of all
+    data (the merge law); (2) replaying an epoch (foreachBatch
+    redelivery) leaves the standing sketch unchanged."""
+    from geniepool_etl_spark.operators.sketch import countmin_partial
+    from geniepool_etl_spark.streaming import (
+        maintain_countmin_stream,
+        merge_countmin_version,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = tmp_path / "src"
+    src.mkdir()
+    for tag, pred in (("a", "event_id % 2 = 0"), ("b", "event_id % 2 = 1")):
+        d = tmp_path / f"half_{tag}"
+        ev.where(pred).coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{tag}.parquet")
+
+    standing = str(tmp_path / "standing")
+    got = {
+        (r.d, r.b): r.c
+        for r in maintain_countmin_stream(
+            spark, str(src), standing, str(tmp_path / "ckpt")
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        (r.d, r.b): r.c
+        for r in countmin_partial(
+            ev.select(F.expr("user_id % 300").alias("key")), "key"
+        ).collect()
+    }
+    assert got == want
+
+    # replay: redelivering epoch 1 must not change the standing sketch
+    standing2 = str(tmp_path / "standing2")
+    b0 = ev.where("event_id % 2 = 0")
+    b1 = ev.where("event_id % 2 = 1")
+    merge_countmin_version(b0, 0, standing2)
+    merge_countmin_version(b1, 1, standing2)
+
+    def snap(v):
+        return {
+            (r.d, r.b): r.c
+            for r in spark.read.parquet(f"{standing2}/v={v}").collect()
+        }
+
+    once = snap(1)
+    merge_countmin_version(b1, 1, standing2)  # redelivery
+    assert snap(1) == once and once == want
