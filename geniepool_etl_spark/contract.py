@@ -4294,6 +4294,60 @@ def _countmin_oracle(depth: int, width: int, k: int) -> str:
     """
 
 
+def q_a19_loghist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketch.loghist_quantiles):
+    log₂-octave histogram with 8 sub-buckets per octave in EXACT bit
+    arithmetic (bin-length/shift/mask — no float log whose ulp wobble
+    flips buckets), completing the sketch triad: distinct (HLL, a13),
+    frequency (count-min, a18), quantiles (this). p50/p90/p99 of the
+    order-price cents as guaranteed [lo, hi] enclosures with ≤12.5%
+    relative width; the oracle rebuilds the identical sketch."""
+    from geniepool_etl_spark.operators.sketch import loghist_quantiles
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return loghist_quantiles(o, "cents")
+
+
+_LOGHIST_ORACLE = """
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    h AS (
+      SELECT CASE WHEN cents < 1 THEN -1
+                  WHEN cents < 16 THEN cents
+                  ELSE 16 + (length(printf('%b', cents)) - 5) * 8
+                       + ((cents >> (length(printf('%b', cents)) - 4))
+                          & 7) END AS idx,
+             count(*) AS n
+      FROM c GROUP BY 1
+    ),
+    cum AS (SELECT idx, sum(n) OVER (ORDER BY idx) AS cum FROM h),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM h),
+    q AS (
+      SELECT 50 AS q_num, 100 AS q_den,
+             (n * 50 + 99) // 100 AS rank FROM t
+      UNION ALL SELECT 90, 100, (n * 90 + 99) // 100 FROM t
+      UNION ALL SELECT 99, 100, (n * 99 + 99) // 100 FROM t
+    ),
+    picked AS (
+      SELECT q_num, q_den, rank, min(idx) AS idx
+      FROM cum, q WHERE cum >= rank GROUP BY 1, 2, 3
+    )
+    SELECT q_num, q_den, rank,
+           CAST(CASE WHEN idx < 16 THEN idx
+                ELSE (8 + (idx - 16) % 8) << ((idx - 16) // 8 + 1)
+                END AS BIGINT) AS lo_cents,
+           CAST(CASE WHEN idx < 16 THEN idx
+                ELSE ((8 + (idx - 16) % 8) << ((idx - 16) // 8 + 1))
+                     + (1 << ((idx - 16) // 8 + 1)) - 1
+                END AS BIGINT) AS hi_cents
+    FROM picked
+"""
+
+
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE (operators/text.bpe_token_counts): tokenize every
     document under the 3-merge vocabulary learned by the same
@@ -6649,6 +6703,7 @@ FROM g
     o["text_bpe_encode"] = _bpe_encode_oracle(_BPE_K)
     o["a18_countmin_topk"] = _countmin_oracle(4, 256, 20)
     o["stream_countmin"] = _stream_countmin_oracle(4, 256)
+    o["a19_loghist_quantiles"] = _LOGHIST_ORACLE
     o["f9_pandas_api"] = """
         SELECT o_orderstatus, count(o_orderkey) AS n,
                round(sum(o_totalprice), 2) AS total
@@ -7274,6 +7329,7 @@ SPARK_QUERIES = {
     "text_bpe_encode": q_text_bpe_encode,
     "a18_countmin_topk": q_a18_countmin_topk,
     "stream_countmin": q_stream_countmin,
+    "a19_loghist_quantiles": q_a19_loghist_quantiles,
 }
 
 ORACLE_SQL = _oracles()

@@ -121,3 +121,92 @@ def countmin_heavy_hitters(
         .orderBy(F.col("est").desc(), "key")
         .limit(k)
     )
+
+
+def _loghist_idx(cents_col: str) -> F.Column:
+    """Bucket index of a positive integer value in the log₂-octave
+    histogram: values 1..15 map to themselves (exact); larger values
+    map by (octave, top-3 mantissa bits) — 8 sub-buckets per octave,
+    so bucket width / lower bound ≤ 1/8 (12.5% relative error bound).
+    Pure integer bit arithmetic (bin-string length, shift, mask):
+    bit-identical on any engine, unlike float ``floor(log(x)/log(γ))``
+    whose ulp wobble flips buckets at boundaries."""
+    c = cents_col
+    return F.expr(
+        f"CASE WHEN {c} < 1 THEN -1 "
+        f"WHEN {c} < 16 THEN {c} "
+        f"ELSE 16 + (length(bin({c})) - 5) * 8 "
+        f"     + (shiftright({c}, length(bin({c})) - 4) & 7) END"
+    )
+
+
+def loghist_partial(df: DataFrame, cents_col: str) -> DataFrame:
+    """(idx, n) — the MERGEABLE quantile-sketch unit (DDSketch-shaped,
+    γ-buckets replaced by exact bit arithmetic). Partials merge by
+    ``unionByName → groupBy(idx) → SUM`` — the same law as the
+    count-min counters, completing the sketch triad: distinct (HLL,
+    a13), frequency (count-min, a18), quantiles (this). Sketch size
+    is ≤ 16 + 8·octaves rows regardless of data volume (~500 rows
+    covers the full long range). Values < 1 land in idx −1 — counted,
+    never silently dropped."""
+    return (
+        df.select(_loghist_idx(cents_col).alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def loghist_quantiles(
+    df: DataFrame,
+    cents_col: str,
+    quantiles: tuple[tuple[int, int], ...] = ((50, 100), (90, 100), (99, 100)),
+) -> DataFrame:
+    """Quantile estimates from the log-histogram: for each q = num/den
+    the nearest-rank target is ``ceil(q·n)`` in exact integer
+    arithmetic, and the answer is the [lo, hi] bound pair of the first
+    bucket whose cumulative count reaches it — a guaranteed enclosure
+    of the true quantile with ≤12.5% relative width. Returns
+    ``(q_num, q_den, rank, lo_cents, hi_cents)``.
+
+    Plan shape: one map-side-partial aggregate over the scan builds
+    the ≤~500-row sketch; the cumulative sum windows over that tiny
+    frame (the deliberate small-frame pattern, as in ks_statistic);
+    the quantile targets ride 1-row/|q|-row broadcasts. Nothing
+    data-sized shuffles twice.
+    """
+    h = loghist_partial(df, cents_col)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select("idx", F.sum("n").over(w).alias("cum"))
+    tot = h.agg(F.sum("n").alias("_n"))
+    qrows = [
+        tot.select(
+            F.lit(qn).alias("q_num"),
+            F.lit(qd).alias("q_den"),
+            F.expr(f"(_n * {qn} + {qd} - 1) div {qd}").alias("rank"),
+        )
+        for qn, qd in quantiles
+    ]
+    qframe = qrows[0]
+    for r in qrows[1:]:
+        qframe = qframe.unionByName(r)
+    picked = (
+        cum.crossJoin(F.broadcast(qframe))
+        .where(F.col("cum") >= F.col("rank"))
+        .groupBy("q_num", "q_den", "rank")
+        .agg(F.min("idx").alias("idx"))
+    )
+    lo = F.when(F.col("idx") < 16, F.col("idx")).otherwise(
+        F.expr("shiftleft(8 + (idx - 16) % 8, (idx - 16) div 8 + 1)")
+    )
+    hi = F.when(F.col("idx") < 16, F.col("idx")).otherwise(
+        lo + F.expr("shiftleft(1, (idx - 16) div 8 + 1)") - 1
+    )
+    return picked.select(
+        "q_num",
+        "q_den",
+        "rank",
+        lo.cast("long").alias("lo_cents"),
+        hi.cast("long").alias("hi_cents"),
+    )

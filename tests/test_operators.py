@@ -2432,3 +2432,41 @@ def test_countmin_never_undercounts_and_merges(spark):
     for kk, v in sb.items():
         merged[kk] = merged.get(kk, 0) + v
     assert merged == sab
+
+
+def test_loghist_encloses_true_quantiles_and_merges(spark):
+    """Log-histogram invariants: (1) every value lies inside its
+    bucket's [lo, hi]; (2) each reported quantile enclosure contains
+    the true nearest-rank quantile; (3) partial sketches SUM-merge to
+    the global sketch; (4) sub-1 values are counted in idx -1, never
+    dropped."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators.sketch import (
+        loghist_partial,
+        loghist_quantiles,
+    )
+
+    df = spark.range(1, 5001).select((F.col("id") * 7 % 9973 + 1).alias("c"))
+    vals = sorted(r.c for r in df.collect())
+    got = {
+        (r.q_num, r.q_den): (r.rank, r.lo_cents, r.hi_cents)
+        for r in loghist_quantiles(df, "c").collect()
+    }
+    for (qn, qd), (rank, lo, hi) in got.items():
+        true_q = vals[rank - 1]  # nearest-rank definition
+        assert lo <= true_q <= hi, (qn, qd, lo, true_q, hi)
+        assert (hi - lo) <= max(lo, 1) / 8 + 1  # relative width bound
+
+    a = df.where("c % 2 = 0")
+    b = df.where("c % 2 = 1")
+    def sk(d):
+        return {r.idx: r.n for r in loghist_partial(d, "c").collect()}
+    sa, sb, sall = sk(a), sk(b), sk(df)
+    merged = dict(sa)
+    for kk, v in sb.items():
+        merged[kk] = merged.get(kk, 0) + v
+    assert merged == sall
+
+    z = spark.createDataFrame([(0,), (-5,), (3,)], "c LONG")
+    assert sk(z) == {-1: 2, 3: 1}

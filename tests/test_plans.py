@@ -199,6 +199,7 @@ _INTENDED_CROSS = {
     "text_perplexity",  # 1-row corpus-bigram-total broadcast (tfidf pattern)
     "dedup_semantic",  # 16-row centroid broadcast (ivf_assign pattern)
     "text_bpe_encode",  # per-round 1-row argmax winner broadcast (bpe pattern)
+    "a19_loghist_quantiles",  # tiny sketch frame × 3-row quantile-target broadcast
 }
 
 
