@@ -1933,6 +1933,32 @@ def test_key_operators_tolerate_empty_inputs(spark):
         keys=["k"], ts_col="ts",
     )
     assert [(r.k, r.ts, r.v) for r in out.collect()] == [(1, 10, "a")]
+    # round-7b additions: sketches, graph, perplexity, semantic dedup
+    from geniepool_etl_spark.operators.graph import triangle_counts
+    from geniepool_etl_spark.operators.similarity import (
+        semantic_dedup_keep,
+    )
+    from geniepool_etl_spark.operators.sketch import (
+        countmin_heavy_hitters,
+        loghist_quantiles,
+    )
+
+    empty_long = spark.createDataFrame([], "c LONG")
+    assert loghist_quantiles(empty_long, "c").count() == 0
+    assert (
+        countmin_heavy_hitters(
+            empty_long.withColumnRenamed("c", "k"), "k"
+        ).count()
+        == 0
+    )
+    assert TX.bigram_surprisal_scores(empty_docs).count() == 0
+    assert TX.bpe_token_counts(empty_docs, k=2).count() == 0
+    empty_edges = spark.createDataFrame([], "src LONG, dst LONG")
+    assert triangle_counts(empty_edges).count() == 0
+    empty_vec = spark.createDataFrame(
+        [], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    assert semantic_dedup_keep(empty_vec).count() == 0
 
 
 def test_bigram_lm_counts_and_topk(spark):
