@@ -1149,6 +1149,20 @@ def _stream_countmin_oracle(depth: int, width: int) -> str:
     """
 
 
+def q_stream_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows WITH a distinct-user count under readStream
+    (streaming.run_sliding_hll_stream) — closes stream_sliding's
+    documented "streaming cannot count_distinct" delta via the HLL
+    estimate, cross-checked against the exact batch distinct per
+    window with a 5%-tolerance boolean (a7 convention; the streamed
+    HLL is the system under test, the batch join is the
+    instrument)."""
+    from geniepool_etl_spark.streaming import run_sliding_hll_stream
+
+    enable_nanos_as_long(spark)
+    return run_sliding_hll_stream(spark, sf_dir, name=f"chll_{next(_uniq)}")
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming sessionization: the native session_window
     aggregation under readStream (append mode; a far-future flush event
@@ -6704,6 +6718,18 @@ FROM g
     o["a18_countmin_topk"] = _countmin_oracle(4, 256, 20)
     o["stream_countmin"] = _stream_countmin_oracle(4, 256)
     o["a19_loghist_quantiles"] = _LOGHIST_ORACLE
+    o["stream_sliding_hll"] = f"""
+        WITH e AS (SELECT {_EVENT_US} AS t, user_id FROM events),
+        x AS (
+          SELECT (t // 1800000000 - i) * 1800000000 AS w_start_us,
+                 user_id
+          FROM e, UNNEST([0, 1]) AS u(i)
+        )
+        SELECT w_start_us, count(*) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               true AS within_tol
+        FROM x GROUP BY w_start_us
+    """
     o["f9_pandas_api"] = """
         SELECT o_orderstatus, count(o_orderkey) AS n,
                round(sum(o_totalprice), 2) AS total
@@ -7330,6 +7356,7 @@ SPARK_QUERIES = {
     "a18_countmin_topk": q_a18_countmin_topk,
     "stream_countmin": q_stream_countmin,
     "a19_loghist_quantiles": q_a19_loghist_quantiles,
+    "stream_sliding_hll": q_stream_sliding_hll,
 }
 
 ORACLE_SQL = _oracles()

@@ -815,7 +815,8 @@ def run_sliding_stream(
     Streaming, but DISTINCT aggregates do not — so the streamed
     variant carries count + sum (the batch ``sliding_agg``'s
     ``count_distinct(user_id)`` is the documented delta; streaming
-    distincts need an HLL sketch column instead)."""
+    distincts need an HLL sketch column instead — which
+    :func:`run_sliding_hll_stream` now provides, tolerance-checked)."""
     src = _stage_events_src(sf_dir)
     stream = read_event_stream(spark, src)
     from pyspark.sql import functions as F
@@ -949,3 +950,76 @@ def run_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = tempfile.mkdtemp(prefix="gp_cm_standing_")
     ckpt = tempfile.mkdtemp(prefix="gp_cm_ckpt_")
     return maintain_countmin_stream(spark, src, standing, ckpt)
+
+
+def run_sliding_hll_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Sliding windows WITH a distinct-user count under readStream —
+    closing :func:`run_sliding_stream`'s documented delta ("streaming
+    cannot run count_distinct"): the streamable distinct is the HLL
+    estimate (``approx_count_distinct`` is an incremental aggregate,
+    legal in streaming where the exact distinct is not). Following the
+    a7/a13 convention for engine-specific estimates, the checkable
+    output is the EXACT per-window distinct (batch cross-check join —
+    the same approximate-vs-exact instrument shape as the ANN recall
+    entries) plus a boolean asserting the streamed HLL landed within
+    5% relative error; the oracle computes the exact count and expects
+    ``within_tol = true``."""
+    from pyspark.sql import functions as F
+
+    src = _stage_events_src(sf_dir)
+    stream = read_event_stream(spark, src)
+    e = E.with_event_time(stream)
+    win = F.window(
+        F.col("event_time"), "3600000000 microseconds",
+        "1800000000 microseconds",
+    )
+    out = (
+        e.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "n_events",
+            "approx_users",
+        )
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    streamed = spark.table(name)
+    ev = E.with_event_time(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    half = 1_800_000_000
+    shifted = ev.select(
+        "user_id",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("_i"),
+        F.expr(f"ts_us div {half}").alias("_b"),
+    ).select(
+        "user_id",
+        ((F.col("_b") - F.col("_i")) * half).alias("w_start_us"),
+    )
+    exact = shifted.groupBy("w_start_us").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return streamed.join(exact, "w_start_us").select(
+        "w_start_us",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            < 0.05
+        ).alias("within_tol"),
+    )

@@ -595,3 +595,47 @@ def test_media_parsers_total_on_marker_prefixed_bytes(tail):
             assert isinstance(out, dict)
         except (ValueError, NotImplementedError):
             pass
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_triangle_counts_match_bruteforce(edges):
+    """PROPERTY: on ANY small multigraph (self-loops, duplicates,
+    reversed edges included), the degree-ordered census equals the
+    brute-force per-node triangle count over the simple undirected
+    graph it induces."""
+    import itertools
+
+    from geniepool_etl_spark.operators.graph import triangle_counts
+
+    spark = _spark()
+    und = {
+        (min(a, b), max(a, b)) for a, b in edges if a != b
+    }
+    nodes = sorted({n for e in und for n in e})
+    want: dict[int, int] = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (
+            (x, y) in und and (y, z) in und and (x, z) in und
+        ):
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    if edges:
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    else:
+        df = spark.createDataFrame([], "src LONG, dst LONG")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == want
