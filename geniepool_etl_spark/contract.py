@@ -4193,6 +4193,65 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_next_words(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_lake_file_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake file-layout census through the ``_metadata`` hidden
+    column: write a partitioned lake with a bounded
+    ``maxRecordsPerFile``, read it back, and report per-partition
+    file counts and per-file row extremes — the small-files /
+    compaction-planning diagnostic, computed from the scan itself
+    (no filesystem listing pass). The writer's split rule (roll a new
+    file every K records, remainder last) makes the expected census a
+    pure function of the partition counts, which is what the oracle
+    computes."""
+    out = tempfile.mkdtemp(prefix="gp_census_")
+    _t(spark, sf_dir, "orders").repartition("o_orderstatus").write.mode(
+        "overwrite"
+    ).option("maxRecordsPerFile", 7000).partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    lake = spark.read.parquet(out)
+    per_file = lake.groupBy(
+        "o_orderstatus",
+        F.col("_metadata.file_path").alias("_f"),
+    ).agg(F.count(F.lit(1)).alias("_rows"))
+    return per_file.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("_rows").alias("n_rows"),
+        F.min("_rows").alias("min_file_rows"),
+        F.max("_rows").alias("max_file_rows"),
+    )
+
+
+def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus rollup through real URL parsing
+    (``parse_url`` HOST / PATH / QUERY-param forms — the JVM
+    built-in, not a regex UDF): the web-curation operation behind
+    domain mixing and per-site quality policies. URLs are
+    deterministically constructed from (source, doc_id, lang) so the
+    oracle can verify every parsed component against the generative
+    rule — the parser is the system under test."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    parsed = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("url_lang"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("path").alias("n_paths"),
+        F.count_distinct("url_lang").alias("n_langs"),
+        F.min("path").alias("min_path"),
+    )
+
+
 def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-perplexity quality scoring (operators/text.
     bigram_surprisal_scores): mean bigram surprisal per document
@@ -6823,6 +6882,26 @@ FROM g
         FROM pairs p JOIN t USING (word)
         QUALIFY rnk <= 3
     """
+    o["lake_file_census"] = """
+        SELECT o_orderstatus,
+               CAST((count(*) + 6999) // 7000 AS BIGINT) AS n_files,
+               count(*) AS n_rows,
+               CAST(CASE WHEN count(*) % 7000 = 0
+                    THEN least(count(*), 7000)
+                    ELSE count(*) % 7000 END AS BIGINT)
+                 AS min_file_rows,
+               CAST(least(count(*), 7000) AS BIGINT) AS max_file_rows
+        FROM orders GROUP BY o_orderstatus
+    """
+    o["text_url_domains"] = """
+        SELECT source || '.example.com' AS host,
+               count(*) AS n_docs,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_paths,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               '/docs/' || CAST(min(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                 AS min_path
+        FROM documents GROUP BY source
+    """
     o["text_perplexity"] = r"""
         WITH tok AS (
           SELECT doc_id,
@@ -7357,6 +7436,8 @@ SPARK_QUERIES = {
     "stream_countmin": q_stream_countmin,
     "a19_loghist_quantiles": q_a19_loghist_quantiles,
     "stream_sliding_hll": q_stream_sliding_hll,
+    "text_url_domains": q_text_url_domains,
+    "lake_file_census": q_lake_file_census,
 }
 
 ORACLE_SQL = _oracles()
