@@ -1859,7 +1859,9 @@ def q_multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(16) + (F.col("doc_id") % 4) * 16)
             .cast("long")
             .alias("period"),
-            (F.lit(1) + F.col("doc_id") % 7).cast("long").alias("step"),
+            # NOT %7: the frame is filtered to doc_id%7==0, which
+            # would pin step=1 and make amplitude scaling untested
+            (F.lit(1) + F.col("doc_id") % 5).cast("long").alias("step"),
         )
     )
     return M.decode_audio_pcm_stats(M.synth_wav_tone_assets(params))
@@ -4410,10 +4412,12 @@ _LOGHIST_ORACLE = """
       FROM cum, q WHERE cum >= rank GROUP BY 1, 2, 3
     )
     SELECT q_num, q_den, rank,
-           CAST(CASE WHEN idx < 16 THEN idx
+           CAST(CASE WHEN idx = -1 THEN NULL
+                WHEN idx < 16 THEN idx
                 ELSE (8 + (idx - 16) % 8) << ((idx - 16) // 8 + 1)
                 END AS BIGINT) AS lo_cents,
-           CAST(CASE WHEN idx < 16 THEN idx
+           CAST(CASE WHEN idx = -1 THEN 0
+                WHEN idx < 16 THEN idx
                 ELSE ((8 + (idx - 16) % 8) << ((idx - 16) // 8 + 1))
                      + (1 << ((idx - 16) // 8 + 1)) - 1
                 END AS BIGINT) AS hi_cents
@@ -4447,8 +4451,12 @@ p{i} AS (
   GROUP BY 1, 2
 ),
 b{i} AS (
-  SELECT l, r, l || r AS merged
-  FROM p{i} ORDER BY pair_count DESC, l, r LIMIT 1
+  -- sentinel loser keeps the winner at exactly one row when no
+  -- pairs remain (mirrors the Spark side's empty-round guard)
+  SELECT l, r, l || r AS merged FROM (
+    SELECT l, r, pair_count FROM p{i}
+    UNION ALL SELECT chr(2), chr(2), -1
+  ) ORDER BY pair_count DESC, l, r LIMIT 1
 ),
 v{i} AS (
   SELECT w, replace(rep,
@@ -6544,7 +6552,7 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
         WITH prm AS (
           SELECT doc_id AS asset_id,
                  16 + (doc_id % 4) * 16 AS p,
-                 1 + doc_id % 7 AS s,
+                 1 + doc_id % 5 AS s,
                  (length(text) % 997 + 1) * 4 AS f,
                  1 + doc_id % 2 AS c
           FROM documents WHERE doc_id % 7 = 0

@@ -73,17 +73,17 @@ def triangle_counts(
     produced exactly once (its vertices are totally ordered by
     (degree, id)), then credited to all three corners. Output: one
     row per node that belongs to at least one triangle —
-    ``(node BIGINT, triangles BIGINT)``, exact integers,
-    shuffle-order-independent.
+    ``(node, triangles BIGINT)`` with ``node`` keeping the input id
+    type (longs, strings — any orderable equi-joinable type); exact
+    integer counts, shuffle-order-independent.
     """
     und = (
+        # no cast: ids keep their native orderable type — a long cast
+        # would crash string ids under ANSI and, with ANSI off,
+        # NULL them into a silently empty census
         edges.select(
-            F.least(F.col(src_col), F.col(dst_col))
-            .cast("long")
-            .alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col))
-            .cast("long")
-            .alias("b"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
         )
         .where(F.col("a") != F.col("b"))
         .distinct()

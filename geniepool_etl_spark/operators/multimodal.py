@@ -566,6 +566,13 @@ def synth_wav_tone_assets(
             ):
                 p, s, f, c = int(period), int(step), int(frames), int(ch)
                 off = ((p - 1) * s) // 2
+                if (p - 1) * s - off > 32767 or -off < -32768:
+                    # astype('<i2') would WRAP silently, breaking the
+                    # oracle-recomputable-waveform contract — fail loud
+                    raise ValueError(
+                        "synth_wav_tone_assets: sawtooth peak "
+                        f"(period={p}, step={s}) exceeds int16 range"
+                    )
                 vals = (np.arange(f, dtype=np.int64) % p) * s - off
                 pcm = np.repeat(vals, c).astype("<i2").tobytes()
                 buf = io.BytesIO()

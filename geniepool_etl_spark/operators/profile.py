@@ -216,8 +216,13 @@ def expectations(
 
 
 def uniqueness_check(df: DataFrame, col: str, rule: str) -> DataFrame:
-    """Key-uniqueness expectation: violations = rows beyond the first
-    per key (``count(*) − count_distinct(key)``), one aggregate."""
+    """PRIMARY-KEY expectation in one aggregate: violations =
+    ``count(*) − count_distinct(key)``, which counts (a) every row
+    beyond the first per non-null key AND (b) every NULL-keyed row —
+    deliberately, since ``count_distinct`` ignores NULLs: a key
+    column holding NULLs is not a key, and a uniqueness gate that
+    waves NULL keys through would pass a table that cannot be merged
+    or joined on that column."""
     return df.agg(
         F.lit(rule).alias("rule"),
         F.count(F.lit(1)).alias("total"),

@@ -594,6 +594,15 @@ def semantic_dedup_keep(
     change, not a plan change. Cosine compares on the 4-decimal
     rounding (the cross-engine boundary rule)."""
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    # The assignment feeds three plan sites (both pair-join sides and
+    # the final keep join) and is deliberately NOT checkpointed:
+    # measured at sf0.1, an eager localCheckpoint was ~20% SLOWER
+    # end-to-end (1.59 s vs 1.30 s) — the assignment is LINEAR work
+    # (16-way broadcast argmax) while the within-cluster pair join is
+    # the quadratic stage that dominates, so materializing N
+    # 64-float vectors costs more than the replay saves. The
+    # checkpoint rule (SCALE.md) applies when the replayed stage is
+    # the expensive one — here it is not.
     asg = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
         "id", "vec", "norm", "cid"
     )

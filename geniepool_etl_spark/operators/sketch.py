@@ -165,7 +165,9 @@ def loghist_quantiles(
     the nearest-rank target is ``ceil(q·n)`` in exact integer
     arithmetic, and the answer is the [lo, hi] bound pair of the first
     bucket whose cumulative count reaches it — a guaranteed enclosure
-    of the true quantile with ≤12.5% relative width. Returns
+    of the true quantile with ≤12.5% relative width for values ≥ 1.
+    A rank landing in the (−∞, 0] catch-all bucket reports the
+    honest enclosure [NULL, 0] (unbounded below). Returns
     ``(q_num, q_den, rank, lo_cents, hi_cents)``.
 
     Plan shape: one map-side-partial aggregate over the scan builds
@@ -197,11 +199,26 @@ def loghist_quantiles(
         .groupBy("q_num", "q_den", "rank")
         .agg(F.min("idx").alias("idx"))
     )
-    lo = F.when(F.col("idx") < 16, F.col("idx")).otherwise(
-        F.expr("shiftleft(8 + (idx - 16) % 8, (idx - 16) div 8 + 1)")
+    # idx −1 is the (−∞, 0] catch-all for sub-1 values: its enclosure
+    # is honestly [NULL, 0] (unbounded below), NOT [−1, −1] — a fake
+    # point bound would violate the documented enclosure guarantee
+    # the moment a quantile rank lands in that bucket
+    lo = (
+        F.when(F.col("idx") == -1, F.lit(None).cast("long"))
+        .when(F.col("idx") < 16, F.col("idx"))
+        .otherwise(
+            F.expr("shiftleft(8 + (idx - 16) % 8, (idx - 16) div 8 + 1)")
+        )
     )
-    hi = F.when(F.col("idx") < 16, F.col("idx")).otherwise(
-        lo + F.expr("shiftleft(1, (idx - 16) div 8 + 1)") - 1
+    hi = (
+        F.when(F.col("idx") == -1, F.lit(0))
+        .when(F.col("idx") < 16, F.col("idx"))
+        .otherwise(
+            F.expr(
+                "shiftleft(8 + (idx - 16) % 8, (idx - 16) div 8 + 1)"
+                " + shiftleft(1, (idx - 16) div 8 + 1) - 1"
+            )
+        )
     )
     return picked.select(
         "q_num",

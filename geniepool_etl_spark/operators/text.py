@@ -764,10 +764,23 @@ def bpe_token_counts(
                 "  element_at(split(trim(rep), ' '), i + 1) AS r))"
             ),
         ).otherwise(F.array())
-        best = (
+        # A sentinel loser pair (count −1, real pairs always have
+        # count ≥ 1) keeps the winner frame at EXACTLY one row even
+        # when a round finds no pairs left to merge: an empty winner
+        # would crossJoin the vocabulary down to zero rows and
+        # silently drop every document. The sentinel's replace
+        # pattern cannot fire — when it wins, no two-token rep
+        # exists at all.
+        pairs = (
             vocab.select(F.explode(bigrams).alias("p"), "freq")
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("pair_count"))
+        )
+        sentinel = vocab.sparkSession.createDataFrame(
+            [("\x02", "\x02", -1)], "l STRING, r STRING, pair_count LONG"
+        )
+        best = (
+            pairs.unionByName(sentinel)
             .orderBy(F.col("pair_count").desc(), F.col("l"), F.col("r"))
             .limit(1)
             .select(F.col("l").alias("_bl"), F.col("r").alias("_br"))

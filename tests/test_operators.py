@@ -2223,6 +2223,13 @@ def test_triangle_counts_known_graphs(spark):
     assert run([(0, 1), (1, 2), (2, 3)]) == {}
     bowtie = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]
     assert run(bowtie) == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+    # ids keep their native type: string-keyed graphs must work too
+    sdf = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src STRING, dst STRING"
+    )
+    assert {
+        r.node: r.triangles for r in triangle_counts(sdf).collect()
+    } == {"a": 1, "b": 1, "c": 1}
 
 
 def test_bigram_surprisal_orders_templated_below_gibberish(spark):
@@ -2496,3 +2503,10 @@ def test_loghist_encloses_true_quantiles_and_merges(spark):
 
     z = spark.createDataFrame([(0,), (-5,), (3,)], "c LONG")
     assert sk(z) == {-1: 2, 3: 1}
+    # a rank landing in the sub-1 catch-all reports the honest
+    # unbounded-below enclosure [NULL, 0], never a fake point bound
+    zq = {
+        (r.q_num, r.q_den): (r.lo_cents, r.hi_cents)
+        for r in loghist_quantiles(z, "c").collect()
+    }
+    assert zq[(50, 100)] == (None, 0)
