@@ -2132,6 +2132,60 @@ _GRAPH_TRIANGLES_ORACLE = """
 """
 
 
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase projection (operators/
+    graph.common_neighbor_links): top-20 non-edges by common-neighbor
+    count with neighborhood Jaccard — wedge join keyed on the shared
+    neighbor, existing edges removed by LEFT ANTI, degrees from the
+    adjacency aggregate. Same graph fixture as graph_triangles."""
+    from geniepool_etl_spark.operators.graph import (
+        common_neighbor_links,
+        cooccurrence_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    inc = li.select(
+        "l_orderkey", (F.col("l_partkey") % 2000).alias("item")
+    )
+    return common_neighbor_links(
+        cooccurrence_edges(inc, "l_orderkey", "item"), k=20
+    )
+
+
+_GRAPH_LINKS_ORACLE = """
+    WITH inc AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey % 2000 AS item
+      FROM lineitem
+    ),
+    und AS (
+      SELECT DISTINCT l.item AS a, r.item AS b
+      FROM inc l JOIN inc r ON l.g = r.g AND l.item < r.item
+    ),
+    adj AS (
+      SELECT a AS node, b AS nb FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+    cn AS (
+      SELECT l.node AS a, r.node AS b, count(*) AS cn
+      FROM adj l JOIN adj r ON l.nb = r.nb AND l.node < r.node
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    ne AS (
+      SELECT cn.a, cn.b, cn.cn FROM cn
+      LEFT JOIN und ON und.a = cn.a AND und.b = cn.b
+      WHERE und.a IS NULL
+    )
+    SELECT ne.a, ne.b, ne.cn, da.deg AS deg_a, db.deg AS deg_b,
+           round(CAST(ne.cn AS DOUBLE)
+                 / (da.deg + db.deg - ne.cn), 4) AS jaccard
+    FROM ne
+    JOIN deg da ON da.node = ne.a
+    JOIN deg db ON db.node = ne.b
+    ORDER BY ne.cn DESC, ne.a, ne.b LIMIT 20
+"""
+
+
 def q_obs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mix drift between two corpus snapshots (operators/
     profile.psi_by_key): per-source PSI contributions with additive
@@ -2153,14 +2207,19 @@ def q_obs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_obs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate (operators/profile.expectations
-    + uniqueness_check + referential_check): six expectation rules —
-    four single-scan conditional-sum predicates over lineitem (one
-    aggregate, one scan), key uniqueness on orders, and the
-    lineitem→orders foreign key via LEFT ANTI join. The discount rule
-    is tuned to FAIL on the fixture so the report demonstrably
+    + uniqueness_check + referential_check + freshness_check): eight
+    expectation rules — four single-scan conditional-sum predicates
+    over lineitem (one aggregate, one scan), key uniqueness on
+    orders, the lineitem→orders foreign key via LEFT ANTI join, and
+    two freshness rules on the events feed (as-of pinned 1 h past the
+    newest event — a 1-scalar collect, the watermark-flush precedent
+    — so the 2 h-lag rule passes and the 30 min-lag rule fails with a
+    deterministic 1.8e9 µs overshoot). The discount and 30 min rules
+    FAIL on the fixture by design so the report demonstrably
     distinguishes ok=1 from ok=0."""
     from geniepool_etl_spark.operators.profile import (
         expectations,
+        freshness_check,
         referential_check,
         uniqueness_check,
     )
@@ -2180,7 +2239,22 @@ def q_obs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = referential_check(
         li, "l_orderkey", o, "o_orderkey", "li_orderkey_in_orders"
     )
-    return base.unionByName(u).unionByName(r)
+    ev = _events(spark, sf_dir)
+    ev_us = ev.select(event_micros(ev, "ts").alias("ts_us"))
+    mx = ev_us.agg(F.max("ts_us")).collect()[0][0]
+    hour = 3_600_000_000
+    f1 = freshness_check(
+        ev_us, "ts_us", mx + hour, 2 * hour, "events_fresh_2h"
+    )
+    f2 = freshness_check(
+        ev_us, "ts_us", mx + hour, hour // 2, "events_fresh_30m"
+    )
+    return (
+        base.unionByName(u)
+        .unionByName(r)
+        .unionByName(f1)
+        .unionByName(f2)
+    )
 
 
 def q_pipeline_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6510,6 +6584,7 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
         _PAGERANK_ITERS, _PAGERANK_SCALE
     )
     o["graph_triangles"] = _GRAPH_TRIANGLES_ORACLE
+    o["graph_link_predict"] = _GRAPH_LINKS_ORACLE
     o["dedup_semantic"] = f"""
         WITH v AS (
           SELECT vec_id,
@@ -6656,6 +6731,14 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                      WHERE NOT EXISTS (SELECT 1 FROM orders o
                                        WHERE o.o_orderkey = l.l_orderkey))
                     = 0 AS BIGINT)
+        UNION ALL
+        SELECT 'events_fresh_2h', count(*),
+               CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'events_fresh_30m', count(*),
+               CAST(1800000000 AS BIGINT), CAST(0 AS BIGINT)
+        FROM events
     """
     o["obs_drift_psi"] = """
         WITH o AS (
@@ -7446,6 +7529,7 @@ SPARK_QUERIES = {
     "stream_sliding_hll": q_stream_sliding_hll,
     "text_url_domains": q_text_url_domains,
     "lake_file_census": q_lake_file_census,
+    "graph_link_predict": q_graph_link_predict,
 }
 
 ORACLE_SQL = _oracles()

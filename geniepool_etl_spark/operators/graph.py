@@ -145,6 +145,78 @@ def triangle_counts(
     )
 
 
+def common_neighbor_links(
+    edges: DataFrame,
+    k: int = 20,
+    min_common: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every NON-edge
+    pair sharing ≥ ``min_common`` neighbors, the common-neighbor
+    count and neighborhood Jaccard ``cn / (deg_a + deg_b − cn)`` —
+    the related-items / friend-suggestion primitive. Returns the
+    top-``k`` pairs by (common neighbors DESC, ids) as
+    ``(a, b, cn, deg_a, deg_b, jaccard)``.
+
+    Shape: the wedge join keys on the SHARED NEIGHBOR (adjacency
+    self-join — the same keyed-equi-join discipline as the triangle
+    census; ``a < b`` halves the pair space), existing edges leave by
+    LEFT ANTI join, degrees attach from the adjacency aggregate.
+    Hub hazard: a degree-d node contributes C(d, 2) wedges — on
+    power-law graphs cap or sample hub adjacency FIRST (one window),
+    the dedup hot-bucket rule; the fixture's graph is degree-bounded
+    by construction. Jaccard rounds to 4 (ratio rule); everything
+    else is exact integers.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        # feeds adjacency (twice), the anti join, and degree counts
+        .localCheckpoint(eager=False)
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    cn = (
+        adj.select(F.col("node").alias("a"), "nb")
+        .join(adj.select(F.col("node").alias("b"), "nb"), "nb")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .where(F.col("cn") >= min_common)
+    )
+    non_edges = cn.join(und, ["a", "b"], "left_anti")
+    scored = (
+        non_edges.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("cn")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("cn").desc(), "a", "b").limit(k)
+
+
 def pagerank_fixedpoint(
     edges: DataFrame,
     iterations: int = 5,

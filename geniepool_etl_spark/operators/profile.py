@@ -237,6 +237,40 @@ def uniqueness_check(df: DataFrame, col: str, rule: str) -> DataFrame:
     )
 
 
+def freshness_check(
+    df: DataFrame,
+    ts_us_col: str,
+    as_of_us: int,
+    max_lag_us: int,
+    rule: str,
+) -> DataFrame:
+    """Data-freshness expectation — the "is the feed current?" rule
+    class the per-row conditional sums can't express (it's a property
+    of the table's MAX, not of any row): the newest event-time must be
+    within ``max_lag_us`` of ``as_of_us``. One aggregate; reported in
+    the suite's uniform shape with ``violations`` = the lag overshoot
+    in microseconds (0 when fresh — a magnitude, not a row count,
+    which keeps the overshoot visible instead of a bare boolean).
+    An EMPTY table is maximally stale, not vacuously fresh — max() is
+    NULL, coalesced to the full lag window plus overshoot sentinel.
+    """
+    lag = F.lit(as_of_us) - F.coalesce(
+        F.max(F.col(ts_us_col)), F.lit(as_of_us - 2 * max_lag_us)
+    )
+    return df.agg(
+        F.lit(rule).alias("rule"),
+        F.count(F.lit(1)).alias("total"),
+        F.greatest(lag - max_lag_us, F.lit(0))
+        .cast("long")
+        .alias("violations"),
+    ).select(
+        "rule",
+        "total",
+        "violations",
+        (F.col("violations") == 0).cast("long").alias("ok"),
+    )
+
+
 def referential_check(
     child: DataFrame,
     child_col: str,

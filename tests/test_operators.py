@@ -2510,3 +2510,43 @@ def test_loghist_encloses_true_quantiles_and_merges(spark):
         for r in loghist_quantiles(z, "c").collect()
     }
     assert zq[(50, 100)] == (None, 0)
+
+
+def test_freshness_check_overshoot_and_empty(spark):
+    """Freshness semantics: violations = lag overshoot in µs (0 when
+    fresh), and an EMPTY feed is maximally stale, never vacuously
+    fresh."""
+    from geniepool_etl_spark.operators.profile import freshness_check
+
+    df = spark.createDataFrame([(1_000,), (5_000,)], "ts_us LONG")
+    fresh = freshness_check(df, "ts_us", 6_000, 2_000, "f").collect()[0]
+    assert (fresh.total, fresh.violations, fresh.ok) == (2, 0, 1)
+    stale = freshness_check(df, "ts_us", 10_000, 2_000, "s").collect()[0]
+    assert (stale.total, stale.violations, stale.ok) == (2, 3_000, 0)
+    empty = spark.createDataFrame([], "ts_us LONG")
+    e = freshness_check(empty, "ts_us", 10_000, 2_000, "e").collect()[0]
+    assert e.total == 0 and e.violations > 0 and e.ok == 0
+
+
+def test_common_neighbor_links_square_plus_diagonal(spark):
+    """Hand-checkable link prediction: on the square 0-1-2-3-0, the
+    two diagonals (0,2) and (1,3) are the only non-edges with 2
+    common neighbors, each with Jaccard 2/(2+2-2)=1.0; adding the
+    (0,2) diagonal as an edge removes it from the candidates."""
+    from geniepool_etl_spark.operators.graph import common_neighbor_links
+
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    df = spark.createDataFrame(square, "src LONG, dst LONG")
+    got = {
+        (r.a, r.b): (r.cn, r.jaccard)
+        for r in common_neighbor_links(df, k=10).collect()
+    }
+    assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+    with_diag = spark.createDataFrame(
+        square + [(0, 2)], "src LONG, dst LONG"
+    )
+    got2 = {
+        (r.a, r.b): r.cn
+        for r in common_neighbor_links(with_diag, k=10).collect()
+    }
+    assert (0, 2) not in got2 and (1, 3) in got2
