@@ -264,13 +264,49 @@ def _run_scd2(ns: argparse.Namespace) -> int:
     return 0
 
 
+def _run_dq(ns: argparse.Namespace) -> int:
+    """Run a declarative expectation suite over a parquet table:
+    each --rule is ``name:SQL-predicate`` (all evaluated in ONE
+    conditional-sum aggregate over a single scan); --unique adds a
+    primary-key rule per named column. Writes the (rule, total,
+    violations, ok) report and prints it; exit 1 if any rule fails —
+    the CI-gate contract."""
+    from geniepool_etl_spark.operators.profile import (
+        expectations, uniqueness_check,
+    )
+
+    spark = get_spark("geniepool-dq")
+    df = spark.read.parquet(ns.input)
+    rules = []
+    for r in ns.rule or []:
+        name, _, pred = r.partition(":")
+        if not pred:
+            raise SystemExit(f"--rule needs name:predicate, got {r!r}")
+        rules.append((name, pred))
+    parts = [expectations(df, rules)] if rules else []
+    for col in ns.unique or []:
+        parts.append(uniqueness_check(df, col, f"{col}_unique"))
+    if not parts:
+        raise SystemExit("dq: need at least one --rule or --unique")
+    report = parts[0]
+    for extra in parts[1:]:
+        report = report.unionByName(extra)
+    report.write.mode("overwrite").parquet(ns.output)
+    rows = spark.read.parquet(ns.output).collect()
+    failed = False
+    for r in rows:
+        print(f"{r.rule}\t{r.total}\t{r.violations}\t{r.ok}")
+        failed = failed or r.ok == 0
+    return 1 if failed else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     # reference-compatible bare form: 8 positional args = the ETL job
     if len(args) == 8 and args[0] not in (
         "etl", "dedup", "profile", "text-stats", "sim-topk", "pack",
         "chunk", "shuffle", "pii", "compact", "recover", "corpus-build",
-        "diff", "scd2",
+        "diff", "scd2", "dq",
     ):
         return _run_etl(args)
     if args and args[0] == "etl":
@@ -341,6 +377,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--attr", required=True)
     s.add_argument("--id-col", required=True)
     s.add_argument("--standing", default=None)
+    s = sub.add_parser("dq")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--rule", action="append")
+    s.add_argument("--unique", action="append")
     ns = p.parse_args(args)
     return {
         "dedup": _run_dedup,
@@ -356,6 +397,7 @@ def main(argv: list[str] | None = None) -> int:
         "corpus-build": _run_corpus_build,
         "diff": _run_diff,
         "scd2": _run_scd2,
+        "dq": _run_dq,
     }[ns.cmd](ns)
 
 

@@ -191,3 +191,30 @@ def test_cli_diff_and_scd2(spark, tmp_path):
         for r in spark.read.parquet(hist2).collect()
     }
     assert rows2 == {1: ("A", False), 2: ("B", False), 3: ("C", True)}
+
+
+def test_cli_dq_gate_exit_codes(spark, tmp_path):
+    """The dq subcommand is a CI gate: exit 0 when every rule passes,
+    exit 1 when any fails, report written either way."""
+    from geniepool_etl_spark.cli import main
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, 999.0)], "k LONG, v DOUBLE"
+    ).write.parquet(src)
+
+    out_ok = str(tmp_path / "ok")
+    assert main(["dq", src, out_ok, "--rule", "v_pos:v > 0"]) == 0
+
+    out_bad = str(tmp_path / "bad")
+    rc = main([
+        "dq", src, out_bad,
+        "--rule", "v_small:v < 100",
+        "--unique", "k",
+    ])
+    assert rc == 1
+    got = {
+        r.rule: (r.violations, r.ok)
+        for r in spark.read.parquet(out_bad).collect()
+    }
+    assert got == {"v_small": (1, 0), "k_unique": (1, 0)}
