@@ -1149,6 +1149,61 @@ def _stream_countmin_oracle(depth: int, width: int) -> str:
     """
 
 
+def q_stream_loghist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile-sketch maintenance (streaming.
+    run_loghist_stream): the events file drained as two micro-batches
+    into a standing (idx, n) log-histogram by SUM-merge, then
+    p50/p90/p99 answered from the final sketch — the merge law makes
+    the standing sketch equal the one-shot sketch of the doubled log,
+    which is exactly what the oracle computes. With stream_countmin
+    (frequency) and the natively-streaming HLL (distinct), the whole
+    mergeable-sketch triad is maintainable under streaming."""
+    from geniepool_etl_spark.streaming import run_loghist_stream
+
+    enable_nanos_as_long(spark)
+    return run_loghist_stream(spark, sf_dir)
+
+
+_STREAM_LOGHIST_ORACLE = """
+    WITH c0 AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    c AS (SELECT cents FROM c0 UNION ALL SELECT cents FROM c0),
+    h AS (
+      SELECT CASE WHEN cents < 1 THEN -1
+                  WHEN cents < 16 THEN cents
+                  ELSE 16 + (length(printf('%b', cents)) - 5) * 8
+                       + ((cents >> (length(printf('%b', cents)) - 4))
+                          & 7) END AS idx,
+             count(*) AS n
+      FROM c GROUP BY 1
+    ),
+    cum AS (SELECT idx, sum(n) OVER (ORDER BY idx) AS cum FROM h),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM h),
+    q AS (
+      SELECT 50 AS q_num, 100 AS q_den,
+             (n * 50 + 99) // 100 AS rank FROM t
+      UNION ALL SELECT 90, 100, (n * 90 + 99) // 100 FROM t
+      UNION ALL SELECT 99, 100, (n * 99 + 99) // 100 FROM t
+    ),
+    picked AS (
+      SELECT q_num, q_den, rank, min(idx) AS idx
+      FROM cum, q WHERE cum >= rank GROUP BY 1, 2, 3
+    )
+    SELECT q_num, q_den, rank,
+           CAST(CASE WHEN idx = -1 THEN NULL
+                WHEN idx < 16 THEN idx
+                ELSE (8 + (idx - 16) % 8) << ((idx - 16) // 8 + 1)
+                END AS BIGINT) AS lo_cents,
+           CAST(CASE WHEN idx = -1 THEN 0
+                WHEN idx < 16 THEN idx
+                ELSE ((8 + (idx - 16) % 8) << ((idx - 16) // 8 + 1))
+                     + (1 << ((idx - 16) // 8 + 1)) - 1
+                END AS BIGINT) AS hi_cents
+    FROM picked
+"""
+
+
 def q_stream_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows WITH a distinct-user count under readStream
     (streaming.run_sliding_hll_stream) — closes stream_sliding's
@@ -6868,6 +6923,7 @@ FROM g
     o["a18_countmin_topk"] = _countmin_oracle(4, 256, 20)
     o["stream_countmin"] = _stream_countmin_oracle(4, 256)
     o["a19_loghist_quantiles"] = _LOGHIST_ORACLE
+    o["stream_loghist"] = _STREAM_LOGHIST_ORACLE
     o["stream_sliding_hll"] = f"""
         WITH e AS (SELECT {_EVENT_US} AS t, user_id FROM events),
         x AS (
@@ -7530,6 +7586,7 @@ SPARK_QUERIES = {
     "text_url_domains": q_text_url_domains,
     "lake_file_census": q_lake_file_census,
     "graph_link_predict": q_graph_link_predict,
+    "stream_loghist": q_stream_loghist,
 }
 
 ORACLE_SQL = _oracles()

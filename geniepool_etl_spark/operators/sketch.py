@@ -176,7 +176,19 @@ def loghist_quantiles(
     the quantile targets ride 1-row/|q|-row broadcasts. Nothing
     data-sized shuffles twice.
     """
-    h = loghist_partial(df, cents_col)
+    return loghist_quantiles_from_sketch(
+        loghist_partial(df, cents_col), quantiles
+    )
+
+
+def loghist_quantiles_from_sketch(
+    h: DataFrame,
+    quantiles: tuple[tuple[int, int], ...] = ((50, 100), (90, 100), (99, 100)),
+) -> DataFrame:
+    """Quantile read-out from an ALREADY-BUILT (idx, n) sketch — the
+    entry point for merged sketches (a standing streaming sketch, a
+    rollup of per-day partials). Same semantics and output shape as
+    :func:`loghist_quantiles`."""
     from pyspark.sql import Window
 
     w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)

@@ -1023,3 +1023,82 @@ def run_sliding_hll_stream(
             < 0.05
         ).alias("within_tol"),
     )
+
+
+def merge_loghist_version(
+    batch_df: DataFrame,
+    epoch_id: int,
+    standing_path: str,
+    cents_expr: str = "CAST(round(value * 100) AS LONG)",
+    keep_versions: int = 3,
+) -> None:
+    """One version step of streaming quantile-sketch maintenance:
+    fold the micro-batch's values into an (idx, n) log-histogram
+    partial (``operators.sketch.loghist_partial``) and SUM-merge it
+    into the latest standing version < ``epoch_id`` — identical
+    exactly-once recipe to :func:`merge_countmin_version`; together
+    they keep the full mergeable-sketch triad maintainable under
+    streaming (HLL distinct is a native streaming aggregate
+    already)."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators.sketch import loghist_partial
+
+    spark = batch_df.sparkSession
+    fs, mkpath = _hadoop_fs(spark, standing_path)
+    p = loghist_partial(
+        batch_df.select(F.expr(cents_expr).alias("cents")), "cents"
+    )
+    prior = [
+        v for v in _rollup_versions(spark, standing_path) if v < epoch_id
+    ]
+    if prior:
+        standing = spark.read.parquet(f"{standing_path}/v={prior[-1]}")
+        merged = (
+            standing.unionByName(p)
+            .groupBy("idx")
+            .agg(F.sum("n").alias("n"))
+        )
+    else:
+        merged = p
+    merged.write.mode("overwrite").parquet(f"{standing_path}/v={epoch_id}")
+    for v in _rollup_versions(spark, standing_path)[:-keep_versions]:
+        fs.delete(mkpath(f"{standing_path}/v={v}"), True)
+
+
+def run_loghist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-entry wrapper: stream the events file as TWO
+    micro-batches into a standing log-histogram, then answer
+    p50/p90/p99 from the final sketch — because partials SUM-merge,
+    the standing sketch equals the one-shot sketch of the doubled
+    log, so the quantile answers are exactly what the oracle computes
+    from the doubled value distribution. Fresh dirs per invocation."""
+    src = tempfile.mkdtemp(prefix="gp_lh_src_")
+    for f in glob.glob(os.path.join(sf_dir, "events.parquet")):
+        shutil.copy(f, os.path.join(src, "a.parquet"))
+        shutil.copy(f, os.path.join(src, "b.parquet"))
+    standing = tempfile.mkdtemp(prefix="gp_lh_standing_")
+    ckpt = tempfile.mkdtemp(prefix="gp_lh_ckpt_")
+    stream = read_event_stream(spark, src, 1)
+    query = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: merge_loghist_version(df, bid, standing)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    vs = _rollup_versions(spark, standing)
+    if not vs:
+        raise ValueError(f"no sketch versions in {standing}")
+    from geniepool_etl_spark.operators.sketch import (
+        loghist_quantiles_from_sketch,
+    )
+
+    return loghist_quantiles_from_sketch(
+        spark.read.parquet(f"{standing}/v={vs[-1]}")
+    )
+

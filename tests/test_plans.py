@@ -200,6 +200,7 @@ _INTENDED_CROSS = {
     "dedup_semantic",  # 16-row centroid broadcast (ivf_assign pattern)
     "text_bpe_encode",  # per-round 1-row argmax winner broadcast (bpe pattern)
     "a19_loghist_quantiles",  # tiny sketch frame × 3-row quantile-target broadcast
+    "stream_loghist",  # same read-out over the standing sketch
 }
 
 
