@@ -862,7 +862,19 @@ def bigram_surprisal_scores(
     so the LM join moves distinct-bigram rows, not every token); the
     corpus total rides a 1-row broadcast (tfidf pattern); the scoring
     join is a keyed equi-join on the bigram. No windows, no UDFs, no
-    collect.
+    collect. The shared (doc, bigram, m) frame feeds three consumers
+    (LM counts → total, LM counts → surprisal join, and the scoring
+    join itself), so it is localCheckpoint'd lazily — the minhash
+    rule (dedup.minhash_lsh_pairs) — truncating lineage so the
+    corpus is read and tokenized exactly ONCE, not replayed per
+    consumer. On a multi-executor cluster swap for
+    persist(MEMORY_AND_DISK) if executor loss matters.
+
+    Documents with fewer than 2 words have no bigrams and are
+    OMITTED from the output (inner join on the bigram frame), by
+    design: a perplexity under a bigram LM is undefined for them.
+    Callers needing a row per input doc should left-join this result
+    back to the id set (n_bigrams=0, avg_nll NULL).
     """
     w = words_col(F.lower(F.col(text_col)))
     bigrams = F.when(
@@ -877,6 +889,7 @@ def bigram_surprisal_scores(
         df.select(F.col(id_col), F.explode(bigrams).alias("p"))
         .groupBy(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)
     )
     counts = dp.groupBy("l", "r").agg(F.sum("m").alias("n"))
     tot = counts.agg(F.sum("n").alias("_N"))

@@ -545,3 +545,19 @@ def test_corpus_card_single_scan_digest_only_shuffle(spark):
             # digest key; only a BARE text attribute would mean raw
             # text crossing the wire
             assert "text#" not in ln.replace("md5(cast(text#", ""), ln
+
+
+def test_perplexity_tokenizes_corpus_once(spark):
+    """bigram_surprisal_scores feeds three consumers from the shared
+    (doc, bigram, m) frame; the lazy localCheckpoint must truncate the
+    lineage so the executed plan contains ZERO parquet scans of
+    documents (the single real scan lives in the checkpoint's own
+    lineage). Pre-r8 this plan replayed the tokenize scan 3x."""
+    df = C.q_text_perplexity(spark, SF_SMALL)
+    df.collect()
+    p = _plan(df).split("== Initial Plan ==")[0]
+    assert "documents.parquet" not in p, (
+        "perplexity plan re-reads the corpus instead of the checkpoint"
+    )
+    # all three consumers read the checkpointed RDD
+    assert p.count("Scan ExistingRDD") >= 2

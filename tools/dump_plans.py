@@ -125,7 +125,10 @@ SHOWCASE = [
     (
         "text_perplexity",
         C.q_text_perplexity,
-        "One tokenize scan feeds LM counts and per-doc multisets; "
+        "ZERO FileScans of documents.parquet in this plan: the "
+        "shared (doc,bigram,m) frame is lazily localCheckpoint'd, so "
+        "the one tokenize scan lives in the checkpoint's lineage and "
+        "all three consumers read the RDD (was 3 full scans pre-r8); "
         "1-row corpus-total broadcast; bigram-keyed equi-join; "
         "integer surprisal summed exactly.",
     ),
