@@ -4399,12 +4399,11 @@ _BPE_K = 3
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (operators/text.
     bpe_learn_merges): 3 rounds of frequency-weighted pair counting
-    over the corpus vocabulary, applying each winning merge via
-    single-pass non-overlapping replace — a deterministic
-    approximation of greedy BPE that differs only on
-    immediately-repeated winning pairs (see the operator docstring's
-    APPROXIMATION NOTE). The oracle unrolls the same 3 rounds as
-    DuckDB CTEs using DuckDB's identical single-pass replace()."""
+    over the corpus vocabulary, applying each winning merge with TRUE
+    greedy left-to-right semantics via the space-doubled replace
+    trick (see _greedy_merge_rep) — ' a a a a ' merges to ' aa aa ',
+    exactly textbook BPE. The oracle unrolls the same 3 rounds as
+    DuckDB CTEs replaying the identical doubled-space replace()."""
     return TX.bpe_learn_merges(
         _t(spark, sf_dir, "documents"), k=_BPE_K
     )
@@ -4427,10 +4426,15 @@ b{i} AS (
   FROM p{i} ORDER BY pair_count DESC, l, r LIMIT 1
 ),
 v{i} AS (
-  SELECT replace(rep,
-           ' ' || (SELECT l FROM b{i}) || ' '
+  -- true-greedy merge apply via space-doubling (mirrors the Spark
+  -- side's _greedy_merge_rep): widen boundaries to two spaces so
+  -- back-to-back occurrences never share a delimiter, replace,
+  -- collapse back
+  SELECT replace(replace(replace(rep, ' ', '  '),
+           ' ' || (SELECT l FROM b{i}) || '  '
                || (SELECT r FROM b{i}) || ' ',
-           ' ' || (SELECT merged FROM b{i}) || ' ') AS rep, freq
+           ' ' || (SELECT merged FROM b{i}) || ' '),
+           '  ', ' ') AS rep, freq
   FROM {prev}
 )""")
         union = " UNION ALL ".join(
@@ -4588,10 +4592,13 @@ b{i} AS (
   ) ORDER BY pair_count DESC, l, r LIMIT 1
 ),
 v{i} AS (
-  SELECT w, replace(rep,
-           ' ' || (SELECT l FROM b{i}) || ' '
+  -- true-greedy merge apply via space-doubling (mirrors the Spark
+  -- side's _greedy_merge_rep)
+  SELECT w, replace(replace(replace(rep, ' ', '  '),
+           ' ' || (SELECT l FROM b{i}) || '  '
                || (SELECT r FROM b{i}) || ' ',
-           ' ' || (SELECT merged FROM b{i}) || ' ') AS rep, freq
+           ' ' || (SELECT merged FROM b{i}) || ' '),
+           '  ', ' ') AS rep, freq
   FROM {prev}
 )""")
     return f"""

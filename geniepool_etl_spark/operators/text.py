@@ -598,6 +598,35 @@ def feature_hash_counts(
     )
 
 
+def _greedy_merge_rep(rep, l, r):
+    """Apply one BPE merge ``(l, r)`` to a space-padded token
+    representation (``' t1 t2 … '``) with TRUE greedy left-to-right
+    semantics, as one codegen'd expression (no UDF).
+
+    The space-doubling trick: widen every token boundary to two
+    spaces, then plain non-overlapping ``replace`` of ``' l  r '``
+    with ``' lr '`` — each match consumes one space from its left
+    and right boundaries and the replacement restores them, so
+    adjacent occurrences of a repeated pair (' a a a a ') never
+    share a delimiter and all merge in one pass, leftmost-first,
+    exactly like greedy BPE. Collapse the doubled boundaries back
+    at the end. NULL ``l``/``r`` (an empty merge round) coalesce to
+    an unmatchable \\x00 pattern so the round no-ops instead of
+    nulling the vocabulary.
+    """
+    doubled = F.replace(rep, F.lit(" "), F.lit("  "))
+    search = F.coalesce(
+        F.concat(F.lit(" "), l, F.lit("  "), r, F.lit(" ")),
+        F.lit("\x00"),
+    )
+    repl = F.coalesce(
+        F.concat(F.lit(" "), l, r, F.lit(" ")), F.lit("\x00")
+    )
+    return F.replace(
+        F.replace(doubled, search, repl), F.lit("  "), F.lit(" ")
+    )
+
+
 def bpe_learn_merges(
     df: DataFrame,
     k: int = 3,
@@ -620,19 +649,19 @@ def bpe_learn_merges(
     ``replace`` (' l r ' → ' lr ' on space-padded reps; the
     surrounding spaces anchor token boundaries).
 
-    APPROXIMATION NOTE: single-pass non-overlapping replace is NOT
-    exactly greedy BPE when the winning pair repeats back-to-back
-    inside one word — in ' a a a a ' the shared space is consumed
-    by the first match, so the pass yields ' aa a a ' where greedy
-    BPE yields ' aa aa ' (and even a replace-until-fixpoint loop
-    differs on odd runs: 'aaaaa' → 'aa a aa' vs greedy 'aa aa a').
-    The semantics here are deliberately the well-defined single-pass
-    replace, reproduced verbatim by the DuckDB oracle — identical
-    across engines, deviating from textbook greedy BPE only on
-    immediately-repeated winning pairs, which natural-language
-    corpora make rare. A true greedy apply needs a sequential
-    token-array fold per word; the deterministic approximation keeps
-    the whole round JVM-codegen (no UDF).
+    The merge application is TRUE greedy left-to-right BPE
+    (Sennrich-style: all non-overlapping occurrences, leftmost
+    first), achieved with plain ``replace`` via the space-doubling
+    trick: token boundaries are widened to TWO spaces, the pattern
+    ``' l  r '`` consumes one space from each side's boundary, and
+    the replacement ``' lr '`` restores it — so back-to-back
+    occurrences of a repeated pair never fight over a shared
+    delimiter (' a a a a ' → ' aa aa ', ' a a a a a ' → ' aa aa a ',
+    exactly greedy). A naive single-space replace consumes the shared
+    space and yields ' aa a a '; a fixpoint loop mis-associates odd
+    runs (' aa a aa '). The whole round stays JVM-codegen (no UDF),
+    and the DuckDB oracle replays the identical doubled-space replace
+    chain, so the semantics are engine-reproducible.
 
     Returns the merge table: (step, l, r, merged, pair_count).
     """
@@ -689,15 +718,8 @@ def bpe_learn_merges(
             F.col("l").alias("_bl"), F.col("r").alias("_br")
         )
         vocab = vocab.crossJoin(F.broadcast(b)).select(
-            F.replace(
-                F.col("rep"),
-                F.concat(
-                    F.lit(" "), F.col("_bl"), F.lit(" "),
-                    F.col("_br"), F.lit(" "),
-                ),
-                F.concat(
-                    F.lit(" "), F.col("_bl"), F.col("_br"), F.lit(" ")
-                ),
+            _greedy_merge_rep(
+                F.col("rep"), F.col("_bl"), F.col("_br")
             ).alias("rep"),
             "freq",
         )
@@ -714,11 +736,13 @@ def bpe_token_counts(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """BPE ENCODE at corpus scale: learn ``k`` merges (identical
-    algorithm and tiebreaks to :func:`bpe_learn_merges`, including its
-    documented single-pass-replace approximation) and tokenize every
-    document under the learned vocabulary — reported as per-document
-    ``(n_words, n_tokens)``, the number a token-budgeted training
-    pipeline actually bills by.
+    algorithm and tiebreaks to :func:`bpe_learn_merges`, including
+    its true-greedy space-doubled merge application) and tokenize
+    every document under the learned vocabulary — reported as
+    per-document ``(n_words, n_tokens)``, the number a token-budgeted
+    training pipeline actually bills by. Empty/whitespace-only
+    documents have no words and are OMITTED from the output; callers
+    needing a row per doc should left-join back to the id set.
 
     The scalable design point: documents are NEVER re-encoded
     word-by-word. Token counts are computed once per DISTINCT word on
@@ -792,21 +816,8 @@ def bpe_token_counts(
         )
         vocab = vocab.crossJoin(F.broadcast(best)).select(
             "w",
-            F.replace(
-                F.col("rep"),
-                F.coalesce(
-                    F.concat(
-                        F.lit(" "), F.col("_bl"), F.lit(" "),
-                        F.col("_br"), F.lit(" "),
-                    ),
-                    F.lit("\x00"),
-                ),
-                F.coalesce(
-                    F.concat(
-                        F.lit(" "), F.col("_bl"), F.col("_br"), F.lit(" ")
-                    ),
-                    F.lit("\x00"),
-                ),
+            _greedy_merge_rep(
+                F.col("rep"), F.col("_bl"), F.col("_br")
             ).alias("rep"),
             "freq",
         )

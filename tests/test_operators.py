@@ -2550,3 +2550,37 @@ def test_common_neighbor_links_square_plus_diagonal(spark):
         for r in common_neighbor_links(with_diag, k=10).collect()
     }
     assert (0, 2) not in got2 and (1, 3) in got2
+
+
+def test_bpe_merge_apply_is_true_greedy(spark):
+    """Runs of a repeated winning pair must merge left-to-right like
+    textbook greedy BPE: 'aaaa' + (a,a) -> 'aa aa' (2 tokens) and
+    'aaaaa' -> 'aa aa a' (3 tokens). A naive single-space replace
+    gives 3 / 4 tokens (shared-delimiter loss); a fixpoint loop gives
+    the right counts but mis-associates odd runs ('aa a aa')."""
+    from geniepool_etl_spark.operators.text import (
+        _greedy_merge_rep,
+        bpe_token_counts,
+    )
+
+    # expression-level: exact token sequences, not just counts
+    reps = spark.createDataFrame(
+        [(" a a a a ",), (" a a a a a ",), (" x a a a y ",)],
+        "rep STRING",
+    ).select(
+        _greedy_merge_rep(F.col("rep"), F.lit("a"), F.lit("a")).alias(
+            "rep"
+        )
+    )
+    assert [r.rep for r in reps.collect()] == [
+        " aa aa ",
+        " aa aa a ",
+        " x aa a y ",
+    ]
+
+    # end-to-end: the learned (a,a) merge applies greedily in encode
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaaa")], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id: r.n_tokens for r in bpe_token_counts(df, k=1).collect()}
+    assert got == {1: 2, 2: 3}
