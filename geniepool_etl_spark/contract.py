@@ -1946,6 +1946,33 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_pixel_stats(M.synth_bmp_gradient_assets(params))
 
 
+def q_multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-image pixel decode, stdlib only (multimodal.
+    synth_png_gradient_assets → decode_image_pixel_stats): real
+    spec-complete PNGs — zlib-deflated IDAT, scanline ``y`` filtered
+    with predictor ``y % 5`` so every asset exercises ALL FIVE PNG
+    filters, chunk CRCs — carrying the same deterministic gradient as
+    the BMP lane, decoded back pixel-for-pixel (inflate → un-filter
+    walk → exact per-channel integer sums). The oracle recomputes the
+    gradient per asset via a range(w·h) unnest; heights ≥ 10 guarantee
+    Average/Paeth rows are load-bearing. Shrinks the codec boundary:
+    JPEG/WebP (DCT/VP8 entropy codecs) remain behind it."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 2)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(16) + (F.col("doc_id") % 5) * 8)
+            .cast("long")
+            .alias("width"),
+            (F.lit(10) + (F.col("doc_id") % 4) * 6)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(M.synth_png_gradient_assets(params))
+
+
 def q_multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real AVI round-trip through the stdlib container parser:
     per-document video parameters derived JVM-side (oracle-
@@ -6750,6 +6777,27 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                px.sum_r, px.sum_g, px.sum_b
         FROM prm JOIN px USING (asset_id)
     """
+    o["multimodal_png_pixels"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 16 + (doc_id % 5) * 8 AS w,
+                 10 + (doc_id % 4) * 6 AS h
+          FROM documents WHERE doc_id % 7 = 2
+        ),
+        px AS (
+          SELECT asset_id,
+                 CAST(sum((i % w + 2 * (i // w)) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((2 * (i % w) + i // w) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((i % w + i // w) % 256) AS BIGINT) AS sum_b
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               px.sum_r, px.sum_g, px.sum_b
+        FROM prm JOIN px USING (asset_id)
+    """
     o["obs_expectations"] = """
         WITH li AS (
           SELECT count(*) AS total,
@@ -7584,6 +7632,7 @@ SPARK_QUERIES = {
     "obs_expectations": q_obs_expectations,
     "multimodal_audio_pcm": q_multimodal_audio_pcm,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
+    "multimodal_png_pixels": q_multimodal_png_pixels,
     "dedup_semantic": q_dedup_semantic,
     "text_bpe_encode": q_text_bpe_encode,
     "a18_countmin_topk": q_a18_countmin_topk,

@@ -13,9 +13,11 @@ WebP / TIFF image headers (``struct`` — width, height, bit depth;
 JPEG via an SOF0/SOF2 marker walk covering baseline and progressive,
 WebP via all three chunk layouts, TIFF via a first-IFD walk), AVI
 (RIFF ``avih``) and MP4 (ISO-BMFF ``mvhd``/``tkhd``/``stts`` box
-walk) video containers. Work that needs real pixel/sample codecs
-(pixel decode for any image, PCM synthesis for any audio codec,
-frame decode for any video, non-Opus/Vorbis ogg codecs) remains behind
+walk) video containers. Full PIXEL decode is real for 24-bit BMP and
+8-bit RGB PNG (zlib IDAT + all five scanline filters + chunk CRCs,
+stdlib only) and full PCM decode is real for 16-bit WAV. Work that
+needs true entropy/transform codecs (JPEG/WebP pixels, MP3/FLAC/Ogg
+samples, any video frame decode) remains behind
 ``NotImplementedError`` — those libraries are not available in this
 environment — with a deterministic byte-level feature extractor
 standing in. The Spark-side plumbing is real and
@@ -264,9 +266,9 @@ def decode_image(payload: bytes) -> dict:
             "bit_depth": 16 if maxval > 255 else 8,
         }
     raise NotImplementedError(
-        "only BMP/PNG/GIF/PPM/JPEG/WEBP headers are stdlib-parseable — "
-        "other formats (and full pixel decode) require PIL/OpenCV, not "
-        "installed in this environment"
+        "only BMP/PNG/GIF/PPM/PGM/JPEG/WEBP/TIFF headers are "
+        "stdlib-parseable — other formats (and pixel decode beyond "
+        "BMP/PNG) require PIL/OpenCV, not installed in this environment"
     )
 
 
@@ -893,6 +895,181 @@ def synth_bmp_gradient_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png_gradient_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL spec-complete PNGs (signature, IHDR, one
+    zlib-deflated IDAT, IEND, all chunk CRCs) carrying the same
+    deterministic per-pixel gradient as :func:`synth_bmp_gradient_assets`
+    (``R=(x+2y)%256, G=(2x+y)%256, B=(x+y)%256``) — a pure function of
+    (width, height), so an external oracle recomputes every pixel
+    without touching the bytes. Scanline ``y`` is filtered with type
+    ``y % 5``, so one image exercises ALL FIVE PNG filter predictors
+    (None/Sub/Up/Average/Paeth) and the decoder's un-filter walk is
+    load-bearing, not a None-only shortcut. 8-bit RGB (color type 2),
+    non-interlaced. Arrow ``mapInPandas``; narrow."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def one(w: int, h: int) -> bytes:
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        rgb = np.stack(
+            [(x + 2 * y) % 256, (2 * x + y) % 256, (x + y) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        raw = rgb.reshape(h, w * 3).astype(np.int16)
+        zero = np.zeros(w * 3, dtype=np.int16)
+        lines = bytearray()
+        for r in range(h):
+            cur = raw[r]
+            prev = raw[r - 1] if r > 0 else zero
+            left = np.concatenate([zero[:3], cur[:-3]])
+            ul = np.concatenate([zero[:3], prev[:-3]])
+            f = r % 5
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - prev
+            elif f == 3:
+                filt = cur - (left + prev) // 2
+            else:
+                p = left + prev - ul
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, ul),
+                )
+                filt = cur - pred
+            lines.append(f)
+            lines.extend((filt % 256).astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(w), int(h))
+                for w, h in zip(pdf[width_col], pdf[height_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/png",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _png_pixel_sums(raw: bytes) -> tuple:
+    """Decode an 8-bit RGB non-interlaced PNG to exact per-channel
+    integer sums, honoring the zlib IDAT stream, all five scanline
+    filter predictors, and every chunk CRC (a flipped bit anywhere is
+    poison, not a silent wrong sum). Returns (n_pixels, sum_r, sum_g,
+    sum_b); raises on anything outside the supported profile — the
+    caller nulls the row out."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 12 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("png: truncated chunk")
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("png: chunk CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctyp, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError("png: unsupported profile")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat or w <= 0 or h <= 0:
+        raise ValueError("png: missing IHDR/IDAT")
+    stride = w * 3
+    lines = zlib.decompress(bytes(idat))
+    if len(lines) != h * (stride + 1):
+        raise ValueError("png: scanline size mismatch")
+    arr = np.frombuffer(lines, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes, rows = arr[:, 0], arr[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    for r in range(h):
+        f, cur = ftypes[r], rows[r]
+        prev = recon[r - 1] if r > 0 else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            recon[r] = cur
+        elif f == 1:
+            for c in range(3):  # Sub: per-channel wrapping prefix sum
+                recon[r, c::3] = np.cumsum(cur[c::3]) % 256
+        elif f == 2:
+            recon[r] = (cur + prev) % 256
+        elif f == 3:  # Average: sequential left-dependence
+            for i in range(stride):
+                left = recon[r, i - 3] if i >= 3 else 0
+                recon[r, i] = (cur[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth: sequential left-dependence
+            for i in range(stride):
+                a = recon[r, i - 3] if i >= 3 else 0
+                b, c = prev[i], (prev[i - 3] if i >= 3 else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                recon[r, i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"png: unknown filter type {f}")
+    px = recon.reshape(-1, 3)
+    return (
+        w * h,
+        int(px[:, 0].sum()),
+        int(px[:, 1].sum()),
+        int(px[:, 2].sum()),
+    )
+
+
 PIXEL_STATS_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -905,15 +1082,16 @@ PIXEL_STATS_SCHEMA = StructType(
 
 
 def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
-    """REAL pixel work for uncompressed images: decode every pixel of
-    each 24-bit BMP payload — honoring bottom-up row order and 4-byte
-    row padding — and reduce to exact-integer per-channel sums (mean
-    brightness, channel balance, and exposure heuristics derive from
-    these downstream). Arrow ``mapInPandas``, numpy-vectorized per
-    payload; poison payloads (null / non-BMP / compressed / non-24-bit)
-    yield null stats, never a dead stage. Compressed formats
-    (JPEG/PNG/WebP pixel data) remain the codec boundary — this lane
-    is the uncompressed half of it, now real."""
+    """REAL pixel work: decode every pixel of each 24-bit BMP
+    (bottom-up row order, 4-byte row padding) or 8-bit RGB PNG
+    (zlib-inflated IDAT, all five scanline filter predictors undone,
+    chunk CRCs verified — the compressed half of the former "pixel
+    boundary", stdlib-only) and reduce to exact-integer per-channel
+    sums (mean brightness, channel balance, and exposure heuristics
+    derive from these downstream). Arrow ``mapInPandas``; poison
+    payloads (null / unknown magic / unsupported profile / truncated
+    or bit-flipped chunks) yield null stats, never a dead stage.
+    JPEG/WebP pixel data (DCT/VP8 codecs) remain the boundary."""
     import struct
 
     import numpy as np
@@ -924,6 +1102,13 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
             for b in pdf["payload"]:
                 try:
                     raw = bytes(b)
+                    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        n, sr, sg, sb = _png_pixel_sums(raw)
+                        rows["n_pixels"].append(n)
+                        rows["sum_r"].append(sr)
+                        rows["sum_g"].append(sg)
+                        rows["sum_b"].append(sb)
+                        continue
                     if raw[:2] != b"BM" or len(raw) < 54:
                         raise ValueError("not BMP")
                     off = struct.unpack_from("<I", raw, 10)[0]

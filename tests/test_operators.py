@@ -2584,3 +2584,134 @@ def test_bpe_merge_apply_is_true_greedy(spark):
     )
     got = {r.doc_id: r.n_tokens for r in bpe_token_counts(df, k=1).collect()}
     assert got == {1: 2, 2: 3}
+
+
+def test_png_pixel_roundtrip_all_filters(spark):
+    """The PNG gradient round-trip must reproduce hand-computed
+    channel sums exactly. Heights >= 5 force every scanline filter
+    predictor (None/Sub/Up/Average/Paeth, encoder uses y % 5) through
+    the un-filter walk, and the synthesized container must also
+    satisfy the standalone dimension decoder."""
+    from geniepool_etl_spark.operators import multimodal as M
+
+    params = spark.createDataFrame(
+        [(1, 3, 5), (2, 7, 6), (3, 1, 11)],
+        "asset_id LONG, width LONG, height LONG",
+    )
+    assets = M.synth_png_gradient_assets(params)
+    meta = {r.asset_id: r for r in M.decode_image_features(assets).collect()}
+    assert (meta[1].width, meta[1].height) == (3, 5)
+    assert meta[2].format == "png"
+
+    got = {
+        r.asset_id: r
+        for r in M.decode_image_pixel_stats(assets).collect()
+    }
+
+    def expect(w, h):
+        sb = sum((x + y) % 256 for x in range(w) for y in range(h))
+        sg = sum((2 * x + y) % 256 for x in range(w) for y in range(h))
+        sr = sum((x + 2 * y) % 256 for x in range(w) for y in range(h))
+        return (w * h, sr, sg, sb)
+
+    for aid, (w, h) in {1: (3, 5), 2: (7, 6), 3: (1, 11)}.items():
+        r = got[aid]
+        assert (r.n_pixels, r.sum_r, r.sum_g, r.sum_b) == expect(w, h)
+
+
+def test_png_filter_walker_fuzz():
+    """Fuzz the PNG un-filter walk driver-side: (a) random pixel
+    images survive an encode/decode round-trip bit-exactly under
+    every filter type, and (b) random truncations and single-bit
+    flips of a valid payload either raise (poison) or — never —
+    return a WRONG sum silently. CRC verification makes corruption
+    detection total, not lucky."""
+    import random
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from geniepool_etl_spark.operators.multimodal import (
+        _png_chunk,
+        _png_pixel_sums,
+    )
+
+    rng = random.Random(8)
+
+    def encode(pix: "np.ndarray", ftype_of) -> bytes:
+        h, w, _ = pix.shape
+        raw = pix.reshape(h, w * 3).astype(np.int16)
+        zero = np.zeros(w * 3, dtype=np.int16)
+        lines = bytearray()
+        for r in range(h):
+            cur = raw[r]
+            prev = raw[r - 1] if r > 0 else zero
+            left = np.concatenate([zero[:3], cur[:-3]])
+            ul = np.concatenate([zero[:3], prev[:-3]])
+            f = ftype_of(r)
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - prev
+            elif f == 3:
+                filt = cur - (left + prev) // 2
+            else:
+                p = left + prev - ul
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, prev, ul),
+                )
+                filt = cur - pred
+            lines.append(f)
+            lines.extend((filt % 256).astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for trial in range(20):
+        w, h = rng.randint(1, 12), rng.randint(1, 12)
+        pix = np.array(
+            [rng.randrange(256) for _ in range(w * h * 3)], dtype=np.uint8
+        ).reshape(h, w, 3)
+        fixed = rng.randrange(5)
+        for ftype_of in (lambda r: r % 5, lambda r: fixed):
+            payload = encode(pix, ftype_of)
+            n, sr, sg, sb = _png_pixel_sums(payload)
+            flat = pix.reshape(-1, 3).astype(np.int64)
+            assert (n, sr, sg, sb) == (
+                w * h,
+                int(flat[:, 0].sum()),
+                int(flat[:, 1].sum()),
+                int(flat[:, 2].sum()),
+            )
+
+    base = encode(
+        np.arange(6 * 6 * 3, dtype=np.uint8).reshape(6, 6, 3) % 256,
+        lambda r: r % 5,
+    )
+    truth = _png_pixel_sums(base)
+    for _ in range(200):
+        if rng.random() < 0.5:
+            mutated = base[: rng.randrange(len(base))]
+        else:
+            i = rng.randrange(len(base))
+            mutated = (
+                base[:i]
+                + bytes([base[i] ^ (1 << rng.randrange(8))])
+                + base[i + 1 :]
+            )
+        try:
+            got = _png_pixel_sums(mutated)
+        except Exception:
+            continue
+        assert got == truth  # flip in ignorable bytes only
