@@ -2606,8 +2606,8 @@ def q_sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed join against the frontier, the driver only
     coordinates the fixpoint. The depth guard bounds runaway
     recursion, the habit that matters on a graph whose diameter you
-    don't know. Same traversal the label-propagation dedup_clusters
-    does without SQL; identical text is the oracle."""
+    don't know. The non-SQL sibling is dedup_clusters'
+    alternating-star contraction; identical text is the oracle."""
     _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(_SQL_RECURSIVE)
 

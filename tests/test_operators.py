@@ -2715,3 +2715,19 @@ def test_png_filter_walker_fuzz():
         except Exception:
             continue
         assert got == truth  # flip in ignorable bytes only
+
+
+def test_alternating_star_path_graph_log_rounds(spark):
+    """A 200-node path is the worst case for min-label propagation
+    (O(diameter) = 200 hops); alternating large-star/small-star must
+    label the whole chain with node 0 in < 10 two-phase rounds."""
+    from geniepool_etl_spark.operators.dedup import _alternating_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a LONG, id_b LONG"
+    )
+    labels_df, rounds = _alternating_star(pairs, max_iter=50, check_every=1)
+    assert rounds < 10, f"took {rounds} rounds"
+    labels = {r.id: r.label for r in labels_df.collect()}
+    assert len(labels) == 200
+    assert set(labels.values()) == {0}
