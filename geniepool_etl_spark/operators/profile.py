@@ -323,16 +323,29 @@ def ks_statistic(
     is a deliberate small-frame pattern (same rule as broadcast
     totals), not a data-sized single-partition sort.
 
+    NULL values are excluded from both sides before counting — an
+    empirical CDF is undefined at NULL, and engines disagree on where
+    NULL sorts in a cumulative window (Spark NULLS FIRST, DuckDB
+    NULLS LAST), so admitting them would silently skew the gap. A
+    side with no non-NULL rows makes the statistic undefined
+    (division by a zero total); that surfaces as an EMPTY result (0
+    rows) rather than a NULL/Infinity that differs per engine —
+    callers should treat "no rows" as "cannot compare".
+
     Returns one row: (ks, at_value, n_old, n_new) with ``ks``
     rounded to 4 decimals (ratio rule).
     """
     from pyspark.sql import Window
 
-    c_old = old.groupBy(F.col(value_col).alias("v")).agg(
-        F.count(F.lit(1)).alias("d_old")
+    c_old = (
+        old.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("d_old"))
     )
-    c_new = new.groupBy(F.col(value_col).alias("v")).agg(
-        F.count(F.lit(1)).alias("d_new")
+    c_new = (
+        new.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("d_new"))
     )
     merged = (
         c_old.join(c_new, "v", "full_outer")
@@ -348,9 +361,14 @@ def ks_statistic(
         F.sum("d_old").over(w).alias("cum_old"),
         F.sum("d_new").over(w).alias("cum_new"),
     )
+    # drop the 1-row totals frame entirely when either side is empty:
+    # the CDF denominators would be 0 (NULL off-ANSI, a crash under
+    # ANSI, Infinity in DuckDB — three different answers), so the
+    # statistic is reported as zero rows instead
     tot = merged.agg(
-        F.sum("d_old").alias("_to"), F.sum("d_new").alias("_tn")
-    )
+        F.coalesce(F.sum("d_old"), F.lit(0)).alias("_to"),
+        F.coalesce(F.sum("d_new"), F.lit(0)).alias("_tn"),
+    ).where((F.col("_to") > 0) & (F.col("_tn") > 0))
     gaps = cum.crossJoin(F.broadcast(tot)).select(
         "v",
         F.abs(

@@ -2731,3 +2731,23 @@ def test_alternating_star_path_graph_log_rounds(spark):
     labels = {r.id: r.label for r in labels_df.collect()}
     assert len(labels) == 200
     assert set(labels.values()) == {0}
+
+
+def test_ks_statistic_ignores_nulls_and_empty_side(spark):
+    """NULL values must not enter the CDFs (engines disagree on NULL
+    sort position in cumulative windows) and an empty side must yield
+    ZERO rows — not a NULL/Infinity statistic — under ANSI too."""
+    from geniepool_etl_spark.operators.profile import ks_statistic
+
+    old = spark.createDataFrame(
+        [(1,), (2,), (None,)], "n_chars INT"
+    )
+    new = spark.createDataFrame([(2,), (None,)], "n_chars INT")
+    row = ks_statistic(old, new).collect()[0]
+    # CDFs over {1,2} vs {2}: gap at v=1 is |1/2 - 0/1| = 0.5
+    assert (row.ks, row.at_value, row.n_old, row.n_new) == (0.5, 1, 2, 1)
+
+    all_null = spark.createDataFrame([(None,), (None,)], "n_chars INT")
+    assert ks_statistic(old, all_null).count() == 0
+    empty = spark.createDataFrame([], "n_chars INT")
+    assert ks_statistic(empty, new).count() == 0
