@@ -639,3 +639,104 @@ def test_triangle_counts_match_bruteforce(edges):
         df = spark.createDataFrame([], "src LONG, dst LONG")
     got = {r.node: r.triangles for r in triangle_counts(df).collect()}
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.integers(0, 2),           # key
+            st.integers(0, 100),         # start
+            st.integers(0, 40),          # span
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(0, 2), st.integers(0, 100), st.integers(0, 40)
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_interval_overlap_join_matches_bruteforce(lefts, rights):
+    """The bucketed range-join rewrite must equal the brute-force
+    closed-interval overlap predicate over ALL same-key pairs, each
+    pair exactly once — for any interval layout, including intervals
+    spanning many buckets (bucket_us=16 vs spans up to 40, so the
+    canonical-bucket dedup is load-bearing, not vacuous)."""
+    from geniepool_etl_spark.operators.events import interval_overlap_join
+
+    spark = _spark()
+    schema = "user_id LONG, iid LONG, start_us LONG, end_us LONG"
+    l_rows = [(k, i, s, s + d) for i, (k, s, d) in enumerate(lefts)]
+    r_rows = [(k, i, s, s + d) for i, (k, s, d) in enumerate(rights)]
+    ldf = spark.createDataFrame(l_rows, schema)
+    rdf = spark.createDataFrame(r_rows, schema)
+    got = {
+        (r.user_id, r.l_iid, r.r_iid)
+        for r in interval_overlap_join(ldf, rdf, bucket_us=16).collect()
+    }
+    expect = {
+        (lk, li, ri)
+        for (lk, li, ls, le) in l_rows
+        for (rk, ri, rs, re) in r_rows
+        if lk == rk and ls <= re and rs <= le
+    }
+    assert got == expect
+    n = interval_overlap_join(ldf, rdf, bucket_us=16).count()
+    assert n == len(expect)  # exactly-once, no canonical-bucket dupes
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=10,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=0,
+        max_size=10,
+    ),
+    tol=st.sampled_from([None, 0, 7]),
+)
+def test_asof_join_matches_bruteforce(lefts, rights, tol):
+    """asof_join_latest_prior == the brute-force model 'most recent
+    right row at or before each left row, per key, ties to the
+    highest event_id, staleness beyond tolerance nulls out' — for any
+    event layout including exact timestamp ties and duplicate
+    timestamps on both sides."""
+    from geniepool_etl_spark.operators.events import asof_join_latest_prior
+
+    spark = _spark()
+    schema = "user_id LONG, ts_us LONG, event_id LONG"
+    l_rows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+    r_rows = [(k, t, 1000 + i) for i, (k, t) in enumerate(rights)]
+    ldf = spark.createDataFrame(l_rows, schema)
+    rdf = spark.createDataFrame(r_rows, schema)
+    got = {
+        r.event_id: (r.asof_ts_us, r.asof_event_id)
+        for r in asof_join_latest_prior(ldf, rdf, tolerance_us=tol).collect()
+    }
+
+    def model(lk, lt):
+        cand = [(rt, ri) for (rk, rt, ri) in r_rows if rk == lk and rt <= lt]
+        if not cand:
+            return (None, None)
+        rt, ri = max(cand)
+        if tol is not None and lt - rt > tol:
+            return (None, None)
+        return (rt, ri)
+
+    assert got == {i: model(k, t) for (k, t, i) in l_rows}
