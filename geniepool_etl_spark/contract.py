@@ -7406,27 +7406,73 @@ FROM g
 
 
 # Ordering note (driver harness): the driver records only the FIRST
-# ~50 entries of this dict per round (observed: exactly 50). Round-7
-# window, per VERDICT r6 ask #1 plus the round-7 additions: all 50
-# slots go to entries that have NEVER been driver-recorded — (a) the
-# 38-entry second wave past the r6 edge (SCD2 lanes, TPC-H
-# q7/q8/q13/q14, f6-f9, a14-a17, s20/s21, x4/x5, sql_pivot,
-# pipeline_user_features, stream_scd2/sliding, text word-entropy/
-# feature-hash/bpe/bigram-lm, split_leakage_safe, sample_per_group,
-# lake_upsert_latest, events asof_cogroup/attribution/dwell/debounce,
-# j9, w8, profile_histogram), then (b) 12 round-7-new entries: the
-# TPC-H tail q2/q9/q11/q12/q15/q16/q17/q19/q20/q21 (completes the
-# 22-shape driver-verified set), graph_pagerank, obs_drift_psi.
-# All are selfcheck-green at sf0.001+sf0.01 and ansi-swept. Seven
-# never-recorded entries stay past the edge by choice — their lanes
-# have driver-green siblings (multimodal mp4/mp3/flac/ogg vs
-# jpeg/avi/wav; obs_drift_ks vs psi; pipeline_corpus_card vs
-# corpus_build; sql_variables_params is a SQL-surface demo) — rotate
-# them plus anything new to the front in r8, then stalest re-records
-# (r3 group below, then r4/r5/r6).
-
+# ~50 entries of this dict per round (observed: exactly 50). Round-8
+# window, per VERDICT r7 ask #2: (a) all 23 never-driver-recorded
+# entries — the 22 past the r7 edge (tpch tail was recorded in r7;
+# these are the multimodal mp4/mp3/flac/ogg/pcm/pixel lanes, KS,
+# corpus card, sql variables, triangles/link-predict, perplexity,
+# expectations, semantic dedup, BPE encode, count-min/log-hist +
+# their streaming twins, url domains, file census) plus the r8-new
+# multimodal_png_pixels — then (b) 27 stalest re-records: the 9
+# entries last recorded in r3 and the first 18 of the r4 group.
+# After r8 every entry in this dict has been driver-recorded at
+# least once. All 50 are selfcheck-green at sf0.001+sf0.01 and
+# ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
 SPARK_QUERIES = {
-    # --- never driver-recorded: record first ---
+    # --- never driver-recorded: record first (r8 window) ---
+    "multimodal_png_pixels": q_multimodal_png_pixels,
+    "text_perplexity": q_text_perplexity,
+    "text_bpe_encode": q_text_bpe_encode,
+    "dedup_semantic": q_dedup_semantic,
+    "obs_drift_ks": q_obs_drift_ks,
+    "obs_expectations": q_obs_expectations,
+    "graph_triangles": q_graph_triangles,
+    "graph_link_predict": q_graph_link_predict,
+    "a18_countmin_topk": q_a18_countmin_topk,
+    "a19_loghist_quantiles": q_a19_loghist_quantiles,
+    "stream_countmin": q_stream_countmin,
+    "stream_loghist": q_stream_loghist,
+    "stream_sliding_hll": q_stream_sliding_hll,
+    "multimodal_pixel_stats": q_multimodal_pixel_stats,
+    "multimodal_audio_pcm": q_multimodal_audio_pcm,
+    "multimodal_decode_mp4": q_multimodal_decode_mp4,
+    "multimodal_decode_mp3": q_multimodal_decode_mp3,
+    "multimodal_decode_flac": q_multimodal_decode_flac,
+    "multimodal_decode_ogg": q_multimodal_decode_ogg,
+    "pipeline_corpus_card": q_pipeline_corpus_card,
+    "lake_file_census": q_lake_file_census,
+    "text_url_domains": q_text_url_domains,
+    "sql_variables_params": q_sql_variables_params,
+    # --- stalest re-records: last green r3 ---
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "events_funnel": q_events_funnel,
+    "pack_windows": q_pack_windows,
+    "lake_zorder_key": q_lake_zorder_key,
+    "sample_mixture_plan": q_sample_mixture_plan,
+    "sql_tpch_q3": q_sql_tpch_q3,
+    "p8_keep_latest": q_p8_keep_latest,
+    # --- stalest re-records: last green r4 (first 18) ---
+    "dedup_contamination": q_dedup_contamination,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_near_keep": q_dedup_near_keep,
+    "multimodal_decode_wav": q_multimodal_decode_wav,
+    "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
+    "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
+    "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
+    "s6_parquet_explicit_schema": q_s6_parquet_explicit_schema,
+    "s7_parquet_inferred": q_s7_parquet_inferred,
+    "s8_input_file_name": q_s8_input_file_name,
+    "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
+    "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
+    "s11_lake_range_read": q_s11_lake_range_read,
+    "s12_orc_roundtrip": q_s12_orc_roundtrip,
+    "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
+    "p2_derive": q_p2_derive,
+    # --- past the r8 recording edge (r4 tail, then r5-r7) ---
     "events_attribution": q_events_attribution,
     "profile_histogram": q_profile_histogram,
     "sql_exists_late": q_sql_exists_late,
@@ -7465,7 +7511,6 @@ SPARK_QUERIES = {
     "sql_pivot": q_sql_pivot,
     "x5_set_ops_all": q_x5_set_ops_all,
     "f9_pandas_api": q_f9_pandas_api,
-    # --- never driver-recorded, new in round 7 (slots 39-50) ---
     "sql_tpch_q2": q_sql_tpch_q2,
     "sql_tpch_q9": q_sql_tpch_q9,
     "sql_tpch_q11": q_sql_tpch_q11,
@@ -7478,44 +7523,6 @@ SPARK_QUERIES = {
     "sql_tpch_q21": q_sql_tpch_q21,
     "graph_pagerank": q_graph_pagerank,
     "obs_drift_psi": q_obs_drift_psi,
-    # --- past the r7 recording edge: never-recorded with driver-green
-    # --- lane siblings; rotate to the front in r8 ---
-    "multimodal_decode_mp4": q_multimodal_decode_mp4,
-    "multimodal_decode_mp3": q_multimodal_decode_mp3,
-    "multimodal_decode_flac": q_multimodal_decode_flac,
-    "multimodal_decode_ogg": q_multimodal_decode_ogg,
-    "obs_drift_ks": q_obs_drift_ks,
-    "pipeline_corpus_card": q_pipeline_corpus_card,
-    "sql_variables_params": q_sql_variables_params,
-    # --- latest green recording r3 ---
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_levenshtein": q_dedup_levenshtein,
-    "events_funnel": q_events_funnel,
-    "pack_windows": q_pack_windows,
-    "lake_zorder_key": q_lake_zorder_key,
-    "sample_mixture_plan": q_sample_mixture_plan,
-    "sql_tpch_q3": q_sql_tpch_q3,
-    "p8_keep_latest": q_p8_keep_latest,
-    # --- latest green recording r4 ---
-    "dedup_contamination": q_dedup_contamination,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_near_keep": q_dedup_near_keep,
-    "multimodal_decode_wav": q_multimodal_decode_wav,
-    "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
-    "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
-    "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
-    "s6_parquet_explicit_schema": q_s6_parquet_explicit_schema,
-    "s7_parquet_inferred": q_s7_parquet_inferred,
-    "s8_input_file_name": q_s8_input_file_name,
-    "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
-    "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
-    "s11_lake_range_read": q_s11_lake_range_read,
-    "s12_orc_roundtrip": q_s12_orc_roundtrip,
-    "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
-    "p2_derive": q_p2_derive,
     "p6_dropdup_subset": q_p6_dropdup_subset,
     "j1_multikey_left_join": q_j1_multikey_left_join,
     "j2_left_join_nulls": q_j2_left_join_nulls,
@@ -7540,7 +7547,6 @@ SPARK_QUERIES = {
     "events_json_props": q_events_json_props,
     "events_from_json": q_events_from_json,
     "dedup_exact_stats": q_dedup_exact_stats,
-    # --- latest green recording r5 ---
     "text_chunk": q_text_chunk,
     "stream_session": q_stream_session,
     "stream_tumbling": q_stream_tumbling,
@@ -7591,7 +7597,6 @@ SPARK_QUERIES = {
     "profile_table": q_profile_table,
     "sample_stratified": q_sample_stratified,
     "multimodal_extract": q_multimodal_extract,
-    # --- latest green recording r6 ---
     "scd2_history": q_scd2_history,
     "table_diff": q_table_diff,
     "text_bm25": q_text_bm25,
@@ -7642,24 +7647,7 @@ SPARK_QUERIES = {
     "sim_pandas_topk": q_sim_pandas_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
-    # --- new in round 7 (late wave): never recorded; rotate to the
-    # --- front in r8 with the seven sibling-covered entries above ---
-    "graph_triangles": q_graph_triangles,
-    "text_perplexity": q_text_perplexity,
-    "obs_expectations": q_obs_expectations,
-    "multimodal_audio_pcm": q_multimodal_audio_pcm,
-    "multimodal_pixel_stats": q_multimodal_pixel_stats,
-    "multimodal_png_pixels": q_multimodal_png_pixels,
-    "dedup_semantic": q_dedup_semantic,
-    "text_bpe_encode": q_text_bpe_encode,
-    "a18_countmin_topk": q_a18_countmin_topk,
-    "stream_countmin": q_stream_countmin,
-    "a19_loghist_quantiles": q_a19_loghist_quantiles,
-    "stream_sliding_hll": q_stream_sliding_hll,
-    "text_url_domains": q_text_url_domains,
-    "lake_file_census": q_lake_file_census,
-    "graph_link_predict": q_graph_link_predict,
-    "stream_loghist": q_stream_loghist,
 }
+
 
 ORACLE_SQL = _oracles()
