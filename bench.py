@@ -143,8 +143,13 @@ def sf1_queries(spark) -> dict:
             spark, SF1_DIR
         ),
         "dedup_semantic": lambda: C.q_dedup_semantic(spark, SF1_DIR),
+        # n_planes=None engages auto_n_planes via the n_rows hint —
+        # the production corpus-sized bucket space; a FIXED plane
+        # count is the scale trap the sf1 lane exists to catch
+        # (8 planes at 20k rows: avg bucket 78 -> 23 s; auto 10
+        # planes: avg 20 -> the candidate volume stays O(n))
         "sim_lsh_topk": lambda: S.lsh_bucket_topk(
-            emb1, k=5, n_rows=n_emb1
+            emb1, k=5, n_planes=None, n_rows=n_emb1
         ),
         "text_perplexity": lambda: C.q_text_perplexity(spark, SF1_DIR),
         "text_bpe_encode": lambda: C.q_text_bpe_encode(spark, SF1_DIR),
@@ -237,7 +242,9 @@ def bench_queries(spark, sf_dir):
         "dedup_simhash": lambda: D.simhash_bands(docs, bands=4, bits=64),
         "text_stats": lambda: TX.with_token_count(TX.with_text_stats(docs)),
         "pack_windows": lambda: PK.pack_windows(docs, total_tokens=doc_tokens),
-        "sim_lsh_topk": lambda: S.lsh_bucket_topk(emb, k=5, n_rows=n_emb),
+        "sim_lsh_topk": lambda: S.lsh_bucket_topk(
+            emb, k=5, n_planes=None, n_rows=n_emb
+        ),
         "two_level_nest": lambda: C.q_a2_two_level_nest(spark, sf_dir),
         # round-6 additions (production xxhash64 variants)
         "dedup_repeated_spans": lambda: D.repeated_ngram_spans(docs, n=5),
