@@ -142,7 +142,14 @@ def sf1_queries(spark) -> dict:
         "flagship_lake_nest": lambda: C.q_flagship_lake_nest(
             spark, SF1_DIR
         ),
-        "dedup_semantic": lambda: C.q_dedup_semantic(spark, SF1_DIR),
+        # n_centroids=None engages auto_n_centroids (~sqrt N) via the
+        # n_rows hint — same trap as the LSH plane count below: the
+        # contract entry's FIXED 16 centroids (oracle parity) means
+        # cluster width grows linearly with the corpus and the
+        # within-cluster pair stage quadratically in width
+        "dedup_semantic": lambda: S.semantic_dedup_keep(
+            emb1, threshold=0.3, n_centroids=None, n_rows=n_emb1
+        ),
         # n_planes=None engages auto_n_planes via the n_rows hint —
         # the production corpus-sized bucket space; a FIXED plane
         # count is the scale trap the sf1 lane exists to catch

@@ -573,9 +573,10 @@ def ivf_topk(
 def semantic_dedup_keep(
     corpus: DataFrame,
     threshold: float = 0.9,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style cluster-local semantic deduplication: assign
     every embedding to its nearest centroid, compute exact cosines
@@ -592,7 +593,20 @@ def semantic_dedup_keep(
     deterministic lowest-id seeds (oracle-reproducible);
     production swaps in :func:`ivf_kmeans_centroids` — a quality
     change, not a plan change. Cosine compares on the 4-decimal
-    rounding (the cross-engine boundary rule)."""
+    rounding (the cross-engine boundary rule).
+
+    ``n_centroids=None`` engages :func:`auto_n_centroids` (~sqrt(N),
+    the production scale path): a FIXED centroid count is the scale
+    trap — cluster width grows linearly with the corpus and the
+    within-cluster pair stage is quadratic in width, so the quadratic
+    work grows as N²/k; sqrt-sizing keeps it at N·sqrt(N). ``n_rows``
+    is the auto-sizing hint (catalog rowcount); without it sizing runs
+    a loudly-warned eager ``count()`` at plan-construction time.
+    """
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(
+            _sizing_rows(corpus, n_rows, "semantic_dedup_keep")
+        )
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     # The assignment feeds three plan sites (both pair-join sides and
     # the final keep join) and is deliberately NOT checkpointed:
