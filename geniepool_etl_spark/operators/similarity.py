@@ -466,30 +466,69 @@ def ivf_assign(
 ) -> DataFrame:
     """(id, vec, norm, cid, crank) — each vector assigned to its
     ``nprobe`` nearest of the given ``centroids`` by cosine (crank 1 =
-    nearest). The centroid set is tiny and broadcast; assignment is a
-    narrow broadcast join + per-vector top-``nprobe`` window — the
-    corpus never shuffles."""
+    nearest). The centroid set folds to a single array row (one tiny
+    exchange) that broadcasts against the corpus; ranking is a per-row
+    comparator ``array_sort`` + ``slice`` over that array — the corpus
+    itself NEVER shuffles (the earlier ``Window.partitionBy(id)``
+    shape exchanged N×C rows each carrying the full vector; at sqrt-N
+    centroid counts that exchange, not the dot products, dominated).
+
+    The 1-row fold caps centroid-set size at what one broadcast row
+    holds comfortably (~65536 × 64 doubles ≈ 33 MB at the
+    auto_n_centroids clamp) — the same bound the broadcast join
+    already implied."""
     vecs = _with_norm(df, id_col, vec_col)
+    carr = centroids.agg(
+        F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("_cents")
+    )
     # assignment ranks on the 9-decimal-rounded cosine: enough
     # precision that distinct centroids never collide, while making
     # the rank reproducible when an external engine (the correctness
-    # oracle) recomputes the same fold
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "id",
-        "vec",
-        "norm",
-        "cid",
-        F.round(
-            dot(F.col("vec"), F.col("cvec"))
-            / (F.col("norm") * F.col("cnorm")),
-            9,
-        ).alias("_cs"),
+    # oracle) recomputes the same fold. NULL cosines (zero-norm
+    # guard upstream) sort last, matching the window shape's
+    # DESC-nulls-last, via the -inf fill.
+    neg_inf = F.lit(float("-inf"))
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.coalesce(
+                F.round(
+                    dot(F.col("vec"), c["cvec"])
+                    / (F.col("norm") * c["cnorm"]),
+                    9,
+                ),
+                neg_inf,
+            ).alias("cs"),
+            c["cid"].alias("cid"),
+        ),
     )
-    w = Window.partitionBy("id").orderBy(F.col("_cs").desc(), F.col("cid"))
+    ranked = F.slice(
+        F.array_sort(
+            scored,
+            lambda l, r: F.when(l["cs"] > r["cs"], F.lit(-1))
+            .when(l["cs"] < r["cs"], F.lit(1))
+            .when(l["cid"] < r["cid"], F.lit(-1))
+            .when(l["cid"] > r["cid"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        1,
+        nprobe,
+    )
     return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") <= nprobe)
-        .drop("_cs")
+        vecs.crossJoin(F.broadcast(carr))
+        .select(
+            "id",
+            "vec",
+            "norm",
+            F.posexplode(ranked).alias("_pos", "_c"),
+        )
+        .select(
+            "id",
+            "vec",
+            "norm",
+            F.col("_c.cid").alias("cid"),
+            (F.col("_pos") + 1).cast("int").alias("crank"),
+        )
     )
 
 
