@@ -283,6 +283,119 @@ def q_s13_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table (snaptable.py): three committed versions of an
+    orders table — create (status F), append (status O), append
+    (status P) — then a TIME-TRAVEL read of every version. Each read
+    resolves one immutable manifest, so the per-version counts and
+    exact-cents totals are the cumulative status sets, unaffected by
+    the later commits. Money totals follow the repo cents rule
+    (per-row BIGINT cents, never float sums)."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_tt"), "t")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    T.write_table(orders.where("o_orderstatus = 'F'"), out, "create")
+    T.write_table(orders.where("o_orderstatus = 'O'"), out, "append")
+    T.write_table(orders.where("o_orderstatus = 'P'"), out, "append")
+    reads = []
+    for v in (0, 1, 2):
+        reads.append(
+            T.read_table(spark, out, version=v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("sum_cents"),
+            )
+        )
+    got = reads[0]
+    for r in reads[1:]:
+        got = got.unionByName(r)
+    return got
+
+
+def q_snap_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE on a snapshot table: lineitem committed
+    range-partitioned on l_orderkey, then ``delete_where`` rewrites
+    ONLY the files holding matching rows (the others carry into the
+    new manifest by reference — asserted in tests/test_snaptable.py).
+    Returns the post-delete per-flag totals; the pre-delete version
+    remains time-travel readable."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_del"), "t")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    T.write_table(
+        li.repartitionByRange(4, "l_orderkey"),
+        out,
+        "create",
+        stats_cols=("l_orderkey",),
+    )
+    T.delete_where(spark, out, "l_quantity > 40")
+    return (
+        T.read_table(spark, out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+def q_snap_range_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping: orders committed as 8 range-
+    partitioned files with per-file [min, max] o_orderkey recorded in
+    the manifest; a range read prunes non-intersecting files DRIVER-
+    SIDE from kilobytes of metadata before Spark lists anything (the
+    Iceberg min/max-skipping shape), then pushes the row filter into
+    the surviving parquet scans. tests/test_snaptable.py asserts
+    files_scanned < files_total for this layout."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_rs"), "t")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    T.write_table(
+        orders.repartitionByRange(8, "o_orderkey"),
+        out,
+        "create",
+        stats_cols=("o_orderkey",),
+    )
+    got = T.read_range(spark, out, "o_orderkey", 100, 2000)
+    return got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+def q_snap_compact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance audit trail: create (4 round-robin files) →
+    append (1 file) → compact (rows verified identical before the
+    commit) — ``history`` reads the whole story from manifest
+    metadata alone. File counts are part of the contract: round-robin
+    repartition(4) of a ≥4-row frame fills all 4 partitions, the
+    append coalesces to one file, and compact's target is 1."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_ch"), "t")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    T.write_table(nation.repartition(4), out, "create")
+    T.write_table(nation, out, "append", target_files=1)
+    T.compact(spark, out, target_files=1)
+    return T.history(spark, out)
+
+
 def q_s16_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality forensics: PERMISSIVE + columnNameOfCorruptRecord
     keeps malformed rows (unparseable fields null, the raw line
@@ -5127,6 +5240,43 @@ def _oracles() -> dict[str, str]:
         WHERE o_orderkey % 5 = 2 AND o_orderkey * 37 BETWEEN 50000 AND 1200000
     """
     o["s13_csv_dropmalformed"] = "SELECT * FROM nation"
+    o["snap_time_travel"] = """
+        WITH c AS (
+          SELECT o_orderstatus AS s,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM c WHERE s = 'F'
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT)
+        FROM c WHERE s IN ('F', 'O')
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT)
+        FROM c
+    """
+    o["snap_delete_cow"] = """
+        SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem WHERE NOT (l_quantity > 40)
+        GROUP BY l_returnflag
+    """
+    o["snap_range_skip"] = """
+        SELECT count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+    """
+    o["snap_compact_history"] = """
+        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
+        SELECT CAST(0 AS BIGINT) AS version, 'create' AS action,
+               CAST(4 AS BIGINT) AS n_files, c AS n_rows FROM n
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'append', CAST(5 AS BIGINT), 2 * c FROM n
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'compact', CAST(1 AS BIGINT), 2 * c FROM n
+    """
     o["p8_keep_latest"] = f"""
         SELECT user_id, event_id, {_EVENT_US} AS ts_us, event_type
         FROM events
@@ -7407,19 +7557,24 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-8
-# window, per VERDICT r7 ask #2: (a) all 23 never-driver-recorded
+# window, per VERDICT r7 ask #2: (a) all 27 never-driver-recorded
 # entries — the 22 past the r7 edge (tpch tail was recorded in r7;
 # these are the multimodal mp4/mp3/flac/ogg/pcm/pixel lanes, KS,
 # corpus card, sql variables, triangles/link-predict, perplexity,
 # expectations, semantic dedup, BPE encode, count-min/log-hist +
-# their streaming twins, url domains, file census) plus the r8-new
-# multimodal_png_pixels — then (b) 27 stalest re-records: the 9
-# entries last recorded in r3 and the first 18 of the r4 group.
+# their streaming twins, url domains, file census) plus the 5
+# r8-new entries (the four snap_* snapshot-table lanes and
+# multimodal_png_pixels) — then (b) 23 stalest re-records: the 9
+# entries last recorded in r3 and the first 14 of the r4 group.
 # After r8 every entry in this dict has been driver-recorded at
 # least once. All 50 are selfcheck-green at sf0.001+sf0.01 and
 # ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "snap_time_travel": q_snap_time_travel,
+    "snap_delete_cow": q_snap_delete_cow,
+    "snap_range_skip": q_snap_range_skip,
+    "snap_compact_history": q_snap_compact_history,
     "multimodal_png_pixels": q_multimodal_png_pixels,
     "text_perplexity": q_text_perplexity,
     "text_bpe_encode": q_text_bpe_encode,

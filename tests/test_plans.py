@@ -234,6 +234,12 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "stream_sliding",
         "dedup_clusters",
         "lake_upsert",
+        # snapshot-table entries commit versions at plan-construction
+        # time (their read side is a plain pruned parquet scan)
+        "snap_time_travel",
+        "snap_delete_cow",
+        "snap_range_skip",
+        "snap_compact_history",
     }
     bad = {}
     for name, fn in C.SPARK_QUERIES.items():

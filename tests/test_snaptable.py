@@ -1,0 +1,177 @@
+"""Snapshot-table (snaptable.py) semantics: atomic commits, snapshot
+isolation, copy-on-write by reference, stats pruning, crash debris
+invisibility, concurrent-writer races, vacuum safety.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from geniepool_etl_spark import snaptable as T
+
+
+@pytest.fixture()
+def tdir():
+    return tempfile.mkdtemp(prefix="gp_snap_test_")
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    return spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 13).alias("v")
+    )
+
+
+def _manifest(path, v):
+    with open(os.path.join(path, "_snaplog", f"{v:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def test_create_append_time_travel(spark, nums, tdir):
+    assert T.write_table(nums.where("k < 600"), tdir, "create") == 0
+    assert T.write_table(nums.where("k >= 600"), tdir, "append") == 1
+    assert T.read_table(spark, tdir, 0).count() == 600
+    assert T.read_table(spark, tdir).count() == 1000
+    assert T.current_version(spark, tdir) == 1
+
+
+def test_append_is_by_reference(spark, nums, tdir):
+    T.write_table(nums.where("k < 600").repartition(3), tdir, "create")
+    T.write_table(nums.where("k >= 600"), tdir, "append")
+    f0 = {f["path"] for f in _manifest(tdir, 0)["files"]}
+    f1 = {f["path"] for f in _manifest(tdir, 1)["files"]}
+    assert f0 < f1  # every v0 file carried over verbatim
+
+
+def test_append_schema_mismatch_fails_loud(spark, nums, tdir):
+    T.write_table(nums, tdir, "create")
+    with pytest.raises(ValueError, match="schema differs"):
+        T.write_table(nums.withColumn("extra", F.lit(1)), tdir, "append")
+
+
+def test_overwrite_keeps_old_version_readable(spark, nums, tdir):
+    T.write_table(nums.where("k < 10"), tdir, "create")
+    T.write_table(nums.where("k >= 990"), tdir, "overwrite")
+    assert T.read_table(spark, tdir, 0).count() == 10
+    got = sorted(r.k for r in T.read_table(spark, tdir).collect())
+    assert got == list(range(990, 1000))
+
+
+def test_delete_where_rewrites_only_touched_files(spark, nums, tdir):
+    # range-partitioned files → the predicate hits exactly one file
+    T.write_table(
+        nums.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        tdir,
+        "create",
+        stats_cols=("k",),
+    )
+    before = {f["path"] for f in _manifest(tdir, 0)["files"]}
+    T.delete_where(spark, tdir, "k BETWEEN 0 AND 5")
+    after = {f["path"] for f in _manifest(tdir, 1)["files"]}
+    assert T.read_table(spark, tdir).count() == 994
+    assert T.read_table(spark, tdir, 0).count() == 1000  # time travel
+    assert len(before & after) == len(before) - 1  # 3 of 4 by reference
+
+
+def test_delete_where_no_match_is_metadata_only(spark, nums, tdir):
+    T.write_table(nums, tdir, "create")
+    v = T.delete_where(spark, tdir, "k > 100000")
+    assert v == 1
+    m0, m1 = _manifest(tdir, 0), _manifest(tdir, 1)
+    assert [f["path"] for f in m0["files"]] == [f["path"] for f in m1["files"]]
+
+
+def test_stats_pruning_skips_files(spark, nums, tdir):
+    T.write_table(
+        nums.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        tdir,
+        "create",
+        stats_cols=("k",),
+    )
+    total, scanned = T.scan_stats(spark, tdir, "k", 0, 50)
+    assert total == 8 and scanned < total
+    got = sorted(r.k for r in T.read_range(spark, tdir, "k", 0, 50).collect())
+    assert got == list(range(0, 51))
+
+
+def test_compact_preserves_rows_and_history(spark, nums, tdir):
+    T.write_table(nums.repartition(6), tdir, "create")
+    T.compact(spark, tdir, target_files=1)
+    hist = {r.version: (r.action, r.n_files, r.n_rows) for r in T.history(spark, tdir).collect()}
+    assert hist[0] == ("create", 6, 1000)
+    assert hist[1] == ("compact", 1, 1000)
+    assert T.read_table(spark, tdir).count() == 1000
+
+
+def test_crash_debris_is_invisible(spark, nums, tdir):
+    """A tmp manifest and an uncommitted data directory (the two
+    possible crash leftovers) must not change what readers see, and
+    vacuum must reclaim both."""
+    T.write_table(nums, tdir, "create")
+    # crash type 1: staged-but-never-renamed manifest
+    with open(os.path.join(tdir, "_snaplog", "_tmp-deadbeef.json"), "w") as fh:
+        fh.write('{"version": 99, "files": []}')
+    # crash type 2: data files written, commit never attempted
+    nums.limit(5).write.parquet(os.path.join(tdir, "data", "orphantoken"))
+    assert T.current_version(spark, tdir) == 0
+    assert T.read_table(spark, tdir).count() == 1000
+    T.vacuum(spark, tdir, keep_versions=1)
+    assert not os.path.exists(os.path.join(tdir, "data", "orphantoken"))
+    assert not os.path.exists(
+        os.path.join(tdir, "_snaplog", "_tmp-deadbeef.json")
+    )
+    assert T.read_table(spark, tdir).count() == 1000
+
+
+def test_concurrent_appends_both_land(spark, nums, tdir):
+    """Two writers racing for the same version: rename-as-claim means
+    one wins v1, the loser retries and lands v2 — no lost update, no
+    torn manifest."""
+    T.write_table(nums.where("k < 100"), tdir, "create")
+    errs = []
+
+    def appender(lo, hi):
+        try:
+            T.write_table(
+                nums.where(f"k >= {lo} AND k < {hi}"), tdir, "append"
+            )
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    t1 = threading.Thread(target=appender, args=(100, 200))
+    t2 = threading.Thread(target=appender, args=(200, 300))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert T.current_version(spark, tdir) == 2
+    assert T.read_table(spark, tdir).count() == 300
+
+
+def test_snapshot_isolation_under_append(spark, nums, tdir):
+    """A frame resolved before an append keeps reading the old
+    snapshot — the resolved file list is immutable."""
+    T.write_table(nums.where("k < 100"), tdir, "create")
+    before = T.read_table(spark, tdir)
+    T.write_table(nums.where("k >= 100 AND k < 200"), tdir, "append")
+    assert before.count() == 100
+    assert T.read_table(spark, tdir).count() == 200
+
+
+def test_vacuum_never_touches_kept_versions(spark, nums, tdir):
+    T.write_table(nums.where("k < 100"), tdir, "create")
+    T.write_table(nums.where("k >= 100 AND k < 200"), tdir, "append")
+    T.write_table(nums.where("k < 50"), tdir, "overwrite")
+    deleted = T.vacuum(spark, tdir, keep_versions=2)
+    # v0-only files are exactly the overwritten ones still referenced
+    # by v1 — nothing v1/v2 reference may go
+    assert T.read_table(spark, tdir, 1).count() == 200
+    assert T.read_table(spark, tdir, 2).count() == 50
+    assert deleted == 0  # v0's files are all still referenced by v1
+    T.write_table(nums.where("k < 10"), tdir, "overwrite")
+    assert T.vacuum(spark, tdir, keep_versions=1) > 0
+    assert T.read_table(spark, tdir).count() == 10
