@@ -2090,6 +2090,34 @@ def q_multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_pixel_stats(M.synth_png_gradient_assets(params))
 
 
+def q_multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZW pixel decode, stdlib only (multimodal.
+    synth_gif_gradient_assets → decode_image_pixel_stats): real
+    spec-complete GIF89a payloads — 256-entry global color table,
+    genuinely LZW-compressed image data (variable-width codes,
+    dictionary growth, the KwKwK case), ≤255-byte sub-blocks —
+    decoded back pixel-for-pixel (sub-block join → LZW inflate →
+    palette map → exact per-channel integer sums). Pixel (x, y)
+    holds palette index (x+2y)%256 with palette i=(i, 2i%256,
+    3i%256), so the oracle recomputes every channel sum from
+    (width, height) alone. With PNG this closes the lossless-image
+    half of the codec boundary; JPEG/WebP entropy codecs remain."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 4)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(20) + (F.col("doc_id") % 6) * 9)
+            .cast("long")
+            .alias("width"),
+            (F.lit(12) + (F.col("doc_id") % 5) * 7)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(M.synth_gif_gradient_assets(params))
+
+
 def q_multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real AVI round-trip through the stdlib container parser:
     per-document video parameters derived JVM-side (oracle-
@@ -6958,6 +6986,28 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                px.sum_r, px.sum_g, px.sum_b
         FROM prm JOIN px USING (asset_id)
     """
+    o["multimodal_gif_pixels"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 20 + (doc_id % 6) * 9 AS w,
+                 12 + (doc_id % 5) * 7 AS h
+          FROM documents WHERE doc_id % 7 = 4
+        ),
+        px AS (
+          SELECT asset_id,
+                 CAST(sum((i % w + 2 * (i // w)) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((2 * ((i % w + 2 * (i // w)) % 256)) % 256)
+                   AS BIGINT) AS sum_g,
+                 CAST(sum((3 * ((i % w + 2 * (i // w)) % 256)) % 256)
+                   AS BIGINT) AS sum_b
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               px.sum_r, px.sum_g, px.sum_b
+        FROM prm JOIN px USING (asset_id)
+    """
     o["obs_expectations"] = """
         WITH li AS (
           SELECT count(*) AS total,
@@ -7557,15 +7607,15 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-8
-# window, per VERDICT r7 ask #2: (a) all 27 never-driver-recorded
+# window, per VERDICT r7 ask #2: (a) all 28 never-driver-recorded
 # entries — the 22 past the r7 edge (tpch tail was recorded in r7;
 # these are the multimodal mp4/mp3/flac/ogg/pcm/pixel lanes, KS,
 # corpus card, sql variables, triangles/link-predict, perplexity,
 # expectations, semantic dedup, BPE encode, count-min/log-hist +
-# their streaming twins, url domains, file census) plus the 5
-# r8-new entries (the four snap_* snapshot-table lanes and
-# multimodal_png_pixels) — then (b) 23 stalest re-records: the 9
-# entries last recorded in r3 and the first 14 of the r4 group.
+# their streaming twins, url domains, file census) plus the 6
+# r8-new entries (the four snap_* snapshot-table lanes and the
+# GIF/PNG pixel decodes) — then (b) 22 stalest re-records: the 9
+# entries last recorded in r3 and the first 13 of the r4 group.
 # After r8 every entry in this dict has been driver-recorded at
 # least once. All 50 are selfcheck-green at sf0.001+sf0.01 and
 # ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
@@ -7575,6 +7625,7 @@ SPARK_QUERIES = {
     "snap_delete_cow": q_snap_delete_cow,
     "snap_range_skip": q_snap_range_skip,
     "snap_compact_history": q_snap_compact_history,
+    "multimodal_gif_pixels": q_multimodal_gif_pixels,
     "multimodal_png_pixels": q_multimodal_png_pixels,
     "text_perplexity": q_text_perplexity,
     "text_bpe_encode": q_text_bpe_encode,

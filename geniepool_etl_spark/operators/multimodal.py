@@ -990,6 +990,256 @@ def synth_png_gradient_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """Real GIF LZW (variable-width codes, LSB-first bit packing,
+    dictionary growth, CLEAR at the 4096 ceiling) — not the
+    clear-every-pixel "uncompressed GIF" trick, so the decoder's
+    dictionary-building path is load-bearing in every round-trip."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple:
+        return (
+            {bytes([i]): i for i in range(1 << min_code_size)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, nxt, width = fresh()
+    emit(clear, width)
+    buf = b""
+    for byte in data:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        if nxt == 4096:
+            emit(clear, width)
+            table, nxt, width = fresh()
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(stream: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of :func:`_gif_lzw_encode` incl. the KwKwK
+    first-use-of-just-added-code case; raises on malformed streams
+    (bad code, missing EOI) — the caller treats that as poison."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(stream):
+                raise ValueError("gif: LZW stream ran out before EOI")
+            acc |= stream[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: list = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code_size)]
+            table += [b"", b""]  # clear + eoi slots
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: first code not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError("gif: code beyond table")
+        # the decoder's table lags the encoder's by one entry (an
+        # entry is only completed when the NEXT code arrives), so the
+        # width bump fires one entry early relative to the encoder's
+        # nxt == 2^width rule — the classic GIF LZW off-by-one
+        if (
+            prev is not None
+            and len(table) == (1 << width) - 1
+            and width < 12
+        ):
+            width += 1
+        out.extend(entry)
+        prev = entry
+
+
+def synth_gif_gradient_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL spec-complete GIF89a payloads (logical screen
+    descriptor, 256-entry global color table, image descriptor,
+    genuinely LZW-compressed pixel data in ≤255-byte sub-blocks,
+    trailer). Pixel (x, y) carries palette index
+    ``(x + 2y) % 256`` with palette entry ``i = (i, 2i % 256,
+    3i % 256)`` — channel sums are a pure function of (width,
+    height), so an external oracle recomputes them without touching
+    the bytes. Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    import numpy as np
+
+    gct = bytearray()
+    for i in range(256):
+        gct += bytes([i, (2 * i) % 256, (3 * i) % 256])
+
+    def one(w: int, h: int) -> bytes:
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        idx = ((x + 2 * y) % 256).astype(np.uint8).tobytes()
+        lzw = _gif_lzw_encode(idx)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        return (
+            b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+            + bytes(gct)
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + b"\x08"
+            + bytes(blocks)
+            + b"\x3b"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(w), int(h))
+                for w, h in zip(pdf[width_col], pdf[height_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/gif",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _gif_pixel_sums(raw: bytes) -> tuple:
+    """Decode a GIF87a/89a (global-color-table, non-interlaced,
+    single-image profile) to exact per-channel integer sums: walk the
+    block structure, re-join the data sub-blocks, LZW-decompress,
+    map indices through the palette. Raises on anything malformed or
+    outside the profile — the caller nulls the row out. Returns
+    (n_pixels, sum_r, sum_g, sum_b).
+
+    Integrity caveat, unlike the PNG lane: the GIF format carries NO
+    checksums, so structural damage (truncation, bad lengths, codes
+    beyond the table, missing trailer) raises, but a bit flip inside
+    palette or pixel VALUES is undetectable by design — fuzz tests
+    assert the structural class raises and document the value class."""
+    import struct
+
+    import numpy as np
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not GIF")
+    if len(raw) < 13:
+        raise ValueError("gif: truncated screen descriptor")
+    _, _, packed, _, _ = struct.unpack_from("<HHBBB", raw, 6)
+    if not packed & 0x80:
+        raise ValueError("gif: no global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    if len(raw) < pos + 3 * gct_n:
+        raise ValueError("gif: truncated color table")
+    palette = np.frombuffer(
+        raw, dtype=np.uint8, count=3 * gct_n, offset=pos
+    ).reshape(gct_n, 3)
+    pos += 3 * gct_n
+    # skip extension blocks (0x21) to the image descriptor
+    while pos < len(raw) and raw[pos] == 0x21:
+        pos += 2
+        while pos < len(raw) and raw[pos] != 0:
+            pos += 1 + raw[pos]
+        pos += 1
+    if pos >= len(raw) or raw[pos] != 0x2C:
+        raise ValueError("gif: missing image descriptor")
+    left, top, w, h, ipacked = struct.unpack_from("<HHHHB", raw, pos + 1)
+    if ipacked & 0xC0:
+        raise ValueError("gif: local table / interlace unsupported")
+    pos += 10
+    if pos >= len(raw):
+        raise ValueError("gif: truncated before LZW size")
+    min_code = raw[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(raw):
+            raise ValueError("gif: unterminated sub-blocks")
+        n = raw[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(raw):
+            raise ValueError("gif: truncated sub-block")
+        lzw += raw[pos : pos + n]
+        pos += n
+    if pos >= len(raw) or raw[pos] != 0x3B:
+        raise ValueError("gif: missing trailer")
+    idx = np.frombuffer(_gif_lzw_decode(bytes(lzw), min_code), dtype=np.uint8)
+    if len(idx) != w * h or w <= 0 or h <= 0:
+        raise ValueError("gif: pixel count mismatch")
+    if int(idx.max()) >= gct_n:
+        raise ValueError("gif: index beyond palette")
+    px = palette[idx].astype(np.int64)
+    return (
+        w * h,
+        int(px[:, 0].sum()),
+        int(px[:, 1].sum()),
+        int(px[:, 2].sum()),
+    )
+
+
 def _png_pixel_sums(raw: bytes) -> tuple:
     """Decode an 8-bit RGB non-interlaced PNG to exact per-channel
     integer sums, honoring the zlib IDAT stream, all five scanline
@@ -1083,15 +1333,17 @@ PIXEL_STATS_SCHEMA = StructType(
 
 def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
     """REAL pixel work: decode every pixel of each 24-bit BMP
-    (bottom-up row order, 4-byte row padding) or 8-bit RGB PNG
+    (bottom-up row order, 4-byte row padding), 8-bit RGB PNG
     (zlib-inflated IDAT, all five scanline filter predictors undone,
-    chunk CRCs verified — the compressed half of the former "pixel
-    boundary", stdlib-only) and reduce to exact-integer per-channel
-    sums (mean brightness, channel balance, and exposure heuristics
-    derive from these downstream). Arrow ``mapInPandas``; poison
-    payloads (null / unknown magic / unsupported profile / truncated
-    or bit-flipped chunks) yield null stats, never a dead stage.
-    JPEG/WebP pixel data (DCT/VP8 codecs) remain the boundary."""
+    chunk CRCs verified) or palette GIF (sub-blocks re-joined,
+    variable-width LZW inflated, indices mapped through the global
+    color table — stdlib-only, like the PNG lane) and reduce to
+    exact-integer per-channel sums (mean brightness, channel balance,
+    and exposure heuristics derive from these downstream). Arrow
+    ``mapInPandas``; poison payloads (null / unknown magic /
+    unsupported profile / truncated or bit-flipped chunks) yield null
+    stats, never a dead stage. JPEG/WebP pixel data (DCT/VP8 entropy
+    codecs) remain the boundary."""
     import struct
 
     import numpy as np
@@ -1104,6 +1356,13 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
                     raw = bytes(b)
                     if raw[:8] == b"\x89PNG\r\n\x1a\n":
                         n, sr, sg, sb = _png_pixel_sums(raw)
+                        rows["n_pixels"].append(n)
+                        rows["sum_r"].append(sr)
+                        rows["sum_g"].append(sg)
+                        rows["sum_b"].append(sb)
+                        continue
+                    if raw[:6] in (b"GIF87a", b"GIF89a"):
+                        n, sr, sg, sb = _gif_pixel_sums(raw)
                         rows["n_pixels"].append(n)
                         rows["sum_r"].append(sr)
                         rows["sum_g"].append(sg)

@@ -2717,6 +2717,116 @@ def test_png_filter_walker_fuzz():
         assert got == truth  # flip in ignorable bytes only
 
 
+def test_gif_pixel_roundtrip(spark):
+    """The GIF gradient round-trip must reproduce the closed-form
+    palette-mapped channel sums exactly, and the synthesized payload
+    must also satisfy the standalone dimension decoder."""
+    from geniepool_etl_spark.operators import multimodal as M
+
+    params = spark.createDataFrame(
+        [(1, 16, 10), (2, 40, 3), (3, 1, 9)],
+        "asset_id LONG, width LONG, height LONG",
+    )
+    assets = M.synth_gif_gradient_assets(params)
+    meta = {r.asset_id: r for r in M.decode_image_features(assets).collect()}
+    assert meta[1].format == "gif"
+    assert (meta[2].width, meta[2].height) == (40, 3)
+
+    got = {
+        r.asset_id: r for r in M.decode_image_pixel_stats(assets).collect()
+    }
+
+    def expect(w, h):
+        idx = [(x + 2 * y) % 256 for y in range(h) for x in range(w)]
+        return (
+            w * h,
+            sum(idx),
+            sum((2 * i) % 256 for i in idx),
+            sum((3 * i) % 256 for i in idx),
+        )
+
+    for aid, (w, h) in {1: (16, 10), 2: (40, 3), 3: (1, 9)}.items():
+        r = got[aid]
+        assert (r.n_pixels, r.sum_r, r.sum_g, r.sum_b) == expect(w, h)
+
+
+def test_gif_lzw_codec_fuzz():
+    """Driver-side fuzz of the variable-width LZW codec and the GIF
+    walker: (a) random byte streams — including low-entropy ones that
+    overflow the 4096-entry table and force mid-stream CLEARs, and
+    the KwKwK self-reference — round-trip bit-exactly; (b) every
+    truncation of a valid payload raises; (c) any single-bit flip
+    either raises or still reports the true pixel COUNT (GIF carries
+    no checksums, so palette/pixel VALUE flips are undetectable by
+    design — the structural walk is what must never lie about
+    shape)."""
+    import random
+    import struct
+
+    from geniepool_etl_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        _gif_pixel_sums,
+    )
+
+    rng = random.Random(11)
+    streams = [
+        b"",
+        b"\x00",
+        b"ababababab",
+        bytes(range(256)) * 40,  # multiple width bumps + 4096 clears
+        bytes(rng.randrange(4) for _ in range(30000)),
+        bytes(rng.randrange(256) for _ in range(5000)),
+    ]
+    for s in streams:
+        assert _gif_lzw_decode(_gif_lzw_encode(s)) == s
+
+    gct = bytearray()
+    for i in range(256):
+        gct += bytes([i, (2 * i) % 256, (3 * i) % 256])
+
+    def one(w, h):
+        idx = bytes(
+            (x + 2 * y) % 256 for y in range(h) for x in range(w)
+        )
+        lzw = _gif_lzw_encode(idx)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            ch = lzw[i : i + 255]
+            blocks.append(len(ch))
+            blocks += ch
+        blocks.append(0)
+        return (
+            b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+            + bytes(gct)
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + b"\x08"
+            + bytes(blocks)
+            + b"\x3b"
+        )
+
+    base = one(32, 22)
+    truth = _gif_pixel_sums(base)
+    assert truth[0] == 32 * 22
+    for cut in range(1, len(base)):
+        with pytest.raises(Exception):
+            _gif_pixel_sums(base[:cut])
+    for _ in range(250):
+        i = rng.randrange(len(base))
+        mutated = (
+            base[:i]
+            + bytes([base[i] ^ (1 << rng.randrange(8))])
+            + base[i + 1 :]
+        )
+        try:
+            got = _gif_pixel_sums(mutated)
+        except Exception:
+            continue
+        assert got[0] == truth[0]
+
+
 def test_alternating_star_path_graph_log_rounds(spark):
     """A 200-node path is the worst case for min-label propagation
     (O(diameter) = 200 hops); alternating large-star/small-star must
