@@ -160,6 +160,15 @@ def sf1_queries(spark) -> dict:
         ),
         "text_perplexity": lambda: C.q_text_perplexity(spark, SF1_DIR),
         "text_bpe_encode": lambda: C.q_text_bpe_encode(spark, SF1_DIR),
+        # round-8 widening: the three remaining scale-shape families —
+        # banded self-join (minhash LSH), iterative label propagation
+        # (alternating-star clusters), Pregel-style supersteps
+        # (pagerank) — all on staged-at-sf1 tables
+        "dedup_minhash_lsh": lambda: C.q_dedup_minhash_lsh(
+            spark, SF1_DIR
+        ),
+        "dedup_clusters": lambda: C.q_dedup_clusters(spark, SF1_DIR),
+        "graph_pagerank": lambda: C.q_graph_pagerank(spark, SF1_DIR),
     }
 
 

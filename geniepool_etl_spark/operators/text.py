@@ -599,22 +599,22 @@ def feature_hash_counts(
 
 
 def _greedy_merge_rep(rep, l, r):
-    """Apply one BPE merge ``(l, r)`` to a space-padded token
-    representation (``' t1 t2 … '``) with TRUE greedy left-to-right
-    semantics, as one codegen'd expression (no UDF).
+    """Apply one BPE merge ``(l, r)`` to a DOUBLED-space token
+    representation (``'  t1  t2  …  '``) with TRUE greedy
+    left-to-right semantics, as ONE codegen'd ``replace`` (no UDF).
 
-    The space-doubling trick: widen every token boundary to two
-    spaces, then plain non-overlapping ``replace`` of ``' l  r '``
-    with ``' lr '`` — each match consumes one space from its left
-    and right boundaries and the replacement restores them, so
-    adjacent occurrences of a repeated pair (' a a a a ') never
-    share a delimiter and all merge in one pass, leftmost-first,
-    exactly like greedy BPE. Collapse the doubled boundaries back
-    at the end. NULL ``l``/``r`` (an empty merge round) coalesce to
-    an unmatchable \\x00 pattern so the round no-ops instead of
-    nulling the vocabulary.
+    The space-doubling trick: with every token boundary two spaces
+    wide, plain non-overlapping ``replace`` of ``' l  r '`` with
+    ``' lr '`` consumes one space from each side's boundary and the
+    replacement restores it — so adjacent occurrences of a repeated
+    pair ('  a  a  a  a  ') never share a delimiter and all merge in
+    one pass, leftmost-first, exactly like greedy BPE, AND the
+    doubled invariant survives the replacement, so k rounds chain
+    with no re-widen/collapse between them (the collapse pair that
+    made each round 3 replaces instead of 1). NULL ``l``/``r`` (an
+    empty merge round) coalesce to an unmatchable \\x00 pattern so
+    the round no-ops instead of nulling the vocabulary.
     """
-    doubled = F.replace(rep, F.lit(" "), F.lit("  "))
     search = F.coalesce(
         F.concat(F.lit(" "), l, F.lit("  "), r, F.lit(" ")),
         F.lit("\x00"),
@@ -622,9 +622,7 @@ def _greedy_merge_rep(rep, l, r):
     repl = F.coalesce(
         F.concat(F.lit(" "), l, r, F.lit(" ")), F.lit("\x00")
     )
-    return F.replace(
-        F.replace(doubled, search, repl), F.lit("  "), F.lit(" ")
-    )
+    return F.replace(rep, search, repl)
 
 
 def bpe_learn_merges(
@@ -677,26 +675,37 @@ def bpe_learn_merges(
     )
     vocab = words.select(
         F.concat(
-            F.lit(" "),
-            F.array_join(F.split(F.col("w"), ""), " "),
-            F.lit(" "),
+            F.lit("  "),
+            F.array_join(F.split(F.col("w"), ""), "  "),
+            F.lit("  "),
         ).alias("rep"),
         "freq",
     )
     merge_rows = []
     for step in range(1, k + 1):
-        t = F.split(F.trim(F.col("rep")), " ")
+        # reps live in DOUBLED-space form for the whole k-round
+        # chain (one replace per round; the doubled invariant
+        # survives each replacement), split once per round on the
+        # two-space delimiter. NOT checkpointed per round: the frame
+        # is |vocab|-sized and the replayed replaces are cheap —
+        # measured at sf0.1, per-round localCheckpoint was ~15%
+        # SLOWER end-to-end (the SCALE.md checkpoint rule again:
+        # materialize only when the replayed stage dominates)
+        arred = vocab.select(
+            "rep", "freq",
+            F.split(F.trim(F.col("rep")), "  ").alias("_t"),
+        )
         bigrams = F.when(
-            F.size(t) >= 2,
+            F.size("_t") >= 2,
             F.expr(
-                "transform(sequence(1, size(split(trim(rep), ' ')) - 1), "
+                "transform(sequence(1, size(_t) - 1), "
                 "i -> struct("
-                "  element_at(split(trim(rep), ' '), i) AS l, "
-                "  element_at(split(trim(rep), ' '), i + 1) AS r))"
+                "  element_at(_t, i) AS l, "
+                "  element_at(_t, i + 1) AS r))"
             ),
         ).otherwise(F.array())
         pairs = (
-            vocab.select(F.explode(bigrams).alias("p"), "freq")
+            arred.select(F.explode(bigrams).alias("p"), "freq")
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("pair_count"))
         )
@@ -770,22 +779,28 @@ def bpe_token_counts(
         .select(
             "w",
             F.concat(
-                F.lit(" "),
-                F.array_join(F.split(F.col("w"), ""), " "),
-                F.lit(" "),
+                F.lit("  "),
+                F.array_join(F.split(F.col("w"), ""), "  "),
+                F.lit("  "),
             ).alias("rep"),
             "freq",
         )
     )
     for _step in range(1, k + 1):
-        t = F.split(F.trim(F.col("rep")), " ")
+        # same shape as bpe_learn_merges: doubled-space reps across
+        # all rounds, one split and one replace per round, no
+        # per-round checkpoint (measured slower at this frame size)
+        arred = vocab.select(
+            "rep", "freq",
+            F.split(F.trim(F.col("rep")), "  ").alias("_t"),
+        )
         bigrams = F.when(
-            F.size(t) >= 2,
+            F.size("_t") >= 2,
             F.expr(
-                "transform(sequence(1, size(split(trim(rep), ' ')) - 1), "
+                "transform(sequence(1, size(_t) - 1), "
                 "i -> struct("
-                "  element_at(split(trim(rep), ' '), i) AS l, "
-                "  element_at(split(trim(rep), ' '), i + 1) AS r))"
+                "  element_at(_t, i) AS l, "
+                "  element_at(_t, i + 1) AS r))"
             ),
         ).otherwise(F.array())
         # The winner must be EXACTLY one row even when a round finds
@@ -798,7 +813,7 @@ def bpe_token_counts(
         # avoids the union+sort+limit formulation, whose LocalRelation
         # sentinel measured 2.4× slower per build at sf0.1.
         pairs = (
-            vocab.select(F.explode(bigrams).alias("p"), "freq")
+            arred.select(F.explode(bigrams).alias("p"), "freq")
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("pair_count"))
         )
@@ -823,7 +838,7 @@ def bpe_token_counts(
         )
     word_tok = vocab.select(
         "w",
-        F.size(F.split(F.trim(F.col("rep")), " ")).cast("long").alias(
+        F.size(F.split(F.trim(F.col("rep")), "  ")).cast("long").alias(
             "n_tok"
         ),
     )

@@ -2563,9 +2563,11 @@ def test_bpe_merge_apply_is_true_greedy(spark):
         bpe_token_counts,
     )
 
-    # expression-level: exact token sequences, not just counts
+    # expression-level: exact token sequences, not just counts. The
+    # helper's contract is the DOUBLED-space representation (the
+    # invariant the k-round chain maintains end to end).
     reps = spark.createDataFrame(
-        [(" a a a a ",), (" a a a a a ",), (" x a a a y ",)],
+        [("  a  a  a  a  ",), ("  a  a  a  a  a  ",), ("  x  a  a  a  y  ",)],
         "rep STRING",
     ).select(
         _greedy_merge_rep(F.col("rep"), F.lit("a"), F.lit("a")).alias(
@@ -2573,9 +2575,9 @@ def test_bpe_merge_apply_is_true_greedy(spark):
         )
     )
     assert [r.rep for r in reps.collect()] == [
-        " aa aa ",
-        " aa aa a ",
-        " x aa a y ",
+        "  aa  aa  ",
+        "  aa  aa  a  ",
+        "  x  aa  a  y  ",
     ]
 
     # end-to-end: the learned (a,a) merge applies greedily in encode
