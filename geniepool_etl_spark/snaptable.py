@@ -176,6 +176,7 @@ def write_table(
     stats_cols: tuple = (),
     target_files: int | None = None,
     max_retries: int = 20,
+    props: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of ``table_path`` and return
     the committed version. ``mode``:
@@ -186,6 +187,11 @@ def write_table(
       costs only a manifest retry, never a data rewrite;
     - ``overwrite``: new files REPLACE the file list (old files stay
       on disk for time travel until :func:`vacuum`).
+
+    ``props`` (JSON-serializable) rides in the manifest — the hook an
+    idempotent writer uses as a commit LEDGER (e.g. a streaming
+    ingest stamps its micro-batch id and skips redeliveries via
+    :func:`committed_props`).
     """
     spark = df.sparkSession
     fs, P = _hadoop_fs(spark, table_path)
@@ -223,11 +229,30 @@ def write_table(
             "stats_cols": list(stats_cols),
             "files": all_files,
         }
+        if props:
+            manifest["props"] = props
         if _try_commit(spark, table_path, version, manifest):
             return version
     raise RuntimeError(
         f"write_table: lost {max_retries} commit races on {table_path}"
     )
+
+
+def committed_props(
+    spark: SparkSession, table_path: str, key: str
+) -> set:
+    """Values of ``props[key]`` across every committed manifest — the
+    read side of the commit ledger (O(versions) manifest reads,
+    driver-side metadata only). An idempotent writer checks its
+    batch id here before staging anything."""
+    fs, P = _hadoop_fs(spark, table_path)
+    out = set()
+    for v in _versions(fs, P, table_path):
+        m = _manifest(spark, fs, P, table_path, v)
+        val = (m.get("props") or {}).get(key)
+        if val is not None:
+            out.add(val)
+    return out
 
 
 def read_table(

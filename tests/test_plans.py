@@ -232,6 +232,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "stream_stateful",
         "stream_rollup",
         "stream_sliding",
+        "stream_snap_ingest",
         "dedup_clusters",
         "lake_upsert",
         # snapshot-table entries commit versions at plan-construction

@@ -162,6 +162,23 @@ def test_snapshot_isolation_under_append(spark, nums, tdir):
     assert T.read_table(spark, tdir).count() == 200
 
 
+def test_props_ledger_and_idempotent_ingest(spark, nums, tdir):
+    """write_table props land in the manifest and committed_props
+    reads them back; ingest_snap_batch skips a redelivered batch id
+    without staging anything (exactly-once under at-least-once
+    delivery)."""
+    from geniepool_etl_spark.streaming import ingest_snap_batch
+
+    ingest_snap_batch(nums.where("k < 100"), 0, tdir)
+    ingest_snap_batch(nums.where("k >= 100 AND k < 200"), 1, tdir)
+    assert T.committed_props(spark, tdir, "batch_id") == {0, 1}
+    assert T.read_table(spark, tdir).count() == 200
+    # redelivery: same batch id, even with different rows, is a no-op
+    ingest_snap_batch(nums.where("k >= 500"), 1, tdir)
+    assert T.current_version(spark, tdir) == 1
+    assert T.read_table(spark, tdir).count() == 200
+
+
 def test_vacuum_never_touches_kept_versions(spark, nums, tdir):
     T.write_table(nums.where("k < 100"), tdir, "create")
     T.write_table(nums.where("k >= 100 AND k < 200"), tdir, "append")
