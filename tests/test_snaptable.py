@@ -100,6 +100,39 @@ def test_stats_pruning_skips_files(spark, nums, tdir):
     assert got == list(range(0, 51))
 
 
+def test_zorder_write_skips_on_both_dimensions(spark, tdir):
+    """A single z-ordered layout must buy file skipping for range
+    predicates on EITHER participating column — the property a plain
+    single-column sort cannot provide for the second dimension."""
+    from geniepool_etl_spark import lake
+
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    z = grid.withColumn(
+        "zkey", lake.zorder_key([F.col("a"), F.col("b")], bits=6)
+    )
+    T.write_table(
+        z.repartitionByRange(8, "zkey").sortWithinPartitions("zkey"),
+        tdir,
+        "create",
+        stats_cols=("a", "b"),
+    )
+    for col in ("a", "b"):
+        total, scanned = T.scan_stats(spark, tdir, col, 0, 15)
+        assert total == 8 and scanned < total, (col, total, scanned)
+        got = sorted(
+            (r.a, r.b)
+            for r in T.read_range(spark, tdir, col, 0, 15).collect()
+        )
+        want = sorted(
+            (i % 64, i // 64)
+            for i in range(4096)
+            if 0 <= (i % 64 if col == "a" else i // 64) <= 15
+        )
+        assert got == want
+
+
 def test_compact_preserves_rows_and_history(spark, nums, tdir):
     T.write_table(nums.repartition(6), tdir, "create")
     T.compact(spark, tdir, target_files=1)
