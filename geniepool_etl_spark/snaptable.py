@@ -383,6 +383,86 @@ def delete_where(
     return version
 
 
+def merge_table(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    keys: list,
+) -> int:
+    """Keyed MERGE (upsert) with file-level copy-on-write — the
+    table-format operation a mutable 100 TB table lives by: rows in
+    ``updates`` REPLACE same-key rows, new keys are INSERTED, and
+    ONLY the files that contain a matched key are rewritten; every
+    other file carries into the new manifest by reference. A needle
+    merge rewrites the needle's files, not the table. Returns the
+    new version.
+
+    The matched-file probe is one semi-join keyed on ``keys`` that
+    collects FILE NAMES (metadata-sized, the deliberate small driver
+    set) — the updates frame itself never drives a full-table
+    rewrite."""
+    m_updates = updates
+    fs, P = _hadoop_fs(spark, table_path)
+    m = _resolve(spark, fs, P, table_path, None)
+    if m_updates.schema.json() != m["schema"]:
+        raise ValueError(
+            "merge_table: updates schema differs from the table's"
+        )
+    n_all, n_keys = m_updates.agg(
+        F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
+    ).first()
+    if n_all != n_keys:
+        raise ValueError(
+            f"merge_table: updates carry {n_all - n_keys} duplicate "
+            f"key rows on {keys} — ambiguous which should win; "
+            "dedupe upstream (the Delta MULTIPLE_MATCHES rule)"
+        )
+    full = _read_files(spark, table_path, m, m["files"]).withColumn(
+        "_f", F.input_file_name()
+    )
+    hit = {
+        os.path.basename(r["_f"])
+        for r in full.join(
+            m_updates.select(*keys).dropDuplicates(keys), keys, "leftsemi"
+        )
+        .select("_f")
+        .distinct()
+        .collect()
+    }
+    touched = [f for f in m["files"] if os.path.basename(f["path"]) in hit]
+    untouched = [
+        f for f in m["files"] if os.path.basename(f["path"]) not in hit
+    ]
+    cols = [f.name for f in StructType.fromJson(json.loads(m["schema"]))]
+    survivors = (
+        _read_files(spark, table_path, m, touched)
+        .join(m_updates.select(*keys).dropDuplicates(keys), keys, "left_anti")
+        .select(*cols)
+    )
+    staged = survivors.unionByName(m_updates.select(*cols))
+    new_files = _stage_files(
+        spark,
+        staged,
+        table_path,
+        tuple(m.get("stats_cols", [])),
+        target_files=max(1, len(touched)),
+    )
+    version = m["version"] + 1
+    manifest = {
+        "version": version,
+        "action": "merge",
+        "schema": m["schema"],
+        "stats_cols": m.get("stats_cols", []),
+        "files": untouched + new_files,
+    }
+    if not _try_commit(spark, table_path, version, manifest):
+        raise RuntimeError(
+            "merge_table: concurrent commit landed mid-merge; rerun "
+            "against the new head (copy-on-write makes the retry safe)"
+        )
+    return version
+
+
 def compact(
     spark: SparkSession, table_path: str, target_files: int = 1
 ) -> int:

@@ -100,6 +100,36 @@ def test_stats_pruning_skips_files(spark, nums, tdir):
     assert got == list(range(0, 51))
 
 
+def test_merge_upsert_cow_by_reference(spark, nums, tdir):
+    """merge_table rewrites ONLY files holding matched keys; updates
+    replace, new keys insert, and duplicate update keys fail loud."""
+    T.write_table(
+        nums.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        tdir,
+        "create",
+        stats_cols=("k",),
+    )
+    upd = nums.where("k BETWEEN 10 AND 20").withColumn(
+        "v", F.col("v") + 100
+    )
+    ins = nums.where("k < 5").select(
+        (F.col("k") + 10000).alias("k"), "v"
+    )
+    T.merge_table(spark, tdir, upd.unionByName(ins), ["k"])
+    before = {f["path"] for f in _manifest(tdir, 0)["files"]}
+    after = {f["path"] for f in _manifest(tdir, 1)["files"]}
+    assert len(before & after) == len(before) - 1  # 3 of 4 by reference
+    got = {r.k: r.v for r in T.read_table(spark, tdir).collect()}
+    assert len(got) == 1005
+    assert got[15] == (15 * 7 % 13) + 100  # updated
+    assert got[10003] == (3 * 7 % 13)  # inserted
+    assert got[500] == (500 * 7 % 13)  # untouched
+    with pytest.raises(ValueError, match="duplicate key"):
+        T.merge_table(
+            spark, tdir, upd.unionByName(upd.limit(1)), ["k"]
+        )
+
+
 def test_zorder_write_skips_on_both_dimensions(spark, tdir):
     """A single z-ordered layout must buy file skipping for range
     predicates on EITHER participating column — the property a plain
