@@ -377,6 +377,36 @@ def q_snap_range_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only change feed (snaptable.read_changes): after
+    create(F) → append(O) → append(P), the changes SINCE version 0
+    are exactly the O and P rows, each stamped with its commit
+    version — computed as a manifest file-list diff (no data diff,
+    no full-table scan; an incremental consumer reads only the new
+    files). Rewrite actions fail loud instead of emitting a wrong
+    feed (the CDC trap, documented). Per-version counts + exact
+    cents."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_cf"), "t")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    T.write_table(orders.where("o_orderstatus = 'F'"), out, "create")
+    T.write_table(orders.where("o_orderstatus = 'O'"), out, "append")
+    T.write_table(orders.where("o_orderstatus = 'P'"), out, "append")
+    return (
+        T.read_changes(spark, out, from_version=0)
+        .groupBy("_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("sum_cents"),
+        )
+    )
+
+
 def q_snap_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed MERGE into the snapshot table (snaptable.merge_table):
     orders committed range-partitioned on the key, then one merge
@@ -5402,6 +5432,19 @@ def _oracles() -> dict[str, str]:
                     AS BIGINT) AS sum_cents
         FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
     """
+    o["snap_change_feed"] = """
+        WITH c AS (
+          SELECT o_orderstatus AS s,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT CAST(1 AS BIGINT) AS _commit_version, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM c WHERE s = 'O'
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT)
+        FROM c WHERE s = 'P'
+    """
     o["snap_merge_upsert"] = """
         WITH base AS (
           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -7744,16 +7787,16 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-8
-# window, per VERDICT r7 ask #2: (a) all 31 never-driver-recorded
+# window, per VERDICT r7 ask #2: (a) all 32 never-driver-recorded
 # entries — the 22 past the r7 edge (tpch tail was recorded in r7;
 # these are the multimodal mp4/mp3/flac/ogg/pcm/pixel lanes, KS,
 # corpus card, sql variables, triangles/link-predict, perplexity,
 # expectations, semantic dedup, BPE encode, count-min/log-hist +
-# their streaming twins, url domains, file census) plus the 9
-# r8-new entries (the six snap_* snapshot-table lanes, the
+# their streaming twins, url domains, file census) plus the 10
+# r8-new entries (the seven snap_* snapshot-table lanes, the
 # exactly-once streaming snap ingest, and the GIF/PNG pixel
-# decodes) — then (b) 19 stalest re-records: the 9 entries last
-# recorded in r3 and the first 10 of the r4 group.
+# decodes) — then (b) 18 stalest re-records: the 9 entries last
+# recorded in r3 and the first 9 of the r4 group.
 # After r8 every entry in this dict has been driver-recorded at
 # least once. All 50 are selfcheck-green at sf0.001+sf0.01 and
 # ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
@@ -7763,6 +7806,7 @@ SPARK_QUERIES = {
     "snap_delete_cow": q_snap_delete_cow,
     "snap_range_skip": q_snap_range_skip,
     "snap_compact_history": q_snap_compact_history,
+    "snap_change_feed": q_snap_change_feed,
     "snap_merge_upsert": q_snap_merge_upsert,
     "snap_zorder_skip": q_snap_zorder_skip,
     "stream_snap_ingest": q_stream_snap_ingest,

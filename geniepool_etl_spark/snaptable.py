@@ -500,6 +500,68 @@ def compact(
     return version
 
 
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Append-only change feed: the rows ADDED strictly after
+    ``from_version`` up to ``to_version`` (default: current head),
+    computed as a manifest FILE-LIST DIFF — no data diffing, no
+    full-table scan; an incremental consumer (downstream ETL, a
+    streaming trigger, an index maintainer) reads exactly the new
+    files. Each row carries ``_commit_version``.
+
+    Versions whose action rewrote data (overwrite / delete / merge /
+    compact) fail loud: their file diff mixes rewritten old rows with
+    genuinely new ones, and silently emitting that as "changes" is
+    the classic CDC correctness trap — row-level CDF for rewrites
+    needs change tracking at write time (the documented boundary;
+    Delta's CDF writes change files for exactly this reason)."""
+    fs, P = _hadoop_fs(spark, table_path)
+    vs = _versions(fs, P, table_path)
+    if from_version not in vs:
+        raise ValueError(
+            f"read_changes: from_version {from_version} not in {vs}"
+        )
+    if to_version is None:
+        to_version = vs[-1]
+    seen = {
+        f["path"]
+        for f in _manifest(spark, fs, P, table_path, from_version)["files"]
+    }
+    head = _manifest(spark, fs, P, table_path, to_version)
+    parts = []
+    for v in vs:
+        if not (from_version < v <= to_version):
+            continue
+        m = _manifest(spark, fs, P, table_path, v)
+        if m["action"] not in ("append", "create"):
+            raise ValueError(
+                f"read_changes: version {v} is a rewrite "
+                f"({m['action']!r}); the file diff is not a row-level "
+                "change feed across rewrites"
+            )
+        new = [f for f in m["files"] if f["path"] not in seen]
+        seen |= {f["path"] for f in m["files"]}
+        if new:
+            parts.append(
+                _read_files(spark, table_path, head, new).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+    if not parts:
+        schema = StructType.fromJson(json.loads(head["schema"])).add(
+            "_commit_version", "long"
+        )
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def history(spark: SparkSession, table_path: str) -> DataFrame:
     """(version, action, n_files, n_rows) per committed snapshot —
     the audit surface; driver-side work is manifest-sized only."""

@@ -240,6 +240,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "snap_time_travel",
         "snap_delete_cow",
         "snap_range_skip",
+        "snap_change_feed",
         "snap_merge_upsert",
         "snap_zorder_skip",
         "snap_compact_history",

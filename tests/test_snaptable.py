@@ -100,6 +100,30 @@ def test_stats_pruning_skips_files(spark, nums, tdir):
     assert got == list(range(0, 51))
 
 
+def test_change_feed_is_file_diff(spark, nums, tdir):
+    """read_changes returns exactly the appended rows with their
+    commit versions, empty for from=head, and fails loud across a
+    rewrite action instead of emitting a wrong feed."""
+    T.write_table(nums.where("k < 100"), tdir, "create")
+    T.write_table(nums.where("k >= 100 AND k < 250"), tdir, "append")
+    T.write_table(nums.where("k >= 250 AND k < 300"), tdir, "append")
+    ch = T.read_changes(spark, tdir, 0)
+    per_v = {
+        r._commit_version: r.n
+        for r in ch.groupBy("_commit_version")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_v == {1: 150, 2: 50}
+    assert T.read_changes(spark, tdir, 2).count() == 0
+    assert T.read_changes(spark, tdir, 0, to_version=1).count() == 150
+    T.delete_where(spark, tdir, "k < 10")
+    with pytest.raises(ValueError, match="rewrite"):
+        T.read_changes(spark, tdir, 0)
+    # a window that stops before the rewrite still works
+    assert T.read_changes(spark, tdir, 0, to_version=2).count() == 200
+
+
 def test_merge_upsert_cow_by_reference(spark, nums, tdir):
     """merge_table rewrites ONLY files holding matched keys; updates
     replace, new keys insert, and duplicate update keys fail loud."""
