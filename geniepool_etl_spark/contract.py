@@ -367,7 +367,13 @@ def q_snap_range_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "create",
         stats_cols=("o_orderkey",),
     )
-    got = T.read_range(spark, out, "o_orderkey", 100, 2000)
+    total, scanned = T.scan_stats(spark, out, "o_orderkey", 100, 700)
+    if not scanned < total:
+        raise AssertionError(
+            f"snap_range_skip: no files pruned ({scanned}/{total}) — "
+            "the skipping property this entry exists to exercise"
+        )
+    got = T.read_range(spark, out, "o_orderkey", 100, 700)
     return got.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").alias("sum_key"),
@@ -5430,7 +5436,7 @@ def _oracles() -> dict[str, str]:
                CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS sum_cents
-        FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+        FROM orders WHERE o_orderkey BETWEEN 100 AND 700
     """
     o["snap_change_feed"] = """
         WITH c AS (

@@ -123,6 +123,25 @@ SHOWCASE = [
         "TakeOrderedAndProject top-k.",
     ),
     (
+        "dedup_semantic",
+        C.q_dedup_semantic,
+        "Centroid assignment is a per-row fold over ONE broadcast "
+        "1-row centroid array (r8): no Window, no corpus exchange "
+        "before the cluster-keyed pair join -- the only data-sized "
+        "shuffle is on cid. The earlier window shape exchanged NxC "
+        "vector-carrying rows.",
+    ),
+    (
+        "snap_range_skip",
+        C.q_snap_range_skip,
+        "Snapshot-table stats-pruned read: the manifest already "
+        "dropped non-intersecting files driver-side (the FileScan's "
+        "InMemoryFileIndex lists 4 of the table's 8 files at "
+        "sf0.001), and the surviving scan shows the o_orderkey range "
+        "in PushedFilters -- skipping composes with row-group "
+        "pruning.",
+    ),
+    (
         "text_perplexity",
         C.q_text_perplexity,
         "ZERO FileScans of documents.parquet in this plan: the "
