@@ -1240,6 +1240,110 @@ def _gif_pixel_sums(raw: bytes) -> tuple:
     )
 
 
+def synth_ppm_gradient_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL binary netpbm P6 (PPM) payloads carrying the
+    same deterministic gradient as the BMP/PNG lanes (``R=(x+2y)%256,
+    G=(2x+y)%256, B=(x+y)%256``), including a ``#`` comment line in
+    the header so the decoder's comment-skipping is load-bearing.
+    Arrow ``mapInPandas``; narrow."""
+    import numpy as np
+
+    def one(w: int, h: int) -> bytes:
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        rgb = np.stack(
+            [(x + 2 * y) % 256, (2 * x + y) % 256, (x + y) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        header = b"P6\n# synthetic gradient\n%d %d\n255\n" % (w, h)
+        return header + rgb.tobytes()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(w), int(h))
+                for w, h in zip(pdf[width_col], pdf[height_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/x-portable-pixmap",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _pnm_header(raw: bytes) -> tuple:
+    """Parse a binary netpbm header (after the 2-byte magic): three
+    whitespace-separated integers with ``#``-to-end-of-line comments
+    allowed between tokens, then EXACTLY ONE whitespace byte before
+    the raster. Returns ((w, h, maxval), raster_offset)."""
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(raw):
+            c = raw[pos]
+            if c in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+                pos += 1
+            elif c == 0x23:  # '#'
+                while pos < len(raw) and raw[pos] not in (0x0A, 0x0D):
+                    pos += 1
+            else:
+                break
+        t = bytearray()
+        while pos < len(raw) and raw[pos] not in (
+            0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C, 0x23,
+        ):
+            t.append(raw[pos])
+            pos += 1
+        if not t or not t.isdigit():
+            raise ValueError("netpbm: malformed header token")
+        toks.append(int(t))
+    if pos >= len(raw):
+        raise ValueError("netpbm: truncated after header")
+    pos += 1  # the single whitespace separating header from raster
+    return tuple(toks), pos
+
+
+def _ppm_pixel_sums(raw: bytes) -> tuple:
+    """Decode binary netpbm P6 (RGB) / P5 (grayscale; the gray value
+    reports as all three channels) to exact per-channel integer sums.
+    8-bit maxval only; short rasters and malformed headers raise —
+    the caller nulls the row out. Returns (n_pixels, sum_r, sum_g,
+    sum_b)."""
+    import numpy as np
+
+    if raw[:2] not in (b"P5", b"P6"):
+        raise ValueError("not binary netpbm")
+    (w, h, maxval), off = _pnm_header(raw)
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        raise ValueError("netpbm: unsupported geometry/maxval")
+    ch = 3 if raw[:2] == b"P6" else 1
+    need = w * h * ch
+    if len(raw) - off < need:
+        raise ValueError("netpbm: truncated raster")
+    px = (
+        np.frombuffer(raw, dtype=np.uint8, count=need, offset=off)
+        .reshape(-1, ch)
+        .astype(np.int64)
+    )
+    if ch == 1:
+        s = int(px[:, 0].sum())
+        return (w * h, s, s, s)
+    return (
+        w * h,
+        int(px[:, 0].sum()),
+        int(px[:, 1].sum()),
+        int(px[:, 2].sum()),
+    )
+
+
 def _png_pixel_sums(raw: bytes) -> tuple:
     """Decode an 8-bit RGB non-interlaced PNG to exact per-channel
     integer sums, honoring the zlib IDAT stream, all five scanline
@@ -1335,9 +1439,10 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
     """REAL pixel work: decode every pixel of each 24-bit BMP
     (bottom-up row order, 4-byte row padding), 8-bit RGB PNG
     (zlib-inflated IDAT, all five scanline filter predictors undone,
-    chunk CRCs verified) or palette GIF (sub-blocks re-joined,
+    chunk CRCs verified), palette GIF (sub-blocks re-joined,
     variable-width LZW inflated, indices mapped through the global
-    color table — stdlib-only, like the PNG lane) and reduce to
+    color table), or binary netpbm P6/P5 (comment-bearing header,
+    raw raster — all stdlib-only) and reduce to
     exact-integer per-channel sums (mean brightness, channel balance,
     and exposure heuristics derive from these downstream). Arrow
     ``mapInPandas``; poison payloads (null / unknown magic /
@@ -1363,6 +1468,13 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
                         continue
                     if raw[:6] in (b"GIF87a", b"GIF89a"):
                         n, sr, sg, sb = _gif_pixel_sums(raw)
+                        rows["n_pixels"].append(n)
+                        rows["sum_r"].append(sr)
+                        rows["sum_g"].append(sg)
+                        rows["sum_b"].append(sb)
+                        continue
+                    if raw[:2] in (b"P5", b"P6"):
+                        n, sr, sg, sb = _ppm_pixel_sums(raw)
                         rows["n_pixels"].append(n)
                         rows["sum_r"].append(sr)
                         rows["sum_g"].append(sg)

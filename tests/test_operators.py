@@ -2752,6 +2752,48 @@ def test_gif_pixel_roundtrip(spark):
         assert (r.n_pixels, r.sum_r, r.sum_g, r.sum_b) == expect(w, h)
 
 
+def test_ppm_pixel_roundtrip_and_poison(spark):
+    """P6 gradient round-trip matches closed-form sums (the synth's
+    header comment makes comment-skipping load-bearing); P5 reports
+    gray on all channels; truncations and malformed headers raise."""
+    from geniepool_etl_spark.operators import multimodal as M
+    from geniepool_etl_spark.operators.multimodal import _ppm_pixel_sums
+
+    params = spark.createDataFrame(
+        [(1, 7, 5), (2, 1, 1), (3, 33, 9)],
+        "asset_id LONG, width LONG, height LONG",
+    )
+    got = {
+        r.asset_id: r
+        for r in M.decode_image_pixel_stats(
+            M.synth_ppm_gradient_assets(params)
+        ).collect()
+    }
+    for aid, (w, h) in {1: (7, 5), 2: (1, 1), 3: (33, 9)}.items():
+        r = got[aid]
+        assert (r.n_pixels, r.sum_r, r.sum_g, r.sum_b) == (
+            w * h,
+            sum((x + 2 * y) % 256 for x in range(w) for y in range(h)),
+            sum((2 * x + y) % 256 for x in range(w) for y in range(h)),
+            sum((x + y) % 256 for x in range(w) for y in range(h)),
+        )
+
+    gray = b"P5\n# c\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert _ppm_pixel_sums(gray) == (6, 210, 210, 210)
+
+    base = b"P6\n2 2\n255\n" + bytes(range(12))
+    assert _ppm_pixel_sums(base)[0] == 4
+    for bad in (
+        base[:-1],                      # short raster
+        b"P6\n2 2\n70000\n" + b"\x00" * 8,  # 16-bit maxval
+        b"P6\n2 x\n255\n" + b"\x00" * 12,   # non-numeric token
+        b"P6\n2 2\n255",                 # truncated after header
+        b"P4\n2 2\n" + b"\x00" * 12,     # bitmap magic unsupported
+    ):
+        with pytest.raises(ValueError):
+            _ppm_pixel_sums(bad)
+
+
 def test_gif_lzw_codec_fuzz():
     """Driver-side fuzz of the variable-width LZW codec and the GIF
     walker: (a) random byte streams — including low-entropy ones that
