@@ -31,6 +31,15 @@ reading parquet in and writing parquet out:
     python -m geniepool_etl_spark.cli compact <lake_dir> --day <bucket> \\
         [--target-files 1]
     python -m geniepool_etl_spark.cli recover <lake_dir>
+    python -m geniepool_etl_spark.cli table write <table_dir> \\
+        --input <data.parquet> [--mode create|append|overwrite] \\
+        [--stats-cols col ...]
+    python -m geniepool_etl_spark.cli table merge <table_dir> \\
+        --input <updates.parquet> --keys k1 [k2 ...]
+    python -m geniepool_etl_spark.cli table read <table_dir> \\
+        --output <out_dir> [--version N]
+    python -m geniepool_etl_spark.cli table \\
+        {delete,compact,vacuum,history} <table_dir> [...]
 """
 
 from __future__ import annotations
@@ -300,13 +309,58 @@ def _run_dq(ns: argparse.Namespace) -> int:
     return 1 if failed else 0
 
 
+def _run_table(ns: argparse.Namespace) -> int:
+    """Snapshot-table (snaptable.py) operations from the shell:
+
+    - ``write``: commit a parquet input as create/append/overwrite
+      (optionally with --stats-cols for manifest min/max skipping);
+    - ``read``: export a snapshot (``--version`` time-travels) to
+      parquet;
+    - ``merge``: keyed CoW upsert of a parquet input;
+    - ``delete``: copy-on-write delete by SQL predicate;
+    - ``compact`` / ``vacuum`` / ``history``: maintenance + audit.
+
+    Prints the resulting version (or the history rows) so shell
+    pipelines can chain on it."""
+    from geniepool_etl_spark import snaptable as T
+
+    spark = get_spark("geniepool-table")
+    op = ns.op
+    if op == "write":
+        df = spark.read.parquet(ns.input)
+        v = T.write_table(
+            df, ns.table, mode=ns.mode,
+            stats_cols=tuple(ns.stats_cols or ()),
+        )
+        print(v)
+    elif op == "read":
+        out = T.read_table(spark, ns.table, version=ns.version)
+        out.write.mode("overwrite").parquet(ns.output)
+        print(out.count())
+    elif op == "merge":
+        df = spark.read.parquet(ns.input)
+        print(T.merge_table(spark, ns.table, df, ns.keys))
+    elif op == "delete":
+        print(T.delete_where(spark, ns.table, ns.predicate))
+    elif op == "compact":
+        print(T.compact(spark, ns.table, target_files=ns.target_files))
+    elif op == "vacuum":
+        print(T.vacuum(spark, ns.table, keep_versions=ns.keep_versions))
+    elif op == "history":
+        for r in T.history(spark, ns.table).collect():
+            print(f"{r.version}\t{r.action}\t{r.n_files}\t{r.n_rows}")
+    else:  # pragma: no cover - argparse restricts choices
+        raise SystemExit(f"unknown table op {op!r}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     # reference-compatible bare form: 8 positional args = the ETL job
     if len(args) == 8 and args[0] not in (
         "etl", "dedup", "profile", "text-stats", "sim-topk", "pack",
         "chunk", "shuffle", "pii", "compact", "recover", "corpus-build",
-        "diff", "scd2", "dq",
+        "diff", "scd2", "dq", "table",
     ):
         return _run_etl(args)
     if args and args[0] == "etl":
@@ -382,6 +436,25 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("output")
     s.add_argument("--rule", action="append")
     s.add_argument("--unique", action="append")
+    s = sub.add_parser("table")
+    s.add_argument(
+        "op",
+        choices=[
+            "write", "read", "merge", "delete", "compact", "vacuum",
+            "history",
+        ],
+    )
+    s.add_argument("table")
+    s.add_argument("--input")
+    s.add_argument("--output")
+    s.add_argument("--mode", default="create",
+                   choices=["create", "append", "overwrite"])
+    s.add_argument("--stats-cols", nargs="*")
+    s.add_argument("--keys", nargs="+")
+    s.add_argument("--predicate")
+    s.add_argument("--version", type=int)
+    s.add_argument("--target-files", type=int, default=1)
+    s.add_argument("--keep-versions", type=int, default=2)
     ns = p.parse_args(args)
     return {
         "dedup": _run_dedup,
@@ -398,6 +471,7 @@ def main(argv: list[str] | None = None) -> int:
         "diff": _run_diff,
         "scd2": _run_scd2,
         "dq": _run_dq,
+        "table": _run_table,
     }[ns.cmd](ns)
 
 

@@ -218,3 +218,52 @@ def test_cli_dq_gate_exit_codes(spark, tmp_path):
         for r in spark.read.parquet(out_bad).collect()
     }
     assert got == {"v_small": (1, 0), "k_unique": (1, 0)}
+
+
+def test_cli_table_lifecycle(spark, tmp_path):
+    """table write/append/delete/compact/history/read/vacuum chain
+    through the public entrypoint; time travel reads survive the
+    later commits until vacuum reclaims them."""
+    from geniepool_etl_spark import snaptable as T
+
+    t = str(tmp_path / "t")
+    src = f"{SF_SMALL}/nation.parquet"
+    assert main(["table", "write", t, "--input", src,
+                 "--stats-cols", "n_nationkey"]) == 0
+    assert main(["table", "write", t, "--input", src,
+                 "--mode", "append"]) == 0
+    assert main(["table", "delete", t,
+                 "--predicate", "n_nationkey >= 20"]) == 0
+    assert main(["table", "compact", t]) == 0
+    hist = {r.version: (r.action, r.n_rows)
+            for r in T.history(spark, t).collect()}
+    assert hist[0] == ("create", 25)
+    assert hist[3] == ("compact", 40)
+    out = str(tmp_path / "out")
+    assert main(["table", "read", t, "--output", out,
+                 "--version", "1"]) == 0
+    assert spark.read.parquet(out).count() == 50
+    assert main(["table", "vacuum", t, "--keep-versions", "2"]) == 0
+    assert T.read_table(spark, t).count() == 40
+
+
+def test_cli_table_merge(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark import snaptable as T
+
+    t = str(tmp_path / "t")
+    src = f"{SF_SMALL}/nation.parquet"
+    assert main(["table", "write", t, "--input", src]) == 0
+    upd_dir = str(tmp_path / "upd")
+    (
+        spark.read.parquet(src)
+        .where("n_nationkey < 3")
+        .withColumn("n_name", F.lit("PATCHED"))
+        .write.parquet(upd_dir)
+    )
+    assert main(["table", "merge", t, "--input", upd_dir,
+                 "--keys", "n_nationkey"]) == 0
+    got = {r.n_nationkey: r.n_name
+           for r in T.read_table(spark, t).collect()}
+    assert len(got) == 25 and got[0] == "PATCHED" and got[5] != "PATCHED"
