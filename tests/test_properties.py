@@ -740,3 +740,105 @@ def test_asof_join_matches_bruteforce(lefts, rights, tol):
         return (rt, ri)
 
     assert got == {i: model(k, t) for (k, t, i) in l_rows}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    base=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=100, max_value=140),
+                        st.integers(min_value=0, max_value=9),
+                    ),
+                    min_size=0,
+                    max_size=6,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+            st.tuples(
+                st.just("merge"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=60),
+                        st.integers(min_value=50, max_value=59),
+                    ),
+                    min_size=1,
+                    max_size=8,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.integers(min_value=0, max_value=9),
+            ),
+            st.tuples(st.just("compact"), st.just(None)),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_snaptable_op_chain_matches_model(base, ops):
+    """ANY chain of append/merge/delete/compact over a snapshot table
+    must equal a driver-side dict model, every intermediate version
+    must stay time-travel readable with its model-time contents, and
+    history row counts must track the model exactly.
+
+    Append keys are drawn from a disjoint range so the append-only
+    contract holds (duplicate-key appends are out of contract; merge
+    is the keyed path)."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from geniepool_etl_spark import snaptable as T
+
+    spark = _spark()
+    tdir = tempfile.mkdtemp(prefix="gp_snap_prop_")
+
+    def df_of(rows):
+        return spark.createDataFrame(rows or [], "k LONG, v LONG")
+
+    model = dict(base)
+    T.write_table(df_of(base), tdir, "create")
+    snapshots = [dict(model)]
+    for op, arg in ops:
+        if op == "append":
+            # model contract: appended keys are new
+            arg = [(k, v) for k, v in arg if k not in model]
+            T.write_table(df_of(arg), tdir, "append")
+            model.update(arg)
+        elif op == "merge":
+            T.merge_table(spark, tdir, df_of(arg), ["k"])
+            model.update(arg)
+        elif op == "delete":
+            T.delete_where(spark, tdir, f"v = {arg}")
+            model = {k: v for k, v in model.items() if v != arg}
+        else:
+            T.compact(spark, tdir, target_files=1)
+        snapshots.append(dict(model))
+
+    hist = {
+        r.version: r.n_rows for r in T.history(spark, tdir).collect()
+    }
+    for v, snap in enumerate(snapshots):
+        got = {
+            r.k: r.v for r in T.read_table(spark, tdir, version=v).collect()
+        }
+        assert got == snap, f"version {v} diverged from model"
+        assert hist[v] == len(snap)
