@@ -23,7 +23,12 @@ hash constant; all arithmetic stays in BIGINT range (max product
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 MULT = 2654435761  # Knuth multiplicative-hash constant
 N_USERS = 97
@@ -49,6 +54,15 @@ class SyntheticEventsDataSource(DataSource):
             int(self.options.get("rows_per_partition", 1000)),
         )
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        # the SIMPLE streaming hook: offsets + reads happen driver-side
+        # and Spark handles partition planning; a full streamReader()
+        # (latestOffset + partitions) is the scale path for sources
+        # whose reads must fan out across executors
+        return SyntheticEventsStreamReader(
+            int(self.options.get("rows_per_batch", 500))
+        )
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, n_partitions: int, rows_per_partition: int) -> None:
@@ -72,6 +86,61 @@ class SyntheticEventsReader(DataSourceReader):
                 event_id % N_USERS,
                 (event_id * MULT) % CENTS_MOD,
             )
+
+
+def _rows_between(start: int, end: int):
+    for event_id in range(start, end):
+        yield (
+            event_id,
+            event_id % N_USERS,
+            (event_id * MULT) % CENTS_MOD,
+        )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("gp_synthetic_events")`` — the
+    STREAMING half of the Python DataSource API (Spark 4):
+    driver-side offset management with executor replay.
+
+    - ``initialOffset``/``read``: each micro-batch advances the
+      offset by ``rows_per_batch`` event ids; the offset is plain
+      JSON, so it round-trips through the checkpoint and a RESTARTED
+      query resumes exactly where the last one committed (asserted
+      in the contract entry via two trigger-once runs over one
+      checkpoint).
+    - ``readBetweenOffsets``: deterministic replay of a recorded
+      offset range after a crash — trivially exact here because rows
+      are a pure function of event_id, which is precisely the
+      property a real connector needs for end-to-end exactly-once.
+    """
+
+    def __init__(self, rows_per_batch: int) -> None:
+        if rows_per_batch <= 0:
+            raise ValueError(
+                f"rows_per_batch must be positive, got {rows_per_batch}"
+            )
+        self.rows_per_batch = rows_per_batch
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    # concrete lists, not generators: the wrapper's prefetch cache
+    # copy.copy()s the returned iterator to allow re-reads, and
+    # generators are not copyable
+    def read(self, start: dict):
+        s = int(start["next"])
+        e = s + self.rows_per_batch
+        return list(_rows_between(s, e)), {"next": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(_rows_between(int(start["next"]), int(end["next"])))
+
+    def commit(self, end: dict) -> None:
+        # offsets are pure arithmetic: nothing external to release
+        pass
+
+    def stop(self) -> None:
+        pass
 
 
 def register(spark) -> None:

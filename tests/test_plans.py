@@ -233,6 +233,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "stream_rollup",
         "stream_sliding",
         "stream_snap_ingest",
+        "s22_python_stream_source",
         "dedup_clusters",
         "lake_upsert",
         # snapshot-table entries commit versions at plan-construction
