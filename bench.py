@@ -82,10 +82,15 @@ SF1_DIR = os.environ.get(
 SF1_ENABLED = os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
 
 
+_SF1_STAGE_VERSION = "v2"  # v2: adds the events table
+
+
 def _stage_sf1(spark, base_dir: str) -> None:
     marker = os.path.join(SF1_DIR, "_STAGED")
     if os.path.exists(marker):
-        return
+        with open(marker) as fh:
+            if fh.read().strip() == _SF1_STAGE_VERSION:
+                return
     import shutil
 
     shutil.rmtree(SF1_DIR, ignore_errors=True)
@@ -112,6 +117,12 @@ def _stage_sf1(spark, base_dir: str) -> None:
     doc_step = int(docs.agg(F.max("doc_id")).first()[0]) + 1
     emb = C._t(spark, base_dir, "embeddings")
     vec_step = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    from geniepool_etl_spark.functions import enable_nanos_as_long
+
+    enable_nanos_as_long(spark)
+    ev = C._t(spark, base_dir, "events")
+    ev_step = int(ev.agg(F.max("event_id")).first()[0]) + 1
+    user_step = int(ev.agg(F.max("user_id")).first()[0]) + 1
 
     def rotate_vec(d, i):
         if i == 0:
@@ -127,12 +138,16 @@ def _stage_sf1(spark, base_dir: str) -> None:
         ("orders", rep(od, {"o_orderkey": okey_step})),
         ("documents", rep(docs, {"doc_id": doc_step})),
         ("embeddings", rep(emb, {"vec_id": vec_step}, rotate_vec)),
+        # same timestamps, disjoint user populations per copy: the
+        # per-user event streams keep their real temporal shape while
+        # the keyed shuffles see 10x the users
+        ("events", rep(ev, {"event_id": ev_step, "user_id": user_step})),
     ):
         df.write.mode("overwrite").parquet(
             os.path.join(SF1_DIR, f"{name}.parquet")
         )
     with open(marker, "w") as fh:
-        fh.write("ok\n")
+        fh.write(_SF1_STAGE_VERSION + "\n")
 
 
 def sf1_queries(spark) -> dict:
@@ -169,6 +184,11 @@ def sf1_queries(spark) -> dict:
         ),
         "dedup_clusters": lambda: C.q_dedup_clusters(spark, SF1_DIR),
         "graph_pagerank": lambda: C.q_graph_pagerank(spark, SF1_DIR),
+        # bucket-rewritten range join + session windows at 10x users
+        "events_interval_join": lambda: C.q_events_interval_join(
+            spark, SF1_DIR
+        ),
+        "events_session": lambda: C.q_events_session(spark, SF1_DIR),
     }
 
 
