@@ -288,6 +288,24 @@ def _read_files(spark, table_path: str, manifest: dict, files: list) -> DataFram
     return spark.read.schema(schema).parquet(*paths)
 
 
+def _prune_by_stats(files: list, col: str, lo, hi) -> list:
+    """Manifest-stats file pruning shared by read_range, scan_stats,
+    and merge_table's probe: keep files whose recorded [min, max] for
+    ``col`` may intersect [lo, hi]; files without stats for ``col``
+    are conservatively kept. ``lo=None`` means an empty probe set —
+    nothing can match."""
+    if lo is None:
+        return []
+    out = []
+    for f in files:
+        s = f.get("stats", {}).get(col)
+        if s is None or s[0] is None or s[1] is None or not (
+            s[1] < lo or s[0] > hi
+        ):
+            out.append(f)
+    return out
+
+
 def read_range(
     spark: SparkSession,
     table_path: str,
@@ -305,14 +323,7 @@ def read_range(
     kept."""
     fs, P = _hadoop_fs(spark, table_path)
     m = _resolve(spark, fs, P, table_path, version)
-
-    def keep(f: dict) -> bool:
-        s = f.get("stats", {}).get(col)
-        if s is None or s[0] is None or s[1] is None:
-            return True
-        return not (s[1] < lo or s[0] > hi)
-
-    pruned = [f for f in m["files"] if keep(f)]
+    pruned = _prune_by_stats(m["files"], col, lo, hi)
     df = _read_files(spark, table_path, m, pruned)
     return df.where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
@@ -324,13 +335,7 @@ def scan_stats(
     — the observability hook the file-skipping tests assert on."""
     fs, P = _hadoop_fs(spark, table_path)
     m = _resolve(spark, fs, P, table_path, None)
-    total = len(m["files"])
-    kept = 0
-    for f in m["files"]:
-        s = f.get("stats", {}).get(col)
-        if s is None or s[0] is None or s[1] is None or not (s[1] < lo or s[0] > hi):
-            kept += 1
-    return total, kept
+    return len(m["files"]), len(_prune_by_stats(m["files"], col, lo, hi))
 
 
 def delete_where(
@@ -400,7 +405,11 @@ def merge_table(
     The matched-file probe is one semi-join keyed on ``keys`` that
     collects FILE NAMES (metadata-sized, the deliberate small driver
     set) — the updates frame itself never drives a full-table
-    rewrite."""
+    rewrite. When the (single) merge key is a manifest stats column,
+    the probe pre-prunes its file set driver-side against the
+    updates' key [min, max] — a needle merge on a range-clustered
+    table then scans only the needle's neighborhood, not the table,
+    before any executor reads a row."""
     m_updates = updates
     fs, P = _hadoop_fs(spark, table_path)
     m = _resolve(spark, fs, P, table_path, None)
@@ -417,7 +426,11 @@ def merge_table(
             f"key rows on {keys} — ambiguous which should win; "
             "dedupe upstream (the Delta MULTIPLE_MATCHES rule)"
         )
-    full = _read_files(spark, table_path, m, m["files"]).withColumn(
+    probe_files = m["files"]
+    if len(keys) == 1 and keys[0] in m.get("stats_cols", []):
+        lo, hi = m_updates.agg(F.min(keys[0]), F.max(keys[0])).first()
+        probe_files = _prune_by_stats(m["files"], keys[0], lo, hi)
+    full = _read_files(spark, table_path, m, probe_files).withColumn(
         "_f", F.input_file_name()
     )
     hit = {

@@ -279,3 +279,46 @@ def test_vacuum_never_touches_kept_versions(spark, nums, tdir):
     T.write_table(nums.where("k < 10"), tdir, "overwrite")
     assert T.vacuum(spark, tdir, keep_versions=1) > 0
     assert T.read_table(spark, tdir).count() == 10
+
+
+def test_prune_by_stats_edges():
+    """Shared pruning helper: files without stats (or with null
+    bounds) are conservatively kept; an empty probe set (lo=None)
+    prunes everything; boundary touches are kept."""
+    files = [
+        {"path": "a", "stats": {"k": [0, 10]}},
+        {"path": "b", "stats": {"k": [11, 20]}},
+        {"path": "c"},  # no stats: must survive any range
+        {"path": "d", "stats": {"k": [None, None]}},
+    ]
+    kept = [f["path"] for f in T._prune_by_stats(files, "k", 5, 10)]
+    assert kept == ["a", "c", "d"]
+    kept = [f["path"] for f in T._prune_by_stats(files, "k", 10, 11)]
+    assert kept == ["a", "b", "c", "d"]  # boundary touch both sides
+    assert T._prune_by_stats(files, "k", None, None) == []
+    kept = [f["path"] for f in T._prune_by_stats(files, "k", 21, 99)]
+    assert kept == ["c", "d"]
+
+
+def test_merge_probe_prunes_by_key_stats(spark, nums, tdir):
+    """A needle merge on a range-clustered keyed table must not scan
+    the whole table for its probe: with the key in stats_cols and
+    updates confined to one file's key range, the probe file set is a
+    strict subset (observed via the pruning helper on the live
+    manifest), and the merge result is still exact."""
+    T.write_table(
+        nums.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        tdir,
+        "create",
+        stats_cols=("k",),
+    )
+    m = _manifest(tdir, 0)
+    probe = T._prune_by_stats(m["files"], "k", 10, 20)
+    assert 0 < len(probe) < len(m["files"])
+    upd = nums.where("k BETWEEN 10 AND 20").withColumn(
+        "v", F.col("v") + 1000
+    )
+    T.merge_table(spark, tdir, upd, ["k"])
+    got = {r.k: r.v for r in T.read_table(spark, tdir).collect()}
+    assert got[15] == (15 * 7 % 13) + 1000
+    assert got[999] == (999 * 7 % 13)
