@@ -238,6 +238,17 @@ def write_table(
     )
 
 
+def head_props(spark: SparkSession, table_path: str) -> dict:
+    """The HEAD manifest's props (or {}): one manifest read — the
+    fast path for writers that maintain cumulative state in their own
+    commits (cf. streaming.ingest_snap_batch's rolling ledger)."""
+    fs, P = _hadoop_fs(spark, table_path)
+    vs = _versions(fs, P, table_path)
+    if not vs:
+        return {}
+    return _manifest(spark, fs, P, table_path, vs[-1]).get("props") or {}
+
+
 def committed_props(
     spark: SparkSession, table_path: str, key: str
 ) -> set:

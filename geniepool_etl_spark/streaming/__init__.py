@@ -721,23 +721,40 @@ def ingest_snap_batch(
     from geniepool_etl_spark import snaptable as T
 
     spark = batch_df.sparkSession
-    if batch_id in committed_snap_batches(spark, table_path):
+    done = committed_snap_batches(spark, table_path)
+    if batch_id in done:
         return
     mode = (
         "append"
         if T.current_version(spark, table_path) is not None
         else "create"
     )
+    # each ingest commit carries the CUMULATIVE ledger, so the next
+    # batch's check is ONE head-manifest read instead of an
+    # O(versions) walk — the walk only recurs after a non-ingest
+    # commit (compact/merge) lands at head and the chain re-seeds
     T.write_table(
-        batch_df, table_path, mode, props={"batch_id": int(batch_id)}
+        batch_df,
+        table_path,
+        mode,
+        props={
+            "batch_id": int(batch_id),
+            "batch_ledger": sorted(int(b) for b in done | {batch_id}),
+        },
     )
 
 
 def committed_snap_batches(spark: SparkSession, table_path: str) -> set:
-    """Batch ids already committed to ``table_path`` (manifest-ledger
-    read; driver-side metadata only)."""
+    """Batch ids already committed to ``table_path``. Fast path: the
+    head manifest's cumulative ``batch_ledger`` (one metadata read).
+    Fallback — head written by a non-ingest commit, or a pre-ledger
+    table — walks every manifest for its ``batch_id`` stamp
+    (O(versions), the cost the rolling ledger exists to avoid)."""
     from geniepool_etl_spark import snaptable as T
 
+    hp = T.head_props(spark, table_path)
+    if "batch_ledger" in hp:
+        return set(hp["batch_ledger"])
     return T.committed_props(spark, table_path, "batch_id")
 
 

@@ -264,6 +264,18 @@ def test_props_ledger_and_idempotent_ingest(spark, nums, tdir):
     ingest_snap_batch(nums.where("k >= 500"), 1, tdir)
     assert T.current_version(spark, tdir) == 1
     assert T.read_table(spark, tdir).count() == 200
+    # fast path: the head manifest carries the CUMULATIVE ledger
+    assert T.head_props(spark, tdir)["batch_ledger"] == [0, 1]
+    # a foreign commit (compact) at head drops the ledger from the
+    # fast path; the per-manifest batch_id walk must still recover it
+    T.compact(spark, tdir, target_files=1)
+    assert "batch_ledger" not in T.head_props(spark, tdir)
+    from geniepool_etl_spark.streaming import committed_snap_batches
+
+    assert committed_snap_batches(spark, tdir) == {0, 1}
+    # and the next ingest re-seeds the rolling ledger at head
+    ingest_snap_batch(nums.where("k >= 200 AND k < 210"), 2, tdir)
+    assert T.head_props(spark, tdir)["batch_ledger"] == [0, 1, 2]
 
 
 def test_vacuum_never_touches_kept_versions(spark, nums, tdir):
