@@ -373,8 +373,13 @@ def delete_where(
     untouched = [f for f in m["files"] if os.path.basename(f["path"]) not in hit]
     new_files = []
     if touched:
+        # standard SQL DELETE semantics: remove rows where the
+        # predicate IS TRUE; rows where it evaluates NULL are kept.
+        # A bare NOT(pred) filter would also evaluate NULL for them
+        # and silently DROP non-matching rows from the rewrite —
+        # data loss, not a delete (caught in the null-predicate test)
         survivors = _read_files(spark, table_path, m, touched).where(
-            f"NOT ({predicate})"
+            f"NOT coalesce(({predicate}), false)"
         )
         new_files = _stage_files(
             spark,
@@ -615,6 +620,11 @@ def vacuum(
     Truncates time travel to the kept versions (their manifests
     remain; older manifests are removed so history never points at
     missing files). Returns the number of deleted data files."""
+    if keep_versions < 1:
+        raise ValueError(
+            f"vacuum: keep_versions must be >= 1, got {keep_versions} "
+            "(a table always retains its current snapshot)"
+        )
     fs, P = _hadoop_fs(spark, table_path)
     vs = _versions(fs, P, table_path)
     if not vs:

@@ -334,3 +334,23 @@ def test_merge_probe_prunes_by_key_stats(spark, nums, tdir):
     got = {r.k: r.v for r in T.read_table(spark, tdir).collect()}
     assert got[15] == (15 * 7 % 13) + 1000
     assert got[999] == (999 * 7 % 13)
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tdir):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL
+    are NOT deleted — a bare NOT(pred) survivor filter would silently
+    drop them from the rewritten file (data loss)."""
+    rows = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7), (4, None), (5, 5)],
+        "k LONG, v LONG",
+    )
+    T.write_table(rows, tdir, "create")
+    T.delete_where(spark, tdir, "v = 5")
+    got = sorted((r.k, r.v) for r in T.read_table(spark, tdir).collect())
+    assert got == [(2, None), (3, 7), (4, None)]
+
+
+def test_vacuum_rejects_zero_retention(spark, nums, tdir):
+    T.write_table(nums.limit(5), tdir, "create")
+    with pytest.raises(ValueError, match="keep_versions"):
+        T.vacuum(spark, tdir, keep_versions=0)
