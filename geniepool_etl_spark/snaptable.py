@@ -310,9 +310,20 @@ def _prune_by_stats(files: list, col: str, lo, hi) -> list:
     out = []
     for f in files:
         s = f.get("stats", {}).get(col)
-        if s is None or s[0] is None or s[1] is None or not (
-            s[1] < lo or s[0] > hi
-        ):
+        try:
+            skip = (
+                s is not None
+                and s[0] is not None
+                and s[1] is not None
+                and (s[1] < lo or s[0] > hi)
+            )
+        except TypeError:
+            # stats of a non-JSON-native type (date/decimal) land in
+            # the manifest via default=str; comparing those strings
+            # against a typed bound is undefined — keep the file
+            # (pruning is an optimization, never a filter)
+            skip = False
+        if not skip:
             out.append(f)
     return out
 

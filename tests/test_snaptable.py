@@ -354,3 +354,11 @@ def test_vacuum_rejects_zero_retention(spark, nums, tdir):
     T.write_table(nums.limit(5), tdir, "create")
     with pytest.raises(ValueError, match="keep_versions"):
         T.vacuum(spark, tdir, keep_versions=0)
+
+
+def test_prune_mixed_type_stats_kept_conservatively():
+    """Stats serialized as strings (date/decimal via default=str) must
+    never be compared against a typed bound as if ordered — pruning is
+    an optimization, so the file is kept."""
+    files = [{"path": "a", "stats": {"d": ["2024-01-01", "2024-02-01"]}}]
+    assert T._prune_by_stats(files, "d", 5, 10) == files
