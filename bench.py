@@ -64,9 +64,9 @@ REGRESSION_RATIO = 1.5
 
 # --- sf1 lane -------------------------------------------------------
 # At sf0.1 most headline queries are sub-second and the 2x gate is
-# noise-dominated (SCALE.md "Benchmark discipline"). The five
-# heaviest queries therefore ALSO run at a staged 10x blow-up of the
-# sf0.1 tables — seconds-long timings where shuffle and skew behavior
+# noise-dominated (SCALE.md "Benchmark discipline"). The heaviest
+# queries (10 lanes as of r8) therefore ALSO run at a staged 10x
+# blow-up of the sf0.1 tables — seconds-long timings where shuffle and skew behavior
 # is real. Staging replicates each table 10x with disjoint key ranges
 # (order/doc/vec ids offset per copy) and ROTATES each embedding
 # vector by its copy index — norm-preserving, so replicas are not
@@ -363,7 +363,7 @@ def main() -> None:
     micro = {k: v for k, v in timings.items() if k.startswith("micro_")}
     n_expected = sum(1 for k in qs if not k.startswith("micro_"))
 
-    # sf1 lane: the 5 heaviest queries at the staged 10x blow-up —
+    # sf1 lane: the heaviest queries at the staged 10x blow-up —
     # best-of-2 (seconds-long runs, noise is proportionally small)
     sf1_timings: dict[str, float] = {}
     if SF1_ENABLED:
@@ -400,7 +400,14 @@ def main() -> None:
         if baseline.get(k)
     }
     regressions = {k: r for k, r in ratios.items() if r > REGRESSION_RATIO}
-    sf1_baseline = dict(bl_file.get("sf1_best_sec") or {})
+    # sf1 floors are only comparable when staged from the SAME base
+    # sf — a base-sf change restages different data (review finding:
+    # the headline baseline already had this guard, the sf1 one not)
+    sf1_baseline = (
+        dict(bl_file.get("sf1_best_sec") or {})
+        if bl_file.get("sf") == sf
+        else {}
+    )
     sf1_ratios = {
         k: round(v / sf1_baseline[k], 2)
         for k, v in sf1_timings.items()
@@ -458,7 +465,7 @@ def main() -> None:
         "n_expected": n_expected,
         "n_regressions": len(regressions),
         "n_errors": len(errors),
-        # the 5 heaviest queries at the staged 10x blow-up (seconds-
+        # the heaviest queries at the staged 10x blow-up (seconds-
         # long, noise-robust); ratios vs the sf1 floor live in
         # BENCH_DETAIL.json
         "sf1": sf1_timings,

@@ -324,6 +324,19 @@ def _run_table(ns: argparse.Namespace) -> int:
     pipelines can chain on it."""
     from geniepool_etl_spark import snaptable as T
 
+    # per-op required options, enforced BEFORE a Spark session spins
+    # up — a missing flag should be a usage error, not a Py4J trace
+    _required = {
+        "write": ("input",),
+        "read": ("output",),
+        "merge": ("input", "keys"),
+        "delete": ("predicate",),
+    }
+    for opt in _required.get(ns.op, ()):
+        if getattr(ns, opt) in (None, []):
+            raise SystemExit(
+                f"table {ns.op}: --{opt.replace('_', '-')} is required"
+            )
     spark = get_spark("geniepool-table")
     op = ns.op
     if op == "write":
@@ -345,7 +358,14 @@ def _run_table(ns: argparse.Namespace) -> int:
     elif op == "compact":
         print(T.compact(spark, ns.table, target_files=ns.target_files))
     elif op == "vacuum":
-        print(T.vacuum(spark, ns.table, keep_versions=ns.keep_versions))
+        print(
+            T.vacuum(
+                spark,
+                ns.table,
+                keep_versions=ns.keep_versions,
+                min_age_seconds=ns.min_age_seconds,
+            )
+        )
     elif op == "history":
         for r in T.history(spark, ns.table).collect():
             print(f"{r.version}\t{r.action}\t{r.n_files}\t{r.n_rows}")
@@ -455,6 +475,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--version", type=int)
     s.add_argument("--target-files", type=int, default=1)
     s.add_argument("--keep-versions", type=int, default=2)
+    s.add_argument("--min-age-seconds", type=int, default=3600)
     ns = p.parse_args(args)
     return {
         "dedup": _run_dedup,

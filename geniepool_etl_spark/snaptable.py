@@ -31,7 +31,19 @@ and publication is a single rename to ``<version>.json`` — Hadoop's
 exactly one contender wins each version; losers re-read the head and
 retry against the next version. A crash at any point leaves either an
 ignored tmp manifest or an unreferenced data directory — both
-invisible to readers, both reclaimed by :func:`vacuum`.
+invisible to readers, both reclaimed by :func:`vacuum` (past its
+retention age, so an in-flight writer's staging is never confused
+with debris).
+
+Filesystem contract boundary: the single-winner claim needs a rename
+that REFUSES an existing destination. HDFS guarantees it;
+LocalFileSystem's checksum wrapper enforces it too (verified
+empirically by the concurrent-writer tests — two racing commits on
+file:// observe exactly one True). Object stores without atomic
+no-overwrite rename (plain S3A) need an external coordination layer
+for the claim — the same boundary that makes Delta require a
+LogStore/DynamoDB arbiter on S3; S3 Express / GCS / ABFS
+conditional-put semantics satisfy it natively.
 
 Isolation: a reader resolves its manifest once and reads only that
 file list — concurrent appends/overwrites/compactions never change
@@ -216,8 +228,29 @@ def write_table(
     for _ in range(max_retries):
         vs = _versions(fs, P, table_path)
         version = (vs[-1] + 1) if vs else 0
+        if mode == "create" and vs:
+            # lost the create race: committing "our" version 1 would
+            # silently shadow the winner's table — surface the
+            # conflict instead (review finding: two creators must not
+            # both report success with one table invisible)
+            raise ValueError(
+                f"write_table: {table_path} was created concurrently "
+                "by another writer; re-read it and append/overwrite "
+                "deliberately"
+            )
         if mode == "append":
             parent = _manifest(spark, fs, P, table_path, vs[-1])
+            if df.schema.json() != parent["schema"]:
+                # the pre-staging check ran against the OLD head; a
+                # concurrent overwrite may have evolved the schema —
+                # re-validate against the parent we are about to
+                # extend, or our old-schema files would read as
+                # all-NULL columns under the new declared schema
+                raise ValueError(
+                    "write_table(append): table schema changed "
+                    "concurrently (head evolved while this append "
+                    "was staging); re-stage against the new head"
+                )
             all_files = parent["files"] + files
             schema_json = parent["schema"]
         else:
@@ -444,9 +477,23 @@ def merge_table(
         raise ValueError(
             "merge_table: updates schema differs from the table's"
         )
-    n_all, n_keys = m_updates.agg(
-        F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
+    null_cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_cond = c if null_cond is None else (null_cond | c)
+    n_all, n_nulls, n_keys = m_updates.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(null_cond, 1).otherwise(0)),
+        F.count_distinct(*[F.col(k) for k in keys]),
     ).first()
+    if n_nulls:
+        # a NULL key can never equi-match: such a row would silently
+        # insert on EVERY merge instead of updating anything (and it
+        # poisons the distinct-count duplicate check below)
+        raise ValueError(
+            f"merge_table: {n_nulls} update rows have NULL in {keys} "
+            "— NULL merge keys cannot match; clean them upstream"
+        )
     if n_all != n_keys:
         raise ValueError(
             f"merge_table: updates carry {n_all - n_keys} duplicate "
@@ -567,6 +614,11 @@ def read_changes(
         )
     if to_version is None:
         to_version = vs[-1]
+    if to_version not in vs:
+        raise ValueError(
+            f"read_changes: to_version {to_version} not in {vs} "
+            "(vacuumed or never committed)"
+        )
     seen = {
         f["path"]
         for f in _manifest(spark, fs, P, table_path, from_version)["files"]
@@ -623,19 +675,35 @@ def history(spark: SparkSession, table_path: str) -> DataFrame:
 
 
 def vacuum(
-    spark: SparkSession, table_path: str, keep_versions: int = 2
+    spark: SparkSession,
+    table_path: str,
+    keep_versions: int = 2,
+    min_age_seconds: int = 3600,
 ) -> int:
     """Reclaim space: delete data files referenced ONLY by manifests
     older than the newest ``keep_versions``, plus orphaned tmp
     manifests and unreferenced data directories (crashed commits).
     Truncates time travel to the kept versions (their manifests
     remain; older manifests are removed so history never points at
-    missing files). Returns the number of deleted data files."""
+    missing files). Returns the number of deleted data files.
+
+    ``min_age_seconds`` is the retention guard (the Delta vacuum
+    rule): a WHOLLY-unreferenced data directory or tmp manifest might
+    be an IN-FLIGHT write that has staged files but not yet renamed
+    its manifest — indistinguishable from crash debris except by age
+    — so those are reclaimed only once older than the threshold. A
+    partially-referenced directory can never hold in-flight files
+    (every commit stages into a fresh token dir), so aged-out
+    committed files are deleted regardless. Set 0 only when no
+    writer can be active (tests, offline maintenance)."""
+    import time as _time
+
     if keep_versions < 1:
         raise ValueError(
             f"vacuum: keep_versions must be >= 1, got {keep_versions} "
             "(a table always retains its current snapshot)"
         )
+    age_cutoff_ms = int(_time.time() * 1000) - min_age_seconds * 1000
     fs, P = _hadoop_fs(spark, table_path)
     vs = _versions(fs, P, table_path)
     if not vs:
@@ -664,9 +732,12 @@ def vacuum(
                 in keep_paths
             ]
             if not live:
-                # whole commit unreferenced (vacuumed past, or a
-                # crashed never-committed write): drop the directory,
-                # _SUCCESS markers and all
+                # whole commit unreferenced (vacuumed past, a crashed
+                # write — or an IN-FLIGHT one: only reclaim past the
+                # retention age): drop the directory, _SUCCESS
+                # markers and all
+                if d.getModificationTime() > age_cutoff_ms:
+                    continue
                 fs.delete(d.getPath(), True)
                 deleted += len(parquets)
             else:
@@ -677,7 +748,10 @@ def vacuum(
     logdir = P(os.path.join(table_path, _LOG_DIR))
     for st in fs.listStatus(logdir):
         name = st.getPath().getName()
-        stale_tmp = name.startswith("_tmp-")
+        stale_tmp = (
+            name.startswith("_tmp-")
+            and st.getModificationTime() <= age_cutoff_ms
+        )
         old_manifest = (
             name.endswith(".json")
             and name[:-5].isdigit()

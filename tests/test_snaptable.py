@@ -208,7 +208,11 @@ def test_crash_debris_is_invisible(spark, nums, tdir):
     nums.limit(5).write.parquet(os.path.join(tdir, "data", "orphantoken"))
     assert T.current_version(spark, tdir) == 0
     assert T.read_table(spark, tdir).count() == 1000
+    # retention guard: fresh unreferenced state might be an IN-FLIGHT
+    # write — the default age must spare it
     T.vacuum(spark, tdir, keep_versions=1)
+    assert os.path.exists(os.path.join(tdir, "data", "orphantoken"))
+    T.vacuum(spark, tdir, keep_versions=1, min_age_seconds=0)
     assert not os.path.exists(os.path.join(tdir, "data", "orphantoken"))
     assert not os.path.exists(
         os.path.join(tdir, "_snaplog", "_tmp-deadbeef.json")
@@ -282,14 +286,14 @@ def test_vacuum_never_touches_kept_versions(spark, nums, tdir):
     T.write_table(nums.where("k < 100"), tdir, "create")
     T.write_table(nums.where("k >= 100 AND k < 200"), tdir, "append")
     T.write_table(nums.where("k < 50"), tdir, "overwrite")
-    deleted = T.vacuum(spark, tdir, keep_versions=2)
+    deleted = T.vacuum(spark, tdir, keep_versions=2, min_age_seconds=0)
     # v0-only files are exactly the overwritten ones still referenced
     # by v1 — nothing v1/v2 reference may go
     assert T.read_table(spark, tdir, 1).count() == 200
     assert T.read_table(spark, tdir, 2).count() == 50
     assert deleted == 0  # v0's files are all still referenced by v1
     T.write_table(nums.where("k < 10"), tdir, "overwrite")
-    assert T.vacuum(spark, tdir, keep_versions=1) > 0
+    assert T.vacuum(spark, tdir, keep_versions=1, min_age_seconds=0) > 0
     assert T.read_table(spark, tdir).count() == 10
 
 
@@ -362,3 +366,40 @@ def test_prune_mixed_type_stats_kept_conservatively():
     an optimization, so the file is kept."""
     files = [{"path": "a", "stats": {"d": ["2024-01-01", "2024-02-01"]}}]
     assert T._prune_by_stats(files, "d", 5, 10) == files
+
+
+def test_concurrent_create_single_winner(spark, nums, tdir):
+    """Two writers racing to CREATE the same table: exactly one wins;
+    the loser gets a conflict error instead of silently shadowing the
+    winner's data under version 1."""
+    results = []
+
+    def creator(lo, hi):
+        try:
+            T.write_table(
+                nums.where(f"k >= {lo} AND k < {hi}"), tdir, "create"
+            )
+            results.append("ok")
+        except ValueError as e:
+            results.append(str(e))
+
+    t1 = threading.Thread(target=creator, args=(0, 100))
+    t2 = threading.Thread(target=creator, args=(100, 300))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert sorted(r == "ok" for r in results) == [False, True]
+    assert T.current_version(spark, tdir) == 0
+    assert T.read_table(spark, tdir).count() in (100, 200)
+
+
+def test_merge_rejects_null_keys(spark, tdir):
+    base = spark.createDataFrame([(1, 0), (5, 0)], "k LONG, v LONG")
+    T.write_table(base, tdir, "create")
+    upd = spark.createDataFrame([(None, 1), (5, 2)], "k LONG, v LONG")
+    with pytest.raises(ValueError, match="NULL"):
+        T.merge_table(spark, tdir, upd, ["k"])
+
+
+def test_read_changes_rejects_unknown_to_version(spark, nums, tdir):
+    T.write_table(nums, tdir, "create")
+    with pytest.raises(ValueError, match="to_version"):
+        T.read_changes(spark, tdir, 0, to_version=99)
