@@ -729,3 +729,30 @@ def test_countmin_stream_merge_equals_global_and_replays(spark, tmp_path):
     once = snap(1)
     merge_countmin_version(b1, 1, standing2)  # redelivery
     assert snap(1) == once and once == want
+
+
+def test_snap_ingest_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Restarting the file-source snapshot ingest with the same
+    checkpoint must ingest ONLY files that arrived since the last
+    run — one new atomic version, no re-ingest of drained batches."""
+    import shutil
+
+    from geniepool_etl_spark import snaptable as T
+    from geniepool_etl_spark.streaming import maintain_snap_ingest_stream
+    from tests.conftest import SF_SMALL
+
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{SF_SMALL}/documents.parquet", f"{src}/a.parquet")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out1 = maintain_snap_ingest_stream(spark, src, table, ckpt)
+    n1 = out1.count()
+    v1 = T.current_version(spark, table)
+    # a new file lands; the SAME checkpoint resumes, not re-ingests
+    shutil.copy(f"{SF_SMALL}/documents.parquet", f"{src}/b.parquet")
+    out2 = maintain_snap_ingest_stream(spark, src, table, ckpt)
+    assert out2.count() == 2 * n1
+    assert T.current_version(spark, table) == v1 + 1
