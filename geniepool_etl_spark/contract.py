@@ -2273,6 +2273,42 @@ def q_multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_pixel_stats(M.synth_png_gradient_assets(params))
 
 
+def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family composition: IMAGE near-dup via decoded pixel
+    statistics. Synth PNGs whose (width, height) collide across
+    asset ids decode to identical exact channel sums; grouping on the
+    full pixel signature (n_pixels, sum_r, sum_g, sum_b) — decoded
+    from the BYTES, not trusted metadata — yields duplicate clusters
+    with the deterministic keep-lowest-id rule. The shape at 100 TB:
+    the mapInPandas decode is narrow, and the groupBy key is a
+    16-byte signature, so payloads never shuffle. Output: one row per
+    duplicate GROUP (signature cardinality ≥ 1) with its size and
+    keeper."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 1)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            # deliberately COARSE param space (3 x 2 combos) → real
+            # signature collisions across asset ids
+            (F.lit(8) + (F.col("doc_id") % 3) * 4)
+            .cast("long")
+            .alias("width"),
+            (F.lit(6) + (F.col("doc_id") % 2) * 5)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    stats = M.decode_image_pixel_stats(M.synth_png_gradient_assets(params))
+    return (
+        stats.groupBy("n_pixels", "sum_r", "sum_g", "sum_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("asset_id").alias("keep_id"),
+        )
+    )
+
+
 def q_multimodal_ppm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Netpbm P6 pixel decode (multimodal.synth_ppm_gradient_assets →
     decode_image_pixel_stats): binary PPM payloads — comment-bearing
@@ -7249,6 +7285,28 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                px.sum_r, px.sum_g, px.sum_b
         FROM prm JOIN px USING (asset_id)
     """
+    o["multimodal_image_dedup"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 8 + (doc_id % 3) * 4 AS w,
+                 6 + (doc_id % 2) * 5 AS h
+          FROM documents WHERE doc_id % 5 = 1
+        ),
+        px AS (
+          SELECT asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+                 CAST(sum((i % w + 2 * (i // w)) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((2 * (i % w) + i // w) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((i % w + i // w) % 256) AS BIGINT) AS sum_b
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id, w, h
+        )
+        SELECT n_pixels, sum_r, sum_g, sum_b,
+               count(*) AS n_dups,
+               CAST(min(asset_id) AS BIGINT) AS keep_id
+        FROM px GROUP BY 1, 2, 3, 4
+    """
     o["multimodal_ppm_pixels"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -7891,17 +7949,17 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-8
-# window, per VERDICT r7 ask #2: (a) all 34 never-driver-recorded
+# window, per VERDICT r7 ask #2: (a) all 35 never-driver-recorded
 # entries — the 22 past the r7 edge (tpch tail was recorded in r7;
 # these are the multimodal mp4/mp3/flac/ogg/pcm/pixel lanes, KS,
 # corpus card, sql variables, triangles/link-predict, perplexity,
 # expectations, semantic dedup, BPE encode, count-min/log-hist +
-# their streaming twins, url domains, file census) plus the 12
+# their streaming twins, url domains, file census) plus the 13
 # r8-new entries (the seven snap_* snapshot-table lanes, the
 # exactly-once streaming snap ingest, the Python streaming
-# DataSource lane, and the GIF/PNG/PPM pixel decodes) — then (b)
-# 16 stalest re-records: the 9 entries last recorded in r3 and the
-# first 7 of the r4 group.
+# DataSource lane, the GIF/PNG/PPM pixel decodes, and the decoded-
+# signature image dedup) — then (b) 15 stalest re-records: the 9
+# entries last recorded in r3 and the first 6 of the r4 group.
 # After r8 every entry in this dict has been driver-recorded at
 # least once. All 50 are selfcheck-green at sf0.001+sf0.01 and
 # ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
@@ -7916,6 +7974,7 @@ SPARK_QUERIES = {
     "snap_zorder_skip": q_snap_zorder_skip,
     "stream_snap_ingest": q_stream_snap_ingest,
     "s22_python_stream_source": q_s22_python_stream_source,
+    "multimodal_image_dedup": q_multimodal_image_dedup,
     "multimodal_ppm_pixels": q_multimodal_ppm_pixels,
     "multimodal_gif_pixels": q_multimodal_gif_pixels,
     "multimodal_png_pixels": q_multimodal_png_pixels,
