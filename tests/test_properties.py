@@ -842,3 +842,35 @@ def test_snaptable_op_chain_matches_model(base, ops):
         }
         assert got == snap, f"version {v} diverged from model"
         assert hist[v] == len(snap)
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    data=st.one_of(
+        st.binary(min_size=0, max_size=4000),
+        # low-entropy streams: long runs + tiny alphabets force
+        # dictionary growth, width bumps, KwKwK, and 4096 CLEARs
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=1, max_value=900),
+            ),
+            min_size=1,
+            max_size=24,
+        ).map(lambda runs: b"".join(bytes([b]) * n for b, n in runs)),
+    )
+)
+def test_gif_lzw_roundtrip_property(data):
+    """encode→decode is the identity for ANY byte stream — driver-side
+    only (no Spark job per example), so the example budget can be
+    high enough to reach the 4096-entry CLEAR path repeatedly."""
+    from geniepool_etl_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    assert _gif_lzw_decode(_gif_lzw_encode(data)) == data
