@@ -1345,12 +1345,17 @@ def _ppm_pixel_sums(raw: bytes) -> tuple:
 
 
 def _png_pixel_sums(raw: bytes) -> tuple:
-    """Decode an 8-bit RGB non-interlaced PNG to exact per-channel
-    integer sums, honoring the zlib IDAT stream, all five scanline
-    filter predictors, and every chunk CRC (a flipped bit anywhere is
-    poison, not a silent wrong sum). Returns (n_pixels, sum_r, sum_g,
-    sum_b); raises on anything outside the supported profile — the
-    caller nulls the row out."""
+    """Decode an 8-bit non-interlaced PNG — grayscale (color type 0),
+    RGB (2), or RGBA (6) — to exact per-channel integer sums,
+    honoring the zlib IDAT stream, all five scanline filter
+    predictors (the filter left-neighbor offset is the pixel's byte
+    width, 1/3/4 per color type), and every chunk CRC (a flipped bit
+    anywhere is poison, not a silent wrong sum). Grayscale reports
+    the gray value on all three channels (the PGM convention); RGBA
+    reports the color channels (alpha is weighting metadata, not a
+    color — callers needing it take the raw decode path). Returns
+    (n_pixels, sum_r, sum_g, sum_b); raises on anything outside the
+    supported profile — the caller nulls the row out."""
     import struct
     import zlib
 
@@ -1373,8 +1378,11 @@ def _png_pixel_sums(raw: bytes) -> tuple:
             w, h, depth, ctyp, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, ctyp, comp, filt, ilace) != (8, 2, 0, 0, 0):
+            if (depth, comp, filt, ilace) != (8, 0, 0, 0) or ctyp not in (
+                0, 2, 6,
+            ):
                 raise ValueError("png: unsupported profile")
+            bpp = {0: 1, 2: 3, 6: 4}[ctyp]
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -1382,7 +1390,7 @@ def _png_pixel_sums(raw: bytes) -> tuple:
         pos += 12 + ln
     if w is None or not idat or w <= 0 or h <= 0:
         raise ValueError("png: missing IHDR/IDAT")
-    stride = w * 3
+    stride = w * bpp
     lines = zlib.decompress(bytes(idat))
     if len(lines) != h * (stride + 1):
         raise ValueError("png: scanline size mismatch")
@@ -1395,18 +1403,18 @@ def _png_pixel_sums(raw: bytes) -> tuple:
         if f == 0:
             recon[r] = cur
         elif f == 1:
-            for c in range(3):  # Sub: per-channel wrapping prefix sum
-                recon[r, c::3] = np.cumsum(cur[c::3]) % 256
+            for c in range(bpp):  # Sub: per-channel wrapping prefix sum
+                recon[r, c::bpp] = np.cumsum(cur[c::bpp]) % 256
         elif f == 2:
             recon[r] = (cur + prev) % 256
         elif f == 3:  # Average: sequential left-dependence
             for i in range(stride):
-                left = recon[r, i - 3] if i >= 3 else 0
+                left = recon[r, i - bpp] if i >= bpp else 0
                 recon[r, i] = (cur[i] + (left + prev[i]) // 2) % 256
         elif f == 4:  # Paeth: sequential left-dependence
             for i in range(stride):
-                a = recon[r, i - 3] if i >= 3 else 0
-                b, c = prev[i], (prev[i - 3] if i >= 3 else 0)
+                a = recon[r, i - bpp] if i >= bpp else 0
+                b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (
@@ -1415,7 +1423,10 @@ def _png_pixel_sums(raw: bytes) -> tuple:
                 recon[r, i] = (cur[i] + pred) % 256
         else:
             raise ValueError(f"png: unknown filter type {f}")
-    px = recon.reshape(-1, 3)
+    px = recon.reshape(-1, bpp)
+    if bpp == 1:
+        g = int(px[:, 0].sum())
+        return (w * h, g, g, g)
     return (
         w * h,
         int(px[:, 0].sum()),

@@ -2905,3 +2905,87 @@ def test_ks_statistic_ignores_nulls_and_empty_side(spark):
     assert ks_statistic(old, all_null).count() == 0
     empty = spark.createDataFrame([], "n_chars INT")
     assert ks_statistic(empty, new).count() == 0
+
+
+def test_png_grayscale_and_rgba_profiles():
+    """The PNG walker handles color types 0 (gray: value on all three
+    channels) and 6 (RGBA: alpha excluded from sums), with the filter
+    left-offset tracking the pixel byte width — every filter type
+    exercised per image via y % 5."""
+    import random
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from geniepool_etl_spark.operators.multimodal import (
+        _png_chunk,
+        _png_pixel_sums,
+    )
+
+    rng = random.Random(21)
+
+    def encode(pix, ctyp):
+        h, w, bpp = pix.shape
+        raw = pix.reshape(h, w * bpp).astype(np.int16)
+        zero = np.zeros(w * bpp, dtype=np.int16)
+        lines = bytearray()
+        for r in range(h):
+            cur = raw[r]
+            prev = raw[r - 1] if r > 0 else zero
+            left = np.concatenate([zero[:bpp], cur[:-bpp]])
+            ul = np.concatenate([zero[:bpp], prev[:-bpp]])
+            f = r % 5
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - prev
+            elif f == 3:
+                filt = cur - (left + prev) // 2
+            else:
+                p = left + prev - ul
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, prev, ul),
+                )
+                filt = cur - pred
+            lines.append(f)
+            lines.extend((filt % 256).astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctyp, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for _ in range(10):
+        w, h = rng.randint(1, 9), rng.randint(5, 11)
+        gray = np.array(
+            [rng.randrange(256) for _ in range(w * h)], dtype=np.uint8
+        ).reshape(h, w, 1)
+        n, sr, sg, sb = _png_pixel_sums(encode(gray, 0))
+        g = int(gray.astype(np.int64).sum())
+        assert (n, sr, sg, sb) == (w * h, g, g, g)
+
+        rgba = np.array(
+            [rng.randrange(256) for _ in range(w * h * 4)], dtype=np.uint8
+        ).reshape(h, w, 4)
+        n, sr, sg, sb = _png_pixel_sums(encode(rgba, 6))
+        flat = rgba.reshape(-1, 4).astype(np.int64)
+        assert (n, sr, sg, sb) == (
+            w * h,
+            int(flat[:, 0].sum()),
+            int(flat[:, 1].sum()),
+            int(flat[:, 2].sum()),
+        )
+
+    # palette PNGs (color type 3) remain outside the profile
+    pal = encode(np.zeros((3, 3, 1), dtype=np.uint8), 3)
+    with pytest.raises(ValueError):
+        _png_pixel_sums(pal)
