@@ -608,19 +608,22 @@ PCM_STATS_SCHEMA = StructType(
 
 def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
     """REAL PCM sample work — the lane that used to be the documented
-    "pixel/PCM boundary": decode every 16-bit sample of each WAV
-    payload and reduce to exact-integer statistics (sample count,
-    amplitude sum, energy = Σ sample², peak = max |sample|). RMS and
-    loudness derive from these downstream; keeping the contract in
-    integers makes the result bit-identical on any engine.
+    "pixel/PCM boundary": decode every sample of each PCM WAV payload
+    — 16-bit signed, 24-bit signed (bytes recombined + sign-extended,
+    no numpy 3-byte dtype exists), or 8-bit unsigned (centered on the
+    WAV midpoint 128, per spec) — and reduce to exact-integer
+    statistics (sample count, amplitude sum, energy = Σ sample²,
+    peak = max |sample|). RMS and loudness derive from these
+    downstream; keeping the contract in integers makes the result
+    bit-identical on any engine.
 
     Arrow ``mapInPandas``; the per-batch loop is numpy-vectorized over
-    each payload's full sample array (int64 accumulation — a 16-bit
-    square times any realistic frame count cannot overflow). Poison
-    payloads (null / non-WAV / non-16-bit) yield null stats, never a
-    dead stage. Compressed codecs (MP3/Ogg/FLAC audio frames) remain
-    the ffmpeg boundary — this lane is exactly the uncompressed-PCM
-    half of it, now real."""
+    each payload's full sample array (int64 accumulation — even a
+    24-bit square times any realistic frame count cannot overflow).
+    Poison payloads (null / non-WAV / unsupported width) yield null
+    stats, never a dead stage. Compressed codecs (MP3/Ogg/FLAC audio
+    frames) remain the ffmpeg boundary — this lane is exactly the
+    uncompressed-PCM half of it, now real."""
     import io
     import wave
 
@@ -632,10 +635,28 @@ def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
             for b in pdf["payload"]:
                 try:
                     with wave.open(io.BytesIO(bytes(b))) as w:
-                        if w.getsampwidth() != 2:
-                            raise ValueError("not 16-bit PCM")
+                        width = w.getsampwidth()
+                        if width not in (1, 2, 3):
+                            raise ValueError("unsupported PCM width")
                         raw = w.readframes(w.getnframes())
-                    a = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                    if width == 2:
+                        a = np.frombuffer(raw, dtype="<i2").astype(
+                            np.int64
+                        )
+                    elif width == 1:
+                        # 8-bit WAV is UNSIGNED, midpoint 128
+                        a = (
+                            np.frombuffer(raw, dtype=np.uint8).astype(
+                                np.int64
+                            )
+                            - 128
+                        )
+                    else:
+                        t = np.frombuffer(
+                            raw, dtype=np.uint8
+                        ).reshape(-1, 3).astype(np.int64)
+                        a = t[:, 0] | (t[:, 1] << 8) | (t[:, 2] << 16)
+                        a -= (a >= 1 << 23) * (1 << 24)
                     rows["n_samples"].append(len(a))
                     rows["sum_amp"].append(int(a.sum()))
                     rows["sum_sq"].append(int((a * a).sum()))

@@ -2989,3 +2989,48 @@ def test_png_grayscale_and_rgba_profiles():
     pal = encode(np.zeros((3, 3, 1), dtype=np.uint8), 3)
     with pytest.raises(ValueError):
         _png_pixel_sums(pal)
+
+
+def test_pcm_stats_8_and_24_bit(spark):
+    """PCM stats over 8-bit (unsigned, midpoint-centered) and 24-bit
+    (sign-extended) WAVs match hand-computed integers; an unsupported
+    width nulls out instead of killing the stage."""
+    import io
+    import struct
+    import wave
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    def wav(width, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    def i24(v):
+        return struct.pack("<i", v)[:3]
+
+    vals24 = [0, 1, -1, 8_000_000, -8_388_608, 8_388_607]
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(wav(1, bytes([0, 128, 255, 200]))), "audio/wav"),
+            (2, bytearray(wav(3, b"".join(i24(v) for v in vals24))), "audio/wav"),
+            (3, bytearray(wav(4, b"\x00" * 8)), "audio/wav"),  # 32-bit: poison
+        ],
+        "asset_id LONG, payload BINARY, media_type STRING",
+    )
+    got = {r.asset_id: r for r in M.decode_audio_pcm_stats(assets).collect()}
+    s8 = [-128, 0, 127, 72]
+    assert (got[1].n_samples, got[1].sum_amp, got[1].sum_sq, got[1].peak) == (
+        4, sum(s8), sum(v * v for v in s8), 128,
+    )
+    assert (got[2].n_samples, got[2].sum_amp, got[2].sum_sq, got[2].peak) == (
+        6,
+        sum(vals24),
+        sum(v * v for v in vals24),
+        8_388_608,
+    )
+    assert got[3].n_samples is None
