@@ -2360,6 +2360,38 @@ def q_multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_pixel_stats(M.synth_gif_gradient_assets(params))
 
 
+def q_multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY-CODED pixel decode, stdlib+numpy only (multimodal.
+    synth_jpeg_gradient_assets → decode_image_pixel_stats): real
+    baseline JPEGs — Annex K Huffman tables, FDCT → quantize →
+    zigzag → DC-predicted entropy scan with byte stuffing — decoded
+    back by a genuine scan decoder (Huffman walk, EXTEND, dequant,
+    IDCT, block-padding crop). The luminance is constant per 8x8
+    block (``(37·bx + 71·by) % 256``), which makes the lossy DCT
+    round-trip EXACT (constant blocks carry only a DC coefficient,
+    preserved bit-for-bit by the all-ones quant table), so the
+    DuckDB oracle recomputes every pixel from (width, height) alone
+    while the scan still exercises wide DC categories, sign
+    changes, EOB runs and 0xFF stuffing. Widths/heights are chosen
+    off the 8-grid so edge-replicated partial blocks are
+    load-bearing. Shrinks the codec boundary again: color/
+    progressive JPEG and WebP/VP8 remain behind it."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 3)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(13) + (F.col("doc_id") % 5) * 7)
+            .cast("long")
+            .alias("width"),
+            (F.lit(11) + (F.col("doc_id") % 4) * 5)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(M.synth_jpeg_gradient_assets(params))
+
+
 def q_multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real AVI round-trip through the stdlib container parser:
     per-document video parameters derived JVM-side (oracle-
@@ -7350,6 +7382,24 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                px.sum_r, px.sum_g, px.sum_b
         FROM prm JOIN px USING (asset_id)
     """
+    o["multimodal_jpeg_pixels"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 13 + (doc_id % 5) * 7 AS w,
+                 11 + (doc_id % 4) * 5 AS h
+          FROM documents WHERE doc_id % 7 = 3
+        ),
+        px AS (
+          SELECT asset_id,
+                 CAST(sum((37 * ((i % w) // 8) + 71 * ((i // w) // 8))
+                      % 256) AS BIGINT) AS s
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               px.s AS sum_r, px.s AS sum_g, px.s AS sum_b
+        FROM prm JOIN px USING (asset_id)
+    """
     o["obs_expectations"] = """
         WITH li AS (
           SELECT count(*) AS total,
@@ -7957,14 +8007,17 @@ FROM g
 # their streaming twins, url domains, file census) plus the 13
 # r8-new entries (the seven snap_* snapshot-table lanes, the
 # exactly-once streaming snap ingest, the Python streaming
-# DataSource lane, the GIF/PNG/PPM pixel decodes, and the decoded-
-# signature image dedup) — then (b) 15 stalest re-records: the 9
-# entries last recorded in r3 and the first 6 of the r4 group.
+# DataSource lane, the JPEG/GIF/PNG/PPM pixel decodes, and the
+# decoded-signature image dedup) — then (b) stalest re-records: the
+# 9 entries last recorded in r3 and the head of the r4 group (each
+# new lane prepended mid-round displaces one previously-recorded
+# re-record off the 50-entry window, never a never-recorded one).
 # After r8 every entry in this dict has been driver-recorded at
 # least once. All 50 are selfcheck-green at sf0.001+sf0.01 and
 # ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
     "snap_time_travel": q_snap_time_travel,
     "snap_delete_cow": q_snap_delete_cow,
     "snap_range_skip": q_snap_range_skip,

@@ -86,7 +86,9 @@ def _jpeg_dimensions(payload: bytes) -> dict:
     ``0xCC``) carries sample precision, height, width — always before
     the scan data (SOS ``0xDA``), so the walk never touches entropy-
     coded bytes. This is the metadata a multimodal pipeline filters
-    on; full PIXEL decode (huffman + IDCT) stays behind a real codec.
+    on; baseline grayscale PIXEL decode (huffman + IDCT) lives in
+    :func:`_jpeg_pixel_sums`; color/progressive scans stay behind a
+    real codec.
     """
     import struct
 
@@ -268,7 +270,8 @@ def decode_image(payload: bytes) -> dict:
     raise NotImplementedError(
         "only BMP/PNG/GIF/PPM/PGM/JPEG/WEBP/TIFF headers are "
         "stdlib-parseable — other formats (and pixel decode beyond "
-        "BMP/PNG) require PIL/OpenCV, not installed in this environment"
+        "BMP/PNG/GIF/PPM/baseline-grayscale-JPEG) require PIL/OpenCV, "
+        "not installed in this environment"
     )
 
 
@@ -1476,11 +1479,13 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
     color table), or binary netpbm P6/P5 (comment-bearing header,
     raw raster — all stdlib-only) and reduce to
     exact-integer per-channel sums (mean brightness, channel balance,
-    and exposure heuristics derive from these downstream). Arrow
-    ``mapInPandas``; poison payloads (null / unknown magic /
-    unsupported profile / truncated or bit-flipped chunks) yield null
-    stats, never a dead stage. JPEG/WebP pixel data (DCT/VP8 entropy
-    codecs) remain the boundary."""
+    and exposure heuristics derive from these downstream). Baseline
+    grayscale JPEG scans are entropy-decoded too (Huffman + dequant +
+    IDCT, :func:`_jpeg_pixel_sums`). Arrow ``mapInPandas``; poison
+    payloads (null / unknown magic / unsupported profile / truncated
+    or bit-flipped chunks) yield null stats, never a dead stage.
+    Color/progressive JPEG and WebP (VP8) pixel data remain the
+    boundary."""
     import struct
 
     import numpy as np
@@ -1507,6 +1512,13 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
                         continue
                     if raw[:2] in (b"P5", b"P6"):
                         n, sr, sg, sb = _ppm_pixel_sums(raw)
+                        rows["n_pixels"].append(n)
+                        rows["sum_r"].append(sr)
+                        rows["sum_g"].append(sg)
+                        rows["sum_b"].append(sb)
+                        continue
+                    if raw[:2] == b"\xff\xd8":
+                        n, sr, sg, sb = _jpeg_pixel_sums(raw)
                         rows["n_pixels"].append(n)
                         rows["sum_r"].append(sr)
                         rows["sum_g"].append(sg)
@@ -1589,6 +1601,380 @@ def synth_jpeg_assets(
             )
 
     return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+# Baseline-JPEG constants (ITU T.81 Annex K — public spec tables).
+# Zigzag: index z of the scan order -> (row, col) flat offset in the
+# 8x8 coefficient block.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+# Annex K.3 luminance Huffman tables: (BITS[1..16], HUFFVAL).
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _jpeg_huff_tables(bits, vals):
+    """Canonical JPEG Huffman code assignment (T.81 C.2): returns
+    (encode: sym -> (code, length), decode: (length, code) -> sym)."""
+    enc, dec, code, k = {}, {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            enc[sym] = (code, length)
+            dec[(length, code)] = sym
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+def _jpeg_dct_matrix():
+    """The 8x8 DCT-II basis T with T[u,x] = C(u)/2 · cos((2x+1)uπ/16);
+    FDCT is T·s·Tᵀ, IDCT is Tᵀ·S·T. Shared by the synth encoder and
+    the decoder so both sides agree bit-for-bit on DC-only blocks."""
+    import math
+
+    import numpy as np
+
+    t = np.zeros((8, 8))
+    for u in range(8):
+        c = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            t[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return t
+
+
+class _JpegBitWriter:
+    """MSB-first entropy bit sink with JPEG byte stuffing (a 0xFF data
+    byte is followed by 0x00 so it can't alias a marker); flush pads
+    the tail with 1-bits per T.81 F.1.2.3."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0xFF, 8 - self.nbits)
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first entropy bit source that un-stuffs 0xFF00 and treats
+    any bare marker inside the scan as poison (DRI/RST unsupported —
+    the synth profile never emits them)."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("jpeg: scan data exhausted")
+        byte = self.buf[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.buf) or self.buf[self.pos] != 0x00:
+                raise ValueError("jpeg: marker inside entropy data")
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read(self, length: int) -> int:
+        while self.nbits < length:
+            self._fill()
+        val = (self.acc >> (self.nbits - length)) & ((1 << length) - 1)
+        self.nbits -= length
+        return val
+
+    def read_huff(self, dec: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = dec.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _jpeg_extend(val: int, ssss: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the ssss received bits back to the
+    signed amplitude (low half of the range is negative)."""
+    if ssss and val < (1 << (ssss - 1)):
+        return val - (1 << ssss) + 1
+    return val
+
+
+def _jpeg_encode_block(wr, enc_dc, enc_ac, zz, pred: int) -> int:
+    """Entropy-code one zigzagged, quantized 8x8 block: Huffman DC
+    diff (category + amplitude bits), AC run/size pairs with ZRL and
+    EOB. Returns the new DC predictor."""
+    diff = int(zz[0]) - pred
+    mag = abs(diff)
+    ssss = mag.bit_length()
+    code, ln = enc_dc[ssss]
+    wr.write(code, ln)
+    if ssss:
+        wr.write(diff if diff >= 0 else diff + (1 << ssss) - 1, ssss)
+    run = 0
+    for k in range(1, 64):
+        coef = int(zz[k])
+        if coef == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[0xF0]  # ZRL: sixteen zeros
+            wr.write(code, ln)
+            run -= 16
+        s = abs(coef).bit_length()
+        code, ln = enc_ac[(run << 4) | s]
+        wr.write(code, ln)
+        wr.write(coef if coef >= 0 else coef + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = enc_ac[0x00]  # EOB
+        wr.write(code, ln)
+    return int(zz[0])
+
+
+def synth_jpeg_gradient_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL baseline JPEGs — SOI, JFIF APP0, DQT, SOF0,
+    the two Annex K luminance DHTs, SOS, an entropy-coded scan (FDCT →
+    quantize → zigzag → Huffman with DC prediction, ZRL/EOB, byte
+    stuffing), EOI — via Arrow ``mapInPandas``. Grayscale (one
+    component, no subsampling), quantization table all-ones, and the
+    luminance is CONSTANT PER 8x8 BLOCK: ``v(bx,by) = (37·bx + 71·by)
+    % 256`` (bx = x//8). A constant block has only a DC coefficient
+    (8·(v−128), preserved exactly by q=1), and the IDCT of a DC-only
+    block is exactly flat — so baseline JPEG round-trips these pixels
+    LOSSLESSLY and an external oracle recomputes every pixel from
+    (width, height) alone, while the scan still exercises real
+    Huffman/DC-diff/byte-stuffing entropy coding (the 37/71 strides
+    make successive DC diffs span sign changes and wide categories).
+    Partial edge blocks are padded by edge replication, which keeps
+    them constant too. The encoder runs the full FDCT pipeline (the
+    block-constant input is data, not a shortcut)."""
+    import struct
+
+    import numpy as np
+
+    enc_dc, _ = _jpeg_huff_tables(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    enc_ac, _ = _jpeg_huff_tables(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    tmat = _jpeg_dct_matrix()
+    zz_order = np.asarray(_JPEG_ZIGZAG)
+
+    def one(w: int, h: int) -> bytes:
+        bx = np.arange(w, dtype=np.int64)[None, :] // 8
+        by = np.arange(h, dtype=np.int64)[:, None] // 8
+        img = ((37 * bx + 71 * by) % 256).astype(np.float64)
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        pad = np.pad(
+            img, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge"
+        )
+        wr = _JpegBitWriter()
+        pred = 0
+        for r in range(nby):
+            for c in range(nbx):
+                blk = pad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - 128.0
+                coef = np.rint(tmat @ blk @ tmat.T).astype(np.int64)
+                zz = coef.reshape(64)[zz_order]
+                pred = _jpeg_encode_block(wr, enc_dc, enc_ac, zz, pred)
+        scan = wr.flush()
+        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        dqt = b"\x00" + bytes([1] * 64)
+        sof0 = b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+        dht_dc = b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        dht_ac = b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        sos = b"\x01\x01\x00\x00\x3f\x00"
+        seg = lambda m, b: m + struct.pack(">H", len(b) + 2) + b  # noqa: E731
+        return b"".join(
+            [
+                b"\xff\xd8",
+                seg(b"\xff\xe0", app0),
+                seg(b"\xff\xdb", dqt),
+                seg(b"\xff\xc0", sof0),
+                seg(b"\xff\xc4", dht_dc),
+                seg(b"\xff\xc4", dht_ac),
+                seg(b"\xff\xda", sos),
+                scan,
+                b"\xff\xd9",
+            ]
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(w), int(h))
+                        for w, h in zip(pdf[width_col], pdf[height_col])
+                    ],
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _jpeg_pixel_sums(raw: bytes) -> tuple:
+    """Decode a baseline grayscale JPEG (SOF0, one component, no
+    subsampling, no restart markers) to exact integer pixel sums:
+    segment walk → canonical Huffman tables → entropy decode (DC
+    prediction + EXTEND, AC run/size with ZRL/EOB, 0xFF00
+    un-stuffing) → dequantize → de-zigzag → IDCT → clamp → crop the
+    block padding. Anything outside that profile (color, progressive,
+    DRI, 12-bit) raises and the caller nulls the row out. Returns
+    (n_pixels, s, s, s) — grayscale reports the luminance sum on all
+    three channels, the PGM convention. On the synth block-constant
+    profile the round-trip is exact (DC-only blocks); on general
+    baseline scans it is a spec-shaped decode with float IDCT."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not JPEG")
+    pos = 2
+    qt = {}
+    huff_dc, huff_ac = {}, {}
+    w = h = None
+    comp_q = dc_id = ac_id = None
+    scan_start = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker alignment")
+        marker = raw[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", raw, pos + 2)
+        seg = raw[pos + 4 : pos + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("jpeg: truncated segment")
+        if marker == 0xDB:
+            at = 0
+            while at < len(seg):
+                pq, tq = seg[at] >> 4, seg[at] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant table")
+                qt[tq] = np.frombuffer(
+                    seg, dtype=np.uint8, count=64, offset=at + 1
+                ).astype(np.int64)
+                at += 65
+        elif marker == 0xC4:
+            at = 0
+            while at + 17 <= len(seg):
+                cls, tid = seg[at] >> 4, seg[at] & 0x0F
+                bits = tuple(seg[at + 1 : at + 17])
+                nval = sum(bits)
+                vals = tuple(seg[at + 17 : at + 17 + nval])
+                _, dec = _jpeg_huff_tables(bits, vals)
+                (huff_dc if cls == 0 else huff_ac)[tid] = dec
+                at += 17 + nval
+        elif marker == 0xC0:
+            if seg[0] != 8:
+                raise ValueError("jpeg: precision != 8")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            if seg[5] != 1 or seg[7] != 0x11:
+                raise ValueError("jpeg: not single-component 1x1")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: non-baseline frame")
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", seg, 0)[0] != 0:
+                raise ValueError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:
+            if seg[0] != 1:
+                raise ValueError("jpeg: multi-component scan")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_start is None or w is None or comp_q not in qt:
+        raise ValueError("jpeg: missing SOF/SOS/DQT")
+    if dc_id not in huff_dc or ac_id not in huff_ac:
+        raise ValueError("jpeg: missing Huffman tables")
+    end = raw.rfind(b"\xff\xd9")
+    if end < scan_start:
+        raise ValueError("jpeg: missing EOI")
+    rd = _JpegBitReader(raw[scan_start:end])
+    dec_dc, dec_ac = huff_dc[dc_id], huff_ac[ac_id]
+    quant = qt[comp_q]
+    tmat = _jpeg_dct_matrix()
+    zz_pos = np.asarray(_JPEG_ZIGZAG)
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
+    pred = 0
+    for r in range(nby):
+        for c in range(nbx):
+            zz = np.zeros(64, dtype=np.int64)
+            ssss = rd.read_huff(dec_dc)
+            if ssss > 11:
+                raise ValueError("jpeg: DC category out of range")
+            pred += _jpeg_extend(rd.read(ssss), ssss) if ssss else 0
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = rd.read_huff(dec_ac)
+                run, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("jpeg: AC index overflow")
+                zz[k] = _jpeg_extend(rd.read(s), s)
+                k += 1
+            coef = np.zeros(64, dtype=np.int64)
+            coef[zz_pos] = zz * quant[np.arange(64)]
+            blk = tmat.T @ coef.reshape(8, 8).astype(np.float64) @ tmat
+            px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.int64)
+            out[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = px
+    s = int(out[:h, :w].sum())
+    return (w * h, s, s, s)
 
 
 def decode_image_features(assets: DataFrame) -> DataFrame:

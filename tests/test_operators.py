@@ -2871,6 +2871,196 @@ def test_gif_lzw_codec_fuzz():
         assert got[0] == truth[0]
 
 
+def test_jpeg_pixel_roundtrip_spark(spark):
+    """Baseline-JPEG scans must round-trip the block-constant
+    gradient EXACTLY (constant 8x8 blocks have only a DC
+    coefficient; q=1 preserves it; IDCT of DC-only is flat) —
+    including off-grid widths/heights whose edge-replicated partial
+    blocks are cropped back out — and the synthesized container must
+    also satisfy the standalone dimension decoder."""
+    from geniepool_etl_spark.operators import multimodal as M
+
+    shapes = {1: (13, 11), 2: (20, 16), 3: (41, 26), 4: (1, 1)}
+    params = spark.createDataFrame(
+        [(a, w, h) for a, (w, h) in shapes.items()],
+        "asset_id LONG, width LONG, height LONG",
+    )
+    assets = M.synth_jpeg_gradient_assets(params)
+    meta = {r.asset_id: r for r in M.decode_image_features(assets).collect()}
+    assert (meta[1].width, meta[1].height) == (13, 11)
+    assert meta[2].format == "jpeg" and meta[2].bit_depth == 8
+
+    got = {
+        r.asset_id: r
+        for r in M.decode_image_pixel_stats(assets).collect()
+    }
+    for aid, (w, h) in shapes.items():
+        exp = sum(
+            (37 * (x // 8) + 71 * (y // 8)) % 256
+            for x in range(w)
+            for y in range(h)
+        )
+        r = got[aid]
+        assert (r.n_pixels, r.sum_r, r.sum_g, r.sum_b) == (
+            w * h, exp, exp, exp,
+        ), (aid, w, h)
+
+
+def test_jpeg_general_scan_entropy_exact():
+    """The scan decoder is a GENERAL baseline decoder, not a DC-only
+    shortcut: a per-pixel (non-block-constant) image produces dense
+    AC coefficients (runs, ZRL, sign changes, wide categories), and
+    the Huffman entropy layer must round-trip every quantized
+    coefficient exactly — verified by comparing the decoded sums
+    against this test's own dequant+IDCT reconstruction of the very
+    coefficients it encoded."""
+    import struct
+
+    import numpy as np
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(8)
+    w, h = 21, 13
+    img = rng.randint(0, 256, size=(h, w)).astype(np.float64)
+    tmat = M._jpeg_dct_matrix()
+    zz_order = np.asarray(M._JPEG_ZIGZAG)
+    enc_dc, _ = M._jpeg_huff_tables(M._JPEG_DC_BITS, M._JPEG_DC_VALS)
+    enc_ac, _ = M._jpeg_huff_tables(M._JPEG_AC_BITS, M._JPEG_AC_VALS)
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    pad = np.pad(img, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+    wr = M._JpegBitWriter()
+    pred = 0
+    recon = np.zeros_like(pad)
+    for r in range(nby):
+        for c in range(nbx):
+            blk = pad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - 128.0
+            coef = np.rint(tmat @ blk @ tmat.T).astype(np.int64)
+            zz = coef.reshape(64)[zz_order]
+            pred = M._jpeg_encode_block(wr, enc_dc, enc_ac, zz, pred)
+            # the test's own reconstruction of what a correct decoder
+            # must produce from these exact coefficients
+            back = tmat.T @ coef.astype(np.float64) @ tmat
+            recon[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = np.clip(
+                np.rint(back) + 128, 0, 255
+            )
+    scan = wr.flush()
+    seg = lambda m, b: m + struct.pack(">H", len(b) + 2) + b  # noqa: E731
+    raw = b"".join(
+        [
+            b"\xff\xd8",
+            seg(b"\xff\xdb", b"\x00" + bytes([1] * 64)),
+            seg(
+                b"\xff\xc0",
+                b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00",
+            ),
+            seg(
+                b"\xff\xc4",
+                b"\x00" + bytes(M._JPEG_DC_BITS) + bytes(M._JPEG_DC_VALS),
+            ),
+            seg(
+                b"\xff\xc4",
+                b"\x10" + bytes(M._JPEG_AC_BITS) + bytes(M._JPEG_AC_VALS),
+            ),
+            seg(b"\xff\xda", b"\x01\x01\x00\x00\x3f\x00"),
+            scan,
+            b"\xff\xd9",
+        ]
+    )
+    n, sr, sg, sb = M._jpeg_pixel_sums(raw)
+    exp = int(recon[:h, :w].sum())
+    assert (n, sr, sg, sb) == (w * h, exp, exp, exp)
+    # sanity: the random image really exercised nonzero ACs
+    assert len(scan) > nbx * nby * 8
+
+
+def test_jpeg_poison_truncation_and_profile_gates():
+    """Truncations must raise (poison → null row, never a dead
+    stage), and unsupported profiles — color SOF0, progressive SOF2,
+    restart intervals — must be refused rather than mis-decoded.
+    JPEG has no CRC, so unlike PNG a bit flip MAY silently alter
+    sums; the gate here is no-crash, and pixel counts never drift."""
+    import random
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    tmat = M._jpeg_dct_matrix()
+    zz_order = np.asarray(M._JPEG_ZIGZAG)
+    enc_dc, _ = M._jpeg_huff_tables(M._JPEG_DC_BITS, M._JPEG_DC_VALS)
+    enc_ac, _ = M._jpeg_huff_tables(M._JPEG_AC_BITS, M._JPEG_AC_VALS)
+    w, h = 20, 16
+    bx = np.arange(w)[None, :] // 8
+    by = np.arange(h)[:, None] // 8
+    img = ((37 * bx + 71 * by) % 256).astype(np.float64)
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    pad = np.pad(img, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+    wr = M._JpegBitWriter()
+    pred = 0
+    for r in range(nby):
+        for c in range(nbx):
+            blk = pad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - 128.0
+            coef = np.rint(tmat @ blk @ tmat.T).astype(np.int64)
+            pred = M._jpeg_encode_block(
+                wr, enc_dc, enc_ac, coef.reshape(64)[zz_order], pred
+            )
+    seg = lambda m, b: m + struct.pack(">H", len(b) + 2) + b  # noqa: E731
+    base = b"".join(
+        [
+            b"\xff\xd8",
+            seg(b"\xff\xdb", b"\x00" + bytes([1] * 64)),
+            seg(
+                b"\xff\xc0",
+                b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00",
+            ),
+            seg(
+                b"\xff\xc4",
+                b"\x00" + bytes(M._JPEG_DC_BITS) + bytes(M._JPEG_DC_VALS),
+            ),
+            seg(
+                b"\xff\xc4",
+                b"\x10" + bytes(M._JPEG_AC_BITS) + bytes(M._JPEG_AC_VALS),
+            ),
+            seg(b"\xff\xda", b"\x01\x01\x00\x00\x3f\x00"),
+            wr.flush(),
+            b"\xff\xd9",
+        ]
+    )
+    truth = M._jpeg_pixel_sums(base)
+    assert truth[0] == 20 * 16
+    for cut in range(2, len(base) - 1):
+        with pytest.raises(Exception):
+            M._jpeg_pixel_sums(base[:cut])
+    rng = random.Random(8)
+    for _ in range(250):
+        i = rng.randrange(len(base))
+        mutated = (
+            base[:i]
+            + bytes([base[i] ^ (1 << rng.randrange(8))])
+            + base[i + 1 :]
+        )
+        try:
+            got = M._jpeg_pixel_sums(mutated)
+        except Exception:
+            continue
+        # no CRC in JPEG: sums may legitimately differ, but the
+        # decode must stay structurally sane (positive pixel count)
+        assert got[0] > 0
+    # unsupported profiles refuse loudly
+    color_sof = base.replace(
+        b"\x08" + struct.pack(">HH", 16, 20) + b"\x01\x01\x11\x00",
+        b"\x08" + struct.pack(">HH", 16, 20) + b"\x03\x01\x11\x00",
+    )
+    with pytest.raises(Exception):
+        M._jpeg_pixel_sums(color_sof)
+    header_only = base[: base.index(b"\xff\xda")] + b"\xff\xd9"
+    with pytest.raises(Exception):
+        M._jpeg_pixel_sums(header_only)
+
+
 def test_alternating_star_path_graph_log_rounds(spark):
     """A 200-node path is the worst case for min-label propagation
     (O(diameter) = 200 hops); alternating large-star/small-star must
