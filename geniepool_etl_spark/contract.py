@@ -3446,6 +3446,29 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence mining (operators/events.
+    sequence_pattern_counts): each user's time-ordered events fold to
+    a one-char-per-event symbol string (one shuffle on the user key,
+    payload 1 byte/event) and ``V+C[^P]*P`` — views, then a click,
+    then EVENTUALLY a purchase — is counted as non-overlapping regex
+    matches JVM-side. The "eventually" gap is a negated class, not a
+    lazy dot, so Java (Spark) and RE2-style (oracle) engines agree on
+    the scan; ordering ties break on event_id."""
+    ev = E.with_event_time(_events(spark, sf_dir))
+    return E.sequence_pattern_counts(
+        ev,
+        "V+C[^P]*P",
+        {
+            "signup": "S",
+            "view": "V",
+            "click": "C",
+            "purchase": "P",
+            "error": "E",
+        },
+    )
+
+
 def q_f3_collection_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection-function breadth: split, size, array_distinct,
     array_sort, array_join, array_contains, element_at (positive and
@@ -6936,6 +6959,27 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
         SELECT CAST(stage AS INT) AS stage, count(*) AS n_users
         FROM staged GROUP BY stage
     """
+    o["events_pattern_match"] = f"""
+        WITH ev AS (
+          SELECT user_id,
+                 CASE event_type WHEN 'signup' THEN 'S'
+                      WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                      WHEN 'purchase' THEN 'P' WHEN 'error' THEN 'E'
+                      ELSE 'X' END AS sym,
+                 {_EVENT_US} AS ts_us, event_id
+          FROM events
+        ),
+        seq AS (
+          SELECT user_id,
+                 string_agg(sym, '' ORDER BY ts_us, event_id) AS s
+          FROM ev GROUP BY user_id
+        )
+        SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(s, 'V+C[^P]*P'))
+                    AS BIGINT) AS n_matches
+        FROM seq
+        WHERE len(regexp_extract_all(s, 'V+C[^P]*P')) > 0
+    """
     o["events_gap_fill"] = f"""
         WITH e AS (
           SELECT user_id, ({_EVENT_US}) // 86400000000 AS day FROM events
@@ -8017,6 +8061,7 @@ FROM g
 # ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "events_pattern_match": q_events_pattern_match,
     "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
     "snap_time_travel": q_snap_time_travel,
     "snap_delete_cow": q_snap_delete_cow,

@@ -650,3 +650,75 @@ def funnel_stages(
     return out.select(
         F.col("user").alias(user_col), stage.cast("int").alias("stage")
     )
+
+
+def sequence_pattern_counts(
+    df: DataFrame,
+    pattern: str,
+    symbols: dict[str, str],
+    user_col: str = "user_id",
+    default_symbol: str = "X",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection per user: map
+    each event type to a one-character symbol, fold the user's
+    time-ordered events into a compact symbol string, and count
+    non-overlapping regex matches of ``pattern`` over it — the
+    classic "V+C[^P]*P"-shaped funnel/behavior miner that SQL engines
+    expose as MATCH_RECOGNIZE. Returns (user, n_events, n_matches)
+    for users with at least one match.
+
+    Engine-portability rule for callers: keep patterns in the
+    deterministic subset — literals, classes, NEGATED classes for
+    "eventually" gaps (``[^P]*P``, never ``.*?P``), ``+``/``*`` on
+    those — so backtracking (Java) and automaton (RE2-style) engines
+    agree on the non-overlapping leftmost scan.
+
+    Plan: ONE shuffle on the high-cardinality user key, and the
+    shuffled payload per event is a (ts_us, event_id, 1-char symbol)
+    struct — the pattern never sees raw event rows. The per-user
+    string is bounded by events-per-user (sessions at 100 TB are
+    bounded; a runaway key is capped upstream by debounce/sessionize),
+    ordering is total (ts, then event id), and the regex runs
+    JVM-side (``regexp_count``) inside whole-stage codegen — no UDFs.
+    Expects ``ts_us`` (see :func:`with_event_time`).
+    """
+    sym = None
+    for etype, ch in symbols.items():
+        cond = F.when(F.col("event_type") == etype, F.lit(ch))
+        sym = cond if sym is None else sym.when(
+            F.col("event_type") == etype, F.lit(ch)
+        )
+    sym = (
+        sym.otherwise(F.lit(default_symbol))
+        if sym is not None
+        else F.lit(default_symbol)
+    )
+    seq = (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.struct(
+                F.col("ts_us").alias("t"),
+                F.col("event_id").alias("i"),
+                sym.alias("s"),
+            ).alias("ev"),
+        )
+        .groupBy("user")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("ev")), lambda e: e["s"]
+                ),
+            ).alias("_seq")
+        )
+    )
+    return (
+        seq.select(
+            F.col("user").alias(user_col),
+            F.length("_seq").cast("long").alias("n_events"),
+            F.regexp_count(F.col("_seq"), F.lit(pattern))
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .where(F.col("n_matches") > 0)
+    )

@@ -457,6 +457,55 @@ def test_decode_unsupported_codecs_raise():
         M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
+def test_sequence_pattern_counts_semantics(spark):
+    """Hand-checkable sequence mining: V+C[^P]*P over per-user symbol
+    strings — non-overlapping scan, 'eventually' gap that cannot
+    cross a purchase, ts ties broken by event_id, zero-match users
+    filtered out."""
+    from geniepool_etl_spark.operators.events import (
+        sequence_pattern_counts,
+    )
+
+    rows = []
+    # user 1: VVCEEP VCP -> 2 matches (non-overlapping)
+    for i, t in enumerate("VVCEEPVCP"):
+        rows.append((i, 1_000_000 * i, 1, t))
+    # user 2: VCEPVCPP -> VCEP (gap 'E') then VCP; the trailing P
+    # alone starts no fresh match (no leading V+C) -> 2 matches
+    for i, t in enumerate("VCEPVCPP"):
+        rows.append((100 + i, 1_000_000 * i, 2, t))
+    # user 3: CP only (no V) -> filtered out entirely
+    for i, t in enumerate("CPCP"):
+        rows.append((200 + i, 1_000_000 * i, 3, t))
+    # user 4: ts tie — event_id orders V(id=300) before C(id=301)
+    rows.append((301, 5_000_000, 4, "C"))
+    rows.append((300, 5_000_000, 4, "V"))
+    rows.append((302, 6_000_000, 4, "P"))
+    sym_to_type = {
+        "S": "signup", "V": "view", "C": "click",
+        "P": "purchase", "E": "error",
+    }
+    ev = spark.createDataFrame(
+        [
+            (eid, ts, uid, sym_to_type[s])
+            for eid, ts, uid, s in rows
+        ],
+        "event_id LONG, ts_us LONG, user_id LONG, event_type STRING",
+    )
+    got = {
+        r.user_id: (r.n_events, r.n_matches)
+        for r in sequence_pattern_counts(
+            ev,
+            "V+C[^P]*P",
+            {
+                "signup": "S", "view": "V", "click": "C",
+                "purchase": "P", "error": "E",
+            },
+        ).collect()
+    }
+    assert got == {1: (9, 2), 2: (8, 2), 4: (3, 1)}
+
+
 def test_funnel_stage_semantics(spark):
     """Ordering gate: events only count at or after the previous
     stage's earliest completion, and within the conversion window."""
