@@ -4793,6 +4793,18 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_next_words(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations (operators/text.pmi_collocations):
+    bigram counts with unigram margins from the bigram table itself
+    (one tokenize pass), PMI rounded to integer 1/10000-nat units
+    BEFORE the global top-k (TakeOrderedAndProject, (l, r) tiebreak)
+    so float ordering never decides the cut; min_count=3 suppresses
+    the hapax-pair pathology."""
+    return TX.pmi_collocations(
+        _t(spark, sf_dir, "documents"), k=20, min_count=3
+    )
+
+
 def q_lake_file_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lake file-layout census through the ``_metadata`` hidden
     column: write a partitioned lake with a bounded
@@ -7785,6 +7797,35 @@ FROM g
         FROM dp JOIN s ON dp.l = s.l AND dp.r = s.r
         GROUP BY dp.doc_id
     """
+    o["text_collocations"] = r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ),
+        c AS (
+          SELECT w[i] AS l, w[i + 1] AS r,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM tok, UNNEST(range(1, len(w))) AS u(i)
+          GROUP BY 1, 2
+        ),
+        lm AS (SELECT l, CAST(sum(n) AS BIGINT) AS cl FROM c GROUP BY 1),
+        rm AS (SELECT r, CAST(sum(n) AS BIGINT) AS cr FROM c GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS nb FROM c),
+        s AS (
+          SELECT c.l, c.r, c.n,
+                 CAST(round(ln(CAST(t.nb AS DOUBLE) * c.n
+                              / (lm.cl * rm.cr)) * 10000)
+                   AS BIGINT) AS s
+          FROM c
+          JOIN lm USING (l)
+          JOIN rm USING (r)
+          CROSS JOIN t
+          WHERE c.n >= 3
+        )
+        SELECT l, r, n, round(s / 10000.0, 4) AS pmi
+        FROM s ORDER BY s DESC, l, r LIMIT 20
+    """
     o["a15_decimal_money"] = """
         SELECT o_orderstatus,
                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -8061,6 +8102,7 @@ FROM g
 # ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "text_collocations": q_text_collocations,
     "events_pattern_match": q_events_pattern_match,
     "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
     "snap_time_travel": q_snap_time_travel,

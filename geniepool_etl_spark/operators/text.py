@@ -998,3 +998,81 @@ def bigram_next_words(
         )
     )
     return ranked.where(F.col("rnk") <= k)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information over
+    adjacent word pairs — the classic "strongly associated phrase"
+    miner (New York, machine learning) behind phrase vocabularies and
+    tokenizer pre-segmentation. ``PMI = ln(N·n(l,r) / (c(l)·c(r)))``
+    with the unigram margins taken from the bigram table itself
+    (row/column totals), so ONE tokenize pass feeds everything.
+
+    Cross-engine determinism: PMI is rounded to an INTEGER in units
+    of ``1/scale`` nats and the top-k ranks on that integer with a
+    (l, r) tiebreak — float ordering never decides the cut. The
+    ``min_count`` floor kills the PMI pathology where a pair of
+    hapaxes scores highest.
+
+    Plan: one bigram aggregate on the (l, r) key; the margins —
+    |vocab| rows each — broadcast back to it (never a window over the
+    skewed word key, the transition_counts rule); the global top-k is
+    an orderBy+limit that Catalyst executes as TakeOrderedAndProject
+    (per-partition heaps, no full sort). At vocabularies too large to
+    broadcast, drop the hints and AQE falls back to keyed joins on
+    the same word keys.
+    """
+    w = words_col(F.lower(F.col(text_col)))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array())
+    counts = (
+        df.select(F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    left = counts.groupBy("l").agg(F.sum("n").alias("_cl"))
+    right = counts.groupBy("r").agg(F.sum("n").alias("_cr"))
+    tot = counts.agg(F.sum("n").alias("_N"))
+    scored = (
+        counts.where(F.col("n") >= min_count)
+        .join(F.broadcast(left), "l")
+        .join(F.broadcast(right), "r")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l",
+            "r",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.log(
+                    F.col("_N").cast("double")
+                    * F.col("n")
+                    / (F.col("_cl") * F.col("_cr"))
+                )
+                * scale
+            )
+            .cast("long")
+            .alias("_s"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_s").desc(), "l", "r")
+        .limit(k)
+        .select(
+            "l",
+            "r",
+            "n",
+            F.round(F.col("_s").cast("double") / scale, 4).alias("pmi"),
+        )
+    )

@@ -457,6 +457,37 @@ def test_decode_unsupported_codecs_raise():
         M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
+def test_pmi_collocations_ranking_and_ties(spark):
+    """Hand-computed PMI with a deliberate three-way tie at ln 3:
+    every surviving pair scores round(ln3·10⁴)=10986, so the result
+    order (and a k=2 cut) is decided purely by the (l, r) tiebreak —
+    the determinism rule under test. min_count drops the hapax pair
+    (is, old)."""
+    from geniepool_etl_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big"),
+            (2, "new york is old"),
+            (3, "new york is big"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = pmi_collocations(docs, k=10, min_count=2).collect()
+    got = [(r.l, r.r, r.n, r.pmi) for r in rows]
+    # N=9; (new,york):3 with margins 3·3, (york,is):3 with 3·3,
+    # (is,big):2 with 3·2 — all ln3; (is,old):1 killed by min_count
+    assert got == [
+        ("is", "big", 2, 1.0986),
+        ("new", "york", 3, 1.0986),
+        ("york", "is", 3, 1.0986),
+    ]
+    cut = [(r.l, r.r) for r in pmi_collocations(
+        docs, k=2, min_count=2
+    ).collect()]
+    assert cut == [("is", "big"), ("new", "york")]
+
+
 def test_sequence_pattern_counts_semantics(spark):
     """Hand-checkable sequence mining: V+C[^P]*P over per-user symbol
     strings — non-overlapping scan, 'eventually' gap that cannot
