@@ -329,6 +329,7 @@ def _run_table(ns: argparse.Namespace) -> int:
     _required = {
         "write": ("input",),
         "read": ("output",),
+        "point": ("output", "col", "value"),
         "merge": ("input", "keys"),
         "delete": ("predicate",),
     }
@@ -344,10 +345,24 @@ def _run_table(ns: argparse.Namespace) -> int:
         v = T.write_table(
             df, ns.table, mode=ns.mode,
             stats_cols=tuple(ns.stats_cols or ()),
+            bloom_cols=tuple(ns.bloom_cols or ()),
         )
         print(v)
     elif op == "read":
         out = T.read_table(spark, ns.table, version=ns.version)
+        out.write.mode("overwrite").parquet(ns.output)
+        print(out.count())
+    elif op == "point":
+        # the probe string coerces via the column's declared type in
+        # read_point; ints are the common key case
+        try:
+            val = int(ns.value)
+        except ValueError:
+            val = ns.value
+        print(T.point_scan_stats(spark, ns.table, ns.col, val))
+        out = T.read_point(
+            spark, ns.table, ns.col, val, version=ns.version
+        )
         out.write.mode("overwrite").parquet(ns.output)
         print(out.count())
     elif op == "merge":
@@ -460,8 +475,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "op",
         choices=[
-            "write", "read", "merge", "delete", "compact", "vacuum",
-            "history",
+            "write", "read", "point", "merge", "delete", "compact",
+            "vacuum", "history",
         ],
     )
     s.add_argument("table")
@@ -470,6 +485,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mode", default="create",
                    choices=["create", "append", "overwrite"])
     s.add_argument("--stats-cols", nargs="*")
+    s.add_argument("--bloom-cols", nargs="*")
+    s.add_argument("--col")
+    s.add_argument("--value")
     s.add_argument("--keys", nargs="+")
     s.add_argument("--predicate")
     s.add_argument("--version", type=int)

@@ -383,6 +383,58 @@ def q_snap_range_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (snaptable.read_point): orders
+    committed as 8 HASH-clustered files — every file's [min, max]
+    o_orderkey spans the whole key range, so manifest min/max stats
+    prune NOTHING — with a per-file 16384-bit xxhash64 Bloom bitset
+    recorded in the manifest. A point lookup for a mid-range key
+    (deterministically derived: the smallest key ≥ (min+max)/2)
+    bloom-prunes to ~1 file DRIVER-SIDE; the entry raises unless
+    bloom strictly beats stats, the skipping property it exists to
+    exercise. The probe literal is hashed under the column's declared
+    type (int vs long hash differently — the cross-type trap the
+    probe helper exists to close)."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_bl"), "t")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    T.write_table(
+        orders.repartition(8, "o_orderkey"),
+        out,
+        "create",
+        stats_cols=("o_orderkey",),
+        bloom_cols=("o_orderkey",),
+    )
+    mn, mx = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    pk = (
+        orders.where(F.col("o_orderkey") >= (mn + mx) // 2)
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    total, after_stats, after_bloom = T.point_scan_stats(
+        spark, out, "o_orderkey", pk
+    )
+    if not after_bloom < after_stats:
+        raise AssertionError(
+            f"snap_bloom_skip: bloom pruned nothing beyond stats "
+            f"({total}/{after_stats}/{after_bloom}) — the skipping "
+            "property this entry exists to exercise"
+        )
+    got = T.read_point(spark, out, "o_orderkey", pk)
+    return got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+
+
 def q_snap_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-only change feed (snaptable.read_changes): after
     create(F) → append(O) → append(P), the changes SINCE version 0
@@ -5605,6 +5657,21 @@ def _oracles() -> dict[str, str]:
                     AS BIGINT) AS sum_cents
         FROM orders WHERE o_orderkey BETWEEN 100 AND 700
     """
+    o["snap_bloom_skip"] = """
+        WITH b AS (
+          SELECT (min(o_orderkey) + max(o_orderkey)) // 2 AS thr
+          FROM orders
+        ),
+        p AS (
+          SELECT min(o_orderkey) AS pk FROM orders, b
+          WHERE o_orderkey >= b.thr
+        )
+        SELECT count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders, p WHERE o_orderkey = p.pk
+    """
     o["snap_change_feed"] = """
         WITH c AS (
           SELECT o_orderstatus AS s,
@@ -8102,6 +8169,7 @@ FROM g
 # ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "snap_bloom_skip": q_snap_bloom_skip,
     "text_collocations": q_text_collocations,
     "events_pattern_match": q_events_pattern_match,
     "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,

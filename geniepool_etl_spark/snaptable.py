@@ -18,10 +18,14 @@ Layout::
       data/<token>/part-*.parquet one directory per commit's files
 
 Each manifest is a SELF-CONTAINED snapshot: the full file list with
-per-file row counts and min/max stats for the declared ``stats_cols``
-(an Iceberg-style manifest, flattened — at this repo's manifest sizes
-one JSON document per version beats a manifest-of-manifests tree and
-keeps recovery trivial: the table state IS the highest manifest).
+per-file row counts, min/max stats for the declared ``stats_cols``,
+and optional per-file Bloom bitsets for ``bloom_cols`` (point-lookup
+skipping where hash-clustered layouts defeat min/max — the
+Parquet-bloom idea lifted to the manifest so the decision stays
+driver-side). An Iceberg-style manifest, flattened — at this repo's
+manifest sizes one JSON document per version beats a
+manifest-of-manifests tree and keeps recovery trivial: the table
+state IS the highest manifest.
 
 Commit protocol (optimistic concurrency, the public Delta-on-HDFS
 recipe): data files land in a fresh ``data/<token>/`` directory that
@@ -114,12 +118,20 @@ def _stage_files(
     table_path: str,
     stats_cols: tuple,
     target_files: int | None,
+    bloom_cols: tuple = (),
+    bloom_bits: int = 16384,
+    bloom_hashes: int = 4,
 ) -> list[dict]:
     """Write ``df``'s rows into a fresh ``data/<token>/`` directory
     (invisible until a manifest references it) and return file entries
     with per-file row counts and min/max stats — ONE metadata job over
     the freshly written files (footer-friendly column scan), keyed on
-    ``input_file_name`` so stats stay exact per file."""
+    ``input_file_name`` so stats stay exact per file. ``bloom_cols``
+    additionally records a per-file Bloom bitset (``bloom_bits`` bits,
+    ``bloom_hashes`` ``xxhash64(col, seed)`` probes) for point-lookup
+    file skipping where min/max can't discriminate (hash-clustered
+    layouts); one extra aggregate per bloom column, bounded at
+    ``min(distinct, bits)`` positions per file."""
     token = uuid.uuid4().hex[:12]
     rel = os.path.join(_DATA_DIR, token)
     out_dir = os.path.join(table_path, rel)
@@ -146,6 +158,38 @@ def _stage_files(
                 c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
             }
         files.append(entry)
+    blooms: dict[str, dict[str, str]] = {}
+    for c in bloom_cols:
+        probes = F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(F.col(c), F.lit(i)), F.lit(bloom_bits)
+                )
+                for i in range(bloom_hashes)
+            ]
+        )
+        per_file_pos = (
+            spark.read.parquet(out_dir)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.explode(probes).alias("_p"),
+            )
+            .groupBy("_f")
+            .agg(F.collect_set("_p").alias("_ps"))
+            .collect()
+        )
+        for r in per_file_pos:
+            mask = 0
+            for p in r["_ps"]:
+                mask |= 1 << int(p)
+            blooms.setdefault(os.path.basename(r["_f"]), {})[c] = (
+                f"{mask:0{bloom_bits // 4}x}"
+            )
+    if bloom_cols:
+        for entry in files:
+            b = blooms.get(os.path.basename(entry["path"]))
+            if b:
+                entry["bloom"] = b
     # an empty input partition can still leave a 0-row part file; the
     # stats job (grouped on rows) never sees it, so drop it from the
     # still-invisible staging dir — a committed token dir's disk
@@ -189,6 +233,9 @@ def write_table(
     target_files: int | None = None,
     max_retries: int = 20,
     props: dict | None = None,
+    bloom_cols: tuple = (),
+    bloom_bits: int = 16384,
+    bloom_hashes: int = 4,
 ) -> int:
     """Commit ``df`` as a new snapshot of ``table_path`` and return
     the committed version. ``mode``:
@@ -217,13 +264,19 @@ def write_table(
         # must stay prunable and readable under the standing manifest
         parent0 = _manifest(spark, fs, P, table_path, head[-1])
         stats_cols = tuple(parent0.get("stats_cols", []))
+        bloom_cols = tuple(parent0.get("bloom_cols", []))
+        bloom_bits = int(parent0.get("bloom_bits", bloom_bits))
+        bloom_hashes = int(parent0.get("bloom_hashes", bloom_hashes))
         if df.schema.json() != parent0["schema"]:
             raise ValueError(
                 "write_table(append): schema differs from the table's "
                 "— evolve with an explicit overwrite, not a silent "
                 "append"
             )
-    files = _stage_files(spark, df, table_path, stats_cols, target_files)
+    files = _stage_files(
+        spark, df, table_path, stats_cols, target_files,
+        bloom_cols, bloom_bits, bloom_hashes,
+    )
     schema_json = df.schema.json()
     for _ in range(max_retries):
         vs = _versions(fs, P, table_path)
@@ -251,6 +304,18 @@ def write_table(
                     "concurrently (head evolved while this append "
                     "was staging); re-stage against the new head"
                 )
+            if (
+                tuple(parent.get("bloom_cols", [])),
+                int(parent.get("bloom_bits", bloom_bits)),
+                int(parent.get("bloom_hashes", bloom_hashes)),
+            ) != (bloom_cols, bloom_bits, bloom_hashes):
+                # staged blooms were computed under the old head's
+                # parameters; committing them under a different
+                # (m, k, cols) contract would make pruning wrong
+                raise ValueError(
+                    "write_table(append): bloom contract changed "
+                    "concurrently; re-stage against the new head"
+                )
             all_files = parent["files"] + files
             schema_json = parent["schema"]
         else:
@@ -262,6 +327,10 @@ def write_table(
             "stats_cols": list(stats_cols),
             "files": all_files,
         }
+        if bloom_cols:
+            manifest["bloom_cols"] = list(bloom_cols)
+            manifest["bloom_bits"] = bloom_bits
+            manifest["bloom_hashes"] = bloom_hashes
         if props:
             manifest["props"] = props
         if _try_commit(spark, table_path, version, manifest):
@@ -391,6 +460,96 @@ def scan_stats(
     fs, P = _hadoop_fs(spark, table_path)
     m = _resolve(spark, fs, P, table_path, None)
     return len(m["files"]), len(_prune_by_stats(m["files"], col, lo, hi))
+
+
+def _bloom_probe_positions(
+    spark: SparkSession, manifest: dict, col: str, value
+) -> list[int] | None:
+    """The ``xxhash64`` bit positions a point probe for ``value``
+    would set, or None when the manifest records no bloom for
+    ``col``. The probe literal is CAST to the column's declared type
+    first — xxhash64 of an int and of a long differ, so hashing the
+    probe under any other type silently disables pruning correctness.
+    One 1-row JVM job keeps probe and build hashing bit-identical."""
+    if col not in manifest.get("bloom_cols", []):
+        return None
+    m = int(manifest["bloom_bits"])
+    k = int(manifest["bloom_hashes"])
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    dtype = schema[col].dataType
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(
+                    F.xxhash64(F.lit(value).cast(dtype), F.lit(i)),
+                    F.lit(m),
+                ).alias(f"p{i}")
+                for i in range(k)
+            ]
+        )
+        .collect()[0]
+    )
+    return [int(row[f"p{i}"]) for i in range(k)]
+
+
+def _prune_by_bloom(files: list, col: str, positions: list[int] | None) -> list:
+    """Keep files whose bloom bitset for ``col`` has ALL probe bits
+    set; files without a recorded bloom (pre-bloom commits, rewrite
+    paths) are conservatively kept — pruning is an optimization,
+    never a filter."""
+    if positions is None:
+        return files
+    out = []
+    for f in files:
+        hexbits = f.get("bloom", {}).get(col)
+        if hexbits is None:
+            out.append(f)
+            continue
+        mask = int(hexbits, 16)
+        if all((mask >> p) & 1 for p in positions):
+            out.append(f)
+    return out
+
+
+def read_point(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup with two-stage DRIVER-SIDE file skipping: manifest
+    min/max stats first, then the per-file Bloom bitsets — the layer
+    that discriminates in hash-clustered layouts where every file's
+    [min, max] spans the whole key range. Surviving files still carry
+    the pushed-down equality filter for parquet row-group pruning. At
+    100 TB the decision reads kilobytes of manifest, no file
+    listings, no data."""
+    fs, P = _hadoop_fs(spark, table_path)
+    m = _resolve(spark, fs, P, table_path, version)
+    pruned = _prune_by_stats(m["files"], col, value, value)
+    pruned = _prune_by_bloom(
+        pruned, col, _bloom_probe_positions(spark, m, col, value)
+    )
+    df = _read_files(spark, table_path, m, pruned)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    return df.where(F.col(col) == F.lit(value).cast(schema[col].dataType))
+
+
+def point_scan_stats(
+    spark: SparkSession, table_path: str, col: str, value
+) -> tuple[int, int, int]:
+    """(files_total, files_after_stats, files_after_bloom) for the
+    point lookup above — the observability hook the bloom-skipping
+    tests assert on (bloom must beat stats on hash layouts)."""
+    fs, P = _hadoop_fs(spark, table_path)
+    m = _resolve(spark, fs, P, table_path, None)
+    after_stats = _prune_by_stats(m["files"], col, value, value)
+    after_bloom = _prune_by_bloom(
+        after_stats, col, _bloom_probe_positions(spark, m, col, value)
+    )
+    return len(m["files"]), len(after_stats), len(after_bloom)
 
 
 def delete_where(

