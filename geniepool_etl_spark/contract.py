@@ -383,6 +383,46 @@ def q_snap_range_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution without rewrite (snaptable.
+    write_table(evolve_schema=True)): customers commit as a 2-column
+    table, then an append lands a third column (exact acctbal cents)
+    for the odd-key half — ZERO data files are rewritten; the
+    manifest's declared schema becomes the superset and the v0 files
+    null-fill the new column at read time (schema-on-read, the
+    Delta/Iceberg add-column shape). The entry raises unless time
+    travel to v0 still shows the ORIGINAL 2-column schema — evolution
+    must not rewrite history. Output: row count, non-null count and
+    exact cents sum of the evolved column."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_ev"), "t")
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name"
+    )
+    evolved = cust.where(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    T.write_table(base, out, "create")
+    T.write_table(evolved, out, "append", evolve_schema=True)
+    if len(T.read_table(spark, out, 0).schema.fields) != 2:
+        raise AssertionError(
+            "snap_schema_evolution: v0 lost its original schema — "
+            "evolution must not rewrite history"
+        )
+    got = T.read_table(spark, out)
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("bal_cents").alias("n_with_bal"),
+        F.sum("bal_cents").alias("sum_bal_cents"),
+    )
+
+
 def q_snap_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter file skipping (snaptable.read_point): orders
     committed as 8 HASH-clustered files — every file's [min, max]
@@ -5657,6 +5697,15 @@ def _oracles() -> dict[str, str]:
                     AS BIGINT) AS sum_cents
         FROM orders WHERE o_orderkey BETWEEN 100 AND 700
     """
+    o["snap_schema_evolution"] = """
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_bal,
+               CAST(sum(CASE WHEN c_custkey % 2 = 1 THEN
+                        CAST(round(c_acctbal * 100) AS BIGINT) END)
+                    AS BIGINT) AS sum_bal_cents
+        FROM customer
+    """
     o["snap_bloom_skip"] = """
         WITH b AS (
           SELECT (min(o_orderkey) + max(o_orderkey)) // 2 AS thr
@@ -8169,6 +8218,7 @@ FROM g
 # ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "snap_schema_evolution": q_snap_schema_evolution,
     "snap_bloom_skip": q_snap_bloom_skip,
     "text_collocations": q_text_collocations,
     "events_pattern_match": q_events_pattern_match,

@@ -225,6 +225,19 @@ def _try_commit(
     return False
 
 
+def _schema_evolves(old_json: str, new_json: str) -> bool:
+    """True iff ``new`` is an ADD-COLUMNS evolution of ``old``: every
+    old field survives with its exact dataType (nullability aside).
+    Renames, drops and type changes are rewrites, not evolutions."""
+    old = StructType.fromJson(json.loads(old_json))
+    new = StructType.fromJson(json.loads(new_json))
+    newf = {f.name: f.dataType for f in new.fields}
+    return all(
+        f.name in newf and newf[f.name] == f.dataType
+        for f in old.fields
+    )
+
+
 def write_table(
     df: DataFrame,
     table_path: str,
@@ -236,6 +249,7 @@ def write_table(
     bloom_cols: tuple = (),
     bloom_bits: int = 16384,
     bloom_hashes: int = 4,
+    evolve_schema: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot of ``table_path`` and return
     the committed version. ``mode``:
@@ -246,6 +260,13 @@ def write_table(
       costs only a manifest retry, never a data rewrite;
     - ``overwrite``: new files REPLACE the file list (old files stay
       on disk for time travel until :func:`vacuum`).
+
+    ``evolve_schema=True`` lets an append ADD columns without any
+    rewrite: the manifest's declared schema becomes the superset and
+    the parent's files null-fill the new columns at read time
+    (schema-on-read under the manifest schema — the Delta/Iceberg
+    add-column shape). Renames, drops and type changes still require
+    an explicit overwrite.
 
     ``props`` (JSON-serializable) rides in the manifest — the hook an
     idempotent writer uses as a commit LEDGER (e.g. a streaming
@@ -267,11 +288,15 @@ def write_table(
         bloom_cols = tuple(parent0.get("bloom_cols", []))
         bloom_bits = int(parent0.get("bloom_bits", bloom_bits))
         bloom_hashes = int(parent0.get("bloom_hashes", bloom_hashes))
-        if df.schema.json() != parent0["schema"]:
+        if df.schema.json() != parent0["schema"] and not (
+            evolve_schema
+            and _schema_evolves(parent0["schema"], df.schema.json())
+        ):
             raise ValueError(
                 "write_table(append): schema differs from the table's "
-                "— evolve with an explicit overwrite, not a silent "
-                "append"
+                "— add-column appends need evolve_schema=True; "
+                "renames/drops/type changes need an explicit "
+                "overwrite, not a silent append"
             )
     files = _stage_files(
         spark, df, table_path, stats_cols, target_files,
@@ -293,7 +318,17 @@ def write_table(
             )
         if mode == "append":
             parent = _manifest(spark, fs, P, table_path, vs[-1])
-            if df.schema.json() != parent["schema"]:
+            if df.schema.json() == parent["schema"]:
+                schema_json = parent["schema"]
+            elif evolve_schema and _schema_evolves(
+                parent["schema"], df.schema.json()
+            ):
+                # add-column evolution: the MERGED declared schema is
+                # ours (a superset of the parent's); the parent's
+                # files null-fill the new columns on read because
+                # _read_files always reads under the manifest schema
+                schema_json = df.schema.json()
+            else:
                 # the pre-staging check ran against the OLD head; a
                 # concurrent overwrite may have evolved the schema —
                 # re-validate against the parent we are about to
@@ -317,7 +352,6 @@ def write_table(
                     "concurrently; re-stage against the new head"
                 )
             all_files = parent["files"] + files
-            schema_json = parent["schema"]
         else:
             all_files = files
         manifest = {

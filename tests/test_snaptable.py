@@ -462,3 +462,43 @@ def test_bloomless_files_kept_conservatively(spark, nums, tdir):
     T.write_table(nums.repartition(3, "k"), tdir, "create")
     assert T.point_scan_stats(spark, tdir, "k", 7) == (3, 3, 3)
     assert T.read_point(spark, tdir, "k", 7).count() == 1
+
+
+def test_schema_evolution_add_column(spark, nums, tdir):
+    """evolve_schema=True appends a superset schema without touching
+    old files: head reads null-fill the new column for v0 rows, time
+    travel to v0 keeps the original 2-column schema, and the v0 data
+    files are byte-identical (referenced, not rewritten)."""
+    T.write_table(nums.where("k < 500"), tdir, "create")
+    v0_files = {f["path"] for f in _manifest(tdir, 0)["files"]}
+    wide = nums.where("k >= 500").withColumn(
+        "extra", F.col("k") * 10
+    )
+    T.write_table(wide, tdir, "append", evolve_schema=True)
+    head = T.read_table(spark, tdir)
+    assert [f.name for f in head.schema.fields] == ["k", "v", "extra"]
+    assert head.count() == 1000
+    assert head.where("extra IS NULL").count() == 500
+    assert head.where("extra = k * 10").count() == 500
+    assert [f.name for f in T.read_table(spark, tdir, 0).schema.fields] == [
+        "k", "v",
+    ]
+    assert v0_files <= {f["path"] for f in _manifest(tdir, 1)["files"]}
+
+
+def test_schema_evolution_rejections(spark, nums, tdir):
+    """Without the flag a widened append still fails loud; with the
+    flag, drops and type changes are still rejected — only pure
+    add-column evolutions pass."""
+    T.write_table(nums, tdir, "create")
+    wide = nums.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="evolve_schema"):
+        T.write_table(wide, tdir, "append")
+    dropped = nums.select("k")
+    with pytest.raises(ValueError):
+        T.write_table(dropped, tdir, "append", evolve_schema=True)
+    retyped = nums.select(
+        F.col("k").cast("int").alias("k"), "v"
+    )
+    with pytest.raises(ValueError):
+        T.write_table(retyped, tdir, "append", evolve_schema=True)
