@@ -3171,6 +3171,23 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors (operators/similarity.
+    ivfpq_topk) — the canonical 100 TB ANN memory shape: IVF probing
+    restricts candidates to inverted lists (equi-join on the centroid
+    key, never all-pairs), and within the lists the distance is the
+    PQ asymmetric-distance approximation — each candidate contributes
+    only its 4 subspace CODES, scored against the query's broadcast
+    per-subspace lookup table; the raw corpus vector never reaches
+    the scoring join. All distances rank as integers (round(L2²·10⁶))
+    with id tiebreaks, so the oracle replays every code and every cut
+    bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(
+        emb, emb.where("vec_id < 8"), k=5, n_centroids=16, nprobe=4
+    )
+
+
 def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF quality gate — the third leg of the ANN instrument set
     (``sim_lsh_recall`` for embedding LSH, ``dedup_lsh_recall`` for
@@ -4054,6 +4071,78 @@ s AS (
 )
 SELECT q_id, n_id, cos_sim FROM s
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
+"""
+
+
+def _sim_ivfpq_oracle() -> str:
+    # Mirrors ivfpq_topk(n_centroids=16, nprobe=4, n_sub=4, dim=64,
+    # n_codes=16, queries = vec_id < 8): IVF lists/probes as in
+    # _sim_ivf_oracle; PQ codes = per-subspace nearest seed sub-slice
+    # by integer-scaled L2² (lowest-j ties); ADC = code-summed LUT.
+    def l2s(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1 + sub.s * 16, 17 + sub.s * 16), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+            "(acc, v) -> acc + v)"
+        )
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm FROM v),
+c AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+asgn AS (
+  SELECT n.vec_id AS id, c.cid,
+         round({_dot_sql('n.e', 'c.ce')} / (n.nrm * c.cnrm), 9) AS cs
+  FROM n CROSS JOIN c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rk
+  FROM asgn
+),
+lists AS (SELECT id AS n_id, cid FROM ranked WHERE rk = 1),
+probes AS (SELECT id AS q_id, cid FROM ranked WHERE rk <= 4 AND id < 8),
+pairs AS (
+  SELECT DISTINCT q_id, n_id FROM probes JOIN lists USING (cid)
+  WHERE q_id <> n_id
+),
+seeds AS (
+  SELECT vec_id AS j, e AS ce FROM v
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+sub AS (SELECT unnest(range(4)) AS s),
+coded AS (
+  SELECT v.vec_id AS id, sub.s, seeds.j,
+         row_number() OVER (
+           PARTITION BY v.vec_id, sub.s
+           ORDER BY CAST(round({l2s('v.e', 'seeds.ce')} * 1000000)
+                         AS BIGINT), seeds.j
+         ) AS rk
+  FROM v CROSS JOIN sub CROSS JOIN seeds
+),
+codes AS (SELECT id, s, j AS code FROM coded WHERE rk = 1),
+lut AS (
+  SELECT v.vec_id AS q_id, sub.s, seeds.j,
+         CAST(round({l2s('v.e', 'seeds.ce')} * 1000000) AS BIGINT) AS d2i
+  FROM v CROSS JOIN sub CROSS JOIN seeds WHERE v.vec_id < 8
+),
+scored AS (
+  SELECT p.q_id, p.n_id, CAST(sum(lut.d2i) AS BIGINT) AS di
+  FROM pairs p
+  JOIN codes ON codes.id = p.n_id
+  JOIN lut ON lut.q_id = p.q_id AND lut.s = codes.s
+          AND lut.j = codes.code
+  GROUP BY 1, 2
+)
+SELECT q_id, n_id, round(di / 1000000.0, 4) AS adist2
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY di, n_id) <= 5
 """
 
 
@@ -6837,6 +6926,7 @@ GROUP BY tb.j_bucket
         FROM lineitem GROUP BY l_linestatus
     """
     o["sim_ivf_topk"] = _sim_ivf_oracle()
+    o["sim_ivfpq_topk"] = _sim_ivfpq_oracle()
     o["sim_ivf_recall"] = f"""
         WITH bt AS ({_sim_brute_oracle()}),
         iv AS ({_sim_ivf_oracle()})
@@ -8218,6 +8308,7 @@ FROM g
 # ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "snap_schema_evolution": q_snap_schema_evolution,
     "snap_bloom_skip": q_snap_bloom_skip,
     "text_collocations": q_text_collocations,

@@ -823,3 +823,196 @@ def int8_topk(
         .where(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def _l2sq_slice(a: Column, b: Column, start: int, length: int) -> Column:
+    """Σ (aᵢ−bᵢ)² over a 1-based slice of both arrays — a zip_with +
+    left-to-right fold, the deterministic-order convention of
+    :func:`dot` (an external engine replays the identical fold)."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, start, length),
+            F.slice(b, start, length),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(j, cvec) — the ``n_codes`` lowest-id corpus vectors as the
+    shared sub-quantizer seeds (their s-th slice is subspace s's
+    codebook). Deterministic for the same reason as
+    :func:`ivf_centroids`; production k-means-refines per subspace —
+    a quality change, not a plan change."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("j"), F.col(vec_col).alias("cvec")
+        )
+        .orderBy("j")
+        .limit(n_codes)
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    n_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization encode: split each vector into ``n_sub``
+    contiguous subspaces and store, per subspace, the id of the
+    nearest codebook sub-vector by L2² — ``(id, codes array<int>)``,
+    a ``n_sub``-byte-scale sketch of a ``dim``-float vector (the
+    Jégou et al. PQ memory shape). Distances are ranked as INTEGERS
+    (round(L2²·scale)) with a lowest-j tiebreak, so an external
+    engine reproduces every code bit-for-bit.
+
+    Plan: the codebook folds to one broadcast row; assignment is a
+    per-row comparator sort over it — the encoded frame NEVER
+    shuffles (the ivf_assign shape)."""
+    if dim % n_sub:
+        raise ValueError(f"pq_encode: {n_sub} subspaces must divide dim {dim}")
+    sd = dim // n_sub
+    carr = codebook.agg(
+        F.collect_list(F.struct("j", "cvec")).alias("_cb")
+    )
+    # NB: the per-codebook-entry lambda must take exactly ONE
+    # parameter — a two-parameter lambda (e.g. the `s=s` default-arg
+    # capture idiom) is interpreted by transform() as the
+    # (element, index) form and the loop variable silently becomes
+    # the ARRAY INDEX. Close over the slice start with a def instead.
+    def _scored_at(start: int) -> Column:
+        return F.transform(
+            F.col("_cb"),
+            lambda c: F.struct(
+                F.round(
+                    _l2sq_slice(F.col(vec_col), c["cvec"], start, sd)
+                    * scale
+                )
+                .cast("long")
+                .alias("d"),
+                c["j"].alias("j"),
+            ),
+        )
+
+    code_cols = []
+    for s in range(n_sub):
+        scored = _scored_at(s * sd + 1)
+        best = F.array_sort(
+            scored,
+            lambda l, r: F.when(l["d"] < r["d"], F.lit(-1))
+            .when(l["d"] > r["d"], F.lit(1))
+            .when(l["j"] < r["j"], F.lit(-1))
+            .when(l["j"] > r["j"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )[0]["j"]
+        code_cols.append(best.cast("int").alias(f"_c{s}"))
+    return (
+        df.crossJoin(F.broadcast(carr))
+        .select(
+            F.col(id_col).alias("id"),
+            F.array(*code_cols).alias("codes"),
+        )
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 4,
+    dim: int = 64,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the canonical 100 TB
+    ANN memory shape: IVF restricts each query to its ``nprobe``
+    probed inverted lists (candidate generation stays an equi-join on
+    the centroid key, never all-pairs), and within those lists the
+    distance is the PQ asymmetric-distance (ADC) approximation —
+    computed from each candidate's ``n_sub`` CODES against the
+    query's per-subspace lookup table, never from the candidate's raw
+    vector. At scale the scan side carries codes (bytes) instead of
+    embeddings (KBs); the raw corpus vector never reaches the scoring
+    join. Returns ``(q_id, n_id, adist2)`` — approximate squared L2,
+    ascending — ranked on the INTEGER-scaled distance with an n_id
+    tiebreak (engine-reproducible; cf. the ivf_assign rounding note).
+
+    Plan: codebook + LUT (|queries|·n_sub·n_codes rows) broadcast;
+    the only exchanges are the IVF list equi-join and the final
+    per-query top-k."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    lists = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
+        F.col("id").alias("n_id"), "cid"
+    )
+    probes = ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
+        F.col("id").alias("q_id"), "cid"
+    )
+    cb = pq_codebook(corpus, n_codes, id_col, vec_col)
+    codes = pq_encode(corpus, cb, n_sub, dim, id_col, vec_col, scale)
+    sd = dim // n_sub
+    subs = F.explode(
+        F.sequence(F.lit(0), F.lit(n_sub - 1))
+    ).alias("s")
+    lut = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_q"))
+        .crossJoin(F.broadcast(cb))
+        .select("q_id", "j", "_q", "cvec", subs)
+        .select(
+            "q_id",
+            "s",
+            "j",
+            F.round(
+                _l2sq_slice(
+                    F.col("_q"),
+                    F.col("cvec"),
+                    F.col("s") * sd + 1,
+                    sd,
+                )
+                * scale
+            )
+            .cast("long")
+            .alias("d2i"),
+        )
+    )
+    pairs = (
+        probes.join(lists, "cid")
+        .where(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+        .join(codes.withColumnRenamed("id", "n_id"), "n_id")
+        .select("q_id", "n_id", F.posexplode("codes").alias("s", "j"))
+    )
+    scored = (
+        pairs.join(F.broadcast(lut), ["q_id", "s", "j"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("d2i").alias("_di"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("_di").asc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("_di").cast("double") / scale, 4).alias(
+                "adist2"
+            ),
+        )
+    )

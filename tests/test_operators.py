@@ -3304,3 +3304,30 @@ def test_pcm_stats_8_and_24_bit(spark):
         8_388_608,
     )
     assert got[3].n_samples is None
+
+
+def test_pq_encode_codes_and_ivfpq_sanity(spark):
+    """PQ semantics: a seed vector quantizes to its own id in every
+    subspace (distance 0); some non-seed vector must get DIFFERENT
+    codes across subspaces (regression for the transform() two-param
+    lambda trap, which collapsed every subspace to the array index);
+    and IVF-PQ's approximate top-k must overlap the exact brute-force
+    top-k (the approximation is lossy, not random)."""
+    from geniepool_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = S.pq_codebook(emb, 16)
+    codes = {r.id: r.codes for r in S.pq_encode(emb, cb).collect()}
+    for seed in range(16):
+        assert codes[seed] == [seed] * 4
+    assert any(
+        len(set(c)) > 1 for i, c in codes.items() if i >= 16
+    ), "every non-seed vector got uniform codes — index-lambda trap?"
+
+    queries = emb.where("vec_id < 8")
+    pq = S.ivfpq_topk(emb, queries, k=5)
+    brute = S.cosine_topk(emb, queries, k=5)
+    pq_pairs = {(r.q_id, r.n_id) for r in pq.collect()}
+    brute_pairs = {(r.q_id, r.n_id) for r in brute.collect()}
+    assert len(pq_pairs) == 40  # 8 queries x k=5
+    assert pq_pairs & brute_pairs, "zero overlap with exact top-k"

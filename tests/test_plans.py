@@ -183,6 +183,7 @@ _INTENDED_CROSS = {
     "sim_brute_topk",
     "sim_pandas_topk",
     "sim_ivf_topk",
+    "sim_ivfpq_topk",  # 1-row centroid fold + 16-row codebook broadcasts
     "sim_lsh_recall",  # brute-force baseline side: 8 queries broadcast
     "sim_ivf_recall",  # same: the exact side is the 8-query broadcast
     "sim_int8_recall",  # same: quantized + exact sides both broadcast 8 queries
@@ -197,6 +198,7 @@ _INTENDED_CROSS = {
     "graph_pagerank",  # 1-row node-count frame broadcast per superstep
     "obs_expectations",  # 1-row total × 1-row orphan-count broadcast
     "text_perplexity",  # 1-row corpus-bigram-total broadcast (tfidf pattern)
+    "text_collocations",  # 1-row bigram-total broadcast (tfidf pattern)
     "dedup_semantic",  # 16-row centroid broadcast (ivf_assign pattern)
     "text_bpe_encode",  # per-round 1-row argmax winner broadcast (bpe pattern)
     "a19_loghist_quantiles",  # tiny sketch frame × 3-row quantile-target broadcast
