@@ -302,6 +302,13 @@ def bench_queries(spark, sf_dir):
         "text_perplexity": lambda: C.q_text_perplexity(spark, sf_dir),
         "dedup_semantic": lambda: C.q_dedup_semantic(spark, sf_dir),
         "text_bpe_encode": lambda: C.q_text_bpe_encode(spark, sf_dir),
+        # round-8 additions: the new query-shaped lanes (the snap_*
+        # table lanes are write-heavy and stay out of the read bench)
+        "text_collocations": lambda: C.q_text_collocations(spark, sf_dir),
+        "events_pattern_match": lambda: C.q_events_pattern_match(
+            spark, sf_dir
+        ),
+        "sim_ivfpq_topk": lambda: C.q_sim_ivfpq_topk(spark, sf_dir),
         "micro_event_us_long": lambda: micro_event_us(enc_dirs["long"]),
         "micro_event_us_ntz": lambda: micro_event_us(enc_dirs["ntz"]),
         "micro_scd2_full_rebuild": micro_scd2_full,
