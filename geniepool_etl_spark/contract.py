@@ -5713,6 +5713,111 @@ def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q2_CORR_MIN)
 
 
+# Deterministic HTML wrapper for the strip_html lane: real tag soup
+# (attributes, a style block, a script whose body contains '<', '&&'
+# and a fake closing '</p>' tag) around fixture-derived text, plus
+# every entity the decoder handles — including the '&amp;amp;'
+# double-encode trap, which must come out as the literal '&amp;'.
+_HTML_HEAD = (
+    '<html><head><style type="text/css">p { color: red; }</style>'
+    '</head><body><h1 class="title">'
+)
+_HTML_MID = (
+    " &amp;amp; 1 &lt; 2 &gt; 0, &quot;q&quot; &#39;s&nbsp;end</p>"
+    '<script type="text/javascript">var x = 1 < 2 && "</p>";</script>'
+    "<p>tail "
+)
+
+
+def q_text_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (operators/text.strip_html): drop
+    script/style blocks, strip tags, decode the six standard
+    entities (&amp; last — the double-decode trap), collapse
+    whitespace. The HTML is constructed deterministically from
+    (source, text, lang) so the oracle re-runs the identical
+    generative rule + cleaning chain; the cleaner is the system
+    under test. Narrow regexp map — zero UDFs, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_HEAD),
+        F.col("source"),
+        F.lit('</h1><p id="b">'),
+        F.substring(F.col("text"), 1, 120),
+        F.lit(_HTML_MID),
+        F.col("lang"),
+        F.lit("</p></body></html>"),
+    )
+    cleaned = TX.strip_html(docs.select("doc_id", html.alias("html")))
+    return cleaned.select(
+        "doc_id",
+        "clean_text",
+        F.length("clean_text").cast("long").alias("clean_chars"),
+    )
+
+
+def q_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (operators/text.
+    with_nfc_normalized — Arrow-batched pandas UDF over stdlib
+    unicodedata; Spark has no built-in normalizer, so this is the
+    legitimate Python lane). Input is fixture text wrapped in
+    combining-mark sequences (e+U+0301, i/u+U+0308) that NFC must
+    fuse to precomposed é/ï/ü — the char counts shrink by exactly
+    the fused marks, which the oracle (DuckDB nfc_normalize)
+    verifies value-for-value."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Café naïve "),  # decomposed marks
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" über"),
+    )
+    out = TX.with_nfc_normalized(docs.select("doc_id", raw.alias("text")))
+    return out.select(
+        "doc_id",
+        "nfc_text",
+        F.length("text").cast("long").alias("raw_chars"),
+        F.length("nfc_text").cast("long").alias("nfc_chars"),
+    )
+
+
+# Fixed multi-line tail appended to every document so the line-level
+# Gopher rules (bullet / ellipsis / duplicate-line fractions) see real
+# line structure; the fixture text itself is single-line.
+_GOPHER_TAIL = "\n- bullet point\nline with tail...\ndup line\ndup line"
+
+
+def q_text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filtering (operators/text.
+    gopher_quality_gates): word-count bounds, mean-word-length
+    bounds, alpha-word fraction, ellipsis/bullet line fractions,
+    duplicate-line fraction — all keep/drop decisions as exact
+    integer cross-products, one higher-order-function pass, zero
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_GOPHER_TAIL)).alias("text"),
+    )
+    return TX.gopher_quality_gates(docs)
+
+
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid time-series densify + forward fill
+    (operators/events.gap_fill_hourly): per sampled user, one row
+    per hour between their first and last event; gap hours get
+    zero counts and the last observed event type carried forward.
+    Grid generation is per-user sequence() (no global calendar
+    join); the fill window partitions by user_id."""
+    return E.gap_fill_hourly(_events(spark, sf_dir))
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/events.rfm_segments): per-user
+    recency/frequency/monetary from one keyed aggregate, quartile
+    thresholds from one global percentile() aggregate broadcast
+    back, tiles in a narrow map — no unpartitioned ntile() window,
+    the formulation that survives a billion users."""
+    return E.rfm_segments(_events(spark, sf_dir))
+
+
 _STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
 
 # Event-time in µs, ENCODING-POLYMORPHIC on the oracle side: the
@@ -8285,6 +8390,181 @@ FROM g
         SELECT a.k, a.l_n, b.r_n
         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
     """
+    # --- strip_html: regenerate the identical HTML, replay the same
+    # cleaning chain (patterns/entity order injected from the operator
+    # constants so the two sides CANNOT drift) ---
+    _html_sql = (
+        "'" + _HTML_HEAD + "' || source || '</h1><p id=\"b\">' || "
+        "substr(text, 1, 120) || '" + _HTML_MID + "' || lang || "
+        "'</p></body></html>'"
+    )
+    _clean = "html"
+    for _pat in (
+        TX.HTML_SCRIPT_PATTERN,
+        TX.HTML_STYLE_PATTERN,
+        TX.HTML_TAG_PATTERN,
+    ):
+        _clean = f"regexp_replace({_clean}, '{_pat}', ' ', 'g')"
+    for _ent, _rep in TX.HTML_ENTITIES:
+        _r = _rep.replace("'", "''")
+        _clean = f"replace({_clean}, '{_ent}', '{_r}')"
+    _clean = rf"trim(regexp_replace({_clean}, '\s+', ' ', 'g'))"
+    o["text_html_clean"] = f"""
+        WITH h AS (SELECT doc_id, {_html_sql} AS html FROM documents),
+        c AS (SELECT doc_id, {_clean} AS clean_text FROM h)
+        SELECT doc_id, clean_text,
+               CAST(length(clean_text) AS BIGINT) AS clean_chars
+        FROM c
+    """
+    o["text_nfc_normalize"] = """
+        WITH r AS (
+          SELECT doc_id,
+                 'Cafe' || chr(769) || ' nai' || chr(776) || 've '
+                   || substr(text, 1, 80)
+                   || ' u' || chr(776) || 'ber' AS raw
+          FROM documents
+        )
+        SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+               CAST(length(raw) AS BIGINT) AS raw_chars,
+               CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars
+        FROM r
+    """
+    _gtail = _GOPHER_TAIL.replace("\n", "' || chr(10) || '")
+    o["text_gopher_gates"] = rf"""
+        WITH d AS (
+          SELECT doc_id, text || '{_gtail}' AS t FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 string_split_regex(trim(t), '\s+') AS words,
+                 list_filter(
+                   list_transform(string_split(t, chr(10)), x -> trim(x)),
+                   ln -> length(ln) > 0) AS lines
+          FROM d
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(words) AS n_words,
+                 list_sum(list_transform(words, w -> length(w)))
+                   AS total_chars,
+                 len(list_filter(words,
+                   w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+                 len(lines) AS n_lines,
+                 len(list_filter(lines,
+                   ln -> regexp_matches(ln, '\.\.\.$'))) AS ellipsis_lines,
+                 len(list_filter(lines,
+                   ln -> regexp_matches(ln, '^[-*•]'))) AS bullet_lines,
+                 len(lines) - len(list_distinct(lines)) AS dup_lines
+          FROM s
+        ),
+        g AS (
+          SELECT doc_id, n_words, dup_lines,
+                 concat_ws(',',
+                   CASE WHEN n_words < 50 THEN 'too_few_words' END,
+                   CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+                   CASE WHEN total_chars < n_words * 3
+                        THEN 'words_too_short' END,
+                   CASE WHEN total_chars > n_words * 12
+                        THEN 'words_too_long' END,
+                   CASE WHEN alpha_words * 100 < n_words * 80
+                        THEN 'non_alpha' END,
+                   CASE WHEN ellipsis_lines * 100 > n_lines * 30
+                        THEN 'ellipsis_lines' END,
+                   CASE WHEN bullet_lines * 100 > n_lines * 90
+                        THEN 'bullet_lines' END,
+                   CASE WHEN dup_lines * 100 > n_lines * 30
+                        THEN 'duplicate_lines' END) AS reasons
+          FROM m
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(dup_lines AS BIGINT) AS n_dup_lines,
+               reasons = '' AS keep, reasons
+        FROM g
+    """
+    o["events_resample_ffill"] = f"""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type,
+                 {_EVENT_US} AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE user_id % 15 = 0
+        ),
+        eh AS (SELECT *, ts_us // 3600000000 AS h FROM ev),
+        agg AS (
+          SELECT user_id, h, count(*) AS n_events,
+                 CAST(sum(cents) AS BIGINT) AS val_cents
+          FROM eh GROUP BY 1, 2
+        ),
+        lt AS (
+          SELECT user_id, h, event_type AS last_type
+          FROM eh
+          QUALIFY row_number() OVER (PARTITION BY user_id, h
+            ORDER BY ts_us DESC, event_id DESC) = 1
+        ),
+        obs AS (
+          SELECT agg.*, lt.last_type
+          FROM agg JOIN lt ON agg.user_id = lt.user_id AND agg.h = lt.h
+        ),
+        span AS (
+          SELECT user_id, min(h) AS h0, max(h) AS h1 FROM eh GROUP BY 1
+        ),
+        grid AS (
+          SELECT user_id, u.i AS h
+          FROM span, UNNEST(range(h0, h1 + 1)) AS u(i)
+        )
+        SELECT g.user_id, g.h,
+               COALESCE(o2.n_events, 0) AS n_events,
+               COALESCE(o2.val_cents, 0) AS val_cents,
+               last_value(o2.last_type IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.h) AS filled_type,
+               o2.last_type IS NULL AS is_gap
+        FROM grid g
+        LEFT JOIN obs o2 ON g.user_id = o2.user_id AND g.h = o2.h
+    """
+    o["events_rfm"] = f"""
+        WITH ev AS (
+          SELECT user_id, {_EVENT_US} AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        pu AS (
+          SELECT user_id, max(ts_us) AS last_us,
+                 count(*) AS frequency,
+                 CAST(sum(cents) AS BIGINT) AS monetary_cents
+          FROM ev GROUP BY 1
+        ),
+        gm AS (SELECT max(last_us) AS gmax FROM pu),
+        m AS (
+          SELECT user_id,
+                 (gm.gmax - pu.last_us) // 3600000000 AS recency_h,
+                 frequency, monetary_cents
+          FROM pu, gm
+        ),
+        q AS (
+          SELECT quantile_cont(recency_h, [0.25, 0.5, 0.75]) AS qr,
+                 quantile_cont(frequency, [0.25, 0.5, 0.75]) AS qf,
+                 quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS qm
+          FROM m
+        ),
+        s AS (
+          SELECT m.*,
+                 5 - (1 + CAST(m.recency_h > q.qr[1] AS INT)
+                        + CAST(m.recency_h > q.qr[2] AS INT)
+                        + CAST(m.recency_h > q.qr[3] AS INT)) AS r_tile,
+                 1 + CAST(m.frequency > q.qf[1] AS INT)
+                   + CAST(m.frequency > q.qf[2] AS INT)
+                   + CAST(m.frequency > q.qf[3] AS INT) AS f_tile,
+                 1 + CAST(m.monetary_cents > q.qm[1] AS INT)
+                   + CAST(m.monetary_cents > q.qm[2] AS INT)
+                   + CAST(m.monetary_cents > q.qm[3] AS INT) AS m_tile
+          FROM m, q
+        )
+        SELECT user_id, recency_h, frequency, monetary_cents,
+               r_tile, f_tile, m_tile,
+               'R' || CAST(r_tile AS VARCHAR)
+                 || 'F' || CAST(f_tile AS VARCHAR)
+                 || 'M' || CAST(m_tile AS VARCHAR) AS segment
+        FROM s
+    """
     return o
 
 
@@ -8299,15 +8579,23 @@ FROM g
 # r8-new entries (the seven snap_* snapshot-table lanes, the
 # exactly-once streaming snap ingest, the Python streaming
 # DataSource lane, the JPEG/GIF/PNG/PPM pixel decodes, and the
-# decoded-signature image dedup) — then (b) stalest re-records: the
-# 9 entries last recorded in r3 and the head of the r4 group (each
-# new lane prepended mid-round displaces one previously-recorded
-# re-record off the 50-entry window, never a never-recorded one).
-# After r8 every entry in this dict has been driver-recorded at
-# least once. All 50 are selfcheck-green at sf0.001+sf0.01 and
-# ansi-swept; next round rotate the remaining r4 tail, then r5/r6.
+# decoded-signature image dedup, and the late-r8 five: HTML clean,
+# NFC normalize, Gopher gates, hourly resample+ffill, RFM) — then
+# (b) stalest
+# re-records: the 9 entries last recorded in r3 and the head of the
+# r4 group (each new lane prepended mid-round displaces one
+# previously-recorded re-record off the 50-entry window, never a
+# never-recorded one). The 46 never-recorded entries fit the window;
+# 4 re-record slots remain. All 50 are selfcheck-green at
+# sf0.001+sf0.01 and ansi-swept; next round rotate any entry this
+# window clipped, then the r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "text_html_clean": q_text_html_clean,
+    "text_nfc_normalize": q_text_nfc_normalize,
+    "text_gopher_gates": q_text_gopher_gates,
+    "events_resample_ffill": q_events_resample_ffill,
+    "events_rfm": q_events_rfm,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "snap_schema_evolution": q_snap_schema_evolution,
     "snap_bloom_skip": q_snap_bloom_skip,

@@ -722,3 +722,131 @@ def sequence_pattern_counts(
         )
         .where(F.col("n_matches") > 0)
     )
+
+
+def gap_fill_hourly(df: DataFrame, user_mod: int = 15) -> DataFrame:
+    """Regular-grid resampling with forward fill — the time-series
+    "densify" operator behind per-entity activity charts and
+    feature-store backfills: every sampled user gets one row per HOUR
+    between their first and last event, gap hours carried forward
+    from the last observed hour.
+
+    Semantics per (user, hour): ``n_events`` (0 on gaps),
+    ``val_cents`` = exact integer sum of round(value·100) (0 on
+    gaps), ``last_type`` = event_type of the latest event in that
+    hour ((ts_us, event_id) max — deterministic under ties), and
+    ``filled_type`` = last_type carried forward across gaps. The
+    grid starts at each user's OWN first hour, so the forward-fill
+    window never sees a leading NULL.
+
+    Scale: the grid explode is per-user (sequence() over the user's
+    own [first, last] hour span — no global calendar join), the fill
+    window partitions by ``user_id`` (high cardinality, never a
+    single-partition sort), and the observed-hour aggregate shuffles
+    once on the same (user, hour) key the grid join reuses.
+    ``user_mod`` samples the user dimension (id % mod == 0) so the
+    densified frame stays proportional to users, not events.
+    """
+    ev = with_event_time(df).where(F.col("user_id") % user_mod == 0)
+    # integer division, not `/`: float div + cast can round a k-ε
+    # ratio up at the 1e-16 ulp edge; `div` is exact on every engine
+    ev = ev.withColumn("h", F.expr(f"ts_us div {US_PER_HOUR}"))
+    obs = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("val_cents"),
+        F.max_by(
+            "event_type", F.struct(F.col("ts_us"), F.col("event_id"))
+        ).alias("last_type"),
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("h").alias("_h0"), F.max("h").alias("_h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence(F.col("_h0"), F.col("_h1"))).alias("h"),
+    )
+    filled = grid.join(obs, ["user_id", "h"], "left")
+    w = Window.partitionBy("user_id").orderBy("h")
+    return filled.select(
+        "user_id",
+        "h",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("val_cents", F.lit(0)).cast("long").alias("val_cents"),
+        F.last("last_type", ignorenulls=True).over(w).alias("filled_type"),
+        F.col("last_type").isNull().alias("is_gap"),
+    )
+
+
+def rfm_segments(df: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic activity-scoring rollup, built the way it has to be
+    built at a billion users: per-user metrics from ONE keyed
+    aggregate, quartile thresholds from ONE global aggregate
+    (``percentile`` — partial-aggregated, no sort), thresholds
+    broadcast back as a 1-row frame, tiles assigned in a narrow map.
+    No unpartitioned ranking window anywhere — ntile() over all users
+    is the naive formulation and is exactly what does NOT survive a
+    100× user count.
+
+    Determinism: metrics are exact integers (hours, counts, cents);
+    percentile(0/.25/.5/.75) interpolates at quarter fractions, which
+    are exact in binary, so the thresholds — and therefore every tile
+    — are bit-identical across engines. Tile k ∈ 1..4 counts strict
+    threshold exceedances; recency tiles invert (most recent = 4) so
+    bigger is always better. Returns one row per user plus the
+    'R{r}F{f}M{m}' segment label.
+    """
+    ev = with_event_time(df)
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts_us").alias("_last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
+    )
+    gmax = per_user.agg(F.max("_last_us").alias("_gmax"))
+    metrics = per_user.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        # exact integer hours — see gap_fill_hourly's div rationale
+        F.expr(f"(_gmax - _last_us) div {US_PER_HOUR}").alias("recency_h"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_cents",
+    )
+    qs = metrics.agg(
+        F.expr(
+            "percentile(recency_h, array(0.25, 0.5, 0.75))"
+        ).alias("_qr"),
+        F.expr(
+            "percentile(frequency, array(0.25, 0.5, 0.75))"
+        ).alias("_qf"),
+        F.expr(
+            "percentile(monetary_cents, array(0.25, 0.5, 0.75))"
+        ).alias("_qm"),
+    )
+
+    def tile(col: str, q, invert: bool) -> F.Column:
+        c = F.col(col).cast("double")
+        t = (
+            F.lit(1)
+            + (c > q[0]).cast("int")
+            + (c > q[1]).cast("int")
+            + (c > q[2]).cast("int")
+        )
+        return (F.lit(5) - t) if invert else t
+
+    scored = metrics.crossJoin(F.broadcast(qs))
+    r = tile("recency_h", F.col("_qr"), invert=True)
+    f = tile("frequency", F.col("_qf"), invert=False)
+    m = tile("monetary_cents", F.col("_qm"), invert=False)
+    return scored.select(
+        "user_id",
+        "recency_h",
+        "frequency",
+        "monetary_cents",
+        r.cast("int").alias("r_tile"),
+        f.cast("int").alias("f_tile"),
+        m.cast("int").alias("m_tile"),
+        F.concat(
+            F.lit("R"), r.cast("string"),
+            F.lit("F"), f.cast("string"),
+            F.lit("M"), m.cast("string"),
+        ).alias("segment"),
+    )

@@ -1076,3 +1076,130 @@ def pmi_collocations(
             F.round(F.col("_s").cast("double") / scale, 4).alias("pmi"),
         )
     )
+
+
+# --- HTML cleaning -----------------------------------------------------
+#
+# All patterns are RE2-compatible (inline (?s) flag, lazy quantifiers,
+# no lookaround/backreferences) so Spark (Java regex) and DuckDB (RE2)
+# produce byte-identical cleaned text. Entity decode order matters:
+# '&amp;' is decoded LAST so '&amp;lt;' yields the literal '&lt;', not
+# '<' (the HTML5 double-decode bug).
+HTML_SCRIPT_PATTERN = r"(?s)<script[^>]*>.*?</script>"
+HTML_STYLE_PATTERN = r"(?s)<style[^>]*>.*?</style>"
+HTML_TAG_PATTERN = r"<[^>]*>"
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(
+    df: DataFrame, html_col: str = "html", out_col: str = "clean_text"
+) -> DataFrame:
+    """Boilerplate-free text extraction from raw HTML — the first
+    stage of every web-crawl training-data pipeline (the
+    trafilatura/justext step, reduced to its deterministic core):
+    drop <script>/<style> blocks wholesale, strip the remaining tags,
+    decode the six standard entities, collapse whitespace runs.
+
+    Narrow regexp map at scan speed — zero UDFs, zero shuffle; at
+    100 TB of WARC-extracted HTML this runs inside whole-stage
+    codegen at whatever rate the parquet scan delivers. A real
+    extractor adds DOM heuristics (link density, block scoring) —
+    those are per-document local too, so the plan shape is identical;
+    this operator pins the regex/entity/whitespace contract.
+    """
+    c: Column = F.col(html_col)
+    c = F.regexp_replace(c, HTML_SCRIPT_PATTERN, " ")
+    c = F.regexp_replace(c, HTML_STYLE_PATTERN, " ")
+    c = F.regexp_replace(c, HTML_TAG_PATTERN, " ")
+    for ent, rep in HTML_ENTITIES:
+        # literal (non-regex) replace — byte-identical to SQL replace()
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)
+
+
+def with_nfc_normalized(
+    df: DataFrame, text_col: str = "text", out_col: str = "nfc_text"
+) -> DataFrame:
+    """Unicode NFC normalization via an Arrow-batched pandas UDF —
+    the canonicalization step before hashing/dedup so 'e' + U+0301
+    and the precomposed U+00E9 dedup together. Spark has no built-in
+    normalizer, so this is a legitimate Python-lane op: vectorized
+    over Arrow batches (pandas str map over a C-implemented stdlib
+    call), never row-at-a-time pickled rows, and still a narrow map
+    (no shuffle) that pipelines into the scan stage.
+    """
+    import pandas as pd  # noqa: F401 (signature typing)
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(s):  # type: ignore[no-untyped-def]
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+def gopher_quality_gates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    — public paper), the heavier sibling of :func:`quality_filter`:
+
+    - word count within [min_words, max_words]
+    - mean word length within [3, 12] characters
+    - ≥ 80% of words contain at least one alphabetic character
+    - ellipsis-terminated lines ≤ 30% of lines
+    - bullet-initiated lines ≤ 90% of lines
+    - duplicate-line fraction ≤ 30% (the boilerplate signal)
+
+    Every rule is a higher-order array expression over one split —
+    narrow map at scan speed, no shuffle, no UDF. Ratios compare as
+    exact integer cross-products (hits * 100 vs n * threshold) so no
+    float rounding decides a keep/drop and any external engine
+    reproduces the identical keep set bit-for-bit.
+    """
+    text = F.col(text_col)
+    words = words_col(text)
+    n_words = F.size(words)
+    lines = F.filter(
+        F.split(text, r"\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    n_lines = F.size(lines)
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
+    )
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("^[-*•]"))
+    )
+    dup_lines = n_lines - F.size(F.array_distinct(F.transform(lines, F.trim)))
+    reasons = F.concat_ws(
+        ",",
+        F.when(n_words < 50, F.lit("too_few_words")),
+        F.when(n_words > 100000, F.lit("too_many_words")),
+        F.when(total_chars < n_words * 3, F.lit("words_too_short")),
+        F.when(total_chars > n_words * 12, F.lit("words_too_long")),
+        F.when(alpha_words * 100 < n_words * 80, F.lit("non_alpha")),
+        F.when(ellipsis_lines * 100 > n_lines * 30, F.lit("ellipsis_lines")),
+        F.when(bullet_lines * 100 > n_lines * 90, F.lit("bullet_lines")),
+        F.when(dup_lines * 100 > n_lines * 30, F.lit("duplicate_lines")),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        dup_lines.cast("long").alias("n_dup_lines"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -3331,3 +3331,137 @@ def test_pq_encode_codes_and_ivfpq_sanity(spark):
     brute_pairs = {(r.q_id, r.n_id) for r in brute.collect()}
     assert len(pq_pairs) == 40  # 8 queries x k=5
     assert pq_pairs & brute_pairs, "zero overlap with exact top-k"
+
+
+def test_strip_html_entities_tags_and_script(spark):
+    """strip_html semantics: script/style bodies vanish wholesale
+    (including '<' and a fake '</p>' inside the script), tags strip,
+    the six entities decode with '&amp;' LAST so '&amp;amp;' emerges
+    as the literal '&amp;' (not '&'), and whitespace collapses."""
+    from geniepool_etl_spark.operators import text as TX
+
+    html = (
+        '<html><style>p{x:1}</style><body  class="z">'
+        "<p>A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;end</p>"
+        '<script>var x = 1 < 2 && "</p>";</script>tail</body></html>'
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    got = TX.strip_html(df).select("clean_text").first()[0]
+    assert got == 'A &amp; B <tag> "q" \'s end tail'
+
+
+def test_nfc_normalize_fuses_combining_marks(spark):
+    """NFC fuses base+combining sequences to precomposed chars and
+    leaves already-composed/ASCII text untouched; NULL passes through."""
+    from geniepool_etl_spark.operators import text as TX
+
+    rows = [
+        (1, "Café"),  # decomposed -> Café (4+1 -> 4 chars)
+        (2, "Café"),  # already NFC — unchanged
+        (3, "plain"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.nfc_text, r.n)
+        for r in TX.with_nfc_normalized(df)
+        .selectExpr("id", "nfc_text", "length(nfc_text) AS n")
+        .collect()
+    }
+    assert got[1] == ("Café", 4)
+    assert got[2] == ("Café", 4)
+    assert got[3] == ("plain", 5)
+    assert got[4] == (None, None)
+
+
+def test_gopher_gates_each_rule_fires(spark):
+    """Each Gopher rule fires on a targeted document and the clean
+    doc keeps: word-count floor, mean-word-length bounds, alpha-word
+    fraction, ellipsis/bullet line caps, duplicate-line cap."""
+    from geniepool_etl_spark.operators import text as TX
+
+    clean = " ".join(f"word{i} also real text here" for i in range(12))
+    rows = [
+        (1, clean),  # keeps
+        (2, "short doc only"),  # too_few_words
+        (3, " ".join(["ab"] * 60)),  # words_too_short (mean 2)
+        (4, " ".join(["12345"] * 60)),  # non_alpha (0% alpha)
+        (5, clean + "\n" + "\n".join(["- b"] * 50)),  # bullet_lines
+        (6, clean + "\n" + "\n".join(["x..."] * 50)),  # ellipsis_lines
+        (7, clean + "\n" + "\n".join(["same line"] * 50)),  # duplicate_lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TX.gopher_quality_gates(df).collect()}
+    assert got[1].keep and got[1].reasons == ""
+    assert "too_few_words" in got[2].reasons
+    assert "words_too_short" in got[3].reasons
+    assert "non_alpha" in got[4].reasons
+    assert "bullet_lines" in got[5].reasons
+    assert "ellipsis_lines" in got[6].reasons
+    assert "duplicate_lines" in got[7].reasons
+    assert got[7].n_dup_lines == 49
+
+
+def test_gap_fill_hourly_grid_and_forward_fill(spark):
+    """gap_fill_hourly: grid spans each user's own [first,last] hour
+    inclusive, gap rows get zero counts + carried-forward type, the
+    in-hour winner is the (ts_us, event_id)-max event."""
+    from geniepool_etl_spark.operators import events as E
+
+    h = 3_600_000_000
+    rows = [
+        # user 0: events in hours 10 and 13 -> grid 10..13, 2 gaps
+        (1, 10 * h + 5, 0, "a", 1.0, "{}"),
+        (2, 10 * h + 5, 0, "b", 2.0, "{}"),  # same µs: id-max wins
+        (3, 13 * h, 0, "c", 3.0, "{}"),
+        # user 15: single event -> 1-row grid, no gaps
+        (4, 7 * h + 1, 15, "z", 0.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, "
+        "event_type string, value double, props string"
+    )
+    got = {
+        (r.user_id, r.h): r
+        for r in E.gap_fill_hourly(df.withColumn(
+            "ts", (F.col("ts") * 1000)), user_mod=15).collect()
+    }
+    # nanos-long ts path exercises event_micros' integer branch
+    assert len(got) == 5  # 4 hours for user 0 + 1 for user 15
+    assert got[(0, 10)].n_events == 2
+    assert got[(0, 10)].filled_type == "b"  # event_id tiebreak
+    assert got[(0, 10)].val_cents == 300
+    assert got[(0, 11)].n_events == 0 and got[(0, 11)].is_gap
+    assert got[(0, 11)].filled_type == "b"  # carried forward
+    assert got[(0, 12)].filled_type == "b"
+    assert got[(0, 13)].filled_type == "c" and not got[(0, 13)].is_gap
+    assert got[(15, 7)].filled_type == "z"
+
+
+def test_rfm_segments_tiles_and_inversion(spark):
+    """rfm_segments: exact-quartile tiles; the user with the LOWEST
+    recency gets r_tile 4 (inversion) and the top spender gets
+    m_tile 4; segment label concatenates the three tiles."""
+    from geniepool_etl_spark.operators import events as E
+
+    h = 3_600_000_000
+    rows = []
+    eid = 0
+    # 8 users: user u has (u+1) events, last at hour u, spend 10*(u+1)
+    for u in range(8):
+        for i in range(u + 1):
+            rows.append((eid, (u * h + i) * 1000, u, "e", 10.0 * (u + 1), "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, "
+        "event_type string, value double, props string"
+    )
+    got = {r.user_id: r for r in E.rfm_segments(df).collect()}
+    assert len(got) == 8
+    # user 7: most recent (recency 0), most events, biggest spend
+    assert got[7].r_tile == 4 and got[7].f_tile == 4 and got[7].m_tile == 4
+    assert got[7].segment == "R4F4M4"
+    # user 0: stalest, fewest, smallest
+    assert got[0].r_tile == 1 and got[0].f_tile == 1 and got[0].m_tile == 1
+    assert got[0].recency_h == 7
+    assert got[7].monetary_cents == 8 * 8000  # 8 events x $80

@@ -203,6 +203,7 @@ _INTENDED_CROSS = {
     "text_bpe_encode",  # per-round 1-row argmax winner broadcast (bpe pattern)
     "a19_loghist_quantiles",  # tiny sketch frame × 3-row quantile-target broadcast
     "stream_loghist",  # same read-out over the standing sketch
+    "events_rfm",  # 1-row global-max + 1-row quartile-threshold broadcasts
 }
 
 
