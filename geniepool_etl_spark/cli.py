@@ -39,7 +39,7 @@ reading parquet in and writing parquet out:
     python -m geniepool_etl_spark.cli table read <table_dir> \\
         --output <out_dir> [--version N]
     python -m geniepool_etl_spark.cli table \\
-        {delete,compact,vacuum,history} <table_dir> [...]
+        {part,cdc,delete,compact,vacuum,history} <table_dir> [...]
 """
 
 from __future__ import annotations
@@ -330,7 +330,9 @@ def _run_table(ns: argparse.Namespace) -> int:
         "write": ("input",),
         "read": ("output",),
         "point": ("output", "col", "value"),
+        "part": ("output", "col", "value"),
         "merge": ("input", "keys"),
+        "cdc": ("input", "keys"),
         "delete": ("predicate",),
     }
     for opt in _required.get(ns.op, ()):
@@ -346,6 +348,7 @@ def _run_table(ns: argparse.Namespace) -> int:
             df, ns.table, mode=ns.mode,
             stats_cols=tuple(ns.stats_cols or ()),
             bloom_cols=tuple(ns.bloom_cols or ()),
+            partition_by=tuple(ns.partition_by or ()),
         )
         print(v)
     elif op == "read":
@@ -365,9 +368,24 @@ def _run_table(ns: argparse.Namespace) -> int:
         )
         out.write.mode("overwrite").parquet(ns.output)
         print(out.count())
+    elif op == "part":
+        # one-partition pruned read: --col/--value name the equality
+        try:
+            val = int(ns.value)
+        except ValueError:
+            val = ns.value
+        print(T.partition_scan_stats(spark, ns.table, {ns.col: val}))
+        out = T.read_partition(
+            spark, ns.table, {ns.col: val}, version=ns.version
+        )
+        out.write.mode("overwrite").parquet(ns.output)
+        print(out.count())
     elif op == "merge":
         df = spark.read.parquet(ns.input)
         print(T.merge_table(spark, ns.table, df, ns.keys))
+    elif op == "cdc":
+        df = spark.read.parquet(ns.input)
+        print(T.apply_cdc(spark, ns.table, df, ns.keys, op_col=ns.op_col))
     elif op == "delete":
         print(T.delete_where(spark, ns.table, ns.predicate))
     elif op == "compact":
@@ -475,8 +493,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "op",
         choices=[
-            "write", "read", "point", "merge", "delete", "compact",
-            "vacuum", "history",
+            "write", "read", "point", "part", "merge", "cdc",
+            "delete", "compact", "vacuum", "history",
         ],
     )
     s.add_argument("table")
@@ -486,6 +504,8 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["create", "append", "overwrite"])
     s.add_argument("--stats-cols", nargs="*")
     s.add_argument("--bloom-cols", nargs="*")
+    s.add_argument("--partition-by", nargs="*")
+    s.add_argument("--op-col", default="_op")
     s.add_argument("--col")
     s.add_argument("--value")
     s.add_argument("--keys", nargs="+")

@@ -5799,6 +5799,74 @@ def q_text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.gopher_quality_gates(docs)
 
 
+def q_snap_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned snapshot table (snaptable.write_table
+    partition_by + read_partition): documents committed partitioned
+    by ``lang`` across TWO commits (create + append — the read is a
+    per-token basePath union, one scan per commit, O(commits) plan),
+    then a one-partition read that must prune files DRIVER-SIDE from
+    the manifest's recorded partition values — the entry raises
+    unless files_scanned < files_total. Result: the 'en' rows
+    themselves (value-level parity with the base table)."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_pt"), "t")
+    docs = _t(spark, sf_dir, "documents")
+    T.write_table(
+        docs.where("doc_id % 2 = 0"),
+        out,
+        "create",
+        stats_cols=("doc_id",),
+        partition_by=("lang",),
+        target_files=1,
+    )
+    T.write_table(docs.where("doc_id % 2 = 1"), out, "append", target_files=1)
+    total, scanned = T.partition_scan_stats(spark, out, {"lang": "en"})
+    if not scanned < total:
+        raise RuntimeError(
+            f"partition pruning inert: scanned {scanned} of {total}"
+        )
+    return T.read_partition(spark, out, {"lang": "en"}).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_snap_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch apply (snaptable.apply_cdc — MERGE … WHEN MATCHED
+    DELETE): one change batch carrying upserts (rename every
+    ``% 5 = 0, % 7 != 3`` nation), deletes (every ``% 7 = 3`` key)
+    and inserts (shifted-key copies of keys < 3) lands in ONE
+    file-level copy-on-write pass. Returns the final table; the
+    oracle rebuilds the same end state set-algebraically."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_cdc"), "t")
+    nation = _t(spark, sf_dir, "nation")
+    T.write_table(
+        nation.repartitionByRange(4, "n_nationkey"),
+        out,
+        "create",
+        stats_cols=("n_nationkey",),
+    )
+    ups = (
+        nation.where("n_nationkey % 5 = 0 AND n_nationkey % 7 != 3")
+        .withColumn("n_name", F.concat(F.lit("cdc-"), F.col("n_name")))
+        .withColumn("_op", F.lit("upsert"))
+    )
+    dels = nation.where("n_nationkey % 7 = 3").withColumn(
+        "_op", F.lit("delete")
+    )
+    ins = nation.where("n_nationkey < 3").select(
+        (F.col("n_nationkey") + F.lit(100)).alias("n_nationkey"),
+        F.concat(F.lit("new-"), F.col("n_name")).alias("n_name"),
+        "n_regionkey",
+    ).withColumn("_op", F.lit("upsert"))
+    T.apply_cdc(
+        spark, out, ups.unionByName(dels).unionByName(ins), ["n_nationkey"]
+    )
+    return T.read_table(spark, out)
+
+
 def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid time-series densify + forward fill
     (operators/events.gap_fill_hourly): per sampled user, one row
@@ -8520,6 +8588,21 @@ FROM g
         FROM grid g
         LEFT JOIN obs o2 ON g.user_id = o2.user_id AND g.h = o2.h
     """
+    o["snap_partition_prune"] = """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents WHERE lang = 'en'
+    """
+    o["snap_apply_cdc"] = """
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 5 = 0 AND n_nationkey % 7 <> 3
+                    THEN 'cdc-' || n_name ELSE n_name END AS n_name,
+               n_regionkey
+        FROM nation WHERE n_nationkey % 7 <> 3
+        UNION ALL
+        SELECT CAST(n_nationkey + 100 AS INT) AS n_nationkey,
+               'new-' || n_name AS n_name, n_regionkey
+        FROM nation WHERE n_nationkey < 3
+    """
     o["events_rfm"] = f"""
         WITH ev AS (
           SELECT user_id, {_EVENT_US} AS ts_us,
@@ -8579,8 +8662,9 @@ FROM g
 # r8-new entries (the seven snap_* snapshot-table lanes, the
 # exactly-once streaming snap ingest, the Python streaming
 # DataSource lane, the JPEG/GIF/PNG/PPM pixel decodes, and the
-# decoded-signature image dedup, and the late-r8 five: HTML clean,
-# NFC normalize, Gopher gates, hourly resample+ffill, RFM) — then
+# decoded-signature image dedup, and the late-r8 batch: HTML clean,
+# NFC normalize, Gopher gates, hourly resample+ffill, RFM,
+# hive-partition pruning, CDC apply) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -8591,6 +8675,8 @@ FROM g
 # window clipped, then the r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "snap_partition_prune": q_snap_partition_prune,
+    "snap_apply_cdc": q_snap_apply_cdc,
     "text_html_clean": q_text_html_clean,
     "text_nfc_normalize": q_text_nfc_normalize,
     "text_gopher_gates": q_text_gopher_gates,

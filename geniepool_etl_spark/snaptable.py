@@ -121,6 +121,7 @@ def _stage_files(
     bloom_cols: tuple = (),
     bloom_bits: int = 16384,
     bloom_hashes: int = 4,
+    partition_by: tuple = (),
 ) -> list[dict]:
     """Write ``df``'s rows into a fresh ``data/<token>/`` directory
     (invisible until a manifest references it) and return file entries
@@ -138,25 +139,46 @@ def _stage_files(
     w = df
     if target_files is not None:
         w = w.coalesce(target_files)
-    w.write.mode("error").parquet(out_dir)
+    if partition_by:
+        # hive-layout staging: data/<token>/col=value/part-*.parquet.
+        # The writer drops partition columns from the leaf files, so
+        # every read-back below (and in _read_files) goes through
+        # basePath + the declared schema — values come from the dir
+        # names, cast to the DECLARED type (no string/int inference
+        # drift)
+        w.write.mode("error").partitionBy(*partition_by).parquet(out_dir)
+        back = (
+            spark.read.schema(df.schema)
+            .option("basePath", out_dir)
+            .parquet(out_dir)
+        )
+    else:
+        w.write.mode("error").parquet(out_dir)
+        back = spark.read.parquet(out_dir)
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"_min_{c}"))
         aggs.append(F.max(c).alias(f"_max_{c}"))
+    for c in partition_by:
+        # constant within a hive leaf file by construction — recorded
+        # per file so partition pruning is an exact manifest lookup
+        aggs.append(F.first(c).alias(f"_pv_{c}"))
     per_file = (
-        spark.read.parquet(out_dir)
-        .groupBy(F.input_file_name().alias("_f"))
-        .agg(*aggs)
-        .collect()
+        back.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
     )
     files = []
     for r in per_file:
-        base = os.path.basename(r["_f"])
-        entry = {"path": os.path.join(rel, base), "rows": int(r["_rows"])}
+        uri = r["_f"]
+        # path relative to the table root, INCLUDING any col=value
+        # partition directories between the token dir and the leaf
+        rel_path = uri[uri.index(rel) :]
+        entry = {"path": rel_path, "rows": int(r["_rows"])}
         if stats_cols:
             entry["stats"] = {
                 c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
             }
+        if partition_by:
+            entry["partition"] = {c: r[f"_pv_{c}"] for c in partition_by}
         files.append(entry)
     blooms: dict[str, dict[str, str]] = {}
     for c in bloom_cols:
@@ -169,8 +191,7 @@ def _stage_files(
             ]
         )
         per_file_pos = (
-            spark.read.parquet(out_dir)
-            .select(
+            back.select(
                 F.input_file_name().alias("_f"),
                 F.explode(probes).alias("_p"),
             )
@@ -197,10 +218,17 @@ def _stage_files(
     # vacuum's referenced-file accounting drifts
     seen = {os.path.basename(e["path"]) for e in files}
     fs, P = _hadoop_fs(spark, out_dir)
-    for st in fs.listStatus(P(out_dir)):
-        name = st.getPath().getName()
-        if name.endswith(".parquet") and name not in seen:
-            fs.delete(st.getPath(), False)
+
+    def _sweep(dirpath) -> None:
+        for st in fs.listStatus(dirpath):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                # hive partition dirs under a partitioned staging
+                _sweep(st.getPath())
+            elif name.endswith(".parquet") and name not in seen:
+                fs.delete(st.getPath(), False)
+
+    _sweep(P(out_dir))
     # deterministic manifest ordering (file names are writer-random)
     files.sort(key=lambda e: e["path"])
     return files
@@ -250,6 +278,7 @@ def write_table(
     bloom_bits: int = 16384,
     bloom_hashes: int = 4,
     evolve_schema: bool = False,
+    partition_by: tuple = (),
 ) -> int:
     """Commit ``df`` as a new snapshot of ``table_path`` and return
     the committed version. ``mode``:
@@ -272,6 +301,17 @@ def write_table(
     idempotent writer uses as a commit LEDGER (e.g. a streaming
     ingest stamps its micro-batch id and skips redeliveries via
     :func:`committed_props`).
+
+    ``partition_by`` declares hive-layout partition columns: staging
+    splits files by value (``data/<token>/col=v/…``), each manifest
+    file entry records its exact partition values, and
+    :func:`read_partition` prunes files by equality DRIVER-SIDE —
+    the Delta/Iceberg partition-pruning shape, with the partition
+    spec carried by the manifest (not directory scraping). Appends
+    and every copy-on-write rewrite inherit the table's spec, so the
+    layout survives delete/merge/compact. Reads always go through
+    the declared schema, so partition values keep their exact dtype
+    (no int-vs-string directory-name inference drift).
     """
     spark = df.sparkSession
     fs, P = _hadoop_fs(spark, table_path)
@@ -280,14 +320,23 @@ def write_table(
         raise ValueError(f"write_table: {table_path} already has versions")
     if mode in ("append", "overwrite") and not head:
         raise ValueError(f"write_table: {table_path} has no version 0")
+    if partition_by and mode != "append":
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"write_table: partition_by columns {missing} not in "
+                "the dataframe"
+            )
     if mode == "append":
-        # inherit the table's stats contract and schema — new files
-        # must stay prunable and readable under the standing manifest
+        # inherit the table's stats/partition contract and schema —
+        # new files must stay prunable and readable under the
+        # standing manifest
         parent0 = _manifest(spark, fs, P, table_path, head[-1])
         stats_cols = tuple(parent0.get("stats_cols", []))
         bloom_cols = tuple(parent0.get("bloom_cols", []))
         bloom_bits = int(parent0.get("bloom_bits", bloom_bits))
         bloom_hashes = int(parent0.get("bloom_hashes", bloom_hashes))
+        partition_by = tuple(parent0.get("partition_by", []))
         if df.schema.json() != parent0["schema"] and not (
             evolve_schema
             and _schema_evolves(parent0["schema"], df.schema.json())
@@ -300,7 +349,7 @@ def write_table(
             )
     files = _stage_files(
         spark, df, table_path, stats_cols, target_files,
-        bloom_cols, bloom_bits, bloom_hashes,
+        bloom_cols, bloom_bits, bloom_hashes, partition_by,
     )
     schema_json = df.schema.json()
     for _ in range(max_retries):
@@ -339,6 +388,15 @@ def write_table(
                     "concurrently (head evolved while this append "
                     "was staging); re-stage against the new head"
                 )
+            if tuple(parent.get("partition_by", [])) != partition_by:
+                # staged files follow the OLD head's layout; the new
+                # head declares a different partition spec — entries
+                # without (or with wrong) partition values would make
+                # partition pruning silently wrong
+                raise ValueError(
+                    "write_table(append): partition spec changed "
+                    "concurrently; re-stage against the new head"
+                )
             if (
                 tuple(parent.get("bloom_cols", [])),
                 int(parent.get("bloom_bits", bloom_bits)),
@@ -365,6 +423,8 @@ def write_table(
             manifest["bloom_cols"] = list(bloom_cols)
             manifest["bloom_bits"] = bloom_bits
             manifest["bloom_hashes"] = bloom_hashes
+        if partition_by:
+            manifest["partition_by"] = list(partition_by)
         if props:
             manifest["props"] = props
         if _try_commit(spark, table_path, version, manifest):
@@ -431,8 +491,35 @@ def _read_files(spark, table_path: str, manifest: dict, files: list) -> DataFram
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     if not files:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_path, f["path"]) for f in files]
-    return spark.read.schema(schema).parquet(*paths)
+    if not manifest.get("partition_by"):
+        paths = [os.path.join(table_path, f["path"]) for f in files]
+        return spark.read.schema(schema).parquet(*paths)
+    # hive-layout table: partition values live in directory names, so
+    # each commit token needs its own basePath-anchored scan (Spark
+    # rejects one basePath spanning sibling token roots — verified);
+    # one scan per token keeps the plan O(commits), bounded by
+    # compaction, never O(partitions). The declared schema casts the
+    # directory values, so dtypes are exact.
+    by_token: dict[str, list[str]] = {}
+    for f in files:
+        token = f["path"].split("/")[1]
+        by_token.setdefault(token, []).append(
+            os.path.join(table_path, f["path"])
+        )
+    out = None
+    for token, paths in sorted(by_token.items()):
+        part = (
+            spark.read.schema(schema)
+            .option(
+                "basePath", os.path.join(table_path, _DATA_DIR, token)
+            )
+            .parquet(*paths)
+        )
+        out = part if out is None else out.unionByName(part)
+    # the partitioned scan surfaces partition columns LAST regardless
+    # of the declared order — restore the manifest schema's order so
+    # partitioned and unpartitioned tables read identically
+    return out.select(*[f.name for f in schema.fields])
 
 
 def _prune_by_stats(files: list, col: str, lo, hi) -> list:
@@ -494,6 +581,61 @@ def scan_stats(
     fs, P = _hadoop_fs(spark, table_path)
     m = _resolve(spark, fs, P, table_path, None)
     return len(m["files"]), len(_prune_by_stats(m["files"], col, lo, hi))
+
+
+def _prune_by_partition(files: list, eq: dict) -> list:
+    """Exact partition pruning: keep files whose recorded partition
+    values match every ``eq`` equality. Files without partition
+    metadata (pre-partitioning manifests) are conservatively kept.
+    Values compare natively first, then as strings (non-JSON-native
+    partition types — dates, decimals — are committed via
+    ``default=str``)."""
+    out = []
+    for f in files:
+        pv = f.get("partition")
+        if pv is None:
+            out.append(f)
+            continue
+        keep = True
+        for c, v in eq.items():
+            if c in pv and pv[c] != v and str(pv[c]) != str(v):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
+def read_partition(
+    spark: SparkSession,
+    table_path: str,
+    eq: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Partition-pruned read: files whose manifest partition values
+    don't match the ``eq`` equalities are skipped DRIVER-SIDE — the
+    table-format partition-pruning shape, where a one-partition query
+    on a 100 TB table lists kilobytes of manifest, not the
+    filesystem. The surviving scan still carries the pushed-down row
+    filter (safe under pre-partitioning manifests, where entries
+    have no partition metadata and are conservatively kept)."""
+    fs, P = _hadoop_fs(spark, table_path)
+    m = _resolve(spark, fs, P, table_path, version)
+    pruned = _prune_by_partition(m["files"], eq)
+    df = _read_files(spark, table_path, m, pruned)
+    for c, v in eq.items():
+        df = df.where(F.col(c) == F.lit(v))
+    return df
+
+
+def partition_scan_stats(
+    spark: SparkSession, table_path: str, eq: dict
+) -> tuple[int, int]:
+    """(files_total, files_scanned) for a :func:`read_partition` of
+    ``eq`` — the observability hook the pruning tests assert on."""
+    fs, P = _hadoop_fs(spark, table_path)
+    m = _resolve(spark, fs, P, table_path, None)
+    return len(m["files"]), len(_prune_by_partition(m["files"], eq))
 
 
 def _bloom_probe_positions(
@@ -624,6 +766,7 @@ def delete_where(
             table_path,
             tuple(m.get("stats_cols", [])),
             target_files=max(1, len(touched)),
+            partition_by=tuple(m.get("partition_by", [])),
         )
     version = m["version"] + 1
     manifest = {
@@ -633,6 +776,8 @@ def delete_where(
         "stats_cols": m.get("stats_cols", []),
         "files": untouched + new_files,
     }
+    if m.get("partition_by"):
+        manifest["partition_by"] = m["partition_by"]
     if not _try_commit(spark, table_path, version, manifest):
         raise RuntimeError(
             "delete_where: concurrent commit landed mid-delete; rerun "
@@ -726,6 +871,7 @@ def merge_table(
         table_path,
         tuple(m.get("stats_cols", [])),
         target_files=max(1, len(touched)),
+        partition_by=tuple(m.get("partition_by", [])),
     )
     version = m["version"] + 1
     manifest = {
@@ -735,9 +881,125 @@ def merge_table(
         "stats_cols": m.get("stats_cols", []),
         "files": untouched + new_files,
     }
+    if m.get("partition_by"):
+        manifest["partition_by"] = m["partition_by"]
     if not _try_commit(spark, table_path, version, manifest):
         raise RuntimeError(
             "merge_table: concurrent commit landed mid-merge; rerun "
+            "against the new head (copy-on-write makes the retry safe)"
+        )
+    return version
+
+
+def apply_cdc(
+    spark: SparkSession,
+    table_path: str,
+    changes: DataFrame,
+    keys: list,
+    op_col: str = "_op",
+) -> int:
+    """Apply a CDC batch — keyed upserts AND deletes — in ONE
+    file-level copy-on-write pass: the MERGE … WHEN MATCHED [DELETE]
+    shape that replicating an OLTP table into the lake needs.
+    ``changes`` carries the table schema plus ``op_col`` ∈
+    {'upsert', 'delete'}; same-key rows are replaced, new keys
+    insert, delete rows remove the key (no-op if absent), and ONLY
+    files containing a changed key are rewritten — a needle batch
+    rewrites the needle's files, not the table. Returns the new
+    version.
+
+    Validation mirrors :func:`merge_table`: NULL keys reject (they
+    can never equi-match), duplicate keys in one batch reject (the
+    Delta MULTIPLE_MATCHES rule — ambiguous which op wins), unknown
+    op values reject. The file probe is one semi-join on ``keys``
+    collecting FILE NAMES (metadata-sized); when the single merge
+    key is a manifest stats column the probe file set is pre-pruned
+    driver-side against the batch's key [min, max]. Partitioned
+    tables keep their layout through the rewrite."""
+    fs, P = _hadoop_fs(spark, table_path)
+    m = _resolve(spark, fs, P, table_path, None)
+    cols = [f.name for f in StructType.fromJson(json.loads(m["schema"]))]
+    expect = set(cols) | {op_col}
+    if set(changes.columns) != expect:
+        raise ValueError(
+            f"apply_cdc: changes columns {sorted(changes.columns)} != "
+            f"table schema + {op_col!r}"
+        )
+    null_cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_cond = c if null_cond is None else (null_cond | c)
+    n_all, n_nulls, n_keys, n_badop = changes.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(null_cond, 1).otherwise(0)),
+        F.count_distinct(*[F.col(k) for k in keys]),
+        F.sum(
+            F.when(~F.col(op_col).isin("upsert", "delete"), 1).otherwise(0)
+        ),
+    ).first()
+    if n_badop:
+        raise ValueError(
+            f"apply_cdc: {n_badop} rows have {op_col} outside "
+            "{'upsert', 'delete'}"
+        )
+    if n_nulls:
+        raise ValueError(
+            f"apply_cdc: {n_nulls} change rows have NULL in {keys} — "
+            "NULL keys cannot match; clean them upstream"
+        )
+    if n_all != n_keys:
+        raise ValueError(
+            f"apply_cdc: batch carries {n_all - n_keys} duplicate key "
+            f"rows on {keys} — ambiguous which op wins; collapse the "
+            "batch to its latest op per key upstream"
+        )
+    probe_files = m["files"]
+    if len(keys) == 1 and keys[0] in m.get("stats_cols", []):
+        lo, hi = changes.agg(F.min(keys[0]), F.max(keys[0])).first()
+        probe_files = _prune_by_stats(m["files"], keys[0], lo, hi)
+    key_frame = changes.select(*keys).dropDuplicates(keys)
+    full = _read_files(spark, table_path, m, probe_files).withColumn(
+        "_f", F.input_file_name()
+    )
+    hit = {
+        os.path.basename(r["_f"])
+        for r in full.join(key_frame, keys, "leftsemi")
+        .select("_f")
+        .distinct()
+        .collect()
+    }
+    touched = [f for f in m["files"] if os.path.basename(f["path"]) in hit]
+    untouched = [
+        f for f in m["files"] if os.path.basename(f["path"]) not in hit
+    ]
+    survivors = (
+        _read_files(spark, table_path, m, touched)
+        .join(key_frame, keys, "left_anti")
+        .select(*cols)
+    )
+    inserts = changes.where(F.col(op_col) == "upsert").select(*cols)
+    staged = survivors.unionByName(inserts)
+    new_files = _stage_files(
+        spark,
+        staged,
+        table_path,
+        tuple(m.get("stats_cols", [])),
+        target_files=max(1, len(touched)),
+        partition_by=tuple(m.get("partition_by", [])),
+    )
+    version = m["version"] + 1
+    manifest = {
+        "version": version,
+        "action": "merge",
+        "schema": m["schema"],
+        "stats_cols": m.get("stats_cols", []),
+        "files": untouched + new_files,
+    }
+    if m.get("partition_by"):
+        manifest["partition_by"] = m["partition_by"]
+    if not _try_commit(spark, table_path, version, manifest):
+        raise RuntimeError(
+            "apply_cdc: concurrent commit landed mid-apply; rerun "
             "against the new head (copy-on-write makes the retry safe)"
         )
     return version
@@ -759,6 +1021,7 @@ def compact(
         table_path,
         tuple(m.get("stats_cols", [])),
         target_files=target_files,
+        partition_by=tuple(m.get("partition_by", [])),
     )
     n_old = sum(f["rows"] for f in m["files"])
     n_new = sum(f["rows"] for f in new_files)
@@ -775,6 +1038,8 @@ def compact(
         "stats_cols": m.get("stats_cols", []),
         "files": new_files,
     }
+    if m.get("partition_by"):
+        manifest["partition_by"] = m["partition_by"]
     if not _try_commit(spark, table_path, version, manifest):
         raise RuntimeError("compact: lost the commit race; rerun")
     return version

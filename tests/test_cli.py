@@ -285,3 +285,43 @@ def test_cli_table_point_lookup(spark, tmp_path, capsys):
     got = spark.read.parquet(out)
     assert got.count() == 1
     assert got.collect()[0].o_orderkey == pk
+
+
+def test_cli_table_partition_and_cdc(spark, tmp_path, capsys):
+    """table write --partition-by, part (pruned one-partition read)
+    and cdc (upsert+delete batch) through the public entrypoint."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    src = f"{SF_SMALL}/nation.parquet"
+    assert main(["table", "write", t, "--input", src,
+                 "--partition-by", "n_regionkey"]) == 0
+    capsys.readouterr()  # drain the write's version print
+    out = str(tmp_path / "part_out")
+    assert main(["table", "part", t, "--col", "n_regionkey",
+                 "--value", "2", "--output", out]) == 0
+    stats_line = capsys.readouterr().out.strip().splitlines()[0]
+    total, scanned = eval(stats_line)
+    assert scanned < total
+    got = spark.read.parquet(out)
+    assert {r.n_regionkey for r in got.collect()} == {2}
+
+    cdc_dir = str(tmp_path / "cdc")
+    base = spark.read.parquet(src)
+    (
+        base.where("n_nationkey = 0")
+        .withColumn("n_name", F.lit("PATCHED"))
+        .withColumn("_op", F.lit("upsert"))
+        .unionByName(
+            base.where("n_nationkey = 1").withColumn("_op", F.lit("delete"))
+        )
+        .write.parquet(cdc_dir)
+    )
+    assert main(["table", "cdc", t, "--input", cdc_dir,
+                 "--keys", "n_nationkey"]) == 0
+    from geniepool_etl_spark import snaptable as T
+
+    back = {r.n_nationkey: r.n_name for r in T.read_table(spark, t).collect()}
+    assert back[0] == "PATCHED"
+    assert 1 not in back
+    assert len(back) == 24

@@ -248,6 +248,10 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "snap_merge_upsert",
         "snap_zorder_skip",
         "snap_compact_history",
+        "snap_schema_evolution",
+        "snap_bloom_skip",
+        "snap_partition_prune",
+        "snap_apply_cdc",
     }
     bad = {}
     for name, fn in C.SPARK_QUERIES.items():

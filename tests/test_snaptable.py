@@ -502,3 +502,143 @@ def test_schema_evolution_rejections(spark, nums, tdir):
     )
     with pytest.raises(ValueError):
         T.write_table(retyped, tdir, "append", evolve_schema=True)
+
+
+@pytest.fixture(scope="module")
+def pnums(spark):
+    """Keyed rows with a low-cardinality partition column."""
+    return spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") * 3).alias("v"),
+    )
+
+
+def test_partitioned_roundtrip_schema_and_values(spark, pnums, tdir):
+    """Partitioned create+append reads back with the DECLARED column
+    order and dtypes (partition values come from dir names but cast
+    under the manifest schema — no string/int inference drift)."""
+    T.write_table(
+        pnums.where("k < 200"), tdir, "create", partition_by=("p",)
+    )
+    T.write_table(pnums.where("k >= 200"), tdir, "append")
+    back = T.read_table(spark, tdir)
+    # nullability legitimately flips on the parquet roundtrip — names,
+    # dtypes and ORDER are the contract (partition cols must not drift
+    # to the end the way a raw partitioned scan surfaces them)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in pnums.schema.fields
+    ]
+    assert sorted((r.k, r.p, r.v) for r in back.collect()) == sorted(
+        (r.k, r.p, r.v) for r in pnums.collect()
+    )
+
+
+def test_partition_pruning_skips_files_driver_side(spark, pnums, tdir):
+    T.write_table(pnums, tdir, "create", partition_by=("p",), target_files=1)
+    total, scanned = T.partition_scan_stats(spark, tdir, {"p": 2})
+    assert total == 4 and scanned == 1
+    got = T.read_partition(spark, tdir, {"p": 2})
+    assert got.count() == 100
+    assert {r.p for r in got.select("p").distinct().collect()} == {2}
+
+
+def test_partition_layout_survives_delete_merge_compact(spark, pnums, tdir):
+    """Every copy-on-write rewrite inherits the partition spec: the
+    rewritten files land hive-partitioned and stay prunable."""
+    T.write_table(pnums, tdir, "create", partition_by=("p",), target_files=1)
+    T.delete_where(spark, tdir, "p = 1 AND k < 50")
+    T.merge_table(
+        spark,
+        tdir,
+        pnums.where("k % 97 = 0").withColumn("v", F.col("v") + 1),
+        ["k"],
+    )
+    T.compact(spark, tdir, target_files=1)
+    m = _manifest(tdir, T.current_version(spark, tdir))
+    assert m["partition_by"] == ["p"]
+    assert all("partition" in f for f in m["files"])
+    total, scanned = T.partition_scan_stats(spark, tdir, {"p": 3})
+    assert scanned < total
+    back = T.read_partition(spark, tdir, {"p": 3})
+    assert back.count() == 100  # p=3 untouched by the delete
+
+
+def test_partition_append_inherits_spec_and_prunes_new_files(
+    spark, pnums, tdir
+):
+    T.write_table(
+        pnums.where("k < 100"), tdir, "create", partition_by=("p",),
+        target_files=1,
+    )
+    T.write_table(pnums.where("k >= 100"), tdir, "append", target_files=1)
+    m = _manifest(tdir, 1)
+    assert m["partition_by"] == ["p"]
+    assert all(f["partition"]["p"] in (0, 1, 2, 3) for f in m["files"])
+    total, scanned = T.partition_scan_stats(spark, tdir, {"p": 0})
+    assert total == 8 and scanned == 2  # one file per commit
+
+
+def test_partition_by_missing_column_rejected(spark, pnums, tdir):
+    with pytest.raises(ValueError, match="partition_by"):
+        T.write_table(pnums, tdir, "create", partition_by=("nope",))
+
+
+def test_apply_cdc_upsert_delete_insert_one_pass(spark, pnums, tdir):
+    """One CDC batch: update k=10, delete k=11, insert k=1000; only
+    files holding a changed key rewrite (by-reference carryover)."""
+    T.write_table(
+        pnums.repartitionByRange(4, "k"), tdir, "create",
+        stats_cols=("k",),
+    )
+    changes = spark.createDataFrame(
+        [
+            (10, 2, 999, "upsert"),
+            (11, 3, 0, "delete"),
+            (1000, 0, 3000, "upsert"),
+        ],
+        "k long, p long, v long, _op string",
+    )
+    v = T.apply_cdc(spark, tdir, changes, ["k"])
+    back = {r.k: r.v for r in T.read_table(spark, tdir).collect()}
+    assert back[10] == 999
+    assert 11 not in back
+    assert back[1000] == 3000
+    assert len(back) == 400  # 400 - 1 delete + 1 insert
+    # CoW by reference: untouched files carried verbatim
+    f_old = {f["path"] for f in _manifest(tdir, 0)["files"]}
+    f_new = {f["path"] for f in _manifest(tdir, v)["files"]}
+    assert f_old & f_new, "no files carried over — full rewrite?"
+
+
+def test_apply_cdc_validation_rejects(spark, pnums, tdir):
+    T.write_table(pnums, tdir, "create")
+    bad_op = spark.createDataFrame(
+        [(1, 1, 1, "replace")], "k long, p long, v long, _op string"
+    )
+    with pytest.raises(ValueError, match="_op"):
+        T.apply_cdc(spark, tdir, bad_op, ["k"])
+    dup = spark.createDataFrame(
+        [(1, 1, 1, "upsert"), (1, 1, 2, "delete")],
+        "k long, p long, v long, _op string",
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        T.apply_cdc(spark, tdir, dup, ["k"])
+    nullk = spark.createDataFrame(
+        [(None, 1, 1, "upsert")], "k long, p long, v long, _op string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        T.apply_cdc(spark, tdir, nullk, ["k"])
+    badcols = spark.createDataFrame([(1, "upsert")], "k long, _op string")
+    with pytest.raises(ValueError, match="columns"):
+        T.apply_cdc(spark, tdir, badcols, ["k"])
+
+
+def test_apply_cdc_delete_all_leaves_empty_readable_table(spark, tdir):
+    small = spark.range(0, 5).select(F.col("id").alias("k"))
+    T.write_table(small, tdir, "create")
+    changes = small.withColumn("_op", F.lit("delete"))
+    T.apply_cdc(spark, tdir, changes, ["k"])
+    back = T.read_table(spark, tdir)
+    assert back.count() == 0
+    assert back.schema == small.schema
