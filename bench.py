@@ -189,6 +189,9 @@ def sf1_queries(spark) -> dict:
             spark, SF1_DIR
         ),
         "events_session": lambda: C.q_events_session(spark, SF1_DIR),
+        "events_resample_ffill": lambda: C.q_events_resample_ffill(
+            spark, SF1_DIR
+        ),
     }
 
 
@@ -309,6 +312,21 @@ def bench_queries(spark, sf_dir):
             spark, sf_dir
         ),
         "sim_ivfpq_topk": lambda: C.q_sim_ivfpq_topk(spark, sf_dir),
+        # round-8 third wave: web-curation text lanes (narrow maps —
+        # these time scan-speed expression throughput; nfc times the
+        # Arrow-batched pandas-UDF lane) and the events grid/segment
+        # rollups
+        "text_html_clean": lambda: C.q_text_html_clean(spark, sf_dir),
+        "text_gopher_gates": lambda: C.q_text_gopher_gates(
+            spark, sf_dir
+        ),
+        "text_nfc_normalize": lambda: C.q_text_nfc_normalize(
+            spark, sf_dir
+        ),
+        "events_resample_ffill": lambda: C.q_events_resample_ffill(
+            spark, sf_dir
+        ),
+        "events_rfm": lambda: C.q_events_rfm(spark, sf_dir),
         "micro_event_us_long": lambda: micro_event_us(enc_dirs["long"]),
         "micro_event_us_ntz": lambda: micro_event_us(enc_dirs["ntz"]),
         "micro_scd2_full_rebuild": micro_scd2_full,

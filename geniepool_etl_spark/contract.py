@@ -3968,6 +3968,76 @@ QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
 """
 
 
+def _sim_mmr_oracle(
+    k: int = 5, pool: int = 20, lam_num: int = 7, lam_rem: int = 3
+) -> str:
+    """Unrolled k-step MMR replay: the greedy argmax per step is a
+    QUALIFY row_number()=1 over integer scores; each step's picked
+    set feeds the next step's max-sim aggregate. Generated (not
+    hand-written) so the step structure cannot drift from k."""
+    cos_qv = _cosine_sql("q.qe", "v.e")
+    cos_ab = _cosine_sql("a.e", "b.e")
+    parts = [f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 8),
+s0 AS (
+  SELECT q.q_id, v.vec_id AS n_id, {cos_qv} AS cs, v.e AS e
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id
+  QUALIFY row_number() OVER (
+    PARTITION BY q.q_id ORDER BY {cos_qv} DESC, v.vec_id) <= {pool}
+),
+s AS (
+  SELECT q_id, n_id, CAST(round(cs * 10000) AS BIGINT) AS rel, e
+  FROM s0
+),
+pw AS (
+  SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+         CAST(round({cos_ab} * 10000) AS BIGINT) AS sim
+  FROM s a JOIN s b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+),
+sel1 AS (
+  SELECT q_id, n_id, CAST(1 AS INT) AS rank,
+         {lam_num} * rel AS mmr_score
+  FROM s
+  QUALIFY row_number() OVER (
+    PARTITION BY q_id ORDER BY rel DESC, n_id) = 1
+),
+picked1 AS (SELECT q_id, n_id FROM sel1)"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+rem{t} AS (
+  SELECT s.* FROM s
+  ANTI JOIN picked{t - 1} p ON s.q_id = p.q_id AND s.n_id = p.n_id
+),
+sc{t} AS (
+  SELECT r.q_id, r.n_id,
+         {lam_num} * r.rel - {lam_rem} * max(pw.sim) AS mmr_score
+  FROM rem{t} r
+  JOIN pw ON pw.q_id = r.q_id AND pw.i = r.n_id
+  JOIN picked{t - 1} kk ON kk.q_id = pw.q_id AND kk.n_id = pw.j
+  GROUP BY r.q_id, r.n_id, r.rel
+),
+sel{t} AS (
+  SELECT q_id, n_id, CAST({t} AS INT) AS rank, mmr_score
+  FROM sc{t}
+  QUALIFY row_number() OVER (
+    PARTITION BY q_id ORDER BY mmr_score DESC, n_id) = 1
+),
+picked{t} AS (
+  SELECT q_id, n_id FROM picked{t - 1}
+  UNION ALL SELECT q_id, n_id FROM sel{t}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT q_id, rank, n_id, mmr_score FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
 def _bucket_sql(n_planes: int) -> str:
     from geniepool_etl_spark.operators.similarity import hyperplane
 
@@ -5799,6 +5869,19 @@ def q_text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.gopher_quality_gates(docs)
 
 
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/similarity.mmr_rerank):
+    greedy λ·rel − (1−λ)·max-sim selection of 5 from each query's
+    exact top-20, with relevance AND pairwise similarity as integer
+    1/10000-cosine units and λ = 7/10 as an integer pair — the pick
+    sequence is exact integer arithmetic (n_id tiebreak), so the
+    oracle's unrolled 5-step SQL replay reproduces it bit-for-bit.
+    Pairwise sims are Spark-side (pool² per query by construction);
+    the Python stage is pure integer greedy over ≤20 rows/query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(emb, emb.where("vec_id < 8"), k=5, pool=20)
+
+
 def q_snap_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned snapshot table (snaptable.write_table
     partition_by + read_partition): documents committed partitioned
@@ -6956,6 +7039,7 @@ GROUP BY tb.j_bucket
         GROUP BY bt.q_id
     """
     o["sim_brute_topk"] = _sim_brute_oracle()
+    o["sim_mmr_rerank"] = _sim_mmr_oracle()
     o["sim_pandas_topk"] = _sim_brute_oracle()
     o["sim_lsh_topk"] = _sim_lsh_oracle()
     o["dedup_embedding"] = _dedup_embedding_oracle()
@@ -8664,7 +8748,7 @@ FROM g
 # DataSource lane, the JPEG/GIF/PNG/PPM pixel decodes, and the
 # decoded-signature image dedup, and the late-r8 batch: HTML clean,
 # NFC normalize, Gopher gates, hourly resample+ffill, RFM,
-# hive-partition pruning, CDC apply) — then
+# hive-partition pruning, CDC apply, MMR re-rank) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -8675,6 +8759,7 @@ FROM g
 # window clipped, then the r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "sim_mmr_rerank": q_sim_mmr_rerank,
     "snap_partition_prune": q_snap_partition_prune,
     "snap_apply_cdc": q_snap_apply_cdc,
     "text_html_clean": q_text_html_clean,

@@ -1016,3 +1016,112 @@ def ivfpq_topk(
             ),
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` of each query's top-``pool`` exact
+    candidates maximizing ``λ·rel(d) − (1−λ)·max_sim(d, picked)`` —
+    the diversity-aware selection behind dedup-adjacent retrieval
+    (RAG context packing, eval-set sampling) where the plain top-k
+    returns five copies of the same near-duplicate.
+
+    Determinism/portability: relevance and pairwise similarity are
+    cosine ROUNDED to 4 then scaled to integers (units of 1/scale);
+    λ enters as the integer pair (lam_num, lam_den − lam_num), so
+    the greedy objective is exact integer arithmetic with an n_id
+    tiebreak — no float ever decides a pick, and an external engine
+    unrolling the same k steps reproduces the selection bit-for-bit.
+
+    Scale shape: candidates come from :func:`cosine_topk` (broadcast
+    query set); pairwise similarities are computed SPARK-SIDE as a
+    q_id-keyed self-join of the candidate set — O(pool²) rows per
+    query by construction, never corpus² — so the Python stage
+    (grouped cogroup-applyInPandas) does pure integer greedy
+    selection over ≤ pool rows per group: the sequential part of MMR
+    is irreducibly sequential per query, but each query's selection
+    runs independently across executors.
+    """
+    import pandas as pd
+
+    lam_rem = lam_den - lam_num
+    cands = cosine_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
+    )
+    rel = cands.select(
+        "q_id",
+        "n_id",
+        F.round(F.col("cos_sim") * scale).cast("long").alias("rel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    )
+    cv = cands.select("q_id", "n_id").join(c, "n_id")
+    # q_id-keyed candidate self-join (alias-qualified: both sides are
+    # the same frame) — O(pool²) rows per query by construction
+    pw = (
+        cv.alias("al")
+        .join(cv.alias("bl"), F.col("al.q_id") == F.col("bl.q_id"))
+        .where(F.col("al.n_id") != F.col("bl.n_id"))
+        .select(
+            F.col("al.q_id").alias("q_id"),
+            F.col("al.n_id").alias("i"),
+            F.col("bl.n_id").alias("j"),
+            F.round(
+                F.round(cosine(F.col("al.n_vec"), F.col("bl.n_vec")), 4)
+                * scale
+            )
+            .cast("long")
+            .alias("sim"),
+        )
+    )
+
+    def _greedy(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(
+                {"q_id": [], "rank": [], "n_id": [], "mmr_score": []}
+            ).astype(
+                {"q_id": "int64", "rank": "int32",
+                 "n_id": "int64", "mmr_score": "int64"}
+            )
+        qid = int(l["q_id"].iloc[0])
+        relmap = {int(n): int(v) for n, v in zip(l["n_id"], l["rel"])}
+        sims = {
+            (int(i), int(j)): int(s)
+            for i, j, s in zip(r["i"], r["j"], r["sim"])
+        }
+        remaining = sorted(relmap)
+        picked: list[int] = []
+        rows = []
+        for rank in range(1, min(k, len(remaining)) + 1):
+            best = None
+            for n in remaining:
+                ms = max((sims.get((n, j), 0) for j in picked), default=0)
+                score = lam_num * relmap[n] - lam_rem * ms
+                cand = (-score, n)
+                if best is None or cand < best[:2]:
+                    best = (-score, n, score)
+            picked.append(best[1])
+            remaining.remove(best[1])
+            rows.append((qid, rank, best[1], best[2]))
+        return pd.DataFrame(
+            rows, columns=["q_id", "rank", "n_id", "mmr_score"]
+        )
+
+    return (
+        rel.groupBy("q_id")
+        .cogroup(pw.groupBy("q_id"))
+        .applyInPandas(
+            _greedy, "q_id long, rank int, n_id long, mmr_score long"
+        )
+    )

@@ -3465,3 +3465,39 @@ def test_rfm_segments_tiles_and_inversion(spark):
     assert got[0].r_tile == 1 and got[0].f_tile == 1 and got[0].m_tile == 1
     assert got[0].recency_h == 7
     assert got[7].monetary_cents == 8 * 8000  # 8 events x $80
+
+
+def test_mmr_rerank_diversifies_near_duplicates(spark):
+    """MMR picks relevance first, then trades relevance for
+    diversity: with three mutual near-duplicates atop the relevance
+    ranking and one diverse runner-up, plain top-2 returns two dups
+    but MMR's second pick is the diverse vector."""
+    from geniepool_etl_spark.operators import similarity as S
+
+    import math
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    c20, s20 = math.cos(math.radians(20)), math.sin(math.radians(20))
+    rows = [
+        (0, vec(1.0, 0.0), 0),                # the query
+        (1, vec(c20, s20), 0),                # cluster A
+        (2, vec(0.9 * c20, 0.9 * s20), 0),    # A again (same direction)
+        (3, vec(c20, -s20), 0),               # diverse: mirrored
+    ]
+    # all three candidates have IDENTICAL relevance cos20°; 1↔2 are
+    # exact directional dups (sim 1.0), 1↔3 sit 40° apart (sim
+    # cos40°): step 2 scores 7·9397−3·10000 (dup) vs 7·9397−3·7660
+    # (mirror) — the mirror wins on diversity alone
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = S.mmr_rerank(
+        emb, emb.where("vec_id = 0"), k=2, pool=3
+    ).collect()
+    picks = {r.rank: r.n_id for r in got}
+    assert picks[1] == 1  # relevance tie broken by id
+    assert picks[2] == 3  # diversity beats the duplicate
+    brute = S.cosine_topk(emb, emb.where("vec_id = 0"), k=2).collect()
+    assert {r.n_id for r in brute} == {1, 2}  # plain top-2: two dups

@@ -204,6 +204,7 @@ _INTENDED_CROSS = {
     "a19_loghist_quantiles",  # tiny sketch frame × 3-row quantile-target broadcast
     "stream_loghist",  # same read-out over the standing sketch
     "events_rfm",  # 1-row global-max + 1-row quartile-threshold broadcasts
+    "sim_mmr_rerank",  # 8-query broadcast (cosine_topk candidate stage)
 }
 
 
