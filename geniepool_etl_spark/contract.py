@@ -2401,6 +2401,32 @@ def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncompressed-TIFF pixel decode (multimodal.
+    synth_tiff_gradient_assets → decode_image_pixel_stats): real
+    classic-TIFF payloads — multi-strip rasters (RowsPerStrip=5, so
+    StripOffsets/StripByteCounts walking is load-bearing), byte
+    order alternating per asset (II and MM both exercised), canonical
+    tag types — decoded to exact per-channel integer sums of the
+    repo-wide closed-form gradient. Completes pixel access for every
+    non-entropy-coded image family the engine parses (BMP/PNG/GIF/
+    PPM/TIFF + baseline-grayscale JPEG)."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 6)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(11) + (F.col("doc_id") % 9) * 3)
+            .cast("long")
+            .alias("width"),
+            (F.lit(8) + (F.col("doc_id") % 5) * 6)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(M.synth_tiff_gradient_assets(params))
+
+
 def q_multimodal_ppm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Netpbm P6 pixel decode (multimodal.synth_ppm_gradient_assets →
     decode_image_pixel_stats): binary PPM payloads — comment-bearing
@@ -7858,6 +7884,27 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                CAST(min(asset_id) AS BIGINT) AS keep_id
         FROM px GROUP BY 1, 2, 3, 4
     """
+    o["multimodal_tiff_pixels"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 11 + (doc_id % 9) * 3 AS w,
+                 8 + (doc_id % 5) * 6 AS h
+          FROM documents WHERE doc_id % 7 = 6
+        ),
+        px AS (
+          SELECT asset_id,
+                 CAST(sum((i % w + 2 * (i // w)) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((2 * (i % w) + i // w) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((i % w + i // w) % 256) AS BIGINT) AS sum_b
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               px.sum_r, px.sum_g, px.sum_b
+        FROM prm JOIN px USING (asset_id)
+    """
     o["multimodal_ppm_pixels"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -8748,7 +8795,8 @@ FROM g
 # DataSource lane, the JPEG/GIF/PNG/PPM pixel decodes, and the
 # decoded-signature image dedup, and the late-r8 batch: HTML clean,
 # NFC normalize, Gopher gates, hourly resample+ffill, RFM,
-# hive-partition pruning, CDC apply, MMR re-rank) — then
+# hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels) —
+# then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -8759,6 +8807,7 @@ FROM g
 # window clipped, then the r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,
     "snap_partition_prune": q_snap_partition_prune,
     "snap_apply_cdc": q_snap_apply_cdc,

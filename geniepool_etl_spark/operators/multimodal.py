@@ -1476,8 +1476,10 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
     (zlib-inflated IDAT, all five scanline filter predictors undone,
     chunk CRCs verified), palette GIF (sub-blocks re-joined,
     variable-width LZW inflated, indices mapped through the global
-    color table), or binary netpbm P6/P5 (comment-bearing header,
-    raw raster — all stdlib-only) and reduce to
+    color table), binary netpbm P6/P5 (comment-bearing header, raw
+    raster), or uncompressed classic TIFF (both byte orders,
+    strip-walked via StripOffsets/StripByteCounts — all stdlib-only)
+    and reduce to
     exact-integer per-channel sums (mean brightness, channel balance,
     and exposure heuristics derive from these downstream). Baseline
     grayscale JPEG scans are entropy-decoded too (Huffman + dequant +
@@ -1512,6 +1514,13 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
                         continue
                     if raw[:2] in (b"P5", b"P6"):
                         n, sr, sg, sb = _ppm_pixel_sums(raw)
+                        rows["n_pixels"].append(n)
+                        rows["sum_r"].append(sr)
+                        rows["sum_g"].append(sg)
+                        rows["sum_b"].append(sb)
+                        continue
+                    if raw[:4] in (b"II*\x00", b"MM\x00*"):
+                        n, sr, sg, sb = _tiff_pixel_sums(raw)
                         rows["n_pixels"].append(n)
                         rows["sum_r"].append(sr)
                         rows["sum_g"].append(sg)
@@ -2532,3 +2541,198 @@ def decode_video_features(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
+def _tiff_bytes(
+    w: int, h: int, big_endian: bool, rows_per_strip: int = 5
+) -> bytes:
+    """Build a REAL classic-TIFF file: header, raster strips, the
+    external BitsPerSample/StripOffsets/StripByteCounts arrays, one
+    IFD — uncompressed 8-bit RGB, chunky planar, canonical tag types
+    (SHORT where the spec says SHORT, inline when ≤ 4 bytes). The
+    gradient is the repo-wide closed form (R=(x+2y)%256, G=(2x+y)%256,
+    B=(x+y)%256) so oracles recompute every channel sum from (w, h)."""
+    import struct
+
+    import numpy as np
+
+    e = ">" if big_endian else "<"
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    rgb = np.stack(
+        [(x + 2 * y) % 256, (2 * x + y) % 256, (x + y) % 256], axis=-1
+    ).astype(np.uint8)
+    raster = rgb.tobytes()
+    stride = w * 3
+    strips = [
+        raster[r * stride : min(r + rows_per_strip, h) * stride]
+        for r in range(0, h, rows_per_strip)
+    ]
+    pos = 8
+    offsets, counts = [], []
+    for s in strips:
+        offsets.append(pos)
+        counts.append(len(s))
+        pos += len(s)
+    if pos % 2:  # TIFF value offsets must be word-aligned
+        pos += 1
+    bits_off = pos
+    pos += 6
+    so_off = pos
+    pos += 4 * len(strips)
+    sc_off = pos
+    pos += 4 * len(strips)
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        if typ == 3 and cnt == 1:  # inline SHORT, left-justified
+            return struct.pack(e + "HHIHH", tag, typ, cnt, val, 0)
+        return struct.pack(e + "HHII", tag, typ, cnt, val)
+
+    n = len(strips)
+    entries = [
+        entry(256, 4, 1, w),                       # ImageWidth
+        entry(257, 4, 1, h),                       # ImageLength
+        entry(258, 3, 3, bits_off),                # BitsPerSample [8,8,8]
+        entry(259, 3, 1, 1),                       # Compression: none
+        entry(262, 3, 1, 2),                       # Photometric: RGB
+        entry(273, 4, n, so_off if n > 1 else offsets[0]),
+        entry(277, 3, 1, 3),                       # SamplesPerPixel
+        entry(278, 4, 1, rows_per_strip),          # RowsPerStrip
+        entry(279, 4, n, sc_off if n > 1 else counts[0]),
+        entry(284, 3, 1, 1),                       # PlanarConfig: chunky
+    ]
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, ifd_off)
+    for s in strips:
+        out += s
+    if len(out) % 2:
+        out += b"\x00"
+    out += struct.pack(e + "HHH", 8, 8, 8)
+    out += struct.pack(e + f"{n}I", *offsets)
+    out += struct.pack(e + f"{n}I", *counts)
+    out += struct.pack(e + "H", len(entries))
+    for en in entries:
+        out += en
+    out += struct.pack(e + "I", 0)
+    return bytes(out)
+
+
+def synth_tiff_gradient_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize real uncompressed-RGB TIFF payloads — multi-strip
+    (RowsPerStrip=5, so strip walking is load-bearing), byte order
+    alternating by asset id parity (even → II little-endian, odd →
+    MM big-endian, so BOTH endian paths are exercised). Arrow
+    ``mapInPandas``; narrow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                _tiff_bytes(int(w), int(h), big_endian=bool(int(a) % 2))
+                for a, w, h in zip(
+                    pdf[id_col], pdf[width_col], pdf[height_col]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/tiff",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _tiff_pixel_sums(raw: bytes) -> tuple:
+    """Decode an uncompressed classic TIFF — 8-bit chunky RGB
+    (photometric 2) or grayscale (photometric 1, reported on all
+    three channels) — to exact per-channel integer sums. Both byte
+    orders; strips walked via StripOffsets/StripByteCounts (SHORT or
+    LONG, inline or external). Compression, planar-separate, tiled,
+    or non-8-bit profiles raise — the caller nulls the row out."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] == b"II*\x00":
+        e = "<"
+    elif raw[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not TIFF")
+    (ifd_off,) = struct.unpack_from(e + "I", raw, 4)
+    if ifd_off + 2 > len(raw):
+        raise ValueError("tiff: IFD offset past end")
+    (n_entries,) = struct.unpack_from(e + "H", raw, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        if base + 12 > len(raw):
+            raise ValueError("tiff: truncated IFD")
+        tag, typ, cnt = struct.unpack_from(e + "HHI", raw, base)
+        tags[tag] = (typ, cnt, base + 8)
+
+    def values(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"tiff: missing tag {tag}")
+            return [default]
+        typ, cnt, vpos = tags[tag]
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"tiff: unsupported type {typ} for {tag}")
+        total = size * cnt
+        if total > 4:
+            (off,) = struct.unpack_from(e + "I", raw, vpos)
+        else:
+            off = vpos
+        if off + total > len(raw):
+            raise ValueError("tiff: value array past end")
+        fmt = e + f"{cnt}" + ("H" if typ == 3 else "I")
+        return list(struct.unpack_from(fmt, raw, off))
+
+    w = values(256)[0]
+    h = values(257)[0]
+    comp = values(259, default=1)[0]
+    photo = values(262)[0]
+    spp = values(277, default=1)[0]
+    planar = values(284, default=1)[0]
+    bits = values(258, default=8)
+    if comp != 1 or planar != 1:
+        raise ValueError("tiff: compressed/planar profile unsupported")
+    if photo not in (1, 2) or any(b != 8 for b in bits):
+        raise ValueError("tiff: unsupported photometric/bit depth")
+    if (photo == 2) != (spp == 3) or w <= 0 or h <= 0:
+        raise ValueError("tiff: inconsistent geometry")
+    offs = values(273)
+    cnts = values(279)
+    if len(offs) != len(cnts):
+        raise ValueError("tiff: strip offset/count mismatch")
+    body = bytearray()
+    for o, c in zip(offs, cnts):
+        if o + c > len(raw):
+            raise ValueError("tiff: truncated strip")
+        body += raw[o : o + c]
+    need = w * h * spp
+    if len(body) < need:
+        raise ValueError("tiff: short raster")
+    px = (
+        np.frombuffer(bytes(body), dtype=np.uint8, count=need)
+        .reshape(-1, spp)
+        .astype(np.int64)
+    )
+    if spp == 1:
+        g = int(px[:, 0].sum())
+        return (w * h, g, g, g)
+    return (
+        w * h,
+        int(px[:, 0].sum()),
+        int(px[:, 1].sum()),
+        int(px[:, 2].sum()),
+    )

@@ -3501,3 +3501,78 @@ def test_mmr_rerank_diversifies_near_duplicates(spark):
     assert picks[2] == 3  # diversity beats the duplicate
     brute = S.cosine_topk(emb, emb.where("vec_id = 0"), k=2).collect()
     assert {r.n_id for r in brute} == {1, 2}  # plain top-2: two dups
+
+
+def test_tiff_pixel_roundtrip_both_endians(spark):
+    """TIFF synth → decode roundtrip against the closed-form gradient
+    sums, for BOTH byte orders and multi-strip rasters; a single-strip
+    file takes the inline-offset path."""
+    from geniepool_etl_spark.operators import multimodal as M
+
+    def expected(w, h):
+        n = sr = sg = sb = 0
+        for yy in range(h):
+            for xx in range(w):
+                sr += (xx + 2 * yy) % 256
+                sg += (2 * xx + yy) % 256
+                sb += (xx + yy) % 256
+                n += 1
+        return (n, sr, sg, sb)
+
+    for big in (False, True):
+        raw = M._tiff_bytes(13, 11, big_endian=big)
+        assert M._tiff_pixel_sums(raw) == expected(13, 11)
+    # single strip: rows_per_strip >= h, offsets/counts inline LONG
+    raw1 = M._tiff_bytes(6, 4, big_endian=False, rows_per_strip=16)
+    assert M._tiff_pixel_sums(raw1) == expected(6, 4)
+
+
+def test_tiff_poison_and_grayscale(spark):
+    """Truncated strips and bogus magic raise (the Spark lane nulls
+    them out); a hand-built grayscale (photometric 1) file reports
+    the gray sum on all three channels."""
+    import struct
+
+    import pytest as _pytest
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    raw = M._tiff_bytes(9, 7, big_endian=False)
+    with _pytest.raises(ValueError):
+        M._tiff_pixel_sums(raw[: len(raw) // 2])  # IFD is at the end
+    with _pytest.raises(ValueError):
+        M._tiff_pixel_sums(b"II+\x00" + raw[4:])
+
+    # minimal grayscale: 4x2, one strip, values 0..7
+    e = "<"
+    body = bytes(range(8))
+    ifd_off = 8 + len(body)
+
+    def entry(tag, typ, cnt, val):
+        if typ == 3 and cnt == 1:
+            return struct.pack(e + "HHIHH", tag, typ, cnt, val, 0)
+        return struct.pack(e + "HHII", tag, typ, cnt, val)
+
+    entries = [
+        entry(256, 4, 1, 4), entry(257, 4, 1, 2),
+        entry(258, 3, 1, 8), entry(259, 3, 1, 1),
+        entry(262, 3, 1, 1), entry(273, 4, 1, 8),
+        entry(277, 3, 1, 1), entry(278, 4, 1, 2),
+        entry(279, 4, 1, 8),
+    ]
+    gray = (
+        b"II" + struct.pack(e + "HI", 42, ifd_off) + body
+        + struct.pack(e + "H", len(entries))
+        + b"".join(entries) + struct.pack(e + "I", 0)
+    )
+    assert M._tiff_pixel_sums(gray) == (8, 28, 28, 28)
+
+    # decode_image_pixel_stats nulls poison rows, decodes good ones
+    df = spark.createDataFrame(
+        [(1, bytearray(raw), "image/tiff"),
+         (2, bytearray(raw[:40]), "image/tiff")],
+        "asset_id long, payload binary, media_type string",
+    )
+    got = {r.asset_id: r for r in M.decode_image_pixel_stats(df).collect()}
+    assert got[1].n_pixels == 63
+    assert got[2].n_pixels is None
