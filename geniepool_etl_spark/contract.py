@@ -1425,6 +1425,65 @@ def q_s22_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s23_snap_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table CHANGE-FEED streaming source (sources/
+    snapsource — the Delta-streaming-source shape on the FULL Python
+    DataSource streaming API): offsets are table versions, each
+    micro-batch is a driver-side manifest diff, and every new FILE is
+    one InputPartition an executor scans directly with pyarrow — row
+    payloads never pass through the driver (the scale contrast to the
+    Simple reader in s22). Driven as two trigger-once runs over ONE
+    checkpoint with an append landing between them: the second run
+    must emit ONLY the new commit's rows (offset JSON survived the
+    checkpoint) — a re-emit would double version 0/1 counts and fail
+    the oracle. Rows are stamped with _commit_version."""
+    from geniepool_etl_spark import snaptable as T
+    from geniepool_etl_spark.sources import snapsource
+
+    snapsource.register(spark)
+    base = _tmpdir("snapstream")
+    table = os.path.join(base, "t")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    nation = _t(spark, sf_dir, "nation")
+    T.write_table(
+        nation.where("n_nationkey % 2 = 0"), table, "create", target_files=1
+    )
+    T.write_table(
+        nation.where("n_nationkey % 2 = 1"), table, "append", target_files=1
+    )
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("gp_snap_changes")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # versions 0+1
+    shifted = nation.select(
+        (F.col("n_nationkey") + F.lit(100)).alias("n_nationkey"),
+        F.concat(F.lit("late-"), F.col("n_name")).alias("n_name"),
+        "n_regionkey",
+    )
+    T.write_table(shifted, table, "append", target_files=1)
+    run_once()  # resumes: version 2 only
+    return (
+        spark.read.parquet(out)
+        .groupBy("_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_nationkey").cast("long")).alias("key_sum"),
+        )
+    )
+
+
 def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType lane: ``parse_json`` → binary variant,
     typed path extraction via ``variant_get`` plus schema
@@ -2398,6 +2457,32 @@ def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dups"),
             F.min("asset_id").alias("keep_id"),
         )
+    )
+
+
+def q_a20_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via bitmap aggregates (Spark 4
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    / bitmap_count) — the two-level pattern that replaces a global
+    count_distinct shuffle-of-keys with fixed-size bitmap partials:
+    keys hash to (bucket, bit), per-(group, bucket) bitmaps build
+    map-side, and the final count is a sum of popcounts. At 100 TB
+    the partial state per group×bucket is a constant 4 KB bitmap
+    regardless of key cardinality — exact, unlike HLL (a7), and
+    mergeable, unlike count_distinct. The oracle is the semantic
+    equivalent COUNT(DISTINCT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.select(
+            "l_linestatus",
+            F.bitmap_bucket_number(F.col("l_partkey")).alias("_bkt"),
+            F.bitmap_bit_position(F.col("l_partkey")).alias("_pos"),
+        )
+        .groupBy("l_linestatus", "_bkt")
+        .agg(F.bitmap_construct_agg(F.col("_pos")).alias("_bm"))
+    )
+    return per_bucket.groupBy("l_linestatus").agg(
+        F.sum(F.bitmap_count(F.col("_bm"))).alias("n_distinct_parts")
     )
 
 
@@ -7884,6 +7969,26 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                CAST(min(asset_id) AS BIGINT) AS keep_id
         FROM px GROUP BY 1, 2, 3, 4
     """
+    o["s23_snap_change_stream"] = """
+        SELECT CAST(0 AS BIGINT) AS _commit_version,
+               count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation WHERE n_nationkey % 2 = 0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), count(*),
+               CAST(sum(n_nationkey) AS BIGINT)
+        FROM nation WHERE n_nationkey % 2 = 1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*),
+               CAST(sum(n_nationkey + 100) AS BIGINT)
+        FROM nation
+    """
+    o["a20_bitmap_distinct"] = """
+        SELECT l_linestatus,
+               CAST(count(DISTINCT l_partkey) AS BIGINT)
+                 AS n_distinct_parts
+        FROM lineitem GROUP BY l_linestatus
+    """
     o["multimodal_tiff_pixels"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -8795,8 +8900,8 @@ FROM g
 # DataSource lane, the JPEG/GIF/PNG/PPM pixel decodes, and the
 # decoded-signature image dedup, and the late-r8 batch: HTML clean,
 # NFC normalize, Gopher gates, hourly resample+ffill, RFM,
-# hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels) —
-# then
+# hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels,
+# bitmap distinct, change-feed stream source) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -8807,6 +8912,8 @@ FROM g
 # window clipped, then the r4 tail, then r5/r6.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
+    "s23_snap_change_stream": q_s23_snap_change_stream,
+    "a20_bitmap_distinct": q_a20_bitmap_distinct,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,
     "snap_partition_prune": q_snap_partition_prune,

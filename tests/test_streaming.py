@@ -756,3 +756,70 @@ def test_snap_ingest_stream_resumes_from_checkpoint(spark, tmp_path):
     out2 = maintain_snap_ingest_stream(spark, src, table, ckpt)
     assert out2.count() == 2 * n1
     assert T.current_version(spark, table) == v1 + 1
+
+
+def test_snap_change_stream_partitioned_and_rewrite_guard(spark, tmp_path):
+    """gp_snap_changes over a hive-PARTITIONED snapshot table: the
+    executor-side pyarrow read reconstructs partition values from the
+    col=value path segments WITH the declared dtype; a rewrite action
+    (delete) landing between micro-batches fails the stream loud (the
+    CDC-across-rewrites rule); schema-evolved parent files null-fill."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import StreamingQueryException
+
+    from geniepool_etl_spark import snaptable as T
+    from geniepool_etl_spark.sources import snapsource
+
+    snapsource.register(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    T.write_table(base, t, "create", partition_by=("p",), target_files=1)
+
+    def run_once():
+        q = (
+            spark.readStream.format("gp_snap_changes")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    # partition dtype survived the path round-trip (long, not string)
+    assert dict(got.dtypes)["p"] == "bigint"
+    assert got.where("p = 2").count() == 10
+    assert {r._commit_version for r in got.collect()} == {0}
+
+    # schema-evolved append: new column, old files null-fill
+    T.write_table(
+        spark.range(40, 50).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("p"),
+            F.lit("x").alias("tag"),
+        ),
+        t,
+        "append",
+        evolve_schema=True,
+        target_files=1,
+    )
+    run_once()
+    got2 = spark.read.parquet(out)
+    # stream schema was resolved at first run (pre-evolution): only
+    # the original columns flow; the new batch carries version 1
+    assert got2.where("_commit_version = 1").count() == 10
+
+    # rewrite between batches: the next micro-batch must fail loud
+    T.delete_where(spark, t, "k = 3")
+    with pytest.raises((StreamingQueryException, Exception)):
+        run_once()
