@@ -389,7 +389,12 @@ def _run_table(ns: argparse.Namespace) -> int:
     elif op == "delete":
         print(T.delete_where(spark, ns.table, ns.predicate))
     elif op == "compact":
-        print(T.compact(spark, ns.table, target_files=ns.target_files))
+        print(
+            T.compact(
+                spark, ns.table, target_files=ns.target_files,
+                sort_by=tuple(ns.sort_by or ()),
+            )
+        )
     elif op == "vacuum":
         print(
             T.vacuum(
@@ -505,6 +510,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--stats-cols", nargs="*")
     s.add_argument("--bloom-cols", nargs="*")
     s.add_argument("--partition-by", nargs="*")
+    s.add_argument("--sort-by", nargs="*")
     s.add_argument("--op-col", default="_op")
     s.add_argument("--col")
     s.add_argument("--value")

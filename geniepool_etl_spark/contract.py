@@ -5993,6 +5993,45 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_rerank(emb, emb.where("vec_id < 8"), k=5, pool=20)
 
 
+def q_snap_compact_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style re-clustering compaction (snaptable.compact
+    sort_by): orders land hash-scattered (every file spans the full
+    key range — manifest stats pruning inert, scanned == total, which
+    the entry asserts), then ONE maintenance pass range-sorts the
+    rewrite so the refreshed per-file min/max actually discriminate
+    — the entry raises unless the same range read afterwards scans
+    STRICTLY fewer files. Returns the pruned range's rows (value
+    parity with the base table)."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_cc"), "t")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # hash-scatter: round-robin repartition, every file ~full range
+    T.write_table(
+        orders.repartition(8), out, "create", stats_cols=("o_orderkey",)
+    )
+    lo, hi = 1000, 2000
+    total0, scanned0 = T.scan_stats(spark, out, "o_orderkey", lo, hi)
+    if scanned0 != total0:
+        raise RuntimeError(
+            f"expected inert pruning pre-compaction: {scanned0}/{total0}"
+        )
+    T.compact(spark, out, target_files=8, sort_by=("o_orderkey",))
+    total1, scanned1 = T.scan_stats(spark, out, "o_orderkey", lo, hi)
+    if not scanned1 < total1:
+        raise RuntimeError(
+            f"re-cluster did not enable pruning: {scanned1}/{total1}"
+        )
+    got = T.read_range(spark, out, "o_orderkey", lo, hi)
+    return got.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+
 def q_snap_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned snapshot table (snaptable.write_table
     partition_by + read_partition): documents committed partitioned
@@ -8824,6 +8863,11 @@ FROM g
         FROM grid g
         LEFT JOIN obs o2 ON g.user_id = o2.user_id AND g.h = o2.h
     """
+    o["snap_compact_cluster"] = """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+    """
     o["snap_partition_prune"] = """
         SELECT doc_id, lang, source, n_chars
         FROM documents WHERE lang = 'en'
@@ -8901,7 +8945,8 @@ FROM g
 # decoded-signature image dedup, and the late-r8 batch: HTML clean,
 # NFC normalize, Gopher gates, hourly resample+ffill, RFM,
 # hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels,
-# bitmap distinct, change-feed stream source) — then
+# bitmap distinct, change-feed stream source, re-cluster compact)
+# — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -8913,6 +8958,7 @@ FROM g
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
     "s23_snap_change_stream": q_s23_snap_change_stream,
+    "snap_compact_cluster": q_snap_compact_cluster,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,

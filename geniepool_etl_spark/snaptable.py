@@ -1006,15 +1006,31 @@ def apply_cdc(
 
 
 def compact(
-    spark: SparkSession, table_path: str, target_files: int = 1
+    spark: SparkSession,
+    table_path: str,
+    target_files: int = 1,
+    sort_by: tuple = (),
 ) -> int:
     """Rewrite the current snapshot into ``target_files`` files as a
     new version (rows identical — asserted before commit, the same
     verify-before-swap discipline as streaming.compact_day_partition).
-    Old files remain for time travel until :func:`vacuum`."""
+    Old files remain for time travel until :func:`vacuum`.
+
+    ``sort_by`` makes this the OPTIMIZE-style re-cluster: rows are
+    range-repartitioned and sorted on the given columns before the
+    rewrite, so each output file covers a NARROW slice of the sort
+    key and the refreshed manifest min/max stats actually
+    discriminate — a table whose appends arrived hash-scattered
+    (every file spanning the full key range, stats pruning inert)
+    becomes prunable in one maintenance pass. Make the sort keys
+    ``stats_cols`` for the skipping to pay off."""
     fs, P = _hadoop_fs(spark, table_path)
     m = _resolve(spark, fs, P, table_path, None)
     cur = _read_files(spark, table_path, m, m["files"])
+    if sort_by:
+        cur = cur.repartitionByRange(
+            max(1, target_files), *sort_by
+        ).sortWithinPartitions(*sort_by)
     new_files = _stage_files(
         spark,
         cur,

@@ -254,6 +254,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "snap_partition_prune",
         "snap_apply_cdc",
         "s23_snap_change_stream",
+        "snap_compact_cluster",
     }
     bad = {}
     for name, fn in C.SPARK_QUERIES.items():

@@ -642,3 +642,23 @@ def test_apply_cdc_delete_all_leaves_empty_readable_table(spark, tdir):
     back = T.read_table(spark, tdir)
     assert back.count() == 0
     assert back.schema == small.schema
+
+
+def test_compact_sort_by_enables_pruning_and_preserves_rows(
+    spark, nums, tdir
+):
+    """OPTIMIZE-style re-cluster: hash-scattered files have inert
+    stats pruning; compact(sort_by) makes a narrow range read skip
+    files, with the row multiset unchanged and partitioned layouts
+    preserved."""
+    T.write_table(
+        nums.repartition(6), tdir, "create", stats_cols=("k",)
+    )
+    before = sorted((r.k, r.v) for r in T.read_table(spark, tdir).collect())
+    t0, s0 = T.scan_stats(spark, tdir, "k", 100, 150)
+    assert s0 == t0  # every file spans the range
+    T.compact(spark, tdir, target_files=6, sort_by=("k",))
+    t1, s1 = T.scan_stats(spark, tdir, "k", 100, 150)
+    assert s1 < t1
+    after = sorted((r.k, r.v) for r in T.read_table(spark, tdir).collect())
+    assert after == before
