@@ -5993,6 +5993,34 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_rerank(emb, emb.where("vec_id < 8"), k=5, pool=20)
 
 
+def q_snap_meta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (snaptable.meta_row_count +
+    resolve_as_of): count(*) per version answered from manifest row
+    counts alone — ZERO data files opened, the catalog-speed path a
+    100 TB table answers audits by. The as-of-timestamp resolver is
+    exercised against each manifest's own commit stamp (version v
+    must resolve from its recorded ts_ms); the oracle recomputes the
+    same counts by scanning the base table."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_mc"), "t")
+    orders = _t(spark, sf_dir, "orders")
+    T.write_table(
+        orders.where("o_orderkey % 3 = 0"), out, "create", target_files=1
+    )
+    T.write_table(
+        orders.where("o_orderkey % 3 != 0"), out, "append", target_files=1
+    )
+    rows = []
+    fs, P = T._hadoop_fs(spark, out)
+    for v in (0, 1):
+        m = T._manifest(spark, fs, P, out, v)
+        if T.resolve_as_of(spark, out, int(m["ts_ms"])) != v:
+            raise RuntimeError(f"as-of resolution broken for v{v}")
+        rows.append((v, T.meta_row_count(spark, out, version=v)))
+    return spark.createDataFrame(rows, "version long, n_rows long")
+
+
 def q_snap_compact_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE-style re-clustering compaction (snaptable.compact
     sort_by): orders land hash-scattered (every file spans the full
@@ -8863,6 +8891,12 @@ FROM g
         FROM grid g
         LEFT JOIN obs o2 ON g.user_id = o2.user_id AND g.h = o2.h
     """
+    o["snap_meta_count"] = """
+        SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), count(*) FROM orders
+    """
     o["snap_compact_cluster"] = """
         SELECT o_orderkey, o_orderstatus,
                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -8945,8 +8979,8 @@ FROM g
 # decoded-signature image dedup, and the late-r8 batch: HTML clean,
 # NFC normalize, Gopher gates, hourly resample+ffill, RFM,
 # hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels,
-# bitmap distinct, change-feed stream source, re-cluster compact)
-# — then
+# bitmap distinct, change-feed stream source, re-cluster compact,
+# metadata count) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -8961,6 +8995,7 @@ SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
     "s23_snap_change_stream": q_s23_snap_change_stream,
     "snap_compact_cluster": q_snap_compact_cluster,
+    "snap_meta_count": q_snap_meta_count,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,

@@ -240,7 +240,14 @@ def _try_commit(
     """Atomically publish ``manifest`` as ``version``: stage the JSON
     under a tmp name, then rename onto the version slot. Hadoop's
     rename contract makes the slot a single-winner claim — a False
-    return means another writer committed this version first."""
+    return means another writer committed this version first.
+
+    Stamps ``ts_ms`` (commit wall-clock) into the manifest — the
+    AS-OF-timestamp time-travel anchor; in the manifest rather than
+    file mtime so it survives copies/restores of the table tree."""
+    import time as _time
+
+    manifest.setdefault("ts_ms", int(_time.time() * 1000))
     fs, P = _hadoop_fs(spark, table_path)
     logdir = os.path.join(table_path, _LOG_DIR)
     fs.mkdirs(P(logdir))
@@ -432,6 +439,38 @@ def write_table(
     raise RuntimeError(
         f"write_table: lost {max_retries} commit races on {table_path}"
     )
+
+
+def resolve_as_of(
+    spark: SparkSession, table_path: str, ts_ms: int
+) -> int:
+    """Version in effect at wall-clock ``ts_ms`` — the largest
+    version whose commit stamp is ≤ the probe (the Delta
+    ``timestampAsOf`` rule). O(versions) manifest reads, metadata
+    only; raises if the probe predates the table."""
+    fs, P = _hadoop_fs(spark, table_path)
+    best = None
+    for v in _versions(fs, P, table_path):
+        m = _manifest(spark, fs, P, table_path, v)
+        if int(m.get("ts_ms", 0)) <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"resolve_as_of: no version at or before ts_ms={ts_ms}"
+        )
+    return best
+
+
+def meta_row_count(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> int:
+    """``count(*)`` from the manifest alone — zero data files opened
+    (per-file row counts are recorded at staging), the
+    metadata-only-aggregate trick table formats use to answer
+    catalog-level questions on a 100 TB table in milliseconds."""
+    fs, P = _hadoop_fs(spark, table_path)
+    m = _resolve(spark, fs, P, table_path, version)
+    return sum(f["rows"] for f in m["files"])
 
 
 def head_props(spark: SparkSession, table_path: str) -> dict:

@@ -255,6 +255,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "snap_apply_cdc",
         "s23_snap_change_stream",
         "snap_compact_cluster",
+        "snap_meta_count",
     }
     bad = {}
     for name, fn in C.SPARK_QUERIES.items():

@@ -662,3 +662,24 @@ def test_compact_sort_by_enables_pruning_and_preserves_rows(
     assert s1 < t1
     after = sorted((r.k, r.v) for r in T.read_table(spark, tdir).collect())
     assert after == before
+
+
+def test_as_of_timestamp_and_meta_count(spark, nums, tdir):
+    """Commit stamps ride the manifest: resolve_as_of picks the
+    version in effect at a wall-clock probe (Delta timestampAsOf
+    rule), and meta_row_count answers count(*) from metadata alone
+    at any version."""
+    T.write_table(nums.where("k < 300"), tdir, "create")
+    ts0 = _manifest(tdir, 0)["ts_ms"]
+    T.write_table(nums.where("k >= 300"), tdir, "append")
+    ts1 = _manifest(tdir, 1)["ts_ms"]
+    assert T.resolve_as_of(spark, tdir, ts0) == 0
+    assert T.resolve_as_of(spark, tdir, ts1 + 10_000) == 1
+    with pytest.raises(ValueError, match="no version"):
+        T.resolve_as_of(spark, tdir, ts0 - 10_000)
+    v = T.resolve_as_of(spark, tdir, ts0)
+    assert T.read_table(spark, tdir, version=v).count() == 300
+    assert T.meta_row_count(spark, tdir, version=0) == 300
+    assert T.meta_row_count(spark, tdir) == 1000
+    T.delete_where(spark, tdir, "k BETWEEN 0 AND 9")
+    assert T.meta_row_count(spark, tdir) == 990
