@@ -5910,6 +5910,17 @@ _HTML_MID = (
 )
 
 
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter, fastText shape (operators/text.
+    linear_quality_score): hashing-trick features → sparse integer
+    dot with a deterministic milli-unit weight vector → sigmoid →
+    keep. The keep decision is exact integer arithmetic (logit_milli
+    > 0); only the reported sigmoid floats (round 4). Production
+    swaps hash-derived weights for learned ones broadcast as a tiny
+    frame — same plan."""
+    return TX.linear_quality_score(_t(spark, sf_dir, "documents"))
+
+
 def q_text_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate extraction (operators/text.strip_html): drop
     script/style blocks, strip tags, decode the six standard
@@ -8658,6 +8669,28 @@ FROM g
           ORDER BY {portable_hash32_sql('doc_id')} ASC, doc_id ASC
         ) <= 5
     """
+    o["text_quality_classifier"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+        feats AS (
+          SELECT doc_id,
+                 {portable_hash32_sql('word')} % 64 AS bucket,
+                 count(*) AS n
+          FROM tok GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT doc_id,
+                 CAST(sum(n * ({portable_hash32_sql("CAST(bucket AS VARCHAR)", seed=7)} % 2001 - 1000)) AS BIGINT)
+                   AS logit_milli,
+                 CAST(sum(n) AS BIGINT) AS n_words
+          FROM feats GROUP BY doc_id
+        )
+        SELECT doc_id, logit_milli, n_words,
+               round(1.0 / (1.0 + exp(-(CAST(logit_milli AS DOUBLE)
+                     / (n_words * 1000.0)))), 4) AS score,
+               logit_milli > 0 AS keep
+        FROM agg
+    """
     o["text_feature_hash"] = f"""
         WITH {_WORDS_CTE.strip()},
         tok AS (SELECT doc_id, unnest(w) AS word FROM words)
@@ -8980,7 +9013,7 @@ FROM g
 # NFC normalize, Gopher gates, hourly resample+ffill, RFM,
 # hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels,
 # bitmap distinct, change-feed stream source, re-cluster compact,
-# metadata count) — then
+# metadata count, linear quality classifier) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -8996,6 +9029,7 @@ SPARK_QUERIES = {
     "s23_snap_change_stream": q_s23_snap_change_stream,
     "snap_compact_cluster": q_snap_compact_cluster,
     "snap_meta_count": q_snap_meta_count,
+    "text_quality_classifier": q_text_quality_classifier,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,

@@ -1203,3 +1203,59 @@ def gopher_quality_gates(
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    weight_seed: int = 7,
+) -> DataFrame:
+    """Model-based quality filtering, the fastText-classifier shape
+    (Joulin et al. 2016; the CCNet/GPT-3 "quality filter" stage):
+    hashing-trick bag-of-words features (:func:`feature_hash_counts`)
+    → sparse dot with a fixed weight vector → sigmoid score →
+    keep/drop. The weights here are derived DETERMINISTICALLY from
+    the bucket index (hash → integer milli-units in [-1000, 1000]) so
+    the whole pipeline is engine-reproducible; production swaps in
+    learned weights broadcast as a tiny (n_buckets)-row frame — the
+    PLAN (featurize, sparse dot, threshold; no vocabulary build, no
+    dense vectors, one keyed aggregate) is identical and is what this
+    operator pins.
+
+    Determinism: the logit accumulates as exact INTEGER milli-units
+    (count × milli-weight), so the keep decision (logit > 0) never
+    touches a float; only the reported sigmoid is floating (rounded
+    4, after one exp whose argument both engines compute from the
+    same integers).
+    """
+    feats = feature_hash_counts(df, n_buckets, text_col, id_col, seed)
+    w_milli = (
+        portable_hash32(F.col("bucket").cast("string"), seed=weight_seed)
+        % 2001
+        - 1000
+    )
+    agg = (
+        feats.select(
+            F.col(id_col),
+            F.col("n"),
+            (F.col("n") * w_milli).alias("_wn"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_wn").cast("long").alias("logit_milli"),
+            F.sum("n").cast("long").alias("n_words"),
+        )
+    )
+    logit = F.col("logit_milli") / (F.col("n_words") * 1000.0)
+    return agg.select(
+        F.col(id_col),
+        "logit_milli",
+        "n_words",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4).alias(
+            "score"
+        ),
+        (F.col("logit_milli") > 0).alias("keep"),
+    )

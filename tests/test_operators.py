@@ -3576,3 +3576,28 @@ def test_tiff_poison_and_grayscale(spark):
     got = {r.asset_id: r for r in M.decode_image_pixel_stats(df).collect()}
     assert got[1].n_pixels == 63
     assert got[2].n_pixels is None
+
+
+def test_linear_quality_score_integer_keep_and_plan_shape(spark):
+    """The keep decision is pure integer arithmetic: hand-compute the
+    milli-logit for a one-word doc and check score/keep agree; docs
+    with identical text get identical scores."""
+    from geniepool_etl_spark.functions import portable_hash32
+    from geniepool_etl_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "alpha beta beta")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TX.linear_quality_score(df).collect()}
+    # hand-compute: bucket = h32(word) % 64; w = h32(str(bucket), 7) % 2001 - 1000
+    probe = spark.range(1).select(
+        (portable_hash32(F.lit("alpha"), seed=0) % 64).alias("b")
+    ).first()
+    w = spark.range(1).select(
+        (portable_hash32(F.lit(str(probe.b)), seed=7) % 2001 - 1000).alias("w")
+    ).first().w
+    assert got[1].logit_milli == w
+    assert got[1].keep == (w > 0)
+    assert got[1].score == got[2].score and got[1].keep == got[2].keep
+    assert got[3].n_words == 3
