@@ -6149,6 +6149,16 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.gap_fill_hourly(_events(spark, sf_dir))
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing over per-user hourly cents (operators/events.
+    ewma_hourly, α=1/4): the irreducibly-sequential recurrence runs
+    as a per-user in-row fold over a sorted bounded array (users
+    parallelize; no window, no UDF); exact-binary α and identical
+    IEEE evaluation order make the oracle's recursive CTE reproduce
+    the sequence bit-for-bit (outputs still round to 4)."""
+    return E.ewma_hourly(_events(spark, sf_dir))
+
+
 def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (operators/events.rfm_segments): per-user
     recency/frequency/monetary from one keyed aggregate, quartile
@@ -8950,6 +8960,34 @@ FROM g
                'new-' || n_name AS n_name, n_regionkey
         FROM nation WHERE n_nationkey < 3
     """
+    o["events_ewma"] = f"""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, {_EVENT_US} AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE user_id % 15 = 0
+        ),
+        hourly AS (
+          SELECT user_id, ts_us // 3600000000 AS h,
+                 CAST(sum(cents) AS BIGINT) AS cents
+          FROM ev GROUP BY 1, 2
+        ),
+        ordered AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY h) AS rn
+          FROM hourly
+        ),
+        rec AS (
+          SELECT user_id, h, cents, rn, CAST(cents AS DOUBLE) AS s
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.user_id, o.h, o.cents, o.rn,
+                 r.s * 0.75 + CAST(o.cents AS DOUBLE) * 0.25
+          FROM rec r
+          JOIN ordered o
+            ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        )
+        SELECT user_id, h, cents, round(s, 4) AS ewma FROM rec
+    """
     o["events_rfm"] = f"""
         WITH ev AS (
           SELECT user_id, {_EVENT_US} AS ts_us,
@@ -9013,7 +9051,7 @@ FROM g
 # NFC normalize, Gopher gates, hourly resample+ffill, RFM,
 # hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels,
 # bitmap distinct, change-feed stream source, re-cluster compact,
-# metadata count, linear quality classifier) — then
+# metadata count, linear quality classifier, EWMA) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -9030,6 +9068,7 @@ SPARK_QUERIES = {
     "snap_compact_cluster": q_snap_compact_cluster,
     "snap_meta_count": q_snap_meta_count,
     "text_quality_classifier": q_text_quality_classifier,
+    "events_ewma": q_events_ewma,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,

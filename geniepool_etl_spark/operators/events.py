@@ -850,3 +850,87 @@ def rfm_segments(df: DataFrame) -> DataFrame:
             F.lit("M"), m.cast("string"),
         ).alias("segment"),
     )
+
+
+def ewma_hourly(
+    df: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    user_mod: int = 15,
+) -> DataFrame:
+    """Exponentially-weighted moving average per user over hourly
+    cents totals — the classic time-series smoother behind anomaly
+    baselines and trend features. EWMA is irreducibly sequential per
+    series, so the shape mirrors :func:`gap_fill_hourly`'s scale
+    rules: one keyed (user, hour) aggregate, then per-user folds over
+    a SORTED in-row array (bounded by the series length in hours,
+    never by event count) — users parallelize, the fold pipelines in
+    codegen, no window, no UDF.
+
+    Cross-engine determinism: the recurrence ``s' = s·(1−α) + x·α``
+    runs in IEEE doubles over exact integer cents, with α = 1/4 (both
+    factors exact in binary) and an identical evaluation order on any
+    engine that replays the same per-user hour ordering — the oracle's
+    recursive CTE reproduces the sequence bit-for-bit; outputs round
+    to 4 anyway.
+    """
+    a = alpha_num / alpha_den
+    ev = with_event_time(df).where(F.col("user_id") % user_mod == 0)
+    ev = ev.withColumn("h", F.expr(f"ts_us div {US_PER_HOUR}"))
+    hourly = ev.groupBy("user_id", "h").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    series = hourly.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("h"), F.col("cents")))
+        ).alias("_s")
+    )
+    # fold: acc = (last smoothed value, emitted rows); first element
+    # seeds the recurrence (s_0 = x_0)
+    fold = F.aggregate(
+        F.col("_s"),
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.expr(
+                "CAST(array() AS array<struct<h:bigint,cents:bigint,"
+                "ewma:double>>)"
+            ).alias("out"),
+        ),
+        lambda acc, e: F.struct(
+            F.when(
+                acc["s"].isNull(), e["cents"].cast("double")
+            )
+            .otherwise(
+                acc["s"] * F.lit(1.0 - a)
+                + e["cents"].cast("double") * F.lit(a)
+            )
+            .alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["h"].alias("h"),
+                        e["cents"].alias("cents"),
+                        F.when(
+                            acc["s"].isNull(),
+                            e["cents"].cast("double"),
+                        )
+                        .otherwise(
+                            acc["s"] * F.lit(1.0 - a)
+                            + e["cents"].cast("double") * F.lit(a)
+                        )
+                        .alias("ewma"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+    )
+    return (
+        series.select("user_id", F.explode(fold["out"]).alias("e"))
+        .select(
+            "user_id",
+            F.col("e.h").alias("h"),
+            F.col("e.cents").alias("cents"),
+            F.round(F.col("e.ewma"), 4).alias("ewma"),
+        )
+    )

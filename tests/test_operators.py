@@ -3601,3 +3601,26 @@ def test_linear_quality_score_integer_keep_and_plan_shape(spark):
     assert got[1].keep == (w > 0)
     assert got[1].score == got[2].score and got[1].keep == got[2].keep
     assert got[3].n_words == 3
+
+
+def test_ewma_hourly_recurrence_and_seed(spark):
+    """EWMA seeds at the first observation and follows
+    s' = 0.75·s + 0.25·x thereafter, per user independently."""
+    from geniepool_etl_spark.operators import events as E
+
+    h = 3_600_000_000
+    rows = [
+        (1, (10 * h) * 1000, 0, "a", 1.00, "{}"),   # hour 10: 100c
+        (2, (11 * h) * 1000, 0, "a", 2.00, "{}"),   # hour 11: 200c
+        (3, (12 * h) * 1000, 0, "a", 0.40, "{}"),   # hour 12: 40c
+        (4, (5 * h) * 1000, 15, "b", 3.00, "{}"),   # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, "
+        "event_type string, value double, props string"
+    )
+    got = {(r.user_id, r.h): r.ewma for r in E.ewma_hourly(df).collect()}
+    assert got[(0, 10)] == 100.0
+    assert got[(0, 11)] == 100.0 * 0.75 + 200 * 0.25  # 125.0
+    assert got[(0, 12)] == round(125.0 * 0.75 + 40 * 0.25, 4)  # 103.75
+    assert got[(15, 5)] == 300.0
