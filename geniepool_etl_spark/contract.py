@@ -6004,6 +6004,38 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_rerank(emb, emb.where("vec_id < 8"), k=5, pool=20)
 
 
+def q_snap_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style HIDDEN partitioning (snaptable partition
+    transforms): orders laid out by ``bucket(16, o_custkey)`` — a
+    DERIVED hash bucket the query never mentions — while the point
+    query filters the RAW customer key; pruning maps the probe
+    through the same transform (with the declared-dtype cast:
+    xxhash64(int) != xxhash64(long)) and must scan exactly ONE of the
+    16 bucket files, which the entry asserts. Leaf files keep every
+    data column, so reads need no basePath reconstruction."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_hp"), "t")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    T.write_table(
+        orders, out, "create",
+        partition_by=("bucket(16,o_custkey)",), target_files=1,
+    )
+    total, scanned = T.partition_scan_stats(spark, out, {"o_custkey": 42})
+    if not (total == 16 and scanned == 1):
+        raise RuntimeError(
+            f"hidden-bucket pruning broken: scanned {scanned}/{total}"
+        )
+    return T.read_partition(spark, out, {"o_custkey": 42}).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+
 def q_snap_meta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only aggregates (snaptable.meta_row_count +
     resolve_as_of): count(*) per version answered from manifest row
@@ -8934,6 +8966,11 @@ FROM g
         FROM grid g
         LEFT JOIN obs o2 ON g.user_id = o2.user_id AND g.h = o2.h
     """
+    o["snap_hidden_partition"] = """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey = 42
+    """
     o["snap_meta_count"] = """
         SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows
         FROM orders WHERE o_orderkey % 3 = 0
@@ -9051,7 +9088,8 @@ FROM g
 # NFC normalize, Gopher gates, hourly resample+ffill, RFM,
 # hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels,
 # bitmap distinct, change-feed stream source, re-cluster compact,
-# metadata count, linear quality classifier, EWMA) — then
+# metadata count, linear quality classifier, EWMA, hidden
+# partition transforms) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -9069,6 +9107,7 @@ SPARK_QUERIES = {
     "snap_meta_count": q_snap_meta_count,
     "text_quality_classifier": q_text_quality_classifier,
     "events_ewma": q_events_ewma,
+    "snap_hidden_partition": q_snap_hidden_partition,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,

@@ -112,6 +112,78 @@ def current_version(spark: SparkSession, table_path: str) -> int | None:
     return vs[-1] if vs else None
 
 
+import re as _re
+
+_TRANSFORM_RE = _re.compile(
+    r"^(bucket|truncate)\((\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\)$"
+)
+_MONTH_RE = _re.compile(r"^month\(([A-Za-z_][A-Za-z0-9_]*)\)$")
+
+
+def _parse_partition_spec(spec: str):
+    """A partition spec is either a bare column name (identity) or an
+    Iceberg-style HIDDEN transform: ``bucket(N, col)`` (xxhash64 mod
+    N), ``truncate(W, col)`` (floor to width-W integer bins), or
+    ``month(col)`` (months since epoch-1970 of a timestamp). Returns
+    (field_name, source_col, kind, param); for identity the field IS
+    the column."""
+    if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", spec):
+        return (spec, spec, "identity", None)
+    m = _TRANSFORM_RE.match(spec)
+    if m:
+        kind, param, col = m.group(1), int(m.group(2)), m.group(3)
+        if param <= 0:
+            raise ValueError(f"partition spec {spec!r}: width must be > 0")
+        return (f"_p_{kind}_{col}", col, kind, param)
+    m = _MONTH_RE.match(spec)
+    if m:
+        col = m.group(1)
+        return (f"_p_month_{col}", col, "month", None)
+    raise ValueError(
+        f"unsupported partition spec {spec!r} — use a column name, "
+        "bucket(N, col), truncate(W, col), or month(col)"
+    )
+
+
+def _transform_expr(source, kind: str, param):
+    """The transform as a Spark Column over ``source`` (a Column or a
+    literal) — ONE definition used both at staging and when mapping a
+    probe value to its partition, so the two can never drift."""
+    if kind == "identity":
+        return source
+    if kind == "bucket":
+        return F.pmod(F.xxhash64(source), F.lit(param)).cast("int")
+    if kind == "truncate":
+        # floor-to-bin for integers (Iceberg truncate semantics,
+        # negative-safe): v - ((v % W) + W) % W
+        m = ((source % param) + param) % param
+        return (source - m).cast("long")
+    if kind == "month":
+        return (
+            (F.year(source) - F.lit(1970)) * 12 + F.month(source) - F.lit(1)
+        ).cast("int")
+    raise AssertionError(kind)
+
+
+def _probe_partition_value(
+    spark: SparkSession, kind: str, param, value, dtype=None
+):
+    """Map a RAW probe value through the transform — evaluated by the
+    same Spark expression as staging (a 1-row local job; the pruning
+    decision is planning-time metadata work). The literal is CAST to
+    the column's declared type first: xxhash64(int) != xxhash64(long),
+    the same cross-type trap the bloom probe guards against."""
+    if kind == "identity":
+        return value
+    lit = F.lit(value)
+    if dtype is not None:
+        lit = lit.cast(dtype)
+    row = spark.range(1).select(
+        _transform_expr(lit, kind, param).alias("v")
+    ).first()
+    return row["v"]
+
+
 def _stage_files(
     spark: SparkSession,
     df: DataFrame,
@@ -139,8 +211,15 @@ def _stage_files(
     w = df
     if target_files is not None:
         w = w.coalesce(target_files)
-    if partition_by:
-        # hive-layout staging: data/<token>/col=value/part-*.parquet.
+    specs = [_parse_partition_spec(s) for s in partition_by]
+    hidden = [s for s in specs if s[2] != "identity"]
+    if hidden and len(hidden) != len(specs):
+        raise ValueError(
+            "partition_by: mixing identity and transform specs in one "
+            "table is unsupported (the two use different read paths)"
+        )
+    if partition_by and not hidden:
+        # identity hive layout: data/<token>/col=value/part-*.parquet.
         # The writer drops partition columns from the leaf files, so
         # every read-back below (and in _read_files) goes through
         # basePath + the declared schema — values come from the dir
@@ -152,6 +231,17 @@ def _stage_files(
             .option("basePath", out_dir)
             .parquet(out_dir)
         )
+    elif hidden:
+        # HIDDEN (transform) partitioning: the partition column is a
+        # DERIVED value (bucket/truncate/month), so the leaf files
+        # keep every data column — reads need no basePath and queries
+        # keep filtering the RAW column (the Iceberg idea)
+        for field, col, kind, param in hidden:
+            w = w.withColumn(field, _transform_expr(F.col(col), kind, param))
+        w.write.mode("error").partitionBy(
+            *[s[0] for s in hidden]
+        ).parquet(out_dir)
+        back = spark.read.option("basePath", out_dir).parquet(out_dir)
     else:
         w.write.mode("error").parquet(out_dir)
         back = spark.read.parquet(out_dir)
@@ -159,10 +249,11 @@ def _stage_files(
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"_min_{c}"))
         aggs.append(F.max(c).alias(f"_max_{c}"))
-    for c in partition_by:
+    for spec, (field, _c, _k, _p) in zip(partition_by, specs):
         # constant within a hive leaf file by construction — recorded
-        # per file so partition pruning is an exact manifest lookup
-        aggs.append(F.first(c).alias(f"_pv_{c}"))
+        # per file (keyed by the SPEC string) so partition pruning is
+        # an exact manifest lookup
+        aggs.append(F.first(field).alias(f"_pv_{spec}"))
     per_file = (
         back.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
     )
@@ -178,7 +269,9 @@ def _stage_files(
                 c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
             }
         if partition_by:
-            entry["partition"] = {c: r[f"_pv_{c}"] for c in partition_by}
+            entry["partition"] = {
+                s: r[f"_pv_{s}"] for s in partition_by
+            }
         files.append(entry)
     blooms: dict[str, dict[str, str]] = {}
     for c in bloom_cols:
@@ -328,11 +421,15 @@ def write_table(
     if mode in ("append", "overwrite") and not head:
         raise ValueError(f"write_table: {table_path} has no version 0")
     if partition_by and mode != "append":
-        missing = [c for c in partition_by if c not in df.columns]
+        missing = [
+            s
+            for s in partition_by
+            if _parse_partition_spec(s)[1] not in df.columns
+        ]
         if missing:
             raise ValueError(
-                f"write_table: partition_by columns {missing} not in "
-                "the dataframe"
+                f"write_table: partition_by source columns of {missing} "
+                "not in the dataframe"
             )
     if mode == "append":
         # inherit the table's stats/partition contract and schema —
@@ -530,7 +627,13 @@ def _read_files(spark, table_path: str, manifest: dict, files: list) -> DataFram
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     if not files:
         return spark.createDataFrame([], schema)
-    if not manifest.get("partition_by"):
+    pspecs = [
+        _parse_partition_spec(s) for s in manifest.get("partition_by", [])
+    ]
+    if not pspecs or all(k != "identity" for _f, _c, k, _p in pspecs):
+        # unpartitioned — or HIDDEN-transform partitioned, whose leaf
+        # files keep every data column (the derived partition column
+        # is simply absent from the declared schema)
         paths = [os.path.join(table_path, f["path"]) for f in files]
         return spark.read.schema(schema).parquet(*paths)
     # hive-layout table: partition values live in directory names, so
@@ -660,11 +763,37 @@ def read_partition(
     have no partition metadata and are conservatively kept)."""
     fs, P = _hadoop_fs(spark, table_path)
     m = _resolve(spark, fs, P, table_path, version)
-    pruned = _prune_by_partition(m["files"], eq)
+    pruned = _prune_by_partition(
+        m["files"], _map_partition_probe(spark, m, eq)
+    )
     df = _read_files(spark, table_path, m, pruned)
     for c, v in eq.items():
         df = df.where(F.col(c) == F.lit(v))
     return df
+
+
+def _map_partition_probe(spark: SparkSession, manifest: dict, eq: dict) -> dict:
+    """Translate RAW-column equalities into manifest partition-entry
+    probes: identity specs pass through; HIDDEN transform specs map
+    the probe value through the same transform expression staging
+    used — the caller keeps filtering raw columns, never the derived
+    layout (the Iceberg hidden-partitioning contract)."""
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    by_source = {}
+    for s in manifest.get("partition_by", []):
+        field, col, kind, param = _parse_partition_spec(s)
+        by_source[col] = (s, kind, param)
+    out = {}
+    for c, v in eq.items():
+        if c in by_source:
+            spec, kind, param = by_source[c]
+            out[spec] = _probe_partition_value(
+                spark, kind, param, v, dtypes.get(c)
+            )
+        else:
+            out[c] = v  # unknown key: entries lack it → kept
+    return out
 
 
 def partition_scan_stats(
@@ -674,7 +803,9 @@ def partition_scan_stats(
     ``eq`` — the observability hook the pruning tests assert on."""
     fs, P = _hadoop_fs(spark, table_path)
     m = _resolve(spark, fs, P, table_path, None)
-    return len(m["files"]), len(_prune_by_partition(m["files"], eq))
+    return len(m["files"]), len(
+        _prune_by_partition(m["files"], _map_partition_probe(spark, m, eq))
+    )
 
 
 def _bloom_probe_positions(

@@ -256,6 +256,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "s23_snap_change_stream",
         "snap_compact_cluster",
         "snap_meta_count",
+        "snap_hidden_partition",
     }
     bad = {}
     for name, fn in C.SPARK_QUERIES.items():

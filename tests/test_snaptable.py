@@ -683,3 +683,66 @@ def test_as_of_timestamp_and_meta_count(spark, nums, tdir):
     assert T.meta_row_count(spark, tdir) == 1000
     T.delete_where(spark, tdir, "k BETWEEN 0 AND 9")
     assert T.meta_row_count(spark, tdir) == 990
+
+
+def test_hidden_partitioning_bucket_and_truncate(spark, nums, tdir):
+    """Iceberg-style hidden transforms: the table partitions on a
+    DERIVED value (bucket/truncate) while queries keep filtering the
+    RAW column; leaf files keep every data column, pruning maps the
+    probe through the same transform, and reads need no basePath."""
+    T.write_table(
+        nums, tdir, "create",
+        partition_by=("bucket(8,k)",), target_files=1,
+    )
+    total, scanned = T.partition_scan_stats(spark, tdir, {"k": 123})
+    assert total == 8 and scanned == 1
+    got = T.read_partition(spark, tdir, {"k": 123}).collect()
+    assert [(r.k, r.v) for r in got] == [(123, 123 * 7 % 13)]
+    back = T.read_table(spark, tdir)
+    assert back.columns == ["k", "v"]  # derived col never surfaces
+    assert back.count() == 1000
+
+
+def test_hidden_partitioning_truncate_and_month(spark, tdir):
+    from datetime import datetime
+
+    rows = [
+        (1, 17, datetime(2024, 1, 5)),
+        (2, 23, datetime(2024, 1, 28)),
+        (3, 91, datetime(2024, 3, 2)),
+        (4, -7, datetime(2023, 12, 31)),  # negative truncate bin
+    ]
+    df = spark.createDataFrame(rows, "id long, amt long, ts timestamp")
+    T.write_table(
+        df, tdir, "create",
+        partition_by=("truncate(10,amt)", "month(ts)"), target_files=1,
+    )
+    # amt=17 and amt=23 share no bin; -7 floors to bin -10
+    t, s = T.partition_scan_stats(spark, tdir, {"amt": 17})
+    assert s == 1 and t == 4
+    got = T.read_partition(spark, tdir, {"amt": -7}).collect()
+    assert [r.id for r in got] == [4]
+    # month probe: January 2024 holds ids 1 and 2
+    t, s = T.partition_scan_stats(spark, tdir, {"ts": datetime(2024, 1, 5)})
+    assert s == 2
+    # mixed identity+transform specs are rejected
+    with pytest.raises(ValueError, match="mixing"):
+        T.write_table(
+            df, str(tdir) + "_mix", "create",
+            partition_by=("amt", "month(ts)"),
+        )
+
+
+def test_hidden_partitioning_survives_cow(spark, nums, tdir):
+    T.write_table(
+        nums, tdir, "create",
+        partition_by=("bucket(4,k)",), target_files=1,
+    )
+    T.delete_where(spark, tdir, "k = 5")
+    T.compact(spark, tdir, target_files=2)
+    m = _manifest(tdir, T.current_version(spark, tdir))
+    assert m["partition_by"] == ["bucket(4,k)"]
+    assert all("partition" in f for f in m["files"])
+    total, scanned = T.partition_scan_stats(spark, tdir, {"k": 77})
+    assert scanned < total
+    assert T.read_table(spark, tdir).count() == 999
