@@ -5921,6 +5921,59 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.linear_quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END web-curation pipeline — the composed flagship of
+    the round-8 text lanes, each stage a proven operator: raw HTML
+    (deterministically wrapped fixture text) → strip_html →
+    gopher_quality_gates → linear_quality_score → exact dedup
+    (min-id per cleaned text) → per-source funnel report
+    (docs → gate-kept → classifier-kept → post-dedup, with kept word
+    volume). One scan feeds every stage; the only exchanges are the
+    dedup group-by and the final per-source rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_HEAD),
+        F.col("source"),
+        F.lit('</h1><p id="b">'),
+        F.col("text"),
+        F.lit(_HTML_MID),
+        F.col("lang"),
+        F.lit("</p></body></html>"),
+    )
+    cleaned = TX.strip_html(
+        docs.select("doc_id", "source", html.alias("html"))
+    ).select("doc_id", "source", F.col("clean_text").alias("text"))
+    # four INDEPENDENT consumers (gates, classifier, dedup group-by,
+    # the final join spine) — eager materialization, per the SCALE.md
+    # consumer-topology rule: lazy only dedupes sequential consumers
+    cleaned = cleaned.localCheckpoint(eager=True)
+    gates = TX.gopher_quality_gates(cleaned).select(
+        "doc_id", F.col("keep").alias("g_keep"), "n_words"
+    )
+    clf = TX.linear_quality_score(cleaned).select(
+        "doc_id", F.col("keep").alias("c_keep")
+    )
+    keeper = cleaned.groupBy("text").agg(F.min("doc_id").alias("_keep_id"))
+    staged = (
+        cleaned.join(gates, "doc_id")
+        .join(clf, "doc_id")
+        .join(keeper, "text")
+        .withColumn("_is_keeper", F.col("doc_id") == F.col("_keep_id"))
+    )
+    final_keep = F.col("g_keep") & F.col("c_keep") & F.col("_is_keeper")
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("g_keep").cast("long")).alias("n_gate_kept"),
+        F.sum((F.col("g_keep") & F.col("c_keep")).cast("long")).alias(
+            "n_quality_kept"
+        ),
+        F.sum(final_keep.cast("long")).alias("n_final"),
+        F.sum(
+            F.when(final_keep, F.col("n_words")).otherwise(F.lit(0))
+        ).alias("kept_words"),
+    )
+
+
 def q_text_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate extraction (operators/text.strip_html): drop
     script/style blocks, strip tags, decode the six standard
@@ -8862,6 +8915,82 @@ FROM g
                CAST(length(clean_text) AS BIGINT) AS clean_chars
         FROM c
     """
+    _html_full = (
+        "'" + _HTML_HEAD + "' || source || '</h1><p id=\"b\">' || "
+        "text || '" + _HTML_MID + "' || lang || '</p></body></html>'"
+    )
+    o["pipeline_web_curation"] = rf"""
+        WITH h AS (
+          SELECT doc_id, source, {_html_full} AS html FROM documents
+        ),
+        c AS (SELECT doc_id, source, {_clean} AS t FROM h),
+        s AS (
+          SELECT doc_id, source, t,
+                 string_split_regex(trim(t), '\s+') AS words,
+                 list_filter(
+                   list_transform(string_split(t, chr(10)), x -> trim(x)),
+                   ln -> length(ln) > 0) AS lines
+          FROM c
+        ),
+        m AS (
+          SELECT doc_id, source, t,
+                 len(words) AS n_words,
+                 list_sum(list_transform(words, w -> length(w)))
+                   AS total_chars,
+                 len(list_filter(words,
+                   w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+                 len(lines) AS n_lines,
+                 len(list_filter(lines,
+                   ln -> regexp_matches(ln, '\.\.\.$'))) AS ell_lines,
+                 len(list_filter(lines,
+                   ln -> regexp_matches(ln, '^[-*•]'))) AS bul_lines,
+                 len(lines) - len(list_distinct(lines)) AS dup_lines,
+                 words
+          FROM s
+        ),
+        g AS (
+          SELECT doc_id, source, t, n_words, words,
+                 (n_words >= 50 AND n_words <= 100000
+                  AND total_chars >= n_words * 3
+                  AND total_chars <= n_words * 12
+                  AND alpha_words * 100 >= n_words * 80
+                  AND ell_lines * 100 <= n_lines * 30
+                  AND bul_lines * 100 <= n_lines * 90
+                  AND dup_lines * 100 <= n_lines * 30) AS g_keep
+          FROM m
+        ),
+        feats AS (
+          SELECT doc_id, {portable_hash32_sql('word')} % 64 AS bucket,
+                 count(*) AS n
+          FROM (SELECT doc_id, unnest(words) AS word FROM g)
+          GROUP BY 1, 2
+        ),
+        clf AS (
+          SELECT doc_id,
+                 sum(n * ({portable_hash32_sql("CAST(bucket AS VARCHAR)", seed=7)} % 2001 - 1000)) > 0
+                   AS c_keep
+          FROM feats GROUP BY doc_id
+        ),
+        keeper AS (SELECT t, min(doc_id) AS keep_id FROM s GROUP BY t),
+        j AS (
+          SELECT g.source, g.n_words, g.g_keep, clf.c_keep,
+                 g.doc_id = k.keep_id AS is_keeper
+          FROM g
+          JOIN clf USING (doc_id)
+          JOIN keeper k ON g.t = k.t
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gate_kept,
+               CAST(sum(CASE WHEN g_keep AND c_keep THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_quality_kept,
+               CAST(sum(CASE WHEN g_keep AND c_keep AND is_keeper
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+               CAST(sum(CASE WHEN g_keep AND c_keep AND is_keeper
+                    THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
+        FROM j GROUP BY source
+    """
     o["text_nfc_normalize"] = """
         WITH r AS (
           SELECT doc_id,
@@ -9089,7 +9218,7 @@ FROM g
 # hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels,
 # bitmap distinct, change-feed stream source, re-cluster compact,
 # metadata count, linear quality classifier, EWMA, hidden
-# partition transforms) — then
+# partition transforms, web-curation funnel) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -9108,6 +9237,7 @@ SPARK_QUERIES = {
     "text_quality_classifier": q_text_quality_classifier,
     "events_ewma": q_events_ewma,
     "snap_hidden_partition": q_snap_hidden_partition,
+    "pipeline_web_curation": q_pipeline_web_curation,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,
