@@ -327,6 +327,13 @@ def bench_queries(spark, sf_dir):
             spark, sf_dir
         ),
         "events_rfm": lambda: C.q_events_rfm(spark, sf_dir),
+        "events_ewma": lambda: C.q_events_ewma(spark, sf_dir),
+        "text_quality_classifier": lambda: C.q_text_quality_classifier(
+            spark, sf_dir
+        ),
+        "pipeline_web_curation": lambda: C.q_pipeline_web_curation(
+            spark, sf_dir
+        ),
         "micro_event_us_long": lambda: micro_event_us(enc_dirs["long"]),
         "micro_event_us_ntz": lambda: micro_event_us(enc_dirs["ntz"]),
         "micro_scd2_full_rebuild": micro_scd2_full,
