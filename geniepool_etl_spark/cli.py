@@ -374,7 +374,11 @@ def _run_table(ns: argparse.Namespace) -> int:
             val = int(ns.value)
         except ValueError:
             val = ns.value
-        print(T.partition_scan_stats(spark, ns.table, {ns.col: val}))
+        print(
+            T.partition_scan_stats(
+                spark, ns.table, {ns.col: val}, version=ns.version
+            )
+        )
         out = T.read_partition(
             spark, ns.table, {ns.col: val}, version=ns.version
         )

@@ -886,7 +886,31 @@ def ewma_hourly(
         ).alias("_s")
     )
     # fold: acc = (last smoothed value, emitted rows); first element
-    # seeds the recurrence (s_0 = x_0)
+    # seeds the recurrence (s_0 = x_0). The new smoothed value is
+    # built ONCE and reused for both the carried state and the
+    # emitted row — a single source of truth for the recurrence, so
+    # an edit can never desynchronize the two (review finding).
+    def _step(acc, e):  # type: ignore[no-untyped-def]
+        s_new = F.when(
+            acc["s"].isNull(), e["cents"].cast("double")
+        ).otherwise(
+            acc["s"] * F.lit(1.0 - a)
+            + e["cents"].cast("double") * F.lit(a)
+        )
+        return F.struct(
+            s_new.alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["h"].alias("h"),
+                        e["cents"].alias("cents"),
+                        s_new.alias("ewma"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
     fold = F.aggregate(
         F.col("_s"),
         F.struct(
@@ -896,34 +920,7 @@ def ewma_hourly(
                 "ewma:double>>)"
             ).alias("out"),
         ),
-        lambda acc, e: F.struct(
-            F.when(
-                acc["s"].isNull(), e["cents"].cast("double")
-            )
-            .otherwise(
-                acc["s"] * F.lit(1.0 - a)
-                + e["cents"].cast("double") * F.lit(a)
-            )
-            .alias("s"),
-            F.concat(
-                acc["out"],
-                F.array(
-                    F.struct(
-                        e["h"].alias("h"),
-                        e["cents"].alias("cents"),
-                        F.when(
-                            acc["s"].isNull(),
-                            e["cents"].cast("double"),
-                        )
-                        .otherwise(
-                            acc["s"] * F.lit(1.0 - a)
-                            + e["cents"].cast("double") * F.lit(a)
-                        )
-                        .alias("ewma"),
-                    )
-                ),
-            ).alias("out"),
-        ),
+        _step,
     )
     return (
         series.select("user_id", F.explode(fold["out"]).alias("e"))

@@ -296,12 +296,15 @@ def _stage_files(
             mask = 0
             for p in r["_ps"]:
                 mask |= 1 << int(p)
-            blooms.setdefault(os.path.basename(r["_f"]), {})[c] = (
+            # key by table-relative path, not basename — partitionBy
+            # reuses one basename per partition dir (review finding)
+            uri = r["_f"]
+            blooms.setdefault(uri[uri.index(rel) :], {})[c] = (
                 f"{mask:0{bloom_bits // 4}x}"
             )
     if bloom_cols:
         for entry in files:
-            b = blooms.get(os.path.basename(entry["path"]))
+            b = blooms.get(entry["path"])
             if b:
                 entry["bloom"] = b
     # an empty input partition can still leave a 0-row part file; the
@@ -337,11 +340,23 @@ def _try_commit(
 
     Stamps ``ts_ms`` (commit wall-clock) into the manifest — the
     AS-OF-timestamp time-travel anchor; in the manifest rather than
-    file mtime so it survives copies/restores of the table tree."""
+    file mtime so it survives copies/restores of the table tree. The
+    stamp is forced STRICTLY MONOTONIC vs the current head (the Delta
+    commit-timestamp adjustment): same-millisecond commits or a clock
+    step backwards would otherwise break resolve_as_of's
+    largest-version-at-or-before contract."""
     import time as _time
 
-    manifest.setdefault("ts_ms", int(_time.time() * 1000))
     fs, P = _hadoop_fs(spark, table_path)
+    if "ts_ms" not in manifest:
+        now = int(_time.time() * 1000)
+        vs = _versions(fs, P, table_path)
+        if vs:
+            prev = int(
+                _manifest(spark, fs, P, table_path, vs[-1]).get("ts_ms", 0)
+            )
+            now = max(now, prev + 1)
+        manifest["ts_ms"] = now
     logdir = os.path.join(table_path, _LOG_DIR)
     fs.mkdirs(P(logdir))
     tmp = P(os.path.join(logdir, f"_tmp-{uuid.uuid4().hex[:12]}.json"))
@@ -664,6 +679,24 @@ def _read_files(spark, table_path: str, manifest: dict, files: list) -> DataFram
     return out.select(*[f.name for f in schema.fields])
 
 
+def _split_touched(files: list, hit_uris: set) -> tuple[list, list]:
+    """Partition manifest entries into (touched, untouched) given the
+    absolute URIs a probe collected. Matching is by the TABLE-RELATIVE
+    path suffix — never by basename: Spark's partitionBy writer reuses
+    one basename across every col=value directory a task writes, so a
+    basename key silently conflates sibling-partition files (review
+    finding — it corrupted bloom bitsets and over-rewrote CoW files).
+    """
+    touched, untouched = [], []
+    for f in files:
+        suffix = "/" + f["path"]
+        if any(u.endswith(suffix) for u in hit_uris):
+            touched.append(f)
+        else:
+            untouched.append(f)
+    return touched, untouched
+
+
 def _prune_by_stats(files: list, col: str, lo, hi) -> list:
     """Manifest-stats file pruning shared by read_range, scan_stats,
     and merge_table's probe: keep files whose recorded [min, max] for
@@ -797,12 +830,15 @@ def _map_partition_probe(spark: SparkSession, manifest: dict, eq: dict) -> dict:
 
 
 def partition_scan_stats(
-    spark: SparkSession, table_path: str, eq: dict
+    spark: SparkSession, table_path: str, eq: dict,
+    version: int | None = None,
 ) -> tuple[int, int]:
     """(files_total, files_scanned) for a :func:`read_partition` of
-    ``eq`` — the observability hook the pruning tests assert on."""
+    ``eq`` at ``version`` — the observability hook the pruning tests
+    assert on (same version default as the read, so the two always
+    describe the same snapshot)."""
     fs, P = _hadoop_fs(spark, table_path)
-    m = _resolve(spark, fs, P, table_path, None)
+    m = _resolve(spark, fs, P, table_path, version)
     return len(m["files"]), len(
         _prune_by_partition(m["files"], _map_partition_probe(spark, m, eq))
     )
@@ -912,14 +948,13 @@ def delete_where(
     # file names are metadata-sized: collecting THEM (never rows) is
     # the deliberate small driver set
     hit = {
-        os.path.basename(r["_f"])
+        r["_f"]
         for r in full.where(predicate)
         .select(F.input_file_name().alias("_f"))
         .distinct()
         .collect()
     }
-    touched = [f for f in m["files"] if os.path.basename(f["path"]) in hit]
-    untouched = [f for f in m["files"] if os.path.basename(f["path"]) not in hit]
+    touched, untouched = _split_touched(m["files"], hit)
     new_files = []
     if touched:
         # standard SQL DELETE semantics: remove rows where the
@@ -1016,7 +1051,7 @@ def merge_table(
         "_f", F.input_file_name()
     )
     hit = {
-        os.path.basename(r["_f"])
+        r["_f"]
         for r in full.join(
             m_updates.select(*keys).dropDuplicates(keys), keys, "leftsemi"
         )
@@ -1024,10 +1059,7 @@ def merge_table(
         .distinct()
         .collect()
     }
-    touched = [f for f in m["files"] if os.path.basename(f["path"]) in hit]
-    untouched = [
-        f for f in m["files"] if os.path.basename(f["path"]) not in hit
-    ]
+    touched, untouched = _split_touched(m["files"], hit)
     cols = [f.name for f in StructType.fromJson(json.loads(m["schema"]))]
     survivors = (
         _read_files(spark, table_path, m, touched)
@@ -1132,16 +1164,13 @@ def apply_cdc(
         "_f", F.input_file_name()
     )
     hit = {
-        os.path.basename(r["_f"])
+        r["_f"]
         for r in full.join(key_frame, keys, "leftsemi")
         .select("_f")
         .distinct()
         .collect()
     }
-    touched = [f for f in m["files"] if os.path.basename(f["path"]) in hit]
-    untouched = [
-        f for f in m["files"] if os.path.basename(f["path"]) not in hit
-    ]
+    touched, untouched = _split_touched(m["files"], hit)
     survivors = (
         _read_files(spark, table_path, m, touched)
         .join(key_frame, keys, "left_anti")
@@ -1359,21 +1388,29 @@ def vacuum(
             keep_paths.add(f["path"])
     deleted = 0
     data_root = P(os.path.join(table_path, _DATA_DIR))
+
+    def _leaves(dirpath, rel: str) -> list:
+        """(status, rel-path-from-table-root) for every parquet under
+        ``dirpath``, RECURSING through hive col=value partition dirs
+        — a flat listStatus here once deleted a partitioned table's
+        entire live data as 'wholly unreferenced' (review finding)."""
+        out = []
+        for st in fs.listStatus(dirpath):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                out.extend(_leaves(st.getPath(), f"{rel}/{name}"))
+            elif name.endswith(".parquet"):
+                out.append((st, f"{rel}/{name}"))
+        return out
+
     if fs.exists(data_root):
         for d in fs.listStatus(data_root):
             token = d.getPath().getName()
-            statuses = list(fs.listStatus(d.getPath()))
-            parquets = [
-                st
-                for st in statuses
-                if not st.isDirectory()
-                and st.getPath().getName().endswith(".parquet")
-            ]
+            parquets = _leaves(
+                d.getPath(), os.path.join(_DATA_DIR, token)
+            )
             live = [
-                st
-                for st in parquets
-                if os.path.join(_DATA_DIR, token, st.getPath().getName())
-                in keep_paths
+                (st, rp) for st, rp in parquets if rp in keep_paths
             ]
             if not live:
                 # whole commit unreferenced (vacuumed past, a crashed
@@ -1385,8 +1422,9 @@ def vacuum(
                 fs.delete(d.getPath(), True)
                 deleted += len(parquets)
             else:
-                for st in parquets:
-                    if st not in live:
+                live_rel = {rp for _st, rp in live}
+                for st, rp in parquets:
+                    if rp not in live_rel:
                         fs.delete(st.getPath(), False)
                         deleted += 1
     logdir = P(os.path.join(table_path, _LOG_DIR))

@@ -60,13 +60,31 @@ def _manifest(table_path: str, version: int) -> dict:
 def _cast(raw: str, dtype: str):
     """Directory-name partition value → the schema's python type
     (the same declared-type discipline snaptable._read_files applies
-    JVM-side)."""
+    JVM-side). Hive escapes special characters (':' → '%3A' etc.) in
+    directory names, so unquote FIRST; date/timestamp/decimal get
+    real typed values (review finding — a string in a DateType field
+    breaks the DataSource row conversion)."""
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
     if dtype in ("tinyint", "smallint", "int", "bigint"):
         return int(raw)
     if dtype in ("float", "double"):
         return float(raw)
     if dtype == "boolean":
         return raw.lower() == "true"
+    if dtype == "date":
+        from datetime import date
+
+        return date.fromisoformat(raw)
+    if dtype.startswith("timestamp"):
+        from datetime import datetime
+
+        return datetime.fromisoformat(raw)
+    if dtype.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(raw)
     return raw
 
 
@@ -140,15 +158,35 @@ class SnapChangesStreamReader(DataSourceStreamReader):
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
             return []
-        seen: set[str] = set()
-        if v0 >= 0:
-            seen = {f["path"] for f in _manifest(self.table_path, v0)["files"]}
+        vs = _versions(self.table_path)
+        if v0 < 0:
+            # initial load = the CURRENT snapshot at the end offset
+            # (the Delta streaming-source rule) — NOT a replay of the
+            # whole history: a rewrite inside the history would make
+            # the naive file-diff double-emit pre-rewrite rows (review
+            # finding). Each file is attributed to the earliest
+            # version that references it.
+            head = _manifest(self.table_path, v1)
+            first_seen: dict[str, int] = {}
+            for v in vs:
+                if v > v1:
+                    break
+                for f in _manifest(self.table_path, v)["files"]:
+                    first_seen.setdefault(f["path"], v)
+            return [
+                _FileSlice(
+                    os.path.join(self.table_path, f["path"]),
+                    first_seen[f["path"]],
+                )
+                for f in head["files"]
+            ]
+        seen = {f["path"] for f in _manifest(self.table_path, v0)["files"]}
         parts: list[InputPartition] = []
-        for v in _versions(self.table_path):
+        for v in vs:
             if not (v0 < v <= v1):
                 continue
             m = _manifest(self.table_path, v)
-            if v0 >= 0 and m["action"] not in ("append", "create"):
+            if m["action"] not in ("append", "create"):
                 raise ValueError(
                     f"gp_snap_changes: version {v} is a rewrite "
                     f"({m['action']!r}); the file diff is not a row-level "

@@ -766,7 +766,6 @@ def test_snap_change_stream_partitioned_and_rewrite_guard(spark, tmp_path):
     CDC-across-rewrites rule); schema-evolved parent files null-fill."""
     import pytest
     from pyspark.sql import functions as F
-    from pyspark.sql.utils import StreamingQueryException
 
     from geniepool_etl_spark import snaptable as T
     from geniepool_etl_spark.sources import snapsource
@@ -821,5 +820,41 @@ def test_snap_change_stream_partitioned_and_rewrite_guard(spark, tmp_path):
 
     # rewrite between batches: the next micro-batch must fail loud
     T.delete_where(spark, t, "k = 3")
-    with pytest.raises((StreamingQueryException, Exception)):
+    with pytest.raises(Exception, match="rewrite"):
         run_once()
+
+
+def test_snap_change_stream_initial_load_skips_history_rewrites(
+    spark, tmp_path
+):
+    """Regression: a stream STARTED on a table whose history contains
+    a rewrite must deliver the current snapshot once (Delta initial-
+    load rule), not a file-diff replay that double-emits pre-rewrite
+    rows."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark import snaptable as T
+    from geniepool_etl_spark.sources import snapsource
+
+    snapsource.register(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 30).select(F.col("id").alias("k"))
+    T.write_table(base.repartition(3), t, "create")
+    T.delete_where(spark, t, "k >= 25")   # rewrite in history
+    T.compact(spark, t, target_files=1)   # another rewrite
+    q = (
+        spark.readStream.format("gp_snap_changes")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 25  # current snapshot exactly once
+    assert sorted(r.k for r in got.collect()) == list(range(25))
