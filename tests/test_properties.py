@@ -788,6 +788,19 @@ def test_asof_join_matches_bruteforce(lefts, rights, tol):
                 st.integers(min_value=0, max_value=9),
             ),
             st.tuples(st.just("compact"), st.just(None)),
+            st.tuples(
+                st.just("cdc"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=150),
+                        st.integers(min_value=60, max_value=69),
+                        st.booleans(),  # True=upsert, False=delete
+                    ),
+                    min_size=1,
+                    max_size=8,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
         ),
         min_size=1,
         max_size=4,
@@ -829,6 +842,17 @@ def test_snaptable_op_chain_matches_model(base, ops):
         elif op == "delete":
             T.delete_where(spark, tdir, f"v = {arg}")
             model = {k: v for k, v in model.items() if v != arg}
+        elif op == "cdc":
+            ch = spark.createDataFrame(
+                [(k, v, "upsert" if up else "delete") for k, v, up in arg],
+                "k LONG, v LONG, _op STRING",
+            )
+            T.apply_cdc(spark, tdir, ch, ["k"])
+            for k, v, up in arg:
+                if up:
+                    model[k] = v
+                else:
+                    model.pop(k, None)
         else:
             T.compact(spark, tdir, target_files=1)
         snapshots.append(dict(model))
