@@ -758,7 +758,15 @@ def gap_fill_hourly(df: DataFrame, user_mod: int = 15) -> DataFrame:
             "event_type", F.struct(F.col("ts_us"), F.col("event_id"))
         ).alias("last_type"),
     )
-    span = ev.groupBy("user_id").agg(
+    # obs feeds two INDEPENDENT consumers (the span aggregate and the
+    # grid join); per-branch column pruning makes their subtrees
+    # differ, so Catalyst cannot reuse the exchange and each branch
+    # would re-scan EVERY event. obs is bounded by users × hours —
+    # tiny next to the event stream — so eager materialization is the
+    # cheap side of the consumer-topology rule (SCALE.md), and the
+    # span aggregate then reads user×hour rows, not events.
+    obs = obs.localCheckpoint(eager=True)
+    span = obs.groupBy("user_id").agg(
         F.min("h").alias("_h0"), F.max("h").alias("_h1")
     )
     grid = span.select(

@@ -151,6 +151,36 @@ SHOWCASE = [
         "1-row corpus-total broadcast; bigram-keyed equi-join; "
         "integer surprisal summed exactly.",
     ),
+    (
+        "pipeline_web_curation",
+        C.q_pipeline_web_curation,
+        "ZERO FileScans of documents.parquet: the cleaned frame is "
+        "EAGERLY localCheckpoint'd (four INDEPENDENT consumers — "
+        "gates, classifier, dedup, report spine — the lazy form "
+        "would dedupe none of them); the classifier's only exchange "
+        "is the fixed-width (doc,bucket) aggregate; gates are pure "
+        "narrow HOFs on the checkpointed rows.",
+    ),
+    (
+        "events_resample_ffill",
+        C.q_events_resample_ffill,
+        "ZERO FileScans of events.parquet: the observed (user, hour) "
+        "aggregate — tiny next to the event stream — is EAGERLY "
+        "localCheckpoint'd for its two independent consumers (span "
+        "agg + grid join), so the one event scan lives in the "
+        "checkpoint lineage; the grid is explode(sequence(first, "
+        "last)) per user (no global calendar join); the forward fill "
+        "is a user_id-partitioned running last(ignorenulls).",
+    ),
+    (
+        "sim_mmr_rerank",
+        C.q_sim_mmr_rerank,
+        "Candidates from the broadcast 8-query cosine top-pool; the "
+        "pairwise-sim stage is a q_id-keyed self-join bounded at "
+        "pool^2 rows per query (never corpus^2); the greedy selection "
+        "is a cogrouped FlatMapCoGroupsInPandas over <=pool rows per "
+        "group — the only Python stage, pure integer arithmetic.",
+    ),
 ]
 
 
