@@ -810,6 +810,12 @@ def rfm_segments(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
     )
+    # per_user feeds FOUR independent plan sites (global max, the
+    # metrics spine, and through metrics the quartile agg + the tile
+    # map) — unchecked, each replays the full event scan (audited: 4
+    # FileScans). The per-user frame is the small side by definition;
+    # eager materialization per the consumer-topology rule.
+    per_user = per_user.localCheckpoint(eager=True)
     gmax = per_user.agg(F.max("_last_us").alias("_gmax"))
     metrics = per_user.crossJoin(F.broadcast(gmax)).select(
         "user_id",

@@ -1058,6 +1058,11 @@ def mmr_rerank(
     cands = cosine_topk(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
     )
+    # cands (Q×pool rows) feeds the rel projection AND both sides of
+    # the pairwise self-join — unchecked, every consumer replays the
+    # corpus-wide scoring pass (audited: 8 FileScans). Eager, per the
+    # consumer-topology rule; the frame is tiny by construction.
+    cands = cands.localCheckpoint(eager=True)
     rel = cands.select(
         "q_id",
         "n_id",
@@ -1066,7 +1071,14 @@ def mmr_rerank(
     c = corpus.select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
     )
-    cv = cands.select("q_id", "n_id").join(c, "n_id")
+    # cv re-attaches vectors once and is materialized for the SAME
+    # reason: its two aliased self-join sides would each re-run the
+    # corpus join
+    cv = (
+        cands.select("q_id", "n_id")
+        .join(c, "n_id")
+        .localCheckpoint(eager=True)
+    )
     # q_id-keyed candidate self-join (alias-qualified: both sides are
     # the same frame) — O(pool²) rows per query by construction
     pw = (
