@@ -2486,6 +2486,31 @@ def q_a20_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline COLOR JPEG pixel decode (multimodal.
+    synth_jpeg_color_assets → decode_image_pixel_stats): real
+    three-component 4:4:4 scans — interleaved MCUs, per-component DC
+    prediction, shared Annex K tables — entropy-decoded and converted
+    YCbCr→RGB in fixed-point integer milli-units (no float after the
+    IDCT clamp), so the oracle recomputes every channel sum from
+    (width, height) alone. Narrows the JPEG boundary to subsampled
+    chroma + progressive scans."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 3)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(10) + (F.col("doc_id") % 7) * 4)
+            .cast("long")
+            .alias("width"),
+            (F.lit(9) + (F.col("doc_id") % 6) * 5)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(M.synth_jpeg_color_assets(params))
+
+
 def q_multimodal_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncompressed-TIFF pixel decode (multimodal.
     synth_tiff_gradient_assets → decode_image_pixel_stats): real
@@ -8162,6 +8187,40 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS n_distinct_parts
         FROM lineitem GROUP BY l_linestatus
     """
+    o["multimodal_jpeg_color"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 10 + (doc_id % 7) * 4 AS w,
+                 9 + (doc_id % 6) * 5 AS h
+          FROM documents WHERE doc_id % 11 = 3
+        ),
+        px AS (
+          SELECT asset_id,
+                 (37 * ((i % w) // 8) + 71 * ((i // w) // 8)) % 256 AS yy,
+                 (23 * ((i % w) // 8) + 41 * ((i // w) // 8)) % 256 AS cb,
+                 (53 * ((i % w) // 8) + 13 * ((i // w) // 8)) % 256 AS cr
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        rgb AS (
+          SELECT asset_id,
+                 least(greatest((1000 * yy + 1402 * (cr - 128) + 500)
+                   // 1000, 0), 255) AS r,
+                 least(greatest((1000 * yy - 344 * (cb - 128)
+                   - 714 * (cr - 128) + 500) // 1000, 0), 255) AS g,
+                 least(greatest((1000 * yy + 1772 * (cb - 128) + 500)
+                   // 1000, 0), 255) AS b
+          FROM px
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b
+          FROM rgb GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_tiff_pixels"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9218,7 +9277,7 @@ FROM g
 # hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels,
 # bitmap distinct, change-feed stream source, re-cluster compact,
 # metadata count, linear quality classifier, EWMA, hidden
-# partition transforms, web-curation funnel) — then
+# partition transforms, web-curation funnel, color JPEG) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -9240,6 +9299,7 @@ SPARK_QUERIES = {
     "snap_hidden_partition": q_snap_hidden_partition,
     "pipeline_web_curation": q_pipeline_web_curation,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
+    "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,
     "snap_partition_prune": q_snap_partition_prune,

@@ -1866,18 +1866,109 @@ def synth_jpeg_gradient_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_jpeg_color_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL baseline COLOR JPEGs (three components, 4:4:4
+    — every sampling factor 1x1, interleaved MCUs, per-component DC
+    prediction, shared Annex K tables, q=1): the YCbCr planes are
+    CONSTANT PER 8x8 BLOCK (Y=(37bx+71by)%256, Cb=(23bx+41by)%256,
+    Cr=(53bx+13by)%256), so every block is DC-only and the baseline
+    round-trip is LOSSLESS — an external oracle recomputes every RGB
+    channel from (width, height) alone through the same fixed-point
+    integer YCbCr→RGB rule the decoder applies. Arrow
+    ``mapInPandas``; the encoder runs the full per-component
+    FDCT/quantize/Huffman pipeline (the block-constant input is data,
+    not a shortcut)."""
+    import struct
+
+    import numpy as np
+
+    enc_dc, _ = _jpeg_huff_tables(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    enc_ac, _ = _jpeg_huff_tables(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    tmat = _jpeg_dct_matrix()
+    zz_order = np.asarray(_JPEG_ZIGZAG)
+
+    def one(w: int, h: int) -> bytes:
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        bx = np.arange(nbx, dtype=np.int64)[None, :]
+        by = np.arange(nby, dtype=np.int64)[:, None]
+        planes = [
+            ((37 * bx + 71 * by) % 256).astype(np.float64),
+            ((23 * bx + 41 * by) % 256).astype(np.float64),
+            ((53 * bx + 13 * by) % 256).astype(np.float64),
+        ]
+        wr = _JpegBitWriter()
+        preds = [0, 0, 0]
+        for r in range(nby):
+            for c in range(nbx):
+                for ci in range(3):
+                    blk = np.full((8, 8), planes[ci][r, c]) - 128.0
+                    coef = np.rint(tmat @ blk @ tmat.T).astype(np.int64)
+                    zz = coef.reshape(64)[zz_order]
+                    preds[ci] = _jpeg_encode_block(
+                        wr, enc_dc, enc_ac, zz, preds[ci]
+                    )
+        scan = wr.flush()
+        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        dqt = b"\x00" + bytes([1] * 64)
+        sof0 = (
+            b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x03"
+            + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+        )
+        dht_dc = b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        dht_ac = b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        sos = b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00"
+        seg = lambda m, b: m + struct.pack(">H", len(b) + 2) + b  # noqa: E731
+        return b"".join(
+            [
+                b"\xff\xd8",
+                seg(b"\xff\xe0", app0),
+                seg(b"\xff\xdb", dqt),
+                seg(b"\xff\xc0", sof0),
+                seg(b"\xff\xc4", dht_dc),
+                seg(b"\xff\xc4", dht_ac),
+                seg(b"\xff\xda", sos),
+                scan,
+                b"\xff\xd9",
+            ]
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(w), int(h))
+                        for w, h in zip(pdf[width_col], pdf[height_col])
+                    ],
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def _jpeg_pixel_sums(raw: bytes) -> tuple:
-    """Decode a baseline grayscale JPEG (SOF0, one component, no
-    subsampling, no restart markers) to exact integer pixel sums:
-    segment walk → canonical Huffman tables → entropy decode (DC
+    """Decode a baseline JPEG — grayscale (one component) OR color
+    (three components, 4:4:4 — every sampling factor 1x1) — to exact
+    integer per-channel pixel sums: segment walk → canonical Huffman
+    tables → interleaved-MCU entropy decode (per-component DC
     prediction + EXTEND, AC run/size with ZRL/EOB, 0xFF00
-    un-stuffing) → dequantize → de-zigzag → IDCT → clamp → crop the
-    block padding. Anything outside that profile (color, progressive,
-    DRI, 12-bit) raises and the caller nulls the row out. Returns
-    (n_pixels, s, s, s) — grayscale reports the luminance sum on all
-    three channels, the PGM convention. On the synth block-constant
-    profile the round-trip is exact (DC-only blocks); on general
-    baseline scans it is a spec-shaped decode with float IDCT."""
+    un-stuffing) → dequantize → de-zigzag → IDCT → clamp → crop.
+    Color planes convert YCbCr→RGB in FIXED-POINT integer milli-units
+    (BT.601 1402/344/714/1772, floor-based half-up) so the conversion
+    is bit-reproducible in any engine — no float ever touches a
+    channel value after the IDCT clamp. Anything outside the profile
+    (subsampled chroma, progressive, DRI, 12-bit) raises and the
+    caller nulls the row out. Grayscale reports the luminance sum on
+    all three channels (the PGM convention)."""
     import struct
 
     import numpy as np
@@ -1888,7 +1979,7 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
     qt = {}
     huff_dc, huff_ac = {}, {}
     w = h = None
-    comp_q = dc_id = ac_id = None
+    comps = None
     scan_start = None
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
@@ -1924,9 +2015,17 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
             if seg[0] != 8:
                 raise ValueError("jpeg: precision != 8")
             h, w = struct.unpack_from(">HH", seg, 1)
-            if seg[5] != 1 or seg[7] != 0x11:
-                raise ValueError("jpeg: not single-component 1x1")
-            comp_q = seg[8]
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise ValueError("jpeg: unsupported component count")
+            comps = []
+            for ci in range(ncomp):
+                cid = seg[6 + 3 * ci]
+                if seg[7 + 3 * ci] != 0x11:
+                    raise ValueError(
+                        "jpeg: subsampled components unsupported"
+                    )
+                comps.append({"id": cid, "tq": seg[8 + 3 * ci]})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: non-baseline frame")
@@ -1934,56 +2033,87 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
             if struct.unpack_from(">H", seg, 0)[0] != 0:
                 raise ValueError("jpeg: restart intervals unsupported")
         elif marker == 0xDA:
-            if seg[0] != 1:
-                raise ValueError("jpeg: multi-component scan")
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            if comps is None or seg[0] != len(comps):
+                raise ValueError("jpeg: scan/frame component mismatch")
+            for si in range(seg[0]):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                match = [c for c in comps if c["id"] == cs]
+                if not match:
+                    raise ValueError("jpeg: scan names unknown component")
+                match[0]["dc"], match[0]["ac"] = tt >> 4, tt & 0x0F
             scan_start = pos + 2 + ln
             break
         pos += 2 + ln
-    if scan_start is None or w is None or comp_q not in qt:
+    if scan_start is None or w is None or comps is None:
         raise ValueError("jpeg: missing SOF/SOS/DQT")
-    if dc_id not in huff_dc or ac_id not in huff_ac:
-        raise ValueError("jpeg: missing Huffman tables")
+    for comp in comps:
+        if comp["tq"] not in qt:
+            raise ValueError("jpeg: missing quant table")
+        if comp.get("dc") not in huff_dc or comp.get("ac") not in huff_ac:
+            raise ValueError("jpeg: missing Huffman tables")
     end = raw.rfind(b"\xff\xd9")
     if end < scan_start:
         raise ValueError("jpeg: missing EOI")
     rd = _JpegBitReader(raw[scan_start:end])
-    dec_dc, dec_ac = huff_dc[dc_id], huff_ac[ac_id]
-    quant = qt[comp_q]
     tmat = _jpeg_dct_matrix()
     zz_pos = np.asarray(_JPEG_ZIGZAG)
     nbx, nby = (w + 7) // 8, (h + 7) // 8
-    out = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
-    pred = 0
+    planes = [
+        np.zeros((nby * 8, nbx * 8), dtype=np.int64) for _ in comps
+    ]
+    preds = [0] * len(comps)
     for r in range(nby):
         for c in range(nbx):
-            zz = np.zeros(64, dtype=np.int64)
-            ssss = rd.read_huff(dec_dc)
-            if ssss > 11:
-                raise ValueError("jpeg: DC category out of range")
-            pred += _jpeg_extend(rd.read(ssss), ssss) if ssss else 0
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = rd.read_huff(dec_ac)
-                run, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if rs == 0xF0:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("jpeg: AC index overflow")
-                zz[k] = _jpeg_extend(rd.read(s), s)
-                k += 1
-            coef = np.zeros(64, dtype=np.int64)
-            coef[zz_pos] = zz * quant[np.arange(64)]
-            blk = tmat.T @ coef.reshape(8, 8).astype(np.float64) @ tmat
-            px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.int64)
-            out[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = px
-    s = int(out[:h, :w].sum())
-    return (w * h, s, s, s)
+            # interleaved MCU: one 1x1 block per component, in frame
+            # order, each with its own tables and DC predictor
+            for ci, comp in enumerate(comps):
+                dec_dc = huff_dc[comp["dc"]]
+                dec_ac = huff_ac[comp["ac"]]
+                quant = qt[comp["tq"]]
+                zz = np.zeros(64, dtype=np.int64)
+                ssss = rd.read_huff(dec_dc)
+                if ssss > 11:
+                    raise ValueError("jpeg: DC category out of range")
+                preds[ci] += (
+                    _jpeg_extend(rd.read(ssss), ssss) if ssss else 0
+                )
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = rd.read_huff(dec_ac)
+                    run, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("jpeg: AC index overflow")
+                    zz[k] = _jpeg_extend(rd.read(s), s)
+                    k += 1
+                coef = np.zeros(64, dtype=np.int64)
+                coef[zz_pos] = zz * quant[np.arange(64)]
+                blk = (
+                    tmat.T @ coef.reshape(8, 8).astype(np.float64) @ tmat
+                )
+                px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.int64)
+                planes[ci][r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = px
+    if len(comps) == 1:
+        s = int(planes[0][:h, :w].sum())
+        return (w * h, s, s, s)
+    y, cb, cr = (p[:h, :w] for p in planes)
+
+    def chan(num):
+        # fixed-point milli-unit transform with floor-based half-up
+        # rounding: pure integers, identical in numpy / SQL / any
+        # engine with floor division
+        return np.clip((num + 500) // 1000, 0, 255)
+
+    r_ = chan(1000 * y + 1402 * (cr - 128))
+    g_ = chan(1000 * y - 344 * (cb - 128) - 714 * (cr - 128))
+    b_ = chan(1000 * y + 1772 * (cb - 128))
+    return (w * h, int(r_.sum()), int(g_.sum()), int(b_.sum()))
 
 
 def decode_image_features(assets: DataFrame) -> DataFrame:

@@ -3624,3 +3624,56 @@ def test_ewma_hourly_recurrence_and_seed(spark):
     assert got[(0, 11)] == 100.0 * 0.75 + 200 * 0.25  # 125.0
     assert got[(0, 12)] == round(125.0 * 0.75 + 40 * 0.25, 4)  # 103.75
     assert got[(15, 5)] == 300.0
+
+
+def test_jpeg_color_roundtrip_and_poison(spark):
+    """Color 4:4:4 baseline JPEG: synth → decode equals the closed-form
+    fixed-point YCbCr→RGB sums; truncated scans and subsampled-chroma
+    frames raise (nulled by the Spark lane); the grayscale path is
+    untouched."""
+    import pytest as _pytest
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    params = spark.createDataFrame(
+        [(1, 13, 11), (2, 8, 8), (3, 30, 9)],
+        "asset_id long, width long, height long",
+    )
+    got = {
+        r.asset_id: r
+        for r in M.decode_image_pixel_stats(
+            M.synth_jpeg_color_assets(params)
+        ).collect()
+    }
+
+    def expected(w, h):
+        n = sr = sg = sb = 0
+        for yy_ in range(h):
+            for xx in range(w):
+                bx, by = xx // 8, yy_ // 8
+                Y = (37 * bx + 71 * by) % 256
+                Cb = (23 * bx + 41 * by) % 256
+                Cr = (53 * bx + 13 * by) % 256
+                r = min(max((1000 * Y + 1402 * (Cr - 128) + 500) // 1000, 0), 255)
+                g = min(max((1000 * Y - 344 * (Cb - 128) - 714 * (Cr - 128) + 500) // 1000, 0), 255)
+                b = min(max((1000 * Y + 1772 * (Cb - 128) + 500) // 1000, 0), 255)
+                sr += r; sg += g; sb += b; n += 1
+        return (n, sr, sg, sb)
+
+    for aid, w, h in [(1, 13, 11), (2, 8, 8), (3, 30, 9)]:
+        row = got[aid]
+        assert (row.n_pixels, row.sum_r, row.sum_g, row.sum_b) == expected(w, h)
+
+    # poison: truncated scan raises -> lane nulls it
+    one = [
+        bytes(r.payload)
+        for r in M.synth_jpeg_color_assets(
+            params.where("asset_id = 2")
+        ).collect()
+    ][0]
+    with _pytest.raises(ValueError):
+        M._jpeg_pixel_sums(one[: len(one) - 20])
+    # subsampled chroma (2x2 Y factor) is a declared boundary
+    bad = one.replace(b"\x03\x01\x11\x00\x02\x11\x00", b"\x03\x01\x22\x00\x02\x11\x00", 1)
+    with _pytest.raises(ValueError, match="subsampled"):
+        M._jpeg_pixel_sums(bad)
