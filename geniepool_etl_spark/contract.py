@@ -2511,6 +2511,33 @@ def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_pixel_stats(M.synth_jpeg_color_assets(params))
 
 
+def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsampled-chroma (4:2:0) baseline JPEG pixel decode — the
+    dominant web-JPEG profile: MCU = four Y blocks + one Cb + one Cr,
+    generic Hi×Vi interleave walk, nearest-neighbor chroma upsample,
+    the same fixed-point integer YCbCr→RGB. Chroma is constant per
+    16×16 macroblock in the synth (so upsampling is lossless) while
+    luma keeps the 8-px block gradient — the oracle recomputes every
+    channel from the two block rules. The JPEG boundary is now
+    progressive scans only."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 2)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(17) + (F.col("doc_id") % 5) * 9)
+            .cast("long")
+            .alias("width"),
+            (F.lit(12) + (F.col("doc_id") % 4) * 11)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_jpeg_color_assets(params, subsample=True)
+    )
+
+
 def q_multimodal_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncompressed-TIFF pixel decode (multimodal.
     synth_tiff_gradient_assets → decode_image_pixel_stats): real
@@ -8221,6 +8248,42 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_jpeg_420"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 17 + (doc_id % 5) * 9 AS w,
+                 12 + (doc_id % 4) * 11 AS h
+          FROM documents WHERE doc_id % 13 = 2
+        ),
+        px AS (
+          SELECT asset_id,
+                 (37 * ((i % w) // 8) + 71 * ((i // w) // 8)) % 256 AS yy,
+                 (23 * ((i % w) // 16) + 41 * ((i // w) // 16)) % 256
+                   AS cb,
+                 (53 * ((i % w) // 16) + 13 * ((i // w) // 16)) % 256
+                   AS cr
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        rgb AS (
+          SELECT asset_id,
+                 least(greatest((1000 * yy + 1402 * (cr - 128) + 500)
+                   // 1000, 0), 255) AS r,
+                 least(greatest((1000 * yy - 344 * (cb - 128)
+                   - 714 * (cr - 128) + 500) // 1000, 0), 255) AS g,
+                 least(greatest((1000 * yy + 1772 * (cb - 128) + 500)
+                   // 1000, 0), 255) AS b
+          FROM px
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b
+          FROM rgb GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_tiff_pixels"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9277,7 +9340,8 @@ FROM g
 # hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels,
 # bitmap distinct, change-feed stream source, re-cluster compact,
 # metadata count, linear quality classifier, EWMA, hidden
-# partition transforms, web-curation funnel, color JPEG) — then
+# partition transforms, web-curation funnel, color+420 JPEG) —
+# then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -9300,6 +9364,7 @@ SPARK_QUERIES = {
     "pipeline_web_curation": q_pipeline_web_curation,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
+    "multimodal_jpeg_420": q_multimodal_jpeg_420,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,
     "snap_partition_prune": q_snap_partition_prune,

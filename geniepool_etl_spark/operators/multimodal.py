@@ -1871,6 +1871,7 @@ def synth_jpeg_color_assets(
     id_col: str = "asset_id",
     width_col: str = "width",
     height_col: str = "height",
+    subsample: bool = False,
 ) -> DataFrame:
     """Synthesize REAL baseline COLOR JPEGs (three components, 4:4:4
     — every sampling factor 1x1, interleaved MCUs, per-component DC
@@ -1892,34 +1893,50 @@ def synth_jpeg_color_assets(
     tmat = _jpeg_dct_matrix()
     zz_order = np.asarray(_JPEG_ZIGZAG)
 
+    def _enc_block(wr, preds, ci: int, val: float) -> None:
+        blk = np.full((8, 8), val) - 128.0
+        coef = np.rint(tmat @ blk @ tmat.T).astype(np.int64)
+        zz = coef.reshape(64)[zz_order]
+        preds[ci] = _jpeg_encode_block(wr, enc_dc, enc_ac, zz, preds[ci])
+
     def one(w: int, h: int) -> bytes:
-        nbx, nby = (w + 7) // 8, (h + 7) // 8
-        bx = np.arange(nbx, dtype=np.int64)[None, :]
-        by = np.arange(nby, dtype=np.int64)[:, None]
-        planes = [
-            ((37 * bx + 71 * by) % 256).astype(np.float64),
-            ((23 * bx + 41 * by) % 256).astype(np.float64),
-            ((53 * bx + 13 * by) % 256).astype(np.float64),
-        ]
+        yv = lambda bx, by: float((37 * bx + 71 * by) % 256)  # noqa: E731
+        cbv = lambda bx, by: float((23 * bx + 41 * by) % 256)  # noqa: E731
+        crv = lambda bx, by: float((53 * bx + 13 * by) % 256)  # noqa: E731
         wr = _JpegBitWriter()
         preds = [0, 0, 0]
-        for r in range(nby):
-            for c in range(nbx):
-                for ci in range(3):
-                    blk = np.full((8, 8), planes[ci][r, c]) - 128.0
-                    coef = np.rint(tmat @ blk @ tmat.T).astype(np.int64)
-                    zz = coef.reshape(64)[zz_order]
-                    preds[ci] = _jpeg_encode_block(
-                        wr, enc_dc, enc_ac, zz, preds[ci]
-                    )
+        if subsample:
+            # 4:2:0 — MCU = 16x16 px: four Y blocks (the 8px-block
+            # gradient, evaluated straight through the MCU padding —
+            # the decoder crops it) + one Cb + one Cr (constant per
+            # 16x16 macroblock, so nearest upsampling is lossless)
+            n_mcux, n_mcuy = (w + 15) // 16, (h + 15) // 16
+            for mr in range(n_mcuy):
+                for mc in range(n_mcux):
+                    for bv in range(2):
+                        for bh in range(2):
+                            _enc_block(
+                                wr, preds, 0,
+                                yv(2 * mc + bh, 2 * mr + bv),
+                            )
+                    _enc_block(wr, preds, 1, cbv(mc, mr))
+                    _enc_block(wr, preds, 2, crv(mc, mr))
+        else:
+            nbx, nby = (w + 7) // 8, (h + 7) // 8
+            for r in range(nby):
+                for c in range(nbx):
+                    _enc_block(wr, preds, 0, yv(c, r))
+                    _enc_block(wr, preds, 1, cbv(c, r))
+                    _enc_block(wr, preds, 2, crv(c, r))
         scan = wr.flush()
         app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
         dqt = b"\x00" + bytes([1] * 64)
+        y_hv = b"\x22" if subsample else b"\x11"
         sof0 = (
             b"\x08"
             + struct.pack(">HH", h, w)
             + b"\x03"
-            + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+            + b"\x01" + y_hv + b"\x00\x02\x11\x00\x03\x11\x00"
         )
         dht_dc = b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         dht_ac = b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
@@ -2021,11 +2038,15 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
             comps = []
             for ci in range(ncomp):
                 cid = seg[6 + 3 * ci]
-                if seg[7 + 3 * ci] != 0x11:
+                hv = seg[7 + 3 * ci]
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "jpeg: subsampled components unsupported"
+                        "jpeg: sampling factors beyond 2x2 unsupported"
                     )
-                comps.append({"id": cid, "tq": seg[8 + 3 * ci]})
+                comps.append(
+                    {"id": cid, "tq": seg[8 + 3 * ci], "h": hi, "v": vi}
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: non-baseline frame")
@@ -2057,52 +2078,73 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
     rd = _JpegBitReader(raw[scan_start:end])
     tmat = _jpeg_dct_matrix()
     zz_pos = np.asarray(_JPEG_ZIGZAG)
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    # MCUs tile hmax*8 x vmax*8 pixel macroblocks; each component
+    # contributes Hi x Vi blocks per MCU into its OWN (subsampled)
+    # plane grid (T.81 A.2.3 interleaved order)
+    n_mcux = (w + hmax * 8 - 1) // (hmax * 8)
+    n_mcuy = (h + vmax * 8 - 1) // (vmax * 8)
     planes = [
-        np.zeros((nby * 8, nbx * 8), dtype=np.int64) for _ in comps
+        np.zeros(
+            (n_mcuy * c["v"] * 8, n_mcux * c["h"] * 8), dtype=np.int64
+        )
+        for c in comps
     ]
     preds = [0] * len(comps)
-    for r in range(nby):
-        for c in range(nbx):
-            # interleaved MCU: one 1x1 block per component, in frame
-            # order, each with its own tables and DC predictor
+
+    def _one_block(ci: int) -> "np.ndarray":
+        comp = comps[ci]
+        dec_dc = huff_dc[comp["dc"]]
+        dec_ac = huff_ac[comp["ac"]]
+        quant = qt[comp["tq"]]
+        zz = np.zeros(64, dtype=np.int64)
+        ssss = rd.read_huff(dec_dc)
+        if ssss > 11:
+            raise ValueError("jpeg: DC category out of range")
+        preds[ci] += _jpeg_extend(rd.read(ssss), ssss) if ssss else 0
+        zz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = rd.read_huff(dec_ac)
+            run, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("jpeg: AC index overflow")
+            zz[k] = _jpeg_extend(rd.read(s), s)
+            k += 1
+        coef = np.zeros(64, dtype=np.int64)
+        coef[zz_pos] = zz * quant[np.arange(64)]
+        blk = tmat.T @ coef.reshape(8, 8).astype(np.float64) @ tmat
+        return np.clip(np.rint(blk) + 128, 0, 255).astype(np.int64)
+
+    for mr in range(n_mcuy):
+        for mc in range(n_mcux):
             for ci, comp in enumerate(comps):
-                dec_dc = huff_dc[comp["dc"]]
-                dec_ac = huff_ac[comp["ac"]]
-                quant = qt[comp["tq"]]
-                zz = np.zeros(64, dtype=np.int64)
-                ssss = rd.read_huff(dec_dc)
-                if ssss > 11:
-                    raise ValueError("jpeg: DC category out of range")
-                preds[ci] += (
-                    _jpeg_extend(rd.read(ssss), ssss) if ssss else 0
-                )
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = rd.read_huff(dec_ac)
-                    run, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if rs == 0xF0:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("jpeg: AC index overflow")
-                    zz[k] = _jpeg_extend(rd.read(s), s)
-                    k += 1
-                coef = np.zeros(64, dtype=np.int64)
-                coef[zz_pos] = zz * quant[np.arange(64)]
-                blk = (
-                    tmat.T @ coef.reshape(8, 8).astype(np.float64) @ tmat
-                )
-                px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.int64)
-                planes[ci][r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = px
+                for bv in range(comp["v"]):
+                    for bh in range(comp["h"]):
+                        px = _one_block(ci)
+                        pr = (mr * comp["v"] + bv) * 8
+                        pc = (mc * comp["h"] + bh) * 8
+                        planes[ci][pr : pr + 8, pc : pc + 8] = px
     if len(comps) == 1:
         s = int(planes[0][:h, :w].sum())
         return (w * h, s, s, s)
-    y, cb, cr = (p[:h, :w] for p in planes)
+    # nearest-neighbor chroma upsample back to full resolution (the
+    # 4:2:0/4:2:2 reconstruction), then crop the MCU padding
+    full = []
+    for comp, plane in zip(comps, planes):
+        if comp["h"] < hmax:
+            plane = np.repeat(plane, hmax // comp["h"], axis=1)
+        if comp["v"] < vmax:
+            plane = np.repeat(plane, vmax // comp["v"], axis=0)
+        full.append(plane[:h, :w])
+    y, cb, cr = full
 
     def chan(num):
         # fixed-point milli-unit transform with floor-based half-up

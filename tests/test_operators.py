@@ -3673,7 +3673,42 @@ def test_jpeg_color_roundtrip_and_poison(spark):
     ][0]
     with _pytest.raises(ValueError):
         M._jpeg_pixel_sums(one[: len(one) - 20])
-    # subsampled chroma (2x2 Y factor) is a declared boundary
-    bad = one.replace(b"\x03\x01\x11\x00\x02\x11\x00", b"\x03\x01\x22\x00\x02\x11\x00", 1)
-    with _pytest.raises(ValueError, match="subsampled"):
+    # sampling factors beyond 2x2 are the declared boundary
+    bad = one.replace(b"\x03\x01\x11\x00\x02\x11\x00", b"\x03\x01\x33\x00\x02\x11\x00", 1)
+    with _pytest.raises(ValueError, match="sampling factors"):
         M._jpeg_pixel_sums(bad)
+
+
+def test_jpeg_420_roundtrip_spark(spark):
+    """4:2:0 baseline JPEG: generic MCU interleave (4Y+Cb+Cr), chroma
+    upsample, exact fixed-point color — decoded sums equal the
+    two-block-rule closed form at awkward non-multiple-of-16 dims."""
+    from geniepool_etl_spark.operators import multimodal as M
+
+    params = spark.createDataFrame(
+        [(1, 13, 11), (2, 33, 30)],
+        "asset_id long, width long, height long",
+    )
+    got = {
+        r.asset_id: r
+        for r in M.decode_image_pixel_stats(
+            M.synth_jpeg_color_assets(params, subsample=True)
+        ).collect()
+    }
+
+    def expected(w, h):
+        n = sr = sg = sb = 0
+        for yy_ in range(h):
+            for xx in range(w):
+                Y = (37 * (xx // 8) + 71 * (yy_ // 8)) % 256
+                Cb = (23 * (xx // 16) + 41 * (yy_ // 16)) % 256
+                Cr = (53 * (xx // 16) + 13 * (yy_ // 16)) % 256
+                r = min(max((1000 * Y + 1402 * (Cr - 128) + 500) // 1000, 0), 255)
+                g = min(max((1000 * Y - 344 * (Cb - 128) - 714 * (Cr - 128) + 500) // 1000, 0), 255)
+                b = min(max((1000 * Y + 1772 * (Cb - 128) + 500) // 1000, 0), 255)
+                sr += r; sg += g; sb += b; n += 1
+        return (n, sr, sg, sb)
+
+    for aid, w, h in [(1, 13, 11), (2, 33, 30)]:
+        row = got[aid]
+        assert (row.n_pixels, row.sum_r, row.sum_g, row.sum_b) == expected(w, h)
