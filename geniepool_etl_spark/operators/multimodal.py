@@ -1059,6 +1059,15 @@ def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
         buf = bytes([byte])
     if buf:
         emit(table[buf], width)
+        # stream-end width sync: the decoder COMPLETES its pending
+        # entry when it processes this final code (reaching nxt, not
+        # nxt-1 — the one time it catches up to the encoder, because
+        # this emit has no companion add) and then applies its early
+        # bump at 2^w - 1; mirror that here or the EOI is written one
+        # bit narrower than the decoder reads it (found by hypothesis
+        # at exactly a table size of 2^w - 1 on the final code)
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

@@ -891,7 +891,21 @@ def test_snaptable_op_chain_matches_model(base, ops):
 def test_gif_lzw_roundtrip_property(data):
     """encode→decode is the identity for ANY byte stream — driver-side
     only (no Spark job per example), so the example budget can be
-    high enough to reach the 4096-entry CLEAR path repeatedly."""
+    high enough to reach the 4096-entry CLEAR path repeatedly.
+
+    A pinned deterministic probe first: inputs whose FINAL code lands
+    the decoder's table exactly at 2^w - 1 (the stream-end width-sync
+    case hypothesis found in r8 — the encoder's flush emit has no
+    companion add, so the decoder catches up and bumps before EOI;
+    the encoder must mirror that bump for the EOI width)."""
+    from geniepool_etl_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    for n in (250, 251, 252, 253, 254, 255, 506, 507):
+        probe = bytes([0, 0, 2]) + bytes([1]) * (n * (n + 1) // 2)
+        assert _gif_lzw_decode(_gif_lzw_encode(probe)) == probe
     from geniepool_etl_spark.operators.multimodal import (
         _gif_lzw_decode,
         _gif_lzw_encode,
