@@ -2486,6 +2486,29 @@ def q_a20_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_flac_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC PCM sample decode (multimodal.synth_flac_pcm_assets →
+    decode_audio_pcm_stats): real FLAC streams — STREAMINFO, framed
+    CONSTANT subframes, UTF-8 frame numbers, spec CRC-8/CRC-16
+    checksums all VERIFIED — decoded to exact integer sample stats.
+    Narrows the audio boundary: uncompressed-PCM (WAV) and
+    constant/verbatim FLAC are decodable; MP3/Ogg frames and FLAC's
+    predicted subframes remain the entropy-codec edge."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 9 == 4)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(2) + F.col("doc_id") % 5).cast("int").alias("n_frames"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("n_channels"),
+            ((F.col("doc_id") % 120) * 250 - 15000)
+            .cast("int")
+            .alias("base_val"),
+        )
+    )
+    return M.decode_audio_pcm_stats(M.synth_flac_pcm_assets(params))
+
+
 def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline COLOR JPEG pixel decode (multimodal.
     synth_jpeg_color_assets → decode_image_pixel_stats): real
@@ -8214,6 +8237,28 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS n_distinct_parts
         FROM lineitem GROUP BY l_linestatus
     """
+    o["multimodal_flac_pcm"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 2 + doc_id % 5 AS nf,
+                 1 + doc_id % 2 AS ch,
+                 (doc_id % 120) * 250 - 15000 AS base
+          FROM documents WHERE doc_id % 9 = 4
+        ),
+        v AS (
+          SELECT asset_id, base + 37 * f.i + c.i AS v
+          FROM prm, UNNEST(range(nf)) AS f(i), UNNEST(range(ch)) AS c(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(256 * count(*) AS BIGINT) AS n_samples,
+                 CAST(256 * sum(v) AS BIGINT) AS sum_amp,
+                 CAST(256 * sum(v * v) AS BIGINT) AS sum_sq,
+                 CAST(max(abs(v)) AS BIGINT) AS peak
+          FROM v GROUP BY asset_id
+        )
+        SELECT asset_id, n_samples, sum_amp, sum_sq, peak FROM agg
+    """
     o["multimodal_jpeg_color"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9340,8 +9385,8 @@ FROM g
 # hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels,
 # bitmap distinct, change-feed stream source, re-cluster compact,
 # metadata count, linear quality classifier, EWMA, hidden
-# partition transforms, web-curation funnel, color+420 JPEG) —
-# then
+# partition transforms, web-curation funnel, color+420 JPEG,
+# FLAC PCM) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -9363,6 +9408,7 @@ SPARK_QUERIES = {
     "snap_hidden_partition": q_snap_hidden_partition,
     "pipeline_web_curation": q_pipeline_web_curation,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
+    "multimodal_flac_pcm": q_multimodal_flac_pcm,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_jpeg_420": q_multimodal_jpeg_420,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,

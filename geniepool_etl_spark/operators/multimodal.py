@@ -623,10 +623,12 @@ def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
     Arrow ``mapInPandas``; the per-batch loop is numpy-vectorized over
     each payload's full sample array (int64 accumulation — even a
     24-bit square times any realistic frame count cannot overflow).
-    Poison payloads (null / non-WAV / unsupported width) yield null
-    stats, never a dead stage. Compressed codecs (MP3/Ogg/FLAC audio
-    frames) remain the ffmpeg boundary — this lane is exactly the
-    uncompressed-PCM half of it, now real."""
+    Poison payloads (null / unknown magic / unsupported width / any
+    CRC mismatch) yield null stats, never a dead stage. FLAC streams
+    decode through :func:`_flac_pcm_sums` (CONSTANT/VERBATIM
+    subframes, CRC-verified frames); MP3/Ogg audio frames and FLAC's
+    predicted (FIXED/LPC) subframes remain the entropy-codec
+    boundary."""
     import io
     import wave
 
@@ -637,7 +639,15 @@ def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
             rows = {k: [] for k in ("n_samples", "sum_amp", "sum_sq", "peak")}
             for b in pdf["payload"]:
                 try:
-                    with wave.open(io.BytesIO(bytes(b))) as w:
+                    raw0 = bytes(b)
+                    if raw0[:4] == b"fLaC":
+                        n_, s_, s2_, pk_ = _flac_pcm_sums(raw0)
+                        rows["n_samples"].append(n_)
+                        rows["sum_amp"].append(s_)
+                        rows["sum_sq"].append(s2_)
+                        rows["peak"].append(pk_)
+                        continue
+                    with wave.open(io.BytesIO(raw0)) as w:
                         width = w.getsampwidth()
                         if width not in (1, 2, 3):
                             raise ValueError("unsupported PCM width")
@@ -2917,3 +2927,313 @@ def _tiff_pixel_sums(raw: bytes) -> tuple:
         int(px[:, 1].sum()),
         int(px[:, 2].sum()),
     )
+
+
+def synth_flac_pcm_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    frames_col: str = "n_frames",
+    channels_col: str = "n_channels",
+    base_col: str = "base_val",
+) -> DataFrame:
+    """Synthesize REAL FLAC streams with decodable PCM (one CONSTANT
+    subframe per channel per frame; frame f of asset carries
+    ``base + 37·f`` wrapped to int16, channel c adds c) via Arrow
+    ``mapInPandas`` — the parameters are plain columns, so an
+    external oracle recomputes every sample statistic without
+    touching bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for nf, ch, base in zip(
+                pdf[frames_col], pdf[channels_col], pdf[base_col]
+            ):
+                vals = [int(base) + 37 * f for f in range(int(nf))]
+                payloads.append(
+                    _flac_bytes(vals, channels=int(ch))
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/flac",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _flac_crc8(data: bytes) -> int:
+    """FLAC frame-header CRC-8: poly 0x07, init 0, MSB-first."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """FLAC whole-frame CRC-16: poly 0x8005, init 0, MSB-first."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _flac_utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style frame/sample number coding (T.8 of the FLAC
+    spec — same shape as UTF-8, extended to 6 bytes)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8), (6, 0xFC)):
+        if n < (1 << (5 * nbytes + 1)):
+            out = [lead | (n >> (6 * (nbytes - 1)))]
+            for i in range(nbytes - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("flac: frame number too large")
+
+
+class _BitWriterMSB:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, width: int) -> None:
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+
+    def bytes_aligned(self) -> bytes:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _flac_bytes(
+    frame_values: list,
+    block_size: int = 256,
+    channels: int = 1,
+    bps: int = 16,
+    sample_rate: int = 8000,
+    verbatim_frames: set | None = None,
+) -> bytes:
+    """Build a REAL FLAC stream: fLaC magic, STREAMINFO, then one
+    frame per entry of ``frame_values`` — CONSTANT subframes (one
+    value per channel per frame; channel c carries value+c) or, for
+    frame indices in ``verbatim_frames``, VERBATIM subframes whose
+    samples ramp deterministically from the value. Fixed blocking,
+    spec CRC-8 header / CRC-16 frame checksums, UTF-8-coded frame
+    numbers — a decoder that skips CRC or UTF-8 handling fails on
+    these streams."""
+    import struct
+
+    verbatim_frames = verbatim_frames or set()
+    total = block_size * len(frame_values)
+    si = _BitWriterMSB()
+    si.write(block_size, 16)  # min block size
+    si.write(block_size, 16)  # max block size
+    si.write(0, 24)  # min frame size (unknown)
+    si.write(0, 24)  # max frame size (unknown)
+    si.write(sample_rate, 20)
+    si.write(channels - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    streaminfo = si.bytes_aligned() + bytes(16)  # unset MD5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
+    out += streaminfo
+    for f, val in enumerate(frame_values):
+        hdr = _BitWriterMSB()
+        hdr.write(0b11111111111110, 14)  # sync
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocking
+        hdr.write(0b1000, 4)  # block size 256
+        hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
+        hdr.write(channels - 1, 4)  # independent channels
+        hdr.write(0b100, 3)  # 16 bps
+        hdr.write(0, 1)  # reserved
+        head = bytearray(hdr.bytes_aligned())
+        head += _flac_utf8_number(f)
+        head.append(_flac_crc8(bytes(head)))
+        body = _BitWriterMSB()
+        for c in range(channels):
+            v = int(val) + c
+            if f in verbatim_frames:
+                # pad(1)=0, type(6)=000001 VERBATIM, wasted(1)=0
+                body.write(0b00000010, 8)
+                for i in range(block_size):
+                    body.write((v + i) & ((1 << bps) - 1), bps)
+            else:
+                body.write(0b000000, 8)  # pad0 + CONSTANT + wasted0
+                body.write(v & ((1 << bps) - 1), bps)
+        frame = bytes(head) + body.bytes_aligned()
+        out += frame + struct.pack(">H", _flac_crc16(frame))
+    return bytes(out)
+
+
+class _BitReaderMSB:
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = pos  # byte position
+        self.bit = 0
+
+    def read(self, width: int) -> int:
+        v = 0
+        for _ in range(width):
+            if self.pos >= len(self.buf):
+                raise ValueError("flac: bitstream exhausted")
+            v = (v << 1) | ((self.buf[self.pos] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+_FLAC_BLOCK_CODES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_BPS_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_pcm_sums(raw: bytes) -> tuple:
+    """Decode a FLAC stream whose frames use CONSTANT or VERBATIM
+    subframes (independent channels, no wasted bits) to exact integer
+    PCM statistics — (n_samples, sum_amp, sum_sq, peak), the same
+    contract as the WAV lane. Every frame's CRC-8 header checksum and
+    CRC-16 frame checksum are VERIFIED (a flipped bit is poison, not
+    a wrong sum); predicted subframes (FIXED/LPC — the entropy-coded
+    residual half of the codec) raise, the declared boundary."""
+    import struct
+
+    if raw[:4] != b"fLaC":
+        raise ValueError("not FLAC")
+    pos = 4
+    si = None
+    while pos + 4 <= len(raw):
+        last = raw[pos] & 0x80
+        btype = raw[pos] & 0x7F
+        (ln,) = struct.unpack(">I", b"\x00" + raw[pos + 1 : pos + 4])
+        block = raw[pos + 4 : pos + 4 + ln]
+        if len(block) != ln:
+            raise ValueError("flac: truncated metadata block")
+        if btype == 0:
+            rd = _BitReaderMSB(block)
+            rd.read(16)
+            rd.read(16)
+            rd.read(24)
+            rd.read(24)
+            rate = rd.read(20)
+            ch = rd.read(3) + 1
+            bps = rd.read(5) + 1
+            total = rd.read(36)
+            si = (rate, ch, bps, total)
+        pos += 4 + ln
+        if last:
+            break
+    if si is None:
+        raise ValueError("flac: no STREAMINFO")
+    _rate, si_ch, si_bps, _total = si
+    n = s = s2 = peak = 0
+    while pos < len(raw):
+        frame_start = pos
+        rd = _BitReaderMSB(raw, pos)
+        if rd.read(14) != 0b11111111111110:
+            raise ValueError("flac: bad frame sync")
+        rd.read(1)  # reserved
+        rd.read(1)  # blocking strategy
+        bs_code = rd.read(4)
+        sr_code = rd.read(4)
+        ca = rd.read(4)
+        bps_code = rd.read(3)
+        rd.read(1)  # reserved
+        if ca > 7:
+            raise ValueError(
+                "flac: stereo-decorrelation channel modes unsupported"
+            )
+        channels = ca + 1
+        # UTF-8-coded frame/sample number (value unused; the walk is
+        # load-bearing for header length + CRC coverage)
+        first = rd.read(8)
+        extra = 0
+        probe = first
+        while probe & 0x40:
+            extra += 1
+            probe <<= 1
+        if first >= 0x80:
+            for _ in range(extra):
+                if rd.read(8) & 0xC0 != 0x80:
+                    raise ValueError("flac: bad UTF-8 continuation")
+        if bs_code == 0:
+            raise ValueError("flac: reserved block size code")
+        elif bs_code == 6:
+            block_size = rd.read(8) + 1
+        elif bs_code == 7:
+            block_size = rd.read(16) + 1
+        else:
+            block_size = _FLAC_BLOCK_CODES[bs_code]
+        if sr_code == 12:
+            rd.read(8)
+        elif sr_code in (13, 14):
+            rd.read(16)
+        elif sr_code == 15:
+            raise ValueError("flac: invalid sample rate code")
+        crc8 = rd.read(8)
+        if _flac_crc8(raw[frame_start : rd.pos - 1]) != crc8:
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        bps = si_bps if bps_code == 0 else _FLAC_BPS_CODES.get(bps_code)
+        if bps is None:
+            raise ValueError("flac: reserved bps code")
+        half = 1 << (bps - 1)
+        for _c in range(channels):
+            if rd.read(1):
+                raise ValueError("flac: bad subframe padding bit")
+            stype = rd.read(6)
+            if rd.read(1):
+                raise ValueError("flac: wasted bits unsupported")
+            if stype == 0:  # CONSTANT
+                v = rd.read(bps)
+                v -= (v >= half) * (half << 1)
+                n += block_size
+                s += v * block_size
+                s2 += v * v * block_size
+                peak = max(peak, abs(v))
+            elif stype == 1:  # VERBATIM
+                for _i in range(block_size):
+                    v = rd.read(bps)
+                    v -= (v >= half) * (half << 1)
+                    n += 1
+                    s += v
+                    s2 += v * v
+                    peak = max(peak, abs(v))
+            else:
+                raise ValueError(
+                    "flac: predicted (FIXED/LPC) subframes unsupported"
+                )
+        rd.align()
+        if rd.pos + 2 > len(raw):
+            raise ValueError("flac: truncated frame CRC")
+        (crc16,) = struct.unpack(">H", raw[rd.pos : rd.pos + 2])
+        if _flac_crc16(raw[frame_start : rd.pos]) != crc16:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        pos = rd.pos + 2
+    return (n, s, s2, peak)

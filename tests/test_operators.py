@@ -3712,3 +3712,56 @@ def test_jpeg_420_roundtrip_spark(spark):
     for aid, w, h in [(1, 13, 11), (2, 33, 30)]:
         row = got[aid]
         assert (row.n_pixels, row.sum_r, row.sum_g, row.sum_b) == expected(w, h)
+
+
+def test_flac_pcm_constant_verbatim_and_crc(spark):
+    """FLAC PCM decode: constant and verbatim subframes round-trip to
+    exact integer stats across mono/stereo and multi-byte UTF-8 frame
+    numbers; any flipped bit fails a CRC (poison, not a wrong sum);
+    predicted subframes and truncation raise; the Spark lane nulls
+    poison rows."""
+    import pytest as _pytest
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    def expected(values, block, channels, verbatim=frozenset()):
+        n = s = s2 = peak = 0
+        for f, val in enumerate(values):
+            for c in range(channels):
+                base = val + c
+                samples = (
+                    [base + i for i in range(block)]
+                    if f in verbatim
+                    else [base] * block
+                )
+                for v in samples:
+                    vv = v & 0xFFFF
+                    vv -= (vv >= 1 << 15) * (1 << 16)
+                    n += 1
+                    s += vv
+                    s2 += vv * vv
+                    peak = max(peak, abs(vv))
+        return (n, s, s2, peak)
+
+    vals = [((37 * f + 13) % 200 - 100) * 100 for f in range(140)]
+    raw = M._flac_bytes(vals, channels=2, verbatim_frames={3, 130})
+    assert M._flac_pcm_sums(raw) == expected(vals, 256, 2, {3, 130})
+
+    small = M._flac_bytes([100, -200])
+    for flip in (len(small) - 5, len(small) - 20):
+        bad = bytearray(small)
+        bad[flip] ^= 0x04
+        with _pytest.raises(ValueError):
+            M._flac_pcm_sums(bytes(bad))
+    with _pytest.raises(ValueError):
+        M._flac_pcm_sums(small[:-3])
+
+    # Spark lane: good rows decode, poison rows null out
+    df = spark.createDataFrame(
+        [(1, bytearray(small), "audio/flac"),
+         (2, bytearray(small[:30]), "audio/flac")],
+        "asset_id long, payload binary, media_type string",
+    )
+    got = {r.asset_id: r for r in M.decode_audio_pcm_stats(df).collect()}
+    assert got[1].n_samples == 512  # 2 frames x 256 samples, mono
+    assert got[2].n_samples is None
