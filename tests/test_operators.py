@@ -3765,3 +3765,36 @@ def test_flac_pcm_constant_verbatim_and_crc(spark):
     got = {r.asset_id: r for r in M.decode_audio_pcm_stats(df).collect()}
     assert got[1].n_samples == 512  # 2 frames x 256 samples, mono
     assert got[2].n_samples is None
+
+
+def test_flac_walker_fuzz():
+    """The FLAC frame walker must either return exact stats or raise
+    ValueError on ANY byte stream — never a different exception type,
+    never a hang (forward progress is structural: both the metadata
+    and frame walks strictly advance)."""
+    import random
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    rng = random.Random(17)
+    base = M._flac_bytes([100, -5, 7], channels=2, verbatim_frames={1})
+    for _ in range(600):
+        mode = rng.randrange(3)
+        if mode == 0:
+            data = bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 200))
+            )
+        elif mode == 1:
+            data = b"fLaC" + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 120))
+            )
+        else:
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            data = bytes(b[: rng.randrange(10, len(b) + 1)])
+        try:
+            out = M._flac_pcm_sums(data)
+            assert isinstance(out, tuple) and len(out) == 4
+        except ValueError:
+            pass
