@@ -6049,6 +6049,47 @@ def q_pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/text.
+    canonicalize_urls): messy URLs constructed deterministically —
+    uppercase scheme/host, a default :443 port on the even rows and a
+    real :8080 on the odd ones, utm/fbclid tracking params, unsorted
+    query order, fragments — normalize to a canonical key, then the
+    dedup rollup groups on it (doc_id % 40 collides by construction).
+    The oracle regenerates the canonical form straight from the
+    generative rule, so every normalization step is value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper(F.col("source")),
+            F.lit(".Example.COM:443/docs/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("?utm_source=x&b="),
+            F.col("lang"),
+            F.lit("&a=1#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://"),
+            F.upper(F.col("source")),
+            F.lit(".Example.COM:8080/docs/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("?fbclid=zzz&b="),
+            F.col("lang"),
+            F.lit("&a=1"),
+        ),
+    )
+    canon = TX.canonicalize_urls(
+        docs.select("doc_id", messy.alias("url"))
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
 def q_text_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate extraction (operators/text.strip_html): drop
     script/style blocks, strip tags, decode the six standard
@@ -9075,6 +9116,23 @@ FROM g
         _r = _rep.replace("'", "''")
         _clean = f"replace({_clean}, '{_ent}', '{_r}')"
     _clean = rf"trim(regexp_replace({_clean}, '\s+', ' ', 'g'))"
+    o["text_url_canonical"] = """
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN 'https://' || source || '.example.com/docs/'
+                           || CAST(doc_id % 40 AS VARCHAR)
+                           || '?a=1&b=' || lang
+                      ELSE 'http://' || source || '.example.com:8080/docs/'
+                           || CAST(doc_id % 40 AS VARCHAR)
+                           || '?a=1&b=' || lang
+                 END AS canon_url
+          FROM documents
+        )
+        SELECT canon_url, count(*) AS n_dups,
+               min(doc_id) AS keep_id
+        FROM c GROUP BY canon_url
+    """
     o["text_html_clean"] = f"""
         WITH h AS (SELECT doc_id, {_html_sql} AS html FROM documents),
         c AS (SELECT doc_id, {_clean} AS clean_text FROM h)
@@ -9386,7 +9444,7 @@ FROM g
 # bitmap distinct, change-feed stream source, re-cluster compact,
 # metadata count, linear quality classifier, EWMA, hidden
 # partition transforms, web-curation funnel, color+420 JPEG,
-# FLAC PCM) — then
+# FLAC PCM, URL canonicalization) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -9409,6 +9467,7 @@ SPARK_QUERIES = {
     "pipeline_web_curation": q_pipeline_web_curation,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
     "multimodal_flac_pcm": q_multimodal_flac_pcm,
+    "text_url_canonical": q_text_url_canonical,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_jpeg_420": q_multimodal_jpeg_420,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,

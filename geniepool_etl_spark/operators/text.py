@@ -1259,3 +1259,54 @@ def linear_quality_score(
         ),
         (F.col("logit_milli") > 0).alias("keep"),
     )
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+) -> DataFrame:
+    """URL canonicalization — the dedup-key normalizer every web
+    pipeline runs before URL-level dedup and frontier scheduling:
+
+    - scheme and host lowercase;
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+    - tracking parameters dropped (``utm_*``, ``fbclid``, ``gclid``);
+    - remaining query parameters sorted bytewise (param order never
+      distinguishes two URLs);
+    - fragment removed; trailing ``?`` / lone ``/``-less empty path
+      normalized.
+
+    All JVM built-ins (parse_url, regexp, higher-order array sort) —
+    narrow map at scan speed, zero UDFs. RE2-compatible patterns so
+    external engines replay the identical normalization.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_replace(hostport, r":[0-9]+$", ""))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)="),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), canon_q)
+        ).otherwise(F.lit("")),
+    )
+    return df.withColumn(
+        out_col, F.when(scheme == "", F.lit(None)).otherwise(canon)
+    )

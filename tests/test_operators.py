@@ -3798,3 +3798,25 @@ def test_flac_walker_fuzz():
             assert isinstance(out, tuple) and len(out) == 4
         except ValueError:
             pass
+
+
+def test_canonicalize_urls_each_rule(spark):
+    """Every normalization rule fires: case, default-port strip,
+    non-default-port keep, tracking-param drop, param sort, fragment
+    strip, empty-path slash, non-URL → NULL."""
+    from geniepool_etl_spark.operators import text as TX
+
+    rows = [
+        (1, "HTTPS://WWW.Ex.COM:443/a?z=2&utm_campaign=c&a=1#frag"),
+        (2, "http://ex.com:8080/b?gclid=g&b=2"),
+        (3, "http://EX.com:80"),
+        (4, "https://ex.com/a?utm_x=1&fbclid=f"),
+        (5, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.canon_url for r in TX.canonicalize_urls(df).collect()}
+    assert got[1] == "https://www.ex.com/a?a=1&z=2"
+    assert got[2] == "http://ex.com:8080/b?b=2"
+    assert got[3] == "http://ex.com/"
+    assert got[4] == "https://ex.com/a"
+    assert got[5] is None
