@@ -2486,6 +2486,34 @@ def q_a20_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG decode (SOF2, multimodal.
+    synth_jpeg_progressive_assets → decode_image_pixel_stats): an
+    interleaved DC scan plus per-component AC band scans whose
+    all-zero bands entropy-code as chunked EOB runs through a custom
+    EOBn Huffman table (Annex K has no EOBn symbols — progressive
+    files carry their own DHTs); coefficients accumulate across scans
+    and reconstruct through the shared IDCT + fixed-point color path.
+    With this, every image family the engine parses has a pixel lane;
+    successive-approximation scans remain the declared boundary."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 17 == 5)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(9) + (F.col("doc_id") % 8) * 5)
+            .cast("long")
+            .alias("width"),
+            (F.lit(8) + (F.col("doc_id") % 7) * 4)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_jpeg_progressive_assets(params)
+    )
+
+
 def q_multimodal_flac_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC PCM sample decode (multimodal.synth_flac_pcm_assets →
     decode_audio_pcm_stats): real FLAC streams — STREAMINFO, framed
@@ -8278,6 +8306,40 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS n_distinct_parts
         FROM lineitem GROUP BY l_linestatus
     """
+    o["multimodal_jpeg_progressive"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 9 + (doc_id % 8) * 5 AS w,
+                 8 + (doc_id % 7) * 4 AS h
+          FROM documents WHERE doc_id % 17 = 5
+        ),
+        px AS (
+          SELECT asset_id,
+                 (37 * ((i % w) // 8) + 71 * ((i // w) // 8)) % 256 AS yy,
+                 (23 * ((i % w) // 8) + 41 * ((i // w) // 8)) % 256 AS cb,
+                 (53 * ((i % w) // 8) + 13 * ((i // w) // 8)) % 256 AS cr
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        rgb AS (
+          SELECT asset_id,
+                 least(greatest((1000 * yy + 1402 * (cr - 128) + 500)
+                   // 1000, 0), 255) AS r,
+                 least(greatest((1000 * yy - 344 * (cb - 128)
+                   - 714 * (cr - 128) + 500) // 1000, 0), 255) AS g,
+                 least(greatest((1000 * yy + 1772 * (cb - 128) + 500)
+                   // 1000, 0), 255) AS b
+          FROM px
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b
+          FROM rgb GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_flac_pcm"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9444,7 +9506,7 @@ FROM g
 # bitmap distinct, change-feed stream source, re-cluster compact,
 # metadata count, linear quality classifier, EWMA, hidden
 # partition transforms, web-curation funnel, color+420 JPEG,
-# FLAC PCM, URL canonicalization) — then
+# FLAC PCM, URL canonicalization, progressive JPEG) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -9466,6 +9528,7 @@ SPARK_QUERIES = {
     "snap_hidden_partition": q_snap_hidden_partition,
     "pipeline_web_curation": q_pipeline_web_curation,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
+    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
     "multimodal_flac_pcm": q_multimodal_flac_pcm,
     "text_url_canonical": q_text_url_canonical,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,

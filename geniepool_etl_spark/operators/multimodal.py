@@ -1546,7 +1546,13 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
                         rows["sum_b"].append(sb)
                         continue
                     if raw[:2] == b"\xff\xd8":
-                        n, sr, sg, sb = _jpeg_pixel_sums(raw)
+                        try:
+                            n, sr, sg, sb = _jpeg_pixel_sums(raw)
+                        except ValueError:
+                            # SOF2 multi-scan path (poison re-raises)
+                            n, sr, sg, sb = (
+                                _jpeg_progressive_pixel_sums(raw)
+                            )
                         rows["n_pixels"].append(n)
                         rows["sum_r"].append(sr)
                         rows["sum_g"].append(sg)
@@ -3237,3 +3243,323 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
             raise ValueError("flac: frame CRC-16 mismatch")
         pos = rd.pos + 2
     return (n, s, s2, peak)
+
+
+def synth_jpeg_progressive_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL progressive JPEGs (SOF2): an interleaved DC
+    scan followed by one AC band scan per component (Ss=1..63,
+    Ah=Al=0) whose all-zero bands entropy-code as chunked EOB runs —
+    the multi-scan structure real progressive files use, on the same
+    block-constant YCbCr gradient as the color lane (DC-only blocks,
+    q=1 → lossless round-trip, closed-form oracle). Arrow
+    ``mapInPandas``."""
+    import struct
+
+    import numpy as np
+
+    enc_dc, _ = _jpeg_huff_tables(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    # the Annex K AC table has NO EOBn symbols (progressive-only
+    # codes) — progressive AC scans need their own DHT: the 15 EOBn
+    # symbols (r<<4, r=0..14), all at code length 4 (code 0b1111
+    # stays unused, as canonical assignment requires)
+    _EOB_BITS = (0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    _EOB_VALS = tuple(r << 4 for r in range(15))
+    enc_eob, _ = _jpeg_huff_tables(_EOB_BITS, _EOB_VALS)
+    tmat = _jpeg_dct_matrix()
+
+    def one(w: int, h: int) -> bytes:
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        bx = np.arange(nbx, dtype=np.int64)[None, :]
+        by = np.arange(nby, dtype=np.int64)[:, None]
+        planes = [
+            ((37 * bx + 71 * by) % 256).astype(np.float64),
+            ((23 * bx + 41 * by) % 256).astype(np.float64),
+            ((53 * bx + 13 * by) % 256).astype(np.float64),
+        ]
+        # interleaved DC scan: category + EXTEND bits per component
+        wr = _JpegBitWriter()
+        preds = [0, 0, 0]
+        for r in range(nby):
+            for c in range(nbx):
+                for ci in range(3):
+                    blk = np.full((8, 8), planes[ci][r, c]) - 128.0
+                    dc = int(np.rint((tmat @ blk @ tmat.T))[0, 0])
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    mag = abs(diff)
+                    ssss = mag.bit_length()
+                    code, ln = enc_dc[ssss]
+                    wr.write(code, ln)
+                    if ssss:
+                        wr.write(
+                            diff if diff >= 0 else diff + (1 << ssss) - 1,
+                            ssss,
+                        )
+        dc_scan = wr.flush()
+        # one AC band scan per component: all bands zero -> EOB runs
+        n_blocks = nbx * nby
+        ac_scans = []
+        for _ci in range(3):
+            wr = _JpegBitWriter()
+            n = n_blocks
+            while n > 0:
+                m = min(n, 32767)
+                rr = m.bit_length() - 1
+                code, ln = enc_eob[rr << 4]
+                wr.write(code, ln)
+                if rr:
+                    wr.write(m - (1 << rr), rr)
+                n -= m
+            ac_scans.append(wr.flush())
+        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        dqt = b"\x00" + bytes([1] * 64)
+        sof2 = (
+            b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x03"
+            + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+        )
+        dht_dc = b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        dht_eob = b"\x11" + bytes(_EOB_BITS) + bytes(_EOB_VALS)
+        seg = lambda m, b: m + struct.pack(">H", len(b) + 2) + b  # noqa: E731
+        out = [
+            b"\xff\xd8",
+            seg(b"\xff\xe0", app0),
+            seg(b"\xff\xdb", dqt),
+            seg(b"\xff\xc2", sof2),
+            seg(b"\xff\xc4", dht_dc),
+            seg(b"\xff\xc4", dht_eob),
+            seg(
+                b"\xff\xda",
+                b"\x03\x01\x00\x02\x00\x03\x00\x00\x00\x00",
+            ),
+            dc_scan,
+        ]
+        for ci, scan in enumerate(ac_scans):
+            out.append(
+                seg(
+                    b"\xff\xda",
+                    bytes([1, ci + 1, 0x01, 1, 63, 0x00]),
+                )
+            )
+            out.append(scan)
+        out.append(b"\xff\xd9")
+        return b"".join(out)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(w), int(h))
+                        for w, h in zip(pdf[width_col], pdf[height_col])
+                    ],
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
+    """Decode a PROGRESSIVE JPEG (SOF2) whose scans use spectral
+    selection WITHOUT successive approximation (Ah=Al=0): a DC scan
+    (interleaved or single-component) plus per-component AC band
+    scans with EOB-run coding — the multi-scan half of the
+    progressive format. Coefficients accumulate per block across
+    scans; after EOI every block dequantizes + IDCTs exactly like the
+    baseline path, and color output goes through the same fixed-point
+    integer YCbCr→RGB. Successive-approximation scans (Ah or Al ≠ 0)
+    and sampling factors beyond 1x1 raise — the declared remaining
+    boundary. Supports 1 or 3 components."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not JPEG")
+    pos = 2
+    qt = {}
+    huff_dc, huff_ac = {}, {}
+    w = h = None
+    comps = None
+    coefs = None
+    preds = None
+    nbx = nby = None
+
+    def _scan_end(start: int) -> int:
+        i = start
+        while i + 1 < len(raw):
+            if raw[i] == 0xFF and raw[i + 1] not in (0x00,):
+                return i
+            i += 1
+        raise ValueError("jpeg: unterminated scan")
+
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker alignment")
+        marker = raw[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", raw, pos + 2)
+        seg = raw[pos + 4 : pos + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("jpeg: truncated segment")
+        if marker == 0xDB:
+            at = 0
+            while at < len(seg):
+                pq, tq = seg[at] >> 4, seg[at] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant table")
+                qt[tq] = np.frombuffer(
+                    seg, dtype=np.uint8, count=64, offset=at + 1
+                ).astype(np.int64)
+                at += 65
+        elif marker == 0xC4:
+            at = 0
+            while at + 17 <= len(seg):
+                cls, tid = seg[at] >> 4, seg[at] & 0x0F
+                bits = tuple(seg[at + 1 : at + 17])
+                nval = sum(bits)
+                vals = tuple(seg[at + 17 : at + 17 + nval])
+                _, dec = _jpeg_huff_tables(bits, vals)
+                (huff_dc if cls == 0 else huff_ac)[tid] = dec
+                at += 17 + nval
+        elif marker == 0xC2:
+            if seg[0] != 8:
+                raise ValueError("jpeg: precision != 8")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise ValueError("jpeg: unsupported component count")
+            comps = []
+            for ci in range(ncomp):
+                if seg[7 + 3 * ci] != 0x11:
+                    raise ValueError(
+                        "jpeg: progressive subsampling unsupported"
+                    )
+                comps.append(
+                    {"id": seg[6 + 3 * ci], "tq": seg[8 + 3 * ci]}
+                )
+            nbx, nby = (w + 7) // 8, (h + 7) // 8
+            coefs = [
+                np.zeros((nby * nbx, 64), dtype=np.int64) for _ in comps
+            ]
+            preds = [0] * ncomp
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: not a progressive frame")
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", seg, 0)[0] != 0:
+                raise ValueError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("jpeg: SOS before SOF2")
+            ns = seg[0]
+            scan_comps = []
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                match = [i for i, c in enumerate(comps) if c["id"] == cs]
+                if not match:
+                    raise ValueError("jpeg: scan names unknown component")
+                scan_comps.append((match[0], tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if ahal != 0:
+                raise ValueError(
+                    "jpeg: successive approximation unsupported"
+                )
+            data_start = pos + 2 + ln
+            data_end = _scan_end(data_start)
+            rd = _JpegBitReader(raw[data_start:data_end])
+            if ss == 0:
+                # DC scan: interleaved over all scan components (1x1
+                # factors → one block per component per MCU)
+                if se != 0:
+                    raise ValueError("jpeg: mixed DC/AC spectral band")
+                for b in range(nby * nbx):
+                    for ci, dc_id, _ac_id in scan_comps:
+                        dec_dc = huff_dc.get(dc_id)
+                        if dec_dc is None:
+                            raise ValueError("jpeg: missing DC table")
+                        ssss = rd.read_huff(dec_dc)
+                        if ssss > 11:
+                            raise ValueError(
+                                "jpeg: DC category out of range"
+                            )
+                        preds[ci] += (
+                            _jpeg_extend(rd.read(ssss), ssss)
+                            if ssss
+                            else 0
+                        )
+                        coefs[ci][b, 0] = preds[ci]
+            else:
+                # AC band scan: progressive AC scans are single-
+                # component, with EOB-run coding (G.1.2.2)
+                if ns != 1 or ss > se or se > 63:
+                    raise ValueError("jpeg: bad AC scan parameters")
+                ci, _dc_id, ac_id = scan_comps[0]
+                dec_ac = huff_ac.get(ac_id)
+                if dec_ac is None:
+                    raise ValueError("jpeg: missing AC table")
+                eobrun = 0
+                for b in range(nby * nbx):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = rd.read_huff(dec_ac)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rd.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: AC index overflow")
+                        coefs[ci][b, k] = _jpeg_extend(rd.read(s), s)
+                        k += 1
+            pos = data_end
+            continue
+        pos += 2 + ln
+    if comps is None or coefs is None:
+        raise ValueError("jpeg: missing SOF2")
+    tmat = _jpeg_dct_matrix()
+    zz_pos = np.asarray(_JPEG_ZIGZAG)
+    planes = []
+    for ci, comp in enumerate(comps):
+        if comp["tq"] not in qt:
+            raise ValueError("jpeg: missing quant table")
+        quant = qt[comp["tq"]]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
+        for b in range(nby * nbx):
+            coef = np.zeros(64, dtype=np.int64)
+            coef[zz_pos] = coefs[ci][b] * quant
+            blk = tmat.T @ coef.reshape(8, 8).astype(np.float64) @ tmat
+            px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.int64)
+            r, c = divmod(b, nbx)
+            plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = px
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        s = int(planes[0].sum())
+        return (w * h, s, s, s)
+    y, cb, cr = planes
+
+    def chan(num):
+        return np.clip((num + 500) // 1000, 0, 255)
+
+    r_ = chan(1000 * y + 1402 * (cr - 128))
+    g_ = chan(1000 * y - 344 * (cb - 128) - 714 * (cr - 128))
+    b_ = chan(1000 * y + 1772 * (cb - 128))
+    return (w * h, int(r_.sum()), int(g_.sum()), int(b_.sum()))

@@ -3820,3 +3820,50 @@ def test_canonicalize_urls_each_rule(spark):
     assert got[3] == "http://ex.com/"
     assert got[4] == "https://ex.com/a"
     assert got[5] is None
+
+
+def test_jpeg_progressive_roundtrip_and_boundaries(spark):
+    """Progressive (SOF2) decode: DC scan + EOB-run AC band scans
+    reconstruct the closed-form gradient exactly through the lane
+    dispatch; successive-approximation scans and truncation raise."""
+    import pytest as _pytest
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    params = spark.createDataFrame(
+        [(1, 13, 11), (2, 33, 30)],
+        "asset_id long, width long, height long",
+    )
+    assets = M.synth_jpeg_progressive_assets(params)
+    raws = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    got = {
+        r.asset_id: r
+        for r in M.decode_image_pixel_stats(assets).collect()
+    }
+
+    def expected(w, h):
+        n = sr = sg = sb = 0
+        for yy_ in range(h):
+            for xx in range(w):
+                bx, by = xx // 8, yy_ // 8
+                Y = (37 * bx + 71 * by) % 256
+                Cb = (23 * bx + 41 * by) % 256
+                Cr = (53 * bx + 13 * by) % 256
+                r = min(max((1000 * Y + 1402 * (Cr - 128) + 500) // 1000, 0), 255)
+                g = min(max((1000 * Y - 344 * (Cb - 128) - 714 * (Cr - 128) + 500) // 1000, 0), 255)
+                b = min(max((1000 * Y + 1772 * (Cb - 128) + 500) // 1000, 0), 255)
+                sr += r; sg += g; sb += b; n += 1
+        return (n, sr, sg, sb)
+
+    for aid, (w, h) in {1: (13, 11), 2: (33, 30)}.items():
+        row = got[aid]
+        assert (row.n_pixels, row.sum_r, row.sum_g, row.sum_b) == expected(w, h)
+
+    with _pytest.raises(ValueError):
+        M._jpeg_progressive_pixel_sums(raws[1][:80])
+    # successive approximation (AhAl != 0) is the declared boundary
+    bad = raws[1].replace(
+        bytes([1, 1, 0x01, 1, 63, 0x00]), bytes([1, 1, 0x01, 1, 63, 0x12]), 1
+    )
+    with _pytest.raises(ValueError, match="successive"):
+        M._jpeg_progressive_pixel_sums(bad)
