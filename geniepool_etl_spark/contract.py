@@ -9511,13 +9511,14 @@ FROM g
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
 # previously-recorded re-record off the 50-entry window, never a
-# never-recorded one — until the late-r8 lanes overflowed it: 58
-# never-recorded > 50 slots, so the mp4/mp3/flac/ogg decode lanes,
-# pipeline_corpus_card, lake_file_census, text_url_domains and
-# sql_variables_params sit at positions 51-58 and stay unrecorded
-# until r9 — rotate THOSE eight to the front next round, then the
-# r4 tail, then r5/r6). All entries are selfcheck-green at
-# sf0.001+sf0.01 and ansi-swept regardless of the window.
+# never-recorded one — until the late-r8 lanes overflowed it: 63
+# never-recorded > 50 slots, so 13 sit past the window edge and
+# stay unrecorded until r9 (the three stream-sketch twins, the
+# mp4/mp3/flac/ogg/pcm/pixel-stats decode lanes, corpus card, file
+# census, url domains, sql variables) — rotate THOSE to the front
+# next round, then the r4 tail, then r5/r6). All entries are
+# selfcheck-green at sf0.001+sf0.01 and ansi-swept regardless of
+# the window.
 SPARK_QUERIES = {
     # --- never driver-recorded: record first (r8 window) ---
     "s23_snap_change_stream": q_s23_snap_change_stream,
