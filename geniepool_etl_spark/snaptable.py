@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -111,8 +112,6 @@ def current_version(spark: SparkSession, table_path: str) -> int | None:
     vs = _versions(fs, P, table_path)
     return vs[-1] if vs else None
 
-
-import re as _re
 
 _TRANSFORM_RE = _re.compile(
     r"^(bucket|truncate)\((\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\)$"
@@ -257,9 +256,17 @@ def _stage_files(
     per_file = (
         back.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
     )
+    from urllib.parse import unquote
+
     files = []
     for r in per_file:
-        uri = r["_f"]
+        # input_file_name() returns a URL-ENCODED URI; manifests must
+        # record the FS-REAL name (one unquote: 'city=new%20york' →
+        # 'city=new york', '%253A' → the hive-escaped '%3A' actually
+        # on disk) or every consumer — reads, vacuum liveness, the
+        # change stream — chases a nonexistent path (review finding,
+        # confirmed by repro with a space-bearing partition value)
+        uri = unquote(r["_f"])
         # path relative to the table root, INCLUDING any col=value
         # partition directories between the token dir and the leaf
         rel_path = uri[uri.index(rel) :]
@@ -297,8 +304,9 @@ def _stage_files(
             for p in r["_ps"]:
                 mask |= 1 << int(p)
             # key by table-relative path, not basename — partitionBy
-            # reuses one basename per partition dir (review finding)
-            uri = r["_f"]
+            # reuses one basename per partition dir (review finding);
+            # decoded, to match the manifest entries
+            uri = unquote(r["_f"])
             blooms.setdefault(uri[uri.index(rel) :], {})[c] = (
                 f"{mask:0{bloom_bits // 4}x}"
             )
@@ -312,19 +320,24 @@ def _stage_files(
     # still-invisible staging dir — a committed token dir's disk
     # contents and its manifest entries must be the same set, or
     # vacuum's referenced-file accounting drifts
-    seen = {os.path.basename(e["path"]) for e in files}
+    seen = {e["path"] for e in files}
     fs, P = _hadoop_fs(spark, out_dir)
 
-    def _sweep(dirpath) -> None:
+    def _sweep(dirpath, relpfx: str) -> None:
         for st in fs.listStatus(dirpath):
             name = st.getPath().getName()
             if st.isDirectory():
                 # hive partition dirs under a partitioned staging
-                _sweep(st.getPath())
-            elif name.endswith(".parquet") and name not in seen:
+                _sweep(st.getPath(), f"{relpfx}/{name}")
+            elif (
+                name.endswith(".parquet")
+                and f"{relpfx}/{name}" not in seen
+            ):
+                # keyed by REL PATH, not basename (partitionBy reuses
+                # one basename across sibling partition dirs)
                 fs.delete(st.getPath(), False)
 
-    _sweep(P(out_dir))
+    _sweep(P(out_dir), rel)
     # deterministic manifest ordering (file names are writer-random)
     files.sort(key=lambda e: e["path"])
     return files
@@ -687,10 +700,13 @@ def _split_touched(files: list, hit_uris: set) -> tuple[list, list]:
     basename key silently conflates sibling-partition files (review
     finding — it corrupted bloom bitsets and over-rewrote CoW files).
     """
+    from urllib.parse import unquote
+
+    decoded = {unquote(u) for u in hit_uris}
     touched, untouched = [], []
     for f in files:
         suffix = "/" + f["path"]
-        if any(u.endswith(suffix) for u in hit_uris):
+        if any(u.endswith(suffix) for u in decoded):
             touched.append(f)
         else:
             untouched.append(f)

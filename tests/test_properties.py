@@ -906,9 +906,5 @@ def test_gif_lzw_roundtrip_property(data):
     for n in (250, 251, 252, 253, 254, 255, 506, 507):
         probe = bytes([0, 0, 2]) + bytes([1]) * (n * (n + 1) // 2)
         assert _gif_lzw_decode(_gif_lzw_encode(probe)) == probe
-    from geniepool_etl_spark.operators.multimodal import (
-        _gif_lzw_decode,
-        _gif_lzw_encode,
-    )
 
     assert _gif_lzw_decode(_gif_lzw_encode(data)) == data

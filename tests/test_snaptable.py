@@ -807,3 +807,34 @@ def test_commit_timestamps_strictly_monotonic(spark, nums, tdir):
     ]
     assert stamps == sorted(stamps)
     assert len(set(stamps)) == len(stamps)
+
+
+def test_partition_values_with_spaces_and_escapes(spark, tdir):
+    """Regression (review repro): input_file_name() returns
+    URL-ENCODED URIs, so identity partition values containing spaces
+    or hive-escaped characters used to land encoded in the manifest —
+    reads chased 'city=new%20york' while disk had 'city=new york',
+    and vacuum reclaimed the LIVE token dir as wholly unreferenced.
+    Manifests now record fs-real paths: write/read/delete/vacuum all
+    work on a space-and-colon-bearing partition value."""
+    rows = [(1, "new york"), (2, "new york"), (3, "a:b"), (4, "plain")]
+    df = spark.createDataFrame(rows, "k long, city string")
+    T.write_table(df, tdir, "create", partition_by=("city",), target_files=1)
+    back = T.read_table(spark, tdir)
+    assert sorted((r.k, r.city) for r in back.collect()) == sorted(rows)
+    got = T.read_partition(spark, tdir, {"city": "new york"})
+    assert sorted(r.k for r in got.collect()) == [1, 2]
+    t, s = T.partition_scan_stats(spark, tdir, {"city": "a:b"})
+    assert s == 1 and t == 3
+    # CoW delete touches only the matching partition's file
+    T.delete_where(spark, tdir, "k = 1")
+    assert T.read_table(spark, tdir).count() == 3
+    f0 = {f["path"] for f in _manifest(tdir, 0)["files"]}
+    f1 = {f["path"] for f in _manifest(tdir, 1)["files"]}
+    assert len(f0 & f1) == 2
+    # vacuum must keep every referenced file
+    deleted = T.vacuum(spark, tdir, keep_versions=2, min_age_seconds=0)
+    assert deleted == 0
+    assert T.read_table(spark, tdir).count() == 3
+    T.vacuum(spark, tdir, keep_versions=1, min_age_seconds=0)
+    assert sorted(r.k for r in T.read_table(spark, tdir).collect()) == [2, 3, 4]

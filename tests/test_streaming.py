@@ -858,3 +858,33 @@ def test_snap_change_stream_initial_load_skips_history_rewrites(
     got = spark.read.parquet(out)
     assert got.count() == 25  # current snapshot exactly once
     assert sorted(r.k for r in got.collect()) == list(range(25))
+
+
+def test_snap_change_stream_escaped_partition_values(spark, tmp_path):
+    """Regression: the change stream must read hive-escaped partition
+    directories ('a:b' → 'a%3Ab' on disk) — one unquote of the
+    fs-real segment recovers the typed value."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark import snaptable as T
+    from geniepool_etl_spark.sources import snapsource
+
+    snapsource.register(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    rows = [(1, "a:b"), (2, "new york"), (3, "plain")]
+    df = spark.createDataFrame(rows, "k long, city string")
+    T.write_table(df, t, "create", partition_by=("city",), target_files=1)
+    q = (
+        spark.readStream.format("gp_snap_changes")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert sorted((r.k, r.city) for r in got.collect()) == sorted(rows)
