@@ -2514,6 +2514,29 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_multimodal_flac_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-predictor FLAC decode (multimodal.
+    synth_flac_fixed_assets → decode_audio_pcm_stats): the codec's
+    compression core — per-frame predictor orders 0/1/2, raw warmup
+    samples, Rice-partitioned zigzag residuals (2 partitions,
+    per-partition 4-bit parameter), recurrence reconstruction — all
+    bit-contiguous within the frame and CRC-verified. The remaining
+    FLAC boundary is LPC subframes and stereo decorrelation."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 7)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("n_frames"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("n_channels"),
+            ((F.col("doc_id") % 50) * 20 - 500)
+            .cast("int")
+            .alias("base_val"),
+        )
+    )
+    return M.decode_audio_pcm_stats(M.synth_flac_fixed_assets(params))
+
+
 def q_multimodal_flac_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC PCM sample decode (multimodal.synth_flac_pcm_assets →
     decode_audio_pcm_stats): real FLAC streams — STREAMINFO, framed
@@ -8340,6 +8363,31 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_flac_fixed"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 2 + doc_id % 4 AS nf,
+                 1 + doc_id % 2 AS ch,
+                 (doc_id % 50) * 20 - 500 AS base
+          FROM documents WHERE doc_id % 10 = 7
+        ),
+        v AS (
+          SELECT asset_id,
+                 base + 11 * f.i + c.i + ((f.i % 9) - 4) * s.i
+                   + CASE WHEN f.i % 3 = 2 THEN s.i * s.i ELSE 0 END
+                   AS v
+          FROM prm,
+               UNNEST(range(nf)) AS f(i),
+               UNNEST(range(ch)) AS c(i),
+               UNNEST(range(64)) AS s(i)
+        )
+        SELECT asset_id,
+               count(*) AS n_samples,
+               CAST(sum(v) AS BIGINT) AS sum_amp,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(max(abs(v)) AS BIGINT) AS peak
+        FROM v GROUP BY asset_id
+    """
     o["multimodal_flac_pcm"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9506,7 +9554,7 @@ FROM g
 # bitmap distinct, change-feed stream source, re-cluster compact,
 # metadata count, linear quality classifier, EWMA, hidden
 # partition transforms, web-curation funnel, color+420 JPEG,
-# FLAC PCM, URL canonicalization, progressive JPEG) — then
+# FLAC PCM+FIXED, URL canonicalization, progressive JPEG) — then
 # (b) stalest
 # re-records: the 9 entries last recorded in r3 and the head of the
 # r4 group (each new lane prepended mid-round displaces one
@@ -9530,6 +9578,7 @@ SPARK_QUERIES = {
     "pipeline_web_curation": q_pipeline_web_curation,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
     "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
+    "multimodal_flac_fixed": q_multimodal_flac_fixed,
     "multimodal_flac_pcm": q_multimodal_flac_pcm,
     "text_url_canonical": q_text_url_canonical,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,

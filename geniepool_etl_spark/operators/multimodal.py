@@ -2970,6 +2970,44 @@ def synth_flac_pcm_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_flac_fixed_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    frames_col: str = "n_frames",
+    channels_col: str = "n_channels",
+    base_col: str = "base_val",
+) -> DataFrame:
+    """Synthesize FLAC streams whose frames use FIXED-predictor
+    subframes with Rice-partitioned residuals (the codec's
+    compression core): frame f carries the polynomial
+    ``base + 11·f + c + ((f%9)−4)·i [+ i²]`` with predictor order
+    ``f % 3`` — pure functions of plain parameter columns, so an
+    external oracle recomputes every sample. Arrow ``mapInPandas``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for nf, ch, base in zip(
+                pdf[frames_col], pdf[channels_col], pdf[base_col]
+            ):
+                specs = [
+                    (f % 3, int(base) + 11 * f, (f % 9) - 4)
+                    for f in range(int(nf))
+                ]
+                payloads.append(
+                    _flac_bytes_fixed(specs, channels=int(ch))
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/flac",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def _flac_crc8(data: bytes) -> int:
     """FLAC frame-header CRC-8: poly 0x07, init 0, MSB-first."""
     crc = 0
@@ -3231,9 +3269,63 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
                     s += v
                     s2 += v * v
                     peak = max(peak, abs(v))
+            elif 8 <= stype <= 12:  # FIXED, order = stype - 8
+                order = stype - 8
+                warm = []
+                for _i in range(order):
+                    v = rd.read(bps)
+                    v -= (v >= half) * (half << 1)
+                    warm.append(v)
+                if rd.read(2) != 0:
+                    raise ValueError(
+                        "flac: 5-bit Rice method unsupported"
+                    )
+                part_order = rd.read(4)
+                n_parts = 1 << part_order
+                if block_size % n_parts or (
+                    block_size >> part_order
+                ) <= order:
+                    raise ValueError("flac: bad partition order")
+                resid = []
+                per = block_size >> part_order
+                for p in range(n_parts):
+                    cnt = per - order if p == 0 else per
+                    k = rd.read(4)
+                    if k == 15:
+                        raise ValueError(
+                            "flac: Rice escape code unsupported"
+                        )
+                    for _j in range(cnt):
+                        q = 0
+                        while rd.read(1) == 0:
+                            q += 1
+                            if q > 1 << 20:
+                                raise ValueError(
+                                    "flac: runaway unary code"
+                                )
+                        z = (q << k) | (rd.read(k) if k else 0)
+                        resid.append(
+                            (z >> 1) if z % 2 == 0 else -((z + 1) >> 1)
+                        )
+                coefs = _FLAC_FIXED_COEFS[order]
+                xs = list(warm)
+                for e in resid:
+                    pred = sum(
+                        c * xs[-j - 1] for j, c in enumerate(coefs)
+                    )
+                    xs.append(e + pred)
+                for v in xs:
+                    if not (-half <= v < half):
+                        raise ValueError(
+                            "flac: reconstructed sample out of range"
+                        )
+                    n += 1
+                    s += v
+                    s2 += v * v
+                    peak = max(peak, abs(v))
             else:
                 raise ValueError(
-                    "flac: predicted (FIXED/LPC) subframes unsupported"
+                    "flac: LPC subframes unsupported"
                 )
         rd.align()
         if rd.pos + 2 > len(raw):
@@ -3563,3 +3655,114 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
     g_ = chan(1000 * y - 344 * (cb - 128) - 714 * (cr - 128))
     b_ = chan(1000 * y + 1772 * (cb - 128))
     return (w * h, int(r_.sum()), int(g_.sum()), int(b_.sum()))
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_fixed_frame_body(
+    body: "_BitWriterMSB",
+    samples: list,
+    order: int,
+    bps: int,
+    part_order: int = 1,
+) -> None:
+    """Encode ONE channel's samples as a FIXED-predictor subframe
+    into the SHARED frame bit writer (subframes are bit-contiguous
+    within a frame — per-channel byte padding would violate the spec
+    and desync any conforming decoder): ``order`` warmup samples
+    raw, then Rice-coded residuals in 2^part_order partitions
+    (4-bit Rice parameter per partition, chosen as the max
+    residual's bit length — simple, always escape-free)."""
+    body.write(0, 1)  # padding
+    body.write(0b001000 | order, 6)  # FIXED, given order
+    body.write(0, 1)  # no wasted bits
+    for i in range(order):
+        body.write(samples[i] & ((1 << bps) - 1), bps)
+    coefs = _FLAC_FIXED_COEFS[order]
+    resid = [
+        samples[i]
+        - sum(c * samples[i - j - 1] for j, c in enumerate(coefs))
+        for i in range(order, len(samples))
+    ]
+    body.write(0, 2)  # residual method: 4-bit Rice
+    body.write(part_order, 4)
+    n_parts = 1 << part_order
+    per = len(samples) >> part_order
+    idx = 0
+    for p in range(n_parts):
+        cnt = per - order if p == 0 else per
+        chunk = resid[idx : idx + cnt]
+        idx += cnt
+        zz = [(2 * r if r >= 0 else -2 * r - 1) for r in chunk]
+        k = max((z.bit_length() - 3 for z in zz), default=0)
+        k = min(max(k, 0), 14)
+        body.write(k, 4)
+        for z in zz:
+            q = z >> k
+            for _ in range(q):
+                body.write(0, 1)
+            body.write(1, 1)
+            if k:
+                body.write(z & ((1 << k) - 1), k)
+
+
+def _flac_bytes_fixed(
+    frame_specs: list,
+    block_size: int = 64,
+    channels: int = 1,
+    bps: int = 16,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Build a FLAC stream whose frames use FIXED-predictor subframes
+    with Rice-partitioned residuals — the compression core of the
+    codec. ``frame_specs`` entries are (order, a, b): channel c of
+    that frame carries the polynomial ``a+c + b·i`` (order ≤ 1) or
+    ``a+c + b·i + i²`` (order ≥ 2) over i = 0..block_size-1, so a
+    closed form recomputes every sample."""
+    import struct
+
+    total = block_size * len(frame_specs)
+    si = _BitWriterMSB()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(channels - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    streaminfo = si.bytes_aligned() + bytes(16)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
+    out += streaminfo
+    for f, (order, a, b) in enumerate(frame_specs):
+        hdr = _BitWriterMSB()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)
+        hdr.write(0, 1)
+        hdr.write(0b0110, 4)  # 8-bit block size - 1 at end
+        hdr.write(0b0000, 4)  # rate from STREAMINFO
+        hdr.write(channels - 1, 4)
+        hdr.write(0b100, 3)  # 16 bps
+        hdr.write(0, 1)
+        head = bytearray(hdr.bytes_aligned())
+        head += _flac_utf8_number(f)
+        head.append(block_size - 1)
+        head.append(_flac_crc8(bytes(head)))
+        body = _BitWriterMSB()
+        for c in range(channels):
+            samples = [
+                a + c + b * i + (i * i if order >= 2 else 0)
+                for i in range(block_size)
+            ]
+            _flac_fixed_frame_body(body, samples, order, bps)
+        frame = bytes(head) + body.bytes_aligned()
+        out += frame + struct.pack(">H", _flac_crc16(frame))
+    return bytes(out)

@@ -3867,3 +3867,30 @@ def test_jpeg_progressive_roundtrip_and_boundaries(spark):
     )
     with _pytest.raises(ValueError, match="successive"):
         M._jpeg_progressive_pixel_sums(bad)
+
+
+def test_flac_fixed_predictors_and_rice(spark):
+    """FIXED-predictor FLAC: orders 0-2 with Rice-partitioned
+    residuals round-trip exactly (bit-contiguous subframes across
+    stereo channels); a flipped residual bit fails the frame CRC;
+    a reconstructed sample escaping the bps range is poison."""
+    import pytest as _pytest
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    specs = [(2, 10, 5), (1, 0, 1), (0, -8, 0), (2, -50, 2)]
+    raw = M._flac_bytes_fixed(specs, block_size=64, channels=2)
+    n = s = s2 = peak = 0
+    for order, a, b in specs:
+        for c in range(2):
+            for i in range(64):
+                v = a + c + b * i + (i * i if order >= 2 else 0)
+                n += 1
+                s += v
+                s2 += v * v
+                peak = max(peak, abs(v))
+    assert M._flac_pcm_sums(raw) == (n, s, s2, peak)
+    bad = bytearray(raw)
+    bad[-4] ^= 0x08
+    with _pytest.raises(ValueError):
+        M._flac_pcm_sums(bytes(bad))
