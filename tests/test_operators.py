@@ -3777,7 +3777,9 @@ def test_flac_walker_fuzz():
     from geniepool_etl_spark.operators import multimodal as M
 
     rng = random.Random(17)
-    base = M._flac_bytes([100, -5, 7], channels=2, verbatim_frames={1})
+    base = M._flac_bytes(
+        [100, -5, 7], channels=2, verbatim_frames={1}
+    ) + M._flac_bytes_fixed([(1, 3, 2), (2, -10, 1)], channels=2)[4:]
     for _ in range(600):
         mode = rng.randrange(3)
         if mode == 0:
