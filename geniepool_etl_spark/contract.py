@@ -9538,37 +9538,67 @@ FROM g
 
 
 # Ordering note (driver harness): the driver records only the FIRST
-# ~50 entries of this dict per round (observed: exactly 50). Round-8
-# window, per VERDICT r7 ask #2: (a) all 35 never-driver-recorded
-# entries — the 22 past the r7 edge (tpch tail was recorded in r7;
-# these are the multimodal mp4/mp3/flac/ogg/pcm/pixel lanes, KS,
-# corpus card, sql variables, triangles/link-predict, perplexity,
-# expectations, semantic dedup, BPE encode, count-min/log-hist +
-# their streaming twins, url domains, file census) plus the 13
-# r8-new entries (the seven snap_* snapshot-table lanes, the
-# exactly-once streaming snap ingest, the Python streaming
-# DataSource lane, the JPEG/GIF/PNG/PPM pixel decodes, and the
-# decoded-signature image dedup, and the late-r8 batch: HTML clean,
-# NFC normalize, Gopher gates, hourly resample+ffill, RFM,
-# hive-partition pruning, CDC apply, MMR re-rank, TIFF pixels,
-# bitmap distinct, change-feed stream source, re-cluster compact,
-# metadata count, linear quality classifier, EWMA, hidden
-# partition transforms, web-curation funnel, color+420 JPEG,
-# FLAC PCM+FIXED, URL canonicalization, progressive JPEG) — then
-# (b) stalest
-# re-records: the 9 entries last recorded in r3 and the head of the
-# r4 group (each new lane prepended mid-round displaces one
-# previously-recorded re-record off the 50-entry window, never a
-# never-recorded one — until the late-r8 lanes overflowed it: 63
-# never-recorded > 50 slots, so 13 sit past the window edge and
-# stay unrecorded until r9 (the three stream-sketch twins, the
-# mp4/mp3/flac/ogg/pcm/pixel-stats decode lanes, corpus card, file
-# census, url domains, sql variables) — rotate THOSE to the front
-# next round, then the r4 tail, then r5/r6). All entries are
-# selfcheck-green at sf0.001+sf0.01 and ansi-swept regardless of
-# the window.
+# ~50 entries of this dict per round (observed: exactly 50). Round-9
+# window, per VERDICT r8 ask #1: (a) the 14 entries that have NEVER
+# appeared in a driver CORRECTNESS window (added late in r8, past its
+# 50-entry edge; all selfcheck-green + independently verified by the
+# r8 judge): a19_loghist_quantiles, the three streaming-sketch twins,
+# the mp4/mp3/flac/ogg/pcm/pixel-stats decode lanes, corpus card,
+# file census, url domains, sql variables. Then (b) r9-NEW lanes are
+# inserted directly after that block as they are built (each new lane
+# displaces one re-record off the window edge, never a never-recorded
+# entry). Then (c) stalest re-records: the r3 group, the r4 group,
+# and the head of the r4 tail, until the window is full. After r9
+# every registered entry will have at least one driver-recorded green
+# row. All entries are selfcheck-green at sf0.001+sf0.01 and
+# ansi-swept regardless of the window.
 SPARK_QUERIES = {
-    # --- never driver-recorded: record first (r8 window) ---
+    # --- never driver-recorded (r8 overflow): record first ---
+    "a19_loghist_quantiles": q_a19_loghist_quantiles,
+    "stream_countmin": q_stream_countmin,
+    "stream_loghist": q_stream_loghist,
+    "stream_sliding_hll": q_stream_sliding_hll,
+    "multimodal_pixel_stats": q_multimodal_pixel_stats,
+    "multimodal_audio_pcm": q_multimodal_audio_pcm,
+    "multimodal_decode_mp4": q_multimodal_decode_mp4,
+    "multimodal_decode_mp3": q_multimodal_decode_mp3,
+    "multimodal_decode_flac": q_multimodal_decode_flac,
+    "multimodal_decode_ogg": q_multimodal_decode_ogg,
+    "pipeline_corpus_card": q_pipeline_corpus_card,
+    "lake_file_census": q_lake_file_census,
+    "text_url_domains": q_text_url_domains,
+    "sql_variables_params": q_sql_variables_params,
+    # --- r9-new lanes (inserted here as built) ---
+    # --- stalest re-records: last green r3 ---
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "events_funnel": q_events_funnel,
+    "pack_windows": q_pack_windows,
+    "lake_zorder_key": q_lake_zorder_key,
+    "sample_mixture_plan": q_sample_mixture_plan,
+    "sql_tpch_q3": q_sql_tpch_q3,
+    "p8_keep_latest": q_p8_keep_latest,
+    # --- stalest re-records: last green r4 (first 18) ---
+    "dedup_contamination": q_dedup_contamination,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_near_keep": q_dedup_near_keep,
+    "multimodal_decode_wav": q_multimodal_decode_wav,
+    "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
+    "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
+    "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
+    "s6_parquet_explicit_schema": q_s6_parquet_explicit_schema,
+    "s7_parquet_inferred": q_s7_parquet_inferred,
+    "s8_input_file_name": q_s8_input_file_name,
+    "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
+    "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
+    "s11_lake_range_read": q_s11_lake_range_read,
+    "s12_orc_roundtrip": q_s12_orc_roundtrip,
+    "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
+    "p2_derive": q_p2_derive,
+    # --- recorded r8 (freshest records; past the r9 window edge) ---
     "s23_snap_change_stream": q_s23_snap_change_stream,
     "snap_compact_cluster": q_snap_compact_cluster,
     "snap_meta_count": q_snap_meta_count,
@@ -9619,49 +9649,6 @@ SPARK_QUERIES = {
     "graph_triangles": q_graph_triangles,
     "graph_link_predict": q_graph_link_predict,
     "a18_countmin_topk": q_a18_countmin_topk,
-    "a19_loghist_quantiles": q_a19_loghist_quantiles,
-    "stream_countmin": q_stream_countmin,
-    "stream_loghist": q_stream_loghist,
-    "stream_sliding_hll": q_stream_sliding_hll,
-    "multimodal_pixel_stats": q_multimodal_pixel_stats,
-    "multimodal_audio_pcm": q_multimodal_audio_pcm,
-    "multimodal_decode_mp4": q_multimodal_decode_mp4,
-    "multimodal_decode_mp3": q_multimodal_decode_mp3,
-    "multimodal_decode_flac": q_multimodal_decode_flac,
-    "multimodal_decode_ogg": q_multimodal_decode_ogg,
-    "pipeline_corpus_card": q_pipeline_corpus_card,
-    "lake_file_census": q_lake_file_census,
-    "text_url_domains": q_text_url_domains,
-    "sql_variables_params": q_sql_variables_params,
-    # --- stalest re-records: last green r3 ---
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_levenshtein": q_dedup_levenshtein,
-    "events_funnel": q_events_funnel,
-    "pack_windows": q_pack_windows,
-    "lake_zorder_key": q_lake_zorder_key,
-    "sample_mixture_plan": q_sample_mixture_plan,
-    "sql_tpch_q3": q_sql_tpch_q3,
-    "p8_keep_latest": q_p8_keep_latest,
-    # --- stalest re-records: last green r4 (first 18) ---
-    "dedup_contamination": q_dedup_contamination,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_near_keep": q_dedup_near_keep,
-    "multimodal_decode_wav": q_multimodal_decode_wav,
-    "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
-    "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
-    "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
-    "s6_parquet_explicit_schema": q_s6_parquet_explicit_schema,
-    "s7_parquet_inferred": q_s7_parquet_inferred,
-    "s8_input_file_name": q_s8_input_file_name,
-    "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
-    "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
-    "s11_lake_range_read": q_s11_lake_range_read,
-    "s12_orc_roundtrip": q_s12_orc_roundtrip,
-    "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
-    "p2_derive": q_p2_derive,
     # --- past the r8 recording edge (r4 tail, then r5-r7) ---
     "events_attribution": q_events_attribution,
     "profile_histogram": q_profile_histogram,
