@@ -950,6 +950,33 @@ def point_scan_stats(
     return len(m["files"]), len(after_stats), len(after_bloom)
 
 
+def _bloom_params(m: dict) -> tuple:
+    """Parent manifest's bloom contract as ``_stage_files`` kwargs.
+    Rewrite commits (delete/merge/CDC/compact) must CARRY this
+    forward: building the child manifest without ``bloom_cols`` would
+    silently disable point-lookup pruning for the whole table — the
+    manifest no longer declares the contract even though untouched
+    files still carry bitsets (advisor finding) — and staging without
+    the params would leave the rewritten files bitset-less."""
+    return (
+        tuple(m.get("bloom_cols", [])),
+        int(m.get("bloom_bits", 16384)),
+        int(m.get("bloom_hashes", 4)),
+    )
+
+
+def _carry_contracts(m: dict, manifest: dict) -> dict:
+    """Copy the parent's partition + bloom declarations onto a
+    rewrite commit's manifest (in place; returned for chaining)."""
+    if m.get("partition_by"):
+        manifest["partition_by"] = m["partition_by"]
+    if m.get("bloom_cols"):
+        manifest["bloom_cols"] = m["bloom_cols"]
+        manifest["bloom_bits"] = int(m.get("bloom_bits", 16384))
+        manifest["bloom_hashes"] = int(m.get("bloom_hashes", 4))
+    return manifest
+
+
 def delete_where(
     spark: SparkSession, table_path: str, predicate: str
 ) -> int:
@@ -981,24 +1008,26 @@ def delete_where(
         survivors = _read_files(spark, table_path, m, touched).where(
             f"NOT coalesce(({predicate}), false)"
         )
+        b_cols, b_bits, b_hashes = _bloom_params(m)
         new_files = _stage_files(
             spark,
             survivors,
             table_path,
             tuple(m.get("stats_cols", [])),
             target_files=max(1, len(touched)),
+            bloom_cols=b_cols,
+            bloom_bits=b_bits,
+            bloom_hashes=b_hashes,
             partition_by=tuple(m.get("partition_by", [])),
         )
     version = m["version"] + 1
-    manifest = {
+    manifest = _carry_contracts(m, {
         "version": version,
         "action": "delete",
         "schema": m["schema"],
         "stats_cols": m.get("stats_cols", []),
         "files": untouched + new_files,
-    }
-    if m.get("partition_by"):
-        manifest["partition_by"] = m["partition_by"]
+    })
     if not _try_commit(spark, table_path, version, manifest):
         raise RuntimeError(
             "delete_where: concurrent commit landed mid-delete; rerun "
@@ -1083,24 +1112,26 @@ def merge_table(
         .select(*cols)
     )
     staged = survivors.unionByName(m_updates.select(*cols))
+    b_cols, b_bits, b_hashes = _bloom_params(m)
     new_files = _stage_files(
         spark,
         staged,
         table_path,
         tuple(m.get("stats_cols", [])),
         target_files=max(1, len(touched)),
+        bloom_cols=b_cols,
+        bloom_bits=b_bits,
+        bloom_hashes=b_hashes,
         partition_by=tuple(m.get("partition_by", [])),
     )
     version = m["version"] + 1
-    manifest = {
+    manifest = _carry_contracts(m, {
         "version": version,
         "action": "merge",
         "schema": m["schema"],
         "stats_cols": m.get("stats_cols", []),
         "files": untouched + new_files,
-    }
-    if m.get("partition_by"):
-        manifest["partition_by"] = m["partition_by"]
+    })
     if not _try_commit(spark, table_path, version, manifest):
         raise RuntimeError(
             "merge_table: concurrent commit landed mid-merge; rerun "
@@ -1194,24 +1225,26 @@ def apply_cdc(
     )
     inserts = changes.where(F.col(op_col) == "upsert").select(*cols)
     staged = survivors.unionByName(inserts)
+    b_cols, b_bits, b_hashes = _bloom_params(m)
     new_files = _stage_files(
         spark,
         staged,
         table_path,
         tuple(m.get("stats_cols", [])),
         target_files=max(1, len(touched)),
+        bloom_cols=b_cols,
+        bloom_bits=b_bits,
+        bloom_hashes=b_hashes,
         partition_by=tuple(m.get("partition_by", [])),
     )
     version = m["version"] + 1
-    manifest = {
+    manifest = _carry_contracts(m, {
         "version": version,
         "action": "merge",
         "schema": m["schema"],
         "stats_cols": m.get("stats_cols", []),
         "files": untouched + new_files,
-    }
-    if m.get("partition_by"):
-        manifest["partition_by"] = m["partition_by"]
+    })
     if not _try_commit(spark, table_path, version, manifest):
         raise RuntimeError(
             "apply_cdc: concurrent commit landed mid-apply; rerun "
@@ -1246,12 +1279,16 @@ def compact(
         cur = cur.repartitionByRange(
             max(1, target_files), *sort_by
         ).sortWithinPartitions(*sort_by)
+    b_cols, b_bits, b_hashes = _bloom_params(m)
     new_files = _stage_files(
         spark,
         cur,
         table_path,
         tuple(m.get("stats_cols", [])),
         target_files=target_files,
+        bloom_cols=b_cols,
+        bloom_bits=b_bits,
+        bloom_hashes=b_hashes,
         partition_by=tuple(m.get("partition_by", [])),
     )
     n_old = sum(f["rows"] for f in m["files"])
@@ -1262,15 +1299,13 @@ def compact(
             "aborting without committing"
         )
     version = m["version"] + 1
-    manifest = {
+    manifest = _carry_contracts(m, {
         "version": version,
         "action": "compact",
         "schema": m["schema"],
         "stats_cols": m.get("stats_cols", []),
         "files": new_files,
-    }
-    if m.get("partition_by"):
-        manifest["partition_by"] = m["partition_by"]
+    })
     if not _try_commit(spark, table_path, version, manifest):
         raise RuntimeError("compact: lost the commit race; rerun")
     return version
@@ -1419,6 +1454,26 @@ def vacuum(
                 out.append((st, f"{rel}/{name}"))
         return out
 
+    def _max_mtime(dirpath) -> int:
+        """Newest modification stamp anywhere under ``dirpath`` (the
+        dir itself, every subdir, every file — parquet or not). The
+        in-flight-write guard must use THIS, not the top-level dir's
+        own mtime: under partitioned staging the leaves land in
+        col=value subdirectories, so a job still writing (or awaiting
+        its manifest rename) can have a top-level mtime older than
+        the retention age while its leaves are seconds old (advisor
+        finding — reclaiming on the top-level stamp alone deletes an
+        in-flight write's data)."""
+        newest = 0
+        stack = [dirpath]
+        while stack:
+            p = stack.pop()
+            for st in fs.listStatus(p):
+                newest = max(newest, st.getModificationTime())
+                if st.isDirectory():
+                    stack.append(st.getPath())
+        return newest
+
     if fs.exists(data_root):
         for d in fs.listStatus(data_root):
             token = d.getPath().getName()
@@ -1433,7 +1488,10 @@ def vacuum(
                 # write — or an IN-FLIGHT one: only reclaim past the
                 # retention age): drop the directory, _SUCCESS
                 # markers and all
-                if d.getModificationTime() > age_cutoff_ms:
+                newest = max(
+                    d.getModificationTime(), _max_mtime(d.getPath())
+                )
+                if newest > age_cutoff_ms:
                     continue
                 fs.delete(d.getPath(), True)
                 deleted += len(parquets)
@@ -1450,10 +1508,16 @@ def vacuum(
             name.startswith("_tmp-")
             and st.getModificationTime() <= age_cutoff_ms
         )
+        # Truncate history STRICTLY BELOW the kept window's floor.
+        # "not in kept_vs" would also match versions ABOVE the
+        # observed head — a commit that landed after this vacuum's
+        # version listing — and delete the just-committed manifest,
+        # destroying the newest version and orphaning its data
+        # (advisor finding; multi-writer safety).
         old_manifest = (
             name.endswith(".json")
             and name[:-5].isdigit()
-            and int(name[:-5]) not in kept_vs
+            and int(name[:-5]) < kept_vs[0]
         )
         if stale_tmp or old_manifest:
             fs.delete(st.getPath(), False)

@@ -838,3 +838,117 @@ def test_partition_values_with_spaces_and_escapes(spark, tdir):
     assert T.read_table(spark, tdir).count() == 3
     T.vacuum(spark, tdir, keep_versions=1, min_age_seconds=0)
     assert sorted(r.k for r in T.read_table(spark, tdir).collect()) == [2, 3, 4]
+
+
+def test_vacuum_never_deletes_manifests_above_observed_head(
+    spark, nums, tdir, monkeypatch
+):
+    """Regression (advisor finding): vacuum snapshotted the version
+    list at entry and deleted every numbered manifest 'not in
+    kept_vs' — a commit landing AFTER that listing has a version
+    above the observed head, so its just-committed manifest was
+    reclaimed regardless of age, destroying the newest version. The
+    log cleanup must only truncate history strictly BELOW the kept
+    window's floor."""
+    T.write_table(nums.where("k < 300"), tdir, "create")       # v0
+    T.write_table(nums.where("k BETWEEN 300 AND 599"), tdir, "append")  # v1
+    T.write_table(nums.where("k >= 600"), tdir, "append")      # v2
+    # Simulate the race: vacuum's listing ran before v2 landed.
+    real_versions = T._versions
+    monkeypatch.setattr(
+        T, "_versions", lambda fs, P, p: real_versions(fs, P, p)[:-1]
+    )
+    T.vacuum(spark, tdir, keep_versions=1)  # kept_vs == [1] in its view
+    monkeypatch.setattr(T, "_versions", real_versions)
+    # v2 (the concurrent commit) must survive: manifest intact, head
+    # readable with all 1000 rows; v0 was legitimately truncated.
+    assert T.current_version(spark, tdir) == 2
+    assert T.read_table(spark, tdir).count() == 1000
+    assert not os.path.exists(
+        os.path.join(tdir, "_snaplog", f"{0:08d}.json")
+    )
+
+
+def test_rewrites_carry_bloom_contract(spark, tdir):
+    """Regression (advisor finding): delete/merge/CDC/compact built
+    their manifests without bloom_cols — one rewrite silently and
+    permanently disabled point-lookup pruning for the table (appends
+    inherit the head's contract, so the loss propagated). Rewrites
+    must carry the declaration AND stage fresh bitsets for the
+    rewritten files."""
+    evens = spark.range(0, 1000).select(
+        (F.col("id") * 2).alias("k"), (F.col("id") % 13).alias("v")
+    )
+    T.write_table(
+        evens.repartition(8, "k"), tdir, "create",
+        stats_cols=("k",), bloom_cols=("k",),
+        bloom_bits=4096, bloom_hashes=3,
+    )
+    T.delete_where(spark, tdir, "k = 0")                        # v1
+    # built from range exprs so nullability matches the table schema
+    # (modulo makes v nullable, same as the table's `id % 13`)
+    upd = spark.range(1).select(
+        (F.col("id") * 2 + 2).alias("k"),
+        (F.col("id") % 13 + 99).alias("v"),
+    )
+    T.merge_table(spark, tdir, upd, ["k"])                      # v2
+    cdc = spark.range(2, 4).select(
+        (F.col("id") * 2).alias("k"),
+        (F.col("id") * 22).alias("v"),
+        F.when(F.col("id") == 2, "upsert").otherwise("delete").alias("_op"),
+    )
+    T.apply_cdc(spark, tdir, cdc, ["k"])                        # v3
+    T.compact(spark, tdir, target_files=4, sort_by=("k",))      # v4
+    for v in (1, 2, 3, 4):
+        m = _manifest(tdir, v)
+        assert m["bloom_cols"] == ["k"], f"v{v} lost bloom_cols"
+        assert m["bloom_bits"] == 4096 and m["bloom_hashes"] == 3
+        assert all("bloom" in f and "k" in f["bloom"] for f in m["files"])
+    # pruning still discriminates and lookups stay exact at head
+    total, _s, nb = T.point_scan_stats(spark, tdir, "k", 500)
+    assert nb < total
+    got = T.read_point(spark, tdir, "k", 500).collect()
+    assert [(r.k, r.v) for r in got] == [(500, 250 % 13)]
+    assert T.read_point(spark, tdir, "k", 6).count() == 0  # CDC delete
+    assert [r.v for r in T.read_point(spark, tdir, "k", 2).collect()] == [99]
+    # an append AFTER the rewrites still inherits the live contract
+    T.write_table(
+        spark.range(0, 5).select(
+            (F.col("id") * 2 + 2000).alias("k"),
+            (F.col("id") % 13 * 0).alias("v"),
+        ).repartition(1),
+        tdir,
+        "append",
+    )
+    m5 = _manifest(tdir, 5)
+    assert m5["bloom_cols"] == ["k"]
+    assert all("bloom" in f for f in m5["files"])
+
+
+def test_vacuum_inflight_partitioned_staging_protected(spark, nums, tdir):
+    """Regression (advisor finding): the in-flight-write guard for
+    wholly-unreferenced token dirs checked only the TOP-LEVEL dir's
+    mtime; partitioned staging lands leaves in col=value subdirs, so
+    a still-writing job whose top-level stamp aged out could have its
+    data reclaimed mid-flight. The guard must use the newest mtime
+    across the dir's recursive contents."""
+    import time
+
+    T.write_table(nums, tdir, "create")
+    staging = os.path.join(tdir, "data", "token-inflight", "p=1")
+    os.makedirs(staging)
+    leaf = os.path.join(staging, "part-000.parquet")
+    with open(leaf, "wb") as fh:
+        fh.write(b"x")  # placeholder leaf; content never read
+    # age the top-level token dir and the subdir, keep the LEAF fresh
+    old = time.time() - 7200
+    os.utime(os.path.join(tdir, "data", "token-inflight"), (old, old))
+    os.utime(staging, (old, old))
+    T.vacuum(spark, tdir, keep_versions=1, min_age_seconds=3600)
+    assert os.path.exists(leaf), "in-flight staged leaf was reclaimed"
+    # once EVERYTHING is past retention it is crash debris: reclaim
+    os.utime(leaf, (old, old))
+    os.utime(staging, (old, old))
+    os.utime(os.path.join(tdir, "data", "token-inflight"), (old, old))
+    T.vacuum(spark, tdir, keep_versions=1, min_age_seconds=3600)
+    assert not os.path.exists(os.path.join(tdir, "data", "token-inflight"))
