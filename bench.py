@@ -150,6 +150,110 @@ def _stage_sf1(spark, base_dir: str) -> None:
         fh.write(_SF1_STAGE_VERSION + "\n")
 
 
+# --- sf10 lane ------------------------------------------------------
+# A second staged decade (100x sf0.1) for the three heaviest queries
+# only. One decade proves auto-sizing works once; two decades verify
+# the GROWTH CURVE: candidate volume must grow ~linearly with the
+# corpus (the O(N^2) trap shows up as a superlinear step between the
+# decades, invisible within one). Staged as 10 copies of the sf1
+# tables (lineitem/orders/embeddings — all three queries' inputs).
+# Key offsets keep ids disjoint; embeddings additionally get a
+# norm-preserving PLANE ROTATION (coords 0,1; angle 0.35*j) per
+# decade copy — circular shifts alone can't distinguish 100 copies of
+# a 64-dim vector (the shift group has order 64), and exact-duplicate
+# blocks would degenerate the semantic-dedup workload into systematic
+# dup-pair inflation.
+SF10_COPIES = 10  # x SF1 = 100x sf0.1
+SF10_DIR = os.environ.get(
+    "SPARK_GRAFT_SF10_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".benchdata", "sf10"),
+)
+SF10_ENABLED = os.environ.get("SPARK_GRAFT_SF10", "1") != "0"
+
+_SF10_STAGE_VERSION = "v1"
+
+
+def _stage_sf10(spark) -> None:
+    """Stage the sf10 tables from the (already staged) sf1 ones."""
+    marker = os.path.join(SF10_DIR, "_STAGED")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == _SF10_STAGE_VERSION:
+                return
+    import shutil
+
+    shutil.rmtree(SF10_DIR, ignore_errors=True)
+    os.makedirs(SF10_DIR, exist_ok=True)
+
+    def rep(df, offsets: dict, transform=None):
+        parts = []
+        for j in range(SF10_COPIES):
+            d = df
+            for col, step in offsets.items():
+                d = d.withColumn(col, F.col(col) + F.lit(j * step))
+            if transform is not None:
+                d = transform(d, j)
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def plane_rot(d, j):
+        if j == 0:
+            return d
+        t = 0.35 * j
+        # rotate in the (0,1) coordinate plane: norm-preserving, and
+        # a distinct transform per decade copy that is NOT a
+        # coordinate permutation — composed with the sf1 copies'
+        # circular shifts, no two of the 100 blocks are exact
+        # duplicates of each other
+        return d.withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, c) -> cast(case"
+                f" when c = 0 then cos({t}D) * embedding[0]"
+                f"   - sin({t}D) * embedding[1]"
+                f" when c = 1 then sin({t}D) * embedding[0]"
+                f"   + cos({t}D) * embedding[1]"
+                " else x end as float))"
+            ),
+        )
+
+    li = C._t(spark, SF1_DIR, "lineitem")
+    od = C._t(spark, SF1_DIR, "orders")
+    okey_step = int(od.agg(F.max("o_orderkey")).first()[0]) + 1
+    emb = C._t(spark, SF1_DIR, "embeddings")
+    vec_step = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    for name, df in (
+        ("lineitem", rep(li, {"l_orderkey": okey_step})),
+        ("orders", rep(od, {"o_orderkey": okey_step})),
+        ("embeddings", rep(emb, {"vec_id": vec_step}, plane_rot)),
+    ):
+        df.write.mode("overwrite").parquet(
+            os.path.join(SF10_DIR, f"{name}.parquet")
+        )
+    with open(marker, "w") as fh:
+        fh.write(_SF10_STAGE_VERSION + "\n")
+
+
+def sf10_queries(spark) -> dict:
+    emb10 = C._t(spark, SF10_DIR, "embeddings")
+    n_emb10 = emb10.count()
+    return {
+        "flagship_lake_nest": lambda: C.q_flagship_lake_nest(
+            spark, SF10_DIR
+        ),
+        "dedup_semantic": lambda: S.semantic_dedup_keep(
+            emb10, threshold=0.3, n_centroids=None, n_rows=n_emb10
+        ),
+        "sim_lsh_topk": lambda: S.lsh_bucket_topk(
+            emb10, k=5, n_planes=None, n_rows=n_emb10
+        ),
+    }
+
+
 def sf1_queries(spark) -> dict:
     emb1 = C._t(spark, SF1_DIR, "embeddings")
     n_emb1 = emb1.count()
@@ -419,6 +523,31 @@ def main() -> None:
             first = str(exc).strip().splitlines()[0] if str(exc) else ""
             errors["sf1_staging"] = f"{type(exc).__name__}: {first[:200]}"
 
+    # sf10 lane: the three heaviest queries at a second staged decade
+    # (100x sf0.1) — single runs (tens of seconds; noise is
+    # proportionally negligible and a second run would double the
+    # block for no signal)
+    sf10_timings: dict[str, float] = {}
+    if SF1_ENABLED and SF10_ENABLED:
+        try:
+            _stage_sf10(spark)
+            for name, build in sf10_queries(spark).items():
+                try:
+                    df = build()
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    sf10_timings[name] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    first = str(exc).strip().splitlines()[0] if str(exc) else ""
+                    errors[f"sf10_{name}"] = (
+                        f"{type(exc).__name__}: {first[:200]}"
+                    )
+        except Exception as exc:  # noqa: BLE001 — staging failure
+            first = str(exc).strip().splitlines()[0] if str(exc) else ""
+            errors["sf10_staging"] = f"{type(exc).__name__}: {first[:200]}"
+
     # Regression gate: ratio vs the best time ever recorded per query;
     # the baseline file only ever improves, so a ratio > 1 is real
     # history, not this run grading its own homework.
@@ -448,6 +577,19 @@ def main() -> None:
     sf1_regressions = {
         k: r for k, r in sf1_ratios.items() if r > REGRESSION_RATIO
     }
+    sf10_baseline = (
+        dict(bl_file.get("sf10_best_sec") or {})
+        if bl_file.get("sf") == sf
+        else {}
+    )
+    sf10_ratios = {
+        k: round(v / sf10_baseline[k], 2)
+        for k, v in sf10_timings.items()
+        if sf10_baseline.get(k)
+    }
+    sf10_regressions = {
+        k: r for k, r in sf10_ratios.items() if r > REGRESSION_RATIO
+    }
     improved = False
     for k, v in timings.items():
         if v < baseline.get(k, float("inf")):
@@ -457,9 +599,18 @@ def main() -> None:
         if v < sf1_baseline.get(k, float("inf")):
             sf1_baseline[k] = v
             improved = True
+    for k, v in sf10_timings.items():
+        if v < sf10_baseline.get(k, float("inf")):
+            sf10_baseline[k] = v
+            improved = True
     if improved:
         _save_baseline_file(
-            {"sf": sf, "best_sec": baseline, "sf1_best_sec": sf1_baseline}
+            {
+                "sf": sf,
+                "best_sec": baseline,
+                "sf1_best_sec": sf1_baseline,
+                "sf10_best_sec": sf10_baseline,
+            }
         )
 
     total = round(sum(headline.values()), 3)
@@ -472,6 +623,9 @@ def main() -> None:
         "sf1": sf1_timings,
         "sf1_ratio_vs_best": sf1_ratios,
         "sf1_regressions": sf1_regressions,
+        "sf10": sf10_timings,
+        "sf10_ratio_vs_best": sf10_ratios,
+        "sf10_regressions": sf10_regressions,
         "errors": errors,
     }
     detail_path = os.path.join(
@@ -502,6 +656,10 @@ def main() -> None:
         # BENCH_DETAIL.json
         "sf1": sf1_timings,
         "n_sf1_regressions": len(sf1_regressions),
+        # second staged decade (100x sf0.1): growth-curve check for
+        # the three heaviest queries; ratios in BENCH_DETAIL.json
+        "sf10": sf10_timings,
+        "n_sf10_regressions": len(sf10_regressions),
     }
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1500:  # belt-and-braces: never overflow the tail
