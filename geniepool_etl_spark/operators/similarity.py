@@ -609,6 +609,64 @@ def ivf_topk(
     )
 
 
+def _fold_dots(A, B):
+    """Pairwise dot products of the rows of ``A`` (a×d) against the
+    rows of ``B`` (b×d), accumulated SEQUENTIALLY over the dimension
+    axis — ``((0 + p₀) + p₁) + …`` — so every result is BITWISE
+    identical to the JVM/oracle left-to-right fold
+    (``aggregate(zip_with(...))`` / DuckDB ``list_reduce``). A BLAS
+    ``A @ B.T`` would be ~the same speed here but sums in SIMD order,
+    and a 1-ulp summation difference at a rounding boundary is exactly
+    the cross-engine flake SCALE.md bans. 64 vectorized passes over an
+    (a×b) accumulator: memory O(a·b), flops identical to matmul."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for d in range(A.shape[1]):
+        acc += A[:, d, None] * B[None, :, d]
+    return acc
+
+
+def _fold_sq_norms(V):
+    """sqrt of the sequential self-dot per row — bitwise identical to
+    ``l2_norm``'s fold (same products, same add order, IEEE sqrt)."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0])
+    for d in range(V.shape[1]):
+        acc += V[:, d] * V[:, d]
+    return np.sqrt(acc)
+
+
+def _ge_round4_boundary(threshold: float) -> float:
+    """Smallest double ``B`` such that ``x >= B`` is EXACTLY the
+    predicate ``round(x, 4) >= threshold`` as the JVM evaluates it
+    (BigDecimal HALF_UP on the exact binary value of x, result cast
+    back to double, compared to the double ``threshold``). Lets the
+    Arrow path test a vectorized float compare instead of rounding
+    45M cosines through Decimal.
+
+    Derivation: the JVM predicate holds iff round4(x) lands on the
+    smallest 4-decimal grid point g whose double value is >=
+    threshold, i.e. iff the exact value of x >= g - 0.00005 (the
+    HALF_UP half-boundary, an exact decimal). B is the smallest
+    double whose exact binary expansion reaches that boundary."""
+    import math
+    from decimal import ROUND_CEILING, Decimal
+
+    q = Decimal("0.0001")
+    g = (Decimal(threshold) / q).to_integral_value(ROUND_CEILING) * q
+    while float(g) < threshold:
+        g += q
+    while float(g - q) >= threshold:
+        g -= q
+    half = g - Decimal("0.00005")
+    b = float(half)
+    if Decimal(b) < half:
+        b = math.nextafter(b, math.inf)
+    return b
+
+
 def semantic_dedup_keep(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -624,79 +682,111 @@ def semantic_dedup_keep(
     keep-lowest-id rule — no RNG, auditable across reruns). Returns
     ``(vec_id, cid, keep)`` with keep ∈ {0, 1}.
 
-    Scale shape: the pair join is keyed on the CLUSTER, never
-    all-pairs — candidate volume is Σ |cluster|²/2, controlled by
-    ``n_centroids`` (size clusters ~√N for balanced work; subdivide
-    oversized clusters with more centroids rather than capping, since
-    a cap would silently keep duplicates). Centroids are the
-    deterministic lowest-id seeds (oracle-reproducible);
-    production swaps in :func:`ivf_kmeans_centroids` — a quality
-    change, not a plan change. Cosine compares on the 4-decimal
-    rounding (the cross-engine boundary rule).
+    Scale shape: candidate volume is Σ |cluster|²/2, never all-pairs,
+    controlled by ``n_centroids`` (~√N via ``n_centroids=None`` →
+    :func:`auto_n_centroids`; a FIXED count is the scale trap — the
+    quadratic stage grows as N²/k). ``n_rows`` is the auto-sizing
+    hint; without it sizing runs a loudly-warned eager ``count()``.
 
-    ``n_centroids=None`` engages :func:`auto_n_centroids` (~sqrt(N),
-    the production scale path): a FIXED centroid count is the scale
-    trap — cluster width grows linearly with the corpus and the
-    within-cluster pair stage is quadratic in width, so the quadratic
-    work grows as N²/k; sqrt-sizing keeps it at N·sqrt(N). ``n_rows``
-    is the auto-sizing hint (catalog rowcount); without it sizing runs
-    a loudly-warned eager ``count()`` at plan-construction time.
+    Execution is the Arrow fast path (r9, measured): assignment is a
+    narrow ``mapInPandas`` scoring each batch against the collected
+    centroid matrix (metadata-sized: ≤65536 × dim doubles, the same
+    bound the previous 1-row-fold broadcast implied), and the
+    within-cluster pair stage is ONE ``applyInPandas`` keyed on the
+    cluster id — the plan is scan → narrow assign → one hash
+    exchange on cid, strictly fewer shuffles than the previous
+    JVM pair-join shape. The interpreted ``aggregate(zip_with(...))``
+    fold this replaces cost ~16 µs per 64-dim dot (higher-order
+    functions are CodegenFallback); at the sf10 decade that was 122 s
+    vs ~8 s for this path. (Unrolling the fold into flat arithmetic
+    was tried first and is 2× SLOWER — see the module header.)
+    Cross-engine exactness is preserved by construction, not luck:
+    dots/norms accumulate in fold order (:func:`_fold_dots` —
+    bitwise identical to the oracle's ``list_reduce``), the
+    assignment ranks on the same half-up 9-decimal key, and the
+    threshold test compares against the exact decimal half-boundary
+    (:func:`_ge_round4_boundary`) instead of re-rounding.
     """
+    import numpy as np
+
     if n_centroids is None:
         n_centroids = auto_n_centroids(
             _sizing_rows(corpus, n_rows, "semantic_dedup_keep")
         )
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    # The assignment feeds three plan sites (both pair-join sides and
-    # the final keep join) and is deliberately NOT checkpointed:
-    # measured at sf0.1, an eager localCheckpoint was ~20% SLOWER
-    # end-to-end (1.59 s vs 1.30 s) — the assignment is LINEAR work
-    # (16-way broadcast argmax) while the within-cluster pair join is
-    # the quadratic stage that dominates, so materializing N
-    # 64-float vectors costs more than the replay saves. The
-    # checkpoint rule (SCALE.md) applies when the replayed stage is
-    # the expensive one — here it is not.
-    asg = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
-        "id", "vec", "norm", "cid"
+    spark = corpus.sparkSession
+    id_dt = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_dt}, cid {id_dt}, keep bigint"
+    # centroid seeds: deterministic lowest-id vectors, collected
+    # eagerly (metadata-sized, like a table-format manifest read) and
+    # closed over by the executors' scoring batches
+    crows = sorted(
+        ivf_centroids(corpus, n_centroids, id_col, vec_col).collect(),
+        key=lambda r: r["cid"],
     )
-    a = asg.select(
-        "cid",
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("va"),
-        F.col("norm").alias("na"),
-    )
-    b = asg.select(
-        "cid",
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    dropped = (
-        a.join(b, "cid")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.round(
-                dot(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
-                4,
+    if not crows:
+        return spark.createDataFrame([], out_schema)
+    cmat = np.array([list(r["cvec"]) for r in crows], dtype=np.float64)
+    cnorm = np.array([r["cnorm"] for r in crows], dtype=np.float64)
+    cid_arr = np.array([r["cid"] for r in crows])
+    dim = cmat.shape[1]
+    asg_schema = f"id {id_dt}, cid {id_dt}, nrm double, vec array<double>"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            nrm = _fold_sq_norms(V)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _fold_dots(V, cmat) / (nrm[:, None] * cnorm[None, :])
+                # the JVM path ranks on round(cos, 9) desc with cid
+                # tiebreak; the integer half-up key reproduces that
+                # bucketing, and argmax's first-max rule IS the
+                # ascending-cid tiebreak (cmat is cid-sorted)
+                key = np.floor(cos * 1e9 + 0.5)
+            key[~np.isfinite(key)] = -np.inf  # zero-norm → sorts last
+            best = np.argmax(key, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cid": cid_arr[best],
+                    "nrm": nrm,
+                    "vec": list(V),
+                }
             )
-            >= threshold
+
+    thr = _ge_round4_boundary(threshold)
+
+    def keep_group(pdf):
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["vec"].to_numpy())
+        nrm = pdf["nrm"].to_numpy()
+        w = len(ids)
+        dropped = np.zeros(w, dtype=bool)
+        # row-chunked so a skewed hot cluster bounds the (chunk × w)
+        # accumulator instead of materializing w² at once
+        chunk = max(1, 2_000_000 // max(w, 1))
+        for s in range(0, w, chunk):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _fold_dots(V[s : s + chunk], V) / (
+                    nrm[s : s + chunk, None] * nrm[None, :]
+                )
+            hit = cos >= thr  # NaN (zero-norm) compares False
+            dropped |= (hit & (ids[s : s + chunk, None] < ids[None, :])).any(
+                axis=0
+            )
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cid": pdf["cid"].to_numpy(),
+                "keep": (~dropped).astype(np.int64),
+            }
         )
-        .select(F.col("id_b").alias("id"))
-        .distinct()
-        .withColumn("_drop", F.lit(1))
-    )
-    return (
-        asg.join(dropped, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "cid",
-            F.when(F.col("_drop").isNull(), 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("keep"),
-        )
-    )
+
+    asg = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(assign, asg_schema)
+    return asg.groupBy("cid").applyInPandas(keep_group, out_schema)
 
 
 def cosine_topk_pandas(

@@ -908,3 +908,39 @@ def test_gif_lzw_roundtrip_property(data):
         assert _gif_lzw_decode(_gif_lzw_encode(probe)) == probe
 
     assert _gif_lzw_decode(_gif_lzw_encode(data)) == data
+
+
+@given(
+    x=st.floats(min_value=-1.2, max_value=1.2, allow_nan=False),
+    thr_milli=st.integers(min_value=-1000, max_value=1000),
+)
+@settings(max_examples=500, deadline=None)
+def test_round4_boundary_predicate_matches_bigdecimal(x, thr_milli):
+    """_ge_round4_boundary's vectorized `x >= B` must equal the JVM's
+    `round(x, 4) >= threshold` for every double — including grid
+    values, half-boundaries and their float neighbors. The mirror of
+    Spark's round is Decimal HALF_UP on the exact binary value of x
+    (java.math.BigDecimal(double) semantics), cast back to double."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from geniepool_etl_spark.operators.similarity import (
+        _ge_round4_boundary,
+    )
+
+    threshold = thr_milli / 1000.0
+    b = _ge_round4_boundary(threshold)
+    probes = {x, math.nextafter(x, math.inf), math.nextafter(x, -math.inf)}
+    # adversarial probes: exact grid points and half-boundaries near x
+    g = round(x, 4)
+    for dg in (-0.0001, 0.0, 0.0001):
+        probes.add(g + dg)
+        probes.add(g + dg + 0.00005)
+        probes.add(math.nextafter(g + dg + 0.00005, -math.inf))
+    for p in probes:
+        jvm_round4 = float(
+            Decimal(p).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+        assert (p >= b) == (jvm_round4 >= threshold), (
+            f"x={p!r} thr={threshold!r} B={b!r} round4={jvm_round4!r}"
+        )
