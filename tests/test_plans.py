@@ -128,8 +128,12 @@ def test_lsh_similarity_join_is_keyed(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
     plan = _plan(S.lsh_bucket_topk(emb, k=3))
     assert "CartesianProduct" not in plan
-    # bucket equi-join: hash-partitioned or broadcast-hash, either way keyed
-    assert "Join" in plan and "bucket" in plan
+    # candidate generation is keyed on the bucket: the cogrouped
+    # Arrow scorer sits on bucket-hash exchanges (the r9 shape; the
+    # previous JVM form was a bucket equi-JOIN — same key, same
+    # never-all-pairs property)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "hashpartitioning(bucket" in plan
 
 
 def test_lsh_hot_buckets_are_capped(spark):
