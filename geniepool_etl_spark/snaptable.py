@@ -637,7 +637,7 @@ def read_table(
     return _read_files(spark, table_path, m, m["files"])
 
 
-def _resolve(spark, fs, P, table_path: str, version: int | None) -> dict:
+def _resolve_version(fs, P, table_path: str, version: int | None) -> int:
     vs = _versions(fs, P, table_path)
     if not vs:
         raise ValueError(f"read_table: no snapshots at {table_path}")
@@ -648,7 +648,129 @@ def _resolve(spark, fs, P, table_path: str, version: int | None) -> dict:
             f"read_table: version {version} not in {vs} (vacuumed or "
             f"never committed)"
         )
-    return _manifest(spark, fs, P, table_path, version)
+    return version
+
+
+def _resolve(spark, fs, P, table_path: str, version: int | None) -> dict:
+    return _manifest(
+        spark, fs, P, table_path,
+        _resolve_version(fs, P, table_path, version),
+    )
+
+
+# Manifests up to this size are json.loads'ed on the driver (cheap,
+# zero extra jobs). Above it — O(10⁵)+ file entries — the PRUNED read
+# paths switch to the distributed planner below: the file list is
+# read as a DataFrame, pruning predicates run executor-side, and the
+# driver collects only the post-pruning survivors (the Delta/Iceberg
+# shape; an inline parse of a 10⁶-file manifest is a driver-memory
+# cliff). Maintenance paths (merge/delete/compact/vacuum/changes)
+# still materialize the full list — they rewrite it by definition.
+_MANIFEST_INLINE_MAX = 4 << 20
+
+
+def _manifest_len(fs, P, table_path: str, version: int) -> int:
+    return fs.getFileStatus(
+        P(os.path.join(table_path, _LOG_DIR, f"{version:08d}.json"))
+    ).getLen()
+
+
+def _manifest_meta(spark: SparkSession, table_path: str, version: int) -> dict:
+    """Commit metadata of a LARGE manifest without driver-parsing its
+    file list: the JSON is parsed executor-side and only the small
+    fields come back. The returned dict is _read_files-compatible
+    (``files`` deliberately absent — callers hold survivors)."""
+    raw = spark.read.option("multiLine", "true").json(
+        os.path.join(table_path, _LOG_DIR, f"{version:08d}.json")
+    )
+    meta = raw.drop("files").first().asDict(recursive=True)
+    return {k: v for k, v in meta.items() if v is not None}
+
+
+def _manifest_files_df(
+    spark: SparkSession, table_path: str, version: int
+) -> DataFrame:
+    """The manifest's file entries as one row per file (executor-side
+    JSON parse; the driver never holds the full list)."""
+    raw = spark.read.option("multiLine", "true").json(
+        os.path.join(table_path, _LOG_DIR, f"{version:08d}.json")
+    )
+    return raw.select(F.explode("files").alias("f")).select("f.*")
+
+
+def _stats_keep_expr(fdf: DataFrame, col: str, lo, hi):
+    """Column predicate mirroring :func:`_prune_by_stats` (files
+    without usable stats are kept; ``lo=None`` → empty probe set).
+    Falls back to keep-all if the inferred stats type can't compare
+    against the probe literals (pruning is an optimization, never a
+    filter)."""
+    if lo is None:
+        return F.lit(False)
+    if "stats" not in fdf.columns:
+        return F.lit(True)
+    try:
+        s = F.col("stats").getField(col)
+        mn, mx = s.getItem(0), s.getItem(1)
+        skip = (
+            mn.isNotNull()
+            & mx.isNotNull()
+            & ((mx < F.lit(lo)) | (mn > F.lit(hi)))
+        )
+        expr = ~F.coalesce(skip, F.lit(False))
+        fdf.where(expr)  # eager analysis: type-check the comparison
+        return expr
+    except Exception:  # noqa: BLE001 — unknown stats shape: keep all
+        return F.lit(True)
+
+
+def _partition_keep_expr(fdf: DataFrame, eq: dict):
+    """Column predicate mirroring :func:`_prune_by_partition`."""
+    if "partition" not in fdf.columns:
+        return F.lit(True)
+    keep = F.lit(True)
+    for c, v in eq.items():
+        try:
+            pv = F.col("partition").getField(c)
+            mismatch = (
+                pv.isNotNull()
+                & (pv != F.lit(v))
+                & (pv.cast("string") != F.lit(str(v)))
+            )
+            clause = ~F.coalesce(mismatch, F.lit(False))
+            fdf.where(clause)
+        except Exception:  # noqa: BLE001 — spec not recorded: keep
+            clause = F.lit(True)
+        keep = keep & clause
+    return keep
+
+
+def _bloom_keep_expr(fdf: DataFrame, col: str, positions: list[int] | None):
+    """Column predicate mirroring :func:`_prune_by_bloom`: every probe
+    bit must be set in the hex bitset (files without a bloom kept).
+    Bit p lives in hex char ``len-1-p//4`` (the string is big-endian),
+    nibble bit ``p%4``."""
+    if positions is None:
+        return F.lit(True)
+    if "bloom" not in fdf.columns:
+        return F.lit(True)
+    try:
+        hexbits = F.col("bloom").getField(col)
+        fdf.where(hexbits.isNotNull())
+        allset = F.lit(True)
+        for p in positions:
+            nib = F.conv(
+                F.substring(
+                    hexbits, F.length(hexbits) - F.lit(p // 4), 1
+                ),
+                16,
+                10,
+            ).cast("int")
+            allset = allset & (
+                F.shiftright(nib, p % 4).bitwiseAND(F.lit(1)) == 1
+            )
+        return hexbits.isNull() | F.coalesce(allset, F.lit(True))
+    except Exception:  # noqa: BLE001 — no bloom field recorded: keep
+        return F.lit(True)
 
 
 def _read_files(spark, table_path: str, manifest: dict, files: list) -> DataFrame:
@@ -756,10 +878,18 @@ def read_range(
     metadata, not the filesystem listing, and the surviving files
     still carry the pushed-down row filter for parquet row-group
     pruning. Files without stats for ``col`` are conservatively
-    kept."""
+    kept. Manifests past ``_MANIFEST_INLINE_MAX`` plan DISTRIBUTED:
+    the file list is pruned executor-side and the driver collects
+    only the surviving entries (O(pruned), not O(files))."""
     fs, P = _hadoop_fs(spark, table_path)
-    m = _resolve(spark, fs, P, table_path, version)
-    pruned = _prune_by_stats(m["files"], col, lo, hi)
+    v = _resolve_version(fs, P, table_path, version)
+    if _manifest_len(fs, P, table_path, v) <= _MANIFEST_INLINE_MAX:
+        m = _manifest(spark, fs, P, table_path, v)
+        pruned = _prune_by_stats(m["files"], col, lo, hi)
+    else:
+        m = _manifest_meta(spark, table_path, v)
+        fdf = _manifest_files_df(spark, table_path, v)
+        pruned = fdf.where(_stats_keep_expr(fdf, col, lo, hi)).collect()
     df = _read_files(spark, table_path, m, pruned)
     return df.where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
@@ -770,8 +900,16 @@ def scan_stats(
     """(files_total, files_scanned) the pruned read above would touch
     — the observability hook the file-skipping tests assert on."""
     fs, P = _hadoop_fs(spark, table_path)
-    m = _resolve(spark, fs, P, table_path, None)
-    return len(m["files"]), len(_prune_by_stats(m["files"], col, lo, hi))
+    v = _resolve_version(fs, P, table_path, None)
+    if _manifest_len(fs, P, table_path, v) <= _MANIFEST_INLINE_MAX:
+        m = _manifest(spark, fs, P, table_path, v)
+        return len(m["files"]), len(
+            _prune_by_stats(m["files"], col, lo, hi)
+        )
+    fdf = _manifest_files_df(spark, table_path, v)
+    return fdf.count(), fdf.where(
+        _stats_keep_expr(fdf, col, lo, hi)
+    ).count()
 
 
 def _prune_by_partition(files: list, eq: dict) -> list:
@@ -809,12 +947,21 @@ def read_partition(
     on a 100 TB table lists kilobytes of manifest, not the
     filesystem. The surviving scan still carries the pushed-down row
     filter (safe under pre-partitioning manifests, where entries
-    have no partition metadata and are conservatively kept)."""
+    have no partition metadata and are conservatively kept). Large
+    manifests prune executor-side (see :func:`read_range`)."""
     fs, P = _hadoop_fs(spark, table_path)
-    m = _resolve(spark, fs, P, table_path, version)
-    pruned = _prune_by_partition(
-        m["files"], _map_partition_probe(spark, m, eq)
-    )
+    ver = _resolve_version(fs, P, table_path, version)
+    if _manifest_len(fs, P, table_path, ver) <= _MANIFEST_INLINE_MAX:
+        m = _manifest(spark, fs, P, table_path, ver)
+        pruned = _prune_by_partition(
+            m["files"], _map_partition_probe(spark, m, eq)
+        )
+    else:
+        m = _manifest_meta(spark, table_path, ver)
+        fdf = _manifest_files_df(spark, table_path, ver)
+        pruned = fdf.where(
+            _partition_keep_expr(fdf, _map_partition_probe(spark, m, eq))
+        ).collect()
     df = _read_files(spark, table_path, m, pruned)
     for c, v in eq.items():
         df = df.where(F.col(c) == F.lit(v))
@@ -854,10 +1001,19 @@ def partition_scan_stats(
     assert on (same version default as the read, so the two always
     describe the same snapshot)."""
     fs, P = _hadoop_fs(spark, table_path)
-    m = _resolve(spark, fs, P, table_path, version)
-    return len(m["files"]), len(
-        _prune_by_partition(m["files"], _map_partition_probe(spark, m, eq))
-    )
+    ver = _resolve_version(fs, P, table_path, version)
+    if _manifest_len(fs, P, table_path, ver) <= _MANIFEST_INLINE_MAX:
+        m = _manifest(spark, fs, P, table_path, ver)
+        return len(m["files"]), len(
+            _prune_by_partition(
+                m["files"], _map_partition_probe(spark, m, eq)
+            )
+        )
+    m = _manifest_meta(spark, table_path, ver)
+    fdf = _manifest_files_df(spark, table_path, ver)
+    return fdf.count(), fdf.where(
+        _partition_keep_expr(fdf, _map_partition_probe(spark, m, eq))
+    ).count()
 
 
 def _bloom_probe_positions(
@@ -923,13 +1079,26 @@ def read_point(
     [min, max] spans the whole key range. Surviving files still carry
     the pushed-down equality filter for parquet row-group pruning. At
     100 TB the decision reads kilobytes of manifest, no file
-    listings, no data."""
+    listings, no data. Large manifests prune executor-side (see
+    :func:`read_range`) — stats AND bloom bits both run as column
+    predicates over the file-entry frame."""
     fs, P = _hadoop_fs(spark, table_path)
-    m = _resolve(spark, fs, P, table_path, version)
-    pruned = _prune_by_stats(m["files"], col, value, value)
-    pruned = _prune_by_bloom(
-        pruned, col, _bloom_probe_positions(spark, m, col, value)
-    )
+    ver = _resolve_version(fs, P, table_path, version)
+    if _manifest_len(fs, P, table_path, ver) <= _MANIFEST_INLINE_MAX:
+        m = _manifest(spark, fs, P, table_path, ver)
+        pruned = _prune_by_stats(m["files"], col, value, value)
+        pruned = _prune_by_bloom(
+            pruned, col, _bloom_probe_positions(spark, m, col, value)
+        )
+    else:
+        m = _manifest_meta(spark, table_path, ver)
+        fdf = _manifest_files_df(spark, table_path, ver)
+        pruned = fdf.where(
+            _stats_keep_expr(fdf, col, value, value)
+            & _bloom_keep_expr(
+                fdf, col, _bloom_probe_positions(spark, m, col, value)
+            )
+        ).collect()
     df = _read_files(spark, table_path, m, pruned)
     schema = StructType.fromJson(json.loads(m["schema"]))
     return df.where(F.col(col) == F.lit(value).cast(schema[col].dataType))
@@ -942,12 +1111,25 @@ def point_scan_stats(
     point lookup above — the observability hook the bloom-skipping
     tests assert on (bloom must beat stats on hash layouts)."""
     fs, P = _hadoop_fs(spark, table_path)
-    m = _resolve(spark, fs, P, table_path, None)
-    after_stats = _prune_by_stats(m["files"], col, value, value)
-    after_bloom = _prune_by_bloom(
-        after_stats, col, _bloom_probe_positions(spark, m, col, value)
+    ver = _resolve_version(fs, P, table_path, None)
+    if _manifest_len(fs, P, table_path, ver) <= _MANIFEST_INLINE_MAX:
+        m = _manifest(spark, fs, P, table_path, ver)
+        after_stats = _prune_by_stats(m["files"], col, value, value)
+        after_bloom = _prune_by_bloom(
+            after_stats, col, _bloom_probe_positions(spark, m, col, value)
+        )
+        return len(m["files"]), len(after_stats), len(after_bloom)
+    m = _manifest_meta(spark, table_path, ver)
+    fdf = _manifest_files_df(spark, table_path, ver)
+    stats_keep = _stats_keep_expr(fdf, col, value, value)
+    bloom_keep = _bloom_keep_expr(
+        fdf, col, _bloom_probe_positions(spark, m, col, value)
     )
-    return len(m["files"]), len(after_stats), len(after_bloom)
+    return (
+        fdf.count(),
+        fdf.where(stats_keep).count(),
+        fdf.where(stats_keep & bloom_keep).count(),
+    )
 
 
 def _bloom_params(m: dict) -> tuple:
