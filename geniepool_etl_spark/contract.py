@@ -1319,8 +1319,11 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_us") + width_us).alias("end_us"),
         )
 
+    # bucket_us=None: the production auto-sizing path (p95 span with
+    # the straggler floor) — the bucket choice is plan-only, so the
+    # oracle is unaffected
     joined = E.interval_overlap_join(
-        intervals("click"), intervals("purchase"), bucket_us=E.US_PER_HOUR
+        intervals("click"), intervals("purchase")
     )
     return joined.select(
         "user_id",

@@ -322,11 +322,53 @@ def with_anomaly_flags(
     )
 
 
+def auto_interval_bucket_us(left: DataFrame, right: DataFrame) -> int:
+    """Bucket width sized to the interval-length distribution, the
+    way LSH planes auto-size to the corpus (similarity.auto_n_planes):
+    the p95 span, so ~95% of intervals explode to ≤2 buckets, floored
+    so the single LONGEST interval replicates across at most 256
+    buckets (one giant interval exploded across every bucket of a
+    fine grid is the skew trap — its copies meet every other row in
+    the join). When the floor engages, the skew is real and worth a
+    warning: a p95-width bucket would have been quadratic-safe for
+    everyone else, and widening it for one straggler coarsens the
+    join for all rows (consider splitting or filtering the long
+    intervals upstream).
+
+    One eager quantile job over both frames' spans (approxQuantile,
+    1% relative error — the bucket choice affects only the plan,
+    never the result set). Callers that know their span distribution
+    pass an explicit ``bucket_us`` and no job fires."""
+    import warnings
+
+    spans = left.select(
+        (F.col("end_us") - F.col("start_us")).alias("_s")
+    ).unionByName(
+        right.select((F.col("end_us") - F.col("start_us")).alias("_s"))
+    )
+    qs = spans.stat.approxQuantile("_s", [0.95, 1.0], 0.01)
+    if not qs:
+        return US_PER_HOUR  # both frames empty: any width works
+    p95, longest = (max(int(q), 0) for q in qs)
+    bucket = max(p95, longest // 256, 1)
+    if bucket > max(p95, 1):
+        warnings.warn(
+            f"interval_overlap_join: longest interval ({longest} us) "
+            f"is {longest // max(p95, 1)}x the p95 span ({p95} us); "
+            f"bucket width floored to {bucket} us so it replicates "
+            "across <=256 buckets — long-interval skew like this "
+            "coarsens the join for every row; consider splitting or "
+            "filtering the stragglers upstream",
+            stacklevel=3,
+        )
+    return bucket
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
     key: str = "user_id",
-    bucket_us: int = US_PER_HOUR,
+    bucket_us: int | None = None,
     l_prefix: str = "l_",
     r_prefix: str = "r_",
 ) -> DataFrame:
@@ -353,10 +395,15 @@ def interval_overlap_join(
     Inputs need columns (key, id_col, start_us, end_us) where ids are
     carried via ``{l,r}_prefix``. Scale: shuffle keys are
     (key × bucket) — fine-grained; per-interval explode factor is
-    ``⌈span/bucket_us⌉+1``, so pick ``bucket_us`` near the typical
-    interval span (explode ≈2×). Long stragglers fan out linearly, but
-    the refine discards off-bucket residue in the same stage.
+    ``⌈span/bucket_us⌉+1``, so ``bucket_us`` should sit near the
+    typical interval span (explode ≈2×). ``bucket_us=None`` (the
+    default) derives it from the span distribution
+    (:func:`auto_interval_bucket_us` — p95 span, straggler
+    replication floored at 256 buckets, skew warning); the bucket
+    choice affects only the plan, never the result set.
     """
+    if bucket_us is None:
+        bucket_us = auto_interval_bucket_us(left, right)
 
     def _bucketed(df: DataFrame, prefix: str) -> DataFrame:
         b0 = F.floor(F.col("start_us") / bucket_us).cast("long")
