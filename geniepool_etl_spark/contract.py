@@ -2517,6 +2517,35 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED PNG decode (multimodal.
+    synth_png_interlaced_assets → decode_image_pixel_stats): the
+    seven-pass interlace layout real web PNGs ship with — each pass
+    an independently-filtered sub-image (pass-local left/up
+    neighbors, the classic interlace decoder bug), empty passes
+    emitting nothing per spec. Sizes include width<8 and height 1, so
+    several passes ARE empty and pass geometry is load-bearing. The
+    gradient's channel sums are placement-invariant, so the same
+    range(w·h) oracle as the non-interlaced lane verifies the
+    decode (r8 verdict ask #6)."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 3)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(3) + (F.col("doc_id") % 7) * 5)
+            .cast("long")
+            .alias("width"),
+            (F.lit(1) + (F.col("doc_id") % 9) * 3)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_png_interlaced_assets(params)
+    )
+
+
 def q_multimodal_flac_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIXED-predictor FLAC decode (multimodal.
     synth_flac_fixed_assets → decode_audio_pcm_stats): the codec's
@@ -8290,6 +8319,27 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                px.sum_r, px.sum_g, px.sum_b
         FROM prm JOIN px USING (asset_id)
     """
+    o["multimodal_png_interlaced"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 3 + (doc_id % 7) * 5 AS w,
+                 1 + (doc_id % 9) * 3 AS h
+          FROM documents WHERE doc_id % 11 = 3
+        ),
+        px AS (
+          SELECT asset_id,
+                 CAST(sum((i % w + 2 * (i // w)) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((2 * (i % w) + i // w) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((i % w + i // w) % 256) AS BIGINT) AS sum_b
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               px.sum_r, px.sum_g, px.sum_b
+        FROM prm JOIN px USING (asset_id)
+    """
     o["multimodal_image_dedup"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9572,6 +9622,7 @@ SPARK_QUERIES = {
     "text_url_domains": q_text_url_domains,
     "sql_variables_params": q_sql_variables_params,
     # --- r9-new lanes (inserted here as built) ---
+    "multimodal_png_interlaced": q_multimodal_png_interlaced,
     # --- stalest re-records: last green r3 ---
     "dedup_embedding": q_dedup_embedding,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,

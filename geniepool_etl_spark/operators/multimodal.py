@@ -1024,6 +1024,97 @@ def synth_png_gradient_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_png_interlaced_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL Adam7-INTERLACED PNGs (IHDR interlace=1)
+    carrying the same deterministic gradient as
+    :func:`synth_png_gradient_assets` — the oracle formula is
+    placement-invariant (per-channel sums over all pixels), so the
+    same range(w·h) recomputation verifies the interlaced decode.
+    Every pass is a fully independent sub-image: its own scanlines,
+    its own filter chain (row ``r`` of each pass filtered with
+    ``r % 5``, so all five predictors run inside the PASS geometry —
+    the left/up neighbors are pass-local, the classic interlace
+    decoder bug), empty passes emit nothing (not even filter bytes,
+    per spec). 8-bit RGB; one zlib IDAT; all chunk CRCs real."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def one(w: int, h: int) -> bytes:
+        zero3 = np.zeros(3, dtype=np.int16)
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            cols = (w - x0 + dx - 1) // dx if w > x0 else 0
+            rows_p = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if cols == 0 or rows_p == 0:
+                continue
+            xs = (x0 + dx * np.arange(cols, dtype=np.int64))[None, :]
+            ys = (y0 + dy * np.arange(rows_p, dtype=np.int64))[:, None]
+            rgb = np.stack(
+                [(xs + 2 * ys) % 256, (2 * xs + ys) % 256, (xs + ys) % 256],
+                axis=-1,
+            ).astype(np.int16)
+            raw = rgb.reshape(rows_p, cols * 3)
+            zero = np.zeros(cols * 3, dtype=np.int16)
+            for r in range(rows_p):
+                cur = raw[r]
+                prev = raw[r - 1] if r > 0 else zero
+                left = np.concatenate([zero3, cur[:-3]])
+                ul = np.concatenate([zero3, prev[:-3]])
+                f = r % 5
+                if f == 0:
+                    filt = cur
+                elif f == 1:
+                    filt = cur - left
+                elif f == 2:
+                    filt = cur - prev
+                elif f == 3:
+                    filt = cur - (left + prev) // 2
+                else:
+                    p = left + prev - ul
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - prev),
+                        np.abs(p - ul),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, prev, ul),
+                    )
+                    filt = cur - pred
+                out.append(f)
+                out.extend((filt % 256).astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(w), int(h))
+                        for w, h in zip(pdf[width_col], pdf[height_col])
+                    ],
+                    "media_type": "image/png",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
     """Real GIF LZW (variable-width codes, LSB-first bit packing,
     dictionary growth, CLEAR at the 4096 ceiling) — not the
@@ -1387,12 +1478,67 @@ def _ppm_pixel_sums(raw: bytes) -> tuple:
     )
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass — the spec's 8x8 tile
+# order. A pass with no pixels for the image's geometry contributes
+# ZERO scanlines (not even filter bytes), per the PNG spec.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_defilter(block, bpp: int):
+    """Undo PNG scanline filtering over one contiguous scanline block
+    (``block`` = (rows, 1+stride) uint8: filter byte + filtered
+    bytes). Each interlace pass filters INDEPENDENTLY — its first
+    line's up-neighbor is zero — which is why this operates per
+    block. Returns the reconstructed (rows, stride) int64 matrix."""
+    import numpy as np
+
+    rows_n, stride = block.shape[0], block.shape[1] - 1
+    ftypes, rows = block[:, 0], block[:, 1:].astype(np.int64)
+    recon = np.zeros((rows_n, stride), dtype=np.int64)
+    for r in range(rows_n):
+        f, cur = ftypes[r], rows[r]
+        prev = recon[r - 1] if r > 0 else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            recon[r] = cur
+        elif f == 1:
+            for c in range(bpp):  # Sub: per-channel wrapping prefix sum
+                recon[r, c::bpp] = np.cumsum(cur[c::bpp]) % 256
+        elif f == 2:
+            recon[r] = (cur + prev) % 256
+        elif f == 3:  # Average: sequential left-dependence
+            for i in range(stride):
+                left = recon[r, i - bpp] if i >= bpp else 0
+                recon[r, i] = (cur[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth: sequential left-dependence
+            for i in range(stride):
+                a = recon[r, i - bpp] if i >= bpp else 0
+                b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                recon[r, i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"png: unknown filter type {f}")
+    return recon
+
+
 def _png_pixel_sums(raw: bytes) -> tuple:
-    """Decode an 8-bit non-interlaced PNG — grayscale (color type 0),
-    RGB (2), or RGBA (6) — to exact per-channel integer sums,
-    honoring the zlib IDAT stream, all five scanline filter
-    predictors (the filter left-neighbor offset is the pixel's byte
-    width, 1/3/4 per color type), and every chunk CRC (a flipped bit
+    """Decode an 8-bit PNG — grayscale (color type 0), RGB (2), or
+    RGBA (6); non-interlaced OR Adam7-interlaced — to exact
+    per-channel integer sums, honoring the zlib IDAT stream, all five
+    scanline filter predictors (the filter left-neighbor offset is
+    the pixel's byte width, 1/3/4 per color type; each interlace pass
+    filters independently), and every chunk CRC (a flipped bit
     anywhere is poison, not a silent wrong sum). Grayscale reports
     the gray value on all three channels (the PGM convention); RGBA
     reports the color channels (alpha is weighting metadata, not a
@@ -1421,8 +1567,10 @@ def _png_pixel_sums(raw: bytes) -> tuple:
             w, h, depth, ctyp, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, comp, filt, ilace) != (8, 0, 0, 0) or ctyp not in (
-                0, 2, 6,
+            if (
+                (depth, comp, filt) != (8, 0, 0)
+                or ctyp not in (0, 2, 6)
+                or ilace not in (0, 1)
             ):
                 raise ValueError("png: unsupported profile")
             bpp = {0: 1, 2: 3, 6: 4}[ctyp]
@@ -1433,49 +1581,41 @@ def _png_pixel_sums(raw: bytes) -> tuple:
         pos += 12 + ln
     if w is None or not idat or w <= 0 or h <= 0:
         raise ValueError("png: missing IHDR/IDAT")
-    stride = w * bpp
     lines = zlib.decompress(bytes(idat))
-    if len(lines) != h * (stride + 1):
+    buf = np.frombuffer(lines, dtype=np.uint8)
+    if ilace == 0:
+        passes = [(w, h)]
+    else:
+        passes = [
+            (
+                (w - x0 + dx - 1) // dx if w > x0 else 0,
+                (h - y0 + dy - 1) // dy if h > y0 else 0,
+            )
+            for x0, y0, dx, dy in _ADAM7
+        ]
+    n_px, sums = 0, np.zeros(bpp, dtype=np.int64)
+    at = 0
+    for cols, rows_p in passes:
+        if cols == 0 or rows_p == 0:
+            continue
+        stride = cols * bpp
+        need = rows_p * (stride + 1)
+        if at + need > len(buf):
+            raise ValueError("png: scanline size mismatch")
+        recon = _png_defilter(
+            buf[at : at + need].reshape(rows_p, stride + 1), bpp
+        )
+        at += need
+        n_px += cols * rows_p
+        sums += recon.reshape(-1, bpp).sum(axis=0)
+    if at != len(buf):
         raise ValueError("png: scanline size mismatch")
-    arr = np.frombuffer(lines, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes, rows = arr[:, 0], arr[:, 1:].astype(np.int64)
-    recon = np.zeros((h, stride), dtype=np.int64)
-    for r in range(h):
-        f, cur = ftypes[r], rows[r]
-        prev = recon[r - 1] if r > 0 else np.zeros(stride, dtype=np.int64)
-        if f == 0:
-            recon[r] = cur
-        elif f == 1:
-            for c in range(bpp):  # Sub: per-channel wrapping prefix sum
-                recon[r, c::bpp] = np.cumsum(cur[c::bpp]) % 256
-        elif f == 2:
-            recon[r] = (cur + prev) % 256
-        elif f == 3:  # Average: sequential left-dependence
-            for i in range(stride):
-                left = recon[r, i - bpp] if i >= bpp else 0
-                recon[r, i] = (cur[i] + (left + prev[i]) // 2) % 256
-        elif f == 4:  # Paeth: sequential left-dependence
-            for i in range(stride):
-                a = recon[r, i - bpp] if i >= bpp else 0
-                b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (
-                    b if pb <= pc else c
-                )
-                recon[r, i] = (cur[i] + pred) % 256
-        else:
-            raise ValueError(f"png: unknown filter type {f}")
-    px = recon.reshape(-1, bpp)
+    if n_px != w * h:
+        raise ValueError("png: interlace pass geometry mismatch")
     if bpp == 1:
-        g = int(px[:, 0].sum())
+        g = int(sums[0])
         return (w * h, g, g, g)
-    return (
-        w * h,
-        int(px[:, 0].sum()),
-        int(px[:, 1].sum()),
-        int(px[:, 2].sum()),
-    )
+    return (w * h, int(sums[0]), int(sums[1]), int(sums[2]))
 
 
 PIXEL_STATS_SCHEMA = StructType(

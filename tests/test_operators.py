@@ -3896,3 +3896,54 @@ def test_flac_fixed_predictors_and_rice(spark):
     bad[-4] ^= 0x08
     with _pytest.raises(ValueError):
         M._flac_pcm_sums(bytes(bad))
+
+
+def test_png_interlaced_adam7_roundtrip_and_poison(spark):
+    """Adam7 round-trip: interlaced payloads must decode to the exact
+    gradient sums for geometries that leave several passes EMPTY
+    (w<8, h=1) and ones that fill all seven; every pass's filter
+    chain is pass-local. A bit flip anywhere is poison (chunk CRC),
+    and the interlaced payload must differ from the sequential one
+    (the lane isn't silently writing interlace=0)."""
+    import numpy as np
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    geoms = {1: (1, 1), 2: (3, 1), 3: (7, 9), 4: (8, 8), 5: (13, 10), 6: (33, 2)}
+    params = spark.createDataFrame(
+        [(a, w, h) for a, (w, h) in geoms.items()],
+        "asset_id LONG, width LONG, height LONG",
+    )
+    assets = M.synth_png_interlaced_assets(params)
+    got = {
+        r.asset_id: r
+        for r in M.decode_image_pixel_stats(assets).collect()
+    }
+
+    def expect(w, h):
+        sr = sum((x + 2 * y) % 256 for x in range(w) for y in range(h))
+        sg = sum((2 * x + y) % 256 for x in range(w) for y in range(h))
+        sb = sum((x + y) % 256 for x in range(w) for y in range(h))
+        return (w * h, sr, sg, sb)
+
+    for aid, (w, h) in geoms.items():
+        r = got[aid]
+        assert (r.n_pixels, r.sum_r, r.sum_g, r.sum_b) == expect(w, h), (
+            aid, w, h,
+        )
+    # interlaced and sequential payloads must actually differ
+    seq = {r.asset_id: bytes(r.payload) for r in M.synth_png_gradient_assets(params).collect()}
+    lace = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    assert all(seq[a] != lace[a] for a in geoms)
+    # bit-flip poison: CRC rejects; the pixel lane nulls out
+    import random
+
+    rng = random.Random(9)
+    payload = bytearray(lace[5])
+    payload[rng.randrange(8, len(payload))] ^= 0x40
+    poison = spark.createDataFrame(
+        [(99, bytes(payload), "image/png")],
+        M.ASSET_SCHEMA,
+    )
+    row = M.decode_image_pixel_stats(poison).collect()[0]
+    assert row.n_pixels is None and row.sum_r is None
