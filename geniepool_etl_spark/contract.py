@@ -2517,6 +2517,33 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_multimodal_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode WITH RESTART MARKERS (multimodal.
+    synth_jpeg_restart_assets → decode_image_pixel_stats): a DRI
+    segment plus cycling RST0..RST7 markers every 1-4 MCUs — each
+    interval's entropy data byte-aligned with 1-padding, DC
+    prediction reset per interval — the layout camera firmware emits
+    on nearly every photo (r8 verdict ask #6). Intervals of 1 force a
+    marker between EVERY MCU pair; the block-constant gradient makes
+    the oracle a pure (width, height) formula, so the restart
+    machinery must be exactly value-neutral."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 6)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(13) + (F.col("doc_id") % 6) * 7)
+            .cast("long")
+            .alias("width"),
+            (F.lit(11) + (F.col("doc_id") % 5) * 5)
+            .cast("long")
+            .alias("height"),
+            (F.lit(1) + F.col("doc_id") % 4).cast("long").alias("interval"),
+        )
+    )
+    return M.decode_image_pixel_stats(M.synth_jpeg_restart_assets(params))
+
+
 def q_multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adam7-INTERLACED PNG decode (multimodal.
     synth_png_interlaced_assets → decode_image_pixel_stats): the
@@ -8319,6 +8346,24 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                px.sum_r, px.sum_g, px.sum_b
         FROM prm JOIN px USING (asset_id)
     """
+    o["multimodal_jpeg_restart"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 13 + (doc_id % 6) * 7 AS w,
+                 11 + (doc_id % 5) * 5 AS h
+          FROM documents WHERE doc_id % 13 = 6
+        ),
+        px AS (
+          SELECT asset_id,
+                 CAST(sum((37 * ((i % w) // 8) + 71 * ((i // w) // 8))
+                      % 256) AS BIGINT) AS s
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               px.s AS sum_r, px.s AS sum_g, px.s AS sum_b
+        FROM prm JOIN px USING (asset_id)
+    """
     o["multimodal_png_interlaced"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9622,6 +9667,7 @@ SPARK_QUERIES = {
     "text_url_domains": q_text_url_domains,
     "sql_variables_params": q_sql_variables_params,
     # --- r9-new lanes (inserted here as built) ---
+    "multimodal_jpeg_restart": q_multimodal_jpeg_restart,
     "multimodal_png_interlaced": q_multimodal_png_interlaced,
     # --- stalest re-records: last green r3 ---
     "dedup_embedding": q_dedup_embedding,

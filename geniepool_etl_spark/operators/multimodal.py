@@ -1867,15 +1867,31 @@ class _JpegBitWriter:
 
 
 class _JpegBitReader:
-    """MSB-first entropy bit source that un-stuffs 0xFF00 and treats
-    any bare marker inside the scan as poison (DRI/RST unsupported —
-    the synth profile never emits them)."""
+    """MSB-first entropy bit source that un-stuffs 0xFF00. A bare
+    marker inside entropy data is poison UNLESS the decoder consumes
+    it deliberately via :meth:`restart` at a DRI interval boundary —
+    restart discards the partial padding bits, verifies the expected
+    RSTm (they cycle 0..7), and realigns to the byte after it."""
 
     def __init__(self, buf: bytes):
         self.buf = buf
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+
+    def restart(self, m: int) -> None:
+        # padding bits before the marker (T.81 F.1.2.3 fills with 1s)
+        # were partially consumed into acc; drop them — entropy state
+        # resets at a restart boundary
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.buf)
+            or self.buf[self.pos] != 0xFF
+            or self.buf[self.pos + 1] != 0xD0 + (m & 7)
+        ):
+            raise ValueError("jpeg: expected RST marker at DRI boundary")
+        self.pos += 2
 
     def _fill(self) -> None:
         if self.pos >= len(self.buf):
@@ -2031,6 +2047,101 @@ def synth_jpeg_gradient_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_jpeg_restart_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    interval_col: str = "interval",
+) -> DataFrame:
+    """Synthesize baseline grayscale JPEGs WITH RESTART MARKERS — the
+    DRI segment plus cycling RST0..RST7 markers every ``interval``
+    MCUs, exactly as camera firmware emits them: each interval's
+    entropy data is flushed to a byte boundary (1-padded), the marker
+    is written bare (never stuffed), and DC prediction restarts from
+    zero in the next interval. Same block-constant gradient as
+    :func:`synth_jpeg_gradient_assets`, so the identical
+    (width, height)-only oracle verifies the decode — the restart
+    machinery must be value-neutral."""
+    import struct
+
+    import numpy as np
+
+    enc_dc, _ = _jpeg_huff_tables(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    enc_ac, _ = _jpeg_huff_tables(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    tmat = _jpeg_dct_matrix()
+    zz_order = np.asarray(_JPEG_ZIGZAG)
+
+    def one(w: int, h: int, ri: int) -> bytes:
+        bx = np.arange(w, dtype=np.int64)[None, :] // 8
+        by = np.arange(h, dtype=np.int64)[:, None] // 8
+        img = ((37 * bx + 71 * by) % 256).astype(np.float64)
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        pad = np.pad(
+            img, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge"
+        )
+        parts = []
+        wr = _JpegBitWriter()
+        pred = 0
+        mcu_done, rst_m = 0, 0
+        for r in range(nby):
+            for c in range(nbx):
+                if ri and mcu_done and mcu_done % ri == 0:
+                    parts.append(wr.flush())
+                    parts.append(bytes([0xFF, 0xD0 + rst_m]))
+                    rst_m = (rst_m + 1) & 7
+                    wr = _JpegBitWriter()
+                    pred = 0
+                mcu_done += 1
+                blk = pad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - 128.0
+                coef = np.rint(tmat @ blk @ tmat.T).astype(np.int64)
+                zz = coef.reshape(64)[zz_order]
+                pred = _jpeg_encode_block(wr, enc_dc, enc_ac, zz, pred)
+        parts.append(wr.flush())
+        scan = b"".join(parts)
+        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        dqt = b"\x00" + bytes([1] * 64)
+        sof0 = b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+        dht_dc = b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        dht_ac = b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        dri = struct.pack(">H", ri)
+        sos = b"\x01\x01\x00\x00\x3f\x00"
+        seg = lambda m, b: m + struct.pack(">H", len(b) + 2) + b  # noqa: E731
+        return b"".join(
+            [
+                b"\xff\xd8",
+                seg(b"\xff\xe0", app0),
+                seg(b"\xff\xdb", dqt),
+                seg(b"\xff\xc0", sof0),
+                seg(b"\xff\xc4", dht_dc),
+                seg(b"\xff\xc4", dht_ac),
+                seg(b"\xff\xdd", dri),
+                seg(b"\xff\xda", sos),
+                scan,
+                b"\xff\xd9",
+            ]
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(w), int(h), int(ri))
+                        for w, h, ri in zip(
+                            pdf[width_col],
+                            pdf[height_col],
+                            pdf[interval_col],
+                        )
+                    ],
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def synth_jpeg_color_assets(
     df: DataFrame,
     id_col: str = "asset_id",
@@ -2147,10 +2258,14 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
     Color planes convert YCbCr→RGB in FIXED-POINT integer milli-units
     (BT.601 1402/344/714/1772, floor-based half-up) so the conversion
     is bit-reproducible in any engine — no float ever touches a
-    channel value after the IDCT clamp. Anything outside the profile
-    (subsampled chroma, progressive, DRI, 12-bit) raises and the
-    caller nulls the row out. Grayscale reports the luminance sum on
-    all three channels (the PGM convention)."""
+    channel value after the IDCT clamp. DRI restart intervals are
+    honored: at each boundary the reader drops the padding bits,
+    verifies the cycling RSTm marker and every DC prediction resets
+    (camera firmware emits these on nearly every photo). Anything
+    outside the profile (progressive with restarts, 12-bit,
+    >2x2 sampling) raises and the caller nulls the row out.
+    Grayscale reports the luminance sum on all three channels (the
+    PGM convention)."""
     import struct
 
     import numpy as np
@@ -2163,6 +2278,7 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
     w = h = None
     comps = None
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("jpeg: bad marker alignment")
@@ -2216,8 +2332,7 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: non-baseline frame")
         elif marker == 0xDD:
-            if struct.unpack_from(">H", seg, 0)[0] != 0:
-                raise ValueError("jpeg: restart intervals unsupported")
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:
             if comps is None or seg[0] != len(comps):
                 raise ValueError("jpeg: scan/frame component mismatch")
@@ -2288,8 +2403,22 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
         blk = tmat.T @ coef.reshape(8, 8).astype(np.float64) @ tmat
         return np.clip(np.rint(blk) + 128, 0, 255).astype(np.int64)
 
+    mcu_done, rst_m = 0, 0
     for mr in range(n_mcuy):
         for mc in range(n_mcux):
+            if (
+                restart_interval
+                and mcu_done
+                and mcu_done % restart_interval == 0
+            ):
+                # DRI boundary: consume the cycling RSTm, reset every
+                # component's DC prediction (T.81 E.2.4 — each
+                # restart interval entropy-decodes independently)
+                rd.restart(rst_m)
+                rst_m = (rst_m + 1) & 7
+                for ci in range(len(comps)):
+                    preds[ci] = 0
+            mcu_done += 1
             for ci, comp in enumerate(comps):
                 for bv in range(comp["v"]):
                     for bh in range(comp["h"]):

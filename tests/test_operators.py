@@ -3947,3 +3947,53 @@ def test_png_interlaced_adam7_roundtrip_and_poison(spark):
     )
     row = M.decode_image_pixel_stats(poison).collect()[0]
     assert row.n_pixels is None and row.sum_r is None
+
+
+def test_jpeg_restart_markers_roundtrip_and_poison(spark):
+    """DRI/RSTn decode: restart-bearing scans must reproduce the
+    block-constant gradient sums exactly for interval=1 (a marker
+    between every MCU pair — maximal machinery) through interval 4,
+    match the marker-free encoding of the same image, and corrupt
+    restart sequences must poison, never silently mis-sum: a wrong
+    RSTm index (sequence must cycle 0..7) and a dropped marker both
+    null out."""
+    from geniepool_etl_spark.operators import multimodal as M
+
+    geoms = {1: (13, 11, 1), 2: (25, 16, 2), 3: (48, 21, 3), 4: (8, 8, 4)}
+    params = spark.createDataFrame(
+        [(a, w, h, ri) for a, (w, h, ri) in geoms.items()],
+        "asset_id LONG, width LONG, height LONG, interval LONG",
+    )
+    assets = M.synth_jpeg_restart_assets(params)
+    got = {
+        r.asset_id: r for r in M.decode_image_pixel_stats(assets).collect()
+    }
+
+    def expect(w, h):
+        return sum(
+            (37 * (x // 8) + 71 * (y // 8)) % 256
+            for x in range(w)
+            for y in range(h)
+        )
+
+    for aid, (w, h, _ri) in geoms.items():
+        r = got[aid]
+        s = expect(w, h)
+        assert (r.n_pixels, r.sum_r, r.sum_g, r.sum_b) == (w * h, s, s, s)
+    # value-neutrality: the marker-free synth of the same geometry
+    # decodes to the same sums (already asserted via expect), and the
+    # restart payload really carries RST markers
+    payload = {
+        r.asset_id: bytes(r.payload) for r in assets.collect()
+    }[1]
+    assert b"\xff\xd0" in payload  # RST0 present for interval=1
+    # poison 1: flip the first RST0 to RST5 — out-of-sequence marker
+    bad = payload.replace(b"\xff\xd0", b"\xff\xd5", 1)
+    # poison 2: drop the first restart marker entirely
+    dropped = payload.replace(b"\xff\xd0", b"", 1)
+    poison = spark.createDataFrame(
+        [(91, bad, "image/jpeg"), (92, dropped, "image/jpeg")],
+        M.ASSET_SCHEMA,
+    )
+    for r in M.decode_image_pixel_stats(poison).collect():
+        assert r.n_pixels is None and r.sum_r is None, r.asset_id
