@@ -2517,6 +2517,31 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_multimodal_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPC-subframe FLAC decode (multimodal.synth_flac_lpc_assets →
+    decode_audio_pcm_stats): the codec's MAIN predictor in real
+    encodes — per-subframe QLP precision and shift, signed quantized
+    coefficients, shifted prediction over the same Rice residual
+    machinery as FIXED (r8 verdict ask #8). Orders 1-3 with varying
+    precision/shift per frame; the chosen coefficient sets predict
+    the polynomial signals exactly, so the closed-form oracle pins
+    every decoded sample. Remaining FLAC boundary:
+    stereo decorrelation, wasted bits, Rice escapes."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 12 == 9)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(3) + F.col("doc_id") % 4).cast("int").alias("n_frames"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("n_channels"),
+            ((F.col("doc_id") % 60) * 25 - 700)
+            .cast("int")
+            .alias("base_val"),
+        )
+    )
+    return M.decode_audio_pcm_stats(M.synth_flac_lpc_assets(params))
+
+
 def q_multimodal_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline JPEG decode WITH RESTART MARKERS (multimodal.
     synth_jpeg_restart_assets → decode_image_pixel_stats): a DRI
@@ -8346,6 +8371,31 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                px.sum_r, px.sum_g, px.sum_b
         FROM prm JOIN px USING (asset_id)
     """
+    o["multimodal_flac_lpc"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 3 + doc_id % 4 AS nf,
+                 1 + doc_id % 2 AS ch,
+                 (doc_id % 60) * 25 - 700 AS base
+          FROM documents WHERE doc_id % 12 = 9
+        ),
+        v AS (
+          SELECT asset_id,
+                 base + 11 * f.i + c.i + ((f.i % 9) - 4) * s.i
+                   + CASE WHEN f.i % 3 = 2 THEN s.i * s.i ELSE 0 END
+                   AS v
+          FROM prm,
+               UNNEST(range(nf)) AS f(i),
+               UNNEST(range(ch)) AS c(i),
+               UNNEST(range(64)) AS s(i)
+        )
+        SELECT asset_id,
+               count(*) AS n_samples,
+               CAST(sum(v) AS BIGINT) AS sum_amp,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(max(abs(v)) AS BIGINT) AS peak
+        FROM v GROUP BY asset_id
+    """
     o["multimodal_jpeg_restart"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9667,6 +9717,7 @@ SPARK_QUERIES = {
     "text_url_domains": q_text_url_domains,
     "sql_variables_params": q_sql_variables_params,
     # --- r9-new lanes (inserted here as built) ---
+    "multimodal_flac_lpc": q_multimodal_flac_lpc,
     "multimodal_jpeg_restart": q_multimodal_jpeg_restart,
     "multimodal_png_interlaced": q_multimodal_png_interlaced,
     # --- stalest re-records: last green r3 ---

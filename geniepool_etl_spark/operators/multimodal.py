@@ -3429,13 +3429,16 @@ _FLAC_BPS_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
 def _flac_pcm_sums(raw: bytes) -> tuple:
-    """Decode a FLAC stream whose frames use CONSTANT or VERBATIM
-    subframes (independent channels, no wasted bits) to exact integer
-    PCM statistics — (n_samples, sum_amp, sum_sq, peak), the same
-    contract as the WAV lane. Every frame's CRC-8 header checksum and
-    CRC-16 frame checksum are VERIFIED (a flipped bit is poison, not
-    a wrong sum); predicted subframes (FIXED/LPC — the entropy-coded
-    residual half of the codec) raise, the declared boundary."""
+    """Decode a FLAC stream — CONSTANT, VERBATIM, FIXED-predictor
+    AND LPC subframes (independent channels, no wasted bits) — to
+    exact integer PCM statistics: (n_samples, sum_amp, sum_sq, peak),
+    the same contract as the WAV lane. FIXED reconstructs through the
+    polynomial recurrences, LPC through quantized-coefficient shifted
+    prediction (4-bit precision-1, 5-bit shift, signed coefficients),
+    both over Rice-partitioned zigzag residuals. Every frame's CRC-8
+    header checksum and CRC-16 frame checksum are VERIFIED (a flipped
+    bit is poison, not a wrong sum). Remaining boundary:
+    stereo-decorrelation channel modes, wasted bits, Rice escapes."""
     import struct
 
     if raw[:4] != b"fLaC":
@@ -3467,6 +3470,35 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
         raise ValueError("flac: no STREAMINFO")
     _rate, si_ch, si_bps, _total = si
     n = s = s2 = peak = 0
+
+    def _read_rice(rd, block_size: int, order: int) -> list:
+        """Rice-partitioned residual decode shared by the FIXED and
+        LPC subframe branches."""
+        if rd.read(2) != 0:
+            raise ValueError("flac: 5-bit Rice method unsupported")
+        part_order = rd.read(4)
+        n_parts = 1 << part_order
+        if block_size % n_parts or (block_size >> part_order) <= order:
+            raise ValueError("flac: bad partition order")
+        resid = []
+        per = block_size >> part_order
+        for p in range(n_parts):
+            cnt = per - order if p == 0 else per
+            k = rd.read(4)
+            if k == 15:
+                raise ValueError("flac: Rice escape code unsupported")
+            for _j in range(cnt):
+                q = 0
+                while rd.read(1) == 0:
+                    q += 1
+                    if q > 1 << 20:
+                        raise ValueError("flac: runaway unary code")
+                z = (q << k) | (rd.read(k) if k else 0)
+                resid.append(
+                    (z >> 1) if z % 2 == 0 else -((z + 1) >> 1)
+                )
+        return resid
+
     while pos < len(raw):
         frame_start = pos
         rd = _BitReaderMSB(raw, pos)
@@ -3545,37 +3577,7 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
                     v = rd.read(bps)
                     v -= (v >= half) * (half << 1)
                     warm.append(v)
-                if rd.read(2) != 0:
-                    raise ValueError(
-                        "flac: 5-bit Rice method unsupported"
-                    )
-                part_order = rd.read(4)
-                n_parts = 1 << part_order
-                if block_size % n_parts or (
-                    block_size >> part_order
-                ) <= order:
-                    raise ValueError("flac: bad partition order")
-                resid = []
-                per = block_size >> part_order
-                for p in range(n_parts):
-                    cnt = per - order if p == 0 else per
-                    k = rd.read(4)
-                    if k == 15:
-                        raise ValueError(
-                            "flac: Rice escape code unsupported"
-                        )
-                    for _j in range(cnt):
-                        q = 0
-                        while rd.read(1) == 0:
-                            q += 1
-                            if q > 1 << 20:
-                                raise ValueError(
-                                    "flac: runaway unary code"
-                                )
-                        z = (q << k) | (rd.read(k) if k else 0)
-                        resid.append(
-                            (z >> 1) if z % 2 == 0 else -((z + 1) >> 1)
-                        )
+                resid = _read_rice(rd, block_size, order)
                 coefs = _FLAC_FIXED_COEFS[order]
                 xs = list(warm)
                 for e in resid:
@@ -3592,10 +3594,45 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
                     s += v
                     s2 += v * v
                     peak = max(peak, abs(v))
+            elif 32 <= stype <= 63:  # LPC, order = low 5 bits + 1
+                order = (stype & 31) + 1
+                warm = []
+                for _i in range(order):
+                    v = rd.read(bps)
+                    v -= (v >= half) * (half << 1)
+                    warm.append(v)
+                precision = rd.read(4) + 1
+                if precision == 16:
+                    raise ValueError("flac: invalid QLP precision")
+                shift = rd.read(5)
+                if shift >= 16:
+                    # 5-bit two's complement: negative shifts are
+                    # spec-reserved nonsense in practice — poison
+                    raise ValueError("flac: negative QLP shift")
+                coefs = []
+                chalf = 1 << (precision - 1)
+                for _i in range(order):
+                    c_ = rd.read(precision)
+                    coefs.append(c_ - (c_ >= chalf) * (chalf << 1))
+                resid = _read_rice(rd, block_size, order)
+                xs = list(warm)
+                for e in resid:
+                    pred = (
+                        sum(c * xs[-j - 1] for j, c in enumerate(coefs))
+                        >> shift
+                    )
+                    xs.append(e + pred)
+                for v in xs:
+                    if not (-half <= v < half):
+                        raise ValueError(
+                            "flac: reconstructed sample out of range"
+                        )
+                    n += 1
+                    s += v
+                    s2 += v * v
+                    peak = max(peak, abs(v))
             else:
-                raise ValueError(
-                    "flac: LPC subframes unsupported"
-                )
+                raise ValueError("flac: reserved subframe type")
         rd.align()
         if rd.pos + 2 > len(raw):
             raise ValueError("flac: truncated frame CRC")
@@ -3960,10 +3997,24 @@ def _flac_fixed_frame_body(
         - sum(c * samples[i - j - 1] for j, c in enumerate(coefs))
         for i in range(order, len(samples))
     ]
+    _flac_write_rice(body, resid, order, len(samples), part_order)
+
+
+def _flac_write_rice(
+    body: "_BitWriterMSB",
+    resid: list,
+    order: int,
+    n_samples: int,
+    part_order: int,
+) -> None:
+    """Rice-partitioned residual coding shared by the FIXED and LPC
+    subframe encoders: 2^part_order partitions, per-partition 4-bit
+    parameter chosen as the max residual's zigzag bit length (simple,
+    always escape-free), unary quotient + k-bit remainder."""
     body.write(0, 2)  # residual method: 4-bit Rice
     body.write(part_order, 4)
     n_parts = 1 << part_order
-    per = len(samples) >> part_order
+    per = n_samples >> part_order
     idx = 0
     for p in range(n_parts):
         cnt = per - order if p == 0 else per
@@ -3980,6 +4031,52 @@ def _flac_fixed_frame_body(
             body.write(1, 1)
             if k:
                 body.write(z & ((1 << k) - 1), k)
+
+
+# (order, qlp precision bits, right shift, quantized coefficients) —
+# each an EXACT integer predictor for the synth's polynomial signals
+# (every coefficient divisible by 2^shift, so the arithmetic
+# right-shift loses nothing), while still exercising the real LPC
+# path: precision/shift parsing, signed coefficient decode, shifted
+# prediction. kind = frame % 3.
+_FLAC_LPC_KINDS = (
+    (1, 5, 2, [4]),            # pred = (4·x₁)>>2 = x₁
+    (2, 4, 1, [4, -2]),        # pred = (4x₁−2x₂)>>1 = 2x₁−x₂
+    (3, 6, 2, [12, -12, 4]),   # pred = 3x₁−3x₂+x₃
+)
+
+
+def _flac_lpc_frame_body(
+    body: "_BitWriterMSB",
+    samples: list,
+    kind: int,
+    bps: int,
+    part_order: int = 1,
+) -> None:
+    """Encode ONE channel's samples as an LPC subframe (type
+    ``0b100000 | order-1``): raw warmup, 4-bit QLP precision-1,
+    5-bit signed shift, ``order`` signed ``precision``-bit quantized
+    coefficients, then the same Rice-partitioned residuals as FIXED.
+    Prediction is ``(Σ coefⱼ·x[i-j-1]) >> shift`` (arithmetic)."""
+    order, precision, shift, coefs = _FLAC_LPC_KINDS[kind]
+    body.write(0, 1)  # padding
+    body.write(0b100000 | (order - 1), 6)  # LPC, order
+    body.write(0, 1)  # no wasted bits
+    for i in range(order):
+        body.write(samples[i] & ((1 << bps) - 1), bps)
+    body.write(precision - 1, 4)
+    body.write(shift & 31, 5)
+    for c in coefs:
+        body.write(c & ((1 << precision) - 1), precision)
+    resid = [
+        samples[i]
+        - (
+            sum(c * samples[i - j - 1] for j, c in enumerate(coefs))
+            >> shift
+        )
+        for i in range(order, len(samples))
+    ]
+    _flac_write_rice(body, resid, order, len(samples), part_order)
 
 
 def _flac_bytes_fixed(
@@ -4035,3 +4132,97 @@ def _flac_bytes_fixed(
         frame = bytes(head) + body.bytes_aligned()
         out += frame + struct.pack(">H", _flac_crc16(frame))
     return bytes(out)
+
+
+def _flac_bytes_lpc(
+    frame_specs: list,
+    block_size: int = 64,
+    channels: int = 1,
+    bps: int = 16,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Build a FLAC stream whose frames use LPC subframes — quantized
+    coefficients, precision/shift, shifted prediction over the same
+    Rice residual machinery as FIXED. ``frame_specs`` entries are
+    (kind, a, b): channel c of that frame carries ``a+c + b·i``
+    (+ ``i²`` for kind 2, the order-3 predictor) over
+    i = 0..block_size-1, so a closed form recomputes every sample."""
+    import struct
+
+    total = block_size * len(frame_specs)
+    si = _BitWriterMSB()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(channels - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    streaminfo = si.bytes_aligned() + bytes(16)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
+    out += streaminfo
+    for f, (kind, a, b) in enumerate(frame_specs):
+        hdr = _BitWriterMSB()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)
+        hdr.write(0, 1)
+        hdr.write(0b0110, 4)  # 8-bit block size - 1 at end
+        hdr.write(0b0000, 4)  # rate from STREAMINFO
+        hdr.write(channels - 1, 4)
+        hdr.write(0b100, 3)  # 16 bps
+        hdr.write(0, 1)
+        head = bytearray(hdr.bytes_aligned())
+        head += _flac_utf8_number(f)
+        head.append(block_size - 1)
+        head.append(_flac_crc8(bytes(head)))
+        body = _BitWriterMSB()
+        for c in range(channels):
+            samples = [
+                a + c + b * i + (i * i if kind == 2 else 0)
+                for i in range(block_size)
+            ]
+            _flac_lpc_frame_body(body, samples, kind, bps)
+        frame = bytes(head) + body.bytes_aligned()
+        out += frame + struct.pack(">H", _flac_crc16(frame))
+    return bytes(out)
+
+
+def synth_flac_lpc_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    frames_col: str = "n_frames",
+    channels_col: str = "n_channels",
+    base_col: str = "base_val",
+) -> DataFrame:
+    """Synthesize FLAC streams whose frames use LPC subframes (the
+    codec's main predictor in real encodes): frame f carries the
+    polynomial ``base + 11·f + c + ((f%9)−4)·i [+ i² for f%3=2]``
+    through predictor kind ``f % 3`` (orders 1-3, varying QLP
+    precision and shift) — pure functions of plain parameter columns,
+    so an external oracle recomputes every sample. Arrow
+    ``mapInPandas``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for nf, ch, base in zip(
+                pdf[frames_col], pdf[channels_col], pdf[base_col]
+            ):
+                specs = [
+                    (f % 3, int(base) + 11 * f, (f % 9) - 4)
+                    for f in range(int(nf))
+                ]
+                payloads.append(
+                    _flac_bytes_lpc(specs, channels=int(ch))
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/flac",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)

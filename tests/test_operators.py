@@ -3777,9 +3777,11 @@ def test_flac_walker_fuzz():
     from geniepool_etl_spark.operators import multimodal as M
 
     rng = random.Random(17)
-    base = M._flac_bytes(
-        [100, -5, 7], channels=2, verbatim_frames={1}
-    ) + M._flac_bytes_fixed([(1, 3, 2), (2, -10, 1)], channels=2)[4:]
+    base = (
+        M._flac_bytes([100, -5, 7], channels=2, verbatim_frames={1})
+        + M._flac_bytes_fixed([(1, 3, 2), (2, -10, 1)], channels=2)[4:]
+        + M._flac_bytes_lpc([(0, 9, 1), (1, -4, 2), (2, 3, -1)], channels=2)[4:]
+    )
     for _ in range(600):
         mode = rng.randrange(3)
         if mode == 0:
@@ -3997,3 +3999,53 @@ def test_jpeg_restart_markers_roundtrip_and_poison(spark):
     )
     for r in M.decode_image_pixel_stats(poison).collect():
         assert r.n_pixels is None and r.sum_r is None, r.asset_id
+
+
+def test_flac_lpc_subframes_roundtrip_and_poison(spark):
+    """LPC decode: orders 1-3 with varying QLP precision and shift
+    must reconstruct the polynomial signals exactly (the chosen
+    coefficient sets are exact shifted predictors), stereo and
+    multi-frame streams included; a flipped coefficient bit breaks
+    the frame CRC and poisons the row."""
+    from geniepool_etl_spark.operators import multimodal as M
+
+    params = spark.createDataFrame(
+        [(1, 3, 1, -50), (2, 6, 2, 400)],
+        "asset_id long, n_frames int, n_channels int, base_val int",
+    )
+    assets = M.synth_flac_lpc_assets(params)
+    got = {
+        r.asset_id: r
+        for r in M.decode_audio_pcm_stats(assets).collect()
+    }
+
+    def expected(nf, ch, base):
+        vals = [
+            base + 11 * f + c + ((f % 9) - 4) * i
+            + (i * i if f % 3 == 2 else 0)
+            for f in range(nf)
+            for c in range(ch)
+            for i in range(64)
+        ]
+        return (
+            len(vals),
+            sum(vals),
+            sum(v * v for v in vals),
+            max(abs(v) for v in vals),
+        )
+
+    for aid, (nf, ch, base) in {1: (3, 1, -50), 2: (6, 2, 400)}.items():
+        r = got[aid]
+        assert (
+            r.n_samples, r.sum_amp, r.sum_sq, r.peak
+        ) == expected(nf, ch, base), aid
+    # poison: flip a bit in the entropy-coded body -> CRC-16 rejects
+    raw = bytearray(
+        {r.asset_id: bytes(r.payload) for r in assets.collect()}[2]
+    )
+    raw[-10] ^= 0x10
+    poison = spark.createDataFrame(
+        [(9, bytes(raw), "audio/flac")], M.ASSET_SCHEMA
+    )
+    row = M.decode_audio_pcm_stats(poison).collect()[0]
+    assert row.n_samples is None and row.sum_amp is None
