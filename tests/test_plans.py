@@ -199,6 +199,8 @@ _INTENDED_CROSS = {
     "a17_equidepth",  # 1-row quartile-boundary frame broadcast
     "obs_drift_psi",  # 1-row totals frame broadcast (tfidf pattern)
     "obs_drift_ks",  # same: 1-row totals frame broadcast
+    "text_lang_id",  # |languages|-row candidate frame broadcast
+    # fans each doc-profile row out to every candidate language
     "graph_pagerank",  # 1-row node-count frame broadcast per superstep
     "obs_expectations",  # 1-row total × 1-row orphan-count broadcast
     "text_perplexity",  # 1-row corpus-bigram-total broadcast (tfidf pattern)
