@@ -1020,3 +1020,157 @@ def test_snap_manifest_scale_distributed_pruning(spark, tdir, monkeypatch):
     # a bloom miss inside the stats range prunes to zero files
     t2, s2, b2 = T.point_scan_stats(spark, tdir, "k", 501)
     assert s2 >= 1 and b2 == 0
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+    _CDC_OPS = st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=100, max_value=140),
+                        st.integers(min_value=0, max_value=9),
+                    ),
+                    min_size=0,
+                    max_size=5,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+            st.tuples(
+                st.just("merge"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=60),
+                        st.integers(min_value=50, max_value=59),
+                    ),
+                    min_size=1,
+                    max_size=6,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+            st.tuples(
+                st.just("cdc"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=150),
+                        st.integers(min_value=60, max_value=69),
+                        st.booleans(),
+                    ),
+                    min_size=1,
+                    max_size=6,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+            st.tuples(st.just("delete"), st.integers(0, 9)),
+            st.tuples(st.just("compact"), st.just(None)),
+            st.tuples(st.just("vacuum"), st.just(None)),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        base=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=40),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=1,
+            max_size=20,
+            unique_by=lambda t: t[0],
+        ),
+        ops=_CDC_OPS,
+    )
+    def test_change_stream_initial_load_survives_maintenance(
+        spark, base, ops
+    ):
+        """The change-stream source's Delta rule — a fresh
+        subscription's initial batch IS the current snapshot — must
+        hold after ANY maintenance history: CDC batches interleaved
+        with merges, deletes, compactions and vacuums (which truncate
+        old manifests entirely). Planned driver-side through the real
+        reader (partitions + pyarrow read), no streaming engine per
+        example. After subscription, an append streams incrementally
+        and a rewrite fails loud (never a wrong feed)."""
+        import tempfile
+
+        from geniepool_etl_spark import snaptable as T
+        from geniepool_etl_spark.sources.snapsource import (
+            SnapChangesStreamReader,
+        )
+
+        tdir = tempfile.mkdtemp(prefix="gp_snap_cdcprop_")
+
+        def df_of(rows):
+            return spark.createDataFrame(rows or [], "k LONG, v LONG")
+
+        model = dict(base)
+        T.write_table(df_of(base), tdir, "create")
+        for op, arg in ops:
+            if op == "append":
+                arg = [(k, v) for k, v in arg if k not in model]
+                T.write_table(df_of(arg), tdir, "append")
+                model.update(arg)
+            elif op == "merge":
+                T.merge_table(spark, tdir, df_of(arg), ["k"])
+                model.update(arg)
+            elif op == "cdc":
+                ch = spark.createDataFrame(
+                    [
+                        (k, v, "upsert" if up else "delete")
+                        for k, v, up in arg
+                    ],
+                    "k LONG, v LONG, _op STRING",
+                )
+                T.apply_cdc(spark, tdir, ch, ["k"])
+                for k, v, up in arg:
+                    if up:
+                        model[k] = v
+                    else:
+                        model.pop(k, None)
+            elif op == "delete":
+                T.delete_where(spark, tdir, f"v = {arg}")
+                model = {k: v for k, v in model.items() if v != arg}
+            elif op == "compact":
+                T.compact(spark, tdir, target_files=2)
+            else:
+                T.vacuum(spark, tdir, keep_versions=1, min_age_seconds=0)
+
+        reader = SnapChangesStreamReader(tdir, [("k", "LONG"), ("v", "LONG")])
+        head = reader.latestOffset()
+
+        def batch(start, end):
+            rows = []
+            for p in reader.partitions(start, end):
+                rows.extend(reader.read(p))
+            return rows
+
+        initial = batch(reader.initialOffset(), head)
+        assert {(k, v) for k, v, _cv in initial} == set(model.items())
+        # every file attribution is a real, still-kept version
+        kept = set(T._versions(*T._hadoop_fs(spark, tdir), tdir))
+        assert {cv for _k, _v, cv in initial} <= kept
+        # post-subscription append streams incrementally
+        new_rows = [(900, 1), (901, 2)]
+        T.write_table(df_of(new_rows), tdir, "append")
+        inc = batch(head, reader.latestOffset())
+        assert {(k, v) for k, v, _cv in inc} == set(new_rows)
+        # post-subscription rewrite: fail loud, never a wrong feed
+        T.compact(spark, tdir, target_files=1)
+        with pytest.raises(ValueError, match="rewrite"):
+            batch(head, reader.latestOffset())
