@@ -2525,6 +2525,32 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_multimodal_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo-decorrelated FLAC decode (multimodal.
+    synth_flac_stereo_assets → decode_audio_pcm_stats): the
+    left/side, side/right and mid/side channel assignments real
+    encoders default to for stereo — the side channel carries bps+1
+    bits, mid's floor-shift drops a bit recovered from side's parity,
+    and the all-integer inverse reconstructs both channels exactly.
+    Closes the last common FLAC gap after r9's LPC work; remaining:
+    wasted bits, Rice escapes."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 14 == 11)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("n_frames"),
+            ((F.col("doc_id") % 40) * 30 - 600)
+            .cast("int")
+            .alias("base_val"),
+            ((F.col("doc_id") % 30) * 20 - 300)
+            .cast("int")
+            .alias("base_val2"),
+        )
+    )
+    return M.decode_audio_pcm_stats(M.synth_flac_stereo_assets(params))
+
+
 def q_multimodal_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LPC-subframe FLAC decode (multimodal.synth_flac_lpc_assets →
     decode_audio_pcm_stats): the codec's MAIN predictor in real
@@ -8409,6 +8435,32 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                px.sum_r, px.sum_g, px.sum_b
         FROM prm JOIN px USING (asset_id)
     """
+    o["multimodal_flac_stereo"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 3 + doc_id % 5 AS nf,
+                 (doc_id % 40) * 30 - 600 AS base,
+                 (doc_id % 30) * 20 - 300 AS base2
+          FROM documents WHERE doc_id % 14 = 11
+        ),
+        v AS (
+          SELECT asset_id, base + 11 * f.i + ((f.i % 9) - 4) * s.i AS v
+          FROM prm,
+               UNNEST(range(nf)) AS f(i),
+               UNNEST(range(64)) AS s(i)
+          UNION ALL
+          SELECT asset_id, base2 + 7 * f.i + ((f.i % 5) - 2) * s.i AS v
+          FROM prm,
+               UNNEST(range(nf)) AS f(i),
+               UNNEST(range(64)) AS s(i)
+        )
+        SELECT asset_id,
+               count(*) AS n_samples,
+               CAST(sum(v) AS BIGINT) AS sum_amp,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(max(abs(v)) AS BIGINT) AS peak
+        FROM v GROUP BY asset_id
+    """
     o["multimodal_flac_lpc"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9755,6 +9807,7 @@ SPARK_QUERIES = {
     "text_url_domains": q_text_url_domains,
     "sql_variables_params": q_sql_variables_params,
     # --- r9-new lanes (inserted here as built) ---
+    "multimodal_flac_stereo": q_multimodal_flac_stereo,
     "multimodal_flac_lpc": q_multimodal_flac_lpc,
     "multimodal_jpeg_restart": q_multimodal_jpeg_restart,
     "multimodal_png_interlaced": q_multimodal_png_interlaced,

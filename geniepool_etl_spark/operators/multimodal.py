@@ -3511,11 +3511,16 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
         ca = rd.read(4)
         bps_code = rd.read(3)
         rd.read(1)  # reserved
-        if ca > 7:
-            raise ValueError(
-                "flac: stereo-decorrelation channel modes unsupported"
-            )
-        channels = ca + 1
+        if ca <= 7:
+            channels = ca + 1
+            side_idx = None
+        elif ca in (8, 9, 10):
+            # stereo decorrelation: 8=left/side, 9=side/right,
+            # 10=mid/side — the SIDE channel carries one extra bit
+            channels = 2
+            side_idx = 0 if ca == 9 else 1
+        else:
+            raise ValueError("flac: reserved channel assignment")
         # UTF-8-coded frame/sample number (value unused; the walk is
         # load-bearing for header length + CRC coverage)
         first = rd.read(8)
@@ -3548,59 +3553,39 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
         bps = si_bps if bps_code == 0 else _FLAC_BPS_CODES.get(bps_code)
         if bps is None:
             raise ValueError("flac: reserved bps code")
-        half = 1 << (bps - 1)
-        for _c in range(channels):
+
+        def _read_subframe(cbps: int) -> list:
+            """One channel's decoded samples at ``cbps`` bits (the
+            side channel of a decorrelated pair carries bps+1)."""
+            chalf = 1 << (cbps - 1)
+
+            def signed(v: int) -> int:
+                return v - (v >= chalf) * (chalf << 1)
+
             if rd.read(1):
                 raise ValueError("flac: bad subframe padding bit")
             stype = rd.read(6)
             if rd.read(1):
                 raise ValueError("flac: wasted bits unsupported")
             if stype == 0:  # CONSTANT
-                v = rd.read(bps)
-                v -= (v >= half) * (half << 1)
-                n += block_size
-                s += v * block_size
-                s2 += v * v * block_size
-                peak = max(peak, abs(v))
-            elif stype == 1:  # VERBATIM
-                for _i in range(block_size):
-                    v = rd.read(bps)
-                    v -= (v >= half) * (half << 1)
-                    n += 1
-                    s += v
-                    s2 += v * v
-                    peak = max(peak, abs(v))
-            elif 8 <= stype <= 12:  # FIXED, order = stype - 8
+                return [signed(rd.read(cbps))] * block_size
+            if stype == 1:  # VERBATIM
+                return [
+                    signed(rd.read(cbps)) for _i in range(block_size)
+                ]
+            if 8 <= stype <= 12:  # FIXED, order = stype - 8
                 order = stype - 8
-                warm = []
-                for _i in range(order):
-                    v = rd.read(bps)
-                    v -= (v >= half) * (half << 1)
-                    warm.append(v)
+                xs = [signed(rd.read(cbps)) for _i in range(order)]
                 resid = _read_rice(rd, block_size, order)
                 coefs = _FLAC_FIXED_COEFS[order]
-                xs = list(warm)
                 for e in resid:
                     pred = sum(
                         c * xs[-j - 1] for j, c in enumerate(coefs)
                     )
                     xs.append(e + pred)
-                for v in xs:
-                    if not (-half <= v < half):
-                        raise ValueError(
-                            "flac: reconstructed sample out of range"
-                        )
-                    n += 1
-                    s += v
-                    s2 += v * v
-                    peak = max(peak, abs(v))
             elif 32 <= stype <= 63:  # LPC, order = low 5 bits + 1
                 order = (stype & 31) + 1
-                warm = []
-                for _i in range(order):
-                    v = rd.read(bps)
-                    v -= (v >= half) * (half << 1)
-                    warm.append(v)
+                xs = [signed(rd.read(cbps)) for _i in range(order)]
                 precision = rd.read(4) + 1
                 if precision == 16:
                     raise ValueError("flac: invalid QLP precision")
@@ -3609,30 +3594,62 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
                     # 5-bit two's complement: negative shifts are
                     # spec-reserved nonsense in practice — poison
                     raise ValueError("flac: negative QLP shift")
-                coefs = []
-                chalf = 1 << (precision - 1)
-                for _i in range(order):
-                    c_ = rd.read(precision)
-                    coefs.append(c_ - (c_ >= chalf) * (chalf << 1))
+                qhalf = 1 << (precision - 1)
+                coefs = [
+                    (lambda c_: c_ - (c_ >= qhalf) * (qhalf << 1))(
+                        rd.read(precision)
+                    )
+                    for _i in range(order)
+                ]
                 resid = _read_rice(rd, block_size, order)
-                xs = list(warm)
                 for e in resid:
                     pred = (
                         sum(c * xs[-j - 1] for j, c in enumerate(coefs))
                         >> shift
                     )
                     xs.append(e + pred)
-                for v in xs:
-                    if not (-half <= v < half):
-                        raise ValueError(
-                            "flac: reconstructed sample out of range"
-                        )
-                    n += 1
-                    s += v
-                    s2 += v * v
-                    peak = max(peak, abs(v))
             else:
                 raise ValueError("flac: reserved subframe type")
+            for v in xs:
+                if not (-chalf <= v < chalf):
+                    raise ValueError(
+                        "flac: reconstructed sample out of range"
+                    )
+            return xs
+
+        chans = [
+            _read_subframe(bps + (1 if c == side_idx else 0))
+            for c in range(channels)
+        ]
+        if side_idx is not None:
+            # undo the inter-channel decorrelation (all-integer,
+            # exactly invertible): side = left − right;
+            # mid = (left + right) >> 1 (floor), whose lost low bit
+            # is side's parity
+            c0, c1 = chans
+            if ca == 8:  # left/side
+                left = c0
+                right = [a - b for a, b in zip(c0, c1)]
+            elif ca == 9:  # side/right
+                right = c1
+                left = [a + b for a, b in zip(c1, c0)]
+            else:  # mid/side
+                left = [
+                    m + ((sd + (sd & 1)) >> 1) for m, sd in zip(c0, c1)
+                ]
+                right = [lv - sd for lv, sd in zip(left, c1)]
+            chans = [left, right]
+        half = 1 << (bps - 1)
+        for xs in chans:
+            for v in xs:
+                if not (-half <= v < half):
+                    raise ValueError(
+                        "flac: reconstructed sample out of range"
+                    )
+                n += 1
+                s += v
+                s2 += v * v
+                peak = max(peak, abs(v))
         rd.align()
         if rd.pos + 2 > len(raw):
             raise ValueError("flac: truncated frame CRC")
@@ -4187,6 +4204,119 @@ def _flac_bytes_lpc(
         frame = bytes(head) + body.bytes_aligned()
         out += frame + struct.pack(">H", _flac_crc16(frame))
     return bytes(out)
+
+
+def _flac_bytes_stereo(
+    frame_specs: list,
+    block_size: int = 64,
+    bps: int = 16,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Build a stereo FLAC stream whose frames use the INTER-CHANNEL
+    DECORRELATION modes real encoders default to: channel assignment
+    8 (left/side), 9 (side/right) or 10 (mid/side), the side channel
+    carrying bps+1 bits. ``frame_specs`` entries are
+    (mode, a, b, a2, b2): left = ``a + b·i``, right = ``a2 + b2·i``
+    over i = 0..block_size-1 (closed forms for the oracle); the
+    transformed channels ride as VERBATIM subframes at their exact
+    widths. mid = (left+right)>>1 (floor), side = left−right."""
+    import struct
+
+    total = block_size * len(frame_specs)
+    si = _BitWriterMSB()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(1, 3)  # 2 channels
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    streaminfo = si.bytes_aligned() + bytes(16)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
+    out += streaminfo
+
+    def vsub(body: "_BitWriterMSB", vals: list, width: int) -> None:
+        body.write(0, 1)  # padding
+        body.write(1, 6)  # VERBATIM
+        body.write(0, 1)  # no wasted bits
+        for v in vals:
+            body.write(v & ((1 << width) - 1), width)
+
+    for f, (mode, a, b, a2, b2) in enumerate(frame_specs):
+        left = [a + b * i for i in range(block_size)]
+        right = [a2 + b2 * i for i in range(block_size)]
+        side = [l - r for l, r in zip(left, right)]
+        if mode == 8:
+            ch = [(left, bps), (side, bps + 1)]
+        elif mode == 9:
+            ch = [(side, bps + 1), (right, bps)]
+        elif mode == 10:
+            mid = [(l + r) >> 1 for l, r in zip(left, right)]
+            ch = [(mid, bps), (side, bps + 1)]
+        else:
+            raise ValueError(f"bad stereo mode {mode}")
+        hdr = _BitWriterMSB()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)
+        hdr.write(0, 1)
+        hdr.write(0b0110, 4)  # 8-bit block size - 1 at end
+        hdr.write(0b0000, 4)  # rate from STREAMINFO
+        hdr.write(mode, 4)  # decorrelated channel assignment
+        hdr.write(0b100, 3)  # 16 bps
+        hdr.write(0, 1)
+        head = bytearray(hdr.bytes_aligned())
+        head += _flac_utf8_number(f)
+        head.append(block_size - 1)
+        head.append(_flac_crc8(bytes(head)))
+        body = _BitWriterMSB()
+        for vals, width in ch:
+            vsub(body, vals, width)
+        frame = bytes(head) + body.bytes_aligned()
+        out += frame + struct.pack(">H", _flac_crc16(frame))
+    return bytes(out)
+
+
+def synth_flac_stereo_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    frames_col: str = "n_frames",
+    base_col: str = "base_val",
+    base2_col: str = "base_val2",
+) -> DataFrame:
+    """Synthesize stereo FLAC streams exercising ALL THREE
+    inter-channel decorrelation modes (frame f uses mode ``8 + f%3``)
+    over closed-form left/right ramps — pure functions of plain
+    parameter columns, so an external oracle recomputes every sample
+    of both reconstructed channels. Arrow ``mapInPandas``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for nf, base, base2 in zip(
+                pdf[frames_col], pdf[base_col], pdf[base2_col]
+            ):
+                specs = [
+                    (
+                        8 + f % 3,
+                        int(base) + 11 * f,
+                        (f % 9) - 4,
+                        int(base2) + 7 * f,
+                        (f % 5) - 2,
+                    )
+                    for f in range(int(nf))
+                ]
+                payloads.append(_flac_bytes_stereo(specs))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/flac",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
 def synth_flac_lpc_assets(

@@ -3781,6 +3781,7 @@ def test_flac_walker_fuzz():
         M._flac_bytes([100, -5, 7], channels=2, verbatim_frames={1})
         + M._flac_bytes_fixed([(1, 3, 2), (2, -10, 1)], channels=2)[4:]
         + M._flac_bytes_lpc([(0, 9, 1), (1, -4, 2), (2, 3, -1)], channels=2)[4:]
+        + M._flac_bytes_stereo([(8, 5, 1, -3, 2), (9, 0, -1, 4, 0), (10, 7, 3, -2, -1)])[4:]
     )
     for _ in range(600):
         mode = rng.randrange(3)
@@ -4086,3 +4087,49 @@ def test_lang_id_trigram_mixed_scripts(spark):
         for r in TX.with_lang_id_trigram(held_out, profiles).collect()
     }
     assert got == {10: "en", 11: "ru", 12: "el", 13: "und"}
+
+
+def test_flac_stereo_decorrelation_roundtrip(spark):
+    """All three decorrelation modes reconstruct exact left/right:
+    mid/side's floor-shift parity recovery is load-bearing (odd
+    side values), the side channel's bps+1 width parses, and a
+    bit flip anywhere poisons via frame CRC."""
+    from geniepool_etl_spark.operators import multimodal as M
+
+    params = spark.createDataFrame(
+        [(1, 3, -100, 55), (2, 6, 200, -99)],
+        "asset_id long, n_frames int, base_val int, base_val2 int",
+    )
+    assets = M.synth_flac_stereo_assets(params)
+    got = {
+        r.asset_id: r
+        for r in M.decode_audio_pcm_stats(assets).collect()
+    }
+
+    def expected(nf, base, base2):
+        vals = []
+        for f in range(nf):
+            for i in range(64):
+                vals.append(base + 11 * f + ((f % 9) - 4) * i)
+                vals.append(base2 + 7 * f + ((f % 5) - 2) * i)
+        return (
+            len(vals),
+            sum(vals),
+            sum(v * v for v in vals),
+            max(abs(v) for v in vals),
+        )
+
+    for aid, (nf, b1, b2) in {1: (3, -100, 55), 2: (6, 200, -99)}.items():
+        r = got[aid]
+        assert (
+            r.n_samples, r.sum_amp, r.sum_sq, r.peak
+        ) == expected(nf, b1, b2), aid
+    raw = bytearray(
+        {r.asset_id: bytes(r.payload) for r in assets.collect()}[1]
+    )
+    raw[-7] ^= 0x08
+    poison = spark.createDataFrame(
+        [(9, bytes(raw), "audio/flac")], M.ASSET_SCHEMA
+    )
+    row = M.decode_audio_pcm_stats(poison).collect()[0]
+    assert row.n_samples is None
