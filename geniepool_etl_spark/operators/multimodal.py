@@ -3437,8 +3437,11 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
     prediction (4-bit precision-1, 5-bit shift, signed coefficients),
     both over Rice-partitioned zigzag residuals. Every frame's CRC-8
     header checksum and CRC-16 frame checksum are VERIFIED (a flipped
-    bit is poison, not a wrong sum). Remaining boundary:
-    stereo-decorrelation channel modes, wasted bits, Rice escapes."""
+    bit is poison, not a wrong sum). Stereo decorrelation
+    (left/side, side/right, mid/side — all-integer inverse), wasted
+    bits (narrowed coding width, shift-back) and escaped Rice
+    partitions (raw two's-complement residuals) all decode; the
+    remaining boundary is variable-blocking streams."""
     import struct
 
     if raw[:4] != b"fLaC":
@@ -3486,7 +3489,18 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
             cnt = per - order if p == 0 else per
             k = rd.read(4)
             if k == 15:
-                raise ValueError("flac: Rice escape code unsupported")
+                # escape: residuals ride RAW as eb-bit two's
+                # complement (eb=0 means all-zero) — encoders emit
+                # this when a partition's residuals defeat Rice
+                eb = rd.read(5)
+                for _j in range(cnt):
+                    if eb == 0:
+                        resid.append(0)
+                        continue
+                    v = rd.read(eb)
+                    v -= (v >= (1 << (eb - 1))) * (1 << eb)
+                    resid.append(v)
+                continue
             for _j in range(cnt):
                 q = 0
                 while rd.read(1) == 0:
@@ -3556,7 +3570,9 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
 
         def _read_subframe(cbps: int) -> list:
             """One channel's decoded samples at ``cbps`` bits (the
-            side channel of a decorrelated pair carries bps+1)."""
+            side channel of a decorrelated pair carries bps+1; a
+            wasted-bits declaration narrows the coded width and
+            shifts the result back up)."""
             chalf = 1 << (cbps - 1)
 
             def signed(v: int) -> int:
@@ -3565,14 +3581,33 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
             if rd.read(1):
                 raise ValueError("flac: bad subframe padding bit")
             stype = rd.read(6)
+            wasted = 0
             if rd.read(1):
-                raise ValueError("flac: wasted bits unsupported")
+                # wasted bits: unary count (k-1 zeros then a 1); the
+                # subframe codes samples at cbps-k and every decoded
+                # sample shifts left k — encoders emit this when all
+                # samples share low zero bits
+                wasted = 1
+                while rd.read(1) == 0:
+                    wasted += 1
+                if wasted >= cbps:
+                    raise ValueError("flac: wasted bits >= bps")
+                cbps -= wasted
+                chalf = 1 << (cbps - 1)
+
+                def _shift(xs: list) -> list:
+                    return [v << wasted for v in xs]
+            else:
+
+                def _shift(xs: list) -> list:
+                    return xs
+
             if stype == 0:  # CONSTANT
-                return [signed(rd.read(cbps))] * block_size
+                return _shift([signed(rd.read(cbps))] * block_size)
             if stype == 1:  # VERBATIM
-                return [
-                    signed(rd.read(cbps)) for _i in range(block_size)
-                ]
+                return _shift(
+                    [signed(rd.read(cbps)) for _i in range(block_size)]
+                )
             if 8 <= stype <= 12:  # FIXED, order = stype - 8
                 order = stype - 8
                 xs = [signed(rd.read(cbps)) for _i in range(order)]
@@ -3615,7 +3650,7 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
                     raise ValueError(
                         "flac: reconstructed sample out of range"
                     )
-            return xs
+            return _shift(xs)
 
         chans = [
             _read_subframe(bps + (1 if c == side_idx else 0))
@@ -3995,6 +4030,8 @@ def _flac_fixed_frame_body(
     order: int,
     bps: int,
     part_order: int = 1,
+    escape: bool = False,
+    wasted: int = 0,
 ) -> None:
     """Encode ONE channel's samples as a FIXED-predictor subframe
     into the SHARED frame bit writer (subframes are bit-contiguous
@@ -4005,7 +4042,16 @@ def _flac_fixed_frame_body(
     residual's bit length — simple, always escape-free)."""
     body.write(0, 1)  # padding
     body.write(0b001000 | order, 6)  # FIXED, given order
-    body.write(0, 1)  # no wasted bits
+    if wasted:
+        # all samples must share `wasted` low zero bits; coded at
+        # the narrowed width, unary-counted in the header
+        assert all(v % (1 << wasted) == 0 for v in samples)
+        body.write(1, 1)
+        body.write(1, wasted)  # (wasted-1) zeros then a 1
+        bps -= wasted
+        samples = [v >> wasted for v in samples]
+    else:
+        body.write(0, 1)  # no wasted bits
     for i in range(order):
         body.write(samples[i] & ((1 << bps) - 1), bps)
     coefs = _FLAC_FIXED_COEFS[order]
@@ -4014,7 +4060,7 @@ def _flac_fixed_frame_body(
         - sum(c * samples[i - j - 1] for j, c in enumerate(coefs))
         for i in range(order, len(samples))
     ]
-    _flac_write_rice(body, resid, order, len(samples), part_order)
+    _flac_write_rice(body, resid, order, len(samples), part_order, escape)
 
 
 def _flac_write_rice(
@@ -4023,6 +4069,7 @@ def _flac_write_rice(
     order: int,
     n_samples: int,
     part_order: int,
+    escape: bool = False,
 ) -> None:
     """Rice-partitioned residual coding shared by the FIXED and LPC
     subframe encoders: 2^part_order partitions, per-partition 4-bit
@@ -4037,6 +4084,16 @@ def _flac_write_rice(
         cnt = per - order if p == 0 else per
         chunk = resid[idx : idx + cnt]
         idx += cnt
+        if escape:
+            # escaped partition: k=15, then 5-bit raw width and the
+            # residuals as two's complement
+            eb = max((v.bit_length() + 1 for v in chunk), default=0)
+            body.write(15, 4)
+            body.write(eb, 5)
+            for v in chunk:
+                if eb:
+                    body.write(v & ((1 << eb) - 1), eb)
+            continue
         zz = [(2 * r if r >= 0 else -2 * r - 1) for r in chunk]
         k = max((z.bit_length() - 3 for z in zz), default=0)
         k = min(max(k, 0), 14)

@@ -4133,3 +4133,67 @@ def test_flac_stereo_decorrelation_roundtrip(spark):
     )
     row = M.decode_audio_pcm_stats(poison).collect()[0]
     assert row.n_samples is None
+
+
+def test_flac_wasted_bits_and_rice_escape(spark):
+    """The last two FLAC entropy edges: a subframe declaring WASTED
+    BITS (samples coded at bps-k, shifted back up k) and an ESCAPED
+    Rice partition (k=15 -> 5-bit raw width, two's-complement
+    residuals) must both decode to exact stats through the lane
+    dispatch; the poison contract holds across both."""
+    import struct
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    # hand-build one stream: frame 0 = wasted-bits FIXED order 1 over
+    # an all-even ramp; frame 1 = escaped-Rice FIXED order 2 over a
+    # quadratic (zero residuals after warmup -> eb=0 fast path);
+    # frame 2 = escaped-Rice order 0 over a sign-alternating ramp
+    block = 64
+    specs = [
+        [2 * (10 + 3 * i) for i in range(block)],          # even ramp
+        [5 + 2 * i + i * i for i in range(block)],         # quadratic
+        [(-1) ** i * (i + 1) for i in range(block)],       # alternating
+    ]
+    si = M._BitWriterMSB()
+    si.write(block, 16); si.write(block, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5)
+    si.write(block * len(specs), 36)
+    streaminfo = si.bytes_aligned() + bytes(16)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
+    out += streaminfo
+    for f, samples in enumerate(specs):
+        hdr = M._BitWriterMSB()
+        hdr.write(0b11111111111110, 14); hdr.write(0, 2)
+        hdr.write(0b0110, 4); hdr.write(0b0000, 4)
+        hdr.write(0, 4); hdr.write(0b100, 3); hdr.write(0, 1)
+        head = bytearray(hdr.bytes_aligned())
+        head += M._flac_utf8_number(f)
+        head.append(block - 1)
+        head.append(M._flac_crc8(bytes(head)))
+        body = M._BitWriterMSB()
+        if f == 0:
+            M._flac_fixed_frame_body(body, samples, 1, 16, wasted=1)
+        elif f == 1:
+            M._flac_fixed_frame_body(body, samples, 2, 16, escape=True)
+        else:
+            M._flac_fixed_frame_body(body, samples, 0, 16, escape=True)
+        frame = bytes(head) + body.bytes_aligned()
+        out += frame + struct.pack(">H", M._flac_crc16(frame))
+    vals = [v for samples in specs for v in samples]
+    n, sa, sq, pk = M._flac_pcm_sums(bytes(out))
+    assert (n, sa, sq, pk) == (
+        len(vals),
+        sum(vals),
+        sum(v * v for v in vals),
+        max(abs(v) for v in vals),
+    )
+    # bit flip in the escaped partition -> frame CRC poison
+    bad = bytearray(out)
+    bad[-5] ^= 0x20
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M._flac_pcm_sums(bytes(bad))
