@@ -530,70 +530,70 @@ def ivf_assign(
 ) -> DataFrame:
     """(id, vec, norm, cid, crank) — each vector assigned to its
     ``nprobe`` nearest of the given ``centroids`` by cosine (crank 1 =
-    nearest). The centroid set folds to a single array row (one tiny
-    exchange) that broadcasts against the corpus; ranking is a per-row
-    comparator ``array_sort`` + ``slice`` over that array — the corpus
-    itself NEVER shuffles (the earlier ``Window.partitionBy(id)``
-    shape exchanged N×C rows each carrying the full vector; at sqrt-N
-    centroid counts that exchange, not the dot products, dominated).
+    nearest), as a narrow Arrow ``mapInPandas``: the corpus NEVER
+    shuffles; the (metadata-sized, eagerly collected) centroid matrix
+    scores each batch in fold-order numpy (:func:`_fold_dots` —
+    bitwise identical to the oracle's fold), ranked on the half-up
+    9-decimal key with the ascending-cid tiebreak. The previous JVM
+    shape (1-row centroid fold broadcast + interpreted transform/
+    array_sort) cost ~16 µs per dot; at √N centroid counts that was
+    the dominant term of every IVF lane (measured at the sf10 decade:
+    46 s of a 122 s semantic dedup was assignment alone)."""
+    import numpy as np
 
-    The 1-row fold caps centroid-set size at what one broadcast row
-    holds comfortably (~65536 × 64 doubles ≈ 33 MB at the
-    auto_n_centroids clamp) — the same bound the broadcast join
-    already implied."""
-    vecs = _with_norm(df, id_col, vec_col)
-    carr = centroids.agg(
-        F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("_cents")
+    spark = df.sparkSession
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"id {id_dt}, vec array<double>, norm double, "
+        f"cid {id_dt}, crank int"
     )
-    # assignment ranks on the 9-decimal-rounded cosine: enough
-    # precision that distinct centroids never collide, while making
-    # the rank reproducible when an external engine (the correctness
-    # oracle) recomputes the same fold. NULL cosines (zero-norm
-    # guard upstream) sort last, matching the window shape's
-    # DESC-nulls-last, via the -inf fill.
-    neg_inf = F.lit(float("-inf"))
-    scored = F.transform(
-        F.col("_cents"),
-        lambda c: F.struct(
-            F.coalesce(
-                F.round(
-                    dot(F.col("vec"), c["cvec"])
-                    / (F.col("norm") * c["cnorm"]),
-                    9,
-                ),
-                neg_inf,
-            ).alias("cs"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    ranked = F.slice(
-        F.array_sort(
-            scored,
-            lambda l, r: F.when(l["cs"] > r["cs"], F.lit(-1))
-            .when(l["cs"] < r["cs"], F.lit(1))
-            .when(l["cid"] < r["cid"], F.lit(-1))
-            .when(l["cid"] > r["cid"], F.lit(1))
-            .otherwise(F.lit(0)),
-        ),
-        1,
-        nprobe,
-    )
-    return (
-        vecs.crossJoin(F.broadcast(carr))
-        .select(
-            "id",
-            "vec",
-            "norm",
-            F.posexplode(ranked).alias("_pos", "_c"),
-        )
-        .select(
-            "id",
-            "vec",
-            "norm",
-            F.col("_c.cid").alias("cid"),
-            (F.col("_pos") + 1).cast("int").alias("crank"),
-        )
-    )
+    # centroid sets are metadata-sized by construction (the
+    # auto_n_centroids clamp caps them at 65536 × dim doubles ≈
+    # 33 MB — the same bound the previous 1-row broadcast fold
+    # implied); collect once, close over the matrix
+    crows = sorted(centroids.collect(), key=lambda r: r["cid"])
+    if not crows:
+        return spark.createDataFrame([], out_schema)
+    cmat = np.array([list(r["cvec"]) for r in crows], dtype=np.float64)
+    cnorm = np.array([r["cnorm"] for r in crows], dtype=np.float64)
+    cid_arr = np.array([r["cid"] for r in crows])
+    kk = min(nprobe, len(crows))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            nrm = _fold_sq_norms(V)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _fold_dots(V, cmat) / (nrm[:, None] * cnorm[None, :])
+                # ranks on the half-up 9-decimal key — the same
+                # bucketing the JVM/oracle round(cs, 9) produces —
+                # with ascending-cid tiebreak (lexsort; cmat is
+                # cid-sorted). NaN (zero-norm) sorts last, matching
+                # the previous DESC-nulls-last -inf fill.
+                key = np.floor(cos * 1e9 + 0.5)
+            key[~np.isfinite(key)] = -np.inf
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(len(crows)), key.shape), -key),
+                axis=1,
+            )[:, :kk]
+            rows = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), kk),
+                    "vec": [v for v in V for _ in range(kk)],
+                    "norm": np.repeat(nrm, kk),
+                    "cid": cid_arr[order].ravel(),
+                    "crank": np.tile(
+                        np.arange(1, kk + 1, dtype=np.int32), rows
+                    ),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(assign, out_schema)
 
 
 def ivf_topk(
