@@ -9777,19 +9777,22 @@ FROM g
 
 # Ordering note (driver harness): the driver records only the FIRST
 # ~50 entries of this dict per round (observed: exactly 50). Round-9
-# window, per VERDICT r8 ask #1: (a) the 14 entries that have NEVER
+# window, per VERDICT r8 ask #1: (a) the 14 entries that had NEVER
 # appeared in a driver CORRECTNESS window (added late in r8, past its
-# 50-entry edge; all selfcheck-green + independently verified by the
-# r8 judge): a19_loghist_quantiles, the three streaming-sketch twins,
-# the mp4/mp3/flac/ogg/pcm/pixel-stats decode lanes, corpus card,
-# file census, url domains, sql variables. Then (b) r9-NEW lanes are
-# inserted directly after that block as they are built (each new lane
-# displaces one re-record off the window edge, never a never-recorded
-# entry). Then (c) stalest re-records: the r3 group, the r4 group,
-# and the head of the r4 tail, until the window is full. After r9
-# every registered entry will have at least one driver-recorded green
-# row. All entries are selfcheck-green at sf0.001+sf0.01 and
-# ansi-swept regardless of the window.
+# 50-entry edge): a19_loghist_quantiles, the three streaming-sketch
+# twins, the mp4/mp3/flac/ogg/pcm/pixel-stats decode lanes, corpus
+# card, file census, url domains, sql variables — after r9 every
+# registered entry has a driver-recorded green row. Then (b) the 4
+# r9-NEW lanes (FLAC stereo + LPC, JPEG restarts, interlaced PNG).
+# Then (c) the 28 lanes whose IMPLEMENTATION changed in r9 — the
+# Arrow similarity rewrites (semantic/LSH/IVF/IVF-PQ and the
+# lsh_bucket-derived dedup lanes), the trigram language id, the
+# auto-sized interval join, the FLAC/JPEG/PNG decoder changes, and
+# the snaptable bloom-carry + distributed-pruning lanes — changed
+# code outranks stale-ness for re-recording. Then (d) stalest
+# re-records (r3 group head) fill the window. All entries are
+# selfcheck-green at sf0.001+sf0.01 and ansi-swept regardless of the
+# window.
 SPARK_QUERIES = {
     # --- never driver-recorded (r8 overflow): record first ---
     "a19_loghist_quantiles": q_a19_loghist_quantiles,
@@ -9811,8 +9814,39 @@ SPARK_QUERIES = {
     "multimodal_flac_lpc": q_multimodal_flac_lpc,
     "multimodal_jpeg_restart": q_multimodal_jpeg_restart,
     "multimodal_png_interlaced": q_multimodal_png_interlaced,
-    # --- stalest re-records: last green r3 ---
+    # --- r9 CHANGED implementations: re-record before stale ones
+    # (Arrow similarity rewrites, FLAC/JPEG/PNG decoder changes,
+    # snaptable bloom-carry + distributed pruning, trigram lang id,
+    # interval auto-sizing) ---
+    "dedup_semantic": q_dedup_semantic,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_lsh_recall": q_sim_lsh_recall,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_recall": q_sim_ivf_recall,
+    "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_near_keep": q_dedup_near_keep,
+    "dedup_incremental_near": q_dedup_incremental_near,
+    "text_lang_id": q_text_lang_id,
+    "events_interval_join": q_events_interval_join,
+    "multimodal_flac_pcm": q_multimodal_flac_pcm,
+    "multimodal_flac_fixed": q_multimodal_flac_fixed,
+    "multimodal_png_pixels": q_multimodal_png_pixels,
+    "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
+    "multimodal_jpeg_color": q_multimodal_jpeg_color,
+    "multimodal_jpeg_420": q_multimodal_jpeg_420,
+    "snap_range_skip": q_snap_range_skip,
+    "snap_bloom_skip": q_snap_bloom_skip,
+    "snap_zorder_skip": q_snap_zorder_skip,
+    "snap_partition_prune": q_snap_partition_prune,
+    "snap_hidden_partition": q_snap_hidden_partition,
+    "snap_apply_cdc": q_snap_apply_cdc,
+    "snap_merge_upsert": q_snap_merge_upsert,
+    "snap_delete_cow": q_snap_delete_cow,
+    "snap_compact_cluster": q_snap_compact_cluster,
+    "snap_compact_history": q_snap_compact_history,
+    "s23_snap_change_stream": q_s23_snap_change_stream,
+    # --- stalest re-records: last green r3 ---
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_levenshtein": q_dedup_levenshtein,
     "events_funnel": q_events_funnel,
@@ -9826,7 +9860,6 @@ SPARK_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
-    "dedup_near_keep": q_dedup_near_keep,
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
     "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
@@ -9841,51 +9874,32 @@ SPARK_QUERIES = {
     "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
     "p2_derive": q_p2_derive,
     # --- recorded r8 (freshest records; past the r9 window edge) ---
-    "s23_snap_change_stream": q_s23_snap_change_stream,
-    "snap_compact_cluster": q_snap_compact_cluster,
     "snap_meta_count": q_snap_meta_count,
     "text_quality_classifier": q_text_quality_classifier,
     "events_ewma": q_events_ewma,
-    "snap_hidden_partition": q_snap_hidden_partition,
     "pipeline_web_curation": q_pipeline_web_curation,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
     "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
-    "multimodal_flac_fixed": q_multimodal_flac_fixed,
-    "multimodal_flac_pcm": q_multimodal_flac_pcm,
     "text_url_canonical": q_text_url_canonical,
-    "multimodal_jpeg_color": q_multimodal_jpeg_color,
-    "multimodal_jpeg_420": q_multimodal_jpeg_420,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,
-    "snap_partition_prune": q_snap_partition_prune,
-    "snap_apply_cdc": q_snap_apply_cdc,
     "text_html_clean": q_text_html_clean,
     "text_nfc_normalize": q_text_nfc_normalize,
     "text_gopher_gates": q_text_gopher_gates,
     "events_resample_ffill": q_events_resample_ffill,
     "events_rfm": q_events_rfm,
-    "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "snap_schema_evolution": q_snap_schema_evolution,
-    "snap_bloom_skip": q_snap_bloom_skip,
     "text_collocations": q_text_collocations,
     "events_pattern_match": q_events_pattern_match,
-    "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
     "snap_time_travel": q_snap_time_travel,
-    "snap_delete_cow": q_snap_delete_cow,
-    "snap_range_skip": q_snap_range_skip,
-    "snap_compact_history": q_snap_compact_history,
     "snap_change_feed": q_snap_change_feed,
-    "snap_merge_upsert": q_snap_merge_upsert,
-    "snap_zorder_skip": q_snap_zorder_skip,
     "stream_snap_ingest": q_stream_snap_ingest,
     "s22_python_stream_source": q_s22_python_stream_source,
     "multimodal_image_dedup": q_multimodal_image_dedup,
     "multimodal_ppm_pixels": q_multimodal_ppm_pixels,
     "multimodal_gif_pixels": q_multimodal_gif_pixels,
-    "multimodal_png_pixels": q_multimodal_png_pixels,
     "text_perplexity": q_text_perplexity,
     "text_bpe_encode": q_text_bpe_encode,
-    "dedup_semantic": q_dedup_semantic,
     "obs_drift_ks": q_obs_drift_ks,
     "obs_expectations": q_obs_expectations,
     "graph_triangles": q_graph_triangles,
@@ -9983,7 +9997,6 @@ SPARK_QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "s16_csv_permissive_corrupt": q_s16_csv_permissive_corrupt,
     "events_asof_tolerance": q_events_asof_tolerance,
-    "sim_lsh_recall": q_sim_lsh_recall,
     "pack_efficiency": q_pack_efficiency,
     "sql_tpch_q5": q_sql_tpch_q5,
     "s17_fixed_width": q_s17_fixed_width,
@@ -10025,12 +10038,9 @@ SPARK_QUERIES = {
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "text_pii": q_text_pii,
     "pipeline_chunk_pack": q_pipeline_chunk_pack,
-    "sim_ivf_recall": q_sim_ivf_recall,
     "obs_quality_metrics": q_obs_quality_metrics,
     "dedup_repeated_spans": q_dedup_repeated_spans,
-    "dedup_incremental_near": q_dedup_incremental_near,
     "multimodal_extract_arrow": q_multimodal_extract_arrow,
-    "events_interval_join": q_events_interval_join,
     "events_variant": q_events_variant,
     "s18_python_datasource": q_s18_python_datasource,
     "udtf_topk": q_udtf_topk,
@@ -10053,7 +10063,6 @@ SPARK_QUERIES = {
     "flagship_lake_nest": q_flagship_lake_nest,
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
-    "text_lang_id": q_text_lang_id,
     "text_ngram_topk": q_text_ngram_topk,
     "text_quality_by_source": q_text_quality_by_source,
     "text_fingerprint": q_text_fingerprint,
@@ -10064,8 +10073,6 @@ SPARK_QUERIES = {
     "text_repetition": q_text_repetition,
     "sim_brute_topk": q_sim_brute_topk,
     "sim_pandas_topk": q_sim_pandas_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_ivf_topk": q_sim_ivf_topk,
 }
 
 
