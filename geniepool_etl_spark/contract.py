@@ -2532,8 +2532,10 @@ def q_multimodal_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoders default to for stereo — the side channel carries bps+1
     bits, mid's floor-shift drops a bit recovered from side's parity,
     and the all-integer inverse reconstructs both channels exactly.
-    Closes the last common FLAC gap after r9's LPC work; remaining:
-    wasted bits, Rice escapes."""
+    Left/side and side/right frames double their signals and declare
+    one WASTED BIT per subframe (narrowed coding width + shift-back),
+    so that edge is driver-verified too. Closes the last common FLAC
+    gaps after r9's LPC work; remaining: variable-blocking streams."""
     params = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 14 == 11)
@@ -8444,12 +8446,18 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
           FROM documents WHERE doc_id % 14 = 11
         ),
         v AS (
-          SELECT asset_id, base + 11 * f.i + ((f.i % 9) - 4) * s.i AS v
+          -- left/side and side/right frames (f%3 != 2) double their
+          -- signals and code with one wasted bit; mid/side unscaled
+          SELECT asset_id,
+                 (CASE WHEN f.i % 3 = 2 THEN 1 ELSE 2 END)
+                   * (base + 11 * f.i + ((f.i % 9) - 4) * s.i) AS v
           FROM prm,
                UNNEST(range(nf)) AS f(i),
                UNNEST(range(64)) AS s(i)
           UNION ALL
-          SELECT asset_id, base2 + 7 * f.i + ((f.i % 5) - 2) * s.i AS v
+          SELECT asset_id,
+                 (CASE WHEN f.i % 3 = 2 THEN 1 ELSE 2 END)
+                   * (base2 + 7 * f.i + ((f.i % 5) - 2) * s.i) AS v
           FROM prm,
                UNNEST(range(nf)) AS f(i),
                UNNEST(range(64)) AS s(i)

@@ -4276,7 +4276,14 @@ def _flac_bytes_stereo(
     (mode, a, b, a2, b2): left = ``a + b·i``, right = ``a2 + b2·i``
     over i = 0..block_size-1 (closed forms for the oracle); the
     transformed channels ride as VERBATIM subframes at their exact
-    widths. mid = (left+right)>>1 (floor), side = left−right."""
+    widths. mid = (left+right)>>1 (floor), side = left−right.
+
+    Left/side and side/right frames additionally DOUBLE their signals
+    and declare one WASTED BIT per subframe (every doubled value
+    shares a low zero bit — the spec's wasted-bits coding, narrowed
+    width + shift-back), so that machinery is driver-verified too;
+    mid/side frames stay unscaled so odd side values keep the
+    floor-shift parity recovery load-bearing."""
     import struct
 
     total = block_size * len(frame_specs)
@@ -4294,16 +4301,27 @@ def _flac_bytes_stereo(
     out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
     out += streaminfo
 
-    def vsub(body: "_BitWriterMSB", vals: list, width: int) -> None:
+    def vsub(
+        body: "_BitWriterMSB", vals: list, width: int, wasted: int = 0
+    ) -> None:
         body.write(0, 1)  # padding
         body.write(1, 6)  # VERBATIM
-        body.write(0, 1)  # no wasted bits
+        if wasted:
+            assert all(v % (1 << wasted) == 0 for v in vals)
+            body.write(1, 1)
+            body.write(1, wasted)  # (wasted-1) zeros then a 1
+            width -= wasted
+            vals = [v >> wasted for v in vals]
+        else:
+            body.write(0, 1)  # no wasted bits
         for v in vals:
             body.write(v & ((1 << width) - 1), width)
 
     for f, (mode, a, b, a2, b2) in enumerate(frame_specs):
-        left = [a + b * i for i in range(block_size)]
-        right = [a2 + b2 * i for i in range(block_size)]
+        wasted = 0 if mode == 10 else 1
+        scl = 1 << wasted
+        left = [scl * (a + b * i) for i in range(block_size)]
+        right = [scl * (a2 + b2 * i) for i in range(block_size)]
         side = [l - r for l, r in zip(left, right)]
         if mode == 8:
             ch = [(left, bps), (side, bps + 1)]
@@ -4329,7 +4347,7 @@ def _flac_bytes_stereo(
         head.append(_flac_crc8(bytes(head)))
         body = _BitWriterMSB()
         for vals, width in ch:
-            vsub(body, vals, width)
+            vsub(body, vals, width, wasted)
         frame = bytes(head) + body.bytes_aligned()
         out += frame + struct.pack(">H", _flac_crc16(frame))
     return bytes(out)

@@ -4109,9 +4109,10 @@ def test_flac_stereo_decorrelation_roundtrip(spark):
     def expected(nf, base, base2):
         vals = []
         for f in range(nf):
+            scl = 1 if f % 3 == 2 else 2  # wasted-bit frames double
             for i in range(64):
-                vals.append(base + 11 * f + ((f % 9) - 4) * i)
-                vals.append(base2 + 7 * f + ((f % 5) - 2) * i)
+                vals.append(scl * (base + 11 * f + ((f % 9) - 4) * i))
+                vals.append(scl * (base2 + 7 * f + ((f % 5) - 2) * i))
         return (
             len(vals),
             sum(vals),
