@@ -2535,7 +2535,8 @@ def q_multimodal_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     Left/side and side/right frames double their signals and declare
     one WASTED BIT per subframe (narrowed coding width + shift-back),
     so that edge is driver-verified too. Closes the last common FLAC
-    gaps after r9's LPC work; remaining: variable-blocking streams."""
+    gaps after r9's LPC work (variable blocking is pinned by pytest —
+    the full fixed-point feature set decodes)."""
     params = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 14 == 11)

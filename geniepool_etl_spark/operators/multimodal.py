@@ -3439,9 +3439,10 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
     header checksum and CRC-16 frame checksum are VERIFIED (a flipped
     bit is poison, not a wrong sum). Stereo decorrelation
     (left/side, side/right, mid/side — all-integer inverse), wasted
-    bits (narrowed coding width, shift-back) and escaped Rice
-    partitions (raw two's-complement residuals) all decode; the
-    remaining boundary is variable-blocking streams."""
+    bits (narrowed coding width, shift-back), escaped Rice partitions
+    (raw two's-complement residuals) and variable-blocking streams
+    (per-frame block sizes, sample-number coding) all decode — the
+    full fixed-point FLAC feature set."""
     import struct
 
     if raw[:4] != b"fLaC":

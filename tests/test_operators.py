@@ -4198,3 +4198,55 @@ def test_flac_wasted_bits_and_rice_escape(spark):
 
     with _pytest.raises(ValueError):
         M._flac_pcm_sums(bytes(bad))
+
+
+def test_flac_variable_blocking_stream():
+    """Variable-blocking FLAC (blocking-strategy bit = 1): frames
+    carry UTF-8-coded SAMPLE numbers and differing block sizes (the
+    last frame shorter, as real encoders emit). The decoder's
+    per-frame block-size handling and generic number walk must
+    decode it exactly — closing the last declared FLAC boundary."""
+    import struct
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    specs = [(96, 7, 3), (96, -50, 2), (40, 11, -1)]  # (block, a, b)
+    total = sum(b for b, _a, _b2 in specs)
+    si = M._BitWriterMSB()
+    si.write(40, 16); si.write(96, 16)  # min/max block size differ
+    si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5)
+    si.write(total, 36)
+    streaminfo = si.bytes_aligned() + bytes(16)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
+    out += streaminfo
+    first_sample = 0
+    for block, a, b in specs:
+        hdr = M._BitWriterMSB()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)
+        hdr.write(1, 1)  # VARIABLE blocking: number is a SAMPLE index
+        hdr.write(0b0111, 4)  # 16-bit block size - 1 at end
+        hdr.write(0b0000, 4)
+        hdr.write(0, 4)  # mono
+        hdr.write(0b100, 3)
+        hdr.write(0, 1)
+        head = bytearray(hdr.bytes_aligned())
+        head += M._flac_utf8_number(first_sample)
+        head += struct.pack(">H", block - 1)
+        head.append(M._flac_crc8(bytes(head)))
+        body = M._BitWriterMSB()
+        samples = [a + b * i for i in range(block)]
+        M._flac_fixed_frame_body(body, samples, 1, 16)
+        frame = bytes(head) + body.bytes_aligned()
+        out += frame + struct.pack(">H", M._flac_crc16(frame))
+        first_sample += block
+    vals = [a + b * i for block, a, b in specs for i in range(block)]
+    n, sa, sq, pk = M._flac_pcm_sums(bytes(out))
+    assert (n, sa, sq, pk) == (
+        len(vals),
+        sum(vals),
+        sum(v * v for v in vals),
+        max(abs(v) for v in vals),
+    )
