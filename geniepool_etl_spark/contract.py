@@ -2497,6 +2497,34 @@ def q_a20_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUCCESSIVE-APPROXIMATION progressive JPEG decode (multimodal.
+    synth_jpeg_sa_assets → decode_image_pixel_stats): the remaining
+    progressive scan kinds real encoders emit — first DC scan at
+    point transform Al=1, DC refinement bits, per-component first AC
+    scans at Al=1 and AC refinement scans (Ah=1). The block-constant
+    gradient's AC bands are zero, so the oracle stays the closed
+    form and the SA machinery must be exactly value-neutral;
+    nonzero-history refinement (positional corrections, EOB-covered
+    corrections) is pinned by a hand-built-bitstream unit test. With
+    this, every SOF0/SOF2 scan structure the engine meets decodes;
+    the JPEG boundary is subsampling beyond 2x2 only."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 19 == 8)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(10) + (F.col("doc_id") % 7) * 6)
+            .cast("long")
+            .alias("width"),
+            (F.lit(9) + (F.col("doc_id") % 6) * 5)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(M.synth_jpeg_sa_assets(params))
+
+
 def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROGRESSIVE JPEG decode (SOF2, multimodal.
     synth_jpeg_progressive_assets → decode_image_pixel_stats): an
@@ -8576,6 +8604,40 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS n_distinct_parts
         FROM lineitem GROUP BY l_linestatus
     """
+    o["multimodal_jpeg_sa"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 10 + (doc_id % 7) * 6 AS w,
+                 9 + (doc_id % 6) * 5 AS h
+          FROM documents WHERE doc_id % 19 = 8
+        ),
+        px AS (
+          SELECT asset_id,
+                 (37 * ((i % w) // 8) + 71 * ((i // w) // 8)) % 256 AS yy,
+                 (23 * ((i % w) // 8) + 41 * ((i // w) // 8)) % 256 AS cb,
+                 (53 * ((i % w) // 8) + 13 * ((i // w) // 8)) % 256 AS cr
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        rgb AS (
+          SELECT asset_id,
+                 least(greatest((1000 * yy + 1402 * (cr - 128) + 500)
+                   // 1000, 0), 255) AS r,
+                 least(greatest((1000 * yy - 344 * (cb - 128)
+                   - 714 * (cr - 128) + 500) // 1000, 0), 255) AS g,
+                 least(greatest((1000 * yy + 1772 * (cb - 128) + 500)
+                   // 1000, 0), 255) AS b
+          FROM px
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b
+          FROM rgb GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_jpeg_progressive"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9819,6 +9881,7 @@ SPARK_QUERIES = {
     "text_url_domains": q_text_url_domains,
     "sql_variables_params": q_sql_variables_params,
     # --- r9-new lanes (inserted here as built) ---
+    "multimodal_jpeg_sa": q_multimodal_jpeg_sa,
     "multimodal_flac_stereo": q_multimodal_flac_stereo,
     "multimodal_flac_lpc": q_multimodal_flac_lpc,
     "multimodal_jpeg_restart": q_multimodal_jpeg_restart,

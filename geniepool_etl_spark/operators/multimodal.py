@@ -3818,6 +3818,139 @@ def synth_jpeg_progressive_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_jpeg_sa_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize progressive JPEGs with SUCCESSIVE APPROXIMATION —
+    the full set of scan kinds real encoders emit: a first DC scan at
+    point transform Al=1 (diffs of dc>>1, arithmetic shift), a DC
+    refinement scan (Ah=1, Al=0 — one raw low bit per block per
+    component), then per component a first AC band scan at Al=1 and
+    an AC refinement scan (Ah=1, Al=0); the block-constant gradient's
+    AC bands are all zero, so both AC scans are pure EOB runs and the
+    pixel oracle stays the closed form (the SA machinery must be
+    exactly value-neutral — nonzero-history refinement is pinned by
+    the coefficient-level unit tests). Arrow ``mapInPandas``."""
+    import struct
+
+    import numpy as np
+
+    enc_dc, _ = _jpeg_huff_tables(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    _EOB_BITS = (0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    _EOB_VALS = tuple(r << 4 for r in range(15))
+    enc_eob, _ = _jpeg_huff_tables(_EOB_BITS, _EOB_VALS)
+    tmat = _jpeg_dct_matrix()
+
+    def one(w: int, h: int) -> bytes:
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        bx = np.arange(nbx, dtype=np.int64)[None, :]
+        by = np.arange(nby, dtype=np.int64)[:, None]
+        planes = [
+            ((37 * bx + 71 * by) % 256).astype(np.float64),
+            ((23 * bx + 41 * by) % 256).astype(np.float64),
+            ((53 * bx + 13 * by) % 256).astype(np.float64),
+        ]
+        dcs = [[], [], []]
+        for r in range(nby):
+            for c in range(nbx):
+                for ci in range(3):
+                    blk = np.full((8, 8), planes[ci][r, c]) - 128.0
+                    dcs[ci].append(
+                        int(np.rint((tmat @ blk @ tmat.T))[0, 0])
+                    )
+        # first DC scan at Al=1: category+EXTEND diffs of dc>>1
+        wr = _JpegBitWriter()
+        preds = [0, 0, 0]
+        for b in range(nby * nbx):
+            for ci in range(3):
+                hi = dcs[ci][b] >> 1
+                diff = hi - preds[ci]
+                preds[ci] = hi
+                mag = abs(diff)
+                ssss = mag.bit_length()
+                code, ln = enc_dc[ssss]
+                wr.write(code, ln)
+                if ssss:
+                    wr.write(
+                        diff if diff >= 0 else diff + (1 << ssss) - 1,
+                        ssss,
+                    )
+        dc_first = wr.flush()
+        # DC refinement scan: the dropped low bit, raw, interleaved
+        wr = _JpegBitWriter()
+        for b in range(nby * nbx):
+            for ci in range(3):
+                wr.write(dcs[ci][b] & 1, 1)
+        dc_refine = wr.flush()
+
+        def eob_scan() -> bytes:
+            wr = _JpegBitWriter()
+            n = nbx * nby
+            while n > 0:
+                m = min(n, 32767)
+                rr = m.bit_length() - 1
+                code, ln = enc_eob[rr << 4]
+                wr.write(code, ln)
+                if rr:
+                    wr.write(m - (1 << rr), rr)
+                n -= m
+            return wr.flush()
+
+        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        dqt = b"\x00" + bytes([1] * 64)
+        sof2 = (
+            b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x03"
+            + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+        )
+        dht_dc = b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        dht_eob = b"\x11" + bytes(_EOB_BITS) + bytes(_EOB_VALS)
+        seg = lambda m, b: m + struct.pack(">H", len(b) + 2) + b  # noqa: E731
+        out = [
+            b"\xff\xd8",
+            seg(b"\xff\xe0", app0),
+            seg(b"\xff\xdb", dqt),
+            seg(b"\xff\xc2", sof2),
+            seg(b"\xff\xc4", dht_dc),
+            seg(b"\xff\xc4", dht_eob),
+            # DC first at Al=1, then its refinement at Ah=1/Al=0
+            seg(b"\xff\xda", b"\x03\x01\x00\x02\x00\x03\x00\x00\x00\x01"),
+            dc_first,
+            seg(b"\xff\xda", b"\x03\x01\x00\x02\x00\x03\x00\x00\x00\x10"),
+            dc_refine,
+        ]
+        for ci in range(3):
+            out.append(
+                seg(b"\xff\xda", bytes([1, ci + 1, 0x01, 1, 63, 0x01]))
+            )
+            out.append(eob_scan())
+            out.append(
+                seg(b"\xff\xda", bytes([1, ci + 1, 0x01, 1, 63, 0x10]))
+            )
+            out.append(eob_scan())
+        out.append(b"\xff\xd9")
+        return b"".join(out)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(w), int(h))
+                        for w, h in zip(pdf[width_col], pdf[height_col])
+                    ],
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
     """Decode a PROGRESSIVE JPEG (SOF2) whose scans use spectral
     selection WITHOUT successive approximation (Ah=Al=0): a DC scan
@@ -3826,9 +3959,13 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
     progressive format. Coefficients accumulate per block across
     scans; after EOI every block dequantizes + IDCTs exactly like the
     baseline path, and color output goes through the same fixed-point
-    integer YCbCr→RGB. Successive-approximation scans (Ah or Al ≠ 0)
-    and sampling factors beyond 1x1 raise — the declared remaining
-    boundary. Supports 1 or 3 components."""
+    integer YCbCr→RGB. SUCCESSIVE APPROXIMATION decodes too: first DC
+    scans at a point transform (arithmetic shift), DC refinement bits
+    OR-ed in, first AC scans at toward-zero division, and full AC
+    refinement (G.1.2.3 — positional correction bits during advances,
+    inside ZRL skips and across every EOB-run-covered block;
+    non-contiguous Ah/Al chains raise). Sampling factors beyond 1x1
+    raise — the remaining boundary. Supports 1 or 3 components."""
     import struct
 
     import numpy as np
@@ -3921,17 +4058,19 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                     raise ValueError("jpeg: scan names unknown component")
                 scan_comps.append((match[0], tt >> 4, tt & 0x0F))
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
-            ahal = seg[3 + 2 * ns]
-            if ahal != 0:
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if ah and ah != al + 1:
                 raise ValueError(
-                    "jpeg: successive approximation unsupported"
+                    "jpeg: non-contiguous successive approximation"
                 )
             data_start = pos + 2 + ln
             data_end = _scan_end(data_start)
             rd = _JpegBitReader(raw[data_start:data_end])
-            if ss == 0:
-                # DC scan: interleaved over all scan components (1x1
-                # factors → one block per component per MCU)
+            if ss == 0 and ah == 0:
+                # FIRST DC scan: interleaved over all scan components
+                # (1x1 factors → one block per component per MCU);
+                # with a point transform the decoded values are the
+                # coefficient >> al (arithmetic), stored shifted up
                 if se != 0:
                     raise ValueError("jpeg: mixed DC/AC spectral band")
                 for b in range(nby * nbx):
@@ -3949,10 +4088,20 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                             if ssss
                             else 0
                         )
-                        coefs[ci][b, 0] = preds[ci]
-            else:
-                # AC band scan: progressive AC scans are single-
-                # component, with EOB-run coding (G.1.2.2)
+                        coefs[ci][b, 0] = preds[ci] << al
+            elif ss == 0:
+                # DC REFINEMENT scan (G.1.2.1): one raw bit per block
+                # per component, OR-ed into bit al — exact for
+                # negative values too (two's-complement low bits)
+                if se != 0:
+                    raise ValueError("jpeg: mixed DC/AC spectral band")
+                for b in range(nby * nbx):
+                    for ci, _dc_id, _ac_id in scan_comps:
+                        if rd.read(1):
+                            coefs[ci][b, 0] |= 1 << al
+            elif ah == 0:
+                # FIRST AC band scan: single-component EOB-run coding
+                # (G.1.2.2); point transform stores values << al
                 if ns != 1 or ss > se or se > 63:
                     raise ValueError("jpeg: bad AC scan parameters")
                 ci, _dc_id, ac_id = scan_comps[0]
@@ -3979,8 +4128,68 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                         k += r
                         if k > se:
                             raise ValueError("jpeg: AC index overflow")
-                        coefs[ci][b, k] = _jpeg_extend(rd.read(s), s)
+                        coefs[ci][b, k] = (
+                            _jpeg_extend(rd.read(s), s) << al
+                        )
                         k += 1
+            else:
+                # AC REFINEMENT scan (G.1.2.3): newly-nonzero
+                # coefficients arrive as ±1·2^al; every coefficient
+                # with NONZERO history in the band gets a correction
+                # bit — including inside ZRL skips and across every
+                # block an EOB run covers
+                if ns != 1 or ss > se or se > 63:
+                    raise ValueError("jpeg: bad AC scan parameters")
+                ci, _dc_id, ac_id = scan_comps[0]
+                dec_ac = huff_ac.get(ac_id)
+                if dec_ac is None:
+                    raise ValueError("jpeg: missing AC table")
+                p1, m1 = 1 << al, -(1 << al)
+
+                def _correct(row, k: int) -> None:
+                    if rd.read(1) and (row[k] & p1) == 0:
+                        row[k] += p1 if row[k] >= 0 else m1
+
+                eobrun = 0
+                for b in range(nby * nbx):
+                    row = coefs[ci][b]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = rd.read_huff(dec_ac)
+                            r, sbits = rs >> 4, rs & 0x0F
+                            if sbits == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += rd.read(r)
+                                    break
+                                val = 0  # ZRL: skip 16 zero-history
+                            elif sbits == 1:
+                                val = p1 if rd.read(1) else m1
+                            else:
+                                raise ValueError(
+                                    "jpeg: AC refinement size > 1"
+                                )
+                            while k <= se:
+                                if row[k]:
+                                    _correct(row, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                row[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        # correction bits over the block's remainder,
+                        # then the run consumes this block
+                        while k <= se:
+                            if row[k]:
+                                _correct(row, k)
+                            k += 1
+                        eobrun -= 1
             pos = data_end
             continue
         pos += 2 + ln

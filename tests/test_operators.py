@@ -4250,3 +4250,97 @@ def test_flac_variable_blocking_stream():
         sum(v * v for v in vals),
         max(abs(v) for v in vals),
     )
+
+
+def test_jpeg_sa_refinement_nonzero_history():
+    """AC successive-approximation refinement with NONZERO history —
+    the path the all-zero lane can't reach: a hand-built two-block
+    progressive stream where the refinement scan must (a) correct an
+    existing +2 to +3 via a positional correction bit inside an
+    (r=2,s=1) advance, (b) place a NEW -1 after skipping two
+    zero-history slots, and (c) correct a -2 to -3 inside an EOB-run
+    block (corrections ride inside EOB-covered blocks too). Expected
+    pixels derive from the reconstructed coefficients through the
+    shared IDCT."""
+    import struct
+
+    import numpy as np
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    # DC table: Annex K luminance; AC table: 4 symbols at length 3
+    AC_BITS = (0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    AC_VALS = (0x00, 0x01, 0x11, 0x21)
+    enc_dc, _ = M._jpeg_huff_tables(M._JPEG_DC_BITS, M._JPEG_DC_VALS)
+    enc_ac, _ = M._jpeg_huff_tables(AC_BITS, AC_VALS)
+
+    def dc_scan(dcs):
+        wr = M._JpegBitWriter()
+        pred = 0
+        for dc in dcs:
+            diff = dc - pred
+            pred = dc
+            ssss = abs(diff).bit_length()
+            code, ln = enc_dc[ssss]
+            wr.write(code, ln)
+            if ssss:
+                wr.write(diff if diff >= 0 else diff + (1 << ssss) - 1, ssss)
+        return wr.flush()
+
+    def sym(wr, s):
+        code, ln = enc_ac[s]
+        wr.write(code, ln)
+
+    # first AC scan at Al=1 (toward-zero point transform):
+    # block 1: +1 at k=1 (true +3 -> sends +1), EOB0
+    # block 2: -1 at k=2 (true -3 -> sends -1, r=1), EOB0
+    wr = M._JpegBitWriter()
+    sym(wr, 0x01); wr.write(1, 1)       # (0,1) value +1
+    sym(wr, 0x00)                        # EOB0
+    sym(wr, 0x11); wr.write(0, 1)       # (1,1) value -1
+    sym(wr, 0x00)                        # EOB0
+    ac_first = wr.flush()
+    # refinement at Ah=1, Al=0:
+    # block 1: (2,1) sign 0 (new -1), correction 1 for k=1 (2 -> 3),
+    #          lands at k=4; then EOB0 (covers rest, no corrections)
+    # block 2: EOB0 immediately; correction bit 1 for k=2 (-2 -> -3)
+    wr = M._JpegBitWriter()
+    sym(wr, 0x21); wr.write(0, 1)       # new coef sign -> -1
+    wr.write(1, 1)                       # correction for k=1
+    sym(wr, 0x00)                        # EOB0
+    sym(wr, 0x00)                        # block 2: EOB0
+    wr.write(1, 1)                       # correction for k=2
+    ac_refine = wr.flush()
+
+    dcs = [-26, 5]
+    seg = lambda m, b: m + struct.pack(">H", len(b) + 2) + b  # noqa: E731
+    sof2 = b"\x08" + struct.pack(">HH", 8, 16) + b"\x01" + b"\x01\x11\x00"
+    raw = b"".join([
+        b"\xff\xd8",
+        seg(b"\xff\xdb", b"\x00" + bytes([1] * 64)),
+        seg(b"\xff\xc2", sof2),
+        seg(b"\xff\xc4", b"\x00" + bytes(M._JPEG_DC_BITS) + bytes(M._JPEG_DC_VALS)),
+        seg(b"\xff\xc4", b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)),
+        seg(b"\xff\xda", b"\x01\x01\x00\x00\x00\x00"),    # DC, Ah=Al=0
+        dc_scan(dcs),
+        seg(b"\xff\xda", b"\x01\x01\x00\x01\x3f\x01"),    # AC first, Al=1
+        ac_first,
+        seg(b"\xff\xda", b"\x01\x01\x00\x01\x3f\x10"),    # AC refine
+        ac_refine,
+        b"\xff\xd9",
+    ])
+    # expected coefficients after refinement
+    zz = np.asarray(M._JPEG_ZIGZAG)
+    tmat = M._jpeg_dct_matrix()
+    exp_sum = 0
+    for b, ac in enumerate([{1: 3, 4: -1}, {2: -3}]):
+        z = np.zeros(64, dtype=np.int64)
+        z[0] = dcs[b]
+        for k, v in ac.items():
+            z[k] = v
+        coef = np.zeros(64, dtype=np.int64)
+        coef[zz] = z
+        blk = tmat.T @ coef.reshape(8, 8).astype(np.float64) @ tmat
+        exp_sum += int(np.clip(np.rint(blk) + 128, 0, 255).sum())
+    n, sr, sg, sb = M._jpeg_progressive_pixel_sums(raw)
+    assert (n, sr, sg, sb) == (128, exp_sum, exp_sum, exp_sum)
