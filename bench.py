@@ -175,11 +175,17 @@ _SF10_STAGE_VERSION = "v1"
 
 
 def _stage_sf10(spark) -> None:
-    """Stage the sf10 tables from the (already staged) sf1 ones."""
+    """Stage the sf10 tables from the (already staged) sf1 ones. The
+    marker records the sf1 marker's mtime: when sf1 restages (new
+    stage version, or the driver re-materialized the base testdata),
+    a stale sf10 would silently bench against the OLD decade — so it
+    restages too."""
+    sf1_marker = os.path.join(SF1_DIR, "_STAGED")
+    token = f"{_SF10_STAGE_VERSION}:{int(os.path.getmtime(sf1_marker))}"
     marker = os.path.join(SF10_DIR, "_STAGED")
     if os.path.exists(marker):
         with open(marker) as fh:
-            if fh.read().strip() == _SF10_STAGE_VERSION:
+            if fh.read().strip() == token:
                 return
     import shutil
 
@@ -235,7 +241,7 @@ def _stage_sf10(spark) -> None:
             os.path.join(SF10_DIR, f"{name}.parquet")
         )
     with open(marker, "w") as fh:
-        fh.write(_SF10_STAGE_VERSION + "\n")
+        fh.write(token + "\n")
 
 
 def sf10_queries(spark) -> dict:
