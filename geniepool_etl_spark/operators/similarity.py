@@ -14,10 +14,21 @@ Scale design:
 - **Hyperplanes are hash-derived, not sampled**: component ``(p, d)``
   of plane ``p`` is ``hash32(p:d)`` mapped to [-1, 1). No RNG state to
   ship to executors, deterministic across runs/engines.
-- **All math is JVM-side** higher-order functions (``zip_with`` +
-  ``aggregate``); an Arrow-vectorized ``pandas_udf`` variant
-  (:func:`cosine_topk_pandas`) exists to document the Python fast
-  path for when a real model (not a dot product) must score pairs.
+- **Hot-path math is Arrow-batched, fold-order numpy** (r9): bucket
+  assignment, centroid assignment and candidate-pair scoring run in
+  ``mapInPandas``/``applyInPandas``/cogroups with
+  :func:`_fold_dots` — sequential accumulation over the dimension
+  axis, BITWISE identical to the JVM ``aggregate(zip_with(...))``
+  fold and the oracle's DuckDB ``list_reduce``, so moving off the
+  JVM changed no result. Threshold predicates compare against the
+  exact decimal half-boundary (:func:`_ge_round4_boundary`), and
+  emitted/ranked round4 values are integer grid points (``/1e4`` is
+  exact binary, so the division is the correctly-rounded decimal).
+  Why: higher-order functions are CodegenFallback — ~16 µs per
+  interpreted 64-dim dot, which dominated every lane at √N centroid
+  or bucket counts (sf10 semantic dedup: 122 s interpreted vs ~5 s
+  Arrow). The JVM fold (:func:`dot`) remains for the brute-force
+  baseline and tiny frames.
   Negative result (measured, don't retry): unrolling the dim-64 dot
   into a flat 127-op arithmetic expression looked codegen-friendly
   but ran 2× SLOWER end-to-end in lsh_bucket_topk (2.8 s vs 1.36 s
@@ -406,40 +417,59 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
     with id_a < id_b and cos_sim ≥ threshold.
 
-    Candidate generation is the LSH bucket equi-join (same scale shape
-    as :func:`lsh_bucket_topk` — never all-pairs, hot buckets capped at
-    ``max_bucket``); the threshold filter runs on the exact cosine
-    within each bucket. High-similarity pairs are overwhelmingly
-    co-bucketed (a near-duplicate pair straddles any one hyperplane
-    with low probability), which is exactly the regime near-dup
-    detection cares about.
+    Candidate generation is bucket-keyed (same scale shape as
+    :func:`lsh_bucket_topk` — never all-pairs, hot buckets capped at
+    ``max_bucket``): one ``applyInPandas`` per bucket scores the
+    within-bucket pairs as chunked fold-order numpy (bitwise the
+    oracle's cosines; the threshold compares against the exact
+    decimal half-boundary and the emitted value is the round4 grid
+    point). High-similarity pairs are overwhelmingly co-bucketed (a
+    near-duplicate pair straddles any one hyperplane with low
+    probability), which is exactly the regime near-dup detection
+    cares about.
     """
+    import numpy as np
+
     b = _cap_hot_buckets(
-        lsh_bucket(corpus, n_planes, dim, id_col, vec_col), max_bucket
-    ).withColumn("norm", l2_norm(F.col("vec")))
-    a = b.select(
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("va"),
-        F.col("norm").alias("na"),
-        "bucket",
+        lsh_bucket(corpus, n_planes, dim, id_col, vec_col, with_norm=True),
+        max_bucket,
     )
-    c = b.select(
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vb"),
-        F.col("norm").alias("nb"),
-        "bucket",
-    )
-    return (
-        a.join(c, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
-            ).alias("cos_sim"),
+    id_dt = corpus.schema[id_col].dataType.simpleString()
+    thr = _ge_round4_boundary(threshold)
+
+    def pairs_in_bucket(pdf):
+        # one bucket: all same-bucket pairs with id_a < id_b whose
+        # exact cosine clears the threshold — scored as a chunked
+        # fold-order numpy batch (cf. lsh_bucket_topk); the emitted
+        # cos_sim is the integer grid index / 1e4, the same double
+        # BigDecimal round4 produces
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["vec"].to_numpy())
+        nrm = pdf["norm"].to_numpy()
+        w = len(ids)
+        oa, ob, oc = [], [], []
+        chunk = max(1, 2_000_000 // max(w, 1))
+        for s in range(0, w, chunk):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _fold_dots(V[s : s + chunk], V) / (
+                    nrm[s : s + chunk, None] * nrm[None, :]
+                )
+                grid = np.floor(cos * 1e4 + 0.5)
+            hit = (cos >= thr) & (ids[s : s + chunk, None] < ids[None, :])
+            r, c = np.nonzero(hit)
+            oa.append(ids[s + r])
+            ob.append(ids[c])
+            oc.append(grid[hit] / 1e4)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(oa),
+                "id_b": np.concatenate(ob),
+                "cos_sim": np.concatenate(oc),
+            }
         )
-        .where(F.col("cos_sim") >= threshold)
+
+    return b.groupBy("bucket").applyInPandas(
+        pairs_in_bucket, f"id_a {id_dt}, id_b {id_dt}, cos_sim double"
     )
 
 
