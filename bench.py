@@ -171,7 +171,7 @@ SF10_DIR = os.environ.get(
 )
 SF10_ENABLED = os.environ.get("SPARK_GRAFT_SF10", "1") != "0"
 
-_SF10_STAGE_VERSION = "v1"
+_SF10_STAGE_VERSION = "v3"  # v3: tags document words per copy
 
 
 def _stage_sf10(spark) -> None:
@@ -232,10 +232,36 @@ def _stage_sf10(spark) -> None:
     okey_step = int(od.agg(F.max("o_orderkey")).first()[0]) + 1
     emb = C._t(spark, SF1_DIR, "embeddings")
     vec_step = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    docs = C._t(spark, SF1_DIR, "documents")
+    doc_step = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+
+    def tag_words(d, j):
+        if j == 0:
+            return d
+        # per-decade-copy VOCABULARY tag: verbatim text replicas would
+        # make every doc a guaranteed near-dup of its 99 copies —
+        # C(copies, 2) forced pairs per doc, quadratic in copies by
+        # CONSTRUCTION, drowning the engine-scaling signal (the same
+        # trap the embeddings' plane rotation avoids). Prefixing every
+        # word with the copy index makes cross-copy Jaccard exactly 0
+        # while preserving each copy's internal near-dup structure, so
+        # candidate volume grows linearly with the decade.
+        return d.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(F.lit(f"c{j}"), w),
+                ),
+                " ",
+            ),
+        )
+
     for name, df in (
         ("lineitem", rep(li, {"l_orderkey": okey_step})),
         ("orders", rep(od, {"o_orderkey": okey_step})),
         ("embeddings", rep(emb, {"vec_id": vec_step}, plane_rot)),
+        ("documents", rep(docs, {"doc_id": doc_step}, tag_words)),
     ):
         df.write.mode("overwrite").parquet(
             os.path.join(SF10_DIR, f"{name}.parquet")
@@ -256,6 +282,12 @@ def sf10_queries(spark) -> dict:
         ),
         "sim_lsh_topk": lambda: S.lsh_bucket_topk(
             emb10, k=5, n_planes=None, n_rows=n_emb10
+        ),
+        # the banded minhash self-join — the remaining scale-shape
+        # family at the second decade (500k docs; shingle-bucketed,
+        # hot buckets capped — candidate volume must stay ~linear)
+        "dedup_minhash_lsh": lambda: C.q_dedup_minhash_lsh(
+            spark, SF10_DIR
         ),
     }
 
