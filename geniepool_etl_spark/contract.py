@@ -2502,13 +2502,16 @@ def q_multimodal_jpeg_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth_jpeg_sa_assets → decode_image_pixel_stats): the remaining
     progressive scan kinds real encoders emit — first DC scan at
     point transform Al=1, DC refinement bits, per-component first AC
-    scans at Al=1 and AC refinement scans (Ah=1). The block-constant
-    gradient's AC bands are zero, so the oracle stays the closed
-    form and the SA machinery must be exactly value-neutral;
-    nonzero-history refinement (positional corrections, EOB-covered
-    corrections) is pinned by a hand-built-bitstream unit test. With
-    this, every SOF0/SOF2 scan structure the engine meets decodes;
-    the JPEG boundary is subsampling beyond 2x2 only."""
+    scans at Al=1 and AC refinement scans (Ah=1) — COMBINED with
+    restart intervals (every scan flushes at each DRI boundary, the
+    RSTm sequence restarts at RST0 per scan, DC prediction resets,
+    EOB runs never cross a boundary). The block-constant gradient's
+    AC bands are zero, so the oracle stays the closed form and both
+    machineries must be exactly value-neutral; nonzero-history
+    refinement (positional corrections, EOB-covered corrections) is
+    pinned by a hand-built-bitstream unit test. With this, every
+    SOF0/SOF2 scan structure the engine meets decodes; the JPEG
+    boundary is subsampling beyond 2x2 only."""
     params = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 19 == 8)
@@ -2520,6 +2523,7 @@ def q_multimodal_jpeg_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(9) + (F.col("doc_id") % 6) * 5)
             .cast("long")
             .alias("height"),
+            (F.lit(1) + F.col("doc_id") % 4).cast("long").alias("interval"),
         )
     )
     return M.decode_image_pixel_stats(M.synth_jpeg_sa_assets(params))
@@ -9907,6 +9911,7 @@ SPARK_QUERIES = {
     "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_jpeg_420": q_multimodal_jpeg_420,
+    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
     "snap_range_skip": q_snap_range_skip,
     "snap_bloom_skip": q_snap_bloom_skip,
     "snap_zorder_skip": q_snap_zorder_skip,
@@ -9951,7 +9956,6 @@ SPARK_QUERIES = {
     "events_ewma": q_events_ewma,
     "pipeline_web_curation": q_pipeline_web_curation,
     "a20_bitmap_distinct": q_a20_bitmap_distinct,
-    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
     "text_url_canonical": q_text_url_canonical,
     "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
     "sim_mmr_rerank": q_sim_mmr_rerank,

@@ -3823,17 +3823,22 @@ def synth_jpeg_sa_assets(
     id_col: str = "asset_id",
     width_col: str = "width",
     height_col: str = "height",
+    interval_col: str | None = "interval",
 ) -> DataFrame:
-    """Synthesize progressive JPEGs with SUCCESSIVE APPROXIMATION —
-    the full set of scan kinds real encoders emit: a first DC scan at
-    point transform Al=1 (diffs of dc>>1, arithmetic shift), a DC
-    refinement scan (Ah=1, Al=0 — one raw low bit per block per
+    """Synthesize progressive JPEGs with SUCCESSIVE APPROXIMATION and
+    (when ``interval_col`` is present) RESTART INTERVALS — the
+    gnarliest scan structure real encoders emit, combined: a first DC
+    scan at point transform Al=1 (diffs of dc>>1, arithmetic shift),
+    a DC refinement scan (Ah=1, Al=0 — one raw low bit per block per
     component), then per component a first AC band scan at Al=1 and
-    an AC refinement scan (Ah=1, Al=0); the block-constant gradient's
-    AC bands are all zero, so both AC scans are pure EOB runs and the
-    pixel oracle stays the closed form (the SA machinery must be
-    exactly value-neutral — nonzero-history refinement is pinned by
-    the coefficient-level unit tests). Arrow ``mapInPandas``."""
+    an AC refinement scan (Ah=1, Al=0). Every scan honors the DRI:
+    entropy data flushes to a byte boundary at each interval, the
+    RSTm sequence restarts at RST0 per scan, DC prediction resets,
+    and EOB runs never cross a boundary. The block-constant
+    gradient's AC bands are all zero, so the pixel oracle stays the
+    closed form (both machineries must be exactly value-neutral —
+    nonzero-history refinement is pinned by the coefficient-level
+    unit tests). Arrow ``mapInPandas``."""
     import struct
 
     import numpy as np
@@ -3844,7 +3849,7 @@ def synth_jpeg_sa_assets(
     enc_eob, _ = _jpeg_huff_tables(_EOB_BITS, _EOB_VALS)
     tmat = _jpeg_dct_matrix()
 
-    def one(w: int, h: int) -> bytes:
+    def one(w: int, h: int, ri: int) -> bytes:
         nbx, nby = (w + 7) // 8, (h + 7) // 8
         bx = np.arange(nbx, dtype=np.int64)[None, :]
         by = np.arange(nby, dtype=np.int64)[:, None]
@@ -3861,10 +3866,20 @@ def synth_jpeg_sa_assets(
                     dcs[ci].append(
                         int(np.rint((tmat @ blk @ tmat.T))[0, 0])
                     )
-        # first DC scan at Al=1: category+EXTEND diffs of dc>>1
-        wr = _JpegBitWriter()
+
+        def _restart(parts, wr, rst_m):
+            parts.append(wr.flush())
+            parts.append(bytes([0xFF, 0xD0 + rst_m]))
+            return _JpegBitWriter(), (rst_m + 1) & 7
+
+        # first DC scan at Al=1: category+EXTEND diffs of dc>>1,
+        # prediction reset per restart interval
+        parts, wr, rst_m = [], _JpegBitWriter(), 0
         preds = [0, 0, 0]
         for b in range(nby * nbx):
+            if ri and b and b % ri == 0:
+                wr, rst_m = _restart(parts, wr, rst_m)
+                preds = [0, 0, 0]
             for ci in range(3):
                 hi = dcs[ci][b] >> 1
                 diff = hi - preds[ci]
@@ -3878,26 +3893,37 @@ def synth_jpeg_sa_assets(
                         diff if diff >= 0 else diff + (1 << ssss) - 1,
                         ssss,
                     )
-        dc_first = wr.flush()
+        parts.append(wr.flush())
+        dc_first = b"".join(parts)
         # DC refinement scan: the dropped low bit, raw, interleaved
-        wr = _JpegBitWriter()
+        parts, wr, rst_m = [], _JpegBitWriter(), 0
         for b in range(nby * nbx):
+            if ri and b and b % ri == 0:
+                wr, rst_m = _restart(parts, wr, rst_m)
             for ci in range(3):
                 wr.write(dcs[ci][b] & 1, 1)
-        dc_refine = wr.flush()
+        parts.append(wr.flush())
+        dc_refine = b"".join(parts)
 
         def eob_scan() -> bytes:
-            wr = _JpegBitWriter()
-            n = nbx * nby
-            while n > 0:
-                m = min(n, 32767)
+            # EOB runs cover whole blocks but never cross a restart
+            # boundary: chunk per interval, marker between intervals
+            parts, wr, rst_m = [], _JpegBitWriter(), 0
+            total = nbx * nby
+            done = 0
+            while done < total:
+                if ri and done and done % ri == 0:
+                    wr, rst_m = _restart(parts, wr, rst_m)
+                limit = (ri - done % ri) if ri else (total - done)
+                m = min(total - done, limit, 32767)
                 rr = m.bit_length() - 1
                 code, ln = enc_eob[rr << 4]
                 wr.write(code, ln)
                 if rr:
                     wr.write(m - (1 << rr), rr)
-                n -= m
-            return wr.flush()
+                done += m
+            parts.append(wr.flush())
+            return b"".join(parts)
 
         app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
         dqt = b"\x00" + bytes([1] * 64)
@@ -3917,6 +3943,10 @@ def synth_jpeg_sa_assets(
             seg(b"\xff\xc2", sof2),
             seg(b"\xff\xc4", dht_dc),
             seg(b"\xff\xc4", dht_eob),
+        ]
+        if ri:
+            out.append(seg(b"\xff\xdd", struct.pack(">H", ri)))
+        out += [
             # DC first at Al=1, then its refinement at Ah=1/Al=0
             seg(b"\xff\xda", b"\x03\x01\x00\x02\x00\x03\x00\x00\x00\x01"),
             dc_first,
@@ -3937,12 +3967,20 @@ def synth_jpeg_sa_assets(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            have_ri = interval_col is not None and interval_col in pdf
+            ris = (
+                pdf[interval_col]
+                if have_ri
+                else [0] * len(pdf)
+            )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col],
                     "payload": [
-                        one(int(w), int(h))
-                        for w, h in zip(pdf[width_col], pdf[height_col])
+                        one(int(w), int(h), int(ri))
+                        for w, h, ri in zip(
+                            pdf[width_col], pdf[height_col], ris
+                        )
                     ],
                     "media_type": "image/jpeg",
                 }
@@ -3964,7 +4002,10 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
     OR-ed in, first AC scans at toward-zero division, and full AC
     refinement (G.1.2.3 — positional correction bits during advances,
     inside ZRL skips and across every EOB-run-covered block;
-    non-contiguous Ah/Al chains raise). Sampling factors beyond 1x1
+    non-contiguous Ah/Al chains raise). DRI restart intervals are
+    honored per scan: each scan's RSTm sequence restarts at RST0, DC
+    prediction and EOB-run state reset per interval, and an EOB run
+    crossing a boundary is poison. Sampling factors beyond 1x1
     raise — the remaining boundary. Supports 1 or 3 components."""
     import struct
 
@@ -3980,11 +4021,17 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
     coefs = None
     preds = None
     nbx = nby = None
+    restart_interval = 0
 
     def _scan_end(start: int) -> int:
         i = start
         while i + 1 < len(raw):
-            if raw[i] == 0xFF and raw[i + 1] not in (0x00,):
+            # 0xFF00 is byte stuffing; RST0-7 are scan-INTERIOR when
+            # a restart interval is declared — only a true marker
+            # ends the scan
+            if raw[i] == 0xFF and raw[i + 1] != 0x00 and not (
+                0xD0 <= raw[i + 1] <= 0xD7
+            ):
                 return i
             i += 1
         raise ValueError("jpeg: unterminated scan")
@@ -4044,8 +4091,7 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: not a progressive frame")
         elif marker == 0xDD:
-            if struct.unpack_from(">H", seg, 0)[0] != 0:
-                raise ValueError("jpeg: restart intervals unsupported")
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:
             if comps is None:
                 raise ValueError("jpeg: SOS before SOF2")
@@ -4066,6 +4112,7 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
             data_start = pos + 2 + ln
             data_end = _scan_end(data_start)
             rd = _JpegBitReader(raw[data_start:data_end])
+            rst_m = 0  # every scan's RST sequence restarts at RST0
             if ss == 0 and ah == 0:
                 # FIRST DC scan: interleaved over all scan components
                 # (1x1 factors → one block per component per MCU);
@@ -4074,6 +4121,11 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                 if se != 0:
                     raise ValueError("jpeg: mixed DC/AC spectral band")
                 for b in range(nby * nbx):
+                    if restart_interval and b and b % restart_interval == 0:
+                        rd.restart(rst_m)
+                        rst_m = (rst_m + 1) & 7
+                        for ci, _d, _a in scan_comps:
+                            preds[ci] = 0
                     for ci, dc_id, _ac_id in scan_comps:
                         dec_dc = huff_dc.get(dc_id)
                         if dec_dc is None:
@@ -4096,6 +4148,9 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                 if se != 0:
                     raise ValueError("jpeg: mixed DC/AC spectral band")
                 for b in range(nby * nbx):
+                    if restart_interval and b and b % restart_interval == 0:
+                        rd.restart(rst_m)
+                        rst_m = (rst_m + 1) & 7
                     for ci, _dc_id, _ac_id in scan_comps:
                         if rd.read(1):
                             coefs[ci][b, 0] |= 1 << al
@@ -4110,6 +4165,14 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                     raise ValueError("jpeg: missing AC table")
                 eobrun = 0
                 for b in range(nby * nbx):
+                    if restart_interval and b and b % restart_interval == 0:
+                        # EOB runs shall not cross a restart boundary
+                        if eobrun:
+                            raise ValueError(
+                                "jpeg: EOB run crosses restart boundary"
+                            )
+                        rd.restart(rst_m)
+                        rst_m = (rst_m + 1) & 7
                     if eobrun > 0:
                         eobrun -= 1
                         continue
@@ -4152,6 +4215,13 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
 
                 eobrun = 0
                 for b in range(nby * nbx):
+                    if restart_interval and b and b % restart_interval == 0:
+                        if eobrun:
+                            raise ValueError(
+                                "jpeg: EOB run crosses restart boundary"
+                            )
+                        rd.restart(rst_m)
+                        rst_m = (rst_m + 1) & 7
                     row = coefs[ci][b]
                     k = ss
                     if eobrun == 0:
