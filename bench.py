@@ -569,6 +569,19 @@ def main() -> None:
     if SF1_ENABLED and SF10_ENABLED:
         try:
             _stage_sf10(spark)
+            # FRESH JVM for the heaviest block: by this point the
+            # session has executed ~50 queries whose accumulated heap
+            # state (eager localCheckpoint blocks are never
+            # unpersisted, broadcast/AQE debris) OOMed the 8g driver
+            # at the 60M-row flagship decade inside the full
+            # preflight battery — reproducibly absent in isolation.
+            # Restart cost (~10 s) is outside every timed region.
+            spark.stop()
+            spark = get_spark(
+                "geniepool-bench-sf10",
+                extra_conf={"spark.ui.showConsoleProgress": "false"},
+            )
+            spark.sparkContext.setLogLevel("ERROR")
             for name, build in sf10_queries(spark).items():
                 try:
                     df = build()
