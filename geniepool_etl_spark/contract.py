@@ -9869,70 +9869,18 @@ FROM g
 # selfcheck-green at sf0.001+sf0.01 and ansi-swept regardless of the
 # window.
 SPARK_QUERIES = {
-    # --- never driver-recorded (r8 overflow): record first ---
-    "a19_loghist_quantiles": q_a19_loghist_quantiles,
-    "stream_countmin": q_stream_countmin,
-    "stream_loghist": q_stream_loghist,
-    "stream_sliding_hll": q_stream_sliding_hll,
-    "multimodal_pixel_stats": q_multimodal_pixel_stats,
-    "multimodal_audio_pcm": q_multimodal_audio_pcm,
-    "multimodal_decode_mp4": q_multimodal_decode_mp4,
-    "multimodal_decode_mp3": q_multimodal_decode_mp3,
-    "multimodal_decode_flac": q_multimodal_decode_flac,
-    "multimodal_decode_ogg": q_multimodal_decode_ogg,
-    "pipeline_corpus_card": q_pipeline_corpus_card,
-    "lake_file_census": q_lake_file_census,
-    "text_url_domains": q_text_url_domains,
-    "sql_variables_params": q_sql_variables_params,
-    # --- r9-new lanes (inserted here as built) ---
-    "multimodal_jpeg_sa": q_multimodal_jpeg_sa,
-    "multimodal_flac_stereo": q_multimodal_flac_stereo,
-    "multimodal_flac_lpc": q_multimodal_flac_lpc,
-    "multimodal_jpeg_restart": q_multimodal_jpeg_restart,
-    "multimodal_png_interlaced": q_multimodal_png_interlaced,
-    # --- r9 CHANGED implementations: re-record before stale ones
-    # (Arrow similarity rewrites, FLAC/JPEG/PNG decoder changes,
-    # snaptable bloom-carry + distributed pruning, trigram lang id,
-    # interval auto-sizing) ---
-    "dedup_semantic": q_dedup_semantic,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_lsh_recall": q_sim_lsh_recall,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "sim_ivf_recall": q_sim_ivf_recall,
-    "sim_ivfpq_topk": q_sim_ivfpq_topk,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_near_keep": q_dedup_near_keep,
-    "dedup_incremental_near": q_dedup_incremental_near,
-    "text_lang_id": q_text_lang_id,
-    "events_interval_join": q_events_interval_join,
-    "multimodal_flac_pcm": q_multimodal_flac_pcm,
-    "multimodal_flac_fixed": q_multimodal_flac_fixed,
-    "multimodal_png_pixels": q_multimodal_png_pixels,
-    "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
-    "multimodal_jpeg_color": q_multimodal_jpeg_color,
-    "multimodal_jpeg_420": q_multimodal_jpeg_420,
-    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
-    "snap_range_skip": q_snap_range_skip,
-    "snap_bloom_skip": q_snap_bloom_skip,
-    "snap_zorder_skip": q_snap_zorder_skip,
-    "snap_partition_prune": q_snap_partition_prune,
-    "snap_hidden_partition": q_snap_hidden_partition,
-    "snap_apply_cdc": q_snap_apply_cdc,
-    "snap_merge_upsert": q_snap_merge_upsert,
-    "snap_delete_cow": q_snap_delete_cow,
-    "snap_compact_cluster": q_snap_compact_cluster,
-    "snap_compact_history": q_snap_compact_history,
-    "s23_snap_change_stream": q_s23_snap_change_stream,
-    # --- stalest re-records: last green r3 ---
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_levenshtein": q_dedup_levenshtein,
+    # Ordering: stalest driver record first (see harness note above).
+    # Regenerated round 11 from CORRECTNESS_r01..r10 latest-record rounds
+    # so the driver's ~50-entry window re-proves the r3/r4-recorded
+    # reference-parity core (s1-s11, j1-j7, a3-a8, p2/p6, dedup_minhash_lsh,
+    # ...) on current code. New r11 lanes are inserted at the very top as
+    # they are built (never-recorded outranks stale).
     "events_funnel": q_events_funnel,
     "pack_windows": q_pack_windows,
     "lake_zorder_key": q_lake_zorder_key,
     "sample_mixture_plan": q_sample_mixture_plan,
     "sql_tpch_q3": q_sql_tpch_q3,
     "p8_keep_latest": q_p8_keep_latest,
-    # --- stalest re-records: last green r4 (first 18) ---
     "dedup_contamination": q_dedup_contamination,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -9950,88 +9898,6 @@ SPARK_QUERIES = {
     "s12_orc_roundtrip": q_s12_orc_roundtrip,
     "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
     "p2_derive": q_p2_derive,
-    # --- recorded r8 (freshest records; past the r9 window edge) ---
-    "snap_meta_count": q_snap_meta_count,
-    "text_quality_classifier": q_text_quality_classifier,
-    "events_ewma": q_events_ewma,
-    "pipeline_web_curation": q_pipeline_web_curation,
-    "a20_bitmap_distinct": q_a20_bitmap_distinct,
-    "text_url_canonical": q_text_url_canonical,
-    "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
-    "sim_mmr_rerank": q_sim_mmr_rerank,
-    "text_html_clean": q_text_html_clean,
-    "text_nfc_normalize": q_text_nfc_normalize,
-    "text_gopher_gates": q_text_gopher_gates,
-    "events_resample_ffill": q_events_resample_ffill,
-    "events_rfm": q_events_rfm,
-    "snap_schema_evolution": q_snap_schema_evolution,
-    "text_collocations": q_text_collocations,
-    "events_pattern_match": q_events_pattern_match,
-    "snap_time_travel": q_snap_time_travel,
-    "snap_change_feed": q_snap_change_feed,
-    "stream_snap_ingest": q_stream_snap_ingest,
-    "s22_python_stream_source": q_s22_python_stream_source,
-    "multimodal_image_dedup": q_multimodal_image_dedup,
-    "multimodal_ppm_pixels": q_multimodal_ppm_pixels,
-    "multimodal_gif_pixels": q_multimodal_gif_pixels,
-    "text_perplexity": q_text_perplexity,
-    "text_bpe_encode": q_text_bpe_encode,
-    "obs_drift_ks": q_obs_drift_ks,
-    "obs_expectations": q_obs_expectations,
-    "graph_triangles": q_graph_triangles,
-    "graph_link_predict": q_graph_link_predict,
-    "a18_countmin_topk": q_a18_countmin_topk,
-    # --- past the r8 recording edge (r4 tail, then r5-r7) ---
-    "events_attribution": q_events_attribution,
-    "profile_histogram": q_profile_histogram,
-    "sql_exists_late": q_sql_exists_late,
-    "sql_scalar_anti": q_sql_scalar_anti,
-    "j9_nullsafe_join": q_j9_nullsafe_join,
-    "scd2_point_in_time": q_scd2_point_in_time,
-    "sql_tpch_q14": q_sql_tpch_q14,
-    "scd2_incremental": q_scd2_incremental,
-    "events_dwell": q_events_dwell,
-    "f6_ordered_aggs": q_f6_ordered_aggs,
-    "stream_scd2": q_stream_scd2,
-    "sql_tpch_q7": q_sql_tpch_q7,
-    "sql_tpch_q8": q_sql_tpch_q8,
-    "sql_tpch_q13": q_sql_tpch_q13,
-    "split_leakage_safe": q_split_leakage_safe,
-    "text_word_entropy": q_text_word_entropy,
-    "events_debounce": q_events_debounce,
-    "sample_per_group": q_sample_per_group,
-    "text_feature_hash": q_text_feature_hash,
-    "s20_csv_quoted_multiline": q_s20_csv_quoted_multiline,
-    "s21_json_nested_flatten": q_s21_json_nested_flatten,
-    "a14_grouped_percentiles": q_a14_grouped_percentiles,
-    "pipeline_user_features": q_pipeline_user_features,
-    "events_asof_cogroup": q_events_asof_cogroup,
-    "w8_time_range_frame": q_w8_time_range_frame,
-    "f7_parse_kv": q_f7_parse_kv,
-    "f8_sql_pandas_udf": q_f8_sql_pandas_udf,
-    "lake_upsert_latest": q_lake_upsert_latest,
-    "text_bpe_merges": q_text_bpe_merges,
-    "a15_decimal_money": q_a15_decimal_money,
-    "x4_explode_outer": q_x4_explode_outer,
-    "a16_yoy": q_a16_yoy,
-    "text_bigram_lm": q_text_bigram_lm,
-    "stream_sliding": q_stream_sliding,
-    "a17_equidepth": q_a17_equidepth,
-    "sql_pivot": q_sql_pivot,
-    "x5_set_ops_all": q_x5_set_ops_all,
-    "f9_pandas_api": q_f9_pandas_api,
-    "sql_tpch_q2": q_sql_tpch_q2,
-    "sql_tpch_q9": q_sql_tpch_q9,
-    "sql_tpch_q11": q_sql_tpch_q11,
-    "sql_tpch_q12": q_sql_tpch_q12,
-    "sql_tpch_q15": q_sql_tpch_q15,
-    "sql_tpch_q16": q_sql_tpch_q16,
-    "sql_tpch_q17": q_sql_tpch_q17,
-    "sql_tpch_q19": q_sql_tpch_q19,
-    "sql_tpch_q20": q_sql_tpch_q20,
-    "sql_tpch_q21": q_sql_tpch_q21,
-    "graph_pagerank": q_graph_pagerank,
-    "obs_drift_psi": q_obs_drift_psi,
     "p6_dropdup_subset": q_p6_dropdup_subset,
     "j1_multikey_left_join": q_j1_multikey_left_join,
     "j2_left_join_nulls": q_j2_left_join_nulls,
@@ -10149,6 +10015,136 @@ SPARK_QUERIES = {
     "text_repetition": q_text_repetition,
     "sim_brute_topk": q_sim_brute_topk,
     "sim_pandas_topk": q_sim_pandas_topk,
+    "events_attribution": q_events_attribution,
+    "profile_histogram": q_profile_histogram,
+    "sql_exists_late": q_sql_exists_late,
+    "sql_scalar_anti": q_sql_scalar_anti,
+    "j9_nullsafe_join": q_j9_nullsafe_join,
+    "scd2_point_in_time": q_scd2_point_in_time,
+    "sql_tpch_q14": q_sql_tpch_q14,
+    "scd2_incremental": q_scd2_incremental,
+    "events_dwell": q_events_dwell,
+    "f6_ordered_aggs": q_f6_ordered_aggs,
+    "stream_scd2": q_stream_scd2,
+    "sql_tpch_q7": q_sql_tpch_q7,
+    "sql_tpch_q8": q_sql_tpch_q8,
+    "sql_tpch_q13": q_sql_tpch_q13,
+    "split_leakage_safe": q_split_leakage_safe,
+    "text_word_entropy": q_text_word_entropy,
+    "events_debounce": q_events_debounce,
+    "sample_per_group": q_sample_per_group,
+    "text_feature_hash": q_text_feature_hash,
+    "s20_csv_quoted_multiline": q_s20_csv_quoted_multiline,
+    "s21_json_nested_flatten": q_s21_json_nested_flatten,
+    "a14_grouped_percentiles": q_a14_grouped_percentiles,
+    "pipeline_user_features": q_pipeline_user_features,
+    "events_asof_cogroup": q_events_asof_cogroup,
+    "w8_time_range_frame": q_w8_time_range_frame,
+    "f7_parse_kv": q_f7_parse_kv,
+    "f8_sql_pandas_udf": q_f8_sql_pandas_udf,
+    "lake_upsert_latest": q_lake_upsert_latest,
+    "text_bpe_merges": q_text_bpe_merges,
+    "a15_decimal_money": q_a15_decimal_money,
+    "x4_explode_outer": q_x4_explode_outer,
+    "a16_yoy": q_a16_yoy,
+    "text_bigram_lm": q_text_bigram_lm,
+    "stream_sliding": q_stream_sliding,
+    "a17_equidepth": q_a17_equidepth,
+    "sql_pivot": q_sql_pivot,
+    "x5_set_ops_all": q_x5_set_ops_all,
+    "f9_pandas_api": q_f9_pandas_api,
+    "sql_tpch_q2": q_sql_tpch_q2,
+    "sql_tpch_q9": q_sql_tpch_q9,
+    "sql_tpch_q11": q_sql_tpch_q11,
+    "sql_tpch_q12": q_sql_tpch_q12,
+    "sql_tpch_q15": q_sql_tpch_q15,
+    "sql_tpch_q16": q_sql_tpch_q16,
+    "sql_tpch_q17": q_sql_tpch_q17,
+    "sql_tpch_q19": q_sql_tpch_q19,
+    "sql_tpch_q20": q_sql_tpch_q20,
+    "sql_tpch_q21": q_sql_tpch_q21,
+    "graph_pagerank": q_graph_pagerank,
+    "obs_drift_psi": q_obs_drift_psi,
+    "snap_meta_count": q_snap_meta_count,
+    "text_quality_classifier": q_text_quality_classifier,
+    "events_ewma": q_events_ewma,
+    "pipeline_web_curation": q_pipeline_web_curation,
+    "a20_bitmap_distinct": q_a20_bitmap_distinct,
+    "text_url_canonical": q_text_url_canonical,
+    "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
+    "sim_mmr_rerank": q_sim_mmr_rerank,
+    "text_html_clean": q_text_html_clean,
+    "text_nfc_normalize": q_text_nfc_normalize,
+    "text_gopher_gates": q_text_gopher_gates,
+    "events_resample_ffill": q_events_resample_ffill,
+    "events_rfm": q_events_rfm,
+    "snap_schema_evolution": q_snap_schema_evolution,
+    "text_collocations": q_text_collocations,
+    "events_pattern_match": q_events_pattern_match,
+    "snap_time_travel": q_snap_time_travel,
+    "snap_change_feed": q_snap_change_feed,
+    "stream_snap_ingest": q_stream_snap_ingest,
+    "s22_python_stream_source": q_s22_python_stream_source,
+    "multimodal_image_dedup": q_multimodal_image_dedup,
+    "multimodal_ppm_pixels": q_multimodal_ppm_pixels,
+    "multimodal_gif_pixels": q_multimodal_gif_pixels,
+    "text_perplexity": q_text_perplexity,
+    "text_bpe_encode": q_text_bpe_encode,
+    "obs_drift_ks": q_obs_drift_ks,
+    "obs_expectations": q_obs_expectations,
+    "graph_triangles": q_graph_triangles,
+    "graph_link_predict": q_graph_link_predict,
+    "a18_countmin_topk": q_a18_countmin_topk,
+    "a19_loghist_quantiles": q_a19_loghist_quantiles,
+    "stream_countmin": q_stream_countmin,
+    "stream_loghist": q_stream_loghist,
+    "stream_sliding_hll": q_stream_sliding_hll,
+    "multimodal_pixel_stats": q_multimodal_pixel_stats,
+    "multimodal_audio_pcm": q_multimodal_audio_pcm,
+    "multimodal_decode_mp4": q_multimodal_decode_mp4,
+    "multimodal_decode_mp3": q_multimodal_decode_mp3,
+    "multimodal_decode_flac": q_multimodal_decode_flac,
+    "multimodal_decode_ogg": q_multimodal_decode_ogg,
+    "pipeline_corpus_card": q_pipeline_corpus_card,
+    "lake_file_census": q_lake_file_census,
+    "text_url_domains": q_text_url_domains,
+    "sql_variables_params": q_sql_variables_params,
+    "multimodal_jpeg_sa": q_multimodal_jpeg_sa,
+    "multimodal_flac_stereo": q_multimodal_flac_stereo,
+    "multimodal_flac_lpc": q_multimodal_flac_lpc,
+    "multimodal_jpeg_restart": q_multimodal_jpeg_restart,
+    "multimodal_png_interlaced": q_multimodal_png_interlaced,
+    "dedup_semantic": q_dedup_semantic,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_lsh_recall": q_sim_lsh_recall,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_recall": q_sim_ivf_recall,
+    "sim_ivfpq_topk": q_sim_ivfpq_topk,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_near_keep": q_dedup_near_keep,
+    "dedup_incremental_near": q_dedup_incremental_near,
+    "text_lang_id": q_text_lang_id,
+    "events_interval_join": q_events_interval_join,
+    "multimodal_flac_pcm": q_multimodal_flac_pcm,
+    "multimodal_flac_fixed": q_multimodal_flac_fixed,
+    "multimodal_png_pixels": q_multimodal_png_pixels,
+    "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
+    "multimodal_jpeg_color": q_multimodal_jpeg_color,
+    "multimodal_jpeg_420": q_multimodal_jpeg_420,
+    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
+    "snap_range_skip": q_snap_range_skip,
+    "snap_bloom_skip": q_snap_bloom_skip,
+    "snap_zorder_skip": q_snap_zorder_skip,
+    "snap_partition_prune": q_snap_partition_prune,
+    "snap_hidden_partition": q_snap_hidden_partition,
+    "snap_apply_cdc": q_snap_apply_cdc,
+    "snap_merge_upsert": q_snap_merge_upsert,
+    "snap_delete_cow": q_snap_delete_cow,
+    "snap_compact_cluster": q_snap_compact_cluster,
+    "snap_compact_history": q_snap_compact_history,
+    "s23_snap_change_stream": q_s23_snap_change_stream,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_levenshtein": q_dedup_levenshtein,
 }
 
 
