@@ -1047,14 +1047,66 @@ def quantize_int8(
     final similarity ratio touches floats. Zero vectors quantize to
     null (no scale exists) rather than dividing by zero.
     """
-    v = _as_double(F.col(vec_col))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(amax > 0, F.lit(127.0) / amax)
-    q = F.transform(v, lambda x: F.round(x * scale).cast("long"))
+    import numpy as np
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def quant(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf["vec"].to_numpy()
+            out = []
+            # uniform-dim fast path: one vectorized pass per batch —
+            # the JVM form (array_max + per-element round HOFs) was
+            # interpreted per element and dominated every int8 lane
+            lens = {len(v) for v in vecs if v is not None}
+            if len(lens) == 1 and all(v is not None for v in vecs):
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs]
+                )
+                amax = np.abs(V).max(axis=1) if V.shape[1] else np.zeros(
+                    len(vecs)
+                )
+                ok = amax > 0  # NaN → False, like the JVM `amax > 0`
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    X = V * (127.0 / amax)[:, None]
+                    # round HALF_UP away from zero — F.round's rule
+                    Q = np.copysign(np.floor(np.abs(X) + 0.5), X)
+                d = V.shape[1]
+                for i in range(len(vecs)):
+                    out.append(
+                        Q[i].astype(np.int64)
+                        if ok[i]
+                        else [None] * d
+                    )
+            else:
+                for v in vecs:
+                    if v is None:
+                        out.append(None)
+                        continue
+                    x = np.asarray(v, dtype=np.float64)
+                    if x.size == 0:
+                        out.append([])
+                        continue
+                    amax = np.abs(x).max()
+                    if not amax > 0:  # 0 or NaN → null scale
+                        out.append([None] * x.size)
+                        continue
+                    X = x * (127.0 / amax)
+                    out.append(
+                        np.copysign(np.floor(np.abs(X) + 0.5), X).astype(
+                            np.int64
+                        )
+                    )
+            yield pd.DataFrame(
+                {id_col: pdf["id"].to_numpy(), "qvec": out}
+            )
+
     return df.select(
-        F.col(id_col),
-        q.alias("qvec"),
-    )
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).mapInPandas(quant, f"{id_col} {id_dt}, qvec array<bigint>")
 
 
 def int8_topk(
@@ -1070,35 +1122,142 @@ def int8_topk(
     quantization error (measured by the paired recall entry). Same
     broadcast-cross + per-query window shape as :func:`cosine_topk`.
     """
+    import numpy as np
+
     qq = quantize_int8(queries, id_col, vec_col).select(
         F.col(id_col).alias("q_id"), F.col("qvec").alias("q_q")
     )
     qc = quantize_int8(corpus, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), F.col("qvec").alias("n_q")
     )
+    # The query set is metadata-sized (the cosine_topk broadcast
+    # assumption); collect the quantized matrix and score each corpus
+    # batch as ONE exact integer matmul in a narrow Arrow map —
+    # integer addition is associative, and every intermediate
+    # (|dot| ≤ 127²·dim ≪ 2⁵³) is exactly representable in the
+    # float64 BLAS path, so the products/sums are bit-for-bit the
+    # zip_with/aggregate fold's. The divide + round4 stay JVM
+    # expressions, so the emitted q_cos is the same double the
+    # previous interpreted-HOF form (3 folds per pair, ~16 µs/dot)
+    # and the oracle produce. Null qvec (zero vectors) propagates as
+    # null dot/norm → null q_cos, ranked last as before.
+    qrows = qq.collect()
+    id_dt = corpus.schema[id_col].dataType.simpleString()
+    q_ids = np.array([r["q_id"] for r in qrows])
 
-    def idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    def _whole(v):
+        # a zero vector quantizes to an array OF null elements (the
+        # null scale propagates element-wise), not a null array
+        return v is not None and all(x is not None for x in v)
 
-    scored = (
-        qc.crossJoin(F.broadcast(qq))
-        .where(F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            F.round(
-                idot(F.col("q_q"), F.col("n_q"))
-                / (
-                    F.sqrt(idot(F.col("q_q"), F.col("q_q")))
-                    * F.sqrt(idot(F.col("n_q"), F.col("n_q")))
-                ),
-                4,
-            ).alias("q_cos"),
-        )
+    q_has = np.array([_whole(r["q_q"]) for r in qrows], dtype=bool)
+    dim_q = next(
+        (len(r["q_q"]) for r in qrows if _whole(r["q_q"])), 1
+    )
+    Qm = np.array(
+        [
+            list(r["q_q"]) if _whole(r["q_q"]) else [0] * dim_q
+            for r in qrows
+        ],
+        dtype=np.float64,
+    )
+    qn_f = (Qm * Qm).sum(axis=1)
+    qn_f[~q_has] = np.nan
+    out_schema = (
+        f"q_id {id_dt}, n_id {id_dt}, dot bigint, qn bigint, nn bigint"
+    )
+
+    def _nullable_i64(x):
+        mask = np.isnan(x)
+        vals = np.where(mask, 0, x).astype(np.int64)
+        return pd.arrays.IntegerArray(vals, mask)
+
+    def score(batches):
+        nq = len(q_ids)
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            vecs = pdf["n_q"].to_numpy()
+            ids = pdf["n_id"].to_numpy()
+            n = len(ids)
+            # null elements (zero vectors) surface as NaN after the
+            # Arrow long→float conversion; None guards a null array
+            Vall = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    if v is not None
+                    else np.full(dim_q, np.nan)
+                    for v in vecs
+                ]
+            )
+            has = ~np.isnan(Vall).any(axis=1)
+            dots = np.full((n, nq), np.nan)
+            nn = np.full(n, np.nan)
+            if has.any():
+                V = Vall[has]
+                nn[has] = (V * V).sum(axis=1)
+                d = V @ Qm.T
+                d[:, ~q_has] = np.nan
+                dots[has] = d
+            # batch-local top-k prune: the final window ranks on
+            # (round4 cosine DESC NaN-first, n_id ASC); per query,
+            # keep rows reaching the batch's k-th best round4 minus
+            # ONE grid step (1e-4) — the JVM's round4 of the same
+            # exact integers can differ from this numpy round4 only
+            # at a representation boundary (< 1 grid step), so the
+            # margin makes the pruned set a strict superset of the
+            # global winners. Null-cosine rows map to +inf (Spark
+            # sorts NaN above every number in DESC) and always
+            # survive. Shrinks the exchange from N·Q rows to
+            # ~batches·Q·k.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cosm = dots / np.sqrt(qn_f)[None, :]
+                cosm /= np.sqrt(nn)[:, None]
+                r4 = (
+                    np.copysign(np.floor(np.abs(cosm) * 1e4 + 0.5), cosm)
+                    / 1e4
+                )
+            key = np.nan_to_num(r4, nan=np.inf)
+            sp = ids[:, None] == q_ids[None, :]
+            key[sp] = -np.inf
+            kk = min(k, n)
+            kth = np.partition(key, n - kk, axis=0)[n - kk, :]
+            prune = key >= (kth - 1e-4)[None, :]
+            keep = (~sp & prune).ravel()
+            rep_q = np.tile(q_ids, n)[keep]
+            rep_n = np.repeat(ids, nq)[keep]
+            flat = dots.ravel()[keep]
+            qnr = np.tile(qn_f, n)[keep]
+            nnr = np.repeat(nn, nq)[keep]
+            if has.all() and q_has.all():
+                # fast path: no nulls anywhere → plain int64 columns
+                yield pd.DataFrame(
+                    {
+                        "q_id": rep_q,
+                        "n_id": rep_n,
+                        "dot": flat.astype(np.int64),
+                        "qn": qnr.astype(np.int64),
+                        "nn": nnr.astype(np.int64),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "q_id": rep_q,
+                        "n_id": rep_n,
+                        "dot": _nullable_i64(flat),
+                        "qn": _nullable_i64(qnr),
+                        "nn": _nullable_i64(nnr),
+                    }
+                )
+
+    scored = qc.mapInPandas(score, out_schema).select(
+        "q_id",
+        "n_id",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nn"))),
+            4,
+        ).alias("q_cos"),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("q_cos").desc(), F.col("n_id").asc()
@@ -1166,50 +1325,51 @@ def pq_encode(
     Plan: the codebook folds to one broadcast row; assignment is a
     per-row comparator sort over it — the encoded frame NEVER
     shuffles (the ivf_assign shape)."""
+    import numpy as np
+
     if dim % n_sub:
         raise ValueError(f"pq_encode: {n_sub} subspaces must divide dim {dim}")
     sd = dim // n_sub
-    carr = codebook.agg(
-        F.collect_list(F.struct("j", "cvec")).alias("_cb")
-    )
-    # NB: the per-codebook-entry lambda must take exactly ONE
-    # parameter — a two-parameter lambda (e.g. the `s=s` default-arg
-    # capture idiom) is interpreted by transform() as the
-    # (element, index) form and the loop variable silently becomes
-    # the ARRAY INDEX. Close over the slice start with a def instead.
-    def _scored_at(start: int) -> Column:
-        return F.transform(
-            F.col("_cb"),
-            lambda c: F.struct(
-                F.round(
-                    _l2sq_slice(F.col(vec_col), c["cvec"], start, sd)
-                    * scale
-                )
-                .cast("long")
-                .alias("d"),
-                c["j"].alias("j"),
-            ),
-        )
+    # the codebook is metadata-sized by construction (n_codes rows);
+    # collect once and close over the matrix — the encoded frame
+    # NEVER shuffles (narrow Arrow map, the ivf_assign shape). The
+    # previous JVM form (broadcast codebook array + n_sub·n_codes
+    # interpreted _l2sq_slice folds and an interpreted comparator
+    # sort PER ROW) was the dominant term of the IVF-PQ lane.
+    crows = sorted(codebook.collect(), key=lambda r: r["j"])
+    cb = np.array([list(r["cvec"]) for r in crows], dtype=np.float64)
+    j_arr = np.array([r["j"] for r in crows], dtype=np.int64)
+    n_codes_eff = len(crows)
+    id_dt = df.schema[id_col].dataType.simpleString()
 
-    code_cols = []
-    for s in range(n_sub):
-        scored = _scored_at(s * sd + 1)
-        best = F.array_sort(
-            scored,
-            lambda l, r: F.when(l["d"] < r["d"], F.lit(-1))
-            .when(l["d"] > r["d"], F.lit(1))
-            .when(l["j"] < r["j"], F.lit(-1))
-            .when(l["j"] > r["j"], F.lit(1))
-            .otherwise(F.lit(0)),
-        )[0]["j"]
-        code_cols.append(best.cast("int").alias(f"_c{s}"))
-    return (
-        df.crossJoin(F.broadcast(carr))
-        .select(
-            F.col(id_col).alias("id"),
-            F.array(*code_cols).alias("codes"),
-        )
-    )
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            n = V.shape[0]
+            codes = np.empty((n, n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                lo = s * sd
+                # fold-order Σ(x−y)² per (row, code): sequential
+                # accumulation over the subspace dims — bitwise the
+                # _l2sq_slice zip_with+aggregate fold the JVM path and
+                # the oracle evaluate
+                acc = np.zeros((n, n_codes_eff))
+                for i in range(lo, lo + sd):
+                    t = V[:, i, None] - cb[None, :, i]
+                    acc += t * t
+                di = np.floor(acc * scale + 0.5)  # round-half-up ≥ 0
+                # min (d, j): j_arr is j-sorted, so argmin's first-min
+                # rule IS the lowest-j tiebreak
+                codes[:, s] = j_arr[np.argmin(di, axis=1)]
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(encode, f"id {id_dt}, codes array<int>")
 
 
 def ivfpq_topk(
