@@ -289,6 +289,17 @@ def sf10_queries(spark) -> dict:
         "dedup_minhash_lsh": lambda: C.q_dedup_minhash_lsh(
             spark, SF10_DIR
         ),
+        # the two heaviest sf1 text lanes, decaded (r10 verdict #5):
+        # both are distinct-domain joins (bigram LM / per-distinct-
+        # word BPE) whose decade step must stay ~linear in corpus
+        # size — a superlinear step would mean the distinct-key
+        # domain is no longer absorbing the growth
+        "text_perplexity": lambda: C.q_text_perplexity(
+            spark, SF10_DIR
+        ),
+        "text_bpe_encode": lambda: C.q_text_bpe_encode(
+            spark, SF10_DIR
+        ),
     }
 
 
