@@ -2611,6 +2611,36 @@ def q_multimodal_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_pcm_stats(M.synth_flac_lpc_assets(params))
 
 
+def q_multimodal_jpeg_422(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:2 baseline JPEG pixel decode (multimodal.
+    synth_jpeg_color_assets(sampling="422") → decode_image_pixel_
+    stats) — the dominant DSLR/video-still chroma layout: Y sampled
+    2x1, MCU = two Y blocks + one Cb + one Cr over a 16x8 macroblock,
+    the generic Hi×Vi interleave walk now covering the full T.81 1..4
+    factor range with integer-ratio nearest upsampling. Chroma is
+    constant per 16x8 macroblock in the synth (lossless upsample)
+    while luma keeps the 8-px block gradient — the oracle recomputes
+    every channel from the two block rules. The remaining JPEG
+    boundary is fractional-ratio factor mixes (e.g. 3-vs-2) and
+    progressive subsampling."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 7)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(18) + (F.col("doc_id") % 6) * 7)
+            .cast("long")
+            .alias("width"),
+            (F.lit(10) + (F.col("doc_id") % 5) * 9)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_jpeg_color_assets(params, sampling="422")
+    )
+
+
 def q_multimodal_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline JPEG decode WITH RESTART MARKERS (multimodal.
     synth_jpeg_restart_assets → decode_image_pixel_stats): a DRI
@@ -8757,6 +8787,42 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_jpeg_422"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 18 + (doc_id % 6) * 7 AS w,
+                 10 + (doc_id % 5) * 9 AS h
+          FROM documents WHERE doc_id % 13 = 7
+        ),
+        px AS (
+          SELECT asset_id,
+                 (37 * ((i % w) // 8) + 71 * ((i // w) // 8)) % 256 AS yy,
+                 (23 * ((i % w) // 16) + 41 * ((i // w) // 8)) % 256
+                   AS cb,
+                 (53 * ((i % w) // 16) + 13 * ((i // w) // 8)) % 256
+                   AS cr
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        rgb AS (
+          SELECT asset_id,
+                 least(greatest((1000 * yy + 1402 * (cr - 128) + 500)
+                   // 1000, 0), 255) AS r,
+                 least(greatest((1000 * yy - 344 * (cb - 128)
+                   - 714 * (cr - 128) + 500) // 1000, 0), 255) AS g,
+                 least(greatest((1000 * yy + 1772 * (cb - 128) + 500)
+                   // 1000, 0), 255) AS b
+          FROM px
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b
+          FROM rgb GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_jpeg_420"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9869,6 +9935,8 @@ FROM g
 # selfcheck-green at sf0.001+sf0.01 and ansi-swept regardless of the
 # window.
 SPARK_QUERIES = {
+    # --- r11-new lanes first (never driver-recorded) ---
+    "multimodal_jpeg_422": q_multimodal_jpeg_422,
     # Ordering: stalest driver record first (see harness note above).
     # Regenerated round 11 from CORRECTNESS_r01..r10 latest-record rounds
     # so the driver's ~50-entry window re-proves the r3/r4-recorded

@@ -2148,21 +2148,34 @@ def synth_jpeg_color_assets(
     width_col: str = "width",
     height_col: str = "height",
     subsample: bool = False,
+    sampling: str | None = None,
 ) -> DataFrame:
-    """Synthesize REAL baseline COLOR JPEGs (three components, 4:4:4
-    — every sampling factor 1x1, interleaved MCUs, per-component DC
-    prediction, shared Annex K tables, q=1): the YCbCr planes are
-    CONSTANT PER 8x8 BLOCK (Y=(37bx+71by)%256, Cb=(23bx+41by)%256,
-    Cr=(53bx+13by)%256), so every block is DC-only and the baseline
-    round-trip is LOSSLESS — an external oracle recomputes every RGB
-    channel from (width, height) alone through the same fixed-point
-    integer YCbCr→RGB rule the decoder applies. Arrow
-    ``mapInPandas``; the encoder runs the full per-component
-    FDCT/quantize/Huffman pipeline (the block-constant input is data,
-    not a shortcut)."""
+    """Synthesize REAL baseline COLOR JPEGs — 4:4:4 (every factor
+    1x1), 4:2:0 (Y 2x2), 4:2:2 (Y 2x1), or 4:1:1 (Y 4x1) via
+    ``sampling`` (``subsample=True`` is the legacy 4:2:0 spelling) —
+    interleaved MCUs, per-component DC prediction, shared Annex K
+    tables, q=1. The YCbCr planes are CONSTANT PER 8x8 LUMA BLOCK
+    (Y=(37bx+71by)%256) and CONSTANT PER MCU MACROBLOCK for chroma
+    (Cb=(23mx+41my)%256, Cr=(53mx+13my)%256 on MCU coordinates), so
+    every block is DC-only, nearest-neighbor chroma upsampling is
+    lossless, and the baseline round-trip is exact — an external
+    oracle recomputes every RGB channel from (width, height) alone
+    through the same fixed-point integer YCbCr→RGB rule the decoder
+    applies. Arrow ``mapInPandas``; the encoder runs the full
+    per-component FDCT/quantize/Huffman pipeline (the block-constant
+    input is data, not a shortcut)."""
     import struct
 
     import numpy as np
+
+    if sampling is None:
+        sampling = "420" if subsample else "444"
+    yh_f, yv_f = {
+        "444": (1, 1),
+        "420": (2, 2),
+        "422": (2, 1),
+        "411": (4, 1),
+    }[sampling]
 
     enc_dc, _ = _jpeg_huff_tables(_JPEG_DC_BITS, _JPEG_DC_VALS)
     enc_ac, _ = _jpeg_huff_tables(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -2181,33 +2194,28 @@ def synth_jpeg_color_assets(
         crv = lambda bx, by: float((53 * bx + 13 * by) % 256)  # noqa: E731
         wr = _JpegBitWriter()
         preds = [0, 0, 0]
-        if subsample:
-            # 4:2:0 — MCU = 16x16 px: four Y blocks (the 8px-block
-            # gradient, evaluated straight through the MCU padding —
-            # the decoder crops it) + one Cb + one Cr (constant per
-            # 16x16 macroblock, so nearest upsampling is lossless)
-            n_mcux, n_mcuy = (w + 15) // 16, (h + 15) // 16
-            for mr in range(n_mcuy):
-                for mc in range(n_mcux):
-                    for bv in range(2):
-                        for bh in range(2):
-                            _enc_block(
-                                wr, preds, 0,
-                                yv(2 * mc + bh, 2 * mr + bv),
-                            )
-                    _enc_block(wr, preds, 1, cbv(mc, mr))
-                    _enc_block(wr, preds, 2, crv(mc, mr))
-        else:
-            nbx, nby = (w + 7) // 8, (h + 7) // 8
-            for r in range(nby):
-                for c in range(nbx):
-                    _enc_block(wr, preds, 0, yv(c, r))
-                    _enc_block(wr, preds, 1, cbv(c, r))
-                    _enc_block(wr, preds, 2, crv(c, r))
+        # generic Hi×Vi interleave: MCU = (yh_f·8)×(yv_f·8) px, with
+        # yh_f·yv_f Y blocks (the 8px-block gradient, evaluated
+        # straight through the MCU padding — the decoder crops it)
+        # followed by one Cb and one Cr block, each constant per
+        # macroblock so nearest upsampling is lossless. 4:4:4
+        # degenerates to the 1-1-1 walk.
+        n_mcux = (w + yh_f * 8 - 1) // (yh_f * 8)
+        n_mcuy = (h + yv_f * 8 - 1) // (yv_f * 8)
+        for mr in range(n_mcuy):
+            for mc in range(n_mcux):
+                for bv in range(yv_f):
+                    for bh in range(yh_f):
+                        _enc_block(
+                            wr, preds, 0,
+                            yv(yh_f * mc + bh, yv_f * mr + bv),
+                        )
+                _enc_block(wr, preds, 1, cbv(mc, mr))
+                _enc_block(wr, preds, 2, crv(mc, mr))
         scan = wr.flush()
         app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
         dqt = b"\x00" + bytes([1] * 64)
-        y_hv = b"\x22" if subsample else b"\x11"
+        y_hv = bytes([(yh_f << 4) | yv_f])
         sof0 = (
             b"\x08"
             + struct.pack(">HH", h, w)
@@ -2261,9 +2269,12 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
     channel value after the IDCT clamp. DRI restart intervals are
     honored: at each boundary the reader drops the padding bits,
     verifies the cycling RSTm marker and every DC prediction resets
-    (camera firmware emits these on nearly every photo). Anything
-    outside the profile (progressive with restarts, 12-bit,
-    >2x2 sampling) raises and the caller nulls the row out.
+    (camera firmware emits these on nearly every photo). Sampling
+    factors cover the full T.81 1..4 range with integer upsample
+    ratios — 4:4:4, 4:2:2, 4:2:0, 4:1:1 (r11); anything outside the
+    profile (progressive with restarts, 12-bit, fractional-ratio
+    factor mixes like 3-vs-2) raises and the caller nulls the row
+    out.
     Grayscale reports the luminance sum on all three channels (the
     PGM convention)."""
     import struct
@@ -2321,9 +2332,9 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
                 cid = seg[6 + 3 * ci]
                 hv = seg[7 + 3 * ci]
                 hi, vi = hv >> 4, hv & 0x0F
-                if hi not in (1, 2) or vi not in (1, 2):
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(
-                        "jpeg: sampling factors beyond 2x2 unsupported"
+                        "jpeg: sampling factors outside T.81 1..4"
                     )
                 comps.append(
                     {"id": cid, "tq": seg[8 + 3 * ci], "h": hi, "v": vi}
@@ -2360,6 +2371,14 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
     zz_pos = np.asarray(_JPEG_ZIGZAG)
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            # T.81 permits e.g. 3-vs-2 factor mixes, but their
+            # reconstruction ratio is fractional; the replication
+            # upsample below (libjpeg's rule) needs integer ratios
+            raise ValueError(
+                "jpeg: non-integer chroma upsample ratio unsupported"
+            )
     # MCUs tile hmax*8 x vmax*8 pixel macroblocks; each component
     # contributes Hi x Vi blocks per MCU into its OWN (subsampled)
     # plane grid (T.81 A.2.3 interleaved order)

@@ -3087,6 +3087,96 @@ def test_jpeg_general_scan_entropy_exact():
     assert len(scan) > nbx * nby * 8
 
 
+def test_jpeg_generalized_sampling_exact_and_fractional_gate():
+    """Hand-built baseline bitstreams across the T.81 sampling-factor
+    range — 4:4:4 (1x1), 4:2:2 (2x1), 4:2:0 (2x2), 4:1:1 (4x1), and
+    the exotic-but-integer 3x1 / 4x2 / 3x3 / 1x4 mixes — must decode
+    to the EXACT per-channel sums of the synthetic block rules
+    (chroma constant per MCU macroblock, so nearest upsampling is
+    lossless). A fractional upsample ratio (Cb 3x1 against Y 2x1 →
+    hmax 3, ratio 3/2) must be refused, not mis-decoded."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    enc_dc, _ = M._jpeg_huff_tables(M._JPEG_DC_BITS, M._JPEG_DC_VALS)
+    enc_ac, _ = M._jpeg_huff_tables(M._JPEG_AC_BITS, M._JPEG_AC_VALS)
+    tmat = M._jpeg_dct_matrix()
+    zz_order = np.asarray(M._JPEG_ZIGZAG)
+
+    def build(w, h, yh_f, yv_f):
+        wr = M._JpegBitWriter()
+        preds = [0, 0, 0]
+
+        def enc(ci, val):
+            blk = np.full((8, 8), float(val)) - 128.0
+            coef = np.rint(tmat @ blk @ tmat.T).astype(np.int64)
+            preds[ci] = M._jpeg_encode_block(
+                wr, enc_dc, enc_ac, coef.reshape(64)[zz_order], preds[ci]
+            )
+
+        for mr in range((h + yv_f * 8 - 1) // (yv_f * 8)):
+            for mc in range((w + yh_f * 8 - 1) // (yh_f * 8)):
+                for bv in range(yv_f):
+                    for bh in range(yh_f):
+                        enc(0, (37 * (yh_f * mc + bh)
+                                + 71 * (yv_f * mr + bv)) % 256)
+                enc(1, (23 * mc + 41 * mr) % 256)
+                enc(2, (53 * mc + 13 * mr) % 256)
+        scan = wr.flush()
+        seg = lambda m, b: m + struct.pack(">H", len(b) + 2) + b  # noqa: E731
+        sof0 = (
+            b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+            + b"\x01" + bytes([(yh_f << 4) | yv_f])
+            + b"\x00\x02\x11\x00\x03\x11\x00"
+        )
+        return b"".join([
+            b"\xff\xd8",
+            seg(b"\xff\xdb", b"\x00" + bytes([1] * 64)),
+            seg(b"\xff\xc0", sof0),
+            seg(b"\xff\xc4",
+                b"\x00" + bytes(M._JPEG_DC_BITS) + bytes(M._JPEG_DC_VALS)),
+            seg(b"\xff\xc4",
+                b"\x10" + bytes(M._JPEG_AC_BITS) + bytes(M._JPEG_AC_VALS)),
+            seg(b"\xff\xda", b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00"),
+            scan,
+            b"\xff\xd9",
+        ])
+
+    def expected(w, h, yh_f, yv_f):
+        i = np.arange(w * h)
+        x, y = i % w, i // w
+        yy = (37 * (x // 8) + 71 * (y // 8)) % 256
+        cb = (23 * (x // (8 * yh_f)) + 41 * (y // (8 * yv_f))) % 256
+        cr = (53 * (x // (8 * yh_f)) + 13 * (y // (8 * yv_f))) % 256
+        ch = lambda n: np.clip((n + 500) // 1000, 0, 255)  # noqa: E731
+        return (
+            w * h,
+            int(ch(1000 * yy + 1402 * (cr - 128)).sum()),
+            int(ch(1000 * yy - 344 * (cb - 128) - 714 * (cr - 128)).sum()),
+            int(ch(1000 * yy + 1772 * (cb - 128)).sum()),
+        )
+
+    for yh, yv in [(1, 1), (2, 1), (2, 2), (4, 1),
+                   (3, 1), (4, 2), (3, 3), (1, 4)]:
+        for w, h in [(17, 12), (16, 8), (31, 13)]:
+            assert M._jpeg_pixel_sums(build(w, h, yh, yv)) == expected(
+                w, h, yh, yv
+            )
+
+    # factor outside 1..4 in the SOF must be refused
+    raw = bytearray(build(16, 8, 2, 1))
+    sof = raw.find(b"\xff\xc0")
+    assert raw[sof + 11] == 0x21  # comp 1 (Y) hv byte
+    raw[sof + 14] = 0x31  # comp 2 (Cb) hv 1x1 → 3x1: Y ratio 3/2
+    with pytest.raises(ValueError, match="non-integer"):
+        M._jpeg_pixel_sums(bytes(raw))
+    raw[sof + 14] = 0x51  # factor 5 is outside T.81's 1..4
+    with pytest.raises(ValueError, match="1..4"):
+        M._jpeg_pixel_sums(bytes(raw))
+
+
 def test_jpeg_poison_truncation_and_profile_gates():
     """Truncations must raise (poison → null row, never a dead
     stage), and unsupported profiles — color SOF0, progressive SOF2,
@@ -3706,9 +3796,10 @@ def test_jpeg_color_roundtrip_and_poison(spark):
     ][0]
     with _pytest.raises(ValueError):
         M._jpeg_pixel_sums(one[: len(one) - 20])
-    # sampling factors beyond 2x2 are the declared boundary
-    bad = one.replace(b"\x03\x01\x11\x00\x02\x11\x00", b"\x03\x01\x33\x00\x02\x11\x00", 1)
-    with _pytest.raises(ValueError, match="sampling factors"):
+    # sampling factors outside T.81's 1..4 are the declared boundary
+    # (integer-ratio mixes up to 4x4 decode since r11)
+    bad = one.replace(b"\x03\x01\x11\x00\x02\x11\x00", b"\x03\x01\x55\x00\x02\x11\x00", 1)
+    with _pytest.raises(ValueError, match="1..4"):
         M._jpeg_pixel_sums(bad)
 
 
