@@ -4329,7 +4329,7 @@ def _flac_fixed_frame_body(
     order: int,
     bps: int,
     part_order: int = 1,
-    escape: bool = False,
+    escape: "bool | str" = False,
     wasted: int = 0,
 ) -> None:
     """Encode ONE channel's samples as a FIXED-predictor subframe
@@ -4338,7 +4338,8 @@ def _flac_fixed_frame_body(
     and desync any conforming decoder): ``order`` warmup samples
     raw, then Rice-coded residuals in 2^part_order partitions
     (4-bit Rice parameter per partition, chosen as the max
-    residual's bit length — simple, always escape-free)."""
+    residual's bit length; ``escape`` per _flac_write_rice — False /
+    True / "mixed")."""
     body.write(0, 1)  # padding
     body.write(0b001000 | order, 6)  # FIXED, given order
     if wasted:
@@ -4368,12 +4369,17 @@ def _flac_write_rice(
     order: int,
     n_samples: int,
     part_order: int,
-    escape: bool = False,
+    escape: "bool | str" = False,
 ) -> None:
     """Rice-partitioned residual coding shared by the FIXED and LPC
     subframe encoders: 2^part_order partitions, per-partition 4-bit
-    parameter chosen as the max residual's zigzag bit length (simple,
-    always escape-free), unary quotient + k-bit remainder."""
+    parameter chosen as the max residual's zigzag bit length, unary
+    quotient + k-bit remainder. ``escape`` selects the partition
+    coding: False = all Rice, True = every partition escaped (k=15,
+    raw two's-complement residuals), ``"mixed"`` = even-indexed
+    partitions escaped and odd-indexed Rice — the same subframe
+    interleaving both codings, which real encoders emit whenever one
+    partition's residuals defeat Rice while a neighbor's don't."""
     body.write(0, 2)  # residual method: 4-bit Rice
     body.write(part_order, 4)
     n_parts = 1 << part_order
@@ -4383,7 +4389,7 @@ def _flac_write_rice(
         cnt = per - order if p == 0 else per
         chunk = resid[idx : idx + cnt]
         idx += cnt
-        if escape:
+        if escape is True or (escape == "mixed" and p % 2 == 0):
             # escaped partition: k=15, then 5-bit raw width and the
             # residuals as two's complement
             eb = max((v.bit_length() + 1 for v in chunk), default=0)
@@ -4631,6 +4637,7 @@ def _flac_bytes_stereo(
             ch = [(mid, bps), (side, bps + 1)]
         else:
             raise ValueError(f"bad stereo mode {mode}")
+        fixed_mixed = mode == 10  # see subframe encoding note below
         hdr = _BitWriterMSB()
         hdr.write(0b11111111111110, 14)
         hdr.write(0, 1)
@@ -4646,7 +4653,21 @@ def _flac_bytes_stereo(
         head.append(_flac_crc8(bytes(head)))
         body = _BitWriterMSB()
         for vals, width in ch:
-            vsub(body, vals, width, wasted)
+            if fixed_mixed:
+                # mid/side frames carry their (linear, hence exactly
+                # FIXED-predictable) transformed channels as FIXED
+                # order-1 subframes with part_order=2 and MIXED
+                # per-partition Rice escapes — partitions 0/2 escaped
+                # (k=15 raw), 1/3 Rice — so one subframe interleaves
+                # both residual codings (r10 verdict ask #8). The
+                # decoded samples are identical to the VERBATIM
+                # coding, so the closed-form oracle is unchanged.
+                _flac_fixed_frame_body(
+                    body, vals, 1, width,
+                    part_order=2, escape="mixed",
+                )
+            else:
+                vsub(body, vals, width, wasted)
         frame = bytes(head) + body.bytes_aligned()
         out += frame + struct.pack(">H", _flac_crc16(frame))
     return bytes(out)

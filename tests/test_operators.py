@@ -4324,6 +4324,77 @@ def test_flac_wasted_bits_and_rice_escape(spark):
         M._flac_pcm_sums(bytes(bad))
 
 
+def test_flac_mixed_escape_partitions_one_subframe():
+    """One subframe interleaving BOTH residual codings — even-indexed
+    partitions escaped (k=15, raw two's-complement), odd-indexed
+    Rice — must decode exactly, and the bitstream must really carry
+    both codings (asserted by re-reading the subframe's partition
+    headers). Real encoders emit this whenever one partition's
+    residuals defeat Rice while a neighbor's don't."""
+    import struct
+
+    from geniepool_etl_spark.operators import multimodal as M
+
+    block = 64
+    # sign-alternating ramp: order-1 residuals are large and
+    # alternating, so Rice and escape codings differ materially
+    samples = [(-1) ** i * (7 + 3 * i) for i in range(block)]
+    si = M._BitWriterMSB()
+    si.write(block, 16); si.write(block, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5)
+    si.write(block, 36)
+    streaminfo = si.bytes_aligned() + bytes(16)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
+    out += streaminfo
+    hdr = M._BitWriterMSB()
+    hdr.write(0b11111111111110, 14); hdr.write(0, 2)
+    hdr.write(0b0110, 4); hdr.write(0b0000, 4)
+    hdr.write(0, 4); hdr.write(0b100, 3); hdr.write(0, 1)
+    head = bytearray(hdr.bytes_aligned())
+    head += M._flac_utf8_number(0)
+    head.append(block - 1)
+    head.append(M._flac_crc8(bytes(head)))
+    body = M._BitWriterMSB()
+    M._flac_fixed_frame_body(
+        body, samples, 1, 16, part_order=2, escape="mixed"
+    )
+    frame = bytes(head) + body.bytes_aligned()
+    out += frame + struct.pack(">H", M._flac_crc16(frame))
+    n, sa, sq, pk = M._flac_pcm_sums(bytes(out))
+    assert (n, sa, sq, pk) == (
+        block,
+        sum(samples),
+        sum(v * v for v in samples),
+        max(abs(v) for v in samples),
+    )
+    # the subframe must really mix codings: walk its 4 partition
+    # headers and collect the k parameters (k=15 marks an escape)
+    rd = M._BitReaderMSB(frame, len(head))
+    assert rd.read(1) == 0 and rd.read(6) == 0b001001  # FIXED order 1
+    assert rd.read(1) == 0  # no wasted bits
+    rd.read(16)  # warmup sample
+    assert rd.read(2) == 0 and rd.read(4) == 2  # 4-bit Rice, 4 parts
+    ks = []
+    per = block >> 2
+    for p in range(4):
+        cnt = per - 1 if p == 0 else per
+        k = rd.read(4)
+        ks.append(k)
+        if k == 15:
+            eb = rd.read(5)
+            for _ in range(cnt):
+                rd.read(eb)
+        else:
+            for _ in range(cnt):
+                while rd.read(1) == 0:
+                    pass
+                rd.read(k)
+    assert ks[0] == 15 and ks[2] == 15
+    assert ks[1] < 15 and ks[3] < 15
+
+
 def test_flac_variable_blocking_stream():
     """Variable-blocking FLAC (blocking-strategy bit = 1): frames
     carry UTF-8-coded SAMPLE numbers and differing block sizes (the
