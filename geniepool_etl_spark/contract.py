@@ -2616,6 +2616,38 @@ def q_multimodal_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_pcm_stats(M.synth_flac_lpc_assets(params))
 
 
+def q_multimodal_jpeg_prog420(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE + SUBSAMPLED JPEG decode (SOF2, 4:2:0 — the
+    profile real photo encoders actually emit: multi-scan AND chroma
+    subsampling together, multimodal.synth_jpeg_progressive_assets
+    (sampling="420") → decode_image_pixel_stats). The interleaved DC
+    scan walks Hi×Vi padded-grid luma blocks per MCU; each AC band
+    scan covers only its component's OWN raster grid (T.81 A.2.2 —
+    MCU padding blocks carry no AC); reconstruction replicates the
+    subsampled chroma planes exactly like the baseline path. Chroma
+    is constant per 16×16 macroblock in the synth, so the oracle
+    recomputes every channel from the two block rules. The remaining
+    progressive boundary is fractional-ratio factor mixes."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 5)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(15) + (F.col("doc_id") % 7) * 6)
+            .cast("long")
+            .alias("width"),
+            (F.lit(11) + (F.col("doc_id") % 6) * 8)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_jpeg_progressive_assets(params, sampling="420")
+    )
+
+
 def q_multimodal_jpeg_422(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:2:2 baseline JPEG pixel decode (multimodal.
     synth_jpeg_color_assets(sampling="422") → decode_image_pixel_
@@ -8792,6 +8824,42 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_jpeg_prog420"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 15 + (doc_id % 7) * 6 AS w,
+                 11 + (doc_id % 6) * 8 AS h
+          FROM documents WHERE doc_id % 13 = 5
+        ),
+        px AS (
+          SELECT asset_id,
+                 (37 * ((i % w) // 8) + 71 * ((i // w) // 8)) % 256 AS yy,
+                 (23 * ((i % w) // 16) + 41 * ((i // w) // 16)) % 256
+                   AS cb,
+                 (53 * ((i % w) // 16) + 13 * ((i // w) // 16)) % 256
+                   AS cr
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        rgb AS (
+          SELECT asset_id,
+                 least(greatest((1000 * yy + 1402 * (cr - 128) + 500)
+                   // 1000, 0), 255) AS r,
+                 least(greatest((1000 * yy - 344 * (cb - 128)
+                   - 714 * (cr - 128) + 500) // 1000, 0), 255) AS g,
+                 least(greatest((1000 * yy + 1772 * (cb - 128) + 500)
+                   // 1000, 0), 255) AS b
+          FROM px
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b
+          FROM rgb GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_jpeg_422"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -9942,6 +10010,7 @@ FROM g
 SPARK_QUERIES = {
     # --- r11-new lanes first (never driver-recorded) ---
     "multimodal_jpeg_422": q_multimodal_jpeg_422,
+    "multimodal_jpeg_prog420": q_multimodal_jpeg_prog420,
     # Ordering: stalest driver record first (see harness note above).
     # Regenerated round 11 from CORRECTNESS_r01..r10 latest-record rounds
     # so the driver's ~50-entry window re-proves the r3/r4-recorded

@@ -3720,17 +3720,29 @@ def synth_jpeg_progressive_assets(
     id_col: str = "asset_id",
     width_col: str = "width",
     height_col: str = "height",
+    sampling: str = "444",
 ) -> DataFrame:
     """Synthesize REAL progressive JPEGs (SOF2): an interleaved DC
     scan followed by one AC band scan per component (Ss=1..63,
     Ah=Al=0) whose all-zero bands entropy-code as chunked EOB runs —
     the multi-scan structure real progressive files use, on the same
     block-constant YCbCr gradient as the color lane (DC-only blocks,
-    q=1 → lossless round-trip, closed-form oracle). Arrow
-    ``mapInPandas``."""
+    q=1 → lossless round-trip, closed-form oracle). ``sampling``
+    selects the chroma layout (444/420/422/411): the interleaved DC
+    scan then walks Hi×Vi luma blocks per MCU while each AC scan
+    covers only its component's OWN raster grid (T.81 A.2.2), and
+    chroma is constant per MCU macroblock so the nearest upsample is
+    lossless. Arrow ``mapInPandas``."""
     import struct
 
     import numpy as np
+
+    yh_f, yv_f = {
+        "444": (1, 1),
+        "420": (2, 2),
+        "422": (2, 1),
+        "411": (4, 1),
+    }[sampling]
 
     enc_dc, _ = _jpeg_huff_tables(_JPEG_DC_BITS, _JPEG_DC_VALS)
     # the Annex K AC table has NO EOBn symbols (progressive-only
@@ -3743,38 +3755,49 @@ def synth_jpeg_progressive_assets(
     tmat = _jpeg_dct_matrix()
 
     def one(w: int, h: int) -> bytes:
-        nbx, nby = (w + 7) // 8, (h + 7) // 8
-        bx = np.arange(nbx, dtype=np.int64)[None, :]
-        by = np.arange(nby, dtype=np.int64)[:, None]
-        planes = [
-            ((37 * bx + 71 * by) % 256).astype(np.float64),
-            ((23 * bx + 41 * by) % 256).astype(np.float64),
-            ((53 * bx + 13 * by) % 256).astype(np.float64),
-        ]
-        # interleaved DC scan: category + EXTEND bits per component
+        yv = lambda bx, by: float((37 * bx + 71 * by) % 256)  # noqa: E731
+        cbv = lambda mx, my: float((23 * mx + 41 * my) % 256)  # noqa: E731
+        crv = lambda mx, my: float((53 * mx + 13 * my) % 256)  # noqa: E731
+        n_mcux = (w + yh_f * 8 - 1) // (yh_f * 8)
+        n_mcuy = (h + yv_f * 8 - 1) // (yv_f * 8)
+
+        def _dc(wr, preds, ci, val):
+            blk = np.full((8, 8), val) - 128.0
+            dc = int(np.rint((tmat @ blk @ tmat.T))[0, 0])
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            ssss = abs(diff).bit_length()
+            code, ln = enc_dc[ssss]
+            wr.write(code, ln)
+            if ssss:
+                wr.write(
+                    diff if diff >= 0 else diff + (1 << ssss) - 1, ssss
+                )
+
+        # interleaved DC scan: per MCU, Hi×Vi luma blocks (the 8-px
+        # block gradient, padded blocks included) then Cb and Cr
+        # (constant per macroblock)
         wr = _JpegBitWriter()
         preds = [0, 0, 0]
-        for r in range(nby):
-            for c in range(nbx):
-                for ci in range(3):
-                    blk = np.full((8, 8), planes[ci][r, c]) - 128.0
-                    dc = int(np.rint((tmat @ blk @ tmat.T))[0, 0])
-                    diff = dc - preds[ci]
-                    preds[ci] = dc
-                    mag = abs(diff)
-                    ssss = mag.bit_length()
-                    code, ln = enc_dc[ssss]
-                    wr.write(code, ln)
-                    if ssss:
-                        wr.write(
-                            diff if diff >= 0 else diff + (1 << ssss) - 1,
-                            ssss,
-                        )
+        for mr in range(n_mcuy):
+            for mc in range(n_mcux):
+                for bv in range(yv_f):
+                    for bh in range(yh_f):
+                        _dc(wr, preds, 0,
+                            yv(yh_f * mc + bh, yv_f * mr + bv))
+                _dc(wr, preds, 1, cbv(mc, mr))
+                _dc(wr, preds, 2, crv(mc, mr))
         dc_scan = wr.flush()
-        # one AC band scan per component: all bands zero -> EOB runs
-        n_blocks = nbx * nby
+        # one AC band scan per component over ITS raster block count
+        # (T.81 A.2.2 — ceil(x_i/8)·ceil(y_i/8), padding excluded):
+        # all bands zero -> EOB runs
+        y_blocks = ((w + 7) // 8) * ((h + 7) // 8)
+        c_blocks = (
+            (((w + yh_f - 1) // yh_f + 7) // 8)
+            * (((h + yv_f - 1) // yv_f + 7) // 8)
+        )
         ac_scans = []
-        for _ci in range(3):
+        for n_blocks in (y_blocks, c_blocks, c_blocks):
             wr = _JpegBitWriter()
             n = n_blocks
             while n > 0:
@@ -3792,7 +3815,8 @@ def synth_jpeg_progressive_assets(
             b"\x08"
             + struct.pack(">HH", h, w)
             + b"\x03"
-            + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+            + b"\x01" + bytes([(yh_f << 4) | yv_f])
+            + b"\x00\x02\x11\x00\x03\x11\x00"
         )
         dht_dc = b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         dht_eob = b"\x11" + bytes(_EOB_BITS) + bytes(_EOB_VALS)
@@ -4024,8 +4048,13 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
     non-contiguous Ah/Al chains raise). DRI restart intervals are
     honored per scan: each scan's RSTm sequence restarts at RST0, DC
     prediction and EOB-run state reset per interval, and an EOB run
-    crossing a boundary is poison. Sampling factors beyond 1x1
-    raise — the remaining boundary. Supports 1 or 3 components."""
+    crossing a boundary is poison. Chroma subsampling decodes too
+    (r11): interleaved scans walk Hi×Vi padded-grid blocks per MCU,
+    single-component scans walk the component's OWN raster grid
+    (T.81 A.2.2 — padding blocks carry no AC), and reconstruction
+    replicates each subsampled plane back up exactly like the
+    baseline path; factors cover T.81's 1..4 with integer upsample
+    ratios (fractional mixes raise). Supports 1 or 3 components."""
     import struct
 
     import numpy as np
@@ -4094,16 +4123,44 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                 raise ValueError("jpeg: unsupported component count")
             comps = []
             for ci in range(ncomp):
-                if seg[7 + 3 * ci] != 0x11:
+                hv = seg[7 + 3 * ci]
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(
-                        "jpeg: progressive subsampling unsupported"
+                        "jpeg: sampling factors outside T.81 1..4"
                     )
                 comps.append(
-                    {"id": seg[6 + 3 * ci], "tq": seg[8 + 3 * ci]}
+                    {
+                        "id": seg[6 + 3 * ci],
+                        "tq": seg[8 + 3 * ci],
+                        "h": hi,
+                        "v": vi,
+                    }
                 )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise ValueError(
+                        "jpeg: non-integer chroma upsample ratio "
+                        "unsupported"
+                    )
+            n_mcux = (w + hmax * 8 - 1) // (hmax * 8)
+            n_mcuy = (h + vmax * 8 - 1) // (vmax * 8)
+            for c in comps:
+                # padded (MCU-interleave) grid vs the component's own
+                # raster grid: non-interleaved scans cover ONLY the
+                # raster blocks (T.81 A.2.2 — ceil(x_i/8) per axis on
+                # x_i = ceil(w·h_i/hmax)), while interleaved scans
+                # walk the padded grid
+                c["pgx"] = n_mcux * c["h"]
+                c["pgy"] = n_mcuy * c["v"]
+                c["cx"] = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+                c["cy"] = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
             nbx, nby = (w + 7) // 8, (h + 7) // 8
             coefs = [
-                np.zeros((nby * nbx, 64), dtype=np.int64) for _ in comps
+                np.zeros((c["pgy"] * c["pgx"], 64), dtype=np.int64)
+                for c in comps
             ]
             preds = [0] * ncomp
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
@@ -4132,20 +4189,49 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
             data_end = _scan_end(data_start)
             rd = _JpegBitReader(raw[data_start:data_end])
             rst_m = 0  # every scan's RST sequence restarts at RST0
+            # restart-unit walk shared by the DC branches: an
+            # interleaved scan advances one MCU per unit (each scan
+            # component contributing its Hi×Vi padded-grid blocks in
+            # T.81 A.2.3 order); a single-component scan advances one
+            # RASTER block per unit, mapped into that component's
+            # padded grid
+            def _dc_units():
+                if len(scan_comps) > 1:
+                    for m in range(n_mcuy * n_mcux):
+                        mr, mc = divmod(m, n_mcux)
+                        blocks = []
+                        for ci, dc_id, _ac in scan_comps:
+                            comp = comps[ci]
+                            for bv in range(comp["v"]):
+                                for bh in range(comp["h"]):
+                                    blocks.append((
+                                        ci,
+                                        dc_id,
+                                        (mr * comp["v"] + bv)
+                                        * comp["pgx"]
+                                        + mc * comp["h"] + bh,
+                                    ))
+                        yield blocks
+                else:
+                    ci, dc_id, _ac = scan_comps[0]
+                    comp = comps[ci]
+                    for bi in range(comp["cy"] * comp["cx"]):
+                        br, bc = divmod(bi, comp["cx"])
+                        yield [(ci, dc_id, br * comp["pgx"] + bc)]
+
             if ss == 0 and ah == 0:
-                # FIRST DC scan: interleaved over all scan components
-                # (1x1 factors → one block per component per MCU);
-                # with a point transform the decoded values are the
-                # coefficient >> al (arithmetic), stored shifted up
+                # FIRST DC scan; with a point transform the decoded
+                # values are the coefficient >> al (arithmetic),
+                # stored shifted up
                 if se != 0:
                     raise ValueError("jpeg: mixed DC/AC spectral band")
-                for b in range(nby * nbx):
-                    if restart_interval and b and b % restart_interval == 0:
+                for u, blocks in enumerate(_dc_units()):
+                    if restart_interval and u and u % restart_interval == 0:
                         rd.restart(rst_m)
                         rst_m = (rst_m + 1) & 7
                         for ci, _d, _a in scan_comps:
                             preds[ci] = 0
-                    for ci, dc_id, _ac_id in scan_comps:
+                    for ci, dc_id, b in blocks:
                         dec_dc = huff_dc.get(dc_id)
                         if dec_dc is None:
                             raise ValueError("jpeg: missing DC table")
@@ -4166,11 +4252,11 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                 # negative values too (two's-complement low bits)
                 if se != 0:
                     raise ValueError("jpeg: mixed DC/AC spectral band")
-                for b in range(nby * nbx):
-                    if restart_interval and b and b % restart_interval == 0:
+                for u, blocks in enumerate(_dc_units()):
+                    if restart_interval and u and u % restart_interval == 0:
                         rd.restart(rst_m)
                         rst_m = (rst_m + 1) & 7
-                    for ci, _dc_id, _ac_id in scan_comps:
+                    for ci, _dc_id, b in blocks:
                         if rd.read(1):
                             coefs[ci][b, 0] |= 1 << al
             elif ah == 0:
@@ -4183,8 +4269,16 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                 if dec_ac is None:
                     raise ValueError("jpeg: missing AC table")
                 eobrun = 0
-                for b in range(nby * nbx):
-                    if restart_interval and b and b % restart_interval == 0:
+                comp = comps[ci]
+                # non-interleaved: the component's own raster blocks
+                # only (padding blocks carry no AC), mapped into its
+                # padded grid
+                for bi in range(comp["cy"] * comp["cx"]):
+                    b = (
+                        (bi // comp["cx"]) * comp["pgx"]
+                        + bi % comp["cx"]
+                    )
+                    if restart_interval and bi and bi % restart_interval == 0:
                         # EOB runs shall not cross a restart boundary
                         if eobrun:
                             raise ValueError(
@@ -4233,8 +4327,13 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                         row[k] += p1 if row[k] >= 0 else m1
 
                 eobrun = 0
-                for b in range(nby * nbx):
-                    if restart_interval and b and b % restart_interval == 0:
+                comp = comps[ci]
+                for bi in range(comp["cy"] * comp["cx"]):
+                    b = (
+                        (bi // comp["cx"]) * comp["pgx"]
+                        + bi % comp["cx"]
+                    )
+                    if restart_interval and bi and bi % restart_interval == 0:
                         if eobrun:
                             raise ValueError(
                                 "jpeg: EOB run crosses restart boundary"
@@ -4291,14 +4390,21 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
         if comp["tq"] not in qt:
             raise ValueError("jpeg: missing quant table")
         quant = qt[comp["tq"]]
-        plane = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
-        for b in range(nby * nbx):
+        pgx, pgy = comp["pgx"], comp["pgy"]
+        plane = np.zeros((pgy * 8, pgx * 8), dtype=np.int64)
+        for b in range(pgy * pgx):
             coef = np.zeros(64, dtype=np.int64)
             coef[zz_pos] = coefs[ci][b] * quant
             blk = tmat.T @ coef.reshape(8, 8).astype(np.float64) @ tmat
             px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.int64)
-            r, c = divmod(b, nbx)
+            r, c = divmod(b, pgx)
             plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = px
+        # nearest-neighbor upsample back to full resolution (same
+        # rule as the baseline path), then crop the MCU padding
+        if comp["h"] < hmax:
+            plane = np.repeat(plane, hmax // comp["h"], axis=1)
+        if comp["v"] < vmax:
+            plane = np.repeat(plane, vmax // comp["v"], axis=0)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         s = int(planes[0].sum())

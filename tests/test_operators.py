@@ -4324,6 +4324,49 @@ def test_flac_wasted_bits_and_rice_escape(spark):
         M._flac_pcm_sums(bytes(bad))
 
 
+def test_jpeg_progressive_subsampled_roundtrip():
+    """Progressive (SOF2) + chroma subsampling together — the profile
+    real photo encoders emit. The interleaved DC scan walks Hi×Vi
+    padded-grid luma blocks per MCU; each AC band scan covers only
+    its component's OWN raster grid (T.81 A.2.2 — padding blocks
+    carry no AC, so the EOB-run block counts differ per component);
+    reconstruction replicates subsampled planes like baseline. Every
+    sampling layout must round-trip to the closed form exactly."""
+    import numpy as np
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    for sampling, (yh, yv) in [
+        ("444", (1, 1)), ("420", (2, 2)), ("422", (2, 1)), ("411", (4, 1)),
+    ]:
+        batches = M.synth_jpeg_progressive_assets(
+            StubDF(), sampling=sampling
+        )
+        for w, h in [(17, 12), (33, 9), (25, 21)]:
+            pdf = pd.DataFrame(
+                {"asset_id": [1], "width": [w], "height": [h]}
+            )
+            raw = next(batches(iter([pdf])))["payload"][0]
+            got = M._jpeg_progressive_pixel_sums(raw)
+            i = np.arange(w * h)
+            x, y = i % w, i // w
+            yy = (37 * (x // 8) + 71 * (y // 8)) % 256
+            cb = (23 * (x // (8 * yh)) + 41 * (y // (8 * yv))) % 256
+            cr = (53 * (x // (8 * yh)) + 13 * (y // (8 * yv))) % 256
+            ch = lambda n: np.clip((n + 500) // 1000, 0, 255)  # noqa: E731
+            exp = (
+                w * h,
+                int(ch(1000 * yy + 1402 * (cr - 128)).sum()),
+                int(ch(1000 * yy - 344 * (cb - 128)
+                       - 714 * (cr - 128)).sum()),
+                int(ch(1000 * yy + 1772 * (cb - 128)).sum()),
+            )
+            assert got == exp, (sampling, w, h)
+
+
 def test_flac_mixed_escape_partitions_one_subframe():
     """One subframe interleaving BOTH residual codings — even-indexed
     partitions escaped (k=15, raw two's-complement), odd-indexed
