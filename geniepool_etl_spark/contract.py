@@ -2616,6 +2616,39 @@ def q_multimodal_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_pcm_stats(M.synth_flac_lpc_assets(params))
 
 
+def q_multimodal_avi_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VIDEO FRAME decode — MJPEG-in-AVI (multimodal.
+    synth_avi_mjpeg_assets → decode_video_frame_stats): a real RIFF
+    container (hdrl/strl 'vids'+'MJPG' headers, LIST/movi of
+    word-aligned 00dc chunks, each one complete baseline JPEG) walked
+    and EXPLODED one-to-many into per-frame exact pixel stats through
+    the full JPEG entropy/IDCT/fixed-point-color path. Motion-JPEG is
+    the one mainstream video codec whose frames decode without an
+    inter-frame predictor — the honest first rung of frame decode;
+    H.26x/VP9/AV1 (motion compensation + arithmetic coding) remain
+    the declared codec boundary and RAISE rather than mis-decode.
+    Frame f shifts the block gradients by (29f, 17f, 11f), so the
+    oracle recomputes every channel of every frame from (w, h, f)."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 9)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(14) + (F.col("doc_id") % 5) * 7)
+            .cast("long")
+            .alias("width"),
+            (F.lit(9) + (F.col("doc_id") % 4) * 6)
+            .cast("long")
+            .alias("height"),
+            (F.lit(2) + F.col("doc_id") % 3).cast("int").alias("n_frames"),
+            (F.lit(5) + F.col("doc_id") % 3).cast("int").alias("fps"),
+        )
+    )
+    return M.decode_video_frame_stats(M.synth_avi_mjpeg_assets(params))
+
+
 def q_multimodal_jpeg_prog420(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8824,6 +8857,50 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_avi_frames"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 14 + (doc_id % 5) * 7 AS w,
+                 9 + (doc_id % 4) * 6 AS h,
+                 2 + doc_id % 3 AS nf
+          FROM documents WHERE doc_id % 13 = 9
+        ),
+        fr AS (
+          SELECT asset_id, w, h, CAST(f AS INT) AS frame_idx
+          FROM prm, UNNEST(range(nf)) AS u(f)
+        ),
+        px AS (
+          SELECT asset_id, frame_idx,
+                 (37 * ((i % w) // 8) + 71 * ((i // w) // 8)
+                  + 29 * frame_idx) % 256 AS yy,
+                 (23 * ((i % w) // 8) + 41 * ((i // w) // 8)
+                  + 17 * frame_idx) % 256 AS cb,
+                 (53 * ((i % w) // 8) + 13 * ((i // w) // 8)
+                  + 11 * frame_idx) % 256 AS cr
+          FROM fr, UNNEST(range(w * h)) AS v(i)
+        ),
+        rgb AS (
+          SELECT asset_id, frame_idx,
+                 least(greatest((1000 * yy + 1402 * (cr - 128) + 500)
+                   // 1000, 0), 255) AS r,
+                 least(greatest((1000 * yy - 344 * (cb - 128)
+                   - 714 * (cr - 128) + 500) // 1000, 0), 255) AS g,
+                 least(greatest((1000 * yy + 1772 * (cb - 128) + 500)
+                   // 1000, 0), 255) AS b
+          FROM px
+        ),
+        agg AS (
+          SELECT asset_id, frame_idx,
+                 CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b
+          FROM rgb GROUP BY asset_id, frame_idx
+        )
+        SELECT prm.asset_id, agg.frame_idx,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_jpeg_prog420"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10011,6 +10088,7 @@ SPARK_QUERIES = {
     # --- r11-new lanes first (never driver-recorded) ---
     "multimodal_jpeg_422": q_multimodal_jpeg_422,
     "multimodal_jpeg_prog420": q_multimodal_jpeg_prog420,
+    "multimodal_avi_frames": q_multimodal_avi_frames,
     # Ordering: stalest driver record first (see harness note above).
     # Regenerated round 11 from CORRECTNESS_r01..r10 latest-record rounds
     # so the driver's ~50-entry window re-proves the r3/r4-recorded

@@ -4324,6 +4324,57 @@ def test_flac_wasted_bits_and_rice_escape(spark):
         M._flac_pcm_sums(bytes(bad))
 
 
+def test_avi_mjpeg_frame_decode_and_codec_gate():
+    """MJPEG-in-AVI frame decode: every 00dc chunk's JPEG must decode
+    to the closed-form per-frame sums; the container metadata lane
+    still parses the same payload; a non-MJPG handler (H264) must be
+    refused by the frame walker, not mis-decoded; and a truncated
+    movi chunk is poison."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    batches = M.synth_avi_mjpeg_assets(StubDF())
+    pdf = pd.DataFrame(
+        {"asset_id": [7], "width": [17], "height": [12],
+         "n_frames": [3], "fps": [5]}
+    )
+    payload = next(batches(iter([pdf])))["payload"][0]
+    frames = list(M._avi_mjpeg_frames(payload))
+    assert len(frames) == 3
+    w, h = 17, 12
+    i = np.arange(w * h)
+    x, y = i % w, i // w
+    ch = lambda n: np.clip((n + 500) // 1000, 0, 255)  # noqa: E731
+    for f, fb in enumerate(frames):
+        yy = (37 * (x // 8) + 71 * (y // 8) + 29 * f) % 256
+        cb = (23 * (x // 8) + 41 * (y // 8) + 17 * f) % 256
+        cr = (53 * (x // 8) + 13 * (y // 8) + 11 * f) % 256
+        exp = (
+            w * h,
+            int(ch(1000 * yy + 1402 * (cr - 128)).sum()),
+            int(ch(1000 * yy - 344 * (cb - 128) - 714 * (cr - 128)).sum()),
+            int(ch(1000 * yy + 1772 * (cb - 128)).sum()),
+        )
+        assert M._jpeg_pixel_sums(fb) == exp
+    # the metadata lane still reads the same container
+    meta = M.decode_video(payload)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (17, 12, 3)
+    # codec gate: flip the stream handler to H264
+    bad = bytearray(payload)
+    at = bad.find(b"vids")
+    bad[at + 4 : at + 8] = b"H264"
+    with pytest.raises(ValueError, match="MJPG"):
+        list(M._avi_mjpeg_frames(bytes(bad)))
+    # truncation poison
+    with pytest.raises(ValueError):
+        list(M._avi_mjpeg_frames(payload[: len(payload) - 7]))
+
+
 def test_jpeg_progressive_subsampled_roundtrip():
     """Progressive (SOF2) + chroma subsampling together — the profile
     real photo encoders emit. The interleaved DC scan walks Hi×Vi
