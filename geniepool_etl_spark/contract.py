@@ -2616,6 +2616,38 @@ def q_multimodal_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_pcm_stats(M.synth_flac_lpc_assets(params))
 
 
+def q_multimodal_jpeg_sa420(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUCCESSIVE APPROXIMATION + RESTART INTERVALS + 4:2:0 chroma
+    subsampling in ONE progressive JPEG (multimodal.
+    synth_jpeg_sa_assets(sampling="420")) — the full stack of scan
+    machinery real encoders combine: point-transform DC scans walking
+    four luma blocks + Cb + Cr per MCU (DRI counted in MCUs, DC
+    prediction reset per interval), DC refinement bits in the same
+    interleaved walk, per-component AC band + refinement scans over
+    each component's OWN raster block count, subsampled-plane
+    replication at reconstruction. Value-neutral by construction, so
+    the closed-form 4:2:0 oracle pins every channel."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 11)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(16) + (F.col("doc_id") % 6) * 5)
+            .cast("long")
+            .alias("width"),
+            (F.lit(12) + (F.col("doc_id") % 5) * 7)
+            .cast("long")
+            .alias("height"),
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("interval"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_jpeg_sa_assets(params, sampling="420")
+    )
+
+
 def q_multimodal_avi_frames(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8857,6 +8889,42 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_jpeg_sa420"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 16 + (doc_id % 6) * 5 AS w,
+                 12 + (doc_id % 5) * 7 AS h
+          FROM documents WHERE doc_id % 13 = 11
+        ),
+        px AS (
+          SELECT asset_id,
+                 (37 * ((i % w) // 8) + 71 * ((i // w) // 8)) % 256 AS yy,
+                 (23 * ((i % w) // 16) + 41 * ((i // w) // 16)) % 256
+                   AS cb,
+                 (53 * ((i % w) // 16) + 13 * ((i // w) // 16)) % 256
+                   AS cr
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        rgb AS (
+          SELECT asset_id,
+                 least(greatest((1000 * yy + 1402 * (cr - 128) + 500)
+                   // 1000, 0), 255) AS r,
+                 least(greatest((1000 * yy - 344 * (cb - 128)
+                   - 714 * (cr - 128) + 500) // 1000, 0), 255) AS g,
+                 least(greatest((1000 * yy + 1772 * (cb - 128) + 500)
+                   // 1000, 0), 255) AS b
+          FROM px
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b
+          FROM rgb GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_avi_frames"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10089,6 +10157,7 @@ SPARK_QUERIES = {
     "multimodal_jpeg_422": q_multimodal_jpeg_422,
     "multimodal_jpeg_prog420": q_multimodal_jpeg_prog420,
     "multimodal_avi_frames": q_multimodal_avi_frames,
+    "multimodal_jpeg_sa420": q_multimodal_jpeg_sa420,
     # Ordering: stalest driver record first (see harness note above).
     # Regenerated round 11 from CORRECTNESS_r01..r10 latest-record rounds
     # so the driver's ~50-entry window re-proves the r3/r4-recorded

@@ -4068,6 +4068,7 @@ def synth_jpeg_sa_assets(
     width_col: str = "width",
     height_col: str = "height",
     interval_col: str | None = "interval",
+    sampling: str = "444",
 ) -> DataFrame:
     """Synthesize progressive JPEGs with SUCCESSIVE APPROXIMATION and
     (when ``interval_col`` is present) RESTART INTERVALS — the
@@ -4082,11 +4083,21 @@ def synth_jpeg_sa_assets(
     gradient's AC bands are all zero, so the pixel oracle stays the
     closed form (both machineries must be exactly value-neutral —
     nonzero-history refinement is pinned by the coefficient-level
-    unit tests). Arrow ``mapInPandas``."""
+    unit tests). ``sampling`` (444/420/422/411) combines SA with
+    chroma subsampling: DC scans walk Hi×Vi luma blocks per MCU
+    (restart intervals count MCUs), AC scans cover each component's
+    own raster block count, chroma constant per macroblock. Arrow
+    ``mapInPandas``."""
     import struct
 
     import numpy as np
 
+    yh_f, yv_f = {
+        "444": (1, 1),
+        "420": (2, 2),
+        "422": (2, 1),
+        "411": (4, 1),
+    }[sampling]
     enc_dc, _ = _jpeg_huff_tables(_JPEG_DC_BITS, _JPEG_DC_VALS)
     _EOB_BITS = (0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     _EOB_VALS = tuple(r << 4 for r in range(15))
@@ -4094,22 +4105,32 @@ def synth_jpeg_sa_assets(
     tmat = _jpeg_dct_matrix()
 
     def one(w: int, h: int, ri: int) -> bytes:
-        nbx, nby = (w + 7) // 8, (h + 7) // 8
-        bx = np.arange(nbx, dtype=np.int64)[None, :]
-        by = np.arange(nby, dtype=np.int64)[:, None]
-        planes = [
-            ((37 * bx + 71 * by) % 256).astype(np.float64),
-            ((23 * bx + 41 * by) % 256).astype(np.float64),
-            ((53 * bx + 13 * by) % 256).astype(np.float64),
-        ]
-        dcs = [[], [], []]
-        for r in range(nby):
-            for c in range(nbx):
-                for ci in range(3):
-                    blk = np.full((8, 8), planes[ci][r, c]) - 128.0
-                    dcs[ci].append(
-                        int(np.rint((tmat @ blk @ tmat.T))[0, 0])
-                    )
+        n_mcux = (w + yh_f * 8 - 1) // (yh_f * 8)
+        n_mcuy = (h + yv_f * 8 - 1) // (yv_f * 8)
+        grads = (
+            lambda bx, by: (37 * bx + 71 * by) % 256,
+            lambda mx, my: (23 * mx + 41 * my) % 256,
+            lambda mx, my: (53 * mx + 13 * my) % 256,
+        )
+
+        def _dcval(ci: int, bx: int, by: int) -> int:
+            blk = np.full((8, 8), float(grads[ci](bx, by))) - 128.0
+            return int(np.rint((tmat @ blk @ tmat.T))[0, 0])
+
+        def _mcu_blocks():
+            # per MCU: Hi×Vi luma blocks (padded-grid coords, like
+            # the interleaved decode walk) then Cb, Cr at MCU coords
+            for m in range(n_mcuy * n_mcux):
+                mr, mc = divmod(m, n_mcux)
+                blocks = []
+                for bv in range(yv_f):
+                    for bh in range(yh_f):
+                        blocks.append(
+                            (0, yh_f * mc + bh, yv_f * mr + bv)
+                        )
+                blocks.append((1, mc, mr))
+                blocks.append((2, mc, mr))
+                yield blocks
 
         def _restart(parts, wr, rst_m):
             parts.append(wr.flush())
@@ -4117,15 +4138,15 @@ def synth_jpeg_sa_assets(
             return _JpegBitWriter(), (rst_m + 1) & 7
 
         # first DC scan at Al=1: category+EXTEND diffs of dc>>1,
-        # prediction reset per restart interval
+        # prediction reset per restart interval (intervals count MCUs)
         parts, wr, rst_m = [], _JpegBitWriter(), 0
         preds = [0, 0, 0]
-        for b in range(nby * nbx):
-            if ri and b and b % ri == 0:
+        for u, blocks in enumerate(_mcu_blocks()):
+            if ri and u and u % ri == 0:
                 wr, rst_m = _restart(parts, wr, rst_m)
                 preds = [0, 0, 0]
-            for ci in range(3):
-                hi = dcs[ci][b] >> 1
+            for ci, bx, by in blocks:
+                hi = _dcval(ci, bx, by) >> 1
                 diff = hi - preds[ci]
                 preds[ci] = hi
                 mag = abs(diff)
@@ -4141,19 +4162,18 @@ def synth_jpeg_sa_assets(
         dc_first = b"".join(parts)
         # DC refinement scan: the dropped low bit, raw, interleaved
         parts, wr, rst_m = [], _JpegBitWriter(), 0
-        for b in range(nby * nbx):
-            if ri and b and b % ri == 0:
+        for u, blocks in enumerate(_mcu_blocks()):
+            if ri and u and u % ri == 0:
                 wr, rst_m = _restart(parts, wr, rst_m)
-            for ci in range(3):
-                wr.write(dcs[ci][b] & 1, 1)
+            for ci, bx, by in blocks:
+                wr.write(_dcval(ci, bx, by) & 1, 1)
         parts.append(wr.flush())
         dc_refine = b"".join(parts)
 
-        def eob_scan() -> bytes:
+        def eob_scan(total: int) -> bytes:
             # EOB runs cover whole blocks but never cross a restart
             # boundary: chunk per interval, marker between intervals
             parts, wr, rst_m = [], _JpegBitWriter(), 0
-            total = nbx * nby
             done = 0
             while done < total:
                 if ri and done and done % ri == 0:
@@ -4169,13 +4189,22 @@ def synth_jpeg_sa_assets(
             parts.append(wr.flush())
             return b"".join(parts)
 
+        # per-component RASTER block counts for the AC scans
+        # (T.81 A.2.2 — MCU padding carries no AC)
+        y_total = ((w + 7) // 8) * ((h + 7) // 8)
+        c_total = (
+            (((w + yh_f - 1) // yh_f + 7) // 8)
+            * (((h + yv_f - 1) // yv_f + 7) // 8)
+        )
+        totals = (y_total, c_total, c_total)
         app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
         dqt = b"\x00" + bytes([1] * 64)
         sof2 = (
             b"\x08"
             + struct.pack(">HH", h, w)
             + b"\x03"
-            + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+            + b"\x01" + bytes([(yh_f << 4) | yv_f])
+            + b"\x00\x02\x11\x00\x03\x11\x00"
         )
         dht_dc = b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         dht_eob = b"\x11" + bytes(_EOB_BITS) + bytes(_EOB_VALS)
@@ -4201,11 +4230,11 @@ def synth_jpeg_sa_assets(
             out.append(
                 seg(b"\xff\xda", bytes([1, ci + 1, 0x01, 1, 63, 0x01]))
             )
-            out.append(eob_scan())
+            out.append(eob_scan(totals[ci]))
             out.append(
                 seg(b"\xff\xda", bytes([1, ci + 1, 0x01, 1, 63, 0x10]))
             )
-            out.append(eob_scan())
+            out.append(eob_scan(totals[ci]))
         out.append(b"\xff\xd9")
         return b"".join(out)
 

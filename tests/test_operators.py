@@ -4324,6 +4324,47 @@ def test_flac_wasted_bits_and_rice_escape(spark):
         M._flac_pcm_sums(bytes(bad))
 
 
+def test_jpeg_sa_subsampled_with_restarts_roundtrip():
+    """Successive approximation + restart intervals + chroma
+    subsampling COMBINED (the full real-encoder scan stack): DC
+    point-transform/refinement scans walk Hi×Vi luma blocks per MCU
+    with DRI counted in MCUs, AC scans cover per-component raster
+    counts. Every sampling layout at several DRIs must round-trip to
+    the closed form exactly."""
+    import numpy as np
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    for sampling, (yh, yv) in [
+        ("420", (2, 2)), ("422", (2, 1)), ("411", (4, 1)),
+    ]:
+        batches = M.synth_jpeg_sa_assets(StubDF(), sampling=sampling)
+        for w, h, ri in [(17, 12, 0), (16, 16, 1), (33, 9, 2)]:
+            pdf = pd.DataFrame(
+                {"asset_id": [1], "width": [w], "height": [h],
+                 "interval": [ri]}
+            )
+            raw = next(batches(iter([pdf])))["payload"][0]
+            got = M._jpeg_progressive_pixel_sums(raw)
+            i = np.arange(w * h)
+            x, y = i % w, i // w
+            yy = (37 * (x // 8) + 71 * (y // 8)) % 256
+            cb = (23 * (x // (8 * yh)) + 41 * (y // (8 * yv))) % 256
+            cr = (53 * (x // (8 * yh)) + 13 * (y // (8 * yv))) % 256
+            ch = lambda n: np.clip((n + 500) // 1000, 0, 255)  # noqa: E731
+            exp = (
+                w * h,
+                int(ch(1000 * yy + 1402 * (cr - 128)).sum()),
+                int(ch(1000 * yy - 344 * (cb - 128)
+                       - 714 * (cr - 128)).sum()),
+                int(ch(1000 * yy + 1772 * (cb - 128)).sum()),
+            )
+            assert got == exp, (sampling, w, h, ri)
+
+
 def test_avi_mjpeg_frame_decode_and_codec_gate():
     """MJPEG-in-AVI frame decode: every 00dc chunk's JPEG must decode
     to the closed-form per-frame sums; the container metadata lane
