@@ -985,18 +985,18 @@ def bigram_surprisal_scores(
     (sum / (scale · n_bigrams)) is exact-input IEEE division, then
     rounded to 4 decimals per the repo's float rule.
 
-    Plan shape: one tokenize pass feeds both the LM counts and the
-    per-document bigram multisets (grouped per (doc, bigram) FIRST,
-    so the LM join moves distinct-bigram rows, not every token); the
-    corpus total rides a 1-row broadcast (tfidf pattern); the scoring
-    join is a keyed equi-join on the bigram. No windows, no UDFs, no
-    collect. The shared (doc, bigram, m) frame feeds three consumers
-    (LM counts → total, LM counts → surprisal join, and the scoring
-    join itself), so it is localCheckpoint'd lazily — the minhash
-    rule (dedup.minhash_lsh_pairs) — truncating lineage so the
-    corpus is read and tokenized exactly ONCE, not replayed per
-    consumer. On a multi-executor cluster swap for
-    persist(MEMORY_AND_DISK) if executor loss matters.
+    Plan shape (r11 rework): tokens group per (doc, bigram) FIRST so
+    everything downstream moves distinct-bigram rows, not every
+    token; the LM count n(l,r) is a WINDOW sum over that one frame
+    (no counts-frame self-join), and the corpus total N is computed
+    directly from the corpus (Σ max(|words|−1, 0) ≡ Σ m) as a 1-row
+    broadcast. The (doc, bigram, m) frame therefore has exactly ONE
+    consumer — persist() (default MEMORY_AND_DISK, lineage KEPT)
+    only amortizes repeat executions; a lost block recomputes instead
+    of failing. The previous 3-consumer localCheckpoint shape lost
+    its truncated-lineage blocks under sf10 battery heap pressure
+    ("Block rdd does not exist", unrecoverable by design) and
+    measured 2.4× slower at sf1 than this window form.
 
     Documents with fewer than 2 words have no bigrams and are
     OMITTED from the output (inner join on the bigram frame), by
@@ -1017,21 +1017,38 @@ def bigram_surprisal_scores(
         df.select(F.col(id_col), F.explode(bigrams).alias("p"))
         .groupBy(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    counts = dp.groupBy("l", "r").agg(F.sum("m").alias("n"))
-    tot = counts.agg(F.sum("n").alias("_N"))
-    surprisal = counts.crossJoin(F.broadcast(tot)).select(
-        "l",
-        "r",
-        F.round(
-            F.log(F.col("_N").cast("double") / F.col("n")) * scale
-        )
-        .cast("long")
-        .alias("s"),
+    # the LM count n(l,r) as a WINDOW over the per-(doc,bigram) frame
+    # instead of a counts-frame self-join: dp then has exactly ONE
+    # consumer, so no cache/checkpoint is needed at all (r11 — the
+    # previous localCheckpoint'd 3-consumer shape lost its truncated-
+    # lineage blocks under sf10 battery heap pressure and was also
+    # ~2.4× slower at sf1); the corpus bigram total N is computed
+    # DIRECTLY from the corpus (Σ max(|words|−1, 0), exactly Σ m by
+    # construction) as the 1-row broadcast, not as a second dp
+    # consumer.
+    tot = df.select(
+        F.sum(
+            F.greatest(
+                F.size(words_col(F.lower(F.col(text_col)))) - 1,
+                F.lit(0),
+            )
+        ).alias("_N")
     )
+    win = Window.partitionBy("l", "r")
     return (
-        dp.join(surprisal, ["l", "r"])
+        dp.withColumn("n", F.sum("m").over(win))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            "m",
+            F.round(
+                F.log(F.col("_N").cast("double") / F.col("n")) * scale
+            )
+            .cast("long")
+            .alias("s"),
+        )
         .groupBy(id_col)
         .agg(
             F.sum("m").cast("long").alias("n_bigrams"),

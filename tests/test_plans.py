@@ -577,16 +577,22 @@ def test_corpus_card_single_scan_digest_only_shuffle(spark):
 
 
 def test_perplexity_tokenizes_corpus_once(spark):
-    """bigram_surprisal_scores feeds three consumers from the shared
-    (doc, bigram, m) frame; the lazy localCheckpoint must truncate the
-    lineage so the executed plan contains ZERO parquet scans of
-    documents (the single real scan lives in the checkpoint's own
-    lineage). Pre-r8 this plan replayed the tokenize scan 3x."""
+    """bigram_surprisal_scores (r11 window form): the tokenized
+    (doc, bigram, m) frame has exactly ONE consumer — the LM count is
+    a window sum over it, not a counts-frame self-join — so the plan
+    carries NO bigram-frame join, exactly one Window, and at most two
+    corpus scans (the tokenize pass feeding the persisted frame, plus
+    the narrow Σ-words total that rides the 1-row broadcast). The
+    pre-r11 3-consumer localCheckpoint shape replayed tokenize per
+    consumer and lost its truncated-lineage blocks under battery heap
+    pressure."""
     df = C.q_text_perplexity(spark, SF_SMALL)
     df.collect()
     p = _plan(df).split("== Initial Plan ==")[0]
-    assert "documents.parquet" not in p, (
-        "perplexity plan re-reads the corpus instead of the checkpoint"
+    assert p.count("documents.parquet") <= 2, (
+        "perplexity plan replays the corpus scan per consumer"
     )
-    # all three consumers read the checkpointed RDD
-    assert p.count("Scan ExistingRDD") >= 2
+    assert p.count("Window") == 1
+    # the only join is the 1-row broadcast of the corpus total
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
