@@ -273,15 +273,20 @@ def _stage_sf10(spark) -> None:
 def sf10_queries(spark) -> dict:
     emb10 = C._t(spark, SF10_DIR, "embeddings")
     n_emb10 = emb10.count()
+    # Ordering note (r11): the embedding lanes run BEFORE the 60M-row
+    # flagship — measured in-battery, dedup_semantic directly after
+    # flagship reads 5.8 s against a 2.4 s isolated floor (flagship's
+    # heap churn, not the operator); flagship itself is insensitive
+    # to predecessors (disk-bound scan + two exchanges).
     return {
-        "flagship_lake_nest": lambda: C.q_flagship_lake_nest(
-            spark, SF10_DIR
-        ),
         "dedup_semantic": lambda: S.semantic_dedup_keep(
             emb10, threshold=0.3, n_centroids=None, n_rows=n_emb10
         ),
         "sim_lsh_topk": lambda: S.lsh_bucket_topk(
             emb10, k=5, n_planes=None, n_rows=n_emb10
+        ),
+        "flagship_lake_nest": lambda: C.q_flagship_lake_nest(
+            spark, SF10_DIR
         ),
         # the banded minhash self-join — the remaining scale-shape
         # family at the second decade (500k docs; shingle-bucketed,

@@ -1636,6 +1636,448 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
+class _Vp8lBitReader:
+    """LSB-first bit reader (the DEFLATE/VP8L convention: within each
+    byte, bits are consumed least-significant first; multi-bit reads
+    assemble little-endian)."""
+
+    def __init__(self, buf: bytes, at: int = 0) -> None:
+        self.buf = buf
+        self.byte = at
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.byte >= len(self.buf):
+                raise ValueError("vp8l: bitstream exhausted")
+            v |= ((self.buf[self.byte] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+
+class _Vp8lBitWriter:
+    """LSB-first bit writer — the encode twin of :class:`_Vp8lBitReader`."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n):
+            self.cur |= ((v >> i) & 1) << self.nbits
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+# code-length-code transmission order (VP8L spec, same 19-symbol
+# alphabet as DEFLATE but its own order)
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
+                  11, 12, 13, 14, 15)
+
+
+def _vp8l_canonical(lengths: dict) -> tuple[dict, dict]:
+    """Canonical Huffman assignment over {symbol: bit_length} — the
+    DEFLATE rule (codes count upward within a length; symbols in
+    increasing order). Returns (encode {sym: (code, len)}, decode
+    {(code, len): sym}); codes are transmitted MSB-of-code first
+    into the LSB-first stream, again the DEFLATE convention."""
+    enc, dec = {}, {}
+    code = 0
+    prev_len = 0
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        if ln <= 0:
+            continue
+        code <<= ln - prev_len
+        prev_len = ln
+        enc[sym] = (code, ln)
+        dec[(code, ln)] = sym
+        code += 1
+    return enc, dec
+
+
+def _vp8l_read_sym(rd: "_Vp8lBitReader", dec) -> int:
+    """Decode one symbol: simple codes are (n_syms, [symbols]) tuples;
+    canonical codes walk bit-by-bit, MSB of the code first."""
+    if isinstance(dec, tuple):
+        n_syms, syms = dec
+        if n_syms == 1:
+            return syms[0]
+        return syms[rd.read(1)]
+    code, ln = 0, 0
+    while True:
+        code = (code << 1) | rd.read(1)
+        ln += 1
+        if ln > 15:
+            raise ValueError("vp8l: invalid Huffman code")
+        sym = dec.get((code, ln))
+        if sym is not None:
+            return sym
+
+
+def _vp8l_read_huffman(rd: "_Vp8lBitReader", alphabet: int):
+    """Read one Huffman code header (T.1 of the VP8L spec): the
+    simple form (1-2 symbols) or the normal form (code-length code →
+    RLE-coded per-symbol lengths → canonical build)."""
+    if rd.read(1):  # simple
+        n_syms = rd.read(1) + 1
+        first_8 = rd.read(1)
+        s0 = rd.read(8 if first_8 else 1)
+        syms = [s0]
+        if n_syms == 2:
+            syms.append(rd.read(8))
+        if any(s >= alphabet for s in syms):
+            raise ValueError("vp8l: simple-code symbol out of range")
+        return (n_syms, syms)
+    n_cl = 4 + rd.read(4)
+    cl_lengths = {}
+    for i in range(n_cl):
+        ln = rd.read(3)
+        if ln:
+            cl_lengths[_VP8L_CL_ORDER[i]] = ln
+    _, cl_dec = _vp8l_canonical(cl_lengths)
+    if rd.read(1):
+        # optional cap on the number of transmitted symbol lengths
+        length_nbits = 2 + 2 * rd.read(3)
+        max_symbol = 2 + rd.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = {}
+    sym = 0
+    prev = 8
+    while sym < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        cl = _vp8l_read_sym(rd, cl_dec)
+        if cl < 16:
+            if cl:
+                lengths[sym] = cl
+                prev = cl
+            sym += 1
+        elif cl == 16:
+            rep = 3 + rd.read(2)
+            for _ in range(rep):
+                if sym < alphabet:
+                    lengths[sym] = prev
+                sym += 1
+        elif cl == 17:
+            sym += 3 + rd.read(3)
+        else:  # 18
+            sym += 11 + rd.read(7)
+    _, dec = _vp8l_canonical(lengths)
+    return dec
+
+
+def _vp8l_write_huffman(wr: "_Vp8lBitWriter", lengths: dict):
+    """Write one Huffman code header in the NORMAL form for the given
+    {symbol: bit_length} map (zero-runs RLE'd through codes 17/18;
+    the code-length code itself gets equal-length codes padded to a
+    power of two so the tree is complete). Returns the encode map."""
+    # RLE the per-symbol lengths into CL-alphabet tokens
+    alphabet = max(lengths) + 1
+    tokens = []  # (cl_symbol, extra_value, extra_bits)
+    sym = 0
+    while sym < alphabet:
+        if sym in lengths:
+            tokens.append((lengths[sym], 0, 0))
+            sym += 1
+            continue
+        run = 0
+        while sym + run < alphabet and (sym + run) not in lengths:
+            run += 1
+        sym += run
+        while run:
+            if run >= 11:
+                n = min(run, 138)
+                tokens.append((18, n - 11, 7))
+                run -= n
+            elif run >= 3:
+                tokens.append((17, run - 3, 3))
+                run = 0
+            else:
+                for _ in range(run):
+                    tokens.append((0, 0, 0))
+                run = 0
+    used = sorted({t[0] for t in tokens})
+    bits = max(1, (len(used) - 1).bit_length())
+    # pad to a complete tree with unused CL symbols
+    pad = (1 << bits) - len(used)
+    spare = [s for s in range(19) if s not in used]
+    cl_lengths = {s: bits for s in used + spare[:pad]}
+    cl_enc, _ = _vp8l_canonical(cl_lengths)
+    wr.write(0, 1)  # normal form
+    n_cl = max(
+        i + 1
+        for i, s in enumerate(_VP8L_CL_ORDER)
+        if s in cl_lengths
+    )
+    n_cl = max(n_cl, 4)
+    wr.write(n_cl - 4, 4)
+    for i in range(n_cl):
+        wr.write(cl_lengths.get(_VP8L_CL_ORDER[i], 0), 3)
+    # transmit the exact TOKEN count through the max_symbol cap: the
+    # reader decrements it once per code-length code read (libwebp's
+    # rule), so without it the reader would pull tokens until the
+    # alphabet fills — we stop writing at the last nonzero length
+    while len(tokens) < 2:  # cap field encodes counts >= 2
+        tokens.append((0, 0, 0))
+    cap = len(tokens) - 2
+    k = 0
+    while cap >= (1 << (2 + 2 * k)):
+        k += 1
+    wr.write(1, 1)
+    wr.write(k, 3)
+    wr.write(cap, 2 + 2 * k)
+    for cl, extra, ebits in tokens:
+        code, ln = cl_enc[cl]
+        for i in range(ln - 1, -1, -1):
+            wr.write((code >> i) & 1, 1)
+        if ebits:
+            wr.write(extra, ebits)
+    enc, _ = _vp8l_canonical(lengths)
+    return enc
+
+
+def _vp8l_prefix_decode(rd: "_Vp8lBitReader", sym: int) -> int:
+    """Length/distance prefix decoding (spec 4.2.2): symbols 0-3 are
+    the values 1-4; above that, (2 + (s&1)) << ((s-2)>>1) plus
+    extra bits, plus one."""
+    if sym < 4:
+        return sym + 1
+    eb = (sym - 2) >> 1
+    return ((2 + (sym & 1)) << eb) + rd.read(eb) + 1
+
+
+def _vp8l_prefix_encode(value: int) -> tuple[int, int, int]:
+    """Inverse of :func:`_vp8l_prefix_decode`: value → (symbol,
+    extra_value, extra_bits)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    eb = v.bit_length() - 2
+    base = v >> eb  # 2 or 3
+    sym = 2 * eb + 2 + (base & 1)
+    return sym, v - (base << eb), eb
+
+
+def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
+    """Decode a LOSSLESS WebP (VP8L) to exact per-channel pixel sums:
+    RIFF walk → 0x2F signature + 14/14-bit dims → Huffman code group
+    (simple AND normal forms, code-length-code with 16/17/18 repeats,
+    canonical DEFLATE-rule codes) → pixel stream of ARGB literals and
+    LZ77 backward references (linear distances; the 120-entry 2-D
+    neighbor map, color cache, transforms, and meta-Huffman raise —
+    the remaining VP8L boundary; lossy VP8 is a separate codec
+    entirely)."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        raise ValueError("not WebP")
+    at, n = 12, len(raw)
+    body = end = None
+    while at + 8 <= n:
+        fourcc = raw[at:at + 4]
+        (size,) = struct.unpack_from("<I", raw, at + 4)
+        if fourcc == b"VP8L":
+            body, end = at + 8, at + 8 + size
+            break
+        at += 8 + size + (size & 1)
+    if body is None or end > n:
+        raise ValueError("webp: no complete VP8L chunk")
+    if raw[body] != 0x2F:
+        raise ValueError("webp: bad VP8L signature")
+    rd = _Vp8lBitReader(raw[:end], body + 1)
+    w = rd.read(14) + 1
+    h = rd.read(14) + 1
+    rd.read(1)  # alpha hint
+    if rd.read(3) != 0:
+        raise ValueError("vp8l: unknown version")
+    if rd.read(1):
+        raise ValueError("vp8l: transforms unsupported")
+    if rd.read(1):
+        raise ValueError("vp8l: color cache unsupported")
+    if rd.read(1):
+        raise ValueError("vp8l: meta-Huffman unsupported")
+    green_dec = _vp8l_read_huffman(rd, 256 + 24)
+    red_dec = _vp8l_read_huffman(rd, 256)
+    blue_dec = _vp8l_read_huffman(rd, 256)
+    alpha_dec = _vp8l_read_huffman(rd, 256)
+    dist_dec = _vp8l_read_huffman(rd, 40)
+    total = w * h
+    px = []  # (a, r, g, b)
+    while len(px) < total:
+        s = _vp8l_read_sym(rd, green_dec)
+        if s < 256:
+            g = s
+            r = _vp8l_read_sym(rd, red_dec)
+            b = _vp8l_read_sym(rd, blue_dec)
+            a = _vp8l_read_sym(rd, alpha_dec)
+            px.append((a, r, g, b))
+        elif s < 256 + 24:
+            length = _vp8l_prefix_decode(rd, s - 256)
+            dsym = _vp8l_read_sym(rd, dist_dec)
+            dcode = _vp8l_prefix_decode(rd, dsym)
+            if dcode <= 120:
+                raise ValueError(
+                    "vp8l: 2-D neighbor distance codes unsupported"
+                )
+            dist = dcode - 120
+            if dist > len(px):
+                raise ValueError("vp8l: backward reference underflow")
+            for _ in range(length):
+                px.append(px[-dist])
+                if len(px) > total:
+                    raise ValueError("vp8l: pixel overflow")
+        else:
+            raise ValueError("vp8l: color-cache symbol without cache")
+    sr = sum(p[1] for p in px)
+    sg = sum(p[2] for p in px)
+    sb = sum(p[3] for p in px)
+    return (total, sr, sg, sb)
+
+
+def synth_webp_lossless_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL lossless WebP (VP8L) payloads: a RIFF/WEBP
+    container whose VP8L chunk carries the spec bitstream — LSB-first
+    header, NORMAL Huffman codes for green (literals + length
+    symbols, zero-runs RLE'd through the code-length code) and
+    red/blue, SIMPLE codes for alpha and distance, and genuine LZ77
+    row copies (every even row y≥2 is a backward reference of length
+    w at linear distance 2w, so the copy chain collapses them all
+    onto row 0). Pixel rule (the closed-form oracle): with
+    ye = 0 when y≥2 and even, else ye = y —
+    a=255, r=(11x+23·ye)%251, g=(7x+31·ye)%253, b=(3x+41·ye)%249.
+    Arrow ``mapInPandas``."""
+    import struct
+
+    def one(w: int, h: int) -> bytes:
+        # pixel generator: rows 0 and 1 literal; from row 2 on, even
+        # rows copy the row TWO above (LZ77, distance 2w), odd rows
+        # are literal. Source row for y: y if y<2 or y odd else
+        # (0 if y%2==0 else 1) ... the copy chain collapses every
+        # even y>=2 to row 0 and keeps odd rows literal.
+        def src_row(y: int) -> int:
+            return y if (y < 2 or y % 2 == 1) else 0
+
+        def pix(x: int, y: int) -> tuple:
+            ye = src_row(y)
+            return (
+                255,
+                (11 * x + 23 * ye) % 251,
+                (7 * x + 31 * ye) % 253,
+                (3 * x + 41 * ye) % 249,
+            )
+
+        # collect literal pixels to size the Huffman codes
+        lit = []
+        for y in range(h):
+            if y < 2 or y % 2 == 1:
+                lit.extend(pix(x, y) for x in range(w))
+        greens = sorted({p[2] for p in lit})
+        reds = sorted({p[1] for p in lit})
+        blues = sorted({p[3] for p in lit})
+        use_lz = h > 2
+        len_sym, len_extra, len_ebits = _vp8l_prefix_encode(w)
+        green_syms = list(greens) + (
+            [256 + len_sym] if use_lz else []
+        )
+
+        def _balanced(symbols: list) -> dict:
+            bits = max(1, (len(symbols) - 1).bit_length())
+            pad = (1 << bits) - len(symbols)
+            spare = [
+                s for s in range(256) if s not in set(symbols)
+            ][:pad]
+            return {s: bits for s in list(symbols) + spare}
+
+        wr = _Vp8lBitWriter()
+        wr.write(w - 1, 14)
+        wr.write(h - 1, 14)
+        wr.write(0, 1)  # no alpha hint
+        wr.write(0, 3)  # version
+        wr.write(0, 1)  # no transforms
+        wr.write(0, 1)  # no color cache
+        wr.write(0, 1)  # no meta-huffman
+        green_enc = _vp8l_write_huffman(wr, _balanced(green_syms))
+        red_enc = _vp8l_write_huffman(wr, _balanced(reds))
+        blue_enc = _vp8l_write_huffman(wr, _balanced(blues))
+        # alpha: single value 255 → SIMPLE code, zero bits per use
+        wr.write(1, 1)  # simple
+        wr.write(0, 1)  # one symbol
+        wr.write(1, 1)  # 8-bit first symbol
+        wr.write(255, 8)
+        # distance: single symbol → SIMPLE code
+        dist_sym, dist_extra, dist_ebits = _vp8l_prefix_encode(
+            2 * w + 120
+        )
+        wr.write(1, 1)
+        wr.write(0, 1)
+        wr.write(1, 1)
+        wr.write(dist_sym, 8)
+
+        def put(enc, sym):
+            code, ln = enc[sym]
+            for i in range(ln - 1, -1, -1):
+                wr.write((code >> i) & 1, 1)
+
+        for y in range(h):
+            if y < 2 or y % 2 == 1:
+                for x in range(w):
+                    a, r, g, b = pix(x, y)
+                    put(green_enc, g)
+                    put(red_enc, r)
+                    put(blue_enc, b)
+                    # alpha: single-symbol simple code → zero bits
+            else:
+                put(green_enc, 256 + len_sym)
+                if len_ebits:
+                    wr.write(len_extra, len_ebits)
+                # distance symbol: single-symbol simple code → zero
+                # bits; its extra bits still ride the stream
+                if dist_ebits:
+                    wr.write(dist_extra, dist_ebits)
+        payload = b"\x2f" + wr.flush()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        body = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(w), int(h))
+                        for w, h in zip(pdf[width_col], pdf[height_col])
+                    ],
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
     """REAL pixel work: decode every pixel of each 24-bit BMP
     (bottom-up row order, 4-byte row padding), 8-bit RGB PNG
@@ -1700,6 +2142,13 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
                             n, sr, sg, sb = (
                                 _jpeg_progressive_pixel_sums(raw)
                             )
+                        rows["n_pixels"].append(n)
+                        rows["sum_r"].append(sr)
+                        rows["sum_g"].append(sg)
+                        rows["sum_b"].append(sb)
+                        continue
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                        n, sr, sg, sb = _webp_lossless_pixel_sums(raw)
                         rows["n_pixels"].append(n)
                         rows["sum_r"].append(sr)
                         rows["sum_g"].append(sg)

@@ -4324,6 +4324,62 @@ def test_flac_wasted_bits_and_rice_escape(spark):
         M._flac_pcm_sums(bytes(bad))
 
 
+def test_webp_lossless_roundtrip_and_gates():
+    """VP8L round-trip: real bitstreams (normal canonical Huffman
+    through the code-length code, simple codes, LZ77 row copies at
+    linear distances) must decode to the closed form at odd sizes
+    including single-row and no-LZ (h<=2) shapes; the metadata parser
+    agrees on dimensions; truncation raises; a transform bit raises
+    (the declared boundary); the prefix encode/decode pair is exact
+    over a value sweep."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    batches = M.synth_webp_lossless_assets(StubDF())
+    payloads = {}
+    for w, h in [(5, 1), (8, 2), (17, 12), (33, 9), (25, 21), (3, 3)]:
+        pdf = pd.DataFrame({"asset_id": [1], "width": [w], "height": [h]})
+        raw = next(batches(iter([pdf])))["payload"][0]
+        payloads[(w, h)] = raw
+        meta = M._webp_dimensions(raw)
+        assert (meta["width"], meta["height"]) == (w, h)
+        got = M._webp_lossless_pixel_sums(raw)
+        i = np.arange(w * h)
+        x, y = i % w, i // w
+        ye = np.where((y >= 2) & (y % 2 == 0), 0, y)
+        exp = (
+            w * h,
+            int(((11 * x + 23 * ye) % 251).sum()),
+            int(((7 * x + 31 * ye) % 253).sum()),
+            int(((3 * x + 41 * ye) % 249).sum()),
+        )
+        assert got == exp, (w, h)
+    # prefix coding is its own inverse over the whole small range
+    for v in range(1, 5000):
+        sym, extra, ebits = M._vp8l_prefix_encode(v)
+        wr = M._Vp8lBitWriter()
+        wr.write(extra, ebits)
+        rd = M._Vp8lBitReader(wr.flush() or b"\x00")
+        assert M._vp8l_prefix_decode(rd, sym) == v, v
+    # truncation is poison
+    raw = payloads[(17, 12)]
+    with pytest.raises(ValueError):
+        M._webp_lossless_pixel_sums(raw[: len(raw) - 6])
+    # a set transform bit is the declared boundary: flip the first
+    # post-header bit (transform_present) — byte 4 of the VP8L
+    # payload holds header bit 32 = the transform flag
+    body = raw.find(b"VP8L") + 8
+    bad = bytearray(raw)
+    bad[body + 1 + 4] ^= 0x01  # bit 32 of the LSB stream
+    with pytest.raises(ValueError, match="transform|version"):
+        M._webp_lossless_pixel_sums(bytes(bad))
+
+
 def test_jpeg_sa_subsampled_with_restarts_roundtrip():
     """Successive approximation + restart intervals + chroma
     subsampling COMBINED (the full real-encoder scan stack): DC
