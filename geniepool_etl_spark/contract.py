@@ -2627,9 +2627,10 @@ def q_multimodal_webp_lossless(
     symbol codes, and genuine LZ77 backward references (even rows ≥2
     are length-w copies at linear distance 2w, collapsing onto row
     0). Lossless WebP is a top-3 web image format; this closes its
-    pixel boundary for the untransformed profile — predictor/color
-    transforms, color cache, meta-Huffman, and the 2-D distance map
-    raise (with lossy VP8) as the declared remainder."""
+    pixel boundary for the untransformed profile — see
+    multimodal_webp_cache for subtract-green + color-cache streams;
+    predictor/color-indexing transforms, meta-Huffman, and the 2-D
+    distance map raise (with lossy VP8) as the declared remainder."""
     params = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 14 == 3)
@@ -2645,6 +2646,40 @@ def q_multimodal_webp_lossless(
     )
     return M.decode_image_pixel_stats(
         M.synth_webp_lossless_assets(params)
+    )
+
+
+def q_multimodal_webp_cache(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VP8L with the SUBTRACT-GREEN transform and a COLOR CACHE
+    (multimodal.synth_webp_lossless_assets(subtract_green=True,
+    cache_bits=6) → decode_image_pixel_stats) — the two features real
+    lossless encoders enable by default: literals code r−g/b−g mod
+    256 (inverse applied after the entropy layer), and repeated ARGB
+    values ride 0x1E35A7BD-hashed cache indices in the extended green
+    alphabet, with the cache updated on every decoded pixel including
+    LZ77 copies. The synth's stream-order pre-pass simulates the
+    decoder's cache exactly, so literal-vs-hit decisions are fixed at
+    encode time and the closed-form oracle is unchanged (both
+    features are value-neutral)."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 14 == 5)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(11) + (F.col("doc_id") % 8) * 4)
+            .cast("long")
+            .alias("width"),
+            (F.lit(7) + (F.col("doc_id") % 5) * 6)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_lossless_assets(
+            params, subtract_green=True, cache_bits=6
+        )
     )
 
 
@@ -8921,6 +8956,31 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_webp_cache"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 11 + (doc_id % 8) * 4 AS w,
+                 7 + (doc_id % 5) * 6 AS h
+          FROM documents WHERE doc_id % 14 = 5
+        ),
+        px AS (
+          SELECT asset_id,
+                 i % w AS x,
+                 CASE WHEN (i // w) >= 2 AND (i // w) % 2 = 0
+                      THEN 0 ELSE i // w END AS ye
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum((11 * x + 23 * ye) % 251) AS BIGINT) AS sum_r,
+                 CAST(sum((7 * x + 31 * ye) % 253) AS BIGINT) AS sum_g,
+                 CAST(sum((3 * x + 41 * ye) % 249) AS BIGINT) AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_webp_lossless"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10216,6 +10276,7 @@ SPARK_QUERIES = {
     "multimodal_avi_frames": q_multimodal_avi_frames,
     "multimodal_jpeg_sa420": q_multimodal_jpeg_sa420,
     "multimodal_webp_lossless": q_multimodal_webp_lossless,
+    "multimodal_webp_cache": q_multimodal_webp_cache,
     # Ordering: stalest driver record first (see harness note above).
     # Regenerated round 11 from CORRECTNESS_r01..r10 latest-record rounds
     # so the driver's ~50-entry window re-proves the r3/r4-recorded

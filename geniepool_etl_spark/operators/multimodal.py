@@ -1906,19 +1906,37 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
     rd.read(1)  # alpha hint
     if rd.read(3) != 0:
         raise ValueError("vp8l: unknown version")
+    subtract_green = False
+    while rd.read(1):  # transform list
+        ttype = rd.read(2)
+        if ttype == 2:  # subtract-green: no parameters
+            subtract_green = True
+        else:
+            raise ValueError(
+                "vp8l: only the subtract-green transform is supported"
+            )
+    cache_bits = 0
     if rd.read(1):
-        raise ValueError("vp8l: transforms unsupported")
-    if rd.read(1):
-        raise ValueError("vp8l: color cache unsupported")
+        cache_bits = rd.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("vp8l: invalid color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
     if rd.read(1):
         raise ValueError("vp8l: meta-Huffman unsupported")
-    green_dec = _vp8l_read_huffman(rd, 256 + 24)
+    green_dec = _vp8l_read_huffman(rd, 256 + 24 + cache_size)
     red_dec = _vp8l_read_huffman(rd, 256)
     blue_dec = _vp8l_read_huffman(rd, 256)
     alpha_dec = _vp8l_read_huffman(rd, 256)
     dist_dec = _vp8l_read_huffman(rd, 40)
     total = w * h
-    px = []  # (a, r, g, b)
+    px = []  # (a, r, g, b) in TRANSFORMED space
+    cache = [None] * cache_size
+
+    def _insert(p):
+        if cache_size:
+            argb = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+            cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+
     while len(px) < total:
         s = _vp8l_read_sym(rd, green_dec)
         if s < 256:
@@ -1926,7 +1944,9 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
             r = _vp8l_read_sym(rd, red_dec)
             b = _vp8l_read_sym(rd, blue_dec)
             a = _vp8l_read_sym(rd, alpha_dec)
-            px.append((a, r, g, b))
+            p = (a, r, g, b)
+            px.append(p)
+            _insert(p)
         elif s < 256 + 24:
             length = _vp8l_prefix_decode(rd, s - 256)
             dsym = _vp8l_read_sym(rd, dist_dec)
@@ -1939,11 +1959,21 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
             if dist > len(px):
                 raise ValueError("vp8l: backward reference underflow")
             for _ in range(length):
-                px.append(px[-dist])
+                p = px[-dist]
+                px.append(p)
+                _insert(p)
                 if len(px) > total:
                     raise ValueError("vp8l: pixel overflow")
         else:
-            raise ValueError("vp8l: color-cache symbol without cache")
+            p = cache[s - 256 - 24]
+            if p is None:
+                raise ValueError("vp8l: cold color-cache reference")
+            px.append(p)
+    if subtract_green:
+        px = [
+            (a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+            for a, r, g, b in px
+        ]
     sr = sum(p[1] for p in px)
     sg = sum(p[2] for p in px)
     sb = sum(p[3] for p in px)
@@ -1955,6 +1985,8 @@ def synth_webp_lossless_assets(
     id_col: str = "asset_id",
     width_col: str = "width",
     height_col: str = "height",
+    subtract_green: bool = False,
+    cache_bits: int = 0,
 ) -> DataFrame:
     """Synthesize REAL lossless WebP (VP8L) payloads: a RIFF/WEBP
     container whose VP8L chunk carries the spec bitstream — LSB-first
@@ -1987,18 +2019,53 @@ def synth_webp_lossless_assets(
                 (3 * x + 41 * ye) % 249,
             )
 
-        # collect literal pixels to size the Huffman codes
-        lit = []
+        def tpix(x: int, y: int) -> tuple:
+            # the TRANSFORMED pixel (what the entropy layer codes):
+            # subtract-green stores r-g and b-g mod 256
+            a, r, g, b = pix(x, y)
+            if subtract_green:
+                r = (r - g) & 0xFF
+                b = (b - g) & 0xFF
+            return (a, r, g, b)
+
+        cache_size = (1 << cache_bits) if cache_bits else 0
+
+        def _cidx(p: tuple) -> int:
+            argb = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+            return (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)
+
+        # stream-order pre-pass: simulate the decoder's color cache to
+        # fix each literal-vs-cache-hit decision, collecting the used
+        # symbol sets for the Huffman codes
+        len_sym, len_extra, len_ebits = _vp8l_prefix_encode(w)
+        use_lz = h > 2
+        events = []  # ("lit", pixel) | ("hit", idx) | ("copy",)
+        cache = [None] * cache_size
         for y in range(h):
             if y < 2 or y % 2 == 1:
-                lit.extend(pix(x, y) for x in range(w))
-        greens = sorted({p[2] for p in lit})
-        reds = sorted({p[1] for p in lit})
-        blues = sorted({p[3] for p in lit})
-        use_lz = h > 2
-        len_sym, len_extra, len_ebits = _vp8l_prefix_encode(w)
-        green_syms = list(greens) + (
-            [256 + len_sym] if use_lz else []
+                for x in range(w):
+                    p = tpix(x, y)
+                    if cache_size and cache[_cidx(p)] == p:
+                        events.append(("hit", _cidx(p)))
+                    else:
+                        events.append(("lit", p))
+                        if cache_size:
+                            cache[_cidx(p)] = p
+            else:
+                events.append(("copy", None))
+                if cache_size:
+                    for x in range(w):
+                        p = tpix(x, y)
+                        cache[_cidx(p)] = p
+        greens = sorted({e[1][2] for e in events if e[0] == "lit"})
+        reds = sorted({e[1][1] for e in events if e[0] == "lit"})
+        blues = sorted({e[1][3] for e in events if e[0] == "lit"})
+        green_syms = (
+            list(greens)
+            + ([256 + len_sym] if use_lz else [])
+            + sorted(
+                {256 + 24 + e[1] for e in events if e[0] == "hit"}
+            )
         )
 
         def _balanced(symbols: list) -> dict:
@@ -2014,8 +2081,15 @@ def synth_webp_lossless_assets(
         wr.write(h - 1, 14)
         wr.write(0, 1)  # no alpha hint
         wr.write(0, 3)  # version
-        wr.write(0, 1)  # no transforms
-        wr.write(0, 1)  # no color cache
+        if subtract_green:
+            wr.write(1, 1)  # transform present
+            wr.write(2, 2)  # subtract-green (parameter-free)
+        wr.write(0, 1)  # end of transform list
+        if cache_size:
+            wr.write(1, 1)
+            wr.write(cache_bits, 4)
+        else:
+            wr.write(0, 1)  # no color cache
         wr.write(0, 1)  # no meta-huffman
         green_enc = _vp8l_write_huffman(wr, _balanced(green_syms))
         red_enc = _vp8l_write_huffman(wr, _balanced(reds))
@@ -2039,15 +2113,16 @@ def synth_webp_lossless_assets(
             for i in range(ln - 1, -1, -1):
                 wr.write((code >> i) & 1, 1)
 
-        for y in range(h):
-            if y < 2 or y % 2 == 1:
-                for x in range(w):
-                    a, r, g, b = pix(x, y)
-                    put(green_enc, g)
-                    put(red_enc, r)
-                    put(blue_enc, b)
-                    # alpha: single-symbol simple code → zero bits
-            else:
+        for kind, payload_e in events:
+            if kind == "lit":
+                a, r, g, b = payload_e
+                put(green_enc, g)
+                put(red_enc, r)
+                put(blue_enc, b)
+                # alpha: single-symbol simple code → zero bits
+            elif kind == "hit":
+                put(green_enc, 256 + 24 + payload_e)
+            else:  # copy
                 put(green_enc, 256 + len_sym)
                 if len_ebits:
                     wr.write(len_extra, len_ebits)
@@ -2072,6 +2147,7 @@ def synth_webp_lossless_assets(
                         for w, h in zip(pdf[width_col], pdf[height_col])
                     ],
                     "media_type": "image/webp",
+                    # (subtract_green / cache_bits are closed over)
                 }
             )
 

@@ -4366,6 +4366,21 @@ def test_webp_lossless_roundtrip_and_gates():
         wr.write(extra, ebits)
         rd = M._Vp8lBitReader(wr.flush() or b"\x00")
         assert M._vp8l_prefix_decode(rd, sym) == v, v
+    # subtract-green + color-cache variants must round-trip to the
+    # SAME sums (both features are value-neutral); the cache synth's
+    # stream-order pre-pass mirrors the decoder's cache exactly
+    for sg, cb in [(True, 0), (False, 6), (True, 6), (True, 2)]:
+        b2 = M.synth_webp_lossless_assets(
+            StubDF(), subtract_green=sg, cache_bits=cb
+        )
+        for w, h in [(17, 12), (25, 21)]:
+            pdf = pd.DataFrame(
+                {"asset_id": [1], "width": [w], "height": [h]}
+            )
+            raw2 = next(b2(iter([pdf])))["payload"][0]
+            assert M._webp_lossless_pixel_sums(raw2) == (
+                M._webp_lossless_pixel_sums(payloads[(w, h)])
+            ), (sg, cb, w, h)
     # truncation is poison
     raw = payloads[(17, 12)]
     with pytest.raises(ValueError):
