@@ -2649,6 +2649,39 @@ def q_multimodal_webp_lossless(
     )
 
 
+def q_multimodal_png_palette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paletted PNG pixel decode (color type 3, multimodal.
+    synth_png_palette_assets → decode_image_pixel_stats) at ALL four
+    index widths — bit depth 1/2/4/8 cycling per asset — with
+    MSB-first packed indices, the one-byte filter left-neighbor
+    offset sub-byte depths use, all five scanline predictors, and
+    PLTE lookup; trailing pad bits in each scanline are ignored per
+    spec. Palette PNG is the dominant icon/sprite profile on the
+    web; with this the PNG boundary is 16-bit samples only."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 14 == 7)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(12) + (F.col("doc_id") % 7) * 6)
+            .cast("long")
+            .alias("width"),
+            (F.lit(9) + (F.col("doc_id") % 5) * 7)
+            .cast("long")
+            .alias("height"),
+            F.element_at(
+                F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8)),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ).cast("int").alias("bit_depth"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_png_palette_assets(params)
+    )
+
+
 def q_multimodal_webp_cache(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8956,6 +8989,31 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_png_palette"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 12 + (doc_id % 7) * 6 AS w,
+                 9 + (doc_id % 5) * 7 AS h,
+                 CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                 WHEN 2 THEN 4 ELSE 8 END AS d
+          FROM documents WHERE doc_id % 14 = 7
+        ),
+        px AS (
+          SELECT asset_id,
+                 ((i % w) + 2 * (i // w)) % (1 << d) AS idx
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum((17 * idx + 5) % 256) AS BIGINT) AS sum_r,
+                 CAST(sum((29 * idx + 11) % 256) AS BIGINT) AS sum_g,
+                 CAST(sum((43 * idx + 7) % 256) AS BIGINT) AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_webp_cache"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10277,6 +10335,7 @@ SPARK_QUERIES = {
     "multimodal_jpeg_sa420": q_multimodal_jpeg_sa420,
     "multimodal_webp_lossless": q_multimodal_webp_lossless,
     "multimodal_webp_cache": q_multimodal_webp_cache,
+    "multimodal_png_palette": q_multimodal_png_palette,
     # Ordering: stalest driver record first (see harness note above).
     # Regenerated round 11 from CORRECTNESS_r01..r10 latest-record rounds
     # so the driver's ~50-entry window re-proves the r3/r4-recorded

@@ -1031,6 +1031,116 @@ def synth_png_gradient_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_png_palette_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    depth_col: str = "bit_depth",
+) -> DataFrame:
+    """Synthesize REAL paletted PNGs (color type 3) at bit depth 1,
+    2, 4, or 8: a PLTE of 2^depth entries
+    (entry i = ((17i+5)%256, (29i+11)%256, (43i+7)%256)), indices
+    ``(x+2y) % 2^depth`` packed MSB-first with scanline ``y``
+    filtered type ``y % 5`` over the PACKED bytes (the filter
+    left-neighbor offset is one byte for sub-byte depths, per spec) —
+    so one lane exercises all five predictors on all four index
+    widths. Everything is a pure function of (width, height, depth);
+    the oracle recomputes each channel through the same palette
+    formula. Arrow ``mapInPandas``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def one(w: int, h: int, depth: int) -> bytes:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError("png palette: depth must be 1/2/4/8")
+        k = 1 << depth
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        idx = ((x + 2 * y) % k).astype(np.uint8)
+        # pack MSB-first depth-bit indices per scanline
+        bits = (
+            (idx[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(h, w * depth)
+        packed = np.packbits(bits, axis=1)  # pads last byte with 0s
+        stride = packed.shape[1]
+        raw_rows = packed.astype(np.int16)
+        zero = np.zeros(stride, dtype=np.int16)
+        lines = bytearray()
+        for r in range(h):
+            cur = raw_rows[r]
+            prev = raw_rows[r - 1] if r > 0 else zero
+            left = np.concatenate([zero[:1], cur[:-1]])
+            ul = np.concatenate([zero[:1], prev[:-1]])
+            f = r % 5
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - prev
+            elif f == 3:
+                filt = cur - (left + prev) // 2
+            else:
+                p = left + prev - ul
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, ul),
+                )
+                filt = cur - pred
+            lines.append(f)
+            lines.extend((filt % 256).astype(np.uint8).tobytes())
+        i = np.arange(k, dtype=np.int64)
+        plte = np.stack(
+            [(17 * i + 5) % 256, (29 * i + 11) % 256, (43 * i + 7) % 256],
+            axis=-1,
+        ).astype(np.uint8).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(
+                    ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+                )
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b"")
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(w), int(h), int(d))
+                        for w, h, d in zip(
+                            pdf[width_col],
+                            pdf[height_col],
+                            pdf[depth_col],
+                        )
+                    ],
+                    "media_type": "image/png",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def synth_png_interlaced_assets(
     df: DataFrame,
     id_col: str = "asset_id",
@@ -1560,6 +1670,7 @@ def _png_pixel_sums(raw: bytes) -> tuple:
     if raw[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not PNG")
     pos, w = 8, None
+    plte = None
     idat = bytearray()
     while pos + 12 <= len(raw):
         (ln,) = struct.unpack_from(">I", raw, pos)
@@ -1574,13 +1685,21 @@ def _png_pixel_sums(raw: bytes) -> tuple:
             w, h, depth, ctyp, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (
-                (depth, comp, filt) != (8, 0, 0)
-                or ctyp not in (0, 2, 6)
-                or ilace not in (0, 1)
-            ):
+            ok = (comp, filt) == (0, 0) and ilace in (0, 1) and (
+                (ctyp in (0, 2, 6) and depth == 8)
+                or (ctyp == 3 and depth in (1, 2, 4, 8))
+            )
+            if not ok:
                 raise ValueError("png: unsupported profile")
-            bpp = {0: 1, 2: 3, 6: 4}[ctyp]
+            # filter left-neighbor offset: the pixel byte width,
+            # floored at 1 for packed sub-byte palette indices
+            bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctyp]
+        elif ctype == b"PLTE":
+            if len(data) % 3 or len(data) > 768:
+                raise ValueError("png: bad PLTE length")
+            plte = np.frombuffer(
+                data, dtype=np.uint8
+            ).reshape(-1, 3).astype(np.int64)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -1588,6 +1707,8 @@ def _png_pixel_sums(raw: bytes) -> tuple:
         pos += 12 + ln
     if w is None or not idat or w <= 0 or h <= 0:
         raise ValueError("png: missing IHDR/IDAT")
+    if ctyp == 3 and plte is None:
+        raise ValueError("png: palette image without PLTE")
     lines = zlib.decompress(bytes(idat))
     buf = np.frombuffer(lines, dtype=np.uint8)
     if ilace == 0:
@@ -1600,12 +1721,15 @@ def _png_pixel_sums(raw: bytes) -> tuple:
             )
             for x0, y0, dx, dy in _ADAM7
         ]
-    n_px, sums = 0, np.zeros(bpp, dtype=np.int64)
+    n_px = 0
+    sums = np.zeros(3 if ctyp == 3 else bpp, dtype=np.int64)
     at = 0
     for cols, rows_p in passes:
         if cols == 0 or rows_p == 0:
             continue
-        stride = cols * bpp
+        stride = (
+            (cols * depth + 7) // 8 if ctyp == 3 else cols * bpp
+        )
         need = rows_p * (stride + 1)
         if at + need > len(buf):
             raise ValueError("png: scanline size mismatch")
@@ -1614,12 +1738,25 @@ def _png_pixel_sums(raw: bytes) -> tuple:
         )
         at += need
         n_px += cols * rows_p
-        sums += recon.reshape(-1, bpp).sum(axis=0)
+        if ctyp == 3:
+            # unpack MSB-first depth-bit indices (trailing padding
+            # bits in the last byte of each scanline are ignored),
+            # then map through the palette
+            bits = np.unpackbits(
+                recon.astype(np.uint8), axis=1
+            ).reshape(rows_p, stride * 8 // depth, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            idx = (bits * weights).sum(axis=2)[:, :cols].ravel()
+            if int(idx.max(initial=0)) >= len(plte):
+                raise ValueError("png: palette index out of range")
+            sums += plte[idx].sum(axis=0)
+        else:
+            sums += recon.reshape(-1, bpp).sum(axis=0)
     if at != len(buf):
         raise ValueError("png: scanline size mismatch")
     if n_px != w * h:
         raise ValueError("png: interlace pass geometry mismatch")
-    if bpp == 1:
+    if ctyp != 3 and bpp == 1:
         g = int(sums[0])
         return (w * h, g, g, g)
     return (w * h, int(sums[0]), int(sums[1]), int(sums[2]))

@@ -4324,6 +4324,46 @@ def test_flac_wasted_bits_and_rice_escape(spark):
         M._flac_pcm_sums(bytes(bad))
 
 
+def test_png_palette_all_depths_roundtrip_and_poison():
+    """Paletted PNG (color type 3): every index width (1/2/4/8 bit,
+    MSB-first packing, one-byte filter offset, all five predictors)
+    must decode to the exact palette closed form; an index past the
+    PLTE and a bit flip (CRC) are poison."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    batches = M.synth_png_palette_assets(StubDF())
+    last = None
+    for depth in (1, 2, 4, 8):
+        for w, h in [(5, 1), (17, 12), (3, 7)]:
+            pdf = pd.DataFrame(
+                {"asset_id": [1], "width": [w], "height": [h],
+                 "bit_depth": [depth]}
+            )
+            raw = next(batches(iter([pdf])))["payload"][0]
+            last = raw
+            k = 1 << depth
+            i = np.arange(w * h)
+            idx = (i % w + 2 * (i // w)) % k
+            exp = (
+                w * h,
+                int(((17 * idx + 5) % 256).sum()),
+                int(((29 * idx + 11) % 256).sum()),
+                int(((43 * idx + 7) % 256).sum()),
+            )
+            assert M._png_pixel_sums(raw) == exp, (depth, w, h)
+    # bit flip anywhere → CRC poison
+    bad = bytearray(last)
+    bad[60] ^= 0x10
+    with pytest.raises(ValueError):
+        M._png_pixel_sums(bytes(bad))
+
+
 def test_webp_lossless_roundtrip_and_gates():
     """VP8L round-trip: real bitstreams (normal canonical Huffman
     through the code-length code, simple codes, LZ77 row copies at
