@@ -2682,6 +2682,35 @@ def q_multimodal_png_palette(
     )
 
 
+def q_multimodal_gif_interlaced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERLACED GIF pixel decode (multimodal.
+    synth_gif_gradient_assets(interlaced=True)): the LZW stream
+    carries rows in the 4-pass order (0,8,…; 4,12,…; 2,6,…; odd —
+    GIF87a Appendix E) and the decoder restores display order before
+    the palette map. The unit test pins the full display-order index
+    MATRIX (sums alone are permutation-blind); the lane proves the
+    interlaced container end-to-end against the same closed form as
+    the sequential lane."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 14 == 9)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(15) + (F.col("doc_id") % 6) * 8)
+            .cast("long")
+            .alias("width"),
+            (F.lit(10) + (F.col("doc_id") % 7) * 5)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_gif_gradient_assets(params, interlaced=True)
+    )
+
+
 def q_multimodal_webp_cache(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9014,6 +9043,29 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_gif_interlaced"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 15 + (doc_id % 6) * 8 AS w,
+                 10 + (doc_id % 7) * 5 AS h
+          FROM documents WHERE doc_id % 14 = 9
+        ),
+        px AS (
+          SELECT asset_id,
+                 ((i % w) + 2 * (i // w)) % 256 AS idx
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum(idx) AS BIGINT) AS sum_r,
+                 CAST(sum((2 * idx) % 256) AS BIGINT) AS sum_g,
+                 CAST(sum((3 * idx) % 256) AS BIGINT) AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_webp_cache"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10336,6 +10388,7 @@ SPARK_QUERIES = {
     "multimodal_webp_lossless": q_multimodal_webp_lossless,
     "multimodal_webp_cache": q_multimodal_webp_cache,
     "multimodal_png_palette": q_multimodal_png_palette,
+    "multimodal_gif_interlaced": q_multimodal_gif_interlaced,
     # Ordering: stalest driver record first (see harness note above).
     # Regenerated round 11 from CORRECTNESS_r01..r10 latest-record rounds
     # so the driver's ~50-entry window re-proves the r3/r4-recorded

@@ -1359,6 +1359,7 @@ def synth_gif_gradient_assets(
     id_col: str = "asset_id",
     width_col: str = "width",
     height_col: str = "height",
+    interlaced: bool = False,
 ) -> DataFrame:
     """Synthesize REAL spec-complete GIF89a payloads (logical screen
     descriptor, 256-entry global color table, image descriptor,
@@ -1379,7 +1380,18 @@ def synth_gif_gradient_assets(
     def one(w: int, h: int) -> bytes:
         x = np.arange(w, dtype=np.int64)[None, :]
         y = np.arange(h, dtype=np.int64)[:, None]
-        idx = ((x + 2 * y) % 256).astype(np.uint8).tobytes()
+        mat = ((x + 2 * y) % 256).astype(np.uint8)
+        if interlaced:
+            # emit rows in the 4-pass interlace order (the decoder
+            # restores display order)
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            mat = mat[np.asarray(order)]
+        idx = mat.tobytes()
         lzw = _gif_lzw_encode(idx)
         blocks = bytearray()
         for i in range(0, len(lzw), 255):
@@ -1392,7 +1404,7 @@ def synth_gif_gradient_assets(
             + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
             + bytes(gct)
             + b"\x2c"
-            + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
             + b"\x08"
             + bytes(blocks)
             + b"\x3b"
@@ -1415,13 +1427,14 @@ def synth_gif_gradient_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
-def _gif_pixel_sums(raw: bytes) -> tuple:
-    """Decode a GIF87a/89a (global-color-table, non-interlaced,
-    single-image profile) to exact per-channel integer sums: walk the
-    block structure, re-join the data sub-blocks, LZW-decompress,
-    map indices through the palette. Raises on anything malformed or
-    outside the profile — the caller nulls the row out. Returns
-    (n_pixels, sum_r, sum_g, sum_b).
+def _gif_decode(raw: bytes) -> tuple:
+    """Decode a GIF87a/89a (global-color-table, single-image profile,
+    interlaced or not) to ``(w, h, palette, idx)`` with ``idx`` the
+    DISPLAY-ORDER index matrix (interlaced streams carry rows in the
+    4-pass order 0,8,…/4,12,…/2,6,…/odd — 87a Appendix E — and are
+    restored here): walk the block structure, re-join the data
+    sub-blocks, LZW-decompress, de-interlace. Raises on anything
+    malformed or outside the profile.
 
     Integrity caveat, unlike the PNG lane: the GIF format carries NO
     checksums, so structural damage (truncation, bad lengths, codes
@@ -1456,8 +1469,9 @@ def _gif_pixel_sums(raw: bytes) -> tuple:
     if pos >= len(raw) or raw[pos] != 0x2C:
         raise ValueError("gif: missing image descriptor")
     left, top, w, h, ipacked = struct.unpack_from("<HHHHB", raw, pos + 1)
-    if ipacked & 0xC0:
-        raise ValueError("gif: local table / interlace unsupported")
+    if ipacked & 0x80:
+        raise ValueError("gif: local color table unsupported")
+    interlaced = bool(ipacked & 0x40)
     pos += 10
     if pos >= len(raw):
         raise ValueError("gif: truncated before LZW size")
@@ -1482,6 +1496,25 @@ def _gif_pixel_sums(raw: bytes) -> tuple:
         raise ValueError("gif: pixel count mismatch")
     if int(idx.max()) >= gct_n:
         raise ValueError("gif: index beyond palette")
+    if interlaced:
+        # GIF 4-pass interlace: restore display order
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        disp = np.empty((h, w), dtype=np.uint8)
+        disp[np.asarray(order)] = idx.reshape(h, w)
+        idx = disp.ravel()
+    return (w, h, palette, idx)
+
+
+def _gif_pixel_sums(raw: bytes) -> tuple:
+    """(n_pixels, sum_r, sum_g, sum_b) over :func:`_gif_decode`."""
+    import numpy as np
+
+    w, h, palette, idx = _gif_decode(raw)
     px = palette[idx].astype(np.int64)
     return (
         w * h,

@@ -4324,6 +4324,33 @@ def test_flac_wasted_bits_and_rice_escape(spark):
         M._flac_pcm_sums(bytes(bad))
 
 
+def test_gif_interlace_restores_display_order():
+    """Interlaced GIF: the stream carries rows in the 4-pass order;
+    the decoder must restore the DISPLAY-ORDER index matrix exactly
+    (sums are permutation-blind, so this pins the row mapping), at
+    heights hitting every pass-emptiness combination."""
+    import numpy as np
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    for il in (False, True):
+        batches = M.synth_gif_gradient_assets(StubDF(), interlaced=il)
+        for w, h in [(5, 1), (9, 2), (7, 4), (6, 8), (17, 12), (9, 23)]:
+            pdf = pd.DataFrame(
+                {"asset_id": [1], "width": [w], "height": [h]}
+            )
+            raw = next(batches(iter([pdf])))["payload"][0]
+            W, H, _pal, idx = M._gif_decode(raw)
+            i = np.arange(w * h)
+            exp = ((i % w + 2 * (i // w)) % 256).astype(np.uint8)
+            assert (W, H) == (w, h) and np.array_equal(idx, exp), (
+                il, w, h,
+            )
+
+
 def test_png_palette_all_depths_roundtrip_and_poison():
     """Paletted PNG (color type 3): every index width (1/2/4/8 bit,
     MSB-first packing, one-byte filter offset, all five predictors)
