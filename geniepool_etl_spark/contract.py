@@ -2633,7 +2633,7 @@ def q_multimodal_webp_lossless(
     distance map raise (with lossy VP8) as the declared remainder."""
     params = (
         _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 14 == 3)
+        .where(F.col("doc_id") % 13 == 10)
         .select(
             F.col("doc_id").alias("asset_id"),
             (F.lit(13) + (F.col("doc_id") % 7) * 5)
@@ -2662,7 +2662,7 @@ def q_multimodal_png_palette(
     web; with this the PNG boundary is 16-bit samples only."""
     params = (
         _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 14 == 7)
+        .where(F.col("doc_id") % 13 == 8)
         .select(
             F.col("doc_id").alias("asset_id"),
             (F.lit(12) + (F.col("doc_id") % 7) * 6)
@@ -2695,7 +2695,7 @@ def q_multimodal_gif_interlaced(
     the sequential lane."""
     params = (
         _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 14 == 9)
+        .where(F.col("doc_id") % 13 == 12)
         .select(
             F.col("doc_id").alias("asset_id"),
             (F.lit(15) + (F.col("doc_id") % 6) * 8)
@@ -9025,7 +9025,7 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  9 + (doc_id % 5) * 7 AS h,
                  CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
                                  WHEN 2 THEN 4 ELSE 8 END AS d
-          FROM documents WHERE doc_id % 14 = 7
+          FROM documents WHERE doc_id % 13 = 8
         ),
         px AS (
           SELECT asset_id,
@@ -9048,7 +9048,7 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
           SELECT doc_id AS asset_id,
                  15 + (doc_id % 6) * 8 AS w,
                  10 + (doc_id % 7) * 5 AS h
-          FROM documents WHERE doc_id % 14 = 9
+          FROM documents WHERE doc_id % 13 = 12
         ),
         px AS (
           SELECT asset_id,
@@ -9096,7 +9096,7 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
           SELECT doc_id AS asset_id,
                  13 + (doc_id % 7) * 5 AS w,
                  8 + (doc_id % 6) * 5 AS h
-          FROM documents WHERE doc_id % 14 = 3
+          FROM documents WHERE doc_id % 13 = 10
         ),
         px AS (
           SELECT asset_id,

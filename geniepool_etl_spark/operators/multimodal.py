@@ -4808,9 +4808,17 @@ def synth_jpeg_sa_assets(
             lambda mx, my: (53 * mx + 13 * my) % 256,
         )
 
+        _dc_memo: dict = {}
+
         def _dcval(ci: int, bx: int, by: int) -> int:
-            blk = np.full((8, 8), float(grads[ci](bx, by))) - 128.0
-            return int(np.rint((tmat @ blk @ tmat.T))[0, 0])
+            # ≤256 distinct gradient values per component, and the DC
+            # scan + its refinement both walk every block — memoize
+            # the constant-block FDCT instead of recomputing it
+            val = grads[ci](bx, by)
+            if val not in _dc_memo:
+                blk = np.full((8, 8), float(val)) - 128.0
+                _dc_memo[val] = int(np.rint((tmat @ blk @ tmat.T))[0, 0])
+            return _dc_memo[val]
 
         def _mcu_blocks():
             # per MCU: Hi×Vi luma blocks (padded-grid coords, like
@@ -4993,7 +5001,6 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
     comps = None
     coefs = None
     preds = None
-    nbx = nby = None
     restart_interval = 0
 
     def _scan_end(start: int) -> int:
@@ -5082,7 +5089,6 @@ def _jpeg_progressive_pixel_sums(raw: bytes) -> tuple:
                 c["pgy"] = n_mcuy * c["v"]
                 c["cx"] = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
                 c["cy"] = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
-            nbx, nby = (w + 7) // 8, (h + 7) // 8
             coefs = [
                 np.zeros((c["pgy"] * c["pgx"], 64), dtype=np.int64)
                 for c in comps

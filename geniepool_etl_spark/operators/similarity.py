@@ -1068,7 +1068,13 @@ def quantize_int8(
                 amax = np.abs(V).max(axis=1) if V.shape[1] else np.zeros(
                     len(vecs)
                 )
-                ok = amax > 0  # NaN → False, like the JVM `amax > 0`
+                # NaN amax → not ok → null elements. NB this matches
+                # the DuckDB oracle (NaN > 0 is false) and DIVERGES
+                # from the old JVM expression (Spark orders NaN above
+                # every number, so it took the scale branch and cast
+                # the NaN products to 0) — the JVM path was the
+                # cross-engine outlier, latent until NaN input exists.
+                ok = amax > 0
                 with np.errstate(divide="ignore", invalid="ignore"):
                     X = V * (127.0 / amax)[:, None]
                     # round HALF_UP away from zero — F.round's rule
@@ -1196,19 +1202,24 @@ def int8_topk(
             if has.any():
                 V = Vall[has]
                 nn[has] = (V * V).sum(axis=1)
-                d = V @ Qm.T
-                d[:, ~q_has] = np.nan
-                dots[has] = d
+                if q_has.any():
+                    d = V @ Qm.T
+                    d[:, ~q_has] = np.nan
+                    dots[has] = d
             # batch-local top-k prune: the final window ranks on
-            # (round4 cosine DESC NaN-first, n_id ASC); per query,
+            # (round4 cosine DESC nulls-LAST, n_id ASC); per query,
             # keep rows reaching the batch's k-th best round4 minus
             # ONE grid step (1e-4) — the JVM's round4 of the same
             # exact integers can differ from this numpy round4 only
             # at a representation boundary (< 1 grid step), so the
             # margin makes the pruned set a strict superset of the
-            # global winners. Null-cosine rows map to +inf (Spark
-            # sorts NaN above every number in DESC) and always
-            # survive. Shrinks the exchange from N·Q rows to
+            # global winners. Null-cosine rows map to −inf: they are
+            # pruned whenever the batch holds ≥ k real candidates
+            # (globally they sort after every non-null row, so they
+            # cannot reach the top-k then), and when the batch holds
+            # fewer than k the k-th key itself is −inf and EVERY row
+            # survives — the global fewer-than-k-non-null case keeps
+            # its null rows. Shrinks the exchange from N·Q rows to
             # ~batches·Q·k.
             with np.errstate(divide="ignore", invalid="ignore"):
                 cosm = dots / np.sqrt(qn_f)[None, :]
@@ -1217,7 +1228,7 @@ def int8_topk(
                     np.copysign(np.floor(np.abs(cosm) * 1e4 + 0.5), cosm)
                     / 1e4
                 )
-            key = np.nan_to_num(r4, nan=np.inf)
+            key = np.nan_to_num(r4, nan=-np.inf)
             sp = ids[:, None] == q_ids[None, :]
             key[sp] = -np.inf
             kk = min(k, n)

@@ -1485,6 +1485,45 @@ def test_anomaly_flags_exact_integer_gate(spark):
     assert got[7] == (7, False)
 
 
+def test_int8_topk_null_vectors_never_displace_real_candidates(spark):
+    """r11 regression pair: (a) a batch holding ≥ k zero-vector
+    (null-quantized) corpus rows must NOT poison the batch-local
+    prune — nulls sort LAST in the final desc window, so the real
+    matches win; (b) an all-zero query set must yield null cosines,
+    not an executor shape-mismatch crash."""
+    rows = [(i, [0.0, 0.0, 0.0]) for i in range(6)]
+    rows += [
+        (100, [1.0, 0.0, 0.0]),
+        (101, [0.9, 0.1, 0.0]),
+        (102, [0.0, 1.0, 0.0]),
+        (103, [0.5, 0.0, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    top = S.int8_topk(emb, q, k=3).orderBy("n_id").collect()
+    assert [r.n_id for r in top] == [101, 102, 103]
+    assert all(r.q_cos is not None for r in top)
+    # fewer real candidates than k → null rows DO fill the tail
+    q2 = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    emb2 = spark.createDataFrame(
+        rows[:3] + [(100, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    top2 = S.int8_topk(emb2, q2, k=3).collect()
+    assert len(top2) == 3
+    assert sorted(r.q_cos is None for r in top2) == [False, True, True]
+    # all-zero query set: null cosines, no crash
+    qz = spark.createDataFrame(
+        [(7, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    outz = S.int8_topk(emb, qz, k=2).collect()
+    assert len(outz) == 2 and all(r.q_cos is None for r in outz)
+
+
 def test_int8_topk_preserves_planted_neighbors(spark):
     """Quantization error must not disturb a clear neighbor
     structure: each query's planted near-duplicate (same direction,
