@@ -2711,6 +2711,33 @@ def q_multimodal_gif_interlaced(
     )
 
 
+def q_multimodal_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit-per-sample RGB PNG pixel decode (multimodal.
+    synth_png16_gradient_assets → decode_image_pixel_stats):
+    big-endian sample pairs whose high AND low bytes vary, the
+    6-byte filter left-neighbor offset RGB16 prescribes, all five
+    predictors. Sums are over the raw 16-bit sample values. This
+    closes the PNG boundary COMPLETELY — every legal color-type ×
+    bit-depth family the spec defines for truecolor/gray/palette now
+    decodes (16-bit gray shares the same branch)."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 6)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(10) + (F.col("doc_id") % 6) * 7)
+            .cast("long")
+            .alias("width"),
+            (F.lit(8) + (F.col("doc_id") % 7) * 4)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_png16_gradient_assets(params)
+    )
+
+
 def q_multimodal_webp_cache(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9066,6 +9093,31 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_png16"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 10 + (doc_id % 6) * 7 AS w,
+                 8 + (doc_id % 7) * 4 AS h
+          FROM documents WHERE doc_id % 13 = 6
+        ),
+        px AS (
+          SELECT asset_id, i % w AS x, i // w AS y
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum((257 * x + 513 * y) % 65536) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((514 * x + 257 * y) % 65536) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((257 * x + 258 * y) % 65536) AS BIGINT)
+                   AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_webp_cache"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10389,6 +10441,7 @@ SPARK_QUERIES = {
     "multimodal_webp_cache": q_multimodal_webp_cache,
     "multimodal_png_palette": q_multimodal_png_palette,
     "multimodal_gif_interlaced": q_multimodal_gif_interlaced,
+    "multimodal_png16": q_multimodal_png16,
     # Ordering: stalest driver record first (see harness note above).
     # Regenerated round 11 from CORRECTNESS_r01..r10 latest-record rounds
     # so the driver's ~50-entry window re-proves the r3/r4-recorded

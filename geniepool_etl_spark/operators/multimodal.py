@@ -1031,6 +1031,108 @@ def synth_png_gradient_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_png16_gradient_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL 16-bit-per-sample RGB PNGs (IHDR depth 16,
+    color type 2; samples big-endian, scanline ``y`` filtered type
+    ``y % 5`` over the BYTES with the 6-byte left-neighbor offset the
+    spec prescribes for RGB16): pixel (x, y) carries
+    R=(257x+513y)%65536, G=(514x+257y)%65536, B=(257x+258y)%65536 —
+    full-range 16-bit values whose high and low bytes BOTH vary, so
+    the byte-level filters and the big-endian sample assembly are
+    load-bearing. Channel sums are a pure function of (width,
+    height). Arrow ``mapInPandas``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def one(w: int, h: int) -> bytes:
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        rgb = np.stack(
+            [
+                (257 * x + 513 * y) % 65536,
+                (514 * x + 257 * y) % 65536,
+                (257 * x + 258 * y) % 65536,
+            ],
+            axis=-1,
+        )
+        # big-endian byte pairs, interleaved per pixel
+        hi = (rgb >> 8).astype(np.uint8)
+        lo = (rgb & 0xFF).astype(np.uint8)
+        raw = np.stack([hi, lo], axis=-1).reshape(h, w * 6).astype(
+            np.int16
+        )
+        bpp = 6
+        zero = np.zeros(w * 6, dtype=np.int16)
+        lines = bytearray()
+        for r in range(h):
+            cur = raw[r]
+            prev = raw[r - 1] if r > 0 else zero
+            left = np.concatenate([zero[:bpp], cur[:-bpp]])
+            ul = np.concatenate([zero[:bpp], prev[:-bpp]])
+            f = r % 5
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - prev
+            elif f == 3:
+                filt = cur - (left + prev) // 2
+            else:
+                p = left + prev - ul
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, ul),
+                )
+                filt = cur - pred
+            lines.append(f)
+            lines.extend((filt % 256).astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(
+                    ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+                )
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b"")
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(w), int(h))
+                        for w, h in zip(pdf[width_col], pdf[height_col])
+                    ],
+                    "media_type": "image/png",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def synth_png_palette_assets(
     df: DataFrame,
     id_col: str = "asset_id",
@@ -1720,13 +1822,17 @@ def _png_pixel_sums(raw: bytes) -> tuple:
             )
             ok = (comp, filt) == (0, 0) and ilace in (0, 1) and (
                 (ctyp in (0, 2, 6) and depth == 8)
+                or (ctyp in (0, 2) and depth == 16)
                 or (ctyp == 3 and depth in (1, 2, 4, 8))
             )
             if not ok:
                 raise ValueError("png: unsupported profile")
             # filter left-neighbor offset: the pixel byte width,
-            # floored at 1 for packed sub-byte palette indices
+            # floored at 1 for packed sub-byte palette indices;
+            # doubled for 16-bit samples (filters operate on BYTES)
             bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctyp]
+            if depth == 16:
+                bpp *= 2
         elif ctype == b"PLTE":
             if len(data) % 3 or len(data) > 768:
                 raise ValueError("png: bad PLTE length")
@@ -1755,7 +1861,8 @@ def _png_pixel_sums(raw: bytes) -> tuple:
             for x0, y0, dx, dy in _ADAM7
         ]
     n_px = 0
-    sums = np.zeros(3 if ctyp == 3 else bpp, dtype=np.int64)
+    n_sums = 3 if ctyp == 3 else (bpp // 2 if depth == 16 else bpp)
+    sums = np.zeros(n_sums, dtype=np.int64)
     at = 0
     for cols, rows_p in passes:
         if cols == 0 or rows_p == 0:
@@ -1771,7 +1878,13 @@ def _png_pixel_sums(raw: bytes) -> tuple:
         )
         at += need
         n_px += cols * rows_p
-        if ctyp == 3:
+        if ctyp in (0, 2) and depth == 16:
+            # big-endian 16-bit samples: pair the defiltered bytes
+            nch = bpp // 2
+            sam = recon.reshape(rows_p, cols, nch, 2)
+            vals = sam[..., 0] * 256 + sam[..., 1]
+            sums += vals.reshape(-1, nch).sum(axis=0)
+        elif ctyp == 3:
             # unpack MSB-first depth-bit indices (trailing padding
             # bits in the last byte of each scanline are ignored),
             # then map through the palette
@@ -1789,7 +1902,7 @@ def _png_pixel_sums(raw: bytes) -> tuple:
         raise ValueError("png: scanline size mismatch")
     if n_px != w * h:
         raise ValueError("png: interlace pass geometry mismatch")
-    if ctyp != 3 and bpp == 1:
+    if ctyp != 3 and n_sums == 1:
         g = int(sums[0])
         return (w * h, g, g, g)
     return (w * h, int(sums[0]), int(sums[1]), int(sums[2]))

@@ -4363,6 +4363,40 @@ def test_flac_wasted_bits_and_rice_escape(spark):
         M._flac_pcm_sums(bytes(bad))
 
 
+def test_png16_roundtrip_and_crc_poison():
+    """16-bit RGB PNG: big-endian sample assembly and the 6-byte
+    filter left-neighbor offset must reconstruct full-range 16-bit
+    values exactly under all five predictors; a bit flip is CRC
+    poison."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    batches = M.synth_png16_gradient_assets(StubDF())
+    last = None
+    for w, h in [(5, 1), (17, 12), (3, 7)]:
+        pdf = pd.DataFrame({"asset_id": [1], "width": [w], "height": [h]})
+        raw = next(batches(iter([pdf])))["payload"][0]
+        last = raw
+        i = np.arange(w * h)
+        x, y = i % w, i // w
+        exp = (
+            w * h,
+            int(((257 * x + 513 * y) % 65536).sum()),
+            int(((514 * x + 257 * y) % 65536).sum()),
+            int(((257 * x + 258 * y) % 65536).sum()),
+        )
+        assert M._png_pixel_sums(raw) == exp, (w, h)
+    bad = bytearray(last)
+    bad[50] ^= 0x08
+    with pytest.raises(ValueError):
+        M._png_pixel_sums(bytes(bad))
+
+
 def test_gif_interlace_restores_display_order():
     """Interlaced GIF: the stream carries rows in the 4-pass order;
     the decoder must restore the DISPLAY-ORDER index matrix exactly
