@@ -3835,16 +3835,20 @@ def synth_avi_mjpeg_assets(
 
 
 def _avi_mjpeg_frames(payload: bytes):
-    """Walk a RIFF/AVI container and yield each video frame's JPEG
-    bytes: verify the stream handler is MJPG ('vids' strh fourcc or
-    BITMAPINFOHEADER biCompression), find LIST/movi, and iterate its
-    word-aligned ``##dc``/``##db`` chunks. Compressed inter-frame
-    codecs (anything not MJPG/raw) raise — the declared boundary."""
+    """Walk a RIFF/AVI container and yield ``(handler, w, h, frame
+    bytes)`` per video frame: the stream handler comes from the
+    'vids' strh fourcc, dimensions from avih; frames are the
+    word-aligned ``##dc``/``##db`` chunks of LIST/movi. Supported
+    handlers: MJPG (each chunk a complete baseline JPEG) and DIB
+    (uncompressed bottom-up BGR24 with 4-byte row stride — the two
+    non-inter-frame AVI profiles). Anything else raises — the
+    declared codec boundary."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     handler = None
+    dims = [None, None]
 
     def walk(buf: bytes, at: int, end: int):
         nonlocal handler
@@ -3856,22 +3860,46 @@ def _avi_mjpeg_frames(payload: bytes):
                 raise ValueError("avi: truncated chunk")
             if tag == b"LIST":
                 kind = buf[body_at : body_at + 4]
-                if kind == b"movi":
-                    if handler != b"MJPG":
-                        raise ValueError(
-                            "avi: only MJPG frame decode supported"
-                        )
-                    yield from walk(buf, body_at + 4, body_end)
-                else:
-                    yield from walk(buf, body_at + 4, body_end)
+                if kind == b"movi" and handler not in (
+                    b"MJPG", b"DIB "
+                ):
+                    raise ValueError(
+                        "avi: only MJPG/DIB frame decode supported"
+                    )
+                yield from walk(buf, body_at + 4, body_end)
+            elif tag == b"avih":
+                dims[0], dims[1] = struct.unpack_from(
+                    "<II", buf, body_at + 32
+                )
             elif tag == b"strh":
                 if buf[body_at : body_at + 4] == b"vids":
                     handler = buf[body_at + 4 : body_at + 8]
             elif tag[2:] in (b"dc", b"db"):
-                yield buf[body_at:body_end]
+                yield (handler, dims[0], dims[1], buf[body_at:body_end])
             at = body_end + (sz & 1)  # RIFF word alignment
 
     yield from walk(payload, 12, len(payload))
+
+
+def _dib_frame_sums(frame: bytes, w: int, h: int) -> tuple:
+    """Exact channel sums of one uncompressed DIB video frame:
+    bottom-up BGR24 rows at 4-byte-aligned stride (the BMP raster
+    convention AVIs inherit)."""
+    import numpy as np
+
+    stride = (w * 3 + 3) & ~3
+    if len(frame) < stride * h:
+        raise ValueError("avi: truncated DIB frame")
+    body = np.frombuffer(
+        frame, dtype=np.uint8, count=h * stride
+    ).reshape(h, stride)[::-1, : w * 3]
+    px = body.reshape(-1, 3).astype(np.int64)
+    return (
+        w * h,
+        int(px[:, 2].sum()),
+        int(px[:, 1].sum()),
+        int(px[:, 0].sum()),
+    )
 
 
 VIDEO_FRAME_PIXEL_SCHEMA = StructType(
@@ -3905,8 +3933,13 @@ def decode_video_frame_stats(assets: DataFrame) -> DataFrame:
                 try:
                     frames = list(_avi_mjpeg_frames(payload))
                     rows = [
-                        (fi, _jpeg_pixel_sums(fb))
-                        for fi, fb in enumerate(frames)
+                        (
+                            fi,
+                            _jpeg_pixel_sums(fb)
+                            if hd == b"MJPG"
+                            else _dib_frame_sums(fb, fw, fh),
+                        )
+                        for fi, (hd, fw, fh, fb) in enumerate(frames)
                     ]
                 except Exception:
                     ids.append(asset_id)

@@ -4596,7 +4596,7 @@ def test_avi_mjpeg_frame_decode_and_codec_gate():
          "n_frames": [3], "fps": [5]}
     )
     payload = next(batches(iter([pdf])))["payload"][0]
-    frames = list(M._avi_mjpeg_frames(payload))
+    frames = [fb for _hd, _w, _h, fb in M._avi_mjpeg_frames(payload)]
     assert len(frames) == 3
     w, h = 17, 12
     i = np.arange(w * h)
@@ -4625,6 +4625,61 @@ def test_avi_mjpeg_frame_decode_and_codec_gate():
     # truncation poison
     with pytest.raises(ValueError):
         list(M._avi_mjpeg_frames(payload[: len(payload) - 7]))
+    # raw DIB frames (the other non-inter-frame AVI profile):
+    # hand-build a 2-frame bottom-up BGR24 stream and check exact
+    # per-frame sums through the same walker + dispatcher
+    import struct as _struct
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + _struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    dw, dh = 5, 3
+    stride = (dw * 3 + 3) & ~3
+    frames_raw = []
+    for f in range(2):
+        rows = bytearray()
+        for yy in range(dh - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for xx in range(dw):
+                row += bytes(
+                    [(xx + yy + f) % 256,        # B
+                     (2 * xx + yy) % 256,        # G
+                     (xx + 3 * yy + f) % 256]    # R
+                )
+            row += b"\x00" * (stride - len(row))
+            rows += row
+        frames_raw.append(bytes(rows))
+    avih = chunk(
+        b"avih",
+        _struct.pack("<14I", 100000, 0, 0, 0, 2, 0, 1, 0,
+                     dw, dh, 0, 0, 0, 0),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"DIB " + _struct.pack(
+            "<I2H8I", 0, 0, 0, 0, 1, 10, 0, 2, 0, 0, 0
+        ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames_raw))
+    body = b"AVI " + hdrl + movi
+    dib_avi = b"RIFF" + _struct.pack("<I", len(body)) + body
+    got = [
+        (hd, M._dib_frame_sums(fb, fw, fh))
+        for hd, fw, fh, fb in M._avi_mjpeg_frames(dib_avi)
+    ]
+    assert len(got) == 2
+    for f, (hd, (n, sr, sg, sb)) in enumerate(got):
+        assert hd == b"DIB " and n == dw * dh
+        i2 = np.arange(dw * dh)
+        xx, yy = i2 % dw, i2 // dw
+        assert sr == int(((xx + 3 * yy + f) % 256).sum())
+        assert sg == int(((2 * xx + yy) % 256).sum())
+        assert sb == int(((xx + yy + f) % 256).sum())
 
 
 def test_jpeg_progressive_subsampled_roundtrip():
