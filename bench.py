@@ -299,8 +299,12 @@ def sf10_queries(spark) -> dict:
         # word BPE) whose decade step must stay ~linear in corpus
         # size — a superlinear step would mean the distinct-key
         # domain is no longer absorbing the growth
-        "text_perplexity": lambda: C.q_text_perplexity(
-            spark, SF10_DIR
+        # materialize=False: single-run lane; the persist pays only
+        # across repeats and its never-unpersisted corpus-scale cache
+        # inflates whatever runs after it in the session (measured:
+        # flagship 15 -> 23 s when it followed the cached form)
+        "text_perplexity": lambda: TX.bigram_surprisal_scores(
+            C._t(spark, SF10_DIR, "documents"), materialize=False
         ),
         "text_bpe_encode": lambda: C.q_text_bpe_encode(
             spark, SF10_DIR

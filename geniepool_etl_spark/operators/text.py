@@ -961,6 +961,7 @@ def bigram_surprisal_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     scale: int = 10_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document mean bigram surprisal under the corpus's own
     bigram LM — the CCNet-style perplexity quality signal: templated
@@ -1017,8 +1018,14 @@ def bigram_surprisal_scores(
         df.select(F.col(id_col), F.explode(bigrams).alias("p"))
         .groupBy(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.count(F.lit(1)).alias("m"))
-        .persist()
     )
+    if materialize:
+        # pays only across REPEAT executions of the same frame (the
+        # plan has a single dp consumer); pass materialize=False for
+        # one-shot corpus-scale runs — the cache is never unpersisted
+        # and a lingering corpus-sized block set is exactly the heap
+        # co-tenancy that inflates whatever runs next in the session
+        dp = dp.persist()
     # the LM count n(l,r) as a WINDOW over the per-(doc,bigram) frame
     # instead of a counts-frame self-join: dp then has exactly ONE
     # consumer, so no cache/checkpoint is needed at all (r11 — the
