@@ -1700,25 +1700,29 @@ def _pnm_header(raw: bytes) -> tuple:
 def _ppm_pixel_sums(raw: bytes) -> tuple:
     """Decode binary netpbm P6 (RGB) / P5 (grayscale; the gray value
     reports as all three channels) to exact per-channel integer sums.
-    8-bit maxval only; short rasters and malformed headers raise —
-    the caller nulls the row out. Returns (n_pixels, sum_r, sum_g,
-    sum_b)."""
+    Both sample widths: maxval ≤ 255 → one byte per sample; maxval
+    256..65535 → TWO bytes per sample, big-endian ("most significant
+    byte first", the netpbm spec rule). Short rasters and malformed
+    headers raise — the caller nulls the row out. Returns (n_pixels,
+    sum_r, sum_g, sum_b)."""
     import numpy as np
 
     if raw[:2] not in (b"P5", b"P6"):
         raise ValueError("not binary netpbm")
     (w, h, maxval), off = _pnm_header(raw)
-    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+    if w <= 0 or h <= 0 or not 0 < maxval <= 65535:
         raise ValueError("netpbm: unsupported geometry/maxval")
     ch = 3 if raw[:2] == b"P6" else 1
-    need = w * h * ch
+    wide = maxval > 255
+    need = w * h * ch * (2 if wide else 1)
     if len(raw) - off < need:
         raise ValueError("netpbm: truncated raster")
-    px = (
-        np.frombuffer(raw, dtype=np.uint8, count=need, offset=off)
-        .reshape(-1, ch)
-        .astype(np.int64)
-    )
+    buf = np.frombuffer(raw, dtype=np.uint8, count=need, offset=off)
+    if wide:
+        pairs = buf.reshape(-1, 2).astype(np.int64)
+        px = (pairs[:, 0] * 256 + pairs[:, 1]).reshape(-1, ch)
+    else:
+        px = buf.reshape(-1, ch).astype(np.int64)
     if ch == 1:
         s = int(px[:, 0].sum())
         return (w * h, s, s, s)
@@ -2519,17 +2523,39 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
                     w, h = struct.unpack_from("<ii", raw, 18)
                     bpp = struct.unpack_from("<H", raw, 28)[0]
                     comp = struct.unpack_from("<I", raw, 30)[0]
-                    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+                    if bpp not in (8, 24) or comp != 0 or w <= 0 or h == 0:
                         raise ValueError("unsupported BMP variant")
                     flipped = h > 0
                     h = abs(h)
-                    stride = (w * 3 + 3) & ~3
-                    body = np.frombuffer(
-                        raw, dtype=np.uint8, count=h * stride, offset=off
-                    ).reshape(h, stride)[:, : w * 3]
-                    if flipped:
-                        body = body[::-1]
-                    px = body.reshape(-1, 3).astype(np.int64)
+                    if bpp == 8:
+                        # paletted BMP: BGRA quads after the 40-byte
+                        # info header (biClrUsed, 0 → 256), 1-byte
+                        # indices at 4-aligned row stride
+                        hdr_sz = struct.unpack_from("<I", raw, 14)[0]
+                        n_clr = struct.unpack_from("<I", raw, 46)[0] or 256
+                        pal_at = 14 + hdr_sz
+                        pal = np.frombuffer(
+                            raw, dtype=np.uint8,
+                            count=4 * n_clr, offset=pal_at,
+                        ).reshape(n_clr, 4).astype(np.int64)
+                        stride = (w + 3) & ~3
+                        idx = np.frombuffer(
+                            raw, dtype=np.uint8,
+                            count=h * stride, offset=off,
+                        ).reshape(h, stride)[:, :w]
+                        if flipped:
+                            idx = idx[::-1]
+                        if int(idx.max(initial=0)) >= n_clr:
+                            raise ValueError("bmp: index beyond palette")
+                        px = pal[idx.ravel()]
+                    else:
+                        stride = (w * 3 + 3) & ~3
+                        body = np.frombuffer(
+                            raw, dtype=np.uint8, count=h * stride, offset=off
+                        ).reshape(h, stride)[:, : w * 3]
+                        if flipped:
+                            body = body[::-1]
+                        px = body.reshape(-1, 3).astype(np.int64)
                     rows["n_pixels"].append(w * h)
                     rows["sum_b"].append(int(px[:, 0].sum()))
                     rows["sum_g"].append(int(px[:, 1].sum()))

@@ -4363,6 +4363,72 @@ def test_flac_wasted_bits_and_rice_escape(spark):
         M._flac_pcm_sums(bytes(bad))
 
 
+def test_netpbm_16bit_and_palette_bmp_decode(spark):
+    """Two real-corpus raster variants added r11: 16-bit netpbm
+    (maxval > 255 → big-endian sample pairs per the spec) and 8-bit
+    paletted BMP (BGRA quads, 4-aligned index rows, bottom-up)."""
+    import struct
+
+    import numpy as np
+
+    # --- P6 with maxval 65535 ---
+    w, h = 7, 5
+    i = np.arange(w * h)
+    vals = np.stack(
+        [(1000 * i + 7) % 65536, (2000 * i + 3) % 65536,
+         (500 * i + 11) % 65536],
+        axis=-1,
+    ).astype(np.int64)
+    raster = bytearray()
+    for v in vals.ravel():
+        raster += bytes([v >> 8, v & 0xFF])
+    ppm = (b"P6\n# wide\n%d %d\n65535\n" % (w, h)) + bytes(raster)
+    got = M._ppm_pixel_sums(ppm)
+    assert got == (
+        w * h,
+        int(vals[:, 0].sum()), int(vals[:, 1].sum()),
+        int(vals[:, 2].sum()),
+    )
+    # truncation still raises at the widened size
+    import pytest
+    with pytest.raises(ValueError):
+        M._ppm_pixel_sums(ppm[:-3])
+    # --- 8-bit palette BMP, bottom-up, strided ---
+    w, h = 6, 4
+    pal = bytes(
+        b for j in range(256)
+        for b in ((3 * j) % 256, (5 * j) % 256, (7 * j) % 256, 0)
+    )  # B,G,R,reserved
+    stride = (w + 3) & ~3
+    rows_b = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytes(((x + 2 * y) % 256) for x in range(w))
+        rows_b += row + b"\x00" * (stride - w)
+    off = 14 + 40 + len(pal)
+    hdr = (
+        b"BM" + struct.pack("<IHHI", off + len(rows_b), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                      len(rows_b), 0, 0, 0, 0)
+    )
+    bmp = hdr + pal + bytes(rows_b)
+    i = np.arange(w * h)
+    idx = (i % w + 2 * (i // w)) % 256
+    from geniepool_etl_spark.operators.multimodal import (
+        decode_image_pixel_stats,
+    )
+    assets = spark.createDataFrame(
+        [(1, bytearray(bmp), "image/bmp")],
+        "asset_id long, payload binary, media_type string",
+    )
+    row = decode_image_pixel_stats(assets).collect()[0]
+    assert (row.n_pixels, row.sum_r, row.sum_g, row.sum_b) == (
+        w * h,
+        int(((7 * idx) % 256).sum()),
+        int(((5 * idx) % 256).sum()),
+        int(((3 * idx) % 256).sum()),
+    )
+
+
 def test_png16_roundtrip_and_crc_poison():
     """16-bit RGB PNG: big-endian sample assembly and the 6-byte
     filter left-neighbor offset must reconstruct full-range 16-bit
