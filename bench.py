@@ -596,12 +596,28 @@ def main() -> None:
             # at the 60M-row flagship decade inside the full
             # preflight battery — reproducibly absent in isolation.
             # Restart cost (~10 s) is outside every timed region.
+            # Quiesce logging around the restart: the dying context's
+            # async listener drain emits a harmless "non-existent
+            # accumulator" ERROR stack (r11 verdict nit #3) that
+            # burned ~1.5 KB of the driver's 2 KB stdout-tail parse
+            # window. OFF before stop; the new context goes back to
+            # ERROR with the DAGScheduler logger pinned OFF (the old
+            # context's stragglers drain into the same JVM's log4j).
+            spark.sparkContext.setLogLevel("OFF")
             spark.stop()
             spark = get_spark(
                 "geniepool-bench-sf10",
                 extra_conf={"spark.ui.showConsoleProgress": "false"},
             )
             spark.sparkContext.setLogLevel("ERROR")
+            try:
+                jvm = spark.sparkContext._jvm
+                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                    "org.apache.spark.scheduler.DAGScheduler",
+                    jvm.org.apache.logging.log4j.Level.OFF,
+                )
+            except Exception:  # noqa: BLE001 — log4j2 API drift
+                pass
             for name, build in sf10_queries(spark).items():
                 try:
                     df = build()

@@ -10414,87 +10414,27 @@ FROM g
 
 
 # Ordering note (driver harness): the driver records only the FIRST
-# ~50 entries of this dict per round (observed: exactly 50). Round-9
-# window, per VERDICT r8 ask #1: (a) the 14 entries that had NEVER
-# appeared in a driver CORRECTNESS window (added late in r8, past its
-# 50-entry edge): a19_loghist_quantiles, the three streaming-sketch
-# twins, the mp4/mp3/flac/ogg/pcm/pixel-stats decode lanes, corpus
-# card, file census, url domains, sql variables — after r9 every
-# registered entry has a driver-recorded green row. Then (b) the 4
-# r9-NEW lanes (FLAC stereo + LPC, JPEG restarts, interlaced PNG).
-# Then (c) the 28 lanes whose IMPLEMENTATION changed in r9 — the
-# Arrow similarity rewrites (semantic/LSH/IVF/IVF-PQ and the
-# lsh_bucket-derived dedup lanes), the trigram language id, the
-# auto-sized interval join, the FLAC/JPEG/PNG decoder changes, and
-# the snaptable bloom-carry + distributed-pruning lanes — changed
-# code outranks stale-ness for re-recording. Then (d) stalest
-# re-records (r3 group head) fill the window. All entries are
-# selfcheck-green at sf0.001+sf0.01 and ansi-swept regardless of the
-# window.
+# ~50 entries of this dict per round (observed: exactly 50). Round-12
+# ordering, regenerated from CORRECTNESS_r01..r11 latest-record
+# rounds: r12-NEW lanes are inserted at the very top as they are
+# built (never-recorded outranks stale), then all existing lanes
+# stalest-driver-record-first (ties keep r11 order) — the window
+# therefore re-proves the 6 r4-recorded lanes (set_ops,
+# w1_window_topk, events_pivot, events_json_props, events_from_json,
+# dedup_exact_stats — the VERDICT r11 ask #5) and then the oldest r5
+# block. After r12 no lane's record is older than r5. All entries
+# are selfcheck-green at sf0.001+sf0.01 and ansi-swept regardless of
+# the window.
 SPARK_QUERIES = {
-    # --- r11-new lanes first (never driver-recorded) ---
-    "multimodal_jpeg_422": q_multimodal_jpeg_422,
-    "multimodal_jpeg_prog420": q_multimodal_jpeg_prog420,
-    "multimodal_avi_frames": q_multimodal_avi_frames,
-    "multimodal_jpeg_sa420": q_multimodal_jpeg_sa420,
-    "multimodal_webp_lossless": q_multimodal_webp_lossless,
-    "multimodal_webp_cache": q_multimodal_webp_cache,
-    "multimodal_png_palette": q_multimodal_png_palette,
-    "multimodal_gif_interlaced": q_multimodal_gif_interlaced,
-    "multimodal_png16": q_multimodal_png16,
-    # Ordering: stalest driver record first (see harness note above).
-    # Regenerated round 11 from CORRECTNESS_r01..r10 latest-record rounds
-    # so the driver's ~50-entry window re-proves the r3/r4-recorded
-    # reference-parity core (s1-s11, j1-j7, a3-a8, p2/p6, dedup_minhash_lsh,
-    # ...) on current code. New r11 lanes are inserted at the very top as
-    # they are built (never-recorded outranks stale).
-    "events_funnel": q_events_funnel,
-    "pack_windows": q_pack_windows,
-    "lake_zorder_key": q_lake_zorder_key,
-    "sample_mixture_plan": q_sample_mixture_plan,
-    "sql_tpch_q3": q_sql_tpch_q3,
-    "p8_keep_latest": q_p8_keep_latest,
-    "dedup_contamination": q_dedup_contamination,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "multimodal_decode_wav": q_multimodal_decode_wav,
-    "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
-    "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
-    "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
-    "s6_parquet_explicit_schema": q_s6_parquet_explicit_schema,
-    "s7_parquet_inferred": q_s7_parquet_inferred,
-    "s8_input_file_name": q_s8_input_file_name,
-    "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
-    "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
-    "s11_lake_range_read": q_s11_lake_range_read,
-    "s12_orc_roundtrip": q_s12_orc_roundtrip,
-    "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
-    "p2_derive": q_p2_derive,
-    "p6_dropdup_subset": q_p6_dropdup_subset,
-    "j1_multikey_left_join": q_j1_multikey_left_join,
-    "j2_left_join_nulls": q_j2_left_join_nulls,
-    "j3_broadcast_join_agg": q_j3_broadcast_join_agg,
-    "j4_case_pick_join": q_j4_case_pick_join,
-    "j5_semi_join": q_j5_semi_join,
-    "j6_anti_join": q_j6_anti_join,
-    "j7_range_join": q_j7_range_join,
-    "a3_multi_count_distinct": q_a3_multi_count_distinct,
-    "a4_pricing_summary": q_a4_pricing_summary,
-    "a5_rollup": q_a5_rollup,
-    "a6_cube": q_a6_cube,
-    "a8_stats_aggs": q_a8_stats_aggs,
-    "w4_rank_dense": q_w4_rank_dense,
-    "w5_range_frame": q_w5_range_frame,
-    "skew_salted_agg": q_skew_salted_agg,
-    "status_summary": q_status_summary,
-    "sort_topk": q_sort_topk,
+    # --- r12-new lanes first (never driver-recorded) ---
+    # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,
     "events_pivot": q_events_pivot,
     "events_json_props": q_events_json_props,
     "events_from_json": q_events_from_json,
     "dedup_exact_stats": q_dedup_exact_stats,
+    # --- latest driver record: r5 ---
     "text_chunk": q_text_chunk,
     "stream_session": q_stream_session,
     "stream_tumbling": q_stream_tumbling,
@@ -10544,6 +10484,7 @@ SPARK_QUERIES = {
     "profile_table": q_profile_table,
     "sample_stratified": q_sample_stratified,
     "multimodal_extract": q_multimodal_extract,
+    # --- latest driver record: r6 ---
     "scd2_history": q_scd2_history,
     "table_diff": q_table_diff,
     "text_bm25": q_text_bm25,
@@ -10588,6 +10529,7 @@ SPARK_QUERIES = {
     "text_repetition": q_text_repetition,
     "sim_brute_topk": q_sim_brute_topk,
     "sim_pandas_topk": q_sim_pandas_topk,
+    # --- latest driver record: r7 ---
     "events_attribution": q_events_attribution,
     "profile_histogram": q_profile_histogram,
     "sql_exists_late": q_sql_exists_late,
@@ -10638,6 +10580,7 @@ SPARK_QUERIES = {
     "sql_tpch_q21": q_sql_tpch_q21,
     "graph_pagerank": q_graph_pagerank,
     "obs_drift_psi": q_obs_drift_psi,
+    # --- latest driver record: r8 ---
     "snap_meta_count": q_snap_meta_count,
     "text_quality_classifier": q_text_quality_classifier,
     "events_ewma": q_events_ewma,
@@ -10668,6 +10611,7 @@ SPARK_QUERIES = {
     "graph_triangles": q_graph_triangles,
     "graph_link_predict": q_graph_link_predict,
     "a18_countmin_topk": q_a18_countmin_topk,
+    # --- latest driver record: r10 ---
     "a19_loghist_quantiles": q_a19_loghist_quantiles,
     "stream_countmin": q_stream_countmin,
     "stream_loghist": q_stream_loghist,
@@ -10718,6 +10662,57 @@ SPARK_QUERIES = {
     "s23_snap_change_stream": q_s23_snap_change_stream,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_levenshtein": q_dedup_levenshtein,
+    # --- latest driver record: r11 ---
+    "multimodal_jpeg_422": q_multimodal_jpeg_422,
+    "multimodal_jpeg_prog420": q_multimodal_jpeg_prog420,
+    "multimodal_avi_frames": q_multimodal_avi_frames,
+    "multimodal_jpeg_sa420": q_multimodal_jpeg_sa420,
+    "multimodal_webp_lossless": q_multimodal_webp_lossless,
+    "multimodal_webp_cache": q_multimodal_webp_cache,
+    "multimodal_png_palette": q_multimodal_png_palette,
+    "multimodal_gif_interlaced": q_multimodal_gif_interlaced,
+    "multimodal_png16": q_multimodal_png16,
+    "events_funnel": q_events_funnel,
+    "pack_windows": q_pack_windows,
+    "lake_zorder_key": q_lake_zorder_key,
+    "sample_mixture_plan": q_sample_mixture_plan,
+    "sql_tpch_q3": q_sql_tpch_q3,
+    "p8_keep_latest": q_p8_keep_latest,
+    "dedup_contamination": q_dedup_contamination,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "multimodal_decode_wav": q_multimodal_decode_wav,
+    "s1_s3_text_csv_scan": q_s1_s3_text_csv_scan,
+    "s4_csv_header_roundtrip": q_s4_csv_header_roundtrip,
+    "s5_csv_noheader_roundtrip": q_s5_csv_noheader_roundtrip,
+    "s6_parquet_explicit_schema": q_s6_parquet_explicit_schema,
+    "s7_parquet_inferred": q_s7_parquet_inferred,
+    "s8_input_file_name": q_s8_input_file_name,
+    "s9_partitioned_write_roundtrip": q_s9_partitioned_write_roundtrip,
+    "s10_json_sink_roundtrip": q_s10_json_sink_roundtrip,
+    "s11_lake_range_read": q_s11_lake_range_read,
+    "s12_orc_roundtrip": q_s12_orc_roundtrip,
+    "s13_csv_dropmalformed": q_s13_csv_dropmalformed,
+    "p2_derive": q_p2_derive,
+    "p6_dropdup_subset": q_p6_dropdup_subset,
+    "j1_multikey_left_join": q_j1_multikey_left_join,
+    "j2_left_join_nulls": q_j2_left_join_nulls,
+    "j3_broadcast_join_agg": q_j3_broadcast_join_agg,
+    "j4_case_pick_join": q_j4_case_pick_join,
+    "j5_semi_join": q_j5_semi_join,
+    "j6_anti_join": q_j6_anti_join,
+    "j7_range_join": q_j7_range_join,
+    "a3_multi_count_distinct": q_a3_multi_count_distinct,
+    "a4_pricing_summary": q_a4_pricing_summary,
+    "a5_rollup": q_a5_rollup,
+    "a6_cube": q_a6_cube,
+    "a8_stats_aggs": q_a8_stats_aggs,
+    "w4_rank_dense": q_w4_rank_dense,
+    "w5_range_frame": q_w5_range_frame,
+    "skew_salted_agg": q_skew_salted_agg,
+    "status_summary": q_status_summary,
+    "sort_topk": q_sort_topk,
 }
 
 

@@ -3967,6 +3967,12 @@ def decode_video_frame_stats(assets: DataFrame) -> DataFrame:
                         )
                         for fi, (hd, fw, fh, fb) in enumerate(frames)
                     ]
+                    if not rows:
+                        # structurally valid AVI whose movi LIST holds
+                        # zero frame chunks: unusable payload → the
+                        # contract's ONE visible null row, not a
+                        # silent drop of the asset
+                        raise ValueError("no frame chunks")
                 except Exception:
                     ids.append(asset_id)
                     idxs.append(-1)

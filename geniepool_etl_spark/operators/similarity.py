@@ -805,7 +805,9 @@ def _exact_topk_key(V, nrm, cmat, cnorm, kk):
     with np.errstate(divide="ignore", invalid="ignore"):
         approx /= nrm[:, None]
         approx /= cnorm[None, :]
-    np.nan_to_num(approx, copy=False, nan=-np.inf)
+    # every non-finite cosine ranks LAST, exactly as the fold path did:
+    # +inf can arise when subnormal norms underflow to 0 with nonzero dot.
+    np.nan_to_num(approx, copy=False, nan=-np.inf, posinf=-np.inf)
     th = (
         np.partition(approx, k - kk, axis=1)[:, k - kk]
         if kk < k
@@ -818,7 +820,7 @@ def _exact_topk_key(V, nrm, cmat, cnorm, kk):
         acc += A[:, d] * B[:, d]
     with np.errstate(divide="ignore", invalid="ignore"):
         key = np.floor((acc / (nrm[r] * cnorm[c])) * 1e9 + 0.5)
-    np.nan_to_num(key, copy=False, nan=-np.inf)
+    np.nan_to_num(key, copy=False, nan=-np.inf, posinf=-np.inf)
     # order candidates by (row, -key, j); each row's first kk win.
     # (th guarantees ≥ kk candidates per row, ties included.)
     order = np.lexsort((c, -key, r))
@@ -1147,6 +1149,9 @@ def int8_topk(
     # previous interpreted-HOF form (3 folds per pair, ~16 µs/dot)
     # and the oracle produce. Null qvec (zero vectors) propagates as
     # null dot/norm → null q_cos, ranked last as before.
+    # NOTE: this collect runs a Spark job EAGERLY at plan-construction
+    # time (queries must be materialized to build the broadcast
+    # matrix) — callers composing lazy plans should expect it.
     qrows = qq.collect()
     id_dt = corpus.schema[id_col].dataType.simpleString()
     q_ids = np.array([r["q_id"] for r in qrows])
@@ -1187,12 +1192,18 @@ def int8_topk(
             ids = pdf["n_id"].to_numpy()
             n = len(ids)
             # null elements (zero vectors) surface as NaN after the
-            # Arrow long→float conversion; None guards a null array
+            # Arrow long→float conversion; None guards a null array.
+            # dim falls back to the batch's own vectors when no query
+            # quantized whole (dim_q probe failed) — otherwise a null
+            # corpus row would stack ragged against real dim-d rows.
+            dim_b = next(
+                (len(v) for v in vecs if v is not None), dim_q
+            )
             Vall = np.stack(
                 [
                     np.asarray(v, dtype=np.float64)
                     if v is not None
-                    else np.full(dim_q, np.nan)
+                    else np.full(dim_b, np.nan)
                     for v in vecs
                 ]
             )

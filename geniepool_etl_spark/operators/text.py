@@ -961,7 +961,7 @@ def bigram_surprisal_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     scale: int = 10_000,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document mean bigram surprisal under the corpus's own
     bigram LM — the CCNet-style perplexity quality signal: templated
@@ -992,9 +992,9 @@ def bigram_surprisal_scores(
     (no counts-frame self-join), and the corpus total N is computed
     directly from the corpus (Σ max(|words|−1, 0) ≡ Σ m) as a 1-row
     broadcast. The (doc, bigram, m) frame therefore has exactly ONE
-    consumer — persist() (default MEMORY_AND_DISK, lineage KEPT)
-    only amortizes repeat executions; a lost block recomputes instead
-    of failing. The previous 3-consumer localCheckpoint shape lost
+    consumer — persist() (opt-in via ``materialize=True``;
+    MEMORY_AND_DISK, lineage KEPT) only amortizes repeat executions;
+    a lost block recomputes instead of failing. The previous 3-consumer localCheckpoint shape lost
     its truncated-lineage blocks under sf10 battery heap pressure
     ("Block rdd does not exist", unrecoverable by design) and
     measured 2.4× slower at sf1 than this window form.
@@ -1020,11 +1020,12 @@ def bigram_surprisal_scores(
         .agg(F.count(F.lit(1)).alias("m"))
     )
     if materialize:
-        # pays only across REPEAT executions of the same frame (the
-        # plan has a single dp consumer); pass materialize=False for
-        # one-shot corpus-scale runs — the cache is never unpersisted
-        # and a lingering corpus-sized block set is exactly the heap
-        # co-tenancy that inflates whatever runs next in the session
+        # opt-in: pays only across REPEAT executions of the same frame
+        # (the plan has a single dp consumer, so one-shot runs gain
+        # nothing) — default False (r12) because the cache is never
+        # unpersisted and a lingering corpus-sized block set is
+        # exactly the heap co-tenancy that inflates whatever runs
+        # next in the session (the r11 lesson, see SCALE.md)
         dp = dp.persist()
     # the LM count n(l,r) as a WINDOW over the per-(doc,bigram) frame
     # instead of a counts-frame self-join: dp then has exactly ONE

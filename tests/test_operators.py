@@ -1522,6 +1522,32 @@ def test_int8_topk_null_vectors_never_displace_real_candidates(spark):
     )
     outz = S.int8_topk(emb, qz, k=2).collect()
     assert len(outz) == 2 and all(r.q_cos is None for r in outz)
+    # r12 advice fix: a NULL corpus array alongside real rows, with an
+    # all-zero query set (dim_q probe fails → falls back to the
+    # batch's own vectors) must not ragged-stack-crash the executor
+    embn = spark.createDataFrame(
+        rows + [(300, None)], "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    outn = S.int8_topk(embn, qz, k=2).collect()
+    assert len(outn) == 2 and all(r.q_cos is None for r in outn)
+
+
+def test_exact_topk_key_nonfinite_cosines_rank_last():
+    """r12 advice fix: a cosine that overflows to +inf (subnormal
+    norms underflowing to 0 against a nonzero dot) must rank LAST
+    like every other non-finite key — exactly the replaced fold
+    path's ranking (all non-finite → −inf, ties by ascending j)."""
+    import numpy as np
+
+    V = np.array([[1e-200, 0.0]])
+    nrm = np.array([0.0])  # sum-of-squares underflowed to 0
+    cmat = np.array([[0.0, 1.0], [1e-100, 0.0]])
+    cnorm = np.array([1.0, 1e-100])
+    # c0: dot 0 → 0/0 = nan; c1: 1e-300/0 = +inf. Both are
+    # non-finite → both −inf → ascending-j tiebreak picks c0; the
+    # unfixed posinf path ranked c1 FIRST.
+    out = S._exact_topk_key(V, nrm, cmat, cnorm, 1)
+    assert out[0, 0] == 0
 
 
 def test_int8_topk_preserves_planted_neighbors(spark):
@@ -4746,6 +4772,50 @@ def test_avi_mjpeg_frame_decode_and_codec_gate():
         assert sr == int(((xx + 3 * yy + f) % 256).sum())
         assert sg == int(((2 * xx + yy) % 256).sum())
         assert sb == int(((xx + yy + f) % 256).sum())
+
+
+def test_video_frame_stats_zero_frame_avi_yields_null_row():
+    """A structurally valid AVI whose movi LIST contains ZERO frame
+    chunks is an unusable payload: the contract is ONE visible null
+    row (frame_idx −1), never a silent drop of the asset (r12 advice
+    fix)."""
+    import pandas as pd
+    import struct as _struct
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + _struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = chunk(
+        b"avih",
+        _struct.pack("<14I", 100000, 0, 0, 0, 0, 0, 1, 0,
+                     4, 4, 0, 0, 0, 0),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG" + _struct.pack(
+            "<I2H8I", 0, 0, 0, 0, 1, 10, 0, 0, 0, 0, 0
+        ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh))
+    movi = lst(b"movi", b"")  # zero frame chunks
+    body = b"AVI " + hdrl + movi
+    empty_avi = b"RIFF" + _struct.pack("<I", len(body)) + body
+    assert list(M._avi_mjpeg_frames(empty_avi)) == []
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    batches = M.decode_video_frame_stats(StubDF())
+    pdf = pd.DataFrame({"asset_id": [42], "payload": [empty_avi]})
+    out = next(batches(iter([pdf])))
+    assert len(out) == 1
+    assert out["asset_id"][0] == 42 and out["frame_idx"][0] == -1
+    assert out["n_pixels"].isna().all()
 
 
 def test_jpeg_progressive_subsampled_roundtrip():
