@@ -2738,6 +2738,64 @@ def q_multimodal_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_netpbm16(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """16-bit-per-sample binary netpbm P6 pixel decode (multimodal.
+    synth_ppm16_gradient_assets → decode_image_pixel_stats): maxval
+    65535 → TWO bytes per sample, big-endian per the netpbm spec,
+    with a header comment in the token stream. The gradient factors
+    (257/513/514/258) make high AND low bytes vary, so a byte-order
+    or sample-width slip cannot cancel in the channel sums."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 3)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(9) + (F.col("doc_id") % 6) * 8)
+            .cast("long")
+            .alias("width"),
+            (F.lit(7) + (F.col("doc_id") % 7) * 5)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_ppm16_gradient_assets(params)
+    )
+
+
+def q_multimodal_bmp_palette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """8-bit PALETTED BMP pixel decode (multimodal.
+    synth_bmp_palette_assets → decode_image_pixel_stats): BGRA quads
+    after the 40-byte info header, biClrUsed honored (0 meaning 256 —
+    hit when the n_colors sweep lands on exactly 256), 4-aligned
+    bottom-up index rows mapped through the palette. Channel sums are
+    a pure function of (w, h, n_colors), so the oracle recomputes
+    every pixel without touching the bytes."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 9)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(12) + (F.col("doc_id") % 8) * 5)
+            .cast("long")
+            .alias("width"),
+            (F.lit(6) + (F.col("doc_id") % 5) * 7)
+            .cast("long")
+            .alias("height"),
+            (F.lit(16) + (F.col("doc_id") % 11) * 24)
+            .cast("long")
+            .alias("n_colors"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_bmp_palette_assets(params)
+    )
+
+
 def q_multimodal_webp_cache(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9118,6 +9176,55 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_netpbm16"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 9 + (doc_id % 6) * 8 AS w,
+                 7 + (doc_id % 7) * 5 AS h
+          FROM documents WHERE doc_id % 13 = 3
+        ),
+        px AS (
+          SELECT asset_id, i % w AS x, i // w AS y
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum((257 * x + 513 * y) % 65536) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((514 * x + 257 * y) % 65536) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((257 * x + 258 * y) % 65536) AS BIGINT)
+                   AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
+    o["multimodal_bmp_palette"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 12 + (doc_id % 8) * 5 AS w,
+                 6 + (doc_id % 5) * 7 AS h,
+                 16 + (doc_id % 11) * 24 AS n
+          FROM documents WHERE doc_id % 13 = 9
+        ),
+        px AS (
+          SELECT asset_id,
+                 ((i % w) + 2 * (i // w)) % n AS p
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum((7 * p + 2) % 256) AS BIGINT) AS sum_r,
+                 CAST(sum((5 * p + 1) % 256) AS BIGINT) AS sum_g,
+                 CAST(sum((3 * p) % 256) AS BIGINT) AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_webp_cache"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10427,6 +10534,8 @@ FROM g
 # the window.
 SPARK_QUERIES = {
     # --- r12-new lanes first (never driver-recorded) ---
+    "multimodal_netpbm16": q_multimodal_netpbm16,
+    "multimodal_bmp_palette": q_multimodal_bmp_palette,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

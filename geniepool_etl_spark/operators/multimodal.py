@@ -1666,6 +1666,120 @@ def synth_ppm_gradient_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_ppm16_gradient_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL binary netpbm P6 payloads with **maxval 65535**
+    — TWO bytes per sample, big-endian ("most significant byte
+    first", the netpbm spec rule) — carrying the same 16-bit gradient
+    as the PNG16 lane (``R=(257x+513y)%65536, G=(514x+257y)%65536,
+    B=(257x+258y)%65536``: the factors make high AND low bytes vary,
+    so a byte-order or sample-width slip cannot cancel out in the
+    sums). Header carries a ``#`` comment so comment-skipping stays
+    load-bearing. Arrow ``mapInPandas``; narrow."""
+    import numpy as np
+
+    def one(w: int, h: int) -> bytes:
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        rgb = np.stack(
+            [
+                (257 * x + 513 * y) % 65536,
+                (514 * x + 257 * y) % 65536,
+                (257 * x + 258 * y) % 65536,
+            ],
+            axis=-1,
+        ).astype(">u2")
+        header = b"P6\n# synthetic 16-bit gradient\n%d %d\n65535\n" % (
+            w, h,
+        )
+        return header + rgb.tobytes()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(w), int(h))
+                for w, h in zip(pdf[width_col], pdf[height_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/x-portable-pixmap",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_bmp_palette_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    colors_col: str = "n_colors",
+) -> DataFrame:
+    """Synthesize REAL 8-bit PALETTED BMPs: ``n_colors`` BGRA quads
+    (``B=(3p)%256, G=(5p+1)%256, R=(7p+2)%256``) after the 40-byte
+    info header, index raster ``(x+2y) % n_colors`` at 4-aligned
+    bottom-up rows. ``biClrUsed`` is written as 0 when n_colors is
+    exactly 256 (the spec's "0 means 256" default the decoder must
+    honor) and the true count otherwise, so BOTH palette-size paths
+    are load-bearing. Everything is a pure function of the parameter
+    columns, so an external oracle recomputes every pixel. Arrow
+    ``mapInPandas``; narrow."""
+    import struct
+
+    import numpy as np
+
+    def one(w: int, h: int, n: int) -> bytes:
+        p = np.arange(n, dtype=np.int64)
+        pal = np.stack(
+            [(3 * p) % 256, (5 * p + 1) % 256, (7 * p + 2) % 256,
+             np.zeros(n, dtype=np.int64)],
+            axis=-1,
+        ).astype(np.uint8)
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        idx = ((x + 2 * y) % n).astype(np.uint8)
+        stride = (w + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w] = idx
+        body = rows[::-1].tobytes()  # bottom-up
+        off = 14 + 40 + 4 * n
+        clr_used = 0 if n == 256 else n
+        hdr = (
+            b"BM"
+            + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body),
+                2835, 2835, clr_used, 0,
+            )
+        )
+        return hdr + pal.tobytes() + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(w), int(h), int(n))
+                for w, h, n in zip(
+                    pdf[width_col], pdf[height_col], pdf[colors_col]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/bmp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def _pnm_header(raw: bytes) -> tuple:
     """Parse a binary netpbm header (after the 2-byte magic): three
     whitespace-separated integers with ``#``-to-end-of-line comments

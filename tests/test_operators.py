@@ -4455,6 +4455,65 @@ def test_netpbm_16bit_and_palette_bmp_decode(spark):
     )
 
 
+def test_synth_netpbm16_and_palette_bmp_roundtrip():
+    """The r12 synth generators behind the contract lanes: 16-bit P6
+    payloads and paletted BMPs must decode to the closed-form channel
+    sums through the pixel-stats dispatcher, including the
+    biClrUsed=0 → 256-color default path (n_colors == 256)."""
+    import numpy as np
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    # 16-bit netpbm
+    pdf = pd.DataFrame(
+        {"asset_id": [1, 2], "width": [9, 17], "height": [7, 12]}
+    )
+    gen = M.synth_ppm16_gradient_assets(StubDF())
+    out = next(gen(iter([pdf])))
+    for _, r in out.iterrows():
+        w = int(pdf[pdf.asset_id == r.asset_id]["width"].iloc[0])
+        h = int(pdf[pdf.asset_id == r.asset_id]["height"].iloc[0])
+        i = np.arange(w * h)
+        x, y = i % w, i // w
+        assert M._ppm_pixel_sums(r.payload) == (
+            w * h,
+            int(((257 * x + 513 * y) % 65536).sum()),
+            int(((514 * x + 257 * y) % 65536).sum()),
+            int(((257 * x + 258 * y) % 65536).sum()),
+        )
+    # paletted BMP: n=16 (explicit biClrUsed) and n=256 (written as 0)
+    pdfb = pd.DataFrame(
+        {"asset_id": [1, 2], "width": [12, 7], "height": [6, 9],
+         "n_colors": [16, 256]}
+    )
+    genb = M.synth_bmp_palette_assets(StubDF())
+    outb = next(genb(iter([pdfb])))
+    import struct as _struct
+
+    dec = M.decode_image_pixel_stats(StubDF())
+    stats = next(dec(iter([outb[["asset_id", "payload",
+                                 "media_type"]]])))
+    for _, r in stats.iterrows():
+        sel = pdfb[pdfb.asset_id == r.asset_id]
+        w, h, n = (int(sel[c].iloc[0])
+                   for c in ("width", "height", "n_colors"))
+        payload = outb[outb.asset_id == r.asset_id]["payload"].iloc[0]
+        assert _struct.unpack_from("<I", payload, 46)[0] == (
+            0 if n == 256 else n
+        )
+        i = np.arange(w * h)
+        p = (i % w + 2 * (i // w)) % n
+        assert (r.n_pixels, r.sum_r, r.sum_g, r.sum_b) == (
+            w * h,
+            int(((7 * p + 2) % 256).sum()),
+            int(((5 * p + 1) % 256).sum()),
+            int(((3 * p) % 256).sum()),
+        )
+
+
 def test_png16_roundtrip_and_crc_poison():
     """16-bit RGB PNG: big-endian sample assembly and the 6-byte
     filter left-neighbor offset must reconstruct full-range 16-bit
