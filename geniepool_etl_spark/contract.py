@@ -2384,6 +2384,65 @@ def q_multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_pcm_stats(M.synth_wav_tone_assets(params))
 
 
+def q_multimodal_audio_g711(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """G.711 µ-law / a-law WAV sample decode (multimodal.
+    synth_wav_g711_assets → decode_audio_pcm_stats): format tags 7/6,
+    one companded byte per sample, expanded through the ITU-T G.711
+    segment tables (the classic Sun ulaw2linear/alaw2linear forms —
+    stateless, so the oracle expresses the expansion as a closed-form
+    CASE per byte). Telephony corpora ship this profile; the byte
+    stream is a pure function of (asset_id, i)."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 7)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit(8000).cast("long").alias("sample_rate"),
+            (F.lit(50) + (F.col("doc_id") % 9) * 30)
+            .cast("long")
+            .alias("n_frames"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("ulaw"))
+            .otherwise(F.lit("alaw"))
+            .alias("law"),
+        )
+    )
+    return M.decode_audio_pcm_stats(M.synth_wav_g711_assets(params))
+
+
+def q_multimodal_audio_adpcm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IMA/DVI ADPCM WAV sample decode (multimodal.
+    synth_wav_ima_adpcm_assets → decode_audio_pcm_stats): format tag
+    0x11, block-headed 4-bit predictive coding — per block, the
+    header predictor IS sample 0 and every following sample walks the
+    89-entry step table with ±clamping. The decoder
+    (multimodal._ima_adpcm_pcm) runs the recurrence vectorized across
+    blocks; the ORACLE replays the exact same state machine as a
+    recursive CTE over (block, j) with the step/index tables as
+    VALUES relations — a real stateful-decoder oracle, not a
+    rows-only check."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 5)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit(8000).cast("long").alias("sample_rate"),
+            (F.lit(2) + F.col("doc_id") % 4)
+            .cast("long")
+            .alias("n_blocks"),
+            (F.lit(12) + (F.col("doc_id") % 5) * 8)
+            .cast("long")
+            .alias("block_align"),
+        )
+    )
+    return M.decode_audio_pcm_stats(
+        M.synth_wav_ima_adpcm_assets(params)
+    )
+
+
 def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel statistics (multimodal.decode_image_pixel_stats):
     deterministic 24-bit gradient BMPs synthesized from JVM-derived
@@ -8730,6 +8789,103 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS keep
         FROM m LEFT JOIN dropped d USING (id)
     """
+    # G.711: stateless per-byte expansion — closed-form CASE. u-law
+    # works on the complemented byte (255−b); a-law on b XOR 0x55.
+    o["multimodal_audio_g711"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 50 + (doc_id % 9) * 30 AS frames,
+                 doc_id % 2 AS law  -- 0 = ulaw, 1 = alaw
+          FROM documents WHERE doc_id % 13 = 7
+        ),
+        samp AS (
+          SELECT asset_id, law,
+                 CAST((5 * i + asset_id) % 256 AS INT) AS b
+          FROM prm, UNNEST(range(frames)) AS u(i)
+        ),
+        dec AS (
+          SELECT asset_id,
+            CASE WHEN law = 0 THEN
+              CASE WHEN (255 - b) >= 128
+                THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                            << (((255 - b) // 16) % 8))
+                ELSE ((((255 - b) % 16) * 8 + 132)
+                      << (((255 - b) // 16) % 8)) - 132
+              END
+            ELSE
+              (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END) *
+              CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                     THEN (xor(b, 85) % 16) * 16 + 8
+                   WHEN ((xor(b, 85) // 16) % 8) = 1
+                     THEN (xor(b, 85) % 16) * 16 + 264
+                   ELSE ((xor(b, 85) % 16) * 16 + 264)
+                        << (((xor(b, 85) // 16) % 8) - 1)
+              END
+            END AS s
+          FROM samp
+        )
+        SELECT asset_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(s) AS BIGINT) AS sum_amp,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(max(abs(s)) AS BIGINT) AS peak
+        FROM dec GROUP BY asset_id
+    """
+    # IMA ADPCM: the oracle replays the decoder's EXACT state machine
+    # (step-table walk, diff truncation, ±32768/88 clamps) as a
+    # recursive CTE — depth = samples-per-block, all (asset, block)
+    # rows advancing in parallel. Tables emitted as VALUES relations.
+    _steps_vals = ", ".join(
+        f"({i}, {s})" for i, s in enumerate(M._IMA_STEPS)
+    )
+    _itab_vals = ", ".join(
+        f"({n}, {d})" for n, d in enumerate(M._IMA_INDEX)
+    )
+    o["multimodal_audio_adpcm"] = f"""
+        WITH RECURSIVE steps(si, step) AS (VALUES {_steps_vals}),
+        itab(nn, di) AS (VALUES {_itab_vals}),
+        prm AS (
+          SELECT doc_id AS asset_id,
+                 2 + (doc_id % 4) AS n_blocks,
+                 12 + (doc_id % 5) * 8 AS align
+          FROM documents WHERE doc_id % 13 = 5
+        ),
+        blocks AS (
+          SELECT asset_id, b,
+                 (37 * b + 11 * asset_id) % 200 - 100 AS pred0,
+                 (7 * b + asset_id) % 89 AS idx0,
+                 2 * (align - 4) AS s_total
+          FROM prm, UNNEST(range(n_blocks)) AS u(b)
+        ),
+        dec(asset_id, b, j, pred, idx, s_total) AS (
+          SELECT asset_id, b, 0, pred0, idx0, s_total FROM blocks
+          UNION ALL
+          SELECT d.asset_id, d.b, d.j + 1,
+                 GREATEST(-32768, LEAST(32767, d.pred +
+                   (CASE WHEN d.nib >= 8 THEN -1 ELSE 1 END) *
+                   ((st.step // 8)
+                    + CASE WHEN (d.nib % 8) >= 4
+                           THEN st.step ELSE 0 END
+                    + CASE WHEN (d.nib % 4) >= 2
+                           THEN st.step // 2 ELSE 0 END
+                    + CASE WHEN (d.nib % 2) = 1
+                           THEN st.step // 4 ELSE 0 END))),
+                 GREATEST(0, LEAST(88, d.idx + it.di)),
+                 d.s_total
+          FROM (SELECT *,
+                       CAST((3 * j + 2 * b + asset_id) % 16 AS INT)
+                         AS nib
+                FROM dec WHERE j < s_total) d
+          JOIN steps st ON st.si = d.idx
+          JOIN itab it ON it.nn = d.nib
+        )
+        SELECT asset_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(pred) AS BIGINT) AS sum_amp,
+               CAST(sum(pred * pred) AS BIGINT) AS sum_sq,
+               CAST(max(abs(pred)) AS BIGINT) AS peak
+        FROM dec GROUP BY asset_id
+    """
     o["multimodal_audio_pcm"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10536,6 +10692,8 @@ SPARK_QUERIES = {
     # --- r12-new lanes first (never driver-recorded) ---
     "multimodal_netpbm16": q_multimodal_netpbm16,
     "multimodal_bmp_palette": q_multimodal_bmp_palette,
+    "multimodal_audio_g711": q_multimodal_audio_g711,
+    "multimodal_audio_adpcm": q_multimodal_audio_adpcm,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

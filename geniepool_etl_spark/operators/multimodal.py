@@ -317,6 +317,41 @@ def decode_audio(payload: bytes) -> dict:
                     ),
                 }
         except (wave.Error, EOFError, RuntimeError) as exc:
+            # non-PCM tags the stdlib module refuses (G.711 µ/a-law,
+            # IMA ADPCM) carry real metadata — frame counts are exact
+            # container arithmetic (r12; sample decode lives in
+            # decode_audio_pcm_stats)
+            try:
+                tag_, ch_, rate_, align_, _bits, data_ = _wav_fmt_data(
+                    bytes(payload)
+                )
+            except ValueError:
+                tag_ = None
+            if tag_ in (6, 7):
+                frames = len(data_) // max(ch_, 1)
+                return {
+                    "format": "wav-alaw" if tag_ == 6 else "wav-ulaw",
+                    "n_channels": ch_,
+                    "sample_rate": rate_,
+                    "sample_width": 1,
+                    "n_frames": frames,
+                    "duration_ms": (
+                        frames * 1000 // rate_ if rate_ else None
+                    ),
+                }
+            if tag_ == 0x11 and align_ > 4 * ch_ and ch_ > 0:
+                spb = (align_ - 4 * ch_) * 2 // ch_ + 1
+                frames = (len(data_) // align_) * spb
+                return {
+                    "format": "wav-adpcm",
+                    "n_channels": ch_,
+                    "sample_rate": rate_,
+                    "sample_width": 2,
+                    "n_frames": frames,
+                    "duration_ms": (
+                        frames * 1000 // rate_ if rate_ else None
+                    ),
+                }
             # the stdlib wave module leaks wave.Error and even bare
             # RuntimeError on truncated chunks — normalize to the
             # malformed-input contract (total: dict or ValueError)
@@ -605,6 +640,125 @@ def synth_wav_tone_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def _wav_container(fmt_tag: int, n_ch: int, rate: int,
+                   block_align: int, bits: int, data: bytes) -> bytes:
+    """Assemble a RIFF/WAVE container around one fmt + data chunk —
+    the writer half for the non-PCM format tags the stdlib ``wave``
+    module cannot emit."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, n_ch, rate,
+        rate * block_align, block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_wav_g711_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    rate_col: str = "sample_rate",
+    frames_col: str = "n_frames",
+    law_col: str = "law",
+) -> DataFrame:
+    """Synthesize REAL G.711 WAV payloads (format tag 7 µ-law or 6
+    a-law per the ``law`` column, mono, one byte per sample): sample
+    ``i`` holds the companded byte ``(5·i + asset_id) % 256``. The
+    byte stream is a pure function of JVM-derivable parameters and
+    the G.711 expansion is a closed form per byte, so an external
+    oracle recomputes every decoded sample. Arrow ``mapInPandas``;
+    narrow."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for aid, rate, frames, law in zip(
+                pdf[id_col], pdf[rate_col], pdf[frames_col],
+                pdf[law_col],
+            ):
+                i = np.arange(int(frames), dtype=np.int64)
+                data = ((5 * i + int(aid)) % 256).astype(np.uint8)
+                tag = 7 if law == "ulaw" else 6
+                payloads.append(
+                    _wav_container(tag, 1, int(rate), 1, 8,
+                                   data.tobytes())
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_wav_ima_adpcm_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    rate_col: str = "sample_rate",
+    blocks_col: str = "n_blocks",
+    align_col: str = "block_align",
+) -> DataFrame:
+    """Synthesize REAL IMA/DVI ADPCM WAV payloads (format tag 0x11,
+    mono): block ``b`` carries header predictor ``(37·b + 11·asset)
+    % 200 − 100`` (which IS decoded sample 0 of the block), step
+    index ``(7·b + asset) % 89``, and nibble ``j`` of the block is
+    ``(3·j + 2·b + asset) % 16`` (low nibble of each byte first, per
+    spec). Every input to the decoder's state machine is therefore a
+    pure function of (asset_id, block_align, n_blocks), so an
+    external oracle can replay the EXACT recurrence — clamps, table
+    walks and all — without touching the bytes. Arrow
+    ``mapInPandas``; narrow."""
+    import struct
+
+    import numpy as np
+
+    def one(aid: int, blocks: int, align: int) -> bytes:
+        out = bytearray()
+        nbytes = align - 4
+        for b_ in range(blocks):
+            pred = (37 * b_ + 11 * aid) % 200 - 100
+            idx = (7 * b_ + aid) % 89
+            out += struct.pack("<hBB", pred, idx, 0)
+            j = np.arange(nbytes * 2, dtype=np.int64)
+            nib = (3 * j + 2 * b_ + aid) % 16
+            out += (nib[0::2] | (nib[1::2] << 4)).astype(
+                np.uint8
+            ).tobytes()
+        return bytes(out)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                _wav_container(
+                    0x11, 1, int(rate), int(align), 4,
+                    one(int(aid), int(blocks), int(align)),
+                )
+                for aid, rate, blocks, align in zip(
+                    pdf[id_col], pdf[rate_col], pdf[blocks_col],
+                    pdf[align_col],
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 PCM_STATS_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -614,6 +768,135 @@ PCM_STATS_SCHEMA = StructType(
         StructField("peak", LongType(), True),
     ]
 )
+
+
+def _wav_fmt_data(raw: bytes) -> tuple:
+    """Minimal RIFF/WAVE chunk walk for the NON-PCM format tags the
+    stdlib ``wave`` module refuses (it only opens tag 1): returns
+    ``(fmt_tag, n_channels, sample_rate, block_align, bits, data)``.
+    Word-aligned chunk stepping per RIFF; missing fmt/data raise —
+    the caller nulls the row out."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    fmt = data = None
+    at, end = 12, len(raw)
+    while at + 8 <= end:
+        tag = raw[at : at + 4]
+        (sz,) = struct.unpack_from("<I", raw, at + 4)
+        body = raw[at + 8 : at + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("wav: truncated chunk")
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        at += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    tag_, ch, rate, _bps, align, bits = fmt
+    return tag_, ch, rate, align, bits, data
+
+
+def _g711_lut(law: str):
+    """256-entry int64 expansion tables for the two G.711 companding
+    laws (ITU-T G.711 / the classic Sun ulaw2linear & alaw2linear
+    forms): µ-law decodes through the 0x84-bias segment shift, a-law
+    through the 0x55 toggle + per-segment linearization. Cached —
+    built once per worker."""
+    import numpy as np
+
+    key = f"_G711_{law}"
+    cached = globals().get(key)
+    if cached is not None:
+        return cached
+    b = np.arange(256, dtype=np.int64)
+    if law == "ulaw":
+        u = 255 - b  # ~b & 0xFF
+        t = ((u & 0x0F) * 8 + 0x84) << ((u >> 4) & 7)
+        out = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    else:
+        a = b ^ 0x55
+        m, seg = a & 0x0F, (a >> 4) & 7
+        t = np.where(
+            seg == 0,
+            m * 16 + 8,
+            (m * 16 + 0x108) << np.maximum(seg - 1, 0),
+        )
+        out = np.where(a & 0x80, t, -t)
+    globals()[key] = out
+    return out
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_pcm(data: bytes, n_ch: int, block_align: int):
+    """Decode an IMA/DVI ADPCM (WAVE format tag 0x11) data chunk to
+    the full int64 sample array. Each block: one 4-byte header per
+    channel (int16 LE predictor = SAMPLE 0, step index, reserved),
+    then 4-byte nibble words round-robin across channels, low nibble
+    first. The state recurrence is sequential WITHIN a block but
+    blocks are independent, so the loop here runs over the
+    ~2·block_align positions of one block while numpy carries every
+    (block, channel) lane at once — the scale-aware shape (a 100 MB
+    chunk is ~400k blocks advancing together, not 200M Python
+    steps). Partial trailing blocks and out-of-range step indices
+    raise — the caller nulls the row out."""
+    import numpy as np
+
+    if block_align <= 4 * n_ch or (block_align - 4 * n_ch) % (
+        4 * n_ch
+    ) != 0:
+        raise ValueError("adpcm: bad block alignment")
+    if len(data) == 0 or len(data) % block_align != 0:
+        raise ValueError("adpcm: partial trailing block")
+    nb = len(data) // block_align
+    buf = np.frombuffer(data, dtype=np.uint8).reshape(nb, block_align)
+    hdr = buf[:, : 4 * n_ch].reshape(nb, n_ch, 4).astype(np.int64)
+    pred = hdr[:, :, 0] | (hdr[:, :, 1] << 8)
+    pred -= (pred >= 1 << 15) * (1 << 16)
+    idx = hdr[:, :, 2]
+    if int(idx.max(initial=0)) > 88:
+        raise ValueError("adpcm: step index out of range")
+    # nibble words: 4 bytes per channel, round-robin
+    words = buf[:, 4 * n_ch :].reshape(nb, -1, n_ch, 4)
+    nw = words.shape[1]  # words per channel per block
+    bytes_pc = words.transpose(0, 2, 1, 3).reshape(nb, n_ch, nw * 4)
+    nib = np.empty((nb, n_ch, nw * 8), dtype=np.int64)
+    nib[:, :, 0::2] = bytes_pc & 0x0F  # low nibble FIRST per spec
+    nib[:, :, 1::2] = bytes_pc >> 4
+    S = nw * 8  # decoded samples per channel beyond the header sample
+    steps = np.array(_IMA_STEPS, dtype=np.int64)
+    itab = np.array(_IMA_INDEX, dtype=np.int64)
+    out = np.empty((nb, n_ch, S + 1), dtype=np.int64)
+    out[:, :, 0] = pred
+    for t in range(S):
+        n = nib[:, :, t]
+        step = steps[idx]
+        diff = (
+            (step >> 3)
+            + np.where(n & 4, step, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 1, step >> 2, 0)
+        )
+        pred = np.clip(
+            np.where(n & 8, pred - diff, pred + diff), -32768, 32767
+        )
+        idx = np.clip(idx + itab[n], 0, 88)
+        out[:, :, t + 1] = pred
+    return out.ravel()
 
 
 def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
@@ -633,9 +916,13 @@ def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
     Poison payloads (null / unknown magic / unsupported width / any
     CRC mismatch) yield null stats, never a dead stage. FLAC streams
     decode through :func:`_flac_pcm_sums` (CONSTANT/VERBATIM
-    subframes, CRC-verified frames); MP3/Ogg audio frames and FLAC's
-    predicted (FIXED/LPC) subframes remain the entropy-codec
-    boundary."""
+    subframes, CRC-verified frames). Telephony/game-corpus WAV
+    variants decode for real too (r12): G.711 µ-law / a-law (format
+    tags 7 / 6 — stateless 256-entry expansion LUTs) and IMA/DVI
+    ADPCM (tag 0x11 — block-headed 4-bit predictive, decoded
+    cross-block-vectorized by :func:`_ima_adpcm_pcm`). MP3/Ogg audio
+    frames and FLAC's predicted (FIXED/LPC) subframes remain the
+    entropy-codec boundary."""
     import io
     import wave
 
@@ -654,6 +941,31 @@ def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
                         rows["sum_sq"].append(s2_)
                         rows["peak"].append(pk_)
                         continue
+                    if raw0[:4] == b"RIFF" and raw0[8:12] == b"WAVE":
+                        tag_, ch_, _rate, align_, _bits, data_ = (
+                            _wav_fmt_data(raw0)
+                        )
+                        if tag_ in (6, 7):  # G.711 a-law / µ-law
+                            lut = _g711_lut(
+                                "ulaw" if tag_ == 7 else "alaw"
+                            )
+                            a = lut[np.frombuffer(data_, dtype=np.uint8)]
+                            rows["n_samples"].append(len(a))
+                            rows["sum_amp"].append(int(a.sum()))
+                            rows["sum_sq"].append(int((a * a).sum()))
+                            rows["peak"].append(
+                                int(np.abs(a).max()) if len(a) else 0
+                            )
+                            continue
+                        if tag_ == 0x11:  # IMA/DVI ADPCM
+                            a = _ima_adpcm_pcm(data_, ch_, align_)
+                            rows["n_samples"].append(len(a))
+                            rows["sum_amp"].append(int(a.sum()))
+                            rows["sum_sq"].append(int((a * a).sum()))
+                            rows["peak"].append(
+                                int(np.abs(a).max()) if len(a) else 0
+                            )
+                            continue
                     with wave.open(io.BytesIO(raw0)) as w:
                         width = w.getsampwidth()
                         if width not in (1, 2, 3):

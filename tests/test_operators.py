@@ -4455,6 +4455,76 @@ def test_netpbm_16bit_and_palette_bmp_decode(spark):
     )
 
 
+def test_g711_and_ima_adpcm_wav_decode(spark):
+    """r12 audio boundary narrowing: G.711 µ-law/a-law (format tags
+    7/6) and IMA ADPCM (0x11) WAV payloads decode to exact sample
+    stats; classic reference values pin the companding tables; poison
+    (partial trailing block, out-of-range step index) nulls the row
+    instead of failing the batch."""
+    import struct
+
+    import numpy as np
+
+    # companding tables vs classic Sun ulaw2linear/alaw2linear values
+    ul, al = M._g711_lut("ulaw"), M._g711_lut("alaw")
+    assert (ul[0x00], ul[0xFF], ul[0x80]) == (-32124, 0, 32124)
+    assert (al[0x55], al[0xD5], al[0x2A], al[0xAA]) == (
+        -8, 8, -32256, 32256,
+    )
+    # µ-law WAV through the Spark lane: bytes 0..255 once
+    data = bytes(range(256))
+    wav_u = M._wav_container(7, 1, 8000, 1, 8, data)
+    wav_a = M._wav_container(6, 1, 8000, 1, 8, data)
+    # ADPCM: 2 mono blocks, align 12 → 17 samples/block; reference
+    # loop decode
+    adp = bytearray()
+    for b in range(2):
+        adp += struct.pack("<hBB", 100 * b - 50, 30 + b, 0)
+        nib = [(3 * j + b) % 16 for j in range(16)]
+        adp += bytes(
+            nib[k] | (nib[k + 1] << 4) for k in range(0, 16, 2)
+        )
+    wav_p = M._wav_container(0x11, 1, 8000, 12, 4, bytes(adp))
+    exp_p = M._ima_adpcm_pcm(bytes(adp), 1, 12)
+
+    # poison: partial trailing block / step index > 88
+    bad_partial = M._wav_container(0x11, 1, 8000, 12, 4, bytes(adp)[:-5])
+    bad_idx = bytearray(adp)
+    bad_idx[2] = 99
+    bad_wav = M._wav_container(0x11, 1, 8000, 12, 4, bytes(bad_idx))
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(wav_u), "audio/wav"),
+         (2, bytearray(wav_a), "audio/wav"),
+         (3, bytearray(wav_p), "audio/wav"),
+         (4, bytearray(bad_partial), "audio/wav"),
+         (5, bytearray(bad_wav), "audio/wav")],
+        "asset_id long, payload binary, media_type string",
+    )
+    got = {r.asset_id: r
+           for r in M.decode_audio_pcm_stats(assets).collect()}
+    au = ul[np.frombuffer(data, dtype=np.uint8)]
+    aa = al[np.frombuffer(data, dtype=np.uint8)]
+    assert (got[1].n_samples, got[1].sum_amp, got[1].sum_sq,
+            got[1].peak) == (
+        256, int(au.sum()), int((au * au).sum()), int(np.abs(au).max())
+    )
+    assert got[2].sum_sq == int((aa * aa).sum())
+    assert (got[3].n_samples, got[3].sum_amp) == (
+        len(exp_p), int(exp_p.sum())
+    )
+    assert got[4].n_samples is None and got[5].n_samples is None
+    # stereo ADPCM through the public decoder: words round-robin
+    st = bytearray()
+    rng = np.random.default_rng(3)
+    for c in range(2):
+        st += struct.pack("<hBB", int(rng.integers(-500, 500)),
+                          int(rng.integers(0, 89)), 0)
+    st += bytes(rng.integers(0, 256, 8, dtype=np.uint8))
+    out_st = M._ima_adpcm_pcm(bytes(st), 2, 16)
+    assert len(out_st) == 2 * (1 + 8)  # header + 8 nibbles per channel
+
+
 def test_synth_netpbm16_and_palette_bmp_roundtrip():
     """The r12 synth generators behind the contract lanes: 16-bit P6
     payloads and paletted BMPs must decode to the closed-form channel
