@@ -476,14 +476,15 @@ def q_snap_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_snap_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Append-only change feed (snaptable.read_changes): after
-    create(F) → append(O) → append(P), the changes SINCE version 0
-    are exactly the O and P rows, each stamped with its commit
-    version — computed as a manifest file-list diff (no data diff,
-    no full-table scan; an incremental consumer reads only the new
-    files). Rewrite actions fail loud instead of emitting a wrong
-    feed (the CDC trap, documented). Per-version counts + exact
-    cents."""
+    """ROW-LEVEL change feed across REWRITES (snaptable.read_changes
+    + the r12 write-time change tracking): after create(F) →
+    append(O) → append(P) → delete_where(key%10<2) →
+    merge(keys %10 ∈ {1,5}), the feed carries appends as inserts
+    (file-diff, no change data written), the delete's exact net rows
+    from its commit's change files, and the merge's
+    update_preimage/update_postimage/insert split — keys %10==5
+    update in place, the %10==1 keys deleted at v3 re-insert. Grouped
+    to per-(version, change-type) counts + exact cents."""
     from geniepool_etl_spark import snaptable as T
 
     out = os.path.join(_tmpdir("snap_cf"), "t")
@@ -493,9 +494,23 @@ def q_snap_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     T.write_table(orders.where("o_orderstatus = 'F'"), out, "create")
     T.write_table(orders.where("o_orderstatus = 'O'"), out, "append")
     T.write_table(orders.where("o_orderstatus = 'P'"), out, "append")
+    T.delete_where(spark, out, "o_orderkey % 10 < 2")
+    tp_type = orders.schema["o_totalprice"].dataType.simpleString()
+    upd = orders.where("o_orderkey % 10 IN (1, 5)").select(
+        "o_orderkey",
+        # otherwise-less when keeps nullability aligned with the
+        # parquet-read table schema (merge_table compares exactly)
+        F.when(F.col("o_orderkey").isNotNull(), F.lit("U")).alias(
+            "o_orderstatus"
+        ),
+        F.when(F.col("o_orderkey").isNotNull(), F.lit(42.5))
+        .cast(tp_type)
+        .alias("o_totalprice"),
+    )
+    T.merge_table(spark, out, upd, ["o_orderkey"])
     return (
         T.read_changes(spark, out, from_version=0)
-        .groupBy("_commit_version")
+        .groupBy("_commit_version", "_change_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
@@ -7107,16 +7122,32 @@ def _oracles() -> dict[str, str]:
     """
     o["snap_change_feed"] = """
         WITH c AS (
-          SELECT o_orderstatus AS s,
+          SELECT o_orderkey AS k, o_orderstatus AS s,
                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
           FROM orders
+        ),
+        feed AS (
+          -- v1/v2 appends: inserts
+          SELECT 1 AS v, 'insert' AS t, cents FROM c WHERE s = 'O'
+          UNION ALL
+          SELECT 2, 'insert', cents FROM c WHERE s = 'P'
+          UNION ALL
+          -- v3 delete_where(k % 10 < 2): exact net deletes
+          SELECT 3, 'delete', cents FROM c WHERE k % 10 < 2
+          UNION ALL
+          -- v4 merge on keys k%10 IN (1,5): keys still live (%10=5)
+          -- update (pre+post); keys deleted at v3 (%10=1) insert
+          SELECT 4, 'update_preimage', cents FROM c WHERE k % 10 = 5
+          UNION ALL
+          SELECT 4, 'update_postimage', 4250 FROM c WHERE k % 10 = 5
+          UNION ALL
+          SELECT 4, 'insert', 4250 FROM c WHERE k % 10 = 1
         )
-        SELECT CAST(1 AS BIGINT) AS _commit_version, count(*) AS n,
+        SELECT CAST(v AS BIGINT) AS _commit_version,
+               t AS _change_type,
+               count(*) AS n,
                CAST(sum(cents) AS BIGINT) AS sum_cents
-        FROM c WHERE s = 'O'
-        UNION ALL
-        SELECT CAST(2 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT)
-        FROM c WHERE s = 'P'
+        FROM feed GROUP BY v, t
     """
     o["snap_merge_upsert"] = """
         WITH base AS (
@@ -10694,6 +10725,7 @@ SPARK_QUERIES = {
     "multimodal_bmp_palette": q_multimodal_bmp_palette,
     "multimodal_audio_g711": q_multimodal_audio_g711,
     "multimodal_audio_adpcm": q_multimodal_audio_adpcm,
+    "snap_change_feed": q_snap_change_feed,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,
@@ -10865,7 +10897,6 @@ SPARK_QUERIES = {
     "text_collocations": q_text_collocations,
     "events_pattern_match": q_events_pattern_match,
     "snap_time_travel": q_snap_time_travel,
-    "snap_change_feed": q_snap_change_feed,
     "stream_snap_ingest": q_stream_snap_ingest,
     "s22_python_stream_source": q_s22_python_stream_source,
     "multimodal_image_dedup": q_multimodal_image_dedup,

@@ -1159,6 +1159,61 @@ def _carry_contracts(m: dict, manifest: dict) -> dict:
     return manifest
 
 
+def _stage_change_data(
+    spark: SparkSession, cdf: DataFrame, table_path: str
+) -> list[dict]:
+    """Write a commit's CHANGE ROWS (table columns +
+    ``_change_type``) into a fresh ``data/<token>/`` directory —
+    invisible until the committing manifest references them under
+    ``change_files`` — and return ``[{path, rows}]`` entries. This is
+    the write-time change tracking (the Delta CDF shape) that makes
+    :func:`read_changes` a ROW-LEVEL feed across rewrites: the
+    rewriting commit records exactly its net changes while it already
+    holds them, instead of a reader diffing rewritten files after the
+    fact. Change data shares the data-dir lifecycle: vacuum keeps the
+    change files of kept versions and reclaims the rest."""
+    token = uuid.uuid4().hex[:12]
+    rel = os.path.join(_DATA_DIR, token)
+    out_dir = os.path.join(table_path, rel)
+    cdf.write.mode("error").parquet(out_dir)
+    back = spark.read.schema(cdf.schema).parquet(out_dir)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("_f"))
+        .agg(F.count(F.lit(1)).alias("_rows"))
+        .collect()
+    )
+    from urllib.parse import unquote
+
+    files = []
+    for r in per_file:
+        uri = unquote(r["_f"])
+        files.append(
+            {"path": uri[uri.index(rel):], "rows": int(r["_rows"])}
+        )
+    fs, P = _hadoop_fs(spark, out_dir)
+    if not files:
+        # nothing changed: drop the empty staging dir rather than
+        # leave an unreferenced token for vacuum to age out
+        fs.delete(P(out_dir), True)
+        return []
+    # drop 0-row part files the stats job never sees (same invariant
+    # as _stage_files: committed token dirs and manifest entries must
+    # be the same set)
+    seen = {e["path"] for e in files}
+    for st in fs.listStatus(P(out_dir)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and f"{rel}/{name}" not in seen:
+            fs.delete(st.getPath(), False)
+    files.sort(key=lambda e: e["path"])
+    return files
+
+
+def _change_schema(schema_json: str) -> StructType:
+    return StructType.fromJson(json.loads(schema_json)).add(
+        "_change_type", "string"
+    )
+
+
 def delete_where(
     spark: SparkSession, table_path: str, predicate: str
 ) -> int:
@@ -1181,6 +1236,8 @@ def delete_where(
     }
     touched, untouched = _split_touched(m["files"], hit)
     new_files = []
+    change_files = []
+    cols = [f.name for f in StructType.fromJson(json.loads(m["schema"]))]
     if touched:
         # standard SQL DELETE semantics: remove rows where the
         # predicate IS TRUE; rows where it evaluates NULL are kept.
@@ -1202,6 +1259,16 @@ def delete_where(
             bloom_hashes=b_hashes,
             partition_by=tuple(m.get("partition_by", [])),
         )
+        # write-time CDF: the rows this commit removes, recorded by
+        # the writer that already scans them (scoped to the touched
+        # files — the needle's neighborhood, never the table)
+        deleted = (
+            _read_files(spark, table_path, m, touched)
+            .where(f"coalesce(({predicate}), false)")
+            .select(*cols)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        change_files = _stage_change_data(spark, deleted, table_path)
     version = m["version"] + 1
     manifest = _carry_contracts(m, {
         "version": version,
@@ -1209,6 +1276,7 @@ def delete_where(
         "schema": m["schema"],
         "stats_cols": m.get("stats_cols", []),
         "files": untouched + new_files,
+        "change_files": change_files,
     })
     if not _try_commit(spark, table_path, version, manifest):
         raise RuntimeError(
@@ -1306,6 +1374,30 @@ def merge_table(
         bloom_hashes=b_hashes,
         partition_by=tuple(m.get("partition_by", [])),
     )
+    # write-time CDF (Delta change-type vocabulary): old rows whose
+    # key the merge replaces are update_preimage, the replacing
+    # update rows update_postimage, unmatched update rows insert.
+    # Every frame is scoped to the touched files or the (small)
+    # updates frame — a needle merge records the needle's changes.
+    old_touched = _read_files(spark, table_path, m, touched)
+    old_keys = old_touched.select(*keys).dropDuplicates(keys)
+    upd_keys = m_updates.select(*keys).dropDuplicates(keys)
+    changes = (
+        old_touched.join(upd_keys, keys, "leftsemi")
+        .select(*cols)
+        .withColumn("_change_type", F.lit("update_preimage"))
+        .unionByName(
+            m_updates.join(old_keys, keys, "leftsemi")
+            .select(*cols)
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        .unionByName(
+            m_updates.join(old_keys, keys, "left_anti")
+            .select(*cols)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+    )
+    change_files = _stage_change_data(spark, changes, table_path)
     version = m["version"] + 1
     manifest = _carry_contracts(m, {
         "version": version,
@@ -1313,6 +1405,7 @@ def merge_table(
         "schema": m["schema"],
         "stats_cols": m.get("stats_cols", []),
         "files": untouched + new_files,
+        "change_files": change_files,
     })
     if not _try_commit(spark, table_path, version, manifest):
         raise RuntimeError(
@@ -1419,6 +1512,42 @@ def apply_cdc(
         bloom_hashes=b_hashes,
         partition_by=tuple(m.get("partition_by", [])),
     )
+    # write-time CDF: upserts of existing keys emit pre+postimage,
+    # new-key upserts insert, matched delete ops delete (a delete of
+    # an absent key is a no-op and records nothing)
+    old_touched = _read_files(spark, table_path, m, touched)
+    old_keys = old_touched.select(*keys).dropDuplicates(keys)
+    up_keys = (
+        changes.where(F.col(op_col) == "upsert")
+        .select(*keys)
+        .dropDuplicates(keys)
+    )
+    del_keys = (
+        changes.where(F.col(op_col) == "delete")
+        .select(*keys)
+        .dropDuplicates(keys)
+    )
+    cdf_rows = (
+        old_touched.join(up_keys, keys, "leftsemi")
+        .select(*cols)
+        .withColumn("_change_type", F.lit("update_preimage"))
+        .unionByName(
+            inserts.join(old_keys, keys, "leftsemi")
+            .select(*cols)
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        .unionByName(
+            inserts.join(old_keys, keys, "left_anti")
+            .select(*cols)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        .unionByName(
+            old_touched.join(del_keys, keys, "leftsemi")
+            .select(*cols)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    )
+    change_files = _stage_change_data(spark, cdf_rows, table_path)
     version = m["version"] + 1
     manifest = _carry_contracts(m, {
         "version": version,
@@ -1426,6 +1555,7 @@ def apply_cdc(
         "schema": m["schema"],
         "stats_cols": m.get("stats_cols", []),
         "files": untouched + new_files,
+        "change_files": change_files,
     })
     if not _try_commit(spark, table_path, version, manifest):
         raise RuntimeError(
@@ -1506,12 +1636,19 @@ def read_changes(
     streaming trigger, an index maintainer) reads exactly the new
     files. Each row carries ``_commit_version``.
 
-    Versions whose action rewrote data (overwrite / delete / merge /
-    compact) fail loud: their file diff mixes rewritten old rows with
-    genuinely new ones, and silently emitting that as "changes" is
-    the classic CDC correctness trap — row-level CDF for rewrites
-    needs change tracking at write time (the documented boundary;
-    Delta's CDF writes change files for exactly this reason)."""
+    Rewrite actions are row-level too (r12, the Delta-CDF shape):
+    ``delete`` / ``merge`` (incl. apply_cdc) commits record their NET
+    change rows at write time into manifest-referenced
+    ``change_files`` — the writer already holds exactly those rows —
+    with Delta's change-type vocabulary (``insert``, ``delete``,
+    ``update_preimage``, ``update_postimage``); an ``overwrite`` is
+    derived from the manifest diff (every replaced file's rows are
+    deletes, every new file's rows inserts — the minimal net change
+    for a full replace); ``compact`` is rows-identical by
+    construction and contributes nothing. Histories written BEFORE
+    change tracking (a rewrite manifest without ``change_files``)
+    still fail loud — their net changes were never recorded and
+    cannot be reconstructed from the rewritten files."""
     fs, P = _hadoop_fs(spark, table_path)
     vs = _versions(fs, P, table_path)
     if from_version not in vs:
@@ -1525,39 +1662,95 @@ def read_changes(
             f"read_changes: to_version {to_version} not in {vs} "
             "(vacuumed or never committed)"
         )
-    seen = {
-        f["path"]
-        for f in _manifest(spark, fs, P, table_path, from_version)["files"]
-    }
     head = _manifest(spark, fs, P, table_path, to_version)
+    prev = _manifest(spark, fs, P, table_path, from_version)
+    prev_paths = {f["path"] for f in prev["files"]}
+    prev_schema = prev["schema"]
+    prev_m = prev
     parts = []
     for v in vs:
         if not (from_version < v <= to_version):
             continue
         m = _manifest(spark, fs, P, table_path, v)
-        if m["action"] not in ("append", "create"):
+        act = m["action"]
+        cur_paths = {f["path"] for f in m["files"]}
+        added = [f for f in m["files"] if f["path"] not in prev_paths]
+        chunk = None
+        if act in ("append", "create"):
+            if added:
+                chunk = _read_files(
+                    spark, table_path, head, added
+                ).withColumn("_change_type", F.lit("insert"))
+        elif act == "compact":
+            chunk = None  # rows identical — asserted at commit time
+        elif act == "overwrite":
+            if m["schema"] != prev_schema and not _schema_evolves(
+                prev_schema, m["schema"]
+            ):
+                raise ValueError(
+                    f"read_changes: version {v} overwrote with an "
+                    "incompatible schema; the change feed cannot span "
+                    "a non-evolving schema change"
+                )
+            removed = [
+                f for f in prev_m["files"] if f["path"] not in cur_paths
+            ]
+            dels = ins = None
+            if removed:
+                # read under the PREV manifest (its own partition
+                # layout); unionByName null-fills evolved columns
+                dels = _read_files(
+                    spark, table_path, prev_m, removed
+                ).withColumn("_change_type", F.lit("delete"))
+            if added:
+                ins = _read_files(
+                    spark, table_path, m, added
+                ).withColumn("_change_type", F.lit("insert"))
+            if dels is not None and ins is not None:
+                chunk = dels.unionByName(ins, allowMissingColumns=True)
+            else:
+                chunk = dels if dels is not None else ins
+        elif act in ("delete", "merge"):
+            if "change_files" not in m:
+                raise ValueError(
+                    f"read_changes: version {v} is a rewrite "
+                    f"({act!r}) committed before write-time change "
+                    "tracking; its net changes were never recorded"
+                )
+            cfs = m["change_files"]
+            if cfs:
+                paths = [
+                    os.path.join(table_path, f["path"]) for f in cfs
+                ]
+                chunk = spark.read.schema(
+                    _change_schema(m["schema"])
+                ).parquet(*paths)
+        else:
             raise ValueError(
-                f"read_changes: version {v} is a rewrite "
-                f"({m['action']!r}); the file diff is not a row-level "
-                "change feed across rewrites"
+                f"read_changes: version {v} has unknown action {act!r}"
             )
-        new = [f for f in m["files"] if f["path"] not in seen]
-        seen |= {f["path"] for f in m["files"]}
-        if new:
+        if chunk is not None:
             parts.append(
-                _read_files(spark, table_path, head, new).withColumn(
+                chunk.withColumn(
                     "_commit_version", F.lit(v).cast("long")
                 )
             )
+        prev_paths, prev_schema, prev_m = cur_paths, m["schema"], m
+    out_schema = _change_schema(head["schema"]).add(
+        "_commit_version", "long"
+    )
     if not parts:
-        schema = StructType.fromJson(json.loads(head["schema"])).add(
-            "_commit_version", "long"
-        )
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], out_schema)
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        out = out.unionByName(p, allowMissingColumns=True)
+    # head-schema column order; a column evolved in-range that no
+    # emitted chunk carries still null-fills explicitly
+    have = set(out.columns)
+    for f_ in out_schema.fields:
+        if f_.name not in have:
+            out = out.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+    return out.select(*[f.name for f in out_schema.fields])
 
 
 def history(spark: SparkSession, table_path: str) -> DataFrame:
@@ -1617,7 +1810,12 @@ def vacuum(
     kept_vs = vs[-keep_versions:]
     keep_paths = set()
     for v in kept_vs:
-        for f in _manifest(spark, fs, P, table_path, v)["files"]:
+        mv = _manifest(spark, fs, P, table_path, v)
+        for f in mv["files"]:
+            keep_paths.add(f["path"])
+        # kept versions keep their write-time change data too — a
+        # change-feed consumer may still read this version's commit
+        for f in mv.get("change_files", []):
             keep_paths.add(f["path"])
     deleted = 0
     data_root = P(os.path.join(table_path, _DATA_DIR))

@@ -14,8 +14,10 @@ Semantics (the Delta CDF append rule): versions whose action only ADDS
 files (create/append) stream their new files stamped with
 ``_commit_version``; a rewrite action (delete/merge/compact/overwrite)
 inside the offset range fails LOUD — a file diff across rewrites mixes
-rewritten old rows with new ones, the classic CDC corruption
-(snaptable.read_changes documents the same boundary).
+rewritten old rows with new ones, the classic CDC corruption. (The
+BATCH feed, snaptable.read_changes, spans rewrites since r12 via
+write-time ``change_files``; extending this streaming source to plan
+those per-commit change files is the analogous next step.)
 
 Filesystem scope: manifests and data files are opened with plain
 ``open``/pyarrow (file:// paths — the test/CI scope); an object-store

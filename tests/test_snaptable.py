@@ -102,8 +102,9 @@ def test_stats_pruning_skips_files(spark, nums, tdir):
 
 def test_change_feed_is_file_diff(spark, nums, tdir):
     """read_changes returns exactly the appended rows with their
-    commit versions, empty for from=head, and fails loud across a
-    rewrite action instead of emitting a wrong feed."""
+    commit versions (all _change_type 'insert'), empty for from=head,
+    and — since the r12 write-time change tracking — spans a
+    delete_where rewrite with its exact net deletes."""
     T.write_table(nums.where("k < 100"), tdir, "create")
     T.write_table(nums.where("k >= 100 AND k < 250"), tdir, "append")
     T.write_table(nums.where("k >= 250 AND k < 300"), tdir, "append")
@@ -115,13 +116,104 @@ def test_change_feed_is_file_diff(spark, nums, tdir):
         .collect()
     }
     assert per_v == {1: 150, 2: 50}
+    assert set(
+        r._change_type
+        for r in ch.select("_change_type").distinct().collect()
+    ) == {"insert"}
     assert T.read_changes(spark, tdir, 2).count() == 0
     assert T.read_changes(spark, tdir, 0, to_version=1).count() == 150
     T.delete_where(spark, tdir, "k < 10")
-    with pytest.raises(ValueError, match="rewrite"):
-        T.read_changes(spark, tdir, 0)
-    # a window that stops before the rewrite still works
+    # the rewrite's net changes are exactly the 10 deleted rows
+    dl = T.read_changes(spark, tdir, 2).collect()
+    assert len(dl) == 10
+    assert all(
+        r._change_type == "delete" and r._commit_version == 3
+        and r.k < 10
+        for r in dl
+    )
+    # a window that stops before the rewrite is unaffected
     assert T.read_changes(spark, tdir, 0, to_version=2).count() == 200
+
+
+def test_change_feed_spans_rewrites(spark, nums, tdir):
+    """r12 write-time CDF: the feed spans merge (pre/postimage +
+    insert), apply_cdc (incl. delete ops), overwrite (derived
+    delete-all/insert-all) and compact (no changes); replaying the
+    feed types reproduces the head row set; vacuum keeps the change
+    data of kept versions."""
+    T.write_table(nums.where("k < 50"), tdir, "create")          # v0
+    ups = spark.range(45, 55).select(
+        F.col("id").alias("k"),
+        # otherwise-less when() on a non-literal condition keeps v
+        # nullable, matching the table schema exactly
+        F.when(F.col("id") >= 0, F.lit(99)).cast("long").alias("v"),
+    )
+    T.merge_table(spark, tdir, ups, ["k"])                       # v1
+    ch1 = T.read_changes(spark, tdir, 0, to_version=1)
+    by_t = {
+        r._change_type: r.n
+        for r in ch1.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # keys 45..49 existed (pre+post), 50..54 are inserts
+    assert by_t == {
+        "update_preimage": 5, "update_postimage": 5, "insert": 5,
+    }
+    pre = {r.k for r in ch1.where("_change_type = 'update_preimage'").collect()}
+    assert pre == set(range(45, 50))
+    # CDC batch: update k=0, delete k=1, insert k=1000, delete absent
+    cdc = spark.createDataFrame(
+        [(0, 77, "upsert"), (1, 0, "delete"), (1000, 5, "upsert"),
+         (5000, 0, "delete")],
+        "k long, v long, _op string",
+    )
+    T.apply_cdc(spark, tdir, cdc, ["k"])                         # v2
+    ch2 = T.read_changes(spark, tdir, 1, to_version=2)
+    got = {(r.k, r._change_type) for r in ch2.collect()}
+    assert got == {
+        (0, "update_preimage"), (0, "update_postimage"),
+        (1, "delete"), (1000, "insert"),
+    }
+    # compact: zero change rows
+    T.compact(spark, tdir, target_files=1)                       # v3
+    assert T.read_changes(spark, tdir, 2, to_version=3).count() == 0
+    # overwrite: derived full delete + insert
+    repl = spark.range(0, 7).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    T.write_table(repl, tdir, "overwrite")                       # v4
+    ch4 = T.read_changes(spark, tdir, 3, to_version=4)
+    n_live_v3 = T.read_table(spark, tdir, version=3).count()
+    by_t4 = {
+        r._change_type: r.n
+        for r in ch4.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_t4 == {"delete": n_live_v3, "insert": 7}
+    # feed REPLAY across the whole history reproduces the head:
+    # apply inserts/postimages, remove deletes/preimages, per version
+    feed = T.read_changes(spark, tdir, 0).collect()
+    state = {(r.k, r.v) for r in T.read_table(spark, tdir, version=0).collect()}
+    for v in sorted({r._commit_version for r in feed}):
+        for r in feed:
+            if r._commit_version == v and r._change_type in (
+                "delete", "update_preimage",
+            ):
+                state.discard((r.k, r.v))
+        for r in feed:
+            if r._commit_version == v and r._change_type in (
+                "insert", "update_postimage",
+            ):
+                state.add((r.k, r.v))
+    head = {(r.k, r.v) for r in T.read_table(spark, tdir).collect()}
+    assert state == head
+    # vacuum to the last 2 versions: the v4 window still reads
+    T.vacuum(spark, tdir, keep_versions=2, min_age_seconds=0)
+    assert T.read_changes(spark, tdir, 3, to_version=4).count() == (
+        n_live_v3 + 7
+    )
 
 
 def test_merge_upsert_cow_by_reference(spark, nums, tdir):
