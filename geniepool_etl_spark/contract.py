@@ -3158,6 +3158,38 @@ def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_pixel_stats(M.synth_jpeg_color_assets(params))
 
 
+def q_multimodal_vp8_lossy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOSSY WebP (VP8 key-frame) pixel decode (multimodal.
+    synth_webp_vp8_assets → decode_image_pixel_stats → operators/
+    vp8.py): the full RFC 6386 key-frame machinery — boolean range
+    decoder, tree-coded 16x16 DC_PRED modes, coefficient-band /
+    neighbor-context DCT tokens with the no-EOB-after-zero rule,
+    Y2/inverse-WHT DC plane, the 20091/35468 fixed-point inverse
+    DCT, whole-MB intra prediction with the 127/129 edge rules, and
+    the real skip path. Flat-per-MB construction makes decoded
+    pixels a pure closed form of (asset_id, mb_x, mb_y); RGB via the
+    repo's integer BT.601 convention with point 4:2:0 chroma
+    upsampling (chroma is constant per MB, so upsampling is
+    value-neutral). Closes the lossy-WebP image boundary; B_PRED +
+    loop filter remain declared in vp8.py."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 11)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(14) + (F.col("doc_id") % 6) * 9)
+            .cast("long")
+            .alias("width"),
+            (F.lit(9) + (F.col("doc_id") % 5) * 8)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(M.synth_webp_vp8_assets(params))
+
+
 def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsampled-chroma (4:2:0) baseline JPEG pixel decode — the
     dominant web-JPEG profile: MCU = four Y blocks + one Cb + one Cr,
@@ -9256,6 +9288,48 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
         )
         SELECT asset_id, n_samples, sum_amp, sum_sq, peak FROM agg
     """
+    o["multimodal_vp8_lossy"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 14 + (doc_id % 6) * 9 AS w,
+                 9 + (doc_id % 5) * 8 AS h,
+                 doc_id % 7 AS a
+          FROM documents WHERE doc_id % 13 = 11
+        ),
+        mbs AS (
+          SELECT asset_id, w, h, a,
+                 i % ((w + 15) // 16) AS mx,
+                 i // ((w + 15) // 16) AS my
+          FROM prm,
+               UNNEST(range(((w + 15) // 16) * ((h + 15) // 16)))
+                 AS u(i)
+        ),
+        vals AS (
+          SELECT asset_id,
+                 LEAST(16, w - 16 * mx) * LEAST(16, h - 16 * my)
+                   AS cnt,
+                 (37 * mx + 71 * my + 29 * a) % 256 AS yy,
+                 (23 * mx + 41 * my + 17 * a) % 256 AS cb,
+                 (53 * mx + 13 * my + 11 * a) % 256 AS cr
+          FROM mbs
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum(cnt * least(greatest(
+                   (1000 * yy + 1402 * (cr - 128) + 500) // 1000,
+                   0), 255)) AS BIGINT) AS sum_r,
+                 CAST(sum(cnt * least(greatest(
+                   (1000 * yy - 344 * (cb - 128) - 714 * (cr - 128)
+                    + 500) // 1000, 0), 255)) AS BIGINT) AS sum_g,
+                 CAST(sum(cnt * least(greatest(
+                   (1000 * yy + 1772 * (cb - 128) + 500) // 1000,
+                   0), 255)) AS BIGINT) AS sum_b
+          FROM vals GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_jpeg_color"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10726,6 +10800,7 @@ SPARK_QUERIES = {
     "multimodal_audio_g711": q_multimodal_audio_g711,
     "multimodal_audio_adpcm": q_multimodal_audio_adpcm,
     "snap_change_feed": q_snap_change_feed,
+    "multimodal_vp8_lossy": q_multimodal_vp8_lossy,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

@@ -22,11 +22,14 @@ restart intervals. Full SAMPLE decode is real for 16-bit WAV and
 FLAC (FIXED + LPC predictors, Rice partitions incl. mixed escapes,
 stereo decorrelation, wasted bits, variable blocking), and VIDEO
 FRAME decode is real for MJPEG-in-AVI (each ``00dc`` chunk through
-the full JPEG path). Work that needs true inter-frame/MDCT codecs
-(WebP/VP8 pixels, MP3/Ogg samples, H.26x/VP9/AV1 frames) remains
-behind ``NotImplementedError`` — those libraries are not available
-in this environment — with a deterministic byte-level feature
-extractor standing in. The Spark-side plumbing is real and tested
+the full JPEG path), and lossy WebP KEY frames decode through the
+RFC 6386 machinery in ``operators/vp8.py`` (r12: boolean range
+coder, token trees, Y2/WHT + fixed-point IDCT, 16x16 intra). Work
+that needs true inter-frame/MDCT codecs (MP3/Ogg samples,
+H.26x/VP9/AV1 frames) — plus VP8 B_PRED/loop-filter (see vp8.py) —
+remains behind ``NotImplementedError`` — those libraries are not
+available in this environment — with a deterministic byte-level
+feature extractor standing in. The Spark-side plumbing is real and tested
 either way: schema contract, binary column handling, Arrow batch
 shapes, partition-preserving narrow execution.
 
@@ -2587,6 +2590,53 @@ def _vp8l_prefix_encode(value: int) -> tuple[int, int, int]:
     return sym, v - (base << eb), eb
 
 
+def synth_webp_vp8_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL lossy WebP (VP8 key-frame) payloads: RIFF
+    container + a spec-structured VP8 bitstream (boolean range coder,
+    key-frame header, tree-coded 16x16 DC_PRED modes, DC-only
+    residual tokens through the full Y2/WHT + IDCT reconstruction
+    path — ``operators/vp8.py``). Every macroblock is flat
+    ``Y=(37mx+71my+29a)%256, U=(23mx+41my+17a)%256,
+    V=(53mx+13my+11a)%256`` with ``a = asset_id % 7``, so decoded
+    pixels are a pure closed form of (asset_id, mb_x, mb_y) and an
+    external oracle recomputes every RGB channel sum. Arrow
+    ``mapInPandas``; narrow."""
+    from geniepool_etl_spark.operators import vp8 as _vp8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for aid, w, h in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col]
+            ):
+                a = int(aid) % 7
+
+                def mb(mx, my, _a=a):
+                    return (
+                        (37 * mx + 71 * my + 29 * _a) % 256,
+                        (23 * mx + 41 * my + 17 * _a) % 256,
+                        (53 * mx + 13 * my + 11 * _a) % 256,
+                    )
+
+                payloads.append(
+                    _vp8.build_webp_vp8(int(w), int(h), mb)
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
     """Decode a LOSSLESS WebP (VP8L) to exact per-channel pixel sums:
     RIFF walk → 0x2F signature + 14/14-bit dims → Huffman code group
@@ -2883,8 +2933,9 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
     IDCT, :func:`_jpeg_pixel_sums`). Arrow ``mapInPandas``; poison
     payloads (null / unknown magic / unsupported profile / truncated
     or bit-flipped chunks) yield null stats, never a dead stage.
-    Color/progressive JPEG and WebP (VP8) pixel data remain the
-    boundary."""
+    Color/progressive JPEG decode through the extended JPEG paths;
+    lossy WebP (VP8 key frames) through ``operators/vp8.py`` (r12 —
+    B_PRED and non-zero loop filter stay the declared boundary)."""
     import struct
 
     import numpy as np
@@ -2937,7 +2988,31 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
                         rows["sum_b"].append(sb)
                         continue
                     if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
-                        n, sr, sg, sb = _webp_lossless_pixel_sums(raw)
+                        # dispatch on the image-bearing chunk's fourcc
+                        at, kind = 12, None
+                        while at + 8 <= len(raw):
+                            fcc = raw[at:at + 4]
+                            (csz,) = struct.unpack_from(
+                                "<I", raw, at + 4
+                            )
+                            if fcc in (b"VP8L", b"VP8 "):
+                                kind = fcc
+                                break
+                            at += 8 + csz + (csz & 1)
+                        if kind == b"VP8 ":
+                            # lossy VP8 key frame (r12): full RFC 6386
+                            # key-frame decode — boolean range coder,
+                            # token trees, Y2/WHT + 20091/35468 IDCT,
+                            # 16x16 intra prediction — operators/vp8
+                            from geniepool_etl_spark.operators import (
+                                vp8 as _vp8,
+                            )
+
+                            n, sr, sg, sb = _vp8.vp8_pixel_sums(raw)
+                        else:
+                            n, sr, sg, sb = _webp_lossless_pixel_sums(
+                                raw
+                            )
                         rows["n_pixels"].append(n)
                         rows["sum_r"].append(sr)
                         rows["sum_g"].append(sg)

@@ -1,0 +1,893 @@
+"""Lossy WebP (VP8 key-frame) pixel decode — stdlib + numpy only.
+
+The decoder follows RFC 6386's structure faithfully: the boolean
+arithmetic (range) decoder (§7), tree-coded symbols (§8), the
+key-frame header layout (§9/§19), per-macroblock intra modes coded
+with the key-frame trees (§11), DCT-token residual decoding with
+coefficient-band / neighbor-context probability addressing and the
+no-EOB-after-DCT_0 rule (§13), zigzag placement, dequantization with
+the Y2 ×2 and 155/100 spec multipliers (§14.1), the exact integer
+inverse WHT for the Y2 DC plane and the 20091/35468 fixed-point
+inverse DCT (§14.3-14.4), and whole-MB intra prediction with the
+127/129 edge conventions (§12). Reconstruction is 4:2:0; output
+converts to RGB channel sums with the repo's standard integer BT.601
+convention (the JPEG lanes' 1402/344/714/1772 fixed point), cropped
+to the visible width × height.
+
+Two honest deltas from a full libvpx-interoperable decoder, both
+documented here rather than papered over:
+
+- The CONSTANT probability tables (default DCT-token probabilities
+  and their update probabilities) and the quantizer lookup ramps are
+  repo-defined deterministic values, not RFC 6386's empirical
+  constants (this container has no copy of them). Every structural
+  mechanism is per spec, and encoder and decoder share one table
+  module, so streams round-trip bit-exactly; swapping the constant
+  tables for the RFC's is the only change libvpx interop would need.
+- Per-subblock intra (B_PRED) and a non-zero loop-filter level raise
+  ``NotImplementedError`` — the declared remaining boundary (our
+  encoder never emits either; real low-quality photos usually carry
+  a non-zero filter level).
+
+The synth encoder emits flat-per-macroblock frames (16x16 DC_PRED,
+DC-only residuals through the full Y2/WHT path), so the decoded
+pixels are a pure closed form of (asset_id, mb_x, mb_y) and an
+external SQL oracle can recompute every channel sum without touching
+the bytes — the same value-neutral-construction discipline as the
+progressive-JPEG and VP8L lanes.
+
+Reference parity note: the reference repo has no multimodal surface;
+this module extends the engine's LLM-pipeline coverage (SURVEY §2.6
+extensions), not reference parity.
+"""
+
+from __future__ import annotations
+
+
+# ---------------------------------------------------------------- tables
+
+# DCT token alphabet (RFC 6386 §13.2)
+_EOB = 0
+_T0, _T1, _T2, _T3, _T4 = 1, 2, 3, 4, 5
+_CAT1, _CAT2, _CAT3, _CAT4, _CAT5, _CAT6 = 6, 7, 8, 9, 10, 11
+
+# token tree, RFC 6386 coef_tree shape: leaves negative, internal
+# nodes are index pairs
+_COEF_TREE = (
+    -_EOB, 2,
+    -_T0, 4,
+    -_T1, 6,
+    8, 12,
+    -_T2, 10,
+    -_T3, -_T4,
+    14, 16,
+    -_CAT1, -_CAT2,
+    18, 20,
+    -_CAT3, -_CAT4,
+    -_CAT5, -_CAT6,
+)
+
+# category base values and per-bit probabilities (RFC 6386 §13.2)
+_CAT_BASE = {_CAT1: 5, _CAT2: 7, _CAT3: 11, _CAT4: 19, _CAT5: 35,
+             _CAT6: 67}
+_CAT_PROBS = {
+    _CAT1: (159,),
+    _CAT2: (165, 145),
+    _CAT3: (173, 148, 140),
+    _CAT4: (176, 155, 140, 135),
+    _CAT5: (180, 157, 141, 134, 130),
+    _CAT6: (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129),
+}
+
+# coefficient position → probability band (RFC 6386 §13.3)
+_COEF_BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+
+# zigzag scan order (RFC 6386 §14.4)
+_ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# key-frame intra mode trees (RFC 6386 §11.2). Mode ids:
+_B_PRED, _DC_PRED, _V_PRED, _H_PRED, _TM_PRED = 0, 1, 2, 3, 4
+_KF_YMODE_TREE = (-_B_PRED, 2, 4, 6, -_DC_PRED, -_V_PRED,
+                  -_H_PRED, -_TM_PRED)
+_KF_YMODE_PROB = (145, 156, 163, 128)
+_UV_MODE_TREE = (-_DC_PRED, 2, -_V_PRED, 4, -_H_PRED, -_TM_PRED)
+_KF_UV_MODE_PROB = (142, 114, 183)
+
+# plane types for token probability addressing (RFC 6386 §13.3):
+# 0 = Y beginning at coefficient 1 (16x16 mode, DC lives in Y2),
+# 1 = Y2, 2 = chroma, 3 = Y with its own DC (B_PRED — unreached here)
+_PLANE_Y_NO_DC, _PLANE_Y2, _PLANE_UV, _PLANE_Y_DC = 0, 1, 2, 3
+
+
+def _default_coef_probs():
+    """Repo-defined deterministic default token probabilities,
+    shape [4 plane][8 band][3 ctx][11 node probs] — every entry in
+    1..255 (see the module docstring for why these are not RFC
+    6386's empirical table). Shared by encoder and decoder."""
+    return [
+        [
+            [
+                [((37 * t + 29 * b + 17 * c + 11 * p) % 254) + 1
+                 for p in range(11)]
+                for c in range(3)
+            ]
+            for b in range(8)
+        ]
+        for t in range(4)
+    ]
+
+
+_COEF_PROBS = _default_coef_probs()
+# probability that each token probability is updated in the header
+# (we never update; one bool per entry is still read/written per spec)
+_COEF_UPDATE_PROB = 252
+
+# quantizer lookup ramps (repo-defined; spec-shaped derivation below)
+_DC_QLOOKUP = tuple(4 + q for q in range(128))
+_AC_QLOOKUP = tuple(4 + 2 * q for q in range(128))
+
+
+def _dequant_factors(q_index: int) -> dict:
+    """Per-plane dequantization factors from the base quantizer index
+    (all delta fields zero), with the spec's derivation shape
+    (RFC 6386 §14.1): Y2 DC doubled, Y2 AC scaled 155/100 with a
+    floor of 8, chroma DC clamped at 132."""
+    q = max(0, min(127, q_index))
+    return {
+        "y1dc": _DC_QLOOKUP[q],
+        "y1ac": _AC_QLOOKUP[q],
+        "y2dc": _DC_QLOOKUP[q] * 2,
+        "y2ac": max(8, _AC_QLOOKUP[q] * 155 // 100),
+        "uvdc": min(_DC_QLOOKUP[q], 132),
+        "uvac": _AC_QLOOKUP[q],
+    }
+
+
+# ------------------------------------------------------- boolean coder
+
+
+class _BoolDec:
+    """RFC 6386 §7 boolean (range) decoder: 16-bit value window, 8-bit
+    range, one fresh byte ORed in after every 8 renormalization
+    shifts. Reads past the partition end return 0 bits (the spec's
+    convention); ``overread`` counts them so callers can reject
+    truncated streams that DECODED only by courtesy zeros."""
+
+    def __init__(self, buf: bytes, start: int, end: int):
+        self.buf, self.pos, self.end = buf, start, end
+        self.overread = 0
+        self.value = (self._byte() << 8) | self._byte()
+        self.range = 255
+        self.bit_count = 0
+
+    def _byte(self) -> int:
+        if self.pos < self.end:
+            b = self.buf[self.pos]
+            self.pos += 1
+            return b
+        self.overread += 1
+        return 0
+
+    def get(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big = split << 8
+        if self.value >= big:
+            ret = 1
+            self.range -= split
+            self.value -= big
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value = (self.value << 1) & 0xFFFFFF
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                self.value |= self._byte()
+        return ret
+
+    def literal(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            v = (v << 1) | self.get(128)
+        return v
+
+    def signed_literal(self, bits: int) -> int:
+        v = self.literal(bits)
+        return -v if self.get(128) else v
+
+    def tree(self, tree, probs, start: int = 0) -> int:
+        i = start
+        while True:
+            node = tree[i + self.get(probs[i >> 1])]
+            if node <= 0:
+                return -node
+            i = node
+
+
+class _BoolEnc:
+    """Arithmetic encoder matching :class:`_BoolDec` exactly, built on
+    the interval-nesting argument instead of byte-carry juggling: the
+    low bound is an exact big integer at the decoder's value-window
+    alignment (``+= split << 8`` on a 1, doubled per renormalization
+    shift), and ANY code in the final ``[low, low + range·2⁸)``
+    interval replays every branch — the standard arithmetic-coding
+    invariant, property-tested against the decoder. Streams here are
+    a few kilobits per image, so big-int cost is irrelevant."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 255
+        self.shifts = 0
+
+    def put(self, bit: int, prob: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.low += split << 8
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            self.low <<= 1
+            self.shifts += 1
+
+    def literal(self, v: int, bits: int) -> None:
+        for i in range(bits - 1, -1, -1):
+            self.put((v >> i) & 1, 128)
+
+    def signed_literal(self, v: int, bits: int) -> None:
+        self.literal(abs(v), bits)
+        self.put(1 if v < 0 else 0, 128)
+
+    def tree(self, tree, probs, token: int, start: int = 0) -> None:
+        # walk the tree to find the path to ``-token``, then emit it
+        path = []
+
+        def walk(i, acc):
+            for b in (0, 1):
+                node = tree[i + b]
+                if node <= 0:
+                    if -node == token:
+                        path.extend(acc + [(i >> 1, b)])
+                        return True
+                elif walk(node, acc + [(i >> 1, b)]):
+                    return True
+            return False
+
+        if not walk(start, []):
+            raise ValueError(f"token {token} unreachable from {start}")
+        for pi, b in path:
+            self.put(b, probs[pi])
+
+    def bytes(self) -> bytes:
+        total_bits = 16 + self.shifts
+        pad = (-total_bits) % 8
+        # any code in [low, low + range<<8) decodes identically; take
+        # the low bound and zero-pad to a byte boundary
+        code = self.low << pad
+        n = (total_bits + pad) // 8
+        return code.to_bytes(n, "big")
+
+
+# ----------------------------------------------------- transforms
+
+def _iwht4x4(block):
+    """Exact integer inverse Walsh-Hadamard (RFC 6386 §14.3) — the Y2
+    DC plane transform. ``block`` is a length-16 list in natural
+    order; returns the 16 per-subblock DC values."""
+    ip = list(block)
+    op = [0] * 16
+    for i in range(4):
+        a1 = ip[i] + ip[12 + i]
+        b1 = ip[4 + i] + ip[8 + i]
+        c1 = ip[4 + i] - ip[8 + i]
+        d1 = ip[i] - ip[12 + i]
+        op[i] = a1 + b1
+        op[4 + i] = c1 + d1
+        op[8 + i] = a1 - b1
+        op[12 + i] = d1 - c1
+    out = [0] * 16
+    for i in range(4):
+        r = op[4 * i : 4 * i + 4]
+        a1 = r[0] + r[3]
+        b1 = r[1] + r[2]
+        c1 = r[1] - r[2]
+        d1 = r[0] - r[3]
+        out[4 * i] = (a1 + b1 + 3) >> 3
+        out[4 * i + 1] = (c1 + d1 + 3) >> 3
+        out[4 * i + 2] = (a1 - b1 + 3) >> 3
+        out[4 * i + 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+_COS = 20091   # cospi8sqrt2 - 1 in Q16 (RFC 6386 §14.4)
+_SIN = 35468   # sinpi8sqrt2 in Q16
+
+
+def _idct4x4(block):
+    """Exact integer inverse DCT (RFC 6386 §14.4, the 20091/35468
+    fixed-point form). Length-16 natural-order input → 16 residuals."""
+    ip = list(block)
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = ip[i] + ip[8 + i]
+        b1 = ip[i] - ip[8 + i]
+        t1 = (ip[4 + i] * _SIN) >> 16
+        t2 = ip[12 + i] + ((ip[12 + i] * _COS) >> 16)
+        c1 = t1 - t2
+        t1 = ip[4 + i] + ((ip[4 + i] * _COS) >> 16)
+        t2 = (ip[12 + i] * _SIN) >> 16
+        d1 = t1 + t2
+        tmp[i] = a1 + d1
+        tmp[12 + i] = a1 - d1
+        tmp[4 + i] = b1 + c1
+        tmp[8 + i] = b1 - c1
+    out = [0] * 16
+    for i in range(4):
+        r = tmp[4 * i : 4 * i + 4]
+        a1 = r[0] + r[2]
+        b1 = r[0] - r[2]
+        t1 = (r[1] * _SIN) >> 16
+        t2 = r[3] + ((r[3] * _COS) >> 16)
+        c1 = t1 - t2
+        t1 = r[1] + ((r[1] * _COS) >> 16)
+        t2 = (r[3] * _SIN) >> 16
+        d1 = t1 + t2
+        out[4 * i] = (a1 + d1 + 4) >> 3
+        out[4 * i + 3] = (a1 - d1 + 4) >> 3
+        out[4 * i + 1] = (b1 + c1 + 4) >> 3
+        out[4 * i + 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+# --------------------------------------------- residual token codec
+
+def _decode_block(bd, plane: int, first_coeff: int, ctx: int,
+                  probs_table=None):
+    """Decode one 4x4 block's DCT token run (RFC 6386 §13): returns
+    (natural-order coefficient list, eob). ``ctx`` is the 0..2
+    above+left nonzero context; per-coefficient probabilities are
+    addressed [plane][band[c]][running ctx], EOB is unreachable
+    directly after a DCT_0 token (tree start node 2)."""
+    table = probs_table if probs_table is not None else _COEF_PROBS
+    coeffs = [0] * 16
+    c = first_coeff
+    run_ctx = ctx
+    allow_eob = True
+    while c < 16:
+        probs = table[plane][_COEF_BANDS[c]][run_ctx]
+        tok = bd.tree(_COEF_TREE, probs, start=0 if allow_eob else 2)
+        if tok == _EOB:
+            break
+        if tok == _T0:
+            run_ctx = 0
+            allow_eob = False
+            c += 1
+            continue
+        if tok <= _T4:
+            v = tok - 1  # _T1..4 carry their value
+        else:
+            extra = 0
+            for p in _CAT_PROBS[tok]:
+                extra = (extra << 1) | bd.get(p)
+            v = _CAT_BASE[tok] + extra
+        if bd.get(128):  # sign
+            v = -v
+        coeffs[_ZIGZAG[c]] = v
+        run_ctx = 1 if abs(v) == 1 else 2
+        allow_eob = True
+        c += 1
+    return coeffs, c
+
+
+def _encode_block(be, plane: int, first_coeff: int, ctx: int, levels):
+    """Encode one block's quantized levels (natural order) — the
+    exact inverse walk of :func:`_decode_block`. Trailing zeros are
+    never coded (EOB as soon as no nonzero remains)."""
+    zz = [levels[_ZIGZAG[c]] for c in range(16)]
+    eob = 16
+    while eob > first_coeff and zz[eob - 1] == 0:
+        eob -= 1
+    c = first_coeff
+    run_ctx = ctx
+    allow_eob = True
+    while c < eob:
+        v = zz[c]
+        probs = _COEF_PROBS[plane][_COEF_BANDS[c]][run_ctx]
+        start = 0 if allow_eob else 2
+        a = abs(v)
+        if a == 0:
+            be.tree(_COEF_TREE, probs, _T0, start=start)
+            run_ctx = 0
+            allow_eob = False
+            c += 1
+            continue
+        if a <= 4:
+            tok = a + _T0
+            be.tree(_COEF_TREE, probs, tok, start=start)
+        else:
+            for tok in (_CAT1, _CAT2, _CAT3, _CAT4, _CAT5, _CAT6):
+                hi = _CAT_BASE[tok] + (1 << len(_CAT_PROBS[tok])) - 1
+                if a <= hi:
+                    break
+            else:
+                raise ValueError(f"level {a} beyond cat6")
+            be.tree(_COEF_TREE, probs, tok, start=start)
+            extra = a - _CAT_BASE[tok]
+            for i, p in enumerate(_CAT_PROBS[tok]):
+                be.put((extra >> (len(_CAT_PROBS[tok]) - 1 - i)) & 1, p)
+        be.put(1 if v < 0 else 0, 128)  # sign
+        run_ctx = 1 if a == 1 else 2
+        allow_eob = True
+        c += 1
+    if eob < 16:
+        probs = _COEF_PROBS[plane][_COEF_BANDS[c]][run_ctx]
+        be.tree(_COEF_TREE, probs, _EOB, start=0)
+    return eob
+
+
+# ------------------------------------------------------ frame decode
+
+def _predict_16x16(mode, rec, x0, y0, size):
+    """Whole-block intra prediction (RFC 6386 §12.2): ``rec`` is the
+    padded plane being reconstructed, ``(x0, y0)`` the block origin,
+    ``size`` 16 (luma) or 8 (chroma). Edge conventions per spec:
+    missing above row reads 127, missing left column 129. Returns a
+    size×size int array."""
+    import numpy as np
+
+    have_above = y0 > 0
+    have_left = x0 > 0
+    above = (
+        rec[y0 - 1, x0 : x0 + size].astype(np.int64)
+        if have_above
+        else np.full(size, 127, dtype=np.int64)
+    )
+    left = (
+        rec[y0 : y0 + size, x0 - 1].astype(np.int64)
+        if have_left
+        else np.full(size, 129, dtype=np.int64)
+    )
+    if mode == _DC_PRED:
+        if have_above and have_left:
+            dc = (int(above.sum()) + int(left.sum()) + size) >> (
+                5 if size == 16 else 4
+            )
+        elif have_above:
+            dc = (int(above.sum()) + size // 2) >> (4 if size == 16 else 3)
+        elif have_left:
+            dc = (int(left.sum()) + size // 2) >> (4 if size == 16 else 3)
+        else:
+            dc = 128
+        return np.full((size, size), dc, dtype=np.int64)
+    if mode == _V_PRED:
+        return np.tile(above, (size, 1))
+    if mode == _H_PRED:
+        return np.tile(left[:, None], (1, size))
+    if mode == _TM_PRED:
+        if have_above and have_left:
+            al = int(rec[y0 - 1, x0 - 1])
+        elif have_above:
+            al = 127
+        else:
+            al = 129
+        p = left[:, None] + above[None, :] - al
+        return np.clip(p, 0, 255)
+    raise NotImplementedError(f"vp8: prediction mode {mode}")
+
+
+def decode_frame(chunk: bytes):
+    """Decode one VP8 KEY frame (the bytes of a ``VP8 `` RIFF chunk)
+    to ``(width, height, Y, U, V)`` numpy uint8 planes, cropped to
+    the visible size. Structure per RFC 6386; see the module
+    docstring for the two declared boundaries (B_PRED, non-zero loop
+    filter) and the repo-defined constant tables."""
+    import struct
+
+    import numpy as np
+
+    if len(chunk) < 10:
+        raise ValueError("vp8: frame too short")
+    tag = chunk[0] | (chunk[1] << 8) | (chunk[2] << 16)
+    if tag & 1:
+        raise ValueError("vp8: not a key frame")
+    part1_len = tag >> 5
+    if chunk[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("vp8: bad keyframe start code")
+    (wraw,) = struct.unpack_from("<H", chunk, 6)
+    (hraw,) = struct.unpack_from("<H", chunk, 8)
+    w, h = wraw & 0x3FFF, hraw & 0x3FFF
+    if w == 0 or h == 0:
+        raise ValueError("vp8: zero dimensions")
+    if 10 + part1_len > len(chunk):
+        raise ValueError("vp8: first partition overruns frame")
+    bd = _BoolDec(chunk, 10, 10 + part1_len)
+    bd.literal(1)  # color space
+    bd.literal(1)  # clamping type
+    if bd.get(128):
+        raise NotImplementedError("vp8: segmentation unsupported")
+    bd.literal(1)  # filter type
+    filter_level = bd.literal(6)
+    bd.literal(3)  # sharpness
+    if bd.get(128):
+        raise NotImplementedError("vp8: loop-filter deltas unsupported")
+    if filter_level != 0:
+        raise NotImplementedError(
+            "vp8: in-loop deblocking (filter level > 0) is the "
+            "declared boundary"
+        )
+    nparts = 1 << bd.literal(2)
+    q_index = bd.literal(7)
+    deltas = []
+    for _ in range(5):  # y1dc, y2dc, y2ac, uvdc, uvac deltas
+        deltas.append(bd.signed_literal(4) if bd.get(128) else 0)
+    dq_base = _dequant_factors(q_index)
+
+    def dq(name, idx_delta):
+        return _dequant_factors(q_index + idx_delta)[name]
+
+    dq_y1dc = dq("y1dc", deltas[0])
+    dq_y1ac = dq_base["y1ac"]
+    dq_y2dc = dq("y2dc", deltas[1])
+    dq_y2ac = dq("y2ac", deltas[2])
+    dq_uvdc = dq("uvdc", deltas[3])
+    dq_uvac = dq("uvac", deltas[4])
+    bd.literal(1)  # refresh entropy probs (keyframe)
+    probs = [
+        [[list(_COEF_PROBS[t][b][c]) for c in range(3)]
+         for b in range(8)]
+        for t in range(4)
+    ]
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    if bd.get(_COEF_UPDATE_PROB):
+                        probs[t][b][c][p] = bd.literal(8)
+    mb_no_skip = bd.literal(1)
+    prob_skip_false = bd.literal(8) if mb_no_skip else 0
+
+    mb_cols, mb_rows = (w + 15) >> 4, (h + 15) >> 4
+    mbs = []
+    for _my in range(mb_rows):
+        for _mx in range(mb_cols):
+            skip = bd.get(prob_skip_false) if mb_no_skip else 0
+            ymode = bd.tree(_KF_YMODE_TREE, _KF_YMODE_PROB)
+            if ymode == _B_PRED:
+                raise NotImplementedError(
+                    "vp8: per-subblock intra (B_PRED) is the declared "
+                    "boundary"
+                )
+            uvmode = bd.tree(_UV_MODE_TREE, _KF_UV_MODE_PROB)
+            mbs.append((skip, ymode, uvmode))
+    if bd.overread:
+        raise ValueError("vp8: first partition truncated")
+
+    # token partitions: (nparts-1) 3-byte LE sizes, then the data;
+    # MB row r reads from partition r % nparts (RFC 6386 §9.5)
+    at = 10 + part1_len
+    sizes = []
+    for _ in range(nparts - 1):
+        if at + 3 > len(chunk):
+            raise ValueError("vp8: partition size table truncated")
+        sizes.append(
+            chunk[at] | (chunk[at + 1] << 8) | (chunk[at + 2] << 16)
+        )
+        at += 3
+    starts, parts = at, []
+    for i in range(nparts):
+        size = (
+            sizes[i] if i < nparts - 1 else len(chunk) - starts
+        )
+        if starts + size > len(chunk) or size < 0:
+            raise ValueError("vp8: token partition overruns frame")
+        parts.append(_BoolDec(chunk, starts, starts + size))
+        starts += size
+
+    Y = np.zeros((mb_rows * 16, mb_cols * 16), dtype=np.uint8)
+    U = np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.uint8)
+    Vp = np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.uint8)
+
+    above_y = [0] * (mb_cols * 4)
+    above_u = [0] * (mb_cols * 2)
+    above_v = [0] * (mb_cols * 2)
+    above_y2 = [0] * mb_cols
+
+    def dequant(coeffs, dcf, acf):
+        return [coeffs[0] * dcf] + [c * acf for c in coeffs[1:]]
+
+    for my in range(mb_rows):
+        td = parts[my % nparts]
+        left_y, left_u, left_v, left_y2 = [0] * 4, [0] * 2, [0] * 2, [0]
+        for mx in range(mb_cols):
+            skip, ymode, uvmode = mbs[my * mb_cols + mx]
+            # whole-MB intra prediction from reconstructed neighbors
+            py = _predict_16x16(ymode, Y, mx * 16, my * 16, 16)
+            pu = _predict_16x16(uvmode, U, mx * 8, my * 8, 8)
+            pv = _predict_16x16(uvmode, Vp, mx * 8, my * 8, 8)
+            if skip:
+                # no residual tokens; zero this MB's nonzero contexts
+                # (incl. Y2 — 16x16 mode, the libvpx reset rule)
+                above_y[mx * 4 : mx * 4 + 4] = [0] * 4
+                above_u[mx * 2 : mx * 2 + 2] = [0] * 2
+                above_v[mx * 2 : mx * 2 + 2] = [0] * 2
+                above_y2[mx] = 0
+                left_y[:] = [0] * 4
+                left_u[:] = [0] * 2
+                left_v[:] = [0] * 2
+                left_y2[0] = 0
+                Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    np.clip(py, 0, 255)
+                )
+                U[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+                    pu, 0, 255
+                )
+                Vp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+                    pv, 0, 255
+                )
+                continue
+            # Y2 block
+            ctx = above_y2[mx] + left_y2[0]
+            y2c, eob = _decode_block(td, _PLANE_Y2, 0, ctx, probs)
+            nz2 = 1 if eob > 0 else 0
+            above_y2[mx] = left_y2[0] = nz2
+            wht = _iwht4x4(dequant(y2c, dq_y2dc, dq_y2ac))
+            yres = np.zeros((16, 16), dtype=np.int64)
+            for b in range(16):
+                bx, by = b % 4, b // 4
+                ctx = above_y[mx * 4 + bx] + left_y[by]
+                yc, eob = _decode_block(
+                    td, _PLANE_Y_NO_DC, 1, ctx, probs
+                )
+                nz = 1 if eob > 1 else 0
+                above_y[mx * 4 + bx] = left_y[by] = nz
+                dqc = dequant(yc, dq_y1dc, dq_y1ac)
+                dqc[0] = wht[b]
+                res = _idct4x4(dqc)
+                yres[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
+                    np.array(res).reshape(4, 4)
+                )
+            ures = np.zeros((8, 8), dtype=np.int64)
+            vres = np.zeros((8, 8), dtype=np.int64)
+            for plane_arr, above_c, left_c, out in (
+                (ures, above_u, left_u, None),
+                (vres, above_v, left_v, None),
+            ):
+                for b in range(4):
+                    bx, by = b % 2, b // 2
+                    ctx = above_c[mx * 2 + bx] + left_c[by]
+                    cc, eob = _decode_block(
+                        td, _PLANE_UV, 0, ctx, probs
+                    )
+                    nz = 1 if eob > 0 else 0
+                    above_c[mx * 2 + bx] = left_c[by] = nz
+                    res = _idct4x4(dequant(cc, dq_uvdc, dq_uvac))
+                    plane_arr[
+                        by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4
+                    ] = np.array(res).reshape(4, 4)
+            Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                np.clip(py + yres, 0, 255)
+            )
+            U[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+                pu + ures, 0, 255
+            )
+            Vp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+                pv + vres, 0, 255
+            )
+        if td.overread:
+            raise ValueError("vp8: token partition truncated")
+    return (
+        w,
+        h,
+        Y[:h, :w],
+        U[: (h + 1) >> 1, : (w + 1) >> 1],
+        Vp[: (h + 1) >> 1, : (w + 1) >> 1],
+    )
+
+
+# ------------------------------------------------------ frame encode
+
+_SYNTH_QI = 4  # dc_q=8 → y2dc=16, uvdc=8: the exact-residual choices
+
+
+def _flat_mb_levels(r_y: int, r_u: int, r_v: int):
+    """Quantized levels hitting EXACT flat residuals through the
+    real reconstruction path at q_index=_SYNTH_QI: the Y2 DC level L
+    decodes via dequant(×16) → IWHT flat (16L+3)>>3 = 2L → IDCT DC
+    (2L+4)>>3 pixels, so L = 4r−2 lands exactly r (and 0 for r=0);
+    chroma DC at dequant 8 gives (8L+4)>>3 = L directly."""
+    ly2 = 0 if r_y == 0 else 4 * r_y - 2
+    return ly2, r_u, r_v
+
+
+def encode_flat_frame(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
+                      uvmode: int = _DC_PRED) -> bytes:
+    """Encode a VP8 KEY frame (the ``VP8 `` chunk bytes) whose every
+    macroblock is a flat (Y, U, V) from ``mb_vals(mx, my) → (y, u,
+    v)``: 16x16 DC_PRED + DC-only residuals through the full
+    Y2/WHT/IDCT path, loop filter level 0, one token partition. The
+    encoder mirrors the decoder's context tracking exactly (the
+    round-trip tests pin it); all-zero MBs use the real skip path.
+    ``ymode``/``uvmode`` override the written intra modes — residual
+    planning stays DC-based, so non-DC modes are only value-correct
+    for uniform-128 targets (every MB skips and takes the raw
+    prediction); they exist to drive the decoder's V/H/TM paths."""
+    import struct
+
+    mb_cols, mb_rows = (w + 15) >> 4, (h + 15) >> 4
+    # --- plan residuals via the decoder's own prediction arithmetic
+    ty = [[0] * mb_cols for _ in range(mb_rows)]
+    tu = [[0] * mb_cols for _ in range(mb_rows)]
+    tv = [[0] * mb_cols for _ in range(mb_rows)]
+    levels = [[None] * mb_cols for _ in range(mb_rows)]
+    for my in range(mb_rows):
+        for mx in range(mb_cols):
+            y, u, v = mb_vals(mx, my)
+            ty[my][mx], tu[my][mx], tv[my][mx] = y, u, v
+
+            def dc_pred(grid, size):
+                above = grid[my - 1][mx] if my > 0 else None
+                left = grid[my][mx - 1] if mx > 0 else None
+                if above is not None and left is not None:
+                    return (size * above + size * left + size) >> (
+                        5 if size == 16 else 4
+                    )
+                if above is not None:
+                    return above
+                if left is not None:
+                    return left
+                return 128
+
+            ry = y - dc_pred(ty, 16)
+            ru = u - dc_pred(tu, 8)
+            rv = v - dc_pred(tv, 8)
+            levels[my][mx] = _flat_mb_levels(ry, ru, rv)
+
+    # --- first partition: header + per-MB modes
+    hd = _BoolEnc()
+    hd.literal(0, 1)  # color space
+    hd.literal(0, 1)  # clamping
+    hd.put(0, 128)    # segmentation off
+    hd.literal(0, 1)  # filter type
+    hd.literal(0, 6)  # loop filter level 0
+    hd.literal(0, 3)  # sharpness
+    hd.put(0, 128)    # no loop-filter deltas
+    hd.literal(0, 2)  # one token partition
+    hd.literal(_SYNTH_QI, 7)
+    for _ in range(5):
+        hd.put(0, 128)  # no quantizer deltas
+    hd.literal(1, 1)  # refresh entropy probs
+    for _t in range(4):
+        for _b in range(8):
+            for _c in range(3):
+                for _p in range(11):
+                    hd.put(0, _COEF_UPDATE_PROB)  # keep defaults
+    hd.literal(1, 1)  # mb_no_coeff_skip on
+    hd.literal(200, 8)  # prob_skip_false
+    for my in range(mb_rows):
+        for mx in range(mb_cols):
+            skip = 1 if levels[my][mx] == (0, 0, 0) else 0
+            hd.put(skip, 200)
+            hd.tree(_KF_YMODE_TREE, _KF_YMODE_PROB, ymode)
+            hd.tree(_UV_MODE_TREE, _KF_UV_MODE_PROB, uvmode)
+    part1 = hd.bytes()
+
+    # --- token partition with decoder-identical context tracking
+    te = _BoolEnc()
+    above_y = [0] * (mb_cols * 4)
+    above_u = [0] * (mb_cols * 2)
+    above_v = [0] * (mb_cols * 2)
+    above_y2 = [0] * mb_cols
+    for my in range(mb_rows):
+        left_y, left_u, left_v, left_y2 = [0] * 4, [0] * 2, [0] * 2, [0]
+        for mx in range(mb_cols):
+            ly2, lu, lv = levels[my][mx]
+            if (ly2, lu, lv) == (0, 0, 0):  # skipped MB
+                above_y[mx * 4 : mx * 4 + 4] = [0] * 4
+                above_u[mx * 2 : mx * 2 + 2] = [0] * 2
+                above_v[mx * 2 : mx * 2 + 2] = [0] * 2
+                above_y2[mx] = 0
+                left_y[:] = [0] * 4
+                left_u[:] = [0] * 2
+                left_v[:] = [0] * 2
+                left_y2[0] = 0
+                continue
+            blk = [0] * 16
+            blk[0] = ly2
+            ctx = above_y2[mx] + left_y2[0]
+            eob = _encode_block(te, _PLANE_Y2, 0, ctx, blk)
+            nz2 = 1 if eob > 0 else 0
+            above_y2[mx] = left_y2[0] = nz2
+            for b in range(16):
+                bx, by = b % 4, b // 4
+                ctx = above_y[mx * 4 + bx] + left_y[by]
+                eob = _encode_block(
+                    te, _PLANE_Y_NO_DC, 1, ctx, [0] * 16
+                )
+                above_y[mx * 4 + bx] = left_y[by] = (
+                    1 if eob > 1 else 0
+                )
+            for lev, above_c, left_c in (
+                (lu, above_u, left_u), (lv, above_v, left_v),
+            ):
+                for b in range(4):
+                    bx, by = b % 2, b // 2
+                    blk = [0] * 16
+                    blk[0] = lev
+                    ctx = above_c[mx * 2 + bx] + left_c[by]
+                    eob = _encode_block(te, _PLANE_UV, 0, ctx, blk)
+                    above_c[mx * 2 + bx] = left_c[by] = (
+                        1 if eob > 0 else 0
+                    )
+    tokens = te.bytes()
+
+    tag = len(part1) << 5  # keyframe (bit0=0), version 0, show 0
+    head = bytes(
+        (tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF)
+    ) + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+    return head + part1 + tokens
+
+
+def build_webp_vp8(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
+                   uvmode: int = _DC_PRED) -> bytes:
+    """Wrap :func:`encode_flat_frame` in a RIFF/WEBP container."""
+    import struct
+
+    frame = encode_flat_frame(w, h, mb_vals, ymode, uvmode)
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    if len(frame) % 2:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def vp8_pixel_sums(raw: bytes) -> tuple:
+    """Decode the ``VP8 `` chunk of a RIFF/WEBP payload to exact RGB
+    channel sums: full key-frame decode (:func:`decode_frame`), point
+    chroma upsampling (each luma pixel reads chroma (x>>1, y>>1)),
+    and the repo's standard integer BT.601 fixed point
+    (1402/344/714/1772, floor half-up) — the same convention as the
+    JPEG lanes, so one oracle formula family covers both codecs.
+    Returns (n_pixels, sum_r, sum_g, sum_b)."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        raise ValueError("not WebP")
+    at, n = 12, len(raw)
+    chunk = None
+    while at + 8 <= n:
+        fourcc = raw[at : at + 4]
+        (size,) = struct.unpack_from("<I", raw, at + 4)
+        if fourcc == b"VP8 ":
+            if at + 8 + size > n:
+                raise ValueError("webp: truncated VP8 chunk")
+            chunk = raw[at + 8 : at + 8 + size]
+            break
+        at += 8 + size + (size & 1)
+    if chunk is None:
+        raise ValueError("webp: no VP8 chunk")
+    w, h, Y, U, V = decode_frame(chunk)
+    y = Y.astype(np.int64)
+    u = np.repeat(np.repeat(U, 2, axis=0), 2, axis=1)[:h, :w].astype(
+        np.int64
+    )
+    v = np.repeat(np.repeat(V, 2, axis=0), 2, axis=1)[:h, :w].astype(
+        np.int64
+    )
+
+    def chan(x):
+        return np.clip((x + 500) // 1000, 0, 255)
+
+    r = chan(1000 * y + 1402 * (v - 128))
+    g = chan(1000 * y - 344 * (u - 128) - 714 * (v - 128))
+    b = chan(1000 * y + 1772 * (u - 128))
+    return (
+        w * h,
+        int(r.sum()),
+        int(g.sum()),
+        int(b.sum()),
+    )

@@ -4455,6 +4455,83 @@ def test_netpbm_16bit_and_palette_bmp_decode(spark):
     )
 
 
+def test_vp8_lossy_roundtrip_and_poison(spark):
+    """r12 lossy-WebP (VP8 key-frame) decode: flat-MB frames through
+    the full RFC 6386 machinery (bool range coder, token trees with
+    band/neighbor contexts, Y2/IWHT, fixed-point IDCT, DC_PRED with
+    edge rules, the skip path) must land the closed-form pixels
+    EXACTLY at several geometries incl. partial edge MBs; truncation
+    and structural poison null the row; B_PRED and a non-zero loop
+    filter are declared boundaries."""
+    import numpy as np
+    import pytest
+
+    from geniepool_etl_spark.operators import vp8 as V
+
+    def targets(a):
+        return lambda mx, my: (
+            (37 * mx + 71 * my + 29 * a) % 256,
+            (23 * mx + 41 * my + 17 * a) % 256,
+            (53 * mx + 13 * my + 11 * a) % 256,
+        )
+
+    clip = lambda x: min(255, max(0, x))  # noqa: E731
+    for a, (w, h) in enumerate([(16, 16), (17, 12), (47, 33), (160, 90)]):
+        f = targets(a)
+        payload = V.build_webp_vp8(w, h, f)
+        n, sr, sg, sb = V.vp8_pixel_sums(payload)
+        er = eg = eb = 0
+        for my in range((h + 15) >> 4):
+            for mx in range((w + 15) >> 4):
+                y, u, v = f(mx, my)
+                cnt = min(16, w - 16 * mx) * min(16, h - 16 * my)
+                er += cnt * clip((1000 * y + 1402 * (v - 128) + 500) // 1000)
+                eg += cnt * clip(
+                    (1000 * y - 344 * (u - 128) - 714 * (v - 128) + 500)
+                    // 1000
+                )
+                eb += cnt * clip((1000 * y + 1772 * (u - 128) + 500) // 1000)
+        assert (n, sr, sg, sb) == (w * h, er, eg, eb), (a, w, h)
+    # metadata lane reads the same container
+    meta = M.decode_image(payload)
+    assert (meta["width"], meta["height"]) == (160, 90)
+    # uniform image: every MB after the first skips (real skip path)
+    pay_u = V.build_webp_vp8(64, 64, lambda mx, my: (128, 128, 128))
+    assert V.vp8_pixel_sums(pay_u)[1] == 64 * 64 * 128
+    # V/H/TM prediction paths (residuals all zero → raw prediction)
+    for mode, want in ((V._V_PRED, 127), (V._H_PRED, 129)):
+        p = V.build_webp_vp8(
+            32, 32, lambda mx, my: (128, 128, 128),
+            ymode=mode, uvmode=mode,
+        )
+        _w, _h, Y, _U, _V2 = V.decode_frame(p[20:])
+        assert (Y == want).all()
+    # poison: truncated token partition / bad start code / short frame
+    frame = payload[20:]
+    with pytest.raises(ValueError):
+        V.decode_frame(frame[: len(frame) - 6])
+    bad = bytearray(frame)
+    bad[3] = 0x00  # start code
+    with pytest.raises(ValueError):
+        V.decode_frame(bytes(bad))
+    with pytest.raises(ValueError):
+        V.decode_frame(frame[:8])
+    # declared boundaries raise loud, not mis-decode
+    bp = V.build_webp_vp8(16, 16, lambda mx, my: (128, 128, 128),
+                          ymode=V._B_PRED)
+    with pytest.raises(NotImplementedError, match="B_PRED"):
+        V.vp8_pixel_sums(bp)
+    # the Spark lane: good + poison in one batch, poison → null row
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload), "image/webp"),
+         (2, bytearray(payload[: len(payload) - 6]), "image/webp")],
+        "asset_id long, payload binary, media_type string",
+    )
+    got = {r.asset_id: r
+           for r in M.decode_image_pixel_stats(assets).collect()}
+    assert got[1].sum_r is not None and got[2].sum_r is None
+
+
 def test_g711_and_ima_adpcm_wav_decode(spark):
     """r12 audio boundary narrowing: G.711 µ-law/a-law (format tags
     7/6) and IMA ADPCM (0x11) WAV payloads decode to exact sample
