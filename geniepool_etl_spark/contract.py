@@ -1502,6 +1502,75 @@ def q_s23_snap_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REWRITE-SPANNING change-feed stream (sources/snapsource + the
+    r12 write-time change tracking): after create(evens) →
+    append(odds) the first trigger-once run delivers the snapshot as
+    typed inserts; a delete_where(key<5) AND a merge(keys %5==0) land
+    before the second run, which must emit exactly the delete's
+    recorded net rows plus the merge's update_preimage /
+    update_postimage / insert split (the key deleted at v2
+    re-inserts at v3). Offsets survive the shared checkpoint; each
+    run writes its own sink dir (a restart re-resolves the source
+    schema, and the file-sink metadata log is per-directory).
+    Grouped to per-(version, change-type) counts + key sums."""
+    from geniepool_etl_spark import snaptable as T
+    from geniepool_etl_spark.sources import snapsource
+
+    snapsource.register(spark)
+    base = _tmpdir("snapcdf")
+    table = os.path.join(base, "t")
+    ckpt = os.path.join(base, "ckpt")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    T.write_table(
+        nation.where("n_nationkey % 2 = 0"), table, "create",
+        target_files=1,
+    )
+    T.write_table(
+        nation.where("n_nationkey % 2 = 1"), table, "append",
+        target_files=1,
+    )
+
+    def run_once(dst: str) -> None:
+        q = (
+            spark.readStream.format("gp_snap_changes")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out1 = os.path.join(base, "out1")
+    run_once(out1)  # versions 0+1 as inserts
+    T.delete_where(spark, table, "n_nationkey < 5")
+    upd = nation.where("n_nationkey % 5 = 0").select(
+        "n_nationkey",
+        # otherwise-less when keeps nullability aligned with the
+        # parquet-read table schema (merge_table compares exactly)
+        F.when(F.col("n_nationkey").isNotNull(), F.lit("UPDATED"))
+        .alias("n_name"),
+        "n_regionkey",
+    )
+    T.merge_table(spark, table, upd, ["n_nationkey"])
+    out2 = os.path.join(base, "out2")
+    run_once(out2)  # versions 2 (delete) + 3 (merge) change rows
+    both = spark.read.parquet(
+        os.path.join(out1, "part-*.parquet")
+    ).unionByName(
+        spark.read.parquet(os.path.join(out2, "part-*.parquet"))
+    )
+    return both.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_nationkey").cast("long")).alias("key_sum"),
+    )
+
+
 def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType lane: ``parse_json`` → binary variant,
     typed path extraction via ``variant_get`` plus schema
@@ -9288,6 +9357,29 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
         )
         SELECT asset_id, n_samples, sum_amp, sum_sq, peak FROM agg
     """
+    o["stream_snap_cdf"] = """
+        WITH n AS (SELECT n_nationkey AS k FROM nation),
+        feed AS (
+          SELECT 0 AS v, 'insert' AS t, k FROM n WHERE k % 2 = 0
+          UNION ALL
+          SELECT 1, 'insert', k FROM n WHERE k % 2 = 1
+          UNION ALL
+          SELECT 2, 'delete', k FROM n WHERE k < 5
+          UNION ALL
+          SELECT 3, 'update_preimage', k FROM n
+          WHERE k % 5 = 0 AND k >= 5
+          UNION ALL
+          SELECT 3, 'update_postimage', k FROM n
+          WHERE k % 5 = 0 AND k >= 5
+          UNION ALL
+          SELECT 3, 'insert', k FROM n WHERE k % 5 = 0 AND k < 5
+        )
+        SELECT CAST(v AS BIGINT) AS _commit_version,
+               t AS _change_type,
+               count(*) AS n,
+               CAST(sum(k) AS BIGINT) AS key_sum
+        FROM feed GROUP BY v, t
+    """
     o["multimodal_vp8_lossy"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10801,6 +10893,7 @@ SPARK_QUERIES = {
     "multimodal_audio_adpcm": q_multimodal_audio_adpcm,
     "snap_change_feed": q_snap_change_feed,
     "multimodal_vp8_lossy": q_multimodal_vp8_lossy,
+    "stream_snap_cdf": q_stream_snap_cdf,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

@@ -10,14 +10,18 @@ driver, which is the property that separates this from the
 it the scale path: a 10 TB append streams as its file set, planned
 from its manifest.
 
-Semantics (the Delta CDF append rule): versions whose action only ADDS
-files (create/append) stream their new files stamped with
-``_commit_version``; a rewrite action (delete/merge/compact/overwrite)
-inside the offset range fails LOUD — a file diff across rewrites mixes
-rewritten old rows with new ones, the classic CDC corruption. (The
-BATCH feed, snaptable.read_changes, spans rewrites since r12 via
-write-time ``change_files``; extending this streaming source to plan
-those per-commit change files is the analogous next step.)
+Semantics (the Delta CDF rules, rewrite-spanning since r12): every
+row carries ``_change_type`` and ``_commit_version``. Versions whose
+action only ADDS files (create/append) stream their new files as
+``insert`` rows; ``delete``/``merge`` commits stream their write-time
+``change_files`` (each row carries its own recorded change type —
+insert / delete / update_preimage / update_postimage, the batch
+feed's vocabulary); an ``overwrite`` streams the manifest diff as
+delete-all + insert-all; ``compact`` is rows-identical and streams
+nothing. A rewrite commit WITHOUT change_files (written before
+write-time tracking) still fails LOUD — its net changes were never
+recorded and a file diff across it would mix rewritten old rows with
+new ones, the classic CDC corruption.
 
 Filesystem scope: manifests and data files are opened with plain
 ``open``/pyarrow (file:// paths — the test/CI scope); an object-store
@@ -106,7 +110,7 @@ class SnapChangesDataSource(DataSource):
         return path
 
     def schema(self):
-        from pyspark.sql.types import LongType, StructType
+        from pyspark.sql.types import LongType, StringType, StructType
 
         table = self._table_path()
         vs = _versions(table)
@@ -117,22 +121,36 @@ class SnapChangesDataSource(DataSource):
         schema = StructType.fromJson(
             json.loads(_manifest(table, vs[-1])["schema"])
         )
-        return schema.add("_commit_version", LongType())
+        out = StructType()
+        for f in schema.fields:
+            # all-nullable: change rows null-fill columns the table
+            # evolved after their origin files were written, and
+            # schema-evolved parent files null-fill on read
+            out = out.add(f.name, f.dataType, True)
+        return out.add("_change_type", StringType()).add(
+            "_commit_version", LongType()
+        )
 
     def streamReader(self, schema) -> "SnapChangesStreamReader":
         return SnapChangesStreamReader(
             self._table_path(),
             [
                 (f.name, f.dataType.simpleString())
-                for f in schema.fields[:-1]
+                for f in schema.fields[:-2]
             ],
         )
 
 
 class _FileSlice(InputPartition):
-    def __init__(self, path: str, commit_version: int) -> None:
+    def __init__(
+        self, path: str, commit_version: int,
+        change_type: str | None = "insert",
+    ) -> None:
         self.path = path
         self.commit_version = commit_version
+        # a fixed type for data files; None for write-time change
+        # files, whose rows each carry their own recorded type
+        self.change_type = change_type
 
 
 class SnapChangesStreamReader(DataSourceStreamReader):
@@ -182,26 +200,59 @@ class SnapChangesStreamReader(DataSourceStreamReader):
                 )
                 for f in head["files"]
             ]
-        seen = {f["path"] for f in _manifest(self.table_path, v0)["files"]}
+        prev = {
+            f["path"] for f in _manifest(self.table_path, v0)["files"]
+        }
+        prev_m = _manifest(self.table_path, v0)
         parts: list[InputPartition] = []
         for v in vs:
-            if not (v0 < v <= v1):
+            if v <= v0:
                 continue
+            if v > v1:
+                break
             m = _manifest(self.table_path, v)
-            if m["action"] not in ("append", "create"):
-                raise ValueError(
-                    f"gp_snap_changes: version {v} is a rewrite "
-                    f"({m['action']!r}); the file diff is not a row-level "
-                    "change feed across rewrites"
-                )
-            for f in m["files"]:
-                if f["path"] not in seen:
-                    seen.add(f["path"])
-                    parts.append(
-                        _FileSlice(
-                            os.path.join(self.table_path, f["path"]), v
-                        )
+            act = m["action"]
+            cur = {f["path"] for f in m["files"]}
+            if act in ("append", "create"):
+                for f in m["files"]:
+                    if f["path"] not in prev:
+                        parts.append(_FileSlice(
+                            os.path.join(self.table_path, f["path"]),
+                            v, "insert",
+                        ))
+            elif act == "compact":
+                pass  # rows identical by construction
+            elif act == "overwrite":
+                for f in prev_m["files"]:
+                    if f["path"] not in cur:
+                        parts.append(_FileSlice(
+                            os.path.join(self.table_path, f["path"]),
+                            v, "delete",
+                        ))
+                for f in m["files"]:
+                    if f["path"] not in prev:
+                        parts.append(_FileSlice(
+                            os.path.join(self.table_path, f["path"]),
+                            v, "insert",
+                        ))
+            elif act in ("delete", "merge"):
+                if "change_files" not in m:
+                    raise ValueError(
+                        f"gp_snap_changes: version {v} is a rewrite "
+                        f"({act!r}) committed before write-time change "
+                        "tracking; its net changes were never recorded"
                     )
+                for f in m["change_files"]:
+                    parts.append(_FileSlice(
+                        os.path.join(self.table_path, f["path"]),
+                        v, None,
+                    ))
+            else:
+                raise ValueError(
+                    f"gp_snap_changes: version {v} has unknown "
+                    f"action {act!r}"
+                )
+            prev, prev_m = cur, m
         return parts
 
     def read(self, partition: _FileSlice):
@@ -224,8 +275,12 @@ class SnapChangesStreamReader(DataSourceStreamReader):
             else:
                 # schema-evolved parent file: null-fill the new column
                 cols.append([None] * table.num_rows)
+        if partition.change_type is not None:
+            ct = [partition.change_type] * table.num_rows
+        else:
+            ct = table.column("_change_type").to_pylist()
         cv = [partition.commit_version] * table.num_rows
-        return iter(zip(*cols, cv))
+        return iter(zip(*cols, ct, cv))
 
     def commit(self, end: dict) -> None:
         pass

@@ -260,6 +260,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "snap_partition_prune",
         "snap_apply_cdc",
         "s23_snap_change_stream",
+        "stream_snap_cdf",
         "snap_compact_cluster",
         "snap_meta_count",
         "snap_hidden_partition",

@@ -1253,16 +1253,25 @@ if _HYP:
             return rows
 
         initial = batch(reader.initialOffset(), head)
-        assert {(k, v) for k, v, _cv in initial} == set(model.items())
+        assert {
+            (k, v) for k, v, _ct, _cv in initial
+        } == set(model.items())
+        assert {ct for _k, _v, ct, _cv in initial} <= {"insert"}
         # every file attribution is a real, still-kept version
         kept = set(T._versions(*T._hadoop_fs(spark, tdir), tdir))
-        assert {cv for _k, _v, cv in initial} <= kept
+        assert {cv for _k, _v, _ct, cv in initial} <= kept
         # post-subscription append streams incrementally
         new_rows = [(900, 1), (901, 2)]
         T.write_table(df_of(new_rows), tdir, "append")
-        inc = batch(head, reader.latestOffset())
-        assert {(k, v) for k, v, _cv in inc} == set(new_rows)
-        # post-subscription rewrite: fail loud, never a wrong feed
+        head2 = reader.latestOffset()
+        inc = batch(head, head2)
+        assert {(k, v) for k, v, _ct, _cv in inc} == set(new_rows)
+        # post-subscription rewrites stream their net changes (r12):
+        # compact is rows-identical → nothing; a delete streams its
+        # write-time change rows, typed
         T.compact(spark, tdir, target_files=1)
-        with pytest.raises(ValueError, match="rewrite"):
-            batch(head, reader.latestOffset())
+        assert batch(head2, reader.latestOffset()) == []
+        head3 = reader.latestOffset()
+        T.delete_where(spark, tdir, "k = 900")
+        dl = batch(head3, reader.latestOffset())
+        assert [(k, ct) for k, _v, ct, _cv in dl] == [(900, "delete")]

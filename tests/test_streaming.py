@@ -761,9 +761,10 @@ def test_snap_ingest_stream_resumes_from_checkpoint(spark, tmp_path):
 def test_snap_change_stream_partitioned_and_rewrite_guard(spark, tmp_path):
     """gp_snap_changes over a hive-PARTITIONED snapshot table: the
     executor-side pyarrow read reconstructs partition values from the
-    col=value path segments WITH the declared dtype; a rewrite action
-    (delete) landing between micro-batches fails the stream loud (the
-    CDC-across-rewrites rule); schema-evolved parent files null-fill."""
+    col=value path segments WITH the declared dtype; a delete landing
+    between micro-batches streams its write-time change rows (r12 —
+    exact net deletes, not a failure); schema-evolved parent files
+    null-fill."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -772,14 +773,17 @@ def test_snap_change_stream_partitioned_and_rewrite_guard(spark, tmp_path):
 
     snapsource.register(spark)
     t = str(tmp_path / "t")
-    out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     base = spark.range(0, 40).select(
         F.col("id").alias("k"), (F.col("id") % 4).alias("p")
     )
     T.write_table(base, t, "create", partition_by=("p",), target_files=1)
 
-    def run_once():
+    # one sink dir PER RUN (same checkpoint): each restart re-resolves
+    # the source schema from the current head, so a schema-evolved
+    # table writes WIDER (non-nullable) parquet into the sink — mixed
+    # footers in one dir are unreadable even with mergeSchema
+    def run_once(out):
         q = (
             spark.readStream.format("gp_snap_changes")
             .option("path", t)
@@ -792,13 +796,15 @@ def test_snap_change_stream_partitioned_and_rewrite_guard(spark, tmp_path):
         )
         q.awaitTermination()
 
-    run_once()
-    got = spark.read.parquet(out)
+    out1 = str(tmp_path / "out1")
+    run_once(out1)
+    got = spark.read.parquet(out1)
     assert got.count() == 40
     # partition dtype survived the path round-trip (long, not string)
     assert dict(got.dtypes)["p"] == "bigint"
     assert got.where("p = 2").count() == 10
     assert {r._commit_version for r in got.collect()} == {0}
+    assert {r._change_type for r in got.collect()} == {"insert"}
 
     # schema-evolved append: new column, old files null-fill
     T.write_table(
@@ -812,16 +818,25 @@ def test_snap_change_stream_partitioned_and_rewrite_guard(spark, tmp_path):
         evolve_schema=True,
         target_files=1,
     )
-    run_once()
-    got2 = spark.read.parquet(out)
-    # stream schema was resolved at first run (pre-evolution): only
-    # the original columns flow; the new batch carries version 1
-    assert got2.where("_commit_version = 1").count() == 10
+    out2 = str(tmp_path / "out2")
+    run_once(out2)
+    # glob past the sink's _spark_metadata: this dir holds batch 1
+    # only, and the sink-aware reader demands a contiguous log from 0
+    got2 = spark.read.parquet(out2 + "/part-*.parquet")
+    # only the new commit's rows (offsets survived the checkpoint)
+    assert got2.count() == 10
+    assert {r._commit_version for r in got2.collect()} == {1}
+    assert {r._change_type for r in got2.collect()} == {"insert"}
 
-    # rewrite between batches: the next micro-batch must fail loud
+    # rewrite between batches: since r12 the delete's write-time
+    # change rows stream — exactly the net deletes, typed
     T.delete_where(spark, t, "k = 3")
-    with pytest.raises(Exception, match="rewrite"):
-        run_once()
+    out3 = str(tmp_path / "out3")
+    run_once(out3)
+    rows = spark.read.parquet(out3 + "/part-*.parquet").collect()
+    assert len(rows) == 1
+    assert rows[0].k == 3 and rows[0]._change_type == "delete"
+    assert rows[0]._commit_version == 2
 
 
 def test_snap_change_stream_initial_load_skips_history_rewrites(
