@@ -2527,6 +2527,34 @@ def q_multimodal_audio_adpcm(
     )
 
 
+def q_multimodal_audio_adpcm_stereo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STEREO IMA/DVI ADPCM WAV sample decode: per-channel headers
+    (4 bytes each) and nibble words round-robin 4 bytes per channel —
+    the word de-interleave is the part a mono-only decoder gets
+    wrong. Channels carry independent state machines; the oracle's
+    recursive CTE replays both (one row per (asset, block, CHANNEL)
+    advancing in parallel)."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 10)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit(8000).cast("long").alias("sample_rate"),
+            (F.lit(1) + F.col("doc_id") % 3)
+            .cast("long")
+            .alias("n_blocks"),
+            (F.lit(16) + (F.col("doc_id") % 4) * 8)
+            .cast("long")
+            .alias("block_align"),
+        )
+    )
+    return M.decode_audio_pcm_stats(
+        M.synth_wav_ima_adpcm_assets(params, n_channels=2)
+    )
+
+
 def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel statistics (multimodal.decode_image_pixel_stats):
     deterministic 24-bit gradient BMPs synthesized from JVM-derived
@@ -9018,6 +9046,54 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                CAST(max(abs(pred)) AS BIGINT) AS peak
         FROM dec GROUP BY asset_id
     """
+    o["multimodal_audio_adpcm_stereo"] = f"""
+        WITH RECURSIVE steps(si, step) AS (VALUES {_steps_vals}),
+        itab(nn, di) AS (VALUES {_itab_vals}),
+        prm AS (
+          SELECT doc_id AS asset_id,
+                 1 + (doc_id % 3) AS n_blocks,
+                 16 + (doc_id % 4) * 8 AS align
+          FROM documents WHERE doc_id % 13 = 10
+        ),
+        blocks AS (
+          SELECT asset_id, b, ch,
+                 (37 * b + 11 * asset_id + 23 * ch) % 200 - 100
+                   AS pred0,
+                 (7 * b + asset_id + 3 * ch) % 89 AS idx0,
+                 align - 8 AS s_total
+          FROM prm,
+               UNNEST(range(n_blocks)) AS u(b),
+               UNNEST(range(2)) AS w(ch)
+        ),
+        dec(asset_id, b, ch, j, pred, idx, s_total) AS (
+          SELECT asset_id, b, ch, 0, pred0, idx0, s_total FROM blocks
+          UNION ALL
+          SELECT d.asset_id, d.b, d.ch, d.j + 1,
+                 GREATEST(-32768, LEAST(32767, d.pred +
+                   (CASE WHEN d.nib >= 8 THEN -1 ELSE 1 END) *
+                   ((st.step // 8)
+                    + CASE WHEN (d.nib % 8) >= 4
+                           THEN st.step ELSE 0 END
+                    + CASE WHEN (d.nib % 4) >= 2
+                           THEN st.step // 2 ELSE 0 END
+                    + CASE WHEN (d.nib % 2) = 1
+                           THEN st.step // 4 ELSE 0 END))),
+                 GREATEST(0, LEAST(88, d.idx + it.di)),
+                 d.s_total
+          FROM (SELECT *,
+                       CAST((3 * j + 2 * b + 5 * ch + asset_id) % 16
+                            AS INT) AS nib
+                FROM dec WHERE j < s_total) d
+          JOIN steps st ON st.si = d.idx
+          JOIN itab it ON it.nn = d.nib
+        )
+        SELECT asset_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(pred) AS BIGINT) AS sum_amp,
+               CAST(sum(pred * pred) AS BIGINT) AS sum_sq,
+               CAST(max(abs(pred)) AS BIGINT) AS peak
+        FROM dec GROUP BY asset_id
+    """
     o["multimodal_audio_pcm"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10894,6 +10970,7 @@ SPARK_QUERIES = {
     "snap_change_feed": q_snap_change_feed,
     "multimodal_vp8_lossy": q_multimodal_vp8_lossy,
     "stream_snap_cdf": q_stream_snap_cdf,
+    "multimodal_audio_adpcm_stereo": q_multimodal_audio_adpcm_stereo,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

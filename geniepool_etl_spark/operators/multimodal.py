@@ -710,40 +710,53 @@ def synth_wav_ima_adpcm_assets(
     rate_col: str = "sample_rate",
     blocks_col: str = "n_blocks",
     align_col: str = "block_align",
+    n_channels: int = 1,
 ) -> DataFrame:
-    """Synthesize REAL IMA/DVI ADPCM WAV payloads (format tag 0x11,
-    mono): block ``b`` carries header predictor ``(37·b + 11·asset)
-    % 200 − 100`` (which IS decoded sample 0 of the block), step
-    index ``(7·b + asset) % 89``, and nibble ``j`` of the block is
-    ``(3·j + 2·b + asset) % 16`` (low nibble of each byte first, per
-    spec). Every input to the decoder's state machine is therefore a
-    pure function of (asset_id, block_align, n_blocks), so an
-    external oracle can replay the EXACT recurrence — clamps, table
-    walks and all — without touching the bytes. Arrow
-    ``mapInPandas``; narrow."""
+    """Synthesize REAL IMA/DVI ADPCM WAV payloads (format tag 0x11):
+    block ``b``, channel ``c`` carries header predictor ``(37·b +
+    11·asset + 23·c) % 200 − 100`` (which IS decoded sample 0 of the
+    block), step index ``(7·b + asset + 3·c) % 89``, and the
+    channel's nibble ``j`` is ``(3·j + 2·b + 5·c + asset) % 16``
+    (low nibble of each byte first; nibble words interleave 4 bytes
+    per channel round-robin, per spec). Every input to the decoder's
+    state machine is a pure function of (asset_id, block_align,
+    n_blocks, channel), so an external oracle can replay the EXACT
+    recurrence — clamps, table walks, stereo word de-interleave and
+    all — without touching the bytes. Arrow ``mapInPandas``;
+    narrow."""
     import struct
 
     import numpy as np
 
+    nch = n_channels
+
     def one(aid: int, blocks: int, align: int) -> bytes:
         out = bytearray()
-        nbytes = align - 4
+        nwords = (align - 4 * nch) // 4  # total 4-byte nibble words
         for b_ in range(blocks):
-            pred = (37 * b_ + 11 * aid) % 200 - 100
-            idx = (7 * b_ + aid) % 89
-            out += struct.pack("<hBB", pred, idx, 0)
-            j = np.arange(nbytes * 2, dtype=np.int64)
-            nib = (3 * j + 2 * b_ + aid) % 16
-            out += (nib[0::2] | (nib[1::2] << 4)).astype(
-                np.uint8
-            ).tobytes()
+            for c in range(nch):
+                pred = (37 * b_ + 11 * aid + 23 * c) % 200 - 100
+                idx = (7 * b_ + aid + 3 * c) % 89
+                out += struct.pack("<hBB", pred, idx, 0)
+            # per-channel nibble bytes, then round-robin 4-byte words
+            ch_bytes = []
+            for c in range(nch):
+                nb = (nwords // nch) * 4
+                j = np.arange(nb * 2, dtype=np.int64)
+                nib = (3 * j + 2 * b_ + 5 * c + aid) % 16
+                ch_bytes.append(
+                    (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+                )
+            for w in range(nwords):
+                c, wc = w % nch, w // nch
+                out += ch_bytes[c][wc * 4 : wc * 4 + 4].tobytes()
         return bytes(out)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [
                 _wav_container(
-                    0x11, 1, int(rate), int(align), 4,
+                    0x11, nch, int(rate), int(align), 4,
                     one(int(aid), int(blocks), int(align)),
                 )
                 for aid, rate, blocks, align in zip(
