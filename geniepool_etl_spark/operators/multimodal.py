@@ -26,7 +26,8 @@ the full JPEG path), and lossy WebP KEY frames decode through the
 RFC 6386 machinery in ``operators/vp8.py`` (r12: boolean range
 coder, token trees, Y2/WHT + fixed-point IDCT, 16x16 intra). Work
 that needs true inter-frame/MDCT codecs (MP3/Ogg samples,
-H.26x/VP9/AV1 frames) — plus VP8 B_PRED/loop-filter (see vp8.py) —
+H.26x/VP9/AV1 frames) — plus VP8 B_PRED and the NORMAL loop filter
+(the SIMPLE one is implemented; see vp8.py) —
 remains behind ``NotImplementedError`` — those libraries are not
 available in this environment — with a deterministic byte-level
 feature extractor standing in. The Spark-side plumbing is real and tested
@@ -2948,7 +2949,8 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
     or bit-flipped chunks) yield null stats, never a dead stage.
     Color/progressive JPEG decode through the extended JPEG paths;
     lossy WebP (VP8 key frames) through ``operators/vp8.py`` (r12 —
-    B_PRED and non-zero loop filter stay the declared boundary)."""
+    incl. the SIMPLE loop filter; B_PRED and the NORMAL filter stay
+    the declared boundary)."""
     import struct
 
     import numpy as np

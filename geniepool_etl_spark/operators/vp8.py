@@ -24,10 +24,10 @@ documented here rather than papered over:
   mechanism is per spec, and encoder and decoder share one table
   module, so streams round-trip bit-exactly; swapping the constant
   tables for the RFC's is the only change libvpx interop would need.
-- Per-subblock intra (B_PRED) and a non-zero loop-filter level raise
-  ``NotImplementedError`` — the declared remaining boundary (our
-  encoder never emits either; real low-quality photos usually carry
-  a non-zero filter level).
+- Per-subblock intra (B_PRED) and the NORMAL loop filter raise
+  ``NotImplementedError`` — the declared remaining boundary. The
+  SIMPLE loop filter (filter_type 1, luma-only §15.1) IS implemented
+  and applied in the spec's macroblock raster order.
 
 The synth encoder emits flat-per-macroblock frames (16x16 DC_PRED,
 DC-only residuals through the full Y2/WHT path), so the decoded
@@ -508,15 +508,15 @@ def decode_frame(chunk: bytes):
     bd.literal(1)  # clamping type
     if bd.get(128):
         raise NotImplementedError("vp8: segmentation unsupported")
-    bd.literal(1)  # filter type
+    filter_type = bd.literal(1)  # 0 = normal, 1 = simple
     filter_level = bd.literal(6)
-    bd.literal(3)  # sharpness
+    sharpness = bd.literal(3)
     if bd.get(128):
         raise NotImplementedError("vp8: loop-filter deltas unsupported")
-    if filter_level != 0:
+    if filter_level != 0 and filter_type == 0:
         raise NotImplementedError(
-            "vp8: in-loop deblocking (filter level > 0) is the "
-            "declared boundary"
+            "vp8: the NORMAL loop filter is the declared boundary "
+            "(the SIMPLE filter is implemented)"
         )
     nparts = 1 << bd.literal(2)
     q_index = bd.literal(7)
@@ -678,6 +678,11 @@ def decode_frame(chunk: bytes):
             )
         if td.overread:
             raise ValueError("vp8: token partition truncated")
+    if filter_level != 0:
+        # SIMPLE in-loop deblocking (luma only), spec MB raster order
+        _simple_loop_filter(
+            Y, mb_rows, mb_cols, filter_level, sharpness, mbs
+        )
     return (
         w,
         h,
@@ -703,7 +708,8 @@ def _flat_mb_levels(r_y: int, r_u: int, r_v: int):
 
 
 def encode_flat_frame(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
-                      uvmode: int = _DC_PRED) -> bytes:
+                      uvmode: int = _DC_PRED, filter_level: int = 0,
+                      sharpness: int = 0) -> bytes:
     """Encode a VP8 KEY frame (the ``VP8 `` chunk bytes) whose every
     macroblock is a flat (Y, U, V) from ``mb_vals(mx, my) → (y, u,
     v)``: 16x16 DC_PRED + DC-only residuals through the full
@@ -750,9 +756,9 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
     hd.literal(0, 1)  # color space
     hd.literal(0, 1)  # clamping
     hd.put(0, 128)    # segmentation off
-    hd.literal(0, 1)  # filter type
-    hd.literal(0, 6)  # loop filter level 0
-    hd.literal(0, 3)  # sharpness
+    hd.literal(1, 1)  # filter type: SIMPLE
+    hd.literal(filter_level, 6)
+    hd.literal(sharpness, 3)
     hd.put(0, 128)    # no loop-filter deltas
     hd.literal(0, 2)  # one token partition
     hd.literal(_SYNTH_QI, 7)
@@ -831,11 +837,14 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
 
 
 def build_webp_vp8(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
-                   uvmode: int = _DC_PRED) -> bytes:
+                   uvmode: int = _DC_PRED, filter_level: int = 0,
+                   sharpness: int = 0) -> bytes:
     """Wrap :func:`encode_flat_frame` in a RIFF/WEBP container."""
     import struct
 
-    frame = encode_flat_frame(w, h, mb_vals, ymode, uvmode)
+    frame = encode_flat_frame(
+        w, h, mb_vals, ymode, uvmode, filter_level, sharpness
+    )
     chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
     if len(frame) % 2:
         chunk += b"\x00"
@@ -891,3 +900,81 @@ def vp8_pixel_sums(raw: bytes) -> tuple:
         int(g.sum()),
         int(b.sum()),
     )
+
+
+# -------------------------------------------------- simple loop filter
+
+def _simple_filter_edge(p1, p0, q0, q1, limit):
+    """RFC 6386 §15.1 simple-filter adjustment for one edge, numpy-
+    vectorized along it: signed arithmetic on (pixel − 128), the
+    2·|p0−q0| + |p1−q1|/2 ≤ limit mask, a = 3(q0−p0) + clamp(p1−q1),
+    then q0 −= clamp(a+4)>>3 and p0 += clamp(a+3)>>3. Returns the
+    adjusted (p0, q0) as int64 arrays."""
+    import numpy as np
+
+    c = lambda x: np.clip(x, -128, 127)  # noqa: E731
+    P1, P0 = p1.astype(np.int64) - 128, p0.astype(np.int64) - 128
+    Q0, Q1 = q0.astype(np.int64) - 128, q1.astype(np.int64) - 128
+    mask = (np.abs(P0 - Q0) * 2 + np.abs(P1 - Q1) // 2) <= limit
+    a = c(3 * (Q0 - P0) + c(P1 - Q1))
+    f = c(a + 4) >> 3
+    e = c(a + 3) >> 3
+    new_q0 = np.where(mask, c(Q0 - f), Q0) + 128
+    new_p0 = np.where(mask, c(P0 + e), P0) + 128
+    return new_p0, new_q0
+
+
+def _simple_loop_filter(Y, mb_rows, mb_cols, level, sharpness, mbs):
+    """Apply the VP8 SIMPLE loop filter (filter_type 1 — luma only)
+    in the spec's macroblock raster order: per MB, the left MB edge,
+    then the interior vertical edges at x+4/8/12, then the top MB
+    edge, then the interior horizontal edges — interior edges are
+    SKIPPED for a skipped whole-MB-prediction macroblock (it has no
+    residual discontinuities to smooth). Limits per §15.1:
+    interior = level (sharpness-shifted, min 1), MB edge =
+    (level+2)·2 + interior, subblock edge = level·2 + interior.
+    Mutates ``Y`` in place."""
+    interior = level
+    if sharpness:
+        interior >>= 2 if sharpness > 4 else 1
+        interior = min(interior, 9 - sharpness)
+    interior = max(1, interior)
+    mbedge = (level + 2) * 2 + interior
+    subedge = level * 2 + interior
+    for my in range(mb_rows):
+        for mx in range(mb_cols):
+            skip, ymode, _uv = mbs[my * mb_cols + mx]
+            x0, y0 = mx * 16, my * 16
+            filt_interior = not (skip and ymode != _B_PRED)
+            if mx > 0:  # left MB edge (vertical)
+                sl = Y[y0 : y0 + 16, :]
+                p0, q0 = _simple_filter_edge(
+                    sl[:, x0 - 2], sl[:, x0 - 1],
+                    sl[:, x0], sl[:, x0 + 1], mbedge,
+                )
+                sl[:, x0 - 1], sl[:, x0] = p0, q0
+            if filt_interior:
+                for dx in (4, 8, 12):
+                    sl = Y[y0 : y0 + 16, :]
+                    x = x0 + dx
+                    p0, q0 = _simple_filter_edge(
+                        sl[:, x - 2], sl[:, x - 1],
+                        sl[:, x], sl[:, x + 1], subedge,
+                    )
+                    sl[:, x - 1], sl[:, x] = p0, q0
+            if my > 0:  # top MB edge (horizontal)
+                sl = Y[:, x0 : x0 + 16]
+                p0, q0 = _simple_filter_edge(
+                    sl[y0 - 2, :], sl[y0 - 1, :],
+                    sl[y0, :], sl[y0 + 1, :], mbedge,
+                )
+                sl[y0 - 1, :], sl[y0, :] = p0, q0
+            if filt_interior:
+                for dy in (4, 8, 12):
+                    sl = Y[:, x0 : x0 + 16]
+                    y = y0 + dy
+                    p0, q0 = _simple_filter_edge(
+                        sl[y - 2, :], sl[y - 1, :],
+                        sl[y, :], sl[y + 1, :], subedge,
+                    )
+                    sl[y - 1, :], sl[y, :] = p0, q0

@@ -4532,6 +4532,39 @@ def test_vp8_lossy_roundtrip_and_poison(spark):
     assert got[1].sum_r is not None and got[2].sum_r is None
 
 
+def test_vp8_simple_loop_filter_reference_values():
+    """The SIMPLE in-loop deblocker (RFC 6386 §15.1): a d=13 step
+    across a MB edge passes the 2.5·d ≤ (level+2)·2+interior mask
+    and adjusts the edge pair by the a=3d+clamp(−d) taps (E=F=3); a
+    d=60 step is masked out; the filter is luma-only; sharpness
+    shrinks the interior limit enough to reject d=13 again. Vertical
+    and horizontal MB edges both covered."""
+    from geniepool_etl_spark.operators import vp8 as V
+
+    flat = lambda a, b, vert: (  # noqa: E731
+        lambda mx, my: (a if (mx if vert else my) == 0 else b,
+                        128, 128)
+    )
+    pay = V.build_webp_vp8(32, 16, flat(120, 133, True),
+                           filter_level=10)
+    _w, _h, Y, U, _V2 = V.decode_frame(pay[20:])
+    assert (Y[:, 15] == 123).all() and (Y[:, 16] == 130).all()
+    assert (Y[:, :15] == 120).all() and (Y[:, 17:] == 133).all()
+    assert (U == 128).all()  # luma-only
+    pay = V.build_webp_vp8(32, 16, flat(120, 180, True),
+                           filter_level=10)
+    _w, _h, Y, _U, _V2 = V.decode_frame(pay[20:])
+    assert (Y[:, 15] == 120).all() and (Y[:, 16] == 180).all()
+    pay = V.build_webp_vp8(16, 32, flat(120, 133, False),
+                           filter_level=10)
+    _w, _h, Y, _U, _V2 = V.decode_frame(pay[20:])
+    assert (Y[15, :] == 123).all() and (Y[16, :] == 130).all()
+    pay = V.build_webp_vp8(32, 16, flat(120, 133, True),
+                           filter_level=10, sharpness=5)
+    _w, _h, Y, _U, _V2 = V.decode_frame(pay[20:])
+    assert (Y[:, 15] == 120).all() and (Y[:, 16] == 133).all()
+
+
 def test_g711_and_ima_adpcm_wav_decode(spark):
     """r12 audio boundary narrowing: G.711 µ-law/a-law (format tags
     7/6) and IMA ADPCM (0x11) WAV payloads decode to exact sample
