@@ -3340,6 +3340,62 @@ def q_multimodal_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_pixel_stats(M.synth_tiff_gradient_assets(params))
 
 
+def q_multimodal_tiff_packbits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PackBits-COMPRESSED TIFF pixel decode (compression 32773 —
+    the fax/scan-corpus RLE profile): per-strip run/literal packets
+    (repeat headers 257−n, −128 no-ops) decompressed before the same
+    multi-strip walk, both byte orders. Compression is value-neutral,
+    so the oracle is the same closed-form gradient."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 12)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(9) + (F.col("doc_id") % 7) * 6)
+            .cast("long")
+            .alias("width"),
+            (F.lit(7) + (F.col("doc_id") % 6) * 7)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_tiff_gradient_assets(params, compression=32773)
+    )
+
+
+def q_multimodal_tiff_lzw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LZW-COMPRESSED TIFF pixel decode WITH the horizontal
+    predictor (compression 5 + predictor 2 — the pairing real TIFF
+    writers emit): MSB-first codes, 9→12-bit widths with the TIFF
+    early-change rule (lag-adjusted on the decode side), 4093-entry
+    table resets, per-strip streams; predictor-2 rows un-difference
+    per channel after decompression. Value-neutral by construction —
+    same closed-form gradient oracle."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 8)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(12) + (F.col("doc_id") % 5) * 9)
+            .cast("long")
+            .alias("width"),
+            (F.lit(8) + (F.col("doc_id") % 7) * 5)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_tiff_gradient_assets(
+            params, compression=5, predictor=2
+        )
+    )
+
+
 def q_multimodal_ppm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Netpbm P6 pixel decode (multimodal.synth_ppm_gradient_assets →
     decode_image_pixel_stats): binary PPM payloads — comment-bearing
@@ -9913,6 +9969,48 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                px.sum_r, px.sum_g, px.sum_b
         FROM prm JOIN px USING (asset_id)
     """
+    o["multimodal_tiff_packbits"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 9 + (doc_id % 7) * 6 AS w,
+                 7 + (doc_id % 6) * 7 AS h
+          FROM documents WHERE doc_id % 13 = 12
+        ),
+        px AS (
+          SELECT asset_id,
+                 CAST(sum((i % w + 2 * (i // w)) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((2 * (i % w) + i // w) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((i % w + i // w) % 256) AS BIGINT) AS sum_b
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               px.sum_r, px.sum_g, px.sum_b
+        FROM prm JOIN px USING (asset_id)
+    """
+    o["multimodal_tiff_lzw"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 12 + (doc_id % 5) * 9 AS w,
+                 8 + (doc_id % 7) * 5 AS h
+          FROM documents WHERE doc_id % 13 = 8
+        ),
+        px AS (
+          SELECT asset_id,
+                 CAST(sum((i % w + 2 * (i // w)) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((2 * (i % w) + i // w) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((i % w + i // w) % 256) AS BIGINT) AS sum_b
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               px.sum_r, px.sum_g, px.sum_b
+        FROM prm JOIN px USING (asset_id)
+    """
     o["multimodal_ppm_pixels"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -10971,6 +11069,8 @@ SPARK_QUERIES = {
     "multimodal_vp8_lossy": q_multimodal_vp8_lossy,
     "stream_snap_cdf": q_stream_snap_cdf,
     "multimodal_audio_adpcm_stereo": q_multimodal_audio_adpcm_stereo,
+    "multimodal_tiff_packbits": q_multimodal_tiff_packbits,
+    "multimodal_tiff_lzw": q_multimodal_tiff_lzw,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

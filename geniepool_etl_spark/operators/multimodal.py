@@ -4618,15 +4618,171 @@ def decode_video_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, VIDEO_META_SCHEMA)
 
 
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF compression 32773): repeat packets for
+    runs ≥ 3 (header 257−n, i.e. two's-complement 1−n), literal
+    packets (header n−1) otherwise, both capped at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure run
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal: until a ≥3 run starts or 128 bytes
+        lit = i
+        while (
+            j < n
+            and j - lit < 128
+            and not (
+                j + 2 < n and data[j] == data[j + 1] == data[j + 2]
+            )
+        ):
+            j += 1
+        out += bytes([j - lit - 1]) + data[lit:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """Inverse of :func:`_packbits_encode` (spec total: -128 headers
+    are no-ops; truncated packets raise)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        hdr = data[i]
+        i += 1
+        if hdr == 128:  # noop
+            continue
+        if hdr < 128:  # literal of hdr+1 bytes
+            if i + hdr + 1 > n:
+                raise ValueError("packbits: truncated literal")
+            out += data[i : i + hdr + 1]
+            i += hdr + 1
+        else:  # repeat next byte 257-hdr times
+            if i >= n:
+                raise ValueError("packbits: truncated run")
+            out += bytes([data[i]]) * (257 - hdr)
+            i += 1
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first bit packing,
+    ClearCode 256 / EOI 257, first dynamic code 258, 9→12-bit widths
+    with the TIFF EARLY CHANGE (width grows when the next code to be
+    assigned is 2^width − 1, one earlier than GIF), table reset at
+    4093."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)  # Clear
+    s = b""
+    for b in data:
+        t = s + bytes([b])
+        if t in table:
+            s = t
+            continue
+        emit(table[s], width)
+        table[t] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change
+        if next_code >= 4093:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        s = bytes([b])
+    if s:
+        emit(table[s], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """Inverse of :func:`_tiff_lzw_encode`: the standard LZW decode
+    loop with the TIFF early-change width rule; a code beyond the
+    table (other than the next-to-assign KwKwK case) raises."""
+    out = bytearray()
+    pos = nbits = acc = 0
+    n = len(data)
+
+    def read(width: int) -> int:
+        nonlocal pos, nbits, acc
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("tiff-lzw: truncated stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        v = (acc >> nbits) & ((1 << width) - 1)
+        return v
+
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+    while True:
+        code = read(width)
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            table = table[:258]
+            width, prev = 9, None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("tiff-lzw: bad first code")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+            table.append(table[prev] + entry[:1])
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+            table.append(entry)
+        else:
+            raise ValueError("tiff-lzw: code beyond table")
+        out += entry
+        prev = code
+        # the decoder's table lags the encoder's by one entry at read
+        # time, so it must widen one entry EARLIER than the encoder's
+        # 2^w−1 rule to read the next code at the width it was written
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1  # early change, lag-adjusted
+    return bytes(out)
+
+
 def _tiff_bytes(
-    w: int, h: int, big_endian: bool, rows_per_strip: int = 5
+    w: int, h: int, big_endian: bool, rows_per_strip: int = 5,
+    compression: int = 1, predictor: int = 1,
 ) -> bytes:
     """Build a REAL classic-TIFF file: header, raster strips, the
     external BitsPerSample/StripOffsets/StripByteCounts arrays, one
     IFD — uncompressed 8-bit RGB, chunky planar, canonical tag types
     (SHORT where the spec says SHORT, inline when ≤ 4 bytes). The
     gradient is the repo-wide closed form (R=(x+2y)%256, G=(2x+y)%256,
-    B=(x+y)%256) so oracles recompute every channel sum from (w, h)."""
+    B=(x+y)%256) so oracles recompute every channel sum from (w, h).
+    ``compression``: 1 none, 5 TIFF-LZW, 32773 PackBits — each strip
+    compressed independently per spec; ``predictor=2`` (horizontal
+    differencing, LZW's usual companion) differences each row per
+    channel before compression."""
     import struct
 
     import numpy as np
@@ -4637,12 +4793,21 @@ def _tiff_bytes(
     rgb = np.stack(
         [(x + 2 * y) % 256, (2 * x + y) % 256, (x + y) % 256], axis=-1
     ).astype(np.uint8)
-    raster = rgb.tobytes()
+    if predictor == 2:
+        d = rgb.astype(np.int64)
+        d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) % 256
+        raster = d.astype(np.uint8).tobytes()
+    else:
+        raster = rgb.tobytes()
     stride = w * 3
     strips = [
         raster[r * stride : min(r + rows_per_strip, h) * stride]
         for r in range(0, h, rows_per_strip)
     ]
+    if compression == 5:
+        strips = [_tiff_lzw_encode(s) for s in strips]
+    elif compression == 32773:
+        strips = [_packbits_encode(s) for s in strips]
     pos = 8
     offsets, counts = [], []
     for s in strips:
@@ -4669,7 +4834,7 @@ def _tiff_bytes(
         entry(256, 4, 1, w),                       # ImageWidth
         entry(257, 4, 1, h),                       # ImageLength
         entry(258, 3, 3, bits_off),                # BitsPerSample [8,8,8]
-        entry(259, 3, 1, 1),                       # Compression: none
+        entry(259, 3, 1, compression),             # Compression
         entry(262, 3, 1, 2),                       # Photometric: RGB
         entry(273, 4, n, so_off if n > 1 else offsets[0]),
         entry(277, 3, 1, 3),                       # SamplesPerPixel
@@ -4677,6 +4842,8 @@ def _tiff_bytes(
         entry(279, 4, n, sc_off if n > 1 else counts[0]),
         entry(284, 3, 1, 1),                       # PlanarConfig: chunky
     ]
+    if predictor != 1:
+        entries.append(entry(317, 3, 1, predictor))  # Predictor
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, ifd_off)
     for s in strips:
@@ -4698,17 +4865,26 @@ def synth_tiff_gradient_assets(
     id_col: str = "asset_id",
     width_col: str = "width",
     height_col: str = "height",
+    compression: int = 1,
+    predictor: int = 1,
 ) -> DataFrame:
-    """Synthesize real uncompressed-RGB TIFF payloads — multi-strip
+    """Synthesize real RGB TIFF payloads — multi-strip
     (RowsPerStrip=5, so strip walking is load-bearing), byte order
     alternating by asset id parity (even → II little-endian, odd →
-    MM big-endian, so BOTH endian paths are exercised). Arrow
-    ``mapInPandas``; narrow."""
+    MM big-endian, so BOTH endian paths are exercised).
+    ``compression`` 5 (TIFF-LZW) / 32773 (PackBits) compresses each
+    strip independently; ``predictor=2`` adds horizontal
+    differencing (LZW's usual companion) — both value-neutral, so
+    the closed-form oracle is unchanged. Arrow ``mapInPandas``;
+    narrow."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [
-                _tiff_bytes(int(w), int(h), big_endian=bool(int(a) % 2))
+                _tiff_bytes(
+                    int(w), int(h), big_endian=bool(int(a) % 2),
+                    compression=compression, predictor=predictor,
+                )
                 for a, w, h in zip(
                     pdf[id_col], pdf[width_col], pdf[height_col]
                 )
@@ -4778,9 +4954,12 @@ def _tiff_pixel_sums(raw: bytes) -> tuple:
     photo = values(262)[0]
     spp = values(277, default=1)[0]
     planar = values(284, default=1)[0]
+    predictor = values(317, default=1)[0]
     bits = values(258, default=8)
-    if comp != 1 or planar != 1:
-        raise ValueError("tiff: compressed/planar profile unsupported")
+    if comp not in (1, 5, 32773) or planar != 1:
+        raise ValueError("tiff: compression/planar profile unsupported")
+    if predictor not in (1, 2):
+        raise ValueError("tiff: unsupported predictor")
     if photo not in (1, 2) or any(b != 8 for b in bits):
         raise ValueError("tiff: unsupported photometric/bit depth")
     if (photo == 2) != (spp == 3) or w <= 0 or h <= 0:
@@ -4793,10 +4972,26 @@ def _tiff_pixel_sums(raw: bytes) -> tuple:
     for o, c in zip(offs, cnts):
         if o + c > len(raw):
             raise ValueError("tiff: truncated strip")
-        body += raw[o : o + c]
+        strip = raw[o : o + c]
+        # strips compress independently per spec (TIFF §Section 9/17)
+        if comp == 5:
+            strip = _tiff_lzw_decode(strip)
+        elif comp == 32773:
+            strip = _packbits_decode(strip)
+        body += strip
     need = w * h * spp
     if len(body) < need:
         raise ValueError("tiff: short raster")
+    if predictor == 2:
+        # horizontal differencing: cumulative sum per row per channel
+        rows_ = (
+            np.frombuffer(bytes(body), dtype=np.uint8, count=need)
+            .reshape(h, w, spp)
+            .astype(np.int64)
+        )
+        body = (
+            np.cumsum(rows_, axis=1) % 256
+        ).astype(np.uint8).tobytes()
     px = (
         np.frombuffer(bytes(body), dtype=np.uint8, count=need)
         .reshape(-1, spp)

@@ -4532,6 +4532,59 @@ def test_vp8_lossy_roundtrip_and_poison(spark):
     assert got[1].sum_r is not None and got[2].sum_r is None
 
 
+def test_tiff_packbits_and_lzw_decode():
+    """r12 compressed-TIFF decode: PackBits run/literal packets and
+    TIFF-LZW (MSB-first, early-change widths incl. the decoder's
+    one-entry lag adjustment, 4093-entry table resets) round-trip
+    randomized data exactly; the full container decodes the
+    closed-form gradient under every (compression, predictor,
+    endian) mix; truncated streams poison."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    rng = random.Random(5)
+    for _ in range(60):
+        n = rng.randint(0, 3000)
+        if rng.random() < 0.5:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        else:
+            data = b"".join(
+                bytes([rng.randrange(256)]) * rng.randint(1, 40)
+                for _ in range(max(1, n // 20))
+            )
+        assert M._packbits_decode(M._packbits_encode(data)) == data
+        assert M._tiff_lzw_decode(M._tiff_lzw_encode(data)) == data
+    # width growth to 12 bits + table reset crossing
+    big = bytes(rng.randrange(256) for _ in range(12000))
+    assert M._tiff_lzw_decode(M._tiff_lzw_encode(big)) == big
+    for w, h in [(7, 5), (33, 9)]:
+        i = np.arange(w * h)
+        x, y = i % w, i // w
+        exp = (
+            w * h,
+            int(((x + 2 * y) % 256).sum()),
+            int(((2 * x + y) % 256).sum()),
+            int(((x + y) % 256).sum()),
+        )
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                if pred == 2 and comp == 1:
+                    continue
+                for be in (False, True):
+                    raw = M._tiff_bytes(
+                        w, h, be, compression=comp, predictor=pred
+                    )
+                    assert M._tiff_pixel_sums(raw) == exp
+    with pytest.raises(ValueError):
+        M._tiff_lzw_decode(
+            M._tiff_lzw_encode(b"hello world" * 40)[:-8]
+        )
+    with pytest.raises(ValueError):
+        M._packbits_decode(b"\x05ab")  # literal shorter than header
+
+
 def test_vp8_simple_loop_filter_reference_values():
     """The SIMPLE in-loop deblocker (RFC 6386 §15.1): a d=13 step
     across a MB edge passes the 2.5·d ≤ (level+2)·2+interior mask
