@@ -3396,6 +3396,35 @@ def q_multimodal_tiff_lzw(
     )
 
 
+def q_multimodal_tiff_deflate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deflate-COMPRESSED TIFF pixel decode WITH the horizontal
+    predictor (compression 8 — the Adobe zlib profile modern writers
+    emit, + predictor 2): per-strip zlib streams inflated before the
+    multi-strip walk, predictor-2 rows un-differenced per channel,
+    both byte orders. Value-neutral by construction — same
+    closed-form gradient oracle."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 4)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(11) + (F.col("doc_id") % 6) * 8)
+            .cast("long")
+            .alias("width"),
+            (F.lit(10) + (F.col("doc_id") % 5) * 6)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_tiff_gradient_assets(
+            params, compression=8, predictor=2
+        )
+    )
+
+
 def q_multimodal_ppm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Netpbm P6 pixel decode (multimodal.synth_ppm_gradient_assets →
     decode_image_pixel_stats): binary PPM payloads — comment-bearing
@@ -10011,6 +10040,27 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                px.sum_r, px.sum_g, px.sum_b
         FROM prm JOIN px USING (asset_id)
     """
+    o["multimodal_tiff_deflate"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 11 + (doc_id % 6) * 8 AS w,
+                 10 + (doc_id % 5) * 6 AS h
+          FROM documents WHERE doc_id % 13 = 4
+        ),
+        px AS (
+          SELECT asset_id,
+                 CAST(sum((i % w + 2 * (i // w)) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((2 * (i % w) + i // w) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((i % w + i // w) % 256) AS BIGINT) AS sum_b
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               px.sum_r, px.sum_g, px.sum_b
+        FROM prm JOIN px USING (asset_id)
+    """
     o["multimodal_ppm_pixels"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -11071,6 +11121,7 @@ SPARK_QUERIES = {
     "multimodal_audio_adpcm_stereo": q_multimodal_audio_adpcm_stereo,
     "multimodal_tiff_packbits": q_multimodal_tiff_packbits,
     "multimodal_tiff_lzw": q_multimodal_tiff_lzw,
+    "multimodal_tiff_deflate": q_multimodal_tiff_deflate,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

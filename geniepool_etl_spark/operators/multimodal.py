@@ -4779,10 +4779,11 @@ def _tiff_bytes(
     (SHORT where the spec says SHORT, inline when ≤ 4 bytes). The
     gradient is the repo-wide closed form (R=(x+2y)%256, G=(2x+y)%256,
     B=(x+y)%256) so oracles recompute every channel sum from (w, h).
-    ``compression``: 1 none, 5 TIFF-LZW, 32773 PackBits — each strip
-    compressed independently per spec; ``predictor=2`` (horizontal
-    differencing, LZW's usual companion) differences each row per
-    channel before compression."""
+    ``compression``: 1 none, 5 TIFF-LZW, 8/32946 zlib-Deflate
+    (Adobe tag / legacy tag, identical streams), 32773 PackBits —
+    each strip compressed independently per spec; ``predictor=2``
+    (horizontal differencing, the usual LZW/Deflate companion)
+    differences each row per channel before compression."""
     import struct
 
     import numpy as np
@@ -4808,6 +4809,10 @@ def _tiff_bytes(
         strips = [_tiff_lzw_encode(s) for s in strips]
     elif compression == 32773:
         strips = [_packbits_encode(s) for s in strips]
+    elif compression in (8, 32946):
+        import zlib
+
+        strips = [zlib.compress(s) for s in strips]
     pos = 8
     offsets, counts = [], []
     for s in strips:
@@ -4901,12 +4906,15 @@ def synth_tiff_gradient_assets(
 
 
 def _tiff_pixel_sums(raw: bytes) -> tuple:
-    """Decode an uncompressed classic TIFF — 8-bit chunky RGB
-    (photometric 2) or grayscale (photometric 1, reported on all
-    three channels) — to exact per-channel integer sums. Both byte
-    orders; strips walked via StripOffsets/StripByteCounts (SHORT or
-    LONG, inline or external). Compression, planar-separate, tiled,
-    or non-8-bit profiles raise — the caller nulls the row out."""
+    """Decode a classic TIFF — 8-bit chunky RGB (photometric 2) or
+    grayscale (photometric 1, reported on all three channels) — to
+    exact per-channel integer sums. Both byte orders; strips walked
+    via StripOffsets/StripByteCounts (SHORT or LONG, inline or
+    external); compression 1 (none), 5 (TIFF-LZW), 8/32946
+    (zlib-Deflate), 32773 (PackBits), each strip independent, with
+    predictor 2 (horizontal differencing) undone after decompression.
+    Other compressions, planar-separate, tiled, or non-8-bit profiles
+    raise — the caller nulls the row out."""
     import struct
 
     import numpy as np
@@ -4956,7 +4964,7 @@ def _tiff_pixel_sums(raw: bytes) -> tuple:
     planar = values(284, default=1)[0]
     predictor = values(317, default=1)[0]
     bits = values(258, default=8)
-    if comp not in (1, 5, 32773) or planar != 1:
+    if comp not in (1, 5, 8, 32773, 32946) or planar != 1:
         raise ValueError("tiff: compression/planar profile unsupported")
     if predictor not in (1, 2):
         raise ValueError("tiff: unsupported predictor")
@@ -4978,6 +4986,13 @@ def _tiff_pixel_sums(raw: bytes) -> tuple:
             strip = _tiff_lzw_decode(strip)
         elif comp == 32773:
             strip = _packbits_decode(strip)
+        elif comp in (8, 32946):
+            import zlib
+
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error as exc:
+                raise ValueError(f"tiff: bad deflate strip: {exc}")
         body += strip
     need = w * h * spp
     if len(body) < need:

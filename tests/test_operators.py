@@ -4568,7 +4568,7 @@ def test_tiff_packbits_and_lzw_decode():
             int(((2 * x + y) % 256).sum()),
             int(((x + y) % 256).sum()),
         )
-        for comp in (1, 5, 32773):
+        for comp in (1, 5, 8, 32773, 32946):
             for pred in (1, 2):
                 if pred == 2 and comp == 1:
                     continue
@@ -4583,6 +4583,13 @@ def test_tiff_packbits_and_lzw_decode():
         )
     with pytest.raises(ValueError):
         M._packbits_decode(b"\x05ab")  # literal shorter than header
+    # a corrupt deflate strip poisons (ValueError, not zlib.error)
+    raw8 = M._tiff_bytes(9, 7, False, compression=8)
+    first_strip_at = 8
+    bad = bytearray(raw8)
+    bad[first_strip_at : first_strip_at + 2] = b"\x00\x00"
+    with pytest.raises(ValueError):
+        M._tiff_pixel_sums(bytes(bad))
 
 
 def test_vp8_simple_loop_filter_reference_values():
