@@ -2555,6 +2555,39 @@ def q_multimodal_audio_adpcm_stereo(
     )
 
 
+def q_multimodal_audio_msadpcm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STEREO MS-ADPCM WAV sample decode (multimodal.
+    synth_wav_ms_adpcm_assets → decode_audio_pcm_stats): format tag
+    2, two-tap adaptive prediction — per block and channel, a
+    predictor index picks a coefficient pair from the fmt-extension
+    table, the two int16 header samples are output frames 0/1, and
+    every nibble updates sample = clamp((s1·c1 + s2·c2) >> 8 +
+    signed_nibble·delta) with delta = max((adapt·delta) >> 8, 16).
+    Channels interleave PER NIBBLE (unlike IMA's 4-byte word
+    round-robin). The ORACLE replays the exact recurrence as a
+    recursive CTE over (asset, block, CHANNEL) with the coefficient
+    and adaptation tables as VALUES relations."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 2)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit(8000).cast("long").alias("sample_rate"),
+            (F.lit(1) + F.col("doc_id") % 3)
+            .cast("long")
+            .alias("n_blocks"),
+            (F.lit(20) + (F.col("doc_id") % 4) * 8)
+            .cast("long")
+            .alias("block_align"),
+        )
+    )
+    return M.decode_audio_pcm_stats(
+        M.synth_wav_ms_adpcm_assets(params, n_channels=2)
+    )
+
+
 def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel statistics (multimodal.decode_image_pixel_stats):
     deterministic 24-bit gradient BMPs synthesized from JVM-derived
@@ -9179,6 +9212,77 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                CAST(max(abs(pred)) AS BIGINT) AS peak
         FROM dec GROUP BY asset_id
     """
+    # MS-ADPCM: recursive-CTE replay of the two-tap adaptive-delta
+    # recurrence; coefficient pairs and the adaptation table ride as
+    # VALUES relations. (s1·c1 + s2·c2) >> 8 is an ARITHMETIC shift,
+    # i.e. floor division — hence floor(x / 256.0), not x // 256.
+    _ms_coef_vals = ", ".join(
+        f"({i}, {c1}, {c2})"
+        for i, (c1, c2) in enumerate(M._MS_COEFS)
+    )
+    _ms_adapt_vals = ", ".join(
+        f"({n}, {a})" for n, a in enumerate(M._MS_ADAPT)
+    )
+    o["multimodal_audio_msadpcm"] = f"""
+        WITH RECURSIVE coef(ci, c1, c2) AS (VALUES {_ms_coef_vals}),
+        adapt(nn, av) AS (VALUES {_ms_adapt_vals}),
+        prm AS (
+          SELECT doc_id AS asset_id,
+                 1 + (doc_id % 3) AS n_blocks,
+                 20 + (doc_id % 4) * 8 AS align
+          FROM documents WHERE doc_id % 13 = 2
+        ),
+        blocks AS (
+          SELECT asset_id, b, ch,
+                 (b + asset_id + ch) % 7 AS ci,
+                 16 + (11 * b + 7 * asset_id + 5 * ch) % 500 AS d0,
+                 (29 * b + 13 * asset_id + 17 * ch) % 2001 - 1000
+                   AS s1_0,
+                 (31 * b + 19 * asset_id + 23 * ch) % 2001 - 1000
+                   AS s2_0,
+                 align - 14 AS t_total
+          FROM prm,
+               UNNEST(range(n_blocks)) AS u(b),
+               UNNEST(range(2)) AS w(ch)
+        ),
+        dec(asset_id, b, ch, ci, j, s1, s2, d, cur, t_total) AS (
+          SELECT asset_id, b, ch, ci, 0, s1_0, s2_0, d0, s1_0,
+                 t_total
+          FROM blocks
+          UNION ALL
+          SELECT d.asset_id, d.b, d.ch, d.ci, d.j + 1,
+                 GREATEST(-32768, LEAST(32767,
+                   CAST(floor((d.s1 * c.c1 + d.s2 * c.c2) / 256.0)
+                        AS BIGINT)
+                   + (CASE WHEN d.nib >= 8 THEN d.nib - 16
+                           ELSE d.nib END) * d.d)),
+                 d.s1,
+                 GREATEST((a.av * d.d) // 256, 16),
+                 GREATEST(-32768, LEAST(32767,
+                   CAST(floor((d.s1 * c.c1 + d.s2 * c.c2) / 256.0)
+                        AS BIGINT)
+                   + (CASE WHEN d.nib >= 8 THEN d.nib - 16
+                           ELSE d.nib END) * d.d)),
+                 d.t_total
+          FROM (SELECT *,
+                       CAST((3 * j + 2 * b + 5 * ch + asset_id) % 16
+                            AS INT) AS nib
+                FROM dec WHERE j < t_total) d
+          JOIN coef c ON c.ci = d.ci
+          JOIN adapt a ON a.nn = d.nib
+        ),
+        samples AS (
+          SELECT asset_id, cur AS s FROM dec
+          UNION ALL
+          SELECT asset_id, s2_0 AS s FROM blocks
+        )
+        SELECT asset_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(s) AS BIGINT) AS sum_amp,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(max(abs(s)) AS BIGINT) AS peak
+        FROM samples GROUP BY asset_id
+    """
     o["multimodal_audio_pcm"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -11122,6 +11226,7 @@ SPARK_QUERIES = {
     "multimodal_tiff_packbits": q_multimodal_tiff_packbits,
     "multimodal_tiff_lzw": q_multimodal_tiff_lzw,
     "multimodal_tiff_deflate": q_multimodal_tiff_deflate,
+    "multimodal_audio_msadpcm": q_multimodal_audio_msadpcm,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

@@ -326,9 +326,8 @@ def decode_audio(payload: bytes) -> dict:
             # container arithmetic (r12; sample decode lives in
             # decode_audio_pcm_stats)
             try:
-                tag_, ch_, rate_, align_, _bits, data_ = _wav_fmt_data(
-                    bytes(payload)
-                )
+                (tag_, ch_, rate_, align_, _bits, _ext,
+                 data_) = _wav_fmt_data(bytes(payload))
             except ValueError:
                 tag_ = None
             if tag_ in (6, 7):
@@ -348,6 +347,21 @@ def decode_audio(payload: bytes) -> dict:
                 frames = (len(data_) // align_) * spb
                 return {
                     "format": "wav-adpcm",
+                    "n_channels": ch_,
+                    "sample_rate": rate_,
+                    "sample_width": 2,
+                    "n_frames": frames,
+                    "duration_ms": (
+                        frames * 1000 // rate_ if rate_ else None
+                    ),
+                }
+            if tag_ == 2 and align_ > 7 * ch_ and ch_ > 0:
+                # MS-ADPCM: 7-byte header per channel, 2 nibbles per
+                # body byte, plus the 2 header samples per channel
+                spb = (align_ - 7 * ch_) * 2 // ch_ + 2
+                frames = (len(data_) // align_) * spb
+                return {
+                    "format": "wav-msadpcm",
                     "n_channels": ch_,
                     "sample_rate": rate_,
                     "sample_width": 2,
@@ -645,16 +659,19 @@ def synth_wav_tone_assets(
 
 
 def _wav_container(fmt_tag: int, n_ch: int, rate: int,
-                   block_align: int, bits: int, data: bytes) -> bytes:
+                   block_align: int, bits: int, data: bytes,
+                   ext: bytes = b"") -> bytes:
     """Assemble a RIFF/WAVE container around one fmt + data chunk —
     the writer half for the non-PCM format tags the stdlib ``wave``
-    module cannot emit."""
+    module cannot emit. ``ext`` appends fmt extension bytes
+    (cbSize + payload — MS-ADPCM's samples-per-block + coefficient
+    table lives there)."""
     import struct
 
     fmt = struct.pack(
         "<HHIIHH", fmt_tag, n_ch, rate,
         rate * block_align, block_align, bits,
-    )
+    ) + ext
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -776,6 +793,96 @@ def synth_wav_ima_adpcm_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_wav_ms_adpcm_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    rate_col: str = "sample_rate",
+    blocks_col: str = "n_blocks",
+    align_col: str = "block_align",
+    n_channels: int = 1,
+) -> DataFrame:
+    """Synthesize REAL MS-ADPCM WAV payloads (format tag 2): block
+    ``b``, channel ``c`` carries header predictor index ``(b +
+    asset_id + c) % 7`` (into the 7 standard coefficient pairs,
+    written to the fmt extension per spec), initial delta ``16 +
+    (11·b + 7·asset + 5·c) % 500``, header samples ``samp1 = (29·b +
+    13·asset + 17·c) % 2001 − 1000`` and ``samp2 = (31·b + 19·asset +
+    23·c) % 2001 − 1000`` (both ARE decoded output frames 1 and 0),
+    and per-channel nibble ``j`` is ``(3·j + 2·b + 5·c + asset) %
+    16``. Nibbles pack HIGH-first, channels interleaving PER NIBBLE
+    (flat nibble ``k`` → channel ``k % n_ch``) — the interleave a
+    mono-only decoder gets wrong. Every decoder input is a pure
+    function of (asset_id, block_align, n_blocks, channel), so an
+    external oracle replays the exact adaptive-delta recurrence.
+    Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    import numpy as np
+
+    nch = n_channels
+
+    def one(aid: int, blocks: int, align: int) -> bytes:
+        out = bytearray()
+        body_bytes = align - 7 * nch
+        nnib = body_bytes * 2  # flat nibble count, k % nch = channel
+        for b_ in range(blocks):
+            hdr = bytearray()
+            for c in range(nch):
+                hdr.append((b_ + aid + c) % 7)
+            for c in range(nch):
+                hdr += struct.pack(
+                    "<h", 16 + (11 * b_ + 7 * aid + 5 * c) % 500
+                )
+            for c in range(nch):
+                hdr += struct.pack(
+                    "<h", (29 * b_ + 13 * aid + 17 * c) % 2001 - 1000
+                )
+            for c in range(nch):
+                hdr += struct.pack(
+                    "<h", (31 * b_ + 19 * aid + 23 * c) % 2001 - 1000
+                )
+            out += hdr
+            k = np.arange(nnib, dtype=np.int64)
+            c_of = k % nch
+            j_of = k // nch
+            nib = (3 * j_of + 2 * b_ + 5 * c_of + aid) % 16
+            out += (
+                (nib[0::2] << 4) | nib[1::2]
+            ).astype(np.uint8).tobytes()
+        return bytes(out)
+
+    spb_of = lambda align: (align - 7 * nch) * 2 // nch + 2  # noqa: E731
+    coef_ext = b"".join(
+        struct.pack("<hh", c1, c2) for c1, c2 in _MS_COEFS
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                _wav_container(
+                    2, nch, int(rate), int(align), 4,
+                    one(int(aid), int(blocks), int(align)),
+                    ext=struct.pack(
+                        "<HHH", 4 + 4 * len(_MS_COEFS),
+                        spb_of(int(align)), len(_MS_COEFS),
+                    ) + coef_ext,
+                )
+                for aid, rate, blocks, align in zip(
+                    pdf[id_col], pdf[rate_col], pdf[blocks_col],
+                    pdf[align_col],
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 PCM_STATS_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -790,14 +897,16 @@ PCM_STATS_SCHEMA = StructType(
 def _wav_fmt_data(raw: bytes) -> tuple:
     """Minimal RIFF/WAVE chunk walk for the NON-PCM format tags the
     stdlib ``wave`` module refuses (it only opens tag 1): returns
-    ``(fmt_tag, n_channels, sample_rate, block_align, bits, data)``.
-    Word-aligned chunk stepping per RIFF; missing fmt/data raise —
-    the caller nulls the row out."""
+    ``(fmt_tag, n_channels, sample_rate, block_align, bits, ext,
+    data)`` where ``ext`` is the fmt chunk's extension bytes past the
+    16 standard ones (cbSize + payload — MS-ADPCM keeps its
+    coefficient table there). Word-aligned chunk stepping per RIFF;
+    missing fmt/data raise — the caller nulls the row out."""
     import struct
 
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    fmt = data = None
+    fmt = data = ext = None
     at, end = 12, len(raw)
     while at + 8 <= end:
         tag = raw[at : at + 4]
@@ -807,13 +916,14 @@ def _wav_fmt_data(raw: bytes) -> tuple:
             raise ValueError("wav: truncated chunk")
         if tag == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            ext = bytes(body[16:])
         elif tag == b"data":
             data = body
         at += 8 + sz + (sz & 1)
     if fmt is None or data is None:
         raise ValueError("wav: missing fmt or data chunk")
     tag_, ch, rate, _bps, align, bits = fmt
-    return tag_, ch, rate, align, bits, data
+    return tag_, ch, rate, align, bits, ext, data
 
 
 def _g711_lut(law: str):
@@ -916,6 +1026,100 @@ def _ima_adpcm_pcm(data: bytes, n_ch: int, block_align: int):
     return out.ravel()
 
 
+_MS_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+    (392, -232),
+]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
+    230, 230, 230,
+]
+
+
+def _ms_adpcm_pcm(data: bytes, n_ch: int, block_align: int,
+                  coefs: list):
+    """Decode an MS-ADPCM (WAVE format tag 2) data chunk to the full
+    int64 sample array. Each block: per-channel predictor index
+    bytes, then int16 LE initial delta / samp1 / samp2 per channel
+    (7·n_ch header bytes; samp2 and samp1 ARE output frames 0 and 1),
+    then 4-bit codes HIGH nibble first, channels interleaved per
+    nibble. The recurrence — predict = (samp1·c1 + samp2·c2) >> 8,
+    sample = clamp(predict + signed_nibble·delta), delta =
+    max((adapt[nibble]·delta) >> 8, 16) — is sequential within a
+    block; numpy advances every (block, channel) lane at once, the
+    same scale shape as :func:`_ima_adpcm_pcm`. Partial blocks,
+    out-of-table predictor indices, or a nibble count not divisible
+    by the channel count raise — the caller nulls the row out."""
+    import numpy as np
+
+    hdr_len = 7 * n_ch
+    if block_align <= hdr_len or n_ch < 1:
+        raise ValueError("ms-adpcm: bad block alignment")
+    if (block_align - hdr_len) * 2 % n_ch != 0:
+        raise ValueError("ms-adpcm: nibbles not channel-divisible")
+    if len(data) == 0 or len(data) % block_align != 0:
+        raise ValueError("ms-adpcm: partial trailing block")
+    nb = len(data) // block_align
+    buf = np.frombuffer(data, dtype=np.uint8).reshape(nb, block_align)
+    arr = buf.astype(np.int64)
+    pred_idx = arr[:, :n_ch]
+    if int(pred_idx.max(initial=0)) >= len(coefs):
+        raise ValueError("ms-adpcm: predictor index out of table")
+
+    def i16(base: int) -> "np.ndarray":
+        v = np.stack(
+            [arr[:, base + 2 * c] | (arr[:, base + 2 * c + 1] << 8)
+             for c in range(n_ch)], axis=1,
+        )
+        return v - (v >= 1 << 15) * (1 << 16)
+
+    delta = i16(n_ch)
+    samp1 = i16(3 * n_ch)
+    samp2 = i16(5 * n_ch)
+    if int(delta.min(initial=0)) < 0:
+        raise ValueError("ms-adpcm: negative initial delta")
+    body = buf[:, hdr_len:]
+    nf = np.empty((nb, body.shape[1] * 2), dtype=np.int64)
+    nf[:, 0::2] = body >> 4  # HIGH nibble first per spec
+    nf[:, 1::2] = body & 0x0F
+    T = nf.shape[1] // n_ch
+    nib = nf.reshape(nb, T, n_ch).transpose(0, 2, 1)
+    ctab = np.array(coefs, dtype=np.int64)
+    c1 = ctab[pred_idx, 0]
+    c2 = ctab[pred_idx, 1]
+    adapt = np.array(_MS_ADAPT, dtype=np.int64)
+    out = np.empty((nb, n_ch, T + 2), dtype=np.int64)
+    out[:, :, 0] = samp2
+    out[:, :, 1] = samp1
+    for t in range(T):
+        n = nib[:, :, t]
+        sgn = n - ((n >= 8) * 16)
+        p = (samp1 * c1 + samp2 * c2) >> 8
+        smp = np.clip(p + sgn * delta, -32768, 32767)
+        delta = np.maximum((adapt[n] * delta) >> 8, 16)
+        samp2 = samp1
+        samp1 = smp
+        out[:, :, t + 2] = smp
+    return out.ravel()
+
+
+def _ms_adpcm_coefs(ext: bytes) -> list:
+    """Parse the MS-ADPCM fmt extension: cbSize, wSamplesPerBlock,
+    wNumCoef, then wNumCoef signed (c1, c2) pairs. Truncated or
+    empty tables raise — the caller nulls the row out."""
+    import struct
+
+    if ext is None or len(ext) < 6:
+        raise ValueError("ms-adpcm: missing fmt extension")
+    (_cb, _spb, ncoef) = struct.unpack_from("<HHH", ext, 0)
+    if ncoef < 1 or 6 + 4 * ncoef > len(ext):
+        raise ValueError("ms-adpcm: truncated coefficient table")
+    return [
+        struct.unpack_from("<hh", ext, 6 + 4 * i)
+        for i in range(ncoef)
+    ]
+
+
 def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
     """REAL PCM sample work — the lane that used to be the documented
     "pixel/PCM boundary": decode every sample of each PCM WAV payload
@@ -935,9 +1139,11 @@ def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
     decode through :func:`_flac_pcm_sums` (CONSTANT/VERBATIM
     subframes, CRC-verified frames). Telephony/game-corpus WAV
     variants decode for real too (r12): G.711 µ-law / a-law (format
-    tags 7 / 6 — stateless 256-entry expansion LUTs) and IMA/DVI
+    tags 7 / 6 — stateless 256-entry expansion LUTs), IMA/DVI
     ADPCM (tag 0x11 — block-headed 4-bit predictive, decoded
-    cross-block-vectorized by :func:`_ima_adpcm_pcm`). MP3/Ogg audio
+    cross-block-vectorized by :func:`_ima_adpcm_pcm`), and MS-ADPCM
+    (tag 2 — two-tap adaptive prediction with the in-file
+    coefficient table, :func:`_ms_adpcm_pcm`). MP3/Ogg audio
     frames and FLAC's predicted (FIXED/LPC) subframes remain the
     entropy-codec boundary."""
     import io
@@ -959,9 +1165,20 @@ def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
                         rows["peak"].append(pk_)
                         continue
                     if raw0[:4] == b"RIFF" and raw0[8:12] == b"WAVE":
-                        tag_, ch_, _rate, align_, _bits, data_ = (
-                            _wav_fmt_data(raw0)
-                        )
+                        (tag_, ch_, _rate, align_, _bits, ext_,
+                         data_) = _wav_fmt_data(raw0)
+                        if tag_ == 2:  # MS-ADPCM
+                            a = _ms_adpcm_pcm(
+                                data_, ch_, align_,
+                                _ms_adpcm_coefs(ext_),
+                            )
+                            rows["n_samples"].append(len(a))
+                            rows["sum_amp"].append(int(a.sum()))
+                            rows["sum_sq"].append(int((a * a).sum()))
+                            rows["peak"].append(
+                                int(np.abs(a).max()) if len(a) else 0
+                            )
+                            continue
                         if tag_ in (6, 7):  # G.711 a-law / µ-law
                             lut = _g711_lut(
                                 "ulaw" if tag_ == 7 else "alaw"

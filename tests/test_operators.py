@@ -4695,6 +4695,109 @@ def test_g711_and_ima_adpcm_wav_decode(spark):
     assert len(out_st) == 2 * (1 + 8)  # header + 8 nibbles per channel
 
 
+def test_ms_adpcm_wav_decode(spark):
+    """MS-ADPCM (format tag 2, r12): the vectorized decoder matches a
+    straight-Python reference walk on randomized mono and stereo
+    blocks (two-tap prediction, adaptive delta, per-nibble channel
+    interleave, clamps); the full WAV decodes through the Spark lane
+    with the coefficient table read from the fmt EXTENSION; poison
+    (predictor index past the table, partial block, truncated
+    extension) nulls the row."""
+    import struct
+
+    import numpy as np
+
+    def ref_decode(data, nch, align, coefs):
+        out = []
+        for b in range(len(data) // align):
+            blk = data[b * align : (b + 1) * align]
+            pidx = list(blk[:nch])
+            d = [struct.unpack_from("<h", blk, nch + 2 * c)[0]
+                 for c in range(nch)]
+            s1 = [struct.unpack_from("<h", blk, 3 * nch + 2 * c)[0]
+                  for c in range(nch)]
+            s2 = [struct.unpack_from("<h", blk, 5 * nch + 2 * c)[0]
+                  for c in range(nch)]
+            chans = [[s2[c], s1[c]] for c in range(nch)]
+            nibs = []
+            for byte in blk[7 * nch :]:
+                nibs += [byte >> 4, byte & 0xF]
+            for k, n in enumerate(nibs):
+                c = k % nch
+                c1, c2 = coefs[pidx[c]]
+                sgn = n - 16 if n >= 8 else n
+                smp = max(-32768, min(
+                    32767,
+                    ((s1[c] * c1 + s2[c] * c2) >> 8) + sgn * d[c],
+                ))
+                d[c] = max((M._MS_ADAPT[n] * d[c]) >> 8, 16)
+                s2[c], s1[c] = s1[c], smp
+                chans[c].append(smp)
+            for c in range(nch):
+                out += chans[c]
+        return out
+
+    rng = np.random.default_rng(11)
+    for nch in (1, 2):
+        for _ in range(15):
+            nb = int(rng.integers(1, 4))
+            align = 7 * nch + int(rng.integers(4, 20))
+            data = bytearray()
+            for b in range(nb):
+                for c in range(nch):
+                    data.append(int(rng.integers(0, 7)))
+                for _c in range(nch):
+                    data += struct.pack(
+                        "<h", int(rng.integers(16, 1000))
+                    )
+                for _c in range(2 * nch):
+                    data += struct.pack(
+                        "<h", int(rng.integers(-5000, 5000))
+                    )
+                data += bytes(
+                    rng.integers(0, 256, align - 7 * nch).astype(
+                        np.uint8
+                    )
+                )
+            got = M._ms_adpcm_pcm(
+                bytes(data), nch, align, M._MS_COEFS
+            )
+            assert sorted(got.tolist()) == sorted(
+                ref_decode(bytes(data), nch, align, M._MS_COEFS)
+            )
+    # through the Spark lane, coefficient table in the fmt extension
+    ext = struct.pack("<HHH", 32, (align - 7 * nch) * 2 // nch + 2, 7)
+    ext += b"".join(
+        struct.pack("<hh", c1, c2) for c1, c2 in M._MS_COEFS
+    )
+    wav = M._wav_container(2, nch, 8000, align, 4, bytes(data), ext)
+    meta = M.decode_audio(wav)
+    assert meta["format"] == "wav-msadpcm"
+    assert meta["n_frames"] == nb * ((align - 7 * nch) * 2 // nch + 2)
+    bad_pred = bytearray(data)
+    bad_pred[0] = 9  # past the 7-entry table
+    bad1 = M._wav_container(2, nch, 8000, align, 4, bytes(bad_pred), ext)
+    bad2 = M._wav_container(2, nch, 8000, align, 4, bytes(data)[:-3], ext)
+    bad3 = M._wav_container(2, nch, 8000, align, 4, bytes(data), b"\x04\x00")
+    assets = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav"),
+         (2, bytearray(bad1), "audio/wav"),
+         (3, bytearray(bad2), "audio/wav"),
+         (4, bytearray(bad3), "audio/wav")],
+        "asset_id long, payload binary, media_type string",
+    )
+    got_rows = {r.asset_id: r
+                for r in M.decode_audio_pcm_stats(assets).collect()}
+    exp = M._ms_adpcm_pcm(bytes(data), nch, align, M._MS_COEFS)
+    assert (got_rows[1].n_samples, got_rows[1].sum_amp,
+            got_rows[1].sum_sq, got_rows[1].peak) == (
+        len(exp), int(exp.sum()), int((exp * exp).sum()),
+        int(np.abs(exp).max()),
+    )
+    for aid in (2, 3, 4):
+        assert got_rows[aid].n_samples is None
+
+
 def test_synth_netpbm16_and_palette_bmp_roundtrip():
     """The r12 synth generators behind the contract lanes: 16-bit P6
     payloads and paletted BMPs must decode to the closed-form channel
