@@ -2588,6 +2588,58 @@ def q_multimodal_audio_msadpcm(
     )
 
 
+def q_multimodal_audio_au(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sun/NeXT .au sample decode (multimodal.synth_au_assets →
+    decode_audio_pcm_stats): 24-byte big-endian header walked by
+    hand (the stdlib ``sunau`` module is gone in 3.13), encodings
+    mixed per row — µ-law (1, through the same G.711 expansion the
+    WAV lane pins) and linear-16 big-endian (3). The oracle branches
+    on the encoding: the µ-law closed form for even assets, direct
+    sample arithmetic for odd."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 1)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit(8000).cast("long").alias("sample_rate"),
+            (F.lit(40) + (F.col("doc_id") % 9) * 25)
+            .cast("long")
+            .alias("n_frames"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+            .otherwise(F.lit(3))
+            .cast("long")
+            .alias("encoding"),
+        )
+    )
+    return M.decode_audio_pcm_stats(M.synth_au_assets(params))
+
+
+def q_multimodal_audio_aiff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AIFF sample decode (multimodal.synth_aiff_assets →
+    decode_audio_pcm_stats): FORM/AIFF IFF walk, COMM with the
+    80-bit EXTENDED-FLOAT sample rate (encoded and decoded for
+    real), SSND offset honored, 16-bit big-endian PCM. Closed-form
+    sample oracle."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 0)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(8000) + (F.col("doc_id") % 3) * 11025)
+            .cast("long")
+            .alias("sample_rate"),
+            (F.lit(30) + (F.col("doc_id") % 11) * 20)
+            .cast("long")
+            .alias("n_frames"),
+        )
+    )
+    return M.decode_audio_pcm_stats(M.synth_aiff_assets(params))
+
+
 def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel statistics (multimodal.decode_image_pixel_stats):
     deterministic 24-bit gradient BMPs synthesized from JVM-derived
@@ -9283,6 +9335,56 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                CAST(max(abs(s)) AS BIGINT) AS peak
         FROM samples GROUP BY asset_id
     """
+    o["multimodal_audio_au"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 40 + (doc_id % 9) * 25 AS frames,
+                 CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS enc
+          FROM documents WHERE doc_id % 13 = 1
+        ),
+        samp AS (
+          SELECT asset_id, enc, i,
+                 CAST((5 * i + asset_id) % 256 AS INT) AS b
+          FROM prm, UNNEST(range(frames)) AS u(i)
+        ),
+        dec AS (
+          SELECT asset_id,
+            CASE WHEN enc = 1 THEN
+              CASE WHEN (255 - b) >= 128
+                THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                            << (((255 - b) // 16) % 8))
+                ELSE ((((255 - b) % 16) * 8 + 132)
+                      << (((255 - b) // 16) % 8)) - 132
+              END
+            ELSE (7 * i + 3 * asset_id) % 4001 - 2000
+            END AS s
+          FROM samp
+        )
+        SELECT asset_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(s) AS BIGINT) AS sum_amp,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(max(abs(s)) AS BIGINT) AS peak
+        FROM dec GROUP BY asset_id
+    """
+    o["multimodal_audio_aiff"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 30 + (doc_id % 11) * 20 AS frames
+          FROM documents WHERE doc_id % 13 = 0
+        ),
+        dec AS (
+          SELECT asset_id,
+                 (11 * i + 5 * asset_id) % 4001 - 2000 AS s
+          FROM prm, UNNEST(range(frames)) AS u(i)
+        )
+        SELECT asset_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(s) AS BIGINT) AS sum_amp,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(max(abs(s)) AS BIGINT) AS peak
+        FROM dec GROUP BY asset_id
+    """
     o["multimodal_audio_pcm"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -11227,6 +11329,8 @@ SPARK_QUERIES = {
     "multimodal_tiff_lzw": q_multimodal_tiff_lzw,
     "multimodal_tiff_deflate": q_multimodal_tiff_deflate,
     "multimodal_audio_msadpcm": q_multimodal_audio_msadpcm,
+    "multimodal_audio_au": q_multimodal_audio_au,
+    "multimodal_audio_aiff": q_multimodal_audio_aiff,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

@@ -392,7 +392,133 @@ def decode_audio(payload: bytes) -> dict:
         return _parse_flac(payload)
     if payload[:4] == b"OggS":
         return _parse_ogg(payload)
+    if payload[:4] == b".snd":
+        return _parse_au(payload)
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return _parse_aiff(payload)
     raise ValueError("unrecognized audio container")
+
+
+_AU_ENCODINGS = {1: ("au-ulaw", 1), 2: ("au-pcm8", 1),
+                 3: ("au-pcm16", 2), 27: ("au-alaw", 1)}
+
+
+def _parse_au(payload: bytes) -> dict:
+    """Real Sun/NeXT audio (.au/.snd) header parse — the stdlib
+    ``sunau`` module is gone in 3.13, so this walks the 24-byte
+    big-endian header by hand: magic, data offset, data size
+    (0xFFFFFFFF = unknown → rest of file), encoding, sample rate,
+    channels. Supported encodings: 1 µ-law, 2 linear-8, 3 linear-16
+    BE, 27 a-law — the telephony/legacy-corpus set this repo's G.711
+    tables already cover."""
+    import struct
+
+    if len(payload) < 24:
+        raise ValueError("au: truncated header")
+    off, dsize, enc, rate, ch = struct.unpack_from(">IIIII", payload, 4)
+    if off < 24 or off > len(payload) or ch < 1 or rate < 1:
+        raise ValueError("au: bad header fields")
+    if enc not in _AU_ENCODINGS:
+        raise ValueError(f"au: unsupported encoding {enc}")
+    name, width = _AU_ENCODINGS[enc]
+    avail = len(payload) - off
+    n = avail if dsize == 0xFFFFFFFF else min(dsize, avail)
+    frames = n // (width * ch)
+    return {
+        "format": name,
+        "n_channels": ch,
+        "sample_rate": rate,
+        "sample_width": width,
+        "n_frames": frames,
+        "duration_ms": frames * 1000 // rate,
+    }
+
+
+def _f80_rate(ext: bytes) -> int:
+    """Decode an 80-bit IEEE 754 extended float (AIFF COMM sample
+    rate) to an integer Hz value: 15-bit biased exponent, explicit-
+    leading-1 64-bit mantissa. Non-integral or out-of-range rates
+    raise — audio sample rates are integers in practice."""
+    import struct
+
+    if len(ext) != 10:
+        raise ValueError("aiff: bad extended-float length")
+    (se, m) = struct.unpack(">HQ", ext)
+    if se & 0x8000 or m == 0:
+        raise ValueError("aiff: negative/zero sample rate")
+    shift = 16383 + 63 - (se & 0x7FFF)
+    if not 0 <= shift < 64 or (m & ((1 << shift) - 1)):
+        raise ValueError("aiff: non-integer sample rate")
+    return m >> shift
+
+
+def _f80_bytes(n: int) -> bytes:
+    """Encode a positive integer as the 80-bit extended float AIFF
+    writers put in COMM — exponent 16383+bitlen−1, mantissa shifted
+    to the explicit-leading-1 top bit."""
+    import struct
+
+    if n <= 0:
+        raise ValueError("rate must be positive")
+    bl = n.bit_length()
+    return struct.pack(">HQ", 16383 + bl - 1, n << (64 - bl))
+
+
+def _parse_aiff(payload: bytes) -> dict:
+    """Real AIFF parse — FORM/AIFF IFF chunk walk (big-endian,
+    word-aligned) to the COMM chunk: channels, sample frames, sample
+    size, and the 80-bit extended-float sample rate. The stdlib
+    ``aifc`` module is deprecated-for-removal; this does the walk by
+    hand. Missing COMM raises — the caller nulls the row out."""
+    import struct
+
+    at, end = 12, len(payload)
+    while at + 8 <= end:
+        tag = payload[at : at + 4]
+        (sz,) = struct.unpack_from(">I", payload, at + 4)
+        body = payload[at + 8 : at + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("aiff: truncated chunk")
+        if tag == b"COMM":
+            if sz < 18:
+                raise ValueError("aiff: short COMM")
+            ch, frames, bits = struct.unpack_from(">HIH", body, 0)
+            rate = _f80_rate(body[8:18])
+            if ch < 1 or bits % 8 or not 8 <= bits <= 32:
+                raise ValueError("aiff: bad COMM fields")
+            return {
+                "format": "aiff",
+                "n_channels": ch,
+                "sample_rate": rate,
+                "sample_width": bits // 8,
+                "n_frames": frames,
+                "duration_ms": frames * 1000 // rate,
+            }
+        at += 8 + sz + (sz & 1)
+    raise ValueError("aiff: missing COMM chunk")
+
+
+def _aiff_ssnd(payload: bytes) -> bytes:
+    """Return the SSND chunk's sample bytes (after its offset and
+    blockSize fields, honoring the offset). Missing SSND raises."""
+    import struct
+
+    at, end = 12, len(payload)
+    while at + 8 <= end:
+        tag = payload[at : at + 4]
+        (sz,) = struct.unpack_from(">I", payload, at + 4)
+        body = payload[at + 8 : at + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("aiff: truncated chunk")
+        if tag == b"SSND":
+            if sz < 8:
+                raise ValueError("aiff: short SSND")
+            (off,) = struct.unpack_from(">I", body, 0)
+            if 8 + off > sz:
+                raise ValueError("aiff: SSND offset past chunk")
+            return bytes(body[8 + off :])
+        at += 8 + sz + (sz & 1)
+    raise ValueError("aiff: missing SSND chunk")
 
 
 def _parse_ogg(payload: bytes) -> dict:
@@ -883,6 +1009,107 @@ def synth_wav_ms_adpcm_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_au_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    rate_col: str = "sample_rate",
+    frames_col: str = "n_frames",
+    enc_col: str = "encoding",
+) -> DataFrame:
+    """Synthesize REAL Sun/NeXT .au payloads: 24-byte big-endian
+    header + data. Encoding per row (1 µ-law, 3 linear-16 BE); µ-law
+    byte ``i`` is ``(5·i + asset_id) % 256`` (the same closed form as
+    the G.711 WAV lane), linear-16 sample ``i`` is ``(7·i + 3·asset)
+    % 4001 − 2000``. Mono. Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    import numpy as np
+
+    def one(aid: int, rate: int, frames: int, enc: int) -> bytes:
+        if enc == 1:
+            i = np.arange(frames, dtype=np.int64)
+            data = ((5 * i + aid) % 256).astype(np.uint8).tobytes()
+        else:
+            i = np.arange(frames, dtype=np.int64)
+            data = (
+                ((7 * i + 3 * aid) % 4001 - 2000)
+                .astype(">i2").tobytes()
+            )
+        return (
+            b".snd"
+            + struct.pack(">IIIII", 24, len(data), enc, rate, 1)
+            + data
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(aid), int(rate), int(frames), int(enc))
+                for aid, rate, frames, enc in zip(
+                    pdf[id_col], pdf[rate_col], pdf[frames_col],
+                    pdf[enc_col],
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/basic",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_aiff_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    rate_col: str = "sample_rate",
+    frames_col: str = "n_frames",
+) -> DataFrame:
+    """Synthesize REAL AIFF payloads: FORM/AIFF with a COMM chunk
+    (mono, 16-bit, the sample rate written as a REAL 80-bit extended
+    float) and an SSND chunk (offset 0). Sample ``i`` is ``(11·i +
+    5·asset_id) % 4001 − 2000`` big-endian. Arrow ``mapInPandas``;
+    narrow."""
+    import struct
+
+    import numpy as np
+
+    def one(aid: int, rate: int, frames: int) -> bytes:
+        i = np.arange(frames, dtype=np.int64)
+        data = (
+            ((11 * i + 5 * aid) % 4001 - 2000).astype(">i2").tobytes()
+        )
+        comm = struct.pack(">HIH", 1, frames, 16) + _f80_bytes(rate)
+        ssnd = struct.pack(">II", 0, 0) + data
+        body = (
+            b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+            + (b"\x00" if len(ssnd) % 2 else b"")
+        )
+        return b"FORM" + struct.pack(">I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(aid), int(rate), int(frames))
+                for aid, rate, frames in zip(
+                    pdf[id_col], pdf[rate_col], pdf[frames_col]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/aiff",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 PCM_STATS_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -1163,6 +1390,62 @@ def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
                         rows["sum_amp"].append(s_)
                         rows["sum_sq"].append(s2_)
                         rows["peak"].append(pk_)
+                        continue
+                    if raw0[:4] == b".snd":
+                        import struct as _st
+
+                        off_, dsz_, enc_ = _st.unpack_from(
+                            ">III", raw0, 4
+                        )
+                        if enc_ not in _AU_ENCODINGS or off_ < 24:
+                            raise ValueError("au: unsupported")
+                        avail_ = len(raw0) - off_
+                        n_ = (avail_ if dsz_ == 0xFFFFFFFF
+                              else min(dsz_, avail_))
+                        data_ = raw0[off_ : off_ + n_]
+                        if enc_ in (1, 27):
+                            lut = _g711_lut(
+                                "ulaw" if enc_ == 1 else "alaw"
+                            )
+                            a = lut[np.frombuffer(data_, np.uint8)]
+                        elif enc_ == 2:  # AU linear-8 is SIGNED
+                            a = np.frombuffer(data_, np.int8).astype(
+                                np.int64
+                            )
+                        else:  # linear-16 big-endian
+                            a = np.frombuffer(
+                                data_[: len(data_) // 2 * 2], ">i2"
+                            ).astype(np.int64)
+                        rows["n_samples"].append(len(a))
+                        rows["sum_amp"].append(int(a.sum()))
+                        rows["sum_sq"].append(int((a * a).sum()))
+                        rows["peak"].append(
+                            int(np.abs(a).max()) if len(a) else 0
+                        )
+                        continue
+                    if (raw0[:4] == b"FORM"
+                            and raw0[8:12] == b"AIFF"):
+                        meta_ = _parse_aiff(raw0)
+                        data_ = _aiff_ssnd(raw0)
+                        wd_ = meta_["sample_width"]
+                        if wd_ == 1:  # AIFF 8-bit PCM is SIGNED
+                            a = np.frombuffer(data_, np.int8).astype(
+                                np.int64
+                            )
+                        elif wd_ == 2:
+                            a = np.frombuffer(
+                                data_[: len(data_) // 2 * 2], ">i2"
+                            ).astype(np.int64)
+                        else:
+                            raise ValueError(
+                                "aiff: unsupported sample width"
+                            )
+                        rows["n_samples"].append(len(a))
+                        rows["sum_amp"].append(int(a.sum()))
+                        rows["sum_sq"].append(int((a * a).sum()))
+                        rows["peak"].append(
+                            int(np.abs(a).max()) if len(a) else 0
+                        )
                         continue
                     if raw0[:4] == b"RIFF" and raw0[8:12] == b"WAVE":
                         (tag_, ch_, _rate, align_, _bits, ext_,

@@ -4798,6 +4798,101 @@ def test_ms_adpcm_wav_decode(spark):
         assert got_rows[aid].n_samples is None
 
 
+def test_au_and_aiff_decode(spark):
+    """Sun .au and AIFF (r12): hand-parsed big-endian headers (the
+    stdlib sunau/aifc modules are deprecated/removed), the AIFF
+    80-bit extended-float sample rate round-trips for the real-world
+    rates, AU's unknown-size sentinel (0xFFFFFFFF) reads to EOF, AU
+    linear-8 is SIGNED (unlike WAV's unsigned 8-bit), the SSND
+    offset is honored, and poison payloads null the row."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    # 80-bit extended float round-trip on the canonical audio rates
+    for r in (8000, 11025, 16000, 22050, 44100, 48000, 96000, 1):
+        assert M._f80_rate(M._f80_bytes(r)) == r
+    with pytest.raises(ValueError):
+        M._f80_rate(struct.pack(">HQ", 16383, (1 << 63) | 1))  # 1.x
+
+    # AU: µ-law, a-law, signed linear-8, linear-16 BE, unknown size
+    ul = M._g711_lut("ulaw")
+    data8 = bytes(range(256))
+    au_u = (b".snd" + struct.pack(">IIIII", 24, len(data8), 1, 8000, 1)
+            + data8)
+    s8 = np.arange(-100, 100, dtype=np.int8)
+    au_l8 = (b".snd" + struct.pack(">IIIII", 24, 0xFFFFFFFF, 2,
+                                   8000, 1) + s8.tobytes())
+    s16 = np.array([-30000, -1, 0, 7, 29999], dtype=">i2")
+    au_l16 = (b".snd"
+              + struct.pack(">IIIII", 28, len(s16.tobytes()), 3,
+                            44100, 1)
+              + b"\x00\x00\x00\x00" + s16.tobytes())
+    meta = M.decode_audio(au_l16)
+    assert meta == {
+        "format": "au-pcm16", "n_channels": 1, "sample_rate": 44100,
+        "sample_width": 2, "n_frames": 5, "duration_ms": 0,
+    }
+    assert M.decode_audio(au_l8)["n_frames"] == 200
+    with pytest.raises(ValueError):
+        M.decode_audio(b".snd" + struct.pack(">IIIII", 24, 4, 99,
+                                             8000, 1) + b"abcd")
+
+    # AIFF: synth → parse → stats; SSND offset honored
+    frames = 37
+    i = np.arange(frames, dtype=np.int64)
+    samples = (11 * i + 5 * 3) % 4001 - 2000
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    import pandas as pd
+
+    gen = M.synth_aiff_assets(StubDF())
+    out = next(gen(iter([pd.DataFrame(
+        {"asset_id": [3], "sample_rate": [44100],
+         "n_frames": [frames]}
+    )])))
+    aiff = bytes(out["payload"].iloc[0])
+    meta = M.decode_audio(aiff)
+    assert meta == {
+        "format": "aiff", "n_channels": 1, "sample_rate": 44100,
+        "sample_width": 2, "n_frames": frames,
+        "duration_ms": frames * 1000 // 44100,
+    }
+    # inject a nonzero SSND offset: 4 junk bytes the decoder must skip
+    at = aiff.index(b"SSND")
+    (sz,) = struct.unpack_from(">I", aiff, at + 4)
+    shifted = (
+        aiff[:at] + b"SSND" + struct.pack(">I", sz + 4)
+        + struct.pack(">II", 4, 0) + b"\xde\xad\xbe\xef"
+        + aiff[at + 16:]
+    )
+    assets = spark.createDataFrame(
+        [(1, bytearray(au_u), "audio/basic"),
+         (2, bytearray(au_l8), "audio/basic"),
+         (3, bytearray(au_l16), "audio/basic"),
+         (4, bytearray(shifted), "audio/aiff"),
+         (5, bytearray(aiff[:20]), "audio/aiff"),
+         (6, bytearray(aiff.replace(b"COMM", b"XOMM")), "audio/aiff")],
+        "asset_id long, payload binary, media_type string",
+    )
+    got = {r.asset_id: r
+           for r in M.decode_audio_pcm_stats(assets).collect()}
+    au_dec = ul[np.frombuffer(data8, np.uint8)]
+    assert got[1].sum_sq == int((au_dec * au_dec).sum())
+    assert (got[2].n_samples, got[2].sum_amp) == (
+        200, int(s8.astype(np.int64).sum())
+    )
+    assert (got[3].n_samples, got[3].peak) == (5, 30000)
+    assert (got[4].n_samples, got[4].sum_amp, got[4].peak) == (
+        frames, int(samples.sum()), int(np.abs(samples).max())
+    )
+    assert got[5].n_samples is None and got[6].n_samples is None
+
+
 def test_synth_netpbm16_and_palette_bmp_roundtrip():
     """The r12 synth generators behind the contract lanes: 16-bit P6
     payloads and paletted BMPs must decode to the closed-form channel
