@@ -5795,6 +5795,21 @@ def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/text.
+    dsir_importance_weights — Xie et al. 2023): hashed bag-of-words
+    unigram log-likelihood ratio of every document against a
+    'curated' target subset (doc_id % 7 == 3), add-one smoothed over
+    64 buckets. The per-bucket log-ratio table is broadcast back —
+    the 100 TB shape is two token scans + one per-doc aggregation;
+    integer 1e-4-unit log accumulation keeps the result
+    merge-order-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.dsir_importance_weights(
+        docs, docs.where(F.col("doc_id") % 7 == 3), n_buckets=64
+    )
+
+
 def q_s20_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S20: CSV with embedded quotes, commas, AND newlines inside
     quoted fields — the roundtrip that breaks naive line-split
@@ -10878,6 +10893,45 @@ FROM g
                count(*) AS n
         FROM tok GROUP BY 1, 2
     """
+    o["text_dsir_weights"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+        b AS (
+          SELECT doc_id,
+                 {portable_hash32_sql('word')} % 64 AS bucket
+          FROM tok
+        ),
+        cq AS (SELECT bucket, count(*) AS cq FROM b GROUP BY 1),
+        cp AS (
+          SELECT bucket, count(*) AS cp FROM b
+          WHERE doc_id % 7 = 3 GROUP BY 1
+        ),
+        r AS (
+          SELECT COALESCE(cq.bucket, cp.bucket) AS bucket,
+                 CAST(round((ln(COALESCE(cp, 0) + 1)
+                             - ln(COALESCE(cq, 0) + 1)) * 10000)
+                   AS BIGINT) AS d
+          FROM cq FULL OUTER JOIN cp ON cq.bucket = cp.bucket
+        ),
+        t AS (
+          SELECT CAST(round((
+                   ln(CAST((SELECT COALESCE(sum(cp), 0) FROM cp)
+                           + 64 AS DOUBLE))
+                   - ln(CAST((SELECT COALESCE(sum(cq), 0) FROM cq)
+                             + 64 AS DOUBLE))) * 10000)
+                 AS BIGINT) AS cst
+        ),
+        pd AS (
+          SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2
+        )
+        SELECT pd.doc_id,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               round(CAST(sum(n * d)
+                          - sum(n) * (SELECT cst FROM t) AS DOUBLE)
+                     / 10000, 4) AS log_weight
+        FROM pd JOIN r USING (bucket)
+        GROUP BY pd.doc_id
+    """
     o["text_word_entropy"] = f"""
         WITH {_WORDS_CTE.strip()},
         tok AS (SELECT doc_id, unnest(w) AS word FROM words),
@@ -11331,6 +11385,7 @@ SPARK_QUERIES = {
     "multimodal_audio_msadpcm": q_multimodal_audio_msadpcm,
     "multimodal_audio_au": q_multimodal_audio_au,
     "multimodal_audio_aiff": q_multimodal_audio_aiff,
+    "text_dsir_weights": q_text_dsir_weights,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

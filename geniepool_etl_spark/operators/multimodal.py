@@ -1363,16 +1363,17 @@ def decode_audio_pcm_stats(assets: DataFrame) -> DataFrame:
     24-bit square times any realistic frame count cannot overflow).
     Poison payloads (null / unknown magic / unsupported width / any
     CRC mismatch) yield null stats, never a dead stage. FLAC streams
-    decode through :func:`_flac_pcm_sums` (CONSTANT/VERBATIM
-    subframes, CRC-verified frames). Telephony/game-corpus WAV
+    decode through :func:`_flac_pcm_sums` (CONSTANT/VERBATIM/FIXED/
+    LPC subframes, Rice partitions incl. escapes, CRC-verified
+    frames). Telephony/game-corpus WAV
     variants decode for real too (r12): G.711 µ-law / a-law (format
     tags 7 / 6 — stateless 256-entry expansion LUTs), IMA/DVI
     ADPCM (tag 0x11 — block-headed 4-bit predictive, decoded
     cross-block-vectorized by :func:`_ima_adpcm_pcm`), and MS-ADPCM
     (tag 2 — two-tap adaptive prediction with the in-file
-    coefficient table, :func:`_ms_adpcm_pcm`). MP3/Ogg audio
-    frames and FLAC's predicted (FIXED/LPC) subframes remain the
-    entropy-codec boundary."""
+    coefficient table, :func:`_ms_adpcm_pcm`), plus Sun .au (µ/a-law
+    and signed linear PCM) and AIFF (16-bit BE) containers. MP3/Ogg
+    audio frames remain the entropy-codec boundary."""
     import io
     import wave
 

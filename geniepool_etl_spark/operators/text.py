@@ -700,6 +700,118 @@ def feature_hash_counts(
     )
 
 
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every raw-corpus document by how target-like its
+    hashed bag-of-words is — ``log w(d) = Σ_k n_dk·(ln p_k − ln
+    q_k)`` where ``p``/``q`` are add-one-smoothed bucket unigram
+    models of the target and raw corpora over ``n_buckets`` hashed
+    features. Downstream, sampling ∝ exp(log_weight) reshapes the
+    raw corpus toward the target distribution without training a
+    classifier.
+
+    100 TB shape: two corpus-wide token scans reduced to ONE
+    ``n_buckets``-row ratio table (broadcast back — never a
+    corpus-sized join), then one per-(doc, bucket) aggregation. No
+    vocabulary pass, no driver-side state beyond the bucket table.
+    Cross-engine determinism: the per-bucket log-ratio and the
+    smoothing constant ride as INTEGER 1e-4 units (the
+    ``text_perplexity`` discipline), so document sums are exact
+    integer arithmetic and the single final rounding cannot flip
+    across merge orders. Portable md5 bucketing
+    (:func:`geniepool_etl_spark.functions.portable_hash32`)."""
+    if n_buckets <= 0:
+        raise ValueError(
+            "dsir_importance_weights: n_buckets must be > 0"
+        )
+
+    def buckets(d: DataFrame) -> DataFrame:
+        tokens = d.select(
+            F.col(id_col),
+            F.explode(words_col(F.col(text_col))).alias("w"),
+        )
+        return tokens.select(
+            F.col(id_col),
+            (portable_hash32(F.col("w"), seed=seed) % n_buckets)
+            .alias("bucket"),
+        )
+
+    raw_b = buckets(raw)
+    cq = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
+    cp = (
+        buckets(target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cp"))
+    )
+    ratio = (
+        cq.join(cp, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("cp"), F.lit(0)) + 1)
+                    - F.log(F.coalesce(F.col("cq"), F.lit(0)) + 1)
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    # smoothing-normalizer constant: one integer, 1-row broadcast
+    const = (
+        cq.agg(F.sum("cq").alias("q_total"))
+        .crossJoin(cp.agg(F.sum("cp").alias("p_total")))
+        .select(
+            F.round(
+                (
+                    F.log(
+                        F.coalesce(F.col("p_total"), F.lit(0))
+                        + F.lit(n_buckets)
+                    )
+                    - F.log(
+                        F.coalesce(F.col("q_total"), F.lit(0))
+                        + F.lit(n_buckets)
+                    )
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("cst"),
+        )
+    )
+    per_doc = (
+        raw_b.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("d")).alias("s"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(const))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                (
+                    F.col("s") - F.col("n_tokens") * F.col("cst")
+                ) / 10000.0,
+                4,
+            ).alias("log_weight"),
+        )
+    )
+
+
 def _greedy_merge_rep(rep, l, r):
     """Apply one BPE merge ``(l, r)`` to a DOUBLED-space token
     representation (``'  t1  t2  …  '``) with TRUE greedy

@@ -1973,6 +1973,64 @@ def test_feature_hash_counts_width_and_totals(spark):
         TX.feature_hash_counts(df, n_buckets=0)
 
 
+def test_dsir_importance_weights_hand_computed(spark):
+    """DSIR log-weights replayed by hand: md5-bucket both corpora,
+    build the add-one-smoothed integer log-ratio table, and check
+    every document's score to the exact 1e-4 rounding. A doc made of
+    target-typical tokens must outscore one made of raw-only
+    tokens."""
+    import hashlib
+    import math
+
+    raw_docs = [(1, "a b a c"), (2, "d d e"), (3, "a a d")]
+    tgt_docs = [(10, "a a b"), (11, "a c")]
+    m = 8
+
+    def bucket(w):
+        return int(hashlib.md5(f"0:{w}".encode()).hexdigest()[:8],
+                   16) % m
+
+    cq, cp = {}, {}
+    for _id, t in raw_docs:
+        for w in t.split():
+            cq[bucket(w)] = cq.get(bucket(w), 0) + 1
+    for _id, t in tgt_docs:
+        for w in t.split():
+            cp[bucket(w)] = cp.get(bucket(w), 0) + 1
+    d = {
+        k: round(
+            (math.log(cp.get(k, 0) + 1) - math.log(cq.get(k, 0) + 1))
+            * 10000
+        )
+        for k in set(cq) | set(cp)
+    }
+    cst = round(
+        (math.log(sum(cp.values()) + m)
+         - math.log(sum(cq.values()) + m)) * 10000
+    )
+    exp = {}
+    for _id, t in raw_docs:
+        toks = t.split()
+        s = sum(d[bucket(w)] for w in toks)
+        exp[_id] = round((s - len(toks) * cst) / 10000.0, 4)
+
+    raw = spark.createDataFrame(raw_docs, "doc_id LONG, text STRING")
+    tgt = spark.createDataFrame(tgt_docs, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_tokens, r.log_weight)
+        for r in TX.dsir_importance_weights(
+            raw, tgt, n_buckets=m
+        ).collect()
+    }
+    assert got == {
+        1: (4, exp[1]), 2: (3, exp[2]), 3: (3, exp[3])
+    }
+    # target-typical doc 1 (a/b/c tokens) beats raw-only doc 2 (d/e)
+    assert exp[1] > exp[2]
+    with pytest.raises(ValueError):
+        TX.dsir_importance_weights(raw, tgt, n_buckets=0)
+
+
 def test_asof_cogroup_matches_union_carry(spark):
     """The pandas merge_asof lane and the JVM union-carry lane must
     produce identical rows — including a user with left rows but no
