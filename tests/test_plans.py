@@ -211,6 +211,7 @@ _INTENDED_CROSS = {
     "stream_loghist",  # same read-out over the standing sketch
     "events_rfm",  # 1-row global-max + 1-row quartile-threshold broadcasts
     "sim_mmr_rerank",  # 8-query broadcast (cosine_topk candidate stage)
+    "text_dsir_weights",  # 1-row smoothing-constant broadcast (tfidf pattern)
 }
 
 
