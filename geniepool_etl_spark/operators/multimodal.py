@@ -4877,20 +4877,126 @@ def synth_avi_mjpeg_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_avi_msrle_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    frames_col: str = "n_frames",
+    rect_col: str = "rect_h",
+) -> DataFrame:
+    """Synthesize REAL MS-RLE8 AVI payloads — genuinely INTER-FRAME
+    video: frame 0 is a keyframe writing every pixel with ABSOLUTE
+    packets (row ``y`` literal index ``(x + 2y) % 256``), every later
+    frame ``f`` DELTA-skips to row ``a_f = (f−1)·(rh+1) mod
+    (h−rh+1)``, rewrites ``rh`` rows with RUN packets (constant
+    ``(2y + 7f) % 256`` per row), and EOI-exits — every pixel outside
+    the rectangle survives from the PREVIOUS frame. The strf palette
+    maps index ``i`` to ``(R, G, B) = (i, 2i mod 256, 3i mod 256)``.
+    All decoder state is a closed form of (w, h, n_frames, rect_h),
+    so an external oracle reconstructs every frame's buffer without
+    touching bytes. Requires ``3 ≤ w ≤ 255`` and ``rect_h < h``.
+    Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    def one(w: int, h: int, nf: int, rh: int) -> bytes:
+        fps = 10
+        avih = chunk(
+            b"avih",
+            struct.pack(
+                "<14I", 1_000_000 // fps, 0, 0, 0, nf, 0, 1, 0,
+                w, h, 0, 0, 0, 0,
+            ),
+        )
+        strh = chunk(
+            b"strh",
+            b"vids" + b"MRLE" + struct.pack(
+                "<I2H8I", 0, 0, 0, 0, 1, fps, 0, nf, 0, 0, 0
+            ),
+        )
+        pal = b"".join(
+            struct.pack(
+                "<BBBB", (3 * i) % 256, (2 * i) % 256, i % 256, 0
+            )
+            for i in range(256)
+        )
+        strf = chunk(
+            b"strf",
+            struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 8, 1, w * h, 0, 0, 0, 0,
+            ) + pal,
+        )
+        hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+        frames = []
+        # keyframe: absolute packets cover every pixel
+        key = bytearray()
+        for y in range(h):
+            key += bytes([0, w])
+            key += bytes((x + 2 * y) % 256 for x in range(w))
+            if w % 2:
+                key += b"\x00"  # absolute packets are word-aligned
+            key += b"\x00\x00"  # EOL
+        key += b"\x00\x01"  # EOI
+        frames.append(bytes(key))
+        for f in range(1, nf):
+            a = ((f - 1) * (rh + 1)) % (h - rh + 1)
+            d = bytearray(b"\x00\x02" + bytes([0, a]))  # DELTA skip
+            for r in range(rh):
+                d += bytes([w, (2 * (a + r) + 7 * f) % 256])  # run
+                d += b"\x00\x00"  # EOL
+            d += b"\x00\x01"  # EOI
+            frames.append(bytes(d))
+        movi = lst(
+            b"movi", b"".join(chunk(b"00dc", fb) for fb in frames)
+        )
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(w), int(h), int(n), int(rh))
+                for w, h, n, rh in zip(
+                    pdf[width_col], pdf[height_col],
+                    pdf[frames_col], pdf[rect_col],
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "video/avi",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def _avi_mjpeg_frames(payload: bytes):
-    """Walk a RIFF/AVI container and yield ``(handler, w, h, frame
-    bytes)`` per video frame: the stream handler comes from the
-    'vids' strh fourcc, dimensions from avih; frames are the
-    word-aligned ``##dc``/``##db`` chunks of LIST/movi. Supported
-    handlers: MJPG (each chunk a complete baseline JPEG) and DIB
-    (uncompressed bottom-up BGR24 with 4-byte row stride — the two
-    non-inter-frame AVI profiles). Anything else raises — the
-    declared codec boundary."""
+    """Walk a RIFF/AVI container and yield ``(handler, w, h, strf
+    body, frame bytes)`` per video frame: the stream handler comes
+    from the 'vids' strh fourcc, dimensions from avih, the strf body
+    carries the BITMAPINFOHEADER (+ palette for the paletted
+    handlers); frames are the word-aligned ``##dc``/``##db`` chunks
+    of LIST/movi. Supported handlers: MJPG (each chunk a complete
+    baseline JPEG), DIB (uncompressed bottom-up BGR24), and MRLE
+    (8-bit Microsoft RLE — a REAL inter-frame codec: delta/skip
+    escapes leave pixels from the PREVIOUS frame in place). Anything
+    else raises — the declared codec boundary."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     handler = None
+    strf = [b""]
     dims = [None, None]
 
     def walk(buf: bytes, at: int, end: int):
@@ -4904,10 +5010,10 @@ def _avi_mjpeg_frames(payload: bytes):
             if tag == b"LIST":
                 kind = buf[body_at : body_at + 4]
                 if kind == b"movi" and handler not in (
-                    b"MJPG", b"DIB "
+                    b"MJPG", b"DIB ", b"MRLE"
                 ):
                     raise ValueError(
-                        "avi: only MJPG/DIB frame decode supported"
+                        "avi: only MJPG/DIB/MRLE frame decode supported"
                     )
                 yield from walk(buf, body_at + 4, body_end)
             elif tag == b"avih":
@@ -4917,11 +5023,79 @@ def _avi_mjpeg_frames(payload: bytes):
             elif tag == b"strh":
                 if buf[body_at : body_at + 4] == b"vids":
                     handler = buf[body_at + 4 : body_at + 8]
+            elif tag == b"strf":
+                strf[0] = buf[body_at:body_end]
             elif tag[2:] in (b"dc", b"db"):
-                yield (handler, dims[0], dims[1], buf[body_at:body_end])
+                yield (handler, dims[0], dims[1], strf[0],
+                       buf[body_at:body_end])
             at = body_end + (sz & 1)  # RIFF word alignment
 
     yield from walk(payload, 12, len(payload))
+
+
+def _msrle_apply(buf, data: bytes) -> None:
+    """Apply one MS-RLE8 frame to the persistent index buffer
+    (``buf``: (h, w) int array, row 0 = bitmap BOTTOM row per the DIB
+    convention) — run packets, absolute packets (word-aligned), and
+    the three escapes: EOL (0,0), EOI (0,1), DELTA (0,2,dx,dy). The
+    delta/skip machinery is what makes MRLE inter-frame: skipped
+    positions keep the previous frame's pixels. Out-of-bounds writes
+    or truncated streams raise — the caller nulls the asset out."""
+    import numpy as np
+
+    h, w = buf.shape
+    x = y = i = 0
+    n = len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("msrle: truncated stream")
+        b0, b1 = data[i], data[i + 1]
+        i += 2
+        if b0 > 0:  # run packet
+            if y >= h or x + b0 > w:
+                raise ValueError("msrle: run past row end")
+            buf[y, x : x + b0] = b1
+            x += b0
+        elif b1 == 0:  # EOL
+            x, y = 0, y + 1
+        elif b1 == 1:  # EOI
+            return
+        elif b1 == 2:  # DELTA: skip (dx, dy) leaving pixels as-is
+            if i + 2 > n:
+                raise ValueError("msrle: truncated delta")
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("msrle: delta out of bounds")
+        else:  # absolute packet: b1 literal indices, word-aligned
+            if i + b1 > n:
+                raise ValueError("msrle: truncated absolute packet")
+            if y >= h or x + b1 > w:
+                raise ValueError("msrle: absolute past row end")
+            buf[y, x : x + b1] = np.frombuffer(
+                data, np.uint8, count=b1, offset=i
+            )
+            x += b1
+            i += b1 + (b1 & 1)
+
+
+def _strf_palette(strf: bytes):
+    """RGBQUAD palette arrays (r, g, b) from a BITMAPINFOHEADER strf
+    body — biClrUsed=0 means the full 2^bits table, same semantics
+    as the paletted-BMP decoder."""
+    import struct
+
+    import numpy as np
+
+    if len(strf) < 40:
+        raise ValueError("strf too short for BITMAPINFOHEADER")
+    bits = struct.unpack_from("<H", strf, 14)[0]
+    (used,) = struct.unpack_from("<I", strf, 32)
+    n = used if used else 1 << bits
+    pal = np.frombuffer(
+        strf, np.uint8, count=4 * n, offset=40
+    ).reshape(n, 4).astype(np.int64)
+    return pal[:, 2], pal[:, 1], pal[:, 0]  # RGBQUAD is B,G,R,0
 
 
 def _dib_frame_sums(frame: bytes, w: int, h: int) -> tuple:
@@ -4958,15 +5132,19 @@ VIDEO_FRAME_PIXEL_SCHEMA = StructType(
 
 
 def decode_video_frame_stats(assets: DataFrame) -> DataFrame:
-    """PER-FRAME video pixel decode for MJPEG AVI — the one-to-MANY
-    Arrow shape (each asset row explodes into its frames), each frame
-    decoded through the full baseline-JPEG path
-    (:func:`_jpeg_pixel_sums`): container walk → per-frame entropy
-    decode → IDCT → fixed-point YCbCr→RGB → exact integer channel
-    sums. Poison or non-MJPG payloads contribute ONE row with null
-    stats (frame_idx −1) instead of failing the batch — the same
-    at-scale contract as the image lanes, kept visible rather than
-    silently dropping the asset."""
+    """PER-FRAME video pixel decode — the one-to-MANY Arrow shape
+    (each asset row explodes into its frames). MJPEG frames decode
+    through the full baseline-JPEG path (:func:`_jpeg_pixel_sums`):
+    container walk → per-frame entropy decode → IDCT → fixed-point
+    YCbCr→RGB → exact integer channel sums; DIB frames through the
+    BMP raster walk; MRLE frames through a REAL inter-frame decode —
+    a persistent index buffer carried across the stream's frames
+    (:func:`_msrle_apply`), mapped through the strf palette per
+    frame. Poison or unsupported-codec payloads contribute ONE row
+    with null stats (frame_idx −1) instead of failing the batch —
+    the same at-scale contract as the image lanes, kept visible
+    rather than silently dropping the asset."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -4975,15 +5153,34 @@ def decode_video_frame_stats(assets: DataFrame) -> DataFrame:
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
                     frames = list(_avi_mjpeg_frames(payload))
-                    rows = [
-                        (
-                            fi,
-                            _jpeg_pixel_sums(fb)
-                            if hd == b"MJPG"
-                            else _dib_frame_sums(fb, fw, fh),
-                        )
-                        for fi, (hd, fw, fh, fb) in enumerate(frames)
-                    ]
+                    rle_buf = None
+                    rows = []
+                    for fi, (hd, fw, fh, sf_, fb) in enumerate(
+                        frames
+                    ):
+                        if hd == b"MJPG":
+                            rows.append((fi, _jpeg_pixel_sums(fb)))
+                        elif hd == b"MRLE":
+                            if rle_buf is None:
+                                pr, pg, pb = _strf_palette(sf_)
+                                rle_buf = np.zeros(
+                                    (fh, fw), dtype=np.int64
+                                )
+                            _msrle_apply(rle_buf, fb)
+                            if int(rle_buf.max()) >= len(pr):
+                                raise ValueError(
+                                    "msrle: index past palette"
+                                )
+                            rows.append((fi, (
+                                fw * fh,
+                                int(pr[rle_buf].sum()),
+                                int(pg[rle_buf].sum()),
+                                int(pb[rle_buf].sum()),
+                            )))
+                        else:
+                            rows.append(
+                                (fi, _dib_frame_sums(fb, fw, fh))
+                            )
                     if not rows:
                         # structurally valid AVI whose movi LIST holds
                         # zero frame chunks: unusable payload → the
