@@ -3151,6 +3151,37 @@ def q_multimodal_avi_frames(
     return M.decode_video_frame_stats(M.synth_avi_mjpeg_assets(params))
 
 
+def q_multimodal_avi_msrle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTER-FRAME video decode — MS-RLE8 in AVI (multimodal.
+    synth_avi_msrle_assets → decode_video_frame_stats): the first
+    rung PAST intra-only codecs. Frame 0 writes every pixel with
+    absolute packets; every later frame DELTA-skips to a row window,
+    rewrites it with run packets, and EOI-exits — all other pixels
+    survive from the PREVIOUS frame in a persistent index buffer,
+    mapped through the strf RGBQUAD palette. The oracle reconstructs
+    each frame's buffer as 'latest update covering row y' — a pure
+    closed form of (w, h, n_frames, rect_h). Motion-compensated
+    codecs (H.26x/VP9/AV1) remain the declared boundary."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 7)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(8) + (F.col("doc_id") % 5) * 6)
+            .cast("long")
+            .alias("width"),
+            (F.lit(6) + (F.col("doc_id") % 4) * 5)
+            .cast("long")
+            .alias("height"),
+            (F.lit(2) + F.col("doc_id") % 3).cast("int").alias("n_frames"),
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("rect_h"),
+        )
+    )
+    return M.decode_video_frame_stats(M.synth_avi_msrle_assets(params))
+
+
 def q_multimodal_jpeg_prog420(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10046,6 +10077,51 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    # MS-RLE8: the oracle reconstructs every frame's persistent
+    # buffer as "the latest update window covering row y" — keyframe
+    # rows are (x + 2y) % 256, a row rewritten at frame g carries the
+    # constant (2y + 7g) % 256; palette maps i -> (i, 2i%256, 3i%256).
+    o["multimodal_avi_msrle"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 8 + (doc_id % 5) * 6 AS w,
+                 6 + (doc_id % 4) * 5 AS h,
+                 2 + (doc_id % 3) AS nf,
+                 1 + (doc_id % 3) AS rh
+          FROM documents WHERE doc_id % 11 = 7
+        ),
+        upd AS (
+          SELECT asset_id,
+                 u.f AS f,
+                 ((u.f - 1) * (rh + 1)) % (h - rh + 1) AS a,
+                 rh
+          FROM prm, UNNEST(range(1, nf)) AS u(f)
+        ),
+        rws AS (
+          SELECT p.asset_id, fr.f AS f, yy.y AS y, p.w,
+                 COALESCE((SELECT max(u.f) FROM upd u
+                           WHERE u.asset_id = p.asset_id
+                             AND u.f <= fr.f
+                             AND yy.y >= u.a
+                             AND yy.y < u.a + u.rh), 0) AS g
+          FROM prm p,
+               UNNEST(range(p.nf)) AS fr(f),
+               UNNEST(range(p.h)) AS yy(y)
+        ),
+        pix AS (
+          SELECT r.asset_id, r.f,
+                 CASE WHEN r.g > 0 THEN (2 * r.y + 7 * r.g) % 256
+                      ELSE (x.x + 2 * r.y) % 256 END AS idx
+          FROM rws r, UNNEST(range(r.w)) AS x(x)
+        )
+        SELECT asset_id,
+               CAST(f AS INT) AS frame_idx,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(sum(idx) AS BIGINT) AS sum_r,
+               CAST(sum((2 * idx) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((3 * idx) % 256) AS BIGINT) AS sum_b
+        FROM pix GROUP BY asset_id, f
+    """
     o["multimodal_avi_frames"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -11386,6 +11462,7 @@ SPARK_QUERIES = {
     "multimodal_audio_au": q_multimodal_audio_au,
     "multimodal_audio_aiff": q_multimodal_audio_aiff,
     "text_dsir_weights": q_text_dsir_weights,
+    "multimodal_avi_msrle": q_multimodal_avi_msrle,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

@@ -4856,6 +4856,96 @@ def test_ms_adpcm_wav_decode(spark):
         assert got_rows[aid].n_samples is None
 
 
+def test_msrle_inter_frame_video_decode(spark):
+    """MS-RLE8 AVI (r12): a REAL inter-frame decode — the synth's
+    keyframe + delta-frame stream must reproduce an independently
+    simulated persistent buffer per frame (absolute packets, run
+    packets, DELTA row skips, EOI early exit, word-aligned absolute
+    padding); non-rectangle pixels must SURVIVE from the previous
+    frame; poison (run past row end, truncated stream) nulls the
+    asset with one frame_idx=-1 row."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    w, h, nf, rh = 9, 7, 3, 2
+    gen = M.synth_avi_msrle_assets(StubDF())
+    out = next(gen(iter([pd.DataFrame(
+        {"asset_id": [1], "width": [w], "height": [h],
+         "n_frames": [nf], "rect_h": [rh]}
+    )])))
+    payload = bytes(out["payload"].iloc[0])
+    frames = list(M._avi_mjpeg_frames(payload))
+    assert len(frames) == nf and frames[0][0] == b"MRLE"
+
+    # independent buffer simulation from the documented closed form
+    sim = np.zeros((h, w), np.int64)
+    for y in range(h):
+        sim[y] = (np.arange(w) + 2 * y) % 256
+    expected = []
+
+    def sums(b):
+        return (w * h, int((b % 256).sum()),
+                int(((2 * b) % 256).sum()), int(((3 * b) % 256).sum()))
+
+    expected.append(sums(sim))
+    for f in range(1, nf):
+        a = ((f - 1) * (rh + 1)) % (h - rh + 1)
+        for r in range(rh):
+            sim[a + r, :] = (2 * (a + r) + 7 * f) % 256
+        expected.append(sums(sim))
+
+    pr, pg, pb = M._strf_palette(frames[0][3])
+    buf = np.zeros((h, w), np.int64)
+    got = []
+    for _hd, _w, _h, _sf, fb in frames:
+        M._msrle_apply(buf, fb)
+        got.append((w * h, int(pr[buf].sum()), int(pg[buf].sum()),
+                    int(pb[buf].sum())))
+    assert got == expected
+    # frame 1 really is a DELTA frame: pixels outside the rectangle
+    # kept the keyframe values (inter-frame survival)
+    buf2 = np.zeros((h, w), np.int64)
+    M._msrle_apply(buf2, frames[0][4])
+    key = buf2.copy()
+    M._msrle_apply(buf2, frames[1][4])
+    a1 = 0
+    untouched = [y for y in range(h) if not a1 <= y < a1 + rh]
+    assert (buf2[untouched] == key[untouched]).all()
+    assert not (buf2[a1 : a1 + rh] == key[a1 : a1 + rh]).all()
+
+    # poison: a run past the row end / truncated stream
+    with pytest.raises(ValueError):
+        M._msrle_apply(np.zeros((4, 4), np.int64), bytes([8, 1]))
+    with pytest.raises(ValueError):
+        M._msrle_apply(np.zeros((4, 4), np.int64), bytes([0]))
+    # through the Spark lane: good asset explodes per frame, poison
+    # asset yields the single visible null row
+    bad = bytearray(payload)
+    at = bad.rindex(b"00dc")
+    bad[at + 8] = 255  # first packet now runs 255 > w pixels
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload), "video/avi"),
+         (2, bad, "video/avi")],
+        "asset_id long, payload binary, media_type string",
+    )
+    rows = M.decode_video_frame_stats(assets).collect()
+    good = sorted(
+        (r.frame_idx, r.n_pixels, r.sum_r, r.sum_g, r.sum_b)
+        for r in rows if r.asset_id == 1
+    )
+    assert good == [
+        (f, *expected[f]) for f in range(nf)
+    ]
+    poison = [r for r in rows if r.asset_id == 2]
+    assert len(poison) == 1 and poison[0].frame_idx == -1
+    assert poison[0].n_pixels is None
+
+
 def test_au_and_aiff_decode(spark):
     """Sun .au and AIFF (r12): hand-parsed big-endian headers (the
     stdlib sunau/aifc modules are deprecated/removed), the AIFF
@@ -5243,7 +5333,7 @@ def test_avi_mjpeg_frame_decode_and_codec_gate():
          "n_frames": [3], "fps": [5]}
     )
     payload = next(batches(iter([pdf])))["payload"][0]
-    frames = [fb for _hd, _w, _h, fb in M._avi_mjpeg_frames(payload)]
+    frames = [fb for _hd, _w, _h, _sf, fb in M._avi_mjpeg_frames(payload)]
     assert len(frames) == 3
     w, h = 17, 12
     i = np.arange(w * h)
@@ -5317,7 +5407,7 @@ def test_avi_mjpeg_frame_decode_and_codec_gate():
     dib_avi = b"RIFF" + _struct.pack("<I", len(body)) + body
     got = [
         (hd, M._dib_frame_sums(fb, fw, fh))
-        for hd, fw, fh, fb in M._avi_mjpeg_frames(dib_avi)
+        for hd, fw, fh, _sf, fb in M._avi_mjpeg_frames(dib_avi)
     ]
     assert len(got) == 2
     for f, (hd, (n, sr, sg, sb)) in enumerate(got):
