@@ -5841,6 +5841,20 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k resampling (operators/text.dsir_resample):
+    sample 40 docs without replacement ∝ exp(log_weight) via
+    deterministic Gumbel keys (uniforms from the portable md5 hash of
+    the doc id). The cut plans as TakeOrderedAndProject — never a
+    global single-partition sort; the k winners join back as a
+    broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.dsir_resample(
+        docs, docs.where(F.col("doc_id") % 7 == 3), k=40,
+        n_buckets=64,
+    )
+
+
 def q_s20_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S20: CSV with embedded quotes, commas, AND newlines inside
     quoted fields — the roundtrip that breaks naive line-split
@@ -11008,6 +11022,64 @@ FROM g
         FROM pd JOIN r USING (bucket)
         GROUP BY pd.doc_id
     """
+    o["text_dsir_resample"] = f"""
+        WITH {_WORDS_CTE.strip()},
+        tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+        b AS (
+          SELECT doc_id,
+                 {portable_hash32_sql('word')} % 64 AS bucket
+          FROM tok
+        ),
+        cq AS (SELECT bucket, count(*) AS cq FROM b GROUP BY 1),
+        cp AS (
+          SELECT bucket, count(*) AS cp FROM b
+          WHERE doc_id % 7 = 3 GROUP BY 1
+        ),
+        r AS (
+          SELECT COALESCE(cq.bucket, cp.bucket) AS bucket,
+                 CAST(round((ln(COALESCE(cp, 0) + 1)
+                             - ln(COALESCE(cq, 0) + 1)) * 10000)
+                   AS BIGINT) AS d
+          FROM cq FULL OUTER JOIN cp ON cq.bucket = cp.bucket
+        ),
+        t AS (
+          SELECT CAST(round((
+                   ln(CAST((SELECT COALESCE(sum(cp), 0) FROM cp)
+                           + 64 AS DOUBLE))
+                   - ln(CAST((SELECT COALESCE(sum(cq), 0) FROM cq)
+                             + 64 AS DOUBLE))) * 10000)
+                 AS BIGINT) AS cst
+        ),
+        pd AS (
+          SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2
+        ),
+        lw AS (
+          SELECT pd.doc_id,
+                 round(CAST(sum(n * d)
+                            - sum(n) * (SELECT cst FROM t) AS DOUBLE)
+                       / 10000, 4) AS log_weight
+          FROM pd JOIN r USING (bucket)
+          GROUP BY pd.doc_id
+        ),
+        g AS (
+          SELECT doc_id,
+                 round(log_weight - ln(-ln(
+                   ({portable_hash32_sql('doc_id', seed=1)} + 0.5)
+                   / 4294967296.0)), 4) AS gumbel_key
+          FROM lw
+        ),
+        rk AS (
+          SELECT doc_id, gumbel_key,
+                 row_number() OVER (
+                   ORDER BY gumbel_key DESC, doc_id
+                 ) AS rn
+          FROM g
+        )
+        SELECT doc_id, gumbel_key,
+               CAST(CASE WHEN rn <= 40 THEN 1 ELSE 0 END AS INT)
+                 AS selected
+        FROM rk
+    """
     o["text_word_entropy"] = f"""
         WITH {_WORDS_CTE.strip()},
         tok AS (SELECT doc_id, unnest(w) AS word FROM words),
@@ -11463,6 +11535,7 @@ SPARK_QUERIES = {
     "multimodal_audio_aiff": q_multimodal_audio_aiff,
     "text_dsir_weights": q_text_dsir_weights,
     "multimodal_avi_msrle": q_multimodal_avi_msrle,
+    "text_dsir_resample": q_text_dsir_resample,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

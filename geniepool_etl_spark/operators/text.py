@@ -812,6 +812,67 @@ def dsir_importance_weights(
     )
 
 
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """The selection half of DSIR: sample ``k`` documents WITHOUT
+    replacement with probability ∝ exp(log_weight) via the
+    Gumbel-max trick — ``key_i = log w_i + G_i`` with ``G_i =
+    −ln(−ln(u_i))``, top-k keys win. The uniform ``u_i`` comes from
+    the portable md5 hash of the doc id (``(h + 0.5) / 2^32``), so
+    the draw is deterministic, engine-reproducible, and requires no
+    global RNG state — a 100 TB corpus samples in one pass with one
+    top-k. Keys are rounded to 1e-4 with doc-id tiebreaks before the
+    rank cut (the repo's cross-engine rank discipline). Returns every
+    raw doc with its ``gumbel_key`` and a 0/1 ``selected`` flag.
+
+    The cut is ``orderBy().limit(k)`` — Spark plans it as
+    ``TakeOrderedAndProject`` (per-partition top-k, then a k-sized
+    merge), NEVER a single-partition global sort — joined back as a
+    k-row broadcast. ``k`` is therefore driver-bounded (a sample you
+    intend to train on, not a corpus-sized partition)."""
+    if k <= 0:
+        raise ValueError("dsir_resample: k must be > 0")
+    w = dsir_importance_weights(
+        raw, target, n_buckets=n_buckets, text_col=text_col,
+        id_col=id_col, seed=seed,
+    )
+    u = (
+        portable_hash32(F.col(id_col), seed=seed + 1) + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = w.select(
+        F.col(id_col),
+        F.round(
+            F.col("log_weight") - F.log(-F.log(u)), 4
+        ).alias("gumbel_key"),
+    )
+    topk = (
+        keyed.orderBy(
+            F.col("gumbel_key").desc(), F.col(id_col).asc()
+        )
+        .limit(k)
+        .select(F.col(id_col).alias("_sel_id"))
+    )
+    return (
+        keyed.join(
+            F.broadcast(topk),
+            keyed[id_col] == topk["_sel_id"],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.col("gumbel_key"),
+            F.col("_sel_id").isNotNull().cast("int").alias("selected"),
+        )
+    )
+
+
 def _greedy_merge_rep(rep, l, r):
     """Apply one BPE merge ``(l, r)`` to a DOUBLED-space token
     representation (``'  t1  t2  …  '``) with TRUE greedy

@@ -2031,6 +2031,32 @@ def test_dsir_importance_weights_hand_computed(spark):
         TX.dsir_importance_weights(raw, tgt, n_buckets=0)
 
 
+def test_dsir_resample_topk_plan_and_determinism(spark):
+    """The Gumbel cut must (a) select exactly k docs, (b) reproduce
+    bit-identically across runs (hash-derived uniforms, no RNG), and
+    (c) plan the cut as TakeOrderedAndProject — never a global
+    single-partition sort."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 9} tok{i % 4} common") for i in range(60)],
+        "doc_id LONG, text STRING",
+    )
+    tgt = docs.where("doc_id % 5 = 0")
+    out = TX.dsir_resample(docs, tgt, k=7, n_buckets=16)
+    rows = {r.doc_id: (r.gumbel_key, r.selected)
+            for r in out.collect()}
+    assert len(rows) == 60
+    assert sum(s for _g, s in rows.values()) == 7
+    again = {r.doc_id: (r.gumbel_key, r.selected)
+             for r in TX.dsir_resample(
+                 docs, tgt, k=7, n_buckets=16).collect()}
+    assert rows == again
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [gumbel_key" not in plan  # no global sort stage
+    with pytest.raises(ValueError):
+        TX.dsir_resample(docs, tgt, k=0)
+
+
 def test_asof_cogroup_matches_union_carry(spark):
     """The pandas merge_asof lane and the JVM union-carry lane must
     produce identical rows — including a user with left rows but no

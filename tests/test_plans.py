@@ -212,6 +212,7 @@ _INTENDED_CROSS = {
     "events_rfm",  # 1-row global-max + 1-row quartile-threshold broadcasts
     "sim_mmr_rerank",  # 8-query broadcast (cosine_topk candidate stage)
     "text_dsir_weights",  # 1-row smoothing-constant broadcast (tfidf pattern)
+    "text_dsir_resample",  # same 1-row constant + k-row winner broadcast
 }
 
 
