@@ -347,6 +347,44 @@ def q_snap_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete via DELETION VECTORS: two successive
+    ``delete_where(mode='dv')`` commits write ONLY (file key, row
+    position) vectors — zero data-file rewrites; every read
+    anti-joins them out (broadcast — needle-delete-sized by design)
+    and the second delete's probe reads THROUGH the first's vectors,
+    so re-deletes cannot double-count. ``compact`` then MATERIALIZES
+    the vectors and the read stays identical — the full
+    Delta/Iceberg v2 DV lifecycle. The metadata row count
+    (manifest-only, dv_rows subtracted) is asserted against the read
+    in tests."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_dv"), "t")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    T.write_table(
+        li.repartitionByRange(4, "l_orderkey"),
+        out,
+        "create",
+        stats_cols=("l_orderkey",),
+    )
+    T.delete_where(spark, out, "l_quantity > 45", mode="dv")
+    T.delete_where(
+        spark, out, "l_linenumber = 1 AND l_quantity > 20", mode="dv"
+    )
+    T.compact(spark, out, target_files=2)
+    return (
+        T.read_table(spark, out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
 def q_snap_range_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-stats file skipping: orders committed as 8 range-
     partitioned files with per-file [min, max] o_orderkey recorded in
@@ -7448,6 +7486,13 @@ def _oracles() -> dict[str, str]:
         FROM lineitem WHERE NOT (l_quantity > 40)
         GROUP BY l_returnflag
     """
+    o["snap_delete_dv"] = """
+        SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem
+        WHERE NOT (l_quantity > 45)
+          AND NOT (l_linenumber = 1 AND l_quantity > 20)
+        GROUP BY l_returnflag
+    """
     o["snap_range_skip"] = """
         SELECT count(*) AS n,
                CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
@@ -11536,6 +11581,7 @@ SPARK_QUERIES = {
     "text_dsir_weights": q_text_dsir_weights,
     "multimodal_avi_msrle": q_multimodal_avi_msrle,
     "text_dsir_resample": q_text_dsir_resample,
+    "snap_delete_dv": q_snap_delete_dv,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

@@ -61,7 +61,7 @@ import os
 import re as _re
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -551,6 +551,11 @@ def write_table(
             "stats_cols": list(stats_cols),
             "files": all_files,
         }
+        if mode == "append" and parent.get("dv_files"):
+            # appended files carry no vectors, but the parent's kept
+            # files still need theirs — dropping them here would
+            # resurrect merge-on-read deletes
+            manifest["dv_files"] = list(parent["dv_files"])
         if bloom_cols:
             manifest["bloom_cols"] = list(bloom_cols)
             manifest["bloom_bits"] = bloom_bits
@@ -595,7 +600,12 @@ def meta_row_count(
     catalog-level questions on a 100 TB table in milliseconds."""
     fs, P = _hadoop_fs(spark, table_path)
     m = _resolve(spark, fs, P, table_path, version)
-    return sum(f["rows"] for f in m["files"])
+    # deletion vectors subtract at the metadata level too: dv_rows is
+    # recorded per file at DV-delete time, so the count stays exact
+    # without opening a single data or vector file
+    return sum(
+        f["rows"] - int(f.get("dv_rows", 0)) for f in m["files"]
+    )
 
 
 def head_props(spark: SparkSession, table_path: str) -> dict:
@@ -773,10 +783,52 @@ def _bloom_keep_expr(fdf: DataFrame, col: str, positions: list[int] | None):
         return F.lit(True)
 
 
-def _read_files(spark, table_path: str, manifest: dict, files: list) -> DataFrame:
+def _dv_key_col() -> Column:
+    """The engine-derived deletion-vector file key: everything after
+    the LAST ``/data/`` of the scan's absolute file path
+    (``<token>/...part.parquet``) — both the DV writer and the DV
+    reader derive it from the same absolute paths with the same
+    expression, so the join key matches regardless of URI scheme or
+    table-root prefix."""
+    return F.substring_index(
+        F.col("_metadata.file_path"), f"/{_DATA_DIR}/", -1
+    )
+
+
+def _read_files(
+    spark, table_path: str, manifest: dict, files: list,
+    with_meta: bool = False,
+) -> DataFrame:
+    """Assemble the DataFrame of ``files`` under the manifest schema.
+    When the manifest carries DELETION VECTORS (``dv_files`` — the
+    merge-on-read delete, :func:`delete_where` ``mode='dv'``), the
+    deleted (file key, row position) pairs are anti-joined out here,
+    so EVERY consumer — reads, CoW rewrites, compaction, CDF staging,
+    merge probes — sees the post-delete rows. The DV side is
+    broadcast by construction: DV mode is for NEEDLE deletes (tiny
+    bitmaps instead of file rewrites); bulk deletes should use CoW.
+    The broadcast also keeps the probe stage intact so
+    ``input_file_name()`` lineage survives the join.
+    ``with_meta=True`` keeps the derived ``_dvf`` key and ``_pos``
+    row-position columns on the result (the DV writer's probe)."""
     schema = StructType.fromJson(json.loads(manifest["schema"]))
+    dv_files = manifest.get("dv_files", [])
+    need_meta = with_meta or bool(dv_files)
     if not files:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if with_meta:
+            out = out.withColumn(
+                "_dvf", F.lit(None).cast("string")
+            ).withColumn("_pos", F.lit(None).cast("long"))
+        return out
+
+    def _with_meta(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            _dv_key_col().alias("_dvf"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+
     pspecs = [
         _parse_partition_spec(s) for s in manifest.get("partition_by", [])
     ]
@@ -785,53 +837,70 @@ def _read_files(spark, table_path: str, manifest: dict, files: list) -> DataFram
         # files keep every data column (the derived partition column
         # is simply absent from the declared schema)
         paths = [os.path.join(table_path, f["path"]) for f in files]
-        return spark.read.schema(schema).parquet(*paths)
-    # hive-layout table: partition values live in directory names, so
-    # each commit token needs its own basePath-anchored scan (Spark
-    # rejects one basePath spanning sibling token roots — verified);
-    # one scan per token keeps the plan O(commits), bounded by
-    # compaction, never O(partitions). The declared schema casts the
-    # directory values, so dtypes are exact.
-    by_token: dict[str, list[str]] = {}
-    for f in files:
-        token = f["path"].split("/")[1]
-        by_token.setdefault(token, []).append(
-            os.path.join(table_path, f["path"])
-        )
-    out = None
-    for token, paths in sorted(by_token.items()):
-        part = (
-            spark.read.schema(schema)
-            .option(
-                "basePath", os.path.join(table_path, _DATA_DIR, token)
+        out = spark.read.schema(schema).parquet(*paths)
+        if need_meta:
+            out = _with_meta(out)
+    else:
+        # hive-layout table: partition values live in directory names,
+        # so each commit token needs its own basePath-anchored scan
+        # (Spark rejects one basePath spanning sibling token roots —
+        # verified); one scan per token keeps the plan O(commits),
+        # bounded by compaction, never O(partitions). The declared
+        # schema casts the directory values, so dtypes are exact.
+        by_token: dict[str, list[str]] = {}
+        for f in files:
+            token = f["path"].split("/")[1]
+            by_token.setdefault(token, []).append(
+                os.path.join(table_path, f["path"])
             )
-            .parquet(*paths)
+        out = None
+        for token, paths in sorted(by_token.items()):
+            part = (
+                spark.read.schema(schema)
+                .option(
+                    "basePath",
+                    os.path.join(table_path, _DATA_DIR, token),
+                )
+                .parquet(*paths)
+            )
+            if need_meta:
+                part = _with_meta(part)
+            out = part if out is None else out.unionByName(part)
+        # the partitioned scan surfaces partition columns LAST
+        # regardless of the declared order — restore the manifest
+        # schema's order so partitioned and unpartitioned tables read
+        # identically
+        cols = [f.name for f in schema.fields]
+        out = out.select(*(cols + (["_dvf", "_pos"] if need_meta else [])))
+    if dv_files:
+        dv_paths = sorted(
+            {os.path.join(table_path, e["path"]) for e in dv_files}
         )
-        out = part if out is None else out.unionByName(part)
-    # the partitioned scan surfaces partition columns LAST regardless
-    # of the declared order — restore the manifest schema's order so
-    # partitioned and unpartitioned tables read identically
-    return out.select(*[f.name for f in schema.fields])
+        dv = (
+            spark.read.schema("_dvf string, _pos long")
+            .parquet(*dv_paths)
+            .dropDuplicates(["_dvf", "_pos"])
+        )
+        out = out.join(F.broadcast(dv), ["_dvf", "_pos"], "left_anti")
+    if need_meta and not with_meta:
+        out = out.drop("_dvf", "_pos")
+    return out
 
 
-def _split_touched(files: list, hit_uris: set) -> tuple[list, list]:
+def _split_by_dvf(files: list, dvf_keys: set) -> tuple[list, list]:
     """Partition manifest entries into (touched, untouched) given the
-    absolute URIs a probe collected. Matching is by the TABLE-RELATIVE
-    path suffix — never by basename: Spark's partitionBy writer reuses
-    one basename across every col=value directory a task writes, so a
-    basename key silently conflates sibling-partition files (review
-    finding — it corrupted bloom bitsets and over-rewrote CoW files).
-    """
+    ``_dvf`` file keys a with_meta probe collected — exact matching
+    on the manifest path with its ``data/`` prefix restored.
+    ``_metadata.file_path`` is a URL-ENCODED URI ('city=new%20york')
+    while manifests record FS-REAL names ('city=new york'), so the
+    keys are unquoted once — the same rule the staging stats walk
+    applies to ``input_file_name()``."""
     from urllib.parse import unquote
 
-    decoded = {unquote(u) for u in hit_uris}
+    hit_paths = {f"{_DATA_DIR}/{unquote(k)}" for k in dvf_keys}
     touched, untouched = [], []
     for f in files:
-        suffix = "/" + f["path"]
-        if any(u.endswith(suffix) for u in decoded):
-            touched.append(f)
-        else:
-            untouched.append(f)
+        (touched if f["path"] in hit_paths else untouched).append(f)
     return touched, untouched
 
 
@@ -1147,15 +1216,22 @@ def _bloom_params(m: dict) -> tuple:
     )
 
 
-def _carry_contracts(m: dict, manifest: dict) -> dict:
+def _carry_contracts(m: dict, manifest: dict, dv: bool = True) -> dict:
     """Copy the parent's partition + bloom declarations onto a
-    rewrite commit's manifest (in place; returned for chaining)."""
+    rewrite commit's manifest (in place; returned for chaining).
+    ``dv=True`` also carries the parent's deletion vectors — every
+    rewrite that keeps untouched files by reference MUST carry them
+    or merge-on-read deletes would resurrect; compaction passes
+    ``dv=False`` because it rewrites every file from the DV-applied
+    read (the MATERIALIZE step)."""
     if m.get("partition_by"):
         manifest["partition_by"] = m["partition_by"]
     if m.get("bloom_cols"):
         manifest["bloom_cols"] = m["bloom_cols"]
         manifest["bloom_bits"] = int(m.get("bloom_bits", 16384))
         manifest["bloom_hashes"] = int(m.get("bloom_hashes", 4))
+    if dv and m.get("dv_files"):
+        manifest["dv_files"] = list(m["dv_files"])
     return manifest
 
 
@@ -1214,27 +1290,117 @@ def _change_schema(schema_json: str) -> StructType:
     )
 
 
-def delete_where(
-    spark: SparkSession, table_path: str, predicate: str
+def _stage_dv_data(
+    spark: SparkSession, dv_df: DataFrame, table_path: str
+) -> list[dict]:
+    """Write a DV-delete commit's (file key, row position) pairs into
+    a fresh ``data/<token>/`` directory (same lifecycle as change
+    data: invisible until referenced, vacuumed with its versions) and
+    return ``[{path, rows}]`` entries for the manifest's
+    ``dv_files``."""
+    return _stage_change_data(
+        spark, dv_df.select("_dvf", "_pos"), table_path
+    )
+
+
+def _delete_where_dv(
+    spark: SparkSession, table_path: str, m: dict, predicate: str
 ) -> int:
-    """Copy-on-write delete: ONLY files that actually contain matching
-    rows are rewritten (without those rows); untouched files carry
-    over into the new manifest by reference — the Delta/Iceberg CoW
-    shape, where a needle delete on a 100 TB table rewrites the
-    needle's files, not the table. Returns the new version."""
+    """The merge-on-read half of :func:`delete_where`: stage the
+    matching rows' (file key, row position) pairs as new
+    ``dv_files``, bump the touched entries' ``dv_rows`` (so metadata
+    counts stay exact), and commit — zero data-file rewrites. The
+    probe reads THROUGH the existing DVs, so re-deleting an
+    already-deleted row is a no-op and repeated DV deletes
+    accumulate correctly."""
+    cols = [f.name for f in StructType.fromJson(json.loads(m["schema"]))]
+    matched = _read_files(
+        spark, table_path, m, m["files"], with_meta=True
+    ).where(f"coalesce(({predicate}), false)")
+    # per-file deleted-position counts: metadata-sized (≤ one row per
+    # live file), the same deliberate driver set as the CoW probe
+    per_file = {
+        r["_dvf"]: int(r["n"])
+        for r in matched.groupBy("_dvf")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    dv_new = _stage_dv_data(spark, matched, table_path)
+    changes = (
+        matched.select(*cols)
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    change_files = _stage_change_data(spark, changes, table_path)
+    new_files = []
+    for f in m["files"]:
+        key = f["path"]
+        if key.startswith(_DATA_DIR + "/"):
+            key = key[len(_DATA_DIR) + 1:]
+        hit = per_file.get(key, 0)
+        if hit:
+            f = dict(f)
+            f["dv_rows"] = int(f.get("dv_rows", 0)) + hit
+        new_files.append(f)
+    version = m["version"] + 1
+    manifest = _carry_contracts(m, {
+        "version": version,
+        "action": "delete",
+        "schema": m["schema"],
+        "stats_cols": m.get("stats_cols", []),
+        "files": new_files,
+        "change_files": change_files,
+    })
+    manifest["dv_files"] = m.get("dv_files", []) + dv_new
+    if not _try_commit(spark, table_path, version, manifest):
+        raise RuntimeError(
+            "delete_where(dv): concurrent commit landed mid-delete; "
+            "rerun against the new head (the staged vectors are "
+            "commit-agnostic)"
+        )
+    return version
+
+
+def delete_where(
+    spark: SparkSession, table_path: str, predicate: str,
+    mode: str = "cow",
+) -> int:
+    """Delete rows matching ``predicate``; returns the new version.
+
+    ``mode='cow'`` (copy-on-write): ONLY files that actually contain
+    matching rows are rewritten (without those rows); untouched files
+    carry over into the new manifest by reference — the
+    Delta/Iceberg CoW shape, where a needle delete on a 100 TB table
+    rewrites the needle's files, not the table.
+
+    ``mode='dv'`` (merge-on-read DELETION VECTORS): NO data file is
+    rewritten at all — the commit stages only the deleted (file key,
+    row position) pairs and every subsequent read anti-joins them out
+    (:func:`_read_files`). A needle delete on a 100 TB table writes
+    kilobytes; the cost moves to reads (one broadcast anti-join)
+    until :func:`compact` MATERIALIZES the vectors by rewriting from
+    the DV-applied read. Use for needle deletes; bulk deletes should
+    pay the CoW rewrite once instead of taxing every read. Both modes
+    stage identical write-time change rows, so the change feed is
+    mode-agnostic."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"delete_where: unknown mode {mode!r}")
     fs, P = _hadoop_fs(spark, table_path)
     m = _resolve(spark, fs, P, table_path, None)
-    full = _read_files(spark, table_path, m, m["files"])
-    # file names are metadata-sized: collecting THEM (never rows) is
-    # the deliberate small driver set
+    if mode == "dv":
+        return _delete_where_dv(spark, table_path, m, predicate)
+    # probe on the _metadata-derived file key, not input_file_name():
+    # the latter rejects multi-source plans, which a DV-carrying
+    # table's anti-join legitimately is. Keys are metadata-sized:
+    # collecting THEM (never rows) is the deliberate small driver set
+    full = _read_files(spark, table_path, m, m["files"], with_meta=True)
     hit = {
-        r["_f"]
+        r["_dvf"]
         for r in full.where(predicate)
-        .select(F.input_file_name().alias("_f"))
+        .select("_dvf")
         .distinct()
         .collect()
     }
-    touched, untouched = _split_touched(m["files"], hit)
+    touched, untouched = _split_by_dvf(m["files"], hit)
     new_files = []
     change_files = []
     cols = [f.name for f in StructType.fromJson(json.loads(m["schema"]))]
@@ -1342,19 +1508,19 @@ def merge_table(
     if len(keys) == 1 and keys[0] in m.get("stats_cols", []):
         lo, hi = m_updates.agg(F.min(keys[0]), F.max(keys[0])).first()
         probe_files = _prune_by_stats(m["files"], keys[0], lo, hi)
-    full = _read_files(spark, table_path, m, probe_files).withColumn(
-        "_f", F.input_file_name()
+    full = _read_files(
+        spark, table_path, m, probe_files, with_meta=True
     )
     hit = {
-        r["_f"]
+        r["_dvf"]
         for r in full.join(
             m_updates.select(*keys).dropDuplicates(keys), keys, "leftsemi"
         )
-        .select("_f")
+        .select("_dvf")
         .distinct()
         .collect()
     }
-    touched, untouched = _split_touched(m["files"], hit)
+    touched, untouched = _split_by_dvf(m["files"], hit)
     cols = [f.name for f in StructType.fromJson(json.loads(m["schema"]))]
     survivors = (
         _read_files(spark, table_path, m, touched)
@@ -1482,17 +1648,17 @@ def apply_cdc(
         lo, hi = changes.agg(F.min(keys[0]), F.max(keys[0])).first()
         probe_files = _prune_by_stats(m["files"], keys[0], lo, hi)
     key_frame = changes.select(*keys).dropDuplicates(keys)
-    full = _read_files(spark, table_path, m, probe_files).withColumn(
-        "_f", F.input_file_name()
+    full = _read_files(
+        spark, table_path, m, probe_files, with_meta=True
     )
     hit = {
-        r["_f"]
+        r["_dvf"]
         for r in full.join(key_frame, keys, "leftsemi")
-        .select("_f")
+        .select("_dvf")
         .distinct()
         .collect()
     }
-    touched, untouched = _split_touched(m["files"], hit)
+    touched, untouched = _split_by_dvf(m["files"], hit)
     survivors = (
         _read_files(spark, table_path, m, touched)
         .join(key_frame, keys, "left_anti")
@@ -1603,7 +1769,13 @@ def compact(
         bloom_hashes=b_hashes,
         partition_by=tuple(m.get("partition_by", [])),
     )
-    n_old = sum(f["rows"] for f in m["files"])
+    # live rows = manifest rows minus deletion-vector rows: compact
+    # reads through the DVs, so the staged count must match the
+    # POST-DV count — and the rewrite MATERIALIZES the vectors
+    # (dv=False below drops them; the new files carry no dv_rows)
+    n_old = sum(
+        f["rows"] - int(f.get("dv_rows", 0)) for f in m["files"]
+    )
     n_new = sum(f["rows"] for f in new_files)
     if n_old != n_new:
         raise RuntimeError(
@@ -1617,7 +1789,7 @@ def compact(
         "schema": m["schema"],
         "stats_cols": m.get("stats_cols", []),
         "files": new_files,
-    })
+    }, dv=False)
     if not _try_commit(spark, table_path, version, manifest):
         raise RuntimeError("compact: lost the commit race; rerun")
     return version
@@ -1816,6 +1988,11 @@ def vacuum(
         # kept versions keep their write-time change data too — a
         # change-feed consumer may still read this version's commit
         for f in mv.get("change_files", []):
+            keep_paths.add(f["path"])
+        # ... and their deletion vectors: reclaiming a referenced DV
+        # would RESURRECT deleted rows, the worst failure a vacuum
+        # can produce
+        for f in mv.get("dv_files", []):
             keep_paths.add(f["path"])
     deleted = 0
     data_root = P(os.path.join(table_path, _DATA_DIR))

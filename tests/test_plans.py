@@ -252,6 +252,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         # time (their read side is a plain pruned parquet scan)
         "snap_time_travel",
         "snap_delete_cow",
+        "snap_delete_dv",
         "snap_range_skip",
         "snap_change_feed",
         "snap_merge_upsert",

@@ -1275,3 +1275,108 @@ if _HYP:
         T.delete_where(spark, tdir, "k = 900")
         dl = batch(head3, reader.latestOffset())
         assert [(k, ct) for k, _v, ct, _cv in dl] == [(900, "delete")]
+
+
+def test_deletion_vector_lifecycle(spark, tdir):
+    """Merge-on-read deletes (r12): a DV delete rewrites ZERO data
+    files (manifest file list identical, dv_files added); reads
+    anti-join the vectors out; a second DV delete reads THROUGH the
+    first's vectors (no double counting); meta_row_count subtracts
+    dv_rows without opening a file; append carries the vectors;
+    time travel sees each version's own vectors; compact
+    MATERIALIZES them (dv_files dropped, rows identical); CoW
+    delete and merge on a DV-carrying table keep working (the probe
+    key survives the multi-source plan input_file_name() rejects);
+    vacuum keeps referenced vectors."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    T.write_table(df, tdir, "create", stats_cols=("k",), target_files=4)
+    v1 = T.delete_where(spark, tdir, "k % 10 = 3", mode="dv")
+    m0, m1 = _manifest(tdir, 0), _manifest(tdir, 1)
+    assert [f["path"] for f in m1["files"]] == [
+        f["path"] for f in m0["files"]
+    ]  # zero rewrites
+    assert m1["dv_files"] and sum(
+        e["rows"] for e in m1["dv_files"]
+    ) == 10
+    assert sum(f.get("dv_rows", 0) for f in m1["files"]) == 10
+    exp1 = [i for i in range(100) if i % 10 != 3]
+    assert sorted(r.k for r in T.read_table(spark, tdir).collect()) == exp1
+    assert T.meta_row_count(spark, tdir) == 90
+    # second DV delete overlaps the first (k=3,13,23 already gone)
+    T.delete_where(spark, tdir, "k < 25", mode="dv")
+    exp2 = [i for i in range(25, 100) if i % 10 != 3]
+    assert sorted(r.k for r in T.read_table(spark, tdir).collect()) == exp2
+    assert T.meta_row_count(spark, tdir) == len(exp2)
+    # change feed recorded exactly the net deletes of each commit
+    ch = T.read_changes(spark, tdir, 1, 2).collect()
+    assert sorted(r.k for r in ch) == [
+        i for i in range(25) if i % 10 != 3
+    ]
+    # append carries the vectors
+    extra = spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    T.write_table(extra, tdir, "append", stats_cols=("k",))
+    assert sorted(
+        r.k for r in T.read_table(spark, tdir).collect()
+    ) == exp2 + list(range(100, 110))
+    # time travel applies each version's own vectors
+    assert sorted(
+        r.k for r in T.read_table(spark, tdir, version=v1).collect()
+    ) == exp1
+    # compact materializes: dv_files gone, rows identical
+    v4 = T.compact(spark, tdir, target_files=2)
+    assert "dv_files" not in _manifest(tdir, v4)
+    assert sorted(
+        r.k for r in T.read_table(spark, tdir).collect()
+    ) == exp2 + list(range(100, 110))
+    assert T.meta_row_count(spark, tdir) == len(exp2) + 10
+
+
+def test_dv_with_cow_merge_and_vacuum(spark, tdir):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    T.write_table(df, tdir, "create", target_files=4)
+    T.delete_where(spark, tdir, "k % 10 = 3", mode="dv")
+    # CoW delete on a DV table: rewritten files apply the vectors,
+    # untouched files keep theirs
+    T.delete_where(spark, tdir, "k >= 90", mode="cow")
+    exp = [i for i in range(90) if i % 10 != 3]
+    assert sorted(r.k for r in T.read_table(spark, tdir).collect()) == exp
+    # merge through the DV probe: update + insert, deleted key stays dead
+    ups = spark.range(0, 2).select(
+        F.when(F.col("id") == 0, 5).otherwise(150)
+        .cast("long").alias("k"),
+        F.when(F.col("id") == 0, 999).otherwise(1)
+        .cast("long").alias("v"),
+    )
+    T.merge_table(spark, tdir, ups, keys=["k"])
+    rows = {r.k: r.v for r in T.read_table(spark, tdir).collect()}
+    assert 3 not in rows and 93 not in rows
+    assert rows[5] == 999 and rows[150] == 1
+    assert len(rows) == len(exp) + 1
+    # vacuum keeps the vectors the kept versions still reference
+    T.vacuum(spark, tdir, keep_versions=2, min_age_seconds=0)
+    rows2 = {r.k: r.v for r in T.read_table(spark, tdir).collect()}
+    assert rows2 == rows
+
+
+def test_dv_partitioned_table(spark, tdir):
+    dfp = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    T.write_table(dfp, tdir, "create", partition_by=("p",), target_files=2)
+    T.delete_where(spark, tdir, "k % 7 = 1", mode="dv")
+    exp = [i for i in range(60) if i % 7 != 1]
+    assert sorted(r.k for r in T.read_table(spark, tdir).collect()) == exp
+    assert T.meta_row_count(spark, tdir) == len(exp)
+    # partition-pruned read still applies the vectors
+    got = T.read_partition(spark, tdir, {"p": 1})
+    assert sorted(r.k for r in got.collect()) == [
+        i for i in range(60) if i % 3 == 1 and i % 7 != 1
+    ]
