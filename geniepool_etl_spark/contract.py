@@ -3220,6 +3220,32 @@ def q_multimodal_avi_msrle(
     return M.decode_video_frame_stats(M.synth_avi_msrle_assets(params))
 
 
+def q_multimodal_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truevision TGA pixel decode (multimodal.synth_tga_assets →
+    decode_image_pixel_stats): 24-bit truecolor, UNCOMPRESSED (type
+    2) and RLE (type 10 — run + literal packets) mixed per row by
+    doc parity; TGA carries no magic, so detection rides the 2.0
+    TRUEVISION-XFILE footer. Each row's left half is a constant gray
+    (one run packet), the right half the repo gradient (literal
+    packets) — compression is value-neutral and ONE closed form
+    oracles both variants."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 4)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(10) + (F.col("doc_id") % 6) * 7)
+            .cast("long")
+            .alias("width"),
+            (F.lit(7) + (F.col("doc_id") % 5) * 6)
+            .cast("long")
+            .alias("height"),
+            (F.col("doc_id") % 2 == 1).alias("rle"),
+        )
+    )
+    return M.decode_image_pixel_stats(M.synth_tga_assets(params))
+
+
 def q_multimodal_jpeg_prog420(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10181,6 +10207,35 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                CAST(sum((3 * idx) % 256) AS BIGINT) AS sum_b
         FROM pix GROUP BY asset_id, f
     """
+    o["multimodal_tga"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 10 + (doc_id % 6) * 7 AS w,
+                 7 + (doc_id % 5) * 6 AS h
+          FROM documents WHERE doc_id % 11 = 4
+        ),
+        px AS (
+          SELECT asset_id,
+                 CASE WHEN x.x < w // 2
+                      THEN (17 * y.y + asset_id) % 256
+                      ELSE (x.x + 2 * y.y) % 256 END AS r,
+                 CASE WHEN x.x < w // 2
+                      THEN (17 * y.y + asset_id) % 256
+                      ELSE (2 * x.x + y.y) % 256 END AS g,
+                 CASE WHEN x.x < w // 2
+                      THEN (17 * y.y + asset_id) % 256
+                      ELSE (x.x + y.y) % 256 END AS b
+          FROM prm,
+               UNNEST(range(h)) AS y(y),
+               UNNEST(range(w)) AS x(x)
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b
+        FROM prm JOIN px USING (asset_id)
+        GROUP BY prm.asset_id, w, h
+    """
     o["multimodal_avi_frames"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -11582,6 +11637,7 @@ SPARK_QUERIES = {
     "multimodal_avi_msrle": q_multimodal_avi_msrle,
     "text_dsir_resample": q_text_dsir_resample,
     "snap_delete_dv": q_snap_delete_dv,
+    "multimodal_tga": q_multimodal_tga,
     # --- latest driver record: r4 ---
     "set_ops": q_set_ops,
     "w1_window_topk": q_w1_window_topk,

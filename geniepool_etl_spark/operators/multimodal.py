@@ -3432,6 +3432,141 @@ def synth_webp_lossless_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def _tga_pixel_sums(raw: bytes) -> tuple:
+    """Decode a Truevision TGA — 24-bit truecolor, uncompressed
+    (type 2) or RLE (type 10, run and literal packets) — to exact
+    per-channel integer sums. TGA has NO magic; callers detect the
+    TGA 2.0 footer. Colormapped/16/32-bit profiles and truncated
+    streams raise — the caller nulls the row out."""
+    import struct
+
+    import numpy as np
+
+    if len(raw) < 18 + 26:
+        raise ValueError("tga: too short")
+    id_len, cmap_type, img_type = raw[0], raw[1], raw[2]
+    w, h = struct.unpack_from("<HH", raw, 12)
+    depth = raw[16]
+    if cmap_type != 0 or img_type not in (2, 10) or depth != 24:
+        raise ValueError("tga: unsupported profile")
+    if w <= 0 or h <= 0:
+        raise ValueError("tga: bad dimensions")
+    at = 18 + id_len
+    need = w * h
+    if img_type == 2:
+        if at + 3 * need > len(raw):
+            raise ValueError("tga: truncated raster")
+        px = np.frombuffer(
+            raw, np.uint8, count=3 * need, offset=at
+        ).reshape(-1, 3).astype(np.int64)
+    else:
+        out = np.empty((need, 3), dtype=np.int64)
+        got = 0
+        while got < need:
+            if at >= len(raw):
+                raise ValueError("tga: truncated RLE stream")
+            hdr = raw[at]
+            at += 1
+            n = (hdr & 0x7F) + 1
+            if got + n > need:
+                raise ValueError("tga: packet overruns raster")
+            if hdr & 0x80:  # run packet: one pixel value
+                if at + 3 > len(raw):
+                    raise ValueError("tga: truncated run")
+                out[got : got + n] = np.frombuffer(
+                    raw, np.uint8, count=3, offset=at
+                ).astype(np.int64)
+                at += 3
+            else:  # literal packet: n pixel values
+                if at + 3 * n > len(raw):
+                    raise ValueError("tga: truncated literal")
+                out[got : got + n] = np.frombuffer(
+                    raw, np.uint8, count=3 * n, offset=at
+                ).reshape(n, 3).astype(np.int64)
+                at += 3 * n
+            got += n
+        px = out
+    # pixels are BGR; orientation (descriptor bit 5) cannot move sums
+    return (
+        need,
+        int(px[:, 2].sum()),
+        int(px[:, 1].sum()),
+        int(px[:, 0].sum()),
+    )
+
+
+def synth_tga_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    rle_col: str = "rle",
+) -> DataFrame:
+    """Synthesize REAL 24-bit TGA payloads (with the TGA 2.0
+    TRUEVISION-XFILE footer — the format has no magic): row ``y``'s
+    LEFT half (x < w//2) is the constant gray ``(17y + asset_id) %
+    256`` and the right half the repo gradient (R=(x+2y)%256,
+    G=(2x+y)%256, B=(x+y)%256) — so the RLE variant (``rle`` truthy,
+    type 10) exercises BOTH packet kinds per row (one run packet for
+    the constant half, ≤128-pixel literal packets for the gradient)
+    while the uncompressed variant (type 2) carries the identical
+    image; compression is value-neutral and one closed form oracles
+    both. Requires ``2 ≤ w ≤ 256``. Arrow ``mapInPandas``;
+    narrow."""
+    import struct
+
+    import numpy as np
+
+    def one(aid: int, w: int, h: int, rle: bool) -> bytes:
+        img_type = 10 if rle else 2
+        hdr = struct.pack(
+            "<BBBHHBHHHHBB",
+            0, 0, img_type, 0, 0, 0, 0, 0, w, h, 24, 0,
+        )
+        half = w // 2
+        body = bytearray()
+        x = np.arange(w, dtype=np.int64)
+        for y in range(h):
+            c = (17 * y + aid) % 256
+            r = (x + 2 * y) % 256
+            g = (2 * x + y) % 256
+            bch = (x + y) % 256
+            row = np.stack([bch, g, r], axis=-1).astype(np.uint8)
+            row[:half] = c  # constant gray left half (B=G=R=c)
+            if not rle:
+                body += row.tobytes()
+                continue
+            if half:
+                body += bytes([0x80 | (half - 1)]) + bytes([c, c, c])
+            rest = row[half:]
+            for i in range(0, len(rest), 128):
+                chunk = rest[i : i + 128]
+                body += bytes([len(chunk) - 1]) + chunk.tobytes()
+        footer = (
+            struct.pack("<II", 0, 0) + b"TRUEVISION-XFILE.\x00"
+        )
+        return hdr + bytes(body) + footer
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                one(int(aid), int(w), int(h), bool(r))
+                for aid, w, h, r in zip(
+                    pdf[id_col], pdf[width_col], pdf[height_col],
+                    pdf[rle_col],
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/tga",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
     """REAL pixel work: decode every pixel of each 24-bit BMP
     (bottom-up row order, 4-byte row padding), 8-bit RGB PNG
@@ -3529,6 +3664,18 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
                             n, sr, sg, sb = _webp_lossless_pixel_sums(
                                 raw
                             )
+                        rows["n_pixels"].append(n)
+                        rows["sum_r"].append(sr)
+                        rows["sum_g"].append(sg)
+                        rows["sum_b"].append(sb)
+                        continue
+                    if (
+                        len(raw) >= 44
+                        and raw[-18:] == b"TRUEVISION-XFILE.\x00"
+                    ):
+                        # TGA has no magic; the 2.0 footer is the
+                        # documented detection path
+                        n, sr, sg, sb = _tga_pixel_sums(raw)
                         rows["n_pixels"].append(n)
                         rows["sum_r"].append(sr)
                         rows["sum_g"].append(sg)

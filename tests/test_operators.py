@@ -4972,6 +4972,79 @@ def test_msrle_inter_frame_video_decode(spark):
     assert poison[0].n_pixels is None
 
 
+def test_tga_decode(spark):
+    """TGA (r12): type 2 (uncompressed) and type 10 (RLE run +
+    literal packets) 24-bit decode to identical closed-form sums;
+    detection is the TGA 2.0 footer (the format has no magic);
+    poison (colormapped, 32-bit, truncated RLE, packet overrun)
+    nulls the row."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    def expected(aid, w, h):
+        half = w // 2
+        sr = sg = sb = 0
+        for y in range(h):
+            c = (17 * y + aid) % 256
+            sr += half * c
+            sg += half * c
+            sb += half * c
+            for x in range(half, w):
+                sr += (x + 2 * y) % 256
+                sg += (2 * x + y) % 256
+                sb += (x + y) % 256
+        return (w * h, sr, sg, sb)
+
+    payloads = {}
+    for rle in (False, True):
+        gen = M.synth_tga_assets(StubDF())
+        out = next(gen(iter([pd.DataFrame(
+            {"asset_id": [9], "width": [13], "height": [8],
+             "rle": [rle]}
+        )])))
+        raw = bytes(out["payload"].iloc[0])
+        assert raw[-18:] == b"TRUEVISION-XFILE.\x00"
+        assert M._tga_pixel_sums(raw) == expected(9, 13, 8)
+        payloads[rle] = raw
+    # RLE and uncompressed carry the identical image
+    assert (M._tga_pixel_sums(payloads[True])
+            == M._tga_pixel_sums(payloads[False]))
+    # 129-wide run/literal split exercises the 128 literal cap
+    gen = M.synth_tga_assets(StubDF())
+    big = bytes(next(gen(iter([pd.DataFrame(
+        {"asset_id": [2], "width": [255], "height": [3],
+         "rle": [True]}
+    )])))["payload"].iloc[0])
+    assert M._tga_pixel_sums(big) == expected(2, 255, 3)
+    # poison battery
+    cm = bytearray(payloads[False]); cm[1] = 1  # colormapped
+    d32 = bytearray(payloads[False]); d32[16] = 32  # 32-bit
+    trunc = payloads[True][: len(payloads[True]) // 2]
+    overrun = bytearray(payloads[True])
+    # first RLE packet header: run length 255 overruns the raster
+    overrun[18] = 0xFF
+    for bad in (bytes(cm), bytes(d32), trunc, bytes(overrun)):
+        with pytest.raises(ValueError):
+            M._tga_pixel_sums(bad)
+    assets = spark.createDataFrame(
+        [(1, bytearray(payloads[True]), "image/tga"),
+         (2, bytearray(overrun + payloads[True][-26:]), "image/tga")],
+        "asset_id long, payload binary, media_type string",
+    )
+    got = {r.asset_id: r
+           for r in M.decode_image_pixel_stats(assets).collect()}
+    assert (got[1].n_pixels, got[1].sum_r, got[1].sum_g,
+            got[1].sum_b) == expected(9, 13, 8)
+    assert got[2].n_pixels is None
+
+
 def test_au_and_aiff_decode(spark):
     """Sun .au and AIFF (r12): hand-parsed big-endian headers (the
     stdlib sunau/aifc modules are deprecated/removed), the AIFF
