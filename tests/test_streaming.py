@@ -838,6 +838,17 @@ def test_snap_change_stream_partitioned_and_rewrite_guard(spark, tmp_path):
     assert rows[0].k == 3 and rows[0]._change_type == "delete"
     assert rows[0]._commit_version == 2
 
+    # DELETION-VECTOR delete between batches (r12): mode='dv' stages
+    # the same write-time change rows, so the feed is mode-agnostic —
+    # the stream sees the net deletes although NO data file moved
+    T.delete_where(spark, t, "k IN (7, 11)", mode="dv")
+    out4 = str(tmp_path / "out4")
+    run_once(out4)
+    rows4 = spark.read.parquet(out4 + "/part-*.parquet").collect()
+    assert sorted(r.k for r in rows4) == [7, 11]
+    assert {r._change_type for r in rows4} == {"delete"}
+    assert {r._commit_version for r in rows4} == {3}
+
 
 def test_snap_change_stream_initial_load_skips_history_rewrites(
     spark, tmp_path
