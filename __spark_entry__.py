@@ -43,13 +43,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_lake_nest(spark, SMOKE_SF_DIR)
 
 
+def _rotation_order(names) -> list[str]:
+    """Order lanes for the driver's rotating ~50-lane correctness
+    window: NEVER-recorded lanes first (new work gets externally
+    proven the round it lands), then ascending last-green round from
+    the CORRECTNESS_r*.json history (stalest external record
+    re-proven first), registry order as the tiebreak. The registry
+    itself stays grouped by family; rotation is a view. With 297
+    lanes and a 50-lane window this bounds every lane's external
+    re-proof cycle at ~6 rounds (r12 verdict, process nit #1)."""
+    import glob
+    import json
+
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+            for k in json.load(open(path)):
+                last[k] = max(last.get(k, 0), rnd)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+    order = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last.get(n, -1), order[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
-    north-star LLM-pipeline operators)."""
-    return dict(SPARK_QUERIES)
+    north-star LLM-pipeline operators), rotation-ordered (stalest
+    driver record first) so the driver's window re-proves the oldest
+    third of the registry each round."""
+    rot = _rotation_order(list(SPARK_QUERIES))
+    return {n: SPARK_QUERIES[n] for n in rot}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (omitted only where the
-    semantics are engine-specific, e.g. approximate aggregates)."""
-    return dict(ORACLE_SQL)
+    semantics are engine-specific, e.g. approximate aggregates);
+    same rotation order as queries()."""
+    rot = _rotation_order(list(SPARK_QUERIES))
+    return {n: ORACLE_SQL[n] for n in rot if n in ORACLE_SQL}

@@ -3518,6 +3518,13 @@ def synth_tga_assets(
     import numpy as np
 
     def one(aid: int, w: int, h: int, rle: bool) -> bytes:
+        if not 2 <= w <= 256:
+            # enforce the documented bound: w > 256 would wrap the
+            # run-packet length byte (0x80 | (half-1)) and silently
+            # emit a corrupt payload that decodes to WRONG sums
+            raise ValueError(
+                f"synth_tga_assets: width must be in [2, 256], got {w}"
+            )
         img_type = 10 if rle else 2
         hdr = struct.pack(
             "<BBBHHBHHHHBB",
@@ -5054,6 +5061,15 @@ def synth_avi_msrle_assets(
         return chunk(b"LIST", kind + body)
 
     def one(w: int, h: int, nf: int, rh: int) -> bytes:
+        if not 3 <= w <= 255 or not 0 < rh < h:
+            # enforce the documented bounds: w > 255 wraps the RLE
+            # count byte and rh >= h breaks the delta-skip modulus —
+            # both would emit corrupt payloads that decode to wrong
+            # sums instead of raising
+            raise ValueError(
+                f"synth_avi_msrle_assets: requires 3 <= w <= 255 and "
+                f"0 < rect_h < h, got w={w} h={h} rect_h={rh}"
+            )
         fps = 10
         avih = chunk(
             b"avih",

@@ -69,6 +69,15 @@ from geniepool_etl_spark.streaming import _hadoop_fs
 
 _LOG_DIR = "_snaplog"
 _DATA_DIR = "data"
+# DV (merge-on-read delete) broadcast budget: accumulated deletion
+# vectors at or below this many rows ride the read path as a
+# broadcast anti-join (~100 B/row ⇒ ≲100 MB on the wire — cheap
+# against 128 GB executors); delete_where(mode='dv') refuses to grow
+# a snapshot past it (bulk deletes should pay the CoW rewrite once
+# instead of taxing every read — the documented cost model), and
+# _read_files drops the broadcast hint for any manifest already past
+# it so reads degrade to a shuffle anti-join instead of an OOM.
+_DV_BROADCAST_MAX_ROWS = 1_000_000
 
 
 def _read_text(spark: SparkSession, fs, jpath) -> str:
@@ -881,7 +890,16 @@ def _read_files(
             .parquet(*dv_paths)
             .dropDuplicates(["_dvf", "_pos"])
         )
-        out = out.join(F.broadcast(dv), ["_dvf", "_pos"], "left_anti")
+        # broadcast only while the accumulated vectors are
+        # broadcast-safe (manifest arithmetic — dv_files entries
+        # carry exact row counts, no scan). Past the cap fall back to
+        # a shuffle anti-join: slower but never OOMs the executors.
+        # delete_where(mode='dv') refuses to GROW past the cap, so
+        # this fallback only fires for manifests raced past it.
+        dv_total = sum(int(e.get("rows", 0)) for e in dv_files)
+        if dv_total <= _DV_BROADCAST_MAX_ROWS:
+            dv = F.broadcast(dv)
+        out = out.join(dv, ["_dvf", "_pos"], "left_anti")
     if need_meta and not with_meta:
         out = out.drop("_dvf", "_pos")
     return out
@@ -1314,17 +1332,53 @@ def _delete_where_dv(
     already-deleted row is a no-op and repeated DV deletes
     accumulate correctly."""
     cols = [f.name for f in StructType.fromJson(json.loads(m["schema"]))]
+    # the DV machinery threads internal _dvf/_pos metadata columns
+    # through every read of the table; a user column of either name
+    # would collide (duplicate-column ambiguity on every subsequent
+    # read) — refuse up front with a actionable error instead
+    clash = {"_dvf", "_pos"} & set(cols)
+    if clash:
+        raise ValueError(
+            f"delete_where(dv): table schema contains reserved "
+            f"column(s) {sorted(clash)} — the DV read path injects "
+            f"metadata columns of these names; rename the column(s) "
+            f"or use mode='cow'"
+        )
     matched = _read_files(
         spark, table_path, m, m["files"], with_meta=True
     ).where(f"coalesce(({predicate}), false)")
     # per-file deleted-position counts: metadata-sized (≤ one row per
-    # live file), the same deliberate driver set as the CoW probe
+    # live file), the same deliberate driver set as the CoW probe.
+    # _dvf keys come off _metadata.file_path and are URL-ENCODED
+    # ('p=new%20york/...'); manifest paths are FS-real — unquote once
+    # before matching, the same rule as _split_by_dvf, or files under
+    # encodable partition dirs never get their dv_rows bumped and
+    # compact() trips its staged-vs-live row reconciliation.
+    from urllib.parse import unquote
     per_file = {
-        r["_dvf"]: int(r["n"])
+        unquote(r["_dvf"]): int(r["n"])
         for r in matched.groupBy("_dvf")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    # enforce the needle-delete convention the cost model documents:
+    # a delete that would push the snapshot's ACCUMULATED vectors
+    # past the broadcast budget is a bulk delete wearing the wrong
+    # mode — fail fast (nothing staged yet) rather than tax every
+    # subsequent read with an oversized anti-join side
+    n_delete = sum(per_file.values())
+    dv_after = (
+        sum(int(e.get("rows", 0)) for e in m.get("dv_files", []))
+        + n_delete
+    )
+    if dv_after > _DV_BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"delete_where(dv): this delete would accumulate "
+            f"{dv_after} deletion-vector rows "
+            f"(cap {_DV_BROADCAST_MAX_ROWS}); DV mode is for needle "
+            f"deletes — use mode='cow' for bulk deletes, or "
+            f"compact() first to materialize the standing vectors"
+        )
     dv_new = _stage_dv_data(spark, matched, table_path)
     changes = (
         matched.select(*cols)

@@ -5820,3 +5820,30 @@ def test_jpeg_sa_refinement_nonzero_history():
         exp_sum += int(np.clip(np.rint(blk) + 128, 0, 255).sum())
     n, sr, sg, sb = M._jpeg_progressive_pixel_sums(raw)
     assert (n, sr, sg, sb) == (128, exp_sum, exp_sum, exp_sum)
+
+
+def test_synth_bounds_validated():
+    """r13 (advice): synth_tga_assets / synth_avi_msrle_assets must
+    ENFORCE their documented geometry bounds — out-of-range widths
+    would wrap RLE length bytes and silently emit corrupt payloads
+    that decode to wrong sums instead of raising."""
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_tga_assets(StubDF())
+    with pytest.raises(ValueError, match=r"\[2, 256\]"):
+        next(gen(iter([pd.DataFrame(
+            {"asset_id": [1], "width": [257], "height": [3],
+             "rle": [True]}
+        )])))
+    gen2 = M.synth_avi_msrle_assets(StubDF())
+    for w, h, rh in ((256, 5, 2), (9, 5, 5)):
+        with pytest.raises(ValueError, match="3 <= w <= 255"):
+            next(gen2(iter([pd.DataFrame(
+                {"asset_id": [1], "width": [w], "height": [h],
+                 "n_frames": [2], "rect_h": [rh]}
+            )])))

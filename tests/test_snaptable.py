@@ -1380,3 +1380,128 @@ def test_dv_partitioned_table(spark, tdir):
     assert sorted(r.k for r in got.collect()) == [
         i for i in range(60) if i % 3 == 1 and i % 7 != 1
     ]
+
+
+def test_dv_urlencoded_partition_dir(spark, tdir):
+    """r13 (advice): a DV delete under a partition dir that needs
+    URL encoding ('p=new york') must bump dv_rows on the right
+    manifest entries — _metadata-derived _dvf keys are URL-encoded
+    while manifest paths are FS-real, so the per-file count match
+    needs one unquote. Before the fix meta_row_count overcounted and
+    compact() permanently raised its staged-vs-live reconciliation."""
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "new york")
+        .otherwise("bo ston").alias("p"),
+        (F.col("id") * 3).alias("v"),
+    )
+    T.write_table(df, tdir, "create", partition_by=("p",), target_files=1)
+    T.delete_where(spark, tdir, "k IN (2, 4, 5, 7)", mode="dv")
+    m1 = _manifest(tdir, 1)
+    assert sum(f.get("dv_rows", 0) for f in m1["files"]) == 4
+    assert T.meta_row_count(spark, tdir) == 16
+    exp = sorted(set(range(20)) - {2, 4, 5, 7})
+    assert sorted(r.k for r in T.read_table(spark, tdir).collect()) == exp
+    v2 = T.compact(spark, tdir, target_files=1)
+    assert "dv_files" not in _manifest(tdir, v2)
+    assert sorted(r.k for r in T.read_table(spark, tdir).collect()) == exp
+
+
+def test_dv_reserved_column_guard(spark, tdir):
+    """r13 (advice): the DV read path threads internal _dvf/_pos
+    columns through the table; a user column of either name must be
+    rejected up front, not surface as a duplicate-column ambiguity
+    on every read."""
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").alias("_pos")
+    )
+    T.write_table(df, tdir, "create")
+    with pytest.raises(ValueError, match="reserved"):
+        T.delete_where(spark, tdir, "k = 3", mode="dv")
+    # CoW remains available for such tables
+    T.delete_where(spark, tdir, "k = 3", mode="cow")
+    assert T.meta_row_count(spark, tdir) == 9
+
+
+def test_dv_bulk_delete_cap_and_read_fallback(spark, tdir, monkeypatch):
+    """r13 (advice + verdict #5a): delete_where(mode='dv') refuses to
+    grow a snapshot's accumulated vectors past the broadcast budget
+    (bulk deletes must pay CoW once, not tax every read), and
+    _read_files drops the broadcast hint for manifests already past
+    the cap so reads degrade to a shuffle anti-join, never an OOM."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    T.write_table(df, tdir, "create", target_files=2)
+    monkeypatch.setattr(T, "_DV_BROADCAST_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="cap 10"):
+        T.delete_where(spark, tdir, "k < 50", mode="dv")
+    # the refused delete staged nothing and committed nothing
+    assert _manifest(tdir, 0)["version"] == 0
+    assert T.meta_row_count(spark, tdir) == 100
+    # a needle delete under the cap carries the broadcast HINT...
+    T.delete_where(spark, tdir, "k IN (1, 2, 3)", mode="dv")
+    plan_b = (
+        T.read_table(spark, tdir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "broadcast" in plan_b
+    # ...and a manifest past the cap (raced there / legacy) drops the
+    # hint — Spark's own size threshold decides, so an oversized DV
+    # side shuffles instead of force-broadcasting — results identical
+    monkeypatch.setattr(T, "_DV_BROADCAST_MAX_ROWS", 2)
+    got = T.read_table(spark, tdir)
+    plan_s = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan_s
+    assert sorted(r.k for r in got.collect()) == [
+        i for i in range(100) if i not in (1, 2, 3)
+    ]
+
+
+def test_dv_delete_racing_compaction(spark, tdir, monkeypatch):
+    """r13 (verdict #5b): a DV delete and a compaction racing over
+    the same files — whichever writer loses the version-slot claim
+    must FAIL LOUD, and the surviving head must never resurrect
+    deleted rows (the loser staged its view from a stale manifest)."""
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    T.write_table(df, tdir, "create", target_files=2)
+    T.delete_where(spark, tdir, "k % 10 = 1", mode="dv")
+    exp1 = [i for i in range(40) if i % 10 != 1]
+
+    # --- ordering A: compaction resolves, a second DV delete lands
+    # first, compaction must lose (its staged files were read from
+    # the pre-delete view and would resurrect k%10==5)
+    fs, P = T._hadoop_fs(spark, tdir)
+    stale = T._resolve(spark, fs, P, tdir, None)
+    T.delete_where(spark, tdir, "k % 10 = 5", mode="dv")
+    exp2 = [i for i in range(40) if i % 10 not in (1, 5)]
+    real_resolve = T._resolve
+    calls = {"n": 0}
+
+    def stale_once(spark_, fs_, P_, path_, v_):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale
+        return real_resolve(spark_, fs_, P_, path_, v_)
+
+    monkeypatch.setattr(T, "_resolve", stale_once)
+    with pytest.raises(RuntimeError, match="compact"):
+        T.compact(spark, tdir, target_files=1)
+    monkeypatch.setattr(T, "_resolve", real_resolve)
+    assert sorted(r.k for r in T.read_table(spark, tdir).collect()) == exp2
+
+    # --- ordering B: a DV delete resolves, compaction lands first
+    # (rewriting + materializing the DV'd files), the delete must
+    # lose (its vectors point at file names the new head dropped)
+    stale2 = T._resolve(spark, fs, P, tdir, None)
+    T.compact(spark, tdir, target_files=1)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        T._delete_where_dv(spark, tdir, stale2, "k % 10 = 7")
+    assert sorted(r.k for r in T.read_table(spark, tdir).collect()) == exp2
+    # the rerun-against-new-head path the error message promises
+    T.delete_where(spark, tdir, "k % 10 = 7", mode="dv")
+    assert sorted(r.k for r in T.read_table(spark, tdir).collect()) == [
+        i for i in range(40) if i % 10 not in (1, 5, 7)
+    ]
