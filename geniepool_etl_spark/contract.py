@@ -3467,6 +3467,69 @@ def q_multimodal_vp8_lossy(
     return M.decode_image_pixel_stats(M.synth_webp_vp8_assets(params))
 
 
+def q_multimodal_vp8_bpred(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lossy WebP with PER-SUBBLOCK intra (r13 — multimodal.
+    synth_webp_vp8_bpred_assets → operators/vp8.py): macroblocks
+    checkerboard between B_PRED (the §11.2 bmode tree with
+    above/left context addressing, 16 B_DC_PRED sub-blocks decoded
+    as plane-3 tokens with their own DC and NO Y2 block, sequential
+    sub-block reconstruction) and 16x16 DC_PRED (the Y2/WHT path),
+    with the implied-submode neighbor rule live at every mode
+    boundary. Both paths land identical flat per-MB targets, so the
+    mixed-mode frame keeps the closed-form oracle. Closes the
+    B_PRED boundary vp8.py declared in r12."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 5)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(18) + (F.col("doc_id") % 5) * 11)
+            .cast("long")
+            .alias("width"),
+            (F.lit(10) + (F.col("doc_id") % 6) * 9)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_vp8_bpred_assets(params)
+    )
+
+
+def q_multimodal_vp8_normal_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lossy WebP through the NORMAL loop filter (r13 — multimodal.
+    synth_webp_vp8_nf_assets → operators/vp8.py §15.2-3): luma
+    stripes per MB row with |Δ| ≤ 3 between stripes, so every
+    horizontal MB edge passes the six-bound filter mask without
+    high-edge-variance pixels and the 27/18/9-tap filter adjusts
+    exactly two pixel rows per side (the 9-tap rounds to zero) —
+    the filtered frame stays a closed form the oracle reproduces
+    with the same floor((54d+63)/128)/floor((36d+63)/128) taps.
+    Vertical and interior edges are value-flat no-ops by
+    construction. Closes the normal-filter boundary vp8.py declared
+    in r12 (the SIMPLE filter landed then)."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 9)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(17) + (F.col("doc_id") % 6) * 7)
+            .cast("long")
+            .alias("width"),
+            (F.lit(24) + (F.col("doc_id") % 5) * 16)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_vp8_nf_assets(params)
+    )
+
+
 def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsampled-chroma (4:2:0) baseline JPEG pixel decode — the
     dominant web-JPEG profile: MCU = four Y blocks + one Cb + one Cr,
@@ -9920,6 +9983,102 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_vp8_bpred"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 18 + (doc_id % 5) * 11 AS w,
+                 10 + (doc_id % 6) * 9 AS h,
+                 doc_id % 7 AS a
+          FROM documents WHERE doc_id % 13 = 5
+        ),
+        mbs AS (
+          SELECT asset_id, w, h, a,
+                 i % ((w + 15) // 16) AS mx,
+                 i // ((w + 15) // 16) AS my
+          FROM prm,
+               UNNEST(range(((w + 15) // 16) * ((h + 15) // 16)))
+                 AS u(i)
+        ),
+        vals AS (
+          SELECT asset_id,
+                 LEAST(16, w - 16 * mx) * LEAST(16, h - 16 * my)
+                   AS cnt,
+                 (37 * mx + 71 * my + 29 * a) % 256 AS yy,
+                 (23 * mx + 41 * my + 17 * a) % 256 AS cb,
+                 (53 * mx + 13 * my + 11 * a) % 256 AS cr
+          FROM mbs
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum(cnt * least(greatest(
+                   (1000 * yy + 1402 * (cr - 128) + 500) // 1000,
+                   0), 255)) AS BIGINT) AS sum_r,
+                 CAST(sum(cnt * least(greatest(
+                   (1000 * yy - 344 * (cb - 128) - 714 * (cr - 128)
+                    + 500) // 1000, 0), 255)) AS BIGINT) AS sum_g,
+                 CAST(sum(cnt * least(greatest(
+                   (1000 * yy + 1772 * (cb - 128) + 500) // 1000,
+                   0), 255)) AS BIGINT) AS sum_b
+          FROM vals GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
+    o["multimodal_vp8_normal_filter"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 17 + (doc_id % 6) * 7 AS w,
+                 24 + (doc_id % 5) * 16 AS h,
+                 90 + (doc_id % 40) AS base
+          FROM documents WHERE doc_id % 13 = 9
+        ),
+        yrows AS (
+          SELECT asset_id, w, h, base, i AS y,
+                 i // 16 AS k, i % 16 AS r,
+                 h // 16 AS kmax
+          FROM prm, UNNEST(range(h)) AS u(i)
+        ),
+        -- stripe pattern [0,3,1,2]; d_prev/d_next are the stripe
+        -- deltas across this row's lower/upper MB-edge boundary
+        pat AS (
+          SELECT *,
+                 CASE (k % 4) WHEN 0 THEN 0 WHEN 1 THEN 3
+                              WHEN 2 THEN 1 ELSE 2 END AS pk,
+                 CASE ((k + 3) % 4) WHEN 0 THEN 0 WHEN 1 THEN 3
+                              WHEN 2 THEN 1 ELSE 2 END AS pkm1,
+                 CASE ((k + 1) % 4) WHEN 0 THEN 0 WHEN 1 THEN 3
+                              WHEN 2 THEN 1 ELSE 2 END AS pkp1
+          FROM yrows
+        ),
+        vals AS (
+          SELECT asset_id, w,
+                 base + pk
+                 + CASE
+                     WHEN r = 0 AND k > 0 THEN
+                       -CAST(floor((54 * (pk - pkm1) + 63) / 128.0)
+                             AS BIGINT)
+                     WHEN r = 1 AND k > 0 THEN
+                       -CAST(floor((36 * (pk - pkm1) + 63) / 128.0)
+                             AS BIGINT)
+                     WHEN r = 15 AND k < kmax THEN
+                       CAST(floor((54 * (pkp1 - pk) + 63) / 128.0)
+                            AS BIGINT)
+                     WHEN r = 14 AND k < kmax THEN
+                       CAST(floor((36 * (pkp1 - pk) + 63) / 128.0)
+                            AS BIGINT)
+                     ELSE 0
+                   END AS v
+          FROM pat
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(w * v) AS BIGINT) AS s
+          FROM vals GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.s AS sum_r, agg.s AS sum_g, agg.s AS sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_jpeg_color"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -11618,6 +11777,10 @@ FROM g
 # are selfcheck-green at sf0.001+sf0.01 and ansi-swept regardless of
 # the window.
 SPARK_QUERIES = {
+    # --- r13-new lanes (never driver-recorded; the rotation view in
+    # __spark_entry__ orders these first automatically) ---
+    "multimodal_vp8_bpred": q_multimodal_vp8_bpred,
+    "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,
     # --- r12-new lanes first (never driver-recorded) ---
     "multimodal_netpbm16": q_multimodal_netpbm16,
     "multimodal_bmp_palette": q_multimodal_bmp_palette,

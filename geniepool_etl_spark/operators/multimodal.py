@@ -3152,6 +3152,109 @@ def synth_webp_vp8_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_webp_vp8_bpred_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossy WebP payloads whose macroblocks CHECKERBOARD
+    between B_PRED (16 B_DC_PRED sub-blocks, plane-3 tokens with
+    their own DC, no Y2 — the r13 per-subblock intra path) and 16x16
+    DC_PRED (the Y2/WHT path): ``(mx+my)`` even → B_PRED. Both paths
+    reconstruct the SAME flat per-MB targets (the
+    :func:`synth_webp_vp8_assets` value formulas), so one closed-form
+    oracle covers the mixed-mode frame while the bitstream exercises
+    the bmode tree with context addressing, the implied-submode
+    neighbor rule at mode boundaries, and sequential sub-block
+    reconstruction. Arrow ``mapInPandas``; narrow."""
+    from geniepool_etl_spark.operators import vp8 as _vp8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for aid, w, h in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col]
+            ):
+                a = int(aid) % 7
+
+                def mb(mx, my, _a=a):
+                    return (
+                        (37 * mx + 71 * my + 29 * _a) % 256,
+                        (23 * mx + 41 * my + 17 * _a) % 256,
+                        (53 * mx + 13 * my + 11 * _a) % 256,
+                    )
+
+                def ym(mx, my):
+                    return (
+                        _vp8._B_PRED
+                        if (mx + my) % 2 == 0
+                        else _vp8._DC_PRED
+                    )
+
+                payloads.append(
+                    _vp8.build_webp_vp8(int(w), int(h), mb, ymode=ym)
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_webp_vp8_nf_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossy WebP payloads that exercise the NORMAL loop
+    filter (filter_type 0, level 20 — the r13 §15.2-3 path) with a
+    CLOSED-FORM filtered result: luma stripes per MB row ``v(my) =
+    90 + (asset_id % 40) + [0,3,1,2][my % 4]``, chroma 128. Adjacent
+    stripes differ by |d| ≤ 3, so every horizontal MB-edge passes
+    the filter mask with no high-edge-variance pixels and the
+    27/18/9-tap filter's third tap rounds to zero — the complete
+    filter effect is p1 += a18, p0 += a27, q0 −= a27, q1 −= a18 per
+    boundary with a27 = floor((54d+63)/128), a18 =
+    floor((36d+63)/128), and every interior/vertical edge is
+    value-flat (no-op). Heights ≡ 8 (mod 16) keep all modified rows
+    visible. Arrow ``mapInPandas``; narrow."""
+    from geniepool_etl_spark.operators import vp8 as _vp8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for aid, w, h in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col]
+            ):
+                base = 90 + int(aid) % 40
+                pat = (0, 3, 1, 2)
+
+                def mb(mx, my, _b=base, _p=pat):
+                    return (_b + _p[my % 4], 128, 128)
+
+                payloads.append(
+                    _vp8.build_webp_vp8(
+                        int(w), int(h), mb,
+                        filter_level=20, filter_type=0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
     """Decode a LOSSLESS WebP (VP8L) to exact per-channel pixel sums:
     RIFF walk → 0x2F signature + 14/14-bit dims → Huffman code group

@@ -24,17 +24,28 @@ documented here rather than papered over:
   mechanism is per spec, and encoder and decoder share one table
   module, so streams round-trip bit-exactly; swapping the constant
   tables for the RFC's is the only change libvpx interop would need.
-- Per-subblock intra (B_PRED) and the NORMAL loop filter raise
-  ``NotImplementedError`` — the declared remaining boundary. The
-  SIMPLE loop filter (filter_type 1, luma-only §15.1) IS implemented
-  and applied in the spec's macroblock raster order.
+- The kf_bmode_prob table (like the other constant tables) and two
+  frame-border above-right conventions for B_PRED (documented at
+  :func:`_above_right4`) are repo-defined; segmentation and
+  loop-filter delta headers raise ``NotImplementedError`` (declared
+  boundary — the synth never emits them).
 
-The synth encoder emits flat-per-macroblock frames (16x16 DC_PRED,
-DC-only residuals through the full Y2/WHT path), so the decoded
-pixels are a pure closed form of (asset_id, mb_x, mb_y) and an
-external SQL oracle can recompute every channel sum without touching
-the bytes — the same value-neutral-construction discipline as the
-progressive-JPEG and VP8L lanes.
+r13: per-subblock intra (B_PRED — all ten §12.3 sub-modes, the
+§11.2 bmode tree with above/left context addressing, plane-3 tokens
+without Y2, sequential sub-block reconstruction with above-right
+pixels) and the NORMAL loop filter (filter_type 0, §15.2-3: the
+six-bound filter mask, hev, the 27/18/9-tap MB-edge filter and the
+outer-tap subblock filter, all three planes) are implemented; the
+SIMPLE filter (filter_type 1, luma-only §15.1) was already. Both run
+in the spec's macroblock raster order after full reconstruction.
+
+The synth encoder emits flat-per-macroblock frames (16x16 DC_PRED
+through the full Y2/WHT path, or B_PRED/B_DC per-subblock DC
+residuals), so the decoded pixels are a pure closed form of
+(asset_id, mb_x, mb_y) and an external SQL oracle can recompute
+every channel sum without touching the bytes — the same
+value-neutral-construction discipline as the progressive-JPEG and
+VP8L lanes.
 
 Reference parity note: the reference repo has no multimodal surface;
 this module extends the engine's LLM-pipeline coverage (SURVEY §2.6
@@ -92,6 +103,46 @@ _KF_YMODE_TREE = (-_B_PRED, 2, 4, 6, -_DC_PRED, -_V_PRED,
 _KF_YMODE_PROB = (145, 156, 163, 128)
 _UV_MODE_TREE = (-_DC_PRED, 2, -_V_PRED, 4, -_H_PRED, -_TM_PRED)
 _KF_UV_MODE_PROB = (142, 114, 183)
+
+# sub-block (4x4) intra modes + tree (RFC 6386 §11.2 bmode_tree)
+(_B_DC, _B_TM, _B_VE, _B_HE, _B_LD, _B_RD, _B_VR, _B_VL, _B_HD,
+ _B_HU) = range(10)
+_BMODE_TREE = (
+    -_B_DC, 2,
+    -_B_TM, 4,
+    -_B_VE, 6,
+    8, 12,
+    -_B_HE, 10,
+    -_B_RD, -_B_VR,
+    -_B_LD, 14,
+    -_B_VL, 16,
+    -_B_HD, -_B_HU,
+)
+# a non-B_PRED neighbor contributes its 16x16 mode's implied
+# sub-block mode to the bmode probability context (§11.2)
+_IMPLIED_SUBMODE = {
+    _DC_PRED: _B_DC, _V_PRED: _B_VE, _H_PRED: _B_HE, _TM_PRED: _B_TM,
+}
+
+_BMODE_PROB_CACHE: dict = {}
+
+
+def _kf_bmode_probs(above: int, left: int) -> tuple:
+    """Key-frame sub-block mode probabilities addressed by the
+    (above, left) neighbor sub-block modes — the structural mechanism
+    of RFC 6386 §11.2's kf_bmode_prob[10][10][9]. The VALUES are
+    repo-defined deterministic stand-ins, same convention (and same
+    reason) as :func:`_default_coef_probs`: encoder and decoder share
+    this function, so streams round-trip bit-exactly."""
+    key = (above, left)
+    probs = _BMODE_PROB_CACHE.get(key)
+    if probs is None:
+        probs = tuple(
+            ((61 * above + 43 * left + 29 * i) % 253) + 1
+            for i in range(9)
+        )
+        _BMODE_PROB_CACHE[key] = probs
+    return probs
 
 # plane types for token probability addressing (RFC 6386 §13.3):
 # 0 = Y beginning at coefficient 1 (16x16 mode, DC lives in Y2),
@@ -478,6 +529,157 @@ def _predict_16x16(mode, rec, x0, y0, size):
     raise NotImplementedError(f"vp8: prediction mode {mode}")
 
 
+def _above_right4(rec, mx, my, bx, by):
+    """The four above-right prediction pixels for sub-block
+    ``(by, bx)`` of MB ``(mx, my)`` (RFC 6386 §12.3). For interior
+    sub-blocks (``bx < 3``, any row but the MB top with ``by > 0``
+    included) they are the already-reconstructed pixels directly
+    above-right. Right-column sub-blocks (``bx == 3``) read the row
+    ABOVE THE MACROBLOCK at columns 16..19 — the true neighbors are
+    not yet decoded, so every ``bx == 3`` sub-block shares the same
+    above-right pixels as (0, 3), the standard VP8 behavior. Border
+    conventions (cross-decoder-visible only on frame edges, chosen
+    and documented per the module's honest-deltas rule): a missing
+    above row reads 127; columns past the padded frame's right edge
+    replicate the row's last pixel."""
+    import numpy as np
+
+    if bx < 3:
+        row, c0 = my * 16 + by * 4 - 1, mx * 16 + bx * 4 + 4
+    else:
+        row, c0 = my * 16 - 1, mx * 16 + 16
+    if row < 0:
+        return np.full(4, 127, dtype=np.int64)
+    width = rec.shape[1]
+    if c0 + 4 <= width:
+        return rec[row, c0 : c0 + 4].astype(np.int64)
+    out = np.full(4, int(rec[row, width - 1]), dtype=np.int64)
+    k = max(0, width - c0)
+    if k:
+        out[:k] = rec[row, c0:width].astype(np.int64)
+    return out
+
+
+def _predict_4x4(mode, rec, x0, y0, above_right):
+    """Sub-block intra prediction (RFC 6386 §12.3), all ten B_PRED
+    modes: ``rec`` is the luma plane under reconstruction, ``(x0,
+    y0)`` the 4x4 origin, ``above_right`` the 4 pixels from
+    :func:`_above_right4`. Edge conventions as for whole blocks:
+    missing above row 127, missing left column 129, and the
+    above-left corner follows :func:`_predict_16x16`'s convention.
+    The two/three-tap rounded averages are the spec's exact integer
+    forms. Returns a 4x4 int64 array."""
+    import numpy as np
+
+    have_above = y0 > 0
+    have_left = x0 > 0
+    A = (
+        rec[y0 - 1, x0 : x0 + 4].astype(np.int64)
+        if have_above
+        else np.full(4, 127, dtype=np.int64)
+    )
+    L = (
+        rec[y0 : y0 + 4, x0 - 1].astype(np.int64)
+        if have_left
+        else np.full(4, 129, dtype=np.int64)
+    )
+    if have_above and have_left:
+        P = int(rec[y0 - 1, x0 - 1])
+    elif have_above:
+        P = 127
+    else:
+        P = 129
+    if mode == _B_DC:
+        dc = (int(A.sum()) + int(L.sum()) + 4) >> 3
+        return np.full((4, 4), dc, dtype=np.int64)
+    if mode == _B_TM:
+        return np.clip(L[:, None] + A[None, :] - P, 0, 255)
+
+    def a3(x, y, z):
+        return (int(x) + 2 * int(y) + int(z) + 2) >> 2
+
+    def a2(x, y):
+        return (int(x) + int(y) + 1) >> 1
+
+    o = np.zeros((4, 4), dtype=np.int64)
+    if mode == _B_VE:
+        e = (P, A[0], A[1], A[2], A[3], above_right[0])
+        row = [a3(e[i], e[i + 1], e[i + 2]) for i in range(4)]
+        o[:] = np.array(row, dtype=np.int64)[None, :]
+        return o
+    if mode == _B_HE:
+        e = (P, L[0], L[1], L[2], L[3], L[3])
+        col = [a3(e[i], e[i + 1], e[i + 2]) for i in range(4)]
+        o[:] = np.array(col, dtype=np.int64)[:, None]
+        return o
+    AA = [int(v) for v in A] + [int(v) for v in above_right]
+    pp = (int(L[3]), int(L[2]), int(L[1]), int(L[0]), P,
+          int(A[0]), int(A[1]), int(A[2]), int(A[3]))
+    if mode == _B_LD:
+        for r in range(4):
+            for c in range(4):
+                i = r + c
+                o[r, c] = (
+                    a3(AA[i], AA[i + 1], AA[i + 2])
+                    if i < 6
+                    else a3(AA[6], AA[7], AA[7])
+                )
+        return o
+    if mode == _B_RD:
+        for r in range(4):
+            for c in range(4):
+                k = c - r + 3
+                o[r, c] = a3(pp[k - 1], pp[k], pp[k + 1])
+        return o
+    if mode == _B_VR:
+        o[3, 0] = a3(pp[1], pp[2], pp[3])
+        o[2, 0] = a3(pp[2], pp[3], pp[4])
+        o[3, 1] = o[1, 0] = a3(pp[3], pp[4], pp[5])
+        o[2, 1] = o[0, 0] = a2(pp[4], pp[5])
+        o[3, 2] = o[1, 1] = a3(pp[4], pp[5], pp[6])
+        o[2, 2] = o[0, 1] = a2(pp[5], pp[6])
+        o[3, 3] = o[1, 2] = a3(pp[5], pp[6], pp[7])
+        o[2, 3] = o[0, 2] = a2(pp[6], pp[7])
+        o[1, 3] = a3(pp[6], pp[7], pp[8])
+        o[0, 3] = a2(pp[7], pp[8])
+        return o
+    if mode == _B_VL:
+        o[0, 0] = a2(AA[0], AA[1])
+        o[1, 0] = a3(AA[0], AA[1], AA[2])
+        o[2, 0] = o[0, 1] = a2(AA[1], AA[2])
+        o[1, 1] = o[3, 0] = a3(AA[1], AA[2], AA[3])
+        o[2, 1] = o[0, 2] = a2(AA[2], AA[3])
+        o[3, 1] = o[1, 2] = a3(AA[2], AA[3], AA[4])
+        o[2, 2] = o[0, 3] = a2(AA[3], AA[4])
+        o[3, 2] = o[1, 3] = a3(AA[3], AA[4], AA[5])
+        o[2, 3] = a3(AA[4], AA[5], AA[6])
+        o[3, 3] = a3(AA[5], AA[6], AA[7])
+        return o
+    if mode == _B_HD:
+        o[3, 0] = a2(pp[0], pp[1])
+        o[3, 1] = a3(pp[0], pp[1], pp[2])
+        o[2, 0] = o[3, 2] = a2(pp[1], pp[2])
+        o[2, 1] = o[3, 3] = a3(pp[1], pp[2], pp[3])
+        o[2, 2] = o[1, 0] = a2(pp[2], pp[3])
+        o[2, 3] = o[1, 1] = a3(pp[2], pp[3], pp[4])
+        o[1, 2] = o[0, 0] = a2(pp[3], pp[4])
+        o[1, 3] = o[0, 1] = a3(pp[3], pp[4], pp[5])
+        o[0, 2] = a3(pp[4], pp[5], pp[6])
+        o[0, 3] = a3(pp[5], pp[6], pp[7])
+        return o
+    if mode == _B_HU:
+        o[0, 0] = a2(L[0], L[1])
+        o[0, 1] = a3(L[0], L[1], L[2])
+        o[0, 2] = o[1, 0] = a2(L[1], L[2])
+        o[0, 3] = o[1, 1] = a3(L[1], L[2], L[3])
+        o[1, 2] = o[2, 0] = a2(L[2], L[3])
+        o[1, 3] = o[2, 1] = a3(L[2], L[3], L[3])
+        o[2, 2] = o[2, 3] = int(L[3])
+        o[3, :] = int(L[3])
+        return o
+    raise NotImplementedError(f"vp8: sub-block mode {mode}")
+
+
 def decode_frame(chunk: bytes):
     """Decode one VP8 KEY frame (the bytes of a ``VP8 `` RIFF chunk)
     to ``(width, height, Y, U, V)`` numpy uint8 planes, cropped to
@@ -513,11 +715,6 @@ def decode_frame(chunk: bytes):
     sharpness = bd.literal(3)
     if bd.get(128):
         raise NotImplementedError("vp8: loop-filter deltas unsupported")
-    if filter_level != 0 and filter_type == 0:
-        raise NotImplementedError(
-            "vp8: the NORMAL loop filter is the declared boundary "
-            "(the SIMPLE filter is implemented)"
-        )
     nparts = 1 << bd.literal(2)
     q_index = bd.literal(7)
     deltas = []
@@ -551,17 +748,34 @@ def decode_frame(chunk: bytes):
 
     mb_cols, mb_rows = (w + 15) >> 4, (h + 15) >> 4
     mbs = []
+    # bmode probability context: the above/left neighbor sub-block
+    # modes (off-frame → B_DC_PRED; non-B_PRED neighbors contribute
+    # their implied sub-mode) — RFC 6386 §11.2
+    above_sub = [_B_DC] * (mb_cols * 4)
     for _my in range(mb_rows):
+        left_sub = [_B_DC] * 4
         for _mx in range(mb_cols):
             skip = bd.get(prob_skip_false) if mb_no_skip else 0
             ymode = bd.tree(_KF_YMODE_TREE, _KF_YMODE_PROB)
             if ymode == _B_PRED:
-                raise NotImplementedError(
-                    "vp8: per-subblock intra (B_PRED) is the declared "
-                    "boundary"
-                )
+                subs = []
+                for b in range(16):
+                    bx, by = b % 4, b // 4
+                    am = above_sub[_mx * 4 + bx] if by == 0 else subs[b - 4]
+                    lm = left_sub[by] if bx == 0 else subs[b - 1]
+                    subs.append(
+                        bd.tree(_BMODE_TREE, _kf_bmode_probs(am, lm))
+                    )
+                above_sub[_mx * 4 : _mx * 4 + 4] = subs[12:16]
+                for by in range(4):
+                    left_sub[by] = subs[by * 4 + 3]
+            else:
+                subs = None
+                imp = _IMPLIED_SUBMODE[ymode]
+                above_sub[_mx * 4 : _mx * 4 + 4] = [imp] * 4
+                left_sub[:] = [imp] * 4
             uvmode = bd.tree(_UV_MODE_TREE, _KF_UV_MODE_PROB)
-            mbs.append((skip, ymode, uvmode))
+            mbs.append((skip, ymode, uvmode, subs))
     if bd.overread:
         raise ValueError("vp8: first partition truncated")
 
@@ -598,29 +812,42 @@ def decode_frame(chunk: bytes):
     def dequant(coeffs, dcf, acf):
         return [coeffs[0] * dcf] + [c * acf for c in coeffs[1:]]
 
+    mb_coeffs = [False] * (mb_rows * mb_cols)
     for my in range(mb_rows):
         td = parts[my % nparts]
         left_y, left_u, left_v, left_y2 = [0] * 4, [0] * 2, [0] * 2, [0]
         for mx in range(mb_cols):
-            skip, ymode, uvmode = mbs[my * mb_cols + mx]
-            # whole-MB intra prediction from reconstructed neighbors
-            py = _predict_16x16(ymode, Y, mx * 16, my * 16, 16)
+            skip, ymode, uvmode, subs = mbs[my * mb_cols + mx]
             pu = _predict_16x16(uvmode, U, mx * 8, my * 8, 8)
             pv = _predict_16x16(uvmode, Vp, mx * 8, my * 8, 8)
             if skip:
                 # no residual tokens; zero this MB's nonzero contexts
-                # (incl. Y2 — 16x16 mode, the libvpx reset rule)
+                # — except Y2 for B_PRED, which HAS no Y2 block and
+                # leaves that context untouched (the libvpx rule)
                 above_y[mx * 4 : mx * 4 + 4] = [0] * 4
                 above_u[mx * 2 : mx * 2 + 2] = [0] * 2
                 above_v[mx * 2 : mx * 2 + 2] = [0] * 2
-                above_y2[mx] = 0
                 left_y[:] = [0] * 4
                 left_u[:] = [0] * 2
                 left_v[:] = [0] * 2
-                left_y2[0] = 0
-                Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
-                    np.clip(py, 0, 255)
-                )
+                if ymode != _B_PRED:
+                    above_y2[mx] = 0
+                    left_y2[0] = 0
+                if ymode == _B_PRED:
+                    # pure per-subblock prediction, spec raster order
+                    for b in range(16):
+                        bx, by = b % 4, b // 4
+                        x0, yb = mx * 16 + bx * 4, my * 16 + by * 4
+                        ar = _above_right4(Y, mx, my, bx, by)
+                        pred = _predict_4x4(subs[b], Y, x0, yb, ar)
+                        Y[yb : yb + 4, x0 : x0 + 4] = np.clip(
+                            pred, 0, 255
+                        )
+                else:
+                    py = _predict_16x16(ymode, Y, mx * 16, my * 16, 16)
+                    Y[
+                        my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16
+                    ] = np.clip(py, 0, 255)
                 U[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
                     pu, 0, 255
                 )
@@ -628,32 +855,50 @@ def decode_frame(chunk: bytes):
                     pv, 0, 255
                 )
                 continue
-            # Y2 block
-            ctx = above_y2[mx] + left_y2[0]
-            y2c, eob = _decode_block(td, _PLANE_Y2, 0, ctx, probs)
-            nz2 = 1 if eob > 0 else 0
-            above_y2[mx] = left_y2[0] = nz2
-            wht = _iwht4x4(dequant(y2c, dq_y2dc, dq_y2ac))
-            yres = np.zeros((16, 16), dtype=np.int64)
-            for b in range(16):
-                bx, by = b % 4, b // 4
-                ctx = above_y[mx * 4 + bx] + left_y[by]
-                yc, eob = _decode_block(
-                    td, _PLANE_Y_NO_DC, 1, ctx, probs
-                )
-                nz = 1 if eob > 1 else 0
-                above_y[mx * 4 + bx] = left_y[by] = nz
-                dqc = dequant(yc, dq_y1dc, dq_y1ac)
-                dqc[0] = wht[b]
-                res = _idct4x4(dqc)
-                yres[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
-                    np.array(res).reshape(4, 4)
-                )
+            has_c = 0
+            if ymode == _B_PRED:
+                # no Y2 block: each Y block carries its own DC
+                # (plane type 3, first coefficient 0 — §13.3)
+                yblocks = []
+                for b in range(16):
+                    bx, by = b % 4, b // 4
+                    ctx = above_y[mx * 4 + bx] + left_y[by]
+                    yc, eob = _decode_block(
+                        td, _PLANE_Y_DC, 0, ctx, probs
+                    )
+                    nz = 1 if eob > 0 else 0
+                    above_y[mx * 4 + bx] = left_y[by] = nz
+                    has_c |= nz
+                    yblocks.append(yc)
+            else:
+                # Y2 block
+                ctx = above_y2[mx] + left_y2[0]
+                y2c, eob = _decode_block(td, _PLANE_Y2, 0, ctx, probs)
+                nz2 = 1 if eob > 0 else 0
+                above_y2[mx] = left_y2[0] = nz2
+                has_c |= nz2
+                wht = _iwht4x4(dequant(y2c, dq_y2dc, dq_y2ac))
+                yres = np.zeros((16, 16), dtype=np.int64)
+                for b in range(16):
+                    bx, by = b % 4, b // 4
+                    ctx = above_y[mx * 4 + bx] + left_y[by]
+                    yc, eob = _decode_block(
+                        td, _PLANE_Y_NO_DC, 1, ctx, probs
+                    )
+                    nz = 1 if eob > 1 else 0
+                    above_y[mx * 4 + bx] = left_y[by] = nz
+                    has_c |= nz
+                    dqc = dequant(yc, dq_y1dc, dq_y1ac)
+                    dqc[0] = wht[b]
+                    res = _idct4x4(dqc)
+                    yres[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
+                        np.array(res).reshape(4, 4)
+                    )
             ures = np.zeros((8, 8), dtype=np.int64)
             vres = np.zeros((8, 8), dtype=np.int64)
-            for plane_arr, above_c, left_c, out in (
-                (ures, above_u, left_u, None),
-                (vres, above_v, left_v, None),
+            for plane_arr, above_c, left_c in (
+                (ures, above_u, left_u),
+                (vres, above_v, left_v),
             ):
                 for b in range(4):
                     bx, by = b % 2, b // 2
@@ -663,13 +908,32 @@ def decode_frame(chunk: bytes):
                     )
                     nz = 1 if eob > 0 else 0
                     above_c[mx * 2 + bx] = left_c[by] = nz
+                    has_c |= nz
                     res = _idct4x4(dequant(cc, dq_uvdc, dq_uvac))
                     plane_arr[
                         by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4
                     ] = np.array(res).reshape(4, 4)
-            Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
-                np.clip(py + yres, 0, 255)
-            )
+            mb_coeffs[my * mb_cols + mx] = bool(has_c)
+            if ymode == _B_PRED:
+                # per-subblock predict→reconstruct, raster order —
+                # each sub-block's prediction reads pixels the
+                # previous sub-blocks just wrote (§12.3)
+                for b in range(16):
+                    bx, by = b % 4, b // 4
+                    x0, yb = mx * 16 + bx * 4, my * 16 + by * 4
+                    ar = _above_right4(Y, mx, my, bx, by)
+                    pred = _predict_4x4(subs[b], Y, x0, yb, ar)
+                    res = _idct4x4(
+                        dequant(yblocks[b], dq_y1dc, dq_y1ac)
+                    )
+                    Y[yb : yb + 4, x0 : x0 + 4] = np.clip(
+                        pred + np.array(res).reshape(4, 4), 0, 255
+                    )
+            else:
+                py = _predict_16x16(ymode, Y, mx * 16, my * 16, 16)
+                Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    np.clip(py + yres, 0, 255)
+                )
             U[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
                 pu + ures, 0, 255
             )
@@ -679,10 +943,18 @@ def decode_frame(chunk: bytes):
         if td.overread:
             raise ValueError("vp8: token partition truncated")
     if filter_level != 0:
-        # SIMPLE in-loop deblocking (luma only), spec MB raster order
-        _simple_loop_filter(
-            Y, mb_rows, mb_cols, filter_level, sharpness, mbs
-        )
+        if filter_type == 1:
+            # SIMPLE deblocking (luma only), spec MB raster order
+            _simple_loop_filter(
+                Y, mb_rows, mb_cols, filter_level, sharpness, mbs,
+                mb_coeffs,
+            )
+        else:
+            # NORMAL deblocking (all planes, §15.2-3)
+            _normal_loop_filter(
+                Y, U, Vp, mb_rows, mb_cols, filter_level, sharpness,
+                mbs, mb_coeffs,
+            )
     return (
         w,
         h,
@@ -707,23 +979,42 @@ def _flat_mb_levels(r_y: int, r_u: int, r_v: int):
     return ly2, r_u, r_v
 
 
-def encode_flat_frame(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
+def encode_flat_frame(w: int, h: int, mb_vals, ymode=_DC_PRED,
                       uvmode: int = _DC_PRED, filter_level: int = 0,
-                      sharpness: int = 0) -> bytes:
+                      sharpness: int = 0,
+                      filter_type: int = 1, submodes=None) -> bytes:
     """Encode a VP8 KEY frame (the ``VP8 `` chunk bytes) whose every
     macroblock is a flat (Y, U, V) from ``mb_vals(mx, my) → (y, u,
-    v)``: 16x16 DC_PRED + DC-only residuals through the full
-    Y2/WHT/IDCT path, loop filter level 0, one token partition. The
-    encoder mirrors the decoder's context tracking exactly (the
-    round-trip tests pin it); all-zero MBs use the real skip path.
-    ``ymode``/``uvmode`` override the written intra modes — residual
-    planning stays DC-based, so non-DC modes are only value-correct
-    for uniform-128 targets (every MB skips and takes the raw
-    prediction); they exist to drive the decoder's V/H/TM paths."""
+    v)``: DC-style intra + DC-only residuals, loop filter per
+    ``filter_type`` (1 = SIMPLE, 0 = NORMAL) at ``filter_level``,
+    one token partition. The encoder mirrors the decoder's context
+    tracking exactly (the round-trip tests pin it); all-zero MBs use
+    the real skip path.
+
+    ``ymode`` is an int or a ``(mx, my) → mode`` callable. 16x16
+    DC_PRED MBs ride the Y2/WHT path; ``_B_PRED`` MBs code 16
+    B_DC_PRED sub-blocks (no Y2, plane-3 tokens with their own DC)
+    whose per-sub-block residuals land the same exact flat targets —
+    so one closed-form oracle covers frames mixing both. Non-DC
+    16x16 modes (V/H/TM) remain value-correct only for uniform-128
+    targets (every MB skips); they exist to drive decoder paths.
+
+    ``submodes`` (a ``(mx, my, b) -> sub-mode`` callable) switches to
+    PURE-PREDICTION authoring: every MB becomes B_PRED with those
+    sub-modes, zero residuals, the real skip path — targets are
+    ignored and the decoded pixels are whatever the §12.3 prediction
+    cascade produces. Tests compare that against an independent
+    simulation; it is not oracle-closed-form."""
     import struct
 
     mb_cols, mb_rows = (w + 15) >> 4, (h + 15) >> 4
+    if submodes is not None:
+        ymode = _B_PRED
+    ymode_of = ymode if callable(ymode) else (lambda mx, my: ymode)
     # --- plan residuals via the decoder's own prediction arithmetic
+    # (every MB reconstructs exactly flat at its target, so the grid
+    # of targets IS the reconstruction for planning purposes — for
+    # 16x16 DC and B_PRED/B_DC alike)
     ty = [[0] * mb_cols for _ in range(mb_rows)]
     tu = [[0] * mb_cols for _ in range(mb_rows)]
     tv = [[0] * mb_cols for _ in range(mb_rows)]
@@ -746,17 +1037,50 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
                     return left
                 return 128
 
-            ry = y - dc_pred(ty, 16)
             ru = u - dc_pred(tu, 8)
             rv = v - dc_pred(tv, 8)
-            levels[my][mx] = _flat_mb_levels(ry, ru, rv)
+            if ymode_of(mx, my) == _B_PRED:
+                # per-sub-block B_DC predictions from flat neighbors:
+                # above = own target for rows 1-3 else the above MB's
+                # (127 off-frame); left = own target for cols 1-3
+                # else the left MB's (129 off-frame). dc=(4a+4l+4)>>3
+                # and plane-3 DC dequant is 8 at _SYNTH_QI, so level
+                # = target − dc exactly (residual (8L+4)>>3 = L).
+                subs = []
+                for b in range(16):
+                    bx, by = b % 4, b // 4
+                    if by > 0:
+                        a = y
+                    elif my > 0:
+                        a = ty[my - 1][mx]
+                    else:
+                        a = 127
+                    if bx > 0:
+                        lft = y
+                    elif mx > 0:
+                        lft = ty[my][mx - 1]
+                    else:
+                        lft = 129
+                    dc = (4 * a + 4 * lft + 4) >> 3
+                    subs.append(y - dc)
+                if submodes is not None:
+                    subs, ru, rv = [0] * 16, 0, 0
+                levels[my][mx] = ("bpred", subs, ru, rv)
+            else:
+                ry = y - dc_pred(ty, 16)
+                levels[my][mx] = _flat_mb_levels(ry, ru, rv)
+
+    def _is_skip(entry) -> bool:
+        if entry[0] == "bpred":
+            return not any(entry[1]) and entry[2] == 0 and entry[3] == 0
+        return entry == (0, 0, 0)
 
     # --- first partition: header + per-MB modes
     hd = _BoolEnc()
     hd.literal(0, 1)  # color space
     hd.literal(0, 1)  # clamping
     hd.put(0, 128)    # segmentation off
-    hd.literal(1, 1)  # filter type: SIMPLE
+    hd.literal(filter_type, 1)  # 0 = NORMAL, 1 = SIMPLE
     hd.literal(filter_level, 6)
     hd.literal(sharpness, 3)
     hd.put(0, 128)    # no loop-filter deltas
@@ -772,11 +1096,41 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
                     hd.put(0, _COEF_UPDATE_PROB)  # keep defaults
     hd.literal(1, 1)  # mb_no_coeff_skip on
     hd.literal(200, 8)  # prob_skip_false
+    above_sub = [_B_DC] * (mb_cols * 4)
     for my in range(mb_rows):
+        left_sub = [_B_DC] * 4
         for mx in range(mb_cols):
-            skip = 1 if levels[my][mx] == (0, 0, 0) else 0
+            skip = 1 if _is_skip(levels[my][mx]) else 0
             hd.put(skip, 200)
-            hd.tree(_KF_YMODE_TREE, _KF_YMODE_PROB, ymode)
+            ym = ymode_of(mx, my)
+            hd.tree(_KF_YMODE_TREE, _KF_YMODE_PROB, ym)
+            if ym == _B_PRED:
+                # decoder-mirrored sub-mode contexts (all B_DC here)
+                subs_written = []
+                for b in range(16):
+                    bx, by = b % 4, b // 4
+                    am = (
+                        above_sub[mx * 4 + bx]
+                        if by == 0
+                        else subs_written[b - 4]
+                    )
+                    lm = (
+                        left_sub[by] if bx == 0 else subs_written[b - 1]
+                    )
+                    sm = (
+                        submodes(mx, my, b)
+                        if submodes is not None
+                        else _B_DC
+                    )
+                    hd.tree(_BMODE_TREE, _kf_bmode_probs(am, lm), sm)
+                    subs_written.append(sm)
+                above_sub[mx * 4 : mx * 4 + 4] = subs_written[12:16]
+                for by in range(4):
+                    left_sub[by] = subs_written[by * 4 + 3]
+            else:
+                imp = _IMPLIED_SUBMODE[ym]
+                above_sub[mx * 4 : mx * 4 + 4] = [imp] * 4
+                left_sub[:] = [imp] * 4
             hd.tree(_UV_MODE_TREE, _KF_UV_MODE_PROB, uvmode)
     part1 = hd.bytes()
 
@@ -789,32 +1143,47 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
     for my in range(mb_rows):
         left_y, left_u, left_v, left_y2 = [0] * 4, [0] * 2, [0] * 2, [0]
         for mx in range(mb_cols):
-            ly2, lu, lv = levels[my][mx]
-            if (ly2, lu, lv) == (0, 0, 0):  # skipped MB
+            entry = levels[my][mx]
+            bpred = entry[0] == "bpred"
+            if _is_skip(entry):  # skipped MB
                 above_y[mx * 4 : mx * 4 + 4] = [0] * 4
                 above_u[mx * 2 : mx * 2 + 2] = [0] * 2
                 above_v[mx * 2 : mx * 2 + 2] = [0] * 2
-                above_y2[mx] = 0
                 left_y[:] = [0] * 4
                 left_u[:] = [0] * 2
                 left_v[:] = [0] * 2
-                left_y2[0] = 0
+                if not bpred:  # B_PRED has no Y2: ctx untouched
+                    above_y2[mx] = 0
+                    left_y2[0] = 0
                 continue
-            blk = [0] * 16
-            blk[0] = ly2
-            ctx = above_y2[mx] + left_y2[0]
-            eob = _encode_block(te, _PLANE_Y2, 0, ctx, blk)
-            nz2 = 1 if eob > 0 else 0
-            above_y2[mx] = left_y2[0] = nz2
-            for b in range(16):
-                bx, by = b % 4, b // 4
-                ctx = above_y[mx * 4 + bx] + left_y[by]
-                eob = _encode_block(
-                    te, _PLANE_Y_NO_DC, 1, ctx, [0] * 16
-                )
-                above_y[mx * 4 + bx] = left_y[by] = (
-                    1 if eob > 1 else 0
-                )
+            if bpred:
+                _tag, subs, lu, lv = entry
+                for b in range(16):
+                    bx, by = b % 4, b // 4
+                    blk = [0] * 16
+                    blk[0] = subs[b]
+                    ctx = above_y[mx * 4 + bx] + left_y[by]
+                    eob = _encode_block(te, _PLANE_Y_DC, 0, ctx, blk)
+                    above_y[mx * 4 + bx] = left_y[by] = (
+                        1 if eob > 0 else 0
+                    )
+            else:
+                ly2, lu, lv = entry
+                blk = [0] * 16
+                blk[0] = ly2
+                ctx = above_y2[mx] + left_y2[0]
+                eob = _encode_block(te, _PLANE_Y2, 0, ctx, blk)
+                nz2 = 1 if eob > 0 else 0
+                above_y2[mx] = left_y2[0] = nz2
+                for b in range(16):
+                    bx, by = b % 4, b // 4
+                    ctx = above_y[mx * 4 + bx] + left_y[by]
+                    eob = _encode_block(
+                        te, _PLANE_Y_NO_DC, 1, ctx, [0] * 16
+                    )
+                    above_y[mx * 4 + bx] = left_y[by] = (
+                        1 if eob > 1 else 0
+                    )
             for lev, above_c, left_c in (
                 (lu, above_u, left_u), (lv, above_v, left_v),
             ):
@@ -836,14 +1205,16 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
     return head + part1 + tokens
 
 
-def build_webp_vp8(w: int, h: int, mb_vals, ymode: int = _DC_PRED,
+def build_webp_vp8(w: int, h: int, mb_vals, ymode=_DC_PRED,
                    uvmode: int = _DC_PRED, filter_level: int = 0,
-                   sharpness: int = 0) -> bytes:
+                   sharpness: int = 0, filter_type: int = 1,
+                   submodes=None) -> bytes:
     """Wrap :func:`encode_flat_frame` in a RIFF/WEBP container."""
     import struct
 
     frame = encode_flat_frame(
-        w, h, mb_vals, ymode, uvmode, filter_level, sharpness
+        w, h, mb_vals, ymode, uvmode, filter_level, sharpness,
+        filter_type, submodes,
     )
     chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
     if len(frame) % 2:
@@ -924,28 +1295,41 @@ def _simple_filter_edge(p1, p0, q0, q1, limit):
     return new_p0, new_q0
 
 
-def _simple_loop_filter(Y, mb_rows, mb_cols, level, sharpness, mbs):
-    """Apply the VP8 SIMPLE loop filter (filter_type 1 — luma only)
-    in the spec's macroblock raster order: per MB, the left MB edge,
-    then the interior vertical edges at x+4/8/12, then the top MB
-    edge, then the interior horizontal edges — interior edges are
-    SKIPPED for a skipped whole-MB-prediction macroblock (it has no
-    residual discontinuities to smooth). Limits per §15.1:
-    interior = level (sharpness-shifted, min 1), MB edge =
-    (level+2)·2 + interior, subblock edge = level·2 + interior.
-    Mutates ``Y`` in place."""
+def _filter_limits(level: int, sharpness: int) -> tuple:
+    """§15.1-2 limit derivation shared by both filters: (interior
+    limit, MB-edge limit, subblock-edge limit, hev threshold — the
+    key-frame ramp 0/1/2 at levels <15/<40/≥40)."""
     interior = level
     if sharpness:
         interior >>= 2 if sharpness > 4 else 1
         interior = min(interior, 9 - sharpness)
     interior = max(1, interior)
-    mbedge = (level + 2) * 2 + interior
-    subedge = level * 2 + interior
+    hev_t = 2 if level >= 40 else (1 if level >= 15 else 0)
+    return (
+        interior, (level + 2) * 2 + interior, level * 2 + interior,
+        hev_t,
+    )
+
+
+def _simple_loop_filter(Y, mb_rows, mb_cols, level, sharpness, mbs,
+                        mb_coeffs):
+    """Apply the VP8 SIMPLE loop filter (filter_type 1 — luma only)
+    in the spec's macroblock raster order: per MB, the left MB edge,
+    then the interior vertical edges at x+4/8/12, then the top MB
+    edge, then the interior horizontal edges — interior edges are
+    SKIPPED for a whole-MB-prediction macroblock with no non-zero
+    coefficients (it has no residual discontinuities to smooth).
+    Limits per §15.1: interior = level (sharpness-shifted, min 1),
+    MB edge = (level+2)·2 + interior, subblock edge = level·2 +
+    interior. Mutates ``Y`` in place."""
+    interior, mbedge, subedge, _hev = _filter_limits(level, sharpness)
     for my in range(mb_rows):
         for mx in range(mb_cols):
-            skip, ymode, _uv = mbs[my * mb_cols + mx]
+            _skip, ymode, _uv, _subs = mbs[my * mb_cols + mx]
             x0, y0 = mx * 16, my * 16
-            filt_interior = not (skip and ymode != _B_PRED)
+            filt_interior = (
+                mb_coeffs[my * mb_cols + mx] or ymode == _B_PRED
+            )
             if mx > 0:  # left MB edge (vertical)
                 sl = Y[y0 : y0 + 16, :]
                 p0, q0 = _simple_filter_edge(
@@ -978,3 +1362,133 @@ def _simple_loop_filter(Y, mb_rows, mb_cols, level, sharpness, mbs):
                         sl[y, :], sl[y + 1, :], subedge,
                     )
                     sl[y - 1, :], sl[y, :] = p0, q0
+
+
+# -------------------------------------------------- normal loop filter
+
+def _normal_filter_edge(px, limit, interior, hev_t, mb_edge: bool):
+    """RFC 6386 §15.3 NORMAL filter for one edge, numpy-vectorized
+    along it. ``px`` is the 8-pixel cross-section [p3..p0, q0..q3]
+    as arrays; returns the adjusted (p2, p1, p0, q0, q1, q2). All
+    arithmetic is the spec's signed form on (pixel − 128) with
+    clamping to [−128, 127]. The filter mask adds the six
+    interior-difference bounds to the simple filter's edge bound;
+    high-edge-variance (hev) pixels take the 2-pixel common adjust,
+    non-hev MB edges the 27/18/9-tap 6-pixel filter, non-hev
+    subblock edges the common adjust plus the (F+1)>>1 outer tap."""
+    import numpy as np
+
+    c = lambda x: np.clip(x, -128, 127)  # noqa: E731
+    P3, P2, P1, P0, Q0, Q1, Q2, Q3 = [
+        a.astype(np.int64) - 128 for a in px
+    ]
+    mask = (
+        ((np.abs(P0 - Q0) * 2 + np.abs(P1 - Q1) // 2) <= limit)
+        & (np.abs(P3 - P2) <= interior)
+        & (np.abs(P2 - P1) <= interior)
+        & (np.abs(P1 - P0) <= interior)
+        & (np.abs(Q1 - Q0) <= interior)
+        & (np.abs(Q2 - Q1) <= interior)
+        & (np.abs(Q3 - Q2) <= interior)
+    )
+    hev = (np.abs(P1 - P0) > hev_t) | (np.abs(Q1 - Q0) > hev_t)
+    # common adjust WITH outer taps (hev pixels, both edge kinds)
+    a_full = c(c(P1 - Q1) + 3 * (Q0 - P0))
+    F_full = c(a_full + 4) >> 3
+    E_full = c(a_full + 3) >> 3
+    m_hev = mask & hev
+    if mb_edge:
+        w = a_full
+        a27 = c((27 * w + 63) >> 7)
+        a18 = c((18 * w + 63) >> 7)
+        a9 = c((9 * w + 63) >> 7)
+        m6 = mask & ~hev
+        nQ0 = np.where(m6, c(Q0 - a27), np.where(m_hev, c(Q0 - F_full), Q0))
+        nP0 = np.where(m6, c(P0 + a27), np.where(m_hev, c(P0 + E_full), P0))
+        nQ1 = np.where(m6, c(Q1 - a18), Q1)
+        nP1 = np.where(m6, c(P1 + a18), P1)
+        nQ2 = np.where(m6, c(Q2 - a9), Q2)
+        nP2 = np.where(m6, c(P2 + a9), P2)
+    else:
+        # subblock edge: outer taps only under hev
+        a = c(np.where(hev, c(P1 - Q1), 0) + 3 * (Q0 - P0))
+        F = c(a + 4) >> 3
+        E = c(a + 3) >> 3
+        nQ0 = np.where(mask, c(Q0 - F), Q0)
+        nP0 = np.where(mask, c(P0 + E), P0)
+        a2 = (F + 1) >> 1
+        m2 = mask & ~hev
+        nQ1 = np.where(m2, c(Q1 - a2), Q1)
+        nP1 = np.where(m2, c(P1 + a2), P1)
+        nQ2, nP2 = Q2, P2
+    return (
+        nP2 + 128, nP1 + 128, nP0 + 128,
+        nQ0 + 128, nQ1 + 128, nQ2 + 128,
+    )
+
+
+def _nf_vertical(plane, y0, size, x, limit, interior, hev_t, mb_edge):
+    sl = plane[y0 : y0 + size, :]
+    cols = [sl[:, x - 4 + i] for i in range(8)]
+    out = _normal_filter_edge(cols, limit, interior, hev_t, mb_edge)
+    for i, arr in enumerate(out):
+        sl[:, x - 3 + i] = arr
+
+
+def _nf_horizontal(plane, x0, size, y, limit, interior, hev_t, mb_edge):
+    rows = [plane[y - 4 + i, x0 : x0 + size] for i in range(8)]
+    out = _normal_filter_edge(rows, limit, interior, hev_t, mb_edge)
+    for i, arr in enumerate(out):
+        plane[y - 3 + i, x0 : x0 + size] = arr
+
+
+def _normal_loop_filter(Y, U, V, mb_rows, mb_cols, level, sharpness,
+                        mbs, mb_coeffs):
+    """Apply the VP8 NORMAL loop filter (filter_type 0 — §15.2) to
+    all three planes in the spec's macroblock raster order: per MB,
+    the left MB edge (luma 16 rows, both chroma 8), interior
+    vertical subblock edges (luma x+4/8/12, chroma x+4), the top MB
+    edge, then interior horizontal edges — interior edges only when
+    the MB has non-zero coefficients or is B_PRED. Filtering runs
+    AFTER full-frame reconstruction (intra prediction reads
+    unfiltered pixels — §15), which this call order preserves.
+    Mutates the planes in place."""
+    interior, mbedge, subedge, hev_t = _filter_limits(level, sharpness)
+    for my in range(mb_rows):
+        for mx in range(mb_cols):
+            _skip, ymode, _uv, _subs = mbs[my * mb_cols + mx]
+            filt_int = mb_coeffs[my * mb_cols + mx] or ymode == _B_PRED
+            yx, yy = mx * 16, my * 16
+            cx, cy = mx * 8, my * 8
+            if mx > 0:
+                _nf_vertical(Y, yy, 16, yx, mbedge, interior, hev_t, True)
+                _nf_vertical(U, cy, 8, cx, mbedge, interior, hev_t, True)
+                _nf_vertical(V, cy, 8, cx, mbedge, interior, hev_t, True)
+            if filt_int:
+                for dx in (4, 8, 12):
+                    _nf_vertical(
+                        Y, yy, 16, yx + dx, subedge, interior, hev_t,
+                        False,
+                    )
+                _nf_vertical(
+                    U, cy, 8, cx + 4, subedge, interior, hev_t, False
+                )
+                _nf_vertical(
+                    V, cy, 8, cx + 4, subedge, interior, hev_t, False
+                )
+            if my > 0:
+                _nf_horizontal(Y, yx, 16, yy, mbedge, interior, hev_t, True)
+                _nf_horizontal(U, cx, 8, cy, mbedge, interior, hev_t, True)
+                _nf_horizontal(V, cx, 8, cy, mbedge, interior, hev_t, True)
+            if filt_int:
+                for dy in (4, 8, 12):
+                    _nf_horizontal(
+                        Y, yx, 16, yy + dy, subedge, interior, hev_t,
+                        False,
+                    )
+                _nf_horizontal(
+                    U, cx, 8, cy + 4, subedge, interior, hev_t, False
+                )
+                _nf_horizontal(
+                    V, cx, 8, cy + 4, subedge, interior, hev_t, False
+                )

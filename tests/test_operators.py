@@ -4600,11 +4600,12 @@ def test_vp8_lossy_roundtrip_and_poison(spark):
         V.decode_frame(bytes(bad))
     with pytest.raises(ValueError):
         V.decode_frame(frame[:8])
-    # declared boundaries raise loud, not mis-decode
+    # r13: B_PRED is implemented — a flat B_PRED frame decodes to
+    # the same sums as its 16x16 twin (was a declared boundary)
     bp = V.build_webp_vp8(16, 16, lambda mx, my: (128, 128, 128),
                           ymode=V._B_PRED)
-    with pytest.raises(NotImplementedError, match="B_PRED"):
-        V.vp8_pixel_sums(bp)
+    assert V.vp8_pixel_sums(bp) == (256, 256 * 128, 256 * 128,
+                                    256 * 128)
     # the Spark lane: good + poison in one batch, poison → null row
     assets = spark.createDataFrame(
         [(1, bytearray(payload), "image/webp"),
@@ -5847,3 +5848,251 @@ def test_synth_bounds_validated():
                 {"asset_id": [1], "width": [w], "height": [h],
                  "n_frames": [2], "rect_h": [rh]}
             )])))
+
+
+def _vp8_sim_bpred(sub, w, h):
+    """Independent §12.3 reimplementation (straight from the spec
+    text, not vp8.py's code paths) for the all-submode cascade."""
+    import numpy as np
+
+    mb_cols, mb_rows = (w + 15) // 16, (h + 15) // 16
+    R = np.zeros((mb_rows * 16, mb_cols * 16), np.int64)
+
+    def ar4(mx, my, bx, by):
+        if bx < 3:
+            row, c0 = my * 16 + by * 4 - 1, mx * 16 + bx * 4 + 4
+        else:
+            row, c0 = my * 16 - 1, mx * 16 + 16
+        if row < 0:
+            return [127] * 4
+        W = R.shape[1]
+        return [int(R[row, min(c0 + i, W - 1)]) for i in range(4)]
+
+    a3 = lambda x, y, z: (x + 2 * y + z + 2) >> 2  # noqa: E731
+    a2 = lambda x, y: (x + y + 1) >> 1  # noqa: E731
+    for my in range(mb_rows):
+        for mx in range(mb_cols):
+            for b in range(16):
+                bx, by = b % 4, b // 4
+                m = sub(mx, my, b)
+                x0, y0 = mx * 16 + bx * 4, my * 16 + by * 4
+                ha, hl = y0 > 0, x0 > 0
+                A = ([int(R[y0 - 1, x0 + i]) for i in range(4)]
+                     if ha else [127] * 4)
+                L = ([int(R[y0 + i, x0 - 1]) for i in range(4)]
+                     if hl else [129] * 4)
+                P = (int(R[y0 - 1, x0 - 1]) if (ha and hl)
+                     else (127 if ha else 129))
+                AR = ar4(mx, my, bx, by)
+                o = np.zeros((4, 4), np.int64)
+                if m == 0:
+                    o[:] = (sum(A) + sum(L) + 4) >> 3
+                elif m == 1:
+                    for r in range(4):
+                        for c in range(4):
+                            o[r, c] = max(0, min(255, L[r] + A[c] - P))
+                elif m == 2:
+                    e = [P] + A + [AR[0]]
+                    for c in range(4):
+                        o[:, c] = a3(e[c], e[c + 1], e[c + 2])
+                elif m == 3:
+                    e = [P] + L + [L[3]]
+                    for r in range(4):
+                        o[r, :] = a3(e[r], e[r + 1], e[r + 2])
+                elif m == 4:
+                    AA = A + AR
+                    for r in range(4):
+                        for c in range(4):
+                            i = r + c
+                            o[r, c] = (a3(AA[i], AA[i + 1], AA[i + 2])
+                                       if i < 6
+                                       else a3(AA[6], AA[7], AA[7]))
+                elif m == 5:
+                    pp = [L[3], L[2], L[1], L[0], P] + A
+                    for r in range(4):
+                        for c in range(4):
+                            k = c - r + 3
+                            o[r, c] = a3(pp[k - 1], pp[k], pp[k + 1])
+                elif m == 6:
+                    pp = [L[3], L[2], L[1], L[0], P] + A
+                    o[3, 0] = a3(pp[1], pp[2], pp[3])
+                    o[2, 0] = a3(pp[2], pp[3], pp[4])
+                    o[3, 1] = o[1, 0] = a3(pp[3], pp[4], pp[5])
+                    o[2, 1] = o[0, 0] = a2(pp[4], pp[5])
+                    o[3, 2] = o[1, 1] = a3(pp[4], pp[5], pp[6])
+                    o[2, 2] = o[0, 1] = a2(pp[5], pp[6])
+                    o[3, 3] = o[1, 2] = a3(pp[5], pp[6], pp[7])
+                    o[2, 3] = o[0, 2] = a2(pp[6], pp[7])
+                    o[1, 3] = a3(pp[6], pp[7], pp[8])
+                    o[0, 3] = a2(pp[7], pp[8])
+                elif m == 7:
+                    AA = A + AR
+                    o[0, 0] = a2(AA[0], AA[1])
+                    o[1, 0] = a3(AA[0], AA[1], AA[2])
+                    o[2, 0] = o[0, 1] = a2(AA[1], AA[2])
+                    o[1, 1] = o[3, 0] = a3(AA[1], AA[2], AA[3])
+                    o[2, 1] = o[0, 2] = a2(AA[2], AA[3])
+                    o[3, 1] = o[1, 2] = a3(AA[2], AA[3], AA[4])
+                    o[2, 2] = o[0, 3] = a2(AA[3], AA[4])
+                    o[3, 2] = o[1, 3] = a3(AA[3], AA[4], AA[5])
+                    o[2, 3] = a3(AA[4], AA[5], AA[6])
+                    o[3, 3] = a3(AA[5], AA[6], AA[7])
+                elif m == 8:
+                    pp = [L[3], L[2], L[1], L[0], P] + A
+                    o[3, 0] = a2(pp[0], pp[1])
+                    o[3, 1] = a3(pp[0], pp[1], pp[2])
+                    o[2, 0] = o[3, 2] = a2(pp[1], pp[2])
+                    o[2, 1] = o[3, 3] = a3(pp[1], pp[2], pp[3])
+                    o[2, 2] = o[1, 0] = a2(pp[2], pp[3])
+                    o[2, 3] = o[1, 1] = a3(pp[2], pp[3], pp[4])
+                    o[1, 2] = o[0, 0] = a2(pp[3], pp[4])
+                    o[1, 3] = o[0, 1] = a3(pp[3], pp[4], pp[5])
+                    o[0, 2] = a3(pp[4], pp[5], pp[6])
+                    o[0, 3] = a3(pp[5], pp[6], pp[7])
+                else:
+                    o[0, 0] = a2(L[0], L[1])
+                    o[0, 1] = a3(L[0], L[1], L[2])
+                    o[0, 2] = o[1, 0] = a2(L[1], L[2])
+                    o[0, 3] = o[1, 1] = a3(L[1], L[2], L[3])
+                    o[1, 2] = o[2, 0] = a2(L[2], L[3])
+                    o[1, 3] = o[2, 1] = a3(L[2], L[3], L[3])
+                    o[2, 2] = o[2, 3] = L[3]
+                    o[3, :] = L[3]
+                R[y0 : y0 + 4, x0 : x0 + 4] = np.clip(o, 0, 255)
+    return R
+
+
+def test_vp8_bpred_all_submodes_vs_independent_sim():
+    """r13: every one of the ten §12.3 sub-block modes, decoded from
+    a REAL bitstream (pure-prediction skip frames authored via the
+    encoder's ``submodes`` hook), must match an independent
+    spec-text reimplementation of the prediction cascade — including
+    the above-right selection rules (interior, right-column from the
+    above-MB row, frame-border replication) and the sequential
+    sub-block reconstruction order."""
+    from geniepool_etl_spark.operators import vp8 as V
+
+    def sub(mx, my, b):
+        return (mx * 7 + my * 3 + b) % 10  # every mode appears
+
+    pay = V.build_webp_vp8(48, 48, lambda mx, my: (0, 128, 128),
+                           submodes=sub)
+    _w, _h, Y, _U, _V2 = V.decode_frame(pay[20:])
+    R = _vp8_sim_bpred(sub, 48, 48)
+    assert (Y == R[:48, :48]).all()
+    # a second pattern hits different (above, left) mode contexts
+    def sub2(mx, my, b):
+        return (5 * mx + 11 * my + 3 * b) % 10
+
+    pay2 = V.build_webp_vp8(37, 29, lambda mx, my: (0, 128, 128),
+                            submodes=sub2)
+    _w, _h, Y2, _U, _V2 = V.decode_frame(pay2[20:])
+    R2 = _vp8_sim_bpred(sub2, 37, 29)
+    assert (Y2 == R2[:29, :37]).all()
+
+
+def test_vp8_bpred_flat_roundtrip_and_poison():
+    """r13: B_PRED flat frames (the oracle-checked lane's shape)
+    round-trip exactly — pure B_PRED and mixed B_PRED/DC_PRED
+    checkerboards — and the truncation/poison battery holds: a
+    truncated first partition (sub-mode bits cut) and a truncated
+    token partition both raise instead of mis-decoding."""
+    import pytest
+
+    from geniepool_etl_spark.operators import vp8 as V
+
+    def mb(mx, my):
+        return ((37 * mx + 71 * my + 3) % 256, (23 * mx + 5) % 256,
+                (53 * my + 7) % 256)
+
+    def clip(x):
+        return max(0, min(255, x))
+
+    for w, h, ym in (
+        (50, 35, V._B_PRED),
+        (64, 48, lambda mx, my: V._B_PRED if (mx + my) % 2 == 0
+         else V._DC_PRED),
+    ):
+        pay = V.build_webp_vp8(w, h, mb, ymode=ym)
+        got = V.vp8_pixel_sums(pay)
+        en = esr = esg = esb = 0
+        for my in range((h + 15) // 16):
+            for mx in range((w + 15) // 16):
+                y, u, v = mb(mx, my)
+                cnt = min(16, w - 16 * mx) * min(16, h - 16 * my)
+                en += cnt
+                esr += cnt * clip(
+                    (1000 * y + 1402 * (v - 128) + 500) // 1000
+                )
+                esg += cnt * clip(
+                    (1000 * y - 344 * (u - 128) - 714 * (v - 128)
+                     + 500) // 1000
+                )
+                esb += cnt * clip(
+                    (1000 * y + 1772 * (u - 128) + 500) // 1000
+                )
+        assert got == (en, esr, esg, esb)
+    frame = V.encode_flat_frame(50, 35, mb, ymode=V._B_PRED)
+    part1_len = (frame[0] | (frame[1] << 8) | (frame[2] << 16)) >> 5
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        V.decode_frame(frame[: 10 + part1_len // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        V.decode_frame(frame[: len(frame) - 8])
+
+
+def test_vp8_normal_loop_filter_reference_values():
+    """r13: the NORMAL loop filter (§15.2-3). Stripe frames with
+    |Δ| ≤ 3 between MB rows: every horizontal MB edge takes the
+    27/18/9-tap path (no hev) and lands the closed-form two-row
+    adjustment per side; a 120-step edge fails the filter mask and
+    passes through; chroma stripes are filtered too (the normal
+    filter is all-planes, unlike SIMPLE); interior flat edges are
+    no-ops."""
+    import numpy as np
+
+    from geniepool_etl_spark.operators import vp8 as V
+
+    vals = [100, 103, 101, 102]
+
+    def mb(mx, my):
+        return (vals[my % 4], 128, 128)
+
+    w, h = 48, 64
+    pay = V.build_webp_vp8(w, h, mb, filter_level=20, filter_type=0)
+    _w, _h, Y, U, Vp = V.decode_frame(pay[20:])
+    exp = np.zeros((h, w), np.int64)
+    for y in range(h):
+        exp[y, :] = vals[(y // 16) % 4]
+    for k in range(1, 4):
+        a, b = vals[k - 1], vals[k]
+        d = b - a
+        a27 = (54 * d + 63) >> 7
+        a18 = (36 * d + 63) >> 7
+        y = 16 * k
+        exp[y - 2, :] = a + a18
+        exp[y - 1, :] = a + a27
+        exp[y, :] = b - a27
+        exp[y + 1, :] = b - a18
+    assert (Y == exp).all()
+    assert (U == 128).all() and (Vp == 128).all()
+    # chroma IS filtered by the normal filter: stripe the chroma too
+    pay2 = V.build_webp_vp8(
+        32, 32, lambda mx, my: (128, 100 if my == 0 else 103, 128),
+        filter_level=20, filter_type=0,
+    )
+    _w, _h, Y2, U2, _V2 = V.decode_frame(pay2[20:])
+    d = 3
+    a27 = (54 * d + 63) >> 7
+    a18 = (36 * d + 63) >> 7
+    assert (Y2 == 128).all()
+    assert (U2[6, :] == 100 + a18).all()
+    assert (U2[7, :] == 100 + a27).all()
+    assert (U2[8, :] == 103 - a27).all()
+    assert (U2[9, :] == 103 - a18).all()
+    # a big step fails the mask → untouched
+    pay3 = V.build_webp_vp8(
+        32, 32, lambda mx, my: (60 if my == 0 else 180, 128, 128),
+        filter_level=20, filter_type=0,
+    )
+    _w, _h, Y3, _U, _V2 = V.decode_frame(pay3[20:])
+    assert (Y3[15] == 60).all() and (Y3[16] == 180).all()
