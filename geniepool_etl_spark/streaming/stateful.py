@@ -74,6 +74,18 @@ def running_user_counts_tws(stream: DataFrame) -> DataFrame:
     ``applyInPandasWithState`` twin above is the oracle-checked lane.
     The plan wiring (grouping, schemas, output/time modes) is real and
     identical in shape.
+
+    Resolution attempt (r13, closing the verdict's task): no
+    ``google.protobuf`` anywhere on the box (only typeshed stubs and
+    shaded JVM jars), no cached wheels, and installs are out of
+    bounds. Vendoring a runtime shim is not honest either: the
+    generated ``pyspark.sql.streaming.proto.StateMessage_pb2`` loads
+    a SERIALIZED FileDescriptorProto through the descriptor-pool /
+    builder machinery (``google.protobuf.internal.builder``), i.e. it
+    needs the real wire-format runtime, not a few dataclasses — a
+    reimplementation deep enough to run it would be a protobuf fork,
+    and a shallow fake would execute state RPCs with silently wrong
+    encodings. The skip therefore stands as the documented boundary.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
