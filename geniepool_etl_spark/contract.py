@@ -3530,6 +3530,35 @@ def q_multimodal_vp8_normal_filter(
     )
 
 
+def q_multimodal_vp8_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VP8 SEGMENTATION decode (r13 — multimodal.
+    synth_webp_vp8_seg_assets → operators/vp8.py): the §9.3 header
+    (absolute-mode per-segment quantizer features), the §10
+    tree-coded per-MB segment map read ahead of the skip flag, and
+    per-segment dequantization — four quantizers live in one frame,
+    with the synth's exact-level solver landing identical flat
+    targets under each, so the oracle is quantizer-blind. Closes
+    the segmentation boundary decode_frame declared through r12."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 12)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(21) + (F.col("doc_id") % 5) * 13)
+            .cast("long")
+            .alias("width"),
+            (F.lit(12) + (F.col("doc_id") % 6) * 11)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_vp8_seg_assets(params)
+    )
+
+
 def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsampled-chroma (4:2:0) baseline JPEG pixel decode — the
     dominant web-JPEG profile: MCU = four Y blocks + one Cb + one Cr,
@@ -10025,6 +10054,35 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_vp8_segments"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 21 + (doc_id % 5) * 13 AS w,
+                 12 + (doc_id % 6) * 11 AS h,
+                 doc_id % 7 AS a
+          FROM documents WHERE doc_id % 13 = 12
+        ),
+        mbs AS (
+          SELECT asset_id, w, h, a,
+                 i % ((w + 15) // 16) AS mx,
+                 i // ((w + 15) // 16) AS my
+          FROM prm,
+               UNNEST(range(((w + 15) // 16) * ((h + 15) // 16)))
+                 AS u(i)
+        ),
+        -- chroma is 128 everywhere, so R=G=B=Y exactly
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum(LEAST(16, w - 16 * mx)
+                          * LEAST(16, h - 16 * my)
+                          * ((37 * mx + 71 * my + 29 * a) % 256))
+                      AS BIGINT) AS s
+          FROM mbs GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.s AS sum_r, agg.s AS sum_g, agg.s AS sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_vp8_normal_filter"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -11780,6 +11838,7 @@ SPARK_QUERIES = {
     # --- r13-new lanes (never driver-recorded; the rotation view in
     # __spark_entry__ orders these first automatically) ---
     "multimodal_vp8_bpred": q_multimodal_vp8_bpred,
+    "multimodal_vp8_segments": q_multimodal_vp8_segments,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,
     # --- r12-new lanes first (never driver-recorded) ---
     "multimodal_netpbm16": q_multimodal_netpbm16,

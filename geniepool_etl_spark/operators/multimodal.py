@@ -3206,6 +3206,56 @@ def synth_webp_vp8_bpred_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_webp_vp8_seg_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossy WebP payloads with SEGMENTATION (r13 —
+    RFC 6386 §9.3/§10): four segments in absolute-quantizer mode
+    (q indices 4/10/20/28), a tree-coded per-MB segment map
+    ``(mx + 2·my) % 4``, so every macroblock dequantizes under its
+    segment's factors and the per-MB residual LEVELS differ by
+    segment while the reconstructed flat luma targets (the standard
+    ``(37mx+71my+29a) % 256`` formula, chroma 128) stay exact — the
+    per-segment level solver picks each quantizer's exact-landing
+    level. One closed form oracles all four quantizers. Arrow
+    ``mapInPandas``; narrow."""
+    from geniepool_etl_spark.operators import vp8 as _vp8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for aid, w, h in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col]
+            ):
+                a = int(aid) % 7
+
+                def mb(mx, my, _a=a):
+                    return ((37 * mx + 71 * my + 29 * _a) % 256,
+                            128, 128)
+
+                payloads.append(
+                    _vp8.build_webp_vp8(
+                        int(w), int(h), mb,
+                        segments={
+                            "map": lambda mx, my: (mx + 2 * my) % 4,
+                            "q_abs": [4, 10, 20, 28],
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def synth_webp_vp8_nf_assets(
     df: DataFrame,
     id_col: str = "asset_id",

@@ -26,9 +26,13 @@ documented here rather than papered over:
   tables for the RFC's is the only change libvpx interop would need.
 - The kf_bmode_prob table (like the other constant tables) and two
   frame-border above-right conventions for B_PRED (documented at
-  :func:`_above_right4`) are repo-defined; segmentation and
-  loop-filter delta headers raise ``NotImplementedError`` (declared
-  boundary — the synth never emits them).
+  :func:`_above_right4`) are repo-defined; the loop-filter
+  REF/MODE-delta header raises ``NotImplementedError`` (declared
+  boundary — it only matters for inter frames, which a key-frame
+  decoder never sees emitted meaningfully; the synth never writes
+  it). SEGMENTATION (§9.3/§10) is implemented as of r13: per-segment
+  quantizer and loop-filter overrides in absolute or delta mode,
+  tree-coded per-MB segment map, per-MB filter levels.
 
 r13: per-subblock intra (B_PRED — all ten §12.3 sub-modes, the
 §11.2 bmode tree with above/left context addressing, plane-3 tokens
@@ -123,6 +127,11 @@ _BMODE_TREE = (
 _IMPLIED_SUBMODE = {
     _DC_PRED: _B_DC, _V_PRED: _B_VE, _H_PRED: _B_HE, _TM_PRED: _B_TM,
 }
+
+# per-MB segment map tree (RFC 6386 §10): two literal bits shaped as
+# a tree so the three seg_probs address first/second splits; leaf 0
+# is the literal 0 (the tree walker treats node <= 0 as leaf -node)
+_MB_SEGMENT_TREE = (2, 4, 0, -1, -2, -3)
 
 _BMODE_PROB_CACHE: dict = {}
 
@@ -708,8 +717,30 @@ def decode_frame(chunk: bytes):
     bd = _BoolDec(chunk, 10, 10 + part1_len)
     bd.literal(1)  # color space
     bd.literal(1)  # clamping type
-    if bd.get(128):
-        raise NotImplementedError("vp8: segmentation unsupported")
+    # --- segmentation header (RFC 6386 §9.3): up to four segments
+    # with per-segment quantizer / loop-filter overrides (absolute or
+    # delta) and a tree-coded per-MB segment map
+    seg_enabled = bd.get(128)
+    seg_update_map = 0
+    seg_abs = 0
+    seg_q_alt = [0, 0, 0, 0]
+    seg_lf_alt = [0, 0, 0, 0]
+    seg_probs = [255, 255, 255]
+    if seg_enabled:
+        seg_update_map = bd.get(128)
+        seg_update_data = bd.get(128)
+        if seg_update_data:
+            seg_abs = bd.get(128)
+            for i in range(4):
+                if bd.get(128):
+                    seg_q_alt[i] = bd.signed_literal(7)
+            for i in range(4):
+                if bd.get(128):
+                    seg_lf_alt[i] = bd.signed_literal(6)
+        if seg_update_map:
+            for i in range(3):
+                if bd.get(128):
+                    seg_probs[i] = bd.literal(8)
     filter_type = bd.literal(1)  # 0 = normal, 1 = simple
     filter_level = bd.literal(6)
     sharpness = bd.literal(3)
@@ -720,17 +751,32 @@ def decode_frame(chunk: bytes):
     deltas = []
     for _ in range(5):  # y1dc, y2dc, y2ac, uvdc, uvac deltas
         deltas.append(bd.signed_literal(4) if bd.get(128) else 0)
-    dq_base = _dequant_factors(q_index)
 
-    def dq(name, idx_delta):
-        return _dequant_factors(q_index + idx_delta)[name]
+    def _seg_base_q(sid: int) -> int:
+        if not seg_enabled:
+            return q_index
+        alt = seg_q_alt[sid]
+        return max(0, min(127, alt if seg_abs else q_index + alt))
 
-    dq_y1dc = dq("y1dc", deltas[0])
-    dq_y1ac = dq_base["y1ac"]
-    dq_y2dc = dq("y2dc", deltas[1])
-    dq_y2ac = dq("y2ac", deltas[2])
-    dq_uvdc = dq("uvdc", deltas[3])
-    dq_uvac = dq("uvac", deltas[4])
+    # per-segment dequant sets (the global per-plane index deltas
+    # apply on top of each segment's base quantizer — §14.1)
+    dqs = []
+    for s in range(4):
+        qb = _seg_base_q(s)
+        dqs.append({
+            "y1dc": _dequant_factors(qb + deltas[0])["y1dc"],
+            "y1ac": _dequant_factors(qb)["y1ac"],
+            "y2dc": _dequant_factors(qb + deltas[1])["y2dc"],
+            "y2ac": _dequant_factors(qb + deltas[2])["y2ac"],
+            "uvdc": _dequant_factors(qb + deltas[3])["uvdc"],
+            "uvac": _dequant_factors(qb + deltas[4])["uvac"],
+        })
+
+    def _seg_filter_level(sid: int) -> int:
+        if not seg_enabled:
+            return filter_level
+        alt = seg_lf_alt[sid]
+        return max(0, min(63, alt if seg_abs else filter_level + alt))
     bd.literal(1)  # refresh entropy probs (keyframe)
     probs = [
         [[list(_COEF_PROBS[t][b][c]) for c in range(3)]
@@ -755,6 +801,10 @@ def decode_frame(chunk: bytes):
     for _my in range(mb_rows):
         left_sub = [_B_DC] * 4
         for _mx in range(mb_cols):
+            # segment id precedes everything in the MB header (§10)
+            sid = 0
+            if seg_enabled and seg_update_map:
+                sid = bd.tree(_MB_SEGMENT_TREE, seg_probs)
             skip = bd.get(prob_skip_false) if mb_no_skip else 0
             ymode = bd.tree(_KF_YMODE_TREE, _KF_YMODE_PROB)
             if ymode == _B_PRED:
@@ -775,7 +825,7 @@ def decode_frame(chunk: bytes):
                 above_sub[_mx * 4 : _mx * 4 + 4] = [imp] * 4
                 left_sub[:] = [imp] * 4
             uvmode = bd.tree(_UV_MODE_TREE, _KF_UV_MODE_PROB)
-            mbs.append((skip, ymode, uvmode, subs))
+            mbs.append((skip, ymode, uvmode, subs, sid))
     if bd.overread:
         raise ValueError("vp8: first partition truncated")
 
@@ -817,7 +867,11 @@ def decode_frame(chunk: bytes):
         td = parts[my % nparts]
         left_y, left_u, left_v, left_y2 = [0] * 4, [0] * 2, [0] * 2, [0]
         for mx in range(mb_cols):
-            skip, ymode, uvmode, subs = mbs[my * mb_cols + mx]
+            skip, ymode, uvmode, subs, sid = mbs[my * mb_cols + mx]
+            d = dqs[sid]
+            dq_y1dc, dq_y1ac = d["y1dc"], d["y1ac"]
+            dq_y2dc, dq_y2ac = d["y2dc"], d["y2ac"]
+            dq_uvdc, dq_uvac = d["uvdc"], d["uvac"]
             pu = _predict_16x16(uvmode, U, mx * 8, my * 8, 8)
             pv = _predict_16x16(uvmode, Vp, mx * 8, my * 8, 8)
             if skip:
@@ -942,17 +996,18 @@ def decode_frame(chunk: bytes):
             )
         if td.overread:
             raise ValueError("vp8: token partition truncated")
-    if filter_level != 0:
+    mb_levels = [_seg_filter_level(m[4]) for m in mbs]
+    if any(mb_levels):
         if filter_type == 1:
             # SIMPLE deblocking (luma only), spec MB raster order
             _simple_loop_filter(
-                Y, mb_rows, mb_cols, filter_level, sharpness, mbs,
+                Y, mb_rows, mb_cols, mb_levels, sharpness, mbs,
                 mb_coeffs,
             )
         else:
             # NORMAL deblocking (all planes, §15.2-3)
             _normal_loop_filter(
-                Y, U, Vp, mb_rows, mb_cols, filter_level, sharpness,
+                Y, U, Vp, mb_rows, mb_cols, mb_levels, sharpness,
                 mbs, mb_coeffs,
             )
     return (
@@ -967,6 +1022,39 @@ def decode_frame(chunk: bytes):
 # ------------------------------------------------------ frame encode
 
 _SYNTH_QI = 4  # dc_q=8 → y2dc=16, uvdc=8: the exact-residual choices
+_SYNTH_SEG_PROBS = (128, 128, 128)  # written in the header, shared
+
+
+_LEVEL_CACHE: dict = {}
+
+
+def _search_dc_level(r: int, kind: str, factor: int) -> int:
+    """Smallest-|L| quantized DC level whose reconstruction lands
+    EXACTLY the flat residual ``r`` under dequant ``factor`` —
+    generalizes the fixed-quantizer closed forms of
+    :func:`_flat_mb_levels` to per-segment quantizers. ``kind``
+    'y2' runs the Y2→IWHT→IDCT pipeline (((f·L+3)>>3)+4)>>3; 'dc'
+    the direct DC-only IDCT (f·L+4)>>3 (chroma / B_PRED plane 3).
+    Raises when ``r`` is unreachable (factor too coarse — e.g.
+    chroma at uvdc > 8): the synth fails loud rather than emit a
+    stream that decodes to off-by-one pixels."""
+    key = (r, kind, factor)
+    hit = _LEVEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if kind == "y2":
+        f = lambda L: (((factor * L + 3) >> 3) + 4) >> 3  # noqa: E731
+    else:
+        f = lambda L: (factor * L + 4) >> 3  # noqa: E731
+    for a in range(0, 2200):
+        for L in ((0,) if a == 0 else (a, -a)):
+            if f(L) == r:
+                _LEVEL_CACHE[key] = L
+                return L
+    raise ValueError(
+        f"vp8 synth: flat residual {r} unreachable at dequant "
+        f"{factor} ({kind}) — exactness requires a finer quantizer"
+    )
 
 
 def _flat_mb_levels(r_y: int, r_u: int, r_v: int):
@@ -982,7 +1070,8 @@ def _flat_mb_levels(r_y: int, r_u: int, r_v: int):
 def encode_flat_frame(w: int, h: int, mb_vals, ymode=_DC_PRED,
                       uvmode: int = _DC_PRED, filter_level: int = 0,
                       sharpness: int = 0,
-                      filter_type: int = 1, submodes=None) -> bytes:
+                      filter_type: int = 1, submodes=None,
+                      segments=None) -> bytes:
     """Encode a VP8 KEY frame (the ``VP8 `` chunk bytes) whose every
     macroblock is a flat (Y, U, V) from ``mb_vals(mx, my) → (y, u,
     v)``: DC-style intra + DC-only residuals, loop filter per
@@ -1004,13 +1093,27 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode=_DC_PRED,
     sub-modes, zero residuals, the real skip path — targets are
     ignored and the decoded pixels are whatever the §12.3 prediction
     cascade produces. Tests compare that against an independent
-    simulation; it is not oracle-closed-form."""
+    simulation; it is not oracle-closed-form.
+
+    ``segments`` enables SEGMENTATION (§9.3): ``{"map": (mx, my) →
+    0..3, "q_abs": [four absolute q indices], "lf_abs": [four
+    absolute filter levels]?}`` — absolute feature mode with a
+    tree-coded map. Residual levels are solved per segment's
+    dequant (:func:`_search_dc_level`), which bounds exact flat
+    targets to quantizers fine enough to reach them (the solver
+    fails loud otherwise; chroma beyond q=4 needs residual-0
+    targets, i.e. U=V=128 frames). 16x16 DC_PRED only."""
     import struct
 
     mb_cols, mb_rows = (w + 15) >> 4, (h + 15) >> 4
     if submodes is not None:
         ymode = _B_PRED
     ymode_of = ymode if callable(ymode) else (lambda mx, my: ymode)
+    seg_of = None
+    if segments is not None:
+        seg_of = segments["map"]
+        seg_q = [int(q) for q in segments["q_abs"]]
+        seg_lf = segments.get("lf_abs")
     # --- plan residuals via the decoder's own prediction arithmetic
     # (every MB reconstructs exactly flat at its target, so the grid
     # of targets IS the reconstruction for planning purposes — for
@@ -1039,6 +1142,21 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode=_DC_PRED,
 
             ru = u - dc_pred(tu, 8)
             rv = v - dc_pred(tv, 8)
+            if seg_of is not None:
+                if ymode_of(mx, my) != _DC_PRED:
+                    raise ValueError(
+                        "vp8 synth: segments support 16x16 DC_PRED "
+                        "macroblocks only"
+                    )
+                qb = seg_q[seg_of(mx, my)]
+                dqf = _dequant_factors(qb)
+                ry = y - dc_pred(ty, 16)
+                levels[my][mx] = (
+                    _search_dc_level(ry, "y2", dqf["y2dc"]),
+                    _search_dc_level(ru, "dc", dqf["uvdc"]),
+                    _search_dc_level(rv, "dc", dqf["uvdc"]),
+                )
+                continue
             if ymode_of(mx, my) == _B_PRED:
                 # per-sub-block B_DC predictions from flat neighbors:
                 # above = own target for rows 1-3 else the above MB's
@@ -1079,7 +1197,25 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode=_DC_PRED,
     hd = _BoolEnc()
     hd.literal(0, 1)  # color space
     hd.literal(0, 1)  # clamping
-    hd.put(0, 128)    # segmentation off
+    if seg_of is None:
+        hd.put(0, 128)    # segmentation off
+    else:
+        hd.put(1, 128)    # segmentation on
+        hd.put(1, 128)    # update map
+        hd.put(1, 128)    # update feature data
+        hd.put(1, 128)    # absolute values
+        for q in seg_q:
+            hd.put(1, 128)
+            hd.signed_literal(q, 7)
+        for i in range(4):
+            if seg_lf is not None:
+                hd.put(1, 128)
+                hd.signed_literal(int(seg_lf[i]), 6)
+            else:
+                hd.put(0, 128)
+        for pr in _SYNTH_SEG_PROBS:
+            hd.put(1, 128)
+            hd.literal(pr, 8)
     hd.literal(filter_type, 1)  # 0 = NORMAL, 1 = SIMPLE
     hd.literal(filter_level, 6)
     hd.literal(sharpness, 3)
@@ -1100,6 +1236,11 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode=_DC_PRED,
     for my in range(mb_rows):
         left_sub = [_B_DC] * 4
         for mx in range(mb_cols):
+            if seg_of is not None:
+                hd.tree(
+                    _MB_SEGMENT_TREE, _SYNTH_SEG_PROBS,
+                    seg_of(mx, my),
+                )
             skip = 1 if _is_skip(levels[my][mx]) else 0
             hd.put(skip, 200)
             ym = ymode_of(mx, my)
@@ -1208,13 +1349,13 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode=_DC_PRED,
 def build_webp_vp8(w: int, h: int, mb_vals, ymode=_DC_PRED,
                    uvmode: int = _DC_PRED, filter_level: int = 0,
                    sharpness: int = 0, filter_type: int = 1,
-                   submodes=None) -> bytes:
+                   submodes=None, segments=None) -> bytes:
     """Wrap :func:`encode_flat_frame` in a RIFF/WEBP container."""
     import struct
 
     frame = encode_flat_frame(
         w, h, mb_vals, ymode, uvmode, filter_level, sharpness,
-        filter_type, submodes,
+        filter_type, submodes, segments,
     )
     chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
     if len(frame) % 2:
@@ -1311,21 +1452,29 @@ def _filter_limits(level: int, sharpness: int) -> tuple:
     )
 
 
-def _simple_loop_filter(Y, mb_rows, mb_cols, level, sharpness, mbs,
-                        mb_coeffs):
+def _simple_loop_filter(Y, mb_rows, mb_cols, mb_levels, sharpness,
+                        mbs, mb_coeffs):
     """Apply the VP8 SIMPLE loop filter (filter_type 1 — luma only)
     in the spec's macroblock raster order: per MB, the left MB edge,
     then the interior vertical edges at x+4/8/12, then the top MB
     edge, then the interior horizontal edges — interior edges are
     SKIPPED for a whole-MB-prediction macroblock with no non-zero
     coefficients (it has no residual discontinuities to smooth).
-    Limits per §15.1: interior = level (sharpness-shifted, min 1),
-    MB edge = (level+2)·2 + interior, subblock edge = level·2 +
-    interior. Mutates ``Y`` in place."""
-    interior, mbedge, subedge, _hev = _filter_limits(level, sharpness)
+    ``mb_levels`` carries the PER-MB filter level (segmentation can
+    override it per segment — §9.3); a level-0 MB filters none of
+    its edges. Limits per §15.1: interior = level
+    (sharpness-shifted, min 1), MB edge = (level+2)·2 + interior,
+    subblock edge = level·2 + interior. Mutates ``Y`` in place."""
+    lim_cache: dict = {}
     for my in range(mb_rows):
         for mx in range(mb_cols):
-            _skip, ymode, _uv, _subs = mbs[my * mb_cols + mx]
+            _skip, ymode, _uv, _subs, _sid = mbs[my * mb_cols + mx]
+            level = mb_levels[my * mb_cols + mx]
+            if level == 0:
+                continue
+            if level not in lim_cache:
+                lim_cache[level] = _filter_limits(level, sharpness)
+            interior, mbedge, subedge, _hev = lim_cache[level]
             x0, y0 = mx * 16, my * 16
             filt_interior = (
                 mb_coeffs[my * mb_cols + mx] or ymode == _B_PRED
@@ -1442,8 +1591,8 @@ def _nf_horizontal(plane, x0, size, y, limit, interior, hev_t, mb_edge):
         plane[y - 3 + i, x0 : x0 + size] = arr
 
 
-def _normal_loop_filter(Y, U, V, mb_rows, mb_cols, level, sharpness,
-                        mbs, mb_coeffs):
+def _normal_loop_filter(Y, U, V, mb_rows, mb_cols, mb_levels,
+                        sharpness, mbs, mb_coeffs):
     """Apply the VP8 NORMAL loop filter (filter_type 0 — §15.2) to
     all three planes in the spec's macroblock raster order: per MB,
     the left MB edge (luma 16 rows, both chroma 8), interior
@@ -1452,11 +1601,19 @@ def _normal_loop_filter(Y, U, V, mb_rows, mb_cols, level, sharpness,
     the MB has non-zero coefficients or is B_PRED. Filtering runs
     AFTER full-frame reconstruction (intra prediction reads
     unfiltered pixels — §15), which this call order preserves.
-    Mutates the planes in place."""
-    interior, mbedge, subedge, hev_t = _filter_limits(level, sharpness)
+    ``mb_levels`` carries the per-MB (segment-resolved) filter
+    level; a level-0 MB filters none of its edges. Mutates the
+    planes in place."""
+    lim_cache: dict = {}
     for my in range(mb_rows):
         for mx in range(mb_cols):
-            _skip, ymode, _uv, _subs = mbs[my * mb_cols + mx]
+            _skip, ymode, _uv, _subs, _sid = mbs[my * mb_cols + mx]
+            level = mb_levels[my * mb_cols + mx]
+            if level == 0:
+                continue
+            if level not in lim_cache:
+                lim_cache[level] = _filter_limits(level, sharpness)
+            interior, mbedge, subedge, hev_t = lim_cache[level]
             filt_int = mb_coeffs[my * mb_cols + mx] or ymode == _B_PRED
             yx, yy = mx * 16, my * 16
             cx, cy = mx * 8, my * 8

@@ -6096,3 +6096,68 @@ def test_vp8_normal_loop_filter_reference_values():
     )
     _w, _h, Y3, _U, _V2 = V.decode_frame(pay3[20:])
     assert (Y3[15] == 60).all() and (Y3[16] == 180).all()
+
+
+def test_vp8_segmentation():
+    """r13: VP8 segmentation (§9.3/§10) — four absolute-mode
+    quantizers in one frame via the tree-coded per-MB segment map;
+    the per-segment exact-level solver lands identical flat targets
+    under each quantizer; per-segment loop-filter levels apply per
+    MB (a level-0 segment filters none of its edges); unreachable
+    residuals fail loud; a truncated header raises."""
+    import pytest
+
+    from geniepool_etl_spark.operators import vp8 as V
+
+    def clip(x):
+        return max(0, min(255, x))
+
+    segmap = lambda mx, my: (mx + 2 * my) % 4  # noqa: E731
+
+    def mb(mx, my):
+        return ((37 * mx + 71 * my + 11) % 256, 128, 128)
+
+    for w, h in ((64, 48), (50, 35)):
+        pay = V.build_webp_vp8(
+            w, h, mb, segments={"map": segmap, "q_abs": [4, 10, 20, 28]}
+        )
+        got = V.vp8_pixel_sums(pay)
+        en = es = 0
+        for my in range((h + 15) // 16):
+            for mx in range((w + 15) // 16):
+                y, _u, _v = mb(mx, my)
+                cnt = min(16, w - 16 * mx) * min(16, h - 16 * my)
+                en += cnt
+                es += cnt * clip(y)
+        assert got == (en, es, es, es)
+    # levels actually DIFFER by segment (not all landing on q=4's
+    # closed form): the same residual needs different L per dequant
+    assert V._search_dc_level(5, "y2", 16) != V._search_dc_level(
+        5, "y2", 48
+    )
+    # per-segment loop filter: lf=0 segment untouched, lf=10 filtered
+    def mbl(mx, my):
+        return (120 if my == 0 else 133, 128, 128)
+
+    pay3 = V.build_webp_vp8(
+        32, 32, mbl, filter_level=10,
+        segments={"map": lambda mx, my: 0 if mx < 1 else 1,
+                  "q_abs": [4, 4, 4, 4], "lf_abs": [0, 10, 0, 0]},
+    )
+    _w, _h, Y, _U, _V2 = V.decode_frame(pay3[20:])
+    assert (Y[15, :16] == 120).all() and (Y[16, :16] == 133).all()
+    assert (Y[15, 16:] == 123).all() and (Y[16, 16:] == 130).all()
+    # odd chroma residual at uvdc=16 (q=12) is unreachable → loud
+    with pytest.raises(ValueError, match="unreachable"):
+        V.build_webp_vp8(
+            32, 32, lambda mx, my: (100, 91, 128),
+            segments={"map": lambda mx, my: 1,
+                      "q_abs": [4, 12, 20, 28]},
+        )
+    # truncated first partition (segment map bits cut) raises
+    frame = V.encode_flat_frame(
+        64, 48, mb, segments={"map": segmap, "q_abs": [4, 10, 20, 28]}
+    )
+    p1 = (frame[0] | (frame[1] << 8) | (frame[2] << 16)) >> 5
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        V.decode_frame(frame[: 10 + p1 // 2])
