@@ -3559,6 +3559,36 @@ def q_multimodal_vp8_segments(
     )
 
 
+def q_multimodal_vp8l_predictor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VP8L PREDICTOR-transform decode (r13 — multimodal.
+    synth_webp_vp8l_predictor_assets → _webp_lossless_pixel_sums):
+    4x4 tiles cycling through all 14 spatial predictor modes,
+    delivered via a tile-mode entropy SUB-IMAGE (the same
+    pixel-stream machinery as the main image, exercised at level>0),
+    main image stored as mod-256 residuals. Losslessness makes the
+    oracle the target formula itself — transform-blind. Narrows the
+    VP8L boundary to color/color-indexing transforms, meta-Huffman
+    and the 2-D distance map."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 4)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(14) + (F.col("doc_id") % 6) * 9)
+            .cast("long")
+            .alias("width"),
+            (F.lit(9) + (F.col("doc_id") % 5) * 8)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_vp8l_predictor_assets(params)
+    )
+
+
 def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsampled-chroma (4:2:0) baseline JPEG pixel decode — the
     dominant web-JPEG profile: MCU = four Y blocks + one Cb + one Cr,
@@ -10054,6 +10084,31 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_vp8l_predictor"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 14 + (doc_id % 6) * 9 AS w,
+                 9 + (doc_id % 5) * 8 AS h,
+                 doc_id % 7 AS a
+          FROM documents WHERE doc_id % 13 = 4
+        ),
+        px AS (
+          SELECT asset_id,
+                 (13 * (i % w) + 29 * (i // w) + 5 * a) % 256 AS r,
+                 (7 * (i % w) + 17 * (i // w) + 3 * a) % 256 AS g,
+                 (11 * (i % w) + 23 * (i // w) + 7 * a) % 256 AS b
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_vp8_segments"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -11839,6 +11894,7 @@ SPARK_QUERIES = {
     # __spark_entry__ orders these first automatically) ---
     "multimodal_vp8_bpred": q_multimodal_vp8_bpred,
     "multimodal_vp8_segments": q_multimodal_vp8_segments,
+    "multimodal_vp8l_predictor": q_multimodal_vp8l_predictor,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,
     # --- r12-new lanes first (never driver-recorded) ---
     "multimodal_netpbm16": q_multimodal_netpbm16,

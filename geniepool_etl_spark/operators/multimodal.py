@@ -3305,54 +3305,22 @@ def synth_webp_vp8_nf_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
-def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
-    """Decode a LOSSLESS WebP (VP8L) to exact per-channel pixel sums:
-    RIFF walk → 0x2F signature + 14/14-bit dims → Huffman code group
-    (simple AND normal forms, code-length-code with 16/17/18 repeats,
-    canonical DEFLATE-rule codes) → pixel stream of ARGB literals and
-    LZ77 backward references (linear distances; the 120-entry 2-D
-    neighbor map, color cache, transforms, and meta-Huffman raise —
-    the remaining VP8L boundary; lossy VP8 is a separate codec
-    entirely)."""
-    import struct
-
-    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
-        raise ValueError("not WebP")
-    at, n = 12, len(raw)
-    body = end = None
-    while at + 8 <= n:
-        fourcc = raw[at:at + 4]
-        (size,) = struct.unpack_from("<I", raw, at + 4)
-        if fourcc == b"VP8L":
-            body, end = at + 8, at + 8 + size
-            break
-        at += 8 + size + (size & 1)
-    if body is None or end > n:
-        raise ValueError("webp: no complete VP8L chunk")
-    if raw[body] != 0x2F:
-        raise ValueError("webp: bad VP8L signature")
-    rd = _Vp8lBitReader(raw[:end], body + 1)
-    w = rd.read(14) + 1
-    h = rd.read(14) + 1
-    rd.read(1)  # alpha hint
-    if rd.read(3) != 0:
-        raise ValueError("vp8l: unknown version")
-    subtract_green = False
-    while rd.read(1):  # transform list
-        ttype = rd.read(2)
-        if ttype == 2:  # subtract-green: no parameters
-            subtract_green = True
-        else:
-            raise ValueError(
-                "vp8l: only the subtract-green transform is supported"
-            )
+def _vp8l_read_pixel_stream(rd, w: int, h: int, level0: bool = False):
+    """The shared VP8L entropy-image layout (spec "DecodeImageStream"
+    minus the level-0 transform list): color-cache flag, [meta-Huffman
+    flag when ``level0``], the five-code Huffman group, then the pixel
+    stream of ARGB literals, LZ77 backward references (LINEAR
+    distances — the 120-entry 2-D neighbor map stays a declared
+    boundary) and color-cache hits. Returns the raw (pre-inverse-
+    transform) pixel list. Transform SUB-IMAGES (predictor tiles)
+    decode through this same function — they are entropy images."""
     cache_bits = 0
     if rd.read(1):
         cache_bits = rd.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("vp8l: invalid color-cache size")
     cache_size = (1 << cache_bits) if cache_bits else 0
-    if rd.read(1):
+    if level0 and rd.read(1):
         raise ValueError("vp8l: meta-Huffman unsupported")
     green_dec = _vp8l_read_huffman(rd, 256 + 24 + cache_size)
     red_dec = _vp8l_read_huffman(rd, 256)
@@ -3400,15 +3368,156 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
             if p is None:
                 raise ValueError("vp8l: cold color-cache reference")
             px.append(p)
-    if subtract_green:
-        px = [
-            (a, (r + g) & 0xFF, g, (b + g) & 0xFF)
-            for a, r, g, b in px
-        ]
+    return px
+
+
+def _vp8l_predict(mode: int, L, T, TL, TR):
+    """One VP8L spatial predictor (spec §4.2, the 14 modes) over
+    (a, r, g, b) neighbor tuples — per-channel integer arithmetic,
+    shared by decoder (inverse: residual + pred mod 256) and synth
+    encoder (forward: target − pred mod 256), so streams round-trip
+    bit-exactly. ClampAddSubtractHalf divides toward zero (the C
+    form)."""
+
+    def avg2(p, q):
+        return tuple((p[i] + q[i]) >> 1 for i in range(4))
+
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return avg2(avg2(L, TR), T)
+    if mode == 6:
+        return avg2(L, TL)
+    if mode == 7:
+        return avg2(L, T)
+    if mode == 8:
+        return avg2(TL, T)
+    if mode == 9:
+        return avg2(T, TR)
+    if mode == 10:
+        return avg2(avg2(L, TL), avg2(T, TR))
+    if mode == 11:  # Select
+        p = tuple(L[i] + T[i] - TL[i] for i in range(4))
+        p_l = sum(abs(p[i] - L[i]) for i in range(4))
+        p_t = sum(abs(p[i] - T[i]) for i in range(4))
+        return L if p_l < p_t else T
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(
+            max(0, min(255, L[i] + T[i] - TL[i])) for i in range(4)
+        )
+    if mode == 13:  # ClampAddSubtractHalf
+        av = avg2(L, T)
+        return tuple(
+            max(0, min(255, av[i] + int((av[i] - TL[i]) / 2)))
+            for i in range(4)
+        )
+    raise ValueError(f"vp8l: predictor mode {mode}")
+
+
+def _vp8l_inverse_predictor(px, w: int, h: int, modes, sb: int,
+                            tiles_w: int):
+    """Invert the VP8L predictor transform: final(x, y) =
+    (residual + pred) mod 256 per channel, pred per the tile's mode
+    from the already-reconstructed neighbors. Spec edge rules: (0,0)
+    predicts opaque black, row 0 predicts LEFT, column 0 predicts
+    TOP; the top-right neighbor at the last column falls back to TOP
+    (repo-defined border convention, documented like the VP8
+    above-right rules)."""
+    out = []
+    for y in range(h):
+        base = y * w
+        for x in range(w):
+            res = px[base + x]
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = out[base + x - 1]
+            elif x == 0:
+                pred = out[base - w]
+            else:
+                mode = modes[(y >> sb) * tiles_w + (x >> sb)][2]
+                L = out[base + x - 1]
+                T = out[base - w + x]
+                TL = out[base - w + x - 1]
+                TR = out[base - w + x + 1] if x + 1 < w else T
+                pred = _vp8l_predict(mode, L, T, TL, TR)
+            out.append(
+                tuple((res[i] + pred[i]) & 0xFF for i in range(4))
+            )
+    return out
+
+
+def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
+    """Decode a LOSSLESS WebP (VP8L) to exact per-channel pixel sums:
+    RIFF walk → 0x2F signature + 14/14-bit dims → transform list
+    (subtract-green; PREDICTOR with its tile-mode entropy sub-image —
+    r13) → Huffman code group (simple AND normal forms, code-length
+    code with 16/17/18 repeats, canonical DEFLATE-rule codes) → pixel
+    stream of ARGB literals, LZ77 backward references (linear
+    distances) and color-cache hits → inverse transforms in reverse
+    read order. The 120-entry 2-D neighbor map, color/color-indexing
+    transforms, and meta-Huffman raise — the remaining VP8L
+    boundary."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        raise ValueError("not WebP")
+    at, n = 12, len(raw)
+    body = end = None
+    while at + 8 <= n:
+        fourcc = raw[at:at + 4]
+        (size,) = struct.unpack_from("<I", raw, at + 4)
+        if fourcc == b"VP8L":
+            body, end = at + 8, at + 8 + size
+            break
+        at += 8 + size + (size & 1)
+    if body is None or end > n:
+        raise ValueError("webp: no complete VP8L chunk")
+    if raw[body] != 0x2F:
+        raise ValueError("webp: bad VP8L signature")
+    rd = _Vp8lBitReader(raw[:end], body + 1)
+    w = rd.read(14) + 1
+    h = rd.read(14) + 1
+    rd.read(1)  # alpha hint
+    if rd.read(3) != 0:
+        raise ValueError("vp8l: unknown version")
+    transforms = []  # in READ order; inverses applied reversed
+    while rd.read(1):  # transform list
+        ttype = rd.read(2)
+        if ttype == 2:  # subtract-green: no parameters
+            transforms.append(("sg",))
+        elif ttype == 0:  # predictor: tile-size + mode sub-image
+            sb = rd.read(3) + 2
+            tiles_w = (w + (1 << sb) - 1) >> sb
+            tiles_h = (h + (1 << sb) - 1) >> sb
+            modes = _vp8l_read_pixel_stream(rd, tiles_w, tiles_h)
+            transforms.append(("pred", sb, tiles_w, modes))
+        else:
+            raise ValueError(
+                "vp8l: color/color-indexing transforms unsupported"
+            )
+    px = _vp8l_read_pixel_stream(rd, w, h, level0=True)
+    for t in reversed(transforms):
+        if t[0] == "sg":
+            px = [
+                (a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+                for a, r, g, b in px
+            ]
+        else:
+            _tag, sb, tiles_w, modes = t
+            px = _vp8l_inverse_predictor(px, w, h, modes, sb, tiles_w)
     sr = sum(p[1] for p in px)
     sg = sum(p[2] for p in px)
-    sb = sum(p[3] for p in px)
-    return (total, sr, sg, sb)
+    sb_ = sum(p[3] for p in px)
+    return (w * h, sr, sg, sb_)
 
 
 def synth_webp_lossless_assets(
@@ -3579,6 +3688,163 @@ def synth_webp_lossless_assets(
                     ],
                     "media_type": "image/webp",
                     # (subtract_green / cache_bits are closed over)
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_webp_vp8l_predictor_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossless WebP (VP8L) payloads carrying the
+    PREDICTOR transform (r13 — spec §4.2): 4x4 tiles whose modes
+    cycle through all 14 spatial predictors via a tile-mode entropy
+    SUB-IMAGE (decoded by the same pixel-stream machinery as the
+    main image), main-image pixels stored as per-channel mod-256
+    residuals against each tile's prediction. Losslessness means ANY
+    target is exactly encodable — the synth simulates the decoder's
+    reconstruction with the shared :func:`_vp8l_predict` and codes
+    ``target − pred``; the oracle is the target formula itself
+    (``a=255, r=(13x+29y+5a')%256, g=(7x+17y+3a')%256,
+    b=(11x+23y+7a')%256`` with ``a' = asset_id % 7``), blind to the
+    transform. Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    def one(aid: int, w: int, h: int) -> bytes:
+        a7 = aid % 7
+
+        def pix(x: int, y: int) -> tuple:
+            return (
+                255,
+                (13 * x + 29 * y + 5 * a7) % 256,
+                (7 * x + 17 * y + 3 * a7) % 256,
+                (11 * x + 23 * y + 7 * a7) % 256,
+            )
+
+        sb = 2  # 4x4 tiles
+        tiles_w = (w + 3) >> sb
+        tiles_h = (h + 3) >> sb
+
+        def mode_of(tx: int, ty: int) -> int:
+            return (tx + 2 * ty + a7) % 14
+
+        # simulate reconstruction → per-pixel mod-256 residuals
+        out: list = []
+        res: list = []
+        for y in range(h):
+            base = y * w
+            for x in range(w):
+                tgt = pix(x, y)
+                if x == 0 and y == 0:
+                    pred = (255, 0, 0, 0)
+                elif y == 0:
+                    pred = out[base + x - 1]
+                elif x == 0:
+                    pred = out[base - w]
+                else:
+                    L = out[base + x - 1]
+                    T = out[base - w + x]
+                    TL = out[base - w + x - 1]
+                    TR = out[base - w + x + 1] if x + 1 < w else T
+                    pred = _vp8l_predict(
+                        mode_of(x >> sb, y >> sb), L, T, TL, TR
+                    )
+                res.append(
+                    tuple((tgt[i] - pred[i]) & 0xFF for i in range(4))
+                )
+                out.append(tgt)
+
+        def balanced(symbols) -> dict:
+            syms = sorted(set(symbols))
+            bits = max(1, (len(syms) - 1).bit_length())
+            pad = (1 << bits) - len(syms)
+            spare = [s for s in range(256) if s not in set(syms)][:pad]
+            return {s: bits for s in syms + spare}
+
+        wr = _Vp8lBitWriter()
+        wr.write(w - 1, 14)
+        wr.write(h - 1, 14)
+        wr.write(0, 1)  # no alpha hint
+        wr.write(0, 3)  # version
+        wr.write(1, 1)  # transform present
+        wr.write(0, 2)  # PREDICTOR transform
+        wr.write(sb - 2, 3)  # tile size bits
+        # --- tile-mode sub-image (an entropy image: cache bit +
+        # five codes + literal pixels, mode in the green channel)
+        wr.write(0, 1)  # no color cache
+        modes = [
+            mode_of(tx, ty)
+            for ty in range(tiles_h)
+            for tx in range(tiles_w)
+        ]
+        mode_enc = _vp8l_write_huffman(wr, balanced(modes))
+        zero_enc = _vp8l_write_huffman(wr, balanced([0]))
+        zero_enc_b = _vp8l_write_huffman(wr, balanced([0]))
+        # alpha: single 255 → SIMPLE code, zero bits per use
+        wr.write(1, 1)
+        wr.write(0, 1)
+        wr.write(1, 1)
+        wr.write(255, 8)
+        # distance: unused → SIMPLE single-symbol code
+        wr.write(1, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+
+        def put(enc, sym):
+            code, ln = enc[sym]
+            for i in range(ln - 1, -1, -1):
+                wr.write((code >> i) & 1, 1)
+
+        for m in modes:
+            put(mode_enc, m)
+            put(zero_enc, 0)
+            put(zero_enc_b, 0)
+        wr.write(0, 1)  # end of transform list
+        # --- main image: residual literals, no cache, no meta
+        wr.write(0, 1)  # no color cache
+        wr.write(0, 1)  # no meta-huffman
+        g_enc = _vp8l_write_huffman(wr, balanced([p[2] for p in res]))
+        r_enc = _vp8l_write_huffman(wr, balanced([p[1] for p in res]))
+        b_enc = _vp8l_write_huffman(wr, balanced([p[3] for p in res]))
+        # alpha residual is ALWAYS 0 → simple single-symbol code
+        wr.write(1, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+        # distance: unused → simple single-symbol code
+        wr.write(1, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+        for p in res:
+            put(g_enc, p[2])
+            put(r_enc, p[1])
+            put(b_enc, p[3])
+        payload = b"\x2f" + wr.flush()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        body = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(aid), int(w), int(h))
+                        for aid, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/webp",
                 }
             )
 

@@ -5362,13 +5362,15 @@ def test_webp_lossless_roundtrip_and_gates():
     raw = payloads[(17, 12)]
     with pytest.raises(ValueError):
         M._webp_lossless_pixel_sums(raw[: len(raw) - 6])
-    # a set transform bit is the declared boundary: flip the first
-    # post-header bit (transform_present) — byte 4 of the VP8L
-    # payload holds header bit 32 = the transform flag
+    # a flipped transform-present bit is poison: the stream after it
+    # parses as a bogus transform header (r13: predictor/subtract-
+    # green are now LEGAL transform types, so the corruption
+    # surfaces as whatever parse step breaks first — still a loud
+    # ValueError, never a silent mis-decode)
     body = raw.find(b"VP8L") + 8
     bad = bytearray(raw)
     bad[body + 1 + 4] ^= 0x01  # bit 32 of the LSB stream
-    with pytest.raises(ValueError, match="transform|version"):
+    with pytest.raises(ValueError):
         M._webp_lossless_pixel_sums(bytes(bad))
 
 
@@ -6161,3 +6163,43 @@ def test_vp8_segmentation():
     p1 = (frame[0] | (frame[1] << 8) | (frame[2] << 16)) >> 5
     with pytest.raises(ValueError, match="truncated|overruns"):
         V.decode_frame(frame[: 10 + p1 // 2])
+
+
+def test_vp8l_predictor_transform_roundtrip():
+    """r13: VP8L predictor transform — all 14 spatial modes via 4x4
+    tiles from a tile-mode entropy sub-image; the synth codes
+    target−pred residuals against the shared predictor, so decode
+    must land the target exactly at any geometry (incl. the
+    one-tile case, the TR border column, and non-multiple-of-4
+    dims); truncation stays poison."""
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_webp_vp8l_predictor_assets(StubDF())
+
+    def expect(aid, w, h):
+        a7 = aid % 7
+        sr = sg = sb = 0
+        for y in range(h):
+            for x in range(w):
+                sr += (13 * x + 29 * y + 5 * a7) % 256
+                sg += (7 * x + 17 * y + 3 * a7) % 256
+                sb += (11 * x + 23 * y + 7 * a7) % 256
+        return (w * h, sr, sg, sb)
+
+    raws = {}
+    for aid, w, h in ((1, 23, 17), (4, 40, 33), (9, 5, 5),
+                      (2, 4, 4), (3, 65, 9)):
+        out = next(gen(iter([pd.DataFrame(
+            {"asset_id": [aid], "width": [w], "height": [h]}
+        )])))
+        raw = bytes(out["payload"].iloc[0])
+        raws[(aid, w, h)] = raw
+        assert M._webp_lossless_pixel_sums(raw) == expect(aid, w, h)
+    raw = raws[(4, 40, 33)]
+    with pytest.raises(ValueError):
+        M._webp_lossless_pixel_sums(raw[: len(raw) - 8])
