@@ -3589,6 +3589,88 @@ def q_multimodal_vp8l_predictor(
     )
 
 
+def q_multimodal_vp8l_color(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VP8L CROSS-COLOR transform decode (r13 — multimodal.
+    synth_webp_vp8l_color_assets → _webp_lossless_pixel_sums):
+    per-tile (green_to_red, green_to_blue, red_to_blue) int8
+    multipliers from the element entropy sub-image, the 3.5
+    fixed-point ColorTransformDelta applied red-first so the r2b
+    term sees reconstructed red. Transform-blind closed-form
+    oracle; with the predictor lane this narrows VP8L to
+    color-indexing, meta-Huffman, and the 2-D distance map."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 1)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(15) + (F.col("doc_id") % 7) * 8)
+            .cast("long")
+            .alias("width"),
+            (F.lit(10) + (F.col("doc_id") % 5) * 9)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_vp8l_color_assets(params)
+    )
+
+
+def q_multimodal_vp8l_palette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VP8L COLOR-INDEXING transform decode (r13 — multimodal.
+    synth_webp_vp8l_palette_assets): K-color palette (K > 16, no
+    sub-byte bundling) transmitted as the spec's delta-coded palette
+    entropy image, green-channel indices resolved through it.
+    Closed-form palette + index oracle."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 6)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(13) + (F.col("doc_id") % 7) * 9)
+            .cast("long")
+            .alias("width"),
+            (F.lit(11) + (F.col("doc_id") % 5) * 7)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_vp8l_palette_assets(params)
+    )
+
+
+def q_multimodal_vp8l_meta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VP8L META-HUFFMAN decode (r13 — multimodal.
+    synth_webp_vp8l_meta_assets): two entropy groups selected per
+    pixel position by a tile group sub-image, with DISJOINT green
+    alphabets so wrong group selection cannot even resolve symbols.
+    With predictor/cross-color/color-indexing this leaves only the
+    2-D distance map and sub-byte bundling as VP8L boundaries."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 0)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(16) + (F.col("doc_id") % 6) * 8)
+            .cast("long")
+            .alias("width"),
+            (F.lit(9) + (F.col("doc_id") % 5) * 10)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_vp8l_meta_assets(params)
+    )
+
+
 def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsampled-chroma (4:2:0) baseline JPEG pixel decode — the
     dominant web-JPEG profile: MCU = four Y blocks + one Cb + one Cr,
@@ -10109,6 +10191,87 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_vp8l_color"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 15 + (doc_id % 7) * 8 AS w,
+                 10 + (doc_id % 5) * 9 AS h,
+                 doc_id % 7 AS a
+          FROM documents WHERE doc_id % 13 = 1
+        ),
+        px AS (
+          SELECT asset_id,
+                 (13 * (i % w) + 29 * (i // w) + 5 * a) % 256 AS r,
+                 (7 * (i % w) + 17 * (i // w) + 3 * a) % 256 AS g,
+                 (11 * (i % w) + 23 * (i // w) + 7 * a) % 256 AS b
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
+    o["multimodal_vp8l_palette"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 13 + (doc_id % 7) * 9 AS w,
+                 11 + (doc_id % 5) * 7 AS h,
+                 doc_id % 7 AS a,
+                 24 + (doc_id % 7) * 8 AS k
+          FROM documents WHERE doc_id % 13 = 6
+        ),
+        px AS (
+          SELECT asset_id,
+                 ((i % w) + 2 * (i // w) + a) % k AS ki, a
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum((19 * ki + 31 * a) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((7 * ki + 5 * a) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((23 * ki + 11 * a) % 256) AS BIGINT)
+                   AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
+    o["multimodal_vp8l_meta"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 16 + (doc_id % 6) * 8 AS w,
+                 9 + (doc_id % 5) * 10 AS h,
+                 doc_id % 7 AS a
+          FROM documents WHERE doc_id % 13 = 0
+        ),
+        px AS (
+          SELECT asset_id,
+                 (5 * (i % w) + 3 * (i // w) + a) % 256 AS r,
+                 (3 * (i % w) + 7 * (i // w) + a) % 128
+                 + 128 * (CASE WHEN ((i % w) // 4)
+                               >= ((w + 3) // 4) // 2
+                          THEN 1 ELSE 0 END) AS g,
+                 (9 * (i % w) + (i // w) + a) % 256 AS b
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(r) AS BIGINT) AS sum_r,
+                 CAST(sum(g) AS BIGINT) AS sum_g,
+                 CAST(sum(b) AS BIGINT) AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_vp8_segments"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -11895,6 +12058,9 @@ SPARK_QUERIES = {
     "multimodal_vp8_bpred": q_multimodal_vp8_bpred,
     "multimodal_vp8_segments": q_multimodal_vp8_segments,
     "multimodal_vp8l_predictor": q_multimodal_vp8l_predictor,
+    "multimodal_vp8l_color": q_multimodal_vp8l_color,
+    "multimodal_vp8l_palette": q_multimodal_vp8l_palette,
+    "multimodal_vp8l_meta": q_multimodal_vp8l_meta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,
     # --- r12-new lanes first (never driver-recorded) ---
     "multimodal_netpbm16": q_multimodal_netpbm16,

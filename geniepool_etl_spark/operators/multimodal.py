@@ -3320,13 +3320,33 @@ def _vp8l_read_pixel_stream(rd, w: int, h: int, level0: bool = False):
         if not 1 <= cache_bits <= 11:
             raise ValueError("vp8l: invalid color-cache size")
     cache_size = (1 << cache_bits) if cache_bits else 0
+    meta = None
+    n_groups = 1
     if level0 and rd.read(1):
-        raise ValueError("vp8l: meta-Huffman unsupported")
-    green_dec = _vp8l_read_huffman(rd, 256 + 24 + cache_size)
-    red_dec = _vp8l_read_huffman(rd, 256)
-    blue_dec = _vp8l_read_huffman(rd, 256)
-    alpha_dec = _vp8l_read_huffman(rd, 256)
-    dist_dec = _vp8l_read_huffman(rd, 40)
+        # META-HUFFMAN (r13): a tile sub-image — decoded through
+        # THIS function recursively — whose (red<<8)|green is each
+        # tile's entropy-group id; one five-code Huffman group per
+        # distinct id, selected per pixel position at symbol-read
+        # time (a backward reference reads its symbols in the group
+        # of the position where it STARTS)
+        hb = rd.read(3) + 2
+        mtw = (w + (1 << hb) - 1) >> hb
+        mth = (h + (1 << hb) - 1) >> hb
+        mimg = _vp8l_read_pixel_stream(rd, mtw, mth)
+        group_ids = [((p[1] << 8) | p[2]) for p in mimg]
+        n_groups = max(group_ids) + 1
+        if n_groups > 256:
+            raise ValueError("vp8l: implausible meta-group count")
+        meta = (hb, mtw, group_ids)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _vp8l_read_huffman(rd, 256 + 24 + cache_size),
+            _vp8l_read_huffman(rd, 256),
+            _vp8l_read_huffman(rd, 256),
+            _vp8l_read_huffman(rd, 256),
+            _vp8l_read_huffman(rd, 40),
+        ))
     total = w * h
     px = []  # (a, r, g, b) in TRANSFORMED space
     cache = [None] * cache_size
@@ -3337,6 +3357,15 @@ def _vp8l_read_pixel_stream(rd, w: int, h: int, level0: bool = False):
             cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = p
 
     while len(px) < total:
+        if meta is None:
+            green_dec, red_dec, blue_dec, alpha_dec, dist_dec = groups[0]
+        else:
+            hb, mtw, group_ids = meta
+            pos = len(px)
+            gx, gy = (pos % w) >> hb, (pos // w) >> hb
+            green_dec, red_dec, blue_dec, alpha_dec, dist_dec = (
+                groups[group_ids[gy * mtw + gx]]
+            )
         s = _vp8l_read_sym(rd, green_dec)
         if s < 256:
             g = s
@@ -3422,6 +3451,38 @@ def _vp8l_predict(mode: int, L, T, TL, TR):
     raise ValueError(f"vp8l: predictor mode {mode}")
 
 
+def _vp8l_color_delta(t: int, c: int) -> int:
+    """ColorTransformDelta (spec §4.3): both arguments reinterpreted
+    as int8, product arithmetic-shifted right 5 — the 3.5 fixed-point
+    cross-channel multiplier. Shared by decoder and synth encoder."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _vp8l_inverse_color_transform(px, w: int, h: int, elems, sb: int,
+                                  tiles_w: int):
+    """Invert the VP8L cross-color transform: per tile element
+    (green_to_red in the BLUE channel, green_to_blue in GREEN,
+    red_to_blue in RED — the packing convention shared with the
+    synth), red += delta(g2r, green) then blue += delta(g2b, green)
+    + delta(r2b, red') with the ALREADY-RECONSTRUCTED red feeding
+    the r2b term, all mod 256."""
+    out = []
+    for y in range(h):
+        base = y * w
+        trow = (y >> sb) * tiles_w
+        for x in range(w):
+            a, r, g, b = px[base + x]
+            e = elems[trow + (x >> sb)]
+            g2r, g2b, r2b = e[3], e[2], e[1]
+            r2 = (r + _vp8l_color_delta(g2r, g)) & 0xFF
+            b2 = (b + _vp8l_color_delta(g2b, g)
+                  + _vp8l_color_delta(r2b, r2)) & 0xFF
+            out.append((a, r2, g, b2))
+    return out
+
+
 def _vp8l_inverse_predictor(px, w: int, h: int, modes, sb: int,
                             tiles_w: int):
     """Invert the VP8L predictor transform: final(x, y) =
@@ -3500,10 +3561,30 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
             tiles_h = (h + (1 << sb) - 1) >> sb
             modes = _vp8l_read_pixel_stream(rd, tiles_w, tiles_h)
             transforms.append(("pred", sb, tiles_w, modes))
+        elif ttype == 1:  # cross-color: tile-size + element sub-image
+            sb = rd.read(3) + 2
+            tiles_w = (w + (1 << sb) - 1) >> sb
+            tiles_h = (h + (1 << sb) - 1) >> sb
+            elems = _vp8l_read_pixel_stream(rd, tiles_w, tiles_h)
+            transforms.append(("color", sb, tiles_w, elems))
+        elif ttype == 3:  # color indexing: delta-coded palette
+            psize = rd.read(8) + 1
+            if psize <= 16:
+                raise ValueError(
+                    "vp8l: sub-byte pixel bundling (palette <= 16) "
+                    "unsupported"
+                )
+            deltas = _vp8l_read_pixel_stream(rd, psize, 1)
+            palette = []
+            prev = (0, 0, 0, 0)
+            for d in deltas:
+                prev = tuple(
+                    (prev[i] + d[i]) & 0xFF for i in range(4)
+                )
+                palette.append(prev)
+            transforms.append(("index", palette))
         else:
-            raise ValueError(
-                "vp8l: color/color-indexing transforms unsupported"
-            )
+            raise ValueError("vp8l: unknown transform type")
     px = _vp8l_read_pixel_stream(rd, w, h, level0=True)
     for t in reversed(transforms):
         if t[0] == "sg":
@@ -3511,9 +3592,25 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
                 (a, (r + g) & 0xFF, g, (b + g) & 0xFF)
                 for a, r, g, b in px
             ]
-        else:
+        elif t[0] == "pred":
             _tag, sb, tiles_w, modes = t
             px = _vp8l_inverse_predictor(px, w, h, modes, sb, tiles_w)
+        elif t[0] == "color":
+            _tag, sb, tiles_w, elems = t
+            px = _vp8l_inverse_color_transform(
+                px, w, h, elems, sb, tiles_w
+            )
+        else:  # color indexing: green channel indexes the palette
+            palette = t[1]
+            out = []
+            for p in px:
+                idx = p[2]
+                if idx >= len(palette):
+                    raise ValueError(
+                        "vp8l: palette index out of range"
+                    )
+                out.append(palette[idx])
+            px = out
     sr = sum(p[1] for p in px)
     sg = sum(p[2] for p in px)
     sb_ = sum(p[3] for p in px)
@@ -3825,6 +3922,418 @@ def synth_webp_vp8l_predictor_assets(
             put(g_enc, p[2])
             put(r_enc, p[1])
             put(b_enc, p[3])
+        payload = b"\x2f" + wr.flush()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        body = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(aid), int(w), int(h))
+                        for aid, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_webp_vp8l_color_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossless WebP (VP8L) payloads carrying the
+    CROSS-COLOR transform (r13 — spec §4.3): 4x4 tiles with
+    per-tile (green_to_red, green_to_blue, red_to_blue) elements
+    covering positive AND negative int8 multipliers, delivered via
+    the element entropy sub-image; the main image stores residuals
+    with the deltas subtracted (the r2b term against the TARGET red,
+    which is what the inverse reconstructs first). Losslessness
+    keeps the oracle the target formula — transform-blind, same as
+    the predictor lane. Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    def one(aid: int, w: int, h: int) -> bytes:
+        a7 = aid % 7
+
+        def pix(x: int, y: int) -> tuple:
+            return (
+                255,
+                (13 * x + 29 * y + 5 * a7) % 256,
+                (7 * x + 17 * y + 3 * a7) % 256,
+                (11 * x + 23 * y + 7 * a7) % 256,
+            )
+
+        sb = 2
+        tiles_w = (w + 3) >> sb
+        tiles_h = (h + 3) >> sb
+
+        def elem_of(tx: int, ty: int) -> tuple:
+            # (a, r=r2b, g=g2b, b=g2r) — spans the signed range
+            return (
+                255,
+                (37 * tx + 11 * ty + 3 * a7) % 256,
+                (59 * tx + 23 * ty + 7 * a7) % 256,
+                (83 * tx + 41 * ty + 13 * a7) % 256,
+            )
+
+        res: list = []
+        for y in range(h):
+            for x in range(w):
+                a, r, g, b = pix(x, y)
+                e = elem_of(x >> sb, y >> sb)
+                g2r, g2b, r2b = e[3], e[2], e[1]
+                rr = (r - _vp8l_color_delta(g2r, g)) & 0xFF
+                rb = (
+                    b - _vp8l_color_delta(g2b, g)
+                    - _vp8l_color_delta(r2b, r)
+                ) & 0xFF
+                res.append((a, rr, g, rb))
+
+        def balanced(symbols) -> dict:
+            syms = sorted(set(symbols))
+            bits = max(1, (len(syms) - 1).bit_length())
+            pad = (1 << bits) - len(syms)
+            spare = [s for s in range(256) if s not in set(syms)][:pad]
+            return {s: bits for s in syms + spare}
+
+        wr = _Vp8lBitWriter()
+        wr.write(w - 1, 14)
+        wr.write(h - 1, 14)
+        wr.write(0, 1)  # no alpha hint
+        wr.write(0, 3)  # version
+        wr.write(1, 1)  # transform present
+        wr.write(1, 2)  # CROSS-COLOR transform
+        wr.write(sb - 2, 3)
+        # element sub-image: literals only
+        wr.write(0, 1)  # no color cache
+        elems = [
+            elem_of(tx, ty)
+            for ty in range(tiles_h)
+            for tx in range(tiles_w)
+        ]
+        eg_enc = _vp8l_write_huffman(wr, balanced([e[2] for e in elems]))
+        er_enc = _vp8l_write_huffman(wr, balanced([e[1] for e in elems]))
+        eb_enc = _vp8l_write_huffman(wr, balanced([e[3] for e in elems]))
+        wr.write(1, 1)  # alpha: simple single 255
+        wr.write(0, 1)
+        wr.write(1, 1)
+        wr.write(255, 8)
+        wr.write(1, 1)  # distance: simple single 0
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+
+        def put(enc, sym):
+            code, ln = enc[sym]
+            for i in range(ln - 1, -1, -1):
+                wr.write((code >> i) & 1, 1)
+
+        for e in elems:
+            put(eg_enc, e[2])
+            put(er_enc, e[1])
+            put(eb_enc, e[3])
+        wr.write(0, 1)  # end of transform list
+        wr.write(0, 1)  # no color cache
+        wr.write(0, 1)  # no meta-huffman
+        g_enc = _vp8l_write_huffman(wr, balanced([p[2] for p in res]))
+        r_enc = _vp8l_write_huffman(wr, balanced([p[1] for p in res]))
+        b_enc = _vp8l_write_huffman(wr, balanced([p[3] for p in res]))
+        wr.write(1, 1)  # alpha: simple single 255
+        wr.write(0, 1)
+        wr.write(1, 1)
+        wr.write(255, 8)
+        wr.write(1, 1)  # distance: simple single 0
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+        for p in res:
+            put(g_enc, p[2])
+            put(r_enc, p[1])
+            put(b_enc, p[3])
+        payload = b"\x2f" + wr.flush()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        body = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(aid), int(w), int(h))
+                        for aid, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_webp_vp8l_palette_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossless WebP (VP8L) payloads carrying the
+    COLOR-INDEXING transform (r13 — spec §4.4): a K-color palette
+    (K = 24 + (asset%7)·8 — always > 16, so no sub-byte pixel
+    bundling, the declared remaining rung) transmitted as the spec's
+    DELTA-CODED palette entropy image (entry k stores
+    palette[k] − palette[k−1] mod 256 per channel), main image
+    carrying indices in the green channel. Oracle: index
+    (x + 2y + a) % K through the closed-form palette. Arrow
+    ``mapInPandas``; narrow."""
+    import struct
+
+    def one(aid: int, w: int, h: int) -> bytes:
+        a7 = aid % 7
+        K = 24 + a7 * 8
+
+        def entry(k: int) -> tuple:
+            return (
+                255,
+                (19 * k + 31 * a7) % 256,
+                (7 * k + 5 * a7) % 256,
+                (23 * k + 11 * a7) % 256,
+            )
+
+        def idx(x: int, y: int) -> int:
+            return (x + 2 * y + a7) % K
+
+        deltas = []
+        prev = (0, 0, 0, 0)
+        for k in range(K):
+            e = entry(k)
+            deltas.append(
+                tuple((e[i] - prev[i]) & 0xFF for i in range(4))
+            )
+            prev = e
+
+        def balanced(symbols) -> dict:
+            syms = sorted(set(symbols))
+            bits = max(1, (len(syms) - 1).bit_length())
+            pad = (1 << bits) - len(syms)
+            spare = [s for s in range(256) if s not in set(syms)][:pad]
+            return {s: bits for s in syms + spare}
+
+        wr = _Vp8lBitWriter()
+        wr.write(w - 1, 14)
+        wr.write(h - 1, 14)
+        wr.write(0, 1)  # no alpha hint
+        wr.write(0, 3)  # version
+        wr.write(1, 1)  # transform present
+        wr.write(3, 2)  # COLOR-INDEXING transform
+        wr.write(K - 1, 8)
+        # palette sub-image: literal delta pixels (alpha delta of
+        # entry 0 is 255, later ones 0 — a real two-symbol code)
+        wr.write(0, 1)  # no color cache
+        pg = _vp8l_write_huffman(wr, balanced([d[2] for d in deltas]))
+        pr = _vp8l_write_huffman(wr, balanced([d[1] for d in deltas]))
+        pb = _vp8l_write_huffman(wr, balanced([d[3] for d in deltas]))
+        pa = _vp8l_write_huffman(wr, balanced([d[0] for d in deltas]))
+        wr.write(1, 1)  # distance: simple single 0
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+
+        def put(enc, sym):
+            code, ln = enc[sym]
+            for i in range(ln - 1, -1, -1):
+                wr.write((code >> i) & 1, 1)
+
+        for d in deltas:
+            put(pg, d[2])
+            put(pr, d[1])
+            put(pb, d[3])
+            put(pa, d[0])
+        wr.write(0, 1)  # end of transform list
+        # main image: literal index pixels
+        wr.write(0, 1)  # no color cache
+        wr.write(0, 1)  # no meta-huffman
+        idxs = [idx(x, y) for y in range(h) for x in range(w)]
+        g_enc = _vp8l_write_huffman(wr, balanced(idxs))
+        r_enc = _vp8l_write_huffman(wr, balanced([0]))
+        b_enc = _vp8l_write_huffman(wr, balanced([0]))
+        wr.write(1, 1)  # alpha: simple single 255
+        wr.write(0, 1)
+        wr.write(1, 1)
+        wr.write(255, 8)
+        wr.write(1, 1)  # distance: simple single 0
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+        for i in idxs:
+            put(g_enc, i)
+            put(r_enc, 0)
+            put(b_enc, 0)
+        payload = b"\x2f" + wr.flush()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        body = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(aid), int(w), int(h))
+                        for aid, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_webp_vp8l_meta_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossless WebP (VP8L) payloads carrying META-HUFFMAN
+    (r13 — spec §5): TWO entropy groups selected by a 4x4-tile group
+    sub-image (left tile-half → group 0, right → group 1) with
+    DISJOINT green alphabets (group 0 codes greens 0..127, group 1
+    codes 128..255) — a decoder that picked the wrong group per
+    position could not even resolve the symbols, so the lane pins the
+    per-position group selection, not just the header parse. Pixel
+    rule (the closed-form oracle): a=255, r=(5x+3y+a')%256,
+    b=(9x+y+a')%256, g=(3x+7y+a')%128 + 128·[tile_x ≥ tiles_w//2],
+    a' = asset_id % 7. Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    def one(aid: int, w: int, h: int) -> bytes:
+        a7 = aid % 7
+        hb = 2
+        tiles_w = (w + 3) >> hb
+        tiles_h = (h + 3) >> hb
+        half = tiles_w // 2
+
+        def group_of(x: int) -> int:
+            return 1 if (x >> hb) >= half else 0
+
+        def pix(x: int, y: int) -> tuple:
+            g = (3 * x + 7 * y + a7) % 128 + 128 * group_of(x)
+            return (
+                255,
+                (5 * x + 3 * y + a7) % 256,
+                g,
+                (9 * x + y + a7) % 256,
+            )
+
+        def balanced(symbols) -> dict:
+            syms = sorted(set(symbols))
+            bits = max(1, (len(syms) - 1).bit_length())
+            pad = (1 << bits) - len(syms)
+            spare = [s for s in range(256) if s not in set(syms)][:pad]
+            return {s: bits for s in syms + spare}
+
+        wr = _Vp8lBitWriter()
+        wr.write(w - 1, 14)
+        wr.write(h - 1, 14)
+        wr.write(0, 1)  # no alpha hint
+        wr.write(0, 3)  # version
+        wr.write(0, 1)  # no transforms
+        wr.write(0, 1)  # no color cache
+        wr.write(1, 1)  # META-HUFFMAN present
+        wr.write(hb - 2, 3)
+        # group sub-image: literal (r=0, g=group) pixels
+        wr.write(0, 1)  # sub-image: no color cache
+        gids = [
+            group_of(tx << hb)
+            for _ty in range(tiles_h)
+            for tx in range(tiles_w)
+        ]
+        mg = _vp8l_write_huffman(wr, balanced(gids))
+        mr = _vp8l_write_huffman(wr, balanced([0]))
+        mb = _vp8l_write_huffman(wr, balanced([0]))
+        wr.write(1, 1)  # alpha: simple single 255
+        wr.write(0, 1)
+        wr.write(1, 1)
+        wr.write(255, 8)
+        wr.write(1, 1)  # distance: simple single 0
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+
+        def put(enc, sym):
+            code, ln = enc[sym]
+            for i in range(ln - 1, -1, -1):
+                wr.write((code >> i) & 1, 1)
+
+        for gid in gids:
+            put(mg, gid)
+            put(mr, 0)
+            put(mb, 0)
+        # two groups, id order, DISJOINT green alphabets
+        encs = []
+        for grp in (0, 1):
+            greens = [
+                pix(x, y)[2]
+                for y in range(h)
+                for x in range(w)
+                if group_of(x) == grp
+            ] or [grp * 128]
+            reds = [
+                pix(x, y)[1]
+                for y in range(h)
+                for x in range(w)
+                if group_of(x) == grp
+            ] or [0]
+            blues = [
+                pix(x, y)[3]
+                for y in range(h)
+                for x in range(w)
+                if group_of(x) == grp
+            ] or [0]
+            ge = _vp8l_write_huffman(wr, balanced(greens))
+            re_ = _vp8l_write_huffman(wr, balanced(reds))
+            be = _vp8l_write_huffman(wr, balanced(blues))
+            wr.write(1, 1)  # alpha: simple single 255
+            wr.write(0, 1)
+            wr.write(1, 1)
+            wr.write(255, 8)
+            wr.write(1, 1)  # distance: simple single 0
+            wr.write(0, 1)
+            wr.write(0, 1)
+            wr.write(0, 1)
+            encs.append((ge, re_, be))
+        for y in range(h):
+            for x in range(w):
+                a, r, g, b = pix(x, y)
+                ge, re_, be = encs[group_of(x)]
+                put(ge, g)
+                put(re_, r)
+                put(be, b)
         payload = b"\x2f" + wr.flush()
         chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
         if len(payload) % 2:

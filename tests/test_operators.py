@@ -6203,3 +6203,93 @@ def test_vp8l_predictor_transform_roundtrip():
     raw = raws[(4, 40, 33)]
     with pytest.raises(ValueError):
         M._webp_lossless_pixel_sums(raw[: len(raw) - 8])
+
+
+def test_vp8l_color_palette_meta_roundtrip():
+    """r13: the three remaining implemented VP8L features — the
+    CROSS-COLOR transform (int8 3.5 fixed-point deltas, r2b against
+    reconstructed red), COLOR-INDEXING (delta-coded palette, K > 16)
+    and META-HUFFMAN (two groups with disjoint green alphabets,
+    per-position selection) — each round-trips its closed-form
+    target; sub-byte bundling (palette ≤ 16) raises as the declared
+    boundary; truncation stays poison."""
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    geoms = ((1, 23, 17), (4, 40, 33), (2, 4, 4))
+
+    def run(gen_fn, expect_fn):
+        gen = gen_fn(StubDF())
+        last = None
+        for aid, w, h in geoms:
+            out = next(gen(iter([pd.DataFrame(
+                {"asset_id": [aid], "width": [w], "height": [h]}
+            )])))
+            last = bytes(out["payload"].iloc[0])
+            assert (M._webp_lossless_pixel_sums(last)
+                    == expect_fn(aid, w, h)), (gen_fn.__name__, w, h)
+        return last
+
+    def e_color(aid, w, h):
+        a7 = aid % 7
+        sr = sg = sb = 0
+        for y in range(h):
+            for x in range(w):
+                sr += (13 * x + 29 * y + 5 * a7) % 256
+                sg += (7 * x + 17 * y + 3 * a7) % 256
+                sb += (11 * x + 23 * y + 7 * a7) % 256
+        return (w * h, sr, sg, sb)
+
+    def e_pal(aid, w, h):
+        a7 = aid % 7
+        K = 24 + a7 * 8
+        sr = sg = sb = 0
+        for y in range(h):
+            for x in range(w):
+                k = (x + 2 * y + a7) % K
+                sr += (19 * k + 31 * a7) % 256
+                sg += (7 * k + 5 * a7) % 256
+                sb += (23 * k + 11 * a7) % 256
+        return (w * h, sr, sg, sb)
+
+    def e_meta(aid, w, h):
+        a7 = aid % 7
+        half = ((w + 3) >> 2) // 2
+        sr = sg = sb = 0
+        for y in range(h):
+            for x in range(w):
+                grp = 1 if (x >> 2) >= half else 0
+                sr += (5 * x + 3 * y + a7) % 256
+                sg += (3 * x + 7 * y + a7) % 128 + 128 * grp
+                sb += (9 * x + y + a7) % 256
+        return (w * h, sr, sg, sb)
+
+    run(M.synth_webp_vp8l_color_assets, e_color)
+    raw_p = run(M.synth_webp_vp8l_palette_assets, e_pal)
+    raw_m = run(M.synth_webp_vp8l_meta_assets, e_meta)
+    for raw in (raw_p, raw_m):
+        with pytest.raises(ValueError):
+            M._webp_lossless_pixel_sums(raw[: len(raw) - 6])
+    # sub-byte bundling (palette <= 16) is the declared boundary:
+    # patch a palette stream's size byte region is brittle — instead
+    # author a tiny one via the writer primitives
+    wr = M._Vp8lBitWriter()
+    wr.write(4, 14)  # w-1
+    wr.write(4, 14)  # h-1
+    wr.write(0, 1)
+    wr.write(0, 3)
+    wr.write(1, 1)
+    wr.write(3, 2)  # color-indexing
+    wr.write(7, 8)  # 8 colors -> bundling
+    import struct
+    payload = b"\x2f" + wr.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    raw = b"RIFF" + struct.pack(
+        "<I", len(b"WEBP" + chunk)
+    ) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="bundling"):
+        M._webp_lossless_pixel_sums(raw)
