@@ -1117,19 +1117,32 @@ def quantize_int8(
     ).mapInPandas(quant, f"{id_col} {id_dt}, qvec array<bigint>")
 
 
+_INT8_COLLECT_MAX_QUERIES = 65536
+
+
 def int8_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Exact-arithmetic top-k over int8-QUANTIZED vectors: the
     integer dot products and integer norms are bit-deterministic;
     cosine ≈ qdot/(‖qa‖·‖qb‖) differs from the float ranking only by
     quantization error (measured by the paired recall entry). Same
     broadcast-cross + per-query window shape as :func:`cosine_topk`.
-    """
+
+    ``n_queries`` is the standard auto-sizing hint (never an implicit
+    scan): when it exceeds ``_INT8_COLLECT_MAX_QUERIES`` the
+    driver-side query-matrix broadcast is skipped for a fully
+    DISTRIBUTED pair join with JVM integer HOF folds — slower per
+    pair but correct at corpus-sized query sets, where collecting
+    the matrix would OOM the driver (the r12 verdict's noted
+    fallback). Exact all-pairs at that scale is inherently the
+    cartesian shape; use the LSH/IVF lanes when approximate is
+    acceptable."""
     import numpy as np
 
     qq = quantize_int8(queries, id_col, vec_col).select(
@@ -1138,6 +1151,36 @@ def int8_topk(
     qc = quantize_int8(corpus, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), F.col("qvec").alias("n_q")
     )
+    if n_queries is not None and int(n_queries) > _INT8_COLLECT_MAX_QUERIES:
+        sq = lambda c: F.aggregate(  # noqa: E731
+            F.col(c),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x * x,
+        )
+        dot = F.aggregate(
+            F.zip_with("q_q", "n_q", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            qq.crossJoin(qc)
+            .where(F.col("q_id") != F.col("n_id"))
+            .select(
+                "q_id",
+                "n_id",
+                F.round(
+                    dot / (F.sqrt(sq("q_q")) * F.sqrt(sq("n_q"))), 4
+                ).alias("q_cos"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("q_cos").desc(), F.col("n_id").asc()
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .drop("rnk")
+        )
     # The query set is metadata-sized (the cosine_topk broadcast
     # assumption); collect the quantized matrix and score each corpus
     # batch as ONE exact integer matmul in a narrow Arrow map —
