@@ -3671,6 +3671,35 @@ def q_multimodal_vp8l_meta(
     )
 
 
+def q_multimodal_vp8l_bundled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VP8L SUB-BYTE PIXEL BUNDLING decode (r13 — multimodal.
+    synth_webp_vp8l_bundled_assets): 2/4/16-color palettes pack
+    8/4/2 LSB-first indices per coded green byte and the level-0
+    stream decodes at the reduced width; asset_id % 3 cycles all
+    three bit regimes. With this, the ONLY remaining VP8L boundary
+    is the 120-entry 2-D distance map (a memorized constant table —
+    the codec-honesty rule) and bundling composed with other
+    transforms."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 3)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(12) + (F.col("doc_id") % 7) * 8)
+            .cast("long")
+            .alias("width"),
+            (F.lit(10) + (F.col("doc_id") % 5) * 9)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_vp8l_bundled_assets(params)
+    )
+
+
 def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsampled-chroma (4:2:0) baseline JPEG pixel decode — the
     dominant web-JPEG profile: MCU = four Y blocks + one Cb + one Cr,
@@ -10216,6 +10245,35 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_vp8l_bundled"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 12 + (doc_id % 7) * 8 AS w,
+                 10 + (doc_id % 5) * 9 AS h,
+                 doc_id % 7 AS a,
+                 CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
+                                 ELSE 16 END AS k
+          FROM documents WHERE doc_id % 13 = 3
+        ),
+        px AS (
+          SELECT asset_id,
+                 ((i % w) + 2 * (i // w) + a) % k AS ki, a
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum((19 * ki + 31 * a) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((7 * ki + 5 * a) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((23 * ki + 11 * a) % 256) AS BIGINT)
+                   AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_vp8l_palette"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -12061,6 +12119,7 @@ SPARK_QUERIES = {
     "multimodal_vp8l_color": q_multimodal_vp8l_color,
     "multimodal_vp8l_palette": q_multimodal_vp8l_palette,
     "multimodal_vp8l_meta": q_multimodal_vp8l_meta,
+    "multimodal_vp8l_bundled": q_multimodal_vp8l_bundled,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,
     # --- r12-new lanes first (never driver-recorded) ---
     "multimodal_netpbm16": q_multimodal_netpbm16,

@@ -3569,11 +3569,6 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
             transforms.append(("color", sb, tiles_w, elems))
         elif ttype == 3:  # color indexing: delta-coded palette
             psize = rd.read(8) + 1
-            if psize <= 16:
-                raise ValueError(
-                    "vp8l: sub-byte pixel bundling (palette <= 16) "
-                    "unsupported"
-                )
             deltas = _vp8l_read_pixel_stream(rd, psize, 1)
             palette = []
             prev = (0, 0, 0, 0)
@@ -3582,10 +3577,31 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
                     (prev[i] + d[i]) & 0xFF for i in range(4)
                 )
                 palette.append(prev)
-            transforms.append(("index", palette))
+            if psize <= 16:
+                # SUB-BYTE PIXEL BUNDLING (spec §4.4): small palettes
+                # pack 2/4/8 indices per coded green byte and the
+                # level-0 image decodes at the REDUCED width
+                wb = 1 if psize <= 2 else (2 if psize <= 4 else 4)
+                ppb = 8 // wb
+                transforms.append(("index_bundled", palette, wb, ppb))
+            else:
+                transforms.append(("index", palette))
         else:
             raise ValueError("vp8l: unknown transform type")
-    px = _vp8l_read_pixel_stream(rd, w, h, level0=True)
+    main_w = w
+    bundled = [t for t in transforms if t[0] == "index_bundled"]
+    if bundled:
+        # the reduced width applies to the level-0 stream; composing
+        # bundling with other transforms would need their sub-images
+        # re-based on it — declared out of scope, fail loud
+        if len(transforms) != 1:
+            raise ValueError(
+                "vp8l: bundled color-indexing composed with other "
+                "transforms unsupported"
+            )
+        _tag, _pal, _wb, ppb = bundled[0]
+        main_w = (w + ppb - 1) // ppb
+    px = _vp8l_read_pixel_stream(rd, main_w, h, level0=True)
     for t in reversed(transforms):
         if t[0] == "sg":
             px = [
@@ -3600,7 +3616,7 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
             px = _vp8l_inverse_color_transform(
                 px, w, h, elems, sb, tiles_w
             )
-        else:  # color indexing: green channel indexes the palette
+        elif t[0] == "index":  # green channel indexes the palette
             palette = t[1]
             out = []
             for p in px:
@@ -3610,6 +3626,21 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
                         "vp8l: palette index out of range"
                     )
                 out.append(palette[idx])
+            px = out
+        else:  # index_bundled: unpack sub-byte indices, LSB-first
+            _tag, palette, wb, ppb = t
+            mask = (1 << wb) - 1
+            out = []
+            for y in range(h):
+                row = px[y * main_w : (y + 1) * main_w]
+                for x in range(w):
+                    packed = row[x // ppb][2]
+                    idx = (packed >> ((x % ppb) * wb)) & mask
+                    if idx >= len(palette):
+                        raise ValueError(
+                            "vp8l: palette index out of range"
+                        )
+                    out.append(palette[idx])
             px = out
     sr = sum(p[1] for p in px)
     sg = sum(p[2] for p in px)
@@ -4334,6 +4365,137 @@ def synth_webp_vp8l_meta_assets(
                 put(ge, g)
                 put(re_, r)
                 put(be, b)
+        payload = b"\x2f" + wr.flush()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        body = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(aid), int(w), int(h))
+                        for aid, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_webp_vp8l_bundled_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossless WebP (VP8L) payloads exercising SUB-BYTE
+    PIXEL BUNDLING (r13 — spec §4.4): palettes of K = 2/4/16 colors
+    (asset_id % 3 picks the regime → 1/2/4 bits per index, 8/4/2
+    indices per coded green byte), the level-0 image coded at the
+    REDUCED width with LSB-first packed indices. Delta-coded palette
+    sub-image as in the >16-color lane; oracle = index
+    (x + 2y + a) % K through the closed-form palette. Arrow
+    ``mapInPandas``; narrow."""
+    import struct
+
+    def one(aid: int, w: int, h: int) -> bytes:
+        a7 = aid % 7
+        K = (2, 4, 16)[aid % 3]
+        wb = 1 if K <= 2 else (2 if K <= 4 else 4)
+        ppb = 8 // wb
+
+        def entry(k: int) -> tuple:
+            return (
+                255,
+                (19 * k + 31 * a7) % 256,
+                (7 * k + 5 * a7) % 256,
+                (23 * k + 11 * a7) % 256,
+            )
+
+        def idx(x: int, y: int) -> int:
+            return (x + 2 * y + a7) % K
+
+        deltas = []
+        prev = (0, 0, 0, 0)
+        for k in range(K):
+            e = entry(k)
+            deltas.append(
+                tuple((e[i] - prev[i]) & 0xFF for i in range(4))
+            )
+            prev = e
+        main_w = (w + ppb - 1) // ppb
+        packed = []
+        for y in range(h):
+            for xb in range(main_w):
+                v = 0
+                for j in range(ppb):
+                    x = xb * ppb + j
+                    if x < w:
+                        v |= idx(x, y) << (j * wb)
+                packed.append(v)
+
+        def balanced(symbols) -> dict:
+            syms = sorted(set(symbols))
+            bits = max(1, (len(syms) - 1).bit_length())
+            pad = (1 << bits) - len(syms)
+            spare = [s for s in range(256) if s not in set(syms)][:pad]
+            return {s: bits for s in syms + spare}
+
+        wr = _Vp8lBitWriter()
+        wr.write(w - 1, 14)
+        wr.write(h - 1, 14)
+        wr.write(0, 1)  # no alpha hint
+        wr.write(0, 3)  # version
+        wr.write(1, 1)  # transform present
+        wr.write(3, 2)  # COLOR-INDEXING transform
+        wr.write(K - 1, 8)
+        wr.write(0, 1)  # palette sub-image: no color cache
+        pg = _vp8l_write_huffman(wr, balanced([d[2] for d in deltas]))
+        pr = _vp8l_write_huffman(wr, balanced([d[1] for d in deltas]))
+        pb = _vp8l_write_huffman(wr, balanced([d[3] for d in deltas]))
+        pa = _vp8l_write_huffman(wr, balanced([d[0] for d in deltas]))
+        wr.write(1, 1)  # distance: simple single 0
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+
+        def put(enc, sym):
+            code, ln = enc[sym]
+            for i in range(ln - 1, -1, -1):
+                wr.write((code >> i) & 1, 1)
+
+        for d in deltas:
+            put(pg, d[2])
+            put(pr, d[1])
+            put(pb, d[3])
+            put(pa, d[0])
+        wr.write(0, 1)  # end of transform list
+        wr.write(0, 1)  # no color cache
+        wr.write(0, 1)  # no meta-huffman
+        g_enc = _vp8l_write_huffman(wr, balanced(packed))
+        r_enc = _vp8l_write_huffman(wr, balanced([0]))
+        b_enc = _vp8l_write_huffman(wr, balanced([0]))
+        wr.write(1, 1)  # alpha: simple single 255
+        wr.write(0, 1)
+        wr.write(1, 1)
+        wr.write(255, 8)
+        wr.write(1, 1)  # distance: simple single 0
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+        for v in packed:
+            put(g_enc, v)
+            put(r_enc, 0)
+            put(b_enc, 0)
         payload = b"\x2f" + wr.flush()
         chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
         if len(payload) % 2:

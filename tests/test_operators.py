@@ -6274,22 +6274,86 @@ def test_vp8l_color_palette_meta_roundtrip():
     for raw in (raw_p, raw_m):
         with pytest.raises(ValueError):
             M._webp_lossless_pixel_sums(raw[: len(raw) - 6])
-    # sub-byte bundling (palette <= 16) is the declared boundary:
-    # patch a palette stream's size byte region is brittle — instead
-    # author a tiny one via the writer primitives
+    # bundled color-indexing COMPOSED with another transform is the
+    # declared boundary (the reduced width would re-base the other
+    # transform's sub-image): subtract-green + a 2-color palette
     wr = M._Vp8lBitWriter()
     wr.write(4, 14)  # w-1
     wr.write(4, 14)  # h-1
     wr.write(0, 1)
     wr.write(0, 3)
     wr.write(1, 1)
+    wr.write(2, 2)  # subtract-green
+    wr.write(1, 1)
     wr.write(3, 2)  # color-indexing
-    wr.write(7, 8)  # 8 colors -> bundling
+    wr.write(1, 8)  # 2 colors -> bundling
+    # palette sub-image: 2 literal delta pixels, minimal codes
+    wr.write(0, 1)  # no cache
+
+    def bal(symbols):
+        syms = sorted(set(symbols))
+        bits = max(1, (len(syms) - 1).bit_length())
+        pad = (1 << bits) - len(syms)
+        spare = [x for x in range(256) if x not in set(syms)][:pad]
+        return {x: bits for x in syms + spare}
+
+    encs = [
+        M._vp8l_write_huffman(wr, bal([0, 7])),
+        M._vp8l_write_huffman(wr, bal([0, 9])),
+        M._vp8l_write_huffman(wr, bal([0, 11])),
+        M._vp8l_write_huffman(wr, bal([0, 255])),
+    ]
+    wr.write(1, 1)  # distance: simple single 0
+    wr.write(0, 1)
+    wr.write(0, 1)
+    wr.write(0, 1)
+
+    def put(enc, sym):
+        code, ln = enc[sym]
+        for i in range(ln - 1, -1, -1):
+            wr.write((code >> i) & 1, 1)
+
+    for g, r, b, a in ((0, 0, 0, 255), (7, 9, 11, 0)):
+        put(encs[0], g)
+        put(encs[1], r)
+        put(encs[2], b)
+        put(encs[3], a)
+    wr.write(0, 1)  # end of transforms
     import struct
     payload = b"\x2f" + wr.flush()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     raw = b"RIFF" + struct.pack(
         "<I", len(b"WEBP" + chunk)
     ) + b"WEBP" + chunk
-    with pytest.raises(ValueError, match="bundling"):
+    with pytest.raises(ValueError, match="composed|bundl"):
         M._webp_lossless_pixel_sums(raw)
+
+
+def test_vp8l_bundled_palette_roundtrip():
+    """r13: sub-byte pixel bundling — 2/4/16-color palettes at
+    1/2/4 bits per index, level-0 stream at the reduced width,
+    LSB-first unpacking; every regime at awkward widths (last byte
+    partially filled) must land the closed-form target."""
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_webp_vp8l_bundled_assets(StubDF())
+    for aid, w, h in ((0, 23, 17), (1, 40, 33), (2, 5, 5),
+                      (3, 17, 8), (4, 9, 4), (5, 31, 11)):
+        a7 = aid % 7
+        K = (2, 4, 16)[aid % 3]
+        sr = sg = sb = 0
+        for y in range(h):
+            for x in range(w):
+                k = (x + 2 * y + a7) % K
+                sr += (19 * k + 31 * a7) % 256
+                sg += (7 * k + 5 * a7) % 256
+                sb += (23 * k + 11 * a7) % 256
+        out = next(gen(iter([pd.DataFrame(
+            {"asset_id": [aid], "width": [w], "height": [h]}
+        )])))
+        raw = bytes(out["payload"].iloc[0])
+        assert M._webp_lossless_pixel_sums(raw) == (w * h, sr, sg, sb)
