@@ -3700,6 +3700,35 @@ def q_multimodal_vp8l_bundled(
     )
 
 
+def q_multimodal_vp8_lf_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VP8 LOOP-FILTER DELTA decode (r13 — multimodal.
+    synth_webp_vp8_lfdelta_assets → operators/vp8.py §9.4): the
+    ref-frame and mode delta header with ref[INTRA] = −20 and
+    mode[B_PRED] = +20 over alternating DC/B_PRED stripe rows, so
+    DC rows land effective level 0 (edges untouched) and B_PRED
+    rows level 20 (the normal filter's closed-form two-row taps) —
+    both delta kinds observable per boundary parity. Closes the
+    last VP8 header boundary."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 2)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(16) + (F.col("doc_id") % 6) * 8)
+            .cast("long")
+            .alias("width"),
+            (F.lit(24) + (F.col("doc_id") % 5) * 16)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_vp8_lfdelta_assets(params)
+    )
+
+
 def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsampled-chroma (4:2:0) baseline JPEG pixel decode — the
     dominant web-JPEG profile: MCU = four Y blocks + one Cb + one Cr,
@@ -10359,6 +10388,60 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.s AS sum_r, agg.s AS sum_g, agg.s AS sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_vp8_lf_delta"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 16 + (doc_id % 6) * 8 AS w,
+                 24 + (doc_id % 5) * 16 AS h,
+                 90 + (doc_id % 40) AS base
+          FROM documents WHERE doc_id % 13 = 2
+        ),
+        yrows AS (
+          SELECT asset_id, w, h, base, i AS y,
+                 i // 16 AS k, i % 16 AS r,
+                 h // 16 AS kmax
+          FROM prm, UNNEST(range(h)) AS u(i)
+        ),
+        pat AS (
+          SELECT *,
+                 CASE (k % 4) WHEN 0 THEN 0 WHEN 1 THEN 3
+                              WHEN 2 THEN 1 ELSE 2 END AS pk,
+                 CASE ((k + 3) % 4) WHEN 0 THEN 0 WHEN 1 THEN 3
+                              WHEN 2 THEN 1 ELSE 2 END AS pkm1,
+                 CASE ((k + 1) % 4) WHEN 0 THEN 0 WHEN 1 THEN 3
+                              WHEN 2 THEN 1 ELSE 2 END AS pkp1
+          FROM yrows
+        ),
+        -- a boundary k is filtered iff MB row k (below it) is
+        -- B_PRED, i.e. k odd: its effective level is 20, DC rows 0
+        vals AS (
+          SELECT asset_id, w,
+                 base + pk
+                 + CASE
+                     WHEN r = 0 AND k > 0 AND k % 2 = 1 THEN
+                       -CAST(floor((54 * (pk - pkm1) + 63) / 128.0)
+                             AS BIGINT)
+                     WHEN r = 1 AND k > 0 AND k % 2 = 1 THEN
+                       -CAST(floor((36 * (pk - pkm1) + 63) / 128.0)
+                             AS BIGINT)
+                     WHEN r = 15 AND k < kmax AND k % 2 = 0 THEN
+                       CAST(floor((54 * (pkp1 - pk) + 63) / 128.0)
+                            AS BIGINT)
+                     WHEN r = 14 AND k < kmax AND k % 2 = 0 THEN
+                       CAST(floor((36 * (pkp1 - pk) + 63) / 128.0)
+                            AS BIGINT)
+                     ELSE 0
+                   END AS v
+          FROM pat
+        ),
+        agg AS (
+          SELECT asset_id, CAST(sum(w * v) AS BIGINT) AS s
+          FROM vals GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.s AS sum_r, agg.s AS sum_g, agg.s AS sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_vp8_normal_filter"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -12120,6 +12203,7 @@ SPARK_QUERIES = {
     "multimodal_vp8l_palette": q_multimodal_vp8l_palette,
     "multimodal_vp8l_meta": q_multimodal_vp8l_meta,
     "multimodal_vp8l_bundled": q_multimodal_vp8l_bundled,
+    "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,
     # --- r12-new lanes first (never driver-recorded) ---
     "multimodal_netpbm16": q_multimodal_netpbm16,

@@ -3256,6 +3256,59 @@ def synth_webp_vp8_seg_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_webp_vp8_lfdelta_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossy WebP payloads exercising LOOP-FILTER DELTAS
+    (r13 — RFC 6386 §9.4): base level 20 with ref_delta[INTRA] = −20
+    and mode_delta[B_PRED] = +20, over the normal-filter stripe
+    construction with MB rows ALTERNATING 16x16 DC_PRED (effective
+    level 0 — edges untouched) and B_PRED (level 20 — the closed-form
+    two-row tap adjustment). A boundary is filtered iff the MB row
+    BELOW it is B_PRED (odd stripe index), so BOTH delta kinds are
+    observable in the oracle. Luma stripes ``90 + (asset%40) +
+    [0,3,1,2][my%4]``, chroma 128. Arrow ``mapInPandas``; narrow."""
+    from geniepool_etl_spark.operators import vp8 as _vp8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for aid, w, h in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col]
+            ):
+                base = 90 + int(aid) % 40
+                pat = (0, 3, 1, 2)
+
+                def mb(mx, my, _b=base, _p=pat):
+                    return (_b + _p[my % 4], 128, 128)
+
+                def ym(mx, my):
+                    return (
+                        _vp8._B_PRED if my % 2 == 1 else _vp8._DC_PRED
+                    )
+
+                payloads.append(
+                    _vp8.build_webp_vp8(
+                        int(w), int(h), mb, ymode=ym,
+                        filter_level=20, filter_type=0,
+                        lf_deltas={"ref": [-20, 0, 0, 0],
+                                   "mode": [20, 0, 0, 0]},
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def synth_webp_vp8_nf_assets(
     df: DataFrame,
     id_col: str = "asset_id",

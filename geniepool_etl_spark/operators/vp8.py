@@ -26,13 +26,13 @@ documented here rather than papered over:
   tables for the RFC's is the only change libvpx interop would need.
 - The kf_bmode_prob table (like the other constant tables) and two
   frame-border above-right conventions for B_PRED (documented at
-  :func:`_above_right4`) are repo-defined; the loop-filter
-  REF/MODE-delta header raises ``NotImplementedError`` (declared
-  boundary — it only matters for inter frames, which a key-frame
-  decoder never sees emitted meaningfully; the synth never writes
-  it). SEGMENTATION (§9.3/§10) is implemented as of r13: per-segment
+  :func:`_above_right4`) are repo-defined. SEGMENTATION (§9.3/§10)
+  and the LOOP-FILTER DELTA header (§9.4 — ref[INTRA] +
+  mode[B_PRED] applied per MB on key frames, the inter entries
+  parsed but unreachable) are implemented as of r13: per-segment
   quantizer and loop-filter overrides in absolute or delta mode,
-  tree-coded per-MB segment map, per-MB filter levels.
+  tree-coded per-MB segment map, per-MB filter levels. No header
+  field of a key frame raises anymore.
 
 r13: per-subblock intra (B_PRED — all ten §12.3 sub-modes, the
 §11.2 bmode tree with above/left context addressing, plane-3 tokens
@@ -744,8 +744,21 @@ def decode_frame(chunk: bytes):
     filter_type = bd.literal(1)  # 0 = normal, 1 = simple
     filter_level = bd.literal(6)
     sharpness = bd.literal(3)
-    if bd.get(128):
-        raise NotImplementedError("vp8: loop-filter deltas unsupported")
+    # loop-filter adjustments (§9.4): per-reference-frame and
+    # per-mode signed level deltas. On a KEY frame the operative
+    # entries are ref_delta[0] (INTRA — every MB) and mode_delta[0]
+    # (B_PRED MBs); the inter-frame entries are parsed per spec but
+    # unreachable here.
+    lf_adj = bd.get(128)
+    ref_lf_delta = [0, 0, 0, 0]
+    mode_lf_delta = [0, 0, 0, 0]
+    if lf_adj and bd.get(128):  # delta update flag
+        for i in range(4):
+            if bd.get(128):
+                ref_lf_delta[i] = bd.signed_literal(6)
+        for i in range(4):
+            if bd.get(128):
+                mode_lf_delta[i] = bd.signed_literal(6)
     nparts = 1 << bd.literal(2)
     q_index = bd.literal(7)
     deltas = []
@@ -996,7 +1009,16 @@ def decode_frame(chunk: bytes):
             )
         if td.overread:
             raise ValueError("vp8: token partition truncated")
-    mb_levels = [_seg_filter_level(m[4]) for m in mbs]
+    def _mb_level(m) -> int:
+        lvl = _seg_filter_level(m[4])
+        if lf_adj:
+            lvl += ref_lf_delta[0]  # INTRA (key frame)
+            if m[1] == _B_PRED:
+                lvl += mode_lf_delta[0]
+            lvl = max(0, min(63, lvl))
+        return lvl
+
+    mb_levels = [_mb_level(m) for m in mbs]
     if any(mb_levels):
         if filter_type == 1:
             # SIMPLE deblocking (luma only), spec MB raster order
@@ -1071,7 +1093,7 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode=_DC_PRED,
                       uvmode: int = _DC_PRED, filter_level: int = 0,
                       sharpness: int = 0,
                       filter_type: int = 1, submodes=None,
-                      segments=None) -> bytes:
+                      segments=None, lf_deltas=None) -> bytes:
     """Encode a VP8 KEY frame (the ``VP8 `` chunk bytes) whose every
     macroblock is a flat (Y, U, V) from ``mb_vals(mx, my) → (y, u,
     v)``: DC-style intra + DC-only residuals, loop filter per
@@ -1219,7 +1241,24 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode=_DC_PRED,
     hd.literal(filter_type, 1)  # 0 = NORMAL, 1 = SIMPLE
     hd.literal(filter_level, 6)
     hd.literal(sharpness, 3)
-    hd.put(0, 128)    # no loop-filter deltas
+    if lf_deltas is None:
+        hd.put(0, 128)    # no loop-filter deltas
+    else:
+        # {"ref": [4 signed], "mode": [4 signed]} — §9.4 layout
+        hd.put(1, 128)    # adjustments enabled
+        hd.put(1, 128)    # delta update follows
+        for v in lf_deltas.get("ref", [0, 0, 0, 0]):
+            if v:
+                hd.put(1, 128)
+                hd.signed_literal(int(v), 6)
+            else:
+                hd.put(0, 128)
+        for v in lf_deltas.get("mode", [0, 0, 0, 0]):
+            if v:
+                hd.put(1, 128)
+                hd.signed_literal(int(v), 6)
+            else:
+                hd.put(0, 128)
     hd.literal(0, 2)  # one token partition
     hd.literal(_SYNTH_QI, 7)
     for _ in range(5):
@@ -1349,13 +1388,14 @@ def encode_flat_frame(w: int, h: int, mb_vals, ymode=_DC_PRED,
 def build_webp_vp8(w: int, h: int, mb_vals, ymode=_DC_PRED,
                    uvmode: int = _DC_PRED, filter_level: int = 0,
                    sharpness: int = 0, filter_type: int = 1,
-                   submodes=None, segments=None) -> bytes:
+                   submodes=None, segments=None,
+                   lf_deltas=None) -> bytes:
     """Wrap :func:`encode_flat_frame` in a RIFF/WEBP container."""
     import struct
 
     frame = encode_flat_frame(
         w, h, mb_vals, ymode, uvmode, filter_level, sharpness,
-        filter_type, submodes, segments,
+        filter_type, submodes, segments, lf_deltas,
     )
     chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
     if len(frame) % 2:

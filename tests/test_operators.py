@@ -6357,3 +6357,50 @@ def test_vp8l_bundled_palette_roundtrip():
         )])))
         raw = bytes(out["payload"].iloc[0])
         assert M._webp_lossless_pixel_sums(raw) == (w * h, sr, sg, sb)
+
+
+def test_vp8_loop_filter_deltas():
+    """r13: §9.4 loop-filter adjustments — ref[INTRA] and
+    mode[B_PRED] deltas combine with the base (and segment) level
+    per MB, clamped 0..63; a level-0 result skips that MB's edges
+    entirely. Stripe frame with alternating DC/B_PRED rows under
+    ref=-20/mode=+20: DC boundaries untouched, B_PRED boundaries
+    take the closed-form taps."""
+    import numpy as np
+
+    from geniepool_etl_spark.operators import vp8 as V
+
+    vals = [100, 103, 101, 102]
+
+    def mb(mx, my):
+        return (vals[my % 4], 128, 128)
+
+    ym = lambda mx, my: (  # noqa: E731
+        V._B_PRED if my % 2 == 1 else V._DC_PRED
+    )
+    pay = V.build_webp_vp8(
+        48, 64, mb, ymode=ym, filter_level=20, filter_type=0,
+        lf_deltas={"ref": [-20, 0, 0, 0], "mode": [20, 0, 0, 0]},
+    )
+    _w, _h, Y, _U, _V2 = V.decode_frame(pay[20:])
+    exp = np.zeros((64, 48), np.int64)
+    for y in range(64):
+        exp[y, :] = vals[(y // 16) % 4]
+    for k in (1, 3):  # only boundaries above B_PRED rows filter
+        a, b = vals[k - 1], vals[k]
+        d = b - a
+        a27 = (54 * d + 63) >> 7
+        a18 = (36 * d + 63) >> 7
+        y = 16 * k
+        exp[y - 2, :] = a + a18
+        exp[y - 1, :] = a + a27
+        exp[y, :] = b - a27
+        exp[y + 1, :] = b - a18
+    assert (Y == exp).all()
+    # deltas parsed but zero-valued change nothing
+    pay2 = V.build_webp_vp8(
+        48, 64, mb, filter_level=20, filter_type=0,
+        lf_deltas={"ref": [0, 0, 0, 0], "mode": [0, 0, 0, 0]},
+    )
+    pay3 = V.build_webp_vp8(48, 64, mb, filter_level=20, filter_type=0)
+    assert V.vp8_pixel_sums(pay2) == V.vp8_pixel_sums(pay3)
