@@ -692,9 +692,11 @@ def _predict_4x4(mode, rec, x0, y0, above_right):
 def decode_frame(chunk: bytes):
     """Decode one VP8 KEY frame (the bytes of a ``VP8 `` RIFF chunk)
     to ``(width, height, Y, U, V)`` numpy uint8 planes, cropped to
-    the visible size. Structure per RFC 6386; see the module
-    docstring for the two declared boundaries (B_PRED, non-zero loop
-    filter) and the repo-defined constant tables."""
+    the visible size. Structure per RFC 6386 — as of r13 the full
+    key-frame header decodes (segmentation, both loop filters with
+    ref/mode deltas, B_PRED sub-block intra); see the module
+    docstring for the repo-defined constant tables and border
+    conventions."""
     import struct
 
     import numpy as np
