@@ -59,9 +59,18 @@ def _rotation_order(names) -> list[str]:
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
-            for k in json.load(open(path)):
+            with open(path) as f:
+                rec = json.load(f)
+            for k in rec:
                 last[k] = max(last.get(k, 0), rnd)
-        except (ValueError, OSError, json.JSONDecodeError):
+        except (ValueError, OSError, json.JSONDecodeError) as exc:
+            # a dropped round would silently skew staleness ordering —
+            # surface it instead of pretending the history is complete
+            import warnings
+
+            warnings.warn(
+                f"rotation: unreadable correctness record {path}: {exc}"
+            )
             continue
     order = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (last.get(n, -1), order[n]))

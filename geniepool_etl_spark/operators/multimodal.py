@@ -3388,8 +3388,11 @@ def _vp8l_read_pixel_stream(rd, w: int, h: int, level0: bool = False):
         mimg = _vp8l_read_pixel_stream(rd, mtw, mth)
         group_ids = [((p[1] << 8) | p[2]) for p in mimg]
         n_groups = max(group_ids) + 1
-        if n_groups > 256:
-            raise ValueError("vp8l: implausible meta-group count")
+        # group id is (red<<8)|green — a 16-bit value, so up to
+        # 65536 groups are spec-valid (sparse ids still require
+        # reading max_id+1 code groups in sequence)
+        if n_groups > 65536:
+            raise ValueError("vp8l: meta-group id beyond 16 bits")
         meta = (hb, mtw, group_ids)
     groups = []
     for _ in range(n_groups):
@@ -3542,9 +3545,9 @@ def _vp8l_inverse_predictor(px, w: int, h: int, modes, sb: int,
     (residual + pred) mod 256 per channel, pred per the tile's mode
     from the already-reconstructed neighbors. Spec edge rules: (0,0)
     predicts opaque black, row 0 predicts LEFT, column 0 predicts
-    TOP; the top-right neighbor at the last column falls back to TOP
-    (repo-defined border convention, documented like the VP8
-    above-right rules)."""
+    TOP; the top-right neighbor at the last column is the leftmost
+    pixel of the CURRENT row (linear pixel addressing makes it the
+    most recently decoded pixel before T)."""
     out = []
     for y in range(h):
         base = y * w
@@ -3561,7 +3564,10 @@ def _vp8l_inverse_predictor(px, w: int, h: int, modes, sb: int,
                 L = out[base + x - 1]
                 T = out[base - w + x]
                 TL = out[base - w + x - 1]
-                TR = out[base - w + x + 1] if x + 1 < w else T
+                # Spec rule (linear pixel addressing): the top-right
+                # neighbor of the last column is the already-decoded
+                # leftmost pixel of the CURRENT row.
+                TR = out[base - w + x + 1] if x + 1 < w else out[base]
                 pred = _vp8l_predict(mode, L, T, TL, TR)
             out.append(
                 tuple((res[i] + pred[i]) & 0xFF for i in range(4))
@@ -3930,7 +3936,8 @@ def synth_webp_vp8l_predictor_assets(
                     L = out[base + x - 1]
                     T = out[base - w + x]
                     TL = out[base - w + x - 1]
-                    TR = out[base - w + x + 1] if x + 1 < w else T
+                    TR = (out[base - w + x + 1] if x + 1 < w
+                          else out[base])
                     pred = _vp8l_predict(
                         mode_of(x >> sb, y >> sb), L, T, TL, TR
                     )

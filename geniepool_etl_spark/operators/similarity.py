@@ -1196,6 +1196,13 @@ def int8_topk(
     # time (queries must be materialized to build the broadcast
     # matrix) — callers composing lazy plans should expect it.
     qrows = qq.collect()
+    if len(qrows) > _INT8_COLLECT_MAX_QUERIES:
+        raise ValueError(
+            f"int8_topk: collected {len(qrows)} queries, over the "
+            f"{_INT8_COLLECT_MAX_QUERIES} driver-broadcast budget — "
+            "pass n_queries= so the distributed pair-join path "
+            "engages instead of broadcasting a corpus-sized matrix"
+        )
     id_dt = corpus.schema[id_col].dataType.simpleString()
     q_ids = np.array([r["q_id"] for r in qrows])
 
