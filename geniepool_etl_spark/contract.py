@@ -3678,10 +3678,10 @@ def q_multimodal_vp8l_bundled(
     synth_webp_vp8l_bundled_assets): 2/4/16-color palettes pack
     8/4/2 LSB-first indices per coded green byte and the level-0
     stream decodes at the reduced width; asset_id % 3 cycles all
-    three bit regimes. With this, the ONLY remaining VP8L boundary
-    is the 120-entry 2-D distance map (a memorized constant table —
-    the codec-honesty rule) and bundling composed with other
-    transforms."""
+    three bit regimes. The 2-D distance map is derived (r14 —
+    multimodal_vp8l_dist) and bundling composes with the palette
+    transform (multimodal_vp8l_bundled_palette), so VP8L decode is
+    feature-complete for still images."""
     params = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 13 == 3)
@@ -3697,6 +3697,36 @@ def q_multimodal_vp8l_bundled(
     )
     return M.decode_image_pixel_stats(
         M.synth_webp_vp8l_bundled_assets(params)
+    )
+
+
+def q_multimodal_vp8l_dist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VP8L 2-D NEIGHBOR DISTANCE MAP decode (r14 — multimodal.
+    synth_webp_vp8l_dist_assets): the 120-entry map DERIVED (sorted
+    near-neighbor window, multimodal._vp8l_distance_map — the spec
+    pin is tests/test_operators.py::
+    test_vp8l_distance_map_derivation) rather than memorized; each
+    asset's stream is literals + per-row backward references whose
+    2-D codes rotate through both axes and negative dx over a
+    period-4 image. This completes VP8L LZ77 — distances both below
+    and above 120 decode."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 9)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(12) + (F.col("doc_id") % 7) * 4)
+            .cast("long")
+            .alias("width"),
+            (F.lit(9) + (F.col("doc_id") % 5) * 8)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_vp8l_dist_assets(params)
     )
 
 
@@ -10303,6 +10333,32 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_vp8l_dist"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 12 + (doc_id % 7) * 4 AS w,
+                 9 + (doc_id % 5) * 8 AS h,
+                 doc_id % 7 AS a
+          FROM documents WHERE doc_id % 13 = 9
+        ),
+        px AS (
+          SELECT asset_id, (i % w) % 4 AS j, a
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum((19 * j + 31 * a) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((7 * j + 5 * a) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((23 * j + 11 * a) % 256) AS BIGINT)
+                   AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_vp8l_palette"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -12203,6 +12259,7 @@ SPARK_QUERIES = {
     "multimodal_vp8l_palette": q_multimodal_vp8l_palette,
     "multimodal_vp8l_meta": q_multimodal_vp8l_meta,
     "multimodal_vp8l_bundled": q_multimodal_vp8l_bundled,
+    "multimodal_vp8l_dist": q_multimodal_vp8l_dist,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,
     # --- r12-new lanes first (never driver-recorded) ---

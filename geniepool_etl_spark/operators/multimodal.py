@@ -3358,13 +3358,47 @@ def synth_webp_vp8_nf_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def _vp8l_distance_map() -> tuple:
+    """The spec's 120-entry 2-D LZ77 neighbor map (RFC 9649 §4.2.2),
+    DERIVED rather than memorized — the codec-honesty rule: codes
+    1..120 enumerate the near-neighbor window (dx, dy) with
+    dy ∈ [0..7], dx ∈ [-7..8] and (dy > 0 or dx ≥ 1), ordered by
+    squared Euclidean distance dx²+dy², ties by |dx| ascending, then
+    non-negative dx before negative. The derivation is pinned by the
+    spec's own leading entries ((0,1), (1,0), (1,1), (-1,1), (0,2),
+    (2,0), (1,2), (-1,2), (2,1), (-2,1), …) in
+    tests/test_operators.py::test_vp8l_distance_map_derivation.
+    Distance code c maps to dist = dy·xsize + dx, clamped to ≥ 1."""
+    global _VP8L_DIST_MAP
+    if _VP8L_DIST_MAP is None:
+        pairs = [
+            (dx, dy)
+            for dy in range(8)
+            for dx in range(-7, 9)
+            if dy > 0 or dx >= 1
+        ]
+        pairs.sort(
+            key=lambda p: (
+                p[0] * p[0] + p[1] * p[1],
+                abs(p[0]),
+                p[0] < 0,
+            )
+        )
+        assert len(pairs) == 120
+        _VP8L_DIST_MAP = tuple(pairs)
+    return _VP8L_DIST_MAP
+
+
+_VP8L_DIST_MAP = None
+
+
 def _vp8l_read_pixel_stream(rd, w: int, h: int, level0: bool = False):
     """The shared VP8L entropy-image layout (spec "DecodeImageStream"
     minus the level-0 transform list): color-cache flag, [meta-Huffman
     flag when ``level0``], the five-code Huffman group, then the pixel
-    stream of ARGB literals, LZ77 backward references (LINEAR
-    distances — the 120-entry 2-D neighbor map stays a declared
-    boundary) and color-cache hits. Returns the raw (pre-inverse-
+    stream of ARGB literals, LZ77 backward references (linear
+    distances above 120, the derived 2-D neighbor map for codes
+    1..120 — r14) and color-cache hits. Returns the raw (pre-inverse-
     transform) pixel list. Transform SUB-IMAGES (predictor tiles)
     decode through this same function — they are entropy images."""
     cache_bits = 0
@@ -3436,10 +3470,13 @@ def _vp8l_read_pixel_stream(rd, w: int, h: int, level0: bool = False):
             dsym = _vp8l_read_sym(rd, dist_dec)
             dcode = _vp8l_prefix_decode(rd, dsym)
             if dcode <= 120:
-                raise ValueError(
-                    "vp8l: 2-D neighbor distance codes unsupported"
-                )
-            dist = dcode - 120
+                # 2-D neighbor reference: (dx, dy) in the CODED
+                # image's coordinates (the reduced width when
+                # bundled), clamped to ≥ 1 per spec
+                ndx, ndy = _vp8l_distance_map()[dcode - 1]
+                dist = max(1, ndy * w + ndx)
+            else:
+                dist = dcode - 120
             if dist > len(px):
                 raise ValueError("vp8l: backward reference underflow")
             for _ in range(length):
@@ -3582,10 +3619,10 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
     r13) → Huffman code group (simple AND normal forms, code-length
     code with 16/17/18 repeats, canonical DEFLATE-rule codes) → pixel
     stream of ARGB literals, LZ77 backward references (linear
-    distances) and color-cache hits → inverse transforms in reverse
-    read order. The 120-entry 2-D neighbor map, color/color-indexing
-    transforms, and meta-Huffman raise — the remaining VP8L
-    boundary."""
+    distances AND — r14 — the derived 120-entry 2-D neighbor map)
+    and color-cache hits → inverse transforms (predictor,
+    cross-color, color-indexing incl. sub-byte bundling) in reverse
+    read order; meta-Huffman entropy groups at level 0."""
     import struct
 
     if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
@@ -4556,6 +4593,139 @@ def synth_webp_vp8l_bundled_assets(
             put(g_enc, v)
             put(r_enc, 0)
             put(b_enc, 0)
+        payload = b"\x2f" + wr.flush()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        body = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(aid), int(w), int(h))
+                        for aid, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_webp_vp8l_dist_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossless WebP (VP8L) payloads exercising the 2-D
+    NEIGHBOR DISTANCE MAP (r14 — spec §4.2.2, derived by
+    :func:`_vp8l_distance_map`): the image is horizontally periodic
+    with period 4 (``w % 4 == 0``), so every backward reference whose
+    (dx, dy) satisfies dx ≡ 0 (mod 4) copies the correct value —
+    4 literals seed the stream, then each remaining row is ONE
+    length-w reference whose 2-D code rotates through all in-window
+    (dx ∈ {-4, 0, 4, 8}) map entries valid at that row, exercising
+    both axes and negative dx. Oracle: pixel (x, y) =
+    palette((x % 4)) with the bundled lane's channel formulas.
+    Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    def one(aid: int, w: int, h: int) -> bytes:
+        if w % 4:
+            raise ValueError("vp8l dist synth: width must be 4k")
+        a7 = aid % 7
+        dmap = _vp8l_distance_map()
+        code_of = {p: i + 1 for i, p in enumerate(dmap)}
+
+        def entry(j: int) -> tuple:
+            return (
+                255,
+                (19 * j + 31 * a7) % 256,
+                (7 * j + 5 * a7) % 256,
+                (23 * j + 11 * a7) % 256,
+            )
+
+        cands = [(4, 0), (8, 0)] + [
+            (dx, dy) for dy in range(1, 8) for dx in (-4, 0, 4, 8)
+        ]
+        # stream plan: 4 literals, then one (length, 2-D code) per
+        # remaining run — row 0's tail plus one per row y ≥ 1
+        refs = []  # (length, code)
+        if w > 4:
+            refs.append((w - 4, code_of[(4, 0)]))
+        for y in range(1, h):
+            # distance-aware validity: the resolved dist must be
+            # positive (the spec clamp to 1 would break the mod-4
+            # periodicity), a multiple of 4, and reach only
+            # already-decoded pixels from the row start
+            valid = [
+                c for c in cands
+                if 0 < c[1] * w + c[0] <= y * w
+                and (c[1] * w + c[0]) % 4 == 0
+            ]
+            dx, dy = valid[(y + a7) % len(valid)]
+            refs.append((w, code_of[(dx, dy)]))
+
+        def balanced(symbols, space=256) -> dict:
+            syms = sorted(set(symbols))
+            bits = max(1, (len(syms) - 1).bit_length())
+            pad = (1 << bits) - len(syms)
+            spare = [
+                s for s in range(space) if s not in set(syms)
+            ][:pad]
+            return {s: bits for s in syms + spare}
+
+        lits = [entry(j) for j in range(4)]
+        len_events = [_vp8l_prefix_encode(ln) for ln, _ in refs]
+        dist_events = [_vp8l_prefix_encode(c) for _, c in refs]
+        green_syms = [p[2] for p in lits] + [
+            256 + s for s, _, _ in len_events
+        ]
+        wr = _Vp8lBitWriter()
+        wr.write(w - 1, 14)
+        wr.write(h - 1, 14)
+        wr.write(0, 1)  # no alpha hint
+        wr.write(0, 3)  # version
+        wr.write(0, 1)  # no transforms
+        wr.write(0, 1)  # no color cache
+        wr.write(0, 1)  # no meta-huffman
+        g_enc = _vp8l_write_huffman(wr, balanced(green_syms))
+        r_enc = _vp8l_write_huffman(wr, balanced([p[1] for p in lits]))
+        b_enc = _vp8l_write_huffman(wr, balanced([p[3] for p in lits]))
+        wr.write(1, 1)  # alpha: simple single 255
+        wr.write(0, 1)
+        wr.write(1, 1)
+        wr.write(255, 8)
+        d_enc = _vp8l_write_huffman(
+            wr, balanced([s for s, _, _ in dist_events], space=40)
+        )
+
+        def put(enc, sym):
+            code, ln = enc[sym]
+            for i in range(ln - 1, -1, -1):
+                wr.write((code >> i) & 1, 1)
+
+        for p in lits:
+            put(g_enc, p[2])
+            put(r_enc, p[1])
+            put(b_enc, p[3])
+        for (ls, lx, lb), (ds, dx_, db) in zip(
+            len_events, dist_events
+        ):
+            put(g_enc, 256 + ls)
+            if lb:
+                wr.write(lx, lb)
+            put(d_enc, ds)
+            if db:
+                wr.write(dx_, db)
         payload = b"\x2f" + wr.flush()
         chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
         if len(payload) % 2:

@@ -6359,6 +6359,74 @@ def test_vp8l_bundled_palette_roundtrip():
         assert M._webp_lossless_pixel_sums(raw) == (w * h, sr, sg, sb)
 
 
+def test_vp8l_distance_map_derivation():
+    """r14: the 120-entry 2-D distance map is DERIVED (near-neighbor
+    window sorted by squared distance, |dx|, sign) — pin the
+    derivation against the spec's own ordering at every entry that
+    is independently checkable: the documented leading run, the
+    d²=49/50 tie groups, and the lone (8,0) straggler (RFC 9649
+    §4.2.2 / libwebp plane-code layout)."""
+    m = M._vp8l_distance_map()
+    assert len(m) == 120
+    assert len(set(m)) == 120
+    for dx, dy in m:
+        assert 0 <= dy <= 7 and -7 <= dx <= 8
+        assert dy > 0 or dx >= 1
+    # spec's leading entries (codes 1..14)
+    assert m[:14] == (
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+        (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+        (0, 3), (3, 0),
+    )
+    # d² = 25 tie group (codes 35..40)
+    assert m[34:40] == (
+        (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0)
+    )
+    # d² = 49/50 groups (codes 73..80) and (8,0) at code 97
+    assert m[72:80] == (
+        (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5),
+        (7, 1), (-7, 1),
+    )
+    assert m[96] == (8, 0)
+    # ordering invariant: non-decreasing squared distance
+    d2 = [dx * dx + dy * dy for dx, dy in m]
+    assert d2 == sorted(d2)
+
+
+def test_vp8l_dist_roundtrip():
+    """r14: 2-D neighbor backward references — per-row refs rotating
+    through (dx ∈ {-4,0,4,8}) × (dy ∈ 0..7) map entries over a
+    period-4 image land the closed-form target at every geometry
+    incl. w=4 (where naive dist-0 clamping would corrupt);
+    truncation stays poison."""
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_webp_vp8l_dist_assets(StubDF())
+    raw = None
+    for aid, w, h in ((0, 12, 9), (1, 40, 33), (2, 16, 5),
+                      (3, 28, 17), (9, 4, 49), (6, 32, 2)):
+        a7 = aid % 7
+        sr = sg = sb = 0
+        for x in range(w):
+            j = x % 4
+            sr += (19 * j + 31 * a7) % 256
+            sg += (7 * j + 5 * a7) % 256
+            sb += (23 * j + 11 * a7) % 256
+        out = next(gen(iter([pd.DataFrame(
+            {"asset_id": [aid], "width": [w], "height": [h]}
+        )])))
+        raw = bytes(out["payload"].iloc[0])
+        assert (M._webp_lossless_pixel_sums(raw)
+                == (w * h, sr * h, sg * h, sb * h)), (aid, w, h)
+    with pytest.raises(ValueError):
+        M._webp_lossless_pixel_sums(raw[: len(raw) - 6])
+
+
 def test_vp8_loop_filter_deltas():
     """r13: §9.4 loop-filter adjustments — ref[INTRA] and
     mode[B_PRED] deltas combine with the base (and segment) level
