@@ -3700,6 +3700,36 @@ def q_multimodal_vp8l_bundled(
     )
 
 
+def q_multimodal_vp8l_bundled_palette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VP8L BUNDLING COMPOSED WITH THE PREDICTOR TRANSFORM (r14 —
+    multimodal.synth_webp_vp8l_bundled_palette_assets): the stream
+    reads [color-indexing (2/4/16-color palette → sub-byte
+    bundling), predictor], so the predictor's tile sub-image is
+    sized by the REDUCED width and its inverse reconstructs the
+    packed-index bytes before unbundling — the read-time width
+    capture the spec's xsize update implies. The common real-corpus
+    small-palette shape; closes r13's declared composition
+    boundary."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 5)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(12) + (F.col("doc_id") % 7) * 8)
+            .cast("long")
+            .alias("width"),
+            (F.lit(10) + (F.col("doc_id") % 5) * 9)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_vp8l_bundled_palette_assets(params)
+    )
+
+
 def q_multimodal_vp8l_dist(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10333,6 +10363,35 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_vp8l_bundled_palette"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 12 + (doc_id % 7) * 8 AS w,
+                 10 + (doc_id % 5) * 9 AS h,
+                 doc_id % 7 AS a,
+                 CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
+                                 ELSE 16 END AS k
+          FROM documents WHERE doc_id % 13 = 5
+        ),
+        px AS (
+          SELECT asset_id,
+                 ((i % w) + 2 * (i // w) + a) % k AS ki, a
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum((19 * ki + 31 * a) % 256) AS BIGINT)
+                   AS sum_r,
+                 CAST(sum((7 * ki + 5 * a) % 256) AS BIGINT)
+                   AS sum_g,
+                 CAST(sum((23 * ki + 11 * a) % 256) AS BIGINT)
+                   AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_vp8l_dist"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -12260,6 +12319,7 @@ SPARK_QUERIES = {
     "multimodal_vp8l_meta": q_multimodal_vp8l_meta,
     "multimodal_vp8l_bundled": q_multimodal_vp8l_bundled,
     "multimodal_vp8l_dist": q_multimodal_vp8l_dist,
+    "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,
     # --- r12-new lanes first (never driver-recorded) ---

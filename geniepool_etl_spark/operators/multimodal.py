@@ -3646,23 +3646,30 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
     rd.read(1)  # alpha hint
     if rd.read(3) != 0:
         raise ValueError("vp8l: unknown version")
+    # each transform captures the image width AT READ TIME: reading a
+    # bundling color-indexing transform REDUCES the width for every
+    # later-read transform and the level-0 stream (the spec/libwebp
+    # xsize update), and inverses — applied in reverse read order —
+    # each run at their own captured width, so composition (e.g. a
+    # predictor over the packed-index image) is exact (r14)
     transforms = []  # in READ order; inverses applied reversed
+    cur_w = w
     while rd.read(1):  # transform list
         ttype = rd.read(2)
         if ttype == 2:  # subtract-green: no parameters
             transforms.append(("sg",))
         elif ttype == 0:  # predictor: tile-size + mode sub-image
             sb = rd.read(3) + 2
-            tiles_w = (w + (1 << sb) - 1) >> sb
+            tiles_w = (cur_w + (1 << sb) - 1) >> sb
             tiles_h = (h + (1 << sb) - 1) >> sb
             modes = _vp8l_read_pixel_stream(rd, tiles_w, tiles_h)
-            transforms.append(("pred", sb, tiles_w, modes))
+            transforms.append(("pred", sb, tiles_w, modes, cur_w))
         elif ttype == 1:  # cross-color: tile-size + element sub-image
             sb = rd.read(3) + 2
-            tiles_w = (w + (1 << sb) - 1) >> sb
+            tiles_w = (cur_w + (1 << sb) - 1) >> sb
             tiles_h = (h + (1 << sb) - 1) >> sb
             elems = _vp8l_read_pixel_stream(rd, tiles_w, tiles_h)
-            transforms.append(("color", sb, tiles_w, elems))
+            transforms.append(("color", sb, tiles_w, elems, cur_w))
         elif ttype == 3:  # color indexing: delta-coded palette
             psize = rd.read(8) + 1
             deltas = _vp8l_read_pixel_stream(rd, psize, 1)
@@ -3679,24 +3686,15 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
                 # level-0 image decodes at the REDUCED width
                 wb = 1 if psize <= 2 else (2 if psize <= 4 else 4)
                 ppb = 8 // wb
-                transforms.append(("index_bundled", palette, wb, ppb))
+                transforms.append(
+                    ("index_bundled", palette, wb, ppb, cur_w)
+                )
+                cur_w = (cur_w + ppb - 1) // ppb
             else:
                 transforms.append(("index", palette))
         else:
             raise ValueError("vp8l: unknown transform type")
-    main_w = w
-    bundled = [t for t in transforms if t[0] == "index_bundled"]
-    if bundled:
-        # the reduced width applies to the level-0 stream; composing
-        # bundling with other transforms would need their sub-images
-        # re-based on it — declared out of scope, fail loud
-        if len(transforms) != 1:
-            raise ValueError(
-                "vp8l: bundled color-indexing composed with other "
-                "transforms unsupported"
-            )
-        _tag, _pal, _wb, ppb = bundled[0]
-        main_w = (w + ppb - 1) // ppb
+    main_w = cur_w
     px = _vp8l_read_pixel_stream(rd, main_w, h, level0=True)
     for t in reversed(transforms):
         if t[0] == "sg":
@@ -3705,12 +3703,14 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
                 for a, r, g, b in px
             ]
         elif t[0] == "pred":
-            _tag, sb, tiles_w, modes = t
-            px = _vp8l_inverse_predictor(px, w, h, modes, sb, tiles_w)
+            _tag, sb, tiles_w, modes, tw = t
+            px = _vp8l_inverse_predictor(
+                px, tw, h, modes, sb, tiles_w
+            )
         elif t[0] == "color":
-            _tag, sb, tiles_w, elems = t
+            _tag, sb, tiles_w, elems, tw = t
             px = _vp8l_inverse_color_transform(
-                px, w, h, elems, sb, tiles_w
+                px, tw, h, elems, sb, tiles_w
             )
         elif t[0] == "index":  # green channel indexes the palette
             palette = t[1]
@@ -3724,12 +3724,13 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
                 out.append(palette[idx])
             px = out
         else:  # index_bundled: unpack sub-byte indices, LSB-first
-            _tag, palette, wb, ppb = t
+            _tag, palette, wb, ppb, tw = t
             mask = (1 << wb) - 1
+            packed_w = (tw + ppb - 1) // ppb
             out = []
             for y in range(h):
-                row = px[y * main_w : (y + 1) * main_w]
-                for x in range(w):
+                row = px[y * packed_w : (y + 1) * packed_w]
+                for x in range(tw):
                     packed = row[x // ppb][2]
                     idx = (packed >> ((x % ppb) * wb)) & mask
                     if idx >= len(palette):
@@ -4726,6 +4727,208 @@ def synth_webp_vp8l_dist_assets(
             put(d_enc, ds)
             if db:
                 wr.write(dx_, db)
+        payload = b"\x2f" + wr.flush()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        body = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(aid), int(w), int(h))
+                        for aid, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_webp_vp8l_bundled_palette_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossless WebP (VP8L) payloads COMPOSING sub-byte
+    bundling with another transform (r14): the stream reads
+    [color-indexing (K = 2/4/16 → bundled), predictor], so the
+    predictor's tile sub-image is sized by the REDUCED width and its
+    inverse reconstructs the packed-index bytes BEFORE unbundling —
+    the read-time width capture the spec/libwebp xsize update
+    implies. All four channels of the packed image (a=255, r=b=0,
+    g=packed byte) are residual-coded against the rotating 14-mode
+    predictor. Oracle: index (x + 2y + a) % K through the bundled
+    lane's closed-form palette. Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    def one(aid: int, w: int, h: int) -> bytes:
+        a7 = aid % 7
+        K = (2, 4, 16)[aid % 3]
+        wb = 1 if K <= 2 else (2 if K <= 4 else 4)
+        ppb = 8 // wb
+
+        def entry(k: int) -> tuple:
+            return (
+                255,
+                (19 * k + 31 * a7) % 256,
+                (7 * k + 5 * a7) % 256,
+                (23 * k + 11 * a7) % 256,
+            )
+
+        def idx(x: int, y: int) -> int:
+            return (x + 2 * y + a7) % K
+
+        deltas = []
+        prev = (0, 0, 0, 0)
+        for k in range(K):
+            e = entry(k)
+            deltas.append(
+                tuple((e[i] - prev[i]) & 0xFF for i in range(4))
+            )
+            prev = e
+        main_w = (w + ppb - 1) // ppb
+        packed = []  # the predictor's TARGET image, (a, r, g, b)
+        for y in range(h):
+            for xb in range(main_w):
+                v = 0
+                for j in range(ppb):
+                    x = xb * ppb + j
+                    if x < w:
+                        v |= idx(x, y) << (j * wb)
+                packed.append((255, 0, v, 0))
+
+        sb = 2  # 4x4 predictor tiles over the REDUCED width
+        tiles_w = (main_w + 3) >> sb
+        tiles_h = (h + 3) >> sb
+
+        def mode_of(tx: int, ty: int) -> int:
+            return (tx + 2 * ty + a7) % 14
+
+        out: list = []
+        res: list = []
+        for y in range(h):
+            base = y * main_w
+            for x in range(main_w):
+                tgt = packed[base + x]
+                if x == 0 and y == 0:
+                    pred = (255, 0, 0, 0)
+                elif y == 0:
+                    pred = out[base + x - 1]
+                elif x == 0:
+                    pred = out[base - main_w]
+                else:
+                    L = out[base + x - 1]
+                    T = out[base - main_w + x]
+                    TL = out[base - main_w + x - 1]
+                    TR = (out[base - main_w + x + 1]
+                          if x + 1 < main_w else out[base])
+                    pred = _vp8l_predict(
+                        mode_of(x >> sb, y >> sb), L, T, TL, TR
+                    )
+                res.append(
+                    tuple((tgt[i] - pred[i]) & 0xFF for i in range(4))
+                )
+                out.append(tgt)
+
+        def balanced(symbols) -> dict:
+            syms = sorted(set(symbols))
+            bits = max(1, (len(syms) - 1).bit_length())
+            pad = (1 << bits) - len(syms)
+            spare = [s for s in range(256) if s not in set(syms)][:pad]
+            return {s: bits for s in syms + spare}
+
+        wr = _Vp8lBitWriter()
+        wr.write(w - 1, 14)
+        wr.write(h - 1, 14)
+        wr.write(0, 1)  # no alpha hint
+        wr.write(0, 3)  # version
+        # --- transform 1: COLOR-INDEXING (read first, inverted LAST)
+        wr.write(1, 1)
+        wr.write(3, 2)
+        wr.write(K - 1, 8)
+        wr.write(0, 1)  # palette sub-image: no color cache
+        pg = _vp8l_write_huffman(wr, balanced([d[2] for d in deltas]))
+        pr = _vp8l_write_huffman(wr, balanced([d[1] for d in deltas]))
+        pb = _vp8l_write_huffman(wr, balanced([d[3] for d in deltas]))
+        pa = _vp8l_write_huffman(wr, balanced([d[0] for d in deltas]))
+        wr.write(1, 1)  # distance: simple single 0
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+
+        def put(enc, sym):
+            code, ln = enc[sym]
+            for i in range(ln - 1, -1, -1):
+                wr.write((code >> i) & 1, 1)
+
+        for d in deltas:
+            put(pg, d[2])
+            put(pr, d[1])
+            put(pb, d[3])
+            put(pa, d[0])
+        # --- transform 2: PREDICTOR sized by the reduced width
+        wr.write(1, 1)
+        wr.write(0, 2)
+        wr.write(sb - 2, 3)
+        wr.write(0, 1)  # tile sub-image: no color cache
+        modes = [
+            (255, 0, mode_of(tx, ty), 0)
+            for ty in range(tiles_h)
+            for tx in range(tiles_w)
+        ]
+        mg = _vp8l_write_huffman(wr, balanced([m[2] for m in modes]))
+        mr = _vp8l_write_huffman(wr, balanced([0]))
+        mb_ = _vp8l_write_huffman(wr, balanced([0]))
+        wr.write(1, 1)  # alpha: simple single 255
+        wr.write(0, 1)
+        wr.write(1, 1)
+        wr.write(255, 8)
+        wr.write(1, 1)  # distance: simple single 0
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+        for m in modes:
+            put(mg, m[2])
+            put(mr, 0)
+            put(mb_, 0)
+        wr.write(0, 1)  # end of transform list
+        # --- level-0: predictor residuals of the packed image
+        wr.write(0, 1)  # no color cache
+        wr.write(0, 1)  # no meta-huffman
+        g_enc = _vp8l_write_huffman(wr, balanced([r[2] for r in res]))
+        r_enc = _vp8l_write_huffman(wr, balanced([r[1] for r in res]))
+        b_enc = _vp8l_write_huffman(wr, balanced([r[3] for r in res]))
+        a_syms = sorted({r[0] for r in res})
+        if len(a_syms) == 1:
+            wr.write(1, 1)  # alpha: simple single symbol
+            wr.write(0, 1)
+            wr.write(1, 1)
+            wr.write(a_syms[0], 8)
+            a_enc = None
+        else:
+            a_enc = _vp8l_write_huffman(
+                wr, balanced([r[0] for r in res])
+            )
+        wr.write(1, 1)  # distance: simple single 0
+        wr.write(0, 1)
+        wr.write(0, 1)
+        wr.write(0, 1)
+        for rres in res:
+            put(g_enc, rres[2])
+            put(r_enc, rres[1])
+            put(b_enc, rres[3])
+            if a_enc is not None:
+                put(a_enc, rres[0])
         payload = b"\x2f" + wr.flush()
         chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
         if len(payload) % 2:

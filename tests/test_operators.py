@@ -6211,8 +6211,8 @@ def test_vp8l_color_palette_meta_roundtrip():
     reconstructed red), COLOR-INDEXING (delta-coded palette, K > 16)
     and META-HUFFMAN (two groups with disjoint green alphabets,
     per-position selection) — each round-trips its closed-form
-    target; sub-byte bundling (palette ≤ 16) raises as the declared
-    boundary; truncation stays poison."""
+    target; truncation stays poison; a hand-authored subtract-green
+    + bundled-palette stream decodes exactly (r14 composition)."""
     import pandas as pd
     import pytest
 
@@ -6274,9 +6274,10 @@ def test_vp8l_color_palette_meta_roundtrip():
     for raw in (raw_p, raw_m):
         with pytest.raises(ValueError):
             M._webp_lossless_pixel_sums(raw[: len(raw) - 6])
-    # bundled color-indexing COMPOSED with another transform is the
-    # declared boundary (the reduced width would re-base the other
-    # transform's sub-image): subtract-green + a 2-color palette
+    # bundled color-indexing COMPOSED with another transform (r14:
+    # supported via read-time width capture) — hand-authored
+    # subtract-green + 2-color palette stream must decode exactly:
+    # inverse order is [unbundle+palettize, then sg] at full width
     wr = M._Vp8lBitWriter()
     wr.write(4, 14)  # w-1
     wr.write(4, 14)  # h-1
@@ -6319,14 +6320,43 @@ def test_vp8l_color_palette_meta_roundtrip():
         put(encs[2], b)
         put(encs[3], a)
     wr.write(0, 1)  # end of transforms
+    # level-0: 2-color bundling -> 1 packed byte per 5-pixel row;
+    # idx(x, y) = (x + y) % 2 LSB-first
+    wr.write(0, 1)  # no color cache
+    wr.write(0, 1)  # no meta-huffman
+    rows = []
+    for y in range(5):
+        v = 0
+        for x in range(5):
+            v |= ((x + y) % 2) << x
+        rows.append(v)
+    l_g = M._vp8l_write_huffman(wr, bal(rows))
+    l_r = M._vp8l_write_huffman(wr, bal([0]))
+    l_b = M._vp8l_write_huffman(wr, bal([0]))
+    wr.write(1, 1)  # alpha: simple single 255
+    wr.write(0, 1)
+    wr.write(1, 1)
+    wr.write(255, 8)
+    wr.write(1, 1)  # distance: simple single 0
+    wr.write(0, 1)
+    wr.write(0, 1)
+    wr.write(0, 1)
+    for v in rows:
+        put(l_g, v)
+        put(l_r, 0)
+        put(l_b, 0)
     import struct
     payload = b"\x2f" + wr.flush()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     raw = b"RIFF" + struct.pack(
         "<I", len(b"WEBP" + chunk)
     ) + b"WEBP" + chunk
-    with pytest.raises(ValueError, match="composed|bundl"):
-        M._webp_lossless_pixel_sums(raw)
+    # palette (sg-space): e0 = (255,0,0,0), e1 = (255,9,7,11);
+    # sg-inverse adds g to r/b -> e1 decodes (255,16,7,18); 12 of
+    # the 25 pixels have idx 1
+    assert M._webp_lossless_pixel_sums(raw) == (
+        25, 12 * 16, 12 * 7, 12 * 18
+    )
 
 
 def test_vp8l_bundled_palette_roundtrip():
@@ -6341,6 +6371,37 @@ def test_vp8l_bundled_palette_roundtrip():
             return fn
 
     gen = M.synth_webp_vp8l_bundled_assets(StubDF())
+    for aid, w, h in ((0, 23, 17), (1, 40, 33), (2, 5, 5),
+                      (3, 17, 8), (4, 9, 4), (5, 31, 11)):
+        a7 = aid % 7
+        K = (2, 4, 16)[aid % 3]
+        sr = sg = sb = 0
+        for y in range(h):
+            for x in range(w):
+                k = (x + 2 * y + a7) % K
+                sr += (19 * k + 31 * a7) % 256
+                sg += (7 * k + 5 * a7) % 256
+                sb += (23 * k + 11 * a7) % 256
+        out = next(gen(iter([pd.DataFrame(
+            {"asset_id": [aid], "width": [w], "height": [h]}
+        )])))
+        raw = bytes(out["payload"].iloc[0])
+        assert M._webp_lossless_pixel_sums(raw) == (w * h, sr, sg, sb)
+
+
+def test_vp8l_bundled_palette_composed_roundtrip():
+    """r14: bundling COMPOSED with the predictor transform — the
+    stream reads [color-indexing (bundled), predictor], the
+    predictor tile sub-image is sized by the reduced width and its
+    inverse reconstructs packed bytes before unbundling; every bit
+    regime at awkward widths lands the closed-form target."""
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_webp_vp8l_bundled_palette_assets(StubDF())
     for aid, w, h in ((0, 23, 17), (1, 40, 33), (2, 5, 5),
                       (3, 17, 8), (4, 9, 4), (5, 31, 11)):
         a7 = aid % 7
