@@ -6888,6 +6888,136 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM TOKENIZER TRAINING (operators/text.
+    unigram_lm_token_counts — Kudo 2018 / SentencePiece, hard-EM
+    variant): substring seed vocabulary (all chars + top-64 multi-char
+    pieces), Viterbi E-step under integer piece costs, usage-count
+    M-step with pruning, then per-doc (n_words, n_tokens) billing
+    under the re-estimated vocabulary. No driver-side corpus state:
+    the vocab rides the plan as a broadcast 1-row map, the DP and
+    walk are single JVM fold expressions. Oracle unrolls the same DP
+    as nested subquery levels (both planners stay linear — lateral
+    alias chaining is exponential under substitution)."""
+    return TX.unigram_lm_token_counts(_t(spark, sf_dir, "documents"))
+
+
+_UNI_MAXW, _UNI_MAXP, _UNI_V = 12, 4, 64
+
+
+def _uni_estep(tag: str, words: str, cmap: str) -> str:
+    """One E-step, unrolled as NESTED SUBQUERY LEVELS (one new
+    column per level, referencing only materialized columns of the
+    level below — keeps every engine's planner linear): prefix-DP
+    best_0..best_12 padded past the word length, then the
+    longest-first Viterbi walk l_k/piece_k/pos_k."""
+    lk = lambda start, l: f"m[substr(w, {start}, {l})][1]"  # noqa: E731
+    inner = (f"SELECT w, freq, length(w) AS n, m, "
+             f"CAST(0 AS BIGINT) AS best_0 FROM {words}, {cmap}")
+    for i in range(1, _UNI_MAXW + 1):
+        cands = [f"best_{i - 1} + {lk(i, 1)}"]
+        for l in range(2, _UNI_MAXP + 1):
+            if l <= i:
+                cands.append(f"best_{i - l} + {lk(i - l + 1, l)}")
+        inner = (f"SELECT *, CASE WHEN {i} > n THEN best_{i - 1} "
+                 f"ELSE least({', '.join(cands)}) END AS best_{i} "
+                 f"FROM ({inner})")
+    barr = ("list_value(" + ", ".join(f"best_{i}" for i in range(_UNI_MAXW + 1))
+            + ")")
+    inner = (f"SELECT w, freq, n, m, {barr} AS barr, n AS pos_0 "
+             f"FROM ({inner})")
+    for k in range(1, _UNI_MAXW + 1):
+        p = f"pos_{k - 1}"
+        whens = []
+        for l in range(_UNI_MAXP, 1, -1):
+            whens.append(
+                f"WHEN {p} >= {l} AND barr[{p} - {l - 1}] "
+                f"+ m[substr(w, {p} - {l - 1}, {l})][1] "
+                f"= barr[{p} + 1] THEN {l}"
+            )
+        inner = (f"SELECT *, CASE WHEN {p} <= 0 THEN 0 ELSE "
+                 f"CASE {' '.join(whens)} ELSE 1 END END AS l_{k} "
+                 f"FROM ({inner})")
+        inner = (f"SELECT *, CASE WHEN l_{k} > 0 THEN substr(w, "
+                 f"{p} - l_{k} + 1, l_{k}) END AS piece_{k}, "
+                 f"{p} - l_{k} AS pos_{k} FROM ({inner})")
+    pieces = ", ".join(f"piece_{k}" for k in range(1, _UNI_MAXW + 1))
+    return f"""
+{tag} AS (
+  SELECT w, freq,
+         list_filter(list_value({pieces}), x -> x IS NOT NULL)
+           AS pieces
+  FROM ({inner})
+)"""
+
+
+
+
+def _unigram_oracle() -> str:
+    return f"""
+WITH wpd AS (
+  SELECT doc_id, left(word, {_UNI_MAXW}) AS w, count(*) AS m FROM (
+    SELECT doc_id, unnest(
+      string_split_regex(trim(lower(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE length(word) > 0 GROUP BY 1, 2
+),
+wfreq AS (
+  SELECT w, CAST(sum(m) AS BIGINT) AS freq FROM wpd GROUP BY 1
+),
+pf AS (
+  SELECT substr(w, i, l) AS p, CAST(sum(freq) AS BIGINT) AS f
+  FROM wfreq,
+       UNNEST(range(1, length(w) + 1)) AS u(i),
+       UNNEST(range(1, {_UNI_MAXP + 1})) AS v(l)
+  WHERE i + l - 1 <= length(w)
+  GROUP BY 1
+),
+vocab0 AS (
+  SELECT p, f FROM pf WHERE length(p) = 1
+  UNION ALL
+  SELECT p, f FROM (
+    SELECT p, f, row_number() OVER (ORDER BY f DESC, p) AS rk
+    FROM pf WHERE length(p) > 1
+  ) WHERE rk <= {_UNI_V}
+),
+costs0 AS (
+  SELECT p, CAST((40 - length(bin(f))) * 8 + (4 - length(p))
+                 AS BIGINT) AS c
+  FROM vocab0
+),
+cm0 AS (
+  SELECT map(list(p ORDER BY p), list(c ORDER BY p)) AS m FROM costs0
+),{_uni_estep("e1", "wfreq", "cm0")},
+usage AS (
+  SELECT piece AS p, CAST(sum(freq) AS BIGINT) AS f
+  FROM (SELECT freq, unnest(pieces) AS piece FROM e1)
+  GROUP BY 1
+),
+vocab1 AS (
+  SELECT v.p, coalesce(u.f, 0) AS f
+  FROM vocab0 v LEFT JOIN usage u USING (p)
+  WHERE length(v.p) = 1 OR coalesce(u.f, 0) >= 1
+),
+costs1 AS (
+  SELECT p, CAST((40 - length(bin(f))) * 8 + (4 - length(p))
+                 AS BIGINT) AS c
+  FROM vocab1
+),
+cm1 AS (
+  SELECT map(list(p ORDER BY p), list(c ORDER BY p)) AS m FROM costs1
+),{_uni_estep("e2", "wfreq", "cm1")},
+wt AS (
+  SELECT w, CAST(len(pieces) AS BIGINT) AS n_tok FROM e2
+)
+SELECT wpd.doc_id,
+       CAST(sum(wpd.m) AS BIGINT) AS n_words,
+       CAST(sum(wpd.m * wt.n_tok) AS BIGINT) AS n_tokens
+FROM wpd JOIN wt USING (w)
+GROUP BY wpd.doc_id
+"""
+
+
 def _bpe_encode_oracle(k: int) -> str:
     rounds = []
     for i in range(1, k + 1):
@@ -11408,6 +11538,7 @@ FROM g
     o["events_asof_cogroup"] = o["events_asof_join"]
     o["text_bpe_merges"] = _bpe_oracle(_BPE_K)
     o["text_bpe_encode"] = _bpe_encode_oracle(_BPE_K)
+    o["text_unigram_lm"] = _unigram_oracle()
     o["a18_countmin_topk"] = _countmin_oracle(4, 256, 20)
     o["stream_countmin"] = _stream_countmin_oracle(4, 256)
     o["a19_loghist_quantiles"] = _LOGHIST_ORACLE
@@ -12520,6 +12651,7 @@ SPARK_QUERIES = {
     "multimodal_gif_pixels": q_multimodal_gif_pixels,
     "text_perplexity": q_text_perplexity,
     "text_bpe_encode": q_text_bpe_encode,
+    "text_unigram_lm": q_text_unigram_lm,
     "obs_drift_ks": q_obs_drift_ks,
     "obs_expectations": q_obs_expectations,
     "graph_triangles": q_graph_triangles,

@@ -1610,3 +1610,173 @@ def canonicalize_urls(
     return df.withColumn(
         out_col, F.when(scheme == "", F.lit(None)).otherwise(canon)
     )
+
+
+def _unigram_dp_expr(max_word: int, max_piece: int) -> str:
+    """SQL-HOF text for the unigram-LM prefix DP: one fold whose
+    accumulator IS the growing best-cost array (1-indexed;
+    ``acc[j + 1]`` = cheapest segmentation cost of the first ``j``
+    chars), padded past the word length so element 13 is always the
+    word's total cost. Lambda variables keep the expression LINEAR
+    in max_word — column-chained formulations blow up exponentially
+    under alias substitution in both Catalyst and DuckDB."""
+    cands = [f"element_at(acc, i) + try_element_at(m, substr(w, i, 1))"]
+    for l in range(2, max_piece + 1):
+        cands.append(
+            f"CASE WHEN i >= {l} THEN element_at(acc, i - {l - 1}) "
+            f"+ try_element_at(m, substr(w, i - {l - 1}, {l})) END"
+        )
+    return (
+        f"aggregate(sequence(1, {max_word}), array(CAST(0 AS BIGINT)), "
+        "(acc, i) -> concat(acc, array("
+        "CASE WHEN i > length(w) THEN element_at(acc, i) "
+        f"ELSE least({', '.join(cands)}) END)))"
+    )
+
+
+def _unigram_walk_expr(max_word: int, max_piece: int) -> str:
+    """SQL-HOF text for the Viterbi piece walk: a second fold whose
+    accumulator is the piece list read RIGHT-TO-LEFT off the word;
+    the current position is the word length minus the summed piece
+    lengths, and each step takes the LONGEST piece consistent with
+    the DP array (deterministic tiebreak)."""
+    pos = ("CAST(length(w) - aggregate(acc, CAST(0 AS BIGINT), "
+           "(a, q) -> a + length(q)) AS INT)")
+    whens = []
+    for l in range(max_piece, 1, -1):
+        whens.append(
+            f"WHEN {pos} >= {l} AND element_at(barr, {pos} - {l - 1}) "
+            f"+ try_element_at(m, substr(w, {pos} - {l - 1}, {l})) "
+            f"= element_at(barr, {pos} + 1) THEN {l}"
+        )
+    lstar = f"CASE {' '.join(whens)} ELSE 1 END"
+    return (
+        f"aggregate(sequence(1, {max_word}), "
+        "CAST(array() AS ARRAY<STRING>), "
+        f"(acc, z) -> CASE WHEN {pos} <= 0 THEN acc "
+        f"ELSE concat(acc, array(substr(w, {pos} - ({lstar}) + 1, "
+        f"({lstar})))) END)"
+    )
+
+
+def _unigram_cost(f: Column, p: Column) -> Column:
+    """Integer-unit surrogate for −log p(piece): cost falls 8 units
+    per frequency doubling (bit_length via bin()) with a small bonus
+    for longer pieces — the repo's integer-determinism rule (exact
+    in both engines; float logs are not)."""
+    return (
+        (F.lit(40) - F.length(F.bin(f))) * 8
+        + (F.lit(4) - F.length(p))
+    ).cast("long")
+
+
+def unigram_lm_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word: int = 12,
+    max_piece: int = 4,
+    vocab_size: int = 64,
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer TRAINING
+    at corpus scale, hard-EM variant: seed a substring candidate
+    vocabulary, Viterbi-segment every DISTINCT word under integer
+    piece costs (E-step), re-estimate costs from piece usage and
+    prune unused multi-char pieces (M-step), then bill each document
+    under the re-estimated vocabulary — reported as per-document
+    ``(n_words, n_tokens)`` like :func:`bpe_token_counts`.
+
+    The scalable design point mirrors the BPE lanes: NO driver-side
+    corpus state — the vocabulary flows through the plan as a
+    broadcast 1-row ``map<piece, cost>`` built by
+    ``map_from_entries(collect_list(...))``, the per-word DP and
+    Viterbi walk are single JVM fold expressions (linear in
+    ``max_word``; see :func:`_unigram_dp_expr`), and the top-V seed
+    selection is a ``TakeOrderedAndProject`` (orderBy + limit), never
+    a single-partition window. Words are truncated to ``max_word``
+    chars (12) before grouping — the documented determinism cap, the
+    same in the DuckDB oracle. E-step usage counts and the seed
+    substring frequencies are plain keyed aggregates, so every stage
+    shuffles on (piece) or (word) keys only.
+    """
+    wpd = (
+        df.select(
+            F.col(id_col),
+            F.explode(words_col(F.lower(F.col(text_col)))).alias("w0"),
+        )
+        .where(F.length("w0") > 0)
+        .select(F.col(id_col), F.substring("w0", 1, max_word).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    wfreq = wpd.groupBy("w").agg(F.sum("m").cast("long").alias("freq"))
+    pieces_expr = (
+        "flatten(transform(sequence(1, length(w)), i -> "
+        f"filter(transform(sequence(1, {max_piece}), l -> "
+        "CASE WHEN i + l - 1 <= length(w) THEN substr(w, i, l) END), "
+        "p -> p IS NOT NULL)))"
+    )
+    pf = (
+        wfreq.select(F.explode(F.expr(pieces_expr)).alias("p"), "freq")
+        .groupBy("p")
+        .agg(F.sum("freq").cast("long").alias("f"))
+    )
+    chars = pf.where(F.length("p") == 1)
+    multi = (
+        pf.where(F.length("p") > 1)
+        .orderBy(F.desc("f"), F.asc("p"))
+        .limit(vocab_size)
+    )
+    vocab0 = chars.unionByName(multi)
+
+    def cost_map(vocab: DataFrame) -> DataFrame:
+        return vocab.select(
+            F.struct(
+                F.col("p"), _unigram_cost(F.col("f"), F.col("p")).alias("c")
+            ).alias("e")
+        ).agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list("e"))
+            ).alias("m")
+        )
+
+    def e_step(cmap: DataFrame) -> DataFrame:
+        return (
+            wfreq.crossJoin(F.broadcast(cmap))
+            .withColumn(
+                "barr", F.expr(_unigram_dp_expr(max_word, max_piece))
+            )
+            .select(
+                "w", "freq",
+                F.expr(_unigram_walk_expr(max_word, max_piece)).alias(
+                    "pieces"
+                ),
+            )
+        )
+
+    e1 = e_step(cost_map(vocab0))
+    usage = (
+        e1.select(F.explode("pieces").alias("p"), "freq")
+        .groupBy("p")
+        .agg(F.sum("freq").cast("long").alias("f"))
+    )
+    vocab1 = (
+        vocab0.select("p")
+        .join(usage, "p", "left")
+        .select("p", F.coalesce("f", F.lit(0)).cast("long").alias("f"))
+        .where((F.length("p") == 1) | (F.col("f") >= 1))
+    )
+    e2 = e_step(cost_map(vocab1))
+    word_tok = e2.select(
+        "w", F.size("pieces").cast("long").alias("n_tok")
+    )
+    return (
+        wpd.join(word_tok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_words"),
+            F.sum(F.col("m") * F.col("n_tok"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

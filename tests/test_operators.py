@@ -6533,3 +6533,94 @@ def test_vp8_loop_filter_deltas():
     )
     pay3 = V.build_webp_vp8(48, 64, mb, filter_level=20, filter_type=0)
     assert V.vp8_pixel_sums(pay2) == V.vp8_pixel_sums(pay3)
+
+
+def _unigram_ref(docs, maxw=12, maxp=4, v=64):
+    """Hand implementation of the unigram-LM hard-EM spec (the
+    contract's algorithm frozen independently of the Spark code):
+    substring seed, Viterbi under integer costs, usage M-step with
+    pruning, round-2 billing."""
+    def cost_of(f, plen):
+        return (40 - max(1, f.bit_length())) * 8 + (4 - plen)
+
+    def segment(w, costs):
+        n = len(w)
+        best = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best[i] = min(
+                best[i - l] + costs[w[i - l:i]]
+                for l in range(1, min(maxp, i) + 1)
+                if w[i - l:i] in costs
+            )
+        pieces, pos = [], n
+        while pos > 0:
+            for l in range(min(maxp, pos), 0, -1):
+                p = w[pos - l:pos]
+                if p in costs and best[pos - l] + costs[p] == best[pos]:
+                    pieces.append(p)
+                    pos -= l
+                    break
+        return pieces
+
+    wpd, wfreq, pf = {}, {}, {}
+    for did, text in docs:
+        for w0 in text.lower().split():
+            if w0:
+                w = w0[:maxw]
+                wpd[(did, w)] = wpd.get((did, w), 0) + 1
+    for (did, w), m in wpd.items():
+        wfreq[w] = wfreq.get(w, 0) + m
+    for w, f in wfreq.items():
+        for i in range(len(w)):
+            for l in range(1, maxp + 1):
+                if i + l <= len(w):
+                    pf[w[i:i + l]] = pf.get(w[i:i + l], 0) + f
+    chars = {p: f for p, f in pf.items() if len(p) == 1}
+    multi = sorted(((p, f) for p, f in pf.items() if len(p) > 1),
+                   key=lambda x: (-x[1], x[0]))[:v]
+    costs = {p: cost_of(f, len(p))
+             for p, f in {**chars, **dict(multi)}.items()}
+    usage = {}
+    for w, f in wfreq.items():
+        for p in segment(w, costs):
+            usage[p] = usage.get(p, 0) + f
+    nv = {p: usage.get(p, 0) for p in chars}
+    nv.update({p: usage[p] for p, _ in multi if usage.get(p, 0) >= 1})
+    costs = {p: cost_of(f, len(p)) for p, f in nv.items()}
+    out = {}
+    tokc = {w: len(segment(w, costs)) for w in wfreq}
+    for (did, w), m in wpd.items():
+        nw, nt = out.get(did, (0, 0))
+        out[did] = (nw + m, nt + m * tokc[w])
+    return out
+
+
+def test_unigram_lm_token_counts(spark):
+    """r14: unigram-LM (SentencePiece-style) tokenizer training —
+    the Spark fold-DP/Viterbi-walk pipeline matches a hand
+    implementation of the frozen hard-EM spec exactly: truncation
+    cap, longest-piece tiebreak, M-step pruning, char fallback for
+    unseen-cost regions all land the same integer billing."""
+    from geniepool_etl_spark.operators.text import (
+        unigram_lm_token_counts,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the the cat catcat matter"),
+        (3, "internationalization is international"),
+        (4, "on on on the mat sat a cat"),
+        (5, "zzz zzz zzzzzzzzzzzzzzzzzzzzzz q"),  # truncation + rare
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in unigram_lm_token_counts(df).collect()
+    )
+    exp = sorted(
+        (d, nw, nt) for d, (nw, nt) in _unigram_ref(docs).items()
+    )
+    assert got == exp
+    # vocabulary actually compresses: multi-char pieces must win
+    # somewhere (fewer tokens than characters for doc 3)
+    chars3 = sum(len(w) for w in docs[2][1].split())
+    assert dict((d, t) for d, _w, t in got)[3] < chars3
