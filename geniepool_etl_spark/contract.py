@@ -1320,7 +1320,13 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return E.session_agg(_events(spark, sf_dir))
+    """Gap sessionization via the TWO-PHASE scale path (r14):
+    per-(user, 2·gap bucket) hash-aggregated array folds replace the
+    partition-wide sort, then only boundary-open partial sessions
+    enter the per-user chain merge. Identical output to the native
+    ``session_window`` reference (operators/events.session_agg) —
+    same oracle, plus the equivalence pytest."""
+    return E.session_agg_two_phase(_events(spark, sf_dir))
 
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

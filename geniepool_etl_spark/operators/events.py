@@ -123,6 +123,120 @@ def session_agg(
     )
 
 
+def session_agg_two_phase(
+    df: DataFrame,
+    gap_us: int = 30 * US_PER_MIN,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization, TWO-PHASE scale path (r14 — same
+    result as :func:`session_agg`, inclusive-gap boundary and all;
+    the native ``session_window`` stays the reference
+    implementation, pinned identical by pytest and the shared
+    driver oracle).
+
+    Why: the native path's sf100 limiter is per-core SORT
+    throughput — a partition-wide Tungsten sort whose working set
+    (~3M rows/partition on the fixed box) outgrows cache, and more
+    partitions don't help (measured flat 29-32 s at 32/128/256).
+    Phase 1 removes that sort entirely: events hash-aggregate into
+    (user, 2·gap time bucket) groups (``collect_list`` — no
+    sort-merge), each group's small array is sorted IN CACHE and
+    folded into per-bucket partial sessions. Phase 2 must merge
+    only sessions that can cross a bucket boundary: with bucket
+    width 2·gap, non-adjacent buckets are > gap apart, and any
+    interior session disproves a merge around it (it would have
+    merged in phase 1), so ONLY boundary-open sessions — last
+    ending within gap of the bucket top or first starting within
+    gap of the bucket bottom — enter the per-user chain window.
+    That window's volume is bounded by users × active buckets, not
+    events; interior sessions pass through untouched.
+    """
+    bucket_us = 2 * gap_us
+    e = with_event_time(df).select(
+        F.col(key_col),
+        "ts_us",
+        "value",
+        (F.floor(F.col("ts_us") / bucket_us)).alias("_bkt"),
+    )
+    # phase 1: per-(user, bucket) partial sessions from a cache-local
+    # array fold — acc is array<struct<start, end, n, mx>>; the last
+    # element either extends (inclusive gap) or a new session appends
+    fold = (
+        "aggregate(sort_array(collect_list(struct(ts_us, value))), "
+        "CAST(array() AS ARRAY<STRUCT<st: BIGINT, en: BIGINT, "
+        "n: BIGINT, mx: DOUBLE>>), "
+        "(acc, ev) -> CASE WHEN size(acc) > 0 "
+        f"AND ev.ts_us - element_at(acc, -1).en <= {gap_us} "
+        "THEN concat(slice(acc, 1, size(acc) - 1), array(named_struct("
+        "'st', element_at(acc, -1).st, 'en', ev.ts_us, "
+        "'n', element_at(acc, -1).n + 1, "
+        "'mx', greatest(element_at(acc, -1).mx, ev.value)))) "
+        "ELSE concat(acc, array(named_struct('st', ev.ts_us, "
+        "'en', ev.ts_us, 'n', CAST(1 AS BIGINT), 'mx', ev.value))) "
+        "END)"
+    )
+    partial = (
+        e.groupBy(key_col, "_bkt")
+        .agg(F.expr(fold).alias("_sess"))
+        .select(
+            key_col,
+            "_bkt",
+            F.explode("_sess").alias("s"),
+        )
+        .select(
+            key_col,
+            F.col("s.st").alias("start"),
+            F.col("s.en").alias("end"),
+            F.col("s.n").alias("n"),
+            F.col("s.mx").alias("mx"),
+            (
+                ((F.col("_bkt") + 1) * bucket_us - F.col("s.en"))
+                <= gap_us
+            ).alias("_open_top"),
+            (
+                (F.col("s.st") - F.col("_bkt") * bucket_us)
+                <= gap_us
+            ).alias("_open_bottom"),
+        )
+    )
+    boundary = partial.where(F.col("_open_top") | F.col("_open_bottom"))
+    interior = partial.where(
+        ~(F.col("_open_top") | F.col("_open_bottom"))
+    )
+    w = Window.partitionBy(key_col).orderBy("start", "end")
+    chained = (
+        boundary.withColumn(
+            "_new",
+            F.when(
+                F.col("start") - F.lag("end").over(w) > gap_us, 1
+            ).otherwise(
+                F.when(F.lag("end").over(w).isNull(), 1).otherwise(0)
+            ),
+        )
+        .withColumn(
+            "_chain",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(key_col, "_chain")
+        .agg(
+            F.min("start").alias("start"),
+            F.sum("n").alias("n"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    out_cols = [
+        F.col(key_col),
+        F.col("start").alias("session_start_us"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("mx"), 4).alias("max_value"),
+    ]
+    return chained.select(*out_cols).unionByName(
+        interior.select(*out_cols)
+    )
+
+
 def with_prev_event(df: DataFrame) -> DataFrame:
     """Per-user sequence features: previous event type and gap (µs)
     since the previous event, via ``lag`` over a (user_id) partition

@@ -6624,3 +6624,44 @@ def test_unigram_lm_token_counts(spark):
     # somewhere (fewer tokens than characters for doc 3)
     chars3 = sum(len(w) for w in docs[2][1].split())
     assert dict((d, t) for d, _w, t in got)[3] < chars3
+
+
+def test_session_two_phase_matches_native(spark):
+    """r14: the two-phase sessionization (bucketed array folds +
+    boundary-only chain merge) is pinned IDENTICAL to the native
+    session_window reference on adversarial data: exact-gap edges,
+    events on exact bucket boundaries, chains spanning several
+    buckets, and single-event sessions."""
+    import random
+
+    from geniepool_etl_spark.operators.events import (
+        US_PER_MIN,
+        session_agg,
+        session_agg_two_phase,
+    )
+
+    rng = random.Random(42)
+    GAP = 30 * US_PER_MIN
+    B = 2 * GAP
+    rows, eid = [], 0
+    for u in range(40):
+        t = rng.randint(0, 5) * 1_000_000
+        for _ in range(rng.randint(0, 120)):
+            t += rng.choice(
+                [0, 1, GAP, GAP + 1, GAP - 1, B - 1, B, B + 1,
+                 rng.randint(1, 3 * GAP)]
+            )
+            rows.append((eid, u, t, round(rng.uniform(0, 100), 2)))
+            eid += 1
+    for u in range(40, 44):  # exact boundary hits + long chains
+        for k in range(6):
+            rows.append((eid, u, k * B, 1.0))
+            eid += 1
+            rows.append((eid, u, k * B + GAP, 2.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    a = sorted(tuple(r) for r in session_agg(df).collect())
+    b = sorted(tuple(r) for r in session_agg_two_phase(df).collect())
+    assert a == b and len(a) >= 44
