@@ -1320,13 +1320,14 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap sessionization via the TWO-PHASE scale path (r14):
-    per-(user, 2·gap bucket) hash-aggregated array folds replace the
-    partition-wide sort, then only boundary-open partial sessions
-    enter the per-user chain merge. Identical output to the native
-    ``session_window`` reference (operators/events.session_agg) —
-    same oracle, plus the equivalence pytest."""
-    return E.session_agg_two_phase(_events(spark, sf_dir))
+    """Gap sessionization via the native ``session_window`` — kept as
+    the lane implementation after the r14 two-phase attempt MEASURED
+    SLOWER at every scale and density (see
+    operators/events.session_agg_two_phase and SCALE.md): the
+    codegen sort's per-row constant beats the interpreted fold by
+    5-10×, and this corpus's 1.05 events/session voids the
+    volume-reduction premise."""
+    return E.session_agg(_events(spark, sf_dir))
 
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

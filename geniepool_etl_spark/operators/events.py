@@ -127,31 +127,36 @@ def session_agg_two_phase(
     df: DataFrame,
     gap_us: int = 30 * US_PER_MIN,
     key_col: str = "user_id",
+    bucket_factor: int = 8,
 ) -> DataFrame:
-    """Gap-based sessionization, TWO-PHASE scale path (r14 — same
-    result as :func:`session_agg`, inclusive-gap boundary and all;
-    the native ``session_window`` stays the reference
-    implementation, pinned identical by pytest and the shared
-    driver oracle).
+    """Gap-based sessionization, two-phase formulation (r14 — same
+    result as :func:`session_agg`, inclusive-gap boundary and all,
+    pinned identical by pytest at bucket_factor 2 and 8).
 
-    Why: the native path's sf100 limiter is per-core SORT
-    throughput — a partition-wide Tungsten sort whose working set
-    (~3M rows/partition on the fixed box) outgrows cache, and more
-    partitions don't help (measured flat 29-32 s at 32/128/256).
-    Phase 1 removes that sort entirely: events hash-aggregate into
-    (user, 2·gap time bucket) groups (``collect_list`` — no
-    sort-merge), each group's small array is sorted IN CACHE and
-    folded into per-bucket partial sessions. Phase 2 must merge
-    only sessions that can cross a bucket boundary: with bucket
-    width 2·gap, non-adjacent buckets are > gap apart, and any
-    interior session disproves a merge around it (it would have
-    merged in phase 1), so ONLY boundary-open sessions — last
-    ending within gap of the bucket top or first starting within
-    gap of the bucket bottom — enter the per-user chain window.
-    That window's volume is bounded by users × active buckets, not
-    events; interior sessions pass through untouched.
+    Phase 1 hash-aggregates events into (user, bucket_factor·gap
+    bucket) groups and folds each group's sorted array into partial
+    sessions — no partition-wide sort. Phase 2 merges only
+    boundary-open partial sessions (with bucket ≥ 2·gap,
+    non-adjacent buckets are > gap apart, and any interior session
+    between two merge candidates would have merged in phase 1, so
+    the candidate-only per-user chain window is exact and bounded
+    by users × active buckets).
+
+    MEASURED NEGATIVE RESULT (r14, SCALE.md): on this box the
+    interpreted per-event fold loses to the native path's
+    whole-stage-codegen sort by 5-10× at every probed scale and
+    density — sf10 10.3/11.0/4.7 s (K=2/8/32) and dense-stream
+    (5.8 ev/session) 9.6/8.2 s vs native 1.6-2.2 s; sf100 126 s vs
+    42 s. This corpus's 1.05 events/session also voids the premise
+    that phase 1 collapses volume. The lane therefore runs
+    :func:`session_agg`; this implementation stays as the
+    equivalence-pinned alternative for engines/regimes where the
+    sort, not expression eval, is the binding constraint.
     """
-    bucket_us = 2 * gap_us
+    if bucket_factor < 2:
+        raise ValueError("bucket_factor must be >= 2 (non-adjacent "
+                         "buckets must be > gap apart)")
+    bucket_us = bucket_factor * gap_us
     e = with_event_time(df).select(
         F.col(key_col),
         "ts_us",

@@ -6663,5 +6663,10 @@ def test_session_two_phase_matches_native(spark):
         rows, "event_id long, user_id long, ts long, value double"
     )
     a = sorted(tuple(r) for r in session_agg(df).collect())
-    b = sorted(tuple(r) for r in session_agg_two_phase(df).collect())
-    assert a == b and len(a) >= 44
+    for k in (2, 8):
+        b = sorted(
+            tuple(r)
+            for r in session_agg_two_phase(df, bucket_factor=k).collect()
+        )
+        assert a == b, k
+    assert len(a) >= 44
