@@ -132,8 +132,9 @@ def main() -> None:
     timed_read(total - deleted2, "read_postcompact_sec")
 
     # (c) change-feed replay across the 9 delete commits
+    # (from_version is EXCLUSIVE — "strictly after"; 0 covers v1..v9)
     t0 = time.time()
-    ch = ST.read_changes(spark, TBL, from_version=1, to_version=9)
+    ch = ST.read_changes(spark, TBL, from_version=0, to_version=9)
     n_ch = ch.where("_change_type = 'delete'").count()
     out["changefeed_sec"] = round(time.time() - t0, 2)
     out["changefeed_delete_rows"] = n_ch
