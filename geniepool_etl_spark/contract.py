@@ -7025,6 +7025,93 @@ GROUP BY wpd.doc_id
 """
 
 
+def q_text_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORDPIECE ENCODE (operators/text.wordpiece_token_counts —
+    Devlin et al. 2018 greedy longest-match-first with '##'
+    continuation pieces) under a corpus-derived vocabulary: all
+    word-initial + continuation chars (guaranteed fallback) plus the
+    top-64 multi-char pieces. Per-doc (n_words, n_tokens). The walk
+    is one JVM fold per distinct word; the oracle unrolls the same
+    greedy walk as nested subquery levels."""
+    return TX.wordpiece_token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _wordpiece_oracle() -> str:
+    """Unrolled greedy longest-match walk: pos_0 = 0; step k picks
+    the longest vocab piece at pos (word-initial raw at pos 0,
+    '##'-prefixed after), consuming length − 2 for every non-FIRST
+    step (the synthetic prefix, counted by emission order exactly as
+    the Spark fold does)."""
+    inner = ("SELECT w, length(w) AS n, m, CAST(0 AS BIGINT) AS pos_0"
+             " FROM wfreq, vm")
+    for k in range(1, _UNI_MAXW + 1):
+        p = f"pos_{k - 1}"
+        cands = []
+        for l in range(_UNI_MAXP, 0, -1):
+            key = (f"CASE WHEN {p} = 0 THEN substr(w, {p} + 1, {l}) "
+                   f"ELSE '##' || substr(w, {p} + 1, {l}) END")
+            cands.append(
+                f"CASE WHEN {p} + {l} <= n AND m[{key}][1] IS NOT "
+                f"NULL THEN {key} END"
+            )
+        inner = (f"SELECT *, CASE WHEN {p} >= n THEN NULL ELSE "
+                 f"coalesce({', '.join(cands)}) END AS piece_{k} "
+                 f"FROM ({inner})")
+        sub = "2" if k > 1 else "0"
+        inner = (f"SELECT *, {p} + CASE WHEN piece_{k} IS NULL THEN 0 "
+                 f"ELSE length(piece_{k}) - {sub} END AS pos_{k} "
+                 f"FROM ({inner})")
+    counted = " + ".join(
+        f"CASE WHEN piece_{k} IS NOT NULL THEN 1 ELSE 0 END"
+        for k in range(1, _UNI_MAXW + 1)
+    )
+    return f"""
+WITH wpd AS (
+  SELECT doc_id, left(word, {_UNI_MAXW}) AS w, count(*) AS m FROM (
+    SELECT doc_id, unnest(
+      string_split_regex(trim(lower(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE length(word) > 0 GROUP BY 1, 2
+),
+wfreq AS (
+  SELECT w, CAST(sum(m) AS BIGINT) AS freq FROM wpd GROUP BY 1
+),
+pf AS (
+  SELECT CASE WHEN i = 1 THEN substr(w, i, l)
+              ELSE '##' || substr(w, i, l) END AS p,
+         CAST(sum(freq) AS BIGINT) AS f
+  FROM wfreq,
+       UNNEST(range(1, length(w) + 1)) AS u(i),
+       UNNEST(range(1, {_UNI_MAXP + 1})) AS v(l)
+  WHERE i + l - 1 <= length(w)
+  GROUP BY 1
+),
+vocab AS (
+  SELECT p FROM pf
+  WHERE length(p) - CASE WHEN p LIKE '##%' THEN 2 ELSE 0 END = 1
+  UNION ALL
+  SELECT p FROM (
+    SELECT p, row_number() OVER (ORDER BY f DESC, p) AS rk
+    FROM pf
+    WHERE length(p) - CASE WHEN p LIKE '##%' THEN 2 ELSE 0 END > 1
+  ) WHERE rk <= {_UNI_V}
+),
+vm AS (
+  SELECT map(list(p ORDER BY p),
+             list(CAST(1 AS BIGINT) ORDER BY p)) AS m
+  FROM vocab
+),
+wt AS (
+  SELECT w, CAST({counted} AS BIGINT) AS n_tok FROM ({inner})
+)
+SELECT wpd.doc_id,
+       CAST(sum(wpd.m) AS BIGINT) AS n_words,
+       CAST(sum(wpd.m * wt.n_tok) AS BIGINT) AS n_tokens
+FROM wpd JOIN wt USING (w)
+GROUP BY wpd.doc_id
+"""
+
+
 def _bpe_encode_oracle(k: int) -> str:
     rounds = []
     for i in range(1, k + 1):
@@ -11546,6 +11633,7 @@ FROM g
     o["text_bpe_merges"] = _bpe_oracle(_BPE_K)
     o["text_bpe_encode"] = _bpe_encode_oracle(_BPE_K)
     o["text_unigram_lm"] = _unigram_oracle()
+    o["text_wordpiece"] = _wordpiece_oracle()
     o["a18_countmin_topk"] = _countmin_oracle(4, 256, 20)
     o["stream_countmin"] = _stream_countmin_oracle(4, 256)
     o["a19_loghist_quantiles"] = _LOGHIST_ORACLE
@@ -12659,6 +12747,7 @@ SPARK_QUERIES = {
     "text_perplexity": q_text_perplexity,
     "text_bpe_encode": q_text_bpe_encode,
     "text_unigram_lm": q_text_unigram_lm,
+    "text_wordpiece": q_text_wordpiece,
     "obs_drift_ks": q_obs_drift_ks,
     "obs_expectations": q_obs_expectations,
     "graph_triangles": q_graph_triangles,

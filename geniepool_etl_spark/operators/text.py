@@ -1780,3 +1780,129 @@ def unigram_lm_token_counts(
             .alias("n_tokens"),
         )
     )
+
+
+def _wordpiece_walk_expr(max_word: int, max_piece: int) -> str:
+    """SQL-HOF text for WordPiece greedy longest-match-first
+    inference (Devlin et al. 2018 — public): a left-to-right fold
+    whose accumulator is the piece list; the current position is the
+    summed piece lengths (continuation pieces carry a '##' prefix
+    that does not consume characters), and each step takes the
+    LONGEST vocab piece at the position — word-initial pieces match
+    at position 0, '##'-prefixed continuation pieces after it. The
+    single-char fallback is guaranteed by vocabulary construction,
+    so no unknown branch is needed."""
+    # consumed chars so far: by construction every piece AFTER the
+    # first carries a synthetic 2-char '##' prefix and the first
+    # never does, so subtract 2 per non-first piece — counting by
+    # emission order, NOT by prefix sniffing, stays exact for words
+    # containing literal '#' characters
+    pos = ("CAST(aggregate(acc, CAST(0 AS BIGINT), (a, q) -> "
+           "a + length(q)) "
+           "- 2 * greatest(0, size(acc) - 1) AS INT)")
+    # candidate piece of length l at pos: word-initial (pos = 0)
+    # matches the raw substring; continuation matches '##' || sub
+    def cand(l: int) -> str:
+        sub = f"substr(w, {pos} + 1, {l})"
+        return (f"CASE WHEN {pos} + {l} <= length(w) AND "
+                f"try_element_at(m, CASE WHEN {pos} = 0 THEN {sub} "
+                f"ELSE '##' || {sub} END) IS NOT NULL "
+                f"THEN CASE WHEN {pos} = 0 THEN {sub} "
+                f"ELSE '##' || {sub} END END")
+    whens = " ".join(
+        f"WHEN {cand(l)} IS NOT NULL THEN {cand(l)}"
+        for l in range(max_piece, 0, -1)
+    )
+    return (
+        f"aggregate(sequence(1, {max_word}), "
+        "CAST(array() AS ARRAY<STRING>), "
+        f"(acc, z) -> CASE WHEN {pos} >= length(w) THEN acc "
+        f"ELSE concat(acc, array(CASE {whens} END)) END)"
+    )
+
+
+def wordpiece_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word: int = 12,
+    max_piece: int = 4,
+    vocab_size: int = 64,
+) -> DataFrame:
+    """WordPiece ENCODE at corpus scale (greedy longest-match-first
+    inference with '##' continuation pieces — the BERT tokenizer's
+    published algorithm) under a corpus-derived vocabulary: all
+    word-initial and continuation single chars (the guaranteed
+    fallback) plus the top ``vocab_size`` multi-char pieces by
+    frequency (word-initial and continuation scored as distinct
+    pieces, ties by piece text). Reported as per-document
+    ``(n_words, n_tokens)`` like the BPE and unigram lanes.
+
+    Same scale shape as :func:`unigram_lm_token_counts`: tokenize
+    once per DISTINCT word with a single JVM fold (linear in
+    ``max_word``), vocabulary as a broadcast 1-row map — no
+    driver-side corpus state, keyed aggregates everywhere.
+    """
+    wpd = (
+        df.select(
+            F.col(id_col),
+            F.explode(words_col(F.lower(F.col(text_col)))).alias("w0"),
+        )
+        .where(F.length("w0") > 0)
+        .select(F.col(id_col), F.substring("w0", 1, max_word).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    wfreq = wpd.groupBy("w").agg(F.sum("m").cast("long").alias("freq"))
+    # piece candidates with the continuation distinction: position 1
+    # emits the raw substring, positions > 1 emit '##' || substring
+    pieces_expr = (
+        "flatten(transform(sequence(1, length(w)), i -> "
+        f"filter(transform(sequence(1, {max_piece}), l -> "
+        "CASE WHEN i + l - 1 <= length(w) THEN "
+        "CASE WHEN i = 1 THEN substr(w, i, l) "
+        "ELSE '##' || substr(w, i, l) END END), "
+        "p -> p IS NOT NULL)))"
+    )
+    pf = (
+        wfreq.select(F.explode(F.expr(pieces_expr)).alias("p"), "freq")
+        .groupBy("p")
+        .agg(F.sum("freq").cast("long").alias("f"))
+    )
+    plen = F.length("p") - F.when(
+        F.col("p").startswith("##"), F.lit(2)
+    ).otherwise(F.lit(0))
+    chars = pf.where(plen == 1)
+    multi = (
+        pf.where(plen > 1)
+        .orderBy(F.desc("f"), F.asc("p"))
+        .limit(vocab_size)
+    )
+    vmap = (
+        chars.unionByName(multi)
+        .select(F.struct(F.col("p"), F.lit(1).alias("c")).alias("e"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list("e"))
+            ).alias("m")
+        )
+    )
+    word_tok = (
+        wfreq.crossJoin(F.broadcast(vmap))
+        .select(
+            "w",
+            F.size(
+                F.expr(_wordpiece_walk_expr(max_word, max_piece))
+            ).cast("long").alias("n_tok"),
+        )
+    )
+    return (
+        wpd.join(word_tok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_words"),
+            F.sum(F.col("m") * F.col("n_tok"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

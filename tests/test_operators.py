@@ -6670,3 +6670,73 @@ def test_session_two_phase_matches_native(spark):
         )
         assert a == b, k
     assert len(a) >= 44
+
+
+def _wordpiece_ref(docs, maxw=12, maxp=4, v=64):
+    """Hand implementation of the WordPiece encode spec: corpus
+    vocab (initial + '##'-continuation pieces, char fallback,
+    top-v multi), greedy longest-match-first walk."""
+    wpd, wfreq, pf = {}, {}, {}
+    for did, text in docs:
+        for w0 in text.lower().split():
+            if w0:
+                w = w0[:maxw]
+                wpd[(did, w)] = wpd.get((did, w), 0) + 1
+    for (did, w), m in wpd.items():
+        wfreq[w] = wfreq.get(w, 0) + m
+    for w, f in wfreq.items():
+        for i in range(len(w)):
+            for l in range(1, maxp + 1):
+                if i + l <= len(w):
+                    p = w[i:i + l] if i == 0 else "##" + w[i:i + l]
+                    pf[p] = pf.get(p, 0) + f
+    def plen(p):
+        return len(p) - 2 if p.startswith("##") else len(p)
+    chars = {p for p in pf if plen(p) == 1}
+    multi = [p for p, _ in sorted(
+        ((p, f) for p, f in pf.items() if plen(p) > 1),
+        key=lambda x: (-x[1], x[0]))[:v]]
+    vocab = chars | set(multi)
+
+    def ntok(w):
+        pos, k = 0, 0
+        while pos < len(w):
+            for l in range(min(maxp, len(w) - pos), 0, -1):
+                key = (w[pos:pos + l] if pos == 0
+                       else "##" + w[pos:pos + l])
+                if key in vocab:
+                    pos += l
+                    k += 1
+                    break
+        return k
+
+    out = {}
+    for (did, w), m in wpd.items():
+        nw, nt = out.get(did, (0, 0))
+        out[did] = (nw + m, nt + m * ntok(w))
+    return out
+
+
+def test_wordpiece_token_counts(spark):
+    """r14: WordPiece greedy longest-match encode matches the hand
+    reference exactly, including words containing literal '#'
+    (consumed chars counted by emission order, not prefix
+    sniffing), truncation, and the char fallback."""
+    from geniepool_etl_spark.operators.text import (
+        wordpiece_token_counts,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the the cat catcat matter"),
+        (3, "internationalization is international"),
+        (4, "##sharp #tag a##b zzzzzzzzzzzzzzzz q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in wordpiece_token_counts(df).collect()
+    )
+    exp = sorted(
+        (d, nw, nt) for d, (nw, nt) in _wordpiece_ref(docs).items()
+    )
+    assert got == exp
