@@ -3737,6 +3737,34 @@ def q_multimodal_vp8l_bundled_palette(
     )
 
 
+def q_multimodal_webp_anim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANIMATED WebP decode (r14 — multimodal.synth_webp_anim_assets
+    → _webp_anim_pixel_sums): VP8X canvas + ANIM + 2..5 ANMF frames
+    (full-canvas base + even-y strip frames, no-blend, dispose
+    NONE), composited in order; the final canvas pixel at row y is
+    frame min(y//2+1, K−1) where covered else frame 0 — a closed
+    form the oracle recomputes. Blend math and background disposal
+    are pinned by hand-authored pytests."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 4)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(8) + (F.col("doc_id") % 7) * 5)
+            .cast("long")
+            .alias("width"),
+            (F.lit(12) + (F.col("doc_id") % 5) * 6)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_anim_assets(params)
+    )
+
+
 def q_multimodal_vp8l_dist(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10616,6 +10644,37 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_webp_anim"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 8 + (doc_id % 7) * 5 AS w,
+                 12 + (doc_id % 5) * 6 AS h,
+                 doc_id % 7 AS a,
+                 2 + (doc_id % 4) AS k
+          FROM documents WHERE doc_id % 13 = 4
+        ),
+        px AS (
+          SELECT asset_id, i % w AS x, i // w AS y,
+                 CASE WHEN (i // w) <= 2 * (k - 2) + 2
+                      THEN LEAST((i // w) // 2 + 1, k - 1)
+                      ELSE 0 END AS kb,
+                 a
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum((19 * x + 23 * y + 7 * kb + 31 * a) % 256)
+                      AS BIGINT) AS sum_r,
+                 CAST(sum((7 * x + 11 * y + 13 * kb + 5 * a) % 256)
+                      AS BIGINT) AS sum_g,
+                 CAST(sum((23 * x + 3 * y + 17 * kb + 11 * a) % 256)
+                      AS BIGINT) AS sum_b
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_vp8l_dist"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -12545,6 +12604,7 @@ SPARK_QUERIES = {
     "multimodal_vp8l_meta": q_multimodal_vp8l_meta,
     "multimodal_vp8l_bundled": q_multimodal_vp8l_bundled,
     "multimodal_vp8l_dist": q_multimodal_vp8l_dist,
+    "multimodal_webp_anim": q_multimodal_webp_anim,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,

@@ -3638,6 +3638,17 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
         at += 8 + size + (size & 1)
     if body is None or end > n:
         raise ValueError("webp: no complete VP8L chunk")
+    w, h, px = _vp8l_pixels_at(raw, body, end)
+    sr = sum(p[1] for p in px)
+    sg = sum(p[2] for p in px)
+    sb_ = sum(p[3] for p in px)
+    return (w * h, sr, sg, sb_)
+
+
+def _vp8l_pixels_at(raw: bytes, body: int, end: int):
+    """Decode one VP8L bitstream (``raw[body:end]``, signature byte
+    first) to ``(w, h, pixels)`` — the shared core of the still-image
+    sums and the r14 ANMF animation compositor."""
     if raw[body] != 0x2F:
         raise ValueError("webp: bad VP8L signature")
     rd = _Vp8lBitReader(raw[:end], body + 1)
@@ -3739,10 +3750,7 @@ def _webp_lossless_pixel_sums(raw: bytes) -> tuple:
                         )
                     out.append(palette[idx])
             px = out
-    sr = sum(p[1] for p in px)
-    sg = sum(p[2] for p in px)
-    sb_ = sum(p[3] for p in px)
-    return (w * h, sr, sg, sb_)
+    return (w, h, px)
 
 
 def synth_webp_lossless_assets(
@@ -4955,6 +4963,257 @@ def synth_webp_vp8l_bundled_palette_assets(
     return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def _webp_anim_pixel_sums(raw: bytes) -> tuple:
+    """Decode an ANIMATED WebP (r14 — RFC 9649 muxing layer) to the
+    final composited canvas's exact per-channel sums: VP8X (canvas
+    dims, animation flag) → ANIM (background color, loop count) →
+    ANMF frames in order, each a 16-byte header (x/2, y/2, w−1,
+    h−1, duration, blend + disposal flags) wrapping a full VP8L
+    bitstream decoded by the shared still-image core. Compositing:
+    canvas starts fully transparent; no-blend frames overwrite their
+    rectangle; alpha-blend frames use the spec's OVER formula in the
+    repo's floor-division integer convention (tA = dA·(255−sA)//255;
+    out = (src·sA + dst·tA)//(sA+tA)); DISPOSE_BACKGROUND fills the
+    frame rect with the ANIM background color before the NEXT frame.
+    The returned sums are the state after the LAST frame renders
+    (its own disposal belongs to the next loop iteration). Frame
+    rects must lie inside the canvas; truncation/missing chunks
+    raise — poison stays poison."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        raise ValueError("not WebP")
+    at, n = 12, len(raw)
+    W = H = None
+    bg = (0, 0, 0, 0)
+    frames = []  # (x, y, w, h, blend, dispose, body, end)
+    while at + 8 <= n:
+        fcc = raw[at:at + 4]
+        (csz,) = struct.unpack_from("<I", raw, at + 4)
+        payload_at, payload_end = at + 8, at + 8 + csz
+        if payload_end > n:
+            raise ValueError("webp anim: truncated chunk")
+        if fcc == b"VP8X":
+            if csz < 10:
+                raise ValueError("webp anim: short VP8X")
+            W = 1 + int.from_bytes(
+                raw[payload_at + 4:payload_at + 7], "little"
+            )
+            H = 1 + int.from_bytes(
+                raw[payload_at + 7:payload_at + 10], "little"
+            )
+        elif fcc == b"ANIM":
+            if csz < 6:
+                raise ValueError("webp anim: short ANIM")
+            b_, g_, r_, a_ = raw[payload_at:payload_at + 4]
+            bg = (a_, r_, g_, b_)
+        elif fcc == b"ANMF":
+            if csz < 16:
+                raise ValueError("webp anim: short ANMF")
+            fx = 2 * int.from_bytes(
+                raw[payload_at:payload_at + 3], "little"
+            )
+            fy = 2 * int.from_bytes(
+                raw[payload_at + 3:payload_at + 6], "little"
+            )
+            fw = 1 + int.from_bytes(
+                raw[payload_at + 6:payload_at + 9], "little"
+            )
+            fh = 1 + int.from_bytes(
+                raw[payload_at + 9:payload_at + 12], "little"
+            )
+            flags = raw[payload_at + 15]
+            # inner chunk walk for the frame's VP8L bitstream
+            fat = payload_at + 16
+            body = end = None
+            while fat + 8 <= payload_end:
+                ifcc = raw[fat:fat + 4]
+                (isz,) = struct.unpack_from("<I", raw, fat + 4)
+                if ifcc == b"VP8L":
+                    body, end = fat + 8, fat + 8 + isz
+                    break
+                fat += 8 + isz + (isz & 1)
+            if body is None or end > payload_end:
+                raise ValueError("webp anim: frame without VP8L")
+            frames.append(
+                (fx, fy, fw, fh,
+                 not (flags & 0x02),  # B=1 means NO blending
+                 bool(flags & 0x01), body, end)
+            )
+        at += 8 + csz + (csz & 1)
+    if W is None or not frames:
+        raise ValueError("webp anim: no VP8X/ANMF")
+    canvas = [(0, 0, 0, 0)] * (W * H)
+    pending_dispose = None
+    for fx, fy, fw, fh, blend, dispose, body, end in frames:
+        if fx + fw > W or fy + fh > H:
+            raise ValueError("webp anim: frame outside canvas")
+        if pending_dispose is not None:
+            dx, dy, dw, dh = pending_dispose
+            for y in range(dy, dy + dh):
+                base = y * W
+                for x in range(dx, dx + dw):
+                    canvas[base + x] = bg
+        w, h, px = _vp8l_pixels_at(raw, body, end)
+        if (w, h) != (fw, fh):
+            raise ValueError("webp anim: frame size mismatch")
+        for j in range(fh):
+            cbase = (fy + j) * W + fx
+            fbase = j * fw
+            for i in range(fw):
+                sp = px[fbase + i]
+                if not blend or sp[0] == 255:
+                    canvas[cbase + i] = sp
+                else:
+                    dp = canvas[cbase + i]
+                    ta = dp[0] * (255 - sp[0]) // 255
+                    ba = sp[0] + ta
+                    if ba == 0:
+                        canvas[cbase + i] = (0, 0, 0, 0)
+                    else:
+                        canvas[cbase + i] = (ba,) + tuple(
+                            (sp[c] * sp[0] + dp[c] * ta) // ba
+                            for c in (1, 2, 3)
+                        )
+        pending_dispose = (fx, fy, fw, fh) if dispose else None
+    sr = sum(p[1] for p in canvas)
+    sg = sum(p[2] for p in canvas)
+    sb_ = sum(p[3] for p in canvas)
+    return (W * H, sr, sg, sb_)
+
+
+def _vp8l_literal_chunk(w: int, h: int, pix) -> bytes:
+    """Emit one standalone VP8L chunk (fourcc + size + bitstream,
+    even-padded) coding ``pix(x, y) -> (a, r, g, b)`` as literals
+    with balanced normal codes per channel — the frame payload
+    builder for the animation synth (arbitrary alpha supported for
+    the blend tests)."""
+    import struct
+
+    px = [pix(x, y) for y in range(h) for x in range(w)]
+
+    def balanced(symbols) -> dict:
+        syms = sorted(set(symbols))
+        bits = max(1, (len(syms) - 1).bit_length())
+        pad = (1 << bits) - len(syms)
+        spare = [s for s in range(256) if s not in set(syms)][:pad]
+        return {s: bits for s in syms + spare}
+
+    wr = _Vp8lBitWriter()
+    wr.write(w - 1, 14)
+    wr.write(h - 1, 14)
+    wr.write(0, 1)  # no alpha hint
+    wr.write(0, 3)  # version
+    wr.write(0, 1)  # no transforms
+    wr.write(0, 1)  # no color cache
+    wr.write(0, 1)  # no meta-huffman
+    g_enc = _vp8l_write_huffman(wr, balanced([p[2] for p in px]))
+    r_enc = _vp8l_write_huffman(wr, balanced([p[1] for p in px]))
+    b_enc = _vp8l_write_huffman(wr, balanced([p[3] for p in px]))
+    a_enc = _vp8l_write_huffman(wr, balanced([p[0] for p in px]))
+    wr.write(1, 1)  # distance: simple single 0
+    wr.write(0, 1)
+    wr.write(0, 1)
+    wr.write(0, 1)
+
+    def put(enc, sym):
+        code, ln = enc[sym]
+        for i in range(ln - 1, -1, -1):
+            wr.write((code >> i) & 1, 1)
+
+    for p in px:
+        put(g_enc, p[2])
+        put(r_enc, p[1])
+        put(b_enc, p[3])
+        put(a_enc, p[0])
+    payload = b"\x2f" + wr.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return chunk
+
+
+def synth_webp_anim_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize ANIMATED WebP payloads (r14): VP8X (animation
+    flag + canvas dims) + ANIM + K = 2..5 ANMF frames, each a
+    no-blend VP8L literal frame — frame 0 covers the canvas, frame
+    k ≥ 1 is a full-width 3-row strip at y = 2(k−1) (the spec's
+    even-coordinate rule), so the final composited pixel at row y
+    comes from frame min(y//2 + 1, K−1) when covered, else frame 0:
+    a closed form the DuckDB oracle recomputes. Arrow
+    ``mapInPandas``; narrow."""
+    import struct
+
+    def one(aid: int, w: int, h: int) -> bytes:
+        a7 = aid % 7
+        K = 2 + aid % 4
+
+        def pat(k: int):
+            def pix(x: int, y: int) -> tuple:
+                return (
+                    255,
+                    (19 * x + 23 * y + 7 * k + 31 * a7) % 256,
+                    (7 * x + 11 * y + 13 * k + 5 * a7) % 256,
+                    (23 * x + 3 * y + 17 * k + 11 * a7) % 256,
+                )
+            return pix
+
+        def le24(v: int) -> bytes:
+            return v.to_bytes(3, "little")
+
+        chunks = []
+        vp8x = bytes([0x02, 0, 0, 0]) + le24(w - 1) + le24(h - 1)
+        chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+        anim = bytes([0, 0, 0, 255]) + struct.pack("<H", 0)
+        chunks.append(b"ANIM" + struct.pack("<I", len(anim)) + anim)
+        for k in range(K):
+            if k == 0:
+                fx, fy, fw, fh = 0, 0, w, h
+            else:
+                fx, fy, fw, fh = 0, 2 * (k - 1), w, 3
+
+            def fpix(x, y, k=k, fy=fy):
+                return pat(k)(x, fy + y)  # canvas coordinates
+
+            inner = _vp8l_literal_chunk(fw, fh, fpix)
+            hdr = (
+                le24(fx // 2) + le24(fy // 2)
+                + le24(fw - 1) + le24(fh - 1)
+                + le24(40 + k)
+                + bytes([0x02])  # no-blend, dispose NONE
+            )
+            body = hdr + inner
+            chunk = b"ANMF" + struct.pack("<I", len(body)) + body
+            if len(body) % 2:
+                chunk += b"\x00"
+            chunks.append(chunk)
+        body = b"WEBP" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(aid), int(w), int(h))
+                        for aid, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def _tga_pixel_sums(raw: bytes) -> tuple:
     """Decode a Truevision TGA — 24-bit truecolor, uncompressed
     (type 2) or RLE (type 10, run and literal packets) — to exact
@@ -5176,10 +5435,21 @@ def decode_image_pixel_stats(assets: DataFrame) -> DataFrame:
                             (csz,) = struct.unpack_from(
                                 "<I", raw, at + 4
                             )
-                            if fcc in (b"VP8L", b"VP8 "):
+                            if fcc in (b"VP8L", b"VP8 ", b"ANMF"):
                                 kind = fcc
                                 break
                             at += 8 + csz + (csz & 1)
+                        if kind == b"ANMF":
+                            # animated WebP (r14): composite all
+                            # ANMF frames onto the VP8X canvas
+                            n, sr, sg, sb = _webp_anim_pixel_sums(
+                                raw
+                            )
+                            rows["n_pixels"].append(n)
+                            rows["sum_r"].append(sr)
+                            rows["sum_g"].append(sg)
+                            rows["sum_b"].append(sb)
+                            continue
                         if kind == b"VP8 ":
                             # lossy VP8 key frame (r12): full RFC 6386
                             # key-frame decode — boolean range coder,

@@ -6740,3 +6740,86 @@ def test_wordpiece_token_counts(spark):
         (d, nw, nt) for d, (nw, nt) in _wordpiece_ref(docs).items()
     )
     assert got == exp
+
+
+def test_webp_anim_compositing():
+    """r14: animated WebP — ANMF strip frames composite onto the
+    VP8X canvas in order (closed-form final state), ALPHA BLENDING
+    follows the spec OVER formula in the repo's floor-division
+    convention, and DISPOSE_BACKGROUND fills the frame rect with the
+    ANIM background before the NEXT frame; truncation stays poison."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    # synth round trip at several geometries/frame counts
+    gen = M.synth_webp_anim_assets(StubDF())
+    for aid, w, h in ((0, 8, 12), (3, 38, 12), (6, 43, 36)):
+        a7, K = aid % 7, 2 + aid % 4
+        sr = sg = sb = 0
+        for y in range(h):
+            kb = (min(y // 2 + 1, K - 1)
+                  if y <= 2 * (K - 2) + 2 else 0)
+            for x in range(w):
+                sr += (19 * x + 23 * y + 7 * kb + 31 * a7) % 256
+                sg += (7 * x + 11 * y + 13 * kb + 5 * a7) % 256
+                sb += (23 * x + 3 * y + 17 * kb + 11 * a7) % 256
+        out = next(gen(iter([pd.DataFrame(
+            {"asset_id": [aid], "width": [w], "height": [h]}
+        )])))
+        raw = bytes(out["payload"].iloc[0])
+        assert M._webp_anim_pixel_sums(raw) == (w * h, sr, sg, sb)
+    with pytest.raises(ValueError):
+        M._webp_anim_pixel_sums(raw[: len(raw) - 10])
+
+    # hand-authored 1x1 two-frame anims: blend + dispose paths
+    def le24(v):
+        return v.to_bytes(3, "little")
+
+    def anim(frames, bg=(0, 0, 0, 255)):
+        chunks = []
+        vp8x = bytes([0x02, 0, 0, 0]) + le24(0) + le24(0)
+        chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+        an = bytes(bg) + struct.pack("<H", 0)
+        chunks.append(b"ANIM" + struct.pack("<I", len(an)) + an)
+        for argb, flags in frames:
+            inner = M._vp8l_literal_chunk(1, 1, lambda x, y: argb)
+            hdr = (le24(0) + le24(0) + le24(0) + le24(0)
+                   + le24(40) + bytes([flags]))
+            body = hdr + inner
+            ch = b"ANMF" + struct.pack("<I", len(body)) + body
+            if len(body) % 2:
+                ch += b"\x00"
+            chunks.append(ch)
+        body = b"WEBP" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # alpha blend: dst (255, 100, 200, 40) under src a=128 ->
+    # tA = 255*(255-128)//255 = 127, bA = 255; repo floor convention
+    src = (128, 30, 60, 90)
+    dst = (255, 100, 200, 40)
+    ta = dst[0] * (255 - src[0]) // 255
+    exp = tuple(
+        (src[c] * src[0] + dst[c] * ta) // (src[0] + ta)
+        for c in (1, 2, 3)
+    )
+    raw = anim([(dst, 0x02), (src, 0x00)])  # blend second frame
+    assert M._webp_anim_pixel_sums(raw) == (1,) + exp
+    # no-blend overwrites regardless of alpha
+    raw = anim([(dst, 0x02), (src, 0x02)])
+    assert M._webp_anim_pixel_sums(raw) == (1, 30, 60, 90)
+    # dispose-to-background: frame 1 disposes, frame 2 blends onto bg
+    bg = (10, 20, 30, 200)  # BGRA on the wire
+    bgt = (bg[3], bg[2], bg[1], bg[0])  # (a, r, g, b)
+    ta = bgt[0] * (255 - src[0]) // 255
+    exp = tuple(
+        (src[c] * src[0] + bgt[c] * ta) // (src[0] + ta)
+        for c in (1, 2, 3)
+    )
+    raw = anim([(dst, 0x03), (src, 0x00)], bg=bg)
+    assert M._webp_anim_pixel_sums(raw) == (1,) + exp
