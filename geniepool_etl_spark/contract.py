@@ -3737,6 +3737,32 @@ def q_multimodal_vp8l_bundled_palette(
     )
 
 
+def q_multimodal_exif(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXIF metadata extraction (r14 — multimodal.
+    synth_jpeg_exif_assets → decode_exif_stats): APP1 Exif TIFF
+    structure in BOTH byte orders (asset parity), IFD0
+    (Make out-of-line ASCII, Orientation, DateTime) + Exif sub-IFD
+    (pixel dims, ISO) — the rotation/partition keys an image
+    pipeline filters by before pixel work. Closed-form fields of
+    (asset_id, width, height)."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 8)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(320) + (F.col("doc_id") % 9) * 160)
+            .cast("long")
+            .alias("width"),
+            (F.lit(240) + (F.col("doc_id") % 6) * 120)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_exif_stats(M.synth_jpeg_exif_assets(params))
+
+
 def q_multimodal_webp_anim(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10644,6 +10670,16 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_exif"] = """
+        SELECT doc_id AS asset_id,
+               CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+               CAST(100 + (doc_id % 7) * 50 AS BIGINT) AS iso,
+               CAST(320 + (doc_id % 9) * 160 AS BIGINT) AS px_w,
+               CAST(240 + (doc_id % 6) * 120 AS BIGINT) AS px_h,
+               CAST(2000 + doc_id % 25 AS BIGINT) AS year,
+               'CAM' || CAST(doc_id % 5 AS VARCHAR) AS make
+        FROM documents WHERE doc_id % 13 = 8
+    """
     o["multimodal_webp_anim"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -12605,6 +12641,7 @@ SPARK_QUERIES = {
     "multimodal_vp8l_bundled": q_multimodal_vp8l_bundled,
     "multimodal_vp8l_dist": q_multimodal_vp8l_dist,
     "multimodal_webp_anim": q_multimodal_webp_anim,
+    "multimodal_exif": q_multimodal_exif,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,

@@ -9346,3 +9346,226 @@ def synth_flac_lpc_assets(
             )
 
     return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _exif_fields(raw: bytes) -> dict:
+    """Parse the EXIF block of a JPEG (r14): marker walk to APP1
+    ``Exif\\0\\0`` → embedded TIFF structure (both byte orders, 42
+    magic) → IFD0 entries (Orientation 0x0112, Make 0x010F,
+    DateTime 0x0132, Exif-IFD pointer 0x8769) → Exif sub-IFD
+    (PixelXDimension 0xA002, PixelYDimension 0xA003,
+    ISOSpeedRatings 0x8827). Inline values respect the byte order;
+    out-of-line values (count·size > 4) follow offsets from the
+    TIFF base. Malformed structures raise — poison stays poison."""
+    import struct
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("exif: not JPEG")
+    at, n = 2, len(raw)
+    tiff = None
+    while at + 4 <= n:
+        if raw[at] != 0xFF:
+            raise ValueError("exif: bad marker stream")
+        marker = raw[at + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            at += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", raw, at + 2)
+        if marker == 0xE1 and raw[at + 4:at + 10] == b"Exif\x00\x00":
+            tiff = raw[at + 10:at + 2 + seglen]
+            break
+        if marker == 0xDA:  # SOS: entropy data follows, stop walking
+            break
+        at += 2 + seglen
+    if tiff is None:
+        raise ValueError("exif: no APP1 Exif segment")
+    if len(tiff) < 8:
+        raise ValueError("exif: short TIFF header")
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("exif: bad byte order")
+    if struct.unpack_from(e + "H", tiff, 2)[0] != 42:
+        raise ValueError("exif: bad TIFF magic")
+
+    def read_ifd(off: int) -> dict:
+        (cnt,) = struct.unpack_from(e + "H", tiff, off)
+        out = {}
+        for i in range(cnt):
+            ent = off + 2 + 12 * i
+            tag, typ = struct.unpack_from(e + "HH", tiff, ent)
+            (num,) = struct.unpack_from(e + "I", tiff, ent + 4)
+            size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue  # RATIONAL etc. not needed here
+            total = size * num
+            vat = ent + 8
+            if total > 4:
+                (vat,) = struct.unpack_from(e + "I", tiff, ent + 8)
+            if vat + total > len(tiff):
+                raise ValueError("exif: value outside TIFF block")
+            if typ == 2:
+                out[tag] = tiff[vat:vat + num].split(b"\x00")[0].decode(
+                    "ascii", "replace"
+                )
+            elif typ == 3:
+                out[tag] = struct.unpack_from(e + "H", tiff, vat)[0]
+            elif typ == 4:
+                out[tag] = struct.unpack_from(e + "I", tiff, vat)[0]
+            else:
+                out[tag] = tiff[vat]
+        return out
+
+    (ifd0_off,) = struct.unpack_from(e + "I", tiff, 4)
+    ifd0 = read_ifd(ifd0_off)
+    fields = {
+        "orientation": ifd0.get(0x0112),
+        "make": ifd0.get(0x010F),
+        "datetime": ifd0.get(0x0132),
+        "px_w": None,
+        "px_h": None,
+        "iso": None,
+    }
+    if 0x8769 in ifd0:
+        sub = read_ifd(int(ifd0[0x8769]))
+        fields["px_w"] = sub.get(0xA002)
+        fields["px_h"] = sub.get(0xA003)
+        fields["iso"] = sub.get(0x8827)
+    return fields
+
+
+_EXIF_SCHEMA = (
+    "asset_id long, orientation long, iso long, px_w long, "
+    "px_h long, year long, make string"
+)
+
+
+def decode_exif_stats(assets: DataFrame) -> DataFrame:
+    """Per-asset EXIF feature row (r14): orientation (the
+    rotation-normalize key), ISO, pixel dimensions, capture year
+    (from DateTime ``YYYY:MM:DD``), camera make — the metadata an
+    image-training pipeline filters and partitions by before any
+    pixel work. Arrow ``mapInPandas``; poison payloads yield null
+    fields, never a dead stage."""
+    from struct import error as struct_error
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {
+                k: []
+                for k in ("orientation", "iso", "px_w", "px_h",
+                          "year", "make")
+            }
+            for b in pdf["payload"]:
+                try:
+                    f = _exif_fields(bytes(b))
+                    year = None
+                    dt = f.get("datetime")
+                    if dt and len(dt) >= 4 and dt[:4].isdigit():
+                        year = int(dt[:4])
+                    cols["orientation"].append(f["orientation"])
+                    cols["iso"].append(f["iso"])
+                    cols["px_w"].append(f["px_w"])
+                    cols["px_h"].append(f["px_h"])
+                    cols["year"].append(year)
+                    cols["make"].append(f["make"])
+                except (ValueError, IndexError, struct_error):
+                    for k in cols:
+                        cols[k].append(None)
+            out = {"asset_id": pdf["asset_id"]}
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, _EXIF_SCHEMA)
+
+
+def synth_jpeg_exif_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize minimal JPEGs carrying a REAL APP1 Exif segment
+    (r14): IFD0 with Make (out-of-line ASCII), Orientation,
+    DateTime (20-byte out-of-line ASCII) and an Exif sub-IFD with
+    PixelXDimension / PixelYDimension / ISOSpeedRatings; byte order
+    alternates II/MM by asset parity so both paths decode. Fields
+    are closed forms of (asset_id, width, height) for the oracle.
+    Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    def one(aid: int, w: int, h: int) -> bytes:
+        e = "<" if aid % 2 == 0 else ">"
+        bo = b"II" if aid % 2 == 0 else b"MM"
+        orientation = 1 + aid % 8
+        iso = 100 + (aid % 7) * 50
+        year = 2000 + aid % 25
+        make = f"CAM{aid % 5}".encode("ascii") + b"\x00"
+        dt = (f"{year}:01:{1 + aid % 28:02d} 12:00:00").encode(
+            "ascii"
+        ) + b"\x00"
+
+        def ent(tag, typ, num, val4):
+            return struct.pack(e + "HHI", tag, typ, num) + val4
+
+        def short4(v):
+            return struct.pack(e + "H", v) + b"\x00\x00"
+
+        def long4(v):
+            return struct.pack(e + "I", v)
+
+        # layout: header(8) | IFD0(2 + 4*12 + 4) | ExifIFD(2 + 3*12
+        # + 4) | make | datetime
+        ifd0_off = 8
+        ifd0_len = 2 + 4 * 12 + 4
+        exif_off = ifd0_off + ifd0_len
+        exif_len = 2 + 3 * 12 + 4
+        make_off = exif_off + exif_len
+        dt_off = make_off + len(make)
+        ifd0 = struct.pack(e + "H", 4) + b"".join([
+            ent(0x010F, 2, len(make), long4(make_off)),
+            ent(0x0112, 3, 1, short4(orientation)),
+            ent(0x0132, 2, len(dt), long4(dt_off)),
+            ent(0x8769, 4, 1, long4(exif_off)),
+        ]) + b"\x00\x00\x00\x00"
+        exif = struct.pack(e + "H", 3) + b"".join([
+            ent(0x8827, 3, 1, short4(iso)),
+            ent(0xA002, 4, 1, long4(w)),
+            ent(0xA003, 4, 1, long4(h)),
+        ]) + b"\x00\x00\x00\x00"
+        tiff = (bo + struct.pack(e + "H", 42)
+                + struct.pack(e + "I", ifd0_off)
+                + ifd0 + exif + make + dt)
+        app1 = b"Exif\x00\x00" + tiff
+        dqt = b"\x00" + bytes(64)
+        sof0 = (b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+                + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+        return b"".join([
+            b"\xff\xd8",
+            b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1,
+            b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt,
+            b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0,
+            b"\xff\xd9",
+        ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(aid), int(w), int(h))
+                        for aid, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)

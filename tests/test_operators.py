@@ -6823,3 +6823,32 @@ def test_webp_anim_compositing():
     )
     raw = anim([(dst, 0x03), (src, 0x00)], bg=bg)
     assert M._webp_anim_pixel_sums(raw) == (1,) + exp
+
+
+def test_exif_parse_both_orders():
+    """r14: the APP1 Exif walker — both byte orders, inline SHORTs,
+    out-of-line ASCII (Make, 20-byte DateTime), the Exif sub-IFD
+    pointer; truncation and missing-APP1 raise."""
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_jpeg_exif_assets(StubDF())
+    for aid, w, h in ((0, 640, 480), (1, 13, 18), (7, 4000, 3000)):
+        out = next(gen(iter([pd.DataFrame(
+            {"asset_id": [aid], "width": [w], "height": [h]}
+        )])))
+        raw = bytes(out["payload"].iloc[0])
+        f = M._exif_fields(raw)
+        assert f["orientation"] == 1 + aid % 8
+        assert f["iso"] == 100 + (aid % 7) * 50
+        assert (f["px_w"], f["px_h"]) == (w, h)
+        assert f["make"] == f"CAM{aid % 5}"
+        assert f["datetime"].startswith(f"{2000 + aid % 25}:01:")
+    with pytest.raises(ValueError):
+        M._exif_fields(raw[:40])
+    with pytest.raises(ValueError):
+        M._exif_fields(b"\xff\xd8\xff\xd9")  # no APP1
