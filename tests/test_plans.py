@@ -207,6 +207,8 @@ _INTENDED_CROSS = {
     "text_collocations",  # 1-row bigram-total broadcast (tfidf pattern)
     "dedup_semantic",  # 16-row centroid broadcast (ivf_assign pattern)
     "text_bpe_encode",  # per-round 1-row argmax winner broadcast (bpe pattern)
+    "text_unigram_lm",  # 1-row vocab-cost-map broadcast per E-step
+    "text_wordpiece",  # 1-row vocab-presence-map broadcast
     "a19_loghist_quantiles",  # tiny sketch frame × 3-row quantile-target broadcast
     "stream_loghist",  # same read-out over the standing sketch
     "events_rfm",  # 1-row global-max + 1-row quartile-threshold broadcasts
