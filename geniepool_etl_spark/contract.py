@@ -7090,6 +7090,31 @@ def q_text_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.wordpiece_token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_text_unigram_vocab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNIGRAM-LM VOCABULARY ARTIFACT (operators/text.
+    unigram_lm_vocab): the post-M-step piece table — (piece, usage,
+    cost) — that a tokenizer-training pipeline persists; same
+    training plan as text_unigram_lm via the shared
+    _unigram_train."""
+    return TX.unigram_lm_vocab(_t(spark, sf_dir, "documents"))
+
+
+def _unigram_vocab_oracle() -> str:
+    """The unigram oracle's WITH-chain truncated after the M-step
+    vocabulary (everything before the round-2 cost map), projected
+    as the artifact table — guaranteed identical training rules."""
+    full = _unigram_oracle()
+    head = full[:full.rindex(",\ncm1 AS (")]
+    return head + """
+SELECT p AS piece, CAST(f AS BIGINT) AS usage,
+       CAST((40 - length(bin(f))) * 8 + (4 - length(p)) AS BIGINT)
+         AS cost
+FROM vocab1
+"""
+
+
 def _wordpiece_oracle() -> str:
     """Unrolled greedy longest-match walk: pos_0 = 0; step k picks
     the longest vocab piece at pos (word-initial raw at pos 0,
@@ -11729,6 +11754,7 @@ FROM g
     o["text_bpe_encode"] = _bpe_encode_oracle(_BPE_K)
     o["text_unigram_lm"] = _unigram_oracle()
     o["text_wordpiece"] = _wordpiece_oracle()
+    o["text_unigram_vocab"] = _unigram_vocab_oracle()
     o["a18_countmin_topk"] = _countmin_oracle(4, 256, 20)
     o["stream_countmin"] = _stream_countmin_oracle(4, 256)
     o["a19_loghist_quantiles"] = _LOGHIST_ORACLE
@@ -12845,6 +12871,7 @@ SPARK_QUERIES = {
     "text_bpe_encode": q_text_bpe_encode,
     "text_unigram_lm": q_text_unigram_lm,
     "text_wordpiece": q_text_wordpiece,
+    "text_unigram_vocab": q_text_unigram_vocab,
     "obs_drift_ks": q_obs_drift_ks,
     "obs_expectations": q_obs_expectations,
     "graph_triangles": q_graph_triangles,

