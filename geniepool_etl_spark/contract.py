@@ -3763,6 +3763,35 @@ def q_multimodal_exif(
     return M.decode_exif_stats(M.synth_jpeg_exif_assets(params))
 
 
+def q_multimodal_webp_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lossy WebP WITH ALPHA (r14 — multimodal.
+    synth_webp_alpha_assets → decode_image_alpha_stats): VP8X +
+    ALPH + VP8. The alpha plane cycles all four filter methods
+    (none/horizontal/vertical/gradient, asset_id % 4) and both
+    compressions (raw residuals / HEADERLESS VP8L stream,
+    asset_id % 2); the color plane is the lossy lane's flat-MB VP8
+    key frame. RGBA sums — alpha from the closed-form plane, RGB
+    from the BT.601 closed form."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 10)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(18) + (F.col("doc_id") % 6) * 7)
+            .cast("long")
+            .alias("width"),
+            (F.lit(10) + (F.col("doc_id") % 5) * 9)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_alpha_stats(
+        M.synth_webp_alpha_assets(params)
+    )
+
+
 def q_multimodal_webp_anim(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10705,6 +10734,56 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                'CAM' || CAST(doc_id % 5 AS VARCHAR) AS make
         FROM documents WHERE doc_id % 13 = 8
     """
+    o["multimodal_webp_alpha"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 18 + (doc_id % 6) * 7 AS w,
+                 10 + (doc_id % 5) * 9 AS h,
+                 doc_id % 7 AS a
+          FROM documents WHERE doc_id % 13 = 10
+        ),
+        apx AS (
+          SELECT asset_id,
+                 CAST(sum((13 * (i % w) + 7 * (i // w) + 5 * a)
+                          % 256) AS BIGINT) AS sum_a
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+          GROUP BY asset_id
+        ),
+        mbs AS (
+          SELECT asset_id, w, h, a,
+                 i % ((w + 15) // 16) AS mx,
+                 i // ((w + 15) // 16) AS my
+          FROM prm,
+               UNNEST(range(((w + 15) // 16) * ((h + 15) // 16)))
+                 AS u(i)
+        ),
+        vals AS (
+          SELECT asset_id,
+                 LEAST(16, w - 16 * mx) * LEAST(16, h - 16 * my)
+                   AS cnt,
+                 (37 * mx + 71 * my + 29 * a) % 256 AS yy,
+                 (23 * mx + 41 * my + 17 * a) % 256 AS cb,
+                 (53 * mx + 13 * my + 11 * a) % 256 AS cr
+          FROM mbs
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum(cnt * least(greatest(
+                   (1000 * yy + 1402 * (cr - 128) + 500) // 1000,
+                   0), 255)) AS BIGINT) AS sum_r,
+                 CAST(sum(cnt * least(greatest(
+                   (1000 * yy - 344 * (cb - 128) - 714 * (cr - 128)
+                    + 500) // 1000, 0), 255)) AS BIGINT) AS sum_g,
+                 CAST(sum(cnt * least(greatest(
+                   (1000 * yy + 1772 * (cb - 128) + 500) // 1000,
+                   0), 255)) AS BIGINT) AS sum_b
+          FROM vals GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               apx.sum_a, agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN apx USING (asset_id)
+                 JOIN agg USING (asset_id)
+    """
     o["multimodal_webp_anim"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -12667,6 +12746,7 @@ SPARK_QUERIES = {
     "multimodal_vp8l_bundled": q_multimodal_vp8l_bundled,
     "multimodal_vp8l_dist": q_multimodal_vp8l_dist,
     "multimodal_webp_anim": q_multimodal_webp_anim,
+    "multimodal_webp_alpha": q_multimodal_webp_alpha,
     "multimodal_exif": q_multimodal_exif,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,

@@ -9569,3 +9569,248 @@ def synth_jpeg_exif_assets(
             )
 
     return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _alpha_unfilter(res: list, w: int, h: int, method: int) -> list:
+    """Invert WebP alpha-plane filtering (RFC 9649 §4.5 / libwebp
+    dsp/filters.c semantics): row 0 predicts 0 then LEFT; the first
+    pixel of later rows predicts TOP; interior pixels use the
+    method's predictor — LEFT (1), TOP (2), or the clamped gradient
+    clip(L + T − TL) (3); method 0 is a pass-through. Addition is
+    mod 256; the gradient clamp applies to the PREDICTOR."""
+    if method == 0:
+        return list(res)
+    out = [0] * (w * h)
+    for y in range(h):
+        base = y * w
+        for x in range(w):
+            if y == 0:
+                pred = 0 if x == 0 else out[x - 1]
+            elif x == 0:
+                pred = out[base - w]
+            elif method == 1:
+                pred = out[base + x - 1]
+            elif method == 2:
+                pred = out[base - w + x]
+            else:
+                g = (out[base + x - 1] + out[base - w + x]
+                     - out[base - w + x - 1])
+                pred = 0 if g < 0 else (255 if g > 255 else g)
+            out[base + x] = (res[base + x] + pred) & 0xFF
+    return out
+
+
+def _webp_alpha_pixel_sums(raw: bytes) -> tuple:
+    """Decode a lossy-WebP-with-alpha payload (r14 — VP8X + ALPH +
+    VP8) to (n_pixels, sum_a, sum_r, sum_g, sum_b): the color plane
+    through the full RFC 6386 key-frame decoder (operators/vp8.py,
+    repo BT.601 integer convention) and the ALPH chunk through its
+    header byte (reserved/pre-processing/filtering/compression),
+    either RAW residuals (C=0) or a HEADERLESS VP8L stream (C=1 —
+    the alpha rides the green channel of a level-0 pixel stream with
+    no signature/dims/transforms), then the inverse alpha filter.
+    Dim source is the VP8X canvas; truncation and size mismatches
+    raise."""
+    import struct
+
+    from geniepool_etl_spark.operators import vp8 as _vp8
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        raise ValueError("not WebP")
+    at, n = 12, len(raw)
+    W = H = None
+    alph = None
+    while at + 8 <= n:
+        fcc = raw[at:at + 4]
+        (csz,) = struct.unpack_from("<I", raw, at + 4)
+        if at + 8 + csz > n:
+            raise ValueError("webp alpha: truncated chunk")
+        if fcc == b"VP8X":
+            W = 1 + int.from_bytes(raw[at + 12:at + 15], "little")
+            H = 1 + int.from_bytes(raw[at + 15:at + 18], "little")
+        elif fcc == b"ALPH":
+            alph = raw[at + 8:at + 8 + csz]
+        at += 8 + csz + (csz & 1)
+    if W is None or alph is None:
+        raise ValueError("webp alpha: missing VP8X/ALPH")
+    head = alph[0]
+    comp = head & 3
+    method = (head >> 2) & 3
+    if comp == 0:
+        res = list(alph[1:1 + W * H])
+        if len(res) != W * H:
+            raise ValueError("webp alpha: raw plane size mismatch")
+    elif comp == 1:
+        rd = _Vp8lBitReader(alph, 1)
+        px = _vp8l_read_pixel_stream(rd, W, H, level0=True)
+        res = [p[2] for p in px]
+    else:
+        raise ValueError("webp alpha: unknown compression")
+    plane = _alpha_unfilter(res, W, H, method)
+    n_px, sr, sg, sb = _vp8.vp8_pixel_sums(raw)
+    if n_px != W * H:
+        raise ValueError("webp alpha: color/canvas size mismatch")
+    return (n_px, sum(plane), sr, sg, sb)
+
+
+_ALPHA_STATS_SCHEMA = (
+    "asset_id long, n_pixels long, sum_a long, sum_r long, "
+    "sum_g long, sum_b long"
+)
+
+
+def decode_image_alpha_stats(assets: DataFrame) -> DataFrame:
+    """Per-asset RGBA statistics for lossy WebP with an alpha plane
+    (r14): exact integer sums of all four channels. Arrow
+    ``mapInPandas``; poison payloads yield null stats."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {k: [] for k in
+                    ("n_pixels", "sum_a", "sum_r", "sum_g", "sum_b")}
+            for b in pdf["payload"]:
+                try:
+                    n, sa, sr, sg, sb = _webp_alpha_pixel_sums(
+                        bytes(b)
+                    )
+                    for k, v in zip(cols, (n, sa, sr, sg, sb)):
+                        cols[k].append(v)
+                except (ValueError, IndexError):
+                    for k in cols:
+                        cols[k].append(None)
+            out = {"asset_id": pdf["asset_id"]}
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, _ALPHA_STATS_SCHEMA)
+
+
+def synth_webp_alpha_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize lossy WebP-with-alpha payloads (r14): VP8X
+    (alpha + canvas dims) + ALPH (filter method cycles 0..3 by
+    asset, compression alternates RAW / headerless-VP8L by parity;
+    residuals computed with the shared forward filter so decode
+    lands the closed-form plane alpha(x, y) = (13x + 7y + 5a) mod
+    256) + the flat-MB VP8 key frame of the lossy lane. Arrow
+    ``mapInPandas``; narrow."""
+    import struct
+
+    from geniepool_etl_spark.operators import vp8 as _vp8
+
+    def one(aid: int, w: int, h: int) -> bytes:
+        a7 = aid % 7
+        method = aid % 4
+        comp = aid % 2
+
+        def alpha(x: int, y: int) -> int:
+            return (13 * x + 7 * y + 5 * a7) % 256
+
+        plane = [alpha(x, y) for y in range(h) for x in range(w)]
+        # forward filter: residual = value - pred (same edge rules
+        # as _alpha_unfilter, computed against the TRUE plane)
+        res = []
+        for y in range(h):
+            base = y * w
+            for x in range(w):
+                if method == 0:
+                    res.append(plane[base + x])
+                    continue
+                if y == 0:
+                    pred = 0 if x == 0 else plane[x - 1]
+                elif x == 0:
+                    pred = plane[base - w]
+                elif method == 1:
+                    pred = plane[base + x - 1]
+                elif method == 2:
+                    pred = plane[base - w + x]
+                else:
+                    g = (plane[base + x - 1] + plane[base - w + x]
+                         - plane[base - w + x - 1])
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+                res.append((plane[base + x] - pred) & 0xFF)
+        head = bytes([(method << 2) | comp])
+        if comp == 0:
+            alph_payload = head + bytes(res)
+        else:
+            # headerless VP8L level-0 stream: alpha in the green
+            # channel, literals under balanced codes
+            def balanced(symbols) -> dict:
+                syms = sorted(set(symbols))
+                bits = max(1, (len(syms) - 1).bit_length())
+                pad = (1 << bits) - len(syms)
+                spare = [s for s in range(256)
+                         if s not in set(syms)][:pad]
+                return {s: bits for s in syms + spare}
+
+            wr = _Vp8lBitWriter()
+            wr.write(0, 1)  # no color cache
+            wr.write(0, 1)  # no meta-huffman
+            g_enc = _vp8l_write_huffman(wr, balanced(res))
+            r_enc = _vp8l_write_huffman(wr, balanced([0]))
+            b_enc = _vp8l_write_huffman(wr, balanced([0]))
+            wr.write(1, 1)  # alpha: simple single 255
+            wr.write(0, 1)
+            wr.write(1, 1)
+            wr.write(255, 8)
+            wr.write(1, 1)  # distance: simple single 0
+            wr.write(0, 1)
+            wr.write(0, 1)
+            wr.write(0, 1)
+
+            def put(enc, sym):
+                code, ln = enc[sym]
+                for i in range(ln - 1, -1, -1):
+                    wr.write((code >> i) & 1, 1)
+
+            for v in res:
+                put(g_enc, v)
+                put(r_enc, 0)
+                put(b_enc, 0)
+            alph_payload = head + wr.flush()
+
+        def mb(mx, my):
+            return (
+                (37 * mx + 71 * my + 29 * a7) % 256,
+                (23 * mx + 41 * my + 17 * a7) % 256,
+                (53 * mx + 13 * my + 11 * a7) % 256,
+            )
+
+        vp8_container = _vp8.build_webp_vp8(w, h, mb)
+        vp8_chunks = vp8_container[12:]  # strip RIFF/WEBP header
+
+        def le24(v: int) -> bytes:
+            return v.to_bytes(3, "little")
+
+        vp8x = bytes([0x10, 0, 0, 0]) + le24(w - 1) + le24(h - 1)
+        chunks = [
+            b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x,
+            b"ALPH" + struct.pack("<I", len(alph_payload))
+            + alph_payload
+            + (b"\x00" if len(alph_payload) % 2 else b""),
+            vp8_chunks,
+        ]
+        body = b"WEBP" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(aid), int(w), int(h))
+                        for aid, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)

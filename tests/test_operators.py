@@ -6919,3 +6919,38 @@ def test_unigram_vocab_artifact(spark):
         if usage.get(p, 0) >= 1:
             exp[p] = (usage[p], cost_of(usage[p], len(p)))
     assert got == exp
+
+
+def test_webp_alpha_plane():
+    """r14: the ALPH chunk — all four filter methods at both
+    compressions (raw residuals and the headerless VP8L stream)
+    land the closed-form alpha plane alongside the VP8 color
+    decode; truncation and bad compression raise."""
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_webp_alpha_assets(StubDF())
+    raw = None
+    for aid, w, h in ((0, 18, 10), (1, 25, 19), (2, 32, 28),
+                      (3, 46, 37), (5, 61, 10), (6, 33, 19)):
+        a7 = aid % 7
+        sa = sum((13 * x + 7 * y + 5 * a7) % 256
+                 for y in range(h) for x in range(w))
+        out = next(gen(iter([pd.DataFrame(
+            {"asset_id": [aid], "width": [w], "height": [h]}
+        )])))
+        raw = bytes(out["payload"].iloc[0])
+        n, got_a, _sr, _sg, _sb = M._webp_alpha_pixel_sums(raw)
+        assert (n, got_a) == (w * h, sa), (aid, w, h)
+    with pytest.raises(ValueError):
+        M._webp_alpha_pixel_sums(raw[: len(raw) - 8])
+    # unknown compression code poisons
+    bad = bytearray(raw)
+    at = bad.find(b"ALPH") + 8
+    bad[at] = (bad[at] & ~3) | 2
+    with pytest.raises(ValueError):
+        M._webp_alpha_pixel_sums(bytes(bad))
