@@ -208,6 +208,7 @@ _INTENDED_CROSS = {
     "dedup_semantic",  # 16-row centroid broadcast (ivf_assign pattern)
     "text_bpe_encode",  # per-round 1-row argmax winner broadcast (bpe pattern)
     "text_unigram_lm",  # 1-row vocab-cost-map broadcast per E-step
+    "text_unigram_vocab",  # same training plan (shared _unigram_train)
     "text_wordpiece",  # 1-row vocab-presence-map broadcast
     "a19_loghist_quantiles",  # tiny sketch frame × 3-row quantile-target broadcast
     "stream_loghist",  # same read-out over the standing sketch
