@@ -525,8 +525,23 @@ def _save_baseline_file(d: dict) -> None:
         fh.write("\n")
 
 
+def _loadavg() -> list:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        return []
+
+
 def main() -> None:
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    # Box-state telemetry (r15, judge item #2): every round has spent
+    # effort re-litigating >1.5x flags that were load noise — r14's 6
+    # flags were all box state, adjudicated by hand against uptime
+    # notes. Record the 1/5/15-min load averages at start/end plus a
+    # control-lane re-run before each heavy block IN the artifact, so
+    # a flag accompanied by loadavg >~2 or a control excursion is
+    # machine-classifiable as context, not regression.
+    load_start = _loadavg()
     spark = get_spark(
         "geniepool-bench",
         # stage-progress \r output would land inside the driver's
@@ -565,12 +580,30 @@ def main() -> None:
     micro = {k: v for k, v in timings.items() if k.startswith("micro_")}
     n_expected = sum(1 for k in qs if not k.startswith("micro_"))
 
+    # Control lane (r15): one timed pricing_summary execution at the
+    # base SF immediately before each heavy staged block. The headline
+    # pricing_summary is the session-start control; these re-runs
+    # bracket the sf1/sf10 blocks so a heavy-block flag can be
+    # adjudicated against a simultaneous known-cost lane.
+    control_sec: dict[str, float] = {}
+
+    def _control(tag: str) -> None:
+        try:
+            df = C.q_a4_pricing_summary(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            control_sec[tag] = round(time.perf_counter() - t0, 3)
+            control_sec[f"{tag}_load1m"] = (_loadavg() or [None])[0]
+        except Exception:  # noqa: BLE001 — telemetry must not gate
+            pass
+
     # sf1 lane: the heaviest queries at the staged 10x blow-up —
     # best-of-2 (seconds-long runs, noise is proportionally small)
     sf1_timings: dict[str, float] = {}
     if SF1_ENABLED:
         try:
             _stage_sf1(spark, SF_DIR)
+            _control("pre_sf1")
             for name, build in sf1_queries(spark).items():
                 try:
                     df = build()
@@ -626,6 +659,10 @@ def main() -> None:
                 )
             except Exception:  # noqa: BLE001 — log4j2 API drift
                 pass
+            # control in the FRESH JVM: warms it and gives the sf10
+            # block a same-session known-cost reference (cold-JVM C2
+            # state is itself a 5-6x effect on sub-minute jobs)
+            _control("pre_sf10")
             for name, build in sf10_queries(spark).items():
                 try:
                     df = build()
@@ -698,20 +735,51 @@ def main() -> None:
         if v < sf10_baseline.get(k, float("inf")):
             sf10_baseline[k] = v
             improved = True
-    if improved:
+    # Historical warmed best-evers (r15 ADVICE #3): the anchor floors
+    # above may be RE-CALIBRATED upward when a lane's warmed floor is
+    # unreachable in bench context (documented rule, r13/r14) — the
+    # hist_* fields are INFORMATIONAL true floors that only ever
+    # tighten (min over all history incl. pre-recalibration values),
+    # never feed the regression gate, and let a future fast window be
+    # compared against the real best instead of a raised anchor.
+    hist = {
+        "hist_best_sec": dict(bl_file.get("hist_best_sec") or {}),
+        "hist_sf1_best_sec": dict(bl_file.get("hist_sf1_best_sec") or {}),
+        "hist_sf10_best_sec": dict(bl_file.get("hist_sf10_best_sec") or {}),
+    }
+    for field, cur in (
+        ("hist_best_sec", timings),
+        ("hist_sf1_best_sec", sf1_timings),
+        ("hist_sf10_best_sec", sf10_timings),
+    ):
+        for k, v in cur.items():
+            if v < hist[field].get(k, float("inf")):
+                hist[field][k] = v
+                improved = True
+    # Never clobber across an SF mismatch (r15): a diagnostic run at
+    # another SF sees an empty baseline (the sf guard above), so every
+    # lane looks "improved" and the off-SF timings would OVERWRITE the
+    # sf0.1 record. Save only when the stored record is absent or at
+    # the same SF.
+    if improved and bl_file.get("sf") in (None, sf):
         _save_baseline_file(
             {
                 "sf": sf,
                 "best_sec": baseline,
                 "sf1_best_sec": sf1_baseline,
                 "sf10_best_sec": sf10_baseline,
+                **hist,
             }
         )
 
+    load_end = _loadavg()
     total = round(sum(headline.values()), 3)
     detail = {
         "sf": sf,
         "total_sec": total,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "control_sec": control_sec,
         "micro": micro,
         "ratio_vs_best": ratios,
         "regressions": regressions,
@@ -755,6 +823,14 @@ def main() -> None:
         # the three heaviest queries; ratios in BENCH_DETAIL.json
         "sf10": sf10_timings,
         "n_sf10_regressions": len(sf10_regressions),
+        # box-state telemetry (r15): 1-min loadavg at start/end plus
+        # the control-lane seconds bracketing the heavy blocks — a
+        # flag with load >~2 or a control excursion is box state
+        "load": [
+            (load_start or [None])[0],
+            (load_end or [None])[0],
+        ],
+        "control": control_sec,
     }
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1500:  # belt-and-braces: never overflow the tail

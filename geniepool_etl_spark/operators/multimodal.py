@@ -3657,12 +3657,24 @@ def _vp8l_pixels_at(raw: bytes, body: int, end: int):
     rd.read(1)  # alpha hint
     if rd.read(3) != 0:
         raise ValueError("vp8l: unknown version")
-    # each transform captures the image width AT READ TIME: reading a
-    # bundling color-indexing transform REDUCES the width for every
-    # later-read transform and the level-0 stream (the spec/libwebp
-    # xsize update), and inverses — applied in reverse read order —
-    # each run at their own captured width, so composition (e.g. a
-    # predictor over the packed-index image) is exact (r14)
+    return (w, h, _vp8l_decode_stream(rd, w, h))
+
+
+def _vp8l_decode_stream(rd, w: int, h: int):
+    """Spec "DecodeImageStream" at level 0 AFTER the image header:
+    transform list → level-0 pixel stream → inverse transforms in
+    reverse read order. Shared by the still/animated VP8L paths
+    (which read signature/dims/version first) and the ALPH
+    compressed alpha plane (RFC 9649 §4.2: the alpha stream is a
+    lossless stream minus only the size header — it still carries
+    the transform list, r15 ADVICE fix).
+
+    Each transform captures the image width AT READ TIME: reading a
+    bundling color-indexing transform REDUCES the width for every
+    later-read transform and the level-0 stream (the spec/libwebp
+    xsize update), and inverses — applied in reverse read order —
+    each run at their own captured width, so composition (e.g. a
+    predictor over the packed-index image) is exact (r14)."""
     transforms = []  # in READ order; inverses applied reversed
     cur_w = w
     while rd.read(1):  # transform list
@@ -3750,7 +3762,7 @@ def _vp8l_pixels_at(raw: bytes, body: int, end: int):
                         )
                     out.append(palette[idx])
             px = out
-    return (w, h, px)
+    return px
 
 
 def synth_webp_lossless_assets(
@@ -9366,6 +9378,10 @@ def _exif_fields(raw: bytes) -> dict:
     while at + 4 <= n:
         if raw[at] != 0xFF:
             raise ValueError("exif: bad marker stream")
+        # JPEG permits 0xFF fill bytes between segments: a run of
+        # 0xFF precedes the marker byte proper (r15 ADVICE fix)
+        while at + 1 < n and raw[at + 1] == 0xFF:
+            at += 1
         marker = raw[at + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             at += 2
@@ -9607,10 +9623,12 @@ def _webp_alpha_pixel_sums(raw: bytes) -> tuple:
     repo BT.601 integer convention) and the ALPH chunk through its
     header byte (reserved/pre-processing/filtering/compression),
     either RAW residuals (C=0) or a HEADERLESS VP8L stream (C=1 —
-    the alpha rides the green channel of a level-0 pixel stream with
-    no signature/dims/transforms), then the inverse alpha filter.
-    Dim source is the VP8X canvas; truncation and size mismatches
-    raise."""
+    RFC 9649 §4.2: a full lossless image stream minus only the
+    signature/dims/version header, i.e. it STILL carries the
+    transform list before the level-0 pixel stream; the alpha rides
+    the green channel after inverse transforms — r15 ADVICE fix),
+    then the inverse alpha filter. Dim source is the VP8X canvas;
+    truncation and size mismatches raise."""
     import struct
 
     from geniepool_etl_spark.operators import vp8 as _vp8
@@ -9642,7 +9660,7 @@ def _webp_alpha_pixel_sums(raw: bytes) -> tuple:
             raise ValueError("webp alpha: raw plane size mismatch")
     elif comp == 1:
         rd = _Vp8lBitReader(alph, 1)
-        px = _vp8l_read_pixel_stream(rd, W, H, level0=True)
+        px = _vp8l_decode_stream(rd, W, H)
         res = [p[2] for p in px]
     else:
         raise ValueError("webp alpha: unknown compression")
@@ -9693,7 +9711,9 @@ def synth_webp_alpha_assets(
 ) -> DataFrame:
     """Synthesize lossy WebP-with-alpha payloads (r14): VP8X
     (alpha + canvas dims) + ALPH (filter method cycles 0..3 by
-    asset, compression alternates RAW / headerless-VP8L by parity;
+    asset, compression alternates RAW / VP8L-minus-size-header by
+    parity — the VP8L form writes the terminating transform-list
+    bit the spec requires (r15);
     residuals computed with the shared forward filter so decode
     lands the closed-form plane alpha(x, y) = (13x + 7y + 5a) mod
     256) + the flat-MB VP8 key frame of the lossy lane. Arrow
@@ -9748,6 +9768,9 @@ def synth_webp_alpha_assets(
                 return {s: bits for s in syms + spare}
 
             wr = _Vp8lBitWriter()
+            # RFC 9649: the headerless alpha stream still begins
+            # with the transform list — terminate it (r15 fix)
+            wr.write(0, 1)  # empty transform list
             wr.write(0, 1)  # no color cache
             wr.write(0, 1)  # no meta-huffman
             g_enc = _vp8l_write_huffman(wr, balanced(res))

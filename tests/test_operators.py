@@ -6852,6 +6852,12 @@ def test_exif_parse_both_orders():
         M._exif_fields(raw[:40])
     with pytest.raises(ValueError):
         M._exif_fields(b"\xff\xd8\xff\xd9")  # no APP1
+    # r15 ADVICE: JPEG fill bytes — a run of 0xFF before the marker
+    # byte is legal padding, not a poison stream
+    padded = raw[:2] + b"\xff\xff\xff" + raw[2:]
+    fp = M._exif_fields(padded)
+    assert fp["orientation"] == f["orientation"]
+    assert fp["make"] == f["make"]
 
 
 def test_unigram_vocab_artifact(spark):
