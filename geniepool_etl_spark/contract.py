@@ -642,6 +642,60 @@ def q_snap_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_compact_zorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-COLUMN Z-ORDER COMPACTION (r15 — snaptable.compact
+    ``zorder_by``): lineitem lands HASH-SCATTERED (round-robin
+    repartition(8) — every file spans the full range of both za and
+    zb, so stats pruning is inert: pre_scanned == files_total on
+    both axes), then ONE maintenance pass re-clusters on the Morton
+    key of (za, zb) with bucket bounds read from the manifest's own
+    min/max stats (metadata, no data pre-pass). Post-compact, a
+    64-wide range read must skip files on EITHER axis
+    (``post_skips``) — the property a single-axis sort cannot give
+    the second dimension. Row results come from the real pruned
+    reads; exact post-compact file counts are
+    repartitionByRange-boundary-dependent and are pinned by
+    tests/test_snaptable.py instead."""
+    from geniepool_etl_spark import snaptable as T
+
+    out = os.path.join(_tmpdir("snap_cz"), "t")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_orderkey") % 1024).cast("long").alias("za"),
+        (F.col("l_partkey") % 1024).cast("long").alias("zb"),
+    )
+    T.write_table(
+        li.repartition(8), out, "create", stats_cols=("za", "zb")
+    )
+    pre = {c: T.scan_stats(spark, out, c, 100, 163) for c in ("za", "zb")}
+    T.compact(spark, out, target_files=8, zorder_by=("za", "zb"))
+    post = {c: T.scan_stats(spark, out, c, 100, 163) for c in ("za", "zb")}
+    parts = []
+    for c in ("za", "zb"):
+        ft, fs_pre = pre[c]
+        ft_post, fs_post = post[c]
+        parts.append(
+            T.read_range(spark, out, c, 100, 163)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            .select(
+                F.lit(c).alias("axis"),
+                F.lit(ft).cast("long").alias("files_total"),
+                F.lit(fs_pre).cast("long").alias("pre_scanned"),
+                F.lit(bool(fs_post < ft_post)).alias("post_skips"),
+                "n_rows",
+                "sum_qty",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
 def q_snap_compact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-maintenance audit trail: create (4 round-robin files) →
     append (1 file) → compact (rows verified identical before the
@@ -6865,6 +6919,91 @@ v0 AS (
 """
 
 
+def _bpe_byte_fallback_oracle(k: int) -> str:
+    """Replays bpe_token_counts_byte_fallback: learn-subset
+    frequencies weight the pair counts (freq-0 encode-only words are
+    excluded from counting, mirroring the Spark filter), v0 expands
+    out-of-inventory chars to UTF-8 byte tokens, and the merge
+    rounds are the standard doubled-space greedy replace."""
+    rounds = []
+    for i in range(1, k + 1):
+        prev = f"v{i - 1}"
+        rounds.append(f"""
+p{i} AS (
+  SELECT t[i] AS l, t[i + 1] AS r,
+         CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(rep), ' ') AS t, freq
+        FROM {prev} WHERE freq > 0),
+       UNNEST(range(1, len(t))) AS u(i)
+  GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT l, r, l || r AS merged FROM (
+    SELECT l, r, pair_count FROM p{i}
+    UNION ALL SELECT chr(2), chr(2), -1
+  ) ORDER BY pair_count DESC, l, r LIMIT 1
+),
+v{i} AS (
+  SELECT w, replace(replace(replace(rep, ' ', '  '),
+           ' ' || (SELECT l FROM b{i}) || '  '
+               || (SELECT r FROM b{i}) || ' ',
+           ' ' || (SELECT merged FROM b{i}) || ' '),
+           '  ', ' ') AS rep, freq
+  FROM {prev}
+)""")
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' ' || repeat(substring('{_CJK16}',
+                     CAST(doc_id % 16 AS INT) + 1, 1), 2)
+              ELSE text END AS text
+  FROM documents
+),
+wpd AS (
+  SELECT doc_id, word AS w, count(*) AS m FROM (
+    SELECT doc_id, unnest(
+      string_split_regex(trim(lower(text)), '\\s+')) AS word
+    FROM docs2
+  ) WHERE length(word) > 0 GROUP BY 1, 2
+),
+lw AS (
+  SELECT w, CAST(sum(m) AS BIGINT) AS freq_learn
+  FROM wpd WHERE doc_id % 4 <> 0 GROUP BY 1
+),
+inv AS (
+  SELECT list(DISTINCT c) AS chars FROM (
+    SELECT unnest(string_split_regex(w, '')) AS c FROM lw
+  ) t WHERE length(c) > 0
+),
+v0 AS (
+  SELECT w,
+    ' ' || array_to_string(
+      list_transform(string_split_regex(w, ''), c ->
+        CASE WHEN list_contains(chars, c) THEN c
+             ELSE array_to_string(list_transform(
+               range(1, CAST(length(hex(encode(c))) / 2 AS BIGINT)
+                        + 1),
+               i -> '<0x' || substring(hex(encode(c)),
+                      CAST(2 * i - 1 AS INT), 2) || '>'), ' ')
+        END), ' ') || ' ' AS rep,
+    COALESCE(freq_learn, 0) AS freq
+  FROM (SELECT DISTINCT w FROM wpd) dw
+       LEFT JOIN lw USING (w) CROSS JOIN inv
+),{",".join(rounds)},
+wt AS (
+  SELECT w, CAST(len(string_split(trim(rep), ' ')) AS BIGINT)
+           AS n_tok
+  FROM v{k}
+)
+SELECT wpd.doc_id,
+       CAST(sum(wpd.m) AS BIGINT) AS n_words,
+       CAST(sum(wpd.m * wt.n_tok) AS BIGINT) AS n_tokens
+FROM wpd JOIN wt USING (w)
+GROUP BY wpd.doc_id
+"""
+
+
 def q_a18_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters (operators/sketch.
     countmin_heavy_hitters): depth-4 × width-256 counter sketch over
@@ -6975,6 +7114,41 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     join in SQL."""
     return TX.bpe_token_counts(
         _t(spark, sf_dir, "documents"), k=_BPE_K
+    )
+
+
+_CJK16 = "一二三四五六七八九十百千万億兆京"
+
+
+def q_text_bpe_byte_fallback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE ENCODE WITH BYTE FALLBACK (r15 — operators/text.
+    bpe_token_counts_byte_fallback, the GPT-2/SentencePiece
+    ``byte_fallback`` production shape): merges are learned on the
+    doc_id % 4 != 0 subset only; characters that subset never saw
+    decompose to UTF-8 ``<0xHH>`` byte tokens (one token per byte)
+    instead of a single UNK. Guaranteed-OOV input: docs with
+    doc_id % 4 == 0 get a doubled CJK character (3 UTF-8 bytes → 6
+    byte tokens) appended that, by construction, never reaches the
+    learn subset. Learn-side words encode identically to plain BPE;
+    the learn-char inventory rides the plan as a 1-row broadcast
+    array. Oracle unrolls the same rounds with the same fallback
+    CASE expansion."""
+    injected = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.expr(
+                f"concat(text, ' ', repeat(substring('{_CJK16}', "
+                "cast(doc_id % 16 as int) + 1, 1), 2))"
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return TX.bpe_token_counts_byte_fallback(
+        injected,
+        k=_BPE_K,
+        learn_df=injected.where(F.col("doc_id") % 4 != 0),
     )
 
 
@@ -8256,6 +8430,22 @@ def _oracles() -> dict[str, str]:
                CAST(sum(l_orderkey % 1024) AS BIGINT) AS sum_za,
                sum(l_quantity) AS sum_qty
         FROM lineitem WHERE (l_partkey % 1024) BETWEEN 100 AND 163
+    """
+    o["snap_compact_zorder"] = """
+        WITH li AS (
+          SELECT l_orderkey % 1024 AS za, l_partkey % 1024 AS zb,
+                 l_quantity
+          FROM lineitem
+        )
+        SELECT 'za' AS axis, CAST(8 AS BIGINT) AS files_total,
+               CAST(8 AS BIGINT) AS pre_scanned, TRUE AS post_skips,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM li WHERE za BETWEEN 100 AND 163
+        UNION ALL
+        SELECT 'zb', CAST(8 AS BIGINT), CAST(8 AS BIGINT), TRUE,
+               CAST(count(*) AS BIGINT), ROUND(SUM(l_quantity), 2)
+        FROM li WHERE zb BETWEEN 100 AND 163
     """
     o["snap_compact_history"] = """
         WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
@@ -11831,6 +12021,7 @@ FROM g
     o["events_asof_cogroup"] = o["events_asof_join"]
     o["text_bpe_merges"] = _bpe_oracle(_BPE_K)
     o["text_bpe_encode"] = _bpe_encode_oracle(_BPE_K)
+    o["text_bpe_byte_fallback"] = _bpe_byte_fallback_oracle(_BPE_K)
     o["text_unigram_lm"] = _unigram_oracle()
     o["text_wordpiece"] = _wordpiece_oracle()
     o["text_unigram_vocab"] = _unigram_vocab_oracle()
@@ -12949,6 +13140,7 @@ SPARK_QUERIES = {
     "multimodal_gif_pixels": q_multimodal_gif_pixels,
     "text_perplexity": q_text_perplexity,
     "text_bpe_encode": q_text_bpe_encode,
+    "text_bpe_byte_fallback": q_text_bpe_byte_fallback,
     "text_unigram_lm": q_text_unigram_lm,
     "text_wordpiece": q_text_wordpiece,
     "text_unigram_vocab": q_text_unigram_vocab,
@@ -12998,6 +13190,7 @@ SPARK_QUERIES = {
     "snap_range_skip": q_snap_range_skip,
     "snap_bloom_skip": q_snap_bloom_skip,
     "snap_zorder_skip": q_snap_zorder_skip,
+    "snap_compact_zorder": q_snap_compact_zorder,
     "snap_partition_prune": q_snap_partition_prune,
     "snap_hidden_partition": q_snap_hidden_partition,
     "snap_apply_cdc": q_snap_apply_cdc,

@@ -1129,6 +1129,150 @@ def bpe_token_counts(
     )
 
 
+def bpe_token_counts_byte_fallback(
+    df: DataFrame,
+    k: int = 3,
+    learn_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE ENCODE WITH BYTE FALLBACK (r15) — the GPT-2 /
+    SentencePiece ``byte_fallback`` production shape: the merge
+    vocabulary is learned on ``learn_df`` (a SUBSET of the encode
+    corpus; defaults to ``df`` itself) and every character the learn
+    corpus never saw decomposes to its UTF-8 byte tokens
+    (``<0xAB>``, one token per byte) instead of a single UNK — no
+    text is ever unencodable and nothing is silently dropped.
+    Output: per-document ``(n_words, n_tokens)`` like
+    :func:`bpe_token_counts`.
+
+    Mechanics: the learn corpus's CHARACTER INVENTORY rides the plan
+    as a broadcast one-row array; each distinct word's symbol rep
+    expands out-of-inventory characters to ``<0xHH>`` byte tokens
+    via a nested ``transform`` over ``hex(encode(c))`` — pure JVM
+    expressions, no UDF. Merge rounds are the same broadcast
+    1-row-winner replace as :func:`bpe_token_counts`, with pair
+    counts weighted by LEARN-corpus frequency only (freq 0 for
+    encode-only words), so learning is exactly learning-on-subset;
+    byte tokens occur only in freq-0 words and can never win a
+    merge. Token counts are still computed once per DISTINCT word
+    and joined back — O(|vocab|·k) after one corpus pass."""
+    if k <= 0:
+        raise ValueError("bpe_token_counts_byte_fallback: k must be > 0")
+    if learn_df is None:
+        learn_df = df
+
+    def _wpd(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(
+                F.col(id_col),
+                F.explode(
+                    words_col(F.lower(F.col(text_col)))
+                ).alias("w"),
+            )
+            .where(F.length("w") > 0)
+            .groupBy(id_col, "w")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+
+    wpd = _wpd(df)
+    learn_freq = (
+        _wpd(learn_df)
+        .groupBy("w")
+        .agg(F.sum("m").alias("freq_learn"))
+    )
+    # learn-corpus character inventory: one row, broadcast — the
+    # in-vocabulary test for the fallback CASE (tiny: |distinct
+    # chars|, bounded by the script inventory of the corpus)
+    inv = (
+        learn_freq.select(
+            F.explode(F.split(F.col("w"), "")).alias("c")
+        )
+        .where(F.length("c") > 0)
+        .agg(F.collect_set("c").alias("inv_chars"))
+    )
+    # symbol rep with byte fallback: in-inventory chars stay single
+    # symbols; anything else becomes its UTF-8 bytes as '<0xHH>'
+    # tokens (hex() is uppercase in both engines)
+    fallback_rep = F.expr(
+        "concat('  ', array_join(transform(split(w, ''), c -> "
+        "  CASE WHEN array_contains(inv_chars, c) THEN c ELSE "
+        "    array_join(transform("
+        "      sequence(1, int(length(hex(encode(c, 'UTF-8'))) / 2)),"
+        "      i -> concat('<0x', substring("
+        "             hex(encode(c, 'UTF-8')), 2 * i - 1, 2), '>')"
+        "    ), '  ') END"
+        "), '  '), '  ')"
+    )
+    vocab = (
+        wpd.groupBy("w")
+        .agg(F.sum("m").alias("freq_full"))
+        .join(learn_freq, "w", "left")
+        .withColumn("freq_learn", F.coalesce("freq_learn", F.lit(0)))
+        .crossJoin(F.broadcast(inv))
+        .select("w", fallback_rep.alias("rep"), "freq_learn")
+    )
+    for _step in range(1, k + 1):
+        arred = vocab.select(
+            "rep", "freq_learn",
+            F.split(F.trim(F.col("rep")), "  ").alias("_t"),
+        )
+        bigrams = F.when(
+            F.size("_t") >= 2,
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> struct("
+                "  element_at(_t, i) AS l, "
+                "  element_at(_t, i + 1) AS r))"
+            ),
+        ).otherwise(F.array())
+        # learn-frequency weighting: encode-only words carry 0 and
+        # cannot influence the winner; the global min_by keeps the
+        # winner at exactly one row even on an empty round (see
+        # bpe_token_counts)
+        pairs = (
+            arred.where(F.col("freq_learn") > 0)
+            .select(F.explode(bigrams).alias("p"), "freq_learn")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq_learn").alias("pair_count"))
+        )
+        best = pairs.agg(
+            F.min_by(
+                F.struct(F.col("l"), F.col("r")),
+                F.struct(
+                    (-F.col("pair_count")).alias("nc"),
+                    F.col("l"),
+                    F.col("r"),
+                ),
+            ).alias("_w")
+        ).select(
+            F.col("_w.l").alias("_bl"), F.col("_w.r").alias("_br")
+        )
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "w",
+            _greedy_merge_rep(
+                F.col("rep"), F.col("_bl"), F.col("_br")
+            ).alias("rep"),
+            "freq_learn",
+        )
+    word_tok = vocab.select(
+        "w",
+        F.size(F.split(F.trim(F.col("rep")), "  ")).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    return (
+        wpd.join(word_tok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_words"),
+            F.sum(F.col("m") * F.col("n_tok"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
 def bigram_surprisal_scores(
     df: DataFrame,
     text_col: str = "text",

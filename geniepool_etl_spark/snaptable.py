@@ -1790,6 +1790,8 @@ def compact(
     table_path: str,
     target_files: int = 1,
     sort_by: tuple = (),
+    zorder_by: tuple = (),
+    zorder_bits: int = 10,
 ) -> int:
     """Rewrite the current snapshot into ``target_files`` files as a
     new version (rows identical — asserted before commit, the same
@@ -1803,11 +1805,82 @@ def compact(
     discriminate — a table whose appends arrived hash-scattered
     (every file spanning the full key range, stats pruning inert)
     becomes prunable in one maintenance pass. Make the sort keys
-    ``stats_cols`` for the skipping to pay off."""
+    ``stats_cols`` for the skipping to pay off.
+
+    ``zorder_by`` (r15, mutually exclusive with ``sort_by``) is the
+    MULTI-COLUMN re-cluster: each column is scaled into
+    ``2**zorder_bits`` buckets (bounds come from the manifest's own
+    min/max stats when recorded — a metadata read, no data pre-pass;
+    one tiny agg otherwise) and the rewrite is clustered on the
+    Morton-interleaved key (lake.zorder_key), so min/max stats
+    discriminate on EVERY participating axis at once — the standard
+    lakehouse answer to the hash-scattered layout a single-axis sort
+    can only fix for one dimension."""
+    if sort_by and zorder_by:
+        raise ValueError("compact: sort_by and zorder_by are exclusive")
     fs, P = _hadoop_fs(spark, table_path)
     m = _resolve(spark, fs, P, table_path, None)
     cur = _read_files(spark, table_path, m, m["files"])
-    if sort_by:
+    if zorder_by:
+        from geniepool_etl_spark import lake
+
+        # column bounds: prefer the manifest's recorded per-file
+        # [min, max] stats (pure metadata — the 100 TB-safe path);
+        # fall back to one aggregate over the live rows for columns
+        # the table never recorded stats for
+        bounds: dict = {}
+        for c in zorder_by:
+            mns = [
+                f["stats"][c][0]
+                for f in m["files"]
+                if f.get("stats", {}).get(c)
+                and f["stats"][c][0] is not None
+            ]
+            mxs = [
+                f["stats"][c][1]
+                for f in m["files"]
+                if f.get("stats", {}).get(c)
+                and f["stats"][c][1] is not None
+            ]
+            if len(mns) == len(m["files"]) and mns:
+                bounds[c] = (min(mns), max(mxs))
+        missing = [c for c in zorder_by if c not in bounds]
+        if missing:
+            row = cur.agg(
+                *[
+                    g
+                    for c in missing
+                    for g in (
+                        F.min(c).alias(f"__mn_{c}"),
+                        F.max(c).alias(f"__mx_{c}"),
+                    )
+                ]
+            ).first()
+            for c in missing:
+                bounds[c] = (row[f"__mn_{c}"], row[f"__mx_{c}"])
+        buckets = (1 << zorder_bits) - 1
+        dims = []
+        for c in zorder_by:
+            mn, mx = bounds[c]
+            if mn is None or mx is None or mx <= mn:
+                dims.append(F.lit(0).cast("long"))
+                continue
+            scaled = F.floor(
+                (F.col(c) - F.lit(mn)) * F.lit(buckets) / F.lit(mx - mn)
+            ).cast("long")
+            # clamp against float rounding at the edges
+            dims.append(
+                F.least(F.lit(buckets), F.greatest(F.lit(0), scaled))
+            )
+        cur = (
+            cur.withColumn(
+                "__zkey", lake.zorder_key(dims, bits=zorder_bits)
+            )
+            .repartitionByRange(max(1, target_files), "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    elif sort_by:
         cur = cur.repartitionByRange(
             max(1, target_files), *sort_by
         ).sortWithinPartitions(*sort_by)

@@ -2679,6 +2679,47 @@ def test_bpe_token_counts_textbook(spark):
     assert (got[3].n_words, got[3].n_tokens) == (2, 1 + 5)
 
 
+def test_bpe_byte_fallback_semantics(spark):
+    """r15: byte-fallback BPE. Learn on docs 1-2 (same corpus as the
+    textbook test, so merges are (l,o), (lo,w), (e,s)); doc 3 is
+    encode-only and carries OOV characters. In-vocabulary words
+    encode exactly as plain BPE; an OOV char costs one token per
+    UTF-8 byte ('日' = 3 bytes → 3 tokens, 'é' = 2 bytes → 2); and
+    the encode-only doc must not influence learning (its 'zz zz zz'
+    would otherwise win round 1 over (l,o))."""
+    from geniepool_etl_spark.operators.text import (
+        bpe_token_counts_byte_fallback,
+    )
+
+    rows = [
+        (1, "low low low lower lower"),
+        (2, "newest newest widest"),
+        # 'zz' x3 would out-count (l,o) if learning saw this doc;
+        # 'a日b' has an OOV CJK char mid-word; 'é' is a 2-byte OOV
+        (3, "zz zz zz a日b é low"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    learn = df.where("doc_id <= 2")
+    got = {
+        r.doc_id: r
+        for r in bpe_token_counts_byte_fallback(
+            df, k=3, learn_df=learn
+        ).collect()
+    }
+    # learn docs: identical to plain BPE (textbook test's totals)
+    assert (got[1].n_words, got[1].n_tokens) == (5, 3 * 1 + 2 * 3)
+    assert (got[2].n_words, got[2].n_tokens) == (3, 2 * 5 + 5)
+    # encode-only doc: zz -> [z,z]=2 ('z' unseen? 'z' IS unseen in
+    # learn -> 2 bytes? no: 'z' is ASCII 1 byte -> <0x7A> token) …
+    # 'z' never appears in the learn corpus, so each 'z' is one
+    # 1-byte fallback token: zz = 2 tokens. a日b = [a? 'a' unseen
+    # too -> 1 byte token] + 3 byte tokens + [b? unseen -> 1] = 5.
+    # é = 2 byte tokens. low = [low] = 1 (learned merge applies).
+    assert (got[3].n_words, got[3].n_tokens) == (
+        6, 3 * 2 + 5 + 2 + 1
+    )
+
+
 def test_countmin_never_undercounts_and_merges(spark):
     """Count-min invariants: every estimate >= exact (min over rows
     cannot undercount); with width >= |keys| and depth hashes a small

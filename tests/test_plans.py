@@ -207,6 +207,7 @@ _INTENDED_CROSS = {
     "text_collocations",  # 1-row bigram-total broadcast (tfidf pattern)
     "dedup_semantic",  # 16-row centroid broadcast (ivf_assign pattern)
     "text_bpe_encode",  # per-round 1-row argmax winner broadcast (bpe pattern)
+    "text_bpe_byte_fallback",  # same winner broadcast + 1-row char-inventory broadcast
     "text_unigram_lm",  # 1-row vocab-cost-map broadcast per E-step
     "text_unigram_vocab",  # same training plan (shared _unigram_train)
     "text_wordpiece",  # 1-row vocab-presence-map broadcast
@@ -260,6 +261,7 @@ def test_no_unintended_cartesian_in_any_contract_entry(spark):
         "snap_change_feed",
         "snap_merge_upsert",
         "snap_zorder_skip",
+        "snap_compact_zorder",
         "snap_compact_history",
         "snap_schema_evolution",
         "snap_bloom_skip",

@@ -279,6 +279,46 @@ def test_zorder_write_skips_on_both_dimensions(spark, tdir):
         assert got == want
 
 
+def test_compact_zorder_multi_axis_skipping(spark, tdir):
+    """r15: compact(zorder_by=…) takes a hash-scattered layout (every
+    file spans the full range of both columns — stats pruning inert
+    on BOTH axes) to a Morton-clustered one where a range read skips
+    files on EITHER axis, rows identical, bounds sourced from the
+    manifest's own stats (no data pre-pass)."""
+    grid = spark.range(0, 4096).select(
+        F.col("id").alias("id"),
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+    )
+    # round-robin layout: every file sees the full [0, 63] range of
+    # both a and b — the worst case compaction exists to fix
+    T.write_table(grid.repartition(8), tdir, "create",
+                  stats_cols=("a", "b"))
+    for col in ("a", "b"):
+        total, scanned = T.scan_stats(spark, tdir, col, 0, 15)
+        assert (total, scanned) == (8, 8), (col, total, scanned)
+    v = T.compact(spark, tdir, target_files=8, zorder_by=("a", "b"))
+    assert v == 1
+    for col in ("a", "b"):
+        total, scanned = T.scan_stats(spark, tdir, col, 0, 15)
+        assert total == 8 and scanned < total, (col, total, scanned)
+        got = sorted(
+            (r.a, r.b)
+            for r in T.read_range(spark, tdir, col, 0, 15).collect()
+        )
+        want = sorted(
+            (i % 64, i // 64)
+            for i in range(4096)
+            if (i % 64 if col == "a" else i // 64) <= 15
+        )
+        assert got == want
+    assert T.read_table(spark, tdir).count() == 4096
+    hist = {r.version: r.action for r in T.history(spark, tdir).collect()}
+    assert hist[1] == "compact"
+    with pytest.raises(ValueError, match="exclusive"):
+        T.compact(spark, tdir, sort_by=("a",), zorder_by=("b",))
+
+
 def test_compact_preserves_rows_and_history(spark, nums, tdir):
     T.write_table(nums.repartition(6), tdir, "create")
     T.compact(spark, tdir, target_files=1)
