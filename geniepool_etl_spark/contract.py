@@ -3817,6 +3817,65 @@ def q_multimodal_exif(
     return M.decode_exif_stats(M.synth_jpeg_exif_assets(params))
 
 
+def q_multimodal_exif_oriented(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXIF-AWARE PIXEL DECODE (r15 — multimodal.
+    synth_jpeg_exif_oriented_assets → decode_image_oriented_stats):
+    baseline grayscale JPEGs stored in CAMERA space with an APP1
+    Orientation tag cycling all 8 values; the decoder entropy-
+    decodes the scan, applies the orientation, and reports
+    DISPLAY-space dims + pixel sum + the position-weighted checksum
+    ``Σ v·(1 + x + 2y)`` — what a real image pipeline must produce
+    before any vision model (stored dims mis-bucket every rotated
+    photo). The oracle recomputes everything from the display
+    closed form; a decoder that skipped the rotation would report
+    camera-space values and mismatch (pinned per-orientation in
+    pytest)."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 7)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(16) + (F.col("doc_id") % 5) * 8)
+            .cast("long")
+            .alias("width"),
+            (F.lit(8) + (F.col("doc_id") % 4) * 8)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_oriented_stats(
+        M.synth_jpeg_exif_oriented_assets(params)
+    )
+
+
+def q_multimodal_phash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERCEPTUAL-HASH IMAGE NEAR-DUP (r15 — multimodal.
+    synth_pgm_phash_assets → decode_image_phash → dedup.
+    hash_band_pairs): the bridge of the multimodal and dedup
+    families — dedupe images BEFORE captioning. Each 32x32 grayscale
+    PGM carries a designed 63-bit DCT-sign signature (groups of 4
+    assets share bands 0..2 and differ by ≤5 top-band bits); the
+    decode does the real 2-D DCT-II (computed cosine basis) and the
+    pair stage is the SimHash-shaped BANDED self-join — candidates
+    share an exact 16-bit band, never all-pairs — then exact
+    bit_count(xor) ≤ 6. Oracle recomputes the designed signatures
+    and replays band-match + hamming in SQL."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 11)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    hashes = M.decode_image_phash(M.synth_pgm_phash_assets(params))
+    return D.hash_band_pairs(
+        hashes, hash_col="phash", id_col="asset_id",
+        bands=4, bits=64, max_hamming=6,
+    )
+
+
 def q_multimodal_webp_alpha(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10924,6 +10983,68 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                'CAM' || CAST(doc_id % 5 AS VARCHAR) AS make
         FROM documents WHERE doc_id % 13 = 8
     """
+    o["multimodal_exif_oriented"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 16 + (doc_id % 5) * 8 AS w,
+                 8 + (doc_id % 4) * 8 AS h,
+                 doc_id % 7 AS a,
+                 1 + doc_id % 8 AS o
+          FROM documents WHERE doc_id % 13 = 7
+        ),
+        px AS (
+          SELECT asset_id,
+                 (37 * ((i % w) // 8) + 71 * ((i // w) // 8)
+                  + 13 * a) % 256 AS v,
+                 i % w AS x, i // w AS y
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        agg AS (
+          SELECT asset_id,
+                 CAST(sum(v) AS BIGINT) AS sum_px,
+                 CAST(sum(v * (1 + x + 2 * y)) AS BIGINT) AS wsum
+          FROM px GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(o AS BIGINT) AS orientation,
+               CAST(w AS BIGINT) AS disp_w, CAST(h AS BIGINT) AS disp_h,
+               agg.sum_px, agg.wsum
+        FROM prm JOIN agg USING (asset_id)
+    """
+    o["multimodal_phash_dedup"] = """
+        WITH ids AS (
+          SELECT doc_id AS aid FROM documents WHERE doc_id % 13 = 11
+        ),
+        bits AS (
+          SELECT aid, j,
+            (((((aid // 4) * 37 + j * 101 + ((aid // 4) % 13) * j)
+               % 97) % 2)
+             + (CASE WHEN aid % 4 >= 1
+                     AND j = 48 + (((aid % 4) * 7) % 15)
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN aid % 4 >= 2
+                     AND j = 48 + (((aid % 4) * 7 + 11) % 15)
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN aid % 4 >= 3
+                     AND j = 48 + (((aid % 4) * 7 + 22) % 15)
+                THEN 1 ELSE 0 END)) % 2 AS b
+          FROM ids, UNNEST(range(63)) AS u(j)
+        ),
+        hs AS (
+          SELECT aid,
+                 CAST(sum(b * (CAST(1 AS BIGINT) << j)) AS BIGINT)
+                   AS h
+          FROM bits GROUP BY aid
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT a.aid AS id_a, b.aid AS id_b,
+                 CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+          FROM hs a JOIN hs b ON a.aid < b.aid
+          WHERE ((a.h >> 0) & 65535) = ((b.h >> 0) & 65535)
+             OR ((a.h >> 16) & 65535) = ((b.h >> 16) & 65535)
+             OR ((a.h >> 32) & 65535) = ((b.h >> 32) & 65535)
+             OR ((a.h >> 48) & 65535) = ((b.h >> 48) & 65535)
+        ) WHERE hamming <= 6
+    """
     o["multimodal_webp_alpha"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -12939,6 +13060,8 @@ SPARK_QUERIES = {
     "multimodal_webp_anim": q_multimodal_webp_anim,
     "multimodal_webp_alpha": q_multimodal_webp_alpha,
     "multimodal_exif": q_multimodal_exif,
+    "multimodal_exif_oriented": q_multimodal_exif_oriented,
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,

@@ -864,6 +864,74 @@ def simhash_bands(
     )
 
 
+def hash_band_pairs(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "asset_id",
+    bands: int = 4,
+    bits: int = 64,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Banded hamming-distance near-dup pairs over ANY ``bits``-wide
+    integer hash column (pHash, SimHash, audio fingerprints…): the
+    hash is cut into ``bands`` equal-width bands, candidates are the
+    pairs sharing at least one EXACT band — a keyed equi-self-join on
+    (band, band_key), NEVER all-pairs (two hashes within hamming
+    distance < bands must agree on some band, the pigeonhole
+    guarantee) — then exact ``bit_count(xor)`` filters to
+    ``max_hamming``. Returns (id_a, id_b, hamming), deduplicated
+    across bands. The shuffle is keyed by band value, so candidate
+    volume scales with bucket occupancy, not corpus².
+
+    r15: extracted as the shared banding core so the pHash image
+    near-dup lane reuses the SimHash shape (simhash_bands above)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("h"), bi * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    keyed = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+        )
+        .select("id", "h", F.explode(band_arr).alias("bk"))
+        .select(
+            "id", "h",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+    )
+    a = keyed.select(
+        F.col("band"), F.col("band_key"),
+        F.col("id").alias("id_a"), F.col("h").alias("h_a"),
+    )
+    b = keyed.select(
+        F.col("band"), F.col("band_key"),
+        F.col("id").alias("id_b"), F.col("h").alias("h_b"),
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(
+        F.col("h_a").bitwiseXOR(F.col("h_b"))
+    ).cast("long")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def near_dedup_keep(
     df: DataFrame,
     pairs: DataFrame,

@@ -6086,9 +6086,28 @@ def synth_jpeg_color_assets(
 
 
 def _jpeg_pixel_sums(raw: bytes) -> tuple:
+    """Exact integer per-channel pixel sums of a baseline JPEG (see
+    :func:`_jpeg_decode_planes` for the decode itself). Grayscale
+    reports the luminance sum on all three channels (the PGM
+    convention)."""
+    w, h, ch = _jpeg_decode_planes(raw)
+    if len(ch) == 1:
+        s = int(ch[0].sum())
+        return (w * h, s, s, s)
+    return (
+        w * h,
+        int(ch[0].sum()),
+        int(ch[1].sum()),
+        int(ch[2].sum()),
+    )
+
+
+def _jpeg_decode_planes(raw: bytes) -> tuple:
     """Decode a baseline JPEG — grayscale (one component) OR color
-    (three components, 4:4:4 — every sampling factor 1x1) — to exact
-    integer per-channel pixel sums: segment walk → canonical Huffman
+    (three components, 4:4:4 — every sampling factor 1x1) — to
+    ``(w, h, channels)`` where ``channels`` is ``[gray]`` or
+    ``[r, g, b]`` as cropped full-resolution int64 arrays: segment
+    walk → canonical Huffman
     tables → interleaved-MCU entropy decode (per-component DC
     prediction + EXTEND, AC run/size with ZRL/EOB, 0xFF00
     un-stuffing) → dequantize → de-zigzag → IDCT → clamp → crop.
@@ -6103,9 +6122,7 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
     ratios — 4:4:4, 4:2:2, 4:2:0, 4:1:1 (r11); anything outside the
     profile (progressive with restarts, 12-bit, fractional-ratio
     factor mixes like 3-vs-2) raises and the caller nulls the row
-    out.
-    Grayscale reports the luminance sum on all three channels (the
-    PGM convention)."""
+    out."""
     import struct
 
     import numpy as np
@@ -6275,8 +6292,7 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
                         pc = (mc * comp["h"] + bh) * 8
                         planes[ci][pr : pr + 8, pc : pc + 8] = px
     if len(comps) == 1:
-        s = int(planes[0][:h, :w].sum())
-        return (w * h, s, s, s)
+        return (w, h, [planes[0][:h, :w]])
     # nearest-neighbor chroma upsample back to full resolution (the
     # 4:2:0/4:2:2 reconstruction), then crop the MCU padding
     full = []
@@ -6297,7 +6313,7 @@ def _jpeg_pixel_sums(raw: bytes) -> tuple:
     r_ = chan(1000 * y + 1402 * (cr - 128))
     g_ = chan(1000 * y - 344 * (cb - 128) - 714 * (cr - 128))
     b_ = chan(1000 * y + 1772 * (cb - 128))
-    return (w * h, int(r_.sum()), int(g_.sum()), int(b_.sum()))
+    return (w, h, [r_, g_, b_])
 
 
 def decode_image_features(assets: DataFrame) -> DataFrame:
@@ -9581,6 +9597,314 @@ def synth_jpeg_exif_assets(
                         )
                     ],
                     "media_type": "image/jpeg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _exif_orient(a, o: int):
+    """Apply EXIF Orientation ``o`` (TIFF tag 0x0112, all 8 values)
+    to a camera-space array: returns the DISPLAY-space image. The
+    value names where the stored row-0/col-0 corner sits visually
+    (1 top-left … 8 left-bottom); 5-8 swap the axes."""
+    import numpy as np
+
+    if o == 1:
+        return a
+    if o == 2:
+        return np.fliplr(a)
+    if o == 3:
+        return np.rot90(a, 2)
+    if o == 4:
+        return np.flipud(a)
+    if o == 5:
+        return a.T
+    if o == 6:
+        return np.rot90(a, -1)
+    if o == 7:
+        return np.rot90(a, 2).T
+    if o == 8:
+        return np.rot90(a, 1)
+    raise ValueError(f"exif: orientation {o} out of range")
+
+
+def _exif_orient_inverse(a, o: int):
+    """Inverse of :func:`_exif_orient` — display back to camera
+    space (the synth direction). 2/3/4/5/7 are involutions; the two
+    quarter-turns swap."""
+    import numpy as np
+
+    if o == 6:
+        return np.rot90(a, 1)
+    if o == 8:
+        return np.rot90(a, -1)
+    return _exif_orient(a, o)
+
+
+_ORIENTED_SCHEMA = (
+    "asset_id long, orientation long, disp_w long, disp_h long, "
+    "sum_px long, wsum long"
+)
+
+
+def decode_image_oriented_stats(assets: DataFrame) -> DataFrame:
+    """EXIF-AWARE pixel decode (r15): parse the APP1 Orientation tag
+    (:func:`_exif_fields`), entropy-decode the baseline grayscale
+    scan (:func:`_jpeg_decode_planes`), rotate/flip the pixel grid
+    into DISPLAY space, and report display-space dimensions plus a
+    POSITION-WEIGHTED checksum ``wsum = Σ v(x,y)·(1 + x + 2y)`` —
+    the statistic a plain sum can't distinguish orientations by.
+    This is what a real image pipeline must do before any vision
+    model sees the pixels: filtering on stored (camera) dimensions
+    mis-buckets every rotated photo. Arrow ``mapInPandas``; poison
+    payloads yield null stats."""
+    import numpy as np
+
+    def one(raw: bytes) -> tuple:
+        o = _exif_fields(raw).get("orientation") or 1
+        w, h, ch = _jpeg_decode_planes(raw)
+        if len(ch) != 1:
+            raise ValueError("oriented stats: grayscale lane only")
+        disp = _exif_orient(ch[0], int(o))
+        dh, dw = disp.shape
+        xs = np.arange(dw, dtype=np.int64)[None, :]
+        ys = np.arange(dh, dtype=np.int64)[:, None]
+        wsum = int((disp * (1 + xs + 2 * ys)).sum())
+        return (int(o), dw, dh, int(disp.sum()), wsum)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {k: [] for k in
+                    ("orientation", "disp_w", "disp_h", "sum_px",
+                     "wsum")}
+            for b in pdf["payload"]:
+                try:
+                    vals = one(bytes(b))
+                    for k, v in zip(cols, vals):
+                        cols[k].append(v)
+                except (ValueError, IndexError, KeyError):
+                    for k in cols:
+                        cols[k].append(None)
+            out = {"asset_id": pdf["asset_id"]}
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, _ORIENTED_SCHEMA)
+
+
+def synth_jpeg_exif_oriented_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize REAL baseline grayscale JPEGs whose pixel grid is
+    stored in CAMERA space with an APP1 Exif Orientation tag
+    (1 + asset_id % 8): the DISPLAY image is the closed form
+    ``D(x, y) = (37·(x//8) + 71·(y//8) + 13·(asset_id%7)) % 256``
+    over (width, height) — both multiples of 8, so every EXIF
+    transform maps 8x8 blocks onto 8x8 blocks and the block-constant
+    camera image round-trips the DC-only scan losslessly (the
+    synth_jpeg_gradient_assets construction) — and the stored bytes
+    are ``_exif_orient_inverse(D)``. A decoder that skips the
+    orientation reports camera-space dims/checksums and mismatches
+    the closed form. Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    import numpy as np
+
+    enc_dc, _ = _jpeg_huff_tables(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    enc_ac, _ = _jpeg_huff_tables(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    tmat = _jpeg_dct_matrix()
+    zz_order = np.asarray(_JPEG_ZIGZAG)
+
+    def one(aid: int, dw: int, dh: int) -> bytes:
+        if dw % 8 or dh % 8:
+            raise ValueError("oriented synth: dims must be 8-aligned")
+        o = 1 + aid % 8
+        a7 = aid % 7
+        bx = np.arange(dw, dtype=np.int64)[None, :] // 8
+        by = np.arange(dh, dtype=np.int64)[:, None] // 8
+        disp = ((37 * bx + 71 * by + 13 * a7) % 256).astype(np.float64)
+        cam = np.ascontiguousarray(_exif_orient_inverse(disp, o))
+        ch, cw = cam.shape
+        nbx, nby = cw // 8, ch // 8
+        wr = _JpegBitWriter()
+        pred = 0
+        for r in range(nby):
+            for c in range(nbx):
+                blk = cam[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - 128.0
+                coef = np.rint(tmat @ blk @ tmat.T).astype(np.int64)
+                zz = coef.reshape(64)[zz_order]
+                pred = _jpeg_encode_block(wr, enc_dc, enc_ac, zz, pred)
+        scan = wr.flush()
+        # minimal APP1 Exif: IFD0 with the single Orientation entry
+        e, bo = ("<", b"II") if aid % 2 == 0 else (">", b"MM")
+        ifd0 = (
+            struct.pack(e + "H", 1)
+            + struct.pack(e + "HHI", 0x0112, 3, 1)
+            + struct.pack(e + "H", o) + b"\x00\x00"
+            + b"\x00\x00\x00\x00"
+        )
+        tiff = (bo + struct.pack(e + "H", 42)
+                + struct.pack(e + "I", 8) + ifd0)
+        app1 = b"Exif\x00\x00" + tiff
+        dqt = b"\x00" + bytes([1] * 64)
+        sof0 = b"\x08" + struct.pack(">HH", ch, cw) + b"\x01\x01\x11\x00"
+        dht_dc = b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        dht_ac = b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        sos = b"\x01\x01\x00\x00\x3f\x00"
+        seg = lambda m, b: m + struct.pack(">H", len(b) + 2) + b  # noqa: E731
+        return b"".join(
+            [
+                b"\xff\xd8",
+                seg(b"\xff\xe1", app1),
+                seg(b"\xff\xdb", dqt),
+                seg(b"\xff\xc0", sof0),
+                seg(b"\xff\xc4", dht_dc),
+                seg(b"\xff\xc4", dht_ac),
+                seg(b"\xff\xda", sos),
+                scan,
+                b"\xff\xd9",
+            ]
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(a), int(w), int(h))
+                        for a, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _phash_basis():
+    """The 8x32 DCT-II cosine basis rows used by pHash: ``M[u, x] =
+    cos((2x+1)·u·π/64)`` — COMPUTED from the closed form (the honesty
+    rule: no memorized table), shared by decode and synth."""
+    import numpy as np
+
+    x = np.arange(32, dtype=np.float64)
+    u = np.arange(8, dtype=np.float64)[:, None]
+    return np.cos((2 * x[None, :] + 1) * u * np.pi / 64.0)
+
+
+_PHASH_SCHEMA = "asset_id long, phash long"
+
+
+def decode_image_phash(assets: DataFrame) -> DataFrame:
+    """PERCEPTUAL HASH (r15): decode each 32x32 grayscale P5 PGM and
+    reduce to the 63-bit pHash — 2-D DCT-II over the pixel grid
+    (``C = M·img·Mᵀ`` with the computed cosine basis), keep the 8x8
+    lowest-frequency block minus DC, one bit per coefficient SIGN
+    (sign is the scale-free variant of the median rule: robust to
+    brightness/contrast, and exactly reproducible). The image dedup
+    key of an LLM captioning corpus — near-identical images land
+    within a few bits. Arrow ``mapInPandas``; poison payloads yield
+    null hashes."""
+    import numpy as np
+
+    basis = _phash_basis()
+
+    def one(raw: bytes) -> int:
+        if raw[:2] != b"P5":
+            raise ValueError("phash: grayscale P5 lane only")
+        # header: P5 <ws> w <ws> h <ws> maxval <single ws> raster
+        parts = raw[2:].split(None, 3)
+        if len(parts) < 4:
+            raise ValueError("phash: short PGM header")
+        w, h, mx = int(parts[0]), int(parts[1]), int(parts[2])
+        if (w, h) != (32, 32) or mx != 255:
+            raise ValueError("phash: expects 32x32 8-bit (resize first)")
+        if len(parts[3]) < w * h:
+            raise ValueError("phash: truncated raster")
+        img = np.frombuffer(
+            parts[3][: w * h], dtype=np.uint8
+        ).reshape(h, w).astype(np.float64)
+        coef = basis @ img @ basis.T  # rows: v (y-freq), cols: u
+        hval = 0
+        for j in range(63):
+            u, v = divmod(j + 1, 8)
+            if coef[v, u] > 0:
+                hval |= 1 << j
+        return hval
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs = []
+            for b in pdf["payload"]:
+                try:
+                    hs.append(one(bytes(b)))
+                except (ValueError, IndexError):
+                    hs.append(None)
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "phash": hs}
+            )
+
+    return assets.mapInPandas(batches, _PHASH_SCHEMA)
+
+
+def _phash_sig_bit(aid: int, j: int) -> int:
+    """The designed pHash bit j of asset ``aid`` (closed form the
+    oracle replays): group base bits from a small mixing congruence
+    on g = aid//4, with member m = aid%4 flipping exactly m bits
+    inside the TOP band (bits 48..62) — so a group's members share
+    bands 0..2 exactly (the banded join must find them) and differ
+    by ≤5 bits pairwise."""
+    g, m = aid // 4, aid % 4
+    bit = ((g * 37 + j * 101 + (g % 13) * j) % 97) % 2
+    for t in range(m):
+        if j == 48 + ((m * 7 + t * 11) % 15):
+            bit ^= 1
+    return bit
+
+
+def synth_pgm_phash_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Synthesize 32x32 grayscale P5 PGMs whose pHash is a designed
+    closed form: the image is ``128 + Σ_j s_j·2·c_u(x)·c_v(y)`` over
+    the 63 non-DC low frequencies with ``s_j = ±1`` from
+    :func:`_phash_sig_bit` — by DCT orthogonality each kept
+    coefficient is ±512 (u,v>0) or ±1024 (axis terms), far above the
+    ≤0.5/pixel rounding noise, so the decoded sign bits recover the
+    designed signature exactly; the worst-case excursion is
+    128±126, so no pixel ever clips. Arrow ``mapInPandas``;
+    narrow."""
+    import numpy as np
+
+    basis = _phash_basis()
+
+    def one(aid: int) -> bytes:
+        img = np.full((32, 32), 128.0)
+        for j in range(63):
+            u, v = divmod(j + 1, 8)
+            s = 1.0 if _phash_sig_bit(aid, j) else -1.0
+            img += 2.0 * s * np.outer(basis[v], basis[u])
+        px = np.rint(img)
+        if px.min() < 0 or px.max() > 255:
+            raise AssertionError("phash synth: clipping impossible")
+        return b"P5\n32 32\n255\n" + px.astype(np.uint8).tobytes()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [one(int(a)) for a in pdf[id_col]],
+                    "media_type": "image/x-portable-graymap",
                 }
             )
 

@@ -6901,6 +6901,89 @@ def test_exif_parse_both_orders():
     assert fp["make"] == f["make"]
 
 
+def test_exif_oriented_decode_all_eight(spark):
+    """r15: EXIF-aware pixel decode. (a) forward∘inverse is the
+    identity for every orientation 1..8 on an asymmetric grid;
+    (b) synth→decode round-trips to the DISPLAY closed form —
+    dims, sum, and the position-weighted checksum — for all 8
+    orientations and both dim shapes; (c) for every o != 1 the
+    camera-space checksum DIFFERS from the display one (the lane
+    would catch a decoder that skips the rotation)."""
+    import numpy as np
+    import pandas as pd
+
+    a = np.arange(24, dtype=np.int64).reshape(4, 6)
+    for o in range(1, 9):
+        back = M._exif_orient(M._exif_orient_inverse(a, o), o)
+        assert np.array_equal(back, a), o
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_jpeg_exif_oriented_assets(StubDF())
+    dec = M.decode_image_oriented_stats(StubDF())
+    for aid in range(8):
+        dw, dh = 24, 16
+        out = next(gen(iter([pd.DataFrame(
+            {"asset_id": [aid], "width": [dw], "height": [dh]}
+        )])))
+        got = next(dec(iter([out]))).iloc[0]
+        bx = np.arange(dw, dtype=np.int64)[None, :] // 8
+        by = np.arange(dh, dtype=np.int64)[:, None] // 8
+        disp = (37 * bx + 71 * by + 13 * (aid % 7)) % 256
+        xs = np.arange(dw, dtype=np.int64)[None, :]
+        ys = np.arange(dh, dtype=np.int64)[:, None]
+        want_wsum = int((disp * (1 + xs + 2 * ys)).sum())
+        assert got["orientation"] == 1 + aid % 8
+        assert (got["disp_w"], got["disp_h"]) == (dw, dh)
+        assert got["sum_px"] == int(disp.sum())
+        assert got["wsum"] == want_wsum, aid
+        if aid % 8:  # orientation != 1: rotation must matter
+            o = 1 + aid % 8
+            cam = M._exif_orient_inverse(disp, o)
+            cys, cxs = np.indices(cam.shape)
+            cam_wsum = int((cam * (1 + cxs + 2 * cys)).sum())
+            assert (cam.shape != disp.shape) or (
+                cam_wsum != want_wsum
+            ), o
+
+
+def test_phash_band_pairs_pigeonhole(spark):
+    """r15: hash_band_pairs semantics — (a) any pair within hamming
+    < bands shares a band by pigeonhole and IS found; (b) a pair
+    within max_hamming but differing in every band is (correctly,
+    by LSH design) not a candidate; (c) far pairs sharing one band
+    are candidates but filtered by the exact hamming check."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators.dedup import hash_band_pairs
+
+    base = 0x123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),              # hamming 3, bands 1-3 shared
+        (3, base ^ (1 | 1 << 16 | 1 << 32 | 1 << 48)),  # h=4, NO
+        # shared band (one flip in each) — LSH misses by design
+        (4, base ^ ((1 << 16) - 1)),    # hamming 16 in band 0 only:
+        # shares bands 1-3 -> candidate, filtered by the exact check
+    ]
+    df = spark.createDataFrame(rows, "asset_id LONG, phash LONG")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hash_band_pairs(df, max_hamming=6).collect()
+    }
+    assert got[(1, 2)] == 3
+    assert (1, 3) not in got  # no band agreement
+    assert (1, 4) not in got  # candidate, but hamming 16 > 6
+    # raising the threshold surfaces the band-sharing far pair
+    got2 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hash_band_pairs(df, max_hamming=16).collect()
+    }
+    assert got2[(1, 4)] == 16
+
+
 def test_unigram_vocab_artifact(spark):
     """r14: the persisted unigram vocabulary artifact matches the
     hand reference's post-M-step state — surviving pieces, usage

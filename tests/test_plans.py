@@ -136,6 +136,24 @@ def test_lsh_similarity_join_is_keyed(spark):
     assert "hashpartitioning(bucket" in plan
 
 
+def test_phash_band_join_is_keyed(spark):
+    """r15: the pHash near-dup pair stage must plan as a keyed
+    equi-join on (band, band_key) — never a cartesian/BNLJ — so
+    candidate volume scales with bucket occupancy, not corpus²."""
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.operators import dedup as D
+
+    hs = spark.range(0, 256).select(
+        F.col("id").alias("asset_id"),
+        (F.col("id") * 2654435761 % 1099511627776).alias("phash"),
+    )
+    plan = _plan(D.hash_band_pairs(hs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and ("Join" in plan or "join" in plan)
+
+
 def test_lsh_hot_buckets_are_capped(spark):
     # the frequency cap must actually bound the candidate buckets: with
     # a tiny max_bucket every surviving bucket is ≤ the cap, and the
