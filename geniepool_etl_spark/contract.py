@@ -3933,6 +3933,37 @@ def q_multimodal_webp_anim(
     )
 
 
+def q_multimodal_webp_anim_lossy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANIMATED WebP WITH LOSSY FRAMES + PER-FRAME ALPHA (r15 —
+    multimodal.synth_webp_anim_lossy_assets → the shared ANMF
+    compositor): frame 0 is a full-canvas VP8 key frame (RFC 6386
+    decode, flat-MB closed form), frame 1 a sub-rect VP8 frame with
+    an ALPH alpha plane (all filter methods / both compressions by
+    asset) alpha-blended over the opaque base — OVER collapses to
+    ``(src·a + dst·(255−a))//255`` exactly. The dominant real-corpus
+    animation shape (lossy frames, lossless alpha). Oracle
+    recomputes BT.601 of both MB patterns × the alpha closed form
+    per canvas pixel."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 3)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(32) + (F.col("doc_id") % 3) * 16)
+            .cast("long")
+            .alias("width"),
+            (F.lit(32) + (F.col("doc_id") % 2) * 16)
+            .cast("long")
+            .alias("height"),
+        )
+    )
+    return M.decode_image_pixel_stats(
+        M.synth_webp_anim_lossy_assets(params)
+    )
+
+
 def q_multimodal_vp8l_dist(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11126,6 +11157,75 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_r, agg.sum_g, agg.sum_b
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_webp_anim_lossy"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 32 + (doc_id % 3) * 16 AS w,
+                 32 + (doc_id % 2) * 16 AS h,
+                 doc_id % 7 AS a,
+                 2 * (doc_id % 5) AS ox,
+                 2 * (doc_id % 3) AS oy,
+                 16 + (doc_id % 2) * 8 AS fw,
+                 16 AS fh
+          FROM documents WHERE doc_id % 13 = 3
+        ),
+        px AS (
+          SELECT asset_id, a, ox, oy, fw, fh,
+                 i % w AS x, i // w AS y
+          FROM prm, UNNEST(range(w * h)) AS u(i)
+        ),
+        ch AS (
+          SELECT asset_id,
+            least(greatest((1000 * ((37 * (x // 16) + 71 * (y // 16)
+              + 29 * a) % 256) + 1402 * (((53 * (x // 16)
+              + 13 * (y // 16) + 11 * a) % 256) - 128) + 500)
+              // 1000, 0), 255) AS r1,
+            least(greatest((1000 * ((37 * (x // 16) + 71 * (y // 16)
+              + 29 * a) % 256) - 344 * (((23 * (x // 16)
+              + 41 * (y // 16) + 17 * a) % 256) - 128)
+              - 714 * (((53 * (x // 16) + 13 * (y // 16)
+              + 11 * a) % 256) - 128) + 500) // 1000, 0), 255) AS g1,
+            least(greatest((1000 * ((37 * (x // 16) + 71 * (y // 16)
+              + 29 * a) % 256) + 1772 * (((23 * (x // 16)
+              + 41 * (y // 16) + 17 * a) % 256) - 128) + 500)
+              // 1000, 0), 255) AS b1,
+            CASE WHEN x >= ox AND x < ox + fw
+                  AND y >= oy AND y < oy + fh
+                 THEN 1 ELSE 0 END AS inr,
+            least(greatest((1000 * ((41 * ((x - ox) // 16)
+              + 19 * ((y - oy) // 16) + 7 * a) % 256)
+              + 1402 * (((17 * ((x - ox) // 16) + 37 * ((y - oy) // 16)
+              + 31 * a) % 256) - 128) + 500) // 1000, 0), 255) AS r2,
+            least(greatest((1000 * ((41 * ((x - ox) // 16)
+              + 19 * ((y - oy) // 16) + 7 * a) % 256)
+              - 344 * (((29 * ((x - ox) // 16) + 53 * ((y - oy) // 16)
+              + 23 * a) % 256) - 128)
+              - 714 * (((17 * ((x - ox) // 16) + 37 * ((y - oy) // 16)
+              + 31 * a) % 256) - 128) + 500) // 1000, 0), 255) AS g2,
+            least(greatest((1000 * ((41 * ((x - ox) // 16)
+              + 19 * ((y - oy) // 16) + 7 * a) % 256)
+              + 1772 * (((29 * ((x - ox) // 16) + 53 * ((y - oy) // 16)
+              + 23 * a) % 256) - 128) + 500) // 1000, 0), 255) AS b2,
+            (13 * (x - ox) + 7 * (y - oy) + 5 * a) % 256 AS al
+          FROM px
+        ),
+        agg AS (
+          SELECT asset_id,
+            CAST(sum(CASE WHEN inr = 1
+              THEN (r2 * al + r1 * (255 - al)) // 255
+              ELSE r1 END) AS BIGINT) AS sum_r,
+            CAST(sum(CASE WHEN inr = 1
+              THEN (g2 * al + g1 * (255 - al)) // 255
+              ELSE g1 END) AS BIGINT) AS sum_g,
+            CAST(sum(CASE WHEN inr = 1
+              THEN (b2 * al + b1 * (255 - al)) // 255
+              ELSE b1 END) AS BIGINT) AS sum_b
+          FROM ch GROUP BY asset_id
+        )
+        SELECT prm.asset_id, CAST(w * h AS BIGINT) AS n_pixels,
+               agg.sum_r, agg.sum_g, agg.sum_b
+        FROM prm JOIN agg USING (asset_id)
+    """
     o["multimodal_vp8l_dist"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -13062,6 +13162,7 @@ SPARK_QUERIES = {
     "multimodal_exif": q_multimodal_exif,
     "multimodal_exif_oriented": q_multimodal_exif_oriented,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
+    "multimodal_webp_anim_lossy": q_multimodal_webp_anim_lossy,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,

@@ -4980,8 +4980,12 @@ def _webp_anim_pixel_sums(raw: bytes) -> tuple:
     final composited canvas's exact per-channel sums: VP8X (canvas
     dims, animation flag) → ANIM (background color, loop count) →
     ANMF frames in order, each a 16-byte header (x/2, y/2, w−1,
-    h−1, duration, blend + disposal flags) wrapping a full VP8L
-    bitstream decoded by the shared still-image core. Compositing:
+    h−1, duration, blend + disposal flags) wrapping either a full
+    VP8L bitstream decoded by the shared still-image core OR (r15)
+    an optional ALPH chunk + a LOSSY VP8 key frame (the dominant
+    real-corpus shape) — color through the full RFC 6386 decoder,
+    alpha through the shared ALPH plane path, opaque when absent.
+    Compositing:
     canvas starts fully transparent; no-blend frames overwrite their
     rectangle; alpha-blend frames use the spec's OVER formula in the
     repo's floor-division integer convention (tA = dA·(255−sA)//255;
@@ -5035,29 +5039,39 @@ def _webp_anim_pixel_sums(raw: bytes) -> tuple:
                 raw[payload_at + 9:payload_at + 12], "little"
             )
             flags = raw[payload_at + 15]
-            # inner chunk walk for the frame's VP8L bitstream
+            # inner chunk walk: a frame is either one VP8L bitstream
+            # or (r15) an optional ALPH chunk followed by a lossy
+            # VP8 key frame
             fat = payload_at + 16
             body = end = None
+            alph = vp8_chunk = None
             while fat + 8 <= payload_end:
                 ifcc = raw[fat:fat + 4]
                 (isz,) = struct.unpack_from("<I", raw, fat + 4)
+                if fat + 8 + isz > payload_end:
+                    raise ValueError("webp anim: truncated frame chunk")
                 if ifcc == b"VP8L":
                     body, end = fat + 8, fat + 8 + isz
                     break
+                if ifcc == b"ALPH":
+                    alph = raw[fat + 8:fat + 8 + isz]
+                elif ifcc == b"VP8 ":
+                    vp8_chunk = raw[fat + 8:fat + 8 + isz]
+                    break
                 fat += 8 + isz + (isz & 1)
-            if body is None or end > payload_end:
-                raise ValueError("webp anim: frame without VP8L")
+            if body is None and vp8_chunk is None:
+                raise ValueError("webp anim: frame without VP8L/VP8")
             frames.append(
                 (fx, fy, fw, fh,
                  not (flags & 0x02),  # B=1 means NO blending
-                 bool(flags & 0x01), body, end)
+                 bool(flags & 0x01), body, end, alph, vp8_chunk)
             )
         at += 8 + csz + (csz & 1)
     if W is None or not frames:
         raise ValueError("webp anim: no VP8X/ANMF")
     canvas = [(0, 0, 0, 0)] * (W * H)
     pending_dispose = None
-    for fx, fy, fw, fh, blend, dispose, body, end in frames:
+    for fx, fy, fw, fh, blend, dispose, body, end, alph, vp8c in frames:
         if fx + fw > W or fy + fh > H:
             raise ValueError("webp anim: frame outside canvas")
         if pending_dispose is not None:
@@ -5066,7 +5080,26 @@ def _webp_anim_pixel_sums(raw: bytes) -> tuple:
                 base = y * W
                 for x in range(dx, dx + dw):
                     canvas[base + x] = bg
-        w, h, px = _vp8l_pixels_at(raw, body, end)
+        if body is not None:
+            w, h, px = _vp8l_pixels_at(raw, body, end)
+        else:
+            # r15: lossy frame — full RFC 6386 color decode, alpha
+            # from the ALPH chunk (opaque when absent)
+            from geniepool_etl_spark.operators import vp8 as _vp8
+
+            w, h, r_, g_, b_ = _vp8.decode_rgb(vp8c)
+            plane = (
+                _alph_plane(alph, w, h)
+                if alph is not None
+                else [255] * (w * h)
+            )
+            rf, gf, bf = (
+                r_.reshape(-1), g_.reshape(-1), b_.reshape(-1)
+            )
+            px = [
+                (plane[k], int(rf[k]), int(gf[k]), int(bf[k]))
+                for k in range(w * h)
+            ]
         if (w, h) != (fw, fh):
             raise ValueError("webp anim: frame size mismatch")
         for j in range(fh):
@@ -5092,6 +5125,108 @@ def _webp_anim_pixel_sums(raw: bytes) -> tuple:
     sg = sum(p[2] for p in canvas)
     sb_ = sum(p[3] for p in canvas)
     return (W * H, sr, sg, sb_)
+
+
+def synth_webp_anim_lossy_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Synthesize ANIMATED WebP with LOSSY frames (r15): VP8X
+    (animation + alpha flags) + ANIM + two ANMF frames — frame 0 a
+    full-canvas VP8 key frame (flat-MB closed form, no ALPH →
+    opaque), frame 1 a sub-rect VP8 key frame WITH an ALPH alpha
+    plane (filter method aid%4, compression aid%2), alpha-BLENDED
+    over the base. Because the base is opaque, the spec OVER
+    formula collapses to ``out = (src·a + dst·(255−a)) // 255``
+    exactly — the closed form the oracle recomputes from the two
+    MB color patterns, BT.601, and the alpha plane formula. Arrow
+    ``mapInPandas``; narrow."""
+    import struct
+
+    from geniepool_etl_spark.operators import vp8 as _vp8
+
+    def one(aid: int, w: int, h: int) -> bytes:
+        a7 = aid % 7
+        ox, oy = 2 * (aid % 5), 2 * (aid % 3)
+        fw, fh = 16 + (aid % 2) * 8, 16
+
+        def mb1(mx, my):
+            return (
+                (37 * mx + 71 * my + 29 * a7) % 256,
+                (23 * mx + 41 * my + 17 * a7) % 256,
+                (53 * mx + 13 * my + 11 * a7) % 256,
+            )
+
+        def mb2(mx, my):
+            return (
+                (41 * mx + 19 * my + 7 * a7) % 256,
+                (29 * mx + 53 * my + 23 * a7) % 256,
+                (17 * mx + 37 * my + 31 * a7) % 256,
+            )
+
+        def alpha(x: int, y: int) -> int:
+            return (13 * x + 7 * y + 5 * a7) % 256
+
+        def le24(v: int) -> bytes:
+            return v.to_bytes(3, "little")
+
+        def anmf(fx, fy, fww, fhh, inner, flags):
+            hdr = (
+                le24(fx // 2) + le24(fy // 2)
+                + le24(fww - 1) + le24(fhh - 1)
+                + le24(40) + bytes([flags])
+            )
+            body = hdr + inner
+            chunk = b"ANMF" + struct.pack("<I", len(body)) + body
+            if len(body) % 2:
+                chunk += b"\x00"
+            return chunk
+
+        chunks = []
+        # animation + alpha flag bits
+        vp8x = bytes([0x12, 0, 0, 0]) + le24(w - 1) + le24(h - 1)
+        chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+        anim = bytes([0, 0, 0, 255]) + struct.pack("<H", 0)
+        chunks.append(b"ANIM" + struct.pack("<I", len(anim)) + anim)
+        # frame 0: full-canvas opaque lossy, no-blend
+        f0 = _vp8.build_webp_vp8(w, h, mb1)[12:]
+        chunks.append(anmf(0, 0, w, h, f0, 0x02))
+        # frame 1: sub-rect lossy + ALPH, alpha-blend (B bit clear)
+        plane = [
+            alpha(x, y) for y in range(fh) for x in range(fw)
+        ]
+        alph_payload = _build_alph_payload(
+            plane, fw, fh, aid % 4, aid % 2
+        )
+        alph_chunk = (
+            b"ALPH" + struct.pack("<I", len(alph_payload))
+            + alph_payload
+            + (b"\x00" if len(alph_payload) % 2 else b"")
+        )
+        f1 = alph_chunk + _vp8.build_webp_vp8(fw, fh, mb2)[12:]
+        chunks.append(anmf(ox, oy, fw, fh, f1, 0x00))
+        body = b"WEBP" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(aid), int(w), int(h))
+                        for aid, w, h in zip(
+                            pdf[id_col], pdf[width_col],
+                            pdf[height_col],
+                        )
+                    ],
+                    "media_type": "image/webp",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
 def _vp8l_literal_chunk(w: int, h: int, pix) -> bytes:
@@ -9940,6 +10075,99 @@ def _alpha_unfilter(res: list, w: int, h: int, method: int) -> list:
     return out
 
 
+def _build_alph_payload(
+    plane: list, w: int, h: int, method: int, comp: int
+) -> bytes:
+    """Encode an alpha plane as one ALPH chunk payload (the synth
+    half of :func:`_alph_plane`): forward-filter the TRUE plane with
+    ``_alpha_unfilter``'s edge rules, then either RAW residuals
+    (C=0) or a VP8L stream minus only the size header (C=1 — the
+    terminating transform-list bit first, r15 fix; alpha rides the
+    green channel under balanced normal codes)."""
+    res = []
+    for y in range(h):
+        base = y * w
+        for x in range(w):
+            if method == 0:
+                res.append(plane[base + x])
+                continue
+            if y == 0:
+                pred = 0 if x == 0 else plane[x - 1]
+            elif x == 0:
+                pred = plane[base - w]
+            elif method == 1:
+                pred = plane[base + x - 1]
+            elif method == 2:
+                pred = plane[base - w + x]
+            else:
+                g = (plane[base + x - 1] + plane[base - w + x]
+                     - plane[base - w + x - 1])
+                pred = 0 if g < 0 else (255 if g > 255 else g)
+            res.append((plane[base + x] - pred) & 0xFF)
+    head = bytes([(method << 2) | comp])
+    if comp == 0:
+        return head + bytes(res)
+
+    def balanced(symbols) -> dict:
+        syms = sorted(set(symbols))
+        bits = max(1, (len(syms) - 1).bit_length())
+        pad = (1 << bits) - len(syms)
+        spare = [s for s in range(256) if s not in set(syms)][:pad]
+        return {s: bits for s in syms + spare}
+
+    wr = _Vp8lBitWriter()
+    # RFC 9649: the size-headerless alpha stream still begins with
+    # the transform list — terminate it (r15 fix)
+    wr.write(0, 1)  # empty transform list
+    wr.write(0, 1)  # no color cache
+    wr.write(0, 1)  # no meta-huffman
+    g_enc = _vp8l_write_huffman(wr, balanced(res))
+    r_enc = _vp8l_write_huffman(wr, balanced([0]))
+    b_enc = _vp8l_write_huffman(wr, balanced([0]))
+    wr.write(1, 1)  # alpha: simple single 255
+    wr.write(0, 1)
+    wr.write(1, 1)
+    wr.write(255, 8)
+    wr.write(1, 1)  # distance: simple single 0
+    wr.write(0, 1)
+    wr.write(0, 1)
+    wr.write(0, 1)
+
+    def put(enc, sym):
+        code, ln = enc[sym]
+        for i in range(ln - 1, -1, -1):
+            wr.write((code >> i) & 1, 1)
+
+    for v in res:
+        put(g_enc, v)
+        put(r_enc, 0)
+        put(b_enc, 0)
+    return head + wr.flush()
+
+
+def _alph_plane(alph: bytes, w: int, h: int) -> list:
+    """Decode one ALPH chunk payload to the w·h alpha plane: header
+    byte (filter method, compression), RAW residuals (C=0) or a
+    VP8L stream minus only the size header (C=1 — full transform
+    list + level-0 pixels, RFC 9649 §4.2), then the inverse alpha
+    filter. Shared by the still lossy-with-alpha lane and the r15
+    animated lossy compositor."""
+    head = alph[0]
+    comp = head & 3
+    method = (head >> 2) & 3
+    if comp == 0:
+        res = list(alph[1:1 + w * h])
+        if len(res) != w * h:
+            raise ValueError("webp alpha: raw plane size mismatch")
+    elif comp == 1:
+        rd = _Vp8lBitReader(alph, 1)
+        px = _vp8l_decode_stream(rd, w, h)
+        res = [p[2] for p in px]
+    else:
+        raise ValueError("webp alpha: unknown compression")
+    return _alpha_unfilter(res, w, h, method)
+
+
 def _webp_alpha_pixel_sums(raw: bytes) -> tuple:
     """Decode a lossy-WebP-with-alpha payload (r14 — VP8X + ALPH +
     VP8) to (n_pixels, sum_a, sum_r, sum_g, sum_b): the color plane
@@ -9975,20 +10203,7 @@ def _webp_alpha_pixel_sums(raw: bytes) -> tuple:
         at += 8 + csz + (csz & 1)
     if W is None or alph is None:
         raise ValueError("webp alpha: missing VP8X/ALPH")
-    head = alph[0]
-    comp = head & 3
-    method = (head >> 2) & 3
-    if comp == 0:
-        res = list(alph[1:1 + W * H])
-        if len(res) != W * H:
-            raise ValueError("webp alpha: raw plane size mismatch")
-    elif comp == 1:
-        rd = _Vp8lBitReader(alph, 1)
-        px = _vp8l_decode_stream(rd, W, H)
-        res = [p[2] for p in px]
-    else:
-        raise ValueError("webp alpha: unknown compression")
-    plane = _alpha_unfilter(res, W, H, method)
+    plane = _alph_plane(alph, W, H)
     n_px, sr, sg, sb = _vp8.vp8_pixel_sums(raw)
     if n_px != W * H:
         raise ValueError("webp alpha: color/canvas size mismatch")
@@ -10055,70 +10270,7 @@ def synth_webp_alpha_assets(
             return (13 * x + 7 * y + 5 * a7) % 256
 
         plane = [alpha(x, y) for y in range(h) for x in range(w)]
-        # forward filter: residual = value - pred (same edge rules
-        # as _alpha_unfilter, computed against the TRUE plane)
-        res = []
-        for y in range(h):
-            base = y * w
-            for x in range(w):
-                if method == 0:
-                    res.append(plane[base + x])
-                    continue
-                if y == 0:
-                    pred = 0 if x == 0 else plane[x - 1]
-                elif x == 0:
-                    pred = plane[base - w]
-                elif method == 1:
-                    pred = plane[base + x - 1]
-                elif method == 2:
-                    pred = plane[base - w + x]
-                else:
-                    g = (plane[base + x - 1] + plane[base - w + x]
-                         - plane[base - w + x - 1])
-                    pred = 0 if g < 0 else (255 if g > 255 else g)
-                res.append((plane[base + x] - pred) & 0xFF)
-        head = bytes([(method << 2) | comp])
-        if comp == 0:
-            alph_payload = head + bytes(res)
-        else:
-            # headerless VP8L level-0 stream: alpha in the green
-            # channel, literals under balanced codes
-            def balanced(symbols) -> dict:
-                syms = sorted(set(symbols))
-                bits = max(1, (len(syms) - 1).bit_length())
-                pad = (1 << bits) - len(syms)
-                spare = [s for s in range(256)
-                         if s not in set(syms)][:pad]
-                return {s: bits for s in syms + spare}
-
-            wr = _Vp8lBitWriter()
-            # RFC 9649: the headerless alpha stream still begins
-            # with the transform list — terminate it (r15 fix)
-            wr.write(0, 1)  # empty transform list
-            wr.write(0, 1)  # no color cache
-            wr.write(0, 1)  # no meta-huffman
-            g_enc = _vp8l_write_huffman(wr, balanced(res))
-            r_enc = _vp8l_write_huffman(wr, balanced([0]))
-            b_enc = _vp8l_write_huffman(wr, balanced([0]))
-            wr.write(1, 1)  # alpha: simple single 255
-            wr.write(0, 1)
-            wr.write(1, 1)
-            wr.write(255, 8)
-            wr.write(1, 1)  # distance: simple single 0
-            wr.write(0, 1)
-            wr.write(0, 1)
-            wr.write(0, 1)
-
-            def put(enc, sym):
-                code, ln = enc[sym]
-                for i in range(ln - 1, -1, -1):
-                    wr.write((code >> i) & 1, 1)
-
-            for v in res:
-                put(g_enc, v)
-                put(r_enc, 0)
-                put(b_enc, 0)
-            alph_payload = head + wr.flush()
+        alph_payload = _build_alph_payload(plane, w, h, method, comp)
 
         def mb(mx, my):
             return (

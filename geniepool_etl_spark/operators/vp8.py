@@ -1433,6 +1433,23 @@ def vp8_pixel_sums(raw: bytes) -> tuple:
         at += 8 + size + (size & 1)
     if chunk is None:
         raise ValueError("webp: no VP8 chunk")
+    w, h, r, g, b = decode_rgb(chunk)
+    return (
+        w * h,
+        int(r.sum()),
+        int(g.sum()),
+        int(b.sum()),
+    )
+
+
+def decode_rgb(chunk: bytes) -> tuple:
+    """Decode one ``VP8 `` chunk to ``(w, h, r, g, b)`` int64 pixel
+    arrays: full key-frame decode (:func:`decode_frame`), point
+    chroma upsampling, the repo's integer BT.601 fixed point — the
+    per-pixel form the r15 animated-WebP compositor needs (sums
+    alone can't composite)."""
+    import numpy as np
+
     w, h, Y, U, V = decode_frame(chunk)
     y = Y.astype(np.int64)
     u = np.repeat(np.repeat(U, 2, axis=0), 2, axis=1)[:h, :w].astype(
@@ -1448,12 +1465,7 @@ def vp8_pixel_sums(raw: bytes) -> tuple:
     r = chan(1000 * y + 1402 * (v - 128))
     g = chan(1000 * y - 344 * (u - 128) - 714 * (v - 128))
     b = chan(1000 * y + 1772 * (u - 128))
-    return (
-        w * h,
-        int(r.sum()),
-        int(g.sum()),
-        int(b.sum()),
-    )
+    return (w, h, r, g, b)
 
 
 # -------------------------------------------------- simple loop filter

@@ -6866,6 +6866,58 @@ def test_webp_anim_compositing():
     assert M._webp_anim_pixel_sums(raw) == (1,) + exp
 
 
+def test_webp_anim_lossy_poison_and_opacity():
+    """r15: the lossy-frame ANMF path — truncating the payload
+    anywhere inside the frame chunks raises (poison stays poison),
+    and a frame without ALPH is fully opaque (blending it over
+    anything overwrites)."""
+    import pandas as pd
+    import pytest
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_webp_anim_lossy_assets(StubDF())
+    out = next(gen(iter([pd.DataFrame(
+        {"asset_id": [5], "width": [48], "height": [32]}
+    )])))
+    raw = bytes(out["payload"].iloc[0])
+    assert M._webp_anim_pixel_sums(raw)[0] == 48 * 32
+    for cut in (len(raw) - 7, len(raw) // 2, 40):
+        with pytest.raises(ValueError):
+            M._webp_anim_pixel_sums(raw[:cut])
+    # ALPH-less lossy frame blended over a canvas == overwrite:
+    # build a 2-frame anim where frame 1 has no alpha chunk but the
+    # blend bit set; result must equal frame 1 alone
+    import struct
+
+    from geniepool_etl_spark.operators import vp8 as _vp8
+
+    def le24(v):
+        return v.to_bytes(3, "little")
+
+    def anmf(inner, flags):
+        hdr = (le24(0) + le24(0) + le24(15) + le24(15)
+               + le24(40) + bytes([flags]))
+        body = hdr + inner
+        c = b"ANMF" + struct.pack("<I", len(body)) + body
+        return c + (b"\x00" if len(body) % 2 else b"")
+
+    f0 = _vp8.build_webp_vp8(16, 16, lambda mx, my: (40, 128, 128))[12:]
+    f1 = _vp8.build_webp_vp8(16, 16, lambda mx, my: (200, 128, 128))[12:]
+    vp8x = bytes([0x02, 0, 0, 0]) + le24(15) + le24(15)
+    anim = bytes([0, 0, 0, 255]) + struct.pack("<H", 0)
+    chunks = (b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+              + b"ANIM" + struct.pack("<I", len(anim)) + anim
+              + anmf(f0, 0x02) + anmf(f1, 0x00))
+    body = b"WEBP" + chunks
+    raw2 = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = M._webp_anim_pixel_sums(raw2)
+    # flat Y=200, U=V=128 -> r=g=b=200 everywhere
+    assert got == (256, 200 * 256, 200 * 256, 200 * 256)
+
+
 def test_exif_parse_both_orders():
     """r14: the APP1 Exif walker — both byte orders, inline SHORTs,
     out-of-line ASCII (Make, 20-byte DateTime), the Exif sub-IFD
