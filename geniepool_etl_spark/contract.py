@@ -3799,8 +3799,10 @@ def q_multimodal_exif(
     structure in BOTH byte orders (asset parity), IFD0
     (Make out-of-line ASCII, Orientation, DateTime) + Exif sub-IFD
     (pixel dims, ISO) — the rotation/partition keys an image
-    pipeline filters by before pixel work. Closed-form fields of
-    (asset_id, width, height)."""
+    pipeline filters by before pixel work. RATIONAL-typed tags
+    (GPS coordinates, exposure/f-number) are deliberately out of
+    scope — the parser skips them (multimodal.py `_exif_fields`).
+    Closed-form fields of (asset_id, width, height)."""
     params = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 13 == 8)
