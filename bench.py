@@ -833,8 +833,16 @@ def main() -> None:
         "control": control_sec,
     }
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1500:  # belt-and-braces: never overflow the tail
-        out.pop("queries")
+    # belt-and-braces: never overflow the driver's ~2000-char stdout
+    # tail. r15: the load/control fields pushed the full line past
+    # the old 1500 guard, which silently dropped the per-query
+    # record — the budget is now 1800 (post-line noise is bounded:
+    # progress bars off, log level ERROR), and the small telemetry
+    # fields are sacrificed BEFORE the queries map.
+    for drop in ("control", "load", "queries"):
+        if len(line) <= 1800:
+            break
+        out.pop(drop, None)
         line = json.dumps(out, separators=(",", ":"))
     print(line)
     spark.stop()
