@@ -3852,6 +3852,26 @@ def q_multimodal_exif_oriented(
     )
 
 
+def q_multimodal_exif_gps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXIF RATIONAL SURFACE (r15 — multimodal.
+    synth_jpeg_exif_gps_assets → decode_exif_gps_stats; closes the
+    r14 scope note that RATIONAL tags were skipped): GPS
+    latitude/longitude (deg/min/sec RATIONAL triples + N/S/E/W
+    refs, both byte orders) normalized to signed milli-arcseconds,
+    ExposureTime to exact microseconds, FNumber to hundredths —
+    integer floor-div math end to end, closed forms of asset_id."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 1)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return M.decode_exif_gps_stats(
+        M.synth_jpeg_exif_gps_assets(params)
+    )
+
+
 def q_multimodal_phash_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11043,6 +11063,24 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_px, agg.wsum
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_exif_gps"] = """
+        SELECT doc_id AS asset_id,
+               CAST((CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) *
+               ((doc_id % 90) * 3600000
+                + ((doc_id * 7) % 60) * 60000
+                + (doc_id * 13) % 60000) AS BIGINT) AS lat_mas,
+               CAST((CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END) *
+               (((doc_id * 3) % 180) * 3600000
+                + ((doc_id * 11) % 60) * 60000
+                + (doc_id * 17) % 60000) AS BIGINT) AS lon_mas,
+               CAST(1000000 // (CASE doc_id % 5
+                 WHEN 0 THEN 125 WHEN 1 THEN 200 WHEN 2 THEN 250
+                 WHEN 3 THEN 500 ELSE 1000 END) AS BIGINT)
+                 AS exposure_us,
+               CAST((14 + (doc_id % 9) * 3) * 10 AS BIGINT)
+                 AS fnum_x100
+        FROM documents WHERE doc_id % 13 = 1
+    """
     o["multimodal_phash_dedup"] = """
         WITH ids AS (
           SELECT doc_id AS aid FROM documents WHERE doc_id % 13 = 11
@@ -13165,6 +13203,7 @@ SPARK_QUERIES = {
     "multimodal_exif_oriented": q_multimodal_exif_oriented,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "multimodal_webp_anim_lossy": q_multimodal_webp_anim_lossy,
+    "multimodal_exif_gps": q_multimodal_exif_gps,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,

@@ -9515,11 +9515,15 @@ def _exif_fields(raw: bytes) -> dict:
     """Parse the EXIF block of a JPEG (r14): marker walk to APP1
     ``Exif\\0\\0`` → embedded TIFF structure (both byte orders, 42
     magic) → IFD0 entries (Orientation 0x0112, Make 0x010F,
-    DateTime 0x0132, Exif-IFD pointer 0x8769) → Exif sub-IFD
-    (PixelXDimension 0xA002, PixelYDimension 0xA003,
-    ISOSpeedRatings 0x8827). Inline values respect the byte order;
-    out-of-line values (count·size > 4) follow offsets from the
-    TIFF base. Malformed structures raise — poison stays poison."""
+    DateTime 0x0132, Exif-IFD pointer 0x8769, GPS-IFD pointer
+    0x8825) → Exif sub-IFD (PixelXDimension 0xA002,
+    PixelYDimension 0xA003, ISOSpeedRatings 0x8827, and — r15 —
+    the RATIONAL fields ExposureTime 0x829A / FNumber 0x829D) →
+    GPS IFD (lat/lon refs + the 3-RATIONAL deg/min/sec triples).
+    RATIONALs come back as (num, den) tuples (a list when count>1).
+    Inline values respect the byte order; out-of-line values
+    (count·size > 4) follow offsets from the TIFF base. Malformed
+    structures raise — poison stays poison."""
     import struct
 
     if raw[:2] != b"\xff\xd8":
@@ -9566,9 +9570,12 @@ def _exif_fields(raw: bytes) -> dict:
             ent = off + 2 + 12 * i
             tag, typ = struct.unpack_from(e + "HH", tiff, ent)
             (num,) = struct.unpack_from(e + "I", tiff, ent + 4)
-            size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+            # r15: RATIONAL (5) / SRATIONAL (10) join the supported
+            # types — 8 bytes per component, always out-of-line —
+            # for the GPS/exposure/f-number fields
+            size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 10: 8}.get(typ)
             if size is None:
-                continue  # RATIONAL etc. not needed here
+                continue  # unsupported TIFF type: skip the entry
             total = size * num
             vat = ent + 8
             if total > 4:
@@ -9583,6 +9590,13 @@ def _exif_fields(raw: bytes) -> dict:
                 out[tag] = struct.unpack_from(e + "H", tiff, vat)[0]
             elif typ == 4:
                 out[tag] = struct.unpack_from(e + "I", tiff, vat)[0]
+            elif typ in (5, 10):
+                fmt = "II" if typ == 5 else "ii"
+                rats = [
+                    struct.unpack_from(e + fmt, tiff, vat + 8 * k)
+                    for k in range(num)
+                ]
+                out[tag] = rats[0] if num == 1 else rats
             else:
                 out[tag] = tiff[vat]
         return out
@@ -9596,12 +9610,26 @@ def _exif_fields(raw: bytes) -> dict:
         "px_w": None,
         "px_h": None,
         "iso": None,
+        "exposure": None,
+        "fnumber": None,
+        "gps_lat_ref": None,
+        "gps_lat": None,
+        "gps_lon_ref": None,
+        "gps_lon": None,
     }
     if 0x8769 in ifd0:
         sub = read_ifd(int(ifd0[0x8769]))
         fields["px_w"] = sub.get(0xA002)
         fields["px_h"] = sub.get(0xA003)
         fields["iso"] = sub.get(0x8827)
+        fields["exposure"] = sub.get(0x829A)
+        fields["fnumber"] = sub.get(0x829D)
+    if 0x8825 in ifd0:  # GPS IFD (r15)
+        gps = read_ifd(int(ifd0[0x8825]))
+        fields["gps_lat_ref"] = gps.get(0x0001)
+        fields["gps_lat"] = gps.get(0x0002)
+        fields["gps_lon_ref"] = gps.get(0x0003)
+        fields["gps_lon"] = gps.get(0x0004)
     return fields
 
 
@@ -10073,6 +10101,145 @@ def _alpha_unfilter(res: list, w: int, h: int, method: int) -> list:
                 pred = 0 if g < 0 else (255 if g > 255 else g)
             out[base + x] = (res[base + x] + pred) & 0xFF
     return out
+
+
+_EXIF_GPS_SCHEMA = (
+    "asset_id long, lat_mas long, lon_mas long, exposure_us long, "
+    "fnum_x100 long"
+)
+
+
+def decode_exif_gps_stats(assets: DataFrame) -> DataFrame:
+    """EXIF RATIONAL fields (r15 — closes the r14 scope note): GPS
+    latitude/longitude (deg/min/sec RATIONAL triples + N/S/E/W
+    refs) normalized to signed MILLI-ARCSECONDS, ExposureTime to
+    integer microseconds, FNumber to hundredths — all floor-div
+    integer math, so the closed-form oracle reproduces every value
+    exactly. The geo-dedup / camera-metadata filter keys of an
+    image-corpus pipeline. Arrow ``mapInPandas``; poison payloads
+    and assets without GPS yield null fields."""
+
+    def mas(triple, ref: str, neg: str) -> int:
+        (dn, dd), (mn, md), (sn, sd) = triple
+        v = (dn * 3600000) // dd + (mn * 60000) // md \
+            + (sn * 1000) // sd
+        return -v if ref == neg else v
+
+    def one(raw: bytes) -> tuple:
+        f = _exif_fields(raw)
+        if f["gps_lat"] is None or f["gps_lon"] is None:
+            raise ValueError("exif gps: no GPS IFD")
+        lat = mas(f["gps_lat"], f["gps_lat_ref"], "S")
+        lon = mas(f["gps_lon"], f["gps_lon_ref"], "W")
+        en, ed = f["exposure"] if f["exposure"] else (None, None)
+        fn, fd = f["fnumber"] if f["fnumber"] else (None, None)
+        exp_us = (en * 1_000_000) // ed if en is not None else None
+        fnum = (fn * 100) // fd if fn is not None else None
+        return (lat, lon, exp_us, fnum)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {k: [] for k in
+                    ("lat_mas", "lon_mas", "exposure_us",
+                     "fnum_x100")}
+            for b in pdf["payload"]:
+                try:
+                    vals = one(bytes(b))
+                    for k, v in zip(cols, vals):
+                        cols[k].append(v)
+                except (ValueError, IndexError, KeyError, TypeError):
+                    for k in cols:
+                        cols[k].append(None)
+            out = {"asset_id": pdf["asset_id"]}
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, _EXIF_GPS_SCHEMA)
+
+
+def synth_jpeg_exif_gps_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Synthesize minimal JPEGs whose APP1 Exif carries the RATIONAL
+    surface (r15): IFD0 → Exif sub-IFD (ExposureTime 1/den with den
+    ∈ {125,200,250,500,1000} so microseconds are exact; FNumber
+    n/10) and a GPS IFD (deg/min/sec triples with second-denominator
+    1000 so milli-arcseconds are exact; refs cycle N/S and E/W).
+    Byte order alternates II/MM. Closed forms of asset_id for the
+    oracle. Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    def one(aid: int) -> bytes:
+        e = "<" if aid % 2 == 0 else ">"
+        bo = b"II" if aid % 2 == 0 else b"MM"
+        exp_den = (125, 200, 250, 500, 1000)[aid % 5]
+        fn_num = 14 + (aid % 9) * 3
+        lat = (aid % 90, (aid * 7) % 60, (aid * 13) % 60000)
+        lon = ((aid * 3) % 180, (aid * 11) % 60, (aid * 17) % 60000)
+        lat_ref = b"N\x00" if aid % 2 == 0 else b"S\x00"
+        lon_ref = b"E\x00" if aid % 3 != 0 else b"W\x00"
+
+        def ent(tag, typ, num, val4):
+            return struct.pack(e + "HHI", tag, typ, num) + val4
+
+        def long4(v):
+            return struct.pack(e + "I", v)
+
+        def rats(*pairs):
+            return b"".join(
+                struct.pack(e + "II", n, d) for n, d in pairs
+            )
+
+        # layout: hdr(8) | IFD0 2+2*12+4=30 @8 | Exif 2+2*12+4=30
+        # @38 | GPS 2+4*12+4=54 @68 | data @122: exp(8) fnum(8)
+        # lat(24) lon(24)
+        exif_off, gps_off, data = 38, 68, 122
+        ifd0 = struct.pack(e + "H", 2) + b"".join([
+            ent(0x8769, 4, 1, long4(exif_off)),
+            ent(0x8825, 4, 1, long4(gps_off)),
+        ]) + b"\x00\x00\x00\x00"
+        exif = struct.pack(e + "H", 2) + b"".join([
+            ent(0x829A, 5, 1, long4(data)),
+            ent(0x829D, 5, 1, long4(data + 8)),
+        ]) + b"\x00\x00\x00\x00"
+        gps = struct.pack(e + "H", 4) + b"".join([
+            ent(0x0001, 2, 2, lat_ref + b"\x00\x00"),
+            ent(0x0002, 5, 3, long4(data + 16)),
+            ent(0x0003, 2, 2, lon_ref + b"\x00\x00"),
+            ent(0x0004, 5, 3, long4(data + 40)),
+        ]) + b"\x00\x00\x00\x00"
+        payload = (
+            rats((1, exp_den)) + rats((fn_num, 10))
+            + rats((lat[0], 1), (lat[1], 1), (lat[2], 1000))
+            + rats((lon[0], 1), (lon[1], 1), (lon[2], 1000))
+        )
+        tiff = (bo + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+                + ifd0 + exif + gps + payload)
+        app1 = b"Exif\x00\x00" + tiff
+        dqt = b"\x00" + bytes(64)
+        sof0 = (b"\x08" + struct.pack(">HH", 8, 8) + b"\x01"
+                + b"\x01\x11\x00")
+        seg = lambda m, b: m + struct.pack(">H", len(b) + 2) + b  # noqa: E731
+        return b"".join([
+            b"\xff\xd8",
+            seg(b"\xff\xe1", app1),
+            seg(b"\xff\xdb", dqt),
+            seg(b"\xff\xc0", sof0),
+            b"\xff\xd9",
+        ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [one(int(a)) for a in pdf[id_col]],
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
 def _build_alph_payload(

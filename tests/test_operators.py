@@ -6866,6 +6866,41 @@ def test_webp_anim_compositing():
     assert M._webp_anim_pixel_sums(raw) == (1,) + exp
 
 
+def test_exif_gps_rationals_roundtrip():
+    """r15: RATIONAL/SRATIONAL TIFF types — GPS deg/min/sec triples
+    normalize to exact signed milli-arcseconds (ref S/W negates),
+    ExposureTime to exact microseconds, FNumber to hundredths, in
+    BOTH byte orders; a GPS-less asset yields nulls (poison rule)."""
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_jpeg_exif_gps_assets(StubDF())
+    dec = M.decode_exif_gps_stats(StubDF())
+    for aid in (0, 1, 2, 3, 6, 7, 9):
+        out = next(gen(iter([pd.DataFrame({"asset_id": [aid]})])))
+        got = next(dec(iter([out]))).iloc[0]
+        lat = ((aid % 90) * 3600000 + ((aid * 7) % 60) * 60000
+               + (aid * 13) % 60000)
+        lon = (((aid * 3) % 180) * 3600000
+               + ((aid * 11) % 60) * 60000 + (aid * 17) % 60000)
+        assert got["lat_mas"] == (-lat if aid % 2 else lat)
+        assert got["lon_mas"] == (-lon if aid % 3 == 0 else lon)
+        assert got["exposure_us"] == 1_000_000 // (
+            125, 200, 250, 500, 1000
+        )[aid % 5]
+        assert got["fnum_x100"] == (14 + (aid % 9) * 3) * 10
+    # an EXIF asset WITHOUT a GPS IFD nulls out, not errors
+    gen2 = M.synth_jpeg_exif_assets(StubDF())
+    out2 = next(gen2(iter([pd.DataFrame(
+        {"asset_id": [3], "width": [64], "height": [48]}
+    )])))
+    row = next(dec(iter([out2]))).iloc[0]
+    assert row["lat_mas"] is None or pd.isna(row["lat_mas"])
+
+
 def test_webp_anim_lossy_poison_and_opacity():
     """r15: the lossy-frame ANMF path — truncating the payload
     anywhere inside the frame chunks raises (poison stays poison),
