@@ -3852,6 +3852,34 @@ def q_multimodal_exif_oriented(
     )
 
 
+def q_multimodal_audio_fp_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO FINGERPRINT NEAR-DUP (r15 — multimodal.
+    synth_flac_fp_assets → decode_audio_fingerprint → dedup.
+    hash_band_pairs): the audio twin of the pHash lane — dedupe
+    re-encoded/re-leveled audio before transcription. Each FLAC
+    stream (64 CRC-verified CONSTANT frames) carries a designed
+    63-bit energy-delta signature (gain-invariant by construction;
+    groups of 4 assets share bands 0..2 and differ by ≤5 top-band
+    bits); decode runs the full FLAC sample path, the pair stage is
+    the banded self-join, never all-pairs, then exact
+    bit_count(xor) ≤ 6."""
+    # dense index: selected doc_ids are 13k+12, so doc_id // 13 = k
+    # is consecutive — the //4 group structure of the signature
+    # needs consecutive ids to form its near-dup quads
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 12)
+        .select(F.expr("doc_id div 13").cast("long").alias("asset_id"))
+    )
+    fps = M.decode_audio_fingerprint(M.synth_flac_fp_assets(params))
+    return D.hash_band_pairs(
+        fps, hash_col="afp", id_col="asset_id",
+        bands=4, bits=64, max_hamming=6,
+    )
+
+
 def q_multimodal_exif_gps(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3886,10 +3914,13 @@ def q_multimodal_phash_dedup(
     share an exact 16-bit band, never all-pairs — then exact
     bit_count(xor) ≤ 6. Oracle recomputes the designed signatures
     and replays band-match + hamming in SQL."""
+    # dense index (r15 fix): selected doc_ids are 13k+11, so
+    # doc_id // 13 = k is consecutive — without it the //4 groups
+    # never form and the only pairs are accidental band collisions
     params = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 13 == 11)
-        .select(F.col("doc_id").alias("asset_id"))
+        .select(F.expr("doc_id div 13").cast("long").alias("asset_id"))
     )
     hashes = M.decode_image_phash(M.synth_pgm_phash_assets(params))
     return D.hash_band_pairs(
@@ -11063,6 +11094,41 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_px, agg.wsum
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_audio_fp_dedup"] = """
+        WITH ids AS (
+          SELECT doc_id // 13 AS aid FROM documents WHERE doc_id % 13 = 12
+        ),
+        bits AS (
+          SELECT aid, j,
+            (((((aid // 4) * 53 + j * 89 + ((aid // 4) % 11) * j)
+               % 101) % 2)
+             + (CASE WHEN aid % 4 >= 1
+                     AND j = 48 + (((aid % 4) * 5) % 15)
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN aid % 4 >= 2
+                     AND j = 48 + (((aid % 4) * 5 + 13) % 15)
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN aid % 4 >= 3
+                     AND j = 48 + (((aid % 4) * 5 + 26) % 15)
+                THEN 1 ELSE 0 END)) % 2 AS b
+          FROM ids, UNNEST(range(63)) AS u(j)
+        ),
+        hs AS (
+          SELECT aid,
+                 CAST(sum(b * (CAST(1 AS BIGINT) << j)) AS BIGINT)
+                   AS h
+          FROM bits GROUP BY aid
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT a.aid AS id_a, b.aid AS id_b,
+                 CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+          FROM hs a JOIN hs b ON a.aid < b.aid
+          WHERE ((a.h >> 0) & 65535) = ((b.h >> 0) & 65535)
+             OR ((a.h >> 16) & 65535) = ((b.h >> 16) & 65535)
+             OR ((a.h >> 32) & 65535) = ((b.h >> 32) & 65535)
+             OR ((a.h >> 48) & 65535) = ((b.h >> 48) & 65535)
+        ) WHERE hamming <= 6
+    """
     o["multimodal_exif_gps"] = """
         SELECT doc_id AS asset_id,
                CAST((CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) *
@@ -11083,7 +11149,7 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
     """
     o["multimodal_phash_dedup"] = """
         WITH ids AS (
-          SELECT doc_id AS aid FROM documents WHERE doc_id % 13 = 11
+          SELECT doc_id // 13 AS aid FROM documents WHERE doc_id % 13 = 11
         ),
         bits AS (
           SELECT aid, j,
@@ -13204,6 +13270,7 @@ SPARK_QUERIES = {
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "multimodal_webp_anim_lossy": q_multimodal_webp_anim_lossy,
     "multimodal_exif_gps": q_multimodal_exif_gps,
+    "multimodal_audio_fp_dedup": q_multimodal_audio_fp_dedup,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,

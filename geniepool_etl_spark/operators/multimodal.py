@@ -8065,10 +8065,27 @@ _FLAC_BPS_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
 def _flac_pcm_sums(raw: bytes) -> tuple:
+    """Exact integer PCM statistics (n_samples, sum_amp, sum_sq,
+    peak) of a FLAC stream — see :func:`_flac_pcm_frames` for the
+    decode itself."""
+    n = s = s2 = peak = 0
+    for chans in _flac_pcm_frames(raw):
+        for xs in chans:
+            for v in xs:
+                n += 1
+                s += v
+                s2 += v * v
+                peak = max(peak, abs(v))
+    return (n, s, s2, peak)
+
+
+def _flac_pcm_frames(raw: bytes):
     """Decode a FLAC stream — CONSTANT, VERBATIM, FIXED-predictor
-    AND LPC subframes (independent channels, no wasted bits) — to
-    exact integer PCM statistics: (n_samples, sum_amp, sum_sq, peak),
-    the same contract as the WAV lane. FIXED reconstructs through the
+    AND LPC subframes (independent channels, no wasted bits) —
+    yielding each frame's per-channel sample lists (r15: generator
+    form so the audio-fingerprint lane can see the samples; the
+    sums wrapper above keeps the WAV-lane contract). FIXED
+    reconstructs through the
     polynomial recurrences, LPC through quantized-coefficient shifted
     prediction (4-bit precision-1, 5-bit shift, signed coefficients),
     both over Rice-partitioned zigzag residuals. Every frame's CRC-8
@@ -8109,7 +8126,6 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
     if si is None:
         raise ValueError("flac: no STREAMINFO")
     _rate, si_ch, si_bps, _total = si
-    n = s = s2 = peak = 0
 
     def _read_rice(rd, block_size: int, order: int) -> list:
         """Rice-partitioned residual decode shared by the FIXED and
@@ -8318,10 +8334,6 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
                     raise ValueError(
                         "flac: reconstructed sample out of range"
                     )
-                n += 1
-                s += v
-                s2 += v * v
-                peak = max(peak, abs(v))
         rd.align()
         if rd.pos + 2 > len(raw):
             raise ValueError("flac: truncated frame CRC")
@@ -8329,7 +8341,109 @@ def _flac_pcm_sums(raw: bytes) -> tuple:
         if _flac_crc16(raw[frame_start : rd.pos]) != crc16:
             raise ValueError("flac: frame CRC-16 mismatch")
         pos = rd.pos + 2
-    return (n, s, s2, peak)
+        yield chans
+
+
+_AUDIO_FP_SCHEMA = "asset_id long, afp long"
+
+
+def decode_audio_fingerprint(
+    assets: DataFrame, windows: int = 64
+) -> DataFrame:
+    """AUDIO FINGERPRINT (r15): decode every PCM sample of a FLAC
+    payload (:func:`_flac_pcm_frames` — full CRC-verified decode),
+    split the first channel into ``windows`` equal windows, and
+    reduce to the 63-bit ENERGY-DELTA signature — bit i set iff
+    window i+1 carries more energy (Σv²) than window i. Sign-of-
+    delta is GAIN-INVARIANT (scaling all samples scales every
+    window energy equally), making this the loudness-envelope
+    near-dup key of an audio training corpus — re-encoded or
+    re-leveled copies land within a few bits, and the pair stage is
+    the same banded ``hash_band_pairs``. Sample counts not
+    divisible by ``windows`` raise (resample first). Arrow
+    ``mapInPandas``; poison payloads yield null fingerprints."""
+
+    def one(raw: bytes) -> int:
+        samples = []
+        for chans in _flac_pcm_frames(raw):
+            samples.extend(chans[0])
+        n = len(samples)
+        if n == 0 or n % windows:
+            raise ValueError(
+                "audio fp: sample count must divide into windows"
+            )
+        L = n // windows
+        energies = [
+            sum(v * v for v in samples[w * L:(w + 1) * L])
+            for w in range(windows)
+        ]
+        hval = 0
+        for i in range(windows - 1):
+            if energies[i + 1] > energies[i]:
+                hval |= 1 << i
+        return hval
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs = []
+            for b in pdf["payload"]:
+                try:
+                    hs.append(one(bytes(b)))
+                except (ValueError, IndexError):
+                    hs.append(None)
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "afp": hs}
+            )
+
+    return assets.mapInPandas(batches, _AUDIO_FP_SCHEMA)
+
+
+def _audio_fp_sig_bit(aid: int, j: int) -> int:
+    """The designed energy-delta bit j of asset ``aid`` (closed form
+    the oracle replays): same group shape as the pHash lane — base
+    bits from a mixing congruence on g = aid//4, member m = aid%4
+    flipping exactly m bits inside the TOP band (bits 48..62) — but
+    with its own constants so the two signatures never coincide."""
+    g, m = aid // 4, aid % 4
+    bit = ((g * 53 + j * 89 + (g % 11) * j) % 101) % 2
+    for t in range(m):
+        if j == 48 + ((m * 5 + t * 13) % 15):
+            bit ^= 1
+    return bit
+
+
+def synth_flac_fp_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Synthesize REAL FLAC streams whose energy envelope encodes a
+    designed 63-bit delta signature: 64 CONSTANT frames (256
+    samples each) at amplitude ``1000 + 8·W_i`` where the walk W
+    steps +1/−1 by :func:`_audio_fp_sig_bit` — amplitudes stay in
+    [488, 1512], every delta is strictly monotone, so the decoded
+    fingerprint recovers the signature exactly. Spec CRC-8/CRC-16
+    checksums throughout (the builder is the CRC-verified
+    ``_flac_bytes``). Arrow ``mapInPandas``; narrow."""
+
+    def one(aid: int) -> bytes:
+        amps, w = [], 0
+        for i in range(64):
+            amps.append(1000 + 8 * w)
+            if i < 63:
+                w += 1 if _audio_fp_sig_bit(aid, i) else -1
+        return _flac_bytes(amps, block_size=256)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [one(int(a)) for a in pdf[id_col]],
+                    "media_type": "audio/flac",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
 
 
 def synth_jpeg_progressive_assets(

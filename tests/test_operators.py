@@ -6866,6 +6866,49 @@ def test_webp_anim_compositing():
     assert M._webp_anim_pixel_sums(raw) == (1,) + exp
 
 
+def test_audio_fingerprint_gain_invariance():
+    """r15: the energy-delta fingerprint — (a) synth round-trips to
+    the designed signature; (b) GAIN INVARIANCE: doubling every
+    sample amplitude leaves the fingerprint identical (the property
+    that makes it a re-leveled-copy dedup key); (c) a sample count
+    not divisible by the window count is poison (nulls)."""
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    dec = M.decode_audio_fingerprint(StubDF())
+    gen = M.synth_flac_fp_assets(StubDF())
+    out = next(gen(iter([pd.DataFrame({"asset_id": [6]})])))
+    raw = bytes(out["payload"].iloc[0])
+    base = int(next(dec(iter([out]))).iloc[0]["afp"])
+    want = sum(
+        (1 << j) for j in range(63) if M._audio_fp_sig_bit(6, j)
+    )
+    assert base == want
+    # re-level: rebuild the same envelope at 2x amplitude
+    amps, w = [], 0
+    for i in range(64):
+        amps.append(2 * (1000 + 8 * w))
+        if i < 63:
+            w += 1 if M._audio_fp_sig_bit(6, i) else -1
+    raw2x = M._flac_bytes(amps, block_size=256)
+    df2 = pd.DataFrame(
+        {"asset_id": [6], "payload": [raw2x],
+         "media_type": ["audio/flac"]}
+    )
+    assert int(next(dec(iter([df2]))).iloc[0]["afp"]) == base
+    # 16384 samples don't divide into 65 windows: poison (nulls)
+    dec65 = M.decode_audio_fingerprint(StubDF(), windows=65)
+    df3 = pd.DataFrame(
+        {"asset_id": [6], "payload": [raw],
+         "media_type": ["audio/flac"]}
+    )
+    row = next(dec65(iter([df3]))).iloc[0]
+    assert row["afp"] is None or pd.isna(row["afp"])
+
+
 def test_exif_gps_rationals_roundtrip():
     """r15: RATIONAL/SRATIONAL TIFF types — GPS deg/min/sec triples
     normalize to exact signed milli-arcseconds (ref S/W negates),
