@@ -3852,6 +3852,26 @@ def q_multimodal_exif_oriented(
     )
 
 
+def q_multimodal_phash_pooled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PHASH OVER LARGER IMAGES (r15): the production pHash shape —
+    a 96x96 grayscale PGM is MEAN-POOLED (integer block mean) down
+    to 32x32 inside decode_image_phash before the DCT. The synth
+    replicates the designed 32x32 grid 3x, so pooling recovers it
+    exactly and the oracle stays the closed-form signature; a real
+    photo pools to its downsampled content the same way. Proves the
+    resize step is real pixel work, not a byte-truncation stub."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 5)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return M.decode_image_phash(
+        M.synth_pgm_phash_assets(params, scale=3)
+    )
+
+
 def q_multimodal_audio_fp_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11094,6 +11114,30 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_px, agg.wsum
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_phash_pooled"] = """
+        WITH ids AS (
+          SELECT doc_id AS aid FROM documents WHERE doc_id % 13 = 5
+        ),
+        bits AS (
+          SELECT aid, j,
+            (((((aid // 4) * 37 + j * 101 + ((aid // 4) % 13) * j)
+               % 97) % 2)
+             + (CASE WHEN aid % 4 >= 1
+                     AND j = 48 + (((aid % 4) * 7) % 15)
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN aid % 4 >= 2
+                     AND j = 48 + (((aid % 4) * 7 + 11) % 15)
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN aid % 4 >= 3
+                     AND j = 48 + (((aid % 4) * 7 + 22) % 15)
+                THEN 1 ELSE 0 END)) % 2 AS b
+          FROM ids, UNNEST(range(63)) AS u(j)
+        )
+        SELECT aid AS asset_id,
+               CAST(sum(b * (CAST(1 AS BIGINT) << j)) AS BIGINT)
+                 AS phash
+        FROM bits GROUP BY aid
+    """
     o["multimodal_audio_fp_dedup"] = """
         WITH ids AS (
           SELECT doc_id // 13 AS aid FROM documents WHERE doc_id % 13 = 12
@@ -13271,6 +13315,7 @@ SPARK_QUERIES = {
     "multimodal_webp_anim_lossy": q_multimodal_webp_anim_lossy,
     "multimodal_exif_gps": q_multimodal_exif_gps,
     "multimodal_audio_fp_dedup": q_multimodal_audio_fp_dedup,
+    "multimodal_phash_pooled": q_multimodal_phash_pooled,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,

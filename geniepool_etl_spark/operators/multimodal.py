@@ -10088,8 +10088,11 @@ def decode_image_phash(assets: DataFrame) -> DataFrame:
     (sign is the scale-free variant of the median rule: robust to
     brightness/contrast, and exactly reproducible). The image dedup
     key of an LLM captioning corpus — near-identical images land
-    within a few bits. Arrow ``mapInPandas``; poison payloads yield
-    null hashes."""
+    within a few bits. Larger square inputs whose dims are
+    multiples of 32 MEAN-POOL down first (integer block mean — the
+    real "resize to 32x32" step of production pHash, r15); other
+    shapes are poison. Arrow ``mapInPandas``; poison payloads
+    yield null hashes."""
     import numpy as np
 
     basis = _phash_basis()
@@ -10102,13 +10105,25 @@ def decode_image_phash(assets: DataFrame) -> DataFrame:
         if len(parts) < 4:
             raise ValueError("phash: short PGM header")
         w, h, mx = int(parts[0]), int(parts[1]), int(parts[2])
-        if (w, h) != (32, 32) or mx != 255:
-            raise ValueError("phash: expects 32x32 8-bit (resize first)")
+        if w % 32 or h % 32 or w != h or mx != 255:
+            raise ValueError(
+                "phash: expects square 8-bit dims divisible by 32"
+            )
         if len(parts[3]) < w * h:
             raise ValueError("phash: truncated raster")
         img = np.frombuffer(
             parts[3][: w * h], dtype=np.uint8
-        ).reshape(h, w).astype(np.float64)
+        ).reshape(h, w).astype(np.int64)
+        k = w // 32
+        if k > 1:
+            # r15: integer MEAN-POOL down to 32x32 — the real
+            # "resize first" step of production pHash (floor of
+            # each kxk block's mean; exact on replicated grids)
+            img = (
+                img.reshape(32, k, 32, k).sum(axis=(1, 3))
+                // (k * k)
+            )
+        img = img.astype(np.float64)
         coef = basis @ img @ basis.T  # rows: v (y-freq), cols: u
         hval = 0
         for j in range(63):
@@ -10150,6 +10165,7 @@ def _phash_sig_bit(aid: int, j: int) -> int:
 def synth_pgm_phash_assets(
     df: DataFrame,
     id_col: str = "asset_id",
+    scale: int = 1,
 ) -> DataFrame:
     """Synthesize 32x32 grayscale P5 PGMs whose pHash is a designed
     closed form: the image is ``128 + Σ_j s_j·2·c_u(x)·c_v(y)`` over
@@ -10173,7 +10189,14 @@ def synth_pgm_phash_assets(
         px = np.rint(img)
         if px.min() < 0 or px.max() > 255:
             raise AssertionError("phash synth: clipping impossible")
-        return b"P5\n32 32\n255\n" + px.astype(np.uint8).tobytes()
+        if scale > 1:
+            # r15: emit at scale x the base grid (pixel replication)
+            # — mean-pooling recovers the 32x32 image exactly, so
+            # the pooled-decode path has the same closed-form hash
+            px = np.repeat(np.repeat(px, scale, 0), scale, 1)
+        d = 32 * scale
+        return (f"P5\n{d} {d}\n255\n".encode("ascii")
+                + px.astype(np.uint8).tobytes())
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -6866,6 +6866,35 @@ def test_webp_anim_compositing():
     assert M._webp_anim_pixel_sums(raw) == (1,) + exp
 
 
+def test_phash_mean_pool_matches_base(spark):
+    """r15: the pooled pHash path — a kx replication of the 32x32
+    grid hashes IDENTICALLY to the base image for k in {2, 3}
+    (mean-pool recovers the grid exactly), and non-square or
+    non-multiple-of-32 dims are poison (nulls)."""
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    dec = M.decode_image_phash(StubDF())
+    base = {}
+    for scale in (1, 2, 3):
+        gen = M.synth_pgm_phash_assets(StubDF(), scale=scale)
+        out = next(gen(iter([pd.DataFrame({"asset_id": [9]})])))
+        h = int(next(dec(iter([out]))).iloc[0]["phash"])
+        base[scale] = h
+    assert base[1] == base[2] == base[3]
+    # 48x48 is square but not a multiple of 32: poison
+    bad = pd.DataFrame(
+        {"asset_id": [9],
+         "payload": [b"P5\n48 48\n255\n" + bytes(48 * 48)],
+         "media_type": ["image/x-portable-graymap"]}
+    )
+    row = next(dec(iter([bad]))).iloc[0]
+    assert row["phash"] is None or pd.isna(row["phash"])
+
+
 def test_audio_fingerprint_gain_invariance():
     """r15: the energy-delta fingerprint — (a) synth round-trips to
     the designed signature; (b) GAIN INVARIANCE: doubling every
