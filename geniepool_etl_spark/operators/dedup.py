@@ -871,6 +871,7 @@ def hash_band_pairs(
     bands: int = 4,
     bits: int = 64,
     max_hamming: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded hamming-distance near-dup pairs over ANY ``bits``-wide
     integer hash column (pHash, SimHash, audio fingerprints…): the
@@ -882,6 +883,16 @@ def hash_band_pairs(
     ``max_hamming``. Returns (id_a, id_b, hamming), deduplicated
     across bands. The shuffle is keyed by band value, so candidate
     volume scales with bucket occupancy, not corpus².
+
+    ``max_bucket`` is the HOT-BUCKET CAP (same scale answer as the
+    MinHash-LSH lane): with 16-bit bands, random band collisions
+    alone produce ~C(N,2)/2¹⁶ candidates per band — quadratic in
+    the corpus — so at decade scale the occupancy of popular band
+    values must be bounded. Buckets larger than the cap are DROPPED
+    entirely (a documented recall trade: a value shared by that
+    many hashes is near-degenerate as a discriminator anyway, and
+    genuine near-dups still meet in their other, rarer bands).
+    None (the default) disables the cap for small corpora.
 
     r15: extracted as the shared banding core so the pHash image
     near-dup lane reuses the SimHash shape (simhash_bands above)."""
@@ -909,6 +920,20 @@ def hash_band_pairs(
             F.col("bk.band_key").alias("band_key"),
         )
     )
+    if max_bucket is not None:
+        # one keyed count + semi-filter: buckets past the cap never
+        # enter the self-join (the candidate explosion is cut at
+        # its source, before the shuffle that would carry it)
+        sizes = keyed.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        keyed = (
+            keyed.join(
+                sizes.where(F.col("_n") <= F.lit(max_bucket)),
+                ["band", "band_key"],
+                "left_semi",
+            )
+        )
     a = keyed.select(
         F.col("band"), F.col("band_key"),
         F.col("id").alias("id_a"), F.col("h").alias("h_a"),

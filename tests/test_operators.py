@@ -7141,6 +7141,24 @@ def test_phash_band_pairs_pigeonhole(spark):
         for r in hash_band_pairs(df, max_hamming=16).collect()
     }
     assert got2[(1, 4)] == 16
+    # hot-bucket cap (r15): 20 hashes all sharing band 0 value 7
+    # explode to C(20,2) candidates uncapped; with max_bucket=10
+    # that bucket is dropped at the source, while a small 2-member
+    # bucket (ids 100/101, near-dup) survives
+    hot = [(i, (i << 16) | 7) for i in range(20)]
+    hot += [(100, 0x0BAD << 32), (101, (0x0BAD << 32) | 1)]
+    dfh = spark.createDataFrame(hot, "asset_id LONG, phash LONG")
+    uncapped = hash_band_pairs(dfh, max_hamming=64).count()
+    capped = {
+        (r.id_a, r.id_b)
+        for r in hash_band_pairs(
+            dfh, max_hamming=64, max_bucket=10
+        ).collect()
+    }
+    assert uncapped > 100
+    assert (100, 101) in capped
+    assert all(i < 100 for p in capped for i in p) is False
+    assert len(capped) < uncapped
 
 
 def test_unigram_vocab_artifact(spark):

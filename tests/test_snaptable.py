@@ -319,6 +319,25 @@ def test_compact_zorder_multi_axis_skipping(spark, tdir):
         T.compact(spark, tdir, sort_by=("a",), zorder_by=("b",))
 
 
+def test_compact_zorder_three_columns(spark, tdir):
+    """r15: zorder_by generalizes past two columns — a 3-D Morton
+    re-cluster buys skipping on ALL THREE axes from one pass (the
+    bits-per-axis shrink as 63//n, so discrimination degrades
+    gracefully rather than failing)."""
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 16).alias("a"),
+        ((F.col("id") / 16).cast("long") % 16).alias("b"),
+        (F.col("id") / 256).cast("long").alias("c"),
+    )
+    T.write_table(grid.repartition(8), tdir, "create",
+                  stats_cols=("a", "b", "c"))
+    T.compact(spark, tdir, target_files=8, zorder_by=("a", "b", "c"))
+    for col in ("a", "b", "c"):
+        total, scanned = T.scan_stats(spark, tdir, col, 0, 3)
+        assert total == 8 and scanned < total, (col, total, scanned)
+    assert T.read_table(spark, tdir).count() == 4096
+
+
 def test_compact_preserves_rows_and_history(spark, nums, tdir):
     T.write_table(nums.repartition(6), tdir, "create")
     T.compact(spark, tdir, target_files=1)
