@@ -3852,6 +3852,32 @@ def q_multimodal_exif_oriented(
     )
 
 
+def q_multimodal_video_phash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-FRAME VIDEO pHASH (r15 — multimodal.
+    synth_avi_dib_phash_assets → decode_video_frame_phash): the
+    frame-sample-then-hash step of video dedup — walk the AVI
+    container, decode each uncompressed DIB frame (bottom-up BGR24),
+    integer-grayscale, and emit the 63-bit DCT-sign pHash per frame
+    (one-to-many Arrow shape; the hashes feed hash_band_pairs like
+    any 64-bit signature). Frame f of asset a carries the designed
+    signature of id a·11 + f, which the oracle replays."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 2)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (F.lit(2) + F.col("doc_id") % 3).cast("int").alias(
+                "n_frames"
+            ),
+        )
+    )
+    return M.decode_video_frame_phash(
+        M.synth_avi_dib_phash_assets(params)
+    )
+
+
 def q_multimodal_phash_pooled(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11114,6 +11140,36 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                agg.sum_px, agg.wsum
         FROM prm JOIN agg USING (asset_id)
     """
+    o["multimodal_video_phash"] = """
+        WITH prm AS (
+          SELECT doc_id AS aid, 2 + doc_id % 3 AS nf
+          FROM documents WHERE doc_id % 13 = 2
+        ),
+        fr AS (
+          SELECT aid, CAST(f AS INT) AS frame_idx,
+                 aid * 11 + f AS sid
+          FROM prm, UNNEST(range(nf)) AS u(f)
+        ),
+        bits AS (
+          SELECT aid, frame_idx, j,
+            (((((sid // 4) * 37 + j * 101 + ((sid // 4) % 13) * j)
+               % 97) % 2)
+             + (CASE WHEN sid % 4 >= 1
+                     AND j = 48 + (((sid % 4) * 7) % 15)
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN sid % 4 >= 2
+                     AND j = 48 + (((sid % 4) * 7 + 11) % 15)
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN sid % 4 >= 3
+                     AND j = 48 + (((sid % 4) * 7 + 22) % 15)
+                THEN 1 ELSE 0 END)) % 2 AS b
+          FROM fr, UNNEST(range(63)) AS v(j)
+        )
+        SELECT aid AS asset_id, frame_idx,
+               CAST(sum(b * (CAST(1 AS BIGINT) << j)) AS BIGINT)
+                 AS phash
+        FROM bits GROUP BY 1, 2
+    """
     o["multimodal_phash_pooled"] = """
         WITH ids AS (
           SELECT doc_id AS aid FROM documents WHERE doc_id % 13 = 5
@@ -13316,6 +13372,7 @@ SPARK_QUERIES = {
     "multimodal_exif_gps": q_multimodal_exif_gps,
     "multimodal_audio_fp_dedup": q_multimodal_audio_fp_dedup,
     "multimodal_phash_pooled": q_multimodal_phash_pooled,
+    "multimodal_video_phash": q_multimodal_video_phash,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,
     "multimodal_vp8_normal_filter": q_multimodal_vp8_normal_filter,

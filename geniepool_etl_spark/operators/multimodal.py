@@ -7328,6 +7328,155 @@ def decode_video_frame_stats(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, VIDEO_FRAME_PIXEL_SCHEMA)
 
 
+_VIDEO_PHASH_SCHEMA = "asset_id long, frame_idx int, phash long"
+
+
+def decode_video_frame_phash(assets: DataFrame) -> DataFrame:
+    """PER-FRAME VIDEO pHash (r15): walk the AVI container
+    (:func:`_avi_mjpeg_frames`), decode each uncompressed DIB frame
+    (bottom-up BGR24, 4-byte stride), reduce to integer grayscale
+    ``(r+g+b)//3``, mean-pool square multiples of 32 down to 32x32,
+    and emit the 63-bit DCT-sign pHash per frame — the
+    frame-sample-then-hash step a video dedup pipeline runs before
+    captioning (frame hashes then feed ``hash_band_pairs`` like any
+    other 64-bit signature). One-to-many Arrow shape (asset row →
+    frame rows); poison payloads yield the contract's single null
+    row."""
+    import numpy as np
+
+    def frames_of(raw: bytes):
+        for fi, (hd, fw, fh, _strf, fb) in enumerate(
+            _avi_mjpeg_frames(raw)
+        ):
+            if hd != b"DIB ":
+                raise ValueError(
+                    "video phash: uncompressed DIB frames only"
+                )
+            stride = (fw * 3 + 3) & ~3
+            if len(fb) < stride * fh:
+                raise ValueError("avi: truncated DIB frame")
+            body = np.frombuffer(
+                fb, dtype=np.uint8, count=fh * stride
+            ).reshape(fh, stride)[::-1, : fw * 3]
+            px = body.reshape(fh, fw, 3).astype(np.int64)
+            gray = (px[:, :, 2] + px[:, :, 1] + px[:, :, 0]) // 3
+            if fw != fh or fw % 32:
+                raise ValueError(
+                    "video phash: square 32-multiple frames only"
+                )
+            k = fw // 32
+            if k > 1:
+                gray = (
+                    gray.reshape(32, k, 32, k).sum(axis=(1, 3))
+                    // (k * k)
+                )
+            yield fi, _phash_bits(gray.astype(np.float64))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hs = [], [], []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    rows = list(frames_of(bytes(b)))
+                    if not rows:
+                        raise ValueError("no frame chunks")
+                except (ValueError, IndexError):
+                    ids.append(aid)
+                    idxs.append(-1)
+                    hs.append(None)
+                    continue
+                for fi, h in rows:
+                    ids.append(aid)
+                    idxs.append(fi)
+                    hs.append(h)
+            out = pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "phash": hs}
+            )
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            yield out
+
+    return assets.mapInPandas(batches, _VIDEO_PHASH_SCHEMA)
+
+
+def synth_avi_dib_phash_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    frames_col: str = "n_frames",
+) -> DataFrame:
+    """Synthesize uncompressed-DIB AVIs whose frame f carries the
+    designed pHash image of signature id ``asset_id·11 + f``
+    (gray stored as equal BGR channels; 32x32 frames, stride 96 is
+    already word-aligned) — so the per-frame hash closed form is
+    replayable by the oracle. Same RIFF header chain as the MJPEG
+    synth with handler 'DIB '. Arrow ``mapInPandas``; narrow."""
+    import struct
+
+    import numpy as np
+
+    def one(aid: int, frames: int) -> bytes:
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return tag + struct.pack("<I", len(body)) + body + pad
+
+        def lst(kind: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", kind + body)
+
+        w = h = 32
+        avih = chunk(
+            b"avih",
+            struct.pack(
+                "<14I", 100_000, 0, 0, 0, frames, 0, 1, 0,
+                w, h, 0, 0, 0, 0,
+            ),
+        )
+        strh = chunk(
+            b"strh",
+            b"vids" + b"DIB " + struct.pack(
+                "<I2H8I", 0, 0, 0, 0, 1, 10, 0, frames, 0, 0, 0
+            ),
+        )
+        strf = chunk(
+            b"strf",
+            struct.pack(
+                "<IiiHH4sIiiII",
+                40, w, h, 1, 24, b"\x00\x00\x00\x00",
+                w * h * 3, 0, 0, 0, 0,
+            ),
+        )
+        hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+
+        def dib(f: int) -> bytes:
+            g = _phash_design_image(aid * 11 + f).astype(np.uint8)
+            bgr = np.repeat(
+                g[::-1, :, None], 3, axis=2
+            )  # bottom-up rows, B=G=R
+            return bgr.tobytes()
+
+        movi = lst(
+            b"movi",
+            b"".join(chunk(b"00dc", dib(f)) for f in range(frames)),
+        )
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(a), int(n))
+                        for a, n in zip(
+                            pdf[id_col], pdf[frames_col]
+                        )
+                    ],
+                    "media_type": "video/avi",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def synth_mp4_assets(
     df: DataFrame,
     id_col: str = "asset_id",
@@ -10080,6 +10229,21 @@ def _phash_basis():
 _PHASH_SCHEMA = "asset_id long, phash long"
 
 
+def _phash_bits(img) -> int:
+    """The pHash core shared by the still-image and video-frame
+    lanes: 2-D DCT-II of a 32x32 float array (computed cosine
+    basis), sign of each of the 63 non-DC low-frequency
+    coefficients → one 63-bit integer."""
+    basis = _phash_basis()
+    coef = basis @ img @ basis.T  # rows: v (y-freq), cols: u
+    hval = 0
+    for j in range(63):
+        u, v = divmod(j + 1, 8)
+        if coef[v, u] > 0:
+            hval |= 1 << j
+    return hval
+
+
 def decode_image_phash(assets: DataFrame) -> DataFrame:
     """PERCEPTUAL HASH (r15): decode each 32x32 grayscale P5 PGM and
     reduce to the 63-bit pHash — 2-D DCT-II over the pixel grid
@@ -10094,8 +10258,6 @@ def decode_image_phash(assets: DataFrame) -> DataFrame:
     shapes are poison. Arrow ``mapInPandas``; poison payloads
     yield null hashes."""
     import numpy as np
-
-    basis = _phash_basis()
 
     def one(raw: bytes) -> int:
         if raw[:2] != b"P5":
@@ -10123,14 +10285,7 @@ def decode_image_phash(assets: DataFrame) -> DataFrame:
                 img.reshape(32, k, 32, k).sum(axis=(1, 3))
                 // (k * k)
             )
-        img = img.astype(np.float64)
-        coef = basis @ img @ basis.T  # rows: v (y-freq), cols: u
-        hval = 0
-        for j in range(63):
-            u, v = divmod(j + 1, 8)
-            if coef[v, u] > 0:
-                hval |= 1 << j
-        return hval
+        return _phash_bits(img.astype(np.float64))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -10162,6 +10317,26 @@ def _phash_sig_bit(aid: int, j: int) -> int:
     return bit
 
 
+def _phash_design_image(sid: int):
+    """The 32x32 grid whose pHash equals the designed 63-bit
+    signature of ``sid`` (amplitude-2 cosine sum — each kept DCT
+    coefficient lands at ±512/±1024, far above rounding noise, and
+    the worst-case pixel excursion is 128±126 so nothing clips).
+    Shared by the still-image and video-frame synths."""
+    import numpy as np
+
+    basis = _phash_basis()
+    img = np.full((32, 32), 128.0)
+    for j in range(63):
+        u, v = divmod(j + 1, 8)
+        s = 1.0 if _phash_sig_bit(sid, j) else -1.0
+        img += 2.0 * s * np.outer(basis[v], basis[u])
+    px = np.rint(img)
+    if px.min() < 0 or px.max() > 255:
+        raise AssertionError("phash synth: clipping impossible")
+    return px
+
+
 def synth_pgm_phash_assets(
     df: DataFrame,
     id_col: str = "asset_id",
@@ -10178,17 +10353,8 @@ def synth_pgm_phash_assets(
     narrow."""
     import numpy as np
 
-    basis = _phash_basis()
-
     def one(aid: int) -> bytes:
-        img = np.full((32, 32), 128.0)
-        for j in range(63):
-            u, v = divmod(j + 1, 8)
-            s = 1.0 if _phash_sig_bit(aid, j) else -1.0
-            img += 2.0 * s * np.outer(basis[v], basis[u])
-        px = np.rint(img)
-        if px.min() < 0 or px.max() > 255:
-            raise AssertionError("phash synth: clipping impossible")
+        px = _phash_design_image(aid)
         if scale > 1:
             # r15: emit at scale x the base grid (pixel replication)
             # — mean-pooling recovers the 32x32 image exactly, so

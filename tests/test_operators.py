@@ -6866,6 +6866,39 @@ def test_webp_anim_compositing():
     assert M._webp_anim_pixel_sums(raw) == (1,) + exp
 
 
+def test_video_frame_phash_roundtrip():
+    """r15: per-frame video pHash — each DIB frame's hash equals the
+    designed signature of asset_id·11 + frame_idx; a truncated
+    payload yields the single null row (frame_idx -1)."""
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_avi_dib_phash_assets(StubDF())
+    dec = M.decode_video_frame_phash(StubDF())
+    out = next(gen(iter([pd.DataFrame(
+        {"asset_id": [5], "n_frames": [4]}
+    )])))
+    got = next(dec(iter([out])))
+    assert list(got["frame_idx"]) == [0, 1, 2, 3]
+    for _, r in got.iterrows():
+        want = sum(
+            (1 << j) for j in range(63)
+            if M._phash_sig_bit(5 * 11 + int(r["frame_idx"]), j)
+        )
+        assert int(r["phash"]) == want
+    raw = bytes(out["payload"].iloc[0])
+    bad = pd.DataFrame(
+        {"asset_id": [5], "payload": [raw[:150]],
+         "media_type": ["video/avi"]}
+    )
+    row = next(dec(iter([bad]))).iloc[0]
+    assert row["frame_idx"] == -1
+    assert row["phash"] is None or pd.isna(row["phash"])
+
+
 def test_phash_mean_pool_matches_base(spark):
     """r15: the pooled pHash path — a kx replication of the 32x32
     grid hashes IDENTICALLY to the base image for k in {2, 3}
