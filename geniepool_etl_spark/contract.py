@@ -3898,6 +3898,30 @@ def q_multimodal_phash_pooled(
     )
 
 
+def q_multimodal_resize_box(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT BOX RESIZE (r15 — multimodal.synth_pgm_linear_assets →
+    decode_image_resize_stats): the production resize-before-vision
+    step as REAL pixel work over arbitrary non-divisible dims —
+    48×40 and 56×24 gradients land on 32×32 (down- and up-scale on
+    one axis) through exact integer area-average weights (each
+    output pixel is the half-up-rounded overlap-weighted mean, two
+    separable integer matmuls, never a Python pixel loop). Because
+    the synth gradient is affine, the 2-D average separates, so the
+    oracle replays the ENTIRE resize with two 1-D first-moment sums
+    per axis; the reported Σv and Σ v·(1+x+2y) checksum make
+    dropped/swapped rows and wrong rounding mismatch."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 9)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return M.decode_image_resize_stats(
+        M.synth_pgm_linear_assets(params), 32, 32
+    )
+
+
 def q_multimodal_audio_fp_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11194,6 +11218,50 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["multimodal_resize_box"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 doc_id % 3 AS a, (doc_id // 3) % 3 AS b,
+                 10 + doc_id % 50 AS c,
+                 CASE WHEN doc_id % 2 = 0 THEN 48 ELSE 56 END AS w1,
+                 CASE WHEN doc_id % 2 = 0 THEN 40 ELSE 24 END AS h1
+          FROM documents WHERE doc_id % 13 = 9
+        ),
+        sx AS (
+          SELECT asset_id, j,
+                 SUM(x * GREATEST(0, LEAST((j + 1) * w1, (x + 1) * 32)
+                     - GREATEST(j * w1, x * 32))) AS mx
+          FROM prm, UNNEST(range(32)) AS uj(j),
+               UNNEST(range(w1)) AS ux(x)
+          GROUP BY asset_id, j
+        ),
+        sy AS (
+          SELECT asset_id, i,
+                 SUM(y * GREATEST(0, LEAST((i + 1) * h1, (y + 1) * 32)
+                     - GREATEST(i * h1, y * 32))) AS my
+          FROM prm, UNNEST(range(32)) AS ui(i),
+               UNNEST(range(h1)) AS uy(y)
+          GROUP BY asset_id, i
+        ),
+        px AS (
+          SELECT p.asset_id, s1.j, s2.i, p.w1, p.h1,
+                 (p.a * s1.mx * p.h1 + p.b * s2.my * p.w1
+                  + p.c * p.w1 * p.h1 + (p.w1 * p.h1) // 2)
+                 // (p.w1 * p.h1) AS v
+          FROM prm p
+          JOIN sx s1 ON s1.asset_id = p.asset_id
+          JOIN sy s2 ON s2.asset_id = p.asset_id
+        )
+        SELECT asset_id,
+               CAST(MIN(w1) AS BIGINT) AS in_width,
+               CAST(MIN(h1) AS BIGINT) AS in_height,
+               CAST(32 AS BIGINT) AS out_width,
+               CAST(32 AS BIGINT) AS out_height,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v * (1 + j + 2 * i)) AS BIGINT) AS px_checksum
+        FROM px
+        GROUP BY asset_id
+    """
     o["multimodal_audio_fp_dedup"] = """
         WITH ids AS (
           SELECT doc_id // 13 AS aid FROM documents WHERE doc_id % 13 = 12
@@ -13372,6 +13440,7 @@ SPARK_QUERIES = {
     "multimodal_exif_gps": q_multimodal_exif_gps,
     "multimodal_audio_fp_dedup": q_multimodal_audio_fp_dedup,
     "multimodal_phash_pooled": q_multimodal_phash_pooled,
+    "multimodal_resize_box": q_multimodal_resize_box,
     "multimodal_video_phash": q_multimodal_video_phash,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,

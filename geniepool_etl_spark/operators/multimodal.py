@@ -10783,3 +10783,184 @@ def synth_webp_alpha_assets(
             )
 
     return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Exact box resize (r15): the production resize-then-X step as REAL pixel
+# work over arbitrary (non-divisible) dimensions — the upgrade of the
+# declared ``resize_images`` stand-in. Area-average with exact integer
+# rational weights: in coordinates scaled by the output dimension, output
+# pixel j spans [j*W1, (j+1)*W1) and input pixel x spans [x*W2, (x+1)*W2),
+# so the overlap weight wx(j,x) = max(0, min((j+1)*W1,(x+1)*W2)
+# - max(j*W1, x*W2)) is an integer, the row/column weights always sum to
+# W1/H1, and out[i,j] = floor((Σ p·wx·wy + (W1·H1)//2) / (W1·H1)) is a
+# half-up-rounded exact average — identical in numpy and in the oracle's
+# integer SQL. The 2-D sum is separable, so the kernel is two integer
+# matmuls (Wy @ p @ Wxᵀ), never a per-output-pixel Python loop.
+# --------------------------------------------------------------------------
+
+_RESIZE_STATS_SCHEMA = (
+    "asset_id long, in_width long, in_height long, out_width long, "
+    "out_height long, px_sum long, px_checksum long"
+)
+
+
+def _box_weights(n_out: int, n_in: int):
+    """Integer overlap-weight matrix (n_out × n_in): w[j,x] is the
+    length of the overlap of output cell j and input cell x in
+    coordinates scaled by n_out, so each row sums to exactly n_in."""
+    import numpy as np
+
+    j = np.arange(n_out, dtype=np.int64)[:, None]
+    x = np.arange(n_in, dtype=np.int64)[None, :]
+    lo = np.maximum(j * n_in, x * n_out)
+    hi = np.minimum((j + 1) * n_in, (x + 1) * n_out)
+    return np.maximum(hi - lo, 0)
+
+
+def _box_resize_px(px, out_w: int, out_h: int):
+    """Exact integer area-average of an 8-bit grid to out_h × out_w
+    (upscale or downscale; dims need not divide). Separable integer
+    matmuls; floor-half-up rounding by the fixed denominator
+    in_w·in_h."""
+    import numpy as np
+
+    in_h, in_w = px.shape
+    wy = _box_weights(out_h, in_h)
+    wx = _box_weights(out_w, in_w)
+    num = wy @ px.astype(np.int64) @ wx.T
+    den = in_w * in_h
+    return (num + den // 2) // den
+
+
+def decode_image_resize_stats(
+    assets: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Parse an 8-bit P5 PGM, box-resize it to ``out_h × out_w`` with
+    exact integer area-average weights (see module note above), and
+    report display-space stats: pixel sum and the position-weighted
+    checksum Σ v·(1+x+2y) — the same discriminating shape the EXIF
+    orientation lane uses, so a resize that drops or swaps rows cannot
+    pass. Arrow ``mapInPandas``; the payload never shuffles. Poison
+    (non-P5, 16-bit, truncated raster) nulls the row, never kills the
+    batch."""
+    import numpy as np
+
+    def one(raw: bytes):
+        (w, h, maxval), off = _pnm_header(raw)
+        if maxval != 255:
+            raise ValueError("resize: 8-bit grayscale lane only")
+        if len(raw) < off + w * h:
+            raise ValueError("resize: truncated raster")
+        px = np.frombuffer(
+            raw, dtype=np.uint8, count=w * h, offset=off
+        ).reshape(h, w)
+        out = _box_resize_px(px, out_w, out_h)
+        xs = np.arange(out_w, dtype=np.int64)[None, :]
+        ys = np.arange(out_h, dtype=np.int64)[:, None]
+        return (
+            w, h,
+            int(out.sum()),
+            int((out * (1 + xs + 2 * ys)).sum()),
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    iw, ih, s, c = one(bytes(b))
+                    rows.append((int(aid), iw, ih, out_w, out_h, s, c))
+                except Exception:
+                    rows.append(
+                        (int(aid), None, None, out_w, out_h, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "in_width", "in_height", "out_width",
+                    "out_height", "px_sum", "px_checksum",
+                ],
+            )
+
+    return assets.mapInPandas(batches, _RESIZE_STATS_SCHEMA)
+
+
+def resize_images_box(
+    assets: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """The payload-emitting twin of :func:`decode_image_resize_stats`:
+    P5 in → exactly-resized P5 out, for composition with any
+    downstream image op (e.g. resize to a 32-multiple then
+    :func:`decode_image_phash`). Same exact-integer kernel."""
+    import numpy as np
+
+    def one(raw: bytes):
+        (w, h, maxval), off = _pnm_header(raw)
+        if maxval != 255:
+            raise ValueError("resize: 8-bit grayscale lane only")
+        if len(raw) < off + w * h:
+            raise ValueError("resize: truncated raster")
+        px = np.frombuffer(
+            raw, dtype=np.uint8, count=w * h, offset=off
+        ).reshape(h, w)
+        out = _box_resize_px(px, out_w, out_h).astype(np.uint8)
+        return (
+            f"P5\n{out_w} {out_h}\n255\n".encode("ascii")
+            + out.tobytes()
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for b in pdf["payload"]:
+                try:
+                    payloads.append(one(bytes(b)))
+                except Exception:
+                    payloads.append(None)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "media_type": "image/x-portable-graymap",
+                }
+            )
+
+    return assets.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def synth_pgm_linear_assets(df: DataFrame, id_col: str = "asset_id"):
+    """Linear-gradient P5 PGMs p(x,y) = a·x + b·y + c with
+    (a, b, c) and the input dims closed forms of asset_id (no %256
+    wrap, max value 231 < 256) — because the gradient is affine, its
+    exact box average separates into two 1-D weighted first moments,
+    so the oracle can replay the WHOLE resize with two small
+    generate_series sums instead of a 2-D convolution. Dims alternate
+    48×40 / 56×24 by parity to exercise two non-divisible ratios
+    (and upscale on the 24-row axis)."""
+    import numpy as np
+
+    def one(aid: int) -> bytes:
+        a, b, c = aid % 3, (aid // 3) % 3, 10 + aid % 50
+        w, h = (48, 40) if aid % 2 == 0 else (56, 24)
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        px = a * xs + b * ys + c + np.zeros((h, w), dtype=np.int64)
+        if px.max() > 255:
+            raise AssertionError("linear synth: clipping impossible")
+        return (
+            f"P5\n{w} {h}\n255\n".encode("ascii")
+            + px.astype(np.uint8).tobytes()
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [one(int(a)) for a in pdf[id_col]],
+                    "media_type": "image/x-portable-graymap",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)

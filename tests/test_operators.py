@@ -7294,3 +7294,106 @@ def test_webp_alpha_plane():
     bad[at] = (bad[at] & ~3) | 2
     with pytest.raises(ValueError):
         M._webp_alpha_pixel_sums(bytes(bad))
+
+
+def test_box_resize_exact_kernel():
+    """r15: the exact box-resize kernel — the separable integer
+    matmul form equals the 2-D brute-force overlap average bit for
+    bit on random images across down-scale, up-scale, identity, and
+    mixed-axis shapes, and the weight rows always sum to the input
+    extent (the total-mass invariant the oracle's closed form
+    relies on)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+
+    def brute(px, ow, oh):
+        ih, iw = px.shape
+        den = iw * ih
+        out = np.zeros((oh, ow), dtype=np.int64)
+        for i in range(oh):
+            for j in range(ow):
+                s = 0
+                for y in range(ih):
+                    wy = max(0, min((i + 1) * ih, (y + 1) * oh)
+                             - max(i * ih, y * oh))
+                    if wy == 0:
+                        continue
+                    for x in range(iw):
+                        wx = max(0, min((j + 1) * iw, (x + 1) * ow)
+                                 - max(j * iw, x * ow))
+                        s += int(px[y, x]) * wx * wy
+                out[i, j] = (s + den // 2) // den
+        return out
+
+    for (iw, ih, ow, oh) in [
+        (48, 40, 32, 32), (56, 24, 32, 32), (7, 5, 3, 9), (5, 3, 16, 2),
+    ]:
+        px = rng.integers(0, 256, size=(ih, iw)).astype(np.uint8)
+        assert (M._box_resize_px(px, ow, oh) == brute(px, ow, oh)).all()
+    px = rng.integers(0, 256, size=(9, 11)).astype(np.uint8)
+    assert (M._box_resize_px(px, 11, 9) == px).all()
+    for (no, ni) in [(32, 48), (32, 24), (3, 7)]:
+        assert (M._box_weights(no, ni).sum(axis=1) == ni).all()
+
+
+def test_box_resize_affine_separates():
+    """r15: for an affine gradient a·x + b·y + c the resized pixel
+    equals the oracle's two-moment closed form — the separability
+    fact the SQL replay depends on."""
+    import numpy as np
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_pgm_linear_assets(StubDF())
+    dec = M.decode_image_resize_stats(StubDF(), 32, 32)
+    for aid in (9, 22, 48, 61):
+        out = next(gen(iter([pd.DataFrame({"asset_id": [aid]})])))
+        got = next(dec(iter([out]))).iloc[0]
+        a, b, c = aid % 3, (aid // 3) % 3, 10 + aid % 50
+        w1, h1 = (48, 40) if aid % 2 == 0 else (56, 24)
+        wx = M._box_weights(32, w1)
+        wy = M._box_weights(32, h1)
+        mx = (wx * np.arange(w1, dtype=np.int64)).sum(axis=1)
+        my = (wy * np.arange(h1, dtype=np.int64)).sum(axis=1)
+        den = w1 * h1
+        v = (a * mx[None, :] * h1 + b * my[:, None] * w1
+             + c * den + den // 2) // den
+        xs = np.arange(32, dtype=np.int64)[None, :]
+        ys = np.arange(32, dtype=np.int64)[:, None]
+        assert int(got["px_sum"]) == int(v.sum())
+        assert int(got["px_checksum"]) == int((v * (1 + xs + 2 * ys)).sum())
+        assert (int(got["in_width"]), int(got["in_height"])) == (w1, h1)
+
+
+def test_box_resize_payload_composes_with_phash():
+    """r15: resize_images_box is a real composition stage — the 3x
+    replicated designed pHash grid (96x96) box-resized to 32x32
+    recovers the base grid exactly, so decode_image_phash over the
+    RESIZED PAYLOAD yields the designed signature; truncated input
+    nulls the payload."""
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_pgm_phash_assets(StubDF(), scale=3)
+    big = next(gen(iter([pd.DataFrame({"asset_id": [14]})])))
+    rez = M.resize_images_box(StubDF(), 32, 32)
+    small = next(rez(iter([big])))
+    assert bytes(small["payload"].iloc[0])[:3] == b"P5\n"
+    dec = M.decode_image_phash(StubDF())
+    h = int(next(dec(iter([small]))).iloc[0]["phash"])
+    want = sum((1 << j) for j in range(63) if M._phash_sig_bit(14, j))
+    assert h == want
+    bad = pd.DataFrame(
+        {"asset_id": [14],
+         "payload": [bytes(big["payload"].iloc[0])[:40]],
+         "media_type": ["image/x-portable-graymap"]}
+    )
+    row = next(rez(iter([bad]))).iloc[0]
+    assert row["payload"] is None
