@@ -47,6 +47,7 @@ from geniepool_etl_spark.operators import multimodal as M
 from geniepool_etl_spark.operators import packing as PK
 from geniepool_etl_spark.operators import similarity as S
 from geniepool_etl_spark.operators import text as TX
+from geniepool_etl_spark.sources import warc as WC
 
 _uniq = itertools.count()
 
@@ -3895,6 +3896,59 @@ def q_multimodal_phash_pooled(
     )
     return M.decode_image_phash(
         M.synth_pgm_phash_assets(params, scale=3)
+    )
+
+
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC INGESTION (r15 — sources.warc.synth_warc_assets →
+    parse_warc_records): the CommonCrawl record walk. Each asset is
+    a WARC file (warcinfo + 2..4 HTTP response records); ODD assets
+    use the production ``.warc.gz`` layout — concatenated PER-RECORD
+    gzip members (RFC 1952 §2.2), which single-shot decompression
+    cannot read — even assets plain WARC, and both must parse to the
+    identical record surface (type, target URI, HTTP status,
+    Content-Type, body octet length). One-to-many Arrow expansion;
+    payload bytes never shuffle. Every field is a closed form of
+    asset_id the oracle replays."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 4)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return WC.parse_warc_records(WC.synth_warc_assets(params)).drop(
+        "body"
+    )
+
+
+def q_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC → TEXT (r15): the first two stages of every web-crawl
+    training pipeline composed — parse_warc_records (gzip members +
+    record framing + HTTP split) feeding the PROVEN strip_html JVM
+    stage over kept responses (status 200 only), with per-page word
+    counts. The oracle rebuilds the cleaned text itself (concat +
+    repeat closed forms), so a parser that mangles one body byte or
+    a strip that leaves a tag mismatches."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 4)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    recs = WC.parse_warc_records(WC.synth_warc_assets(params))
+    resp = recs.where(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    clean = TX.strip_html(
+        resp.select(
+            "asset_id", "record_idx", "target_uri",
+            F.col("body").alias("html"),
+        )
+    )
+    return clean.select(
+        "asset_id",
+        "record_idx",
+        "target_uri",
+        "clean_text",
+        F.size(F.split("clean_text", " ")).cast("long").alias("n_words"),
     )
 
 
@@ -11218,6 +11272,51 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["warc_parse"] = """
+        WITH prm AS (
+          SELECT doc_id AS aid, 2 + doc_id % 3 AS n_rec
+          FROM documents WHERE doc_id % 13 = 4
+        ),
+        info AS (
+          SELECT aid AS asset_id, CAST(0 AS INTEGER) AS record_idx,
+                 'warcinfo' AS warc_type,
+                 CAST(NULL AS VARCHAR) AS target_uri,
+                 CAST(NULL AS BIGINT) AS http_status,
+                 CAST(NULL AS VARCHAR) AS http_content_type,
+                 CAST(37 AS BIGINT) AS body_len
+          FROM prm
+        ),
+        resp AS (
+          SELECT aid AS asset_id, CAST(r AS INTEGER) AS record_idx,
+                 'response' AS warc_type,
+                 'https://site' || (aid % 7) || '.example/p/' || r
+                   AS target_uri,
+                 CAST(CASE WHEN (aid + r) % 5 = 0 THEN 404 ELSE 200 END
+                      AS BIGINT) AS http_status,
+                 'text/html; charset=utf-8' AS http_content_type,
+                 CAST(LENGTH('<html><head><title>d' || aid
+                      || '</title></head><body><p>'
+                      || repeat('tok ', CAST(r AS INTEGER)) || 'p' || aid
+                      || ' r' || r || '</p></body></html>') AS BIGINT)
+                   AS body_len
+          FROM prm, UNNEST(range(1, n_rec + 1)) AS u(r)
+        )
+        SELECT * FROM info UNION ALL SELECT * FROM resp
+    """
+    o["warc_html_text"] = """
+        WITH prm AS (
+          SELECT doc_id AS aid, 2 + doc_id % 3 AS n_rec
+          FROM documents WHERE doc_id % 13 = 4
+        )
+        SELECT aid AS asset_id, CAST(r AS INTEGER) AS record_idx,
+               'https://site' || (aid % 7) || '.example/p/' || r
+                 AS target_uri,
+               'd' || aid || ' ' || repeat('tok ', CAST(r AS INTEGER))
+                 || 'p' || aid || ' r' || r AS clean_text,
+               CAST(r + 3 AS BIGINT) AS n_words
+        FROM prm, UNNEST(range(1, n_rec + 1)) AS u(r)
+        WHERE (aid + r) % 5 <> 0
+    """
     o["multimodal_resize_box"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -13441,6 +13540,8 @@ SPARK_QUERIES = {
     "multimodal_audio_fp_dedup": q_multimodal_audio_fp_dedup,
     "multimodal_phash_pooled": q_multimodal_phash_pooled,
     "multimodal_resize_box": q_multimodal_resize_box,
+    "warc_parse": q_warc_parse,
+    "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,

@@ -7397,3 +7397,55 @@ def test_box_resize_payload_composes_with_phash():
     )
     row = next(rez(iter([bad]))).iloc[0]
     assert row["payload"] is None
+
+
+def test_warc_gzip_plain_parity_and_poison():
+    """r15: WARC ingestion — (a) the CommonCrawl per-record-gzip
+    layout and the plain layout of the SAME records parse to the
+    identical record surface; (b) multi-member gzip actually needs
+    member chaining (one-shot zlib stops at member 1); (c) each
+    framing-poison class (truncated member, bad version line, bad
+    Content-Length, missing record separator, trailing garbage)
+    yields the single null row instead of killing the batch."""
+    import zlib
+    import pandas as pd
+    from geniepool_etl_spark.sources import warc as W
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = W.synth_warc_assets(StubDF())
+    parse = W.parse_warc_records(StubDF())
+    # aid 8 (plain) and 9 (gzip members): same n_rec=2+aid%3 differs;
+    # compare one aid rendered both ways instead
+    out = next(gen(iter([pd.DataFrame({"asset_id": [9]})])))
+    raw_gz = bytes(out["payload"].iloc[0])
+    assert raw_gz[:2] == b"\x1f\x8b"
+    plain = W._gunzip_members(raw_gz)
+    got_gz = next(parse(iter([out])))
+    got_pl = next(parse(iter([pd.DataFrame(
+        {"asset_id": [9], "payload": [plain],
+         "media_type": ["application/warc"]}
+    )])))
+    pd.testing.assert_frame_equal(got_gz, got_pl)
+    assert list(got_gz["warc_type"]) == ["warcinfo"] + ["response"] * 2
+    # one-shot decompress sees ONLY the first member
+    first = zlib.decompress(raw_gz, 16 + zlib.MAX_WBITS)
+    assert len(first) < len(plain)
+
+    def poisoned(raw: bytes):
+        bad = pd.DataFrame(
+            {"asset_id": [9], "payload": [raw],
+             "media_type": ["application/warc"]}
+        )
+        row = next(parse(iter([bad]))).iloc[0]
+        assert row["record_idx"] == -1 and row["warc_type"] is None
+
+    poisoned(raw_gz[:-7])                      # truncated gzip member
+    poisoned(b"WARC/9.9\r\n" + plain[10:])     # bad version line
+    cl = plain.replace(b"Content-Length: 37", b"Content-Length: xx", 1)
+    poisoned(cl)                               # bad Content-Length
+    sep = plain.find(b"\r\n\r\n", plain.find(b"software:"))
+    poisoned(plain[:sep] + b"..." + plain[sep + 4:])  # broken separator
+    poisoned(raw_gz + b"junk")                 # trailing garbage
