@@ -47,6 +47,7 @@ from geniepool_etl_spark.operators import multimodal as M
 from geniepool_etl_spark.operators import packing as PK
 from geniepool_etl_spark.operators import similarity as S
 from geniepool_etl_spark.operators import text as TX
+from geniepool_etl_spark.operators import pdf as PDF
 from geniepool_etl_spark.sources import warc as WC
 
 _uniq = itertools.count()
@@ -3897,6 +3898,25 @@ def q_multimodal_phash_pooled(
     return M.decode_image_phash(
         M.synth_pgm_phash_assets(params, scale=3)
     )
+
+
+def q_pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF TEXT EXTRACTION (r15 — operators.pdf.synth_pdf_assets →
+    extract_pdf_text): the document-to-text step of an LLM corpus,
+    from first principles per ISO 32000-1 — startxref tail scan →
+    classic xref table → trailer /Root → page-tree walk → per-page
+    content streams (FlateDecode on even assets, plain on odd) →
+    §9.4 text-operator replay (Tj with \\(-escapes and octal, TJ
+    mixing literal + ≤-100 kerning gap + HEX string, Td newlines).
+    One-to-many Arrow expansion (asset → pages); the oracle rebuilds
+    the exact page text by concat closed forms, so one wrong escape
+    byte or a missed kerning gap mismatches."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 6)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return PDF.extract_pdf_text(PDF.synth_pdf_assets(params))
 
 
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11272,6 +11292,21 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["pdf_extract_text"] = """
+        WITH prm AS (
+          SELECT doc_id AS aid, 1 + doc_id % 3 AS n_pages
+          FROM documents WHERE doc_id % 13 = 6
+        ),
+        pg AS (
+          SELECT aid, p,
+                 'Doc (' || aid || ') page ' || p || '.' || chr(10)
+                   || 'seg' || aid || ' end' || p AS text
+          FROM prm, UNNEST(range(n_pages)) AS u(p)
+        )
+        SELECT aid AS asset_id, CAST(p AS INTEGER) AS page_idx,
+               text, CAST(LENGTH(text) AS BIGINT) AS n_chars
+        FROM pg
+    """
     o["warc_parse"] = """
         WITH prm AS (
           SELECT doc_id AS aid, 2 + doc_id % 3 AS n_rec
@@ -13540,6 +13575,7 @@ SPARK_QUERIES = {
     "multimodal_audio_fp_dedup": q_multimodal_audio_fp_dedup,
     "multimodal_phash_pooled": q_multimodal_phash_pooled,
     "multimodal_resize_box": q_multimodal_resize_box,
+    "pdf_extract_text": q_pdf_extract_text,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,

@@ -7449,3 +7449,73 @@ def test_warc_gzip_plain_parity_and_poison():
     sep = plain.find(b"\r\n\r\n", plain.find(b"software:"))
     poisoned(plain[:sep] + b"..." + plain[sep + 4:])  # broken separator
     poisoned(raw_gz + b"junk")                 # trailing garbage
+
+
+def test_pdf_parser_structures_and_poison():
+    """r15: PDF extraction beyond the lane's synth — a hand-built
+    file with a NESTED page tree, /Contents as an ARRAY of stream
+    parts, an INDIRECT /Length, and a %comment in an object; then
+    the poison classes (corrupt Flate body, unsupported filter,
+    xref-stream file) null the row."""
+    import zlib
+    import pandas as pd
+    from geniepool_etl_spark.operators import pdf as P
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    def build(objs: dict) -> bytes:
+        out = bytearray(b"%PDF-1.4\n")
+        offs = {}
+        for num in sorted(objs):
+            offs[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+        xat = len(out)
+        n = max(objs) + 1
+        out += f"xref\n0 {n}\n".encode() + b"0000000000 65535 f \n"
+        for num in range(1, n):
+            out += f"{offs[num]:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {n} /Root 1 0 R >>\n"
+                f"startxref\n{xat}\n%%EOF\n").encode()
+        return bytes(out)
+
+    part1 = b"BT 72 720 Td (Hello ) Tj ET"
+    part2 = zlib.compress(b"BT [(wor) -250 <6c64>] TJ ET")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        # nested tree: Pages -> [Pages -> [page 4], page 7]
+        2: b"<< /Type /Pages /Kids [3 0 R 7 0 R] /Count 2 >>",
+        3: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: b"<< /Type /Page /Parent 3 0 R % inline comment\n"
+           b" /Contents [5 0 R 6 0 R] >>",
+        5: b"<< /Length " + str(len(part1)).encode() + b" >>\n"
+           b"stream\n" + part1 + b"\nendstream",
+        6: b"<< /Length 8 0 R /Filter /FlateDecode >>\nstream\n"
+           + part2 + b"\nendstream",
+        7: b"<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>",
+        8: str(len(part2)).encode(),
+        9: b"<< /Length 20 >>\nstream\nBT (page two!) Tj ET\nendstream",
+    }
+    raw = build(objs)
+    ext = P.extract_pdf_text(StubDF())
+
+    def run(payload):
+        return next(ext(iter([pd.DataFrame(
+            {"asset_id": [1], "payload": [payload],
+             "media_type": ["application/pdf"]}
+        )])))
+
+    got = run(raw)
+    assert list(got["page_idx"]) == [0, 1]
+    # array parts join with a newline between streams; Td starts line
+    assert got["text"][0] == "Hello wor ld"
+    assert got["text"][1] == "page two!"
+
+    bad_flate = raw.replace(part2, b"X" * len(part2))
+    assert run(bad_flate)["page_idx"][0] == -1
+    bad_filter = raw.replace(b"/FlateDecode", b"/LZWDecodee"[:12])
+    assert run(bad_filter)["page_idx"][0] == -1
+    # xref streams (PDF 1.5+) are declared unsupported -> poison
+    xs = raw.replace(b"xref\n0 10\n", b"10 0 obj\n<< >>\nstream\n")
+    assert run(xs)["page_idx"][0] == -1
