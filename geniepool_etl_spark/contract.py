@@ -48,6 +48,7 @@ from geniepool_etl_spark.operators import packing as PK
 from geniepool_etl_spark.operators import similarity as S
 from geniepool_etl_spark.operators import text as TX
 from geniepool_etl_spark.operators import pdf as PDF
+from geniepool_etl_spark.operators import robots as RB
 from geniepool_etl_spark.sources import warc as WC
 
 _uniq = itertools.count()
@@ -3898,6 +3899,54 @@ def q_multimodal_phash_pooled(
     return M.decode_image_phash(
         M.synth_pgm_phash_assets(params, scale=3)
     )
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBOTS.TXT GATE (r15 — operators.robots.parse_robots_txt →
+    robots_filter): RFC 9309 frontier filtering before fetch. Raw
+    per-domain robots bodies (comments, User-agent/Crawl-delay lines
+    to ignore, wildcard + $-anchored rules) parse to a rule table
+    that BROADCASTS into a LIKE-pattern join (rules map to LIKE, not
+    regex — byte-identical semantics in codegen and in the oracle's
+    ``LIKE … ESCAPE``), then longest-match precedence per §2.2.2
+    (longest rule wins, Allow wins ties, default allow) via one
+    row_number window. '/private/ok' proves the
+    Allow-overrides-shorter-Disallow case; odd domains carry an
+    inner-wildcard rule."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 3)
+    urls = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example"),
+        ).alias("domain"),
+        F.expr(
+            """CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN '/private/x' || CAST(doc_id % 7 AS STRING)
+               WHEN 1 THEN '/p/' || CAST(doc_id % 20 AS STRING)
+               WHEN 2 THEN '/private/ok'
+               WHEN 3 THEN '/static/img' || CAST(doc_id % 3 AS STRING)
+                           || '.png'
+               ELSE '/p' END"""
+        ).alias("path"),
+    )
+    doms = spark.range(4).select(
+        F.concat(
+            F.lit("site"), F.col("id").cast("string"), F.lit(".example")
+        ).alias("domain"),
+        F.concat(
+            F.lit(
+                "# synth robots\nUser-agent: *\n"
+                "Disallow: /private*  # keep out\n"
+                "Allow: /private/ok$\nDisallow: /p/1*\n"
+            ),
+            F.when(
+                F.col("id") % 2 == 1, F.lit("Disallow: *img1*\n")
+            ).otherwise(F.lit("")),
+            F.lit("Crawl-delay: 10\n"),
+        ).alias("robots_txt"),
+    )
+    return RB.robots_filter(urls, RB.parse_robots_txt(doms))
 
 
 def q_pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11292,6 +11341,39 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["robots_gate"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 doc_id AS url_id,
+                 'site' || (doc_id % 4) || '.example' AS domain,
+                 CASE doc_id % 5
+                   WHEN 0 THEN '/private/x' || (doc_id % 7)
+                   WHEN 1 THEN '/p/' || (doc_id % 20)
+                   WHEN 2 THEN '/private/ok'
+                   WHEN 3 THEN '/static/img' || (doc_id % 3) || '.png'
+                   ELSE '/p' END AS path
+          FROM documents WHERE doc_id % 13 = 3
+        )
+        SELECT url_id, domain, path,
+               CASE
+                 WHEN doc_id % 5 = 0 THEN FALSE
+                 WHEN doc_id % 5 = 1 AND (doc_id % 20 = 1
+                      OR doc_id % 20 BETWEEN 10 AND 19) THEN FALSE
+                 WHEN doc_id % 5 = 3 AND doc_id % 4 IN (1, 3)
+                      AND doc_id % 3 = 1 THEN FALSE
+                 ELSE TRUE
+               END AS allowed,
+               CASE
+                 WHEN doc_id % 5 = 0 THEN '/private*'
+                 WHEN doc_id % 5 = 2 THEN '/private/ok$'
+                 WHEN doc_id % 5 = 1 AND (doc_id % 20 = 1
+                      OR doc_id % 20 BETWEEN 10 AND 19) THEN '/p/1*'
+                 WHEN doc_id % 5 = 3 AND doc_id % 4 IN (1, 3)
+                      AND doc_id % 3 = 1 THEN '*img1*'
+                 ELSE NULL
+               END AS rule
+        FROM u
+    """
     o["pdf_extract_text"] = """
         WITH prm AS (
           SELECT doc_id AS aid, 1 + doc_id % 3 AS n_pages
@@ -13576,6 +13658,7 @@ SPARK_QUERIES = {
     "multimodal_phash_pooled": q_multimodal_phash_pooled,
     "multimodal_resize_box": q_multimodal_resize_box,
     "pdf_extract_text": q_pdf_extract_text,
+    "robots_gate": q_robots_gate,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,

@@ -7519,3 +7519,53 @@ def test_pdf_parser_structures_and_poison():
     # xref streams (PDF 1.5+) are declared unsupported -> poison
     xs = raw.replace(b"xref\n0 10\n", b"10 0 obj\n<< >>\nstream\n")
     assert run(xs)["page_idx"][0] == -1
+
+
+def test_robots_precedence_and_escaping(spark):
+    """r15: RFC 9309 evaluator edge semantics — (a) longest-match
+    precedence with Allow winning exact-length ties; (b) a literal
+    '%'/'_' in a path is NOT a wildcard (LIKE metachars escaped);
+    (c) default allow with null rule when nothing matches; (d) the
+    parser drops comments, blank lines, User-agent and Crawl-delay
+    directives."""
+    from geniepool_etl_spark.operators import robots as RB
+
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/dir/page"),     # tie: Allow + Disallow len 5
+            (2, "a.com", "/x%y_z"),        # literal metachars
+            (3, "a.com", "/nothing"),      # no rule matches
+            (4, "a.com", "/dir/deep/pg"),  # longer Disallow beats Allow
+        ],
+        "url_id long, domain string, path string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", True, "/dir/"),
+            ("a.com", False, "/dir/"),        # same length -> Allow wins
+            ("a.com", False, "/dir/deep*"),   # longer -> Disallow wins
+            ("a.com", False, "/x%y"),         # must match literally
+            ("a.com", False, "/x_q"),         # '_' literal: no match for 2
+        ],
+        "domain string, is_allow boolean, rule string",
+    )
+    got = {
+        r["url_id"]: (r["allowed"], r["rule"])
+        for r in RB.robots_filter(urls, rules).collect()
+    }
+    assert got[1] == (True, "/dir/")
+    assert got[2] == (False, "/x%y")
+    assert got[3] == (True, None)
+    assert got[4] == (False, "/dir/deep*")
+
+    doms = spark.createDataFrame(
+        [("b.com",
+          "# header\nUser-agent: *\n\nDisallow: /a # trail\n"
+          "Crawl-delay: 3\nAllow: /a/b$\nSitemap: https://x\n")],
+        "domain string, robots_txt string",
+    )
+    parsed = {
+        (r["is_allow"], r["rule"])
+        for r in RB.parse_robots_txt(doms).collect()
+    }
+    assert parsed == {(False, "/a"), (True, "/a/b$")}
