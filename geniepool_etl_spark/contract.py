@@ -47,6 +47,7 @@ from geniepool_etl_spark.operators import multimodal as M
 from geniepool_etl_spark.operators import packing as PK
 from geniepool_etl_spark.operators import similarity as S
 from geniepool_etl_spark.operators import text as TX
+from geniepool_etl_spark.operators import cdx as CDX
 from geniepool_etl_spark.operators import pdf as PDF
 from geniepool_etl_spark.operators import robots as RB
 from geniepool_etl_spark.sources import warc as WC
@@ -3899,6 +3900,61 @@ def q_multimodal_phash_pooled(
     return M.decode_image_phash(
         M.synth_pgm_phash_assets(params, scale=3)
     )
+
+
+def q_cdx_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT + CDX INDEX (r15 — operators.cdx.surt_key →
+    parse_cdx_lines): the CommonCrawl URL-index pair. Designed URLs
+    cover every canonicalization trap — mixed case, a leading www
+    label, default ports 80/443 (dropped) vs :8080 (kept on the
+    reversed host), userinfo, out-of-order query params (byte-sorted),
+    fragments (dropped), empty path → '/' — and the computed SURT
+    urlkey is embedded into a synthesized ``urlkey ts {json}`` CDXJ
+    line which parse_cdx_lines then splits (bounded 3-way) and
+    from_json-flattens back to typed columns. All JVM expressions,
+    zero UDFs; the oracle replays urlkey and every JSON field as
+    closed forms, so one wrong canonicalization byte mismatches."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 7)
+    base = docs.select(
+        "doc_id",
+        F.expr(
+            """CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'https://WWW.Site' || CAST(doc_id % 9 AS STRING)
+                           || '.Example.com/A/b'
+               WHEN 1 THEN 'http://site' || CAST(doc_id % 9 AS STRING)
+                           || '.example.com:80/x?b=2&a=1'
+               WHEN 2 THEN 'https://site' || CAST(doc_id % 9 AS STRING)
+                           || '.example.com:443/'
+               WHEN 3 THEN 'https://user@site' || CAST(doc_id % 9 AS STRING)
+                           || '.example.com/Path/Q?z=9&m=3&a=0'
+               WHEN 4 THEN 'http://site' || CAST(doc_id % 9 AS STRING)
+                           || '.example.com:8080/p'
+               ELSE 'https://site' || CAST(doc_id % 9 AS STRING)
+                    || '.example.com/a#frag' END"""
+        ).alias("url"),
+        F.expr(
+            "CASE WHEN doc_id % 5 = 0 THEN '404' ELSE '200' END"
+        ).alias("status_s"),
+    )
+    line = base.select(
+        F.concat(
+            CDX.surt_key(F.col("url")),
+            F.lit(" "),
+            (F.lit(20240101000000) + F.col("doc_id")).cast("string"),
+            F.lit(" "),
+            F.lit('{"url":"'), F.col("url"),
+            F.lit('","mime":"text/html","status":"'), F.col("status_s"),
+            F.lit('","digest":"sha1:'), F.col("doc_id").cast("string"),
+            F.lit('","length":"'),
+            (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+            F.lit('","offset":"'),
+            (F.col("doc_id") * 1000).cast("string"),
+            F.lit('","filename":"crawl-'),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit('.warc.gz"}'),
+        ).alias("line")
+    )
+    return CDX.parse_cdx_lines(line)
 
 
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11341,6 +11397,39 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["cdx_surt_index"] = """
+        WITH d AS (
+          SELECT doc_id, CAST(doc_id % 9 AS VARCHAR) AS k
+          FROM documents WHERE doc_id % 13 = 7
+        )
+        SELECT
+          CASE doc_id % 6
+            WHEN 0 THEN 'com,example,site' || k || ')/a/b'
+            WHEN 1 THEN 'com,example,site' || k || ')/x?a=1&b=2'
+            WHEN 2 THEN 'com,example,site' || k || ')/'
+            WHEN 3 THEN 'com,example,site' || k || ')/path/q?a=0&m=3&z=9'
+            WHEN 4 THEN 'com,example,site' || k || ':8080)/p'
+            ELSE 'com,example,site' || k || ')/a'
+          END AS urlkey,
+          CAST(20240101000000 + doc_id AS BIGINT) AS ts,
+          CASE doc_id % 6
+            WHEN 0 THEN 'https://WWW.Site' || k || '.Example.com/A/b'
+            WHEN 1 THEN 'http://site' || k || '.example.com:80/x?b=2&a=1'
+            WHEN 2 THEN 'https://site' || k || '.example.com:443/'
+            WHEN 3 THEN 'https://user@site' || k
+                        || '.example.com/Path/Q?z=9&m=3&a=0'
+            WHEN 4 THEN 'http://site' || k || '.example.com:8080/p'
+            ELSE 'https://site' || k || '.example.com/a#frag'
+          END AS url,
+          'text/html' AS mime,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS BIGINT)
+            AS status,
+          'sha1:' || doc_id AS digest,
+          CAST(100 + doc_id % 900 AS BIGINT) AS length,
+          CAST(doc_id * 1000 AS BIGINT) AS "offset",
+          'crawl-' || (doc_id % 10) || '.warc.gz' AS filename
+        FROM d
+    """
     o["robots_gate"] = """
         WITH u AS (
           SELECT doc_id,
@@ -13659,6 +13748,7 @@ SPARK_QUERIES = {
     "multimodal_resize_box": q_multimodal_resize_box,
     "pdf_extract_text": q_pdf_extract_text,
     "robots_gate": q_robots_gate,
+    "cdx_surt_index": q_cdx_surt_index,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,

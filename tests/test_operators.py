@@ -7569,3 +7569,36 @@ def test_robots_precedence_and_escaping(spark):
         for r in RB.parse_robots_txt(doms).collect()
     }
     assert parsed == {(False, "/a"), (True, "/a/b$")}
+
+
+def test_surt_key_edges(spark):
+    """r15: SURT canonicalization edges beyond the lane's designed
+    set — hostname with no path at all, single-label host, an IPv4
+    host (labels still reverse — the archive convention), malformed
+    CDX json nulls only the json-derived fields."""
+    from geniepool_etl_spark.operators import cdx as CDX
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://Example.com"),
+            (2, "http://localhost:8080/x"),
+            (3, "https://192.168.0.1/a?b=1&a=2"),
+            (4, "https://www.a.b.c.d.example.org/Deep/Path"),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["urlkey"]
+        for r in CDX.with_surt_key(urls).collect()
+    }
+    assert got[1] == "com,example)/"
+    assert got[2] == "localhost:8080)/x"
+    assert got[3] == "1,0,168,192)/a?a=2&b=1"
+    assert got[4] == "org,example,d,c,b,a)/deep/path"
+
+    lines = spark.createDataFrame(
+        [("com,x)/ 20240101000000 {not json",)], "line string"
+    )
+    row = CDX.parse_cdx_lines(lines).collect()[0]
+    assert row["urlkey"] == "com,x)/" and row["ts"] == 20240101000000
+    assert row["url"] is None and row["status"] is None
