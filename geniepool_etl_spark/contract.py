@@ -3902,6 +3902,24 @@ def q_multimodal_phash_pooled(
     )
 
 
+def q_multimodal_flac_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC VORBIS_COMMENT TAGS (r15 — multimodal.
+    synth_flac_tagged_assets → decode_audio_tags): route-by-metadata
+    for an audio corpus — walk the metadata chain (STREAMINFO →
+    VORBIS_COMMENT → last-flagged PADDING), parse the xiph comment
+    block (LITTLE-endian lengths inside the BIG-endian block framing
+    — the classic interop trap), canonicalize keys upper-case with
+    first-occurrence-wins (a duplicate TITLE and a lowercase
+    ``language=`` key are planted), and join the STREAMINFO duration
+    into the same row. Every field a closed form of asset_id."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 8)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return M.decode_audio_tags(M.synth_flac_tagged_assets(params))
+
+
 def q_cdx_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURT + CDX INDEX (r15 — operators.cdx.surt_key →
     parse_cdx_lines): the CommonCrawl URL-index pair. Designed URLs
@@ -11397,6 +11415,17 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["multimodal_flac_tags"] = """
+        SELECT doc_id AS asset_id, 'synth-flac 1.0' AS vendor,
+               'Track ' || doc_id AS title,
+               'artist' || (doc_id % 5) AS artist,
+               'album' || (doc_id % 3) AS album,
+               CAST(1970 + doc_id % 30 AS BIGINT) AS date_year,
+               CAST(1 + doc_id % 12 AS BIGINT) AS track,
+               'en' AS language, CAST(7 AS BIGINT) AS n_tags,
+               CAST(1000 + doc_id % 500 AS BIGINT) AS duration_ms
+        FROM documents WHERE doc_id % 13 = 8
+    """
     o["cdx_surt_index"] = """
         WITH d AS (
           SELECT doc_id, CAST(doc_id % 9 AS VARCHAR) AS k
@@ -13749,6 +13778,7 @@ SPARK_QUERIES = {
     "pdf_extract_text": q_pdf_extract_text,
     "robots_gate": q_robots_gate,
     "cdx_surt_index": q_cdx_surt_index,
+    "multimodal_flac_tags": q_multimodal_flac_tags,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,

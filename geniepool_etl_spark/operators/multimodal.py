@@ -10964,3 +10964,154 @@ def synth_pgm_linear_assets(df: DataFrame, id_col: str = "asset_id"):
             )
 
     return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# FLAC VorbisComment tags (r15): the audio-corpus metadata lane. An LLM
+# audio pipeline routes by TITLE/ARTIST/DATE/LANGUAGE tags before it ever
+# decodes samples; in FLAC those live in the type-4 VORBIS_COMMENT metadata
+# block (xiph spec): a little-endian length-prefixed vendor string plus a
+# little-endian length-prefixed list of "KEY=value" UTF-8 entries — note
+# the endianness flip vs the big-endian block headers around it. Keys are
+# case-insensitive (canonicalized to upper here); first occurrence wins.
+# --------------------------------------------------------------------------
+
+_FLAC_TAGS_SCHEMA = (
+    "asset_id long, vendor string, title string, artist string, "
+    "album string, date_year long, track long, language string, "
+    "n_tags long, duration_ms long"
+)
+
+
+def _vorbis_comment_block(vendor: bytes, tags: list, last: bool) -> bytes:
+    body = len(vendor).to_bytes(4, "little") + vendor
+    body += len(tags).to_bytes(4, "little")
+    for kv in tags:
+        body += len(kv).to_bytes(4, "little") + kv
+    head = (0x84 if last else 0x04).to_bytes(1, "big")
+    return head + len(body).to_bytes(3, "big") + body
+
+
+def synth_flac_tagged_assets(
+    df: DataFrame, id_col: str = "asset_id"
+) -> DataFrame:
+    """FLAC files with a real metadata chain: STREAMINFO (not last) →
+    VORBIS_COMMENT → last-flagged PADDING, every tag a closed form of
+    asset_id; one key arrives lowercase (``language=``) to pin the
+    case-insensitive canonicalization, and TITLE appears twice (the
+    duplicate must lose)."""
+
+    def one(aid: int) -> bytes:
+        rate = 16000
+        frames = (1000 + aid % 500) * 16
+        packed = (rate << 44) | (0 << 41) | ((16 - 1) << 36) | frames
+        streaminfo = (
+            b"\x00" + (34).to_bytes(3, "big")
+            + b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+        )
+        tags = [
+            f"TITLE=Track {aid}".encode(),
+            f"ARTIST=artist{aid % 5}".encode(),
+            f"ALBUM=album{aid % 3}".encode(),
+            f"DATE={1970 + aid % 30}".encode(),
+            f"TRACKNUMBER={1 + aid % 12}".encode(),
+            b"language=en",
+            f"TITLE=dup {aid}".encode(),  # duplicate: ignored
+        ]
+        vc = _vorbis_comment_block(b"synth-flac 1.0", tags, last=False)
+        padding = b"\x81" + (4).to_bytes(3, "big") + b"\x00" * 4
+        return b"fLaC" + streaminfo + vc + padding
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [one(int(a)) for a in pdf[id_col]],
+                    "media_type": "audio/flac",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _flac_vorbis_tags(payload: bytes) -> dict:
+    """Walk the metadata chain to the VORBIS_COMMENT block and parse
+    it (little-endian lengths inside big-endian block framing)."""
+    n = len(payload)
+    if payload[:4] != b"fLaC":
+        raise ValueError("flac: bad magic")
+    at = 4
+    out = {"vendor": None, "tags": {}, "n_tags": 0}
+    while at + 4 <= n:
+        head = payload[at]
+        size = int.from_bytes(payload[at + 1 : at + 4], "big")
+        body = at + 4
+        if body + size > n:
+            raise ValueError("flac: truncated metadata block")
+        if (head & 0x7F) == 4:
+            b = payload[body : body + size]
+            p = 0
+            vlen = int.from_bytes(b[p : p + 4], "little")
+            p += 4
+            if p + vlen > size:
+                raise ValueError("flac: truncated vendor string")
+            out["vendor"] = b[p : p + vlen].decode("utf-8")
+            p += vlen
+            cnt = int.from_bytes(b[p : p + 4], "little")
+            p += 4
+            for _ in range(cnt):
+                if p + 4 > size:
+                    raise ValueError("flac: truncated comment count")
+                ln = int.from_bytes(b[p : p + 4], "little")
+                p += 4
+                if p + ln > size:
+                    raise ValueError("flac: truncated comment entry")
+                kv = b[p : p + ln].decode("utf-8")
+                p += ln
+                k, _, v = kv.partition("=")
+                out["tags"].setdefault(k.upper(), v)  # first wins
+            out["n_tags"] = cnt
+        if head & 0x80:
+            break
+        at = body + size
+    return out
+
+
+def decode_audio_tags(assets: DataFrame) -> DataFrame:
+    """FLAC → typed tag row (vendor, TITLE/ARTIST/ALBUM, DATE year,
+    TRACKNUMBER, LANGUAGE, tag count) joined with the STREAMINFO
+    duration — the route-by-metadata step before any sample decode.
+    Arrow ``mapInPandas``; poison nulls the row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "asset_id", "vendor", "title", "artist", "album",
+            "date_year", "track", "language", "n_tags", "duration_ms",
+        ]
+        for pdf in it:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    raw = bytes(b)
+                    tg = _flac_vorbis_tags(raw)
+                    si = _parse_flac(raw)
+                    t = tg["tags"]
+                    rows.append(
+                        (
+                            int(aid), tg["vendor"], t.get("TITLE"),
+                            t.get("ARTIST"), t.get("ALBUM"),
+                            int(t["DATE"]) if "DATE" in t else None,
+                            int(t["TRACKNUMBER"])
+                            if "TRACKNUMBER" in t else None,
+                            t.get("LANGUAGE"), tg["n_tags"],
+                            si["duration_ms"],
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(aid),) + (None,) * 9
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(batches, _FLAC_TAGS_SCHEMA)

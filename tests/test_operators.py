@@ -7602,3 +7602,44 @@ def test_surt_key_edges(spark):
     row = CDX.parse_cdx_lines(lines).collect()[0]
     assert row["urlkey"] == "com,x)/" and row["ts"] == 20240101000000
     assert row["url"] is None and row["status"] is None
+
+
+def test_flac_vorbis_tags_poison_classes():
+    """r15: VorbisComment parse — truncated vendor, truncated entry,
+    and a lying entry count each poison; a tagless file (STREAMINFO
+    only) yields n_tags 0 with null tags but a REAL duration."""
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    gen = M.synth_flac_tagged_assets(StubDF())
+    dec = M.decode_audio_tags(StubDF())
+    out = next(gen(iter([pd.DataFrame({"asset_id": [7]})])))
+    raw = bytes(out["payload"].iloc[0])
+
+    def run(payload):
+        return next(dec(iter([pd.DataFrame(
+            {"asset_id": [7], "payload": [payload],
+             "media_type": ["audio/flac"]}
+        )]))).iloc[0]
+
+    ok = run(raw)
+    assert ok["title"] == "Track 7" and ok["duration_ms"] == 1007
+
+    # lie about the vendor length (points past the block)
+    vc_at = raw.find(b"synth-flac 1.0") - 4
+    bad = raw[:vc_at] + (9999).to_bytes(4, "little") + raw[vc_at + 4:]
+    assert run(bad)["title"] is None
+    # lie about the entry count
+    cnt_at = vc_at + 4 + 14
+    bad = raw[:cnt_at] + (99).to_bytes(4, "little") + raw[cnt_at + 4:]
+    assert run(bad)["title"] is None
+    # STREAMINFO-only file: tags null, n_tags 0, duration real
+    packed = (16000 << 44) | ((16 - 1) << 36) | (16 * 1500)
+    solo = (b"fLaC" + b"\x80" + (34).to_bytes(3, "big")
+            + b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16)
+    row = run(solo)
+    assert row["title"] is None and row["n_tags"] == 0
+    assert row["duration_ms"] == 1500
