@@ -3902,6 +3902,34 @@ def q_multimodal_phash_pooled(
     )
 
 
+def q_text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAIN-CONTENT EXTRACTION (r15 — operators.text.
+    main_content_blocks): link-density block scoring, the jusText/
+    trafilatura step above strip_html. Designed pages carry four
+    blocks — a link-only nav rail (density 1000‰ → dropped), a long
+    link-free paragraph (kept), a 2-char stub (dropped by min length
+    despite zero links), and a long paragraph with ONE inline anchor
+    (link_chars exactly the anchor text+join space; density < 333‰ →
+    kept) — so both gate dimensions discriminate. All JVM regexp
+    expressions in one codegen stage; the oracle rebuilds each
+    block's visible text and counters as closed forms."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 0)
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<div><a href="/">Home</a> '
+                '<a href="/x">More links here</a></div><p>'
+            ),
+            F.expr("rtrim(repeat('w ', 5 + CAST(doc_id % 7 AS INT)))"),
+            F.lit(" end</p><p>hi</p><div>"),
+            F.expr("repeat('t ', 14 + CAST(doc_id % 5 AS INT))"),
+            F.lit('<a href="#">click here</a> tail</div>'),
+        ).alias("html"),
+    )
+    return TX.main_content_blocks(html)
+
+
 def q_multimodal_flac_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC VORBIS_COMMENT TAGS (r15 — multimodal.
     synth_flac_tagged_assets → decode_audio_tags): route-by-metadata
@@ -11415,6 +11443,32 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["text_main_content"] = """
+        WITH d AS (
+          SELECT doc_id, 5 + doc_id % 7 AS n2, 14 + doc_id % 5 AS n4
+          FROM documents WHERE doc_id % 13 = 0
+        )
+        SELECT doc_id, CAST(1 AS INTEGER) AS block_idx,
+               'Home More links here' AS block_text,
+               CAST(20 AS BIGINT) AS n_chars,
+               CAST(20 AS BIGINT) AS link_chars, FALSE AS kept
+        FROM d
+        UNION ALL
+        SELECT doc_id, CAST(3 AS INTEGER),
+               rtrim(repeat('w ', CAST(n2 AS INTEGER))) || ' end',
+               CAST(2 * n2 + 3 AS BIGINT), CAST(0 AS BIGINT), TRUE
+        FROM d
+        UNION ALL
+        SELECT doc_id, CAST(5 AS INTEGER), 'hi',
+               CAST(2 AS BIGINT), CAST(0 AS BIGINT), FALSE
+        FROM d
+        UNION ALL
+        SELECT doc_id, CAST(7 AS INTEGER),
+               rtrim(repeat('t ', CAST(n4 AS INTEGER)))
+                 || ' click here tail',
+               CAST(2 * n4 + 15 AS BIGINT), CAST(11 AS BIGINT), TRUE
+        FROM d
+    """
     o["multimodal_flac_tags"] = """
         SELECT doc_id AS asset_id, 'synth-flac 1.0' AS vendor,
                'Track ' || doc_id AS title,
@@ -13779,6 +13833,7 @@ SPARK_QUERIES = {
     "robots_gate": q_robots_gate,
     "cdx_surt_index": q_cdx_surt_index,
     "multimodal_flac_tags": q_multimodal_flac_tags,
+    "text_main_content": q_text_main_content,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,

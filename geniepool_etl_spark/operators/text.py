@@ -2094,3 +2094,68 @@ def wordpiece_token_counts(
             .alias("n_tokens"),
         )
     )
+
+
+_BLOCK_TAG_PATTERN = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|article|section|table|tr|td|"
+    r"nav|header|footer|br)[^>]*>"
+)
+_ANCHOR_PATTERN = r"(?is)<a\b[^>]*>.*?</a>"
+
+
+def main_content_blocks(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_chars: int = 10,
+    max_link_milli: int = 333,
+) -> DataFrame:
+    """Main-content extraction by LINK-DENSITY block scoring — the
+    deterministic core of jusText/trafilatura (Pomikálek 2011,
+    public thesis), one rung above :func:`strip_html`: boilerplate
+    (navigation, footers, related-links rails) is short and
+    link-dominated, content is long and link-sparse.
+
+    Split the HTML into blocks at block-level tag boundaries
+    (posexplode keeps the block's position), then per block compute
+    the visible text, the text with ANCHOR ELEMENTS REMOVED
+    (``<a…>…</a>`` dropped wholesale), and score
+    ``link_chars = len(text) − len(text_sans_anchors)``; a block is
+    content iff ``n_chars ≥ min_chars`` and the link density
+    ``link_chars/n_chars ≤ max_link_milli`` (integer milli math —
+    no floats to drift cross-engine). Every step is a JVM regexp
+    expression in one codegen stage: at 100 TB the scan rate is the
+    bound, zero UDFs, and the only wide op is whatever the caller
+    aggregates afterwards. Emits ALL non-empty blocks with the
+    ``kept`` verdict so callers can tune thresholds on real
+    distributions."""
+    frag = F.posexplode(
+        F.split(F.col(html_col), _BLOCK_TAG_PATTERN)
+    )
+    blocks = df.select(F.col(id_col), frag.alias("block_idx", "_frag"))
+
+    def visible(c: Column) -> Column:
+        c = F.regexp_replace(c, r"<[^>]*>", " ")
+        return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+    txt = visible(F.col("_frag"))
+    sans = visible(
+        F.regexp_replace(F.col("_frag"), _ANCHOR_PATTERN, " ")
+    )
+    out = blocks.select(
+        id_col,
+        "block_idx",
+        txt.alias("block_text"),
+        F.length(txt).cast("long").alias("n_chars"),
+        (F.length(txt) - F.length(sans)).cast("long").alias(
+            "link_chars"
+        ),
+    ).where(F.col("block_text") != "")
+    return out.withColumn(
+        "kept",
+        (F.col("n_chars") >= min_chars)
+        & (
+            F.col("link_chars") * 1000
+            <= F.lit(max_link_milli) * F.col("n_chars")
+        ),
+    )

@@ -7643,3 +7643,37 @@ def test_flac_vorbis_tags_poison_classes():
     row = run(solo)
     assert row["title"] is None and row["n_tags"] == 0
     assert row["duration_ms"] == 1500
+
+
+def test_main_content_blocks_edges(spark):
+    """r15: link-density scorer edges — a multi-line anchor spans the
+    dotall regex, nested inline tags (<b>) strip without splitting
+    the block, <br> IS a block boundary, and an all-empty page
+    yields zero rows."""
+    from geniepool_etl_spark.operators import text as TXm
+
+    rows = [
+        (1, '<p>alpha <b>bold</b> beta gamma delta</p>'),
+        (2, '<p>one two three<br>four five six seven</p>'),
+        (3, '<p><a href="x">multi\nline anchor text</a> y</p>'),
+        (4, '<div></div><p>  </p>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = TXm.main_content_blocks(df).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # nested <b> does not split: one block, full text
+    (b1,) = by_doc[1]
+    assert b1["block_text"] == "alpha bold beta gamma delta"
+    assert b1["link_chars"] == 0 and b1["kept"]
+    # <br> splits into two blocks
+    assert [b["block_text"] for b in by_doc[2]] == [
+        "one two three", "four five six seven"
+    ]
+    # dotall anchor: link_chars covers the newline-spanning anchor
+    (b3,) = by_doc[3]
+    assert b3["block_text"] == "multi line anchor text y"
+    assert b3["link_chars"] == b3["n_chars"] - 1  # only ' y' survives
+    assert not b3["kept"]
+    assert 4 not in by_doc
