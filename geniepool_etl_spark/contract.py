@@ -50,6 +50,7 @@ from geniepool_etl_spark.operators import text as TX
 from geniepool_etl_spark.operators import cdx as CDX
 from geniepool_etl_spark.operators import pdf as PDF
 from geniepool_etl_spark.operators import robots as RB
+from geniepool_etl_spark.operators import webdataset as WDS
 from geniepool_etl_spark.sources import warc as WC
 
 _uniq = itertools.count()
@@ -3900,6 +3901,66 @@ def q_multimodal_phash_pooled(
     return M.decode_image_phash(
         M.synth_pgm_phash_assets(params, scale=3)
     )
+
+
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBDATASET SHARDS (r15 — operators.webdataset.pack_webdataset
+    → parse_webdataset): the multimodal training-data container.
+    Each doc becomes a 3-member sample (.txt/.cls/.json, contents
+    closed forms of doc_id) keyed by its zero-padded id; samples
+    co-locate to shards by ``doc_id % 4`` through the grouped
+    ``applyInPandas`` pack (the one legitimate shuffle), each shard
+    serializes to a BYTE-DETERMINISTIC USTAR tar, and the parse walk
+    re-expands members with the first-dot grouping rule. The oracle
+    replays every member row, so a lost member, wrong key padding,
+    or content corruption in the tar round-trip mismatches."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 5)
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard_id"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("key"),
+    )
+    members = base.select(
+        "shard_id",
+        "key",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("txt").alias("ext"),
+                    F.encode(
+                        F.concat(
+                            F.lit("doc "),
+                            F.col("doc_id").cast("string"),
+                            F.lit(" "),
+                            F.expr("repeat('x', CAST(doc_id % 20 AS INT))"),
+                        ),
+                        "utf-8",
+                    ).alias("data"),
+                ),
+                F.struct(
+                    F.lit("cls").alias("ext"),
+                    F.encode(
+                        (F.col("doc_id") % 10).cast("string"), "utf-8"
+                    ).alias("data"),
+                ),
+                F.struct(
+                    F.lit("json").alias("ext"),
+                    F.encode(
+                        F.concat(
+                            F.lit('{"id":'),
+                            F.col("doc_id").cast("string"),
+                            F.lit("}"),
+                        ),
+                        "utf-8",
+                    ).alias("data"),
+                ),
+            )
+        ).alias("m"),
+    ).select(
+        "shard_id", "key",
+        F.col("m.ext").alias("ext"), F.col("m.data").alias("data"),
+    )
+    return WDS.parse_webdataset(WDS.pack_webdataset(members))
 
 
 def q_text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11443,6 +11504,29 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["webdataset_roundtrip"] = """
+        WITH d AS (
+          SELECT doc_id, doc_id % 4 AS shard_id,
+                 lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key
+          FROM documents WHERE doc_id % 13 = 5
+        ),
+        m AS (
+          SELECT shard_id, key, 'txt' AS ext,
+                 'doc ' || doc_id || ' '
+                   || repeat('x', CAST(doc_id % 20 AS INTEGER))
+                   AS content
+          FROM d
+          UNION ALL
+          SELECT shard_id, key, 'cls', CAST(doc_id % 10 AS VARCHAR)
+          FROM d
+          UNION ALL
+          SELECT shard_id, key, 'json', '{"id":' || doc_id || '}'
+          FROM d
+        )
+        SELECT shard_id, key, ext,
+               CAST(LENGTH(content) AS BIGINT) AS n_bytes, content
+        FROM m
+    """
     o["text_main_content"] = """
         WITH d AS (
           SELECT doc_id, 5 + doc_id % 7 AS n2, 14 + doc_id % 5 AS n4
@@ -13834,6 +13918,7 @@ SPARK_QUERIES = {
     "cdx_surt_index": q_cdx_surt_index,
     "multimodal_flac_tags": q_multimodal_flac_tags,
     "text_main_content": q_text_main_content,
+    "webdataset_roundtrip": q_webdataset_roundtrip,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,

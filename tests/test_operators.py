@@ -7677,3 +7677,43 @@ def test_main_content_blocks_edges(spark):
     assert b3["link_chars"] == b3["n_chars"] - 1  # only ' y' survives
     assert not b3["kept"]
     assert 4 not in by_doc
+
+
+def test_webdataset_determinism_and_poison(spark):
+    """r15: webdataset shards — (a) packing the same members twice
+    yields BYTE-IDENTICAL tars (idempotent-sink requirement);
+    (b) the first-dot rule groups 'a.seg.json' under key 'a';
+    (c) a truncated tar poisons to the null row."""
+    import io
+    import tarfile
+    from geniepool_etl_spark.operators import webdataset as WDS
+
+    members = spark.createDataFrame(
+        [
+            (0, "000001", "txt", bytearray(b"hello")),
+            (0, "000001", "seg.json", bytearray(b"{}")),
+            (0, "000002", "txt", bytearray(b"world!")),
+        ],
+        "shard_id long, key string, ext string, data binary",
+    )
+    p1 = WDS.pack_webdataset(members).collect()[0]
+    p2 = WDS.pack_webdataset(members).collect()[0]
+    assert bytes(p1["payload"]) == bytes(p2["payload"])
+    assert p1["n_samples"] == 2 and p1["n_members"] == 3
+    # stdlib tarfile reads it back; mtime pinned to 0
+    with tarfile.open(fileobj=io.BytesIO(bytes(p1["payload"]))) as tf:
+        infos = tf.getmembers()
+        assert [i.name for i in infos] == [
+            "000001.seg.json", "000001.txt", "000002.txt"
+        ]
+        assert all(i.mtime == 0 for i in infos)
+
+    shards = spark.createDataFrame(
+        [(0, bytearray(bytes(p1["payload"]))),
+         (1, bytearray(bytes(p1["payload"])[:100]))],
+        "shard_id long, payload binary",
+    )
+    got = {(r["shard_id"], r["key"], r["ext"])
+           for r in WDS.parse_webdataset(shards).collect()}
+    assert (0, "000001", "seg.json") in got   # first-dot rule
+    assert (1, None, None) in got             # truncated -> poison
