@@ -3903,6 +3903,42 @@ def q_multimodal_phash_pooled(
     )
 
 
+def q_chat_template_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAT-TEMPLATE LOSS SPANS (r15 — operators.packing.
+    render_chat_spans): SFT data prep. Designed conversations (2-4
+    alternating user/assistant turns, contents closed forms of
+    (conv, turn)) render to ``<|role|>content<|end|>`` segments; the
+    lane emits each turn's character span in the concatenation via
+    ONE window running-sum (single exchange on the conversation key)
+    plus the assistant-only loss mask. The oracle replays the same
+    spans with its own window sum — an off-by-one in either engine's
+    frame semantics mismatches every subsequent turn."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 10)
+    turns = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.lit(1) + F.col("doc_id") % 3).cast("int")
+            )
+        ).alias("turn"),
+    )
+    turns = turns.select(
+        "conv_id",
+        "turn",
+        F.when(F.col("turn") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.concat(
+            F.lit("msg "),
+            F.col("conv_id").cast("string"),
+            F.lit(" "),
+            F.col("turn").cast("string"),
+            F.expr("repeat('y', CAST((conv_id + turn) % 9 AS INT))"),
+        ).alias("content"),
+    )
+    return PK.render_chat_spans(turns)
+
+
 def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEBDATASET SHARDS (r15 — operators.webdataset.pack_webdataset
     → parse_webdataset): the multimodal training-data container.
@@ -11504,6 +11540,37 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["chat_template_spans"] = """
+        WITH d AS (
+          SELECT doc_id, 1 + doc_id % 3 AS mx
+          FROM documents WHERE doc_id % 13 = 10
+        ),
+        t AS (
+          SELECT doc_id AS conv_id, CAST(turn AS INTEGER) AS turn,
+                 CASE WHEN turn % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 'msg ' || doc_id || ' ' || turn
+                   || repeat('y', CAST((doc_id + turn) % 9 AS INTEGER))
+                   AS content
+          FROM d, UNNEST(range(mx + 1)) AS u(turn)
+        ),
+        s AS (
+          SELECT conv_id, turn, role,
+                 LENGTH('<|' || role || '|>' || content || '<|end|>')
+                   AS seg_len
+          FROM t
+        )
+        SELECT conv_id, turn, role,
+               CAST(COALESCE(SUM(seg_len) OVER (
+                 PARTITION BY conv_id ORDER BY turn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_char,
+               CAST(SUM(seg_len) OVER (
+                 PARTITION BY conv_id ORDER BY turn
+               ) AS BIGINT) AS end_char,
+               role = 'assistant' AS in_loss
+        FROM s
+    """
     o["webdataset_roundtrip"] = """
         WITH d AS (
           SELECT doc_id, doc_id % 4 AS shard_id,
@@ -13919,6 +13986,7 @@ SPARK_QUERIES = {
     "multimodal_flac_tags": q_multimodal_flac_tags,
     "text_main_content": q_text_main_content,
     "webdataset_roundtrip": q_webdataset_roundtrip,
+    "chat_template_spans": q_chat_template_spans,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,

@@ -120,3 +120,49 @@ def pack_windows(
             ),
         )
     )
+
+
+def render_chat_spans(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn",
+    role_col: str = "role",
+    content_col: str = "content",
+) -> DataFrame:
+    """Chat-template rendering with LOSS-MASK SPANS — the SFT data
+    prep step: each turn renders to ``<|role|>content<|end|>``, the
+    conversation is the in-order concatenation, and the trainer
+    needs, per turn, its character span [start_char, end_char) in
+    the rendered string plus whether loss applies (assistant turns
+    only — the standard instruction-tuning mask). Emitting spans
+    instead of the concatenated blob keeps every column scalar and
+    lets the loader slice lazily.
+
+    One window over (conv, turn) computes the exclusive running sum
+    of segment lengths — a single exchange on the conversation key;
+    at 100 TB this is one hash-partition + per-partition sort, the
+    same shape as :func:`pack_documents`. Pure integer/concat
+    expressions, zero UDFs."""
+    seg = F.concat(
+        F.lit("<|"), F.col(role_col), F.lit("|>"),
+        F.col(content_col), F.lit("<|end|>"),
+    )
+    seg_len = F.length(seg).cast("long")
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    start = F.coalesce(
+        F.sum(seg_len).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    end = F.sum(seg_len).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.select(
+        conv_col,
+        turn_col,
+        role_col,
+        start.alias("start_char"),
+        end.alias("end_char"),
+        (F.col(role_col) == "assistant").alias("in_loss"),
+    )

@@ -7717,3 +7717,33 @@ def test_webdataset_determinism_and_poison(spark):
            for r in WDS.parse_webdataset(shards).collect()}
     assert (0, "000001", "seg.json") in got   # first-dot rule
     assert (1, None, None) in got             # truncated -> poison
+
+
+def test_render_chat_spans_contiguity(spark):
+    """r15: chat spans — spans are contiguous (each start equals the
+    previous end), start at 0, cover exactly the rendered segment
+    lengths, and the loss mask is assistant-only."""
+    from geniepool_etl_spark.operators import packing as PKm
+
+    turns = spark.createDataFrame(
+        [
+            (1, 0, "system", "be brief"),
+            (1, 1, "user", "hi"),
+            (1, 2, "assistant", "hello!"),
+            (2, 0, "user", "q"),
+        ],
+        "conv_id long, turn int, role string, content string",
+    )
+    got = sorted(
+        PKm.render_chat_spans(turns).collect(),
+        key=lambda r: (r["conv_id"], r["turn"]),
+    )
+    c1 = [r for r in got if r["conv_id"] == 1]
+    assert c1[0]["start_char"] == 0
+    for prev, cur in zip(c1, c1[1:]):
+        assert cur["start_char"] == prev["end_char"]
+    # segment length: <|system|> (10) + 'be brief' (8) + <|end|> (7)
+    assert c1[0]["end_char"] == 25
+    assert [r["in_loss"] for r in c1] == [False, False, True]
+    (c2,) = [r for r in got if r["conv_id"] == 2]
+    assert (c2["start_char"], c2["end_char"]) == (0, 16)
