@@ -3903,6 +3903,23 @@ def q_multimodal_phash_pooled(
     )
 
 
+def q_multimodal_mp3_id3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 TAGS OVER MP3 (r15 — multimodal.synth_mp3_tagged_assets
+    → decode_mp3_id3): the compressed-audio metadata twin of the
+    FLAC lane. Even assets carry ID3v2.3 (plain big-endian frame
+    sizes), odd v2.4 (SYNCSAFE frame sizes) — both real-world;
+    TIT2 is latin-1, TPE1 is UTF-16-with-BOM (the two-byte path),
+    TRCK's 'n/total' form yields the leading n, and the MPEG-1
+    Layer III duration walk runs AFTER the tag skip so both halves
+    compose. Every field a closed form of asset_id."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 12)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return M.decode_mp3_id3(M.synth_mp3_tagged_assets(params))
+
+
 def q_chat_template_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAT-TEMPLATE LOSS SPANS (r15 — operators.packing.
     render_chat_spans): SFT data prep. Designed conversations (2-4
@@ -11540,6 +11557,18 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["multimodal_mp3_id3"] = """
+        SELECT doc_id AS asset_id,
+               CAST(3 + doc_id % 2 AS BIGINT) AS id3_version,
+               'Song ' || doc_id AS title,
+               'artist' || (doc_id % 5) AS artist,
+               'album' || (doc_id % 3) AS album,
+               CAST(1970 + doc_id % 30 AS BIGINT) AS year,
+               CAST(1 + doc_id % 12 AS BIGINT) AS track,
+               CAST((2 + doc_id % 4) * 1152 * 1000 // 44100 AS BIGINT)
+                 AS duration_ms
+        FROM documents WHERE doc_id % 13 = 12
+    """
     o["chat_template_spans"] = """
         WITH d AS (
           SELECT doc_id, 1 + doc_id % 3 AS mx
@@ -13987,6 +14016,7 @@ SPARK_QUERIES = {
     "text_main_content": q_text_main_content,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "chat_template_spans": q_chat_template_spans,
+    "multimodal_mp3_id3": q_multimodal_mp3_id3,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,

@@ -11115,3 +11115,154 @@ def decode_audio_tags(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.mapInPandas(batches, _FLAC_TAGS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ID3v2 text frames (r15): the MP3 twin of the FLAC VorbisComment lane.
+# Real-world MP3 corpora carry ID3v2.3 (plain big-endian frame sizes) or
+# ID3v2.4 (SYNCSAFE frame sizes — 7 bits per byte) tags; text frames start
+# with an encoding byte (0 = latin-1, 1 = UTF-16 with BOM). Parsing per
+# the public id3.org specs; the tag size itself is syncsafe in BOTH
+# versions, the frame-size encoding is what differs.
+# --------------------------------------------------------------------------
+
+_ID3_TAGS_SCHEMA = (
+    "asset_id long, id3_version long, title string, artist string, "
+    "album string, year long, track long, duration_ms long"
+)
+
+
+def _id3_text_frame(fid: bytes, text: str, ver: int, enc: int) -> bytes:
+    if enc == 0:
+        body = b"\x00" + text.encode("latin-1")
+    else:
+        body = b"\x01\xff\xfe" + text.encode("utf-16-le")
+    if ver == 4:
+        size = bytes(
+            [(len(body) >> s) & 0x7F for s in (21, 14, 7, 0)]
+        )
+    else:
+        size = len(body).to_bytes(4, "big")
+    return fid + size + b"\x00\x00" + body
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes([(n >> s) & 0x7F for s in (21, 14, 7, 0)])
+
+
+def synth_mp3_tagged_assets(
+    df: DataFrame, id_col: str = "asset_id"
+) -> DataFrame:
+    """MP3 streams with a REAL ID3v2 tag: version 3 (even assets) or
+    4 (odd — syncsafe frame sizes), TIT2 latin-1, TPE1 UTF-16-BOM
+    (the two-byte-per-char path), TALB/TYER/TRCK latin-1, trailing
+    padding, then ``2 + aid % 4`` MPEG-1 Layer III frames (44.1 kHz,
+    128 kbps) so the duration walk runs after the tag skip."""
+
+    def one(aid: int) -> bytes:
+        ver = 3 + aid % 2
+        frames = (
+            _id3_text_frame(b"TIT2", f"Song {aid}", ver, 0)
+            + _id3_text_frame(b"TPE1", f"artist{aid % 5}", ver, 1)
+            + _id3_text_frame(b"TALB", f"album{aid % 3}", ver, 0)
+            + _id3_text_frame(b"TYER", str(1970 + aid % 30), ver, 0)
+            + _id3_text_frame(b"TRCK", f"{1 + aid % 12}/12", ver, 0)
+        )
+        body = frames + b"\x00" * 16  # padding
+        tag = b"ID3" + bytes([ver, 0, 0]) + _syncsafe(len(body)) + body
+        hdr = bytes([0xFF, 0xE0 | (0x3 << 3) | (0x1 << 1) | 0x1,
+                     (0x9 << 4) | (0x0 << 2), 0x3 << 6])
+        mp3_frame = hdr + b"\x00" * (144 * 128 * 1000 // 44100 - 4)
+        return tag + mp3_frame * (2 + aid % 4)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [one(int(a)) for a in pdf[id_col]],
+                    "media_type": "audio/mpeg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _id3_frames(payload: bytes) -> tuple:
+    """→ (version, {frame_id: text}, offset past the tag)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        raise ValueError("id3: no tag")
+    ver = payload[3]
+    if ver not in (3, 4):
+        raise ValueError("id3: unsupported major version")
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("id3: non-syncsafe tag size")
+        size = (size << 7) | b
+    end = 10 + size
+    if end > len(payload):
+        raise ValueError("id3: truncated tag")
+    at = 10
+    out = {}
+    while at + 10 <= end:
+        fid = payload[at : at + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw = payload[at + 4 : at + 8]
+        if ver == 4:
+            fsize = 0
+            for b in raw:
+                if b & 0x80:
+                    raise ValueError("id3: non-syncsafe frame size")
+                fsize = (fsize << 7) | b
+        else:
+            fsize = int.from_bytes(raw, "big")
+        body = payload[at + 10 : at + 10 + fsize]
+        if len(body) < fsize:
+            raise ValueError("id3: truncated frame")
+        at += 10 + fsize
+        if fid[:1] == b"T" and fsize >= 1:
+            enc, text = body[0], body[1:]
+            if enc == 0:
+                out[fid.decode()] = text.decode("latin-1").rstrip("\x00")
+            elif enc == 1:
+                out[fid.decode()] = text.decode("utf-16").rstrip("\x00")
+            elif enc == 3:
+                out[fid.decode()] = text.decode("utf-8").rstrip("\x00")
+            else:
+                raise ValueError("id3: unsupported text encoding")
+    return ver, out, end
+
+
+def decode_mp3_id3(assets: DataFrame) -> DataFrame:
+    """MP3 → typed ID3 tag row + the frame-walk duration after the
+    tag — route-by-metadata for compressed-audio corpora. TRCK's
+    'n/total' form yields the leading n. Arrow ``mapInPandas``;
+    poison nulls the row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "id3_version", "title", "artist", "album",
+                "year", "track", "duration_ms"]
+        for pdf in it:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    raw = bytes(b)
+                    ver, tags, end = _id3_frames(raw)
+                    info = _parse_mp3(raw, end)
+                    trck = tags.get("TRCK")
+                    rows.append(
+                        (
+                            int(aid), ver, tags.get("TIT2"),
+                            tags.get("TPE1"), tags.get("TALB"),
+                            int(tags["TYER"]) if "TYER" in tags else None,
+                            int(trck.split("/")[0]) if trck else None,
+                            info["duration_ms"],
+                        )
+                    )
+                except Exception:
+                    rows.append((int(aid),) + (None,) * 7)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(batches, _ID3_TAGS_SCHEMA)

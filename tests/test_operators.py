@@ -7747,3 +7747,50 @@ def test_render_chat_spans_contiguity(spark):
     assert [r["in_loss"] for r in c1] == [False, False, True]
     (c2,) = [r for r in got if r["conv_id"] == 2]
     assert (c2["start_char"], c2["end_char"]) == (0, 16)
+
+
+def test_id3_versions_and_poison():
+    """r15: ID3v2 — v2.3 vs v2.4 frame-size encodings diverge past
+    127 bytes, so a >127-byte frame proves the branch; non-syncsafe
+    v2.4 frame size, truncated frame, and unsupported encoding all
+    poison; the tag skip still feeds the MP3 duration walk."""
+    import pandas as pd
+
+    class StubDF:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    dec = M.decode_mp3_id3(StubDF())
+
+    def build(ver: int, big_title: str):
+        frames = (
+            M._id3_text_frame(b"TIT2", big_title, ver, 0)
+            + M._id3_text_frame(b"TPE1", "pärty", ver, 1)
+        )
+        body = frames + b"\x00" * 8
+        tag = (b"ID3" + bytes([ver, 0, 0]) + M._syncsafe(len(body))
+               + body)
+        hdr = bytes([0xFF, 0xFB, (0x9 << 4), 0xC0])
+        return tag + (hdr + b"\x00" * (417 - 4)) * 3
+
+    def run(payload):
+        return next(dec(iter([pd.DataFrame(
+            {"asset_id": [1], "payload": [payload],
+             "media_type": ["audio/mpeg"]}
+        )]))).iloc[0]
+
+    big = "T" * 200  # frame body 201 bytes: syncsafe != BE past 127
+    for ver in (3, 4):
+        row = run(build(ver, big))
+        assert row["title"] == big and row["artist"] == "pärty"
+        assert row["id3_version"] == ver
+        assert row["duration_ms"] == 3 * 1152 * 1000 // 44100
+    # v2.4 parser fed a v2.3-sized (non-syncsafe) frame: poison
+    raw = build(3, big)
+    assert run(raw[:3] + bytes([4]) + raw[4:])["title"] is None
+    # truncated mid-frame
+    assert run(build(4, big)[:40])["title"] is None
+    # unsupported text encoding byte
+    raw = build(3, "x")
+    at = raw.find(b"TIT2") + 10
+    assert run(raw[:at] + b"\x02" + raw[at + 1:])["title"] is None
