@@ -3903,6 +3903,25 @@ def q_multimodal_phash_pooled(
     )
 
 
+def q_multimodal_ogg_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG OPUSTAGS (r15 — multimodal.synth_ogg_opus_tagged_assets →
+    decode_ogg_tags): the third audio-metadata container (FLAC
+    block, ID3v2, now Ogg) landing in the same column shape. Logical
+    packets reassemble from page LACING VALUES (a >255-byte
+    DESCRIPTION forces the 255-continuation path on every asset);
+    packet 2 is the RFC 7845 OpusTags body, parsed by the shared
+    VorbisComment reader (duplicate TITLE loses, lowercase
+    ``language=`` canonicalizes); the 48 kHz granule duration
+    composes in from the container walk. Closed forms of
+    asset_id."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 1)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return M.decode_ogg_tags(M.synth_ogg_opus_tagged_assets(params))
+
+
 def q_multimodal_mp3_id3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 TAGS OVER MP3 (r15 — multimodal.synth_mp3_tagged_assets
     → decode_mp3_id3): the compressed-audio metadata twin of the
@@ -11557,6 +11576,18 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["multimodal_ogg_tags"] = """
+        SELECT doc_id AS asset_id, 'synth-opus 1.0' AS vendor,
+               'Track ' || doc_id AS title,
+               'artist' || (doc_id % 5) AS artist,
+               'album' || (doc_id % 3) AS album,
+               CAST(1970 + doc_id % 30 AS BIGINT) AS date_year,
+               CAST(1 + doc_id % 12 AS BIGINT) AS track,
+               'en' AS language,
+               CAST(240 + doc_id % 60 AS BIGINT) AS desc_len,
+               CAST(100 * (1 + doc_id % 5) AS BIGINT) AS duration_ms
+        FROM documents WHERE doc_id % 13 = 1
+    """
     o["multimodal_mp3_id3"] = """
         SELECT doc_id AS asset_id,
                CAST(3 + doc_id % 2 AS BIGINT) AS id3_version,
@@ -14017,6 +14048,7 @@ SPARK_QUERIES = {
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "chat_template_spans": q_chat_template_spans,
     "multimodal_mp3_id3": q_multimodal_mp3_id3,
+    "multimodal_ogg_tags": q_multimodal_ogg_tags,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,

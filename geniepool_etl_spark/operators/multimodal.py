@@ -11266,3 +11266,186 @@ def decode_mp3_id3(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.mapInPandas(batches, _ID3_TAGS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Ogg VorbisComment / OpusTags (r15): the third leg of the audio-metadata
+# triple (FLAC block ✓, ID3v2 ✓). Tags in an Ogg stream live in the SECOND
+# logical packet (OpusTags, or the \x03vorbis comment header), and packets
+# are not pages: they are reassembled from the page LACING TABLE (segments
+# of 255 continue, a segment < 255 terminates — a packet whose length is a
+# multiple of 255 needs an explicit 0 lacing value). RFC 7845 §5.2 / the
+# xiph Ogg spec.
+# --------------------------------------------------------------------------
+
+_OGG_TAGS_SCHEMA = (
+    "asset_id long, vendor string, title string, artist string, "
+    "album string, date_year long, track long, language string, "
+    "desc_len long, duration_ms long"
+)
+
+
+def _ogg_packets(payload: bytes) -> list:
+    """Reassemble logical packets from page lacing values (packets
+    may span segment runs and page boundaries)."""
+    pkts: list = []
+    cur = bytearray()
+    at, n = 0, len(payload)
+    while at + 27 <= n and payload[at : at + 4] == b"OggS":
+        nseg = payload[at + 26]
+        segs = payload[at + 27 : at + 27 + nseg]
+        if len(segs) < nseg:
+            raise ValueError("ogg: truncated segment table")
+        body = at + 27 + nseg
+        for s in segs:
+            if body + s > n:
+                raise ValueError("ogg: truncated page body")
+            cur += payload[body : body + s]
+            body += s
+            if s < 255:
+                pkts.append(bytes(cur))
+                cur = bytearray()
+        at = body
+    if cur:
+        raise ValueError("ogg: unterminated packet at stream end")
+    return pkts
+
+
+def _parse_comment_tags(b: bytes) -> dict:
+    """The shared VorbisComment body (vendor + KEY=value list,
+    little-endian lengths) — same wire format in FLAC, OpusTags,
+    and the \\x03vorbis header."""
+    p = 0
+    vlen = int.from_bytes(b[p : p + 4], "little")
+    p += 4
+    if p + vlen > len(b):
+        raise ValueError("tags: truncated vendor")
+    vendor = b[p : p + vlen].decode("utf-8")
+    p += vlen
+    cnt = int.from_bytes(b[p : p + 4], "little")
+    p += 4
+    tags: dict = {}
+    for _ in range(cnt):
+        if p + 4 > len(b):
+            raise ValueError("tags: truncated count")
+        ln = int.from_bytes(b[p : p + 4], "little")
+        p += 4
+        if p + ln > len(b):
+            raise ValueError("tags: truncated entry")
+        kv = b[p : p + ln].decode("utf-8")
+        p += ln
+        k, _, v = kv.partition("=")
+        tags.setdefault(k.upper(), v)
+    return {"vendor": vendor, "tags": tags}
+
+
+def synth_ogg_opus_tagged_assets(
+    df: DataFrame, id_col: str = "asset_id"
+) -> DataFrame:
+    """Ogg Opus with a REAL OpusTags packet: BOS OpusHead page, a
+    tags page whose packet exceeds 255 bytes (a long DESCRIPTION
+    forces the 255-continuation lacing path), and an EOS audio page
+    whose granule closes the duration. All fields closed forms."""
+    import struct
+
+    def page(granule: int, pkt: bytes, htype: int, seq: int) -> bytes:
+        lac = [255] * (len(pkt) // 255) + [len(pkt) % 255]
+        return (
+            b"OggS" + bytes([0, htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<III", 1, seq, 0)
+            + bytes([len(lac)]) + bytes(lac) + pkt
+        )
+
+    def one(aid: int) -> bytes:
+        head = (
+            b"OpusHead" + bytes([1, 2])
+            + struct.pack("<H", 312)
+            + struct.pack("<I", 48000) + b"\x00\x00\x00"
+        )
+        tags = [
+            f"TITLE=Track {aid}".encode(),
+            f"ARTIST=artist{aid % 5}".encode(),
+            f"ALBUM=album{aid % 3}".encode(),
+            f"DATE={1970 + aid % 30}".encode(),
+            f"TRACKNUMBER={1 + aid % 12}".encode(),
+            b"language=en",
+            b"DESCRIPTION=" + b"d" * (240 + aid % 60),
+            f"TITLE=dup {aid}".encode(),
+        ]
+        vendor = b"synth-opus 1.0"
+        body = len(vendor).to_bytes(4, "little") + vendor
+        body += len(tags).to_bytes(4, "little")
+        for kv in tags:
+            body += len(kv).to_bytes(4, "little") + kv
+        opustags = b"OpusTags" + body
+        frames = 4800 * (1 + aid % 5)
+        return (
+            page(0, head, 0x02, 0)
+            + page(0, opustags, 0x00, 1)
+            + page(312 + frames, b"\x00", 0x04, 2)
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [one(int(a)) for a in pdf[id_col]],
+                    "media_type": "audio/ogg",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def decode_ogg_tags(assets: DataFrame) -> DataFrame:
+    """Ogg → typed tag row: packet reassembly from lacing values,
+    OpusTags (RFC 7845) or \\x03vorbis comment header (with its
+    framing bit) in packet 2, the shared VorbisComment parse, plus
+    the container duration from :func:`_parse_ogg` — all three
+    audio-metadata containers now land in the same column shape.
+    Poison nulls the row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "vendor", "title", "artist", "album",
+                "date_year", "track", "language", "desc_len",
+                "duration_ms"]
+        for pdf in it:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    raw = bytes(b)
+                    pkts = _ogg_packets(raw)
+                    if len(pkts) < 2:
+                        raise ValueError("ogg: no tags packet")
+                    p2 = pkts[1]
+                    if p2[:8] == b"OpusTags":
+                        parsed = _parse_comment_tags(p2[8:])
+                    elif p2[:7] == b"\x03vorbis":
+                        if not p2[7 + len(p2[7:]) - 1] & 0x01:
+                            raise ValueError("vorbis: framing bit unset")
+                        parsed = _parse_comment_tags(p2[7:-1])
+                    else:
+                        raise ValueError("ogg: packet 2 is not a "
+                                         "comment header")
+                    t = parsed["tags"]
+                    info = _parse_ogg(raw)
+                    desc = t.get("DESCRIPTION")
+                    rows.append(
+                        (
+                            int(aid), parsed["vendor"], t.get("TITLE"),
+                            t.get("ARTIST"), t.get("ALBUM"),
+                            int(t["DATE"]) if "DATE" in t else None,
+                            int(t["TRACKNUMBER"])
+                            if "TRACKNUMBER" in t else None,
+                            t.get("LANGUAGE"),
+                            len(desc) if desc is not None else None,
+                            info["duration_ms"],
+                        )
+                    )
+                except Exception:
+                    rows.append((int(aid),) + (None,) * 9)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(batches, _OGG_TAGS_SCHEMA)

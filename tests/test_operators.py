@@ -7794,3 +7794,63 @@ def test_id3_versions_and_poison():
     raw = build(3, "x")
     at = raw.find(b"TIT2") + 10
     assert run(raw[:at] + b"\x02" + raw[at + 1:])["title"] is None
+
+
+def test_ogg_packet_reassembly_and_vorbis_header():
+    """r15: Ogg tags — (a) a packet that spans PAGES (continuation)
+    reassembles; (b) a 255-multiple packet needs its explicit 0
+    lacing value; (c) the \\x03vorbis comment-header path (framing
+    bit) parses; (d) an unterminated packet poisons."""
+    import struct
+    import pandas as pd
+
+    def page(pkt, htype=0, granule=0, seq=0):
+        full, rem = divmod(len(pkt), 255)
+        lac = [255] * full + [rem]
+        return (b"OggS" + bytes([0, htype]) + struct.pack("<q", granule)
+                + struct.pack("<III", 1, seq, 0)
+                + bytes([len(lac)]) + bytes(lac) + pkt)
+
+    # a 510-byte packet split across two pages: page 1 carries one
+    # all-255 lacing run (packet continues), page 2 closes it with
+    # [255, 0] — the explicit 0 a 255-multiple packet requires
+    pkt = b"A" * 510
+    p1 = (b"OggS" + bytes([0, 0]) + struct.pack("<q", 0)
+          + struct.pack("<III", 1, 0, 0) + bytes([1, 255]) + pkt[:255])
+    p2 = (b"OggS" + bytes([0, 1]) + struct.pack("<q", 0)
+          + struct.pack("<III", 1, 1, 0) + bytes([2, 255, 0])
+          + pkt[255:510])
+    pkts = M._ogg_packets(p1 + p2)
+    assert pkts == [pkt]
+
+    # \x03vorbis comment header with framing bit
+    body = (len(b"v").to_bytes(4, "little") + b"v"
+            + (1).to_bytes(4, "little")
+            + len(b"TITLE=t").to_bytes(4, "little") + b"TITLE=t")
+    vorbis_pkt = b"\x03vorbis" + body + b"\x01"
+    head_pkt = (b"\x01vorbis" + bytes([0, 0, 0, 0, 1])
+                + struct.pack("<I", 44100) + b"\x00" * 17)
+    raw = (page(head_pkt, htype=2)
+           + page(vorbis_pkt, seq=1)
+           + page(b"\x00", htype=4, granule=44100, seq=2))
+
+    class S:
+        def mapInPandas(self, fn, schema):
+            return fn
+
+    dec = M.decode_ogg_tags(S())
+    row = next(dec(iter([pd.DataFrame(
+        {"asset_id": [1], "payload": [raw],
+         "media_type": ["audio/ogg"]}
+    )]))).iloc[0]
+    assert row["title"] == "t" and row["vendor"] == "v"
+    assert row["duration_ms"] == 1000
+
+    # unterminated packet (all-255 lacing, stream ends) poisons
+    bad = (b"OggS" + bytes([0, 0]) + struct.pack("<q", 0)
+           + struct.pack("<III", 1, 0, 0) + bytes([1, 255]) + b"B" * 255)
+    row = next(dec(iter([pd.DataFrame(
+        {"asset_id": [2], "payload": [bad],
+         "media_type": ["audio/ogg"]}
+    )]))).iloc[0]
+    assert row["title"] is None
