@@ -3903,6 +3903,39 @@ def q_multimodal_phash_pooled(
     )
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SITEMAP.XML (r15 — operators.cdx.parse_sitemap): the
+    sitemaps.org crawl-frontier source, and the XML leg of the
+    format coverage (csv/json/parquet/text/warc/pdf/tar already
+    land). Designed <urlset> documents (2-4 <url> entries; odd
+    entries omit <priority>, lastmod a closed-form date) are built
+    by a sequence/transform string expression, parsed back by
+    Spark's built-in from_xml against a typed schema, exploded, and
+    typed (date cast, rounded double). Zero UDFs; the oracle replays
+    every entry as closed forms."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 2)
+    sites = docs.select(
+        F.col("doc_id").alias("site_id"),
+        F.expr(
+            """'<urlset>' || array_join(transform(
+                 sequence(0, CAST(1 + doc_id % 3 AS INT)),
+                 i -> '<url><loc>https://site'
+                      || CAST(doc_id % 7 AS STRING) || '.example/p/'
+                      || CAST(i AS STRING) || '</loc>'
+                      || '<lastmod>2024-01-'
+                      || lpad(CAST(1 + (doc_id + i) % 28 AS STRING),
+                              2, '0')
+                      || '</lastmod>'
+                      || CASE WHEN i % 2 = 0
+                         THEN '<priority>0.' || CAST(i % 10 AS STRING)
+                              || '</priority>'
+                         ELSE '' END
+                      || '</url>'), '') || '</urlset>'"""
+        ).alias("xml"),
+    )
+    return CDX.parse_sitemap(sites)
+
+
 def q_multimodal_ogg_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGG OPUSTAGS (r15 — multimodal.synth_ogg_opus_tagged_assets →
     decode_ogg_tags): the third audio-metadata container (FLAC
@@ -11576,6 +11609,21 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["sitemap_parse"] = """
+        WITH s AS (
+          SELECT doc_id AS site_id, CAST(doc_id % 7 AS VARCHAR) AS k,
+                 2 + doc_id % 3 AS n
+          FROM documents WHERE doc_id % 13 = 2
+        )
+        SELECT site_id,
+               'https://site' || k || '.example/p/' || i AS loc,
+               CAST('2024-01-' || lpad(CAST(1 + (site_id + i) % 28
+                    AS VARCHAR), 2, '0') AS DATE) AS lastmod,
+               CASE WHEN i % 2 = 0
+                    THEN round(CAST('0.' || (i % 10) AS DOUBLE), 4)
+               END AS priority
+        FROM s, UNNEST(range(n)) AS u(i)
+    """
     o["multimodal_ogg_tags"] = """
         SELECT doc_id AS asset_id, 'synth-opus 1.0' AS vendor,
                'Track ' || doc_id AS title,
@@ -14049,6 +14097,7 @@ SPARK_QUERIES = {
     "chat_template_spans": q_chat_template_spans,
     "multimodal_mp3_id3": q_multimodal_mp3_id3,
     "multimodal_ogg_tags": q_multimodal_ogg_tags,
+    "sitemap_parse": q_sitemap_parse,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,

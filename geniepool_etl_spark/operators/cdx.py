@@ -100,3 +100,49 @@ def parse_cdx_lines(
         j["offset"].cast("long").alias("offset"),
         j["filename"].alias("filename"),
     )
+
+
+SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "url",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("loc", T.StringType()),
+                        T.StructField("lastmod", T.StringType()),
+                        T.StructField("priority", T.StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_sitemap(
+    df: DataFrame, xml_col: str = "xml", id_col: str = "site_id"
+) -> DataFrame:
+    """sitemap.xml → one row per URL entry (the sitemaps.org
+    protocol): ``from_xml`` parses the ``<urlset>`` document against
+    a typed schema JVM-side (Spark's built-in XML reader — no UDF),
+    the entry array explodes, ``lastmod`` casts to a date and
+    ``priority`` to a rounded double; absent optional tags surface
+    as nulls. ``<sitemapindex>`` recursion (an index of sitemaps) is
+    a fetch-loop concern, not a parse concern, and stays with the
+    caller."""
+    parsed = df.select(
+        F.col(id_col),
+        F.from_xml(F.col(xml_col), SITEMAP_SCHEMA).alias("_p"),
+    )
+    entry = parsed.select(
+        id_col, F.explode(F.col("_p.url")).alias("_u")
+    )
+    return entry.select(
+        id_col,
+        F.col("_u.loc").alias("loc"),
+        F.to_date(F.col("_u.lastmod")).alias("lastmod"),
+        F.round(F.col("_u.priority").cast("double"), 4).alias(
+            "priority"
+        ),
+    )

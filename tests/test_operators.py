@@ -7854,3 +7854,26 @@ def test_ogg_packet_reassembly_and_vorbis_header():
          "media_type": ["audio/ogg"]}
     )]))).iloc[0]
     assert row["title"] is None
+
+
+def test_sitemap_parse_malformed(spark):
+    """r15: sitemap parse — attribute-bearing urlset parses, a
+    malformed XML document yields zero entry rows (from_xml null →
+    explode drops), entities in <loc> decode."""
+    from geniepool_etl_spark.operators import cdx as CDX
+
+    rows = [
+        (1, '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap'
+            '/0.9"><url><loc>https://a/?x=1&amp;y=2</loc>'
+            "<lastmod>2024-02-03</lastmod></url></urlset>"),
+        (2, "<urlset><url><loc>https://b/"),   # truncated
+        (3, "not xml at all"),
+    ]
+    df = spark.createDataFrame(rows, "site_id long, xml string")
+    got = CDX.parse_sitemap(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["site_id"] == 1
+    assert r["loc"] == "https://a/?x=1&y=2"
+    assert str(r["lastmod"]) == "2024-02-03"
+    assert r["priority"] is None
