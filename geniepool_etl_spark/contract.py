@@ -3903,6 +3903,52 @@ def q_multimodal_phash_pooled(
     )
 
 
+def q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOJIBAKE REPAIR (r15 — operators.text.fix_mojibake): the ftfy
+    core case as pure JVM expressions — UTF-8 bytes mis-decoded as
+    cp1252/latin-1 ('CafÃ©' → 'Café', 'donâ€™t' → 'don’t' through
+    the cp1252 translate step) repaired by
+    decode(encode(translate(s), latin-1), utf-8), GATED by a
+    conservative validity regex so genuine accents ('déjà vu') and
+    broken sequences (lone 'Ã ') pass through untouched and
+    ANSI-mode decode never sees malformed bytes. The oracle emits
+    the expected fixed literals, so over- or under-triggering
+    mismatches."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 11)
+    cases = docs.select(
+        "doc_id",
+        F.expr(
+            """CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'CafÃ© ' || CAST(doc_id AS STRING)
+               WHEN 1 THEN 'donâ€™t stop ' || CAST(doc_id AS STRING)
+               WHEN 2 THEN 'plain ascii ' || CAST(doc_id AS STRING)
+               WHEN 3 THEN 'déjà vu ' || CAST(doc_id AS STRING)
+               ELSE 'mix Ã“k ' || CAST(doc_id AS STRING) END"""
+        ).alias("text"),
+    )
+    return TX.fix_mojibake(cases)
+
+
+def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC SINK + READ-BACK (r15): the remaining built-in columnar
+    format (parquet/csv/json/text already land) — documents project
+    → zlib-compressed ORC write → read-back → per-(source, lang)
+    rollup, proving type fidelity through the ORC writer/reader pair
+    the same way S9 proves parquet. Fresh unique tempdir per call
+    (re-invocable)."""
+    out = _tmpdir("orc")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.length("text").alias("n_chars")
+    )
+    docs.write.mode("overwrite").option("compression", "zlib").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SITEMAP.XML (r15 — operators.cdx.parse_sitemap): the
     sitemaps.org crawl-frontier source, and the XML leg of the
@@ -11609,6 +11655,31 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                  AS phash
         FROM bits GROUP BY aid
     """
+    o["text_fix_mojibake"] = """
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'CafÃ© ' || doc_id
+                 WHEN 1 THEN 'donâ€™t stop ' || doc_id
+                 WHEN 2 THEN 'plain ascii ' || doc_id
+                 WHEN 3 THEN 'déjà vu ' || doc_id
+                 ELSE 'mix Ã“k ' || doc_id
+               END AS text,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'Café ' || doc_id
+                 WHEN 1 THEN 'don’t stop ' || doc_id
+                 WHEN 2 THEN 'plain ascii ' || doc_id
+                 WHEN 3 THEN 'déjà vu ' || doc_id
+                 ELSE 'mix Ók ' || doc_id
+               END AS fixed_text,
+               doc_id % 5 IN (0, 1, 4) AS was_fixed
+        FROM documents WHERE doc_id % 13 = 11
+    """
+    o["orc_sink_roundtrip"] = """
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM documents GROUP BY source, lang
+    """
     o["sitemap_parse"] = """
         WITH s AS (
           SELECT doc_id AS site_id, CAST(doc_id % 7 AS VARCHAR) AS k,
@@ -14098,6 +14169,8 @@ SPARK_QUERIES = {
     "multimodal_mp3_id3": q_multimodal_mp3_id3,
     "multimodal_ogg_tags": q_multimodal_ogg_tags,
     "sitemap_parse": q_sitemap_parse,
+    "orc_sink_roundtrip": q_orc_sink_roundtrip,
+    "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
     "multimodal_video_phash": q_multimodal_video_phash,

@@ -2159,3 +2159,56 @@ def main_content_blocks(
             <= F.lit(max_link_milli) * F.col("n_chars")
         ),
     )
+
+
+# cp1252-specific codepoints back to their raw byte positions: mojibake
+# usually went bytes->cp1252 (not latin-1), so the RIGHT SINGLE QUOTE
+# shows as 'a-circumflex + EURO + TM' where EURO/TM are cp1252 displays
+# of bytes 0x80/0x99. translate() restores those 27 chars to
+# U+0080-U+009F, after which the latin-1 story holds.
+_CP1252_BYTES = [
+    0x80, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x8B,
+    0x8C, 0x8E, 0x91, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99,
+    0x9A, 0x9B, 0x9C, 0x9E, 0x9F,
+]
+_CP1252_FROM = bytes(_CP1252_BYTES).decode("cp1252")
+_CP1252_TO = "".join(chr(b) for b in _CP1252_BYTES)
+
+# a string is FIXABLE iff, after deleting well-formed
+# UTF-8-read-as-single-byte sequences, nothing non-ASCII remains (so
+# decode() never sees malformed input -- ANSI-safe), and at least one
+# such sequence existed (so clean accented text is left alone)
+_MOJIBAKE_SEQ = (
+    "([\u00C2-\u00DF][\u0080-\u00BF])"
+    "|([\u00E0-\u00EF][\u0080-\u00BF]{2})"
+    "|([\u00F0-\u00F4][\u0080-\u00BF]{3})"
+)
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", out_col: str = "fixed_text"
+) -> DataFrame:
+    """Repair UTF-8-decoded-as-cp1252/latin-1 text (the ftfy core
+    case): 'CafA(c)' -> 'Cafe' with acute, the cp1252 triple ->
+    a right single quote. The fix is pure JVM expressions --
+    translate the 27 cp1252-visible codepoints back to bytes
+    0x80-0x9F, then ``decode(encode(s, latin-1), utf-8)`` -- gated
+    by a CONSERVATIVE validity regex: every non-ASCII char must
+    participate in a well-formed 2/3/4-byte UTF-8
+    lead+continuation pattern, else the string is left untouched
+    (genuine 'deja vu' accents never match, and ANSI-mode decode
+    never sees malformed bytes). Adds ``out_col`` and a
+    ``was_fixed`` flag; zero UDFs, scan-speed."""
+    t = F.translate(
+        F.col(text_col), _CP1252_FROM, _CP1252_TO
+    )
+    residue = F.regexp_replace(t, _MOJIBAKE_SEQ, "")
+    fixable = (
+        ~residue.rlike("[\u0080-\uFFFF]")
+    ) & t.rlike(_MOJIBAKE_SEQ)
+    fixed = F.when(
+        fixable, F.decode(F.encode(t, "ISO-8859-1"), "UTF-8")
+    ).otherwise(F.col(text_col))
+    return df.withColumn(out_col, fixed).withColumn(
+        "was_fixed", fixable
+    )

@@ -7877,3 +7877,27 @@ def test_sitemap_parse_malformed(spark):
     assert r["loc"] == "https://a/?x=1&y=2"
     assert str(r["lastmod"]) == "2024-02-03"
     assert r["priority"] is None
+
+
+def test_fix_mojibake_gating(spark):
+    """r15: mojibake repair — double-encoded text fixes once (the
+    output of one pass can trigger again: 'CafÃƒÂ©' needs two
+    passes; ONE pass must produce the intermediate, not garbage),
+    4-byte emoji sequences fix, lone lead bytes and genuine accents
+    never trigger, and empty strings survive."""
+    from geniepool_etl_spark.operators import text as TXm
+
+    emoji_moji = "\U0001F600".encode("utf-8").decode("latin-1")
+    rows = [
+        (1, "x " + emoji_moji),          # 4-byte sequence
+        (2, "CafÃ©".encode("utf-8").decode("latin-1")),  # double-enc
+        (3, "Ã"),                         # lone lead byte
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["fixed_text"], r["was_fixed"])
+           for r in TXm.fix_mojibake(df).collect()}
+    assert got[1] == ("x \U0001F600", True)
+    assert got[2] == ("CafÃ©", True)     # one pass → one level
+    assert got[3] == ("Ã", False)
+    assert got[4] == ("", False)
