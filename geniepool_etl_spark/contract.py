@@ -3929,6 +3929,38 @@ def q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fix_mojibake(cases)
 
 
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE SCRIPT DETECTION (r15 — operators.text.script_profile):
+    the routing step of a multilingual corpus pipeline — per-document
+    char counts over 9 explicit BMP script ranges, dominant script
+    (argmax, alphabetical tie-break, 'und' when empty) and its
+    integer-milli share of script chars. One codegen'd projection of
+    regexp_replace length-deltas, zero UDFs, no shuffle. Designed
+    texts cycle pure Latin/Cyrillic/Arabic/CJK/Greek and a mixed
+    5-3-2 case (dominant latin at 500 milli); appended digits prove
+    non-script chars dilute nothing. The oracle emits every count
+    closed-form, so a range off-by-one or tie-break flip
+    mismatches."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 4)
+    cases = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 6 AS INT)"
+            " WHEN 0 THEN 'hello world '"
+            " WHEN 1 THEN 'привет "
+            "мир '"
+            " WHEN 2 THEN 'مرحبا "
+            "بالعالم '"
+            " WHEN 3 THEN '你好世界 '"
+            " WHEN 4 THEN 'γειά σου "
+            "κόσμε '"
+            " ELSE 'hello мир 你好 '"
+            " END || CAST(doc_id AS STRING)"
+        ).alias("text"),
+    )
+    return TX.script_profile(cases).drop("text")
+
+
 def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC SINK + READ-BACK (r15): the remaining built-in columnar
     format (parquet/csv/json/text already land) — documents project
@@ -11674,6 +11706,30 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                doc_id % 5 IN (0, 1, 4) AS was_fixed
         FROM documents WHERE doc_id % 13 = 11
     """
+    o["text_script_profile"] = """
+        SELECT doc_id,
+               CAST(CASE doc_id % 6 WHEN 2 THEN 12 ELSE 0 END
+                    AS BIGINT) AS n_arabic,
+               CAST(CASE doc_id % 6 WHEN 3 THEN 4 WHEN 5 THEN 2
+                    ELSE 0 END AS BIGINT) AS n_cjk,
+               CAST(CASE doc_id % 6 WHEN 1 THEN 9 WHEN 5 THEN 3
+                    ELSE 0 END AS BIGINT) AS n_cyrillic,
+               CAST(0 AS BIGINT) AS n_devanagari,
+               CAST(CASE doc_id % 6 WHEN 4 THEN 12 ELSE 0 END
+                    AS BIGINT) AS n_greek,
+               CAST(0 AS BIGINT) AS n_hangul,
+               CAST(0 AS BIGINT) AS n_hebrew,
+               CAST(0 AS BIGINT) AS n_kana,
+               CAST(CASE doc_id % 6 WHEN 0 THEN 10 WHEN 5 THEN 5
+                    ELSE 0 END AS BIGINT) AS n_latin,
+               CASE doc_id % 6 WHEN 0 THEN 'latin'
+                    WHEN 1 THEN 'cyrillic' WHEN 2 THEN 'arabic'
+                    WHEN 3 THEN 'cjk' WHEN 4 THEN 'greek'
+                    ELSE 'latin' END AS script,
+               CAST(CASE WHEN doc_id % 6 = 5 THEN 500 ELSE 1000 END
+                    AS BIGINT) AS script_milli
+        FROM documents WHERE doc_id % 13 = 4
+    """
     o["orc_sink_roundtrip"] = """
         SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
@@ -14170,6 +14226,7 @@ SPARK_QUERIES = {
     "multimodal_ogg_tags": q_multimodal_ogg_tags,
     "sitemap_parse": q_sitemap_parse,
     "orc_sink_roundtrip": q_orc_sink_roundtrip,
+    "text_script_profile": q_text_script_profile,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

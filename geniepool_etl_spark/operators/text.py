@@ -2212,3 +2212,62 @@ def fix_mojibake(
     return df.withColumn(out_col, fixed).withColumn(
         "was_fixed", fixable
     )
+
+
+# Major Unicode script blocks by explicit codepoint range (BMP core
+# blocks only — the ranges a corpus router actually needs; extension
+# blocks like CJK-B or Cyrillic Supplement stay out of scope and
+# count as 'other'). Explicit ranges, not \\p{script=...}, so an
+# external engine replays the same class byte-for-byte.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("arabic", "؀-ۿ"),
+    ("cjk", "一-鿿"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("devanagari", "ऀ-ॿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("hangul", "가-힯"),
+    ("hebrew", "֐-׿"),
+    ("kana", "぀-ヿ"),
+    ("latin", "A-Za-zÀ-ɏ"),
+)
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode script detection (the routing step before any
+    language-specific tokenizer/filter in a multilingual corpus):
+    per-document counts of characters in each major script block of
+    ``SCRIPT_RANGES`` (as ``n_<script>`` columns), the dominant
+    script (argmax, deterministic alphabetical tie-break, ``und``
+    when no script char at all) and its share in integer milli of
+    all script-classified chars.
+
+    Counting is ``length(s) - length(regexp_replace(s, '[range]',
+    ''))`` per block — one codegen'd projection, zero UDFs, no
+    shuffle. Digits/punctuation/whitespace belong to no block and
+    dilute nothing (the share denominator is script chars only).
+    """
+    t = F.col(text_col)
+    counts = {
+        name: (
+            F.length(t)
+            - F.length(F.regexp_replace(t, f"[{rng}]", ""))
+        ).cast("long")
+        for name, rng in SCRIPT_RANGES
+    }
+    out = df
+    for name, c in counts.items():
+        out = out.withColumn(f"n_{name}", c)
+    names = [n for n, _ in SCRIPT_RANGES]
+    best = F.greatest(*[F.col(f"n_{n}") for n in names])
+    total = sum([F.col(f"n_{n}") for n in names], F.lit(0).cast("long"))
+    dom = F.lit("und")
+    for name in reversed(sorted(names)):
+        dom = F.when(
+            (best > 0) & (F.col(f"n_{name}") == best), F.lit(name)
+        ).otherwise(dom)
+    share = F.when(
+        total > 0, (F.lit(1000) * best / total).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return out.withColumn("script", dom).withColumn(
+        "script_milli", share
+    )

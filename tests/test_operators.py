@@ -7901,3 +7901,35 @@ def test_fix_mojibake_gating(spark):
     assert got[2] == ("CafÃ©", True)     # one pass → one level
     assert got[3] == ("Ã", False)
     assert got[4] == ("", False)
+
+
+def test_script_profile(spark):
+    """r15: Unicode script routing — per-range counts, alphabetical
+    tie-break on equal counts, digits/punct dilute nothing, empty →
+    'und'. Hand-counted expectations."""
+    from geniepool_etl_spark.operators import text as TXs
+
+    rows = [
+        (1, "hello world"),              # 10 latin
+        (2, "привет"),  # 6 cyrillic
+        (3, "abc где"),   # 3 latin vs 3 cyr -> tie
+        (4, "你好 99!!"),        # 2 cjk, digits ignored
+        (5, "12345 ..."),
+        (6, "한글 ok"),          # 2 hangul vs 2 latin tie
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (
+            r["n_latin"], r["n_cyrillic"], r["n_cjk"], r["n_hangul"],
+            r["script"], r["script_milli"],
+        )
+        for r in TXs.script_profile(df).collect()
+    }
+    assert got[1] == (10, 0, 0, 0, "latin", 1000)
+    assert got[2] == (0, 6, 0, 0, "cyrillic", 1000)
+    # tie 3-3: 'cyrillic' < 'latin' alphabetically
+    assert got[3] == (3, 3, 0, 0, "cyrillic", 500)
+    assert got[4] == (0, 0, 2, 0, "cjk", 1000)
+    assert got[5] == (0, 0, 0, 0, "und", 0)
+    # tie 2-2: 'hangul' < 'latin'
+    assert got[6] == (2, 0, 0, 2, "hangul", 500)
