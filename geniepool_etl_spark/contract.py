@@ -50,6 +50,7 @@ from geniepool_etl_spark.operators import text as TX
 from geniepool_etl_spark.operators import cdx as CDX
 from geniepool_etl_spark.operators import pdf as PDF
 from geniepool_etl_spark.operators import robots as RB
+from geniepool_etl_spark.operators import subtitles as SUB
 from geniepool_etl_spark.operators import webdataset as WDS
 from geniepool_etl_spark.sources import warc as WC
 
@@ -3927,6 +3928,58 @@ def q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return TX.fix_mojibake(cases)
+
+
+def q_subtitles_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT/VTT SUBTITLE PARSE (r15 — operators.subtitles
+    .parse_subtitles): the transcript leg of a speech/video corpus.
+    Even docs render as SubRip (counter line, ``,`` millisecond
+    separator, full HH:MM:SS), odd docs as WebVTT (``WEBVTT`` header
+    block + a NOTE block that must drop out, cue-identifier lines,
+    ``.`` separator, SHORT ``MM:SS.mmm`` form exercising the
+    optional-hour group). 2-4 cues per doc; odd cues carry a 2-line
+    payload so the ``\\n`` re-join is proven. Parse is split →
+    array-filter (valid cues only, so cue_idx is dense with NO
+    window) → posexplode → one combined regexp: zero UDFs, zero
+    shuffles. The oracle replays every cue closed-form including
+    the exact payload text."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 6)
+    body = F.expr(
+        """array_join(transform(sequence(0, CAST(1 + doc_id % 3 AS INT)),
+             i -> CASE WHEN doc_id % 2 = 0
+               THEN CAST(i + 1 AS STRING) || '\n'
+                 || '00:00:' || lpad(CAST(doc_id % 7 + 10 * i AS STRING), 2, '0')
+                 || ',' || lpad(CAST(120 * i AS STRING), 3, '0')
+                 || ' --> '
+                 || '00:00:' || lpad(CAST(((doc_id % 7 + 10 * i) * 1000
+                        + 120 * i + 1500 + 100 * i) div 1000 AS STRING), 2, '0')
+                 || ',' || lpad(CAST((120 * i + 1500 + 100 * i) % 1000 AS STRING), 3, '0')
+                 || '\n'
+                 || CASE WHEN i % 2 = 0
+                    THEN 'cue ' || CAST(i AS STRING) || ' d' || CAST(doc_id AS STRING)
+                    ELSE 'cue ' || CAST(i AS STRING) || '\n' || 'more ' || CAST(doc_id AS STRING) END
+               ELSE 'c' || CAST(i AS STRING) || '\n'
+                 || '00:' || lpad(CAST(doc_id % 7 + 10 * i AS STRING), 2, '0')
+                 || '.' || lpad(CAST(120 * i AS STRING), 3, '0')
+                 || ' --> '
+                 || '00:' || lpad(CAST(((doc_id % 7 + 10 * i) * 1000
+                        + 120 * i + 1500 + 100 * i) div 1000 AS STRING), 2, '0')
+                 || '.' || lpad(CAST((120 * i + 1500 + 100 * i) % 1000 AS STRING), 3, '0')
+                 || '\n'
+                 || CASE WHEN i % 2 = 0
+                    THEN 'cue ' || CAST(i AS STRING) || ' d' || CAST(doc_id AS STRING)
+                    ELSE 'cue ' || CAST(i AS STRING) || '\n' || 'more ' || CAST(doc_id AS STRING) END
+               END), '\n\n')"""
+    )
+    cases = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, body
+        ).otherwise(
+            F.concat(F.lit("WEBVTT\n\nNOTE synthetic\n\n"), body)
+        ).alias("body"),
+    )
+    return SUB.parse_subtitles(cases)
 
 
 def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11706,6 +11759,28 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                doc_id % 5 IN (0, 1, 4) AS was_fixed
         FROM documents WHERE doc_id % 13 = 11
     """
+    o["subtitles_parse"] = """
+        WITH d AS (
+          SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+          WHERE doc_id % 13 = 6
+        ),
+        c AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS cue_idx,
+                 (doc_id % 7 + 10 * i) * 1000 + 120 * i AS start_ms,
+                 1500 + 100 * i AS dur, i
+          FROM d, UNNEST(range(n)) AS u(i)
+        )
+        SELECT doc_id, cue_idx,
+               CAST(start_ms AS BIGINT) AS start_ms,
+               CAST(start_ms + dur AS BIGINT) AS end_ms,
+               CAST(dur AS BIGINT) AS dur_ms,
+               CASE WHEN i % 2 = 0
+                    THEN 'cue ' || i || ' d' || doc_id
+                    ELSE 'cue ' || i || chr(10) || 'more ' || doc_id
+               END AS text,
+               CAST(1 + i % 2 AS INTEGER) AS n_lines
+        FROM c
+    """
     o["text_script_profile"] = """
         SELECT doc_id,
                CAST(CASE doc_id % 6 WHEN 2 THEN 12 ELSE 0 END
@@ -14227,6 +14302,7 @@ SPARK_QUERIES = {
     "sitemap_parse": q_sitemap_parse,
     "orc_sink_roundtrip": q_orc_sink_roundtrip,
     "text_script_profile": q_text_script_profile,
+    "subtitles_parse": q_subtitles_parse,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

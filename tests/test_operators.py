@@ -7933,3 +7933,39 @@ def test_script_profile(spark):
     assert got[5] == (0, 0, 0, 0, "und", 0)
     # tie 2-2: 'hangul' < 'latin'
     assert got[6] == (2, 0, 0, 2, "hangul", 500)
+
+
+def test_parse_subtitles(spark):
+    """r15: SRT/VTT cue parse — header/NOTE blocks drop, cue_idx is
+    dense over VALID cues only, CRLF bodies normalize, short-form
+    VTT hours, empty payload survives as ''."""
+    from geniepool_etl_spark.operators import subtitles as SB
+
+    srt = (
+        "1\r\n00:00:01,000 --> 00:00:04,200\r\nHello\r\nworld\r\n"
+        "\r\nnot a cue block\r\n\r\n"
+        "2\r\n01:02:03,004 --> 01:02:04,000\r\nBye"
+    )
+    vtt = (
+        "WEBVTT\n\nNOTE comment\n\n"
+        "id-a\n01:02.345 --> 01:04.000\nShort\n\n"
+        "00:01:10.000 --> 00:01:12.500\n"
+    )
+    df = spark.createDataFrame(
+        [(1, srt), (2, vtt)], "doc_id long, body string"
+    )
+    rows = {
+        (r["doc_id"], r["cue_idx"]): r
+        for r in SB.parse_subtitles(df).collect()
+    }
+    assert len(rows) == 4
+    a = rows[(1, 0)]
+    assert (a["start_ms"], a["end_ms"], a["text"], a["n_lines"]) == (
+        1000, 4200, "Hello\nworld", 2
+    )
+    b = rows[(1, 1)]
+    assert b["start_ms"] == 3723004 and b["dur_ms"] == 996
+    c = rows[(2, 0)]
+    assert (c["start_ms"], c["text"]) == (62345, "Short")
+    d = rows[(2, 1)]
+    assert (d["start_ms"], d["text"], d["n_lines"]) == (70000, "", 0)
