@@ -3930,6 +3930,30 @@ def q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fix_mojibake(cases)
 
 
+def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT MAXSIM TOP-K (r15 — operators.similarity.maxsim_topk):
+    late-interaction rescoring — docs/queries as BAGS of token
+    vectors, score = Σ_q max_d ⟨qv,dv⟩ as ONE nested codegen'd
+    higher-order expression (no UDF/explode/per-token shuffle);
+    queries broadcast. Token bags derive from the embeddings table
+    by slicing each 64-dim vector into 8 8-dim token vectors —
+    closed-form, so DuckDB rebuilds identical bags via list slicing
+    and replays the same fold with list_sum/list_max/
+    list_dot_product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bags = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 7), j -> transform("
+            "  slice(embedding, 1 + 8 * j, 8),"
+            "  x -> CAST(x AS DOUBLE)))"
+        ).alias("token_vecs"),
+    )
+    return S.maxsim_topk(
+        bags, bags.where("vec_id < 6"), k=4, id_col="vec_id"
+    )
+
+
 def q_subtitles_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRT/VTT SUBTITLE PARSE (r15 — operators.subtitles
     .parse_subtitles): the transcript leg of a speech/video corpus.
@@ -11759,6 +11783,29 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                doc_id % 5 IN (0, 1, 4) AS was_fixed
         FROM documents WHERE doc_id % 13 = 11
     """
+    o["sim_maxsim_topk"] = """
+        WITH bags AS (
+          SELECT vec_id, list_transform(range(8), j ->
+                   list_transform(embedding[(1 + 8*j):(8 + 8*j)],
+                                  x -> CAST(x AS DOUBLE))) AS tv
+          FROM embeddings
+        ),
+        s AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+            round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(q.tv, qv -> list_max(
+                list_transform(c.tv, dv ->
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, 9), i -> qv[i] * dv[i])),
+                    (acc, v) -> acc + v))))),
+              (acc2, v2) -> acc2 + v2), 4) AS maxsim
+          FROM bags c CROSS JOIN bags q
+          WHERE q.vec_id < 6 AND c.vec_id <> q.vec_id
+        )
+        SELECT q_id, n_id, maxsim FROM s
+        QUALIFY row_number() OVER (
+          PARTITION BY q_id ORDER BY maxsim DESC, n_id) <= 4
+    """
     o["subtitles_parse"] = """
         WITH d AS (
           SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
@@ -14303,6 +14350,7 @@ SPARK_QUERIES = {
     "orc_sink_roundtrip": q_orc_sink_roundtrip,
     "text_script_profile": q_text_script_profile,
     "subtitles_parse": q_subtitles_parse,
+    "sim_maxsim_topk": q_sim_maxsim_topk,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

@@ -1654,3 +1654,61 @@ def mmr_rerank(
             _greedy, "q_id long, rank int, n_id long, mmr_score long"
         )
     )
+
+
+def maxsim_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    vecs_col: str = "token_vecs",
+) -> DataFrame:
+    """ColBERT-style late interaction (Khattab & Zaharia 2020):
+    documents and queries are BAGS of token vectors
+    (``array<array<double>>``), and
+
+        score(q, d) = Σ_{qv ∈ q}  max_{dv ∈ d}  ⟨qv, dv⟩
+
+    — every query token matches its best document token, summed.
+    The whole MaxSim is ONE nested higher-order expression (outer
+    ``aggregate`` fold over query tokens, inner ``array_max`` over a
+    ``transform`` of document tokens through the shared ``dot``
+    fold), so scoring stays inside whole-stage codegen: no UDF, no
+    explode, no per-token shuffle. Queries broadcast (the query set
+    is small by construction — late interaction rescoreing runs over
+    a candidate corpus); ranking is the standard rounded-value
+    window with an id tie-break. Returns (q_id, n_id, maxsim).
+
+    At 100 TB the corpus side stays partition-parallel with zero
+    movement — the only duplicated data is the broadcast query bag,
+    exactly like ``cosine_topk``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vecs_col).alias("q_vecs")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vecs_col).alias("n_vecs")
+    )
+    score = F.aggregate(
+        F.col("q_vecs"),
+        F.lit(0.0),
+        lambda acc, qv: acc
+        + F.array_max(
+            F.transform(F.col("n_vecs"), lambda dv: dot(qv, dv))
+        ),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id", F.round(score, 4).alias("maxsim")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("maxsim").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )

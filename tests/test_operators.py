@@ -7969,3 +7969,26 @@ def test_parse_subtitles(spark):
     assert (c["start_ms"], c["text"]) == (62345, "Short")
     d = rows[(2, 1)]
     assert (d["start_ms"], d["text"], d["n_lines"]) == (70000, "", 0)
+
+
+def test_maxsim_topk(spark):
+    """r15: ColBERT MaxSim — hand-computed late-interaction scores
+    (each query token takes its best doc token, summed), self-match
+    excluded, rounded-rank determinism."""
+    from geniepool_etl_spark.operators import similarity as SIM
+
+    rows = [
+        (0, [[1.0, 0.0], [0.0, 1.0]]),          # query: unit x + unit y
+        (1, [[2.0, 0.0], [0.0, 3.0]]),          # best per q-token: 2, 3
+        (2, [[-1.0, 0.0], [0.5, 0.5]]),         # best: 0.5, 0.5
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_vecs array<array<double>>"
+    )
+    got = {
+        (r["q_id"], r["n_id"]): r["maxsim"]
+        for r in SIM.maxsim_topk(df, df.where("doc_id = 0"), k=2).collect()
+    }
+    assert got[(0, 1)] == 5.0   # max(2,0)+max(0,3)
+    assert got[(0, 2)] == 1.0   # max(-1,0.5)+max(0,0.5)
+    assert len(got) == 2
