@@ -53,6 +53,7 @@ from geniepool_etl_spark.operators import robots as RB
 from geniepool_etl_spark.operators import subtitles as SUB
 from geniepool_etl_spark.operators import webdataset as WDS
 from geniepool_etl_spark.sources import warc as WC
+from geniepool_etl_spark.sources import zipdoc as ZD
 
 _uniq = itertools.count()
 
@@ -3928,6 +3929,42 @@ def q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return TX.fix_mojibake(cases)
+
+
+def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP MEMBER WALK (r15 — sources.zipdoc.synth_zip_assets →
+    list_zip_members): the container under every office/EPUB
+    document — hand-written EOCD tail scan → central directory →
+    LOCAL-header data offsets (local name/extra lengths govern, the
+    classic interop trap) → stored + raw-deflate members, CRC-32
+    verified (a flipped bit poisons the archive, never silently
+    wrong output). Three members per asset (stored a.txt, deflated
+    dir/b.bin, deflated c.txt) with closed-form contents; the parser
+    is interop-pinned against stdlib-zipfile archives in pytest.
+    One-to-many Arrow expansion; payload never shuffles."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 8)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return ZD.list_zip_members(ZD.synth_zip_assets(params))
+
+
+def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX TEXT EXTRACTION (r15 — sources.zipdoc.synth_docx_assets →
+    extract_docx_text): ZIP walk + WordprocessingML — paragraphs are
+    <w:p> blocks, text lives in <w:t> runs split mid-paragraph (run
+    re-joining proven), <w:tab/> → TAB on even paragraphs and
+    <w:br/> → newline on odd ones, XML entities decode. The oracle
+    rebuilds the EXACT extracted text (string_agg over closed-form
+    paragraphs), so one surviving tag or missed entity
+    mismatches."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 9)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
 def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11783,6 +11820,42 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                doc_id % 5 IN (0, 1, 4) AS was_fixed
         FROM documents WHERE doc_id % 13 = 11
     """
+    o["zip_members"] = """
+        SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS member_idx,
+               CASE i WHEN 0 THEN 'a.txt' WHEN 1 THEN 'dir/b.bin'
+                      ELSE 'c.txt' END AS member_name,
+               CASE i WHEN 0 THEN 'stored' ELSE 'deflate' END
+                 AS method,
+               CAST(CASE i
+                 WHEN 0 THEN length(repeat('alpha ' || doc_id || ' ',
+                                           1 + doc_id % 3))
+                 WHEN 1 THEN length(repeat('b' || doc_id || '!',
+                                           2 + doc_id % 4))
+                 ELSE length('gamma ' || doc_id) END AS BIGINT)
+                 AS n_bytes,
+               TRUE AS crc_ok
+        FROM documents, UNNEST(range(3)) AS u(i)
+        WHERE doc_id % 13 = 8
+    """
+    o["docx_extract_text"] = """
+        WITH d AS (
+          SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+          WHERE doc_id % 13 = 9
+        ),
+        p AS (
+          SELECT doc_id, n, i,
+                 'para ' || i || ' d' || doc_id ||
+                 CASE WHEN i % 2 = 0 THEN chr(9) ELSE chr(10) END ||
+                 't' || i || ' &<' AS ptext
+          FROM d, UNNEST(range(n)) AS u(i)
+        )
+        SELECT doc_id AS asset_id,
+               string_agg(ptext, chr(10) ORDER BY i) AS text,
+               CAST(any_value(n) AS INTEGER) AS n_paragraphs,
+               CAST(length(string_agg(ptext, chr(10) ORDER BY i))
+                    AS BIGINT) AS n_chars
+        FROM p GROUP BY doc_id
+    """
     o["sim_maxsim_topk"] = """
         WITH bags AS (
           SELECT vec_id, list_transform(range(8), j ->
@@ -14351,6 +14424,8 @@ SPARK_QUERIES = {
     "text_script_profile": q_text_script_profile,
     "subtitles_parse": q_subtitles_parse,
     "sim_maxsim_topk": q_sim_maxsim_topk,
+    "zip_members": q_zip_members,
+    "docx_extract_text": q_docx_extract_text,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

@@ -7992,3 +7992,87 @@ def test_maxsim_topk(spark):
     assert got[(0, 1)] == 5.0   # max(2,0)+max(0,3)
     assert got[(0, 2)] == 1.0   # max(-1,0.5)+max(0,0.5)
     assert len(got) == 2
+
+
+def test_zipdoc_walk_and_poison(spark):
+    """r15: ZIP walk — stdlib-zipfile interop (writer and walker
+    cannot share a layout bug), local-vs-central extra-length
+    divergence via zipfile's defaults, and the poison classes:
+    truncated data, CRC flip, encrypted flag, data-descriptor flag,
+    unknown method."""
+    import io
+    import struct
+    import zipfile
+
+    from geniepool_etl_spark.sources import zipdoc as Z
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("x/y.txt", "hello interop " * 10)
+        zf.writestr(
+            "s.txt", "stored", compress_type=zipfile.ZIP_STORED
+        )
+    good = buf.getvalue()
+    assert [(n, m, d) for n, m, d in Z._zip_members(good)] == [
+        ("x/y.txt", 8, b"hello interop " * 10),
+        ("s.txt", 0, b"stored"),
+    ]
+
+    def flag_variant(flag_or_method: bytes, at_field: str) -> bytes:
+        raw = bytearray(Z._zip_bytes([("a", b"data", 8)]))
+        cd = raw.rfind(b"PK\x01\x02")
+        off = {"flags": 8, "method": 10}[at_field]
+        raw[cd + off : cd + off + 2] = flag_or_method
+        return bytes(raw)
+
+    cases = {
+        "truncated": good[: len(good) - 40],
+        "crc_flip": None,
+        "encrypted": flag_variant(struct.pack("<H", 1), "flags"),
+        "descriptor": flag_variant(struct.pack("<H", 8), "flags"),
+        "bad_method": flag_variant(struct.pack("<H", 12), "method"),
+    }
+    crc = bytearray(Z._zip_bytes([("a", b"data", 0)]))
+    hit = crc.find(b"data")
+    crc[hit] ^= 0xFF
+    cases["crc_flip"] = bytes(crc)
+    import pytest as _pt
+
+    for name, raw in cases.items():
+        with _pt.raises((ValueError, struct.error)):
+            Z._zip_members(raw)
+
+    df = spark.createDataFrame(
+        [(1, good, "application/zip"),
+         (2, cases["crc_flip"], "application/zip")],
+        "asset_id long, payload binary, media_type string",
+    )
+    rows = {r["asset_id"]: r for r in Z.list_zip_members(df).collect()
+            if r["member_idx"] in (-1, 0)}
+    assert rows[1]["member_name"] == "x/y.txt"
+    assert rows[2]["member_idx"] == -1 and rows[2]["member_name"] is None
+
+
+def test_docx_extract_boundaries(spark):
+    """r15: DOCX — a zip WITHOUT word/document.xml and an empty body
+    both poison to the null row; a well-formed doc round-trips runs,
+    tabs, breaks, entities."""
+    from geniepool_etl_spark.sources import zipdoc as Z
+
+    no_doc = Z._zip_bytes([("other.xml", b"<x/>", 0)])
+    ok_doc = Z._zip_bytes([(
+        "word/document.xml",
+        b"<w:document><w:body>"
+        b"<w:p><w:r><w:t>a&amp;b</w:t></w:r><w:r><w:tab/>"
+        b"<w:t xml:space=\"preserve\"> c</w:t></w:r></w:p>"
+        b"<w:p><w:r><w:br/><w:t>&lt;d&gt;</w:t></w:r></w:p>"
+        b"</w:body></w:document>", 8,
+    )])
+    df = spark.createDataFrame(
+        [(1, ok_doc, "d"), (2, no_doc, "d")],
+        "asset_id long, payload binary, media_type string",
+    )
+    got = {r["asset_id"]: r for r in Z.extract_docx_text(df).collect()}
+    assert got[1]["text"] == "a&b\t c\n\n<d>"
+    assert got[1]["n_paragraphs"] == 2
+    assert got[2]["text"] is None
