@@ -3931,6 +3931,20 @@ def q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fix_mojibake(cases)
 
 
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY BIGRAM LM (r15 — operators.text.kneser_ney_bigram):
+    interpolated KN smoothing (d = 3/4) over the documents corpus —
+    the real n-gram LM behind perplexity filtering, beyond the MLE
+    ``text_bigram_lm``. The probability reduces to one exact integer
+    numerator over a per-word-constant denominator, so ranking
+    orders on integers and the single final division replays
+    bit-identically in DuckDB. Top-5 continuations of the 20 most
+    frequent left words."""
+    return TX.kneser_ney_bigram(
+        _t(spark, sf_dir, "documents"), k=5, top_words=20
+    )
+
+
 def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZIP MEMBER WALK (r15 — sources.zipdoc.synth_zip_assets →
     list_zip_members): the container under every office/EPUB
@@ -11820,6 +11834,41 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                doc_id % 5 IN (0, 1, 4) AS was_fixed
         FROM documents WHERE doc_id % 13 = 11
     """
+    o["text_kneser_ney"] = r"""
+        WITH tok AS (
+          SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ),
+        pairs AS (
+          SELECT w[i] AS word, w[i + 1] AS next, count(*) AS n
+          FROM tok, UNNEST(range(1, len(w))) AS u(i)
+          GROUP BY 1, 2
+        ),
+        fwd AS (
+          SELECT word, sum(n) AS c1, count(*) AS fwd_types
+          FROM pairs GROUP BY 1
+        ),
+        head AS (
+          SELECT * FROM fwd ORDER BY c1 DESC, word LIMIT 20
+        ),
+        back AS (
+          SELECT next, count(*) AS back_types FROM pairs GROUP BY 1
+        ),
+        tot AS (SELECT count(*) AS t FROM pairs),
+        s AS (
+          SELECT p.word, p.next, p.n,
+                 (4 * p.n - 3) * tot.t
+                   + 3 * head.fwd_types * back.back_types AS num,
+                 4 * head.c1 * tot.t AS den
+          FROM pairs p
+          JOIN head USING (word) JOIN back USING (next) CROSS JOIN tot
+        )
+        SELECT word, next, n,
+               round(CAST(num AS DOUBLE) / den, 4) AS p_kn
+        FROM s
+        QUALIFY row_number() OVER (
+          PARTITION BY word ORDER BY num DESC, next) <= 5
+    """
     o["zip_members"] = """
         SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS member_idx,
                CASE i WHEN 0 THEN 'a.txt' WHEN 1 THEN 'dir/b.bin'
@@ -14425,6 +14474,7 @@ SPARK_QUERIES = {
     "subtitles_parse": q_subtitles_parse,
     "sim_maxsim_topk": q_sim_maxsim_topk,
     "zip_members": q_zip_members,
+    "text_kneser_ney": q_text_kneser_ney,
     "docx_extract_text": q_docx_extract_text,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,

@@ -2271,3 +2271,99 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("script", dom).withColumn(
         "script_milli", share
     )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    k: int = 5,
+    top_words: int = 20,
+    text_col: str = "text",
+    d_num: int = 3,
+    d_den: int = 4,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1998 eq. 4.27) — the n-gram smoothing a real LM-data
+    pipeline uses for perplexity filtering and contamination scoring:
+
+        P(w2|w1) = max(c(w1w2) − d, 0)/c(w1)
+                 + d·N₁₊(w1,•)/c(w1) · N₁₊(•,w2)/N₁₊(•,•)
+
+    with discount ``d = d_num/d_den`` (default 3/4). The entire
+    probability reduces to ONE exact integer numerator over a
+    denominator constant per ``w1``::
+
+        num = (d_den·c(w1w2) − d_num)·T + d_num·N₁₊(w1,•)·N₁₊(•,w2)
+        den = d_den·c(w1)·T            (T = total distinct bigram types)
+
+    so ranking within a word orders on integers (no float-ordering
+    hazard) and the single final division replays bit-identically in
+    any engine. Emits the top-``k`` continuations of the
+    ``top_words`` most frequent left words (count desc, word asc):
+    ``(word, next, n, p_kn)``.
+
+    Shuffle shape: one pair aggregate; the forward (|head|),
+    backward (|vocab|) and 1-row type-total tables broadcast back —
+    same rule as ``bigram_next_words`` (never a window over the
+    skewed raw word key; the only window runs on the already-tiny
+    head × continuations frame).
+    """
+    w = words_col(F.lower(F.col(text_col)))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array())
+    counts = (
+        df.select(F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.l").alias("word"), F.col("p.r").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fwd = counts.groupBy("word").agg(
+        F.sum("n").alias("c1"), F.count(F.lit(1)).alias("fwd_types")
+    )
+    # head cut via orderBy+limit → TakeOrderedAndProject (distributed
+    # partial top-k per partition), never a global single-partition
+    # row_number window over the vocab.
+    head = fwd.orderBy(
+        F.col("c1").desc(), F.col("word")
+    ).limit(top_words)
+    back = counts.groupBy(F.col("next")).agg(
+        F.count(F.lit(1)).alias("back_types")
+    )
+    tot = counts.agg(F.count(F.lit(1)).alias("tot_types"))
+    num = (
+        (F.lit(d_den) * F.col("n") - F.lit(d_num)) * F.col("tot_types")
+        + F.lit(d_num) * F.col("fwd_types") * F.col("back_types")
+    )
+    den = F.lit(d_den) * F.col("c1") * F.col("tot_types")
+    scored = (
+        counts.join(F.broadcast(head), "word")
+        .join(F.broadcast(back), "next")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            "next",
+            "n",
+            num.alias("_num"),
+            den.alias("_den"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("word").orderBy(
+                F.col("_num").desc(), F.col("next")
+            )
+        ),
+    ).where(F.col("rnk") <= k)
+    return ranked.select(
+        "word",
+        "next",
+        "n",
+        F.round(
+            F.col("_num").cast("double") / F.col("_den"), 4
+        ).alias("p_kn"),
+    )

@@ -8076,3 +8076,29 @@ def test_docx_extract_boundaries(spark):
     assert got[1]["text"] == "a&b\t c\n\n<d>"
     assert got[1]["n_paragraphs"] == 2
     assert got[2]["text"] is None
+
+
+def test_kneser_ney_bigram(spark):
+    """r15: interpolated KN — hand-computed probabilities on a tiny
+    corpus where every count is enumerable, plus the sum-to-≤1
+    sanity over a word's full continuation set."""
+    from geniepool_etl_spark.operators import text as TXk
+
+    # corpus: "a b a b a c" → bigrams: ab, ba, ab, ba, ac
+    # c(a,b)=2 c(b,a)=2 c(a,c)=1 ; c1(a)=3 c1(b)=2
+    # fwd_types(a)=2 fwd_types(b)=1 ; back_types(b)=1 back_types(a)=1
+    # back_types(c)=1 ; T=3 types
+    df = spark.createDataFrame([(1, "a b a b a c")], "id long, text string")
+    got = {
+        (r["word"], r["next"]): (r["n"], r["p_kn"])
+        for r in TXk.kneser_ney_bigram(df, k=5, top_words=5).collect()
+    }
+    # P(b|a) = (2-.75)/3 + .75*2/3 * 1/3 = 1.25/3 + 0.5/3 = wait —
+    # num = (4*2-3)*3 + 3*2*1 = 15+6 = 21 ; den = 4*3*3 = 36
+    assert got[("a", "b")] == (2, round(21 / 36, 4))
+    # P(c|a): num = (4-3)*3 + 3*2*1 = 9 ; den = 36
+    assert got[("a", "c")] == (1, round(9 / 36, 4))
+    # P(a|b): num = (8-3)*3 + 3*1*1 = 18 ; den = 4*2*3 = 24
+    assert got[("b", "a")] == (2, round(18 / 24, 4))
+    # KN sums over OBSERVED continuations stay ≤ 1 per word
+    assert (21 + 9) / 36 <= 1.0 and 18 / 24 <= 1.0
