@@ -3981,6 +3981,22 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_epub_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB TEXT EXTRACTION (r15 — sources.zipdoc.synth_epub_assets →
+    extract_epub_text): OCF container.xml → OPF rootfile → manifest
+    id→href map → SPINE reading order (chapter files are stored in
+    the zip REVERSED, so a walker trusting member order fails) →
+    XHTML → drop-script/style + strip tags + entities + whitespace
+    collapse. One row per spine document; the oracle rebuilds the
+    exact chapter text closed-form."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 10)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return ZD.extract_epub_text(ZD.synth_epub_assets(params))
+
+
 def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT MAXSIM TOP-K (r15 — operators.similarity.maxsim_topk):
     late-interaction rescoring — docs/queries as BAGS of token
@@ -11905,6 +11921,20 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["epub_extract_text"] = """
+        WITH d AS (
+          SELECT doc_id, 2 + doc_id % 2 AS n FROM documents
+          WHERE doc_id % 13 = 10
+        )
+        SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS spine_idx,
+               'ch' || i || '.xhtml' AS href,
+               'c' || i || ' Chapter ' || i || ' body d' || doc_id
+                 || ' s' || i || ' & more' AS text,
+               CAST(length('c' || i || ' Chapter ' || i || ' body d'
+                 || doc_id || ' s' || i || ' & more') AS BIGINT)
+                 AS n_chars
+        FROM d, UNNEST(range(n)) AS u(i)
+    """
     o["sim_maxsim_topk"] = """
         WITH bags AS (
           SELECT vec_id, list_transform(range(8), j ->
@@ -14476,6 +14506,7 @@ SPARK_QUERIES = {
     "zip_members": q_zip_members,
     "text_kneser_ney": q_text_kneser_ney,
     "docx_extract_text": q_docx_extract_text,
+    "epub_extract_text": q_epub_extract_text,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

@@ -339,3 +339,142 @@ def synth_docx_assets(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
             })
 
     return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+# --------------------------------------------------------------- EPUB
+
+EPUB_TEXT_SCHEMA = (
+    "asset_id long, spine_idx int, href string, text string, "
+    "n_chars long"
+)
+
+_ROOTFILE_RE = re.compile(rb'<rootfile[^>]*full-path="([^"]+)"')
+_ITEM_RE = re.compile(
+    rb'<item(?:\s[^>]*?)?\sid="([^"]+)"[^>]*?\shref="([^"]+)"'
+)
+_ITEMREF_RE = re.compile(rb'<itemref(?:\s[^>]*?)?\sidref="([^"]+)"')
+_DROP_RE = re.compile(
+    rb"(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(rb"\s+")
+
+
+def _epub_chapters(raw: bytes) -> list:
+    """EPUB (OCF + OPF, the IDPF/W3C packaging specs): container.xml
+    names the OPF rootfile; the OPF ``<manifest>`` maps ids to hrefs
+    and ``<spine>`` fixes READING ORDER (which need not match zip
+    member order — the walk follows the spine). Each spine document
+    is XHTML, reduced to text by the same drop-script/style → strip
+    tags → decode entities → collapse whitespace pipeline as the JVM
+    ``strip_html``. Returns ``[(spine_idx, href, text), …]``."""
+    members = {n: d for n, _m, d in _zip_members(raw)}
+    container = members.get("META-INF/container.xml")
+    if container is None:
+        raise ValueError("epub: no META-INF/container.xml")
+    m = _ROOTFILE_RE.search(container)
+    if not m:
+        raise ValueError("epub: no rootfile in container.xml")
+    opf_path = m.group(1).decode("utf-8")
+    opf = members.get(opf_path)
+    if opf is None:
+        raise ValueError("epub: missing OPF rootfile")
+    base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+    items = {i: h for i, h in _ITEM_RE.findall(opf)}
+    out = []
+    for idx, ref in enumerate(_ITEMREF_RE.findall(opf)):
+        href_b = items.get(ref)
+        if href_b is None:
+            raise ValueError("epub: spine idref not in manifest")
+        href = href_b.decode("utf-8")
+        doc = members.get(base + href)
+        if doc is None:
+            raise ValueError("epub: missing spine document")
+        t = _DROP_RE.sub(b"", doc)
+        t = _TAG_RE.sub(b"", t)
+        for ent, ch in _ENTS:
+            t = t.replace(ent, ch)
+        t = _WS_RE.sub(b" ", t).strip()
+        out.append((idx, href, t.decode("utf-8")))
+    if not out:
+        raise ValueError("epub: empty spine")
+    return out
+
+
+def extract_epub_text(assets: DataFrame) -> DataFrame:
+    """EPUB → one row per SPINE document in reading order
+    (spine_idx, href, text, n_chars); poison (bad zip, missing
+    container/OPF/spine doc, dangling idref) → null row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "spine_idx", "href", "text", "n_chars"]
+        for pdf in it:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    for idx, href, text in _epub_chapters(bytes(b)):
+                        rows.append(
+                            (int(aid), idx, href, text, len(text))
+                        )
+                except (ValueError, struct.error, zlib.error):
+                    rows.append((int(aid), -1, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(batches, EPUB_TEXT_SCHEMA)
+
+
+_CONTAINER_XML = (
+    b'<?xml version="1.0"?><container version="1.0" xmlns="urn:oasis'
+    b':names:tc:opendocument:xmlns:container"><rootfiles><rootfile '
+    b'full-path="OEBPS/content.opf" media-type="application/oebps-'
+    b'package+xml"/></rootfiles></container>'
+)
+
+
+def synth_epub_assets(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """One EPUB per row: ``2 + aid % 2`` XHTML chapters whose text is
+    a closed form of (asset_id, chapter). Chapter FILES are stored in
+    the zip in REVERSE order while the spine lists reading order, so
+    a walker that trusts member order fails; the ``mimetype`` member
+    is stored uncompressed first, per OCF."""
+
+    def one(aid: int) -> bytes:
+        n = 2 + aid % 2
+        chapters = []
+        for i in range(n):
+            xhtml = (
+                b"<html>\n<head><title>c%d</title></head>\n<body>\n"
+                b"<h1>Chapter %d</h1>\n<p>body d%d s%d &amp; more</p>"
+                b"\n<script>junk()</script>\n</body>\n</html>"
+                % (i, i, aid, i)
+            )
+            chapters.append((f"OEBPS/ch{i}.xhtml", xhtml, 8))
+        manifest = b"".join(
+            b'<item id="c%d" href="ch%d.xhtml" media-type="applicatio'
+            b'n/xhtml+xml"/>' % (i, i)
+            for i in range(n)
+        )
+        spine = b"".join(
+            b'<itemref idref="c%d"/>' % i for i in range(n)
+        )
+        opf = (
+            b'<?xml version="1.0"?><package xmlns="http://www.idpf.'
+            b'org/2007/opf" version="3.0"><manifest>' + manifest
+            + b"</manifest><spine>" + spine + b"</spine></package>"
+        )
+        return _zip_bytes(
+            [("mimetype", b"application/epub+zip", 0),
+             ("META-INF/container.xml", _CONTAINER_XML, 8),
+             ("OEBPS/content.opf", opf, 8)]
+            + chapters[::-1]
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "asset_id": pdf[id_col],
+                "payload": [one(int(a)) for a in pdf[id_col]],
+                "media_type": "application/epub+zip",
+            })
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)

@@ -8102,3 +8102,35 @@ def test_kneser_ney_bigram(spark):
     assert got[("b", "a")] == (2, round(18 / 24, 4))
     # KN sums over OBSERVED continuations stay ≤ 1 per word
     assert (21 + 9) / 36 <= 1.0 and 18 / 24 <= 1.0
+
+
+def test_epub_spine_order_and_poison(spark):
+    """r15: EPUB — spine order wins over zip member order (synth
+    stores chapters reversed), script blocks drop wholesale, and the
+    poison classes (no container.xml, dangling idref) null out."""
+    from geniepool_etl_spark.sources import zipdoc as Z
+
+    ids = spark.createDataFrame([(3,)], "asset_id long")
+    rows = Z.extract_epub_text(Z.synth_epub_assets(ids)).collect()
+    texts = {r["spine_idx"]: r["text"] for r in rows}
+    assert texts == {
+        0: "c0 Chapter 0 body d3 s0 & more",
+        1: "c1 Chapter 1 body d3 s1 & more",
+        2: "c2 Chapter 2 body d3 s2 & more",
+    }
+    assert "junk()" not in texts[0]
+
+    no_container = Z._zip_bytes([("mimetype", b"application/epub+zip", 0)])
+    dangling = Z._zip_bytes([
+        ("META-INF/container.xml", Z._CONTAINER_XML, 8),
+        ("OEBPS/content.opf",
+         b'<package><manifest></manifest>'
+         b'<spine><itemref idref="ghost"/></spine></package>', 8),
+    ])
+    df = spark.createDataFrame(
+        [(1, no_container, "e"), (2, dangling, "e")],
+        "asset_id long, payload binary, media_type string",
+    )
+    got = {r["asset_id"]: r["spine_idx"]
+           for r in Z.extract_epub_text(df).collect()}
+    assert got == {1: -1, 2: -1}
