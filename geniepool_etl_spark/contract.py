@@ -3981,6 +3981,29 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_text_bleu_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 + ROUGE-2 (r15 — operators.text.bleu_rouge_scores):
+    the generation-eval metrics at corpus scale — candidate = the
+    first ⌈¾⌉ words of each document plus an out-of-reference noise
+    token (so precisions < 1 and the brevity penalty branch both
+    exercise; 1-word docs take the bp=1 branch), reference = the
+    full text. Clipped modified precision is exact integers via one
+    nested fold; BLEU-2 = bp·√(p1·p2) (no exp/ln beyond bp). Zero
+    UDFs, zero shuffles. The oracle replays the identical clipping
+    algebra with DuckDB list ops."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 5)
+    pairs = docs.select(
+        "doc_id",
+        F.expr(
+            r"""array_join(slice(split(trim(lower(text)), '\\s+'), 1,
+                 greatest(1, (3 * size(split(trim(lower(text)), '\\s+')))
+                 div 4)), ' ') || ' zzz'"""
+        ).alias("candidate"),
+        F.lower(F.col("text")).alias("reference"),
+    )
+    return TX.bleu_rouge_scores(pairs).drop("candidate", "reference")
+
+
 def q_epub_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPUB TEXT EXTRACTION (r15 — sources.zipdoc.synth_epub_assets →
     extract_epub_text): OCF container.xml → OPF rootfile → manifest
@@ -11921,6 +11944,61 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["text_bleu_rouge"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents WHERE doc_id % 13 = 5
+        ),
+        pair AS (
+          SELECT doc_id,
+                 list_concat(w[1 : greatest(1, (3 * len(w)) // 4)],
+                             ['zzz']) AS cw,
+                 w AS rw
+          FROM d
+        ),
+        g AS (
+          SELECT doc_id, cw, rw,
+                 list_transform(range(1, len(cw)),
+                   i -> cw[i] || ' ' || cw[i + 1]) AS cg,
+                 list_transform(range(1, len(rw)),
+                   i -> rw[i] || ' ' || rw[i + 1]) AS rg
+          FROM pair
+        ),
+        m AS (
+          SELECT doc_id,
+                 coalesce(list_sum(list_transform(list_distinct(cw),
+                   t -> least(len(list_filter(cw, x -> x = t)),
+                              len(list_filter(rw, x -> x = t))))), 0)
+                   AS m1,
+                 len(cw) AS c1, len(rw) AS r1,
+                 coalesce(list_sum(list_transform(list_distinct(cg),
+                   t -> least(len(list_filter(cg, x -> x = t)),
+                              len(list_filter(rg, x -> x = t))))), 0)
+                   AS m2,
+                 len(cg) AS c2, len(rg) AS r2
+          FROM g
+        )
+        SELECT doc_id,
+               round(m1 / greatest(c1, 1), 4) AS p1,
+               round(m2 / greatest(c2, 1), 4) AS p2,
+               round(CASE WHEN c1 >= r1 THEN 1.0
+                     ELSE exp(1.0 - r1 / greatest(c1, 1)) END, 4)
+                 AS bp,
+               round((CASE WHEN c1 >= r1 THEN 1.0
+                      ELSE exp(1.0 - r1 / greatest(c1, 1)) END)
+                     * sqrt((m1 / greatest(c1, 1))
+                            * (m2 / greatest(c2, 1))), 4) AS bleu2,
+               round(m2 / greatest(r2, 1), 4) AS rouge2_recall,
+               round(CASE WHEN m2 / greatest(c2, 1)
+                               + m2 / greatest(r2, 1) > 0
+                     THEN 2 * (m2 / greatest(c2, 1))
+                            * (m2 / greatest(r2, 1))
+                          / (m2 / greatest(c2, 1)
+                             + m2 / greatest(r2, 1))
+                     ELSE 0.0 END, 4) AS rouge2_f1
+        FROM m
+    """
     o["epub_extract_text"] = """
         WITH d AS (
           SELECT doc_id, 2 + doc_id % 2 AS n FROM documents
@@ -14507,6 +14585,7 @@ SPARK_QUERIES = {
     "text_kneser_ney": q_text_kneser_ney,
     "docx_extract_text": q_docx_extract_text,
     "epub_extract_text": q_epub_extract_text,
+    "text_bleu_rouge": q_text_bleu_rouge,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

@@ -8134,3 +8134,30 @@ def test_epub_spine_order_and_poison(spark):
     got = {r["asset_id"]: r["spine_idx"]
            for r in Z.extract_epub_text(df).collect()}
     assert got == {1: -1, 2: -1}
+
+
+def test_bleu_rouge_scores(spark):
+    """r15: BLEU-2/ROUGE-2 — hand-computed on the classic clipping
+    example (candidate repeats a reference word beyond its reference
+    count, so the clipped precision < raw precision)."""
+    import math
+
+    from geniepool_etl_spark.operators import text as TXb
+
+    # cand: "the the the cat"  ref: "the cat sat"
+    # p1: clipped = min(3,1)[the] + min(1,1)[cat] = 2 ; c1=4 -> 0.5
+    # bigrams cand: [the the, the the, the cat] ref: [the cat, cat sat]
+    # p2: clipped = 0[the the] + 1[the cat] = 1 ; c2=3 -> 1/3
+    # bp: c1=4 >= r1=3 -> 1 ; bleu2 = sqrt(0.5/3)
+    # rouge2_recall = 1/2 ; f1 = 2*(1/3)*(1/2)/(1/3+1/2) = 0.4
+    df = spark.createDataFrame(
+        [(1, "the the the cat", "the cat sat")],
+        "id long, candidate string, reference string",
+    )
+    r = TXb.bleu_rouge_scores(df).collect()[0]
+    assert r["p1"] == 0.5
+    assert r["p2"] == round(1 / 3, 4)
+    assert r["bp"] == 1.0
+    assert r["bleu2"] == round(math.sqrt(0.5 / 3), 4)
+    assert r["rouge2_recall"] == 0.5
+    assert r["rouge2_f1"] == 0.4
