@@ -3981,6 +3981,55 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_web_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANCHOR / OUTLINK EXTRACTION (r15 — operators.cdx
+    .extract_anchors): the web-graph edge builder — one row per
+    ``<a href="…">`` with visible text (inner tags stripped,
+    entities decoded) and, for absolute http(s) links, the SURT
+    urlkey joining straight into the CDX index. Designed pages mix
+    an absolute https link with query + nested ``<b>``, a RELATIVE
+    link (urlkey NULL), and on odd docs an uppercase ``HREF`` with
+    a non-default port. Pure JVM regexps + one posexplode."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 12)
+    pages = docs.select(
+        "doc_id",
+        F.expr(
+            """'<p>x</p><a href="https://www.site' || CAST(doc_id % 7 AS STRING)
+               || '.example/p/' || CAST(doc_id AS STRING)
+               || '?b=2">Go <b>now</b> ' || CAST(doc_id AS STRING)
+               || '</a><a href="/rel/' || CAST(doc_id AS STRING)
+               || '">About &amp; r' || CAST(doc_id AS STRING) || '</a>'
+               || CASE WHEN doc_id % 2 = 1
+                  THEN '<a HREF="http://site' || CAST(doc_id % 7 AS STRING)
+                    || '.example:8080/Z' || CAST(doc_id AS STRING)
+                    || '">UP</a>'
+                  ELSE '' END"""
+        ).alias("html"),
+    )
+    return CDX.extract_anchors(pages)
+
+
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD-BLOCKLIST GATE (r15 — operators.text.blocklist_filter):
+    the UT1/badwords curation stage — tiered terms ('block' = any
+    hit drops, 'flag' = drops past 100‰ of tokens) collapsed to ONE
+    broadcast row of two arrays; the hot path is a codegen'd
+    size(filter(words, array_contains)) per doc — no token-key join,
+    no corpus explode, whole-token matching only (no substring
+    false-positives). Terms chosen from the corpus vocabulary so
+    both outcomes of both tiers exercise."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 7)
+        .select("doc_id", "text")
+    )
+    bl = spark.createDataFrame(
+        [("agg", "block"), ("batch", "flag"), ("join", "flag")],
+        "term string, tier string",
+    )
+    return TX.blocklist_filter(docs, bl, max_flag_milli=100).drop("text")
+
+
 def q_text_bleu_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLEU-2 + ROUGE-2 (r15 — operators.text.bleu_rouge_scores):
     the generation-eval metrics at corpus scale — candidate = the
@@ -11944,6 +11993,55 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["web_anchors"] = """
+        WITH d AS (
+          SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS k,
+                 2 + doc_id % 2 AS n
+          FROM documents WHERE doc_id % 13 = 12
+        )
+        SELECT doc_id, CAST(i AS INTEGER) AS anchor_idx,
+               CASE i
+                 WHEN 0 THEN 'https://www.site' || k || '.example/p/'
+                   || doc_id || '?b=2'
+                 WHEN 1 THEN '/rel/' || doc_id
+                 ELSE 'http://site' || k || '.example:8080/Z' || doc_id
+               END AS href,
+               CASE i
+                 WHEN 0 THEN 'Go now ' || doc_id
+                 WHEN 1 THEN 'About & r' || doc_id
+                 ELSE 'UP'
+               END AS anchor_text,
+               CASE i
+                 WHEN 0 THEN 'example,site' || k || ')/p/' || doc_id
+                   || '?b=2'
+                 WHEN 1 THEN NULL
+                 ELSE 'example,site' || k || ':8080)/z' || doc_id
+               END AS urlkey
+        FROM d, UNNEST(range(n)) AS u(i)
+    """
+    o["text_blocklist"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents WHERE doc_id % 13 = 7
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(list_filter(w, x -> x = 'agg')) AS nb,
+                 len(list_filter(w, x -> x = 'batch' OR x = 'join'))
+                   AS nf,
+                 len(w) AS nw
+          FROM d
+        )
+        SELECT doc_id,
+               CAST(nb AS BIGINT) AS n_block_hits,
+               CAST(nf AS BIGINT) AS n_flag_hits,
+               CAST(CASE WHEN nw > 0 THEN (1000 * nf) // nw
+                    ELSE 0 END AS BIGINT) AS flag_milli,
+               nb = 0 AND (CASE WHEN nw > 0 THEN (1000 * nf) // nw
+                           ELSE 0 END) <= 100 AS keep
+        FROM m
+    """
     o["text_bleu_rouge"] = r"""
         WITH d AS (
           SELECT doc_id,
@@ -14586,6 +14684,8 @@ SPARK_QUERIES = {
     "docx_extract_text": q_docx_extract_text,
     "epub_extract_text": q_epub_extract_text,
     "text_bleu_rouge": q_text_bleu_rouge,
+    "text_blocklist": q_text_blocklist,
+    "web_anchors": q_web_anchors,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

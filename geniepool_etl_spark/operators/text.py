@@ -2455,3 +2455,65 @@ def bleu_rouge_scores(
         .withColumn("rouge2_f1", F.round(r2_f1, 4))
         .drop(*cols.keys())
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    term_col: str = "term",
+    tier_col: str = "tier",
+    max_flag_milli: int = 100,
+) -> DataFrame:
+    """Word-blocklist gating (the UT1/badwords stage of web-corpus
+    curation): terms come as a DataFrame with a ``tier`` — ``block``
+    (any hit drops the doc) or ``flag`` (drops only when flagged
+    words exceed ``max_flag_milli`` per thousand tokens).
+
+    The blocklist collapses to ONE row of two arrays
+    (``collect_set`` per tier) broadcast into every task — the same
+    1-row-inventory shape as the byte-fallback BPE — so the hot path
+    is a codegen'd ``size(filter(words, array_contains))`` per doc:
+    no join on the skewed token key, no explode of the corpus, no
+    UDF. Word-boundary exactness comes from matching whole
+    whitespace tokens, not substrings (``ass`` in ``assistant``
+    never hits).
+
+    Adds ``n_block_hits, n_flag_hits, flag_milli, keep``.
+    """
+    tiers = blocklist.groupBy().agg(
+        F.collect_set(
+            F.when(
+                F.col(tier_col) == "block", F.lower(F.col(term_col))
+            )
+        ).alias("_block_terms"),
+        F.collect_set(
+            F.when(
+                F.col(tier_col) == "flag", F.lower(F.col(term_col))
+            )
+        ).alias("_flag_terms"),
+    )
+    w = words_col(F.lower(F.col(text_col)))
+    n_words = F.size(w)
+    n_block = F.size(
+        F.filter(w, lambda t: F.array_contains(F.col("_block_terms"), t))
+    )
+    n_flag = F.size(
+        F.filter(w, lambda t: F.array_contains(F.col("_flag_terms"), t))
+    )
+    flag_milli = F.when(
+        n_words > 0, (F.lit(1000) * n_flag).cast("long") / n_words
+    ).otherwise(F.lit(0.0))
+    flag_milli = F.floor(flag_milli).cast("long")
+    return (
+        df.crossJoin(F.broadcast(tiers))
+        .withColumn("n_block_hits", n_block.cast("long"))
+        .withColumn("n_flag_hits", n_flag.cast("long"))
+        .withColumn("flag_milli", flag_milli)
+        .withColumn(
+            "keep",
+            (F.col("n_block_hits") == 0)
+            & (F.col("flag_milli") <= max_flag_milli),
+        )
+        .drop("_block_terms", "_flag_terms")
+    )

@@ -8161,3 +8161,57 @@ def test_bleu_rouge_scores(spark):
     assert r["bleu2"] == round(math.sqrt(0.5 / 3), 4)
     assert r["rouge2_recall"] == 0.5
     assert r["rouge2_f1"] == 0.4
+
+
+def test_blocklist_filter(spark):
+    """r15: blocklist gate — whole-token matching (substring never
+    hits), tier semantics (one block hit drops; flag drops only past
+    the milli threshold), empty text survives."""
+    from geniepool_etl_spark.operators import text as TXl
+
+    bl = spark.createDataFrame(
+        [("bad", "block"), ("meh", "flag")], "term string, tier string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "all clean words here"),
+            (2, "one bad word"),
+            (3, "badger embedded notbad"),     # substrings must NOT hit
+            (4, "meh " * 50 + "ok"),           # 50/51 flagged > 100 milli
+            (5, "meh plus many clean words here now ok yes"),  # 1/9
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_block_hits"], r["n_flag_hits"],
+                      r["flag_milli"], r["keep"])
+        for r in TXl.blocklist_filter(docs, bl).collect()
+    }
+    assert got[1] == (0, 0, 0, True)
+    assert got[2] == (1, 0, 0, False)
+    assert got[3] == (0, 0, 0, True)
+    assert got[4][3] is False and got[4][2] > 100
+    assert got[5] == (0, 1, 111, False) or got[5][3] is False
+    assert got[6] == (0, 0, 0, True)
+
+
+def test_extract_anchors(spark):
+    """r15: anchor extraction — nested-tag strip, entity decode,
+    uppercase HREF with spaces, relative hrefs gate urlkey to NULL,
+    single-quoted hrefs drop."""
+    from geniepool_etl_spark.operators import cdx as CDXt
+
+    html = (
+        '<a href="https://www.Ex.com/A?b=2">Go <b>now</b></a>'
+        '<a href="/rel">A &amp; B</a>'
+        '<a class="x" HREF = "http://ex.com:8080/Z">UP</a>'
+        "<a href='sq.html'>skip</a>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = [tuple(r) for r in CDXt.extract_anchors(df).collect()]
+    assert rows == [
+        (1, 0, "https://www.Ex.com/A?b=2", "Go now", "com,ex)/a?b=2"),
+        (1, 1, "/rel", "A & B", None),
+        (1, 2, "http://ex.com:8080/Z", "UP", "com,ex:8080)/z"),
+    ]
