@@ -3981,6 +3981,20 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA POWER ITERATION (r15 — operators.similarity
+    .pca_power_component): leading principal direction of the
+    embedding matrix in 3 fixed Xᵀ(Xv) rounds from the deterministic
+    v₀ = 1/√64 start — the whitening/reduction step before IVF-PQ.
+    The covariance is never materialized; each round is a 1-row
+    broadcast + a 64-row component shuffle. The oracle is a
+    GENERATED unrolled replay (one CTE triple per iteration), the
+    same pattern as the unigram-LM DP oracle."""
+    return S.pca_power_component(
+        _t(spark, sf_dir, "embeddings"), n_iter=3
+    )
+
+
 def q_web_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANCHOR / OUTLINK EXTRACTION (r15 — operators.cdx
     .extract_anchors): the web-graph edge builder — one row per
@@ -6518,6 +6532,43 @@ s AS (
 SELECT q_id, n_id, q_cos FROM s
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY q_cos DESC, n_id) <= 5
 """
+
+
+def _pca_power_oracle(n_iter: int = 3, dim: int = 64) -> str:
+    """Unrolled power-iteration replay: one (projection, component-
+    sum, renormalize) CTE triple per iteration — generated, so the
+    step structure cannot drift from n_iter."""
+    parts = [
+        "WITH x AS (SELECT list_transform(embedding, "
+        "t -> CAST(t AS DOUBLE)) AS e FROM embeddings),\n"
+        f"v0 AS (SELECT list_transform(range({dim}), "
+        f"j -> 1.0 / sqrt({dim}.0)) AS v)"
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+d{k} AS (
+  SELECT e, list_reduce(list_transform(range(1, {dim + 1}),
+    i -> e[i] * v{k - 1}.v[i]), (a, b) -> a + b) AS d
+  FROM x, v{k - 1}
+),
+s{k} AS (
+  SELECT j, sum(e[j] * d) AS s
+  FROM d{k}, UNNEST(range(1, {dim + 1})) AS u(j) GROUP BY j
+),
+v{k} AS (
+  SELECT list_transform(list(s ORDER BY j), t -> t
+    / sqrt(list_reduce(list_transform(list(s ORDER BY j),
+        q -> q * q), (a, b) -> a + b))) AS v
+  FROM s{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(j - 1 AS INTEGER) AS pos, round(v[j], 4) AS loading
+FROM v{n_iter}, UNNEST(range(1, {dim + 1})) AS u(j)"""
+    )
+    return "".join(parts)
 
 
 def _sim_brute_oracle() -> str:
@@ -11993,6 +12044,7 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["sim_pca_power"] = _pca_power_oracle()
     o["web_anchors"] = """
         WITH d AS (
           SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS k,
@@ -14686,6 +14738,7 @@ SPARK_QUERIES = {
     "text_bleu_rouge": q_text_bleu_rouge,
     "text_blocklist": q_text_blocklist,
     "web_anchors": q_web_anchors,
+    "sim_pca_power": q_sim_pca_power,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

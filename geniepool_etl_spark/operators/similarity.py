@@ -1712,3 +1712,64 @@ def maxsim_topk(
         .where(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def pca_power_component(
+    corpus: DataFrame,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Leading principal direction of the (uncentered) embedding
+    matrix by POWER ITERATION — the dimensionality-reduction /
+    whitening step an ANN pipeline runs before IVF-PQ: with
+    deterministic start ``v₀ = 1/√dim``,
+
+        v_{t+1} = normalize( Σᵢ xᵢ (xᵢ·v_t) )
+
+    i.e. one pass of ``Xᵀ(X v)`` per round — the d×d covariance is
+    NEVER materialized and no step leaves the cluster: the current
+    direction is a 1-row broadcast, per-row projections are the
+    shared ``dot`` fold, component sums are a posexplode →
+    ``groupBy(pos)`` partial-aggregated shuffle of exactly ``dim``
+    rows, and the rebuilt direction is an ``array_sort(collect_list)``
+    over those ``dim`` rows. Fixed ``n_iter`` keeps the whole thing
+    a closed-form expression chain an external engine replays
+    iteration by iteration. Returns ``(pos, loading)`` — the unit
+    direction, components rounded to 4.
+    """
+    x = corpus.select(_as_double(F.col(vec_col)).alias("e"))
+    v = corpus.sparkSession.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda _: F.lit(1.0) / F.sqrt(F.lit(float(dim))),
+        ).alias("v")
+    )
+    for _ in range(n_iter):
+        scored = x.crossJoin(F.broadcast(v)).select(
+            "e", dot(F.col("e"), F.col("v")).alias("d")
+        )
+        comps = (
+            scored.select(
+                F.posexplode("e").alias("pos", "xj"), "d"
+            )
+            .groupBy("pos")
+            .agg(F.sum(F.col("xj") * F.col("d")).alias("s"))
+        )
+        v = comps.groupBy().agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "s"))
+                ),
+                lambda t: t["s"],
+            ).alias("_s"),
+            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_n"),
+        ).select(
+            F.transform(
+                F.col("_s"), lambda s: s / F.col("_n")
+            ).alias("v")
+        )
+        v = v.localCheckpoint(eager=False)
+    return v.select(
+        F.posexplode("v").alias("pos", "loading")
+    ).select("pos", F.round("loading", 4).alias("loading"))

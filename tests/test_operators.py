@@ -8215,3 +8215,33 @@ def test_extract_anchors(spark):
         (1, 1, "/rel", "A & B", None),
         (1, 2, "http://ex.com:8080/Z", "UP", "com,ex:8080)/z"),
     ]
+
+
+def test_pca_power_component(spark):
+    """r15: power iteration — matches a numpy replay of the same 3
+    fixed rounds to rounding tolerance, and the output is a unit
+    vector."""
+    import numpy as np
+
+    from geniepool_etl_spark.operators import similarity as SIMp
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 8) * np.array([3, 1, 1, 1, 1, 1, 1, 1])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["pos"]: r["loading"]
+        for r in SIMp.pca_power_component(df, n_iter=3, dim=8).collect()
+    }
+    v = np.ones(8) / np.sqrt(8)
+    for _ in range(3):
+        s = X.T @ (X @ v)
+        v = s / np.linalg.norm(s)
+    for j in range(8):
+        assert abs(got[j] - v[j]) <= 6e-5, (j, got[j], v[j])
+    norm = sum(x * x for x in got.values()) ** 0.5
+    assert abs(norm - 1.0) < 1e-3
+    # the dominant axis (3x stddev) must dominate the direction
+    assert abs(got[0]) == max(abs(x) for x in got.values())
