@@ -3981,6 +3981,26 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFD BIN PACKING (r15 — operators.packing.pack_bins_ffd): the
+    padding-minimizing packer — whole docs into 512-token bins per
+    source group, First-Fit-Decreasing over (word-count desc, id)
+    with deterministic tie-breaks; one hash shuffle co-locates each
+    group, the greedy runs on metadata only in applyInPandas. The
+    oracle REPLAYS the sequential greedy exactly with a recursive
+    CTE carrying the bin-load list as state (nullif-guarded
+    list_position — DuckDB returns 0, not NULL, on no-fit)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 1)
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.size(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).cast("long").alias("n_tokens"),
+    )
+    return PK.pack_bins_ffd(sized, budget=512)
+
+
 def q_sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA POWER ITERATION (r15 — operators.similarity
     .pca_power_component): leading principal direction of the
@@ -12044,6 +12064,51 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["pack_bins_ffd"] = r"""
+        WITH RECURSIVE sized AS (
+          SELECT source,
+                 doc_id,
+                 CAST(len(string_split_regex(trim(lower(text)),
+                      '\s+')) AS BIGINT) AS n_tokens
+          FROM documents WHERE doc_id % 13 = 1
+        ),
+        rk AS (
+          SELECT source, doc_id, n_tokens,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_tokens DESC, doc_id) AS rnk
+          FROM sized
+        ),
+        steps AS (
+          SELECT source, 0 AS rnk, CAST([] AS BIGINT[]) AS loads,
+                 CAST([] AS INTEGER[]) AS bins
+          FROM (SELECT DISTINCT source FROM rk)
+          UNION ALL
+          SELECT s.source, s.rnk + 1,
+            CASE WHEN nullif(list_position(list_transform(s.loads,
+                   l -> l + i.n_tokens <= 512), true), 0) IS NULL
+                 THEN list_append(s.loads, i.n_tokens)
+                 ELSE list_transform(range(1, len(s.loads) + 1), k ->
+                   CASE WHEN k = list_position(list_transform(
+                          s.loads, l -> l + i.n_tokens <= 512), true)
+                        THEN s.loads[k] + i.n_tokens
+                        ELSE s.loads[k] END) END,
+            list_append(s.bins,
+              CAST(coalesce(nullif(list_position(list_transform(
+                     s.loads, l -> l + i.n_tokens <= 512), true), 0),
+                   len(s.loads) + 1) - 1 AS INTEGER))
+          FROM steps s
+          JOIN rk i ON i.source = s.source AND i.rnk = s.rnk + 1
+        ),
+        final AS (
+          SELECT source, loads, bins FROM steps s
+          WHERE rnk = (SELECT max(rnk) FROM rk r
+                       WHERE r.source = s.source)
+        )
+        SELECT i.source, i.doc_id, i.n_tokens,
+               f.bins[i.rnk] AS bin_idx,
+               f.loads[f.bins[i.rnk] + 1] AS bin_load
+        FROM rk i JOIN final f USING (source)
+    """
     o["sim_pca_power"] = _pca_power_oracle()
     o["web_anchors"] = """
         WITH d AS (
@@ -14739,6 +14804,7 @@ SPARK_QUERIES = {
     "text_blocklist": q_text_blocklist,
     "web_anchors": q_web_anchors,
     "sim_pca_power": q_sim_pca_power,
+    "pack_bins_ffd": q_pack_bins_ffd,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

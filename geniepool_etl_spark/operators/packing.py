@@ -166,3 +166,68 @@ def render_chat_spans(
         end.alias("end_char"),
         (F.col(role_col) == "assistant").alias("in_loss"),
     )
+
+
+def pack_bins_ffd(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-Fit-Decreasing bin packing within each group — the
+    padding-minimizing alternative to chop-packing (`pack_windows`):
+    whole documents go to fixed-budget bins (no document straddles a
+    boundary), FFD's 11/9·OPT+6/9 guarantee keeps waste low, and the
+    greedy is deterministic: items sort (size desc, id asc), each
+    takes the FIRST bin with room, else opens a new bin. Oversized
+    items (> budget) open their own over-full bin and nothing else
+    ever joins it (any load > budget rejects every fit test).
+
+    FFD is inherently sequential PER GROUP, so the group is the
+    parallelism unit: one hash shuffle co-locates each group, then
+    an Arrow ``applyInPandas`` runs the O(n·bins) greedy on metadata
+    only (id + size, never text). Groups at 100 TB = pack shards
+    (see TOKENS_PER_SHARD); the greedy never sees payload bytes.
+
+    Returns (group_col, id_col, size_col, bin_idx, bin_load) — one
+    row per item; ``bin_load`` is the FINAL load of the item's bin
+    (every member row agrees, handy for padding accounting).
+    """
+    import pandas as pd
+
+    schema = (
+        f"{group_col} string, {id_col} long, {size_col} long, "
+        "bin_idx int, bin_load long"
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [size_col, id_col], ascending=[False, True]
+        )
+        loads: list = []
+        assign: list = []
+        for sz in pdf[size_col]:
+            sz = int(sz)
+            placed = -1
+            for bi in range(len(loads)):
+                if loads[bi] + sz <= budget:
+                    placed = bi
+                    break
+            if placed < 0:
+                loads.append(sz)
+                placed = len(loads) - 1
+            else:
+                loads[placed] += sz
+            assign.append(placed)
+        return pd.DataFrame({
+            group_col: pdf[group_col],
+            id_col: pdf[id_col],
+            size_col: pdf[size_col],
+            "bin_idx": assign,
+            "bin_load": [loads[b] for b in assign],
+        })
+
+    return df.select(group_col, id_col, size_col).groupBy(
+        group_col
+    ).applyInPandas(pack, schema)

@@ -8245,3 +8245,26 @@ def test_pca_power_component(spark):
     assert abs(norm - 1.0) < 1e-3
     # the dominant axis (3x stddev) must dominate the direction
     assert abs(got[0]) == max(abs(x) for x in got.values())
+
+
+def test_pack_bins_ffd(spark):
+    """r15: FFD — the classic layout (7,5,5,2 into budget 10 →
+    bins [0,1,1,0]), oversized items isolate, bin_load agrees across
+    members, and waste ≤ chop-free upper bound."""
+    from geniepool_etl_spark.operators import packing as PKf
+
+    df = spark.createDataFrame(
+        [("a", 1, 7), ("a", 2, 5), ("a", 3, 5), ("a", 4, 2),
+         ("b", 5, 9), ("b", 6, 12)],
+        "source string, doc_id long, n_tokens long",
+    )
+    got = {
+        r["doc_id"]: (r["bin_idx"], r["bin_load"])
+        for r in PKf.pack_bins_ffd(df, budget=10).collect()
+    }
+    assert got[1] == (0, 9)   # 7 then +2
+    assert got[2] == (1, 10)  # 5+5 fills bin 1
+    assert got[3] == (1, 10)
+    assert got[4] == (0, 9)
+    assert got[6] == (0, 12)  # oversized sorts first, isolates
+    assert got[5] == (1, 9)
