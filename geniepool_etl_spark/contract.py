@@ -3981,6 +3981,25 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF COMPOSITING (r15 — multimodal
+    .synth_gif_anim_assets → decode_gif_anim_stats): completes the
+    animation story next to the two animated-WebP lanes — GCE
+    disposal/transparency/delay parse, full LZW frame decode, GIF
+    OVER (transparent-index pixels keep the canvas), and
+    RESTORE-BACKGROUND disposal proven by the 3rd frame showing bg
+    under its transparent pixels; a NETSCAPE loop extension
+    exercises the skip path. The oracle replays compositing
+    PER-PIXEL (canvas small enough that no palette channel wraps),
+    so a single mis-composited pixel mismatches."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 0)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return M.decode_gif_anim_stats(M.synth_gif_anim_assets(params))
+
+
 def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFD BIN PACKING (r15 — operators.packing.pack_bins_ffd): the
     padding-minimizing packer — whole docs into 512-token bins per
@@ -12064,6 +12083,33 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["multimodal_gif_anim"] = """
+        WITH d AS (
+          SELECT doc_id, 12 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+                 2 + doc_id % 2 AS n
+          FROM documents WHERE doc_id % 13 = 0
+        ),
+        px AS (
+          SELECT doc_id, n, x, y,
+                 (x + y) % 4 = 3 AS trans, x + 2 * y AS base
+          FROM d, UNNEST(range(w)) AS ux(x),
+               UNNEST(range(h)) AS uy(y)
+        ),
+        f AS (
+          SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+                 CASE WHEN fi = 0 THEN base
+                      WHEN trans AND fi = 1 THEN base
+                      WHEN trans AND fi = 2 THEN 0
+                      ELSE base + fi END AS v
+          FROM px, UNNEST(range(n)) AS uf(fi)
+        )
+        SELECT doc_id AS asset_id, frame_idx,
+               CAST(10 * (frame_idx + 1) AS BIGINT) AS delay_cs,
+               CAST(sum(v) AS BIGINT) AS sum_r,
+               CAST(sum(2 * v) AS BIGINT) AS sum_g,
+               CAST(sum(3 * v) AS BIGINT) AS sum_b
+        FROM f GROUP BY doc_id, frame_idx
+    """
     o["pack_bins_ffd"] = r"""
         WITH RECURSIVE sized AS (
           SELECT source,
@@ -14805,6 +14851,7 @@ SPARK_QUERIES = {
     "web_anchors": q_web_anchors,
     "sim_pca_power": q_sim_pca_power,
     "pack_bins_ffd": q_pack_bins_ffd,
+    "multimodal_gif_anim": q_multimodal_gif_anim,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

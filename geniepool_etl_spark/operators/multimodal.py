@@ -11449,3 +11449,221 @@ def decode_ogg_tags(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.mapInPandas(batches, _OGG_TAGS_SCHEMA)
+
+
+# --------------------------------------------------------- animated GIF
+
+GIF_ANIM_SCHEMA = (
+    "asset_id long, frame_idx int, delay_cs long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def _gif_anim_frames(raw: bytes) -> list:
+    """Animated GIF89a walk + compositor: Graphic Control Extension
+    (disposal method, transparency flag/index, delay) before each
+    image descriptor; frames draw their subrect onto the logical
+    canvas (transparent-index pixels leave the canvas untouched —
+    the GIF OVER), then disposal applies — 0/1 keep, 2 restores the
+    frame RECT to the background index. Returns one
+    ``(frame_idx, delay_cs, sum_r, sum_g, sum_b)`` per frame of the
+    COMPOSITED canvas. Out of scope (raise → poison): local color
+    tables, disposal 3 (restore-previous), missing GCT. Like the
+    still lane: GIF carries no checksums, so structural damage
+    raises, value flips are undetectable by design."""
+    import struct
+
+    import numpy as np
+
+    if raw[:6] != b"GIF89a":
+        raise ValueError("gif-anim: not GIF89a")
+    W, H, packed, bg_idx, _ = struct.unpack_from("<HHBBB", raw, 6)
+    if not packed & 0x80:
+        raise ValueError("gif-anim: no global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    if len(raw) < pos + 3 * gct_n:
+        raise ValueError("gif-anim: truncated color table")
+    palette = np.frombuffer(
+        raw, dtype=np.uint8, count=3 * gct_n, offset=pos
+    ).reshape(gct_n, 3).astype(np.int64)
+    pos += 3 * gct_n
+    canvas = np.full((H, W), bg_idx, dtype=np.uint8)
+    frames = []
+    delay_cs = 0
+    disposal = 0
+    trans_idx = -1
+    while True:
+        if pos >= len(raw):
+            raise ValueError("gif-anim: unterminated stream")
+        b0 = raw[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = raw[pos + 1]
+            pos += 2
+            if label == 0xF9:
+                if raw[pos] != 4:
+                    raise ValueError("gif-anim: bad GCE size")
+                flags, delay_cs = struct.unpack_from(
+                    "<BH", raw, pos + 1
+                )
+                disposal = (flags >> 2) & 0x07
+                trans_idx = raw[pos + 4] if flags & 1 else -1
+                if disposal == 3:
+                    raise ValueError(
+                        "gif-anim: restore-previous disposal out "
+                        "of scope"
+                    )
+                pos += 5
+                if raw[pos] != 0:
+                    raise ValueError("gif-anim: unterminated GCE")
+                pos += 1
+            else:  # skip other extensions (NETSCAPE loop, comments)
+                while pos < len(raw) and raw[pos] != 0:
+                    pos += 1 + raw[pos]
+                pos += 1
+        elif b0 == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from(
+                "<HHHHB", raw, pos + 1
+            )
+            if ipacked & 0x80:
+                raise ValueError("gif-anim: local color table "
+                                 "out of scope")
+            if ipacked & 0x40:
+                raise ValueError("gif-anim: interlaced frames out "
+                                 "of scope")
+            if left + w > W or top + h > H:
+                raise ValueError("gif-anim: frame rect outside "
+                                 "canvas")
+            pos += 10
+            min_code = raw[pos]
+            pos += 1
+            lzw = bytearray()
+            while True:
+                if pos >= len(raw):
+                    raise ValueError("gif-anim: unterminated "
+                                     "sub-blocks")
+                n = raw[pos]
+                pos += 1
+                if n == 0:
+                    break
+                if pos + n > len(raw):
+                    raise ValueError("gif-anim: truncated sub-block")
+                lzw += raw[pos : pos + n]
+                pos += n
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(lzw), min_code), dtype=np.uint8
+            )
+            if len(idx) != w * h:
+                raise ValueError("gif-anim: pixel count mismatch")
+            if int(idx.max()) >= gct_n:
+                raise ValueError("gif-anim: index beyond palette")
+            tile = idx.reshape(h, w)
+            region = canvas[top : top + h, left : left + w]
+            if trans_idx >= 0:
+                mask = tile != trans_idx
+                region[mask] = tile[mask]
+            else:
+                region[:] = tile
+            rgb = palette[canvas]
+            frames.append((
+                len(frames), int(delay_cs),
+                int(rgb[:, :, 0].sum()), int(rgb[:, :, 1].sum()),
+                int(rgb[:, :, 2].sum()),
+            ))
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = bg_idx
+            disposal = 0
+            trans_idx = -1
+            delay_cs = 0
+        else:
+            raise ValueError("gif-anim: unknown block")
+    if not frames:
+        raise ValueError("gif-anim: no frames")
+    return frames
+
+
+def decode_gif_anim_stats(assets: DataFrame) -> DataFrame:
+    """Animated GIF → one row per COMPOSITED frame (delay +
+    per-channel sums) — the same shape as the animated-WebP lanes;
+    poison → null row ``frame_idx -1``."""
+    from struct import error as struct_error
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "frame_idx", "delay_cs",
+                "sum_r", "sum_g", "sum_b"]
+        for pdf in it:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    for rec in _gif_anim_frames(bytes(b)):
+                        rows.append((int(aid),) + rec)
+                except (ValueError, struct_error):
+                    rows.append(
+                        (int(aid), -1, None, None, None, None)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(batches, GIF_ANIM_SCHEMA)
+
+
+def synth_gif_anim_assets(
+    df: DataFrame, id_col: str = "asset_id"
+) -> DataFrame:
+    """Animated GIF89a synth with every composite ingredient closed-
+    form: canvas (12 + aid%5) × (8 + aid%3), bg index 0, palette
+    i → (i, 2i, 3i) (canvas small enough that no channel wraps),
+    ``2 + aid % 2`` full-canvas frames with pattern
+    ``idx = x + 2y + f``; frames ≥ 1 mark pixels ``(x+y) % 4 == 3``
+    transparent (index 255), frame 1 carries disposal
+    RESTORE-BACKGROUND so a 3rd frame shows bg under its transparent
+    pixels; delay ``10·(f+1)`` cs; a NETSCAPE looping extension
+    exercises the skip path."""
+    import struct
+
+    import numpy as np
+
+    gct = bytearray()
+    for i in range(256):
+        gct += bytes([i, (2 * i) % 256, (3 * i) % 256])
+
+    def one(aid: int) -> bytes:
+        W, H = 12 + aid % 5, 8 + aid % 3
+        n = 2 + aid % 2
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", W, H, 0xF7, 0, 0)
+        out += gct
+        out += (  # NETSCAPE 2.0 looping application extension
+            b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+        )
+        x = np.arange(W, dtype=np.int64)[None, :]
+        y = np.arange(H, dtype=np.int64)[:, None]
+        for f in range(n):
+            disposal = 2 if f == 1 else 1
+            flags = (disposal << 2) | (1 if f >= 1 else 0)
+            out += b"\x21\xf9\x04" + struct.pack(
+                "<BH", flags, 10 * (f + 1)
+            ) + bytes([255 if f >= 1 else 0, 0])
+            tile = (x + 2 * y + f).astype(np.uint8)
+            if f >= 1:
+                tile = np.where((x + y) % 4 == 3, 255, tile)
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, W, H, 0)
+            lzw = _gif_lzw_encode(tile.astype(np.uint8).tobytes())
+            out += b"\x08"
+            for i in range(0, len(lzw), 255):
+                chunk = lzw[i : i + 255]
+                out += bytes([len(chunk)]) + chunk
+            out += b"\x00"
+        out += b"\x3b"
+        return bytes(out)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "asset_id": pdf[id_col],
+                "payload": [one(int(a)) for a in pdf[id_col]],
+                "media_type": "image/gif",
+            })
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)

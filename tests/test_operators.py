@@ -8268,3 +8268,34 @@ def test_pack_bins_ffd(spark):
     assert got[4] == (0, 9)
     assert got[6] == (0, 12)  # oversized sorts first, isolates
     assert got[5] == (1, 9)
+
+
+def test_gif_anim_poison_and_disposal(spark):
+    """r15: animated GIF — disposal-3 and local-color-table are
+    declared poison, truncated sub-blocks poison, and the
+    restore-background disposal is visible in frame-2 sums (strictly
+    below frame 1 for the same asset since transparent pixels drop
+    to bg=0)."""
+    from geniepool_etl_spark.operators import multimodal as MMg
+
+    ids = spark.createDataFrame([(1,)], "asset_id long")
+    good_rows = MMg.decode_gif_anim_stats(
+        MMg.synth_gif_anim_assets(ids)
+    ).collect()
+    by_f = {r["frame_idx"]: r for r in good_rows}
+    assert set(by_f) == {0, 1, 2}
+    assert by_f[2]["sum_r"] < by_f[1]["sum_r"]
+    assert [by_f[f]["delay_cs"] for f in (0, 1, 2)] == [10, 20, 30]
+
+    good = MMg.synth_gif_anim_assets(ids).collect()[0]["payload"]
+    bad_disposal = bytearray(good)
+    at = bad_disposal.find(b"\x21\xf9\x04")
+    bad_disposal[at + 3] = (bad_disposal[at + 3] & ~0x1C) | (3 << 2)
+    truncated = bytes(good[: len(good) - 15])
+    df = spark.createDataFrame(
+        [(1, bytes(bad_disposal), "image/gif"), (2, truncated, "image/gif")],
+        "asset_id long, payload binary, media_type string",
+    )
+    got = {r["asset_id"]: r["frame_idx"]
+           for r in MMg.decode_gif_anim_stats(df).collect()}
+    assert got == {1: -1, 2: -1}
