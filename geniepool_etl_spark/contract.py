@@ -3981,6 +3981,57 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_chat_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSATION-TREE FLATTENING (r15 — operators.packing
+    .flatten_chat_trees): OpenAssistant-style branching trees → one
+    row per root→leaf path (transcript, depth, assistant turns).
+    Designed trees branch at the root (second completion on even
+    convs) and extend a follow-up turn pair on %3 convs, so depths
+    2 and 4 and sibling leaves all occur. The Spark side unrolls
+    fixed-depth child joins with a left-anti 'no children' finish
+    probe; the oracle is a recursive CTE over the identical
+    message table."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 2)
+    msgs = docs.select(
+        F.explode(
+            F.expr(
+                """filter(array(
+                     named_struct('msg_id', doc_id * 10,
+                       'parent_id', CAST(NULL AS BIGINT),
+                       'role', 'user', 'text', 'q ' || doc_id),
+                     named_struct('msg_id', doc_id * 10 + 1,
+                       'parent_id', doc_id * 10,
+                       'role', 'assistant', 'text', 'a1 ' || doc_id),
+                     CASE WHEN doc_id % 2 = 0 THEN
+                       named_struct('msg_id', doc_id * 10 + 2,
+                         'parent_id', doc_id * 10,
+                         'role', 'assistant', 'text', 'a2 ' || doc_id)
+                     END,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       named_struct('msg_id', doc_id * 10 + 3,
+                         'parent_id', doc_id * 10 + 1,
+                         'role', 'user', 'text', 'f ' || doc_id)
+                     END,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       named_struct('msg_id', doc_id * 10 + 4,
+                         'parent_id', doc_id * 10 + 3,
+                         'role', 'assistant', 'text', 'a3 ' || doc_id)
+                     END), s -> s IS NOT NULL)"""
+            )
+        ).alias("m"),
+        F.col("doc_id").alias("conv_id"),
+    ).select(
+        "conv_id", "m.msg_id", "m.parent_id", "m.role", "m.text"
+    )
+    out = PK.flatten_chat_trees(msgs, max_depth=6)
+    return out.select(
+        "conv_id", "leaf_msg_id",
+        F.col("depth").cast("int").alias("depth"),
+        "path_text",
+        F.col("n_assistant").cast("int").alias("n_assistant"),
+    )
+
+
 def q_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANIMATED GIF COMPOSITING (r15 — multimodal
     .synth_gif_anim_assets → decode_gif_anim_stats): completes the
@@ -12083,6 +12134,45 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["chat_tree_paths"] = """
+        WITH RECURSIVE d AS (
+          SELECT doc_id FROM documents WHERE doc_id % 13 = 2
+        ),
+        m AS (
+          SELECT doc_id AS conv_id, doc_id * 10 AS msg_id,
+                 CAST(NULL AS BIGINT) AS parent_id, 'user' AS role,
+                 'q ' || doc_id AS text FROM d
+          UNION ALL SELECT doc_id, doc_id * 10 + 1, doc_id * 10,
+                 'assistant', 'a1 ' || doc_id FROM d
+          UNION ALL SELECT doc_id, doc_id * 10 + 2, doc_id * 10,
+                 'assistant', 'a2 ' || doc_id FROM d
+                 WHERE doc_id % 2 = 0
+          UNION ALL SELECT doc_id, doc_id * 10 + 3, doc_id * 10 + 1,
+                 'user', 'f ' || doc_id FROM d WHERE doc_id % 3 = 0
+          UNION ALL SELECT doc_id, doc_id * 10 + 4, doc_id * 10 + 3,
+                 'assistant', 'a3 ' || doc_id FROM d
+                 WHERE doc_id % 3 = 0
+        ),
+        p AS (
+          SELECT conv_id, msg_id AS leaf_msg_id, 1 AS depth,
+                 text AS path_text,
+                 CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+                   AS n_assistant
+          FROM m WHERE parent_id IS NULL
+          UNION ALL
+          SELECT c.conv_id, c.msg_id, p.depth + 1,
+                 p.path_text || chr(10) || c.text,
+                 p.n_assistant
+                   + CASE WHEN c.role = 'assistant' THEN 1
+                     ELSE 0 END
+          FROM p JOIN m c ON c.parent_id = p.leaf_msg_id
+        )
+        SELECT p.conv_id, p.leaf_msg_id,
+               CAST(p.depth AS INTEGER) AS depth, p.path_text,
+               CAST(p.n_assistant AS INTEGER) AS n_assistant
+        FROM p LEFT JOIN m k ON k.parent_id = p.leaf_msg_id
+        WHERE k.msg_id IS NULL
+    """
     o["multimodal_gif_anim"] = """
         WITH d AS (
           SELECT doc_id, 12 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
@@ -14852,6 +14942,7 @@ SPARK_QUERIES = {
     "sim_pca_power": q_sim_pca_power,
     "pack_bins_ffd": q_pack_bins_ffd,
     "multimodal_gif_anim": q_multimodal_gif_anim,
+    "chat_tree_paths": q_chat_tree_paths,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

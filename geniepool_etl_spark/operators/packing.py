@@ -231,3 +231,92 @@ def pack_bins_ffd(
     return df.select(group_col, id_col, size_col).groupBy(
         group_col
     ).applyInPandas(pack, schema)
+
+
+def flatten_chat_trees(
+    msgs: DataFrame,
+    max_depth: int = 6,
+    conv_col: str = "conv_id",
+    id_col: str = "msg_id",
+    parent_col: str = "parent_id",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-TREE flattening (the OpenAssistant/ShareGPT SFT
+    prep step): branching message trees → one row per ROOT→LEAF
+    path, with the concatenated transcript, its depth, and the
+    assistant-turn count — what a trainer samples from when human
+    raters forked multiple completions.
+
+    Fixed ``max_depth`` unrolls to a chain of child equi-joins (each
+    a plain hash join on ``parent_id`` — co-partitioned by the join
+    key, no iteration driver-side); a path FINISHES at a message
+    with no children (left-anti probe) or at the depth cap. Paths
+    carry only ids + the growing text, never the full tree. Returns
+    ``(conv_id, leaf_msg_id, depth, path_text, n_assistant)``.
+    """
+    m = msgs.select(
+        F.col(conv_col).alias("_conv"),
+        F.col(id_col).alias("_id"),
+        F.col(parent_col).alias("_parent"),
+        F.col(role_col).alias("_role"),
+        F.col(text_col).alias("_text"),
+    )
+    kids = m.select(F.col("_parent").alias("_has_kids_id")).distinct()
+    live = (
+        m.where(F.col("_parent").isNull())
+        .select(
+            "_conv",
+            F.col("_id").alias("leaf_msg_id"),
+            F.lit(1).alias("depth"),
+            F.col("_text").alias("path_text"),
+            F.when(F.col("_role") == "assistant", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("n_assistant"),
+        )
+    )
+    finished = []
+    for _ in range(max_depth - 1):
+        done = live.join(
+            kids,
+            live["leaf_msg_id"] == kids["_has_kids_id"],
+            "left_anti",
+        )
+        finished.append(done)
+        child = m.select(
+            F.col("_conv").alias("_cconv"),
+            F.col("_id").alias("_cid"),
+            F.col("_parent").alias("_cparent"),
+            F.col("_role").alias("_crole"),
+            F.col("_text").alias("_ctext"),
+        )
+        live = (
+            live.join(
+                child, live["leaf_msg_id"] == child["_cparent"]
+            )
+            .select(
+                F.col("_conv"),
+                F.col("_cid").alias("leaf_msg_id"),
+                (F.col("depth") + 1).alias("depth"),
+                F.concat_ws(
+                    "\n", F.col("path_text"), F.col("_ctext")
+                ).alias("path_text"),
+                (
+                    F.col("n_assistant")
+                    + F.when(
+                        F.col("_crole") == "assistant", F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias("n_assistant"),
+            )
+        )
+    finished.append(live)  # depth-capped paths count as leaves
+    out = finished[0]
+    for part in finished[1:]:
+        out = out.unionByName(part)
+    return out.select(
+        F.col("_conv").alias(conv_col),
+        "leaf_msg_id",
+        "depth",
+        "path_text",
+        "n_assistant",
+    )

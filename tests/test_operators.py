@@ -8299,3 +8299,35 @@ def test_gif_anim_poison_and_disposal(spark):
     got = {r["asset_id"]: r["frame_idx"]
            for r in MMg.decode_gif_anim_stats(df).collect()}
     assert got == {1: -1, 2: -1}
+
+
+def test_flatten_chat_trees(spark):
+    """r15: tree flattening — branch at root + deep chain, depth cap
+    finishes unfinished paths, assistant counting."""
+    from geniepool_etl_spark.operators import packing as PKc
+
+    msgs = spark.createDataFrame(
+        [
+            (1, 10, None, "user", "q"),
+            (1, 11, 10, "assistant", "a"),
+            (1, 12, 10, "assistant", "b"),
+            (1, 13, 11, "user", "f"),
+            (1, 14, 13, "assistant", "c"),
+        ],
+        "conv_id long, msg_id long, parent_id long, role string, "
+        "text string",
+    )
+    got = {
+        r["leaf_msg_id"]: (r["depth"], r["path_text"], r["n_assistant"])
+        for r in PKc.flatten_chat_trees(msgs).collect()
+    }
+    assert got == {
+        12: (2, "q\nb", 1),
+        14: (4, "q\na\nf\nc", 2),
+    }
+    # depth cap: chain of 4 with max_depth=2 finishes at depth 2
+    capped = {
+        r["leaf_msg_id"]: r["depth"]
+        for r in PKc.flatten_chat_trees(msgs, max_depth=2).collect()
+    }
+    assert capped == {12: 2, 11: 2}
