@@ -3981,6 +3981,33 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_sample_mixture_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEMPERATURE MIXTURE (r15 — operators.sampling
+    .mixture_temperature): XLM-R-style exponent-smoothed domain
+    weights p_i ∝ n_i^0.5 with effective-epoch duplication factors —
+    one |sources|-row aggregate + arithmetic."""
+    from geniepool_etl_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("n_tokens"),
+    )
+    return SMP.mixture_temperature(docs, alpha=0.5)
+
+
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF SLOPE (r15 — operators.text.zipf_slope): least-squares
+    slope of ln(freq) vs ln(rank) over the top-200 words — the
+    corpus-health diagnostic (natural text ≈ −1); top-k via
+    orderBy+limit (TakeOrderedAndProject), regression as ONE
+    closed-form aggregate."""
+    return TX.zipf_slope(_t(spark, sf_dir, "documents"), top_k=200)
+
+
 def q_chat_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONVERSATION-TREE FLATTENING (r15 — operators.packing
     .flatten_chat_trees): OpenAssistant-style branching trees → one
@@ -12134,6 +12161,50 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["sample_mixture_temperature"] = r"""
+        WITH per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(string_split_regex(trim(lower(text)),
+                      '\s+'))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT sum(pow(n_tokens, 0.5)) AS z,
+                 sum(n_tokens) AS total FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               round(pow(n_tokens, 0.5) / z, 4) AS weight,
+               round(pow(n_tokens, 0.5) / z * total / n_tokens, 4)
+                 AS epochs
+        FROM per, tot
+    """
+    o["text_zipf_slope"] = r"""
+        WITH c AS (
+          SELECT w, count(*) AS n FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)),
+                   '\s+')) AS w
+            FROM documents
+          ) WHERE len(w) > 0 GROUP BY w
+        ),
+        top AS (SELECT w, n FROM c ORDER BY n DESC, w LIMIT 200),
+        r AS (
+          SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, w)
+                    AS DOUBLE)) AS x,
+                 ln(CAST(n AS DOUBLE)) AS y
+          FROM top
+        ),
+        a AS (
+          SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM r
+        )
+        SELECT CAST(k AS BIGINT) AS n_types,
+               round((k * sxy - sx * sy)
+                     / (k * sxx - sx * sx), 4) AS slope,
+               round((sy - (k * sxy - sx * sy)
+                     / (k * sxx - sx * sx) * sx) / k, 4) AS intercept
+        FROM a
+    """
     o["chat_tree_paths"] = """
         WITH RECURSIVE d AS (
           SELECT doc_id FROM documents WHERE doc_id % 13 = 2
@@ -14943,6 +15014,8 @@ SPARK_QUERIES = {
     "pack_bins_ffd": q_pack_bins_ffd,
     "multimodal_gif_anim": q_multimodal_gif_anim,
     "chat_tree_paths": q_chat_tree_paths,
+    "sample_mixture_temperature": q_sample_mixture_temperature,
+    "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,

@@ -238,3 +238,39 @@ def sample_per_group(
         .where(F.col("_rnk") <= k)
         .drop("_rnk")
     )
+
+
+def mixture_temperature(
+    df: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-scaled mixture weights — the exponent-smoothed
+    sampling of multilingual/multi-domain LM training (XLM-R's
+    ``p_i ∝ n_i^α``): big domains are damped, small ones boosted,
+    ``alpha = 1`` recovers proportional and ``alpha = 0`` uniform.
+
+    One |sources|-row aggregate, then arithmetic: ``weight_i =
+    n_i^α / Σ n_j^α`` and ``epochs_i = weight_i · N / n_i`` (the
+    duplication factor each domain effectively trains for — the
+    number a data planner actually stares at). Returns (source,
+    n_docs, n_tokens, weight, epochs), floats rounded to 4.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("_z"),
+        F.sum("n_tokens").alias("_total"),
+    )
+    w = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("_z")
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col(group_col).alias("source"),
+        "n_docs",
+        "n_tokens",
+        F.round(w, 4).alias("weight"),
+        F.round(w * F.col("_total") / F.col("n_tokens"), 4)
+        .alias("epochs"),
+    )

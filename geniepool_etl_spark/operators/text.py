@@ -2517,3 +2517,55 @@ def blocklist_filter(
         )
         .drop("_block_terms", "_flag_terms")
     )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top_k: int = 200
+) -> DataFrame:
+    """Zipf rank-frequency diagnostic: least-squares slope of
+    ``ln(freq)`` against ``ln(rank)`` over the corpus's ``top_k``
+    words — natural corpora sit near −1; synthetic/templated text
+    drifts (a cheap corpus-health number next to
+    :func:`word_entropy`).
+
+    Word counts aggregate once; the top-k cut is orderBy+limit
+    (TakeOrderedAndProject, distributed partial top-k — never a
+    global window); the regression is ONE closed-form aggregate
+    over k rows. Returns a single row
+    ``(n_types, slope, intercept)``, floats rounded to 4. Ranks are
+    deterministic via the (count desc, word asc) tie-break.
+    """
+    counts = (
+        df.select(
+            F.explode(words_col(F.lower(F.col(text_col)))).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("w")).limit(top_k)
+    ranked = top.select(
+        F.log(
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("w"))
+            ).cast("double")
+        ).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return agg.select(
+        F.col("k").cast("long").alias("n_types"),
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    )

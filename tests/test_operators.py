@@ -8331,3 +8331,36 @@ def test_flatten_chat_trees(spark):
         for r in PKc.flatten_chat_trees(msgs, max_depth=2).collect()
     }
     assert capped == {12: 2, 11: 2}
+
+
+def test_mixture_temperature(spark):
+    """r15: temperature mixture — alpha=0.5 on a 9:1 corpus gives
+    3:1 weights; alpha=1 recovers proportional."""
+    from geniepool_etl_spark.operators import sampling as SMt
+
+    df = spark.createDataFrame(
+        [("big", 900), ("small", 100)], "source string, n_tokens long"
+    )
+    got = {r["source"]: r for r in SMt.mixture_temperature(df).collect()}
+    assert got["big"]["weight"] == 0.75 and got["small"]["weight"] == 0.25
+    # epochs: small domain trains 0.25*1000/100 = 2.5x
+    assert got["small"]["epochs"] == 2.5
+    prop = {r["source"]: r["weight"]
+            for r in SMt.mixture_temperature(df, alpha=1.0).collect()}
+    assert prop == {"big": 0.9, "small": 0.1}
+
+
+def test_zipf_slope(spark):
+    """r15: Zipf slope — an exact power-law corpus (freq = 64/rank
+    over 4 types) regresses to slope −1."""
+    from geniepool_etl_spark.operators import text as TXz
+
+    words = []
+    for rank, w in enumerate(["a", "b", "c", "d"], 1):
+        words += [w] * (64 // rank)
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "id long, text string"
+    )
+    r = TXz.zipf_slope(df, top_k=4).collect()[0]
+    assert r["n_types"] == 4
+    assert abs(r["slope"] + 1.0) < 0.05
