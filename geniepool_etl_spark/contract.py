@@ -3981,6 +3981,18 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 SPAN-CORRUPTION LAYOUT (r15 — operators.text
+    .span_corruption_layout): deterministic block-local span plan —
+    one hash-length (1-3) span per full 10-token block, closed-form
+    encoder/decoder lengths; the only randomness is
+    md5(doc_id:block), so the oracle replays every span with the
+    portable-hash SQL rendering."""
+    return TX.span_corruption_layout(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 3)
+    )
+
+
 def q_sample_mixture_temperature(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -12161,6 +12173,33 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["text_span_corruption"] = rf"""
+        WITH d AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(lower(text)), '\s+'))
+                   AS n
+          FROM documents WHERE doc_id % 13 = 3
+        ),
+        b AS (
+          SELECT doc_id, n, n // 10 AS nb FROM d
+        ),
+        l AS (
+          SELECT doc_id, n, nb,
+                 CASE WHEN nb >= 1 THEN (
+                   SELECT sum(1 + {portable_hash32_sql(
+                       "b.doc_id || ':' || k")} % 3)
+                   FROM UNNEST(range(1, nb + 1)) AS u(k)
+                 ) ELSE 0 END AS n_masked
+          FROM b
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(nb AS BIGINT) AS n_spans,
+               CAST(n_masked AS BIGINT) AS n_masked,
+               CAST(n - n_masked + nb AS BIGINT) AS input_len,
+               CAST(CASE WHEN nb > 0 THEN n_masked + nb + 1
+                    ELSE 0 END AS BIGINT) AS target_len
+        FROM l
+    """
     o["sample_mixture_temperature"] = r"""
         WITH per AS (
           SELECT source, count(*) AS n_docs,
@@ -15015,6 +15054,7 @@ SPARK_QUERIES = {
     "multimodal_gif_anim": q_multimodal_gif_anim,
     "chat_tree_paths": q_chat_tree_paths,
     "sample_mixture_temperature": q_sample_mixture_temperature,
+    "text_span_corruption": q_text_span_corruption,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,

@@ -2569,3 +2569,55 @@ def zipf_slope(
         F.round(slope, 4).alias("slope"),
         F.round(intercept, 4).alias("intercept"),
     )
+
+
+def span_corruption_layout(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 10,
+) -> DataFrame:
+    """T5-style span-corruption LAYOUT (Raffel et al. 2020 §3.1.4)
+    planned deterministically — the shape a seq2seq pretraining
+    loader needs before materializing sentinel-token pairs: how many
+    spans, how many masked tokens, and the resulting encoder/decoder
+    lengths (input keeps one sentinel per span; target = masked
+    tokens + sentinels + EOS).
+
+    Spans are block-local so the layout is CLOSED-FORM instead of a
+    sequential overlap-resolution pass: every full ``block`` of
+    tokens contributes exactly one span starting at in-block offset
+    3 with portable-hash-derived length 1-3 (≈15-25% corruption at
+    block 10) — task retries, repartitions, and any other engine
+    reproduce the identical layout because the only randomness is
+    ``md5(doc_id:block_idx)``. The sub-``block`` tail is never
+    masked (documented boundary). Zero UDFs, zero shuffles.
+    """
+    from geniepool_etl_spark.functions import portable_hash32
+
+    n = F.size(words_col(F.lower(F.col(text_col))))
+    nb = F.floor(n / block).cast("int")
+    lens = F.when(
+        nb >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda k: 1
+            + portable_hash32(
+                F.concat_ws(":", F.col(id_col), k)
+            ) % 3,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    n_masked = F.aggregate(
+        lens, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_spans = F.coalesce(F.size(lens), F.lit(0)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_spans.alias("n_spans"),
+        n_masked.alias("n_masked"),
+        (n - n_masked + n_spans).cast("long").alias("input_len"),
+        F.when(
+            n_spans > 0, n_masked + n_spans + 1
+        ).otherwise(F.lit(0)).cast("long").alias("target_len"),
+    )

@@ -8364,3 +8364,29 @@ def test_zipf_slope(spark):
     r = TXz.zipf_slope(df, top_k=4).collect()[0]
     assert r["n_types"] == 4
     assert abs(r["slope"] + 1.0) < 0.05
+
+
+def test_span_corruption_layout(spark):
+    """r15: T5 layout — sub-block docs get zero spans, full blocks
+    one span each with hash length 1-3, lengths reconcile
+    (input + target - n_spans - 1 == n_tokens + n_spans when
+    spans exist)."""
+    from geniepool_etl_spark.operators import text as TXs5
+
+    df = spark.createDataFrame(
+        [(1, "w " * 9), (2, "w " * 10), (3, "w " * 25)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TXs5.span_corruption_layout(df).collect()}
+    assert got[1]["n_spans"] == 0 and got[1]["target_len"] == 0
+    assert got[1]["input_len"] == 9
+    assert got[2]["n_spans"] == 1 and 1 <= got[2]["n_masked"] <= 3
+    assert got[3]["n_spans"] == 2 and 2 <= got[3]["n_masked"] <= 6
+    for d in (2, 3):
+        r = got[d]
+        assert r["input_len"] == r["n_tokens"] - r["n_masked"] + r["n_spans"]
+        assert r["target_len"] == r["n_masked"] + r["n_spans"] + 1
+    # determinism across invocations
+    again = {r["doc_id"]: r["n_masked"]
+             for r in TXs5.span_corruption_layout(df).collect()}
+    assert again == {d: got[d]["n_masked"] for d in got}
