@@ -3981,6 +3981,66 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_frontier_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAWL-FRONTIER COMPOSITION (r15): the three web lanes in ONE
+    plan — candidate URLs (with a www./bare VARIANT split by doc
+    parity) → RFC 9309 robots gate (same rule set as `robots_gate`,
+    keyed on the bare domain) → SURT urlkey dedup (www strip + path
+    lowercase collapse the variants) → per-urlkey variant count +
+    min-id canonical election. What a crawler actually runs before
+    fetching; the oracle replays gate + SURT closed-form."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 3)
+    urls = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example"),
+        ).alias("domain"),
+        F.expr(
+            """CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN '/private/x' || CAST(doc_id % 7 AS STRING)
+               WHEN 1 THEN '/p/' || CAST(doc_id % 20 AS STRING)
+               WHEN 2 THEN '/private/ok'
+               WHEN 3 THEN '/static/img' || CAST(doc_id % 3 AS STRING)
+                           || '.png'
+               ELSE '/p' END"""
+        ).alias("path"),
+    )
+    doms = spark.range(4).select(
+        F.concat(
+            F.lit("site"), F.col("id").cast("string"), F.lit(".example")
+        ).alias("domain"),
+        F.concat(
+            F.lit(
+                "# synth robots\nUser-agent: *\n"
+                "Disallow: /private*  # keep out\n"
+                "Allow: /private/ok$\nDisallow: /p/1*\n"
+            ),
+            F.when(
+                F.col("id") % 2 == 1, F.lit("Disallow: *img1*\n")
+            ).otherwise(F.lit("")),
+            F.lit("Crawl-delay: 10\n"),
+        ).alias("robots_txt"),
+    )
+    gated = RB.robots_filter(urls, RB.parse_robots_txt(doms))
+    kept = gated.where(F.col("allowed"))
+    full = kept.select(
+        "url_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("url_id") % 2 == 0, F.lit("www."))
+            .otherwise(F.lit("")),
+            F.col("domain"),
+            F.col("path"),
+        ).alias("url"),
+    )
+    keyed = full.select("url_id", CDX.surt_key(F.col("url")).alias("urlkey"))
+    return keyed.groupBy("urlkey").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.min("url_id").alias("canonical_url_id"),
+    )
+
+
 def q_text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 SPAN-CORRUPTION LAYOUT (r15 — operators.text
     .span_corruption_layout): deterministic block-local span plan —
@@ -12173,6 +12233,36 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["frontier_build"] = """
+        WITH u AS (
+          SELECT doc_id, doc_id AS url_id,
+                 'site' || (doc_id % 4) || '.example' AS domain,
+                 CASE doc_id % 5
+                   WHEN 0 THEN '/private/x' || (doc_id % 7)
+                   WHEN 1 THEN '/p/' || (doc_id % 20)
+                   WHEN 2 THEN '/private/ok'
+                   WHEN 3 THEN '/static/img' || (doc_id % 3) || '.png'
+                   ELSE '/p' END AS path
+          FROM documents WHERE doc_id % 13 = 3
+        ),
+        a AS (
+          SELECT * FROM u WHERE NOT (
+            doc_id % 5 = 0
+            OR (doc_id % 5 = 1 AND (doc_id % 20 = 1
+                OR doc_id % 20 BETWEEN 10 AND 19))
+            OR (doc_id % 5 = 3 AND doc_id % 4 IN (1, 3)
+                AND doc_id % 3 = 1))
+        ),
+        s AS (
+          SELECT url_id,
+                 'example,site' || (doc_id % 4) || ')' || lower(path)
+                   AS urlkey
+          FROM a
+        )
+        SELECT urlkey, count(*) AS n_variants,
+               min(url_id) AS canonical_url_id
+        FROM s GROUP BY urlkey
+    """
     o["text_span_corruption"] = rf"""
         WITH d AS (
           SELECT doc_id,
@@ -15055,6 +15145,7 @@ SPARK_QUERIES = {
     "chat_tree_paths": q_chat_tree_paths,
     "sample_mixture_temperature": q_sample_mixture_temperature,
     "text_span_corruption": q_text_span_corruption,
+    "frontier_build": q_frontier_build,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
