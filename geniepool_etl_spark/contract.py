@@ -54,6 +54,7 @@ from geniepool_etl_spark.operators import subtitles as SUB
 from geniepool_etl_spark.operators import webdataset as WDS
 from geniepool_etl_spark.sources import warc as WC
 from geniepool_etl_spark.sources import zipdoc as ZD
+from geniepool_etl_spark.sources import sniff as SNF
 
 _uniq = itertools.count()
 
@@ -3979,6 +3980,36 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("asset_id"))
     )
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
+
+
+def q_csv_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV DIALECT SNIFFING (r15 — sources.sniff.sniff_csv_dialect):
+    the ingestion-time dialect guess (stdlib csv.Sniffer, Spark-
+    first) — quote-stripped per-line field counts per candidate
+    delimiter, first consistent candidate in priority order wins,
+    header inferred from a numeric-free first line over a numeric
+    second. One codegen'd projection, zero UDFs. Designed bodies
+    cycle comma+header / semicolon-numeric / tab-with-quoted-comma /
+    pipe / no-delimiter, so every verdict class occurs."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 9)
+    cases = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            """CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'name,age,c' || CAST(doc_id AS STRING)
+                 || '\nbob,' || CAST(doc_id % 90 AS STRING)
+                 || ',nyc\nann,22,sf'
+               WHEN 1 THEN CAST(doc_id AS STRING)
+                 || ';2;3\n4;5;' || CAST(doc_id % 7 AS STRING)
+               WHEN 2 THEN 'a\tb' || CAST(doc_id AS STRING)
+                 || '\n"x,y"\tc'
+               WHEN 3 THEN 'p|q|r' || CAST(doc_id AS STRING)
+                 || '\n1|2|' || CAST(doc_id % 5 AS STRING)
+               ELSE 'plain text ' || CAST(doc_id AS STRING)
+                 || '\nno table here' END"""
+        ).alias("body"),
+    )
+    return SNF.sniff_csv_dialect(cases)
 
 
 def q_frontier_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12233,6 +12264,20 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["csv_sniff"] = """
+        SELECT doc_id AS asset_id,
+               CASE doc_id % 5 WHEN 0 THEN 'comma'
+                    WHEN 1 THEN 'semicolon' WHEN 2 THEN 'tab'
+                    WHEN 3 THEN 'pipe' ELSE 'unknown' END
+                 AS delimiter,
+               CAST(CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 3
+                    WHEN 2 THEN 2 WHEN 3 THEN 3 ELSE 0 END
+                    AS INTEGER) AS n_cols,
+               doc_id % 5 IN (0, 3) AS has_header,
+               CAST(CASE doc_id % 5 WHEN 0 THEN 3 ELSE 2 END
+                    AS INTEGER) AS n_lines
+        FROM documents WHERE doc_id % 13 = 9
+    """
     o["frontier_build"] = """
         WITH u AS (
           SELECT doc_id, doc_id AS url_id,
@@ -15146,6 +15191,7 @@ SPARK_QUERIES = {
     "sample_mixture_temperature": q_sample_mixture_temperature,
     "text_span_corruption": q_text_span_corruption,
     "frontier_build": q_frontier_build,
+    "csv_sniff": q_csv_sniff,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,

@@ -8390,3 +8390,29 @@ def test_span_corruption_layout(spark):
     again = {r["doc_id"]: r["n_masked"]
              for r in TXs5.span_corruption_layout(df).collect()}
     assert again == {d: got[d]["n_masked"] for d in got}
+
+
+def test_sniff_csv_dialect(spark):
+    """r15: dialect sniffing — quoted commas don't fool the tab
+    verdict, inconsistent field counts yield 'unknown', priority
+    order prefers comma, header heuristic needs a numeric-free
+    first line."""
+    from geniepool_etl_spark.sources.sniff import sniff_csv_dialect
+
+    rows = [
+        (1, "name,age\nbob,31\nann,22"),
+        (2, 'a\tb\n"x,y"\tc'),
+        (3, "a,b\nc,d,e"),
+        (4, "1,2\n3,4"),              # numeric first line: no header
+        (5, "a,b;c\nd,e;f"),          # both consistent -> comma wins
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, body string")
+    got = {
+        r["asset_id"]: (r["delimiter"], r["n_cols"], r["has_header"])
+        for r in sniff_csv_dialect(df).collect()
+    }
+    assert got[1] == ("comma", 2, True)
+    assert got[2] == ("tab", 2, False)
+    assert got[3] == ("unknown", 0, False)
+    assert got[4] == ("comma", 2, False)
+    assert got[5] == ("comma", 2, False)
