@@ -3982,6 +3982,20 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING (r15 — operators.similarity
+    .hard_negatives): DPR/SimCSE contrastive prep — per (query,
+    positive) pair the top-3 highest-cosine vectors excluding both;
+    designed pairs (q, q+100) over the embeddings table; query bag
+    broadcast, corpus never moves."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = emb.where("vec_id < 6").select(
+        F.col("vec_id").alias("q_id"),
+        (F.col("vec_id") + 100).alias("pos_id"),
+    )
+    return S.hard_negatives(emb, pairs, k=3)
+
+
 def q_csv_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV DIALECT SNIFFING (r15 — sources.sniff.sniff_csv_dialect):
     the ingestion-time dialect guess (stdlib csv.Sniffer, Spark-
@@ -12264,6 +12278,27 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["sim_hard_negatives"] = f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE))
+                   AS e
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS q_id, vec_id + 100 AS pos_id, e AS qe
+          FROM v WHERE vec_id < 6
+        ),
+        s AS (
+          SELECT q.q_id, q.pos_id, v.vec_id AS n_id,
+                 {_cosine_sql('q.qe', 'v.e')} AS cos_sim
+          FROM v CROSS JOIN q
+          WHERE v.vec_id <> q.q_id AND v.vec_id <> q.pos_id
+        )
+        SELECT q_id, pos_id, n_id, cos_sim FROM s
+        QUALIFY row_number() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 3
+    """
     o["csv_sniff"] = """
         SELECT doc_id AS asset_id,
                CASE doc_id % 5 WHEN 0 THEN 'comma'
@@ -15192,6 +15227,7 @@ SPARK_QUERIES = {
     "text_span_corruption": q_text_span_corruption,
     "frontier_build": q_frontier_build,
     "csv_sniff": q_csv_sniff,
+    "sim_hard_negatives": q_sim_hard_negatives,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,

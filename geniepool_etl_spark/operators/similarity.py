@@ -1773,3 +1773,59 @@ def pca_power_component(
     return v.select(
         F.posexplode("v").alias("pos", "loading")
     ).select("pos", F.round("loading", 4).alias("loading"))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_col: str = "q_id",
+    pos_col: str = "pos_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training
+    (DPR/SimCSE prep): for each (query, positive) pair, the top-``k``
+    highest-cosine corpus vectors that are NEITHER the query NOR its
+    positive — the negatives that actually move a contrastive loss.
+
+    ``pairs`` resolves its query vectors by one broadcast join
+    against the corpus, then rides broadcast into the corpus scan
+    (the same zero-corpus-movement shape as ``cosine_topk``);
+    ranking is the rounded-cosine window with id tie-break. Returns
+    ``(q_id, pos_id, n_id, cos_sim)``.
+    """
+    qv = pairs.join(
+        corpus.select(
+            F.col(id_col).alias(q_col),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+        ),
+        q_col,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        _as_double(F.col(vec_col)).alias("n_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(qv))
+        .where(
+            (F.col("n_id") != F.col(q_col))
+            & (F.col("n_id") != F.col(pos_col))
+        )
+        .select(
+            q_col,
+            pos_col,
+            "n_id",
+            F.round(
+                cosine(F.col("q_vec"), F.col("n_vec")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(q_col).orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )

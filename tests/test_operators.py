@@ -8416,3 +8416,25 @@ def test_sniff_csv_dialect(spark):
     assert got[3] == ("unknown", 0, False)
     assert got[4] == ("comma", 2, False)
     assert got[5] == ("comma", 2, False)
+
+
+def test_hard_negatives(spark):
+    """r15: hard negatives — the positive and the query itself are
+    excluded even when they are the nearest vectors."""
+    from geniepool_etl_spark.operators import similarity as SIMh
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.14]),   # the positive (nearest)
+        (2, [0.9, 0.43]),    # hardest admissible negative
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = spark.createDataFrame([(0, 1)], "q_id long, pos_id long")
+    got = [
+        r["n_id"]
+        for r in SIMh.hard_negatives(corpus, pairs, k=2)
+        .orderBy(F.desc("cos_sim")).collect()
+    ]
+    assert got == [2, 3]
