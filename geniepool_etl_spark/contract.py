@@ -3982,6 +3982,71 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_text_strip_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKDOWN STRIP (r15 — operators.text.strip_markdown):
+    README/wiki corpora → plain prose — fenced code DROPS, links/
+    images reduce to their text, headers/quotes/emphasis unwrap,
+    blank runs collapse; fixed regexp_replace chain, zero UDFs. The
+    oracle emits the exact expected plain text."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 0)
+    cases = docs.select(
+        "doc_id",
+        F.expr(
+            """'# T' || CAST(doc_id AS STRING)
+               || '\n\nbody **b' || CAST(doc_id AS STRING)
+               || '** see [l' || CAST(doc_id AS STRING)
+               || '](http://x/' || CAST(doc_id AS STRING)
+               || ')\n\n```\nsecret' || CAST(doc_id AS STRING)
+               || '\n```\n\n> q' || CAST(doc_id AS STRING)"""
+        ).alias("text"),
+    )
+    return TX.strip_markdown(cases).drop("text")
+
+
+def q_text_scrub_invisibles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVISIBLE-CHAR SCRUB (r15 — operators.text.scrub_invisibles):
+    zero-width/BOM/soft-hyphen removal via ONE translate with an
+    exact removed-count; designed texts carry doc_id%4 ZWSPs plus a
+    soft hyphen on even docs."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 6)
+    cases = docs.select(
+        "doc_id",
+        F.expr(
+            "'x' || repeat('​', CAST(doc_id % 4 AS INT)) || 'y'"
+            " || CASE WHEN doc_id % 2 = 0 THEN '­' ELSE '' END"
+            " || CAST(doc_id AS STRING)"
+        ).alias("text"),
+    )
+    return TX.scrub_invisibles(cases).drop("text")
+
+
+def q_chat_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSATION LINT (r15 — operators.packing
+    .lint_conversations): the SFT validation gate — starts-with-
+    user + strict alternation + no empty turns + ≥1 assistant, all
+    as ONE grouped aggregate (alternation-from-start ≡ role[turn] ==
+    parity map on 0-based turns — no window, no sort). %7 convs
+    carry a role violation, %11 convs an empty last turn."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 5)
+    msgs = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.posexplode(
+            F.expr(
+                """transform(sequence(0, CAST(1 + doc_id % 3 AS INT)),
+                     t -> named_struct(
+                       'role', CASE WHEN t % 2 = 0 THEN 'user'
+                         WHEN doc_id % 7 = 0 AND t = 1 THEN 'user'
+                         ELSE 'assistant' END,
+                       'text', CASE WHEN doc_id % 11 = 0
+                         AND t = 1 + doc_id % 3 THEN ''
+                         ELSE 't' || CAST(t AS STRING) || ' '
+                           || CAST(doc_id AS STRING) END))"""
+            )
+        ).alias("turn", "m"),
+    ).select("conv_id", "turn", "m.role", "m.text")
+    return PK.lint_conversations(msgs)
+
+
 def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD-NEGATIVE MINING (r15 — operators.similarity
     .hard_negatives): DPR/SimCSE contrastive prep — per (query,
@@ -12278,6 +12343,34 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["text_strip_markdown"] = """
+        SELECT doc_id,
+               'T' || doc_id || chr(10) || chr(10) || 'body b'
+                 || doc_id || ' see l' || doc_id || chr(10)
+                 || chr(10) || 'q' || doc_id AS plain
+        FROM documents WHERE doc_id % 13 = 0
+    """
+    o["text_scrub_invisibles"] = """
+        SELECT doc_id, 'xy' || doc_id AS clean,
+               CAST(doc_id % 4 + CASE WHEN doc_id % 2 = 0 THEN 1
+                    ELSE 0 END AS BIGINT) AS n_invisible
+        FROM documents WHERE doc_id % 13 = 6
+    """
+    o["chat_lint"] = """
+        WITH d AS (
+          SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+          WHERE doc_id % 13 = 5
+        )
+        SELECT doc_id AS conv_id, CAST(n AS BIGINT) AS n_turns,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_role_violations,
+               CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_empty,
+               CAST(n // 2 - CASE WHEN doc_id % 7 = 0 THEN 1
+                    ELSE 0 END AS BIGINT) AS n_assistant,
+               doc_id % 7 <> 0 AND doc_id % 11 <> 0 AS ok
+        FROM d
+    """
     o["sim_hard_negatives"] = f"""
         WITH v AS (
           SELECT vec_id,
@@ -15228,6 +15321,9 @@ SPARK_QUERIES = {
     "frontier_build": q_frontier_build,
     "csv_sniff": q_csv_sniff,
     "sim_hard_negatives": q_sim_hard_negatives,
+    "text_strip_markdown": q_text_strip_markdown,
+    "text_scrub_invisibles": q_text_scrub_invisibles,
+    "chat_lint": q_chat_lint,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,

@@ -320,3 +320,49 @@ def flatten_chat_trees(
         "path_text",
         "n_assistant",
     )
+
+
+def lint_conversations(
+    msgs: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """SFT conversation linting — the validation gate before chat
+    data reaches a trainer: starts-with-user, strict user/assistant
+    alternation, no empty turns, at least one assistant turn. One
+    grouped aggregate (no window): alternation-from-user-start is
+    equivalent to ``role[turn] == (turn even ? user : assistant)``
+    on 0-based turns, so violations count per row inside the
+    aggregate. Returns per conversation: ``n_turns,
+    n_role_violations, n_empty, n_assistant, ok``."""
+    role_bad = F.when(
+        (
+            (F.col(turn_col) % 2 == 0)
+            & (F.col(role_col) != "user")
+        )
+        | (
+            (F.col(turn_col) % 2 == 1)
+            & (F.col(role_col) != "assistant")
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    empty = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    agg = msgs.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(role_bad).alias("n_role_violations"),
+        F.sum(empty).alias("n_empty"),
+        F.sum(
+            F.when(F.col(role_col) == "assistant", 1).otherwise(0)
+        ).alias("n_assistant"),
+    )
+    return agg.withColumn(
+        "ok",
+        (F.col("n_role_violations") == 0)
+        & (F.col("n_empty") == 0)
+        & (F.col("n_assistant") >= 1)
+        & (F.col("n_turns") >= 2),
+    )

@@ -2621,3 +2621,59 @@ def span_corruption_layout(
             n_spans > 0, n_masked + n_spans + 1
         ).otherwise(F.lit(0)).cast("long").alias("target_len"),
     )
+
+
+_MD_FENCE = r"(?s)```.*?```"
+_MD_IMAGE = r"!\[([^\]]*)\]\([^)]*\)"
+_MD_LINK = r"\[([^\]]*)\]\([^)]*\)"
+_MD_HEADER = r"(?m)^#{1,6}[ \t]+"
+_MD_EMPH = r"(\*\*|__|\*|_)(\S(?:[^*_]*\S)?)\1"
+_MD_QUOTE = r"(?m)^>[ \t]?"
+_MD_HR = r"(?m)^[ \t]*([-*_][ \t]*){3,}$"
+_MD_CODE = r"`([^`]*)`"
+
+
+def strip_markdown(
+    df: DataFrame, text_col: str = "text", out_col: str = "plain"
+) -> DataFrame:
+    """Markdown → plain text for README/wiki/forum corpora: fenced
+    code blocks DROP (code goes to the code pipeline, not the prose
+    one — documented choice), inline code keeps its content, images
+    reduce to alt text, links to their text, ATX headers / block
+    quotes / horizontal rules lose their markers, bold/italic
+    unwraps (one nesting level per marker pair, `**x**` before
+    `*x*`), blank runs collapse. A fixed chain of JVM
+    ``regexp_replace`` — zero UDFs, scan-speed."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, _MD_FENCE, "")
+    t = F.regexp_replace(t, _MD_IMAGE, "$1")
+    t = F.regexp_replace(t, _MD_LINK, "$1")
+    t = F.regexp_replace(t, _MD_HEADER, "")
+    t = F.regexp_replace(t, _MD_HR, "")
+    t = F.regexp_replace(t, _MD_EMPH, "$2")
+    t = F.regexp_replace(t, _MD_EMPH, "$2")  # nested pair unwrap
+    t = F.regexp_replace(t, _MD_QUOTE, "")
+    t = F.regexp_replace(t, _MD_CODE, "$1")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return df.withColumn(out_col, F.trim(t))
+
+
+#: zero-width and invisible code points a clean corpus should not
+#: carry: ZWSP, ZWNJ, ZWJ, word-joiner, BOM/ZWNBSP, soft hyphen.
+INVISIBLES = "​‌‍⁠﻿­"
+
+
+def scrub_invisibles(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean"
+) -> DataFrame:
+    """Strip zero-width/invisible code points (the watermark &
+    copy-paste residue class) via ONE ``translate`` (chars without a
+    replacement counterpart are deleted); ``n_invisible`` = length
+    delta, so the gate 'reject docs with invisible density' is a
+    plain filter on the output."""
+    t = F.col(text_col)
+    clean = F.translate(t, INVISIBLES, "")
+    return df.withColumn(out_col, clean).withColumn(
+        "n_invisible",
+        (F.length(t) - F.length(clean)).cast("long"),
+    )

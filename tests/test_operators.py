@@ -8438,3 +8438,44 @@ def test_hard_negatives(spark):
         .orderBy(F.desc("cos_sim")).collect()
     ]
     assert got == [2, 3]
+
+
+def test_strip_markdown_and_invisibles(spark):
+    """r15: markdown strip (fences drop, links keep text, nested
+    emphasis unwraps) + invisible scrub count."""
+    from geniepool_etl_spark.operators import text as TXm2
+
+    md = ("## H\n\n**_deep_** [t](u) ![alt](v)\n\n```js\nx=1\n```\n\n"
+          "> q\n\n---\n\n`c`")
+    df = spark.createDataFrame([(1, md)], "id long, text string")
+    assert (
+        TXm2.strip_markdown(df).collect()[0]["plain"]
+        == "H\n\ndeep t alt\n\nq\n\nc"
+    )
+    inv = spark.createDataFrame(
+        [(1, "a​‌﻿b­c")], "id long, text string"
+    )
+    r = TXm2.scrub_invisibles(inv).collect()[0]
+    assert (r["clean"], r["n_invisible"]) == ("abc", 4)
+
+
+def test_lint_conversations(spark):
+    """r15: chat lint — clean alternation passes; assistant-first,
+    empty-turn, and single-turn conversations all fail with the
+    right counters."""
+    from geniepool_etl_spark.operators import packing as PKl
+
+    msgs = spark.createDataFrame(
+        [
+            (1, 0, "user", "q"), (1, 1, "assistant", "a"),
+            (2, 0, "assistant", "q"), (2, 1, "user", "a"),
+            (3, 0, "user", "q"), (3, 1, "assistant", "  "),
+            (4, 0, "user", "only"),
+        ],
+        "conv_id long, turn long, role string, text string",
+    )
+    got = {r["conv_id"]: r for r in PKl.lint_conversations(msgs).collect()}
+    assert got[1]["ok"] is True
+    assert got[2]["ok"] is False and got[2]["n_role_violations"] == 2
+    assert got[3]["ok"] is False and got[3]["n_empty"] == 1
+    assert got[4]["ok"] is False and got[4]["n_turns"] == 1
