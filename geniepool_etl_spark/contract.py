@@ -3982,6 +3982,16 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT BINARY EMBEDDINGS (r15 — operators.similarity
+    .binary_sign_topk): sign quantization packs 63 bits into one
+    BIGINT (top-bit-safe under ANSI, the SimHash rule), candidate
+    distance = bit_count(xor) — the 64×-compression retrieval path;
+    queries broadcast, ranking ascends (hamming, id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.binary_sign_topk(emb, emb.where("vec_id < 8"), k=5)
+
+
 def q_text_strip_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MARKDOWN STRIP (r15 — operators.text.strip_markdown):
     README/wiki corpora → plain prose — fenced code DROPS, links/
@@ -12343,6 +12353,28 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["sim_binary_hamming"] = """
+        WITH v AS (
+          SELECT vec_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, 64),
+                     i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                          THEN 1 ELSE 0 END)),
+                   (a, b) -> a * 2 + b) AS bits
+          FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, bits AS qb FROM v
+              WHERE vec_id < 8),
+        s AS (
+          SELECT q.q_id, v.vec_id AS n_id,
+                 CAST(bit_count(xor(q.qb, v.bits)) AS BIGINT)
+                   AS hamming
+          FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id
+        )
+        SELECT q_id, n_id, hamming FROM s
+        QUALIFY row_number() OVER (
+          PARTITION BY q_id ORDER BY hamming, n_id) <= 5
+    """
     o["text_strip_markdown"] = """
         SELECT doc_id,
                'T' || doc_id || chr(10) || chr(10) || 'body b'
@@ -15324,6 +15356,7 @@ SPARK_QUERIES = {
     "text_strip_markdown": q_text_strip_markdown,
     "text_scrub_invisibles": q_text_scrub_invisibles,
     "chat_lint": q_chat_lint,
+    "sim_binary_hamming": q_sim_binary_hamming,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,

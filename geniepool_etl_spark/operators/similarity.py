@@ -1829,3 +1829,66 @@ def hard_negatives(
         .where(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def binary_sign_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 63,
+) -> DataFrame:
+    """1-bit (sign) embedding quantization + Hamming top-k — the
+    64×-compression retrieval path (binary embeddings rerank-then-
+    refine): each vector packs ``bits`` sign bits into ONE BIGINT
+    via a left-to-right fold (63 bits, not 64 — the top bit of a
+    signed long would overflow under ANSI arithmetic, same rule as
+    the SimHash lane), and candidate distance is
+    ``bit_count(xor(a, b))`` — one ALU op per pair instead of a
+    64-dim float dot. Queries broadcast; ranking ascends on
+    (hamming, n_id). Returns (q_id, n_id, hamming).
+
+    At 100 TB: the packed corpus is 8 bytes/vector — 500× smaller
+    than float32×64 — so the scan is bandwidth-trivial and the
+    exact-rerank stage (``cosine_topk`` over the survivors) touches
+    only k·|queries| full vectors.
+    """
+
+    def packed(col: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(bits)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(
+                F.element_at(col, i).cast("double") > 0, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        packed(F.col(vec_col)).alias("q_bits"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        packed(F.col(vec_col)).alias("n_bits"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.bit_count(
+                F.col("q_bits").bitwiseXOR(F.col("n_bits"))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("hamming").asc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )

@@ -8479,3 +8479,27 @@ def test_lint_conversations(spark):
     assert got[2]["ok"] is False and got[2]["n_role_violations"] == 2
     assert got[3]["ok"] is False and got[3]["n_empty"] == 1
     assert got[4]["ok"] is False and got[4]["n_turns"] == 1
+
+
+def test_binary_sign_topk(spark):
+    """r15: 1-bit quantization — identical vectors have hamming 0,
+    a single flipped dimension costs exactly 1 bit, the 64th dim is
+    outside the 63-bit pack (documented)."""
+    from geniepool_etl_spark.operators import similarity as SIMb
+
+    base = [1.0] * 64
+    one_flip = list(base); one_flip[0] = -1.0
+    last_flip = list(base); last_flip[63] = -1.0
+    df = spark.createDataFrame(
+        [(0, base), (1, list(base)), (2, one_flip), (3, last_flip)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["n_id"]: r["hamming"]
+        for r in SIMb.binary_sign_topk(
+            df, df.where("vec_id = 0"), k=3
+        ).collect()
+    }
+    assert got[1] == 0
+    assert got[2] == 1
+    assert got[3] == 0  # dim 64 not packed: documented 63-bit rule
