@@ -3982,6 +3982,27 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_text_lang_script_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANG↔SCRIPT CONSISTENCY (r15): compose script_profile with
+    the declared ``lang`` column — the mislabeled-document gate (a
+    'zh' doc whose text is Latin script is flagged). On THIS
+    synthetic corpus every text is ASCII, so zh-labeled docs are
+    exactly the inconsistent set — the lane proves the gate fires
+    on real label/content disagreement, not on designed toys."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 8)
+    prof = TX.script_profile(docs.select("doc_id", "lang", "text"))
+    expected = F.when(
+        F.col("lang") == "zh", F.lit("cjk")
+    ).otherwise(F.lit("latin"))
+    return prof.select(
+        "doc_id",
+        "lang",
+        "script",
+        expected.alias("expected_script"),
+        (F.col("script") == expected).alias("consistent"),
+    )
+
+
 def q_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-BIT BINARY EMBEDDINGS (r15 — operators.similarity
     .binary_sign_topk): sign quantization packs 63 bits into one
@@ -12353,6 +12374,20 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["text_lang_script_check"] = """
+        SELECT doc_id, lang,
+               CASE WHEN length(text) - length(regexp_replace(text,
+                    '[A-Za-z]', '', 'g')) > 0 THEN 'latin'
+                    ELSE 'und' END AS script,
+               CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END
+                 AS expected_script,
+               (CASE WHEN length(text) - length(regexp_replace(text,
+                     '[A-Za-z]', '', 'g')) > 0 THEN 'latin'
+                     ELSE 'und' END)
+                 = (CASE WHEN lang = 'zh' THEN 'cjk'
+                    ELSE 'latin' END) AS consistent
+        FROM documents WHERE doc_id % 13 = 8
+    """
     o["sim_binary_hamming"] = """
         WITH v AS (
           SELECT vec_id,
@@ -15357,6 +15392,7 @@ SPARK_QUERIES = {
     "text_scrub_invisibles": q_text_scrub_invisibles,
     "chat_lint": q_chat_lint,
     "sim_binary_hamming": q_sim_binary_hamming,
+    "text_lang_script_check": q_text_lang_script_check,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
