@@ -3982,6 +3982,35 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_text_repair_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATED-JSON REPAIR (r15 — operators.text.repair_json): the
+    LLM-structured-output post-processor — a character fold tracks
+    (in_string, escape, bracket stack), then appends the minimal
+    closing suffix (close string → drop trailing comma → complete
+    dangling ':' with null → close stack); validity re-checked with
+    try_parse_json. Designed cases cycle nested-array truncation,
+    mid-string (with brace INSIDE the string), trailing comma,
+    dangling colon, and already-complete. The oracle emits the
+    exact expected repaired literals with is_valid TRUE across the
+    board — an over- or under-close mismatches."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 11)
+    cases = docs.select(
+        "doc_id",
+        F.expr(
+            """CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN '{"a": ' || CAST(doc_id AS STRING)
+                 || ', "b": [2, ' || CAST(doc_id % 9 AS STRING)
+               WHEN 1 THEN '{"k": "v' || CAST(doc_id AS STRING)
+                 || '{x'
+               WHEN 2 THEN '{"a": ' || CAST(doc_id AS STRING) || ','
+               WHEN 3 THEN '{"a' || CAST(doc_id AS STRING) || '":'
+               ELSE '{"done": ' || CAST(doc_id AS STRING) || '}'
+               END"""
+        ).alias("text"),
+    )
+    return TX.repair_json(cases).drop("text")
+
+
 def q_text_lang_script_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LANG↔SCRIPT CONSISTENCY (r15): compose script_profile with
     the declared ``lang`` column — the mislabeled-document gate (a
@@ -12374,6 +12403,23 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["text_repair_json"] = """
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN '{"a": ' || doc_id || ', "b": [2, '
+                   || (doc_id % 9) || ']}'
+                 WHEN 1 THEN '{"k": "v' || doc_id || '{x"}'
+                 WHEN 2 THEN '{"a": ' || doc_id || '}'
+                 WHEN 3 THEN '{"a' || doc_id || '": null}'
+                 ELSE '{"done": ' || doc_id || '}'
+               END AS repaired,
+               CAST(CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 2
+                    WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_closed,
+               doc_id % 5 <> 4 AS was_truncated,
+               TRUE AS is_valid
+        FROM documents WHERE doc_id % 13 = 11
+    """
     o["text_lang_script_check"] = """
         SELECT doc_id, lang,
                CASE WHEN length(text) - length(regexp_replace(text,
@@ -15393,6 +15439,7 @@ SPARK_QUERIES = {
     "chat_lint": q_chat_lint,
     "sim_binary_hamming": q_sim_binary_hamming,
     "text_lang_script_check": q_text_lang_script_check,
+    "text_repair_json": q_text_repair_json,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,

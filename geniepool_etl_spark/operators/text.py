@@ -2677,3 +2677,114 @@ def scrub_invisibles(
         "n_invisible",
         (F.length(t) - F.length(clean)).cast("long"),
     )
+
+
+def repair_json(
+    df: DataFrame, text_col: str = "text", out_col: str = "repaired"
+) -> DataFrame:
+    """Truncated-JSON repair — the post-processor for LLM structured
+    output (generation stops mid-object at max_tokens): ONE
+    character fold tracks (in_string, escape, open-bracket stack) as
+    a struct accumulator, then appends the minimal closing suffix —
+    close the dangling string, drop a trailing comma, complete a
+    dangling ``:`` with ``null``, and close the bracket stack in
+    reverse. Mismatched closers simply pop (the json-repair-library
+    convention); semantic damage beyond truncation is out of scope.
+    ``is_valid`` re-parses the result with ``try_parse_json`` so the
+    claim is checked, not assumed. Zero UDFs; the fold is O(len)
+    per document and LLM outputs are KB-scale.
+
+    Adds ``out_col``, ``n_closed``, ``was_truncated``, ``is_valid``.
+    """
+    t = F.col(text_col)
+    state = F.aggregate(
+        F.split(t, ""),
+        F.struct(
+            F.lit(0).alias("instr"),
+            F.lit(0).alias("esc"),
+            F.lit("").alias("stack"),
+        ),
+        lambda a, c: F.when(
+            a["esc"] == 1,
+            F.struct(
+                F.lit(1).alias("instr"), F.lit(0).alias("esc"),
+                a["stack"].alias("stack"),
+            ),
+        )
+        .when(
+            a["instr"] == 1,
+            F.when(
+                c == "\\",
+                F.struct(
+                    F.lit(1).alias("instr"), F.lit(1).alias("esc"),
+                    a["stack"].alias("stack"),
+                ),
+            )
+            .when(
+                c == '"',
+                F.struct(
+                    F.lit(0).alias("instr"), F.lit(0).alias("esc"),
+                    a["stack"].alias("stack"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.lit(1).alias("instr"), F.lit(0).alias("esc"),
+                    a["stack"].alias("stack"),
+                )
+            ),
+        )
+        .when(
+            c == '"',
+            F.struct(
+                F.lit(1).alias("instr"), F.lit(0).alias("esc"),
+                a["stack"].alias("stack"),
+            ),
+        )
+        .when(
+            (c == "{") | (c == "["),
+            F.struct(
+                F.lit(0).alias("instr"), F.lit(0).alias("esc"),
+                F.concat(a["stack"], c).alias("stack"),
+            ),
+        )
+        .when(
+            (c == "}") | (c == "]"),
+            F.struct(
+                F.lit(0).alias("instr"), F.lit(0).alias("esc"),
+                F.substring(
+                    a["stack"], F.lit(1), F.length(a["stack"]) - 1
+                ).alias("stack"),
+            ),
+        )
+        .otherwise(a),
+    )
+    base = F.concat(
+        t, F.when(state["instr"] == 1, F.lit('"')).otherwise(F.lit(""))
+    )
+    base = F.regexp_replace(base, r",\s*$", "")
+    base = F.when(
+        base.rlike(r":\s*$"), F.concat(base, F.lit(" null"))
+    ).otherwise(base)
+    closers = F.array_join(
+        F.transform(
+            F.reverse(F.split(state["stack"], "")),
+            lambda c: F.when(c == "{", F.lit("}"))
+            .when(c == "[", F.lit("]"))
+            .otherwise(F.lit("")),
+        ),
+        "",
+    )
+    repaired = F.concat(base, closers)
+    return (
+        df.withColumn(out_col, repaired)
+        .withColumn(
+            "n_closed",
+            (F.length(state["stack"]) + state["instr"]).cast("long"),
+        )
+        .withColumn("was_truncated", F.col(out_col) != t)
+        .withColumn(
+            "is_valid",
+            F.expr(f"try_parse_json({out_col}) IS NOT NULL"),
+        )
+    )

@@ -8503,3 +8503,29 @@ def test_binary_sign_topk(spark):
     assert got[1] == 0
     assert got[2] == 1
     assert got[3] == 0  # dim 64 not packed: documented 63-bit rule
+
+
+def test_repair_json(spark):
+    """r15: JSON repair — escaped quotes inside strings, brace
+    inside a dangling string, trailing comma/colon completions, and
+    complete input untouched; every repaired output re-parses."""
+    from geniepool_etl_spark.operators import text as TXj
+
+    rows = [
+        (1, '{"a": 1, "b": [2, 3'),
+        (2, '{"s": "x \\"q\\" y'),
+        (3, '{"a": 1,'),
+        (4, '{"a":'),
+        (5, '{"done": true}'),
+        (6, '[[1, [2'),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in TXj.repair_json(df).collect()}
+    assert got[1]["repaired"] == '{"a": 1, "b": [2, 3]}'
+    assert got[2]["repaired"] == '{"s": "x \\"q\\" y"}'
+    assert got[3]["repaired"] == '{"a": 1}'
+    assert got[4]["repaired"] == '{"a": null}'
+    assert got[5]["repaired"] == '{"done": true}'
+    assert got[5]["was_truncated"] is False
+    assert got[6]["repaired"] == "[[1, [2]]]"
+    assert all(r["is_valid"] for r in got.values())
