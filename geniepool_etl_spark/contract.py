@@ -3982,6 +3982,45 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def q_pref_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR PREP (r15 — operators.sampling
+    .build_preference_pairs): DPO data — per prompt elect
+    highest/lowest-rated candidates with deterministic id
+    tie-breaks as struct max/min inside ONE grouped aggregate (no
+    window over the prompt key); zero-margin prompts drop."""
+    from geniepool_etl_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 10)
+    ratings = docs.select(
+        F.col("doc_id").alias("prompt_id"),
+        F.explode(
+            F.expr("sequence(0, CAST(1 + doc_id % 3 AS INT))")
+        ).alias("cand_id"),
+    ).select(
+        "prompt_id",
+        F.col("cand_id").cast("long").alias("cand_id"),
+        ((F.col("prompt_id") + 7 * F.col("cand_id")) % 10)
+        .alias("rating"),
+    )
+    return SMP.build_preference_pairs(ratings)
+
+
+def q_label_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA (r15 — operators.sampling.cohen_kappa):
+    inter-annotator agreement for labeled-data QC — exact integer
+    contingency algebra (κ as one N²-scaled ratio) over designed
+    correlated annotator labels."""
+    from geniepool_etl_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 12)
+    labels = docs.select(
+        (F.col("doc_id") % 3).alias("label_a"),
+        ((F.col("doc_id") + F.floor(F.col("doc_id") / 7)) % 3)
+        .alias("label_b"),
+    )
+    return SMP.cohen_kappa(labels)
+
+
 def q_text_repair_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUNCATED-JSON REPAIR (r15 — operators.text.repair_json): the
     LLM-structured-output post-processor — a character fold tracks
@@ -12403,6 +12442,59 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["pref_pairs_build"] = """
+        WITH r AS (
+          SELECT doc_id AS prompt_id, CAST(c AS BIGINT) AS cand_id,
+                 (doc_id + 7 * c) % 10 AS rating
+          FROM documents, UNNEST(range(2 + doc_id % 3)) AS u(c)
+          WHERE doc_id % 13 = 10
+        ),
+        hi AS (
+          SELECT prompt_id, cand_id AS chosen_id,
+                 rating AS chosen_rating
+          FROM r QUALIFY row_number() OVER (
+            PARTITION BY prompt_id
+            ORDER BY rating DESC, cand_id) = 1
+        ),
+        lo AS (
+          SELECT prompt_id, cand_id AS rejected_id,
+                 rating AS rejected_rating
+          FROM r QUALIFY row_number() OVER (
+            PARTITION BY prompt_id
+            ORDER BY rating, cand_id) = 1
+        )
+        SELECT prompt_id, chosen_id, rejected_id, chosen_rating,
+               rejected_rating,
+               chosen_rating - rejected_rating AS margin
+        FROM hi JOIN lo USING (prompt_id)
+        WHERE chosen_rating - rejected_rating > 0
+    """
+    o["label_cohen_kappa"] = """
+        WITH l AS (
+          SELECT doc_id % 3 AS a,
+                 (doc_id + doc_id // 7) % 3 AS b
+          FROM documents WHERE doc_id % 13 = 12
+        ),
+        cells AS (SELECT a, b, count(*) AS n FROM l GROUP BY a, b),
+        am AS (SELECT a, sum(n) AS na FROM cells GROUP BY a),
+        bm AS (SELECT b, sum(n) AS nb FROM cells GROUP BY b),
+        ch AS (
+          SELECT sum(na * nb) AS sum_ab
+          FROM am JOIN bm ON am.a = bm.b
+        ),
+        o AS (
+          SELECT sum(n) AS n_items,
+                 sum(CASE WHEN a = b THEN n ELSE 0 END) AS n_agree
+          FROM cells
+        )
+        SELECT CAST(n_items AS BIGINT) AS n_items,
+               CAST(n_agree AS BIGINT) AS n_agree,
+               round(CAST(n_items * n_agree - coalesce(sum_ab, 0)
+                     AS DOUBLE)
+                     / (n_items * n_items - coalesce(sum_ab, 0)), 4)
+                 AS kappa
+        FROM o, ch
+    """
     o["text_repair_json"] = """
         SELECT doc_id,
                CASE doc_id % 5
@@ -15440,6 +15532,8 @@ SPARK_QUERIES = {
     "sim_binary_hamming": q_sim_binary_hamming,
     "text_lang_script_check": q_text_lang_script_check,
     "text_repair_json": q_text_repair_json,
+    "pref_pairs_build": q_pref_pairs_build,
+    "label_cohen_kappa": q_label_cohen_kappa,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,

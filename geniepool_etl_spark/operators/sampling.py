@@ -274,3 +274,95 @@ def mixture_temperature(
         F.round(w * F.col("_total") / F.col("n_tokens"), 4)
         .alias("epochs"),
     )
+
+
+def build_preference_pairs(
+    ratings: DataFrame,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """DPO/RLHF preference-pair prep: per prompt, elect the
+    highest-rated candidate as ``chosen`` and the lowest as
+    ``rejected`` (deterministic tie-breaks: lowest candidate id on
+    either side), drop prompts whose ratings are all equal (margin
+    0 carries no preference signal).
+
+    ONE grouped aggregate — the election rides as ``max``/``min``
+    over (rating, ∓id) struct orderings, so there is no window over
+    the prompt key and no second shuffle. Returns (prompt_id,
+    chosen_id, rejected_id, chosen_rating, rejected_rating,
+    margin)."""
+    hi = F.max(
+        F.struct(
+            F.col(rating_col).alias("r"),
+            (-F.col(cand_col)).alias("negid"),
+        )
+    )
+    lo = F.min(
+        F.struct(
+            F.col(rating_col).alias("r"),
+            F.col(cand_col).alias("id"),
+        )
+    )
+    agg = ratings.groupBy(prompt_col).agg(
+        hi.alias("_hi"), lo.alias("_lo")
+    )
+    return (
+        agg.select(
+            F.col(prompt_col),
+            (-F.col("_hi.negid")).alias("chosen_id"),
+            F.col("_lo.id").alias("rejected_id"),
+            F.col("_hi.r").alias("chosen_rating"),
+            F.col("_lo.r").alias("rejected_rating"),
+            (F.col("_hi.r") - F.col("_lo.r")).alias("margin"),
+        )
+        .where(F.col("margin") > 0)
+    )
+
+
+def cohen_kappa(
+    labels: DataFrame,
+    a_col: str = "label_a",
+    b_col: str = "label_b",
+) -> DataFrame:
+    """Inter-annotator agreement (Cohen's κ) for labeled-data QC —
+    the go/no-go number before trusting a rating pipeline:
+    ``κ = (p_o − p_e) / (1 − p_e)`` with observed agreement ``p_o``
+    and chance agreement ``p_e = Σ_k p_a(k)·p_b(k)``.
+
+    Exact integer contingency algebra until the single final
+    division: ``κ_num = N·Σ_k n_kk − Σ_k a_k·b_k`` over
+    ``κ_den = N² − Σ_k a_k·b_k`` (multiply p_o, p_e by N²) — so the
+    one-row result replays bit-identically. Returns (n_items,
+    n_agree, kappa)."""
+    pair = labels.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    cells = pair.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    a_marg = cells.groupBy("a").agg(F.sum("n").alias("na"))
+    b_marg = cells.groupBy("b").agg(F.sum("n").alias("nb"))
+    chance = (
+        a_marg.join(b_marg, F.col("a") == F.col("b"))
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("sum_ab"))
+    )
+    obs = cells.agg(
+        F.sum("n").alias("n_items"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n"))
+              .otherwise(F.lit(0))).alias("n_agree"),
+    )
+    return obs.crossJoin(F.broadcast(chance)).select(
+        "n_items",
+        "n_agree",
+        F.round(
+            (
+                F.col("n_items") * F.col("n_agree")
+                - F.coalesce(F.col("sum_ab"), F.lit(0))
+            ).cast("double")
+            / (
+                F.col("n_items") * F.col("n_items")
+                - F.coalesce(F.col("sum_ab"), F.lit(0))
+            ),
+            4,
+        ).alias("kappa"),
+    )

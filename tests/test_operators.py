@@ -8529,3 +8529,28 @@ def test_repair_json(spark):
     assert got[5]["was_truncated"] is False
     assert got[6]["repaired"] == "[[1, [2]]]"
     assert all(r["is_valid"] for r in got.values())
+
+
+def test_preference_pairs_and_kappa(spark):
+    """r15: DPO pair election with tie-breaks + hand-computed κ on
+    the textbook 2×2 table."""
+    from geniepool_etl_spark.operators import sampling as SMpk
+
+    ratings = spark.createDataFrame(
+        [(1, 0, 5), (1, 1, 9), (1, 2, 9), (1, 3, 2),
+         (2, 0, 4), (2, 1, 4)],
+        "prompt_id long, cand_id long, rating long",
+    )
+    pairs = {r["prompt_id"]: r
+             for r in SMpk.build_preference_pairs(ratings).collect()}
+    # tie at 9 -> lowest cand_id wins chosen; prompt 2 all-equal drops
+    assert pairs[1]["chosen_id"] == 1 and pairs[1]["rejected_id"] == 3
+    assert pairs[1]["margin"] == 7 and 2 not in pairs
+
+    # classic: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    labels = spark.createDataFrame(rows, "label_a string, label_b string")
+    r = SMpk.cohen_kappa(labels).collect()[0]
+    # po = 35/50; pe = (25*30 + 25*20)/2500 = 0.5 ; κ = 0.4
+    assert (r["n_items"], r["n_agree"], r["kappa"]) == (50, 35, 0.4)
