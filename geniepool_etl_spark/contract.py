@@ -3982,6 +3982,70 @@ def q_docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ZD.extract_docx_text(ZD.synth_docx_assets(params))
 
 
+def _bt_oracle(n_iter: int = 3) -> str:
+    """Generated Bradley-Terry MM replay — one (denominator, raw,
+    renormalize) CTE triple per iteration, the PCA-power pattern."""
+    head = """
+WITH m AS (
+  SELECT doc_id % 5 AS a,
+         (doc_id % 5 + 1 + (doc_id // 5) % 4) % 5 AS b,
+         CASE WHEN doc_id % 3 > 0 THEN doc_id % 5
+              ELSE (doc_id % 5 + 1 + (doc_id // 5) % 4) % 5 END AS w
+  FROM documents WHERE doc_id % 13 = 1
+),
+d AS (SELECT a AS i, b AS j, w FROM m
+      UNION ALL SELECT b, a, w FROM m),
+pairs AS (SELECT i, j, count(*) AS n FROM d GROUP BY i, j),
+wins AS (SELECT i, count(*) AS wi FROM d WHERE w = i GROUP BY i),
+cnt AS (SELECT count(DISTINCT i) AS k FROM pairs),
+r0 AS (SELECT DISTINCT i, 1.0 AS r FROM pairs)"""
+    parts = [head]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+den{t} AS (
+  SELECT p.i, sum(p.n / (ri.r + rj.r)) AS den
+  FROM pairs p JOIN r{t - 1} ri ON ri.i = p.i
+  JOIN r{t - 1} rj ON rj.i = p.j GROUP BY p.i
+),
+raw{t} AS (
+  SELECT wins.i, wins.wi / den{t}.den AS raw
+  FROM wins JOIN den{t} ON wins.i = den{t}.i
+),
+r{t} AS (
+  SELECT i, raw / (SELECT sum(raw) FROM raw{t})
+            * (SELECT k FROM cnt) AS r
+  FROM raw{t}
+)""")
+    parts.append(
+        f"\nSELECT i AS item, round(r, 4) AS rating FROM r{n_iter}"
+    )
+    return "".join(parts)
+
+
+def q_rank_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY RATINGS (r15 — operators.sampling
+    .bradley_terry): the RLHF-leaderboard model — 3 Hunter-MM
+    rounds over designed 5-item pairwise matches (outcomes biased
+    2:1 toward the first side); per round the TINY ratings table
+    broadcasts into the pair aggregate, match data shuffles exactly
+    once. The oracle is a GENERATED per-iteration CTE replay."""
+    from geniepool_etl_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 1)
+    matches = docs.select(
+        F.expr("doc_id % 5").alias("a"),
+        F.expr(
+            "(doc_id % 5 + 1 + (doc_id div 5) % 4) % 5"
+        ).alias("b"),
+        F.expr(
+            """CASE WHEN doc_id % 3 > 0 THEN doc_id % 5
+               ELSE (doc_id % 5 + 1 + (doc_id div 5) % 4) % 5
+               END"""
+        ).alias("winner"),
+    )
+    return SMP.bradley_terry(matches, n_iter=3)
+
+
 def q_pref_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PREFERENCE-PAIR PREP (r15 — operators.sampling
     .build_preference_pairs): DPO data — per prompt elect
@@ -12442,6 +12506,7 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["rank_bradley_terry"] = _bt_oracle()
     o["pref_pairs_build"] = """
         WITH r AS (
           SELECT doc_id AS prompt_id, CAST(c AS BIGINT) AS cand_id,
@@ -15533,6 +15598,7 @@ SPARK_QUERIES = {
     "text_lang_script_check": q_text_lang_script_check,
     "text_repair_json": q_text_repair_json,
     "pref_pairs_build": q_pref_pairs_build,
+    "rank_bradley_terry": q_rank_bradley_terry,
     "label_cohen_kappa": q_label_cohen_kappa,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,

@@ -366,3 +366,71 @@ def cohen_kappa(
             4,
         ).alias("kappa"),
     )
+
+
+def bradley_terry(
+    matches: DataFrame,
+    n_iter: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+    winner_col: str = "winner",
+) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise outcomes — the
+    model behind RLHF preference leaderboards (Chatbot-Arena-style)
+    — via ``n_iter`` rounds of Hunter's (2004) MM update
+
+        r_i ← W_i / Σ_j n_ij / (r_i + r_j)
+
+    from the deterministic all-ones start, renormalized each round
+    to Σr = |items| so the scale is pinned. Every round is two
+    broadcast joins of the TINY ratings table into the pair-count
+    aggregate — match data shuffles once (the pair groupBy) and the
+    iteration never touches it again. Fixed ``n_iter`` keeps the
+    whole thing an expression chain an external engine replays
+    round by round (the PCA-power-oracle pattern). Returns
+    ``(item, rating)`` rounded to 4.
+    """
+    directed = matches.select(
+        F.col(a_col).alias("i"), F.col(b_col).alias("j"),
+        F.col(winner_col).alias("w"),
+    ).unionByName(
+        matches.select(
+            F.col(b_col).alias("i"), F.col(a_col).alias("j"),
+            F.col(winner_col).alias("w"),
+        )
+    )
+    both = directed.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wins = directed.where(F.col("w") == F.col("i")).groupBy("i").agg(
+        F.count(F.lit(1)).alias("wi")
+    )
+    items = both.select("i").distinct()
+    n_items = items.count()
+    r = items.select("i", F.lit(1.0).alias("r"))
+    for _ in range(n_iter):
+        ri = r.select(F.col("i").alias("_ii"), F.col("r").alias("_ri"))
+        rj = r.select(F.col("i").alias("_jj"), F.col("r").alias("_rj"))
+        den = (
+            both.join(F.broadcast(ri), F.col("i") == F.col("_ii"))
+            .join(F.broadcast(rj), F.col("j") == F.col("_jj"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("n") / (F.col("_ri") + F.col("_rj"))
+                ).alias("den")
+            )
+        )
+        raw = wins.join(den, "i").select(
+            "i", (F.col("wi") / F.col("den")).alias("raw")
+        )
+        tot = raw.agg(F.sum("raw").alias("_s"))
+        r = raw.crossJoin(F.broadcast(tot)).select(
+            "i",
+            (F.col("raw") / F.col("_s") * F.lit(float(n_items)))
+            .alias("r"),
+        )
+        r = r.localCheckpoint(eager=False)
+    return r.select(
+        F.col("i").alias("item"), F.round("r", 4).alias("rating")
+    )

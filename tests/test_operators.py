@@ -8554,3 +8554,37 @@ def test_preference_pairs_and_kappa(spark):
     r = SMpk.cohen_kappa(labels).collect()[0]
     # po = 35/50; pe = (25*30 + 25*20)/2500 = 0.5 ; κ = 0.4
     assert (r["n_items"], r["n_agree"], r["kappa"]) == (50, 35, 0.4)
+
+
+def test_bradley_terry(spark):
+    """r15: BT ratings — a dominant item (wins every match) rates
+    strictly highest after 3 MM rounds; ratings renormalize to the
+    item count; a numpy replay of the same rounds agrees."""
+    from geniepool_etl_spark.operators import sampling as SMbt
+
+    rows = []
+    # 0 beats everyone twice; 1 beats 2 twice; 2 beats 1 once
+    for j in (1, 2):
+        rows += [(0, j, 0), (0, j, 0)]
+    rows += [(1, 2, 1), (1, 2, 1), (1, 2, 2)]
+    df = spark.createDataFrame(rows, "a long, b long, winner long")
+    got = {r["item"]: r["rating"]
+           for r in SMbt.bradley_terry(df, n_iter=3).collect()}
+    assert got[0] == max(got.values())
+    assert got[2] == min(got.values())
+    assert abs(sum(got.values()) - 3.0) < 0.01
+
+    import numpy as np
+    n = np.zeros((3, 3)); w = np.zeros(3)
+    for a, b, win in rows:
+        n[a][b] += 1; n[b][a] += 1; w[win] += 1
+    r = np.ones(3)
+    for _ in range(3):
+        den = np.array([
+            sum(n[i][j] / (r[i] + r[j]) for j in range(3) if j != i)
+            for i in range(3)
+        ])
+        raw = w / den
+        r = raw / raw.sum() * 3
+    for i in range(3):
+        assert abs(got[i] - r[i]) < 6e-5
