@@ -4022,6 +4022,41 @@ r{t} AS (
     return "".join(parts)
 
 
+def q_rss_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS 2.0 FEED PARSE (r15 — operators.cdx.parse_rss): the
+    news/blog corpus source next to sitemap.xml — from_xml against a
+    typed channel/item schema, RFC-822 pubDate (English day/month
+    names, GMT zone) parsed to exact epoch seconds (the
+    cross-engine-stable rendering), absent description → null
+    length. Designed feeds carry 2-3 items with closed-form
+    fields."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 4)
+    feeds = docs.select(
+        F.col("doc_id").alias("feed_id"),
+        F.expr(
+            """'<rss version="2.0"><channel><title>Feed '
+               || CAST(doc_id AS STRING) || '</title>'
+               || array_join(transform(
+                    sequence(0, CAST(1 + doc_id % 2 AS INT)),
+                    i -> '<item><title>Item ' || CAST(i AS STRING)
+                      || ' f' || CAST(doc_id AS STRING) || '</title>'
+                      || '<link>https://f' || CAST(doc_id % 7 AS STRING)
+                      || '.example/i/' || CAST(i AS STRING) || '</link>'
+                      || '<pubDate>Mon, 15 Jan 2024 06:30:'
+                      || lpad(CAST((doc_id + i) % 60 AS STRING), 2, '0')
+                      || ' GMT</pubDate>'
+                      || CASE WHEN i % 2 = 0
+                         THEN '<description>'
+                           || repeat('d', CAST(1 + (doc_id + i) % 5 AS INT))
+                           || '</description>'
+                         ELSE '' END
+                      || '</item>'), '')
+               || '</channel></rss>'"""
+        ).alias("xml"),
+    )
+    return CDX.parse_rss(feeds)
+
+
 def q_rank_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BRADLEY-TERRY RATINGS (r15 — operators.sampling
     .bradley_terry): the RLHF-leaderboard model — 3 Hunter-MM
@@ -12506,6 +12541,23 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["rss_parse"] = """
+        WITH d AS (
+          SELECT doc_id AS feed_id, 2 + doc_id % 2 AS n
+          FROM documents WHERE doc_id % 13 = 4
+        )
+        SELECT feed_id, 'Feed ' || feed_id AS feed_title,
+               CAST(i AS INTEGER) AS item_idx,
+               'Item ' || i || ' f' || feed_id AS title,
+               'https://f' || (feed_id % 7) || '.example/i/' || i
+                 AS link,
+               CAST(1705300200 + (feed_id + i) % 60 AS BIGINT)
+                 AS pub_epoch,
+               CASE WHEN i % 2 = 0
+                    THEN CAST(1 + (feed_id + i) % 5 AS BIGINT)
+               END AS desc_len
+        FROM d, UNNEST(range(n)) AS u(i)
+    """
     o["rank_bradley_terry"] = _bt_oracle()
     o["pref_pairs_build"] = """
         WITH r AS (
@@ -15599,6 +15651,7 @@ SPARK_QUERIES = {
     "text_repair_json": q_text_repair_json,
     "pref_pairs_build": q_pref_pairs_build,
     "rank_bradley_terry": q_rank_bradley_terry,
+    "rss_parse": q_rss_parse,
     "label_cohen_kappa": q_label_cohen_kappa,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,

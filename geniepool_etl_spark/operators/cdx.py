@@ -199,3 +199,56 @@ def extract_anchors(
             href.rlike("^(?i)https?://"), surt_key(href)
         ).alias("urlkey"),
     )
+
+
+RSS_SCHEMA = (
+    "channel struct<title: string, item: array<struct<"
+    "title: string, link: string, pubDate: string, "
+    "description: string>>>"
+)
+
+
+def parse_rss(
+    df: DataFrame, xml_col: str = "xml", id_col: str = "feed_id"
+) -> DataFrame:
+    """RSS 2.0 feed → one row per ``<item>`` (the news/blog corpus
+    source format next to sitemap.xml): ``from_xml`` against a
+    typed schema, item array exploded, and the RFC-822 ``pubDate``
+    (``Mon, 15 Jan 2024 06:30:00 GMT``) parsed to exact epoch
+    SECONDS — integer epoch is the cross-engine-stable rendering of
+    a timestamp. Missing optional tags surface as nulls; malformed
+    XML yields a null struct → zero rows, never a failed task."""
+    parsed = df.select(
+        F.col(id_col),
+        F.from_xml(F.col(xml_col), RSS_SCHEMA).alias("_p"),
+    )
+    items = parsed.select(
+        id_col,
+        F.col("_p.channel.title").alias("feed_title"),
+        F.posexplode(F.col("_p.channel.item")).alias("item_idx", "_i"),
+    )
+    return items.select(
+        id_col,
+        "feed_title",
+        "item_idx",
+        F.col("_i.title").alias("title"),
+        F.col("_i.link").alias("link"),
+        # Spark's (non-legacy) parser rejects day-of-week fields, so
+        # the RFC-822 'Mon, ' prefix strips and the GMT/UT names map
+        # to a +0000 offset parsed with 'Z' — timezone-proof (the
+        # instant is absolute regardless of session tz).
+        F.unix_timestamp(
+            F.to_timestamp(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_i.pubDate"), r"^[A-Za-z]{3},\s*", ""
+                    ),
+                    r"\s*(GMT|UT|Z)$",
+                    " +0000",
+                ),
+                "dd MMM yyyy HH:mm:ss Z",
+            )
+        ).alias("pub_epoch"),
+        F.length(F.col("_i.description")).cast("long")
+        .alias("desc_len"),
+    )

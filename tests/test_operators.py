@@ -8588,3 +8588,26 @@ def test_bradley_terry(spark):
         r = raw / raw.sum() * 3
     for i in range(3):
         assert abs(got[i] - r[i]) < 6e-5
+
+
+def test_parse_rss(spark):
+    """r15: RSS — RFC-822 pubDate with offset form and GMT-name
+    form parse to the same absolute epoch; malformed XML yields
+    zero rows, not an error."""
+    from geniepool_etl_spark.operators import cdx as CDXr
+
+    feed = (
+        '<rss version="2.0"><channel><title>T</title>'
+        "<item><title>a</title><link>l</link>"
+        "<pubDate>Mon, 15 Jan 2024 06:30:00 GMT</pubDate></item>"
+        "<item><title>b</title><link>m</link>"
+        "<pubDate>15 Jan 2024 06:30:00 +0000</pubDate></item>"
+        "</channel></rss>"
+    )
+    df = spark.createDataFrame(
+        [(1, feed), (2, "<not xml")], "feed_id long, xml string"
+    )
+    rows = CDXr.parse_rss(df).collect()
+    assert len(rows) == 2
+    assert all(r["pub_epoch"] == 1705300200 for r in rows)
+    assert {r["title"] for r in rows} == {"a", "b"}
