@@ -4022,6 +4022,47 @@ r{t} AS (
     return "".join(parts)
 
 
+def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON KEY PROFILE (r15 — operators.text.json_key_profile):
+    schema discovery over raw JSONL — map<string,string> parse,
+    key explode, per-key presence + type-guess counts; designed
+    docs carry always-present int/string/bool keys and an
+    evens-only float key."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 2)
+    cases = docs.select(
+        "doc_id",
+        F.expr(
+            """'{"id": ' || CAST(doc_id AS STRING)
+               || ', "name": "n' || CAST(doc_id AS STRING) || '"'
+               || CASE WHEN doc_id % 2 = 0
+                  THEN ', "score": ' || CAST(doc_id % 5 AS STRING)
+                    || '.5' ELSE '' END
+               || ', "flag": '
+               || CASE WHEN doc_id % 3 = 0 THEN 'true'
+                  ELSE 'false' END || '}'"""
+        ).alias("json"),
+    )
+    return TX.json_key_profile(cases)
+
+
+def q_text_normalize_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUNCT NORMALIZATION (r15 — operators.text.normalize_punct):
+    typographic folding (curly quotes/dashes/NBSP via one translate,
+    expanding ellipsis via one regexp) — tokenizer-vocab hygiene;
+    %4==1 docs are plain ASCII and must pass through unchanged."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 3)
+    cases = docs.select(
+        "doc_id",
+        F.expr(
+            """CASE WHEN doc_id % 4 = 1
+               THEN 'plain ' || CAST(doc_id AS STRING)
+               ELSE '‘x’ “y” ' || CAST(doc_id AS STRING) || ' –…'
+               END"""
+        ).alias("text"),
+    )
+    return TX.normalize_punct(cases).drop("text")
+
+
 def q_rss_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS 2.0 FEED PARSE (r15 — operators.cdx.parse_rss): the
     news/blog corpus source next to sitemap.xml — from_xml against a
@@ -12541,6 +12582,33 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["json_key_profile"] = """
+        WITH d AS (
+          SELECT doc_id FROM documents WHERE doc_id % 13 = 2
+        ),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0
+                     END) AS BIGINT) AS evens
+          FROM d
+        )
+        SELECT 'id' AS key, n AS n_docs, n AS n_int,
+               CAST(0 AS BIGINT) AS n_float,
+               CAST(0 AS BIGINT) AS n_bool,
+               CAST(0 AS BIGINT) AS n_other FROM s
+        UNION ALL SELECT 'name', n, 0, 0, 0, n FROM s
+        UNION ALL SELECT 'score', evens, 0, evens, 0, 0 FROM s
+        UNION ALL SELECT 'flag', n, 0, 0, n, 0 FROM s
+    """
+    o["text_normalize_punct"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 1
+                    THEN 'plain ' || doc_id
+                    ELSE '''x'' "y" ' || doc_id || ' -...'
+               END AS norm,
+               doc_id % 4 <> 1 AS was_changed
+        FROM documents WHERE doc_id % 13 = 3
+    """
     o["rss_parse"] = """
         WITH d AS (
           SELECT doc_id AS feed_id, 2 + doc_id % 2 AS n
@@ -15652,6 +15720,8 @@ SPARK_QUERIES = {
     "pref_pairs_build": q_pref_pairs_build,
     "rank_bradley_terry": q_rank_bradley_terry,
     "rss_parse": q_rss_parse,
+    "json_key_profile": q_json_key_profile,
+    "text_normalize_punct": q_text_normalize_punct,
     "label_cohen_kappa": q_label_cohen_kappa,
     "text_zipf_slope": q_text_zipf_slope,
     "text_fix_mojibake": q_text_fix_mojibake,

@@ -2788,3 +2788,57 @@ def repair_json(
             F.expr(f"try_parse_json({out_col}) IS NOT NULL"),
         )
     )
+
+
+def json_key_profile(
+    df: DataFrame, json_col: str = "json", id_col: str = "doc_id"
+) -> DataFrame:
+    """Schema profiling over raw JSONL (the look-before-you-declare
+    step for a drifting feed): parse each document as
+    ``map<string,string>`` (scalars coerce to their text), explode
+    keys, and aggregate per key — presence count, and type-guess
+    counts from the value text (integer / decimal / boolean /
+    other). Malformed documents parse to null maps and simply
+    contribute nothing. Returns (key, n_docs, n_int, n_float,
+    n_bool, n_other) sorted-stable by key."""
+    m = F.from_json(F.col(json_col), "map<string,string>")
+    kv = df.select(F.explode(m).alias("key", "v"))
+    is_int = F.col("v").rlike(r"^-?\d+$")
+    is_float = F.col("v").rlike(r"^-?\d+\.\d+$")
+    is_bool = F.col("v").isin("true", "false")
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(is_int, 1).otherwise(0)).alias("n_int"),
+            F.sum(F.when(is_float, 1).otherwise(0)).alias("n_float"),
+            F.sum(F.when(is_bool, 1).otherwise(0)).alias("n_bool"),
+            F.sum(
+                F.when(is_int | is_float | is_bool, 0).otherwise(1)
+            ).alias("n_other"),
+        )
+    )
+
+
+#: typographic → ASCII punctuation (1:1 map, rides one translate):
+#: curly single/double quotes, prime marks, en/em/minus dashes, NBSP
+#: and narrow NBSP.
+_PUNCT_FROM = "‘’“”′″–—−  "
+_PUNCT_TO = "''\"\"'\"---  "
+
+
+def normalize_punct(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm"
+) -> DataFrame:
+    """Typographic-punctuation folding (the tokenizer-vocab hygiene
+    step — curly quotes and dash variants otherwise fragment the
+    vocab): one ``translate`` for every 1:1 mapping plus a single
+    ``regexp_replace`` for the expanding ellipsis (… → ...). Adds
+    ``out_col`` and ``was_changed``."""
+    t = F.col(text_col)
+    norm = F.regexp_replace(
+        F.translate(t, _PUNCT_FROM, _PUNCT_TO), "…", "..."
+    )
+    return df.withColumn(out_col, norm).withColumn(
+        "was_changed", norm != t
+    )

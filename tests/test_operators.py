@@ -8611,3 +8611,32 @@ def test_parse_rss(spark):
     assert len(rows) == 2
     assert all(r["pub_epoch"] == 1705300200 for r in rows)
     assert {r["title"] for r in rows} == {"a", "b"}
+
+
+def test_json_profile_and_punct(spark):
+    """r15: JSON key profiling (type guesses; malformed docs drop)
+    + punct folding idempotence."""
+    from geniepool_etl_spark.operators import text as TXp2
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 2.5}'), (3, "junk")],
+        "doc_id long, json string",
+    )
+    got = {r["key"]: tuple(r)[1:]
+           for r in TXp2.json_key_profile(df).collect()}
+    assert got["a"] == (2, 1, 1, 0, 0)
+    assert got["b"] == (1, 0, 0, 0, 1)
+
+    p = spark.createDataFrame(
+        [(1, "‘q’—…"), (2, "done.")], "id long, text string"
+    )
+    rows = {r["id"]: r for r in TXp2.normalize_punct(p).collect()}
+    assert rows[1]["norm"] == "'q'-..."
+    assert rows[2]["was_changed"] is False
+    # idempotent: normalizing the normalized text changes nothing
+    again = TXp2.normalize_punct(
+        p.select("id", F.col("text")).withColumn(
+            "text", F.lit("'q'-...")
+        )
+    ).collect()[0]
+    assert again["was_changed"] is False
