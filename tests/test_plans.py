@@ -227,6 +227,13 @@ _INTENDED_CROSS = {
     "text_bpe_encode",  # per-round 1-row argmax winner broadcast (bpe pattern)
     "text_bpe_byte_fallback",  # same winner broadcast + 1-row char-inventory broadcast
     "text_unigram_lm",  # 1-row vocab-cost-map broadcast per E-step
+    "sim_maxsim_topk",  # 6-query token-bag broadcast (cosine_topk shape)
+    "sim_hard_negatives",  # 6-pair query broadcast (cosine_topk shape)
+    "sim_binary_hamming",  # 8-query packed-bits broadcast (same shape)
+    "text_kneser_ney",  # 1-row bigram-type-total broadcast (tfidf pattern)
+    "text_blocklist",  # 1-row two-array term-inventory broadcast
+    "sample_mixture_temperature",  # 1-row (Σn^α, Σn) frame broadcast
+    "label_cohen_kappa",  # 1-row chance-agreement frame broadcast
     "text_unigram_vocab",  # same training plan (shared _unigram_train)
     "text_wordpiece",  # 1-row vocab-presence-map broadcast
     "a19_loghist_quantiles",  # tiny sketch frame × 3-row quantile-target broadcast
