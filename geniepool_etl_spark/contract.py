@@ -4022,6 +4022,63 @@ r{t} AS (
     return "".join(parts)
 
 
+def q_bitext_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEXT LENGTH-RATIO GATE (r15 — operators.text
+    .bitext_length_gate): the first MT-corpus filter — designed
+    pairs cycle aligned (ratio ≈ 1000, keep), 4× over-long target
+    (4000 milli, drop) and ¼ under-short (≤ 250 milli, drop); pure
+    integer milli arithmetic."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 9)
+    pairs = docs.select(
+        "doc_id",
+        F.expr(
+            r"""array_join(slice(split(trim(lower(text)), '\\s+'),
+                 1, CAST(8 + doc_id % 5 AS INT)), ' ')"""
+        ).alias("src"),
+        F.expr(
+            r"""array_join(transform(sequence(1,
+                 CAST(CASE CAST(doc_id % 4 AS INT)
+                   WHEN 1 THEN (8 + doc_id % 5) * 4
+                   WHEN 2 THEN greatest(1, (8 + doc_id % 5) div 4)
+                   ELSE 8 + doc_id % 5 + 1 END AS INT)),
+                 i -> 'w' || CAST(i AS STRING)), ' ')"""
+        ).alias("tgt"),
+    )
+    return TX.bitext_length_gate(pairs).drop("src", "tgt")
+
+
+def q_atom_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOM FEED PARSE (r15 — operators.cdx.parse_atom): RFC 4287 —
+    the entry link is an ATTRIBUTE (Spark-XML ``_href`` convention)
+    and <updated> is ISO-8601-Z cast to absolute epoch seconds;
+    absent summary → null length."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 7)
+    feeds = docs.select(
+        F.col("doc_id").alias("feed_id"),
+        F.expr(
+            """'<feed xmlns="http://www.w3.org/2005/Atom"><title>AF '
+               || CAST(doc_id AS STRING) || '</title>'
+               || array_join(transform(
+                    sequence(0, CAST(1 + doc_id % 2 AS INT)),
+                    i -> '<entry><title>e' || CAST(i AS STRING)
+                      || ' f' || CAST(doc_id AS STRING) || '</title>'
+                      || '<link href="https://a' || CAST(doc_id % 7 AS STRING)
+                      || '.example/e/' || CAST(i AS STRING) || '"/>'
+                      || '<updated>2024-01-15T06:30:'
+                      || lpad(CAST((doc_id + i) % 60 AS STRING), 2, '0')
+                      || 'Z</updated>'
+                      || CASE WHEN i % 2 = 0
+                         THEN '<summary>'
+                           || repeat('s', CAST(1 + (doc_id + i) % 4 AS INT))
+                           || '</summary>'
+                         ELSE '' END
+                      || '</entry>'), '')
+               || '</feed>'"""
+        ).alias("xml"),
+    )
+    return CDX.parse_atom(feeds)
+
+
 def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON KEY PROFILE (r15 — operators.text.json_key_profile):
     schema discovery over raw JSONL — map<string,string> parse,
@@ -12582,6 +12639,42 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                     AS BIGINT) AS n_chars
         FROM p GROUP BY doc_id
     """
+    o["bitext_length_gate"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 least(len(string_split_regex(trim(lower(text)),
+                       '\s+')), 8 + doc_id % 5) AS sn,
+                 CASE doc_id % 4
+                   WHEN 1 THEN (8 + doc_id % 5) * 4
+                   WHEN 2 THEN greatest(1, (8 + doc_id % 5) // 4)
+                   ELSE 8 + doc_id % 5 + 1 END AS tn
+          FROM documents WHERE doc_id % 13 = 9
+        )
+        SELECT doc_id, CAST(sn AS BIGINT) AS src_tokens,
+               CAST(tn AS BIGINT) AS tgt_tokens,
+               CAST(CASE WHEN sn > 0 THEN (1000 * tn) // sn
+                    ELSE 0 END AS BIGINT) AS ratio_milli,
+               sn > 0 AND tn > 0
+                 AND (1000 * tn) // sn BETWEEN 333 AND 3000 AS keep
+        FROM d
+    """
+    o["atom_parse"] = """
+        WITH d AS (
+          SELECT doc_id AS feed_id, 2 + doc_id % 2 AS n
+          FROM documents WHERE doc_id % 13 = 7
+        )
+        SELECT feed_id, 'AF ' || feed_id AS feed_title,
+               CAST(i AS INTEGER) AS entry_idx,
+               'e' || i || ' f' || feed_id AS title,
+               'https://a' || (feed_id % 7) || '.example/e/' || i
+                 AS link,
+               CAST(1705300200 + (feed_id + i) % 60 AS BIGINT)
+                 AS updated_epoch,
+               CASE WHEN i % 2 = 0
+                    THEN CAST(1 + (feed_id + i) % 4 AS BIGINT)
+               END AS summary_len
+        FROM d, UNNEST(range(n)) AS u(i)
+    """
     o["json_key_profile"] = """
         WITH d AS (
           SELECT doc_id FROM documents WHERE doc_id % 13 = 2
@@ -15721,6 +15814,8 @@ SPARK_QUERIES = {
     "rank_bradley_terry": q_rank_bradley_terry,
     "rss_parse": q_rss_parse,
     "json_key_profile": q_json_key_profile,
+    "atom_parse": q_atom_parse,
+    "bitext_length_gate": q_bitext_length_gate,
     "text_normalize_punct": q_text_normalize_punct,
     "label_cohen_kappa": q_label_cohen_kappa,
     "text_zipf_slope": q_text_zipf_slope,

@@ -252,3 +252,41 @@ def parse_rss(
         F.length(F.col("_i.description")).cast("long")
         .alias("desc_len"),
     )
+
+
+ATOM_SCHEMA = (
+    "title string, entry array<struct<title: string, "
+    "link: struct<_href: string>, updated: string, "
+    "summary: string>>"
+)
+
+
+def parse_atom(
+    df: DataFrame, xml_col: str = "xml", id_col: str = "feed_id"
+) -> DataFrame:
+    """Atom (RFC 4287) feed → one row per ``<entry>`` — the second
+    syndication format next to RSS 2.0. The entry link is an
+    ATTRIBUTE (``<link href="…"/>``, surfaced through Spark-XML's
+    ``_``-prefixed attribute convention) and ``<updated>`` is
+    ISO-8601 with a Z zone — cast straight to an absolute epoch
+    second. Malformed XML → null struct → zero rows."""
+    parsed = df.select(
+        F.col(id_col),
+        F.from_xml(F.col(xml_col), ATOM_SCHEMA).alias("_p"),
+    )
+    items = parsed.select(
+        id_col,
+        F.col("_p.title").alias("feed_title"),
+        F.posexplode(F.col("_p.entry")).alias("entry_idx", "_e"),
+    )
+    return items.select(
+        id_col,
+        "feed_title",
+        "entry_idx",
+        F.col("_e.title").alias("title"),
+        F.col("_e.link._href").alias("link"),
+        F.unix_timestamp(
+            F.to_timestamp(F.col("_e.updated"))
+        ).alias("updated_epoch"),
+        F.length(F.col("_e.summary")).cast("long").alias("summary_len"),
+    )

@@ -2842,3 +2842,38 @@ def normalize_punct(
     return df.withColumn(out_col, norm).withColumn(
         "was_changed", norm != t
     )
+
+
+def bitext_length_gate(
+    df: DataFrame,
+    src_col: str = "src",
+    tgt_col: str = "tgt",
+    min_ratio_milli: int = 333,
+    max_ratio_milli: int = 3000,
+) -> DataFrame:
+    """Parallel-corpus (bitext) length-ratio gating — the first
+    filter of every MT data pipeline (a 5-word source aligned to a
+    90-word target is a misalignment, not a translation): token
+    counts both sides, integer-milli target/source ratio, keep iff
+    the ratio sits in [min, max] and both sides are non-empty.
+    Integer arithmetic throughout; one scan-stage projection."""
+    sn = F.size(words_col(F.lower(F.col(src_col))))
+    tn = F.size(words_col(F.lower(F.col(tgt_col))))
+    sn = F.when(F.trim(F.col(src_col)) == "", F.lit(0)).otherwise(sn)
+    tn = F.when(F.trim(F.col(tgt_col)) == "", F.lit(0)).otherwise(tn)
+    ratio = F.when(
+        sn > 0, (F.lit(1000) * tn).cast("long") / sn
+    ).otherwise(F.lit(0.0))
+    ratio = F.floor(ratio).cast("long")
+    return (
+        df.withColumn("src_tokens", sn.cast("long"))
+        .withColumn("tgt_tokens", tn.cast("long"))
+        .withColumn("ratio_milli", ratio)
+        .withColumn(
+            "keep",
+            (sn > 0)
+            & (tn > 0)
+            & (ratio >= min_ratio_milli)
+            & (ratio <= max_ratio_milli),
+        )
+    )

@@ -8640,3 +8640,39 @@ def test_json_profile_and_punct(spark):
         )
     ).collect()[0]
     assert again["was_changed"] is False
+
+
+def test_parse_atom_and_bitext_gate(spark):
+    """r15: Atom attribute link + ISO-Z epoch; bitext ratio gate
+    boundary cases (empty sides, exact bounds)."""
+    from geniepool_etl_spark.operators import cdx as CDXa
+    from geniepool_etl_spark.operators import text as TXbt
+
+    feed = ('<feed><title>F</title><entry><title>t</title>'
+            '<link href="u"/><updated>2024-01-15T06:30:05Z</updated>'
+            "</entry></feed>")
+    df = spark.createDataFrame([(1, feed)], "feed_id long, xml string")
+    r = CDXa.parse_atom(df).collect()[0]
+    assert (r["link"], r["updated_epoch"], r["summary_len"]) == (
+        "u", 1705300205, None
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "a b c", "x y z"),       # 1000: keep
+            (2, "a b c", "x"),           # 333: keep (inclusive)
+            (3, "a b c d", "x"),         # 250: drop
+            (4, "a", "x y z"),           # 3000: keep (inclusive)
+            (5, "a", "w x y z"),         # 4000: drop
+            (6, "", "x"),                # empty src: drop
+        ],
+        "id long, src string, tgt string",
+    )
+    got = {r["id"]: (r["ratio_milli"], r["keep"])
+           for r in TXbt.bitext_length_gate(pairs).collect()}
+    assert got[1] == (1000, True)
+    assert got[2] == (333, True)
+    assert got[3] == (250, False)
+    assert got[4] == (3000, True)
+    assert got[5] == (4000, False)
+    assert got[6] == (0, False)
