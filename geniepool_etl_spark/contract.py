@@ -3914,19 +3914,23 @@ def q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode(encode(translate(s), latin-1), utf-8), GATED by a
     conservative validity regex so genuine accents ('déjà vu') and
     broken sequences (lone 'Ã ') pass through untouched and
-    ANSI-mode decode never sees malformed bytes. The oracle emits
-    the expected fixed literals, so over- or under-triggering
-    mismatches."""
+    ANSI-mode decode never sees malformed bytes. Case 5 (r16) pairs
+    a real mojibake sequence with an astral-plane emoji — the
+    residue guard must class it unfixable (the r15 BMP-only guard
+    let it through and encode(latin-1) killed the stage). The
+    oracle emits the expected fixed literals, so over- or
+    under-triggering mismatches."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 11)
     cases = docs.select(
         "doc_id",
         F.expr(
-            """CASE CAST(doc_id % 5 AS INT)
+            """CASE CAST(doc_id % 6 AS INT)
                WHEN 0 THEN 'CafÃ© ' || CAST(doc_id AS STRING)
                WHEN 1 THEN 'donâ€™t stop ' || CAST(doc_id AS STRING)
                WHEN 2 THEN 'plain ascii ' || CAST(doc_id AS STRING)
                WHEN 3 THEN 'déjà vu ' || CAST(doc_id AS STRING)
-               ELSE 'mix Ã“k ' || CAST(doc_id AS STRING) END"""
+               WHEN 4 THEN 'mix Ã“k ' || CAST(doc_id AS STRING)
+               ELSE 'CafÃ© \U0001F600 ' || CAST(doc_id AS STRING) END"""
         ).alias("text"),
     )
     return TX.fix_mojibake(cases)
@@ -4008,8 +4012,8 @@ den{t} AS (
   JOIN r{t - 1} rj ON rj.i = p.j GROUP BY p.i
 ),
 raw{t} AS (
-  SELECT wins.i, wins.wi / den{t}.den AS raw
-  FROM wins JOIN den{t} ON wins.i = den{t}.i
+  SELECT den{t}.i, coalesce(wins.wi, 0) / den{t}.den AS raw
+  FROM den{t} LEFT JOIN wins ON wins.i = den{t}.i
 ),
 r{t} AS (
   SELECT i, raw / (SELECT sum(raw) FROM raw{t})
@@ -12551,21 +12555,23 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
     """
     o["text_fix_mojibake"] = """
         SELECT doc_id,
-               CASE doc_id % 5
+               CASE doc_id % 6
                  WHEN 0 THEN 'CafÃ© ' || doc_id
                  WHEN 1 THEN 'donâ€™t stop ' || doc_id
                  WHEN 2 THEN 'plain ascii ' || doc_id
                  WHEN 3 THEN 'déjà vu ' || doc_id
-                 ELSE 'mix Ã“k ' || doc_id
+                 WHEN 4 THEN 'mix Ã“k ' || doc_id
+                 ELSE 'CafÃ© \U0001F600 ' || doc_id
                END AS text,
-               CASE doc_id % 5
+               CASE doc_id % 6
                  WHEN 0 THEN 'Café ' || doc_id
                  WHEN 1 THEN 'don’t stop ' || doc_id
                  WHEN 2 THEN 'plain ascii ' || doc_id
                  WHEN 3 THEN 'déjà vu ' || doc_id
-                 ELSE 'mix Ók ' || doc_id
+                 WHEN 4 THEN 'mix Ók ' || doc_id
+                 ELSE 'CafÃ© \U0001F600 ' || doc_id
                END AS fixed_text,
-               doc_id % 5 IN (0, 1, 4) AS was_fixed
+               doc_id % 6 IN (0, 1, 4) AS was_fixed
         FROM documents WHERE doc_id % 13 = 11
     """
     o["text_kneser_ney"] = r"""

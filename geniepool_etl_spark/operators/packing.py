@@ -262,7 +262,14 @@ def flatten_chat_trees(
         F.col(role_col).alias("_role"),
         F.col(text_col).alias("_text"),
     )
-    kids = m.select(F.col("_parent").alias("_has_kids_id")).distinct()
+    # msg ids are only unique PER CONVERSATION in real chat-tree
+    # dumps (ShareGPT-style restarting counters), so every probe must
+    # carry the conversation key or paths splice across conversations
+    # (r15 ADVICE medium item)
+    kids = m.select(
+        F.col("_conv").alias("_kconv"),
+        F.col("_parent").alias("_has_kids_id"),
+    ).distinct()
     live = (
         m.where(F.col("_parent").isNull())
         .select(
@@ -279,7 +286,8 @@ def flatten_chat_trees(
     for _ in range(max_depth - 1):
         done = live.join(
             kids,
-            live["leaf_msg_id"] == kids["_has_kids_id"],
+            (live["_conv"] == kids["_kconv"])
+            & (live["leaf_msg_id"] == kids["_has_kids_id"]),
             "left_anti",
         )
         finished.append(done)
@@ -292,7 +300,9 @@ def flatten_chat_trees(
         )
         live = (
             live.join(
-                child, live["leaf_msg_id"] == child["_cparent"]
+                child,
+                (live["_conv"] == child["_cconv"])
+                & (live["leaf_msg_id"] == child["_cparent"]),
             )
             .select(
                 F.col("_conv"),

@@ -188,7 +188,12 @@ class _PdfLexer:
                 if nxt in esc:
                     out.append(esc[nxt])
                     at += 2
-                elif nxt.isdigit():
+                elif nxt and nxt in b"01234567":
+                    # §7.3.4.2 octal escape: digits 8/9 are NOT
+                    # octal — ``\8`` drops the backslash and keeps
+                    # the '8' (else-branch below), it never matches
+                    # here (r15 ADVICE low item: ``nxt.isdigit()``
+                    # accepted 8/9 and then crashed on a None match)
                     m = re.match(rb"[0-7]{1,3}", buf[at + 1 :])
                     out.append(int(m.group(0), 8) & 0xFF)
                     at += 1 + len(m.group(0))

@@ -421,8 +421,15 @@ def bradley_terry(
                 ).alias("den")
             )
         )
-        raw = wins.join(den, "i").select(
-            "i", (F.col("wi") / F.col("den")).alias("raw")
+        # LEFT join from den (which covers every item that played)
+        # so zero-win items keep a rating of 0 and stay in the next
+        # round's denominator sums — the inner join silently dropped
+        # them after round 1, inflating opponents' ratings vs the MM
+        # update (r15 ADVICE low item)
+        raw = den.join(wins, "i", "left").select(
+            "i",
+            (F.coalesce(F.col("wi"), F.lit(0)) / F.col("den"))
+            .alias("raw"),
         )
         tot = raw.agg(F.sum("raw").alias("_s"))
         r = raw.crossJoin(F.broadcast(tot)).select(

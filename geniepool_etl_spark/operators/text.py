@@ -2203,8 +2203,13 @@ def fix_mojibake(
         F.col(text_col), _CP1252_FROM, _CP1252_TO
     )
     residue = F.regexp_replace(t, _MOJIBAKE_SEQ, "")
+    # ANY non-ASCII residue (negated class \u2014 covers astral-plane
+    # code points like emoji, not just the BMP) means the string is
+    # not pure-mojibake and must be left alone: encode(latin-1)
+    # would throw under ANSI mode on a code point > U+00FF and kill
+    # the stage (r15 ADVICE high item).
     fixable = (
-        ~residue.rlike("[\u0080-\uFFFF]")
+        ~residue.rlike("[^\\x00-\\x7F]")
     ) & t.rlike(_MOJIBAKE_SEQ)
     fixed = F.when(
         fixable, F.decode(F.encode(t, "ISO-8859-1"), "UTF-8")

@@ -8676,3 +8676,96 @@ def test_parse_atom_and_bitext_gate(spark):
     assert got[4] == (3000, True)
     assert got[5] == (4000, False)
     assert got[6] == (0, False)
+
+
+def test_fix_mojibake_astral_residue_is_unfixable(spark):
+    """r16 (r15 ADVICE high): mojibake sequence + astral-plane char
+    (emoji) in the SAME string — the old BMP-only residue guard
+    classed it fixable and encode(latin-1) aborted the task under
+    ANSI mode. Must be left untouched, was_fixed=False, and the
+    job must not die."""
+    from geniepool_etl_spark.operators import text as TXm
+
+    moji = "CafÃ©"  # 'Café' UTF-8 read as latin-1
+    rows = [
+        (1, moji + " \U0001F600"),   # mojibake + emoji: NOT fixable
+        (2, moji),                   # pure mojibake: still fixes
+        (3, "\U0001F600 plain"),     # astral only, no sequence
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["fixed_text"], r["was_fixed"])
+           for r in TXm.fix_mojibake(df).collect()}
+    assert got[1] == (moji + " \U0001F600", False)
+    assert got[2] == ("Café", True)
+    assert got[3] == ("\U0001F600 plain", False)
+
+
+def test_flatten_chat_trees_per_conv_msg_ids(spark):
+    """r16 (r15 ADVICE medium): msg ids restart per conversation
+    (ShareGPT shape) — paths must not splice turns across
+    conversations or duplicate rows. Two 2-turn convs with ids
+    1,2 each yield exactly two 2-deep paths."""
+    from geniepool_etl_spark.operators import packing as PKc
+
+    msgs = spark.createDataFrame(
+        [
+            (1, 1, None, "user", "q1"),
+            (1, 2, 1, "assistant", "a1"),
+            (2, 1, None, "user", "q2"),
+            (2, 2, 1, "assistant", "a2"),
+        ],
+        "conv_id long, msg_id long, parent_id long, role string, "
+        "text string",
+    )
+    rows = PKc.flatten_chat_trees(msgs).collect()
+    got = {(r["conv_id"], r["leaf_msg_id"]):
+           (r["depth"], r["path_text"], r["n_assistant"])
+           for r in rows}
+    assert len(rows) == 2
+    assert got == {
+        (1, 2): (2, "q1\na1", 1),
+        (2, 2): (2, "q2\na2", 1),
+    }
+
+
+def test_bradley_terry_zero_win_item_retained(spark):
+    """r16 (r15 ADVICE low): an item that loses every match must
+    keep a (0) rating row and stay in opponents' denominator sums
+    — the inner join dropped it after round 1, inflating the
+    others and breaking the pinned Σr = n scale."""
+    from geniepool_etl_spark.operators import sampling as SMbt
+
+    # 2 always loses; 0 and 1 split their matches 2-1
+    rows = [(0, 2, 0), (1, 2, 1), (0, 1, 0), (0, 1, 0), (0, 1, 1)]
+    df = spark.createDataFrame(rows, "a long, b long, winner long")
+    got = {r["item"]: r["rating"]
+           for r in SMbt.bradley_terry(df, n_iter=3).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[2] == 0.0
+    assert abs(sum(got.values()) - 3.0) < 0.01
+
+    import numpy as np
+    n = np.zeros((3, 3)); w = np.zeros(3)
+    for a, b, win in rows:
+        n[a][b] += 1; n[b][a] += 1; w[win] += 1
+    r = np.ones(3)
+    for _ in range(3):
+        den = np.array([
+            sum(n[i][j] / (r[i] + r[j]) for j in range(3) if j != i)
+            for i in range(3)
+        ])
+        raw = w / den
+        r = raw / raw.sum() * 3
+    for i in range(3):
+        assert abs(got[i] - r[i]) < 6e-5
+
+
+def test_pdf_lit_string_backslash_8_9_not_octal():
+    """r16 (r15 ADVICE low): PDF §7.3.4.2 — ``\\8``/``\\9`` are not
+    octal escapes; the backslash drops and the digit stays (the old
+    ``isdigit()`` guard crashed on a None regex match and poisoned
+    the document). ``\\0`` through ``\\7`` still parse as octal."""
+    from geniepool_etl_spark.operators import pdf as P
+
+    lex = P._PdfLexer(rb"(a\8b\9\101\7z)")
+    assert lex.value() == b"a8b9A\x07z"
