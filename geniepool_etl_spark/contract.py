@@ -2575,6 +2575,74 @@ def q_multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_pcm_stats(M.synth_wav_tone_assets(params))
 
 
+def q_multimodal_audio_gates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO CURATION GATES (r16 — multimodal.
+    synth_wav_segments_assets → audio_quality_gates): the
+    speech-corpus analogue of the gopher text gates over REAL
+    decoded PCM — integrated level (exact integer mean square),
+    longest silence run, clipped-sample fraction in milli units,
+    each gate a pure integer comparison. The designed three-segment
+    waveform (±amp tone, zero run, full-scale clip run) makes every
+    measure a closed form of the parameters: mean_sq =
+    (n_tone·amp² + Σclip²) div n, longest_silence = n_sil exactly
+    (amp > silence threshold by construction), clip_milli =
+    1000·n_clip div n. Assets fail level (small amp, no clip),
+    silence (n_sil 21/28 > 20) and clipping (n_clip ≥ 3 on short
+    streams) independently, so each gate's trigger is oracle-
+    visible."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 5)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (64 + (F.col("doc_id") % 50) * 64)
+            .cast("long")
+            .alias("amp"),
+            (40 + F.col("doc_id") % 23).cast("long").alias("n_tone"),
+            ((F.col("doc_id") % 5) * 7).cast("long").alias("n_sil"),
+            ((F.col("doc_id") % 4) * 3).cast("long").alias("n_clip"),
+        )
+    )
+    return M.audio_quality_gates(M.synth_wav_segments_assets(params))
+
+
+def q_multimodal_image_gates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IMAGE QUALITY GATES (r16 — multimodal.
+    synth_pgm_pattern_assets → image_quality_gates): the
+    pre-captioning vision filter as REAL pixel work — 3×3 Laplacian
+    variance (blur score, exact integer milli units) + 256-bin
+    histogram entropy (per-bin ln integer-rounded to 1/10000 nats
+    before the sum), both gates pure integer comparisons. The four
+    designed 32×32 patterns land on every gate side: flat (var 0,
+    entropy 0 — fails both), width-1 stripes (var 4(b−a)²·1000,
+    entropy ln 2 — passes both), a linear ramp whose interior
+    Laplacian is EXACTLY zero (the blur-like degenerate: entropy
+    ln 32 passes, sharpness fails), and a checkerboard (var
+    16(b−a)²·1000 — passes both)."""
+    d = F.col("doc_id")
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(d % 13 == 6)
+        .select(
+            d.alias("asset_id"),
+            (d % 4).cast("long").alias("kind"),
+            F.when(d % 4 == 2, d % 30)
+            .otherwise(20 + d % 100)
+            .cast("long")
+            .alias("a"),
+            F.when(d % 4 == 2, 1 + d % 7)
+            .otherwise(21 + d % 100 + d % 60)
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    return M.image_quality_gates(M.synth_pgm_pattern_assets(params))
+
+
 def q_multimodal_audio_g711(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3948,6 +4016,22 @@ def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.kneser_ney_bigram(
         _t(spark, sf_dir, "documents"), k=5, top_words=20
     )
+
+
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNET PERPLEXITY BUCKETS (r16 — operators.text
+    .ccnet_perplexity_buckets): the canonical public
+    corpus-filtering recipe (Wenzek et al. 2020) as a pure
+    composition of two green lanes — marker-heuristic language ID ×
+    the integer-formulated Kneser-Ney bigram LM — scoring every
+    document under its OWN language's LM and splitting each
+    language into equal-count head/middle/tail thirds. Per-bigram
+    surprisal integer-rounds to 1/10000 nats before summation, the
+    per-doc score is a pure integer floor-division to milli-nats,
+    and bucket cutoffs are count-based histogram thresholds (no
+    quantile interpolation), so the ENTIRE head/middle/tail
+    assignment replays bit-for-bit in the oracle."""
+    return TX.ccnet_perplexity_buckets(_t(spark, sf_dir, "documents"))
 
 
 def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11908,6 +11992,52 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                CAST(max(abs(s)) AS BIGINT) AS peak
         FROM dec GROUP BY asset_id
     """
+    o["multimodal_audio_gates"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id,
+                 64 + (doc_id % 50) * 64 AS amp,
+                 40 + doc_id % 23 AS n_tone,
+                 (doc_id % 5) * 7 AS n_sil,
+                 (doc_id % 4) * 3 AS n_clip
+          FROM documents WHERE doc_id % 13 = 5
+        ),
+        m AS (
+          SELECT asset_id,
+                 n_tone + n_sil + n_clip AS n,
+                 n_tone * amp * amp
+                   + ((n_clip + 1) // 2) * 32767 * 32767
+                   + (n_clip // 2) * 32768 * 32768 AS sum_sq,
+                 n_sil, n_clip
+          FROM prm
+        )
+        SELECT asset_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(sum_sq // n AS BIGINT) AS mean_sq,
+               CAST(n_sil AS BIGINT) AS longest_silence,
+               CAST((1000 * n_clip) // n AS BIGINT) AS clip_milli,
+               (sum_sq // n >= 10000 AND n_sil <= 20
+                AND (1000 * n_clip) // n <= 25) AS keep
+        FROM m
+    """
+    o["multimodal_image_gates"] = """
+        WITH prm AS (
+          SELECT doc_id AS asset_id, doc_id % 4 AS kind,
+                 1 + doc_id % 60 AS d
+          FROM documents WHERE doc_id % 13 = 6
+        )
+        SELECT asset_id,
+               CAST(1024 AS BIGINT) AS n_pixels,
+               CAST(CASE kind
+                 WHEN 1 THEN 4000 * d * d
+                 WHEN 3 THEN 16000 * d * d
+                 ELSE 0 END AS BIGINT) AS lap_var_milli,
+               CAST(CASE kind
+                 WHEN 0 THEN 0.0
+                 WHEN 2 THEN 3.4657
+                 ELSE 0.6931 END AS DOUBLE) AS entropy_nats,
+               kind IN (1, 3) AS keep
+        FROM prm
+    """
     o["multimodal_audio_pcm"] = """
         WITH prm AS (
           SELECT doc_id AS asset_id,
@@ -12573,6 +12703,101 @@ WHERE round(i.inter / CAST(sl.sz + sr.sz - i.inter AS DOUBLE), 4) >= 0.02
                END AS fixed_text,
                doc_id % 6 IN (0, 1, 4) AS was_fixed
         FROM documents WHERE doc_id % 13 = 11
+    """
+    o["text_ccnet_buckets"] = r"""
+        WITH lw AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ),
+        hits AS (
+          SELECT doc_id, w,
+                 len(list_filter(w, x -> list_contains(
+                   ['der','die','und','das'], x))) AS h_de,
+                 len(list_filter(w, x -> list_contains(
+                   ['the','a','of','and'], x))) AS h_en,
+                 len(list_filter(w, x -> list_contains(
+                   ['el','los','que','de'], x))) AS h_es,
+                 len(list_filter(w, x -> list_contains(
+                   ['le','la','et','des'], x))) AS h_fr
+          FROM lw
+        ),
+        lng AS (
+          SELECT doc_id, w,
+                 CASE
+                   WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                   WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                   WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                   WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                   ELSE 'fr'
+                 END AS lang
+          FROM hits
+        ),
+        big AS (
+          SELECT doc_id, lang, w[i] AS l, w[i + 1] AS r
+          FROM lng, UNNEST(range(1, len(w))) AS u(i)
+        ),
+        dp AS (
+          SELECT doc_id, lang, l, r, count(*) AS m
+          FROM big GROUP BY 1, 2, 3, 4
+        ),
+        c AS (
+          SELECT lang, l, r, count(*) AS n FROM big GROUP BY 1, 2, 3
+        ),
+        fwd AS (
+          SELECT lang, l, CAST(sum(n) AS BIGINT) AS c1,
+                 count(*) AS fwd_types
+          FROM c GROUP BY 1, 2
+        ),
+        back AS (
+          SELECT lang, r, count(*) AS back_types FROM c GROUP BY 1, 2
+        ),
+        tot AS (SELECT lang, count(*) AS t FROM c GROUP BY 1),
+        s AS (
+          SELECT dp.doc_id, dp.lang, dp.m,
+                 CAST(round(ln(
+                   CAST(4 * fwd.c1 * tot.t AS DOUBLE)
+                   / ((4 * c.n - 3) * tot.t
+                      + 3 * fwd.fwd_types * back.back_types)
+                 ) * 10000) AS BIGINT) AS s
+          FROM dp
+          JOIN c USING (lang, l, r)
+          JOIN fwd USING (lang, l)
+          JOIN back USING (lang, r)
+          JOIN tot USING (lang)
+        ),
+        docv AS (
+          SELECT doc_id, lang,
+                 CAST(sum(m) AS BIGINT) AS n_bigrams,
+                 CAST((1000 * sum(m * s)) // (10000 * sum(m))
+                   AS BIGINT) AS ppl_milli
+          FROM s GROUP BY 1, 2
+        ),
+        hist AS (
+          SELECT lang, ppl_milli AS v, count(*) AS cnt
+          FROM docv GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT lang, v,
+                 sum(cnt) OVER (
+                   PARTITION BY lang ORDER BY v
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS cum
+          FROM hist
+        ),
+        nl AS (SELECT lang, count(*) AS nd FROM docv GROUP BY 1),
+        th AS (
+          SELECT cum.lang,
+                 min(CASE WHEN cum >= (nd + 2) // 3 THEN v END) AS t1,
+                 min(CASE WHEN cum >= (2 * nd + 2) // 3 THEN v END)
+                   AS t2
+          FROM cum JOIN nl USING (lang) GROUP BY 1
+        )
+        SELECT d.doc_id, d.lang, d.n_bigrams, d.ppl_milli,
+               CASE WHEN d.ppl_milli <= th.t1 THEN 'head'
+                    WHEN d.ppl_milli <= th.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM docv d JOIN th USING (lang)
     """
     o["text_kneser_ney"] = r"""
         WITH tok AS (
@@ -15796,6 +16021,7 @@ SPARK_QUERIES = {
     "sim_maxsim_topk": q_sim_maxsim_topk,
     "zip_members": q_zip_members,
     "text_kneser_ney": q_text_kneser_ney,
+    "text_ccnet_buckets": q_text_ccnet_buckets,
     "docx_extract_text": q_docx_extract_text,
     "epub_extract_text": q_epub_extract_text,
     "text_bleu_rouge": q_text_bleu_rouge,
@@ -16046,6 +16272,8 @@ SPARK_QUERIES = {
     "stream_sliding_hll": q_stream_sliding_hll,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_audio_pcm": q_multimodal_audio_pcm,
+    "multimodal_audio_gates": q_multimodal_audio_gates,
+    "multimodal_image_gates": q_multimodal_image_gates,
     "multimodal_decode_mp4": q_multimodal_decode_mp4,
     "multimodal_decode_mp3": q_multimodal_decode_mp3,
     "multimodal_decode_flac": q_multimodal_decode_flac,

@@ -51,6 +51,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -1119,6 +1121,183 @@ PCM_STATS_SCHEMA = StructType(
         StructField("peak", LongType(), True),
     ]
 )
+
+AUDIO_GATES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("mean_sq", LongType(), True),
+        StructField("longest_silence", LongType(), True),
+        StructField("clip_milli", LongType(), True),
+        StructField("keep", BooleanType(), True),
+    ]
+)
+
+
+def synth_wav_segments_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    amp_col: str = "amp",
+    tone_col: str = "n_tone",
+    sil_col: str = "n_sil",
+    clip_col: str = "n_clip",
+) -> DataFrame:
+    """Synthesize int16 mono WAV payloads built from three designed
+    segments — ``n_tone`` frames alternating ``+amp/−amp``,
+    ``n_sil`` zero frames (the silence run), ``n_clip`` frames
+    alternating full-scale ``+32767/−32768`` (clipping) — so every
+    audio-curation gate measure (:func:`audio_quality_gates`) is a
+    closed form of the parameters an external oracle replays: mean
+    square is ``(n_tone·amp² + Σ clip²) div n``, the longest
+    silence run is exactly ``n_sil``, the clipped-sample count is
+    exactly ``n_clip``. Arrow ``mapInPandas``; narrow; payload
+    never shuffles."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def one(amp: int, n_tone: int, n_sil: int, n_clip: int) -> bytes:
+        if not (0 < amp < 32767):
+            raise ValueError(
+                "synth_wav_segments_assets: amp must sit strictly "
+                "between 0 and full scale"
+            )
+        tone = np.tile(
+            np.array([amp, -amp], dtype=np.int64), (n_tone + 1) // 2
+        )[:n_tone]
+        clip = np.tile(
+            np.array([32767, -32768], dtype=np.int64),
+            (n_clip + 1) // 2,
+        )[:n_clip]
+        pcm = np.concatenate(
+            [tone, np.zeros(n_sil, dtype=np.int64), clip]
+        ).astype("<i2").tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16_000)
+            w.writeframes(pcm)
+        return buf.getvalue()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(a), int(t), int(s), int(c))
+                        for a, t, s, c in zip(
+                            pdf[amp_col], pdf[tone_col],
+                            pdf[sil_col], pdf[clip_col],
+                        )
+                    ],
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def audio_quality_gates(
+    assets: DataFrame,
+    silence_thresh: int = 16,
+    clip_level: int = 32767,
+    min_mean_sq: int = 10_000,
+    max_silence_run: int = 20,
+    max_clip_milli: int = 25,
+) -> DataFrame:
+    """AUDIO CURATION GATES (r16) — the speech-corpus analogue of
+    the gopher text gates, run over REAL decoded PCM (the same
+    sample paths as :func:`decode_audio_pcm_stats`: stdlib ``wave``
+    for PCM WAV, :func:`_flac_pcm_frames` for CRC-verified FLAC):
+
+    - ``mean_sq``  — integrated level as the exact integer mean
+      square ``Σv² div n`` (RMS² — kept in integers so the gate is
+      bit-identical on any engine; RMS/dBFS derive downstream);
+    - ``longest_silence`` — longest run of consecutive samples with
+      ``|v| ≤ silence_thresh`` (dead-air detector);
+    - ``clip_milli`` — clipped-sample fraction in exact milli units
+      ``1000·#{|v| ≥ clip_level} div n``.
+
+    ``keep`` requires level ≥ ``min_mean_sq``, silence run ≤
+    ``max_silence_run``, clipping ≤ ``max_clip_milli`` — each a
+    pure integer comparison, so no float rounding ever decides a
+    keep/drop (the gopher-gates rule). Channels are interleaved
+    deliberately: a silence run must span EVERY channel to count,
+    which is what "dead air" means. Arrow ``mapInPandas``,
+    numpy-vectorized run-length analysis (no Python sample loop);
+    poison payloads (truncated, wrong magic, CRC mismatch) yield
+    null measures and ``keep = NULL``, never a dead stage."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def samples(raw: bytes) -> "np.ndarray":
+        if raw[:4] == b"fLaC":
+            parts = [
+                # (n_ch, blocksize) -> interleaved, vectorized
+                np.asarray(chans, dtype=np.int64).T.ravel()
+                for chans in _flac_pcm_frames(raw)
+            ]
+            if not parts:
+                return np.zeros(0, dtype=np.int64)
+            return np.concatenate(parts)
+        with wave.open(io.BytesIO(raw)) as w:
+            if w.getsampwidth() != 2:
+                raise ValueError("audio gates: int16 PCM only")
+            data = w.readframes(w.getnframes())
+        return np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+    def longest_run(mask: "np.ndarray") -> int:
+        if not mask.any():
+            return 0
+        # boundaries of True runs via the padded diff trick
+        d = np.diff(np.concatenate(([0], mask.view(np.int8), [0])))
+        return int((np.flatnonzero(d == -1)
+                    - np.flatnonzero(d == 1)).max())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {
+                k: []
+                for k in ("n_samples", "mean_sq", "longest_silence",
+                          "clip_milli", "keep")
+            }
+            for b in pdf["payload"]:
+                try:
+                    a = samples(bytes(b))
+                    n = len(a)
+                    if n == 0:
+                        raise ValueError("audio gates: empty stream")
+                    ab = np.abs(a)
+                    mean_sq = int((a * a).sum()) // n
+                    sil = longest_run(ab <= silence_thresh)
+                    clip_milli = 1000 * int(
+                        (ab >= clip_level).sum()
+                    ) // n
+                    rows["n_samples"].append(n)
+                    rows["mean_sq"].append(mean_sq)
+                    rows["longest_silence"].append(sil)
+                    rows["clip_milli"].append(clip_milli)
+                    rows["keep"].append(
+                        mean_sq >= min_mean_sq
+                        and sil <= max_silence_run
+                        and clip_milli <= max_clip_milli
+                    )
+                except Exception:
+                    for k in rows:
+                        rows[k].append(None)
+            out = pd.DataFrame({"asset_id": pdf["asset_id"], **rows})
+            for c in ("n_samples", "mean_sq", "longest_silence",
+                      "clip_milli"):
+                out[c] = out[c].astype("Int64")
+            out["keep"] = out["keep"].astype("boolean")
+            yield out
+
+    return assets.mapInPandas(batches, AUDIO_GATES_SCHEMA)
 
 
 def _wav_fmt_data(raw: bytes) -> tuple:
@@ -10257,24 +10436,28 @@ def decode_image_phash(assets: DataFrame) -> DataFrame:
     real "resize to 32x32" step of production pHash, r15); other
     shapes are poison. Arrow ``mapInPandas``; poison payloads
     yield null hashes."""
+    import re as _re
+
     import numpy as np
 
     def one(raw: bytes) -> int:
-        if raw[:2] != b"P5":
+        # header: P5 <ws> w <ws> h <ws> maxval <ONE ws> raster —
+        # regex, not split(None): a split would eat leading raster
+        # bytes whose value is whitespace (9/10/11/12/13/32), i.e.
+        # dark first pixels (r16, found via image_quality_gates)
+        m = _re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", raw)
+        if not m:
             raise ValueError("phash: grayscale P5 lane only")
-        # header: P5 <ws> w <ws> h <ws> maxval <single ws> raster
-        parts = raw[2:].split(None, 3)
-        if len(parts) < 4:
-            raise ValueError("phash: short PGM header")
-        w, h, mx = int(parts[0]), int(parts[1]), int(parts[2])
+        w, h, mx = (int(m.group(i)) for i in (1, 2, 3))
         if w % 32 or h % 32 or w != h or mx != 255:
             raise ValueError(
                 "phash: expects square 8-bit dims divisible by 32"
             )
-        if len(parts[3]) < w * h:
+        raster = raw[m.end():]
+        if len(raster) < w * h:
             raise ValueError("phash: truncated raster")
         img = np.frombuffer(
-            parts[3][: w * h], dtype=np.uint8
+            raster[: w * h], dtype=np.uint8
         ).reshape(h, w).astype(np.int64)
         k = w // 32
         if k > 1:
@@ -10375,6 +10558,183 @@ def synth_pgm_phash_assets(
             )
 
     return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+IMAGE_GATES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_pixels", LongType(), True),
+        StructField("lap_var_milli", LongType(), True),
+        StructField("entropy_nats", DoubleType(), True),
+        StructField("keep", BooleanType(), True),
+    ]
+)
+
+
+def synth_pgm_pattern_assets(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    kind_col: str = "kind",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Synthesize 32×32 grayscale P5 PGMs in four DESIGNED patterns
+    whose image-quality-gate measures (:func:`image_quality_gates`)
+    are closed forms an external oracle replays: kind 0 = flat
+    value ``a`` (Laplacian variance 0, histogram entropy 0 — fails
+    both gates), kind 1 = width-1 vertical stripes ``a``/``b``
+    (variance 4(b−a)², entropy ln 2), kind 2 = horizontal linear
+    ramp ``a + x·b`` (a ramp's interior Laplacian is EXACTLY zero —
+    the blur-like degenerate that passes entropy but fails
+    sharpness; requires ``a + 31·b ≤ 255`` so no value wraps),
+    kind 3 = checkerboard (variance 16(b−a)², entropy ln 2). Arrow
+    ``mapInPandas``; narrow."""
+    import numpy as np
+
+    def one(kind: int, a: int, b: int) -> bytes:
+        x = np.arange(32)
+        if kind == 0:
+            img = np.full((32, 32), a, dtype=np.int64)
+        elif kind == 1:
+            row = np.where(x % 2 == 0, a, b)
+            img = np.tile(row, (32, 1))
+        elif kind == 2:
+            if a + 31 * b > 255:
+                raise ValueError(
+                    "synth_pgm_pattern_assets: ramp wraps past 255"
+                )
+            img = np.tile(a + x * b, (32, 1))
+        else:
+            img = np.where(
+                (x[None, :] + x[:, None]) % 2 == 0, a, b
+            )
+        if img.min() < 0 or img.max() > 255:
+            raise ValueError(
+                "synth_pgm_pattern_assets: value out of 8-bit range"
+            )
+        return b"P5\n32 32\n255\n" + img.astype(np.uint8).tobytes()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "payload": [
+                        one(int(k), int(a), int(b))
+                        for k, a, b in zip(
+                            pdf[kind_col], pdf[a_col], pdf[b_col]
+                        )
+                    ],
+                    "media_type": "image/x-portable-graymap",
+                }
+            )
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def image_quality_gates(
+    assets: DataFrame,
+    min_lap_var_milli: int = 1000,
+    min_entropy_milli: int = 500,
+) -> DataFrame:
+    """IMAGE QUALITY GATES (r16) — the pre-captioning filter of a
+    vision corpus, as REAL pixel work over decoded grayscale
+    rasters (P5 PGM, the pHash pixel-lane format):
+
+    - **blur score**: variance of the 3×3 Laplacian response
+      ``up+down+left+right − 4·center`` over interior pixels —
+      blurry/flat/linear-gradient images score ~0, textured images
+      high. Responses are integers, so the variance is the exact
+      integer ``lap_var_milli = 1000·(k·Σr² − (Σr)²) div k²``
+      (population variance in milli units, k = interior count);
+    - **histogram entropy**: Shannon entropy of the 256-bin
+      intensity histogram in nats — flat or two-tone images score
+      low, diverse images high. Per-bin ``ln(n/c)`` integer-rounds
+      to 1/10000 nats BEFORE the sum (the surprisal convention), so
+      the reported ``entropy_nats`` is one exact-input IEEE
+      division + round(4) and the GATE compares pure integers
+      (``Σ c·s ≥ n·10·min_entropy_milli``).
+
+    ``keep`` requires sharpness ≥ ``min_lap_var_milli`` AND entropy
+    ≥ ``min_entropy_milli`` milli-nats — both integer comparisons;
+    no float ever decides a keep/drop. Arrow ``mapInPandas``,
+    numpy-vectorized (convolution as four shifted adds, histogram
+    via bincount); poison payloads (non-P5, dims < 3, truncated
+    raster) yield null measures, never a dead stage."""
+    import math
+    import re
+
+    import numpy as np
+
+    def one(raw: bytes):
+        # header = P5, w, h, maxval, then EXACTLY ONE whitespace
+        # byte before the raster (PGM spec) — a split(None) parse
+        # would eat raster bytes whose value happens to be
+        # whitespace (10/12/13/32/9), truncating dark images
+        m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", raw)
+        if not m:
+            raise ValueError("image gates: P5 PGM only")
+        w, h, mx = (int(m.group(i)) for i in (1, 2, 3))
+        if w < 3 or h < 3 or mx != 255:
+            raise ValueError("image gates: dims ≥ 3 and 8-bit only")
+        raster = raw[m.end():]
+        if len(raster) < w * h:
+            raise ValueError("image gates: truncated raster")
+        img = np.frombuffer(
+            raster[: w * h], dtype=np.uint8
+        ).reshape(h, w).astype(np.int64)
+        lap = (
+            img[:-2, 1:-1] + img[2:, 1:-1]
+            + img[1:-1, :-2] + img[1:-1, 2:]
+            - 4 * img[1:-1, 1:-1]
+        )
+        k = (h - 2) * (w - 2)
+        s1 = int(lap.sum())
+        s2 = int((lap * lap).sum())
+        lap_var_milli = (1000 * (k * s2 - s1 * s1)) // (k * k)
+        n = w * h
+        hist = np.bincount(img.ravel(), minlength=256)
+        ent_sum = 0
+        for c in hist[hist > 0]:
+            c = int(c)
+            # HALF-UP (Spark/DuckDB round), not Python banker's
+            s = math.floor(math.log(n / c) * 10_000 + 0.5)
+            ent_sum += c * s
+        entropy = (
+            math.floor(ent_sum / (10_000.0 * n) * 10_000 + 0.5)
+            / 10_000.0
+        )
+        keep = (
+            lap_var_milli >= min_lap_var_milli
+            and ent_sum >= n * 10 * min_entropy_milli
+        )
+        return n, lap_var_milli, entropy, keep
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {
+                k: []
+                for k in ("n_pixels", "lap_var_milli",
+                          "entropy_nats", "keep")
+            }
+            for b in pdf["payload"]:
+                try:
+                    n, lv, ent, keep = one(bytes(b))
+                    rows["n_pixels"].append(n)
+                    rows["lap_var_milli"].append(lv)
+                    rows["entropy_nats"].append(ent)
+                    rows["keep"].append(keep)
+                except Exception:
+                    for k in rows:
+                        rows[k].append(None)
+            out = pd.DataFrame({"asset_id": pdf["asset_id"], **rows})
+            for c in ("n_pixels", "lap_var_milli"):
+                out[c] = out[c].astype("Int64")
+            out["entropy_nats"] = out["entropy_nats"].astype("Float64")
+            out["keep"] = out["keep"].astype("boolean")
+            yield out
+
+    return assets.mapInPandas(batches, IMAGE_GATES_SCHEMA)
 
 
 def _alpha_unfilter(res: list, w: int, h: int, method: int) -> list:

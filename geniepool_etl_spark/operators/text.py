@@ -2374,6 +2374,160 @@ def kneser_ney_bigram(
     )
 
 
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10_000,
+    d_num: int = 3,
+    d_den: int = 4,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data" — the canonical public corpus-filtering recipe):
+    language-ID each document (:func:`with_lang_id` marker
+    heuristic), score it under its OWN language's interpolated
+    Kneser-Ney bigram LM (:func:`kneser_ney_bigram` integer
+    formulation, d = ``d_num/d_den``), then split every language
+    into equal-count head/middle/tail perplexity thirds — the
+    head/tail split CCNet feeds to quality-weighted sampling.
+
+    Cross-engine determinism, step by step:
+
+    - per-bigram KN probability is the exact integer ratio
+      ``num/den`` from :func:`kneser_ney_bigram`; its ln-surprisal
+      is integer-rounded to ``1/scale`` nats BEFORE any sum (the
+      ``bigram_surprisal_scores`` convention);
+    - the per-document score is pure integer arithmetic:
+      ``ppl_milli = (1000·Σ m·s) div (scale·Σ m)`` (mean surprisal
+      in milli-nats, floored) — no float ever decides a bucket;
+    - bucket thresholds are COUNT-based, not interpolated: head
+      cutoff is the smallest score value whose cumulative document
+      count reaches ``ceil(n_lang/3)`` (ties at the boundary all
+      land in the lower bucket, deterministically).
+
+    Scale shape: the LM (bigram counts, forward/backward type
+    counts, per-language type totals) is built in a SEPARATE corpus
+    pass — the two-pass train-then-score structure real CCNet uses
+    — so no frame has two consumers and nothing needs caching; the
+    cumulative-count threshold window runs over the per-(lang,
+    score) HISTOGRAM (cardinality ≤ distinct integer scores), never
+    over per-document rows, so a 100× corpus grows the window input
+    sublinearly; the per-language threshold and type-total tables
+    are tiny broadcasts. Documents with <2 words have no bigrams
+    and are omitted (perplexity undefined — the
+    ``bigram_surprisal_scores`` convention).
+
+    Returns ``(doc_id, lang, n_bigrams, ppl_milli, bucket)`` with
+    bucket ∈ head|middle|tail.
+    """
+
+    def lang_bigrams(frame: DataFrame) -> DataFrame:
+        docs = with_lang_id(
+            frame.select(id_col, text_col), text_col
+        )
+        w = words_col(F.lower(F.col(text_col)))
+        bigrams = F.when(
+            F.size(w) >= 2,
+            F.zip_with(
+                F.slice(w, 1, F.size(w) - 1),
+                F.slice(w, 2, F.size(w) - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            ),
+        ).otherwise(F.array())
+        return docs.select(
+            F.col(id_col),
+            F.col("pred_lang").alias("lang"),
+            F.explode(bigrams).alias("p"),
+        ).select(
+            id_col, "lang",
+            F.col("p.l").alias("l"), F.col("p.r").alias("r"),
+        )
+
+    # pass 1 — the per-language LM (train)
+    counts = lang_bigrams(df).groupBy("lang", "l", "r").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    fwd = counts.groupBy("lang", "l").agg(
+        F.sum("n").alias("c1"), F.count(F.lit(1)).alias("fwd_types")
+    )
+    back = counts.groupBy("lang", "r").agg(
+        F.count(F.lit(1)).alias("back_types")
+    )
+    tot = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("tot_types")
+    )
+    # pass 2 — score each document under its language's LM
+    dp = lang_bigrams(df).groupBy(id_col, "lang", "l", "r").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    num = (
+        (F.lit(d_den) * F.col("n") - F.lit(d_num)) * F.col("tot_types")
+        + F.lit(d_num) * F.col("fwd_types") * F.col("back_types")
+    )
+    den = F.lit(d_den) * F.col("c1") * F.col("tot_types")
+    scored = (
+        dp.join(counts, ["lang", "l", "r"])
+        .join(fwd, ["lang", "l"])
+        .join(back, ["lang", "r"])
+        .join(F.broadcast(tot), ["lang"])
+        .select(
+            F.col(id_col),
+            "lang",
+            "m",
+            F.round(
+                F.log(den.cast("double") / num) * scale
+            ).cast("long").alias("s"),
+        )
+    )
+    docv = scored.groupBy(id_col, "lang").agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.expr(f"(1000 * sum(m * s)) div ({scale} * sum(m))")
+        .cast("long")
+        .alias("ppl_milli"),
+    )
+    # count-based thresholds over the per-language score HISTOGRAM
+    hist = docv.groupBy("lang", "ppl_milli").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("lang")
+            .orderBy("ppl_milli")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    nl = docv.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    th = (
+        cum.join(F.broadcast(nl), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(nd + 2) div 3"),
+                    F.col("ppl_milli"),
+                )
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * nd + 2) div 3"),
+                    F.col("ppl_milli"),
+                )
+            ).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("ppl_milli") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl_milli") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return docv.join(F.broadcast(th), "lang").select(
+        id_col, "lang", "n_bigrams", "ppl_milli",
+        bucket.alias("bucket"),
+    )
+
+
 def _ngrams_col(w: Column, n: int) -> Column:
     """Space-joined word n-grams of a word array (empty below n)."""
     if n == 1:

@@ -8769,3 +8769,160 @@ def test_pdf_lit_string_backslash_8_9_not_octal():
 
     lex = P._PdfLexer(rb"(a\8b\9\101\7z)")
     assert lex.value() == b"a8b9A\x07z"
+
+
+def test_ccnet_buckets_partition_and_order(spark):
+    """r16: CCNet per-language perplexity bucketing — three designed
+    en text groups (3 docs each, distinct scores) land in exact
+    thirds with identical texts sharing a bucket and the most
+    predictable group in 'head'; a second language buckets
+    INDEPENDENTLY; docs with <2 words are omitted."""
+    from geniepool_etl_spark.operators import text as TXc
+
+    rows = []
+    texts = {
+        "A": "the the the the the the",
+        "B": "the cat sat on the mat",
+        "C": "the zq qx vv zz kj",
+    }
+    i = 0
+    for grp, t in texts.items():
+        for _ in range(3):
+            rows.append((i, t, grp)); i += 1
+    # French corpus: one group only -> all 'head' by count threshold
+    for _ in range(2):
+        rows.append((i, "le chat et le chien et", "F")); i += 1
+    rows.append((i, "solo", "S")); i += 1  # 1 word: omitted
+    df = spark.createDataFrame(rows, "doc_id long, text string, g string")
+    got = TXc.ccnet_perplexity_buckets(df).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert i - 1 not in by_id                      # <2 words omitted
+    en = [r for r in got if r["lang"] == "en"]
+    fr = [r for r in got if r["lang"] == "fr"]
+    assert len(en) == 9 and len(fr) == 2
+    # identical texts share score and bucket; groups are thirds
+    grp_bucket = {}
+    grp_score = {}
+    for gi, grp in enumerate(texts):
+        rs = [by_id[gi * 3 + k] for k in range(3)]
+        assert len({r["ppl_milli"] for r in rs}) == 1
+        assert len({r["bucket"] for r in rs}) == 1
+        grp_bucket[grp] = rs[0]["bucket"]
+        grp_score[grp] = rs[0]["ppl_milli"]
+    assert sorted(grp_bucket.values()) == ["head", "middle", "tail"]
+    # bucket order tracks score order
+    order = sorted(texts, key=lambda g: grp_score[g])
+    assert [grp_bucket[g] for g in order] == ["head", "middle", "tail"]
+    # the repetitive group is the most predictable
+    assert grp_score["A"] == min(grp_score.values())
+    # single-score language: everything is 'head'
+    assert {r["bucket"] for r in fr} == {"head"}
+
+
+def test_audio_gates_closed_forms_and_flac(spark):
+    """r16: audio curation gates — designed segment WAVs match the
+    closed forms (mean square, silence run, clip milli, each gate
+    trips independently); the FLAC path agrees with the proven
+    decode_audio_pcm_stats sums; poison yields nulls."""
+    from geniepool_etl_spark.operators import multimodal as MMa
+
+    params = spark.createDataFrame(
+        [
+            # amp, n_tone, n_sil, n_clip
+            (1, 1000, 50, 0, 0),    # loud, clean -> keep
+            (2, 1000, 50, 30, 0),   # silence run 30 > 20 -> drop
+            (3, 1000, 50, 0, 4),    # clip 4/54 = 74 milli -> drop
+            (4, 64, 50, 10, 0),     # mean_sq 64^2*50//60 < 1e4 -> drop
+        ],
+        "asset_id long, amp long, n_tone long, n_sil long, n_clip long",
+    )
+    got = {
+        r["asset_id"]: r
+        for r in MMa.audio_quality_gates(
+            MMa.synth_wav_segments_assets(params)
+        ).collect()
+    }
+    r1 = got[1]
+    assert (r1["n_samples"], r1["mean_sq"], r1["longest_silence"],
+            r1["clip_milli"], r1["keep"]) == (50, 1000000, 0, 0, True)
+    assert got[2]["longest_silence"] == 30 and not got[2]["keep"]
+    exp_sq = (50 * 1000**2 + 2 * 32767**2 + 2 * 32768**2) // 54
+    assert (got[3]["mean_sq"], got[3]["clip_milli"],
+            got[3]["keep"]) == (exp_sq, 1000 * 4 // 54, False)
+    assert got[4]["mean_sq"] == 64 * 64 * 50 // 60
+    assert not got[4]["keep"]
+
+    # FLAC path: gates' n/mean_sq agree with decode_audio_pcm_stats
+    fparams = spark.createDataFrame(
+        [(9, 6, 2, 700)],
+        "asset_id long, n_frames long, n_channels long, base_val long",
+    )
+    flac = MMa.synth_flac_fixed_assets(fparams)
+    stats = MMa.decode_audio_pcm_stats(flac).collect()[0]
+    g = MMa.audio_quality_gates(flac).collect()[0]
+    assert g["n_samples"] == stats["n_samples"]
+    assert g["mean_sq"] == stats["sum_sq"] // stats["n_samples"]
+
+    poison = spark.createDataFrame(
+        [(7, b"not audio at all", "audio/wav")],
+        "asset_id long, payload binary, media_type string",
+    )
+    p = MMa.audio_quality_gates(poison).collect()[0]
+    assert p["mean_sq"] is None and p["keep"] is None
+
+
+def test_image_gates_patterns_and_dark_ramp(spark):
+    """r16: image quality gates — flat/stripes/ramp/checkerboard
+    land on the designed closed forms; the ramp starting at pixel
+    value 10 (a WHITESPACE byte — the raster-eating PGM parse bug)
+    still decodes; truncated raster poisons one row only."""
+    import math
+    from geniepool_etl_spark.operators import multimodal as MMi
+
+    params = spark.createDataFrame(
+        [
+            (0, 0, 77, 0),     # flat
+            (1, 1, 50, 53),    # stripes, d=3
+            (2, 2, 10, 2),     # ramp FROM 10 == b'\n' (dark first px)
+            (3, 3, 50, 52),    # checker, d=2
+        ],
+        "asset_id long, kind long, a long, b long",
+    )
+    got = {
+        r["asset_id"]: r
+        for r in MMi.image_quality_gates(
+            MMi.synth_pgm_pattern_assets(params)
+        ).collect()
+    }
+    ln2 = math.floor(math.log(2) * 10_000 + 0.5) / 10_000
+    ln32 = math.floor(math.log(32) * 10_000 + 0.5) / 10_000
+    assert (got[0]["lap_var_milli"], got[0]["entropy_nats"],
+            got[0]["keep"]) == (0, 0.0, False)
+    assert (got[1]["lap_var_milli"], got[1]["entropy_nats"],
+            got[1]["keep"]) == (4000 * 9, ln2, True)
+    assert (got[2]["lap_var_milli"], got[2]["entropy_nats"],
+            got[2]["keep"]) == (0, ln32, False)
+    assert (got[3]["lap_var_milli"], got[3]["entropy_nats"],
+            got[3]["keep"]) == (16000 * 4, ln2, True)
+
+    poison = spark.createDataFrame(
+        [(9, b"P5\n32 32\n255\nshort", "image/x-portable-graymap")],
+        "asset_id long, payload binary, media_type string",
+    )
+    p = MMi.image_quality_gates(poison).collect()[0]
+    assert p["lap_var_milli"] is None and p["keep"] is None
+
+
+def test_phash_whitespace_first_pixel(spark):
+    """r16 regression: a P5 raster whose FIRST byte is whitespace
+    (all-10 image) must still phash — the old split(None) header
+    parse ate leading raster bytes and poisoned dark images."""
+    from geniepool_etl_spark.operators import multimodal as MMp
+
+    raw = b"P5\n32 32\n255\n" + bytes([10] * (32 * 32))
+    df = spark.createDataFrame(
+        [(1, raw, "image/x-portable-graymap")],
+        "asset_id long, payload binary, media_type string",
+    )
+    r = MMp.decode_image_phash(df).collect()[0]
+    assert r["phash"] is not None
