@@ -5280,6 +5280,85 @@ def q_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-ROOTED END-TO-END CURATION (r16): the full
+    bytes-to-training-shards path of a CommonCrawl-style pipeline
+    as ONE lane, every stage a proven operator — synth_warc_assets
+    (real WARC files, per-record gzip members on odd assets) →
+    parse_warc_records (payload bytes confined to the FIRST
+    mapInPandas stage; only parsed fields shuffle) → keep HTTP-200
+    responses → strip_html (JVM) → designed filler padding so the
+    gopher word-count gate trips on some pages and not others →
+    gopher_quality_gates (integer cross-product keep) →
+    MinHash-LSH near-dup candidates (num_perm 16, bands 4, portable
+    hash) with the greedy keep-first rule: a page drops iff it is
+    the HIGHER id of a candidate pair with signature agreement ≥ 8
+    of 16 (est Jaccard ≥ 0.5; the transitive-closure variant is the
+    separate ``dedup_clusters`` lane — this one stays a single
+    acyclic plan) → FFD bin packing of survivors into 256-token
+    shards per site. The oracle replays EVERY stage: page
+    closed-forms, the gate inequality, the full minhash signature /
+    banding / hot-cap / agreement pipeline, and the sequential FFD
+    greedy as a recursive CTE."""
+    params = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 4)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    recs = WC.parse_warc_records(WC.synth_warc_assets(params))
+    resp = recs.where(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    clean = TX.strip_html(
+        resp.select(
+            "asset_id", "record_idx", F.col("body").alias("html")
+        )
+    )
+    pages = clean.select(
+        (F.col("asset_id") * 8 + F.col("record_idx"))
+        .cast("long")
+        .alias("page_id"),
+        F.concat(
+            F.lit("site"), (F.col("asset_id") % 7).cast("string")
+        ).alias("site"),
+        F.concat(
+            F.col("clean_text"),
+            F.lit(" "),
+            F.expr(
+                "repeat('filler ', CAST(42 + 3 * "
+                "((asset_id + record_idx) % 4) AS INT))"
+            ),
+        ).alias("text"),
+    )
+    gates = TX.gopher_quality_gates(pages, id_col="page_id")
+    kept = pages.join(
+        gates.where(F.col("keep")).select("page_id", "n_words"),
+        "page_id",
+    )
+    pairs = D.minhash_lsh_pairs(
+        kept.select(F.col("page_id").alias("doc_id"), "text"),
+        num_perm=16,
+        bands=4,
+        hash_fn=portable_hash32,
+    )
+    drops = (
+        pairs.where(F.col("est_jaccard") >= 0.5)
+        .select(F.col("id_b").alias("page_id"))
+        .distinct()
+    )
+    surv = kept.join(drops, "page_id", "left_anti")
+    sized = surv.select(
+        "site", "page_id", F.col("n_words").alias("n_tokens")
+    )
+    return PK.pack_bins_ffd(
+        sized,
+        budget=256,
+        group_col="site",
+        size_col="n_tokens",
+        id_col="page_id",
+    )
+
+
 def q_multimodal_resize_box(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7138,6 +7217,132 @@ SELECT p.id_a, p.id_b,
 FROM pairs p
 JOIN sigs sa ON sa.id = p.id_a
 JOIN sigs sb ON sb.id = p.id_b
+"""
+
+
+def _warc_corpus_oracle() -> str:
+    """Generated replay of the WARC-rooted curation flagship
+    (q_pipeline_warc_corpus): page closed-forms from the WARC synth
+    design → gopher word-count gate → the full minhash signature /
+    banding / hot-cap / agreement pipeline (the _minhash_oracle
+    pattern at num_perm 16 / bands 4) → greedy higher-id drop at
+    agreement ≥ 8 → the sequential FFD greedy as a recursive CTE
+    (the pack_bins_ffd pattern at budget 256)."""
+    num_perm, bands, rows = 16, 4, 4
+    sig_cols = ",\n    ".join(
+        f"min({_h('shingle', k)}) AS h{k}" for k in range(num_perm)
+    )
+    band_selects = []
+    for bi in range(bands):
+        slice_cols = ", ".join(
+            f"CAST(h{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        key = _h(f"concat_ws(',', {slice_cols})", 10_000 + bi)
+        band_selects.append(
+            f"SELECT id, {bi} AS band, {key} AS key FROM sigs"
+        )
+    banded = "\n  UNION ALL\n  ".join(band_selects)
+    agree = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END"
+        for k in range(num_perm)
+    )
+    return rf"""
+WITH RECURSIVE prm AS (
+  SELECT doc_id AS aid, 2 + doc_id % 3 AS n_rec
+  FROM documents WHERE doc_id % 13 = 4
+),
+pg AS (
+  SELECT aid * 8 + r AS page_id,
+         'site' || (aid % 7) AS site,
+         'd' || aid || ' ' || repeat('tok ', CAST(r AS INTEGER))
+           || 'p' || aid || ' r' || r || ' '
+           || repeat('filler ',
+                CAST(42 + 3 * ((aid + r) % 4) AS INTEGER)) AS text,
+         CAST(r + 45 + 3 * ((aid + r) % 4) AS BIGINT) AS n_words
+  FROM prm, UNNEST(range(1, n_rec + 1)) AS u(r)
+  WHERE (aid + r) % 5 <> 0
+),
+kept AS (SELECT * FROM pg WHERE n_words >= 50),
+words AS (
+  SELECT page_id AS id,
+         string_split_regex(trim(text), '\s+') AS w
+  FROM kept
+),
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id,
+           unnest(CASE WHEN len(w) >= 3
+             THEN list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS shingle
+    FROM words
+  )
+),
+sigs AS (
+  SELECT id,
+    {sig_cols}
+  FROM sh GROUP BY id
+),
+banded AS (
+  {banded}
+),
+hot AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) > 200
+),
+capped AS (
+  SELECT b.* FROM banded b ANTI JOIN hot h USING (band, key)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM capped a JOIN capped c USING (band, key)
+  WHERE a.id < c.id
+),
+ag AS (
+  SELECT p.id_a, p.id_b, ({agree}) AS agree
+  FROM cand p
+  JOIN sigs sa ON sa.id = p.id_a
+  JOIN sigs sb ON sb.id = p.id_b
+),
+drops AS (SELECT DISTINCT id_b FROM ag WHERE agree >= 8),
+surv AS (
+  SELECT k.site, k.page_id, k.n_words AS n_tokens
+  FROM kept k ANTI JOIN drops d ON k.page_id = d.id_b
+),
+rk AS (
+  SELECT site, page_id, n_tokens,
+         row_number() OVER (PARTITION BY site
+           ORDER BY n_tokens DESC, page_id) AS rnk
+  FROM surv
+),
+steps AS (
+  SELECT site, 0 AS rnk, CAST([] AS BIGINT[]) AS loads,
+         CAST([] AS INTEGER[]) AS bins
+  FROM (SELECT DISTINCT site FROM rk)
+  UNION ALL
+  SELECT s.site, s.rnk + 1,
+    CASE WHEN nullif(list_position(list_transform(s.loads,
+           l -> l + i.n_tokens <= 256), true), 0) IS NULL
+         THEN list_append(s.loads, i.n_tokens)
+         ELSE list_transform(range(1, len(s.loads) + 1), k ->
+           CASE WHEN k = list_position(list_transform(
+                  s.loads, l -> l + i.n_tokens <= 256), true)
+                THEN s.loads[k] + i.n_tokens
+                ELSE s.loads[k] END) END,
+    list_append(s.bins,
+      CAST(coalesce(nullif(list_position(list_transform(
+             s.loads, l -> l + i.n_tokens <= 256), true), 0),
+           len(s.loads) + 1) - 1 AS INTEGER))
+  FROM steps s
+  JOIN rk i ON i.site = s.site AND i.rnk = s.rnk + 1
+),
+final AS (
+  SELECT site, loads, bins FROM steps s
+  WHERE rnk = (SELECT max(rnk) FROM rk r WHERE r.site = s.site)
+)
+SELECT i.site, i.page_id, i.n_tokens,
+       f.bins[i.rnk] AS bin_idx,
+       f.loads[f.bins[i.rnk] + 1] AS bin_load
+FROM rk i JOIN final f USING (site)
 """
 
 
@@ -10596,6 +10801,7 @@ UNION ALL
 SELECT min(id) AS doc_id FROM labels GROUP BY label
 """
     o["dedup_minhash_lsh"] = _minhash_oracle()
+    o["pipeline_warc_corpus"] = _warc_corpus_oracle()
     o["dedup_simhash"] = _simhash_oracle()
     o["dedup_incremental_near"] = _incr_minhash_oracle()
     o["dedup_repeated_spans"] = f"""
@@ -16054,6 +16260,7 @@ SPARK_QUERIES = {
     "text_fix_mojibake": q_text_fix_mojibake,
     "warc_parse": q_warc_parse,
     "warc_html_text": q_warc_html_text,
+    "pipeline_warc_corpus": q_pipeline_warc_corpus,
     "multimodal_video_phash": q_multimodal_video_phash,
     "multimodal_vp8l_bundled_palette": q_multimodal_vp8l_bundled_palette,
     "multimodal_vp8_lf_delta": q_multimodal_vp8_lf_delta,

@@ -630,3 +630,19 @@ def test_perplexity_tokenizes_corpus_once(spark):
     # the only join is the 1-row broadcast of the corpus total
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_warc_corpus_payload_confined_to_scan_stage(spark):
+    """r16 flagship (pipeline_warc_corpus): the WARC bytes must stay
+    inside the first mapInPandas parse stage — no Exchange row may
+    carry the binary payload column (parsed fields and page text
+    legitimately shuffle for the gate/dedup/pack stages; raw WARC
+    bytes never do) — and the composed five-stage plan stays
+    cartesian-free."""
+    import re
+
+    df = C.q_pipeline_warc_corpus(spark, SF_SMALL)
+    P.assert_no_cartesian(df)
+    plan = P.final_plan(df)
+    assert "payload" in plan  # the parse stage itself is present
+    assert not re.search(r"Exchange[^\n]*payload", plan)
