@@ -7058,11 +7058,24 @@ def q_flagship_lake_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket derivation → second-level nest (pipeline.py ≙ M:43-79)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    lvl1 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
-        .groupBy("l_orderkey", "o_orderstatus")
-        .agg(F.sort_array(F.collect_set("l_linenumber")).alias("items"))
+    # r16 optimization (guide §2.3 "aggregate before you shuffle" /
+    # §3.3): nest the line numbers BEFORE the orders join, so the join
+    # probes one pre-aggregated row per order instead of every line
+    # row, and the shuffle feeding the join carries map-side partial
+    # collect_set buffers (≤1 row per order per map task) instead of
+    # raw lines. Equivalent to joining first and grouping on
+    # (l_orderkey, o_orderstatus) because o_orderkey is the orders
+    # table's unique key in this star schema (TPC-H shape): the join
+    # adds exactly one status per order (null when unmatched), so the
+    # (l_orderkey, o_orderstatus) groups are the l_orderkey groups.
+    # Measured at the sf10 decade: 21.4/24.4/17.5 s → 14.8/14.6/14.1 s
+    # interleaved A/B, identical results at sf0.1 (150 rows).
+    items = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_linenumber")).alias("items")
     )
+    lvl1 = items.join(
+        orders, items.l_orderkey == orders.o_orderkey, "left"
+    ).select("l_orderkey", "o_orderstatus", "items")
     bucketed = lvl1.withColumn(
         "bucket", F.expr("l_orderkey div 1000").cast("long")
     )

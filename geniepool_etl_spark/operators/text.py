@@ -1303,24 +1303,28 @@ def bigram_surprisal_scores(
     (sum / (scale · n_bigrams)) is exact-input IEEE division, then
     rounded to 4 decimals per the repo's float rule.
 
-    Plan shape (r11 rework): tokens group per (doc, bigram) FIRST so
-    everything downstream moves distinct-bigram rows, not every
-    token; the LM count n(l,r) is a WINDOW sum over that one frame
-    (no counts-frame self-join), and the corpus total N is computed
-    directly from the corpus (Σ max(|words|−1, 0) ≡ Σ m) as a 1-row
-    broadcast. The (doc, bigram, m) frame therefore has exactly ONE
-    consumer — persist() (opt-in via ``materialize=True``;
-    MEMORY_AND_DISK, lineage KEPT) only amortizes repeat executions;
-    a lost block recomputes instead of failing. The previous 3-consumer localCheckpoint shape lost
-    its truncated-lineage blocks under sf10 battery heap pressure
-    ("Block rdd does not exist", unrecoverable by design) and
-    measured 2.4× slower at sf1 than this window form.
+    Plan shape (r16 rework, guide §2.4): bigram OCCURRENCES are
+    hash-partitioned by (l, r) straight off the explode; the LM count
+    n(l,r) is then a WINDOW count over the occurrence frame (no extra
+    exchange — the window's required clustering IS the repartition
+    key), and the per-document rollup is one partial-agg exchange on
+    the doc id. The r11 shape pre-aggregated per (doc, l, r) first,
+    but that aggregation compressed nothing (natural text repeats a
+    bigram within one document rarely — measured 25.6M occurrences →
+    25.6M (doc,bigram) rows at the sf10 decade) while costing a full
+    extra corpus-scale exchange: 3 exchanges → 2 removes ~440 MB of
+    shuffle at sf10 (measured 7.6-8.1 s → 5.0-5.4 s interleaved A/B,
+    identical output). Σ occurrences of s ≡ Σ m·s over distinct
+    bigrams, and the window count over occurrences ≡ the window sum
+    of m — exact integer arithmetic either way. The corpus total N is
+    computed directly from the corpus (Σ max(|words|−1, 0)) as a
+    1-row broadcast, never as a second consumer of the heavy frame.
 
     Documents with fewer than 2 words have no bigrams and are
-    OMITTED from the output (inner join on the bigram frame), by
-    design: a perplexity under a bigram LM is undefined for them.
-    Callers needing a row per input doc should left-join this result
-    back to the id set (n_bigrams=0, avg_nll NULL).
+    OMITTED from the output (no occurrence rows), by design: a
+    perplexity under a bigram LM is undefined for them. Callers
+    needing a row per input doc should left-join this result back to
+    the id set (n_bigrams=0, avg_nll NULL).
     """
     w = words_col(F.lower(F.col(text_col)))
     bigrams = F.when(
@@ -1331,28 +1335,13 @@ def bigram_surprisal_scores(
             lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         ),
     ).otherwise(F.array())
-    dp = (
+    occ = (
         df.select(F.col(id_col), F.explode(bigrams).alias("p"))
-        .groupBy(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-        .agg(F.count(F.lit(1)).alias("m"))
+        .select(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        # one exchange, keyed so the window below needs no second one;
+        # no explicit partition count — AQE sizes it from the data
+        .repartition(F.col("l"), F.col("r"))
     )
-    if materialize:
-        # opt-in: pays only across REPEAT executions of the same frame
-        # (the plan has a single dp consumer, so one-shot runs gain
-        # nothing) — default False (r12) because the cache is never
-        # unpersisted and a lingering corpus-sized block set is
-        # exactly the heap co-tenancy that inflates whatever runs
-        # next in the session (the r11 lesson, see SCALE.md)
-        dp = dp.persist()
-    # the LM count n(l,r) as a WINDOW over the per-(doc,bigram) frame
-    # instead of a counts-frame self-join: dp then has exactly ONE
-    # consumer, so no cache/checkpoint is needed at all (r11 — the
-    # previous localCheckpoint'd 3-consumer shape lost its truncated-
-    # lineage blocks under sf10 battery heap pressure and was also
-    # ~2.4× slower at sf1); the corpus bigram total N is computed
-    # DIRECTLY from the corpus (Σ max(|words|−1, 0), exactly Σ m by
-    # construction) as the 1-row broadcast, not as a second dp
-    # consumer.
     tot = df.select(
         F.sum(
             F.greatest(
@@ -1362,27 +1351,32 @@ def bigram_surprisal_scores(
         ).alias("_N")
     )
     win = Window.partitionBy("l", "r")
-    return (
-        dp.withColumn("n", F.sum("m").over(win))
+    scored = (
+        occ.withColumn("n", F.count(F.lit(1)).over(win))
         .crossJoin(F.broadcast(tot))
         .select(
             F.col(id_col),
-            "m",
             F.round(
                 F.log(F.col("_N").cast("double") / F.col("n")) * scale
             )
             .cast("long")
             .alias("s"),
         )
-        .groupBy(id_col)
-        .agg(
-            F.sum("m").cast("long").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("m") * F.col("s")).cast("double")
-                / (scale * F.sum("m")),
-                4,
-            ).alias("avg_nll"),
-        )
+    )
+    if materialize:
+        # opt-in: pays only across REPEAT executions of the same frame
+        # (the plan has a single consumer, so one-shot runs gain
+        # nothing) — default False (r12) because the cache is never
+        # unpersisted and a lingering corpus-sized block set is
+        # exactly the heap co-tenancy that inflates whatever runs
+        # next in the session (the r11 lesson, see SCALE.md)
+        scored = scored.persist()
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("s").cast("double") / (scale * F.count(F.lit(1))),
+            4,
+        ).alias("avg_nll"),
     )
 
 
