@@ -7058,24 +7058,44 @@ def q_flagship_lake_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket derivation → second-level nest (pipeline.py ≙ M:43-79)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    # r16 optimization (guide §2.3 "aggregate before you shuffle" /
-    # §3.3): nest the line numbers BEFORE the orders join, so the join
-    # probes one pre-aggregated row per order instead of every line
-    # row, and the shuffle feeding the join carries map-side partial
-    # collect_set buffers (≤1 row per order per map task) instead of
-    # raw lines. Equivalent to joining first and grouping on
-    # (l_orderkey, o_orderstatus) because o_orderkey is the orders
-    # table's unique key in this star schema (TPC-H shape): the join
-    # adds exactly one status per order (null when unmatched), so the
-    # (l_orderkey, o_orderstatus) groups are the l_orderkey groups.
-    # Measured at the sf10 decade: 21.4/24.4/17.5 s → 14.8/14.6/14.1 s
-    # interleaved A/B, identical results at sf0.1 (150 rows).
-    items = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_linenumber")).alias("items")
+    # r16 optimization, two steps, result bit-identical (oracle-proven
+    # at sf0.001/0.01/0.1; the DuckDB oracle still computes the
+    # collect_set formulation independently):
+    #
+    # 1. (guide §2.3 "aggregate before you shuffle" / §3.3) nest
+    #    BEFORE the orders join, so the join probes one pre-aggregated
+    #    row per order instead of every line row. Equivalent to
+    #    joining first and grouping on (l_orderkey, o_orderstatus)
+    #    because o_orderkey is the orders table's unique key in this
+    #    star schema: the join adds exactly one status per order (null
+    #    when unmatched), so the (l_orderkey, o_orderstatus) groups
+    #    are the l_orderkey groups. Measured at the sf10 decade:
+    #    21.4/24.4/17.5 s → 14.8/14.6/14.1 s interleaved A/B.
+    #
+    # 2. (guide §1.2 "don't compute things you throw away" + §2.3
+    #    narrower types) the nested items array is only ever consumed
+    #    as size(items) = count of distinct line numbers, and
+    #    l_linenumber lives in [1, 7] (TPC-H line-number domain), so
+    #    the level-1 collect_set — a TypedImperativeAggregate that
+    #    forces ObjectHashAggregate with per-group serialized array
+    #    buffers — is replaced by a 64-bit BITMASK bit_or: a plain
+    #    codegen'd HashAggregate whose partial state is 8 bytes, with
+    #    distinct-count = bit_count(mask). Values outside [0, 63]
+    #    raise (fail-loud domain guard) rather than silently aliasing
+    #    under the mod-64 shift. Measured on top of step 1:
+    #    13.5/13.9/13.5 s → 3.3/3.3/3.4 s interleaved A/B at sf10
+    #    (ObjectHashAggregate → HashAggregate; the 300 MB partial
+    #    array-buffer shuffle becomes ~120 MB of (key, mask) longs).
+    masked = F.when(
+        F.col("l_linenumber").between(0, 63),
+        F.expr("shiftleft(cast(1 as bigint), l_linenumber)"),
+    ).otherwise(
+        F.raise_error(F.lit("l_linenumber outside [0,63] bitmask domain"))
     )
+    items = li.groupBy("l_orderkey").agg(F.bit_or(masked).alias("mask"))
     lvl1 = items.join(
         orders, items.l_orderkey == orders.o_orderkey, "left"
-    ).select("l_orderkey", "o_orderstatus", "items")
+    ).select("l_orderkey", "o_orderstatus", "mask")
     bucketed = lvl1.withColumn(
         "bucket", F.expr("l_orderkey div 1000").cast("long")
     )
@@ -7085,7 +7105,9 @@ def q_flagship_lake_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("order_keys"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.size("items")).cast("long").alias("total_items"),
+        F.sum(F.coalesce(F.bit_count("mask"), F.lit(0)))
+        .cast("long")
+        .alias("total_items"),
     )
 
 

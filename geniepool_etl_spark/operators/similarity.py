@@ -215,9 +215,19 @@ def lsh_bucket(
     )
     pow2 = (2 ** np.arange(n_planes, dtype=np.int64))
     id_dt = df.schema[id_col].dataType.simpleString()
+    # r16 (guide §2.3 "narrower types"): pass the vector through at its
+    # SOURCE element width instead of upcasting to array<double> here.
+    # The bucketized frame is what the candidate equi-join replicates
+    # (×(n_planes+1) under multi-probe), so for the float32 embeddings
+    # the testdata ships this halves the bytes of every downstream
+    # exchange. Exactness is untouched: float→double is value-
+    # preserving, and every consumer upcasts with .astype(np.float64)
+    # before the fold-order arithmetic, so all dots/norms/cosines are
+    # computed on bit-identical doubles either way.
+    vec_el = df.schema[vec_col].dataType.elementType.simpleString()
     cols = "norm double, " if with_norm else ""
-    schema = f"id {id_dt}, vec array<double>, bucket long, {cols}".rstrip(
-        ", "
+    schema = (
+        f"id {id_dt}, vec array<{vec_el}>, bucket long, {cols}".rstrip(", ")
     )
 
     def bucketize(batches):
@@ -234,7 +244,8 @@ def lsh_bucket(
             signs = _fold_dots(V, pmat) > 0  # (rows × planes)
             out = {
                 "id": pdf["id"].to_numpy(),
-                "vec": list(V),
+                # original source-width values, NOT the f64 upcast V
+                "vec": pdf["vec"].to_numpy(),
                 "bucket": signs @ pow2,
             }
             if with_norm:
@@ -349,8 +360,11 @@ def lsh_bucket_topk(
             return pd.DataFrame({"q_id": [], "n_id": [], "cos_sim": []})
         qids = left["q_id"].to_numpy()
         nids = right["n_id"].to_numpy()
-        Q = np.stack(left["vec"].to_numpy())
-        N = np.stack(right["vec"].to_numpy())
+        # upcast the source-width (float32) vectors shuffled by the
+        # bucketized frame — value-preserving, so the fold-order doubles
+        # below are bit-identical to the former array<double> shape
+        Q = np.stack(left["vec"].to_numpy()).astype(np.float64)
+        N = np.stack(right["vec"].to_numpy()).astype(np.float64)
         qn = left["norm"].to_numpy()
         nn = right["norm"].to_numpy()
         oq, on_, oc = [], [], []
@@ -444,7 +458,8 @@ def embedding_near_dup_pairs(
         # cos_sim is the integer grid index / 1e4, the same double
         # BigDecimal round4 produces
         ids = pdf["id"].to_numpy()
-        V = np.stack(pdf["vec"].to_numpy())
+        # source-width vectors off the bucketized frame: exact upcast
+        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         nrm = pdf["norm"].to_numpy()
         w = len(ids)
         oa, ob, oc = [], [], []
