@@ -246,8 +246,23 @@ def pagerank_fixedpoint(
     changes), aggregate on ``dst``, left join back to the node set;
     the node count rides a broadcast 1-row frame. The driver-side
     ``for`` loop builds ONE plan of ``iterations`` supersteps — no
-    per-step action, no collect. At 100 TB checkpoint every few
-    supersteps to cut lineage (same rule as dedup's signature frame).
+    per-step action, no collect.
+
+    r16 (guide §3.3 "materialising an intermediate truncates the
+    plan" / §5 localCheckpoint): the degree-annotated edge list and
+    the node set are lazily localCheckpoint'ed before the superstep
+    loop. Without it every superstep's plan REPLICATES the whole
+    upstream edge-derivation subtree (the contract lane's
+    orders⋈lineitem→distinct appeared 88× as parquet scans in the
+    unrolled 5-superstep plan, and Catalyst's per-branch pruning
+    defeats exchange reuse), so the corpus-scale derivation executed
+    once per superstep reference instead of once. Checkpointing is
+    exactly what GraphX does with its edge RDD across Pregel
+    supersteps; lazy (eager=False) keeps the materialization inside
+    the first execution — consumers are sequenced through the
+    superstep chain, the case lazy checkpoints dedupe (SCALE.md
+    consumer-topology rule). On a multi-executor cluster swap for
+    persist(MEMORY_AND_DISK) if executor loss matters.
     """
     if iterations <= 0:
         raise ValueError("pagerank_fixedpoint: iterations must be > 0")
@@ -257,12 +272,14 @@ def pagerank_fixedpoint(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
+    e = e.localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg, "src")
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     tot = nodes.agg(F.count(F.lit(1)).alias("_n"))
     base = F.expr(f"CAST({(100 - damping_pct) * scale} AS BIGINT) div (100 * _n)")

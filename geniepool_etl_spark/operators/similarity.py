@@ -944,7 +944,15 @@ def semantic_dedup_keep(
     cnorm = np.array([r["cnorm"] for r in crows], dtype=np.float64)
     cid_arr = np.array([r["cid"] for r in crows])
     dim = cmat.shape[1]
-    asg_schema = f"id {id_dt}, cid {id_dt}, nrm double, vec array<double>"
+    # r16 (guide §2.3 "narrower types", same move as lsh_bucket): the
+    # cid exchange is the one corpus-scale shuffle of this operator and
+    # it carries every vector — ship them at their SOURCE element width
+    # (array<float> for the float32 embeddings the testdata ships)
+    # instead of the f64 upcast. keep_group upcasts with
+    # .astype(np.float64) before the fold-order arithmetic, so every
+    # cosine is computed on bit-identical doubles either way.
+    vec_el = corpus.schema[vec_col].dataType.elementType.simpleString()
+    asg_schema = f"id {id_dt}, cid {id_dt}, nrm double, vec array<{vec_el}>"
 
     def assign(batches):
         for pdf in batches:
@@ -963,7 +971,8 @@ def semantic_dedup_keep(
                     "id": pdf["id"].to_numpy(),
                     "cid": cid_arr[best],
                     "nrm": nrm,
-                    "vec": list(V),
+                    # original source-width values, NOT the f64 upcast V
+                    "vec": pdf["vec"].to_numpy(),
                 }
             )
 
@@ -971,7 +980,10 @@ def semantic_dedup_keep(
 
     def keep_group(pdf):
         ids = pdf["id"].to_numpy()
-        V = np.stack(pdf["vec"].to_numpy())
+        # upcast the source-width (float32) vectors shuffled by the
+        # cid exchange — value-preserving, so the fold-order doubles
+        # are bit-identical to the former array<double> shape
+        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         nrm = pdf["nrm"].to_numpy()
         w = len(ids)
         dropped = np.zeros(w, dtype=bool)
