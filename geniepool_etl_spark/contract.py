@@ -2268,15 +2268,25 @@ def q_pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper) → overlapping context-window chunking
     (``chunk_documents``, narrow explode) → sequence packing over the
     chunks (``pack_windows``, one hash exchange + shard-local window
-    sums). Four stages, three shuffles total (dedup window, pack
-    exchange, plus the keep-set join that AQE broadcasts); every
-    stage's semantics already proven by its own entry, here proven
-    COMPOSED — the oracle recomputes the entire funnel in SQL."""
+    sums). Four stages, two shuffles total (dedup window, pack
+    exchange — the quality gate applies inline on the spine, r16);
+    every stage's semantics already proven by its own entry, here
+    proven COMPOSED — the oracle recomputes the entire funnel in
+    SQL."""
     docs = _t(spark, sf_dir, "documents")
-    keep_ids = (
-        TX.quality_filter(docs).where(F.col("keep")).select("doc_id")
+    # r16 (guide §2.4): the quality gate is a narrow map — apply it
+    # INLINE on the spine via keep_cols instead of projecting the
+    # keep set to ids and join-composing it back (the join is two
+    # corpus-scale exchanges at scale; AQE only rescues it below the
+    # broadcast threshold). Identical kept rows, oracle-proven.
+    kept = (
+        TX.quality_filter(
+            docs,
+            keep_cols=tuple(c for c in docs.columns if c != "doc_id"),
+        )
+        .where(F.col("keep"))
+        .select(*docs.columns)
     )
-    kept = docs.join(keep_ids, "doc_id")
     survivors = D.exact_dedup(kept)
     chunks = TX.chunk_documents(
         survivors, chunk_words=64, stride_words=48
@@ -5330,10 +5340,20 @@ def q_pipeline_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    gates = TX.gopher_quality_gates(pages, id_col="page_id")
-    kept = pages.join(
-        gates.where(F.col("keep")).select("page_id", "n_words"),
-        "page_id",
+    # r16 (guide §2.4): the gates are a narrow map over the parsed
+    # pages — applied INLINE via keep_cols instead of join-composed
+    # back on page_id (the join re-ran the whole WARC-parse subtree
+    # for the gates branch AND paid two exchanges). kept then feeds
+    # two consumers (the minhash signature chain and the anti-join
+    # spine), so a lazy checkpoint stops the parse running once per
+    # consumer; identical rows, oracle-proven.
+    kept = (
+        TX.gopher_quality_gates(
+            pages, id_col="page_id", keep_cols=("site", "text")
+        )
+        .where(F.col("keep"))
+        .select("page_id", "site", "text", "n_words")
+        .localCheckpoint(eager=False)
     )
     pairs = D.minhash_lsh_pairs(
         kept.select(F.col("page_id").alias("doc_id"), "text"),

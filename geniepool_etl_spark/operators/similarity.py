@@ -1499,17 +1499,75 @@ def ivfpq_topk(
 
     Plan: codebook + LUT (|queries|·n_sub·n_codes rows) broadcast;
     the only exchanges are the IVF list equi-join and the final
-    per-query top-k."""
+    per-query top-k.
+
+    r16 (guide §1.2 "how many full passes are unavoidable"): list
+    assignment and PQ encoding were two separate ``mapInPandas``
+    corpus scans (profiled as two identical-cost map stages) plus a
+    per-candidate join to re-attach codes to pairs. Both are per-row
+    functions of the same decoded vector batch, so ONE fused pass now
+    emits ``(n_id, cid, codes)`` — the corpus is scanned once for the
+    index build and the codes ride the existing cid equi-join instead
+    of a second exchange (codes are n_sub ints — the pair-dedup
+    shuffles a few extra bytes, cheaper than a corpus-wide join).
+    Assignment reuses ``_exact_topk_key`` and encoding replays
+    ``pq_encode``'s fold-order subspace loop verbatim, so every cid,
+    code and distance is bit-identical to the two-pass shape."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    id_dt = corpus.schema[id_col].dataType.simpleString()
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    lists = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
-        F.col("id").alias("n_id"), "cid"
-    )
     probes = ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
         F.col("id").alias("q_id"), "cid"
     )
     cb = pq_codebook(corpus, n_codes, id_col, vec_col)
-    codes = pq_encode(corpus, cb, n_sub, dim, id_col, vec_col, scale)
     sd = dim // n_sub
+    crows = sorted(cents.collect(), key=lambda r: r["cid"])
+    cbrows = sorted(cb.collect(), key=lambda r: r["j"])
+    if not crows or not cbrows:
+        return spark.createDataFrame(
+            [], f"q_id {id_dt}, n_id {id_dt}, adist2 double"
+        )
+    cmat = np.array([list(r["cvec"]) for r in crows], dtype=np.float64)
+    cnorm = np.array([r["cnorm"] for r in crows], dtype=np.float64)
+    cid_arr = np.array([r["cid"] for r in crows])
+    cbm = np.array([list(r["cvec"]) for r in cbrows], dtype=np.float64)
+    j_arr = np.array([r["j"] for r in cbrows], dtype=np.int64)
+    n_codes_eff = len(cbrows)
+
+    def assign_encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            nrm = _fold_sq_norms(V)
+            # ivf_assign's nprobe=1 ranking, verbatim
+            best = _exact_topk_key(V, nrm, cmat, cnorm, 1)[:, 0]
+            # pq_encode's fold-order subspace loop, verbatim
+            n = V.shape[0]
+            codes = np.empty((n, n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                lo = s * sd
+                acc = np.zeros((n, n_codes_eff))
+                for i in range(lo, lo + sd):
+                    t = V[:, i, None] - cbm[None, :, i]
+                    acc += t * t
+                di = np.floor(acc * scale + 0.5)
+                codes[:, s] = j_arr[np.argmin(di, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "n_id": pdf["id"].to_numpy(),
+                    "cid": cid_arr[best],
+                    "codes": list(codes),
+                }
+            )
+
+    lists = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(
+        assign_encode, f"n_id {id_dt}, cid {id_dt}, codes array<int>"
+    )
     subs = F.explode(
         F.sequence(F.lit(0), F.lit(n_sub - 1))
     ).alias("s")
@@ -1537,8 +1595,10 @@ def ivfpq_topk(
     pairs = (
         probes.join(lists, "cid")
         .where(F.col("q_id") != F.col("n_id"))
+        # codes ride through the dedup: functionally dependent on
+        # n_id, so whichever duplicate survives carries identical
+        # values — no join-back exchange needed
         .dropDuplicates(["q_id", "n_id"])
-        .join(codes.withColumnRenamed("id", "n_id"), "n_id")
         .select("q_id", "n_id", F.posexplode("codes").alias("s", "j"))
     )
     scored = (

@@ -405,6 +405,7 @@ def quality_filter(
     min_avg_word_len: float = 3.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Keep/drop decision with machine-readable reasons — the
     filtering stage of a training-data pipeline, built on
@@ -412,6 +413,12 @@ def quality_filter(
     where reasons is a comma-joined list ('' when kept). Narrow map at
     scan speed; thresholds compare the ROUNDED stats so any external
     engine reproduces the exact same keep set.
+
+    ``keep_cols`` (r16): extra input columns passed through, so a
+    pipeline can gate its spine INLINE (``.where("keep")``) instead
+    of projecting to ids and join-composing the keep set back — the
+    filter is a narrow map; re-attaching it by join costs two
+    corpus-scale exchanges (guide §2.4).
     """
     stats = with_text_stats(df, text_col)
     reasons = F.concat_ws(
@@ -426,6 +433,7 @@ def quality_filter(
     )
     return stats.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
@@ -1480,6 +1488,18 @@ def pmi_collocations(
         .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # counts feeds FOUR consumers (both margins, the total, and the
+    # scored stream) whose aggregations differ BELOW the exchange —
+    # the left margin partial-aggregates by l, the right by r, the
+    # total globally — so nothing is reusable and each consumer
+    # replays the whole tokenize+explode corpus pass (profiled at
+    # sf0.1: four identical ~2.2 taskSec map stages per execution).
+    # The counts frame is the distinct-bigram domain — tiny next to
+    # the corpus — so eager materialization is the cheap side of the
+    # consumer-topology rule (SCALE.md; same call as rfm_segments /
+    # gap_fill_hourly): ONE tokenize pass, margins become aggregates
+    # over the materialized |vocab|²-bounded frame.
+    counts = counts.localCheckpoint(eager=True)
     left = counts.groupBy("l").agg(F.sum("n").alias("_cl"))
     right = counts.groupBy("r").agg(F.sum("n").alias("_cr"))
     tot = counts.agg(F.sum("n").alias("_N"))
@@ -1587,7 +1607,10 @@ def with_nfc_normalized(
 
 
 def gopher_quality_gates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, table A1
     — public paper), the heavier sibling of :func:`quality_filter`:
@@ -1604,6 +1627,13 @@ def gopher_quality_gates(
     exact integer cross-products (hits * 100 vs n * threshold) so no
     float rounding decides a keep/drop and any external engine
     reproduces the identical keep set bit-for-bit.
+
+    ``keep_cols`` (r16): extra input columns passed through the
+    projection, so a pipeline can compute the gates INLINE on its
+    spine frame instead of projecting to (id, flags) and join-
+    composing back on the id — the gates are a narrow map, and a
+    join that re-attaches a narrow map's output is two corpus-scale
+    exchanges for nothing (guide §2.4 "remove shuffles outright").
     """
     text = F.col(text_col)
     words = words_col(text)
@@ -1636,6 +1666,7 @@ def gopher_quality_gates(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_words.cast("long").alias("n_words"),
         dup_lines.cast("long").alias("n_dup_lines"),
         (reasons == "").alias("keep"),

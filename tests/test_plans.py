@@ -644,5 +644,23 @@ def test_warc_corpus_payload_confined_to_scan_stage(spark):
     df = C.q_pipeline_warc_corpus(spark, SF_SMALL)
     P.assert_no_cartesian(df)
     plan = P.final_plan(df)
-    assert "payload" in plan  # the parse stage itself is present
+    # r16: the gated spine is localCheckpoint'ed, so the parse
+    # subtree sits behind a Scan ExistingRDD in the composed plan —
+    # assert payload confinement on the parse subtree itself (scan →
+    # mapInPandas, narrow: no Exchange at all), and no payload column
+    # ever reaches an Exchange of the composed plan either.
     assert not re.search(r"Exchange[^\n]*payload", plan)
+    from pyspark.sql import functions as F
+
+    from geniepool_etl_spark.sources import warc as WC
+
+    params = (
+        C._t(spark, SF_SMALL, "documents")
+        .where(F.col("doc_id") % 13 == 4)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    parse_plan = P.final_plan(
+        WC.parse_warc_records(WC.synth_warc_assets(params))
+    )
+    assert "payload" in parse_plan  # the parse stage itself
+    assert not re.search(r"Exchange[^\n]*payload", parse_plan)
