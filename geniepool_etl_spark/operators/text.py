@@ -1039,26 +1039,33 @@ def bpe_token_counts(
     The scalable design point: documents are NEVER re-encoded
     word-by-word. Token counts are computed once per DISTINCT word on
     the |vocab|-sized frame (each merge round is the same broadcast
-    1-row-winner replace as learning), then per-document totals are
-    one join of the (doc, word, occurrences) frame against the
-    per-word token count — Σ m·tokens(w). Encoding cost is
-    O(|vocab|·k) after the one corpus-sized word-count pass,
+    1-row-winner replace as learning), then per-document totals come
+    from one broadcast probe of the per-word token count against the
+    raw word occurrences — Σ tokens(w) over occurrences ≡ Σ m·tokens(w)
+    over distinct words. Encoding cost is O(|vocab|·k) plus two
+    corpus-sized passes (the vocabulary count and the billing probe),
     regardless of how often words repeat.
+
+    r16 shape note: an earlier formulation built an intermediate
+    (doc, word, m) frame and equi-joined the token counts back by
+    word. That frame's consumers prune different columns, so each
+    re-derived it from its own scan+explode pass (exchange reuse
+    cannot dedupe structurally distinct subtrees), and the billing
+    join either shuffled — or at some scales BROADCAST — the
+    corpus-side frame. Counting straight off the occurrences needs no
+    (doc, word) exchange at all: the only shuffles left are
+    |vocab|-sized partials and the per-doc rollup, and the one join
+    ships the |vocab|-sized side explicitly.
     """
     if k <= 0:
         raise ValueError("bpe_token_counts: k must be > 0")
-    wpd = (
-        df.select(
-            F.col(id_col),
-            F.explode(words_col(F.lower(F.col(text_col)))).alias("w"),
-        )
-        .where(F.length("w") > 0)
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
+    occ = df.select(
+        F.col(id_col),
+        F.explode(words_col(F.lower(F.col(text_col)))).alias("w"),
+    ).where(F.length("w") > 0)
     vocab = (
-        wpd.groupBy("w")
-        .agg(F.sum("m").alias("freq"))
+        occ.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
         .select(
             "w",
             F.concat(
@@ -1068,6 +1075,15 @@ def bpe_token_counts(
             ).alias("rep"),
             "freq",
         )
+        # |vocab|-row lazy materialization: the k per-round pair
+        # aggregates and the word_tok branch prune different columns
+        # (the rep chain never reads freq), so without a barrier each
+        # re-derives the vocabulary from its own full scan+explode
+        # corpus pass (measured: 3 corpus passes per execution at the
+        # sf10 decade). Checkpointing the tiny aggregate pins the
+        # whole query to exactly TWO corpus passes: this count and
+        # the billing probe below.
+        .localCheckpoint(eager=False)
     )
     for _step in range(1, k + 1):
         # same shape as bpe_learn_merges: doubled-space reps across
@@ -1126,13 +1142,16 @@ def bpe_token_counts(
         ),
     )
     return (
-        wpd.join(word_tok, "w")
+        # billing probe at occurrence level: the |vocab|-sized side is
+        # broadcast explicitly so the corpus side is never shuffled
+        # (or, via a bad size estimate, broadcast) for this join;
+        # count(*)/sum(n_tok) over occurrences are the same integers
+        # as sum(m)/sum(m·n_tok) over distinct words
+        occ.join(F.broadcast(word_tok), "w")
         .groupBy(id_col)
         .agg(
-            F.sum("m").cast("long").alias("n_words"),
-            F.sum(F.col("m") * F.col("n_tok"))
-            .cast("long")
-            .alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
 
@@ -1163,31 +1182,36 @@ def bpe_token_counts_byte_fallback(
     counts weighted by LEARN-corpus frequency only (freq 0 for
     encode-only words), so learning is exactly learning-on-subset;
     byte tokens occur only in freq-0 words and can never win a
-    merge. Token counts are still computed once per DISTINCT word
-    and joined back — O(|vocab|·k) after one corpus pass."""
+    merge. Token counts are still computed once per DISTINCT word;
+    billing is one broadcast probe of the occurrences — O(|vocab|·k)
+    plus two corpus passes (see bpe_token_counts)."""
     if k <= 0:
         raise ValueError("bpe_token_counts_byte_fallback: k must be > 0")
     if learn_df is None:
         learn_df = df
 
-    def _wpd(frame: DataFrame) -> DataFrame:
-        return (
-            frame.select(
-                F.col(id_col),
-                F.explode(
-                    words_col(F.lower(F.col(text_col)))
-                ).alias("w"),
-            )
-            .where(F.length("w") > 0)
-            .groupBy(id_col, "w")
-            .agg(F.count(F.lit(1)).alias("m"))
-        )
+    def _occ(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.explode(
+                words_col(F.lower(F.col(text_col)))
+            ).alias("w"),
+        ).where(F.length("w") > 0)
 
-    wpd = _wpd(df)
+    # occurrence-level shape (r16, see bpe_token_counts): no
+    # (doc, word) intermediate — the vocabulary is a distinct-word
+    # aggregate straight off the occurrences and billing is one
+    # broadcast probe of the occurrences. learn_freq keeps a lazy
+    # localCheckpoint: it is |learn vocab|-sized after its aggregate
+    # but feeds TWO consumers (the char inventory and the vocab
+    # left-join), each of which would otherwise replay the full
+    # learn-corpus tokenize pass.
+    occ = _occ(df)
     learn_freq = (
-        _wpd(learn_df)
+        _occ(learn_df)
         .groupBy("w")
-        .agg(F.sum("m").alias("freq_learn"))
+        .agg(F.count(F.lit(1)).alias("freq_learn"))
+        .localCheckpoint(eager=False)
     )
     # learn-corpus character inventory: one row, broadcast — the
     # in-vocabulary test for the fallback CASE (tiny: |distinct
@@ -1213,12 +1237,16 @@ def bpe_token_counts_byte_fallback(
         "), '  '), '  ')"
     )
     vocab = (
-        wpd.groupBy("w")
-        .agg(F.sum("m").alias("freq_full"))
+        occ.select("w")
+        .distinct()
         .join(learn_freq, "w", "left")
         .withColumn("freq_learn", F.coalesce("freq_learn", F.lit(0)))
         .crossJoin(F.broadcast(inv))
         .select("w", fallback_rep.alias("rep"), "freq_learn")
+        # same |vocab|-row barrier as bpe_token_counts: the rounds and
+        # the word_tok branch otherwise each replay the distinct-word
+        # corpus pass (and through it the learn-corpus join subtree)
+        .localCheckpoint(eager=False)
     )
     for _step in range(1, k + 1):
         arred = vocab.select(
@@ -1270,13 +1298,12 @@ def bpe_token_counts_byte_fallback(
         ),
     )
     return (
-        wpd.join(word_tok, "w")
+        # occurrence-level billing probe (see bpe_token_counts)
+        occ.join(F.broadcast(word_tok), "w")
         .groupBy(id_col)
         .agg(
-            F.sum("m").cast("long").alias("n_words"),
-            F.sum(F.col("m") * F.col("n_tok"))
-            .cast("long")
-            .alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
 
