@@ -9694,14 +9694,74 @@ _SQL_Q21 = """
 def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shaped (suppliers who kept orders waiting; "late" is
     adapted to shipped >30 days after the order date since this
-    schema has no commit/receipt dates — the inner NOT EXISTS re-joins
-    orders so the only correlated predicates are the standard Q21
-    orderkey equality + suppkey inequality): EXISTS → semi join,
-    NOT EXISTS → anti join, both against the same fact, stacked on a
-    three-table join."""
-    for t in ("supplier", "lineitem", "orders"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_SQL_Q21)
+    schema has no commit/receipt dates). The oracle keeps the literal
+    EXISTS/NOT EXISTS formulation (`_SQL_Q21`); the Spark side
+    computes the same result as ONE pass over the per-order supplier
+    groups (r16): the semi join ("another supplier ships in this
+    order") is `count(*) >= 2` over the (orderkey, suppkey) groups,
+    and the anti join ("no OTHER supplier is late") is "exactly one
+    late supplier in the order, and it is this one". That turns two
+    additional orderkey-keyed passes over lineitem (the EXISTS semi +
+    NOT EXISTS anti self-joins, each its own corpus-scale exchange)
+    into window counts over the one exchange the orders join already
+    establishes — lineitem shuffles once, total.
+
+    Equivalence: orderkeys are unique in `orders`, so every lineitem
+    row of an 'F' order survives the inner join exactly once and the
+    subqueries' scope (all lineitem rows of l1's order) equals the
+    window's partition; a qualifying l1 row is a LATE row of the
+    order's single late supplier in a ≥2-supplier order, so
+    count(*) per s_name ≡ sum of that supplier's late-row count.
+    Proven row-identical against the DuckDB oracle at sf0.001/sf0.01."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    flagged = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.expr("o_orderdate + INTERVAL 30 DAY")
+        ).alias("_late"),
+    )
+    # one row per (order, supplier): late-row count + any-late flag.
+    # The orderkey partitioning established for the orders join (or
+    # by this aggregate's own exchange when the dim broadcasts)
+    # satisfies both the group-by and the window below — no further
+    # lineitem-scale exchange.
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias(
+            "_late_rows"
+        ),
+        F.max("_late").alias("_any_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = per_supp.select(
+        "l_suppkey",
+        "_late_rows",
+        "_any_late",
+        F.count(F.lit(1)).over(w).alias("_n_supp"),
+        F.sum(
+            F.when(F.col("_any_late"), 1).otherwise(0)
+        ).over(w).alias("_n_late_supp"),
+    ).where(
+        F.col("_any_late")
+        & (F.col("_n_supp") >= 2)
+        & (F.col("_n_late_supp") == 1)
+    )
+    return (
+        waiting.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("_late_rows").cast("long").alias("numwait"))
+    )
 
 
 _SQL_Q12 = """

@@ -454,10 +454,13 @@ def test_tpch_tail_decorrelates_to_hash_joins(spark):
     """The round-7 TPC-H tail's subquery shapes must all decorrelate
     to keyed hash joins — a per-row subquery loop or nested-loop join
     here would be the 100 TB scale-killer."""
-    # Q21: EXISTS -> semi, NOT EXISTS (with the suppkey inequality as
-    # a join residual) -> anti; never a nested loop
+    # Q21 (r16 shape): the EXISTS/NOT EXISTS pair is computed as
+    # window counts over the per-(order, supplier) aggregate — ONE
+    # scan and one keyed pass over lineitem, no semi/anti self-joins
+    # re-shuffling the fact, never a nested loop
     p = _plan(C.q_sql_tpch_q21(spark, SF_SMALL))
-    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "Window" in p
+    assert p.count("Scan parquet") == 3, p.count("Scan parquet")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     # Q16: NOT IN -> (null-aware) anti join against the broadcast set
