@@ -269,17 +269,29 @@ def scd2_apply_batch(
     later time slice); a batch that rewrites the past needs the full
     recompute path instead.
 
-    Plan: batch keys (tiny, broadcast) semi/anti-split the standing
-    history; each touched key's CURRENT row is replayed as a seed log
-    row ahead of the batch, :func:`scd2_from_changelog` compresses
-    seed+batch, and version numbers shift by the key's prior version
-    base. Untouched keys and touched keys' closed rows stream through
-    unshuffled. Equivalence to the full recompute over the combined
-    log is the contract entry's oracle check.
+    Plan: batch keys (tiny, broadcast) split the standing history in
+    TWO passes over it, each a broadcast-probe map (r16 — previously
+    four: the current-row slice fed the seed and the version bases
+    through separate scans, and untouched/closed keys were split by
+    separate anti/semi probes). Each touched key's CURRENT row —
+    materialized once via a batch-sized lazy localCheckpoint — is
+    replayed as a seed log row ahead of the batch,
+    :func:`scd2_from_changelog` compresses seed+batch, and version
+    numbers shift by the key's prior version base. Everything that is
+    NOT a touched key's current row (untouched keys wholesale,
+    touched keys' closed rows) streams through unshuffled in one
+    complementary pass. Equivalence to the full recompute over the
+    combined log is the contract entry's oracle check.
     """
     touched = batch.select(key).distinct()
-    cur = history.where(F.col("is_current")).join(
-        F.broadcast(touched), key, "semi"
+    cur = (
+        history.where(F.col("is_current"))
+        .join(F.broadcast(touched), key, "semi")
+        .select(key, "valid_from_us", attr, "version")
+        # batch-sized (one row per touched key): both consumers (the
+        # seed rows and the version bases) read the materialized
+        # slice instead of re-scanning the standing history
+        .localCheckpoint(eager=False)
     )
     seed = cur.select(
         F.col(key),
@@ -313,11 +325,20 @@ def scd2_apply_batch(
             "is_current",
         )
     )
-    untouched = history.join(F.broadcast(touched), key, "anti")
-    closed = history.where(~F.col("is_current")).join(
-        F.broadcast(touched), key, "semi"
+    # complement of `cur` in one pass: NOT (touched AND current) —
+    # the left probe against the distinct touched keys adds no
+    # duplicates and keeps NULL-key rows (no match ⇒ pass through),
+    # exactly like the former anti ∪ (semi ∧ ¬current) pair
+    passthrough = (
+        history.join(
+            F.broadcast(touched.withColumn("_t", F.lit(1))),
+            key,
+            "left",
+        )
+        .where(F.col("_t").isNull() | ~F.col("is_current"))
+        .drop("_t")
     )
-    return untouched.unionByName(closed).unionByName(renumbered)
+    return passthrough.unionByName(renumbered)
 
 
 def merge_upsert_latest(
