@@ -7,8 +7,8 @@ where" answered WITHOUT comparing raw rows across the wire.
 
 Design for scale: each side is reduced scan-side to ``(key, digest)``
 — an md5 over a canonical, null-sentineled rendering of the compared
-columns — so the only thing that ever shuffles for the full-outer
-key alignment is ~48 bytes/row regardless of row width. The verdict
+columns — so the only thing that ever shuffles for the key alignment
+is ~48 bytes/row regardless of row width. The verdict
 per key is one of four statuses; the summary aggregates those. Wide
 rows, large text/binary columns, nested payloads: none of it crosses
 the exchange.
@@ -58,6 +58,15 @@ def table_diff(
     projections — the minimum possible shuffle for exact global
     reconciliation. Keys are assumed unique per side (pre-aggregate
     otherwise).
+
+    r16 note (measured, rejected): a union-tag ``groupBy(keys)``
+    formulation (one exchange, no sorts) is value-equivalent under
+    the unique-key contract but ran 39 % SLOWER at sf0.1 (0.76 s →
+    1.06 s isolated floor) — with near-unique keys the map-side
+    partial aggregate compresses nothing and just pays hash-table
+    churn on every row, the same no-op-pre-aggregation trap the
+    perplexity lane removed this round. The join's per-side sorts
+    are cheaper than the aggregate's hashing; kept as-is.
     """
     l_proj = left.select(
         *keys, row_digest(compare_cols).alias("_l_digest")

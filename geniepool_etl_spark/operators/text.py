@@ -1726,23 +1726,42 @@ def linear_quality_score(
     touches a float; only the reported sigmoid is floating (rounded
     4, after one exp whose argument both engines compute from the
     same integers).
+
+    r16 (guide §2.4): billed at TOKEN level, not (doc, bucket) level.
+    For a linear model the per-(doc, bucket) count aggregate is
+    algebraically redundant — Σ_buckets n_b·w_b ≡ Σ_tokens
+    w(bucket(token)) and Σ_buckets n_b ≡ the token count, both exact
+    integer sums — so the featurize-then-rebill shape's SECOND
+    corpus-scale exchange disappears: the one remaining groupBy(doc)
+    collapses map-side to ≤1 partial row per document per task (each
+    document's tokens are contiguous after the explode). Bucket and
+    weight hashes are the verbatim :func:`feature_hash_counts`
+    expressions, so every integer is bit-identical to the sparse
+    formulation (which remains the public featurizer surface).
     """
-    feats = feature_hash_counts(df, n_buckets, text_col, id_col, seed)
-    w_milli = (
-        portable_hash32(F.col("bucket").cast("string"), seed=weight_seed)
-        % 2001
-        - 1000
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(words_col(F.col(text_col))).alias("w"),
     )
+    bucket = portable_hash32(F.col("w"), seed=seed) % n_buckets
+    # the weight table is a CONSTANT-FOLDED literal array (all-literal
+    # md5s evaluate once at plan time), so the per-token cost stays at
+    # exactly one md5 — the bucket hash — plus an array lookup; the
+    # hash is unsigned, so bucket ∈ [0, n_buckets) and 1-based
+    # element_at indexes it directly
+    weight_table = F.array(
+        *[
+            portable_hash32(F.lit(str(b)), seed=weight_seed) % 2001 - 1000
+            for b in range(n_buckets)
+        ]
+    )
+    w_milli = F.element_at(weight_table, bucket.cast("int") + 1)
     agg = (
-        feats.select(
-            F.col(id_col),
-            F.col("n"),
-            (F.col("n") * w_milli).alias("_wn"),
-        )
+        tokens.select(F.col(id_col), w_milli.alias("_w"))
         .groupBy(id_col)
         .agg(
-            F.sum("_wn").cast("long").alias("logit_milli"),
-            F.sum("n").cast("long").alias("n_words"),
+            F.sum("_w").cast("long").alias("logit_milli"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
         )
     )
     logit = F.col("logit_milli") / (F.col("n_words") * 1000.0)
