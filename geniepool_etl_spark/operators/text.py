@@ -2479,15 +2479,23 @@ def ccnet_perplexity_buckets(
 
     Scale shape: the LM (bigram counts, forward/backward type
     counts, per-language type totals) is built in a SEPARATE corpus
-    pass — the two-pass train-then-score structure real CCNet uses
-    — so no frame has two consumers and nothing needs caching; the
-    cumulative-count threshold window runs over the per-(lang,
-    score) HISTOGRAM (cardinality ≤ distinct integer scores), never
-    over per-document rows, so a 100× corpus grows the window input
-    sublinearly; the per-language threshold and type-total tables
-    are tiny broadcasts. Documents with <2 words have no bigrams
-    and are omitted (perplexity undefined — the
-    ``bigram_surprisal_scores`` convention).
+    pass — the two-pass train-then-score structure real CCNet uses.
+    The |distinct (lang,l,r)|-sized ``counts`` frame and the
+    |docs|-sized ``docv`` frame are lazily ``localCheckpoint``ed
+    (r16): ``counts`` feeds FOUR structurally different consumers
+    (fwd/back/tot margins + the scoring join) and ``docv`` three
+    (histogram, per-language counts, the output spine) — without
+    materialization each consumer replayed the full tokenize pass
+    (audited: 30 parquet scans in the un-checkpointed plan, 4 after;
+    both frames are sub-corpus-sized, nothing occurrence-scale
+    persists, and every bench/oracle invocation still recomputes from
+    the parquet inputs). The cumulative-count threshold window runs
+    over the per-(lang, score) HISTOGRAM (cardinality ≤ distinct
+    integer scores), never over per-document rows, so a 100× corpus
+    grows the window input sublinearly; the per-language threshold
+    and type-total tables are tiny broadcasts. Documents with <2
+    words have no bigrams and are omitted (perplexity undefined —
+    the ``bigram_surprisal_scores`` convention).
 
     Returns ``(doc_id, lang, n_bigrams, ppl_milli, bucket)`` with
     bucket ∈ head|middle|tail.
@@ -2515,9 +2523,13 @@ def ccnet_perplexity_buckets(
             F.col("p.l").alias("l"), F.col("p.r").alias("r"),
         )
 
-    # pass 1 — the per-language LM (train)
-    counts = lang_bigrams(df).groupBy("lang", "l", "r").agg(
-        F.count(F.lit(1)).alias("n")
+    # pass 1 — the per-language LM (train); materialized once for its
+    # four consumers (lazy: computes inside the first execution)
+    counts = (
+        lang_bigrams(df)
+        .groupBy("lang", "l", "r")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     fwd = counts.groupBy("lang", "l").agg(
         F.sum("n").alias("c1"), F.count(F.lit(1)).alias("fwd_types")
@@ -2551,11 +2563,16 @@ def ccnet_perplexity_buckets(
             ).cast("long").alias("s"),
         )
     )
-    docv = scored.groupBy(id_col, "lang").agg(
-        F.sum("m").cast("long").alias("n_bigrams"),
-        F.expr(f"(1000 * sum(m * s)) div ({scale} * sum(m))")
-        .cast("long")
-        .alias("ppl_milli"),
+    docv = (
+        scored.groupBy(id_col, "lang")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.expr(f"(1000 * sum(m * s)) div ({scale} * sum(m))")
+            .cast("long")
+            .alias("ppl_milli"),
+        )
+        # |docs|-sized, three consumers (hist, nl, the output spine)
+        .localCheckpoint(eager=False)
     )
     # count-based thresholds over the per-language score HISTOGRAM
     hist = docv.groupBy("lang", "ppl_milli").agg(
