@@ -1913,8 +1913,19 @@ def unigram_lm_token_counts(
     same in the DuckDB oracle. E-step usage counts and the seed
     substring frequencies are plain keyed aggregates, so every stage
     shuffles on (piece) or (word) keys only.
+
+    r16 shape note (the ``bpe_token_counts`` restructure, applied
+    here): the earlier (doc, word, m) intermediate fed two consumers
+    that prune different columns, so each re-derived it from its own
+    scan+explode corpus pass, and the billing join shuffled the
+    corpus-side frame. Billing now probes the raw word OCCURRENCES
+    with the broadcast |distinct words|-sized token-count side —
+    ``count(*)``/``sum(n_tok)`` over occurrences are the same
+    integers as ``sum(m)``/``sum(m·n_tok)`` over distinct words —
+    leaving exactly TWO corpus passes (the word-frequency count and
+    the billing probe).
     """
-    wpd, vocab1, e_step, cost_map = _unigram_train(
+    occ, vocab1, e_step, cost_map = _unigram_train(
         df, text_col, id_col, max_word, max_piece, vocab_size
     )
     e2 = e_step(cost_map(vocab1))
@@ -1922,13 +1933,11 @@ def unigram_lm_token_counts(
         "w", F.size("pieces").cast("long").alias("n_tok")
     )
     return (
-        wpd.join(word_tok, "w")
+        occ.join(F.broadcast(word_tok), "w")
         .groupBy(id_col)
         .agg(
-            F.sum("m").cast("long").alias("n_words"),
-            F.sum(F.col("m") * F.col("n_tok"))
-            .cast("long")
-            .alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
 
@@ -1941,22 +1950,34 @@ def _unigram_train(
     max_piece: int,
     vocab_size: int,
 ):
-    """The shared unigram-LM training pipeline: word counts → seed
-    substring vocabulary → E-step (Viterbi fold) → usage M-step with
-    pruning. Returns ``(wpd, vocab1, e_step, cost_map)`` so callers
-    bill documents (token counts) or materialize the artifact
-    (vocabulary)."""
-    wpd = (
+    """The shared unigram-LM training pipeline: word occurrences →
+    word counts → seed substring vocabulary → E-step (Viterbi fold)
+    → usage M-step with pruning. Returns ``(occ, vocab1, e_step,
+    cost_map)`` so callers bill documents (token counts, one
+    occurrence-level probe) or materialize the artifact (vocabulary).
+
+    The |distinct words|-sized ``wfreq`` frame feeds THREE
+    structurally different consumers (seed pieces, E-step round 1,
+    E-step round 2) and the |distinct pieces|-sized ``pf`` two
+    (char fallback + top-V seeds) — per-branch pruning makes each
+    subtree structurally distinct, so without materialization every
+    consumer replayed the full tokenize pass (audited r16: 7 corpus
+    scans in one plan). Both get a lazy ``localCheckpoint`` — they
+    compute inside the first execution from the parquet inputs;
+    nothing occurrence-scale persists."""
+    occ = (
         df.select(
             F.col(id_col),
             F.explode(words_col(F.lower(F.col(text_col)))).alias("w0"),
         )
         .where(F.length("w0") > 0)
         .select(F.col(id_col), F.substring("w0", 1, max_word).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("m"))
     )
-    wfreq = wpd.groupBy("w").agg(F.sum("m").cast("long").alias("freq"))
+    wfreq = (
+        occ.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
     pieces_expr = (
         "flatten(transform(sequence(1, length(w)), i -> "
         f"filter(transform(sequence(1, {max_piece}), l -> "
@@ -1967,6 +1988,7 @@ def _unigram_train(
         wfreq.select(F.explode(F.expr(pieces_expr)).alias("p"), "freq")
         .groupBy("p")
         .agg(F.sum("freq").cast("long").alias("f"))
+        .localCheckpoint(eager=False)
     )
     chars = pf.where(F.length("p") == 1)
     multi = (
@@ -2013,7 +2035,7 @@ def _unigram_train(
         .select("p", F.coalesce("f", F.lit(0)).cast("long").alias("f"))
         .where((F.length("p") == 1) | (F.col("f") >= 1))
     )
-    return wpd, vocab1, e_step, cost_map
+    return occ, vocab1, e_step, cost_map
 
 
 def unigram_lm_vocab(
@@ -2031,7 +2053,7 @@ def unigram_lm_vocab(
     with. This is the table a tokenizer-training pipeline persists
     and ships; same training plan as
     :func:`unigram_lm_token_counts` (shared ``_unigram_train``)."""
-    _wpd, vocab1, _e, _cm = _unigram_train(
+    _occ, vocab1, _e, _cm = _unigram_train(
         df, text_col, id_col, max_word, max_piece, vocab_size
     )
     return vocab1.select(
@@ -2100,19 +2122,27 @@ def wordpiece_token_counts(
     Same scale shape as :func:`unigram_lm_token_counts`: tokenize
     once per DISTINCT word with a single JVM fold (linear in
     ``max_word``), vocabulary as a broadcast 1-row map — no
-    driver-side corpus state, keyed aggregates everywhere.
+    driver-side corpus state, keyed aggregates everywhere. r16: the
+    (doc, word, m) intermediate is gone — billing probes the raw
+    occurrences against the broadcast per-word token counts
+    (``count(*)``/``sum(n_tok)`` over occurrences ≡
+    ``sum(m)``/``sum(m·n_tok)`` over distinct words), and the
+    |distinct words|-sized ``wfreq`` (two consumers: pieces + walk)
+    is lazily ``localCheckpoint``ed so the tokenize pass runs once.
     """
-    wpd = (
+    occ = (
         df.select(
             F.col(id_col),
             F.explode(words_col(F.lower(F.col(text_col)))).alias("w0"),
         )
         .where(F.length("w0") > 0)
         .select(F.col(id_col), F.substring("w0", 1, max_word).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("m"))
     )
-    wfreq = wpd.groupBy("w").agg(F.sum("m").cast("long").alias("freq"))
+    wfreq = (
+        occ.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
     # piece candidates with the continuation distinction: position 1
     # emits the raw substring, positions > 1 emit '##' || substring
     pieces_expr = (
@@ -2156,13 +2186,11 @@ def wordpiece_token_counts(
         )
     )
     return (
-        wpd.join(word_tok, "w")
+        occ.join(F.broadcast(word_tok), "w")
         .groupBy(id_col)
         .agg(
-            F.sum("m").cast("long").alias("n_words"),
-            F.sum(F.col("m") * F.col("n_tok"))
-            .cast("long")
-            .alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
 
