@@ -264,9 +264,26 @@ def jaccard_pairs(
 
     Returns (id_a, id_b, inter, size_a, size_b, jaccard) with
     id_a < id_b.
+
+    r16 pass structure: ``sh`` feeds three structurally distinct
+    subtrees (sizes, and the two self-join sides through the cap
+    window) and ``capped`` two — per-branch pruning and the id_a/id_b
+    aliasing defeat exchange reuse, so un-materialized each consumer
+    replayed the shingling pass and the cap window's full shingle
+    exchange ran TWICE (audited: 4 corpus scans in the
+    dedup_levenshtein plan). Both are lazily ``localCheckpoint``ed:
+    one shingling pass, one cap-window exchange; everything computes
+    inside the first execution from the parquet inputs.
     """
-    sh = word_shingles(df, n, text_col, id_col)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sh = word_shingles(df, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    # |docs|-sized, consumed twice (size_a and size_b re-attach)
+    sizes = (
+        sh.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .localCheckpoint(eager=False)
+    )
 
     # Frequency cap as a window count over the shingle key: one pass
     # over the exploded shingles (a groupBy + anti-join branch would
@@ -279,6 +296,7 @@ def jaccard_pairs(
         )
         .where(F.col("_f") <= max_shingle_freq)
         .drop("_f")
+        .localCheckpoint(eager=False)
     )
 
     a = capped.select(F.col("id").alias("id_a"), "shingle")
