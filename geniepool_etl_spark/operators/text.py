@@ -725,10 +725,12 @@ def dsir_importance_weights(
     raw corpus toward the target distribution without training a
     classifier.
 
-    100 TB shape: two corpus-wide token scans reduced to ONE
-    ``n_buckets``-row ratio table (broadcast back — never a
-    corpus-sized join), then one per-(doc, bucket) aggregation. No
-    vocabulary pass, no driver-side state beyond the bucket table.
+    100 TB shape: ONE token scan per corpus (raw and target), reduced
+    to one ``n_buckets``-row ratio table (broadcast back — never a
+    corpus-sized join); the raw scan's per-(doc, bucket) histogram is
+    lazily materialized and feeds both the corpus bucket counts and
+    the per-doc rollup. No vocabulary pass, no driver-side state
+    beyond the bucket table.
     Cross-engine determinism: the per-bucket log-ratio and the
     smoothing constant ride as INTEGER 1e-4 units (the
     ``text_perplexity`` discipline), so document sums are exact
@@ -752,11 +754,28 @@ def dsir_importance_weights(
         )
 
     raw_b = buckets(raw)
-    cq = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
+    # ONE raw tokenize pass (r16): the per-(doc, bucket) histogram is
+    # the common sub-aggregate of the corpus bucket counts and the
+    # per-doc rollup — ≤ n_buckets rows per doc, so unlike a
+    # per-(doc, bigram) pre-agg it genuinely compresses; lazily
+    # materialized for its two consumers. The 64-row bucket tables
+    # are also checkpointed (each fed ratio AND const, replaying its
+    # corpus pass).
+    pb = (
+        raw_b.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    cq = (
+        pb.groupBy("bucket")
+        .agg(F.sum("n").cast("long").alias("cq"))
+        .localCheckpoint(eager=False)
+    )
     cp = (
         buckets(target)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cp"))
+        .localCheckpoint(eager=False)
     )
     ratio = (
         cq.join(cp, "bucket", "full_outer")
@@ -796,9 +815,7 @@ def dsir_importance_weights(
         )
     )
     per_doc = (
-        raw_b.groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(F.broadcast(ratio), "bucket")
+        pb.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_tokens"),
@@ -859,7 +876,10 @@ def dsir_resample(
         F.round(
             F.col("log_weight") - F.log(-F.log(u)), 4
         ).alias("gumbel_key"),
-    )
+        # |docs|-sized, two consumers (the top-k cut and the join
+        # back) — without materialization the whole importance-weight
+        # pipeline replayed twice (r16)
+    ).localCheckpoint(eager=False)
     topk = (
         keyed.orderBy(
             F.col("gumbel_key").desc(), F.col(id_col).asc()
