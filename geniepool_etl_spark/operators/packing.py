@@ -255,21 +255,33 @@ def flatten_chat_trees(
     carry only ids + the growing text, never the full tree. Returns
     ``(conv_id, leaf_msg_id, depth, path_text, n_assistant)``.
     """
+    # The unrolled depth loop probes the message set once per level
+    # from BOTH sides (child extension + no-children finish), so the
+    # projected input is consumed 2·(max_depth−1)+1 times — without
+    # materialization every probe replayed the upstream derivation
+    # (audited r16: 26 scans in the contract lane's plan). One lazy
+    # localCheckpoint of the 5-column message frame (|msgs|-sized,
+    # the operator's input) and one of the ids-only kids set pin the
+    # derivation to a single pass.
     m = msgs.select(
         F.col(conv_col).alias("_conv"),
         F.col(id_col).alias("_id"),
         F.col(parent_col).alias("_parent"),
         F.col(role_col).alias("_role"),
         F.col(text_col).alias("_text"),
-    )
+    ).localCheckpoint(eager=False)
     # msg ids are only unique PER CONVERSATION in real chat-tree
     # dumps (ShareGPT-style restarting counters), so every probe must
     # carry the conversation key or paths splice across conversations
     # (r15 ADVICE medium item)
-    kids = m.select(
-        F.col("_conv").alias("_kconv"),
-        F.col("_parent").alias("_has_kids_id"),
-    ).distinct()
+    kids = (
+        m.select(
+            F.col("_conv").alias("_kconv"),
+            F.col("_parent").alias("_has_kids_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     live = (
         m.where(F.col("_parent").isNull())
         .select(
