@@ -6197,7 +6197,12 @@ def q_obs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_orderkey", o, "o_orderkey", "li_orderkey_in_orders"
     )
     ev = _events(spark, sf_dir)
-    ev_us = ev.select(event_micros(ev, "ts").alias("ts_us"))
+    # single-column events frame, three consumers (the as-of scalar
+    # + both freshness rules): the build-time collect materializes
+    # the lazy checkpoint, so the feed is scanned once (r16)
+    ev_us = ev.select(
+        event_micros(ev, "ts").alias("ts_us")
+    ).localCheckpoint(eager=False)
     mx = ev_us.agg(F.max("ts_us")).collect()[0][0]
     hour = 3_600_000_000
     f1 = freshness_check(
