@@ -801,7 +801,14 @@ def funnel_stages(
                     F.col("_ts") <= F.col("_t_prev") + F.lit(within_us)
                 )
             ev = ev.join(reached, "user").where(cond)
-        reached = ev.groupBy("user").agg(F.min("_ts").alias("_t_prev"))
+        # each stage's (user, t) frame feeds TWO consumers (the next
+        # stage's gate and the final spine join), so un-materialized
+        # every stage k re-ran stages 1..k-1 (r16); |users|-sized
+        reached = (
+            ev.groupBy("user")
+            .agg(F.min("_ts").alias("_t_prev"))
+            .localCheckpoint(eager=False)
+        )
         stage_frames.append(
             reached.select("user", F.lit(i + 1).alias("_stage"))
         )
