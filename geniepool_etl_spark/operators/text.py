@@ -975,6 +975,13 @@ def bpe_learn_merges(
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
+        # |vocab|-row lazy materialization (r16, the bpe_token_counts
+        # barrier): the k per-round pair aggregates and winner rows
+        # are structurally distinct branches — un-materialized each
+        # replayed the full scan+explode corpus pass (7 scans in one
+        # plan). The ROUND chain itself stays un-checkpointed (the
+        # measured ~15% regression below).
+        .localCheckpoint(eager=False)
     )
     vocab = words.select(
         F.concat(
