@@ -44,6 +44,23 @@ def words_col(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def _bind(arr: Column, fn) -> Column:
+    """Evaluate the array expression ``arr`` ONCE per row and hand the
+    bound value to ``fn`` as a lambda variable. Higher-order-function
+    lambdas re-evaluate captured OUTER expressions on every element,
+    so a per-element lambda that captures a computed array (a split,
+    an n-gram transform) is O(len²) per row; routing the value through
+    a one-element-array ``transform`` makes the binding structural —
+    the optimizer cannot inline it back — and the row is O(len)."""
+    return F.transform(F.array(arr), fn).getItem(0)
+
+
+def _bind2(a: Column, b: Column, fn) -> Column:
+    """Two-array variant of :func:`_bind` via ``zip_with`` — both
+    expressions evaluate exactly once per row."""
+    return F.zip_with(F.array(a), F.array(b), fn).getItem(0)
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality/stat columns: char count, word count,
     average word length, stopword ratio, uppercase ratio, digit ratio.
@@ -228,15 +245,29 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _char_trigrams(text: Column) -> Column:
     """Sliding character trigrams of the lowercased text (spaces
     included — the Cavnar-Trenkle convention captures word-boundary
-    n-grams); empty array under length 3."""
-    t = F.lower(text)
-    n = F.length(t)
-    return F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    n-grams); empty array under length 3.
+
+    The lowered text is split into its code-point array once per row
+    (``split(t, '')`` yields exactly the code points — verified
+    incl. astral and İ→i+̇ expansion) and trigrams are O(1)
+    ``element_at`` concats over the bound array; the previous
+    ``substr``-per-index formulation re-evaluated ``lower(text)`` on
+    EVERY element — O(len²) per document and the dominant cost of the
+    lang-id lanes."""
+    return _bind(
+        F.split(F.lower(text), ""),
+        lambda cs: F.when(
+            F.size(cs) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(cs) - 2),
+                lambda i: F.concat(
+                    F.element_at(cs, i),
+                    F.element_at(cs, i + 1),
+                    F.element_at(cs, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def trigram_lang_profiles(
@@ -302,6 +333,12 @@ def with_lang_id_trigram(
         .where(F.col("drank") <= k)
         .select("_id", "tri", "drank")
     )
+    # (languages × k)-row table consumed TWICE (the candidate-language
+    # fan-out and the rank lookup); when built by
+    # ``trigram_lang_profiles`` each consumer would otherwise replay
+    # that full corpus explode+aggregate+window pass (registry plan
+    # audit: 2 extra corpus scans). Tiny — lazy-materialize once.
+    profiles = profiles.localCheckpoint(eager=False)
     langs = profiles.select("lang").distinct()
     # tiny broadcast fan-out: every doc profile row scores against
     # every candidate language (|languages| copies), then the
@@ -528,20 +565,28 @@ def with_repetition_ratio(
     hot, the explode → count/count-distinct aggregate is the codegen
     alternative at the price of one shuffle.
     """
-    words = words_col(F.col(text_col))
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ratio = F.when(
-        F.size(grams) > 0,
-        F.round(
-            1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 4
-        ),
-    ).otherwise(F.lit(0.0))
+    # the word array is bound once per row (_bind) — capturing it in
+    # the per-index lambda re-evaluated the split on every element
+    # (O(words²) per document)
+    grams = _bind(
+        words_col(F.col(text_col)),
+        lambda ws: F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    ratio = _bind(
+        grams,
+        lambda g: F.when(
+            F.size(g) > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(g)) / F.size(g), 4
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
     return df.withColumn("repetition_ratio", ratio)
 
 
@@ -2447,10 +2492,17 @@ def kneser_ney_bigram(
             lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         ),
     ).otherwise(F.array())
+    # |distinct bigram types|-sized and consumed by FOUR structurally
+    # different subtrees (fwd, back, tot, the scored join) — without
+    # the lazy localCheckpoint each consumer replays the full
+    # tokenize+explode+pair-aggregate pass (registry plan audit: 4
+    # corpus scans in one plan). Materializes inside the first timed
+    # execution; nothing occurrence-scale persists.
     counts = (
         df.select(F.explode(bigrams).alias("p"))
         .groupBy(F.col("p.l").alias("word"), F.col("p.r").alias("next"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     fwd = counts.groupBy("word").agg(
         F.sum("n").alias("c1"), F.count(F.lit(1)).alias("fwd_types")
@@ -2672,31 +2724,43 @@ def ccnet_perplexity_buckets(
 
 
 def _ngrams_col(w: Column, n: int) -> Column:
-    """Space-joined word n-grams of a word array (empty below n)."""
+    """Space-joined word n-grams of a word array (empty below n).
+    The input array is bound once per row (:func:`_bind`) so a
+    computed ``w`` (a split) is not re-evaluated per element."""
     if n == 1:
         return w
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j) for j in range(n)]
+    return _bind(
+        w,
+        lambda ws: F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ws, i + j) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def _clipped_matches(cand: Column, ref: Column) -> Column:
     """Σ_g min(count_cand(g), count_ref(g)) over distinct candidate
     n-grams — the modified-precision numerator of Papineni et al.
     2002, as one nested higher-order expression."""
-    return F.aggregate(
-        F.array_distinct(cand),
-        F.lit(0),
-        lambda acc, g: acc
-        + F.least(
-            F.size(F.filter(cand, lambda x: x == g)),
-            F.size(F.filter(ref, lambda x: x == g)),
+    # both gram arrays bound once per row (_bind2): the aggregate's
+    # lambda captures them, and captured computed expressions
+    # re-evaluate on EVERY distinct gram otherwise.
+    return _bind2(
+        cand,
+        ref,
+        lambda c, r: F.aggregate(
+            F.array_distinct(c),
+            F.lit(0),
+            lambda acc, g: acc
+            + F.least(
+                F.size(F.filter(c, lambda x: x == g)),
+                F.size(F.filter(r, lambda x: x == g)),
+            ),
         ),
     )
 
