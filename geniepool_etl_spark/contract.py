@@ -2135,14 +2135,18 @@ def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate detection shape). Deterministic rank tiebreak on the
     ngram string."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    grams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # word array bound once per row (TX._bind) — capturing the split
+    # in the per-index lambda re-evaluated it per element (O(words²))
+    grams = TX._bind(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda ws: F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     counts = (
         docs.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
