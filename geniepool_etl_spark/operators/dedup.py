@@ -611,11 +611,20 @@ def cross_jaccard(
     corpus docs fans out f_l·f_r candidate rows). Returns
     (id_l, id_r, inter, size_l, size_r, jaccard).
     """
-    sh_l = word_shingles(left, n, text_col, id_col).withColumnRenamed(
-        "id", "id_l"
+    # each shingle frame feeds TWO consumers (its size aggregate and
+    # the candidate equi-join / cap window) — lazy-materialize once so
+    # the tokenize+shingle explode does not replay per consumer (the
+    # jaccard_pairs precedent; registry plan audit: 4 corpus scans in
+    # one plan for the contamination lane).
+    sh_l = (
+        word_shingles(left, n, text_col, id_col)
+        .withColumnRenamed("id", "id_l")
+        .localCheckpoint(eager=False)
     )
-    sh_r = word_shingles(right, n, text_col, id_col).withColumnRenamed(
-        "id", "id_r"
+    sh_r = (
+        word_shingles(right, n, text_col, id_col)
+        .withColumnRenamed("id", "id_r")
+        .localCheckpoint(eager=False)
     )
     sizes_l = sh_l.groupBy("id_l").agg(F.count(F.lit(1)).alias("size_l"))
     sizes_r = sh_r.groupBy("id_r").agg(F.count(F.lit(1)).alias("size_r"))

@@ -390,7 +390,14 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"),
         F.explode(words_col(F.col(text_col))).alias("term"),
     )
-    tf = tokens.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # distinct-(doc, term)-sized, consumed by BOTH the document
+    # frequency aggregate and the scoring join — lazy-materialize once
+    # so the explode pass does not replay per consumer.
+    tf = (
+        tokens.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(
         F.count_distinct(F.col(id_col)).alias("n_docs")
@@ -1516,10 +1523,15 @@ def bigram_next_words(
             lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         ),
     ).otherwise(F.array())
+    # |distinct bigram types|-sized, consumed by BOTH the totals
+    # aggregate and the ranked join — lazy-materialize once so the
+    # tokenize+explode pass does not replay per consumer (registry
+    # plan audit: 2 corpus scans in one plan).
     counts = (
         df.select(F.explode(bigrams).alias("p"))
         .groupBy(F.col("p.l").alias("word"), F.col("p.r").alias("next"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     totals = counts.groupBy("word").agg(F.sum("n").alias("_total"))
     ranked = (
