@@ -6882,16 +6882,23 @@ def q_text_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity day, with
     day-1 and day-7 return counts — the engagement matrix every events
-    pipeline ships. One distinct-(user, day) frame feeds both the
-    cohort assignment and the return lookups; joins stay on the user
-    key."""
+    pipeline ships. r16: the cohort day is a ``min`` window over the
+    distinct-(user, day) frame instead of a separate aggregate joined
+    back — the old shape consumed ``days`` twice (each consumer
+    replaying the events scan+distinct) and paid a cohort exchange
+    plus a join exchange; the window rides the user-key clustering in
+    one pass and attaches the identical per-user minimum."""
+    from pyspark.sql import Window
+
     ev0 = _events(spark, sf_dir)
     ev = ev0.withColumn("_us", event_micros(ev0, "ts"))
     days = ev.select(
         "user_id", F.expr("_us div 86400000000").alias("day")
     ).distinct()
-    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    j = days.join(cohort, "user_id")
+    j = days.withColumn(
+        "cohort_day",
+        F.min("day").over(Window.partitionBy("user_id")),
+    )
     return j.groupBy("cohort_day").agg(
         F.count_distinct("user_id").alias("n_users"),
         F.count_distinct(
@@ -7969,27 +7976,35 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_Q18 = """
+    WITH qty AS (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+    )
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            round(o.o_totalprice, 2) AS total_price,
-           round(SUM(l.l_quantity), 2) AS total_qty
+           round(q.sum_qty, 2) AS total_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE o.o_orderkey IN (
-      SELECT l_orderkey FROM lineitem
-      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
-    )
-    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    JOIN qty q ON o.o_orderkey = q.l_orderkey
+    WHERE q.sum_qty > 150
     ORDER BY total_price DESC, o.o_orderkey
     LIMIT 100
 """
 
 
 def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 (large-volume customers): the IN-(grouped-HAVING)
-    subquery plans as a left-semi join against the re-aggregated
-    lineitem — Catalyst decorrelates it, no per-row subquery
-    execution. Deterministic top-100 via rounded price + orderkey."""
+    """TPC-H Q18 (large-volume customers). r16: the classic
+    IN-(grouped-HAVING) formulation aggregated lineitem TWICE (the
+    decorrelated semi-join side and the output SUM — two full
+    lineitem scans in the plan); since ``o_orderkey`` is unique in
+    orders and each order has one customer, the per-
+    (custkey, name, orderkey, totalprice) groups ARE the per-order
+    groups, so ONE per-order quantity aggregate serves both the
+    HAVING filter and the output sum. l_quantity is whole-numbered,
+    so the sum is exact in doubles and reassociation cannot change
+    it; the DuckDB oracle keeps the literal IN-subquery SQL and the
+    results are row-identical. Deterministic top-100 via rounded
+    price + orderkey."""
     for t in ("customer", "orders", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_Q18)
@@ -8025,12 +8040,12 @@ _SQL_SCALAR_ANTI = """
            round(SUM(c.c_acctbal), 2) AS total_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * (
-            SELECT count(*) FROM customer WHERE c_acctbal > 0
-          ) > (
-            SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT))
-            FROM customer WHERE c_acctbal > 0
-          )
+    CROSS JOIN (
+      SELECT count(*) AS n_pos,
+             SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents_pos
+      FROM customer WHERE c_acctbal > 0
+    ) s
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * s.n_pos > s.cents_pos
       AND NOT EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey
@@ -8042,11 +8057,13 @@ _SQL_SCALAR_ANTI = """
 
 def q_sql_scalar_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-shaped: customers with above-average balance and no
-    urgent orders, per nation — scalar subqueries (planned as
-    broadcast 1-row joins) + NOT EXISTS with a filter (planned as a
-    left-anti equi join over the pre-filtered orders side).
-    The above-average comparison is exact-integer (see _SQL_SCALAR_ANTI
-    note) so the selected set is engine-independent."""
+    urgent orders, per nation — the positive-balance count and cents
+    sum come from ONE 1-row aggregate broadcast-cross-joined in (r16:
+    the two separate scalar subqueries each scanned customer again —
+    3 customer scans in the plan, now 2) + NOT EXISTS with a filter
+    (planned as a left-anti equi join over the pre-filtered orders
+    side). The above-average comparison is exact-integer (see
+    _SQL_SCALAR_ANTI note) so the selected set is engine-independent."""
     for t in ("customer", "nation", "orders"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_SCALAR_ANTI)
