@@ -1223,9 +1223,16 @@ def q_a13_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     where HLL at default lgConfigK is in its exact-mode regime, so the
     bound is loose)."""
     ev = _t(spark, sf_dir, "events")
-    sk = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_users"),
+    # |types|-sized sketch frame consumed by BOTH the per-type readout
+    # and the union-merge — lazy-materialize once so the events
+    # scan+sketch aggregate does not replay per consumer (r16).
+    sk = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .localCheckpoint(eager=False)
     )
     tol = lambda est, exact: (  # noqa: E731
         F.abs(est - exact) <= 0.05 * exact

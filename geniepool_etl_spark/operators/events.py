@@ -569,9 +569,14 @@ def transition_counts(df: DataFrame) -> DataFrame:
     the heavy data moves once.
     """
     seq = with_prev_event(df).where(F.col("prev_type").isNotNull())
-    counts = seq.groupBy(
-        "prev_type", F.col("event_type").alias("next_type")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # |type × type|-sized and consumed by BOTH the totals aggregate
+    # and the output join — lazy-materialize once so the window pass
+    # over the events feed does not replay per consumer.
+    counts = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     totals = counts.groupBy("prev_type").agg(F.sum("n").alias("_total"))
     return (
         counts.join(F.broadcast(totals), "prev_type")

@@ -138,6 +138,9 @@ def psi_by_key(
     """
     n_old = old.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_old"))
     n_new = new.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_new"))
+    # |keys|-sized and consumed by BOTH the totals aggregate and the
+    # output projection — lazy-materialize once so the two side scans
+    # + full-outer join do not replay per consumer.
     both = (
         n_old.join(n_new, key_col, "full_outer")
         .select(
@@ -145,6 +148,7 @@ def psi_by_key(
             F.coalesce("n_old", F.lit(0)).alias("n_old"),
             F.coalesce("n_new", F.lit(0)).alias("n_new"),
         )
+        .localCheckpoint(eager=False)
     )
     # 1-row totals (count of keys + grand totals) broadcast back —
     # the |keys|-sized frame never re-shuffles
@@ -347,6 +351,9 @@ def ks_statistic(
         .groupBy(F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).alias("d_new"))
     )
+    # |distinct values|-sized and consumed by BOTH the cumulative
+    # window and the totals aggregate — lazy-materialize once so the
+    # two side scans + full-outer join do not replay per consumer.
     merged = (
         c_old.join(c_new, "v", "full_outer")
         .select(
@@ -354,6 +361,7 @@ def ks_statistic(
             F.coalesce("d_old", F.lit(0)).alias("d_old"),
             F.coalesce("d_new", F.lit(0)).alias("d_new"),
         )
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = merged.select(

@@ -339,7 +339,14 @@ def cohen_kappa(
     pair = labels.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     )
-    cells = pair.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    # |classes²|-sized and consumed by THREE subtrees (both margins
+    # and the observed-agreement aggregate) — lazy-materialize once so
+    # the labels scan+aggregate does not replay per consumer.
+    cells = (
+        pair.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     a_marg = cells.groupBy("a").agg(F.sum("n").alias("na"))
     b_marg = cells.groupBy("b").agg(F.sum("n").alias("nb"))
     chance = (

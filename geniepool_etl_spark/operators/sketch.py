@@ -191,6 +191,12 @@ def loghist_quantiles_from_sketch(
     :func:`loghist_quantiles`."""
     from pyspark.sql import Window
 
+    # the ≤~500-row sketch feeds FOUR subtrees (the cumulative window
+    # + one totals aggregate per quantile row) — lazy-materialize it
+    # once so the data-scale pass that BUILT it does not replay per
+    # consumer (registry plan audit: 4 scans in the a19/stream
+    # loghist plans).
+    h = h.localCheckpoint(eager=False)
     # unpartitioned Window is safe HERE: the input is the SKETCH, not
     # data — ≤ 16 + 8·55 rows by construction (one per occupied
     # bucket), the deliberate small-frame pattern. The WindowExec
