@@ -31,7 +31,10 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
-    wide = df.agg(*aggs)
+    # the 1-row wide aggregate is consumed once PER COLUMN by the
+    # union legs below — lazy-materialize it so the full-table
+    # profiling scan runs once, not |cols| times.
+    wide = df.agg(*aggs).localCheckpoint(eager=False)
     parts = [
         wide.select(
             F.lit(c).alias("column"),
@@ -206,7 +209,10 @@ def expectations(
             .cast("long")
             .alias(f"__v{i}")
         )
-    wide = df.agg(*aggs)
+    # the 1-row wide aggregate is consumed once PER RULE by the
+    # union legs below — lazy-materialize it so the gated table is
+    # scanned once, not |rules| times.
+    wide = df.agg(*aggs).localCheckpoint(eager=False)
     parts = [
         wide.select(
             F.lit(name).alias("rule"),
