@@ -7983,6 +7983,26 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_Q18 = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           round(o.o_totalprice, 2) AS total_price,
+           round(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+# Spark-side single-pass formulation (r16): one per-order quantity
+# aggregate serves both the HAVING filter and the output sum; the
+# oracle keeps the literal IN-(grouped-HAVING) SQL above, so the
+# equivalence is genuinely cross-checked.
+_SQL_Q18_SPARK = """
     WITH qty AS (
       SELECT l_orderkey, SUM(l_quantity) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
@@ -8014,7 +8034,7 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     price + orderkey."""
     for t in ("customer", "orders", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_SQL_Q18)
+    return spark.sql(_SQL_Q18_SPARK)
 
 
 _SQL_EXISTS_LATE = """
@@ -8047,6 +8067,29 @@ _SQL_SCALAR_ANTI = """
            round(SUM(c.c_acctbal), 2) AS total_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * (
+            SELECT count(*) FROM customer WHERE c_acctbal > 0
+          ) > (
+            SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+            FROM customer WHERE c_acctbal > 0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+          )
+    GROUP BY n.n_name
+"""
+
+# Spark-side formulation (r16): the positive-balance count and cents
+# sum come from ONE 1-row aggregate cross-joined in, not two scalar
+# subqueries each rescanning customer; the oracle keeps the literal
+# two-subquery SQL above, so the equivalence is cross-checked.
+_SQL_SCALAR_ANTI_SPARK = """
+    SELECT n.n_name, count(*) AS n_cust,
+           round(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
     CROSS JOIN (
       SELECT count(*) AS n_pos,
              SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents_pos
@@ -8073,7 +8116,7 @@ def q_sql_scalar_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SQL_SCALAR_ANTI note) so the selected set is engine-independent."""
     for t in ("customer", "nation", "orders"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_SQL_SCALAR_ANTI)
+    return spark.sql(_SQL_SCALAR_ANTI_SPARK)
 
 
 def q_j9_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9525,6 +9568,10 @@ def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q9)
 
 
+# Oracle-side formulation: the literal scalar-subqueries-in-HAVING
+# SQL (DuckDB recomputes the globals from lineitem independently, so
+# the Spark side's derive-from-the-grouped-frame rewrite is genuinely
+# cross-checked).
 _SQL_Q11 = """
     SELECT l_partkey,
            CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
@@ -9541,20 +9588,51 @@ _SQL_Q11 = """
     ) * 6
 """
 
+_SQL_Q11_GROUPED = """
+    SELECT l_partkey,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM lineitem
+    GROUP BY l_partkey
+"""
+
+_SQL_Q11_GATE = """
+    SELECT l_partkey, value_cents
+    FROM q11_grouped CROSS JOIN (
+      SELECT count(l_partkey) AS n_parts,
+             SUM(CAST(value_cents AS DECIMAL(38, 0))) AS total_cents
+      FROM q11_grouped
+    ) s
+    WHERE CAST(value_cents AS DECIMAL(38, 0)) * n_parts * 5
+          > total_cents * 6
+"""
+
 
 def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-shaped (important stock, adapted to lineitem revenue
     share since this schema has no partsupp): grouped totals gated by
-    uncorrelated scalar subqueries in HAVING — two 1-row global
-    aggregates broadcast against the grouped aggregate. The
-    "important" test is SCALE-FREE (a part matters if its revenue
-    exceeds 1.2× the mean part's — Q11's fixed 0.01% of total would
-    pass everything at SF 0.001 and nothing at SF 100) and exact:
-    cents cross-multiplied in DECIMAL(38,0), ``5·group·n > 6·total``,
-    so neither float summation order nor BIGINT overflow can flip a
-    borderline group at any supported scale."""
+    1-row global aggregates. r16: the original HAVING's two scalar
+    subqueries each rescanned lineitem (3 lineitem scans in the
+    plan); both globals are exact functions of the grouped frame
+    itself — count of groups ≡ count(DISTINCT l_partkey) (partkey is
+    non-null; count(l_partkey) over the group rows preserves the
+    NULL-skipping semantics) and the DECIMAL(38,0) sum of group sums
+    ≡ the global sum (integer cents, no overflow at DECIMAL(38)) —
+    so the grouped frame is lazily materialized once and the gate
+    reads IT. One lineitem pass instead of three; the DuckDB oracle
+    keeps the literal scalar-subquery HAVING and the results are
+    row-identical. The "important" test is SCALE-FREE (a part
+    matters if its revenue exceeds 1.2× the mean part's — Q11's
+    fixed 0.01% of total would pass everything at SF 0.001 and
+    nothing at SF 100) and exact: cents cross-multiplied in
+    DECIMAL(38,0), ``5·group·n > 6·total``, so neither float
+    summation order nor BIGINT overflow can flip a borderline group
+    at any supported scale."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_SQL_Q11)
+    g = spark.sql(_SQL_Q11_GROUPED).localCheckpoint(eager=False)
+    g.createOrReplaceTempView("q11_grouped")
+    return spark.sql(_SQL_Q11_GATE)
 
 
 _SQL_Q15 = """
@@ -9845,18 +9923,44 @@ _SQL_Q2_CORR_MIN = """
       )
 """
 
+# Spark-side formulation (r16): min window over the joined frame —
+# the subquery correlates only on the part key, so the window
+# partition holds the identical row set; the oracle keeps the
+# literal correlated-MIN SQL above, so the equivalence is
+# cross-checked.
+_SQL_Q2_SPARK = """
+    SELECT DISTINCT p_partkey, p_name, s_suppkey,
+           round(s_acctbal, 2) AS s_acctbal
+    FROM (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_acctbal,
+             min(s.s_acctbal)
+               OVER (PARTITION BY p.p_partkey) AS min_bal
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE p.p_type = 'LARGE' AND p.p_size < 6
+    )
+    WHERE s_acctbal = min_bal
+"""
+
 
 def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped (minimum-cost supplier per part; the
     min-supplycost correlated subquery is adapted to min supplier
     acctbal over the part's shippers, through lineitem instead of the
-    absent partsupp): the correlated MIN — decorrelates to a per-part
-    aggregate joined back on the part key; the equality compares
-    stored doubles (no arithmetic), and ties keep every minimal
-    supplier. DISTINCT collapses repeat shipments."""
+    absent partsupp). r16: the correlated-MIN subquery rescanned
+    lineitem+supplier for the per-part aggregate that was joined
+    back; the subquery correlates ONLY on the part key, so the
+    (filtered-part ⋈ lineitem ⋈ supplier) frame already holds every
+    row of each surviving part and a min window over it computes the
+    identical per-part minimum — one pass over each table instead of
+    two. The equality compares stored doubles (no arithmetic), ties
+    keep every minimal supplier, DISTINCT collapses repeat
+    shipments; the DuckDB oracle keeps the literal correlated
+    subquery and the results are row-identical."""
     for t in ("part", "lineitem", "supplier"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_SQL_Q2_CORR_MIN)
+    return spark.sql(_SQL_Q2_SPARK)
 
 
 # Deterministic HTML wrapper for the strip_html lane: real tag soup
