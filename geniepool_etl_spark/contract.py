@@ -9653,14 +9653,43 @@ _SQL_Q15 = """
 """
 
 
+# Spark-side split of Q15 (r16): Spark inlines a CTE per reference,
+# so the twice-referenced revenue CTE aggregated the quarter's
+# lineitem TWICE; the |suppliers|-sized revenue frame is lazily
+# materialized once and both consumers (dim join + scalar max) read
+# it. The oracle keeps the literal twice-referenced CTE above.
+_SQL_Q15_REVENUE = """
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+"""
+
+_SQL_Q15_GATE = """
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM supplier s
+    JOIN q15_revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cents = (SELECT max(total_cents) FROM q15_revenue)
+"""
+
+
 def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): a quarter's per-supplier revenue CTE
     referenced twice — once joined to the dim, once reduced to a
     scalar max — with the winner selected by exact-cents equality
-    (ties surface as multiple rows instead of an arbitrary pick)."""
+    (ties surface as multiple rows instead of an arbitrary pick).
+    r16: the revenue frame is computed ONCE (lazy localCheckpoint)
+    instead of per CTE reference — lineitem passes 2 → 1; the DuckDB
+    oracle keeps the literal twice-referenced CTE."""
     for t in ("supplier", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_SQL_Q15)
+    rev = spark.sql(_SQL_Q15_REVENUE).localCheckpoint(eager=False)
+    rev.createOrReplaceTempView("q15_revenue")
+    return spark.sql(_SQL_Q15_GATE)
 
 
 _SQL_Q16 = """
@@ -9705,20 +9734,46 @@ _SQL_Q17 = """
 """
 
 
+# Spark-side formulation (r16): the correlated avg decorrelated into
+# a per-part aggregate over the UNFILTERED lineitem (a second full
+# pass); the subquery correlates only on the part key, so an avg
+# window over the (filtered-part ⋈ lineitem) frame sees the identical
+# row set per surviving part. Quantities are integer-valued doubles —
+# the window's sum/count are exact, so 0.2·avg is bit-identical to
+# the subquery's. The oracle keeps the literal correlated SQL above.
+_SQL_Q17_SPARK = """
+    SELECT round(CAST(SUM(cents) AS DOUBLE) / 700.0, 2) AS avg_yearly
+    FROM (
+      SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+             l.l_quantity,
+             avg(l.l_quantity)
+               OVER (PARTITION BY l.l_partkey) AS avg_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#3'
+        AND p.p_type = 'SMALL'
+    )
+    WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
 def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue; brand/container
     filter adapted to this schema's brand/type): the correlated
     scalar aggregate — each lineitem compares against ITS part's
-    average quantity. Decorrelates to one per-part aggregate joined
-    back on the part key; quantities are integer-valued doubles, so
-    the 0.2·avg threshold is bit-identical on any engine. Revenue
-    accumulates as exact per-row cents (the one-row money-total rule
-    Q9/Q11/Q15/Q19 follow — a raw double SUM's rounding can flip the
-    final cent with summation order); the single division by 700
-    happens once on the exact integer."""
+    average quantity. r16: the decorrelated form aggregated the
+    UNFILTERED lineitem in a second full pass; the correlation is on
+    the part key alone, so an avg window over the already-filtered
+    join frame computes the identical threshold (quantities are
+    integer-valued doubles — exact sum/count, bit-identical 0.2·avg)
+    — one lineitem pass instead of two, cross-checked against the
+    oracle's literal correlated SQL. Revenue accumulates as exact
+    per-row cents (the one-row money-total rule Q9/Q11/Q15/Q19
+    follow); the single division by 700 happens once on the exact
+    integer."""
     for t in ("lineitem", "part"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_SQL_Q17)
+    return spark.sql(_SQL_Q17_SPARK)
 
 
 _SQL_Q19 = """
