@@ -213,6 +213,7 @@ _INTENDED_CROSS = {
     "text_tfidf",
     "text_bm25",  # 1-row global stats frame broadcast (tfidf pattern)
     "sql_scalar_anti",  # scalar subqueries = 1-row broadcast joins
+    "sql_tpch_q11",  # 1-row globals-of-the-grouped-frame broadcast (r16)
     "text_bpe_merges",  # per-round 1-row argmax winner broadcast
     "a17_equidepth",  # 1-row quartile-boundary frame broadcast
     "obs_drift_psi",  # 1-row totals frame broadcast (tfidf pattern)
