@@ -105,3 +105,26 @@ def event_micros(df: DataFrame, ts_col: str = "ts") -> Column:
         f"event_micros: unsupported dtype {dt} for column {ts_col!r}; "
         "expected LONG (nanos), TIMESTAMP, or TIMESTAMP_NTZ"
     )
+
+
+def fan_out_if_narrow(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input fan-out (optimization guide §2.5 "input
+    skew": one unsplittable input starves every core but one).
+
+    When the frame's physical parallelism is BELOW the session's
+    default parallelism — locally that is a single small parquet file
+    with one row group, which puts the whole scan+explode map stage on
+    one core — add a round-robin repartition of the RAW rows (the
+    cheap, pre-explode side) up to the core count. At production
+    scale scans are many-split, the gate is false, and this is a
+    plan no-op — the exchange never exists where it would be a
+    corpus-scale anti-pattern. The check is plan-time metadata only
+    (no job runs).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — conversion quirks: keep the plan
+        return df
+    return df.repartition(target) if n < target else df

@@ -283,7 +283,9 @@ def trigram_lang_profiles(
     (languages × k rows — broadcastable), and every step is integer/
     string-deterministic, so an external engine recomputes them
     exactly."""
-    tri = labeled.select(
+    from geniepool_etl_spark.functions import fan_out_if_narrow
+
+    tri = fan_out_if_narrow(labeled).select(
         F.col(label_col).alias("lang"),
         F.explode(_char_trigrams(F.col(text_col))).alias("tri"),
     )
@@ -320,7 +322,9 @@ def with_lang_id_trigram(
     to k rows per doc by a window, then a broadcast join against the
     (languages × k)-row profile table — the corpus shuffles once on
     doc_id for the window/aggregate; profiles never shuffle it."""
-    dtri = df.select(
+    from geniepool_etl_spark.functions import fan_out_if_narrow
+
+    dtri = fan_out_if_narrow(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.explode(_char_trigrams(F.col(text_col))).alias("tri"),
     )
