@@ -6203,9 +6203,12 @@ def q_obs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("li_flag_known", "l_returnflag IN ('A', 'N', 'R')"),
         ],
     )
-    u = uniqueness_check(o, "o_orderkey", "o_orderkey_unique")
+    # both key rules read ONLY o_orderkey — share one materialized
+    # column frame so orders is scanned once, not twice (r16)
+    okeys = o.select("o_orderkey").localCheckpoint(eager=False)
+    u = uniqueness_check(okeys, "o_orderkey", "o_orderkey_unique")
     r = referential_check(
-        li, "l_orderkey", o, "o_orderkey", "li_orderkey_in_orders"
+        li, "l_orderkey", okeys, "o_orderkey", "li_orderkey_in_orders"
     )
     ev = _events(spark, sf_dir)
     # single-column events frame, three consumers (the as-of scalar

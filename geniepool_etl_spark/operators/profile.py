@@ -289,23 +289,31 @@ def referential_check(
     rule: str,
 ) -> DataFrame:
     """Foreign-key expectation: violations = child rows whose key has
-    no parent (LEFT ANTI join — Catalyst broadcasts the parent key
-    set when small, shuffles a keyed semi-difference otherwise; the
-    orphan COUNT is all that crosses back)."""
-    orphans = child.join(
-        parent.select(F.col(parent_col).alias(child_col)).distinct(),
-        child_col,
-        "left_anti",
-    ).agg(F.count(F.lit(1)).alias("violations"))
-    total = child.agg(F.count(F.lit(1)).alias("total"))
-    return (
-        total.crossJoin(F.broadcast(orphans))
-        .select(
-            F.lit(rule).alias("rule"),
-            "total",
-            F.col("violations").cast("long").alias("violations"),
-            (F.col("violations") == 0).cast("long").alias("ok"),
+    no parent — a LEFT OUTER join against the distinct parent keys
+    with a match indicator, counted in ONE aggregate (Catalyst
+    broadcasts the parent key set when small, shuffles a keyed join
+    otherwise; only two counts cross back). r16: the previous
+    anti-join + separate total formulation scanned the CHILD — the
+    big table — twice; the indicator join counts total and orphans in
+    one pass (a NULL child key never matches, so it counts as a
+    violation exactly as the anti join kept it)."""
+    pk = parent.select(F.col(parent_col).alias(child_col)).distinct()
+    j = child.select(child_col).join(
+        pk.withColumn("_matched", F.lit(1)), child_col, "left"
+    )
+    return j.agg(
+        F.lit(rule).alias("rule"),
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.when(F.col("_matched").isNull(), 1).otherwise(0)
         )
+        .cast("long")
+        .alias("violations"),
+    ).select(
+        "rule",
+        "total",
+        "violations",
+        (F.col("violations") == 0).cast("long").alias("ok"),
     )
 
 
