@@ -1421,22 +1421,29 @@ def bigram_surprisal_scores(
     (sum / (scale · n_bigrams)) is exact-input IEEE division, then
     rounded to 4 decimals per the repo's float rule.
 
-    Plan shape (r16 rework, guide §2.4): bigram OCCURRENCES are
-    hash-partitioned by (l, r) straight off the explode; the LM count
-    n(l,r) is then a WINDOW count over the occurrence frame (no extra
-    exchange — the window's required clustering IS the repartition
-    key), and the per-document rollup is one partial-agg exchange on
-    the doc id. The r11 shape pre-aggregated per (doc, l, r) first,
-    but that aggregation compressed nothing (natural text repeats a
-    bigram within one document rarely — measured 25.6M occurrences →
-    25.6M (doc,bigram) rows at the sf10 decade) while costing a full
-    extra corpus-scale exchange: 3 exchanges → 2 removes ~440 MB of
-    shuffle at sf10 (measured 7.6-8.1 s → 5.0-5.4 s interleaved A/B,
-    identical output). Σ occurrences of s ≡ Σ m·s over distinct
-    bigrams, and the window count over occurrences ≡ the window sum
-    of m — exact integer arithmetic either way. The corpus total N is
-    computed directly from the corpus (Σ max(|words|−1, 0)) as a
-    1-row broadcast, never as a second consumer of the heavy frame.
+    Plan shape (r17 de-skew, guide §2.5; replacing the r16 window
+    form): the LM count n(l,r) is a ``groupBy(l, r).count()`` whose
+    PARTIAL aggregation absorbs hot bigrams map-side (each map task
+    emits one row per distinct bigram it saw), lazily materialized at
+    |distinct bigram types| rows; it re-attaches to the occurrence
+    stream via an equi-join on (l, r). The r16 form computed n(l,r)
+    as a window count over raw occurrences riding one (l, r)
+    repartition — one fewer tokenize pass, but a window partition
+    cannot be split by AQE, so the hottest natural-language bigram
+    ("of the"-class, ~0.1-1 % of all occurrences) became one
+    unsplittable multi-GB straggler task at the 100 TB target. The
+    join form keeps the same two corpus-scale exchanges (probe side
+    by (l, r), doc rollup) and the same two tokenize passes (the
+    counts branch replaces the old direct Σ-words total scan: N now
+    comes from Σ n over the materialized counts frame — identical
+    BIGINT, Σ_{(l,r)} n(l,r) ≡ Σ_docs max(|words|−1, 0)), and the
+    probe-side exchange is a JOIN input, which AQE's skew handling
+    CAN split at runtime (a replicated-build sub-join per split).
+    Locally AQE instead broadcasts the small counts side — the same
+    plan degenerates to zero occurrence shuffles at toy scale.
+    Σ occurrences of s ≡ Σ m·s over distinct bigrams — exact integer
+    arithmetic either way, so results are bit-identical to both
+    earlier forms.
 
     Documents with fewer than 2 words have no bigrams and are
     OMITTED from the output (no occurrence rows), by design: a
@@ -1453,24 +1460,27 @@ def bigram_surprisal_scores(
             lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         ),
     ).otherwise(F.array())
-    occ = (
-        df.select(F.col(id_col), F.explode(bigrams).alias("p"))
-        .select(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-        # one exchange, keyed so the window below needs no second one;
-        # no explicit partition count — AQE sizes it from the data
-        .repartition(F.col("l"), F.col("r"))
+    occ = df.select(
+        F.col(id_col), F.explode(bigrams).alias("p")
+    ).select(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    # n(l,r) via partial-aggregated groupBy — hot keys collapse
+    # map-side; |distinct bigram types| rows, lazily materialized so
+    # the join probe and the Σn total read it without re-tokenizing
+    counts = (
+        occ.groupBy("l", "r")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
-    tot = df.select(
-        F.sum(
-            F.greatest(
-                F.size(words_col(F.lower(F.col(text_col)))) - 1,
-                F.lit(0),
-            )
-        ).alias("_N")
-    )
-    win = Window.partitionBy("l", "r")
+    # corpus bigram total N = Σ n over the counts frame (identical
+    # BIGINT to the former direct Σ max(|words|−1, 0) corpus scan)
+    tot = counts.agg(F.sum("n").alias("_N"))
     scored = (
-        occ.withColumn("n", F.count(F.lit(1)).over(win))
+        # inner equi-join is exact: every occurrence has its (l, r)
+        # counts row by construction, and split() never yields NULL
+        # tokens, so no row is dropped. AQE broadcasts the counts
+        # side when it is small and skew-splits the probe exchange
+        # when it is not.
+        occ.join(counts, ["l", "r"])
         .crossJoin(F.broadcast(tot))
         .select(
             F.col(id_col),

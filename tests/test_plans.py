@@ -615,24 +615,28 @@ def test_corpus_card_single_scan_digest_only_shuffle(spark):
 
 
 def test_perplexity_tokenizes_corpus_once(spark):
-    """bigram_surprisal_scores (r11 window form): the tokenized
-    (doc, bigram, m) frame has exactly ONE consumer — the LM count is
-    a window sum over it, not a counts-frame self-join — so the plan
-    carries NO bigram-frame join, exactly one Window, and at most two
-    corpus scans (the tokenize pass feeding the persisted frame, plus
-    the narrow Σ-words total that rides the 1-row broadcast). The
-    pre-r11 3-consumer localCheckpoint shape replayed tokenize per
-    consumer and lost its truncated-lineage blocks under battery heap
-    pressure."""
+    """bigram_surprisal_scores (r17 de-skew form): the LM count
+    n(l,r) is a partial-aggregated groupBy on the checkpointed counts
+    frame re-attached by an equi-join — NEVER a window over raw
+    occurrences (a window partition cannot be split by AQE, so one
+    hot bigram would become an unsplittable straggler at 100 TB).
+    The composed plan therefore has ZERO Window nodes, at most two
+    corpus scans (the probe branch; the counts branch computes once
+    inside the checkpoint materialization), and locally AQE localizes
+    the counts re-attach to a broadcast join (no occurrence-frame
+    SortMergeJoin at toy scale)."""
     df = C.q_text_perplexity(spark, SF_SMALL)
     df.collect()
     p = _plan(df).split("== Initial Plan ==")[0]
     assert p.count("documents.parquet") <= 2, (
         "perplexity plan replays the corpus scan per consumer"
     )
-    assert p.count("Window") == 1
-    # the only join is the 1-row broadcast of the corpus total
+    assert p.count("Window") == 0, (
+        "LM count must not be a window over raw occurrences (skew)"
+    )
     assert "SortMergeJoin" not in p
+    # the counts re-attach (broadcast locally) + the 1-row total
+    assert "BroadcastHashJoin" in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
 
 

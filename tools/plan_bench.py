@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for bench lanes into plans/r16/.
+"""Dump .explain('formatted') for bench lanes into plans/r17/ (current round).
 
 Usage: python tools/plan_r16.py <suffix> [lane ...]
     suffix: 'before' or 'after'
@@ -23,7 +23,7 @@ import bench  # noqa: E402
 
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "plans", "r16",
+    "plans", "r17",
 )
 
 

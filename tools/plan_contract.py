@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for CONTRACT lanes into plans/r16/.
+"""Dump .explain('formatted') for CONTRACT lanes into plans/r17/ (current round).
 
 Usage: python tools/plan_contract.py <suffix> [--sf DIR] lane [lane ...]
 
@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "plans", "r16",
+    "plans", "r17",
 )
 
 
