@@ -1225,12 +1225,16 @@ def bpe_token_counts(
         ),
     )
     return (
-        # billing probe at occurrence level: the |vocab|-sized side is
-        # broadcast explicitly so the corpus side is never shuffled
-        # (or, via a bad size estimate, broadcast) for this join;
-        # count(*)/sum(n_tok) over occurrences are the same integers
-        # as sum(m)/sum(m·n_tok) over distinct words
-        occ.join(F.broadcast(word_tok), "w")
+        # billing probe at occurrence level: count(*)/sum(n_tok) over
+        # occurrences are the same integers as sum(m)/sum(m·n_tok)
+        # over distinct words. No broadcast hint (r17): word_tok is
+        # |distinct words|-sized — corpus-derived and unbounded at web
+        # scale — so the strategy is AQE's runtime call: broadcast
+        # when the MEASURED size is small, shuffle join otherwise; a
+        # bad static estimate cannot broadcast the corpus side either
+        # (the checkpointed vocab side has no small static size to
+        # mis-trigger on).
+        occ.join(word_tok.hint("shuffle_hash"), "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -1381,8 +1385,9 @@ def bpe_token_counts_byte_fallback(
         ),
     )
     return (
-        # occurrence-level billing probe (see bpe_token_counts)
-        occ.join(F.broadcast(word_tok), "w")
+        # occurrence-level billing probe, AQE-sized join side
+        # (see bpe_token_counts)
+        occ.join(word_tok.hint("shuffle_hash"), "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -1521,9 +1526,10 @@ def bigram_next_words(
 
     Adjacent word pairs come from a zip-shift over each document's
     word array (narrow, O(len)); counts aggregate once on the
-    (word, next) pair; per-word totals — |vocab| rows — broadcast
-    back (never a window partitioned by the skewed word key, same
-    rule as events.transition_counts); top-k ranks on the
+    (word, next) pair; per-word totals — |vocab| rows — re-attach
+    via an AQE-sized join, broadcast only when measured small (never
+    a window partitioned by the skewed word key, same rule as
+    events.transition_counts); top-k ranks on the
     high-cardinality word with a (count DESC, next) tiebreak.
     """
     from pyspark.sql import Window
@@ -1549,7 +1555,12 @@ def bigram_next_words(
     )
     totals = counts.groupBy("word").agg(F.sum("n").alias("_total"))
     ranked = (
-        counts.join(F.broadcast(totals), "word")
+        # no broadcast hint (r17): totals is |vocab|-sized — unbounded
+        # at web scale — and the probe side is the sub-corpus
+        # checkpointed counts frame, not the corpus; AQE broadcasts by
+        # MEASURED size when small and falls back to a keyed join
+        # (skew-splittable) when not
+        counts.join(totals, "word")
         .select(
             "word",
             "next",
@@ -1592,12 +1603,12 @@ def pmi_collocations(
     hapaxes scores highest.
 
     Plan: one bigram aggregate on the (l, r) key; the margins —
-    |vocab| rows each — broadcast back to it (never a window over the
-    skewed word key, the transition_counts rule); the global top-k is
+    |vocab| rows each — re-attach via AQE-sized joins (broadcast only
+    when measured small; never a window over the skewed word key, the
+    transition_counts rule — and never a FORCED broadcast, which
+    would be an OOM at web-scale vocabularies); the global top-k is
     an orderBy+limit that Catalyst executes as TakeOrderedAndProject
-    (per-partition heaps, no full sort). At vocabularies too large to
-    broadcast, drop the hints and AQE falls back to keyed joins on
-    the same word keys.
+    (per-partition heaps, no full sort).
     """
     w = words_col(F.lower(F.col(text_col)))
     bigrams = F.when(
@@ -1630,8 +1641,11 @@ def pmi_collocations(
     tot = counts.agg(F.sum("n").alias("_N"))
     scored = (
         counts.where(F.col("n") >= min_count)
-        .join(F.broadcast(left), "l")
-        .join(F.broadcast(right), "r")
+        # margins are |vocab|-sized (unbounded at web scale): no
+        # broadcast hints — AQE picks broadcast only when the MEASURED
+        # margin frames are genuinely small (r17)
+        .join(left, "l")
+        .join(right, "r")
         .crossJoin(F.broadcast(tot))
         .select(
             "l",
@@ -2031,7 +2045,13 @@ def unigram_lm_token_counts(
         "w", F.size("pieces").cast("long").alias("n_tok")
     )
     return (
-        occ.join(F.broadcast(word_tok), "w")
+        # no broadcast hint (r17): word_tok is |distinct words|-sized —
+        # corpus-derived and unbounded at web scale (10^8-row
+        # vocabularies), so a forced broadcast is an OOM at the 100 TB
+        # target. AQE picks the strategy from the MEASURED size at
+        # runtime: broadcast when genuinely small, shuffle join
+        # otherwise (isolated A/B at sf0.1: within noise either way).
+        occ.join(word_tok, "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -2284,7 +2304,10 @@ def wordpiece_token_counts(
         )
     )
     return (
-        occ.join(F.broadcast(word_tok), "w")
+        # no broadcast hint (r17): |distinct words|-sized, unbounded at
+        # web scale — AQE chooses by measured size (see
+        # unigram_lm_token_counts)
+        occ.join(word_tok, "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
