@@ -191,10 +191,18 @@ def lsh_bucket(
 ) -> DataFrame:
     """(id, vec, bucket[, norm]) — bucket = sign pattern of
     ``n_planes`` hyperplane dot products packed into a long. Narrow
-    (an Arrow ``mapInPandas``, no shuffle); the bucket key then
+    (an Arrow-native ``mapInArrow``, no shuffle); the bucket key then
     drives a fine-grained equi-join. Hyperplane coefficients are pure
     deterministic constants (:func:`hyperplane`) closed over by the
     batch scorer — nothing is collected or broadcast.
+
+    r17 (guide §4.2): ``mapInArrow`` instead of ``mapInPandas`` — a
+    ``list<float>`` Arrow column is ONE flat values buffer plus
+    offsets, so the batch matrix comes from a single
+    ``flatten().to_numpy().reshape`` instead of 10 000 per-row numpy
+    objects boxed into a pandas column and re-boxed on emit (the
+    vectors pass through as the untouched Arrow column). Same fold,
+    same float64 upcast — every bucket/norm is bit-identical.
 
     The plane dots accumulate in fold order (:func:`_fold_dots`), so
     every sign bit — and therefore every bucket — is bitwise
@@ -231,30 +239,46 @@ def lsh_bucket(
     )
 
     def bucketize(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            lens = pdf["vec"].map(len)
-            if (lens != dim).any():
-                bad = int(lens[lens != dim].iloc[0])
+            vec = rb.column(rb.schema.get_field_index("vec"))
+            if vec.null_count:
+                raise ValueError("lsh_bucket: NULL embedding")
+            bad = pc.filter(
+                pc.list_value_length(vec),
+                pc.not_equal(pc.list_value_length(vec), dim),
+            )
+            if len(bad):
                 raise ValueError(
-                    f"lsh_bucket: expected embedding dim {dim}, got {bad}"
+                    f"lsh_bucket: expected embedding dim {dim}, "
+                    f"got {bad[0].as_py()}"
                 )
-            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            V = (
+                vec.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(-1, dim)
+            )
             signs = _fold_dots(V, pmat) > 0  # (rows × planes)
-            out = {
-                "id": pdf["id"].to_numpy(),
+            cols = {
+                "id": rb.column(rb.schema.get_field_index("id")),
                 # original source-width values, NOT the f64 upcast V
-                "vec": pdf["vec"].to_numpy(),
-                "bucket": signs @ pow2,
+                "vec": vec,
+                "bucket": pa.array(signs @ pow2, type=pa.int64()),
             }
             if with_norm:
-                out["norm"] = _fold_sq_norms(V)
-            yield pd.DataFrame(out)
+                cols["norm"] = pa.array(
+                    _fold_sq_norms(V), type=pa.float64()
+                )
+            yield pa.record_batch(cols)
 
     return df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).mapInPandas(bucketize, schema)
+    ).mapInArrow(bucketize, schema)
 
 
 def _cap_hot_buckets(b: DataFrame, max_bucket: int) -> DataFrame:
@@ -350,23 +374,50 @@ def lsh_bucket_topk(
     c = b.select(F.col("id").alias("n_id"), "vec", "norm", "bucket")
     id_dt = corpus.schema[id_col].dataType.simpleString()
 
+    import pyarrow as pa
+
+    def _ids(tbl, col):
+        return tbl.column(col).to_numpy(zero_copy_only=False)
+
+    def _mat(tbl, col):
+        # list<float> column = ONE flat values buffer + offsets: the
+        # whole bucket's matrix without per-row object boxing (§4.2)
+        arr = tbl.column(col).combine_chunks()
+        if arr.null_count:
+            raise ValueError("lsh score: NULL vector")
+        return (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(arr), -1)
+        )
+
     def score_bucket(left, right):
         # one cogrouped bucket: every probing query against every
         # member. Emits only each query's LOCAL top-k — the global
         # top-k is a subset of the per-bucket top-k unions, so the
         # downstream window sees O(probes·k) rows per query, not the
-        # full candidate volume.
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"q_id": [], "n_id": [], "cos_sim": []})
-        qids = left["q_id"].to_numpy()
-        nids = right["n_id"].to_numpy()
+        # full candidate volume. Arrow-native (r17, §4.2): vectors
+        # arrive and leave as flat Arrow buffers, never pandas object
+        # columns; the float64 upcast and every fold are unchanged,
+        # so all cosines are bit-identical to the pandas form.
+        if left.num_rows == 0 or right.num_rows == 0:
+            return pa.table(
+                {
+                    "q_id": pa.array([], left.schema.field("q_id").type),
+                    "n_id": pa.array([], right.schema.field("n_id").type),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        qids = _ids(left, "q_id")
+        nids = _ids(right, "n_id")
         # upcast the source-width (float32) vectors shuffled by the
         # bucketized frame — value-preserving, so the fold-order doubles
         # below are bit-identical to the former array<double> shape
-        Q = np.stack(left["vec"].to_numpy()).astype(np.float64)
-        N = np.stack(right["vec"].to_numpy()).astype(np.float64)
-        qn = left["norm"].to_numpy()
-        nn = right["norm"].to_numpy()
+        Q = _mat(left, "vec")
+        N = _mat(right, "vec")
+        qn = _ids(left, "norm")
+        nn = _ids(right, "norm")
         oq, on_, oc = [], [], []
         chunk = max(1, 2_000_000 // max(len(nids), 1))
         for s in range(0, len(qids), chunk):
@@ -394,7 +445,7 @@ def lsh_bucket_topk(
             oq.append(np.repeat(qids[s : s + chunk], kk)[keep.ravel()])
             on_.append(nids[order].ravel()[keep.ravel()])
             oc.append(top_grid[keep] / 1e4)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "q_id": np.concatenate(oq),
                 "n_id": np.concatenate(on_),
@@ -405,7 +456,7 @@ def lsh_bucket_topk(
     scored = (
         a.groupBy("bucket")
         .cogroup(c.groupBy("bucket"))
-        .applyInPandas(
+        .applyInArrow(
             score_bucket, f"q_id {id_dt}, n_id {id_dt}, cos_sim double"
         )
     )
@@ -433,7 +484,7 @@ def embedding_near_dup_pairs(
 
     Candidate generation is bucket-keyed (same scale shape as
     :func:`lsh_bucket_topk` — never all-pairs, hot buckets capped at
-    ``max_bucket``): one ``applyInPandas`` per bucket scores the
+    ``max_bucket``): one ``applyInArrow`` per bucket scores the
     within-bucket pairs as chunked fold-order numpy (bitwise the
     oracle's cosines; the threshold compares against the exact
     decimal half-boundary and the emitted value is the round4 grid
@@ -451,16 +502,25 @@ def embedding_near_dup_pairs(
     id_dt = corpus.schema[id_col].dataType.simpleString()
     thr = _ge_round4_boundary(threshold)
 
-    def pairs_in_bucket(pdf):
+    def pairs_in_bucket(tbl):
         # one bucket: all same-bucket pairs with id_a < id_b whose
         # exact cosine clears the threshold — scored as a chunked
         # fold-order numpy batch (cf. lsh_bucket_topk); the emitted
         # cos_sim is the integer grid index / 1e4, the same double
-        # BigDecimal round4 produces
-        ids = pdf["id"].to_numpy()
+        # BigDecimal round4 produces. Arrow-native (r17, §4.2): the
+        # vectors arrive as one flat buffer, never pandas objects.
+        import pyarrow as pa
+
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
         # source-width vectors off the bucketized frame: exact upcast
-        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        nrm = pdf["norm"].to_numpy()
+        varr = tbl.column("vec").combine_chunks()
+        V = (
+            varr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(varr), -1)
+        )
+        nrm = tbl.column("norm").to_numpy(zero_copy_only=False)
         w = len(ids)
         oa, ob, oc = [], [], []
         chunk = max(1, 4_000_000 // max(w, 1))
@@ -475,7 +535,7 @@ def embedding_near_dup_pairs(
             oa.append(ids[s + r][m])
             ob.append(ids[c][m])
             oc.append(np.floor(ex[m] * 1e4 + 0.5) / 1e4)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "id_a": np.concatenate(oa),
                 "id_b": np.concatenate(ob),
@@ -483,7 +543,7 @@ def embedding_near_dup_pairs(
             }
         )
 
-    return b.groupBy("bucket").applyInPandas(
+    return b.groupBy("bucket").applyInArrow(
         pairs_in_bucket, f"id_a {id_dt}, id_b {id_dt}, cos_sim double"
     )
 
@@ -575,7 +635,7 @@ def ivf_assign(
 ) -> DataFrame:
     """(id, vec, norm, cid, crank) — each vector assigned to its
     ``nprobe`` nearest of the given ``centroids`` by cosine (crank 1 =
-    nearest), as a narrow Arrow ``mapInPandas``: the corpus NEVER
+    nearest), as a narrow Arrow-native ``mapInArrow``: the corpus NEVER
     shuffles; the (metadata-sized, eagerly collected) centroid matrix
     scores each batch in fold-order numpy (:func:`_fold_dots` —
     bitwise identical to the oracle's fold), ranked on the half-up
@@ -605,10 +665,23 @@ def ivf_assign(
     kk = min(nprobe, len(crows))
 
     def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        # Arrow-native (r17, §4.2): flat-buffer reshape in, ListArray
+        # out — the nprobe-replicated vectors are one np.repeat plus
+        # an offsets array, never a per-row python list
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            vec = rb.column(rb.schema.get_field_index("vec"))
+            if vec.null_count:
+                raise ValueError("ivf_assign: NULL embedding")
+            V = (
+                vec.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(rb.num_rows, -1)
+            )
             nrm = _fold_sq_norms(V)
             # ranks on the half-up 9-decimal key — the same
             # bucketing the JVM/oracle round(cs, 9) produces — with
@@ -616,22 +689,35 @@ def ivf_assign(
             # previous fold+lexsort ranking exactly (NaN/zero-norm
             # rows included) with a BLAS prefilter.
             order = _exact_topk_key(V, nrm, cmat, cnorm, kk)
-            rows = len(pdf)
-            yield pd.DataFrame(
+            rows = rb.num_rows
+            ids = rb.column(
+                rb.schema.get_field_index("id")
+            ).to_numpy(zero_copy_only=False)
+            rep = np.repeat(V, kk, axis=0)
+            yield pa.record_batch(
                 {
-                    "id": np.repeat(pdf["id"].to_numpy(), kk),
-                    "vec": [v for v in V for _ in range(kk)],
-                    "norm": np.repeat(nrm, kk),
-                    "cid": cid_arr[order].ravel(),
-                    "crank": np.tile(
-                        np.arange(1, kk + 1, dtype=np.int32), rows
+                    "id": pa.array(np.repeat(ids, kk)),
+                    "vec": pa.ListArray.from_arrays(
+                        pa.array(
+                            np.arange(rows * kk + 1, dtype=np.int32)
+                            * V.shape[1]
+                        ),
+                        pa.array(rep.ravel(), type=pa.float64()),
+                    ),
+                    "norm": pa.array(
+                        np.repeat(nrm, kk), type=pa.float64()
+                    ),
+                    "cid": pa.array(cid_arr[order].ravel()),
+                    "crank": pa.array(
+                        np.tile(np.arange(1, kk + 1, dtype=np.int32), rows),
+                        type=pa.int32(),
                     ),
                 }
             )
 
     return df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).mapInPandas(assign, out_schema)
+    ).mapInArrow(assign, out_schema)
 
 
 def ivf_topk(
@@ -903,11 +989,13 @@ def semantic_dedup_keep(
     quadratic stage grows as N²/k). ``n_rows`` is the auto-sizing
     hint; without it sizing runs a loudly-warned eager ``count()``.
 
-    Execution is the Arrow fast path (r9, measured): assignment is a
-    narrow ``mapInPandas`` scoring each batch against the collected
+    Execution is the Arrow fast path (r9; Arrow-native mapInArrow/
+    applyInArrow since r17 — the vectors cross the boundary as flat
+    list<float> buffers, never per-row pandas objects): assignment is
+    a narrow ``mapInArrow`` scoring each batch against the collected
     centroid matrix (metadata-sized: ≤65536 × dim doubles, the same
     bound the previous 1-row-fold broadcast implied), and the
-    within-cluster pair stage is ONE ``applyInPandas`` keyed on the
+    within-cluster pair stage is ONE ``applyInArrow`` keyed on the
     cluster id — the plan is scan → narrow assign → one hash
     exchange on cid, strictly fewer shuffles than the previous
     JVM pair-join shape. The interpreted ``aggregate(zip_with(...))``
@@ -955,10 +1043,23 @@ def semantic_dedup_keep(
     asg_schema = f"id {id_dt}, cid {id_dt}, nrm double, vec array<{vec_el}>"
 
     def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        # Arrow-native (r17, guide §4.2): the list<float> column is one
+        # flat buffer + offsets — reshape it instead of boxing per-row
+        # numpy objects through pandas; vec passes through untouched.
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            vec = rb.column(rb.schema.get_field_index("vec"))
+            if vec.null_count:
+                raise ValueError("semantic_dedup_keep: NULL embedding")
+            V = (
+                vec.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(-1, dim)
+            )
             nrm = _fold_sq_norms(V)
             # the JVM path ranks on round(cos, 9) desc with cid
             # tiebreak; _exact_topk_key reproduces that ranking
@@ -966,25 +1067,33 @@ def semantic_dedup_keep(
             # near-max candidates; cmat is cid-sorted so ascending-j
             # IS the ascending-cid tiebreak)
             best = _exact_topk_key(V, nrm, cmat, cnorm, 1)[:, 0]
-            yield pd.DataFrame(
+            yield pa.record_batch(
                 {
-                    "id": pdf["id"].to_numpy(),
-                    "cid": cid_arr[best],
-                    "nrm": nrm,
+                    "id": rb.column(rb.schema.get_field_index("id")),
+                    "cid": pa.array(cid_arr[best]),
+                    "nrm": pa.array(nrm, type=pa.float64()),
                     # original source-width values, NOT the f64 upcast V
-                    "vec": pdf["vec"].to_numpy(),
+                    "vec": vec,
                 }
             )
 
     thr = _ge_round4_boundary(threshold)
 
-    def keep_group(pdf):
-        ids = pdf["id"].to_numpy()
+    def keep_group(tbl):
+        import pyarrow as pa
+
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
         # upcast the source-width (float32) vectors shuffled by the
         # cid exchange — value-preserving, so the fold-order doubles
         # are bit-identical to the former array<double> shape
-        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        nrm = pdf["nrm"].to_numpy()
+        varr = tbl.column("vec").combine_chunks()
+        V = (
+            varr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(varr), -1)
+        )
+        nrm = tbl.column("nrm").to_numpy(zero_copy_only=False)
         w = len(ids)
         dropped = np.zeros(w, dtype=bool)
         # row-chunked so a skewed hot cluster bounds the (chunk × w)
@@ -999,18 +1108,18 @@ def semantic_dedup_keep(
             )[:2]
             smaller = ids[s + r] < ids[c]
             dropped[c[smaller]] = True
-        return pd.DataFrame(
+        return pa.table(
             {
                 id_col: ids,
-                "cid": pdf["cid"].to_numpy(),
+                "cid": tbl.column("cid"),
                 "keep": (~dropped).astype(np.int64),
             }
         )
 
     asg = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).mapInPandas(assign, asg_schema)
-    return asg.groupBy("cid").applyInPandas(keep_group, out_schema)
+    ).mapInArrow(assign, asg_schema)
+    return asg.groupBy("cid").applyInArrow(keep_group, out_schema)
 
 
 def cosine_topk_pandas(
@@ -1537,10 +1646,22 @@ def ivfpq_topk(
     n_codes_eff = len(cbrows)
 
     def assign_encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        # Arrow-native (r17, §4.2): flat-buffer reshape in, ListArray
+        # out — no per-row numpy-object boxing on either side
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            vec = rb.column(rb.schema.get_field_index("vec"))
+            if vec.null_count:
+                raise ValueError("sim_ivfpq: NULL embedding")
+            V = (
+                vec.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(rb.num_rows, -1)
+            )
             nrm = _fold_sq_norms(V)
             # ivf_assign's nprobe=1 ranking, verbatim
             best = _exact_topk_key(V, nrm, cmat, cnorm, 1)[:, 0]
@@ -1555,17 +1676,22 @@ def ivfpq_topk(
                     acc += t * t
                 di = np.floor(acc * scale + 0.5)
                 codes[:, s] = j_arr[np.argmin(di, axis=1)]
-            yield pd.DataFrame(
+            yield pa.record_batch(
                 {
-                    "n_id": pdf["id"].to_numpy(),
-                    "cid": cid_arr[best],
-                    "codes": list(codes),
+                    "n_id": rb.column(rb.schema.get_field_index("id")),
+                    "cid": pa.array(cid_arr[best]),
+                    "codes": pa.ListArray.from_arrays(
+                        pa.array(
+                            np.arange(n + 1, dtype=np.int32) * n_sub
+                        ),
+                        pa.array(codes.ravel(), type=pa.int32()),
+                    ),
                 }
             )
 
     lists = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).mapInPandas(
+    ).mapInArrow(
         assign_encode, f"n_id {id_dt}, cid {id_dt}, codes array<int>"
     )
     subs = F.explode(

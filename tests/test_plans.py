@@ -131,8 +131,9 @@ def test_lsh_similarity_join_is_keyed(spark):
     # candidate generation is keyed on the bucket: the cogrouped
     # Arrow scorer sits on bucket-hash exchanges (the r9 shape; the
     # previous JVM form was a bucket equi-JOIN — same key, same
-    # never-all-pairs property)
-    assert "FlatMapCoGroupsInPandas" in plan
+    # never-all-pairs property). r17: Arrow-native cogroup — vectors
+    # cross the Python boundary as flat list<float> buffers.
+    assert "FlatMapCoGroupsInArrow" in plan
     assert "hashpartitioning(bucket" in plan
 
 
