@@ -67,38 +67,51 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Narrow map over the scan — no shuffle; at 100 TB this runs at
     scan speed with full column pruning (only ``text`` is read).
+
+    r17 (guide §1.2 per-task work): the three derived columns all
+    consume the same whitespace split, but as sibling projection
+    expressions each re-evaluated it (CollapseProject re-inlines any
+    alias, so a simple intermediate column cannot fix this). The
+    split — and each O(len) aggregate over it — now evaluates ONCE
+    per row inside a one-element ``inline(transform(array(words),
+    ...))``: the Generate node is a structural barrier the optimizer
+    cannot collapse, emits exactly one row per input row, and its
+    output fields are O(1) attribute references. Values are the
+    verbatim original expressions over the bound array.
     """
     text = F.col(text_col)
-    words = words_col(text)
-    n_words = F.size(words)
-    stop_hits = F.size(
-        F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS))
-    )
-    return (
-        df.withColumn("n_chars_m", F.length(text))
-        .withColumn("n_words", n_words)
-        .withColumn(
-            "avg_word_len",
+
+    def stats(ws):
+        n_words = F.size(ws)
+        stop_hits = F.size(
+            F.filter(ws, lambda w: F.lower(w).isin(*STOPWORDS))
+        )
+        return F.struct(
+            n_words.alias("n_words"),
             F.round(
                 F.when(
                     n_words > 0,
                     F.aggregate(
-                        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+                        ws,
+                        F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w),
                     ).cast("double")
                     / n_words,
                 ).otherwise(F.lit(0.0)),
                 4,
-            ),
-        )
-        .withColumn(
-            "stopword_ratio",
+            ).alias("avg_word_len"),
             F.round(
-                F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(
-                    F.lit(0.0)
-                ),
+                F.when(
+                    n_words > 0, stop_hits.cast("double") / n_words
+                ).otherwise(F.lit(0.0)),
                 4,
-            ),
+            ).alias("stopword_ratio"),
         )
+
+    return df.select(
+        "*",
+        F.length(text).alias("n_chars_m"),
+        F.inline(F.transform(F.array(words_col(text)), stats)),
     )
 
 
@@ -1775,41 +1788,68 @@ def gopher_quality_gates(
     exchanges for nothing (guide §2.4 "remove shuffles outright").
     """
     text = F.col(text_col)
-    words = words_col(text)
-    n_words = F.size(words)
-    lines = F.filter(
-        F.split(text, r"\n"), lambda ln: F.length(F.trim(ln)) > 0
-    )
-    n_lines = F.size(lines)
-    total_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    ellipsis_lines = F.size(
-        F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
-    )
-    bullet_lines = F.size(
-        F.filter(lines, lambda ln: F.trim(ln).rlike("^[-*•]"))
-    )
-    dup_lines = n_lines - F.size(F.array_distinct(F.transform(lines, F.trim)))
-    reasons = F.concat_ws(
-        ",",
-        F.when(n_words < 50, F.lit("too_few_words")),
-        F.when(n_words > 100000, F.lit("too_many_words")),
-        F.when(total_chars < n_words * 3, F.lit("words_too_short")),
-        F.when(total_chars > n_words * 12, F.lit("words_too_long")),
-        F.when(alpha_words * 100 < n_words * 80, F.lit("non_alpha")),
-        F.when(ellipsis_lines * 100 > n_lines * 30, F.lit("ellipsis_lines")),
-        F.when(bullet_lines * 100 > n_lines * 90, F.lit("bullet_lines")),
-        F.when(dup_lines * 100 > n_lines * 30, F.lit("duplicate_lines")),
+
+    # r17 (guide §1.2 per-task work): every rule consumes the same two
+    # computed arrays (the whitespace split and the non-blank lines),
+    # but sibling projection expressions each re-evaluated them
+    # (CollapseProject re-inlines plain aliases). The arrays — and
+    # each O(len) rule aggregate over them — now evaluate ONCE per row
+    # inside a nested one-element binding whose outer shell is an
+    # ``inline`` Generate: a structural barrier the optimizer cannot
+    # collapse, one output row per input row, O(1) field references
+    # downstream. Every rule expression is verbatim.
+    def rule_counts(ws, lns):
+        return F.struct(
+            F.size(ws).alias("nw"),
+            F.size(lns).alias("nl"),
+            F.aggregate(
+                ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            ).alias("tc"),
+            F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).alias("aw"),
+            F.size(
+                F.filter(lns, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
+            ).alias("el"),
+            F.size(
+                F.filter(lns, lambda ln: F.trim(ln).rlike("^[-*•]"))
+            ).alias("bl"),
+            (
+                F.size(lns)
+                - F.size(F.array_distinct(F.transform(lns, F.trim)))
+            ).alias("dl"),
+        )
+
+    def verdict(s):
+        reasons = F.concat_ws(
+            ",",
+            F.when(s["nw"] < 50, F.lit("too_few_words")),
+            F.when(s["nw"] > 100000, F.lit("too_many_words")),
+            F.when(s["tc"] < s["nw"] * 3, F.lit("words_too_short")),
+            F.when(s["tc"] > s["nw"] * 12, F.lit("words_too_long")),
+            F.when(s["aw"] * 100 < s["nw"] * 80, F.lit("non_alpha")),
+            F.when(s["el"] * 100 > s["nl"] * 30, F.lit("ellipsis_lines")),
+            F.when(s["bl"] * 100 > s["nl"] * 90, F.lit("bullet_lines")),
+            F.when(s["dl"] * 100 > s["nl"] * 30, F.lit("duplicate_lines")),
+        )
+        return F.struct(
+            s["nw"].cast("long").alias("n_words"),
+            s["dl"].cast("long").alias("n_dup_lines"),
+            (reasons == "").alias("keep"),
+            reasons.alias("reasons"),
+        )
+
+    counts = F.zip_with(
+        F.array(words_col(text)),
+        F.array(
+            F.filter(
+                F.split(text, r"\n"), lambda ln: F.length(F.trim(ln)) > 0
+            )
+        ),
+        rule_counts,
     )
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        n_words.cast("long").alias("n_words"),
-        dup_lines.cast("long").alias("n_dup_lines"),
-        (reasons == "").alias("keep"),
-        reasons.alias("reasons"),
+        F.inline(F.transform(counts, verdict)),
     )
 
 
