@@ -926,7 +926,15 @@ def hash_band_pairs(
     None (the default) disables the cap for small corpora.
 
     r15: extracted as the shared banding core so the pHash image
-    near-dup lane reuses the SimHash shape (simhash_bands above)."""
+    near-dup lane reuses the SimHash shape (simhash_bands above).
+
+    r17 (guide §5; the r16 multi-consumer rule applied here): the
+    input frame feeds BOTH sides of the banded self-join, and when it
+    is the output of a decode pipeline (pHash DCT, FLAC fingerprint)
+    each side replayed the full decode (plan audit: 2× the synth +
+    decode MapInPandas chain per execution). The (id, h) projection —
+    16 B per asset, metadata-sized — is lazily materialized once
+    before fan-out."""
     width = bits // bands
     mask = (1 << width) - 1
     band_arr = F.array(
@@ -944,6 +952,7 @@ def hash_band_pairs(
         df.select(
             F.col(id_col).alias("id"), F.col(hash_col).alias("h")
         )
+        .localCheckpoint(eager=False)
         .select("id", "h", F.explode(band_arr).alias("bk"))
         .select(
             "id", "h",
