@@ -35,6 +35,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from geniepool_etl_spark import functions as GPF
+
 from geniepool_etl_spark.functions import (
     enable_nanos_as_long,
     event_micros,
@@ -1232,7 +1234,7 @@ def q_a13_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_agg("user_id").alias("sk"),
             F.count_distinct("user_id").alias("exact_users"),
         )
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     tol = lambda est, exact: (  # noqa: E731
         F.abs(est - exact) <= 0.05 * exact
@@ -2083,7 +2085,7 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         F.floor(F.col("jaccard") * 10).cast("long").alias("j_bucket"),
-    ).localCheckpoint(eager=True)
+    ).transform(GPF.ckpt_eager)
     hit = (
         t.join(cand, ["id_a", "id_b"], "left_semi")
         .groupBy("j_bucket")
@@ -5364,7 +5366,7 @@ def q_pipeline_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("keep"))
         .select("page_id", "site", "text", "n_words")
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     pairs = D.minhash_lsh_pairs(
         kept.select(F.col("page_id").alias("doc_id"), "text"),
@@ -6205,7 +6207,7 @@ def q_obs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both key rules read ONLY o_orderkey — share one materialized
     # column frame so orders is scanned once, not twice (r16)
-    okeys = o.select("o_orderkey").localCheckpoint(eager=False)
+    okeys = o.select("o_orderkey").transform(GPF.ckpt_lazy)
     u = uniqueness_check(okeys, "o_orderkey", "o_orderkey_unique")
     r = referential_check(
         li, "l_orderkey", okeys, "o_orderkey", "li_orderkey_in_orders"
@@ -6216,7 +6218,7 @@ def q_obs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lazy checkpoint, so the feed is scanned once (r16)
     ev_us = ev.select(
         event_micros(ev, "ts").alias("ts_us")
-    ).localCheckpoint(eager=False)
+    ).transform(GPF.ckpt_lazy)
     mx = ev_us.agg(F.max("ts_us")).collect()[0][0]
     hour = 3_600_000_000
     f1 = freshness_check(
@@ -9600,16 +9602,13 @@ _SQL_Q11_GROUPED = """
     GROUP BY l_partkey
 """
 
-_SQL_Q11_GATE = """
-    SELECT l_partkey, value_cents
-    FROM q11_grouped CROSS JOIN (
-      SELECT count(l_partkey) AS n_parts,
-             SUM(CAST(value_cents AS DECIMAL(38, 0))) AS total_cents
-      FROM q11_grouped
-    ) s
-    WHERE CAST(value_cents AS DECIMAL(38, 0)) * n_parts * 5
-          > total_cents * 6
-"""
+# gate expressed as DataFrame ops on the checkpointed grouped frame
+# (r17, ADVICE): the previous q11_grouped temp view was a
+# session-global side effect a concurrent build could clobber between
+# registration and spark.sql() analysis; DataFrame composition binds
+# the frame directly. Same analyzed expressions:
+#   count(l_partkey), SUM(CAST(value_cents AS DECIMAL(38,0))),
+#   CAST(value_cents AS DECIMAL(38,0)) * n_parts * 5 > total_cents * 6
 
 
 def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9633,9 +9632,23 @@ def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order nor BIGINT overflow can flip a borderline group
     at any supported scale."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    g = spark.sql(_SQL_Q11_GROUPED).localCheckpoint(eager=False)
-    g.createOrReplaceTempView("q11_grouped")
-    return spark.sql(_SQL_Q11_GATE)
+    g = spark.sql(_SQL_Q11_GROUPED).transform(GPF.ckpt_lazy)
+    s = g.agg(
+        F.count("l_partkey").alias("n_parts"),
+        F.sum(F.col("value_cents").cast("decimal(38,0)")).alias(
+            "total_cents"
+        ),
+    )
+    return (
+        g.crossJoin(s)
+        .where(
+            F.col("value_cents").cast("decimal(38,0)")
+            * F.col("n_parts")
+            * 5
+            > F.col("total_cents") * 6
+        )
+        .select("l_partkey", "value_cents")
+    )
 
 
 _SQL_Q15 = """
@@ -9672,14 +9685,6 @@ _SQL_Q15_REVENUE = """
     GROUP BY l_suppkey
 """
 
-_SQL_Q15_GATE = """
-    SELECT s.s_suppkey, s.s_name, r.total_cents
-    FROM supplier s
-    JOIN q15_revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_cents = (SELECT max(total_cents) FROM q15_revenue)
-"""
-
-
 def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): a quarter's per-supplier revenue CTE
     referenced twice — once joined to the dim, once reduced to a
@@ -9687,12 +9692,23 @@ def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties surface as multiple rows instead of an arbitrary pick).
     r16: the revenue frame is computed ONCE (lazy localCheckpoint)
     instead of per CTE reference — lineitem passes 2 → 1; the DuckDB
-    oracle keeps the literal twice-referenced CTE."""
-    for t in ("supplier", "lineitem"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    rev = spark.sql(_SQL_Q15_REVENUE).localCheckpoint(eager=False)
-    rev.createOrReplaceTempView("q15_revenue")
-    return spark.sql(_SQL_Q15_GATE)
+    oracle keeps the literal twice-referenced CTE. r17 (ADVICE): the
+    gate composes DataFrame ops on the checkpointed frame directly —
+    the previous q15_revenue temp view was a session-global side
+    effect a concurrent build could clobber. The scalar-max subquery
+    becomes the same 1-row cross join + equality the analyzer
+    produced for it (max over an empty quarter is NULL ⇒ no rows,
+    unchanged)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    rev = spark.sql(_SQL_Q15_REVENUE).transform(GPF.ckpt_lazy)
+    mx = rev.agg(F.max("total_cents").alias("_mx"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.join(rev, sup["s_suppkey"] == rev["supplier_no"])
+        .crossJoin(mx)
+        .where(F.col("total_cents") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_cents")
+    )
 
 
 _SQL_Q16 = """
@@ -10073,7 +10089,7 @@ def q_pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four INDEPENDENT consumers (gates, classifier, dedup group-by,
     # the final join spine) — eager materialization, per the SCALE.md
     # consumer-topology rule: lazy only dedupes sequential consumers
-    cleaned = cleaned.localCheckpoint(eager=True)
+    cleaned = cleaned.transform(GPF.ckpt_eager)
     gates = TX.gopher_quality_gates(cleaned).select(
         "doc_id", F.col("keep").alias("g_keep"), "n_words"
     )

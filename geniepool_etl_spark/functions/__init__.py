@@ -107,6 +107,51 @@ def event_micros(df: DataFrame, ts_col: str = "ts") -> Column:
     )
 
 
+MATERIALIZE_CONF = "spark.geniepool.materialize"
+
+
+def _materialize(df: DataFrame, eager: bool) -> DataFrame:
+    """Materialization barrier for a multi-consumer intermediate
+    frame, gated by the session conf ``spark.geniepool.materialize``
+    (r17, ADVICE):
+
+    - ``localCheckpoint`` (default): the library's measured-fastest
+      local mode — truncates lineage, blocks live in executor
+      storage. The documented trade: an executor loss makes the job
+      unrecoverable, so it is NOT safe under dynamic allocation.
+    - ``persist``: ``MEMORY_AND_DISK`` cache that KEEPS lineage —
+      the production setting for clusters where executors come and
+      go; consumers still compute the frame once.
+    - ``off``: no barrier at all (every consumer replays the
+      lineage — the pre-materialization plan, for A/B measurement).
+
+    Used via ``DataFrame.transform`` so call sites stay chainable:
+    ``df.transform(ckpt_lazy)`` / ``df.transform(ckpt_eager)``.
+    Eagerness only applies to the checkpoint mode; ``persist`` is
+    inherently lazy and populates at the first action either way.
+    """
+    mode = "localCheckpoint"
+    try:
+        mode = df.sparkSession.conf.get(MATERIALIZE_CONF, mode)
+    except Exception:  # noqa: BLE001 — conf probe must not break plans
+        pass
+    if mode == "off":
+        return df
+    if mode == "persist":
+        return df.persist()
+    return df.localCheckpoint(eager=eager)
+
+
+def ckpt_lazy(df: DataFrame) -> DataFrame:
+    """Lazy materialization barrier (see :func:`_materialize`)."""
+    return _materialize(df, eager=False)
+
+
+def ckpt_eager(df: DataFrame) -> DataFrame:
+    """Eager materialization barrier (see :func:`_materialize`)."""
+    return _materialize(df, eager=True)
+
+
 def fan_out_if_narrow(df: DataFrame) -> DataFrame:
     """Scale-adaptive input fan-out (optimization guide §2.5 "input
     skew": one unsplittable input starves every core but one).
@@ -120,11 +165,47 @@ def fan_out_if_narrow(df: DataFrame) -> DataFrame:
     plan no-op — the exchange never exists where it would be a
     corpus-scale anti-pattern. The check is plan-time metadata only
     (no job runs).
+
+    r17 (ADVICE): the split count is estimated from the frame's
+    ``inputFiles()`` + file sizes against ``maxPartitionBytes`` (the
+    scan-packing formula) instead of ``df.rdd.getNumPartitions()`` —
+    the RDD conversion forced a full physical planning pass per
+    invocation and hid analysis errors behind a bare except. Frames
+    that are not file-backed (in-memory test frames, post-shuffle
+    inputs) return unchanged — their parallelism is already the
+    session's, so the fan-out has nothing to fix; estimation errors
+    log a warning instead of being swallowed silently.
     """
+    import logging
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — conversion quirks: keep the plan
+        files = df.inputFiles()
+        if not files:
+            return df
+        if len(files) >= target:
+            return df
+        max_pb = int(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            ).rstrip("b")
+        )
+        jvm = sc._jvm
+        conf = sc._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            fs = path.getFileSystem(conf)
+            size = fs.getFileStatus(path).getLen()
+            splits += max(1, -(-size // max_pb))
+            if splits >= target:
+                return df
+    except Exception as exc:  # noqa: BLE001 — estimation must not
+        # break the plan; surface it instead of swallowing silently
+        logging.getLogger(__name__).warning(
+            "fan_out_if_narrow: split estimate failed (%s); "
+            "leaving the plan unchanged", exc
+        )
         return df
-    return df.repartition(target) if n < target else df
+    return df.repartition(target) if splits < target else df

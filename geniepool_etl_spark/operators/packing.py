@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from geniepool_etl_spark import functions as GPF
+
 from geniepool_etl_spark.functions import portable_hash32
 from geniepool_etl_spark.operators.text import words_col
 
@@ -269,7 +271,7 @@ def flatten_chat_trees(
         F.col(parent_col).alias("_parent"),
         F.col(role_col).alias("_role"),
         F.col(text_col).alias("_text"),
-    ).localCheckpoint(eager=False)
+    ).transform(GPF.ckpt_lazy)
     # msg ids are only unique PER CONVERSATION in real chat-tree
     # dumps (ShareGPT-style restarting counters), so every probe must
     # carry the conversation key or paths splice across conversations
@@ -280,7 +282,7 @@ def flatten_chat_trees(
             F.col("_parent").alias("_has_kids_id"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     live = (
         m.where(F.col("_parent").isNull())

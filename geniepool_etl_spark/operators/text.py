@@ -20,6 +20,8 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from geniepool_etl_spark import functions as GPF
+
 from geniepool_etl_spark.functions import PORTABLE_HASH_MOD, portable_hash32
 
 # Tokens that match "word-ish" runs: letters, digits, or a single other
@@ -355,7 +357,7 @@ def with_lang_id_trigram(
     # ``trigram_lang_profiles`` each consumer would otherwise replay
     # that full corpus explode+aggregate+window pass (registry plan
     # audit: 2 extra corpus scans). Tiny — lazy-materialize once.
-    profiles = profiles.localCheckpoint(eager=False)
+    profiles = profiles.transform(GPF.ckpt_lazy)
     langs = profiles.select("lang").distinct()
     # tiny broadcast fan-out: every doc profile row scores against
     # every candidate language (|languages| copies), then the
@@ -413,7 +415,7 @@ def tfidf_top_terms(
     tf = (
         tokens.groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(
@@ -833,18 +835,18 @@ def dsir_importance_weights(
     pb = (
         raw_b.groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     cq = (
         pb.groupBy("bucket")
         .agg(F.sum("n").cast("long").alias("cq"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     cp = (
         buckets(target)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cp"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     ratio = (
         cq.join(cp, "bucket", "full_outer")
@@ -948,7 +950,7 @@ def dsir_resample(
         # |docs|-sized, two consumers (the top-k cut and the join
         # back) — without materialization the whole importance-weight
         # pipeline replayed twice (r16)
-    ).localCheckpoint(eager=False)
+    ).transform(GPF.ckpt_lazy)
     topk = (
         keyed.orderBy(
             F.col("gumbel_key").desc(), F.col(id_col).asc()
@@ -1050,7 +1052,7 @@ def bpe_learn_merges(
         # replayed the full scan+explode corpus pass (7 scans in one
         # plan). The ROUND chain itself stays un-checkpointed (the
         # measured ~15% regression below).
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     vocab = words.select(
         F.concat(
@@ -1179,7 +1181,7 @@ def bpe_token_counts(
         # sf10 decade). Checkpointing the tiny aggregate pins the
         # whole query to exactly TWO corpus passes: this count and
         # the billing probe below.
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     for _step in range(1, k + 1):
         # same shape as bpe_learn_merges: doubled-space reps across
@@ -1311,7 +1313,7 @@ def bpe_token_counts_byte_fallback(
         _occ(learn_df)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq_learn"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     # learn-corpus character inventory: one row, broadcast — the
     # in-vocabulary test for the fallback CASE (tiny: |distinct
@@ -1346,7 +1348,7 @@ def bpe_token_counts_byte_fallback(
         # same |vocab|-row barrier as bpe_token_counts: the rounds and
         # the word_tok branch otherwise each replay the distinct-word
         # corpus pass (and through it the learn-corpus join subtree)
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     for _step in range(1, k + 1):
         arred = vocab.select(
@@ -1487,7 +1489,7 @@ def bigram_surprisal_scores(
     counts = (
         occ.groupBy("l", "r")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     # corpus bigram total N = Σ n over the counts frame (identical
     # BIGINT to the former direct Σ max(|words|−1, 0) corpus scan)
@@ -1564,7 +1566,7 @@ def bigram_next_words(
         df.select(F.explode(bigrams).alias("p"))
         .groupBy(F.col("p.l").alias("word"), F.col("p.r").alias("next"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     totals = counts.groupBy("word").agg(F.sum("n").alias("_total"))
     ranked = (
@@ -1648,7 +1650,7 @@ def pmi_collocations(
     # consumer-topology rule (SCALE.md; same call as rfm_segments /
     # gap_fill_hourly): ONE tokenize pass, margins become aggregates
     # over the materialized |vocab|²-bounded frame.
-    counts = counts.localCheckpoint(eager=True)
+    counts = counts.transform(GPF.ckpt_eager)
     left = counts.groupBy("l").agg(F.sum("n").alias("_cl"))
     right = counts.groupBy("r").agg(F.sum("n").alias("_cr"))
     tot = counts.agg(F.sum("n").alias("_N"))
@@ -2134,7 +2136,7 @@ def _unigram_train(
     wfreq = (
         occ.groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     pieces_expr = (
         "flatten(transform(sequence(1, length(w)), i -> "
@@ -2146,7 +2148,7 @@ def _unigram_train(
         wfreq.select(F.explode(F.expr(pieces_expr)).alias("p"), "freq")
         .groupBy("p")
         .agg(F.sum("freq").cast("long").alias("f"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     chars = pf.where(F.length("p") == 1)
     multi = (
@@ -2299,7 +2301,7 @@ def wordpiece_token_counts(
     wfreq = (
         occ.groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     # piece candidates with the continuation distinction: position 1
     # emits the raw substring, positions > 1 emit '##' || substring
@@ -2591,7 +2593,7 @@ def kneser_ney_bigram(
         df.select(F.explode(bigrams).alias("p"))
         .groupBy(F.col("p.l").alias("word"), F.col("p.r").alias("next"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     fwd = counts.groupBy("word").agg(
         F.sum("n").alias("c1"), F.count(F.lit(1)).alias("fwd_types")
@@ -2725,7 +2727,7 @@ def ccnet_perplexity_buckets(
         lang_bigrams(df)
         .groupBy("lang", "l", "r")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     fwd = counts.groupBy("lang", "l").agg(
         F.sum("n").alias("c1"), F.count(F.lit(1)).alias("fwd_types")
@@ -2768,7 +2770,7 @@ def ccnet_perplexity_buckets(
             .alias("ppl_milli"),
         )
         # |docs|-sized, three consumers (hist, nl, the output spine)
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     # count-based thresholds over the per-language score HISTOGRAM
     hist = docv.groupBy("lang", "ppl_milli").agg(

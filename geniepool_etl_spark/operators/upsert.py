@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from geniepool_etl_spark import functions as GPF
+
 
 def merge_upsert(
     base: DataFrame, updates: DataFrame, keys: list[str]
@@ -66,7 +68,7 @@ def upsert_partitioned_lake(
     # (With a table format — Delta/Iceberg — MERGE INTO does this
     # transactionally; on raw parquet the materialize-then-overwrite is
     # the price of the format.)
-    merged = merge_upsert(base, updates, keys).localCheckpoint()
+    merged = merge_upsert(base, updates, keys).transform(GPF.ckpt_eager)
     (
         merged.repartition(*[F.col(c) for c in partition_cols])
         .write.mode("overwrite")
@@ -291,7 +293,7 @@ def scd2_apply_batch(
         # batch-sized (one row per touched key): both consumers (the
         # seed rows and the version bases) read the materialized
         # slice instead of re-scanning the standing history
-        .localCheckpoint(eager=False)
+        .transform(GPF.ckpt_lazy)
     )
     seed = cur.select(
         F.col(key),
