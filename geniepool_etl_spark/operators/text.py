@@ -2087,13 +2087,13 @@ def unigram_lm_token_counts(
         "w", F.size("pieces").cast("long").alias("n_tok")
     )
     return (
-        # no broadcast hint (r17): word_tok is |distinct words|-sized —
-        # corpus-derived and unbounded at web scale (10^8-row
-        # vocabularies), so a forced broadcast is an OOM at the 100 TB
-        # target. AQE picks the strategy from the MEASURED size at
-        # runtime: broadcast when genuinely small, shuffle join
-        # otherwise (isolated A/B at sf0.1: within noise either way).
-        occ.join(word_tok, "w")
+        # shuffle_hash, not broadcast (r17): word_tok is |distinct
+        # words|-sized — corpus-derived and unbounded at web scale
+        # (10^8-row vocabularies), so a forced broadcast is an OOM at
+        # the 100 TB target; shuffled-hash builds the vocab side per
+        # partition with no corpus-side sort (same call as the BPE
+        # billing joins — isolated A/B at sf0.1: within noise).
+        occ.join(word_tok.hint("shuffle_hash"), "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -2346,10 +2346,9 @@ def wordpiece_token_counts(
         )
     )
     return (
-        # no broadcast hint (r17): |distinct words|-sized, unbounded at
-        # web scale — AQE chooses by measured size (see
-        # unigram_lm_token_counts)
-        occ.join(word_tok, "w")
+        # shuffle_hash, not broadcast (r17): |distinct words|-sized,
+        # unbounded at web scale (see unigram_lm_token_counts)
+        occ.join(word_tok.hint("shuffle_hash"), "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
