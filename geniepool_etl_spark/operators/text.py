@@ -1497,10 +1497,14 @@ def bigram_surprisal_scores(
     scored = (
         # inner equi-join is exact: every occurrence has its (l, r)
         # counts row by construction, and split() never yields NULL
-        # tokens, so no row is dropped. AQE broadcasts the counts
-        # side when it is small and skew-splits the probe exchange
-        # when it is not.
-        occ.join(counts, ["l", "r"])
+        # tokens, so no row is dropped. shuffle_hash on the counts
+        # side: the build has exactly one row per key (per-partition
+        # hash tables stay bounded under AQE partition sizing), the
+        # corpus-side SORT a sort-merge join would need disappears
+        # (sf10 interleaved A/B 5.4-5.9 → 4.7-5.2 s), and AQE's skew
+        # handling still splits hot-(l,r) probe partitions, which is
+        # the reason this is a join and not a window.
+        occ.join(counts.hint("shuffle_hash"), ["l", "r"])
         .crossJoin(F.broadcast(tot))
         .select(
             F.col(id_col),

@@ -623,9 +623,11 @@ def test_perplexity_tokenizes_corpus_once(spark):
     hot bigram would become an unsplittable straggler at 100 TB).
     The composed plan therefore has ZERO Window nodes, at most two
     corpus scans (the probe branch; the counts branch computes once
-    inside the checkpoint materialization), and locally AQE localizes
-    the counts re-attach to a broadcast join (no occurrence-frame
-    SortMergeJoin at toy scale)."""
+    inside the checkpoint materialization), and the counts re-attach
+    is a ShuffledHashJoin (shuffle_hash hint: one build row per key,
+    no corpus-side sort, AQE skew-splittable probe — a sort-merge
+    join's occurrence sort or a forced broadcast of the unbounded
+    counts frame are both wrong at 100 TB)."""
     df = C.q_text_perplexity(spark, SF_SMALL)
     df.collect()
     p = _plan(df).split("== Initial Plan ==")[0]
@@ -636,8 +638,8 @@ def test_perplexity_tokenizes_corpus_once(spark):
         "LM count must not be a window over raw occurrences (skew)"
     )
     assert "SortMergeJoin" not in p
-    # the counts re-attach (broadcast locally) + the 1-row total
-    assert "BroadcastHashJoin" in p
+    # the counts re-attach (hash join, no sorts) + the 1-row total
+    assert "ShuffledHashJoin" in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
 
 
